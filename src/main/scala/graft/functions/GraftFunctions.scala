@@ -1,0 +1,134 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.classic.ExpressionUtils
+import org.apache.spark.sql.functions._
+
+import graft.expr.{ChunkText, CosineSimilarity, DotProduct}
+
+/**
+ * Scalar-function surface of the engine (SURVEY.md §2.8–2.9, F1–F16 + V2–V3).
+ *
+ * Everything here is a Column function built on `org.apache.spark.sql.functions`
+ * or a native Catalyst expression — no Scala UDFs — so every call stays inside
+ * whole-stage codegen and is visible to Catalyst (constant folding, pushdown).
+ */
+object GraftFunctions {
+
+  private def col2(e: Expression): Column = ExpressionUtils.column(e)
+  private def ex(c: Column): Expression = ExpressionUtils.expression(c)
+
+  // ─── V3: vector ops ───────────────────────────────────────────────────────
+
+  /** Cosine similarity of two array<float> columns (native codegen expression). */
+  def cosineSim(a: Column, b: Column): Column = col2(CosineSimilarity(ex(a), ex(b)))
+
+  /** Dot product of two array<float> columns; == cosine on normalized vectors. */
+  def dotProduct(a: Column, b: Column): Column = col2(DotProduct(ex(a), ex(b)))
+
+  /** L2-normalize an array<float> vector (null-safe; zero vector → null). */
+  def l2Normalize(v: Column): Column = {
+    val norm = sqrt(aggregate(v, lit(0.0d), (acc, x) => acc + x.cast("double") * x.cast("double")))
+    when(norm > 0.0d, transform(v, x => (x.cast("double") / norm).cast("float")))
+  }
+
+  // ─── V2: chunker ─────────────────────────────────────────────────────────
+
+  /**
+   * Generator column: explodes `text` into (chunk_idx, chunk_start, chunk)
+   * rows. Use as `df.select($"doc_id", chunkText($"text", 1000, 200))`.
+   */
+  def chunkText(text: Column, size: Int = ChunkText.DefaultSize,
+                overlap: Int = ChunkText.DefaultOverlap): Column =
+    col2(ChunkText(ex(text), size, overlap))
+
+  // ─── F1–F16: string / date / misc scalar functions ──────────────────────
+
+  /**
+   * F1 — H1 title extraction: first line starting "# " but not "##", stripped;
+   * null when no such line or empty title (reference ui/backend/main.py:68-89).
+   */
+  def extractTitle(markdown: Column): Column = {
+    val t = trim(regexp_extract(markdown, "(?m)^#\\s+(.*?)\\s*$", 1))
+    when(length(t) > 0, t)
+  }
+
+  /** F2 — truncate to n chars with "..." suffix when longer (neo4j_rag.py:363-365). */
+  def truncateText(text: Column, n: Int): Column =
+    when(length(text) > n, concat(substring(text, 1, n), lit("..."))).otherwise(text)
+
+  /**
+   * F3 — context block formatting (neo4j_rag.py:367-372):
+   * Title/Summary/Content/(Similarity: %.2f).
+   */
+  def formatContext(title: Column, summary: Column, content: Column, score: Column): Column =
+    format_string("Title: %s\nSummary: %s\nContent: %s\n(Similarity: %.2f)",
+      title, summary, content, score)
+
+  /** F5 — search-input formatting (research_manager.py:486-489). */
+  def formatSearchInput(query: Column, reason: Column): Column =
+    format_string("Search term: %s\nReason for searching: %s", query, reason)
+
+  /** F6 — path normalization: prefix "/" when missing (neo4j_memory.py:119-122). */
+  def normalizePath(path: Column): Column =
+    when(path.isNull || path.startsWith("/"), path).otherwise(concat(lit("/"), path))
+
+  /** F7 — non-empty-after-trim validation (ui/backend/main.py:233,455). */
+  def isNonBlank(c: Column): Column = length(trim(coalesce(c, lit("")))) > 0
+
+  /** F9 — id synthesis "{workflow_id}-msg-{seq}" / "-result-{seq}" (neo4j_memory.py:359,491). */
+  def messageId(workflowId: Column, seq: Column): Column =
+    concat_ws("-", workflowId, lit("msg"), seq)
+  def resultId(workflowId: Column, seq: Column): Column =
+    concat_ws("-", workflowId, lit("result"), seq)
+
+  /** F11/F12 — case-insensitive substring membership (research_manager.py:593-596). */
+  def containsAnyIgnoreCase(c: Column, needles: Seq[String]): Column =
+    needles.map(n => lower(c).contains(n.toLowerCase)).reduce(_ || _)
+
+  /** F13 — KEY=VALUE arg parsing into a map (cli/run_interactive_research_workflow.py:267-274). */
+  def parseKeyValue(c: Column): Column = {
+    val parts = split(c, "=", 2)
+    map(element_at(parts, 1), element_at(parts, 2))
+  }
+
+  /** F14 — comma-split + trim bootstrap-list parsing (redpanda_activity.py:17). */
+  def parseCsvList(c: Column): Column = transform(split(c, ","), x => trim(x))
+
+  // ─── SQL registration ────────────────────────────────────────────────────
+
+  /**
+   * Registers the custom expressions in the session's FunctionRegistry so
+   * they are usable from SQL text and `call_function` as `cosine_sim`,
+   * `dot_product`, `chunk_text`. Idempotent.
+   */
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.registerFunction(
+      FunctionIdentifier("cosine_sim"),
+      new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
+      (children: Seq[Expression]) => CosineSimilarity(children(0), children(1)))
+    reg.registerFunction(
+      FunctionIdentifier("dot_product"),
+      new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
+      (children: Seq[Expression]) => DotProduct(children(0), children(1)))
+    reg.registerFunction(
+      FunctionIdentifier("chunk_text"),
+      new ExpressionInfo(classOf[ChunkText].getName, "chunk_text"),
+      (children: Seq[Expression]) => {
+        def intLit(e: Expression, name: String): Int = e match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"chunk_text $name must be an integer literal, got $other")
+        }
+        children match {
+          case Seq(t) => ChunkText(t, ChunkText.DefaultSize, ChunkText.DefaultOverlap)
+          case Seq(t, s) => ChunkText(t, intLit(s, "size"), ChunkText.DefaultOverlap)
+          case Seq(t, s, o) => ChunkText(t, intLit(s, "size"), intLit(o, "overlap"))
+          case _ => throw new IllegalArgumentException("chunk_text(text[, size[, overlap]])")
+        }
+      })
+  }
+}
