@@ -1,13 +1,485 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.GraftFunctions
+import graft.model.Schemas
+import graft.ops.Relational
+import graft.rag.Rag
+import graft.sources.TestData
+import graft.streaming.Events
+
+/**
+ * Driver contract (SURVEY.md §7): `entry` = flagship smoke query,
+ * `queries` = one entry per implemented operator from SURVEY.md §2,
+ * `oracleSql` = the DuckDB-equivalent ANSI SQL per query key.
+ *
+ * Conventions that make the oracle hash-compare deterministic:
+ *  - every query ends with an explicit ORDER BY mirrored in the SQL;
+ *  - FP aggregations go through exact DECIMAL(18,2) sums, cast back to
+ *    double (identical bits regardless of partial-agg order);
+ *  - cosine scores are rounded to 6 dp on output (double accumulation
+ *    error ~1e-15, so rounding is stable across engines);
+ *  - nanosecond event timestamps are exposed as epoch milliseconds
+ *    (Spark floor-truncates ns→µs exactly like DuckDB).
+ */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  private def T(s: SparkSession, d: String, n: String): DataFrame = TestData.table(s, d, n)
+
+  /** Exact money/quantity aggregation: decimal sum, double on the way out. */
+  private def dsum(c: Column): Column = sum(c.cast("decimal(18,2)")).cast("double")
+
+  /** Fetch the query vector (vec_id = 0) — driver-side scalar by design. */
+  private def queryVec(s: SparkSession, d: String): Array[Float] =
+    TestData.embeddings(s, d).filter(col("vec_id") === 0)
+      .select(col("embedding")).head().getSeq[Float](0).toArray
+
+  // ────────────────────────────────────────────────────────────────────────
+  /** Flagship: V5 context retrieval over documents+embeddings at sf0.001
+    * (SURVEY §7.2 slice 0 — scan → cosine → top-k → threshold → truncate →
+    * format → concat_ws, the exact shape of neo4j_rag.py:333-375). */
+  def entry(spark: SparkSession): DataFrame = {
+    val d = "/root/testdata/sf0.001"
+    GraftFunctions.register(spark)
+    val q = queryVec(spark, d)
+    val results = TestData.embeddings(spark, d)
+      .join(TestData.documents(spark, d), col("vec_id") === col("doc_id"))
+    Rag.contextRetrieval(results, "vec_id", "embedding",
+      concat(lit("Doc "), col("doc_id").cast("string")),
+      substring(col("text"), 1, 30), col("text"),
+      q, k = 3, minScore = 0.0, truncateAt = 2000)
+  }
+
+  // ────────────────────────────────────────────────────────────────────────
+
+  private case class Q(fn: (SparkSession, String) => DataFrame, sql: Option[String])
+
+  private val NL = "\n"
+  private val SEP = "\n\n---\n\n"
+
+  private def defs: Seq[(String, Q)] = Seq(
+
+    // ── P: projections / filters ─────────────────────────────────────────
+    "p1_key_filter" -> Q(
+      (s, d) => T(s, d, "lineitem")
+        .filter(col("l_orderkey") <= 10)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"), col("l_returnflag"))
+        .orderBy(col("l_orderkey"), col("l_linenumber")),
+      Some("""SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
+             |FROM lineitem WHERE l_orderkey <= 10
+             |ORDER BY l_orderkey, l_linenumber""".stripMargin)),
+
+    "p2_notnull_count" -> Q(
+      (s, d) => T(s, d, "embeddings")
+        .filter(col("embedding").isNotNull)
+        .agg(count(lit(1)).as("n_indexed")),
+      Some("SELECT count(*) AS n_indexed FROM embeddings WHERE embedding IS NOT NULL")),
+
+    "p3_score_threshold" -> Q(
+      (s, d) => TestData.events(s, d)
+        .filter(col("value") >= 100.0)
+        .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+        .orderBy(col("event_id")),
+      Some("""SELECT event_id, user_id, event_type, value
+             |FROM events WHERE value >= 100.0 ORDER BY event_id""".stripMargin)),
+
+    "p4_label_dispatch" -> Q(
+      (s, d) => TestData.events(s, d)
+        .select(col("event_id"),
+          when(col("event_type").isin("purchase", "signup"), lit("conversion"))
+            .otherwise(lit("engagement")).as("label"),
+          when(col("event_type").isin("purchase", "signup"),
+            concat(lit("e-"), col("event_id").cast("string")))
+            .otherwise(concat(lit("u-"), col("user_id").cast("string"))).as("dispatch_id"))
+        .orderBy(col("event_id")),
+      Some("""SELECT event_id,
+             |  CASE WHEN event_type IN ('purchase','signup') THEN 'conversion' ELSE 'engagement' END AS label,
+             |  CASE WHEN event_type IN ('purchase','signup') THEN 'e-' || event_id ELSE 'u-' || user_id END AS dispatch_id
+             |FROM events ORDER BY event_id""".stripMargin)),
+
+    "p5_topic_routing" -> Q(
+      (s, d) => {
+        import s.implicits._
+        (Schemas.eventTypes :+ "unknown_event").toDF("event_type")
+          .select(col("event_type"), Events.topicFor(col("event_type"), routingTopics).as("topic"))
+          .orderBy(col("event_type"))
+      },
+      Some(s"""SELECT event_type,
+             |  CASE
+             |    WHEN event_type IN ('query_received','research_complete','research_started') THEN 'wf-lifecycle'
+             |    WHEN strpos(event_type, 'clarification') > 0 THEN 'wf-clarifications'
+             |    WHEN strpos(event_type, 'image_') > 0 OR strpos(event_type, 'pdf_') > 0 OR strpos(event_type, '_generated') > 0 THEN 'wf-artifacts'
+             |    WHEN strpos(event_type, 'search_') > 0 OR strpos(event_type, 'report_') > 0 OR strpos(event_type, 'knowledge_graph') > 0 THEN 'wf-research'
+             |    ELSE 'research-workflow-events'
+             |  END AS topic
+             |FROM (VALUES ${Schemas.eventTypes.map(e => s"('$e')").mkString(",")},('unknown_event')) AS t(event_type)
+             |ORDER BY event_type""".stripMargin)),
+
+    "p6_rlike_filter" -> Q(
+      (s, d) => TestData.events(s, d)
+        .filter(col("event_type").rlike("^(purchase|signup)$"))
+        .select(col("event_id"), col("event_type"))
+        .orderBy(col("event_id")),
+      Some("""SELECT event_id, event_type FROM events
+             |WHERE regexp_matches(event_type, '^(purchase|signup)$')
+             |ORDER BY event_id""".stripMargin)),
+
+    "p7_projection_rename" -> Q(
+      (s, d) => T(s, d, "documents")
+        .select(col("doc_id").as("id"), col("lang").as("language"),
+          GraftFunctions.normalizePath(col("source")).as("source_path"))
+        .orderBy(col("id")),
+      Some("""SELECT doc_id AS id, lang AS language,
+             |  CASE WHEN source IS NULL OR starts_with(source, '/') THEN source ELSE '/' || source END AS source_path
+             |FROM documents ORDER BY id""".stripMargin)),
+
+    // ── J: joins ─────────────────────────────────────────────────────────
+    "j1_join_agg" -> Q(
+      (s, d) => T(s, d, "orders")
+        .join(T(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("revenue"))
+        .orderBy(col("c_mktsegment")),
+      Some("""SELECT c_mktsegment, count(*) AS n_orders,
+             |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+             |FROM orders JOIN customer ON o_custkey = c_custkey
+             |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)),
+
+    "j2_union_kind" -> Q(
+      (s, d) => Relational.unionKind(
+          T(s, d, "customer").select(col("c_name").as("name"), col("c_acctbal").as("acctbal")),
+          "customer",
+          T(s, d, "supplier").select(col("s_name").as("name"), col("s_acctbal").as("acctbal")),
+          "supplier")
+        .orderBy(col("kind"), col("name")),
+      Some("""SELECT c_name AS name, c_acctbal AS acctbal, 'customer' AS kind FROM customer
+             |UNION ALL
+             |SELECT s_name AS name, s_acctbal AS acctbal, 'supplier' AS kind FROM supplier
+             |ORDER BY kind, name""".stripMargin)),
+
+    "j3_anti_join" -> Q(
+      (s, d) => Relational.notExisting(
+          T(s, d, "customer"), T(s, d, "orders").withColumnRenamed("o_custkey", "c_custkey"),
+          Seq("c_custkey"))
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy(col("c_custkey")),
+      Some("""SELECT c_custkey, c_name FROM customer
+             |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+             |ORDER BY c_custkey""".stripMargin)),
+
+    "j4_semi_join" -> Q(
+      (s, d) => Relational.existing(
+          T(s, d, "customer"), T(s, d, "orders").withColumnRenamed("o_custkey", "c_custkey"),
+          Seq("c_custkey"))
+        .select(col("c_custkey"))
+        .orderBy(col("c_custkey")),
+      Some("""SELECT c_custkey FROM customer
+             |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+             |ORDER BY c_custkey""".stripMargin)),
+
+    "j5_fk_join" -> Q(
+      (s, d) => T(s, d, "lineitem")
+        .join(T(s, d, "part"), col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("n_lines"), dsum(col("l_quantity")).as("sum_qty"))
+        .orderBy(col("p_brand")),
+      Some("""SELECT p_brand, count(*) AS n_lines,
+             |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+             |FROM lineitem JOIN part ON l_partkey = p_partkey
+             |GROUP BY p_brand ORDER BY p_brand""".stripMargin)),
+
+    // ── A: aggregations ──────────────────────────────────────────────────
+    "a1_next_sequence" -> Q(
+      (s, d) => TestData.events(s, d)
+        .groupBy(col("user_id"))
+        .agg(coalesce(max(col("event_id")) + 1, lit(0L)).as("next_seq"))
+        .orderBy(col("user_id")),
+      Some("""SELECT user_id, CAST(coalesce(max(event_id) + 1, 0) AS BIGINT) AS next_seq
+             |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin)),
+
+    "a2_count_predicate" -> Q(
+      (s, d) => TestData.events(s, d)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_total"),
+          count(when(col("value") > 100.0, 1)).as("n_big"))
+        .orderBy(col("event_type")),
+      Some("""SELECT event_type, count(*) AS n_total,
+             |  count(*) FILTER (WHERE value > 100.0) AS n_big
+             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    "a4_string_agg" -> Q(
+      (s, d) => T(s, d, "documents")
+        .groupBy(col("lang"))
+        .agg(concat_ws(",", array_sort(collect_set(col("source")))).as("sources"),
+          count(lit(1)).as("n_docs"))
+        .orderBy(col("lang")),
+      Some("""WITH s AS (SELECT DISTINCT lang, source FROM documents),
+             |agg AS (SELECT lang, string_agg(source, ',' ORDER BY source) AS sources FROM s GROUP BY lang),
+             |cnt AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang)
+             |SELECT agg.lang AS lang, sources, n_docs FROM agg JOIN cnt USING (lang) ORDER BY lang""".stripMargin)),
+
+    // ── W: windows / ordered scans ───────────────────────────────────────
+    "w1_sequence_next" -> Q(
+      (s, d) => Relational.sequenceAndNext(
+          TestData.events(s, d), "user_id", "event_id", Seq(col("event_id")))
+        .select(col("user_id"), col("event_id"), col("sequence"), col("next_id"))
+        .orderBy(col("user_id"), col("sequence")),
+      Some("""SELECT user_id, event_id,
+             |  CAST(row_number() OVER (PARTITION BY user_id ORDER BY event_id) - 1 AS INT) AS sequence,
+             |  lead(event_id) OVER (PARTITION BY user_id ORDER BY event_id) AS next_id
+             |FROM events ORDER BY user_id, sequence""".stripMargin)),
+
+    "w2_top1_per_group" -> Q(
+      (s, d) => Relational.top1PerGroup(
+          TestData.events(s, d), "user_id", Seq(col("event_id").desc))
+        .select(col("user_id"), col("event_id"), col("event_type"))
+        .orderBy(col("user_id")),
+      Some("""SELECT user_id, event_id, event_type FROM (
+             |  SELECT user_id, event_id, event_type,
+             |    row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+             |  FROM events) t WHERE rn = 1 ORDER BY user_id""".stripMargin)),
+
+    "w3_ordered_scan" -> Q(
+      (s, d) => TestData.events(s, d)
+        .orderBy(col("event_id"))
+        .limit(100)
+        .select(col("event_id"), col("event_type"), col("value")),
+      Some("""SELECT event_id, event_type, value FROM events
+             |ORDER BY event_id LIMIT 100""".stripMargin)),
+
+    "w4_pagination" -> Q(
+      (s, d) => Relational.paginate(
+          T(s, d, "orders"), Seq(col("o_orderdate").desc, col("o_orderkey").desc), 10, 20)
+        .select(col("o_orderkey"), col("o_totalprice"),
+          unix_millis(col("o_orderdate").cast("timestamp")).as("order_ms")),
+      Some("""SELECT o_orderkey, o_totalprice, epoch_ms(o_orderdate) AS order_ms
+             |FROM orders ORDER BY o_orderdate DESC, o_orderkey DESC
+             |LIMIT 20 OFFSET 10""".stripMargin)),
+
+    "w5_topk_score" -> Q(
+      (s, d) => Relational.topK(
+          TestData.events(s, d), Seq(col("value").desc, col("event_id")), 10)
+        .select(col("event_id"), col("value")),
+      Some("""SELECT event_id, value FROM events
+             |ORDER BY value DESC, event_id LIMIT 10""".stripMargin)),
+
+    // ── U: set ops ───────────────────────────────────────────────────────
+    "u1_except" -> Q(
+      (s, d) => {
+        val ev = TestData.events(s, d)
+        ev.filter(col("event_type") === "view").select(col("user_id")).distinct()
+          .except(ev.filter(col("event_type") === "purchase").select(col("user_id")).distinct())
+          .orderBy(col("user_id"))
+      },
+      Some("""SELECT user_id FROM (
+             |  (SELECT DISTINCT user_id FROM events WHERE event_type = 'view')
+             |  EXCEPT
+             |  (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase')) t
+             |ORDER BY user_id""".stripMargin)),
+
+    // ── F: scalar functions ──────────────────────────────────────────────
+    "f1_title_extract" -> Q(
+      (s, d) => T(s, d, "documents")
+        .withColumn("md", concat(lit("# Doc "), col("doc_id").cast("string"), lit(NL), col("text")))
+        .select(col("doc_id"), GraftFunctions.extractTitle(col("md")).as("title"))
+        .orderBy(col("doc_id")),
+      Some("""SELECT doc_id, CASE WHEN length(t) > 0 THEN t END AS title FROM (
+             |  SELECT doc_id,
+             |    trim(regexp_extract('# Doc ' || doc_id || chr(10) || text, '(?m)^#\s+(.*?)\s*$', 1)) AS t
+             |  FROM documents) x ORDER BY doc_id""".stripMargin)),
+
+    "f2_string_suite" -> Q(
+      (s, d) => T(s, d, "documents")
+        .select(col("doc_id"),
+          GraftFunctions.truncateText(col("text"), 50).as("snippet"),
+          GraftFunctions.normalizePath(col("source")).as("src_path"),
+          GraftFunctions.isNonBlank(col("text")).as("valid"),
+          concat_ws("-", col("source"), lit("doc"), col("doc_id").cast("string")).as("syn_id"),
+          length(col("text")).as("text_len"))
+        .orderBy(col("doc_id")),
+      Some("""SELECT doc_id,
+             |  CASE WHEN length(text) > 50 THEN substr(text, 1, 50) || '...' ELSE text END AS snippet,
+             |  CASE WHEN source IS NULL OR starts_with(source, '/') THEN source ELSE '/' || source END AS src_path,
+             |  length(trim(coalesce(text, ''))) > 0 AS valid,
+             |  concat_ws('-', source, 'doc', doc_id) AS syn_id,
+             |  CAST(length(text) AS INT) AS text_len
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    "f10_json_extract" -> Q(
+      (s, d) => TestData.events(s, d)
+        .select(col("event_id"), get_json_object(col("props"), "$.k").cast("int").as("k"))
+        .orderBy(col("event_id")),
+      Some("""SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS k
+             |FROM events ORDER BY event_id""".stripMargin)),
+
+    "f13_kv_parse" -> Q(
+      (s, d) => TestData.events(s, d)
+        .withColumn("kv", concat(col("event_type"), lit("="), col("user_id").cast("string")))
+        .select(col("event_id"),
+          element_at(split(col("kv"), "=", 2), 1).as("key"),
+          element_at(split(col("kv"), "=", 2), 2).as("val"))
+        .orderBy(col("event_id")),
+      Some("""SELECT event_id,
+             |  str_split(event_type || '=' || user_id, '=')[1] AS key,
+             |  str_split(event_type || '=' || user_id, '=')[2] AS val
+             |FROM events ORDER BY event_id""".stripMargin)),
+
+    // ── V: vector / RAG ──────────────────────────────────────────────────
+    "v2_chunk_text" -> Q(
+      (s, d) => {
+        GraftFunctions.register(s)
+        T(s, d, "documents")
+          .select(col("doc_id"), GraftFunctions.chunkText(col("text"), 40, 10))
+          .orderBy(col("doc_id"), col("chunk_idx"))
+      },
+      Some("""SELECT doc_id, CAST(s // 30 AS INT) AS chunk_idx, CAST(s AS INT) AS chunk_start,
+             |  substr(text, CAST(s + 1 AS INT), 40) AS chunk
+             |FROM (SELECT doc_id, text,
+             |        unnest(CASE WHEN length(text) <= 40 THEN [CAST(0 AS BIGINT)]
+             |               ELSE range(0, length(text), 30) END) AS s
+             |      FROM documents) t
+             |ORDER BY doc_id, chunk_idx""".stripMargin)),
+
+    "v3_knn_cosine" -> Q(
+      (s, d) => {
+        val q = queryVec(s, d)
+        Rag.knn(TestData.embeddings(s, d).filter(col("vec_id") =!= 0),
+            "vec_id", "embedding", q, k = 10, minScore = 0.0)
+          .select(col("vec_id"), round(col("score"), 6).as("score"))
+          .orderBy(col("score").desc, col("vec_id"))
+      },
+      Some("""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+             |pairs AS (SELECT e.vec_id AS vec_id, unnest(e.embedding)::DOUBLE AS x, unnest(q.qv)::DOUBLE AS y
+             |          FROM embeddings e, q WHERE e.vec_id <> 0),
+             |scores AS (SELECT vec_id, SUM(x*y) / (SQRT(SUM(x*x)) * SQRT(SUM(y*y))) AS s
+             |           FROM pairs GROUP BY vec_id),
+             |topk AS (SELECT vec_id, s FROM scores ORDER BY s DESC, vec_id LIMIT 10)
+             |SELECT vec_id, round(s, 6) AS score FROM topk WHERE s >= 0.0
+             |ORDER BY score DESC, vec_id""".stripMargin)),
+
+    "v5_context_retrieval" -> Q(
+      (s, d) => {
+        GraftFunctions.register(s)
+        val q = queryVec(s, d)
+        val top = Rag.knn(TestData.embeddings(s, d).filter(col("vec_id") =!= 0),
+          "vec_id", "embedding", q, k = 3, minScore = 0.0)
+        val blocks = top.join(T(s, d, "documents"), col("vec_id") === col("doc_id"))
+          .withColumn("block", concat(
+            lit("Title: Doc "), col("doc_id").cast("string"), lit(NL),
+            lit("Summary: "), substring(col("text"), 1, 30), lit(NL),
+            lit("Content: "), GraftFunctions.truncateText(col("text"), 200), lit(NL),
+            lit("(Similarity: "), round(col("score"), 2).cast("string"), lit(")")))
+        blocks
+          .select(struct((-col("score")).as("neg"), col("doc_id").as("id"), col("block").as("b")).as("s"))
+          .agg(count(lit(1)).as("n_contexts"),
+            concat_ws(SEP, transform(array_sort(collect_list(col("s"))), x => x.getField("b"))).as("context"))
+          .select(col("n_contexts"), when(col("n_contexts") > 0, col("context")).as("context"))
+      },
+      Some(s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+             |pairs AS (SELECT e.vec_id AS vec_id, unnest(e.embedding)::DOUBLE AS x, unnest(q.qv)::DOUBLE AS y
+             |          FROM embeddings e, q WHERE e.vec_id <> 0),
+             |scores AS (SELECT vec_id, SUM(x*y) / (SQRT(SUM(x*x)) * SQRT(SUM(y*y))) AS s
+             |           FROM pairs GROUP BY vec_id),
+             |topk AS (SELECT vec_id, s FROM scores ORDER BY s DESC, vec_id LIMIT 3),
+             |kept AS (SELECT vec_id, s FROM topk WHERE s >= 0.0),
+             |blocks AS (SELECT d.doc_id, s,
+             |    'Title: Doc ' || d.doc_id || chr(10) ||
+             |    'Summary: ' || substr(d.text, 1, 30) || chr(10) ||
+             |    'Content: ' || (CASE WHEN length(d.text) > 200 THEN substr(d.text, 1, 200) || '...' ELSE d.text END) || chr(10) ||
+             |    '(Similarity: ' || CAST(round(s, 2) AS VARCHAR) || ')' AS block
+             |  FROM kept JOIN documents d ON kept.vec_id = d.doc_id)
+             |SELECT count(*) AS n_contexts,
+             |  string_agg(block, '$SEP' ORDER BY s DESC, doc_id) AS context
+             |FROM blocks""".stripMargin)),
+
+    // ── S/D: store-semantics + status derivation (as pure queries) ───────
+    "s1_merge_upsert" -> Q(
+      (s, d) => {
+        val ev = TestData.events(s, d)
+        val target = ev.filter(col("event_type") === "signup").groupBy(col("user_id"))
+          .agg(min(unix_millis(col("ts"))).as("created_ms"))
+          .select(concat(lit("wf-"), col("user_id").cast("string")).as("workflow_id"),
+            lit("pending").as("t_status"), col("created_ms"))
+        val source = ev.filter(col("event_type") === "purchase").groupBy(col("user_id"))
+          .agg(min(unix_millis(col("ts"))).as("s_created_ms"))
+          .select(concat(lit("wf-"), col("user_id").cast("string")).as("workflow_id"),
+            lit("completed").as("s_status"), col("s_created_ms"))
+        // MERGE: matched → update status only; not-matched → insert source row
+        target.join(source, Seq("workflow_id"), "full_outer")
+          .select(col("workflow_id"),
+            coalesce(col("s_status"), col("t_status")).as("status"),
+            coalesce(col("created_ms"), col("s_created_ms")).as("created_ms"))
+          .orderBy(col("workflow_id"))
+      },
+      Some("""WITH target AS (
+             |  SELECT 'wf-' || user_id AS workflow_id, 'pending' AS t_status,
+             |         min(epoch_ms(CAST(ts AS TIMESTAMP))) AS created_ms
+             |  FROM events WHERE event_type = 'signup' GROUP BY user_id),
+             |source AS (
+             |  SELECT 'wf-' || user_id AS workflow_id, 'completed' AS s_status,
+             |         min(epoch_ms(CAST(ts AS TIMESTAMP))) AS s_created_ms
+             |  FROM events WHERE event_type = 'purchase' GROUP BY user_id)
+             |SELECT coalesce(t.workflow_id, s.workflow_id) AS workflow_id,
+             |  coalesce(s_status, t_status) AS status,
+             |  coalesce(created_ms, s_created_ms) AS created_ms
+             |FROM target t FULL OUTER JOIN source s USING (workflow_id)
+             |ORDER BY workflow_id""".stripMargin)),
+
+    "s2_status_update" -> Q(
+      (s, d) => TestData.events(s, d)
+        .filter(col("event_type") === "signup").groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n"))
+        .select(concat(lit("wf-"), col("user_id").cast("string")).as("workflow_id"),
+          when(col("user_id") === 7, lit("ended")).otherwise(lit("pending")).as("status"))
+        .orderBy(col("workflow_id")),
+      Some("""SELECT 'wf-' || user_id AS workflow_id,
+             |  CASE WHEN user_id = 7 THEN 'ended' ELSE 'pending' END AS status
+             |FROM (SELECT user_id, count(*) AS n FROM events WHERE event_type = 'signup' GROUP BY user_id) t
+             |ORDER BY workflow_id""".stripMargin)),
+
+    "d7_status_derivation" -> Q(
+      (s, d) => TestData.events(s, d)
+        .groupBy(col("user_id"))
+        .agg(count(when(col("event_type") === "purchase", 1)).as("n_purchase"),
+          count(when(col("event_type") === "click", 1)).as("n_click"))
+        .select(col("user_id"),
+          when(col("n_purchase") > 0, lit("completed"))
+            .when(col("n_click") > 3, lit("researching"))
+            .otherwise(lit("pending")).as("status"))
+        .orderBy(col("user_id")),
+      Some("""SELECT user_id,
+             |  CASE WHEN n_purchase > 0 THEN 'completed'
+             |       WHEN n_click > 3 THEN 'researching'
+             |       ELSE 'pending' END AS status
+             |FROM (SELECT user_id,
+             |        count(*) FILTER (WHERE event_type = 'purchase') AS n_purchase,
+             |        count(*) FILTER (WHERE event_type = 'click') AS n_click
+             |      FROM events GROUP BY user_id) t
+             |ORDER BY user_id""".stripMargin)),
+
+    // ── T5 extension: event-time hourly rollup (batch form) ──────────────
+    "t5_hourly_rollup" -> Q(
+      (s, d) => TestData.events(s, d)
+        .groupBy(unix_millis(date_trunc("hour", col("ts"))).as("hour_ms"), col("event_type"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("total_value"))
+        .orderBy(col("hour_ms"), col("event_type")),
+      Some("""SELECT epoch_ms(date_trunc('hour', CAST(ts AS TIMESTAMP))) AS hour_ms, event_type,
+             |  count(*) AS n, CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+             |FROM events GROUP BY 1, 2 ORDER BY hour_ms, event_type""".stripMargin))
+  )
+
+  private val routingTopics = Events.Topics(
+    default = "research-workflow-events",
+    lifecycle = Some("wf-lifecycle"),
+    clarifications = Some("wf-clarifications"),
+    artifacts = Some("wf-artifacts"),
+    research = Some("wf-research"))
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    defs.map { case (k, q) => k -> q.fn }.toMap
+
+  def oracleSql: Map[String, String] =
+    defs.collect { case (k, Q(_, Some(sql))) => k -> sql }.toMap
 }

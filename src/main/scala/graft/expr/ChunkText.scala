@@ -57,7 +57,11 @@ case class ChunkText(child: Expression, size: Int, overlap: Int)
     if (v == null) return Iterator.empty
     val text = v.asInstanceOf[UTF8String]
     val len = text.numChars()
-    if (len <= size) {
+    // Capture the chunk-size param locally: inside the anonymous Iterator a
+    // bare `size` binds to the inherited (self-consuming!) Iterator.size.
+    val chunkSize = size
+    val stepSize = step
+    if (len <= chunkSize) {
       Iterator.single(InternalRow(0, 0, text))
     } else {
       // while start < len — trailing chunk may be short (neo4j_rag.py:108-118)
@@ -66,10 +70,10 @@ case class ChunkText(child: Expression, size: Int, overlap: Int)
         private var idx = 0
         override def hasNext: Boolean = start < len
         override def next(): InternalRow = {
-          val chunk = text.substringSQL(start + 1, size)
+          val chunk = text.substringSQL(start + 1, chunkSize)
           val row = InternalRow(idx, start, chunk)
           idx += 1
-          start += step
+          start += stepSize
           row
         }
       }

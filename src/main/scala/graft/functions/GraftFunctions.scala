@@ -3,7 +3,6 @@ package graft.functions
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import org.apache.spark.sql.classic.ExpressionUtils
 import org.apache.spark.sql.functions._
 
 import graft.expr.{ChunkText, CosineSimilarity, DotProduct}
@@ -14,19 +13,21 @@ import graft.expr.{ChunkText, CosineSimilarity, DotProduct}
  * Everything here is a Column function built on `org.apache.spark.sql.functions`
  * or a native Catalyst expression — no Scala UDFs — so every call stays inside
  * whole-stage codegen and is visible to Catalyst (constant folding, pushdown).
+ *
+ * The custom expressions are reached through the session FunctionRegistry +
+ * `call_function` (the public path — `ExpressionUtils.column` is private[sql]
+ * in Spark 4.1). Call `register(spark)` once per session (idempotent); every
+ * engine entry point does this.
  */
 object GraftFunctions {
-
-  private def col2(e: Expression): Column = ExpressionUtils.column(e)
-  private def ex(c: Column): Expression = ExpressionUtils.expression(c)
 
   // ─── V3: vector ops ───────────────────────────────────────────────────────
 
   /** Cosine similarity of two array<float> columns (native codegen expression). */
-  def cosineSim(a: Column, b: Column): Column = col2(CosineSimilarity(ex(a), ex(b)))
+  def cosineSim(a: Column, b: Column): Column = call_function("cosine_sim", a, b)
 
   /** Dot product of two array<float> columns; == cosine on normalized vectors. */
-  def dotProduct(a: Column, b: Column): Column = col2(DotProduct(ex(a), ex(b)))
+  def dotProduct(a: Column, b: Column): Column = call_function("dot_product", a, b)
 
   /** L2-normalize an array<float> vector (null-safe; zero vector → null). */
   def l2Normalize(v: Column): Column = {
@@ -42,7 +43,7 @@ object GraftFunctions {
    */
   def chunkText(text: Column, size: Int = ChunkText.DefaultSize,
                 overlap: Int = ChunkText.DefaultOverlap): Column =
-    col2(ChunkText(ex(text), size, overlap))
+    call_function("chunk_text", text, lit(size), lit(overlap))
 
   // ─── F1–F16: string / date / misc scalar functions ──────────────────────
 
@@ -88,10 +89,15 @@ object GraftFunctions {
   def containsAnyIgnoreCase(c: Column, needles: Seq[String]): Column =
     needles.map(n => lower(c).contains(n.toLowerCase)).reduce(_ || _)
 
-  /** F13 — KEY=VALUE arg parsing into a map (cli/run_interactive_research_workflow.py:267-274). */
+  /**
+   * F13 — KEY=VALUE arg parsing into a map; malformed args (no "=") yield
+   * null, mirroring the reference CLI's skip
+   * (cli/run_interactive_research_workflow.py:267-274). The guard matters:
+   * `map(k, null)` throws "Cannot use null as map value" at runtime.
+   */
   def parseKeyValue(c: Column): Column = {
     val parts = split(c, "=", 2)
-    map(element_at(parts, 1), element_at(parts, 2))
+    when(size(parts) === 2, map(element_at(parts, 1), element_at(parts, 2)))
   }
 
   /** F14 — comma-split + trim bootstrap-list parsing (redpanda_activity.py:17). */

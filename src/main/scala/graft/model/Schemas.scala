@@ -103,12 +103,12 @@ object Schemas {
     StructField("timestamp", TimestampType),
     StructField("data", StringType)))
 
-  /** The 16 event types, redpanda_activity.py:85-101. */
+  /** The 16 example event types, redpanda_activity.py:85-101 (exact list). */
   val eventTypes: Seq[String] = Seq(
-    "query_received", "research_started", "clarifications_generated",
-    "clarification_question_asked", "clarification_answer_received",
-    "clarifications_complete", "research_planning_started", "research_plan_created",
-    "search_started", "search_progress", "search_completed",
-    "report_generation_started", "report_generated", "research_completed",
-    "knowledge_graph_hit", "workflow_ended")
+    "query_received", "knowledge_graph_hit", "clarifications_needed",
+    "clarifications_generated", "clarification_answered", "clarifications_complete",
+    "research_started", "search_plan_created", "search_executing",
+    "image_generation_started", "image_generated", "report_writing",
+    "report_generated", "pdf_generation_started", "pdf_generated",
+    "research_complete")
 }

@@ -1,0 +1,79 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Relational operator family (SURVEY.md §2.2–2.7: P1–P7, J1–J5, A1–A4,
+ * W1–W5, U1) as composable DataFrame functions.
+ *
+ * Everything here is declarative DataFrame API — Catalyst owns pushdown,
+ * join selection (broadcast for small sides), and AQE re-planning. Scale
+ * notes are inline where a choice matters at 100 TB.
+ */
+object Relational {
+
+  /** P1 — key-equality filter; pushed to the scan (PushedFilters). */
+  def keyFilter(df: DataFrame, key: String, value: Any): DataFrame =
+    df.filter(col(key) === lit(value))
+
+  /** J2/U1 — union of two item sets with a `kind` discriminator (Message∪Result). */
+  def unionKind(a: DataFrame, aKind: String, b: DataFrame, bKind: String): DataFrame =
+    a.withColumn("kind", lit(aKind))
+      .unionByName(b.withColumn("kind", lit(bKind)), allowMissingColumns = true)
+
+  /**
+   * J3 — anti-join existence guard (idempotent writes: "already linked?",
+   * "question already saved?" — neo4j_memory.py:606-617). left_anti keeps
+   * only rows with no match; broadcast the existing-keys side when small.
+   */
+  def notExisting(incoming: DataFrame, existing: DataFrame, keys: Seq[String]): DataFrame =
+    incoming.join(existing.select(keys.map(col): _*).distinct(), keys, "left_anti")
+
+  /** Left-semi twin of J3 (the "does it exist" positive check). */
+  def existing(incoming: DataFrame, existing: DataFrame, keys: Seq[String]): DataFrame =
+    incoming.join(existing.select(keys.map(col): _*).distinct(), keys, "left_semi")
+
+  /**
+   * A1 — MAX-per-group next-sequence (neo4j_memory.py:327-339): max+1 with 0
+   * default for an empty group. The reference does this per write (a race
+   * under concurrency); batch assignment via `sequenceAndNext` below is the
+   * scale-correct form — this one exists for point-write parity.
+   */
+  def nextSequence(items: DataFrame, groupKey: String): DataFrame =
+    items.groupBy(col(groupKey))
+      .agg(coalesce(max(col("sequence")) + 1, lit(0)).as("next_seq"))
+
+  /**
+   * W1 — per-group monotonic sequence + NEXT reconstruction: `sequence` =
+   * row_number-1 over (partition by group, order by ord), `next_id` =
+   * lead(id). Replaces the reference's NEXT edges (neo4j_memory.py:327-356)
+   * with a window — no edge table, one shuffle on the group key (none at all
+   * if the table is bucketed by the group key).
+   */
+  def sequenceAndNext(df: DataFrame, groupKey: String, idCol: String,
+                      ord: Seq[Column]): DataFrame = {
+    val w = Window.partitionBy(col(groupKey)).orderBy(ord: _*)
+    df.withColumn("sequence", row_number().over(w) - 1)
+      .withColumn("next_id", lead(col(idCol), 1).over(w))
+  }
+
+  /** W2 — top-1 per group by ord (last node: ORDER BY sequence DESC LIMIT 1). */
+  def top1PerGroup(df: DataFrame, groupKey: String, ord: Seq[Column]): DataFrame = {
+    val w = Window.partitionBy(col(groupKey)).orderBy(ord: _*)
+    df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+  }
+
+  /**
+   * W4 — ordered scan + offset/limit pagination (neo4j_memory.py:279-289).
+   * Spark ≥3.4 has a native `offset` — planned with the sort, no
+   * row_number shuffle needed.
+   */
+  def paginate(df: DataFrame, ord: Seq[Column], offsetN: Int, limitN: Int): DataFrame =
+    df.orderBy(ord: _*).offset(offsetN).limit(limitN)
+
+  /** W5 — top-k by score: TakeOrderedAndProject, no global sort. */
+  def topK(df: DataFrame, ord: Seq[Column], k: Int): DataFrame =
+    df.orderBy(ord: _*).limit(k)
+}

@@ -1,0 +1,140 @@
+package graft.rag
+
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.GraftFunctions
+
+/**
+ * Vector-RAG core (SURVEY.md §2.9, V1–V5): cosine top-k search, the
+ * best-match cache gate, and context retrieval, re-expressed Spark-first.
+ *
+ * Reference semantics: /root/reference/openai_agents/memory/neo4j_rag.py —
+ * vector index query (256-297), best-match gate k=1 t=0.8 (305-331), context
+ * retrieval k=3 t=0.5 with truncate(2000)+format+join (333-375). The
+ * reference applies the score threshold AFTER the index top-k (so fewer than
+ * k rows may return); `knn` preserves that order exactly.
+ *
+ * Scale design (100 TB): the hot loop is a codegen'd Catalyst expression
+ * (`cosine_sim`), the top-k is planned as TakeOrderedAndProject (no global
+ * sort, no shuffle of the full scan — each partition keeps k rows, the
+ * driver merges). The ANN path pre-normalizes vectors at write time (cosine
+ * == dot product), computes a random-hyperplane sign signature, and prunes
+ * candidates by Hamming distance on the signature before the exact rerank —
+ * a scan-level filter that skips ~(1 - probeFraction) of a 100 TB table and
+ * co-partitions by signature for bucket-local search.
+ */
+object Rag {
+
+  /** Brute-force score column against a literal query vector. */
+  def scored(emb: DataFrame, vecCol: String, q: Array[Float]): DataFrame = {
+    GraftFunctions.register(emb.sparkSession)
+    emb.withColumn("score",
+      GraftFunctions.cosineSim(col(vecCol), lit(q).cast("array<float>")))
+  }
+
+  /**
+   * V3 — cosine top-k, threshold applied AFTER the top-k (neo4j_rag.py
+   * :256-297 + SURVEY §2.6 ordering note). Ties broken by id for
+   * determinism. `orderBy.limit` plans as TakeOrderedAndProject.
+   */
+  def knn(emb: DataFrame, idCol: String, vecCol: String, q: Array[Float],
+          k: Int, minScore: Double): DataFrame =
+    scored(emb, vecCol, q)
+      .filter(col("score").isNotNull)
+      .orderBy(desc("score"), col(idCol))
+      .limit(k)
+      .filter(col("score") >= minScore)
+
+  /**
+   * V4/D1 — best-match cache gate (k=1, min_score=0.8 —
+   * interactive_research_workflow.py:41-46): Some(row) = cache hit, skip the
+   * whole research pipeline. Driver-side scalar by design (a conditional on
+   * one collected row, not a distributed op).
+   */
+  def bestMatch(emb: DataFrame, idCol: String, vecCol: String,
+                q: Array[Float], minScore: Double = 0.8): Option[Row] =
+    knn(emb, idCol, vecCol, q, k = 1, minScore).collect().headOption
+
+  /**
+   * V5 — context retrieval (k=3, t=0.5): top-k → truncate(2000)+"..." →
+   * "Title/Summary/Content/(Similarity: %.2f)" block → concat_ws with
+   * "\n\n---\n\n" in DESC score order (neo4j_rag.py:333-375). Returns a
+   * 1-row frame (context string + n_contexts).
+   */
+  def contextRetrieval(results: DataFrame, idCol: String, vecCol: String,
+                       titleCol: Column, summaryCol: Column, contentCol: Column,
+                       q: Array[Float], k: Int = 3, minScore: Double = 0.5,
+                       truncateAt: Int = 2000): DataFrame = {
+    val top = knn(results, idCol, vecCol, q, k, minScore)
+    val block = GraftFunctions.formatContext(
+      titleCol, summaryCol,
+      GraftFunctions.truncateText(contentCol, truncateAt), col("score"))
+    top
+      .withColumn("ctx", block)
+      // collect_list on a 1-group agg of ≤k rows; sort by (-score, id) inside
+      // the struct to keep DESC-score order deterministic post-shuffle.
+      .select(struct((-col("score")).as("neg"), col(idCol).cast("string").as("id"),
+        col("ctx").as("ctx")).as("s"))
+      .agg(
+        concat_ws("\n\n---\n\n", transform(array_sort(collect_list(col("s"))),
+          x => x.getField("ctx"))).as("context"),
+        count(lit(1)).cast("long").as("n_contexts"))
+  }
+
+  // ─── ANN scale path ───────────────────────────────────────────────────────
+
+  /** Pre-normalize at write time; on normalized vectors cosine == dot. */
+  def withNormalized(df: DataFrame, vecCol: String, outCol: String): DataFrame =
+    df.withColumn(outCol, GraftFunctions.l2Normalize(col(vecCol)))
+
+  /** Deterministic random hyperplanes (xorshift-free LCG, seed-stable). */
+  def hyperplanes(dim: Int, nBits: Int, seed: Long = 42L): Array[Array[Float]] = {
+    var s = seed
+    def next(): Float = {
+      s = s * 6364136223846793005L + 1442695040888963407L
+      // top 24 bits → (-1, 1)
+      ((s >>> 40).toInt / 8388608.0f) - 1.0f
+    }
+    Array.fill(nBits)(Array.fill(dim)(next()))
+  }
+
+  /**
+   * Random-hyperplane (SimHash-style) signature: bit b = sign(v · plane_b).
+   * For cosine similarity, P[bit match] = 1 - angle/π — Hamming distance on
+   * the signature approximates angular distance (Charikar, STOC'02).
+   */
+  def signature(vecCol: Column, planes: Array[Array[Float]]): Column = {
+    val bits = planes.zipWithIndex.map { case (p, i) =>
+      val dot = GraftFunctions.dotProduct(vecCol, lit(p).cast("array<float>"))
+      when(dot >= 0, lit(1L << i)).otherwise(lit(0L))
+    }
+    bits.reduce(_ + _).as("sig")
+  }
+
+  def withSignature(df: DataFrame, vecCol: String, planes: Array[Array[Float]]): DataFrame = {
+    GraftFunctions.register(df.sparkSession)
+    df.withColumn("sig", signature(col(vecCol), planes))
+  }
+
+  private def sigOf(q: Array[Float], planes: Array[Array[Float]]): Long =
+    planes.zipWithIndex.map { case (p, i) =>
+      val dot = p.zip(q).map { case (a, b) => a.toDouble * b.toDouble }.sum
+      if (dot >= 0) 1L << i else 0L
+    }.sum
+
+  /**
+   * ANN top-k: prune by signature Hamming distance ≤ maxHamming, then exact
+   * cosine rerank on the survivors. On a table pre-materialized with `sig`
+   * (and partitioned/z-ordered by it), the prune is a scan filter — the
+   * exact rerank touches only the candidate fraction.
+   */
+  def annKnn(embWithSig: DataFrame, idCol: String, vecCol: String,
+             q: Array[Float], planes: Array[Array[Float]], k: Int,
+             minScore: Double, maxHamming: Int = 8): DataFrame = {
+    val qSig = sigOf(q, planes)
+    val candidates = embWithSig.filter(
+      bit_count(col("sig").bitwiseXOR(lit(qSig))) <= maxHamming)
+    knn(candidates, idCol, vecCol, q, k, minScore)
+  }
+}

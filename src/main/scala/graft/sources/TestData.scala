@@ -1,0 +1,39 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/**
+ * Parquet table loaders for the driver-generated test data
+ * (/root/repo/TESTDATA.md): TPC-H-ish star schema + `events` stream table +
+ * `documents`/`embeddings` for the RAG / LLM-pipeline operator family.
+ *
+ * Reads go through `spark.read.parquet` so Catalyst predicate pushdown,
+ * column pruning and partition pruning all apply — at 100 TB these scans are
+ * the dominant cost and every query must show `PushedFilters`/pruned
+ * `ReadSchema` in its formatted plan.
+ */
+object TestData {
+  def table(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def region(s: SparkSession, d: String): DataFrame = table(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame = table(s, d, "nation")
+  def customer(s: SparkSession, d: String): DataFrame = table(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame = table(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame = table(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame = table(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame = table(s, d, "lineitem")
+  /**
+   * `events.parquet` carries TIMESTAMP(NANOS), which Spark's parquet reader
+   * rejects. Read nanos as long (legacy conf) and floor-convert to a µs
+   * timestamp — exactly what DuckDB's ns→TIMESTAMP coercion does, so oracle
+   * comparisons agree.
+   */
+  def events(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    table(s, d, "events")
+      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts DIV 1000)"))
+  }
+  def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
+}

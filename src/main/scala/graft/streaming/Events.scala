@@ -1,0 +1,128 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Workflow event-stream operators (SURVEY.md §2.10, S8–S10/T1–T6/P5/F10).
+ *
+ * The reference publishes JSON event envelopes to Redpanda/Kafka with
+ * per-category topic routing (/root/reference/openai_agents/workflows/
+ * redpanda_activity.py:42-143). Here the envelope/routing are pure Column
+ * expressions (codegen'd, usable in batch AND Structured Streaming), and the
+ * Kafka wiring is standard `format("kafka")` with a per-row `topic` column.
+ */
+object Events {
+
+  /** Topic names; env-overridable in the reference (.env-sample), parameters here. */
+  final case class Topics(
+      default: String = "research-workflow-events",
+      lifecycle: Option[String] = None,
+      clarifications: Option[String] = None,
+      artifacts: Option[String] = None,
+      research: Option[String] = None) {
+    def lifecycleT: String = lifecycle.getOrElse(default)
+    def clarificationsT: String = clarifications.getOrElse(default)
+    def artifactsT: String = artifacts.getOrElse(default)
+    def researchT: String = research.getOrElse(default)
+  }
+
+  /**
+   * P5/T2 — event→topic routing. The `when` cascade MUST mirror the
+   * reference's check order (redpanda_activity.py:55-68):
+   * lifecycle exact-list → "clarification" substring → artifact substrings
+   * ("image_", "pdf_", "_generated") → research substrings ("search_",
+   * "report_", "knowledge_graph") → default. Order matters:
+   * `clarifications_generated` contains "_generated" but routes to
+   * CLARIFICATIONS because that check runs first.
+   */
+  def topicFor(eventType: Column, t: Topics = Topics()): Column =
+    when(eventType.isin("query_received", "research_complete", "research_started"),
+        lit(t.lifecycleT))
+      .when(eventType.contains("clarification"), lit(t.clarificationsT))
+      .when(eventType.contains("image_") || eventType.contains("pdf_") ||
+            eventType.contains("_generated"), lit(t.artifactsT))
+      .when(eventType.contains("search_") || eventType.contains("report_") ||
+            eventType.contains("knowledge_graph"), lit(t.researchT))
+      .otherwise(lit(t.default))
+
+  /**
+   * F10/T1 — JSON event envelope {event_type, workflow_id, timestamp, data}
+   * (redpanda_activity.py:116-121). `data` is already-serialized JSON text.
+   */
+  def envelope(eventType: Column, workflowId: Column, timestamp: Column,
+               dataJson: Column): Column =
+    to_json(struct(
+      eventType.as("event_type"),
+      workflowId.as("workflow_id"),
+      date_format(timestamp, "yyyy-MM-dd'T'HH:mm:ss.SSSSSS").as("timestamp"),
+      dataJson.as("data")))
+
+  /**
+   * S8 — rows → Kafka sink frame: (key, value, topic). Key = workflow_id so a
+   * workflow's events land in one partition in order (T4; the reference
+   * producer round-robins — keying is the Spark-side improvement that
+   * preserves per-workflow order at 1000-executor scale).
+   */
+  def toKafkaFrame(df: DataFrame, eventType: Column, workflowId: Column,
+                   timestamp: Column, dataJson: Column,
+                   t: Topics = Topics()): DataFrame =
+    df.select(
+      workflowId.cast("string").as("key"),
+      envelope(eventType, workflowId, timestamp, dataJson).as("value"),
+      topicFor(eventType, t).as("topic"))
+
+  /**
+   * S10 — SASL/TLS option map for the Kafka source/sink, mirroring
+   * get_kafka_config (redpanda_activity.py:12-39): SASL applies only when
+   * mechanism+username+password are all present; else optional plain
+   * security.protocol.
+   */
+  def kafkaOptions(bootstrap: String,
+                   securityProtocol: Option[String] = None,
+                   saslMechanism: Option[String] = None,
+                   saslUsername: Option[String] = None,
+                   saslPassword: Option[String] = None): Map[String, String] = {
+    val base = Map(
+      "kafka.bootstrap.servers" ->
+        bootstrap.split(",").map(_.trim).filter(_.nonEmpty).mkString(","))
+    (saslMechanism, saslUsername, saslPassword) match {
+      case (Some(m), Some(u), Some(p)) =>
+        base ++ Map(
+          "kafka.security.protocol" -> securityProtocol.getOrElse("SASL_SSL"),
+          "kafka.sasl.mechanism" -> m,
+          "kafka.sasl.jaas.config" ->
+            ("org.apache.kafka.common.security.scram.ScramLoginModule required " +
+             s"""username="$u" password="$p";"""))
+      case _ =>
+        base ++ securityProtocol.map("kafka.security.protocol" -> _).toMap
+    }
+  }
+
+  /**
+   * S9 — parse a Kafka value stream back into typed events (from_json over
+   * the envelope schema; REDPANDA.md:113-125 consumer semantics).
+   */
+  def parseEnvelope(kafka: DataFrame): DataFrame = {
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "event_type string, workflow_id string, timestamp string, data string")
+    kafka
+      .select(from_json(col("value").cast("string"), schema).as("e"))
+      .select(col("e.event_type"), col("e.workflow_id"),
+        to_timestamp(col("e.timestamp"), "yyyy-MM-dd'T'HH:mm:ss.SSSSSS").as("timestamp"),
+        col("e.data"))
+  }
+
+  /**
+   * T5 extension — per-workflow progress over event time with a watermark
+   * (the reference leaves analytics to consumers, README.md:131; this is the
+   * Structured-Streaming variant, works identically on a batch frame).
+   */
+  def progressByWindow(events: DataFrame, tsCol: String = "timestamp",
+                       watermark: String = "10 minutes",
+                       windowLen: String = "5 minutes"): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(col("workflow_id"), window(col(tsCol), windowLen))
+      .agg(count(lit(1)).as("n_events"))
+}
