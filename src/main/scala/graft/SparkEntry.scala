@@ -3,12 +3,14 @@ package graft
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.dedup.Dedup
 import graft.functions.GraftFunctions
 import graft.model.Schemas
 import graft.ops.Relational
 import graft.rag.Rag
 import graft.sources.TestData
 import graft.streaming.Events
+import graft.text.TextAnalysis
 
 /**
  * Driver contract (SURVEY.md §7): `entry` = flagship smoke query,
@@ -468,6 +470,238 @@ object SparkEntry {
       Some("""SELECT epoch_ms(date_trunc('hour', CAST(ts AS TIMESTAMP))) AS hour_ms, event_type,
              |  count(*) AS n, CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
              |FROM events GROUP BY 1, 2 ORDER BY hour_ms, event_type""".stripMargin))
+  ) ++ dedupDefs ++ textDefs ++ scalarDefs
+
+  /** Shared shingle CTE for the dedup oracles (mirrors Dedup.shingles n=5). */
+  private def shingleCte(pred: String): String =
+    s"""sh AS (SELECT DISTINCT doc_id, substr(text, CAST(s + 1 AS INT), 5) AS shingle
+       |  FROM (SELECT doc_id, text, unnest(range(0, greatest(length(text) - 5, 0) + 1)) AS s
+       |        FROM documents $pred) t)""".stripMargin
+
+  private def dedupDefs: Seq[(String, Q)] = Seq(
+
+    "dd_exact_groups" -> Q(
+      (s, d) => T(s, d, "documents")
+        .groupBy(col("text"))
+        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_dups"))
+        .select(col("keep_id"), col("n_dups"))
+        .orderBy(col("keep_id")),
+      Some("""SELECT min(doc_id) AS keep_id, count(*) AS n_dups
+             |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin)),
+
+    "dd_exact_survivors" -> Q(
+      (s, d) => Dedup.exactSurvivors(T(s, d, "documents"), "doc_id", "text")
+        .select(col("doc_id"))
+        .orderBy(col("doc_id")),
+      Some("""SELECT min(doc_id) AS doc_id FROM documents GROUP BY text ORDER BY doc_id""")),
+
+    "dd_minhash_signature" -> Q(
+      (s, d) => Dedup.minhashSignature(
+          T(s, d, "documents").filter(col("doc_id") < 50), "doc_id", "text",
+          n = 5, numHashes = 4)
+        .orderBy(col("doc_id")),
+      Some(s"""WITH ${shingleCte("WHERE doc_id < 50")}
+             |SELECT doc_id,
+             |  min(md5('0|' || shingle)) AS h0, min(md5('1|' || shingle)) AS h1,
+             |  min(md5('2|' || shingle)) AS h2, min(md5('3|' || shingle)) AS h3
+             |FROM sh GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    "dd_lsh_candidates" -> Q(
+      (s, d) => {
+        val sig = Dedup.minhashSignature(
+          T(s, d, "documents").filter(col("doc_id") < 50), "doc_id", "text", 5, 4)
+        Dedup.lshCandidatePairs(sig, "doc_id", numHashes = 4, bands = 2)
+          .orderBy(col("id_a"), col("id_b"))
+      },
+      Some(s"""WITH ${shingleCte("WHERE doc_id < 50")},
+             |sig AS (SELECT doc_id,
+             |    min(md5('0|' || shingle)) AS h0, min(md5('1|' || shingle)) AS h1,
+             |    min(md5('2|' || shingle)) AS h2, min(md5('3|' || shingle)) AS h3
+             |  FROM sh GROUP BY doc_id),
+             |b AS (SELECT doc_id, 0 AS band, md5(h0 || '|' || h1) AS bucket FROM sig
+             |      UNION ALL
+             |      SELECT doc_id, 1 AS band, md5(h2 || '|' || h3) AS bucket FROM sig)
+             |SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
+             |FROM b a JOIN b c ON a.band = c.band AND a.bucket = c.bucket AND a.doc_id < c.doc_id
+             |ORDER BY id_a, id_b""".stripMargin)),
+
+    "dd_ngram_jaccard" -> Q(
+      (s, d) => Dedup.ngramJaccardPairs(
+          T(s, d, "documents").filter(col("doc_id") < 50), "doc_id", "text",
+          n = 5, minJaccard = 0.2)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+        .orderBy(col("id_a"), col("id_b")),
+      Some(s"""WITH ${shingleCte("WHERE doc_id < 50")},
+             |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+             |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+             |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+             |  GROUP BY 1, 2),
+             |jac AS (SELECT id_a, id_b, i * 1.0 / (sa.sz + sb.sz - i) AS jaccard
+             |  FROM inter JOIN sizes sa ON id_a = sa.doc_id JOIN sizes sb ON id_b = sb.doc_id)
+             |SELECT id_a, id_b, round(jaccard, 6) AS jaccard FROM jac
+             |WHERE jaccard >= 0.2 ORDER BY id_a, id_b""".stripMargin)),
+
+    // xxhash64-based: no DuckDB twin → rows-only check (weaker, by design)
+    "dd_simhash_neardup" -> Q(
+      (s, d) => Dedup.simhashNearDup(
+          T(s, d, "documents"), "doc_id", "text", maxHamming = 20, prefixBits = 4)
+        .orderBy(col("id_a"), col("id_b")),
+      None),
+
+    "dd_embedding_neardup" -> Q(
+      (s, d) => Dedup.embeddingNearDupBruteForce(
+          T(s, d, "embeddings").filter(col("vec_id") < 200), "vec_id", "embedding",
+          minCosine = 0.3)
+        .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
+        .orderBy(col("id_a"), col("id_b")),
+      Some("""WITH p AS (SELECT a.vec_id AS ia, b.vec_id AS ib,
+             |    unnest(a.embedding)::DOUBLE AS x, unnest(b.embedding)::DOUBLE AS y
+             |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+             |  WHERE a.vec_id < 200 AND b.vec_id < 200),
+             |s AS (SELECT ia, ib, SUM(x*y) / (SQRT(SUM(x*x)) * SQRT(SUM(y*y))) AS c
+             |      FROM p GROUP BY ia, ib)
+             |SELECT ia AS id_a, ib AS id_b, round(c, 6) AS cosine FROM s
+             |WHERE c >= 0.3 ORDER BY id_a, id_b""".stripMargin)),
+
+    "v4_best_match_gate" -> Q(
+      (s, d) => {
+        val q = queryVec(s, d)
+        Rag.knn(TestData.embeddings(s, d).filter(col("vec_id") =!= 0),
+            "vec_id", "embedding", q, k = 1, minScore = 0.8)
+          .select(col("vec_id"), round(col("score"), 6).as("score"))
+      },
+      Some("""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+             |pairs AS (SELECT e.vec_id AS vec_id, unnest(e.embedding)::DOUBLE AS x, unnest(q.qv)::DOUBLE AS y
+             |          FROM embeddings e, q WHERE e.vec_id <> 0),
+             |scores AS (SELECT vec_id, SUM(x*y) / (SQRT(SUM(x*x)) * SQRT(SUM(y*y))) AS s
+             |           FROM pairs GROUP BY vec_id),
+             |topk AS (SELECT vec_id, s FROM scores ORDER BY s DESC, vec_id LIMIT 1)
+             |SELECT vec_id, round(s, 6) AS score FROM topk WHERE s >= 0.8""".stripMargin))
+  )
+
+  private val langProfiles: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of"),
+    "es" -> Seq("key", "row", "scan"),
+    "fr" -> Seq("merge", "join", "sort"))
+
+  private def textDefs: Seq[(String, Q)] = Seq(
+
+    "ta_doc_stats" -> Q(
+      (s, d) => T(s, d, "documents")
+        .select(col("doc_id"),
+          length(col("text")).as("n_chars"),
+          TextAnalysis.tokenCount(col("text")).as("n_tokens"),
+          round(coalesce(TextAnalysis.typeTokenRatio(col("text")), lit(0.0)), 6).as("ttr"),
+          round(coalesce(TextAnalysis.avgTokenLen(col("text")), lit(0.0)), 6).as("avg_token_len"),
+          TextAnalysis.fingerprint(col("text")).as("fingerprint"))
+        .orderBy(col("doc_id")),
+      Some("""SELECT doc_id, CAST(length(text) AS INT) AS n_chars,
+             |  CAST(len(toks) AS INT) AS n_tokens,
+             |  round(CASE WHEN len(toks) > 0 THEN len(list_distinct(toks)) * 1.0 / len(toks) ELSE 0 END, 6) AS ttr,
+             |  round(CASE WHEN len(toks) > 0 THEN list_sum(list_transform(toks, t -> length(t))) * 1.0 / len(toks) ELSE 0 END, 6) AS avg_token_len,
+             |  md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint
+             |FROM (SELECT doc_id, text,
+             |        list_filter(regexp_split_to_array(text, '\s+'), t -> length(t) > 0) AS toks
+             |      FROM documents) t
+             |ORDER BY doc_id""".stripMargin)),
+
+    "ta_language_id" -> Q(
+      (s, d) => T(s, d, "documents")
+        .select(col("doc_id"),
+          TextAnalysis.languageId(col("text"), langProfiles).as("lang_pred"))
+        .orderBy(col("doc_id")),
+      Some("""SELECT doc_id,
+             |  CASE WHEN s_en >= s_es AND s_en >= s_fr THEN 'en'
+             |       WHEN s_es >= s_fr THEN 'es'
+             |       ELSE 'fr' END AS lang_pred
+             |FROM (
+             |  SELECT doc_id,
+             |    CASE WHEN len(toks) > 0 THEN len(list_filter(toks, t -> list_contains(['the','and','of'], t))) * 1.0 / len(toks) ELSE 0 END AS s_en,
+             |    CASE WHEN len(toks) > 0 THEN len(list_filter(toks, t -> list_contains(['key','row','scan'], t))) * 1.0 / len(toks) ELSE 0 END AS s_es,
+             |    CASE WHEN len(toks) > 0 THEN len(list_filter(toks, t -> list_contains(['merge','join','sort'], t))) * 1.0 / len(toks) ELSE 0 END AS s_fr
+             |  FROM (SELECT doc_id,
+             |          list_filter(regexp_split_to_array(lower(text), '\s+'), t -> length(t) > 0) AS toks
+             |        FROM documents) x) y
+             |ORDER BY doc_id""".stripMargin)),
+
+    "ta_lang_rollup" -> Q(
+      (s, d) => T(s, d, "documents")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(TextAnalysis.tokenCount(col("text")).cast("long")).as("total_tokens"),
+          sum(length(col("text")).cast("long")).as("total_chars"))
+        .orderBy(col("lang")),
+      Some("""SELECT lang, count(*) AS n_docs,
+             |  CAST(sum(len(list_filter(regexp_split_to_array(text, '\s+'), t -> length(t) > 0))) AS BIGINT) AS total_tokens,
+             |  CAST(sum(length(text)) AS BIGINT) AS total_chars
+             |FROM documents GROUP BY lang ORDER BY lang""".stripMargin)),
+
+    // BPE-ish token count uses lookaround split — no RE2 twin → rows-only
+    "ta_bpe_tokens" -> Q(
+      (s, d) => T(s, d, "documents")
+        .select(col("doc_id"), TextAnalysis.bpeIshTokenCount(col("text")).as("n_bpe"))
+        .orderBy(col("doc_id")),
+      None)
+  )
+
+  private def scalarDefs: Seq[(String, Q)] = Seq(
+
+    "f4_enrichment_template" -> Q(
+      (s, d) => TestData.events(s, d)
+        .select(col("event_id"),
+          concat(lit("Original query: "), col("event_type"),
+            lit("\n\nAdditional context:\n"),
+            coalesce(get_json_object(col("props"), "$.missing"),
+              lit("No specific preference"))).as("enriched"))
+        .orderBy(col("event_id")),
+      Some("""SELECT event_id,
+             |  'Original query: ' || event_type || chr(10) || chr(10) ||
+             |  'Additional context:' || chr(10) ||
+             |  coalesce(json_extract_string(props, '$.missing'), 'No specific preference') AS enriched
+             |FROM events ORDER BY event_id""".stripMargin)),
+
+    "f8_iso_format" -> Q(
+      (s, d) => TestData.events(s, d)
+        .select(col("event_id"),
+          date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss").as("iso_ts"))
+        .orderBy(col("event_id")),
+      Some("""SELECT event_id, strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%dT%H:%M:%S') AS iso_ts
+             |FROM events ORDER BY event_id""".stripMargin)),
+
+    "f14_csv_parse" -> Q(
+      (s, d) => T(s, d, "documents")
+        .withColumn("arr", GraftFunctions.parseCsvList(
+          concat(col("source"), lit(" , "), col("lang"))))
+        .select(col("doc_id"),
+          element_at(col("arr"), 1).as("first"),
+          element_at(col("arr"), 2).as("second"))
+        .orderBy(col("doc_id")),
+      Some("""SELECT doc_id,
+             |  list_transform(str_split(source || ' , ' || lang, ','), t -> trim(t))[1] AS first,
+             |  list_transform(str_split(source || ' , ' || lang, ','), t -> trim(t))[2] AS second
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    "f15_aspect_ratio" -> Q(
+      (s, d) => TestData.events(s, d)
+        .select(col("event_id"),
+          floor(col("value") * 2 / 3).cast("int").as("scaled_height"))
+        .orderBy(col("event_id")),
+      Some("""SELECT event_id, CAST(floor(value * 2 / 3) AS INT) AS scaled_height
+             |FROM events ORDER BY event_id""".stripMargin)),
+
+    "a3_progress_counters" -> Q(
+      (s, d) => TestData.events(s, d)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_total"),
+          count(when(col("event_type") === "purchase", 1)).as("n_done"))
+        .select(col("user_id"), col("n_total"), col("n_done"),
+          round(col("n_done") * 100.0 / col("n_total"), 6).as("pct_done"))
+        .orderBy(col("user_id")),
+      Some("""SELECT user_id, n_total, n_done, round(n_done * 100.0 / n_total, 6) AS pct_done
+             |FROM (SELECT user_id, count(*) AS n_total,
+             |        count(*) FILTER (WHERE event_type = 'purchase') AS n_done
+             |      FROM events GROUP BY user_id) t
+             |ORDER BY user_id""".stripMargin))
   )
 
   private val routingTopics = Events.Topics(

@@ -1,0 +1,200 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.GraftFunctions
+
+/**
+ * Deduplication operator family for large-scale training-data pipelines:
+ * exact, MinHash+LSH banding, SimHash, n-gram Jaccard, embedding-cosine
+ * near-dup.
+ *
+ * Scale invariant: NOTHING here is all-pairs. Every near-dup path blocks
+ * first (LSH band buckets, shared-shingle join, signature buckets) so the
+ * quadratic step runs only within buckets — at 100 TB the candidate set is
+ * the only thing that ever gets joined. All expressions are built-in
+ * (codegen'd); md5-based hashing keeps signatures engine-portable (the
+ * DuckDB oracle computes the identical signature), with xxhash64 variants
+ * for the fast path.
+ */
+object Dedup {
+
+  // ── exact ────────────────────────────────────────────────────────────────
+  /**
+   * Exact dedup: one survivor (min id) per identical key. A hash groupBy —
+   * one shuffle on the content hash, no sort. At scale group on
+   * xxhash64(content) (8 bytes) instead of the full content.
+   */
+  def exact(df: DataFrame, idCol: String, keyCol: String): DataFrame =
+    df.groupBy(xxhash64(col(keyCol)).as("content_hash"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dups"))
+
+  /** Exact-dedup survivors (the deduplicated table itself). */
+  def exactSurvivors(df: DataFrame, idCol: String, keyCol: String): DataFrame = {
+    val keep = df.groupBy(col(keyCol).as("__k")).agg(min(col(idCol)).as(idCol))
+    df.join(keep, Seq(idCol), "left_semi")
+  }
+
+  // ── shingles ─────────────────────────────────────────────────────────────
+  /** Distinct character n-gram shingles per document (1 row per shingle). */
+  def shingles(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    df.select(col(idCol),
+        explode(transform(
+          sequence(lit(0), greatest(length(col(textCol)) - n, lit(0))),
+          i => col(textCol).substr(i + 1, lit(n)))).as("shingle"))
+      .select(col(idCol), col("shingle"))
+      .distinct()
+
+  // ── MinHash ──────────────────────────────────────────────────────────────
+  /**
+   * MinHash signature: h_j(doc) = min over shingles of md5(j || shingle).
+   * md5-lexicographic-min is a valid permutation-min (md5 is uniform), and
+   * is reproducible in any engine with md5 — which is what makes the DuckDB
+   * oracle possible. One shuffle (groupBy id); signature width `numHashes`.
+   */
+  def minhashSignature(df: DataFrame, idCol: String, textCol: String,
+                       n: Int, numHashes: Int): DataFrame = {
+    val sh = shingles(df, idCol, textCol, n)
+    val aggs = (0 until numHashes).map(j =>
+      min(md5(concat(lit(j.toString), lit("|"), col("shingle")))).as(s"h$j"))
+    sh.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /**
+   * LSH banding over a MinHash signature: band b = hash of rows
+   * [b*rowsPerBand, (b+1)*rowsPerBand). Docs sharing ANY band bucket are
+   * candidates. The candidate join is per-(band, bucket) — never all-pairs;
+   * bucket sizes are bounded by the band hash, so the within-bucket
+   * self-join stays local after one shuffle on the bucket key.
+   */
+  def lshCandidatePairs(sig: DataFrame, idCol: String, numHashes: Int,
+                        bands: Int): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rowsPerBand = numHashes / bands
+    val bandCols = (0 until bands).map { b =>
+      val slice = (0 until rowsPerBand).map(r => col(s"h${b * rowsPerBand + r}"))
+      struct(lit(b).as("band"), md5(concat_ws("|", slice: _*)).as("bucket"))
+    }
+    val buckets = sig.select(col(idCol), explode(array(bandCols: _*)).as("bb"))
+      .select(col(idCol), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    val a = buckets.select(col("band"), col("bucket"), col(idCol).as("id_a"))
+    val b = buckets.select(col("band"), col("bucket"), col(idCol).as("id_b"))
+    a.join(b, Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+  }
+
+  /** MinHash-estimated Jaccard for candidate pairs (fraction of equal hashes). */
+  def minhashJaccard(sig: DataFrame, idCol: String, pairs: DataFrame,
+                     numHashes: Int): DataFrame = {
+    val sa = sig.toDF(sig.columns.map(c => if (c == idCol) "id_a" else s"a_$c"): _*)
+    val sb = sig.toDF(sig.columns.map(c => if (c == idCol) "id_b" else s"b_$c"): _*)
+    val eqs = (0 until numHashes).map(j =>
+      when(col(s"a_h$j") === col(s"b_h$j"), 1).otherwise(0))
+    pairs.join(sa, "id_a").join(sb, "id_b")
+      .select(col("id_a"), col("id_b"),
+        (eqs.reduce(_ + _).cast("double") / numHashes).as("est_jaccard"))
+  }
+
+  // ── n-gram Jaccard (exact, shared-shingle blocked) ──────────────────────
+  /**
+   * Exact Jaccard via the shared-shingle join: |A∩B| from a self-join on
+   * shingle (blocking — only docs sharing ≥1 shingle ever pair), |A∪B| =
+   * |A|+|B|-|A∩B|. The shingle join shuffles on the shingle value; hot
+   * shingles (stopword-grams) are the skew risk at scale — cap them with a
+   * document-frequency filter (`maxDf`).
+   */
+  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+                        n: Int, minJaccard: Double,
+                        maxDf: Option[Int] = None): DataFrame = {
+    val sh = shingles(df, idCol, textCol, n).cache()
+    val filtered = maxDf match {
+      case Some(cap) =>
+        val rare = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+          .filter(col("df") <= cap).select(col("shingle"))
+        sh.join(rare, Seq("shingle"), "left_semi")
+      case None => sh
+    }
+    val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
+    val inter = filtered.select(col("shingle"), col(idCol).as("id_a"))
+      .join(filtered.select(col("shingle"), col(idCol).as("id_b")), "shingle")
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("i"))
+    inter
+      .join(sizes.toDF("id_a", "sz_a"), "id_a")
+      .join(sizes.toDF("id_b", "sz_b"), "id_b")
+      .select(col("id_a"), col("id_b"),
+        (col("i").cast("double") / (col("sz_a") + col("sz_b") - col("i"))).as("jaccard"))
+      .filter(col("jaccard") >= minJaccard)
+  }
+
+  // ── SimHash ──────────────────────────────────────────────────────────────
+  /**
+   * 64-bit SimHash over whitespace tokens: bit b of the fingerprint is the
+   * sign of Σ_tokens (bit b of xxhash64(token) ? +1 : -1). Computed with
+   * array ops (transform/aggregate) — one projection, no explode, no
+   * shuffle; near-dup = Hamming distance via bit_count(xor).
+   */
+  def simhash64(textCol: Column): Column = {
+    val tokens = filter(split(textCol, "\\s+"), t => length(t) > 0)
+    // hash once per token, then 64 static-bit vote aggregations over the
+    // hash array — a single projection, no explode, no shuffle
+    val hashes = transform(tokens, t => xxhash64(t))
+    val bits = (0 until 64).map { b =>
+      val mask = lit(1L << b)
+      val vote = aggregate(hashes, lit(0),
+        (acc, h) => acc + when(h.bitwiseAND(mask) =!= 0, 1).otherwise(-1))
+      when(vote > 0, mask).otherwise(lit(0L))
+    }
+    bits.reduce((a, b) => a.bitwiseOR(b))
+  }
+
+  /** SimHash near-dup pairs: block on the top `prefixBits` bits, then Hamming ≤ maxHamming. */
+  def simhashNearDup(df: DataFrame, idCol: String, textCol: String,
+                     maxHamming: Int, prefixBits: Int = 16): DataFrame = {
+    val withSig = df.select(col(idCol), simhash64(col(textCol)).as("sig"))
+    val blocked = withSig.withColumn("blk", shiftrightunsigned(col("sig"), 64 - prefixBits))
+    val a = blocked.select(col("blk"), col(idCol).as("id_a"), col("sig").as("sig_a"))
+    val b = blocked.select(col("blk"), col(idCol).as("id_b"), col("sig").as("sig_b"))
+    a.join(b, "blk").filter(col("id_a") < col("id_b"))
+      .withColumn("hamming", bit_count(col("sig_a").bitwiseXOR(col("sig_b"))))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+  }
+
+  // ── embedding near-dup ───────────────────────────────────────────────────
+  /**
+   * Embedding-cosine near-dup, LSH-bucketed: random-hyperplane signature
+   * (graft.rag.Rag.signature) blocks the join; exact cosine reranks within
+   * buckets. `bruteForcePairs` is the oracle/small-data reference path.
+   */
+  def embeddingNearDupBruteForce(emb: DataFrame, idCol: String, vecCol: String,
+                                 minCosine: Double): DataFrame = {
+    GraftFunctions.register(emb.sparkSession)
+    val a = emb.select(col(idCol).as("id_a"), col(vecCol).as("v_a"))
+    val b = emb.select(col(idCol).as("id_b"), col(vecCol).as("v_b"))
+    a.crossJoin(b).filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        GraftFunctions.cosineSim(col("v_a"), col("v_b")).as("cosine"))
+      .filter(col("cosine") >= minCosine)
+  }
+
+  def embeddingNearDupLsh(emb: DataFrame, idCol: String, vecCol: String,
+                          minCosine: Double, planes: Array[Array[Float]],
+                          maxHamming: Int = 4): DataFrame = {
+    GraftFunctions.register(emb.sparkSession)
+    val sigged = graft.rag.Rag.withSignature(emb, vecCol, planes)
+    val a = sigged.select(col(idCol).as("id_a"), col(vecCol).as("v_a"), col("sig").as("sig_a"))
+    val b = sigged.select(col(idCol).as("id_b"), col(vecCol).as("v_b"), col("sig").as("sig_b"))
+    // block: equal signature prefix byte; verify Hamming then exact cosine
+    a.withColumn("blk", shiftrightunsigned(col("sig_a"), 8))
+      .join(b.withColumn("blk", shiftrightunsigned(col("sig_b"), 8)), "blk")
+      .filter(col("id_a") < col("id_b"))
+      .filter(bit_count(col("sig_a").bitwiseXOR(col("sig_b"))) <= maxHamming)
+      .select(col("id_a"), col("id_b"),
+        GraftFunctions.cosineSim(col("v_a"), col("v_b")).as("cosine"))
+      .filter(col("cosine") >= minCosine)
+  }
+}

@@ -1,0 +1,122 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Text-analysis operator family for training-data pipelines: token stats,
+ * quality scoring, n-gram-heuristic language ID, token counting
+ * (whitespace + BPE-ish regex), and document fingerprinting.
+ *
+ * Everything is a built-in-function Column expression — codegen'd, no UDFs,
+ * so a 100 TB documents scan stays in one WholeStageCodegen span with the
+ * parquet reader's column pruning (only `text` is read when only `text` is
+ * used).
+ */
+object TextAnalysis {
+
+  /** Non-empty whitespace tokens. */
+  def tokens(text: Column): Column =
+    filter(split(text, "\\s+"), t => length(t) > 0)
+
+  /** Whitespace token count. */
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /**
+   * BPE-ish token estimate: counts word pieces + digit runs + punctuation
+   * marks separately (a GPT-2-style pre-tokenizer regex), cheap proxy for a
+   * real subword tokenizer at scan speed.
+   */
+  def bpeIshTokenCount(text: Column): Column =
+    size(filter(
+      split(text, "(?=[^A-Za-z0-9])|(?<=[^A-Za-z0-9])"),
+      t => length(trim(t)) > 0))
+
+  /** Distinct-token ratio (type/token ratio) — repetition signal. */
+  def typeTokenRatio(text: Column): Column = {
+    val toks = tokens(text)
+    when(size(toks) > 0,
+      size(array_distinct(toks)).cast("double") / size(toks).cast("double"))
+  }
+
+  /** Mean token length. */
+  def avgTokenLen(text: Column): Column = {
+    val toks = tokens(text)
+    when(size(toks) > 0,
+      aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double")
+        / size(toks).cast("double"))
+  }
+
+  /** Punctuation character ratio. */
+  def punctRatio(text: Column): Column =
+    when(length(text) > 0,
+      (length(text) - length(regexp_replace(text, "[\\p{Punct}]", ""))).cast("double")
+        / length(text).cast("double"))
+
+  /** Fraction of tokens found in `stopwords` (lowercased membership). */
+  def stopwordRatio(text: Column, stopwords: Seq[String]): Column = {
+    val sw = array(stopwords.map(w => lit(w.toLowerCase)): _*)
+    val toks = tokens(lower(text))
+    when(size(toks) > 0,
+      size(filter(toks, t => array_contains(sw, t))).cast("double")
+        / size(toks).cast("double"))
+  }
+
+  /**
+   * Quality score in [0,1]: weighted blend of length band, stopword
+   * presence, type/token ratio, and low punctuation noise — the standard
+   * heuristic-filter shape (C4/Gopher-style) as a single scan expression.
+   */
+  def qualityScore(text: Column, stopwords: Seq[String],
+                   minChars: Int = 80, maxChars: Int = 20000): Column = {
+    val lenOk = when(length(text).between(minChars, maxChars), 1.0).otherwise(0.0)
+    val sw = coalesce(stopwordRatio(text, stopwords), lit(0.0))
+    val ttr = coalesce(typeTokenRatio(text), lit(0.0))
+    val punct = coalesce(punctRatio(text), lit(0.0))
+    round(
+      lenOk * 0.3 + least(sw * 4.0, lit(1.0)) * 0.3 + ttr * 0.2 +
+        (lit(1.0) - least(punct * 5.0, lit(1.0))) * 0.2, 6)
+  }
+
+  /**
+   * N-gram-heuristic language ID: score = stopword-hit ratio per language;
+   * winner = argmax (ties → lexicographic language order for determinism).
+   * Profiles are data, not code — pass marker-word lists per language.
+   */
+  def languageId(text: Column, profiles: Map[String, Seq[String]]): Column = {
+    // struct compares field-by-field: max score first, then higher -idx
+    // (= earlier language alphabetically) — deterministic tie-break
+    val scored = profiles.toSeq.sortBy(_._1).zipWithIndex.map {
+      case ((langName, words), idx) =>
+        struct(coalesce(stopwordRatio(text, words), lit(0.0)).as("score"),
+          lit(-idx).as("rank"), lit(langName).as("lang"))
+    }
+    array_max(array(scored: _*)).getField("lang")
+  }
+
+  /** Stable 128-bit content fingerprint (md5 of case/whitespace-normalized text). */
+  def fingerprint(text: Column): Column =
+    md5(regexp_replace(lower(trim(text)), "\\s+", " "))
+
+  /**
+   * Rolling-hash window fingerprints: xxhash64 of each `w`-token window
+   * stride `stride` — the winnowing-style local fingerprint set.
+   */
+  def rollingFingerprints(text: Column, w: Int = 8, stride: Int = 4): Column = {
+    val toks = tokens(text)
+    val starts = sequence(lit(0), greatest(size(toks) - w, lit(0)), lit(stride))
+    transform(starts, s => xxhash64(concat_ws(" ", slice(toks, s + 1, lit(w)))))
+  }
+
+  /** Full per-document stats row (one projection over the scan). */
+  def documentStats(df: DataFrame, idCol: String, textCol: String,
+                    stopwords: Seq[String]): DataFrame =
+    df.select(col(idCol),
+      length(col(textCol)).as("n_chars"),
+      tokenCount(col(textCol)).as("n_tokens"),
+      bpeIshTokenCount(col(textCol)).as("n_bpe_tokens"),
+      round(coalesce(typeTokenRatio(col(textCol)), lit(0.0)), 6).as("ttr"),
+      round(coalesce(avgTokenLen(col(textCol)), lit(0.0)), 6).as("avg_token_len"),
+      qualityScore(col(textCol), stopwords).as("quality"),
+      fingerprint(col(textCol)).as("fingerprint"))
+}
