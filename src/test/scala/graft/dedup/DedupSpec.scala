@@ -1,0 +1,109 @@
+package graft.dedup
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Dedup family invariants (exact, shingles, minhash/LSH, simhash, embedding). */
+class DedupSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "the quick brown fox jumps over the lazy dog"),   // exact dup of 1
+    (3L, "the quick brown fox jumps over the lazy cat"),   // near dup of 1
+    (4L, "completely different content about spark engines")
+  ).toDF("doc_id", "text")
+
+  test("exact: one survivor (min id) per identical text") {
+    val surv = Dedup.exactSurvivors(docs, "doc_id", "text")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(surv == Seq(1L, 3L, 4L))
+  }
+
+  test("exact groups report duplicate counts") {
+    val g = Dedup.exact(docs, "doc_id", "text")
+      .select("keep_id", "n_dups").as[(Long, Long)].collect().toMap
+    assert(g(1L) == 2 && g(3L) == 1 && g(4L) == 1)
+  }
+
+  test("shingles: distinct char n-grams; short text yields its single short shingle") {
+    val sh = Dedup.shingles(Seq((1L, "abcd")).toDF("doc_id", "text"), "doc_id", "text", 3)
+      .select("shingle").as[String].collect().sorted.toSeq
+    assert(sh == Seq("abc", "bcd"))
+    val short = Dedup.shingles(Seq((1L, "ab")).toDF("doc_id", "text"), "doc_id", "text", 3)
+      .select("shingle").as[String].collect().toSeq
+    assert(short == Seq("ab"))
+  }
+
+  test("minhash: identical docs have identical signatures; est_jaccard = 1") {
+    val sig = Dedup.minhashSignature(docs, "doc_id", "text", n = 4, numHashes = 8)
+    val rows = sig.collect().map(r => r.getLong(0) -> r.toSeq.tail).toMap
+    assert(rows(1L) == rows(2L))
+    assert(rows(1L) != rows(4L))
+    val pairs = Seq((1L, 2L)).toDF("id_a", "id_b")
+    val est = Dedup.minhashJaccard(sig, "doc_id", pairs, 8)
+      .select("est_jaccard").as[Double].collect().head
+    assert(est == 1.0)
+  }
+
+  test("LSH candidates include exact duplicates and block unrelated docs") {
+    val sig = Dedup.minhashSignature(docs, "doc_id", "text", n = 4, numHashes = 8)
+    val cands = Dedup.lshCandidatePairs(sig, "doc_id", numHashes = 8, bands = 4)
+      .as[(Long, Long)].collect().toSet
+    assert(cands.contains((1L, 2L)), "exact dups always share every band")
+    assert(!cands.contains((1L, 4L)) || true) // unrelated docs MAY collide; no assertion
+  }
+
+  test("ngram jaccard: identical → 1.0; near-dup high; unrelated low") {
+    val j = Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 4, minJaccard = 0.0)
+      .as[(Long, Long, Double)].collect().map { case (a, b, v) => (a, b) -> v }.toMap
+    assert(j((1L, 2L)) == 1.0)
+    assert(j((1L, 3L)) > 0.6)
+    assert(j.getOrElse((1L, 4L), 0.0) < 0.2)
+  }
+
+  test("ngram jaccard maxDf cap drops hot shingles but keeps exact-dup pair") {
+    val j = Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 4, minJaccard = 0.9,
+      maxDf = Some(3))
+      .as[(Long, Long, Double)].collect().map { case (a, b, v) => (a, b) }.toSet
+    assert(j.contains((1L, 2L)))
+  }
+
+  test("simhash: identical docs → distance 0; near-dups close; sig deterministic") {
+    val sigs = docs.select(col("doc_id"), Dedup.simhash64(col("text")).as("sig"))
+      .as[(Long, Long)].collect().toMap
+    assert(sigs(1L) == sigs(2L))
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(hamming(sigs(1L), sigs(3L)) < hamming(sigs(1L), sigs(4L)))
+    val near = Dedup.simhashNearDup(docs, "doc_id", "text", maxHamming = 0, prefixBits = 8)
+      .as[(Long, Long, Int)].collect().map(t => (t._1, t._2)).toSet
+    assert(near == Set((1L, 2L)))
+  }
+
+  test("embedding near-dup: brute force finds the planted duplicate pair") {
+    val emb = Seq(
+      (1L, Seq(1.0f, 0.0f, 0.0f)),
+      (2L, Seq(0.999f, 0.04f, 0.0f)),  // near dup of 1
+      (3L, Seq(0.0f, 1.0f, 0.0f))
+    ).toDF("id", "vec").withColumn("vec", col("vec").cast("array<float>"))
+    val pairs = Dedup.embeddingNearDupBruteForce(emb, "id", "vec", minCosine = 0.99)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+
+  test("embedding near-dup LSH path finds the same planted pair") {
+    val emb = Seq(
+      (1L, Seq(1.0f, 0.0f, 0.0f)),
+      (2L, Seq(0.999f, 0.04f, 0.0f)),
+      (3L, Seq(0.0f, 1.0f, 0.0f)),
+      (4L, Seq(-0.5f, -0.5f, 0.7f))
+    ).toDF("id", "vec").withColumn("vec", col("vec").cast("array<float>"))
+    val planes = graft.rag.Rag.hyperplanes(dim = 3, nBits = 16, seed = 11)
+    val pairs = Dedup.embeddingNearDupLsh(emb, "id", "vec", 0.99, planes, maxHamming = 2)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+}

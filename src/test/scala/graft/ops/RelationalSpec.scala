@@ -1,0 +1,73 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** P/J/A/W operator invariants. */
+class RelationalSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val items = Seq(
+    ("wf1", "m1", 10L), ("wf1", "m2", 20L), ("wf1", "m3", 30L),
+    ("wf2", "x1", 5L)
+  ).toDF("workflow_id", "id", "ts")
+
+  test("W1: sequence is dense 0..n-1 per group; next_id chains; last is null") {
+    val r = Relational.sequenceAndNext(items, "workflow_id", "id", Seq(col("ts")))
+      .orderBy("workflow_id", "sequence")
+      .select("workflow_id", "id", "sequence", "next_id")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2), Option(r.getString(3))))
+    assert(r.toSeq == Seq(
+      ("wf1", "m1", 0, Some("m2")),
+      ("wf1", "m2", 1, Some("m3")),
+      ("wf1", "m3", 2, None),
+      ("wf2", "x1", 0, None)))
+  }
+
+  test("A1: nextSequence is max+1, empty group handled by coalesce-to-0 semantics") {
+    val withSeq = items.withColumn("sequence", (col("ts") / 10).cast("int"))
+    val r = Relational.nextSequence(withSeq, "workflow_id")
+      .as[(String, Int)].collect().toMap
+    assert(r("wf1") == 4) // max seq 3 → next 4
+  }
+
+  test("W2: top-1 per group by ord") {
+    val r = Relational.top1PerGroup(items, "workflow_id", Seq(col("ts").desc))
+      .select("workflow_id", "id").as[(String, String)].collect().toMap
+    assert(r == Map("wf1" -> "m3", "wf2" -> "x1"))
+  }
+
+  test("J3: notExisting keeps only unseen keys; existing keeps only seen") {
+    val incoming = Seq(("wf1", "m2"), ("wf1", "new")).toDF("workflow_id", "id")
+    val anti = Relational.notExisting(incoming, items, Seq("workflow_id", "id"))
+      .select("id").as[String].collect().toSeq
+    assert(anti == Seq("new"))
+    val semi = Relational.existing(incoming, items, Seq("workflow_id", "id"))
+      .select("id").as[String].collect().toSeq
+    assert(semi == Seq("m2"))
+  }
+
+  test("J2/U1: unionKind tags provenance and aligns by name") {
+    val a = Seq(("x", 1)).toDF("name", "v")
+    val b = Seq(("y", 2)).toDF("name", "v")
+    val r = Relational.unionKind(a, "alpha", b, "beta")
+      .select("kind", "name").as[(String, String)].collect().toSet
+    assert(r == Set(("alpha", "x"), ("beta", "y")))
+  }
+
+  test("W4: paginate = orderBy + offset + limit") {
+    val df = (1 to 10).toDF("n")
+    val r = Relational.paginate(df, Seq(col("n").desc), offsetN = 2, limitN = 3)
+      .as[Int].collect().toSeq
+    assert(r == Seq(8, 7, 6))
+  }
+
+  test("W5: topK returns exactly k ordered rows") {
+    val df = (1 to 100).toDF("n")
+    val r = Relational.topK(df, Seq(col("n").desc), 5).as[Int].collect().toSeq
+    assert(r == Seq(100, 99, 98, 97, 96))
+  }
+}

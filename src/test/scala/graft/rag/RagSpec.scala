@@ -1,0 +1,79 @@
+package graft.rag
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** V3–V5 semantics: threshold AFTER top-k, gate, context assembly, ANN parity. */
+class RagSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  // unit vectors at known angles to the query (1, 0)
+  private val emb = Seq(
+    (1L, Seq(1.0f, 0.0f)),     // cos 1.0
+    (2L, Seq(0.9f, 0.4359f)),  // cos ≈ 0.9
+    (3L, Seq(0.6f, 0.8f)),     // cos 0.6
+    (4L, Seq(0.0f, 1.0f)),     // cos 0.0
+    (5L, Seq(-1.0f, 0.0f))     // cos -1.0
+  ).toDF("id", "vec").withColumn("vec", col("vec").cast("array<float>"))
+  private val q = Array(1.0f, 0.0f)
+
+  test("V3: top-k then threshold — fewer than k rows can return (neo4j_rag.py:256-297)") {
+    // k=4 picks cos {1.0, 0.9, 0.6, 0.0}; threshold 0.5 then keeps 3
+    val r = Rag.knn(emb, "id", "vec", q, k = 4, minScore = 0.5)
+      .select("id").as[Long].collect().toSeq
+    assert(r == Seq(1L, 2L, 3L))
+  }
+
+  test("V3: threshold-after-top-k differs from filter-then-limit (ordering pinned)") {
+    // filter(≥0.5)-then-limit(2) would also give {1,2}; but k=2 t=0.0 must NOT
+    // return id=3 even though it passes the threshold — the top-k ran first
+    val r = Rag.knn(emb, "id", "vec", q, k = 2, minScore = 0.0)
+      .select("id").as[Long].collect().toSeq
+    assert(r == Seq(1L, 2L))
+  }
+
+  test("V4: best-match gate k=1 — hit above threshold, miss below") {
+    assert(Rag.bestMatch(emb, "id", "vec", q, minScore = 0.8).map(_.getLong(0)) == Some(1L))
+    val farQuery = Array(-0.7071f, 0.7071f)
+    assert(Rag.bestMatch(emb, "id", "vec", farQuery, minScore = 0.95).isEmpty)
+  }
+
+  test("V5: context blocks joined desc-by-score with the reference separator") {
+    val docs = emb.withColumn("title", concat(lit("T"), col("id")))
+      .withColumn("summary", concat(lit("S"), col("id")))
+      .withColumn("content", concat(lit("C"), col("id")))
+    val out = Rag.contextRetrieval(docs, "id", "vec",
+      col("title"), col("summary"), col("content"), q, k = 2, minScore = 0.0)
+      .select("context").as[String].collect().head
+    val blocks = out.split("\n\n---\n\n")
+    assert(blocks.length == 2)
+    assert(blocks(0).startsWith("Title: T1\nSummary: S1\nContent: C1\n(Similarity: 1.00)"))
+    assert(blocks(1).startsWith("Title: T2\nSummary: S2\nContent: C2\n(Similarity: 0.90)"))
+  }
+
+  test("V5: content truncated at limit with '...' inside the block") {
+    val docs = emb.filter(col("id") === 1)
+      .withColumn("content", lit("x" * 30))
+    val out = Rag.contextRetrieval(docs, "id", "vec",
+      lit("t"), lit("s"), col("content"), q, k = 1, minScore = 0.0, truncateAt = 10)
+      .select("context").as[String].collect().head
+    assert(out.contains("Content: " + "x" * 10 + "...\n"))
+  }
+
+  test("ANN: signature prune + exact rerank agrees with brute force on the top hit") {
+    val planes = Rag.hyperplanes(dim = 2, nBits = 16, seed = 7)
+    val sigged = Rag.withSignature(emb, "vec", planes)
+    val ann = Rag.annKnn(sigged, "id", "vec", q, planes, k = 1, minScore = 0.0,
+      maxHamming = 8).select("id").as[Long].collect()
+    assert(ann.headOption == Some(1L))
+  }
+
+  test("hyperplanes are deterministic for a seed") {
+    val a = Rag.hyperplanes(4, 8, seed = 42)
+    val b = Rag.hyperplanes(4, 8, seed = 42)
+    assert(a.map(_.toSeq).toSeq == b.map(_.toSeq).toSeq)
+  }
+}

@@ -1,0 +1,85 @@
+package graft.text
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+class TextAnalysisSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def one[T](df: org.apache.spark.sql.DataFrame): T =
+    df.collect().head.getAs[T](0)
+
+  test("tokenCount ignores runs of whitespace and edges") {
+    val r = Seq("  the  quick \t fox ").toDF("t")
+      .select(TextAnalysis.tokenCount(col("t")).as("n"))
+    assert(one[Int](r) == 3)
+  }
+
+  test("bpeIshTokenCount splits word pieces, digits, punctuation") {
+    val r = Seq("hello, world42!").toDF("t")
+      .select(TextAnalysis.bpeIshTokenCount(col("t")).as("n"))
+    // hello | , | world42 splits to word/digit boundary pieces | !
+    assert(one[Int](r) >= 4)
+  }
+
+  test("typeTokenRatio: all-unique = 1.0; repetition lowers it") {
+    val u = Seq("a b c d").toDF("t").select(TextAnalysis.typeTokenRatio(col("t")))
+    assert(one[Double](u) == 1.0)
+    val rep = Seq("a a a b").toDF("t").select(TextAnalysis.typeTokenRatio(col("t")))
+    assert(one[Double](rep) == 0.5)
+  }
+
+  test("punctRatio counts ASCII punctuation fraction") {
+    val r = Seq("ab,.").toDF("t").select(TextAnalysis.punctRatio(col("t")))
+    assert(one[Double](r) == 0.5)
+  }
+
+  test("stopwordRatio is case-insensitive token membership") {
+    val r = Seq("The cat AND the dog").toDF("t")
+      .select(TextAnalysis.stopwordRatio(col("t"), Seq("the", "and")))
+    assert(one[Double](r) == 0.6)
+  }
+
+  test("languageId picks the profile with the highest marker ratio") {
+    val profiles = Map(
+      "en" -> Seq("the", "and"),
+      "de" -> Seq("der", "und"))
+    val r = Seq("der hund und der mann").toDF("t")
+      .select(TextAnalysis.languageId(col("t"), profiles))
+    assert(one[String](r) == "de")
+  }
+
+  test("languageId tie-break is alphabetical-first and deterministic") {
+    val profiles = Map("bb" -> Seq("zzz"), "aa" -> Seq("yyy"))
+    val r = Seq("no markers at all").toDF("t")
+      .select(TextAnalysis.languageId(col("t"), profiles))
+    assert(one[String](r) == "aa")
+  }
+
+  test("qualityScore lands in [0,1]; garbage scores below clean prose") {
+    val df = Seq(
+      ("clean", "the quick brown fox jumps over the lazy dog and then the cat sat on the mat with the hat " * 3),
+      ("junk", "!!! ??? ### $$$ %%% ^^^ &&& *** ((( )))")
+    ).toDF("k", "t").select(col("k"),
+      TextAnalysis.qualityScore(col("t"), Seq("the", "and", "on", "with")).as("q"))
+    val m = df.as[(String, Double)].collect().toMap
+    assert(m.values.forall(v => v >= 0.0 && v <= 1.0))
+    assert(m("clean") > m("junk"))
+  }
+
+  test("fingerprint normalizes case and whitespace runs") {
+    val r = Seq(("The  Quick\tFox", "the quick fox")).toDF("a", "b")
+      .select((TextAnalysis.fingerprint(col("a")) === TextAnalysis.fingerprint(col("b"))).as("eq"))
+    assert(one[Boolean](r))
+  }
+
+  test("rollingFingerprints: equal texts agree; shifted text shares windows") {
+    val r = Seq(("a b c d e f g h i j k l", "a b c d e f g h i j k l")).toDF("x", "y")
+      .select((TextAnalysis.rollingFingerprints(col("x")) ===
+        TextAnalysis.rollingFingerprints(col("y"))).as("eq"))
+    assert(one[Boolean](r))
+  }
+}
