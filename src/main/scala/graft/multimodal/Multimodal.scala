@@ -1,0 +1,145 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/**
+ * Multimodal-column plumbing for training-data pipelines: image/audio/video
+ * as opaque `binary` columns with typed metadata, plus decode /
+ * feature-extract / resize / frame-sample operators.
+ *
+ * The codec step itself is STUBBED (this container has no image/audio
+ * libraries): `DecodeStub` produces deterministic fake pixels/samples from
+ * the bytes. Everything Spark-side is real and tested — the schema, the
+ * `spark.read.format("binaryFile")` source, partition sizing, and the
+ * mapPartitions batch shape (the Scala twin of a Pandas-UDF/mapInPandas
+ * pipeline: batched rows in, batched rows out, codec state initialized once
+ * per partition, never per row).
+ *
+ * Scale notes: media blobs are large and skewed — `repartitionByBytes`
+ * targets a fixed bytes-per-task so one 4 GB video doesn't starve a task
+ * slot that got 10k thumbnails; metadata-only queries never touch the blob
+ * column (parquet column pruning drops it at the reader).
+ */
+object Multimodal {
+
+  /** Media row: opaque payload + typed metadata (SURVEY north-star family). */
+  final case class MediaItem(
+      media_id: String,
+      kind: String,            // image | audio | video
+      payload: Array[Byte],
+      mime_type: String,
+      width: Option[Int],
+      height: Option[Int],
+      duration_ms: Option[Long],
+      source_path: String)
+
+  val mediaSchema: StructType = StructType(Seq(
+    StructField("media_id", StringType, nullable = false),
+    StructField("kind", StringType, nullable = false),
+    StructField("payload", BinaryType),
+    StructField("mime_type", StringType),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("duration_ms", LongType),
+    StructField("source_path", StringType)))
+
+  /** Decoded-feature row produced by the decode/extract stage. */
+  final case class MediaFeatures(
+      media_id: String,
+      kind: String,
+      n_bytes: Long,
+      checksum: Long,
+      features: Array[Float])
+
+  /**
+   * Ingest a directory of files as media rows via Spark's binaryFile source
+   * (S11 twin: artifact files ↔ table rows).
+   */
+  def readBinaryDir(spark: SparkSession, dir: String, glob: String = "*"): DataFrame =
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", glob)
+      .load(dir)
+      .select(
+        regexp_extract(col("path"), "([^/]+)$", 1).as("media_id"),
+        lit("image").as("kind"),
+        col("content").as("payload"),
+        lit("application/octet-stream").as("mime_type"),
+        lit(null).cast("int").as("width"),
+        lit(null).cast("int").as("height"),
+        lit(null).cast("long").as("duration_ms"),
+        col("path").as("source_path"))
+
+  /**
+   * Deterministic fake codec: "decodes" payload bytes into a fixed-dim
+   * feature vector (rolling checksum buckets). Replace with a real codec
+   * binding at deployment; the call shape (per-partition init, batched
+   * rows) is the real contract.
+   */
+  class DecodeStub(dim: Int = 16) extends Serializable {
+    def decode(payload: Array[Byte]): Array[Float] = {
+      val acc = new Array[Float](dim)
+      var i = 0
+      while (i < payload.length) {
+        acc(i % dim) += (payload(i) & 0xff) / 255.0f
+        i += 1
+      }
+      acc
+    }
+  }
+
+  /**
+   * Decode/feature-extract over mapPartitions: codec initialized ONCE per
+   * partition (the expensive step with a real library), rows streamed
+   * through it in batch. Returns a typed Dataset.
+   */
+  def extractFeatures(media: DataFrame, dim: Int = 16): Dataset[MediaFeatures] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("kind"), col("payload"))
+      .as[(String, String, Array[Byte])]
+      .mapPartitions { rows =>
+        val codec = new DecodeStub(dim) // per-partition init, never per-row
+        rows.map { case (id, kind, payload) =>
+          val bytes = if (payload == null) Array.emptyByteArray else payload
+          MediaFeatures(id, kind, bytes.length.toLong,
+            bytes.foldLeft(1469598103934665603L)((h, b) => (h ^ (b & 0xff)) * 1099511628211L),
+            codec.decode(bytes))
+        }
+      }
+  }
+
+  /**
+   * Resize metadata op (F15 aspect-ratio math as a column expression; the
+   * pixel work happens in the codec stage).
+   */
+  def withResizedDims(media: DataFrame, targetWidth: Int): DataFrame =
+    media
+      .withColumn("resized_width", lit(targetWidth))
+      .withColumn("resized_height",
+        when(col("width").isNotNull && col("width") > 0,
+          floor(col("height") * targetWidth / col("width")).cast("int")))
+
+  /**
+   * Frame sampling for video rows: one output row per sampled frame index
+   * (duration-spaced), payload left opaque — the decode stage slices it.
+   */
+  def sampleFrames(media: DataFrame, everyMs: Long): DataFrame =
+    media.filter(col("kind") === "video" && col("duration_ms").isNotNull)
+      .withColumn("frame_ms",
+        explode(sequence(lit(0L), col("duration_ms") - 1, lit(everyMs))))
+      .withColumn("frame_idx", (col("frame_ms") / everyMs).cast("int"))
+
+  /**
+   * Bytes-aware repartition: target a fixed payload volume per task so blob
+   * skew doesn't serialize the stage (count partitions from the actual byte
+   * sizes, then hash-distribute).
+   */
+  def repartitionByBytes(media: DataFrame, targetBytesPerTask: Long): DataFrame = {
+    val totalBytes = media.select(sum(length(col("payload")).cast("long")))
+      .collect()(0).getLong(0)
+    val nParts = math.max(1, math.ceil(totalBytes.toDouble / targetBytesPerTask).toInt)
+    media.repartition(nParts, col("media_id"))
+  }
+}
