@@ -31,6 +31,13 @@ object Bench {
       case c => c.toString
     } + "\""
 
+    // untimed warmup: JVM/codegen/parquet-reader startup must not be billed
+    // to whichever query happens to sort first
+    try {
+      spark.range(1000).selectExpr("sum(id)").collect()
+      spark.read.parquet(s"$sfDir/region.parquet").count()
+    } catch { case _: Throwable => () }
+
     val results: Seq[(String, Either[String, Double])] =
       SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
         val t0 = System.nanoTime()

@@ -151,10 +151,31 @@ object Dedup {
     bits.reduce((a, b) => a.bitwiseOR(b))
   }
 
+  /**
+   * SimHash signatures as a DataFrame op: explode tokens → xxhash64 →
+   * 64 codegen'd conditional sums per doc → assemble the fingerprint.
+   * One shuffle on the id; every expression stays in whole-stage codegen
+   * (unlike the Column-lambda variant above, whose higher-order-function
+   * lambdas evaluate interpreted — fine for ad-hoc use, not for a scan).
+   */
+  def simhashSignatures(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = df.select(col(idCol),
+      explode(filter(split(col(textCol), "\\s+"), t => length(t) > 0)).as("tok"))
+      .select(col(idCol), xxhash64(col("tok")).as("h"))
+    val votes = (0 until 64).map(b =>
+      sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"v$b"))
+    val voted = toks.groupBy(col(idCol)).agg(votes.head, votes.tail: _*)
+    val sig = (0 until 64).map(b =>
+      when(col(s"v$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+      .reduce((a, b) => a.bitwiseOR(b))
+    voted.select(col(idCol), sig.as("sig"))
+  }
+
   /** SimHash near-dup pairs: block on the top `prefixBits` bits, then Hamming ≤ maxHamming. */
   def simhashNearDup(df: DataFrame, idCol: String, textCol: String,
                      maxHamming: Int, prefixBits: Int = 16): DataFrame = {
-    val withSig = df.select(col(idCol), simhash64(col(textCol)).as("sig"))
+    // signatures materialized once — the self-join must not recompute them
+    val withSig = simhashSignatures(df, idCol, textCol).cache()
     val blocked = withSig.withColumn("blk", shiftrightunsigned(col("sig"), 64 - prefixBits))
     val a = blocked.select(col("blk"), col(idCol).as("id_a"), col("sig").as("sig_a"))
     val b = blocked.select(col("blk"), col(idCol).as("id_b"), col("sig").as("sig_b"))
