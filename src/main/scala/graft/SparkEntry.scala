@@ -689,6 +689,46 @@ object SparkEntry {
       Some("""SELECT event_id, CAST(floor(value * 2 / 3) AS INT) AS scaled_height
              |FROM events ORDER BY event_id""".stripMargin)),
 
+    "s3_point_lookup" -> Q(
+      (s, d) => T(s, d, "customer")
+        .filter(col("c_custkey") === 42L)
+        .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+        .limit(1),
+      Some("""SELECT c_custkey, c_name, c_mktsegment FROM customer
+             |WHERE c_custkey = 42 LIMIT 1""".stripMargin)),
+
+    "f3_format_context" -> Q(
+      (s, d) => T(s, d, "documents")
+        .select(col("doc_id"),
+          concat(lit("Title: Doc "), col("doc_id").cast("string"), lit(NL),
+            lit("Summary: "), substring(col("text"), 1, 20), lit(NL),
+            lit("Content: "), substring(col("text"), 1, 40)).as("block"))
+        .orderBy(col("doc_id")),
+      Some("""SELECT doc_id,
+             |  'Title: Doc ' || doc_id || chr(10) ||
+             |  'Summary: ' || substr(text, 1, 20) || chr(10) ||
+             |  'Content: ' || substr(text, 1, 40) AS block
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    "f5_search_input_format" -> Q(
+      (s, d) => TestData.events(s, d)
+        .select(col("event_id"),
+          GraftFunctions.formatSearchInput(col("event_type"),
+            concat(lit("user "), col("user_id").cast("string"))).as("search_input"))
+        .orderBy(col("event_id")),
+      Some("""SELECT event_id,
+             |  'Search term: ' || event_type || chr(10) || 'Reason for searching: user ' || user_id AS search_input
+             |FROM events ORDER BY event_id""".stripMargin)),
+
+    "f11_contains_filter" -> Q(
+      (s, d) => T(s, d, "documents")
+        .filter(GraftFunctions.containsAnyIgnoreCase(col("text"), Seq("spark", "merge")))
+        .select(col("doc_id"))
+        .orderBy(col("doc_id")),
+      Some("""SELECT doc_id FROM documents
+             |WHERE contains(lower(text), 'spark') OR contains(lower(text), 'merge')
+             |ORDER BY doc_id""".stripMargin)),
+
     "a3_progress_counters" -> Q(
       (s, d) => TestData.events(s, d)
         .groupBy(col("user_id"))

@@ -1,0 +1,16 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSessionExtensions
+
+/**
+ * Idiomatic integration point: register the engine's native expressions at
+ * session build time via
+ * `.config("spark.sql.extensions", "graft.functions.GraftExtensions")` —
+ * the same mechanism Delta/Iceberg/Sedona use. Equivalent to calling
+ * `GraftFunctions.register(spark)` post-hoc; both route through the same
+ * function descriptions.
+ */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftFunctions.descriptions.foreach(ext.injectFunction)
+}

@@ -105,36 +105,40 @@ object GraftFunctions {
 
   // ─── SQL registration ────────────────────────────────────────────────────
 
-  /**
-   * Registers the custom expressions in the session's FunctionRegistry so
-   * they are usable from SQL text and `call_function` as `cosine_sim`,
-   * `dot_product`, `chunk_text`. Idempotent.
-   */
-  def register(spark: SparkSession): Unit = {
-    val reg = spark.sessionState.functionRegistry
-    reg.registerFunction(
-      FunctionIdentifier("cosine_sim"),
-      new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
-      (children: Seq[Expression]) => CosineSimilarity(children(0), children(1)))
-    reg.registerFunction(
-      FunctionIdentifier("dot_product"),
-      new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
-      (children: Seq[Expression]) => DotProduct(children(0), children(1)))
-    reg.registerFunction(
-      FunctionIdentifier("chunk_text"),
-      new ExpressionInfo(classOf[ChunkText].getName, "chunk_text"),
-      (children: Seq[Expression]) => {
-        def intLit(e: Expression, name: String): Int = e match {
-          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
-          case other => throw new IllegalArgumentException(
-            s"chunk_text $name must be an integer literal, got $other")
-        }
-        children match {
+  /** Function descriptions shared by `register` and `GraftExtensions`. */
+  private[functions] val descriptions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = {
+    def intLit(e: Expression, name: String): Int = e match {
+      case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+      case other => throw new IllegalArgumentException(
+        s"chunk_text $name must be an integer literal, got $other")
+    }
+    Seq(
+      (FunctionIdentifier("cosine_sim"),
+        new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
+        (children: Seq[Expression]) => CosineSimilarity(children(0), children(1))),
+      (FunctionIdentifier("dot_product"),
+        new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
+        (children: Seq[Expression]) => DotProduct(children(0), children(1))),
+      (FunctionIdentifier("chunk_text"),
+        new ExpressionInfo(classOf[ChunkText].getName, "chunk_text"),
+        (children: Seq[Expression]) => children match {
           case Seq(t) => ChunkText(t, ChunkText.DefaultSize, ChunkText.DefaultOverlap)
           case Seq(t, s) => ChunkText(t, intLit(s, "size"), ChunkText.DefaultOverlap)
           case Seq(t, s, o) => ChunkText(t, intLit(s, "size"), intLit(o, "overlap"))
           case _ => throw new IllegalArgumentException("chunk_text(text[, size[, overlap]])")
-        }
-      })
+        }))
+  }
+
+  /**
+   * Registers the custom expressions in the session's FunctionRegistry so
+   * they are usable from SQL text and `call_function` as `cosine_sim`,
+   * `dot_product`, `chunk_text`. Idempotent. (Session-build alternative:
+   * `spark.sql.extensions=graft.functions.GraftExtensions`.)
+   */
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    descriptions.foreach { case (id, info, builder) =>
+      reg.registerFunction(id, info, builder)
+    }
   }
 }
