@@ -470,7 +470,170 @@ object SparkEntry {
       Some("""SELECT epoch_ms(date_trunc('hour', CAST(ts AS TIMESTAMP))) AS hour_ms, event_type,
              |  count(*) AS n, CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
              |FROM events GROUP BY 1, 2 ORDER BY hour_ms, event_type""".stripMargin))
-  ) ++ dedupDefs ++ textDefs ++ scalarDefs
+  ) ++ dedupDefs ++ textDefs ++ scalarDefs ++ storeDefs ++ analyticsDefs
+
+  /** Exact disc-price: decimal(18,2) × decimal(3,2) stays exact; double out. */
+  private def discPrice: Column =
+    sum(col("l_extendedprice").cast("decimal(18,2)") *
+      (lit(java.math.BigDecimal.ONE).cast("decimal(3,2)") - col("l_discount").cast("decimal(3,2)")))
+      .cast("double")
+
+  private def storeDefs: Seq[(String, Q)] = Seq(
+
+    // S4 — append-with-sequence semantics over the Message∪Result union:
+    // batch row_number assignment + id synthesis (neo4j_memory.py:306-431)
+    "s4_append_sequence" -> Q(
+      (s, d) => {
+        val ev = TestData.events(s, d)
+        val items = ev.filter(col("event_type").isin("click", "view"))
+          .select(col("user_id"), col("event_id"), lit("msg").as("kind"))
+          .unionByName(ev.filter(col("event_type") === "purchase")
+            .select(col("user_id"), col("event_id"), lit("result").as("kind")))
+        Relational.sequenceAndNext(items, "user_id", "event_id", Seq(col("event_id")))
+          .select(col("user_id"), col("event_id"),
+            concat(lit("wf-"), col("user_id").cast("string"),
+              when(col("kind") === "msg", lit("-msg-")).otherwise(lit("-result-")),
+              col("sequence").cast("string")).as("node_id"),
+            col("sequence"), col("next_id"))
+          .orderBy(col("user_id"), col("sequence"))
+      },
+      Some("""WITH items AS (
+             |  SELECT user_id, event_id, 'msg' AS kind FROM events WHERE event_type IN ('click','view')
+             |  UNION ALL
+             |  SELECT user_id, event_id, 'result' AS kind FROM events WHERE event_type = 'purchase'),
+             |seq AS (SELECT user_id, event_id, kind,
+             |    CAST(row_number() OVER (PARTITION BY user_id ORDER BY event_id) - 1 AS INT) AS sequence,
+             |    lead(event_id) OVER (PARTITION BY user_id ORDER BY event_id) AS next_id
+             |  FROM items)
+             |SELECT user_id, event_id,
+             |  'wf-' || user_id || (CASE WHEN kind = 'msg' THEN '-msg-' ELSE '-result-' END) || sequence AS node_id,
+             |  sequence, next_id
+             |FROM seq ORDER BY user_id, sequence""".stripMargin)),
+
+    // S6 — idempotent re-link: candidates minus already-linked (anti-join)
+    "s6_relink_guard" -> Q(
+      (s, d) => {
+        val ev = TestData.events(s, d)
+        val existing = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id")).distinct()
+        val candidates = ev.select(col("user_id")).distinct()
+        candidates.join(existing, Seq("user_id"), "left_anti")
+          .select(col("user_id"), lit("r-shared").as("result_id"))
+          .orderBy(col("user_id"))
+      },
+      Some("""SELECT user_id, 'r-shared' AS result_id
+             |FROM (SELECT DISTINCT user_id FROM events) c
+             |WHERE NOT EXISTS (SELECT 1 FROM events e
+             |                  WHERE e.event_type = 'purchase' AND e.user_id = c.user_id)
+             |ORDER BY user_id""".stripMargin)),
+
+    // S7 — embedding column point-update semantics (SET r.embedding WHERE id)
+    "s7_embedding_update" -> Q(
+      (s, d) => {
+        val q = queryVec(s, d)
+        T(s, d, "embeddings")
+          .withColumn("embedding",
+            when(col("vec_id").isin(1L, 2L, 3L), lit(q).cast("array<float>"))
+              .otherwise(col("embedding")))
+          .select(col("vec_id"),
+            col("vec_id").isin(1L, 2L, 3L).as("was_updated"),
+            size(col("embedding")).as("dim"),
+            round(aggregate(col("embedding"), lit(0.0d),
+              (acc, x) => acc + x.cast("double") * x.cast("double")), 6).as("norm2"))
+          .orderBy(col("vec_id"))
+      },
+      Some("""WITH upd AS (
+             |  SELECT e.vec_id,
+             |    CASE WHEN e.vec_id IN (1,2,3) THEN (SELECT embedding FROM embeddings WHERE vec_id = 0)
+             |         ELSE e.embedding END AS embedding
+             |  FROM embeddings e)
+             |SELECT vec_id, vec_id IN (1,2,3) AS was_updated,
+             |  CAST(len(embedding) AS INT) AS dim,
+             |  round(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE)), 6) AS norm2
+             |FROM upd ORDER BY vec_id""".stripMargin)),
+
+    // ANN scale path (hyperplane LSH prune + exact rerank) — planes are
+    // engine-side constants, no SQL twin → rows-only check; parity with
+    // brute force is pinned in RagSpec
+    "v3_ann_knn" -> Q(
+      (s, d) => {
+        val q = queryVec(s, d)
+        val planes = Rag.hyperplanes(dim = q.length, nBits = 16, seed = 42L)
+        val sigged = Rag.withSignature(
+          TestData.embeddings(s, d).filter(col("vec_id") =!= 0), "embedding", planes)
+        Rag.annKnn(sigged, "vec_id", "embedding", q, planes, k = 10,
+            minScore = -1.0, maxHamming = 8)
+          .select(col("vec_id"), round(col("score"), 6).as("score"))
+          .orderBy(col("score").desc, col("vec_id"))
+      },
+      None)
+  )
+
+  private def analyticsDefs: Seq[(String, Q)] = Seq(
+
+    // TPC-H Q1-shape pricing summary (SURVEY §7.2.6 star-schema battery)
+    "tpch_q1_pricing" -> Q(
+      (s, d) => T(s, d, "lineitem")
+        .filter(col("l_shipdate") <= lit("1998-09-01"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(dsum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_base_price"),
+          round(discPrice, 2).as("sum_disc_price"),
+          count(lit(1)).as("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus")),
+      Some("""SELECT l_returnflag, l_linestatus,
+             |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+             |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+             |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+             |        (CAST(1.0 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE), 2) AS sum_disc_price,
+             |  count(*) AS count_order
+             |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+             |GROUP BY l_returnflag, l_linestatus
+             |ORDER BY l_returnflag, l_linestatus""".stripMargin)),
+
+    // TPC-H Q3-shape: top-10 revenue among qualifying orders (join + topk)
+    "tpch_q3_priority" -> Q(
+      (s, d) => T(s, d, "lineitem")
+        .filter(col("l_shipdate") > lit("1998-01-01"))
+        .join(T(s, d, "orders").filter(col("o_orderdate") < lit("1998-01-01")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(T(s, d, "customer").filter(col("c_mktsegment") === "BUILDING"),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy(col("l_orderkey"), col("o_orderpriority"))
+        .agg(round(discPrice, 2).as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10),
+      Some("""SELECT l_orderkey, o_orderpriority,
+             |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+             |        (CAST(1.0 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE), 2) AS revenue
+             |FROM lineitem
+             |JOIN orders ON l_orderkey = o_orderkey AND o_orderdate < TIMESTAMP '1998-01-01'
+             |JOIN customer ON o_custkey = c_custkey AND c_mktsegment = 'BUILDING'
+             |WHERE l_shipdate > TIMESTAMP '1998-01-01'
+             |GROUP BY l_orderkey, o_orderpriority
+             |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin)),
+
+    // TPC-H Q5-shape: revenue by region through the full dimension chain
+    "tpch_q5_region_revenue" -> Q(
+      (s, d) => T(s, d, "lineitem")
+        .join(T(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(T(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(T(s, d, "nation"), col("c_nationkey") === col("n_nationkey"))
+        .join(T(s, d, "region"), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"))
+        .agg(round(discPrice, 2).as("revenue"), count(lit(1)).as("n_lines"))
+        .orderBy(col("r_name")),
+      Some("""SELECT r_name,
+             |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+             |        (CAST(1.0 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE), 2) AS revenue,
+             |  count(*) AS n_lines
+             |FROM lineitem
+             |JOIN orders ON l_orderkey = o_orderkey
+             |JOIN customer ON o_custkey = c_custkey
+             |JOIN nation ON c_nationkey = n_nationkey
+             |JOIN region ON n_regionkey = r_regionkey
+             |GROUP BY r_name ORDER BY r_name""".stripMargin))
+  )
 
   /** Shared shingle CTE for the dedup oracles (mirrors Dedup.shingles n=5). */
   private def shingleCte(pred: String): String =
