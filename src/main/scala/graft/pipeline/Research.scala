@@ -29,6 +29,13 @@ import graft.streaming.Events
  *   writer → ReportData → D6 lazy persistence (J3 anti-join guard) +
  *      F1 title + V1/S7 embedding index
  *   every step emits a workflow event row (T1/P5 routing)
+ *
+ * D5 (retry/failure injection, interactive_research_workflow.py:162-172) is
+ * demo theater in the reference — a simulated activity failure exercising
+ * Temporal's retry policy. The engine's parity point is that search
+ * failures are DROPPED at fan-in (None → filtered), which IS implemented
+ * and tested; retry orchestration belongs to the caller's scheduler, not
+ * the dataflow.
  */
 object Research {
 

@@ -100,6 +100,37 @@ object Events {
   }
 
   /**
+   * T3 — consumer positioning options (REDPANDA.md:113-125,167-186): group
+   * id, offset seek (earliest/latest/per-partition JSON), fail-on-loss.
+   */
+  def consumerOptions(subscribe: String,
+                      startingOffsets: String = "latest",
+                      groupId: Option[String] = None,
+                      failOnDataLoss: Boolean = false): Map[String, String] =
+    Map(
+      "subscribe" -> subscribe,
+      "startingOffsets" -> startingOffsets,
+      "failOnDataLoss" -> failOnDataLoss.toString) ++
+      groupId.map("kafka.group.id" -> _).toMap
+
+  /**
+   * T6 — producer tuning knobs with the reference's suggested defaults
+   * (REDPANDA.md:395-405): acks=1, snappy, batch 16384 B, linger 10 ms.
+   * (T7 retention.ms/retention.bytes/partition-count are broker-side topic
+   * configs — `rpk topic alter-config` — not client options; they are ops
+   * runbook items, not engine code.)
+   */
+  def producerTuning(acks: String = "1",
+                     compression: String = "snappy",
+                     batchSize: Int = 16384,
+                     lingerMs: Int = 10): Map[String, String] =
+    Map(
+      "kafka.acks" -> acks,
+      "kafka.compression.type" -> compression,
+      "kafka.batch.size" -> batchSize.toString,
+      "kafka.linger.ms" -> lingerMs.toString)
+
+  /**
    * S9 — parse a Kafka value stream back into typed events (from_json over
    * the envelope schema; REDPANDA.md:113-125 consumer semantics).
    */
