@@ -11,6 +11,9 @@ import org.apache.spark.sql.SparkSessionExtensions
  * function descriptions.
  */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftFunctions.descriptions.foreach(ext.injectFunction)
+    // opt-in ANN top-k rewrite (spark.graft.ann.enabled=true)
+    ext.injectOptimizerRule(session => graft.plans.AnnRewrite(session))
+  }
 }

@@ -1,0 +1,102 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan, Project, Sort}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, FloatType, IntegerType, LongType}
+
+import graft.expr.CosineSimilarity
+import graft.rag.Rag
+
+/**
+ * Opt-in ANN optimizer rule (SURVEY §4 stretch; preference (c) in the
+ * build brief): rewrites a brute-force cosine top-k
+ *
+ *   Sort(score DESC, …)
+ *     Project(…, score := cosine_sim(vecCol, <literal query vector>))
+ *       <child whose output carries a materialized `sig` column>
+ *
+ * into the LSH-prefiltered form
+ *
+ *   Sort(score DESC, …)
+ *     Project(…)
+ *       Filter(bit_count(sig ^ <query signature>) <= maxHamming)
+ *         <child>
+ *
+ * The query signature is computed at plan time from the literal vector and
+ * the session-configured hyperplane family (seed/bits), the same family
+ * used to materialize `sig` at write time (Rag.withSignature). On a table
+ * partitioned/z-ordered by `sig` the injected filter prunes files before
+ * the expensive cosine projection runs.
+ *
+ * APPROXIMATE BY DESIGN: candidates outside Hamming range are dropped, so
+ * the rule only fires when `spark.graft.ann.enabled=true` — turning it on
+ * is the explicit opt-in to approximate top-k (exactly like choosing
+ * `annKnn` over `knn` in the DataFrame API; RagSpec pins their agreement).
+ *
+ * Registered via GraftExtensions.injectOptimizerRule — runs in the
+ * user-provided-optimizer batch, after constant folding (so the cast query
+ * vector has already collapsed to a Literal).
+ */
+case class AnnRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
+
+  import AnnRewrite._
+
+  private def conf(key: String, dflt: String): String =
+    spark.conf.getOption(key).getOrElse(dflt)
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    if (!conf(EnabledKey, "false").toBoolean) return plan
+    val bits = conf(BitsKey, "16").toInt
+    val seed = conf(SeedKey, "42").toLong
+    val maxHamming = conf(MaxHammingKey, "8").toInt
+
+    plan.transformDown {
+      case sort @ Sort(SortOrder(scoreRef: AttributeReference, Descending, _, _) +: _, true, child, _) =>
+        val rewrittenChild = child.transformDown {
+          case p @ Project(projList, pchild) =>
+            val qvecOpt = projList.collectFirst {
+              case Alias(CosineSimilarity(_, lit: Literal), _) =>
+                literalVec(lit)
+              case Alias(CosineSimilarity(lit: Literal, _), _) =>
+                literalVec(lit)
+            }.flatten
+            val sigAttr = pchild.output.find(a => a.name == "sig" && a.dataType == LongType)
+            (qvecOpt, sigAttr) match {
+              case (Some(qvec), Some(sig)) if projList.exists {
+                    case Alias(_: CosineSimilarity, name) => name == scoreRef.name
+                    case _ => false
+                  } =>
+                val planes = Rag.hyperplanes(qvec.length, bits, seed)
+                val qsig = planes.zipWithIndex.map { case (pl, i) =>
+                  val dot = pl.zip(qvec).map { case (a, b) => a.toDouble * b.toDouble }.sum
+                  if (dot >= 0) 1L << i else 0L
+                }.sum
+                val cond = LessThanOrEqual(
+                  BitwiseCount(BitwiseXor(sig, Literal(qsig, LongType))),
+                  Literal(maxHamming, IntegerType))
+                Project(projList, Filter(cond, pchild))
+              case _ => p
+            }
+        }
+        if (rewrittenChild fastEquals child) sort
+        else sort.copy(child = rewrittenChild)
+    }
+  }
+
+  private def literalVec(lit: Literal): Option[Array[Float]] = lit.dataType match {
+    case ArrayType(FloatType, _) =>
+      val ad = lit.value.asInstanceOf[ArrayData]
+      Some(ad.toFloatArray())
+    case _ => None
+  }
+}
+
+object AnnRewrite {
+  val EnabledKey = "spark.graft.ann.enabled"
+  val BitsKey = "spark.graft.ann.bits"
+  val SeedKey = "spark.graft.ann.seed"
+  val MaxHammingKey = "spark.graft.ann.maxHamming"
+}
