@@ -707,7 +707,7 @@ object SparkEntry {
     // xxhash64-based: no DuckDB twin → rows-only check (weaker, by design)
     "dd_simhash_neardup" -> Q(
       (s, d) => Dedup.simhashNearDup(
-          T(s, d, "documents"), "doc_id", "text", maxHamming = 20, prefixBits = 4)
+          T(s, d, "documents"), "doc_id", "text", maxHamming = 20, prefixBits = 8)
         .orderBy(col("id_a"), col("id_b")),
       None),
 

@@ -76,4 +76,40 @@ object Relational {
   /** W5 — top-k by score: TakeOrderedAndProject, no global sort. */
   def topK(df: DataFrame, ord: Seq[Column], k: Int): DataFrame =
     df.orderBy(ord: _*).limit(k)
+
+  // ── skew-control utilities (100 TB notes in SCALE.md) ──────────────────
+
+  /**
+   * Salted two-phase sum/count aggregation for skewed keys: phase 1 sums on
+   * (key, salt), spreading a hot key over `salts` reducers; phase 2 sums the
+   * partials per key. Produces sum(c) for every column in `sumCols` plus
+   * `n_rows`. AQE splits skewed JOINS automatically; a skewed AGGREGATION
+   * with one dominant key still needs the salt.
+   */
+  def saltedSum(df: DataFrame, key: String, salts: Int, sumCols: Seq[String]): DataFrame = {
+    val salted = df.withColumn("__salt",
+      pmod(spark_partition_id() + monotonically_increasing_id(), lit(salts)))
+    val phase1 = salted.groupBy(col(key), col("__salt"))
+      .agg(count(lit(1)).as("__n"), sumCols.map(c => sum(col(c)).as(s"__s_$c")): _*)
+    phase1.groupBy(col(key))
+      .agg(sum(col("__n")).as("n_rows"), sumCols.map(c => sum(col(s"__s_$c")).as(s"sum_$c")): _*)
+  }
+
+  /**
+   * Salted broadcast-free join for one known-hot key set: the skewed left
+   * rows get a random salt, the right side's matching rows are replicated
+   * across all salts. Use when AQE's skew-join split can't apply (e.g.
+   * bucketed inputs). `rightKey` must be equi-joined to `leftKey`.
+   */
+  def saltedJoin(left: DataFrame, right: DataFrame, leftKey: String,
+                 rightKey: String, salts: Int): DataFrame = {
+    val saltedLeft = left.withColumn("__salt",
+      pmod(monotonically_increasing_id(), lit(salts)))
+    val explodedRight = right.withColumn("__salt",
+      explode(sequence(lit(0L), lit(salts.toLong - 1))))
+    saltedLeft.join(explodedRight,
+      saltedLeft(leftKey) === explodedRight(rightKey) &&
+        saltedLeft("__salt") === explodedRight("__salt"))
+      .drop("__salt")
+  }
 }

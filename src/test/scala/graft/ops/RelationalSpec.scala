@@ -70,4 +70,42 @@ class RelationalSpec extends AnyFunSuite {
     val r = Relational.topK(df, Seq(col("n").desc), 5).as[Int].collect().toSeq
     assert(r == Seq(100, 99, 98, 97, 96))
   }
+
+  test("saltedSum: two-phase aggregation matches the direct groupBy") {
+    // hot key: 900 of 1000 rows share key "hot"
+    val df = (1 to 1000).map(i => (if (i <= 900) "hot" else s"k$i", i.toLong))
+      .toDF("key", "v")
+    val salted = Relational.saltedSum(df, "key", salts = 8, sumCols = Seq("v"))
+      .select("key", "n_rows", "sum_v")
+      .as[(String, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    val direct = df.groupBy("key").agg(count(lit(1)), sum("v"))
+      .as[(String, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(salted == direct)
+  }
+
+  test("saltedJoin: replicated-right join matches the plain join") {
+    val left = Seq.fill(500)("hot").zipWithIndex.map { case (k, i) => (k, i) }
+      .toDF("lk", "lv")
+    val right = Seq(("hot", "H"), ("cold", "C")).toDF("rk", "rv")
+    val salted = Relational.saltedJoin(left, right, "lk", "rk", salts = 4)
+      .select("lv", "rv").as[(Int, String)].collect().sorted.toSeq
+    val plain = left.join(right, col("lk") === col("rk"))
+      .select("lv", "rv").as[(Int, String)].collect().sorted.toSeq
+    assert(salted == plain && salted.size == 500)
+  }
+
+  test("bucketed table: groupBy on the bucket key plans without a shuffle Exchange") {
+    val spark2 = spark
+    spark2.sql("DROP TABLE IF EXISTS graft_msgs_bucketed")
+    items.write.bucketBy(4, "workflow_id").sortBy("workflow_id", "ts")
+      .format("parquet").saveAsTable("graft_msgs_bucketed")
+    val agg = spark2.table("graft_msgs_bucketed")
+      .groupBy("workflow_id").agg(max(col("ts")).as("m"))
+    val buf = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(buf, true, "UTF-8")) { agg.explain() }
+    val plan = buf.toString("UTF-8")
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"bucketed groupBy must not shuffle:\n$plan")
+    assert(agg.count() == 2)
+  }
 }
