@@ -552,6 +552,27 @@ object SparkEntry {
              |  round(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE)), 6) AS norm2
              |FROM upd ORDER BY vec_id""".stripMargin)),
 
+    // V1+V2+V3 composed: chunk → pseudo-embed (deterministic V1 stand-in)
+    // → cosine top-5 chunks for a fixed query — the full indexing flow as
+    // one distributed query; xxhash64-based → rows-only
+    "v1_chunk_embed_search" -> Q(
+      (s, d) => {
+        import s.implicits._
+        GraftFunctions.register(s)
+        val chunks = T(s, d, "documents")
+          .filter(col("doc_id") < 100)
+          .select(col("doc_id"), GraftFunctions.chunkText(col("text"), 200, 50))
+        val emb = Rag.pseudoEmbedBulk(chunks, Seq("doc_id", "chunk_idx"), "chunk", dim = 32)
+          .withColumn("chunk_id",
+            concat(col("doc_id").cast("string"), lit("#"), col("chunk_idx").cast("string")))
+        val qvec = Seq("spark table scan merge").toDF("q")
+          .select(Rag.pseudoEmbed(col("q"), 32).as("e"))
+          .head().getSeq[Float](0).toArray
+        Rag.knn(emb, "chunk_id", "embedding", qvec, k = 5, minScore = -1.0)
+          .select(col("chunk_id"), round(col("score"), 6).as("score"))
+      },
+      None),
+
     // ANN scale path (hyperplane LSH prune + exact rerank) — planes are
     // engine-side constants, no SQL twin → rows-only check; parity with
     // brute force is pinned in RagSpec

@@ -82,6 +82,57 @@ object Rag {
         count(lit(1)).cast("long").as("n_contexts"))
   }
 
+  /**
+   * V1 stand-in with REAL plumbing: a deterministic bag-of-hashed-tokens
+   * pseudo-embedding as a pure column expression — each token hashes to a
+   * dimension bucket with a ±1 sign, the vector is l2-normalized. Not a
+   * semantic model (the reference calls OpenAI here, neo4j_rag.py:67-92 —
+   * an external-service batch UDF in production); what this gives the
+   * engine is a fully-distributed chunk→embed→index→search path whose
+   * geometry behaves like an embedding (identical text ⇒ identical vector,
+   * token overlap ⇒ cosine proximity) with zero external calls.
+   */
+  def pseudoEmbed(text: Column, dim: Int = 64): Column = {
+    val toks = filter(split(lower(text), "\\s+"), t => length(t) > 0)
+    val hashed = transform(toks, t => xxhash64(t))
+    val counts = (0 until dim).map { d =>
+      aggregate(hashed, lit(0.0d), (acc, h) =>
+        acc + when(pmod(h, lit(dim)) === d,
+          when(pmod(h, lit(2 * dim)) < dim, 1.0d).otherwise(-1.0d)).otherwise(0.0d))
+    }
+    val arr = array(counts: _*)
+    val norm = sqrt(aggregate(arr, lit(0.0d), (a, x) => a + x * x))
+    when(norm > 0.0d, transform(arr, x => (x / norm).cast("float")))
+  }
+
+  /**
+   * Bulk twin of `pseudoEmbed` for scans (same output, different plan):
+   * explode tokens → hash → per-(doc, dim-bucket) codegen'd sums → dense
+   * vector assembly + normalization. One shuffle on the id; use this for
+   * corpus-scale embedding, the Column form for ad-hoc/driver-side use.
+   */
+  def pseudoEmbedBulk(df: DataFrame, idCols: Seq[String], textCol: String,
+                      dim: Int = 64): DataFrame = {
+    val ids = idCols.map(col)
+    val toks = df.select(ids :+
+      explode(filter(split(lower(col(textCol)), "\\s+"), t => length(t) > 0)).as("tok"): _*)
+    val buckets = toks
+      .select(ids :+ xxhash64(col("tok")).as("h"): _*)
+      .withColumn("d", pmod(col("h"), lit(dim)).cast("int"))
+      .withColumn("v", when(pmod(col("h"), lit(2 * dim)) < dim, 1.0d).otherwise(-1.0d))
+      .groupBy(ids :+ col("d"): _*)
+      .agg(sum(col("v")).as("v"))
+    val dense = buckets
+      .groupBy(ids: _*)
+      .agg(map_from_entries(collect_list(struct(col("d"), col("v")))).as("m"))
+      .withColumn("raw", transform(sequence(lit(0), lit(dim - 1)),
+        i => coalesce(element_at(col("m"), i), lit(0.0d))))
+    val norm = sqrt(aggregate(col("raw"), lit(0.0d), (a, x) => a + x * x))
+    dense.select(ids :+
+      when(norm > 0.0d, transform(col("raw"), x => (x / norm).cast("float")))
+        .as("embedding"): _*)
+  }
+
   // ─── ANN scale path ───────────────────────────────────────────────────────
 
   /** Pre-normalize at write time; on normalized vectors cosine == dot. */
