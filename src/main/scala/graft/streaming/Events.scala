@@ -145,6 +145,23 @@ object Events {
   }
 
   /**
+   * T1 — failure-tolerant event delivery: the reference swallows publish
+   * errors so event emission can never break a workflow
+   * (redpanda_activity.py:136-140, "Don't raise"). Streaming twin:
+   * foreachBatch wrapping the per-batch write in try/catch — a failed
+   * batch is counted and dropped, the stream keeps running (the documented
+   * production alternative is a dead-letter queue).
+   */
+  def resilientForeachBatchSink(
+      df: DataFrame,
+      writeBatch: (DataFrame, Long) => Unit,
+      onError: (Throwable, Long) => Unit = (_, _) => ()): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    df.writeStream.foreachBatch { (batch: DataFrame, id: Long) =>
+      try writeBatch(batch, id)
+      catch { case e: Throwable => onError(e, id) }
+    }
+
+  /**
    * T5 extension — per-workflow progress over event time with a watermark
    * (the reference leaves analytics to consumers, README.md:131; this is the
    * Structured-Streaming variant, works identically on a batch frame).

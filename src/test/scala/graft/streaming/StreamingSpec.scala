@@ -62,6 +62,30 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("T1: a failing batch is swallowed and the stream keeps delivering") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[String]
+    val delivered = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val errors = new java.util.concurrent.atomic.AtomicInteger(0)
+    val q = Events.resilientForeachBatchSink(
+      input.toDF().toDF("v"),
+      (batch, _) => {
+        val vals = batch.collect().map(_.getString(0))
+        if (vals.contains("poison")) sys.error("broker down")
+        vals.foreach(delivered.add)
+      },
+      (_, _) => errors.incrementAndGet())
+      .outputMode("append").start()
+    try {
+      input.addData("a"); q.processAllAvailable()
+      input.addData("poison"); q.processAllAvailable() // must not kill the stream
+      input.addData("b"); q.processAllAvailable()
+      assert(q.isActive, "stream must survive the failed batch")
+      assert(delivered.toArray.toSet == Set("a", "b"))
+      assert(errors.get() == 1)
+    } finally q.stop()
+  }
+
   test("session built with GraftExtensions resolves cosine_sim from SQL") {
     import org.apache.spark.sql.SparkSession
     val prev = spark
