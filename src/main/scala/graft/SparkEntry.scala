@@ -267,7 +267,38 @@ object SparkEntry {
       Some("""SELECT event_id, value FROM events
              |ORDER BY value DESC, event_id LIMIT 10""".stripMargin)),
 
+    "a5_count_distinct" -> Q(
+      (s, d) => TestData.events(s, d)
+        .groupBy(col("event_type"))
+        .agg(countDistinct(col("user_id")).as("n_users"))
+        .orderBy(col("event_type")),
+      Some("""SELECT event_type, count(DISTINCT user_id) AS n_users
+             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    "a6_rollup" -> Q(
+      (s, d) => T(s, d, "orders")
+        .rollup(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+        .orderBy(col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first),
+      Some("""SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+             |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+             |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+             |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin)),
+
     // ── U: set ops ───────────────────────────────────────────────────────
+    "u2_intersect" -> Q(
+      (s, d) => {
+        val ev = TestData.events(s, d)
+        ev.filter(col("event_type") === "view").select(col("user_id")).distinct()
+          .intersect(ev.filter(col("event_type") === "click").select(col("user_id")).distinct())
+          .orderBy(col("user_id"))
+      },
+      Some("""SELECT user_id FROM (
+             |  (SELECT DISTINCT user_id FROM events WHERE event_type = 'view')
+             |  INTERSECT
+             |  (SELECT DISTINCT user_id FROM events WHERE event_type = 'click')) t
+             |ORDER BY user_id""".stripMargin)),
+
     "u1_except" -> Q(
       (s, d) => {
         val ev = TestData.events(s, d)
