@@ -77,6 +77,48 @@ object Relational {
   def topK(df: DataFrame, ord: Seq[Column], k: Int): DataFrame =
     df.orderBy(ord: _*).limit(k)
 
+  /**
+   * Backward as-of join (an operator Spark lacks; composed per preference
+   * (a) of the build brief): for every left row, attach the payload of the
+   * LATEST right row with the same key and `rightTime <= leftTime`
+   * (inclusive), null when none exists — the "nearest prior state" join of
+   * event pipelines.
+   *
+   * Plan shape: tag + unionByName both sides, one window
+   * (partitionBy key, orderBy time with right-before-left tie order,
+   * rowsBetween unboundedPreceding→current) carrying the last non-null
+   * payload forward, then keep the left rows. ONE shuffle + sort on the
+   * key — the same cost as a sort-merge join, with no range-explosion; at
+   * 100 TB the key partitioning (bucketed tables) removes the shuffle.
+   *
+   * `payloadCols` are the right-side columns to attach; both frames must
+   * share only `key` as a common column name.
+   */
+  def asofJoin(left: DataFrame, right: DataFrame, key: String,
+               leftTime: String, rightTime: String,
+               payloadCols: Seq[String]): DataFrame = {
+    val leftCols = left.columns.filterNot(_ == key).toSeq
+    val taggedLeft = left
+      .withColumn("__t", col(leftTime))
+      .withColumn("__is_left", lit(1))
+    val taggedRight = right
+      .select((key +: rightTime +: payloadCols).distinct.map(col): _*)
+      .withColumn("__t", col(rightTime))
+      .withColumn("__is_left", lit(0))
+    val unioned = taggedLeft.unionByName(taggedRight, allowMissingColumns = true)
+    // right rows sort BEFORE left rows at equal time → inclusive rt <= lt
+    val w = Window.partitionBy(col(key))
+      .orderBy(col("__t"), col("__is_left"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = payloadCols.foldLeft(unioned) { (df, c) =>
+      df.withColumn(s"__asof_$c", last(col(c), ignoreNulls = true).over(w))
+    }
+    val out = carried.filter(col("__is_left") === 1)
+      .select((key +: leftCols).map(col) ++
+        payloadCols.map(c => col(s"__asof_$c").as(c)): _*)
+    out
+  }
+
   // ── skew-control utilities (100 TB notes in SCALE.md) ──────────────────
 
   /**

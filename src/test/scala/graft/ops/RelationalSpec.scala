@@ -94,6 +94,25 @@ class RelationalSpec extends AnyFunSuite {
     assert(salted == plain && salted.size == 500)
   }
 
+  test("asofJoin: latest prior right payload, inclusive ties, null before first state") {
+    val probes = Seq(
+      ("u1", 5L, "p@5"), ("u1", 10L, "p@10"), ("u1", 20L, "p@20"),
+      ("u2", 7L, "p@7")
+    ).toDF("key", "t", "tag")
+    val state = Seq(
+      ("u1", 10L, 1.0), ("u1", 15L, 2.0), // state at 10 (tie with probe@10) and 15
+      ("u3", 1L, 9.9)                      // unrelated key
+    ).toDF("key", "st", "price")
+    val r = Relational.asofJoin(probes, state, "key", "t", "st", Seq("price"))
+      .select("key", "t", "price").as[(String, Long, Option[Double])]
+      .collect().sortBy(x => (x._1, x._2)).toSeq
+    assert(r == Seq(
+      ("u1", 5L, None),        // before any state
+      ("u1", 10L, Some(1.0)),  // inclusive: state@10 visible to probe@10
+      ("u1", 20L, Some(2.0)),  // latest prior (15), not first
+      ("u2", 7L, None)))       // key with no state at all
+  }
+
   test("bucketed table: groupBy on the bucket key plans without a shuffle Exchange") {
     val spark2 = spark
     spark2.sql("DROP TABLE IF EXISTS graft_msgs_bucketed")
