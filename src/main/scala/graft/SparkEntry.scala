@@ -309,6 +309,50 @@ object SparkEntry {
              |  ON p.user_id = s.user_id AND p.ms >= s.sms
              |ORDER BY p.event_id""".stripMargin)),
 
+    "x2_sessionize" -> Q(
+      (s, d) => Relational.sessionize(
+          TestData.events(s, d)
+            .select(col("event_id"), col("user_id"), unix_millis(col("ts")).as("ms")),
+          "user_id", "ms", gap = 3600000L, tieBreak = Seq(col("event_id")))
+        .select(col("event_id"), col("user_id"), col("session_id"))
+        .orderBy(col("event_id")),
+      Some("""WITH e AS (SELECT event_id, user_id, epoch_ms(CAST(ts AS TIMESTAMP)) AS ms FROM events),
+             |flags AS (SELECT event_id, user_id, ms,
+             |    CASE WHEN lag(ms) OVER w IS NULL OR ms - lag(ms) OVER w > 3600000 THEN 1 ELSE 0 END AS is_new
+             |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ms, event_id))
+             |SELECT event_id, user_id,
+             |  sum(is_new) OVER (PARTITION BY user_id ORDER BY ms, event_id
+             |                    ROWS UNBOUNDED PRECEDING) - 1 AS session_id
+             |FROM flags ORDER BY event_id""".stripMargin)),
+
+    "x3_range_join" -> Q(
+      (s, d) => {
+        val ev = TestData.events(s, d)
+        val probes = ev.filter(col("event_type") === "view")
+          .select(col("event_id").as("view_id"), col("user_id"),
+            unix_millis(col("ts")).as("ms"))
+        val intervals = ev.filter(col("event_type") === "purchase")
+          .select(col("event_id").as("purchase_id"), col("user_id"),
+            unix_millis(col("ts")).as("p_start"),
+            (unix_millis(col("ts")) + 1800000L).as("p_end"))
+        Relational.rangeJoinBinned(probes, intervals, "ms", "p_start", "p_end",
+            binWidth = 1800000L, keyCol = Some("user_id"))
+          .select(col("view_id"), col("purchase_id"), col("user_id"))
+          .orderBy(col("view_id"), col("purchase_id"))
+      },
+      Some("""WITH probes AS (
+             |  SELECT event_id AS view_id, user_id, epoch_ms(CAST(ts AS TIMESTAMP)) AS ms
+             |  FROM events WHERE event_type = 'view'),
+             |intervals AS (
+             |  SELECT event_id AS purchase_id, user_id,
+             |    epoch_ms(CAST(ts AS TIMESTAMP)) AS p_start,
+             |    epoch_ms(CAST(ts AS TIMESTAMP)) + 1800000 AS p_end
+             |  FROM events WHERE event_type = 'purchase')
+             |SELECT view_id, purchase_id, p.user_id AS user_id
+             |FROM probes p JOIN intervals i
+             |  ON p.user_id = i.user_id AND p.ms BETWEEN i.p_start AND i.p_end
+             |ORDER BY view_id, purchase_id""".stripMargin)),
+
     // ── U: set ops ───────────────────────────────────────────────────────
     "u2_intersect" -> Q(
       (s, d) => {

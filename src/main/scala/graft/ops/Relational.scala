@@ -119,6 +119,45 @@ object Relational {
     out
   }
 
+  /**
+   * Sessionization: assign a per-key session id that increments whenever
+   * the gap to the previous event exceeds `gap` (same units as `timeCol`).
+   * lag + running sum over one (key, time) window — one shuffle, none on a
+   * key-bucketed table. Session ids are 0-based and dense per key.
+   */
+  def sessionize(df: DataFrame, key: String, timeCol: String, gap: Long,
+                 tieBreak: Seq[Column] = Seq.empty): DataFrame = {
+    val ord = col(timeCol) +: tieBreak
+    val w = Window.partitionBy(col(key)).orderBy(ord: _*)
+    val isNew = when(
+      lag(col(timeCol), 1).over(w).isNull ||
+        col(timeCol) - lag(col(timeCol), 1).over(w) > gap, 1L).otherwise(0L)
+    df.withColumn("session_id",
+      sum(isNew).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)) - 1)
+  }
+
+  /**
+   * Binned range join (interval join Spark would otherwise plan as a
+   * broadcast-nested-loop): left points `t` against right intervals
+   * [startCol, endCol]. Both sides are bucketed into `binWidth`-sized time
+   * bins; intervals explode into every bin they overlap, the join is
+   * bin-equi (+ optional key), and the exact BETWEEN filter runs on the
+   * bin-local candidates. Cost: O(intervalSpan/binWidth) replication
+   * instead of O(|left|×|right|) comparisons — pick binWidth near the
+   * typical interval length.
+   */
+  def rangeJoinBinned(left: DataFrame, right: DataFrame,
+                      tCol: String, startCol: String, endCol: String,
+                      binWidth: Long, keyCol: Option[String] = None): DataFrame = {
+    val lBinned = left.withColumn("__bin", floor(col(tCol) / binWidth))
+    val rBinned = right.withColumn("__bin",
+      explode(sequence(floor(col(startCol) / binWidth), floor(col(endCol) / binWidth))))
+    val joinKeys = "__bin" +: keyCol.toSeq
+    lBinned.join(rBinned, joinKeys)
+      .filter(col(tCol) >= col(startCol) && col(tCol) <= col(endCol))
+      .drop("__bin")
+  }
+
   // ── skew-control utilities (100 TB notes in SCALE.md) ──────────────────
 
   /**

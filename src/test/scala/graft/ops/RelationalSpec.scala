@@ -113,6 +113,32 @@ class RelationalSpec extends AnyFunSuite {
       ("u2", 7L, None)))       // key with no state at all
   }
 
+  test("sessionize: gap starts a new dense 0-based session per key") {
+    val ev = Seq(
+      ("u1", 0L), ("u1", 10L), ("u1", 100L), // gap 90 > 50 → new session
+      ("u1", 120L), ("u2", 5L)
+    ).toDF("key", "t")
+    val r = Relational.sessionize(ev, "key", "t", gap = 50L)
+      .select("key", "t", "session_id").as[(String, Long, Long)]
+      .collect().sortBy(x => (x._1, x._2)).toSeq
+    assert(r == Seq(
+      ("u1", 0L, 0L), ("u1", 10L, 0L), ("u1", 100L, 1L), ("u1", 120L, 1L),
+      ("u2", 5L, 0L)))
+  }
+
+  test("rangeJoinBinned matches the naive BETWEEN join across bin boundaries") {
+    val probes = (0L to 100L by 7).map(t => ("k", t)).toDF("key", "t")
+    val intervals = Seq(("k", 5L, 25L, "i1"), ("k", 24L, 30L, "i2"), ("k", 90L, 200L, "i3"))
+      .toDF("key", "s", "e", "iid")
+    val binned = Relational.rangeJoinBinned(probes, intervals, "t", "s", "e",
+        binWidth = 10L, keyCol = Some("key"))
+      .select("t", "iid").as[(Long, String)].collect().sorted.toSeq
+    val naive = probes.join(intervals, Seq("key"))
+      .filter(col("t") >= col("s") && col("t") <= col("e"))
+      .select("t", "iid").as[(Long, String)].collect().sorted.toSeq
+    assert(binned == naive && binned.nonEmpty)
+  }
+
   test("bucketed table: groupBy on the bucket key plans without a shuffle Exchange") {
     val spark2 = spark
     spark2.sql("DROP TABLE IF EXISTS graft_msgs_bucketed")
