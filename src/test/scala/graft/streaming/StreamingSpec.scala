@@ -62,6 +62,30 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("file-source stream: events parquet dir streams through routing into a sink") {
+    // S9 file-stream variant: a growing parquet directory consumed as a
+    // stream — same envelope/routing columns as the Kafka path
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream-src").toString
+    Seq(("image_generated", "wfX", ts("2026-01-01 00:00:01"), "{}"))
+      .toDF("et", "wf", "ts", "data").write.mode("append").parquet(dir)
+    val schema = spark.read.parquet(dir).schema
+    val stream = spark.readStream.schema(schema).parquet(dir)
+    val out = Events.toKafkaFrame(stream, col("et"), col("wf"), col("ts"), col("data"),
+      Events.Topics(default = "dft", artifacts = Some("art")))
+    val q = out.writeStream.format("memory").queryName("file_stream_out")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // second file lands mid-stream
+      Seq(("search_executing", "wfX", ts("2026-01-01 00:00:02"), "{}"))
+        .toDF("et", "wf", "ts", "data").write.mode("append").parquet(dir)
+      q.processAllAvailable()
+      val topics = spark.table("file_stream_out").select("topic")
+        .as[String].collect().toSet
+      assert(topics == Set("art", "dft"))
+    } finally q.stop()
+  }
+
   test("T1: a failing batch is swallowed and the stream keeps delivering") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[String]
