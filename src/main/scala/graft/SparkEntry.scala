@@ -686,6 +686,23 @@ object SparkEntry {
           .select(col("vec_id"), round(col("score"), 6).as("score"))
           .orderBy(col("score").desc, col("vec_id"))
       },
+      None),
+
+    // IVF scale path (coarse-quantizer cells + probe prune + exact rerank) —
+    // centroids are engine-side trained constants, no SQL twin → rows-only;
+    // exhaustive-probe parity with brute force is pinned in IvfSpec
+    "v3_ivf_knn" -> Q(
+      (s, d) => {
+        val q = queryVec(s, d)
+        val emb = TestData.embeddings(s, d)
+          .filter(col("vec_id") =!= 0 && col("embedding").isNotNull)
+        val model = graft.rag.Ivf.train(emb, "vec_id", "embedding", nCells = 8)
+        val cells = graft.rag.Ivf.withCell(emb, "embedding", model)
+        graft.rag.Ivf.ivfKnn(cells, "vec_id", "embedding", q, model,
+            k = 10, minScore = -1.0, nProbe = 4)
+          .select(col("vec_id"), round(col("score"), 6).as("score"))
+          .orderBy(col("score").desc, col("vec_id"))
+      },
       None)
   )
 
