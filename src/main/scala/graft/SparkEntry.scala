@@ -569,7 +569,125 @@ object SparkEntry {
       Some("""SELECT epoch_ms(date_trunc('hour', CAST(ts AS TIMESTAMP))) AS hour_ms, event_type,
              |  count(*) AS n, CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
              |FROM events GROUP BY 1, 2 ORDER BY hour_ms, event_type""".stripMargin))
-  ) ++ dedupDefs ++ textDefs ++ scalarDefs ++ storeDefs ++ analyticsDefs
+  ) ++ dedupDefs ++ textDefs ++ scalarDefs ++ storeDefs ++ analyticsDefs ++ advancedDefs
+
+  /** OLAP widening: CUBE / GROUPING SETS / pivot / window frames /
+    * exact percentiles / portable hash-sampling / HLL sketches. */
+  private def advancedDefs: Seq[(String, Q)] = Seq(
+
+    "a7_cube" -> Q(
+      (s, d) => T(s, d, "orders")
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+        .orderBy(col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first),
+      Some("""SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+             |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+             |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+             |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin)),
+
+    // GROUPING SETS through the spark.sql surface (temp view + ANSI SQL) —
+    // the SQL front door is part of the engine's API, so one battery entry
+    // exercises it end-to-end
+    "a8_grouping_sets" -> Q(
+      (s, d) => {
+        T(s, d, "orders").createOrReplaceTempView("orders_gs")
+        s.sql("""SELECT o_orderstatus, o_orderpriority, count(*) AS n
+                |FROM orders_gs
+                |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+                |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin)
+      },
+      Some("""SELECT o_orderstatus, o_orderpriority, count(*) AS n
+             |FROM orders
+             |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+             |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin)),
+
+    // pivot with an explicit value list (never value-discovery — that's a
+    // separate job at scale); counts coalesced to 0, names parquet-safe
+    "p8_pivot" -> Q(
+      (s, d) => {
+        val prios = Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+        val piv = T(s, d, "orders")
+          .groupBy(col("o_orderstatus"))
+          .pivot("o_orderpriority", prios)
+          .agg(count(lit(1)))
+        piv.select(col("o_orderstatus"),
+            coalesce(col("`1-URGENT`"), lit(0L)).as("p_urgent"),
+            coalesce(col("`2-HIGH`"), lit(0L)).as("p_high"),
+            coalesce(col("`3-MEDIUM`"), lit(0L)).as("p_medium"),
+            coalesce(col("`4-NOT SPECIFIED`"), lit(0L)).as("p_notspec"),
+            coalesce(col("`5-LOW`"), lit(0L)).as("p_low"))
+          .orderBy(col("o_orderstatus"))
+      },
+      Some("""SELECT o_orderstatus,
+             |  count(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS p_urgent,
+             |  count(*) FILTER (WHERE o_orderpriority = '2-HIGH') AS p_high,
+             |  count(*) FILTER (WHERE o_orderpriority = '3-MEDIUM') AS p_medium,
+             |  count(*) FILTER (WHERE o_orderpriority = '4-NOT SPECIFIED') AS p_notspec,
+             |  count(*) FILTER (WHERE o_orderpriority = '5-LOW') AS p_low
+             |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)),
+
+    // window frames: running total (unbounded preceding) + centered moving
+    // average (2 preceding..current) — decimal-exact so partial-agg order
+    // can't change bits
+    "w6_window_frames" -> Q(
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("user_id")).orderBy(col("event_id"))
+        val run = w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+        val mov = w.rowsBetween(-2, 0)
+        TestData.events(s, d)
+          .filter(col("user_id") <= 50)
+          .select(col("user_id"), col("event_id"),
+            sum(col("value").cast("decimal(18,2)")).over(run).cast("double").as("running_total"),
+            round(sum(col("value").cast("decimal(18,2)")).over(mov).cast("double") /
+              count(lit(1)).over(mov), 6).as("moving_avg"))
+          .orderBy(col("user_id"), col("event_id"))
+      },
+      Some("""SELECT user_id, event_id,
+             |  CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w_run AS DOUBLE) AS running_total,
+             |  round(CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w_mov AS DOUBLE)
+             |        / count(*) OVER w_mov, 6) AS moving_avg
+             |FROM events WHERE user_id <= 50
+             |WINDOW
+             |  w_run AS (PARTITION BY user_id ORDER BY event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             |  w_mov AS (PARTITION BY user_id ORDER BY event_id ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+             |ORDER BY user_id, event_id""".stripMargin)),
+
+    // exact interpolated percentiles (both engines: linear interpolation on
+    // the sorted set; round(6) absorbs the ~1e-13 formula-order difference)
+    "a9_percentiles" -> Q(
+      (s, d) => TestData.events(s, d)
+        .groupBy(col("event_type"))
+        .agg(
+          round(expr("percentile(value, 0.5)"), 6).as("p50"),
+          round(expr("percentile(value, 0.9)"), 6).as("p90"))
+        .orderBy(col("event_type")),
+      Some("""SELECT event_type,
+             |  round(quantile_cont(value, 0.5), 6) AS p50,
+             |  round(quantile_cont(value, 0.9), 6) AS p90
+             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    // portable deterministic sampling: md5-prefix filter computes the SAME
+    // sample membership in any engine (the scale story for "give me 1/16 of
+    // 100 TB, reproducibly, no coordination")
+    "x4_hash_sample" -> Q(
+      (s, d) => T(s, d, "orders")
+        .filter(substring(md5(col("o_orderkey").cast("string")), 1, 1) === "0")
+        .agg(count(lit(1)).as("n_sample"), dsum(col("o_totalprice")).as("sample_total")),
+      Some("""SELECT count(*) AS n_sample,
+             |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sample_total
+             |FROM orders WHERE substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 1) = '0'""".stripMargin)),
+
+    // HLL sketch (approx_count_distinct): engine-specific estimator → no
+    // cross-engine oracle; rows-only here, relative-error bound pinned in
+    // RelationalSpec
+    "a10_approx_distinct" -> Q(
+      (s, d) => TestData.events(s, d)
+        .groupBy(col("event_type"))
+        .agg(approx_count_distinct(col("user_id")).as("approx_users"))
+        .orderBy(col("event_type")),
+      None)
+  )
 
   /** Exact disc-price: decimal(18,2) × decimal(3,2) stays exact; double out. */
   private def discPrice: Column =

@@ -153,4 +153,14 @@ class RelationalSpec extends AnyFunSuite {
       s"bucketed groupBy must not shuffle:\n$plan")
     assert(agg.count() == 2)
   }
+
+  test("approx_count_distinct stays within HLL's default 5% rsd of exact") {
+    val events = graft.sources.TestData.events(spark, "/root/testdata/sf0.01")
+    val r = events.agg(
+      countDistinct(col("user_id")).as("exact"),
+      approx_count_distinct(col("user_id")).as("approx"))
+      .as[(Long, Long)].collect().head
+    val relErr = math.abs(r._2 - r._1).toDouble / r._1
+    assert(relErr < 0.05, s"exact=${r._1} approx=${r._2} relErr=$relErr")
+  }
 }
