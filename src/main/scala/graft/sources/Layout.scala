@@ -1,0 +1,65 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Write-time layout + table maintenance — the storage-side half of the
+ * 100 TB design (SCALE.md "Storage layout"). The reference gets this from
+ * Iceberg (partition specs, rewrite_data_files); with no iceberg runtime in
+ * /opt/spark/jars the same operations are expressed directly against
+ * parquet directories, keeping the verbs Iceberg-shaped so a catalog swap
+ * is a config change, not a rewrite.
+ */
+object Layout {
+
+  /**
+   * Date-partitioned layout for event-time tables: Hive-style `dt=` dirs so
+   * any engine prunes partitions from a date predicate. Within each
+   * partition, rows are range-sorted by the sort keys → per-file min/max
+   * stats are tight → row-group skipping works on top of partition pruning.
+   */
+  def writeDatePartitioned(df: DataFrame, tsCol: String, path: String,
+                           sortKeys: Seq[String] = Nil): Unit = {
+    val withDt = df.withColumn("dt", to_date(col(tsCol)))
+    val sorted =
+      if (sortKeys.isEmpty) withDt
+      else withDt.sortWithinPartitions((col("dt") +: sortKeys.map(col)): _*)
+    sorted.write.mode("overwrite").partitionBy("dt").parquet(path)
+  }
+
+  /** Read back a date-partitioned table (partition pruning on `dt`). */
+  def readDatePartitioned(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
+  /**
+   * Compact small files to ~`targetBytes` per output file — the
+   * `rewrite_data_files` maintenance verb. Rewrites into `outPath`
+   * (object-store pattern: write-new-then-flip-pointer; an in-place swap is
+   * a catalog commit in Iceberg, a directory rename here).
+   *
+   * Returns (filesBefore, filesAfter).
+   */
+  def compact(spark: SparkSession, inPath: String, outPath: String,
+              targetBytes: Long = 128L * 1024 * 1024): (Int, Int) = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    def parquetFiles(p: String): Seq[org.apache.hadoop.fs.FileStatus] = {
+      val hp = new org.apache.hadoop.fs.Path(p)
+      val fs = hp.getFileSystem(conf)
+      val it = fs.listFiles(hp, true)
+      val buf = scala.collection.mutable.ArrayBuffer.empty[org.apache.hadoop.fs.FileStatus]
+      while (it.hasNext) {
+        val f = it.next()
+        if (f.getPath.getName.endsWith(".parquet")) buf += f
+      }
+      buf.toSeq
+    }
+    val before = parquetFiles(inPath)
+    val totalBytes = before.map(_.getLen).sum
+    val nOut = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
+    spark.read.parquet(inPath)
+      .repartition(nOut)
+      .write.mode("overwrite").parquet(outPath)
+    (before.size, parquetFiles(outPath).size)
+  }
+}

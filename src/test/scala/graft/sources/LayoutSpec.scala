@@ -1,0 +1,54 @@
+package graft.sources
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Partition pruning from the date layout; compaction preserves content. */
+class LayoutSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def tmp(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  test("date layout: a dt predicate prunes partitions in the plan and on disk") {
+    val dir = tmp("graft-layout")
+    val events = TestData.events(spark, "/root/testdata/sf0.001")
+    Layout.writeDatePartitioned(events, "ts", dir, sortKeys = Seq("user_id"))
+
+    val nPartitions = new java.io.File(dir).listFiles()
+      .count(_.getName.startsWith("dt="))
+    assert(nPartitions > 1, s"expected several dt= partitions, got $nPartitions")
+
+    val oneDay = Layout.readDatePartitioned(spark, dir)
+      .filter(col("dt") === spark.read.parquet(dir).agg(min("dt")).head().getDate(0))
+    val buf = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(buf, true, "UTF-8")) {
+      oneDay.explain()
+    }
+    val plan = buf.toString("UTF-8")
+    assert(plan.contains("PartitionFilters"), plan)
+    assert(oneDay.count() > 0)
+    assert(oneDay.count() < events.count())
+  }
+
+  test("compact: many small files → few target-size files, content identical") {
+    val in = tmp("graft-compact-in")
+    val out = tmp("graft-compact-out")
+    val events = TestData.events(spark, "/root/testdata/sf0.001")
+      .select(col("event_id"), col("user_id"), col("value"))
+    events.repartition(32).write.mode("overwrite").parquet(in)
+
+    val (nBefore, nAfter) = Layout.compact(spark, in, out, targetBytes = 64L * 1024 * 1024)
+    assert(nBefore == 32)
+    assert(nAfter < 4, s"expected ≤3 compacted files, got $nAfter")
+
+    def digest(p: String): (Long, Double) =
+      spark.read.parquet(p)
+        .agg(count(lit(1)), sum(col("value").cast("decimal(18,2)")).cast("double"))
+        .as[(Long, Double)].collect().head
+    assert(digest(in) == digest(out))
+  }
+}

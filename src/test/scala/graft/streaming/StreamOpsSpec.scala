@@ -1,0 +1,61 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Bounded-state streaming dedup + broadcast stream-static enrichment. */
+class StreamOpsSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("dedupWithinWatermark keeps first arrival per key, duplicates dropped") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, Timestamp, Double)]
+    val dedup = StreamOps.dedupWithinWatermark(
+      input.toDF().toDF("id", "ts", "v"), "ts", "10 minutes", Seq("id"))
+    val q = dedup.writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        ("a", ts("2026-01-01 10:00:00"), 1.0),
+        ("a", ts("2026-01-01 10:00:05"), 2.0), // dup within delay → dropped
+        ("b", ts("2026-01-01 10:00:01"), 3.0))
+      q.processAllAvailable()
+      input.addData(("a", ts("2026-01-01 10:01:00"), 4.0)) // still within delay
+      q.processAllAvailable()
+      val rows = spark.table("dedup_out").select("id", "v")
+        .as[(String, Double)].collect().toSet
+      assert(rows == Set(("a", 1.0), ("b", 3.0)))
+    } finally q.stop()
+  }
+
+  test("enrichWithStatic broadcasts the dim side and never shuffles the stream") {
+    implicit val sqlCtx = spark.sqlContext
+    val dim = Seq(("purchase", "conversion"), ("view", "engagement"))
+      .toDF("event_type", "label")
+    val input = MemoryStream[(Long, String)]
+    val enriched = StreamOps.enrichWithStatic(
+      input.toDF().toDF("event_id", "event_type"), dim, Seq("event_type"))
+    val q = enriched.writeStream.format("memory").queryName("enrich_out")
+      .outputMode("append").start()
+    try {
+      input.addData((1L, "purchase"), (2L, "view"), (3L, "mystery"))
+      q.processAllAvailable()
+      val rows = spark.table("enrich_out").select("event_id", "label")
+        .as[(Long, Option[String])].collect().toSet
+      assert(rows == Set((1L, Some("conversion")), (2L, Some("engagement")), (3L, None)))
+      // the executed plan must broadcast the static side
+      val buf = new java.io.ByteArrayOutputStream()
+      Console.withOut(new java.io.PrintStream(buf, true, "UTF-8")) { q.explain() }
+      assert(buf.toString("UTF-8").contains("BroadcastHashJoin"),
+        s"expected broadcast join in streaming plan:\n${buf.toString("UTF-8")}")
+    } finally q.stop()
+  }
+}
