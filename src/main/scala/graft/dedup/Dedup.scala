@@ -202,6 +202,60 @@ object Dedup {
       .filter(col("cosine") >= minCosine)
   }
 
+  // ── near-dup clustering (pairs → groups → survivors) ─────────────────────
+  /**
+   * Connected components over a near-dup pair list: every doc gets the min
+   * doc-id of its component as `cluster`. Iterative min-label propagation
+   * (large-star/small-star simplification): each round joins current labels
+   * across edges and keeps the per-node min; converges in O(component
+   * diameter) rounds — near-dup clusters are shallow (diameter ≤ ~5), so a
+   * handful of shuffles, each on the node id. Lineage is truncated with a
+   * local checkpoint per round so 100 rounds can't build a 100-stage plan.
+   */
+  def connectedComponents(pairs: DataFrame, allIds: DataFrame, idCol: String,
+                          maxIters: Int = 20): DataFrame = {
+    val spark = pairs.sparkSession
+    // undirected edge list, both directions
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .distinct().cache()
+    var labels = allIds.select(col(idCol).as("id"), col(idCol).as("cluster"))
+    var changed = 1L
+    var i = 0
+    while (changed > 0 && i < maxIters) {
+      // neighbor's current label, pulled across each edge
+      val viaEdge = edges
+        .join(labels.withColumnRenamed("id", "dst").withColumnRenamed("cluster", "nbr"),
+          "dst")
+        .groupBy(col("src").as("id")).agg(min(col("nbr")).as("nbr_min"))
+      val next = labels.join(viaEdge, Seq("id"), "left")
+        .select(col("id"),
+          least(col("cluster"), coalesce(col("nbr_min"), col("cluster"))).as("cluster"))
+        .localCheckpoint(true)
+      changed = next.join(labels.withColumnRenamed("cluster", "old"), "id")
+        .filter(col("cluster") =!= col("old")).count()
+      labels = next
+      i += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
+  /**
+   * Survivor selection: one representative per cluster, highest `scoreCol`
+   * wins (ties to min id) — the reduction that turns near-dup pairs into a
+   * deduplicated corpus. Window top-1 per cluster (Spark 4 plans partial +
+   * final WindowGroupLimit — no full sort of the corpus).
+   */
+  def dedupByCluster(df: DataFrame, labels: DataFrame, idCol: String,
+                     scoreCol: Column): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cluster")).orderBy(scoreCol.desc, col(idCol))
+    df.join(labels.withColumnRenamed("id", idCol), idCol)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+  }
+
   def embeddingNearDupLsh(emb: DataFrame, idCol: String, vecCol: String,
                           minCosine: Double, planes: Array[Array[Float]],
                           maxHamming: Int = 4): DataFrame = {

@@ -106,4 +106,26 @@ class DedupSpec extends AnyFunSuite {
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     assert(pairs == Set((1L, 2L)))
   }
+
+  test("connectedComponents: chains collapse to min-id components") {
+    val ids = Seq(1L, 2L, 3L, 4L, 5L, 6L, 7L).toDF("doc_id")
+    // 1-2, 2-3 (chain), 5-6 (pair), 4 and 7 isolated
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("id_a", "id_b")
+    val labels = Dedup.connectedComponents(pairs, ids, "doc_id")
+      .as[(Long, Long)].collect().toMap
+    assert(labels == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L,
+      5L -> 5L, 6L -> 5L, 7L -> 7L))
+  }
+
+  test("dedupByCluster keeps the best-scoring doc per component") {
+    val corpus = Seq(
+      (1L, "short", 5.0), (2L, "longer text", 9.0), (3L, "mid", 7.0),
+      (4L, "solo", 1.0)
+    ).toDF("doc_id", "text", "quality")
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
+    val labels = Dedup.connectedComponents(pairs, corpus.select("doc_id"), "doc_id")
+    val surv = Dedup.dedupByCluster(corpus, labels, "doc_id", col("quality"))
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(surv == Seq(2L, 4L)) // 2 wins its 3-doc cluster; 4 survives alone
+  }
 }
