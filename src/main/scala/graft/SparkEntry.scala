@@ -1088,7 +1088,33 @@ object SparkEntry {
       (s, d) => T(s, d, "documents")
         .select(col("doc_id"), TextAnalysis.bpeIshTokenCount(col("text")).as("n_bpe"))
         .orderBy(col("doc_id")),
-      None)
+      None),
+
+    // corpus scrubbing: strip HTML → redact emails/URLs → normalize ws.
+    // Synthetic dirt is injected from columns so the transform is provably
+    // non-trivial; RE2-compatible patterns make the DuckDB oracle exact.
+    "ta_scrub" -> Q(
+      (s, d) => T(s, d, "documents")
+        .filter(col("doc_id") < 200)
+        .select(col("doc_id"),
+          TextAnalysis.scrub(concat(
+            lit("<p>"), col("text"), lit("</p> contact: user"),
+            col("doc_id").cast("string"),
+            lit("@example.com  see https://example.org/d/"),
+            col("doc_id").cast("string"))).as("clean"))
+        .orderBy(col("doc_id")),
+      Some("""SELECT doc_id,
+             |  trim(regexp_replace(
+             |    regexp_replace(
+             |      regexp_replace(
+             |        regexp_replace(
+             |          '<p>' || text || '</p> contact: user' || doc_id ||
+             |          '@example.com  see https://example.org/d/' || doc_id,
+             |          '<[^>]*>', '', 'g'),
+             |        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+             |      'https?://[^\s]+', '[URL]', 'g'),
+             |    '\s+', ' ', 'g')) AS clean
+             |FROM documents WHERE doc_id < 200 ORDER BY doc_id""".stripMargin))
   )
 
   private def scalarDefs: Seq[(String, Q)] = Seq(

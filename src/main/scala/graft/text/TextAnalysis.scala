@@ -108,6 +108,31 @@ object TextAnalysis {
     transform(starts, s => xxhash64(concat_ws(" ", slice(toks, s + 1, lit(w)))))
   }
 
+  // ── corpus scrubbing (pre-training cleanup) ────────────────────────────
+  // Patterns stay in the RE2-compatible subset (no backrefs/lookaround) so
+  // the same regex runs in Spark (java.util.regex) and DuckDB (RE2) — which
+  // is also what makes the DuckDB oracle for these possible.
+
+  /** Replace email addresses with a placeholder token. */
+  def redactEmails(text: Column, token: String = "[EMAIL]"): Column =
+    regexp_replace(text, "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", token)
+
+  /** Replace http(s) URLs with a placeholder token. */
+  def redactUrls(text: Column, token: String = "[URL]"): Column =
+    regexp_replace(text, "https?://[^\\s]+", token)
+
+  /** Strip HTML/XML tags (boilerplate removal). */
+  def stripHtml(text: Column): Column =
+    regexp_replace(text, "<[^>]*>", "")
+
+  /** Collapse whitespace runs to single spaces and trim. */
+  def normalizeWhitespace(text: Column): Column =
+    trim(regexp_replace(text, "\\s+", " "))
+
+  /** The standard scrub chain: strip tags → redact → normalize. */
+  def scrub(text: Column): Column =
+    normalizeWhitespace(redactUrls(redactEmails(stripHtml(text))))
+
   /** Full per-document stats row (one projection over the scan). */
   def documentStats(df: DataFrame, idCol: String, textCol: String,
                     stopwords: Seq[String]): DataFrame =

@@ -82,4 +82,17 @@ class TextAnalysisSpec extends AnyFunSuite {
         TextAnalysis.rollingFingerprints(col("y"))).as("eq"))
     assert(one[Boolean](r))
   }
+
+  test("scrub strips tags, redacts emails+urls, normalizes whitespace") {
+    val dirty = "<div>Hi  there</div> mail bob.smith+x@corp.example.co " +
+      "and   see https://ex.org/a?b=1#c  done"
+    val r = Seq(dirty).toDF("t").select(TextAnalysis.scrub(col("t")).as("c"))
+    assert(one[String](r) == "Hi there mail [EMAIL] and see [URL] done")
+  }
+
+  test("scrub is identity on already-clean prose") {
+    val clean = "plain text with no markup at all"
+    val r = Seq(clean).toDF("t").select(TextAnalysis.scrub(col("t")).as("c"))
+    assert(one[String](r) == clean)
+  }
 }
