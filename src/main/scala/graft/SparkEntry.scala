@@ -887,7 +887,46 @@ object SparkEntry {
              |JOIN customer ON o_custkey = c_custkey
              |JOIN nation ON c_nationkey = n_nationkey
              |JOIN region ON n_regionkey = r_regionkey
-             |GROUP BY r_name ORDER BY r_name""".stripMargin))
+             |GROUP BY r_name ORDER BY r_name""".stripMargin)),
+
+    // TPC-H Q6-shape: pure filter+agg — the pushdown showcase (every
+    // predicate reaches the parquet scan, no shuffle at all pre-agg)
+    "tpch_q6_forecast" -> Q(
+      (s, d) => T(s, d, "lineitem")
+        .filter(col("l_shipdate") >= lit("1997-01-01") &&
+          col("l_shipdate") < lit("1998-01-01") &&
+          col("l_discount").between(0.02, 0.04) &&
+          col("l_quantity") < 24)
+        .agg(round(sum(col("l_extendedprice").cast("decimal(18,2)") *
+          col("l_discount").cast("decimal(3,2)")).cast("double"), 2).as("revenue"),
+          count(lit(1)).as("n_lines")),
+      Some("""SELECT
+             |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+             |        CAST(l_discount AS DECIMAL(3,2))) AS DOUBLE), 2) AS revenue,
+             |  count(*) AS n_lines
+             |FROM lineitem
+             |WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+             |  AND l_discount BETWEEN 0.02 AND 0.04 AND l_quantity < 24""".stripMargin)),
+
+    // TPC-H Q18-shape: HAVING on a big agg, then join back to orders —
+    // exercises agg-filter + the join-back pattern (semi-join reduction)
+    "tpch_q18_large_orders" -> Q(
+      (s, d) => {
+        val big = T(s, d, "lineitem")
+          .groupBy(col("l_orderkey"))
+          .agg(dsum(col("l_quantity")).as("total_qty"))
+          .filter(col("total_qty") > 250)
+        big.join(T(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+          .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"), col("total_qty"))
+          .orderBy(col("o_orderkey"))
+      },
+      Some("""SELECT o_orderkey, o_custkey, o_totalprice, total_qty
+             |FROM (SELECT l_orderkey,
+             |        CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+             |      FROM lineitem GROUP BY l_orderkey
+             |      HAVING CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) > 250) big
+             |JOIN orders ON l_orderkey = o_orderkey
+             |ORDER BY o_orderkey""".stripMargin))
   )
 
   /** Shared shingle CTE for the dedup oracles (mirrors Dedup.shingles n=5). */
