@@ -916,7 +916,9 @@ object SparkEntry {
           .groupBy(col("l_orderkey"))
           .agg(dsum(col("l_quantity")).as("total_qty"))
           .filter(col("total_qty") > 250)
-        big.join(T(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+        // the HAVING-filtered agg is tiny at any scale — broadcast IT, so the
+        // orders scan never shuffles and never gets broadcast itself
+        T(s, d, "orders").join(broadcast(big), col("l_orderkey") === col("o_orderkey"))
           .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"), col("total_qty"))
           .orderBy(col("o_orderkey"))
       },
