@@ -309,6 +309,31 @@ object SparkEntry {
              |  ON p.user_id = s.user_id AND p.ms >= s.sms
              |ORDER BY p.event_id""".stripMargin)),
 
+    // forward as-of (nearest FUTURE state row) vs DuckDB's native ASOF with
+    // the comparison reversed
+    "x1b_asof_forward" -> Q(
+      (s, d) => {
+        val ev = TestData.events(s, d)
+        val probes = ev.filter(col("event_type") === "view")
+          .select(col("event_id"), col("user_id"), unix_millis(col("ts")).as("ms"))
+        val state = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), unix_millis(col("ts")).as("sms"), col("value"))
+          .groupBy(col("user_id"), col("sms")).agg(max(col("value")).as("price"))
+        Relational.asofJoinForward(probes, state, "user_id", "ms", "sms", Seq("price"))
+          .select(col("event_id"), col("user_id"), col("ms"), col("price"))
+          .orderBy(col("event_id"))
+      },
+      Some("""WITH probes AS (
+             |  SELECT event_id, user_id, epoch_ms(CAST(ts AS TIMESTAMP)) AS ms
+             |  FROM events WHERE event_type = 'view'),
+             |state AS (
+             |  SELECT user_id, epoch_ms(CAST(ts AS TIMESTAMP)) AS sms, max(value) AS price
+             |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
+             |SELECT p.event_id, p.user_id, p.ms, s.price
+             |FROM probes p ASOF LEFT JOIN state s
+             |  ON p.user_id = s.user_id AND p.ms <= s.sms
+             |ORDER BY p.event_id""".stripMargin)),
+
     "x2_sessionize" -> Q(
       (s, d) => Relational.sessionize(
           TestData.events(s, d)

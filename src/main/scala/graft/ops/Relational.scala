@@ -96,7 +96,21 @@ object Relational {
    */
   def asofJoin(left: DataFrame, right: DataFrame, key: String,
                leftTime: String, rightTime: String,
-               payloadCols: Seq[String]): DataFrame = {
+               payloadCols: Seq[String]): DataFrame =
+    asofImpl(left, right, key, leftTime, rightTime, payloadCols, forward = false)
+
+  /**
+   * Forward as-of: attach the NEAREST FUTURE right row (rt >= lt, inclusive)
+   * — same single-shuffle union+window composition, time order reversed.
+   */
+  def asofJoinForward(left: DataFrame, right: DataFrame, key: String,
+                      leftTime: String, rightTime: String,
+                      payloadCols: Seq[String]): DataFrame =
+    asofImpl(left, right, key, leftTime, rightTime, payloadCols, forward = true)
+
+  private def asofImpl(left: DataFrame, right: DataFrame, key: String,
+                       leftTime: String, rightTime: String,
+                       payloadCols: Seq[String], forward: Boolean): DataFrame = {
     val leftCols = left.columns.filterNot(_ == key).toSeq
     val taggedLeft = left
       .withColumn("__t", col(leftTime))
@@ -106,9 +120,11 @@ object Relational {
       .withColumn("__t", col(rightTime))
       .withColumn("__is_left", lit(0))
     val unioned = taggedLeft.unionByName(taggedRight, allowMissingColumns = true)
-    // right rows sort BEFORE left rows at equal time → inclusive rt <= lt
+    // right rows sort BEFORE left rows at equal time → the match is inclusive
+    // (backward: rt <= lt; forward: rt >= lt, via descending time order)
+    val timeOrd = if (forward) col("__t").desc else col("__t").asc
     val w = Window.partitionBy(col(key))
-      .orderBy(col("__t"), col("__is_left"))
+      .orderBy(timeOrd, col("__is_left"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val carried = payloadCols.foldLeft(unioned) { (df, c) =>
       df.withColumn(s"__asof_$c", last(col(c), ignoreNulls = true).over(w))

@@ -113,6 +113,25 @@ class RelationalSpec extends AnyFunSuite {
       ("u2", 7L, None)))       // key with no state at all
   }
 
+  test("asofJoinForward: nearest future payload, inclusive ties, null after last state") {
+    val probes = Seq(
+      ("u1", 5L, "p@5"), ("u1", 10L, "p@10"), ("u1", 20L, "p@20"),
+      ("u2", 7L, "p@7")
+    ).toDF("key", "t", "tag")
+    val state = Seq(
+      ("u1", 10L, 1.0), ("u1", 15L, 2.0),
+      ("u3", 1L, 9.9)
+    ).toDF("key", "st", "price")
+    val r = Relational.asofJoinForward(probes, state, "key", "t", "st", Seq("price"))
+      .select("key", "t", "price").as[(String, Long, Option[Double])]
+      .collect().sortBy(x => (x._1, x._2)).toSeq
+    assert(r == Seq(
+      ("u1", 5L, Some(1.0)),   // nearest future (10), not furthest (15)
+      ("u1", 10L, Some(1.0)),  // inclusive: state@10 visible to probe@10
+      ("u1", 20L, None),       // after every state
+      ("u2", 7L, None)))       // key with no state at all
+  }
+
   test("sessionize: gap starts a new dense 0-based session per key") {
     val ev = Seq(
       ("u1", 0L), ("u1", 10L), ("u1", 100L), // gap 90 > 50 → new session
