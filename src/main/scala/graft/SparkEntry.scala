@@ -703,6 +703,51 @@ object SparkEntry {
              |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sample_total
              |FROM orders WHERE substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 1) = '0'""".stripMargin)),
 
+    // data-quality: single-pass column profile (count/null/distinct/min/max)
+    "dq_profile" -> Q(
+      (s, d) => graft.quality.DataQuality.profile(
+          T(s, d, "lineitem"), Seq("l_quantity", "l_discount", "l_returnflag"))
+        .orderBy(col("column")),
+      Some("""SELECT * FROM (
+             |  SELECT 'l_quantity' AS "column", count(l_quantity) AS n_nonnull,
+             |    count(*) FILTER (WHERE l_quantity IS NULL) AS n_null,
+             |    count(DISTINCT l_quantity) AS n_distinct,
+             |    CAST(min(l_quantity) AS VARCHAR) AS min_val, CAST(max(l_quantity) AS VARCHAR) AS max_val
+             |  FROM lineitem
+             |  UNION ALL
+             |  SELECT 'l_discount', count(l_discount),
+             |    count(*) FILTER (WHERE l_discount IS NULL),
+             |    count(DISTINCT l_discount),
+             |    CAST(min(l_discount) AS VARCHAR), CAST(max(l_discount) AS VARCHAR)
+             |  FROM lineitem
+             |  UNION ALL
+             |  SELECT 'l_returnflag', count(l_returnflag),
+             |    count(*) FILTER (WHERE l_returnflag IS NULL),
+             |    count(DISTINCT l_returnflag),
+             |    CAST(min(l_returnflag) AS VARCHAR), CAST(max(l_returnflag) AS VARCHAR)
+             |  FROM lineitem) t ORDER BY "column" """.stripMargin)),
+
+    // data-quality: expectation violations in one conditional-agg pass
+    // (NULL predicate counts as a violation, mirrored by the coalesce)
+    "dq_expectations" -> Q(
+      (s, d) => graft.quality.DataQuality.violations(T(s, d, "lineitem"), Seq(
+          graft.quality.DataQuality.Rule("discount_range", col("l_discount").between(0.0, 0.1)),
+          graft.quality.DataQuality.Rule("quantity_range", col("l_quantity").between(1, 50)),
+          graft.quality.DataQuality.Rule("shipdate_present", col("l_shipdate").isNotNull)))
+        .orderBy(col("rule")),
+      Some("""SELECT * FROM (
+             |  SELECT 'discount_range' AS rule,
+             |    count(*) FILTER (WHERE NOT coalesce(l_discount BETWEEN 0.0 AND 0.1, false)) AS n_violations
+             |  FROM lineitem
+             |  UNION ALL
+             |  SELECT 'quantity_range',
+             |    count(*) FILTER (WHERE NOT coalesce(l_quantity BETWEEN 1 AND 50, false))
+             |  FROM lineitem
+             |  UNION ALL
+             |  SELECT 'shipdate_present',
+             |    count(*) FILTER (WHERE l_shipdate IS NULL)
+             |  FROM lineitem) t ORDER BY rule""".stripMargin)),
+
     // HLL sketch (approx_count_distinct): engine-specific estimator → no
     // cross-engine oracle; rows-only here, relative-error bound pinned in
     // RelationalSpec

@@ -1,0 +1,71 @@
+package graft.quality
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Data-quality operators for ingest pipelines: per-column profiling and
+ * rule-based expectation checks with quarantine — the validation gate that
+ * decides whether a 100 TB batch lands or bounces.
+ *
+ * Both are single-pass aggregations (one scan, map-side partials): profiling
+ * computes every column's stats in ONE projection (never one job per
+ * column), and expectation violations are counted with conditional
+ * aggregates in the same pass that tags rows for quarantine.
+ */
+object DataQuality {
+
+  /**
+   * One profile row per requested column: count / nulls / distinct / min /
+   * max, computed in a single aggregation pass and unpivoted. Min/max/
+   * distinct are rendered as strings so heterogeneous column types stack.
+   */
+  def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val aggs = cols.flatMap { c =>
+      Seq(
+        count(col(c)).as(s"__cnt_$c"),
+        count(when(col(c).isNull, 1)).as(s"__null_$c"),
+        countDistinct(col(c)).as(s"__dist_$c"),
+        min(col(c)).cast("string").as(s"__min_$c"),
+        max(col(c)).cast("string").as(s"__max_$c"))
+    }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val rows = cols.map { c =>
+      struct(lit(c).as("column"),
+        col(s"__cnt_$c").as("n_nonnull"),
+        col(s"__null_$c").as("n_null"),
+        col(s"__dist_$c").as("n_distinct"),
+        col(s"__min_$c").as("min_val"),
+        col(s"__max_$c").as("max_val"))
+    }
+    one.select(explode(array(rows: _*)).as("p")).select("p.*")
+  }
+
+  /** A named row-level expectation. */
+  final case class Rule(name: String, predicate: Column)
+
+  /** Per-rule violation counts (one pass, conditional aggregates). */
+  def violations(df: DataFrame, rules: Seq[Rule]): DataFrame = {
+    val aggs = rules.map(r =>
+      count(when(!coalesce(r.predicate, lit(false)), 1)).as(s"__v_${r.name}"))
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val rows = rules.map(r =>
+      struct(lit(r.name).as("rule"), col(s"__v_${r.name}").as("n_violations")))
+    one.select(explode(array(rows: _*)).as("v")).select("v.*")
+  }
+
+  /**
+   * Split a batch into (passing, quarantined): a row is quarantined when ANY
+   * rule fails, and carries the list of failed rule names. One scan, no
+   * join — the tag column is computed inline.
+   */
+  def quarantine(df: DataFrame, rules: Seq[Rule]): (DataFrame, DataFrame) = {
+    val failed = array(rules.map(r =>
+      when(!coalesce(r.predicate, lit(false)), lit(r.name))): _*)
+    val tagged = df.withColumn("failed_rules",
+      filter(failed, x => x.isNotNull))
+    val pass = tagged.filter(size(col("failed_rules")) === 0).drop("failed_rules")
+    val quar = tagged.filter(size(col("failed_rules")) > 0)
+    (pass, quar)
+  }
+}

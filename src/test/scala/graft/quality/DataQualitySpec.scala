@@ -1,0 +1,52 @@
+package graft.quality
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Profiling stats, violation counts, quarantine split semantics. */
+class DataQualitySpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val batch = Seq(
+    (1L, Some(10.0), "ok"),
+    (2L, Some(-5.0), "ok"),    // negative value → range violation
+    (3L, None, "ok"),          // null value → not-null violation
+    (4L, Some(20.0), "")       // blank label → non-blank violation
+  ).toDF("id", "value", "label")
+
+  private val rules = Seq(
+    DataQuality.Rule("value_not_null", col("value").isNotNull),
+    DataQuality.Rule("value_non_negative", col("value") >= 0),
+    DataQuality.Rule("label_non_blank", length(trim(col("label"))) > 0))
+
+  test("profile computes count/null/distinct/min/max per column in one pass") {
+    val p = DataQuality.profile(batch, Seq("id", "value"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4), r.getString(5))).toMap
+    assert(p("id") == (4L, 0L, 4L, "1", "4"))
+    assert(p("value") == (3L, 1L, 3L, "-5.0", "20.0"))
+  }
+
+  test("violations counts each rule independently; null predicate = violation") {
+    val v = DataQuality.violations(batch, rules)
+      .as[(String, Long)].collect().toMap
+    assert(v == Map(
+      "value_not_null" -> 1L,
+      "value_non_negative" -> 2L,  // the -5 row AND the null row (null fails range)
+      "label_non_blank" -> 1L))
+  }
+
+  test("quarantine splits pass/fail and names the failed rules") {
+    val (pass, quar) = DataQuality.quarantine(batch, rules)
+    assert(pass.select("id").as[Long].collect().toSeq == Seq(1L))
+    val q = quar.select(col("id"), col("failed_rules"))
+      .as[(Long, Seq[String])].collect().toMap
+    assert(q(2L) == Seq("value_non_negative"))
+    assert(q(3L) == Seq("value_not_null", "value_non_negative"))
+    assert(q(4L) == Seq("label_non_blank"))
+    assert(pass.columns.toSeq == batch.columns.toSeq) // tag column dropped
+  }
+}
