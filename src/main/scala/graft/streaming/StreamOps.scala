@@ -35,4 +35,25 @@ object StreamOps {
   def enrichWithStatic(stream: DataFrame, dim: DataFrame,
                        joinCols: Seq[String]): DataFrame =
     stream.join(broadcast(dim), joinCols, "left")
+
+  /**
+   * Watermarked stream-stream interval join: right rows within
+   * [leftTs - lowerMs, leftTs + upperMs] of a left row on the same key.
+   * Both watermarks + the two-sided time bound are what let Spark expire
+   * join state — without them a stream-stream join buffers forever. State
+   * per side is O(rows inside the watermark+interval horizon).
+   *
+   * Callers set the watermarks (delay ≥ expected disorder) BEFORE calling;
+   * the right side's key/ts columns come back prefixed `r_` so both sides'
+   * columns survive.
+   */
+  def intervalJoin(left: DataFrame, right: DataFrame, key: String,
+                   leftTs: String, rightTs: String,
+                   lowerMs: Long, upperMs: Long): DataFrame = {
+    val r = right.columns.foldLeft(right)((df, c) => df.withColumnRenamed(c, s"r_$c"))
+    left.join(r,
+      col(key) === col(s"r_$key") &&
+        col(s"r_$rightTs") >= col(leftTs) - expr(s"INTERVAL $lowerMs MILLISECOND") &&
+        col(s"r_$rightTs") <= col(leftTs) + expr(s"INTERVAL $upperMs MILLISECOND"))
+  }
 }

@@ -58,4 +58,28 @@ class StreamOpsSpec extends AnyFunSuite {
         s"expected broadcast join in streaming plan:\n${buf.toString("UTF-8")}")
     } finally q.stop()
   }
+
+  test("intervalJoin matches stream pairs only inside the time bound") {
+    implicit val sqlCtx = spark.sqlContext
+    val views = MemoryStream[(String, Timestamp)]
+    val buys = MemoryStream[(String, Timestamp)]
+    val joined = StreamOps.intervalJoin(
+      views.toDF().toDF("uid", "ts").withWatermark("ts", "1 minute"),
+      buys.toDF().toDF("uid", "ts").withWatermark("ts", "1 minute"),
+      key = "uid", leftTs = "ts", rightTs = "ts",
+      lowerMs = 0L, upperMs = 60_000L) // buy within 1 min AFTER the view
+    val q = joined.writeStream.format("memory").queryName("ivj_out")
+      .outputMode("append").start()
+    try {
+      views.addData(("u1", ts("2026-01-01 10:00:00")), ("u2", ts("2026-01-01 10:00:00")))
+      buys.addData(
+        ("u1", ts("2026-01-01 10:00:30")),  // inside [0, +1min] → match
+        ("u2", ts("2026-01-01 10:05:00")),  // 5 min later → no match
+        ("u3", ts("2026-01-01 10:00:10")))  // key never viewed → no match
+      q.processAllAvailable()
+      val rows = spark.table("ivj_out").select("uid", "r_uid")
+        .as[(String, String)].collect().toSet
+      assert(rows == Set(("u1", "u1")))
+    } finally q.stop()
+  }
 }
