@@ -19,13 +19,23 @@ object DataQuality {
    * One profile row per requested column: count / nulls / distinct / min /
    * max, computed in a single aggregation pass and unpivoted. Min/max/
    * distinct are rendered as strings so heterogeneous column types stack.
+   *
+   * `approxDistinct = true` swaps exact count-distinct for the HLL sketch:
+   * N exact distincts in one pass plan through Spark's Expand operator
+   * (input × (N+1) rows before the agg) — exact is fine for a handful of
+   * columns, the sketch is the 100 TB wide-profile path (no Expand, O(1)
+   * state per column).
    */
-  def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
+  def profile(df: DataFrame, cols: Seq[String],
+              approxDistinct: Boolean = false): DataFrame = {
     val aggs = cols.flatMap { c =>
+      val dist =
+        if (approxDistinct) approx_count_distinct(col(c))
+        else countDistinct(col(c))
       Seq(
         count(col(c)).as(s"__cnt_$c"),
         count(when(col(c).isNull, 1)).as(s"__null_$c"),
-        countDistinct(col(c)).as(s"__dist_$c"),
+        dist.as(s"__dist_$c"),
         min(col(c)).cast("string").as(s"__min_$c"),
         max(col(c)).cast("string").as(s"__max_$c"))
     }

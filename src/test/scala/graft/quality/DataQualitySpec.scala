@@ -30,6 +30,17 @@ class DataQualitySpec extends AnyFunSuite {
     assert(p("value") == (3L, 1L, 3L, "-5.0", "20.0"))
   }
 
+  test("approx-distinct profile avoids Expand and agrees on tiny cardinalities") {
+    val exact = DataQuality.profile(batch, Seq("id", "value", "label"))
+    val approx = DataQuality.profile(batch, Seq("id", "value", "label"),
+      approxDistinct = true)
+    assert(approx.collect().toSet == exact.collect().toSet) // HLL exact when tiny
+    val buf = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(buf, true, "UTF-8")) { approx.explain() }
+    assert(!buf.toString("UTF-8").contains("Expand"),
+      "approx profile must not plan an Expand")
+  }
+
   test("violations counts each rule independently; null predicate = violation") {
     val v = DataQuality.violations(batch, rules)
       .as[(String, Long)].collect().toMap
