@@ -82,4 +82,63 @@ class PropertySpec extends AnyFunSuite {
       .select("est_jaccard").as[Double].collect()
     assert(est.length == texts.size && est.forall(_ == 1.0))
   }
+
+  test("property: scrub is idempotent and never lengthens text") {
+    val dirtyGen = for {
+      parts <- Gen.listOfN(6, Gen.oneOf(
+        Gen.alphaNumStr.map(_.take(12)),
+        Gen.const("<b>tag</b>"),
+        Gen.const("a.b@c.example.com"),
+        Gen.const("https://x.example/y?z=1"),
+        Gen.const("  \t \n ")))
+    } yield parts.mkString(" ")
+    val dirty = samples(dirtyGen, 150)
+    val r = dirty.toDF("t")
+      .select(col("t"),
+        graft.text.TextAnalysis.scrub(col("t")).as("once"),
+        graft.text.TextAnalysis.scrub(graft.text.TextAnalysis.scrub(col("t"))).as("twice"))
+      .as[(String, String, String)].collect()
+    assert(r.length == dirty.length)
+    r.foreach { case (t, once, twice) =>
+      assert(once == twice, s"scrub not idempotent on <$t>: <$once> vs <$twice>")
+      assert(once.length <= t.length + 7, // [EMAIL]/[URL] can pad a tiny input
+        s"scrub grew <$t> to <$once>")
+    }
+  }
+
+  test("property: connectedComponents labels are component-minimal on random forests") {
+    // deterministic pseudo-random pairs over 30 nodes
+    val ids = (0L until 30L).toDF("id0").select(col("id0").as("doc_id"))
+    val pairGen = Gen.zip(Gen.choose(0L, 29L), Gen.choose(0L, 29L)).suchThat(p => p._1 != p._2)
+    val pairs = samples(pairGen, 25)
+      .map { case (a, b) => (math.min(a, b), math.max(a, b)) }.distinct
+    val labels = graft.dedup.Dedup.connectedComponents(
+        pairs.toDF("id_a", "id_b"), ids, "doc_id")
+      .as[(Long, Long)].collect().toMap
+    // reference union-find on the driver
+    val parent = scala.collection.mutable.Map((0L until 30L).map(i => i -> i): _*)
+    def find(x: Long): Long = if (parent(x) == x) x else { parent(x) = find(parent(x)); parent(x) }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b)); if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    (0L until 30L).foreach { i =>
+      assert(labels(i) == find(i), s"node $i: spark=${labels(i)} uf=${find(i)}")
+    }
+  }
+
+  test("property: IVF with full probes equals brute-force knn on random data") {
+    val vecs = samples(Gen.listOfN(8, Gen.chooseNum(-1.0f, 1.0f)), 120)
+      .zipWithIndex.map { case (v, i) => (i.toLong, v) }
+    val emb = vecs.toDF("vec_id", "embedding")
+      .withColumn("embedding", col("embedding").cast("array<float>"))
+    val q = Array(0.3f, -0.2f, 0.9f, 0.1f, -0.5f, 0.4f, 0.0f, 0.7f)
+    val model = graft.rag.Ivf.train(emb, "vec_id", "embedding", nCells = 5, sampleCap = 64)
+    val cells = graft.rag.Ivf.withCell(emb, "embedding", model)
+    val exact = graft.rag.Rag.knn(emb, "vec_id", "embedding", q, 15, -1.0)
+      .select("vec_id").as[Long].collect().toSeq
+    val ivf = graft.rag.Ivf.ivfKnn(cells, "vec_id", "embedding", q, model, 15, -1.0,
+        nProbe = model.nCells)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(ivf == exact)
+  }
 }
