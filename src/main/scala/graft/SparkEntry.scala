@@ -703,6 +703,43 @@ object SparkEntry {
              |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sample_total
              |FROM orders WHERE substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 1) = '0'""".stripMargin)),
 
+    // datetime surface: truncation, parts, arithmetic, epoch round trips —
+    // F8's now()/ISO formatting generalized to the full temporal toolkit
+    "f17_datetime" -> Q(
+      (s, d) => TestData.events(s, d)
+        .filter(col("event_id") < 500)
+        .select(col("event_id"),
+          unix_millis(date_trunc("hour", col("ts"))).as("hour_ms"),
+          dayofweek(col("ts")).as("dow"),
+          month(col("ts")).as("mon"),
+          year(col("ts")).as("yr"),
+          unix_millis(col("ts") + expr("INTERVAL 90 MINUTE")).as("plus90_ms"),
+          date_format(col("ts"), "yyyy-MM-dd").as("day_str"))
+        .orderBy(col("event_id")),
+      Some("""SELECT event_id,
+             |  epoch_ms(date_trunc('hour', CAST(ts AS TIMESTAMP))) AS hour_ms,
+             |  CAST(dayofweek(CAST(ts AS TIMESTAMP)) + 1 AS INT) AS dow,
+             |  CAST(month(CAST(ts AS TIMESTAMP)) AS INT) AS mon,
+             |  CAST(year(CAST(ts AS TIMESTAMP)) AS INT) AS yr,
+             |  epoch_ms(CAST(ts AS TIMESTAMP) + INTERVAL 90 MINUTE) AS plus90_ms,
+             |  strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS day_str
+             |FROM events WHERE event_id < 500 ORDER BY event_id""".stripMargin)),
+
+    // remaining ANSI set ops (EXCEPT ALL / INTERSECT ALL duplicates kept)
+    "u3_except_all" -> Q(
+      (s, d) => {
+        val big = TestData.events(s, d).filter(col("value") >= 50.0).select(col("user_id"))
+        val purch = TestData.events(s, d).filter(col("event_type") === "purchase")
+          .select(col("user_id"))
+        big.exceptAll(purch).groupBy(col("user_id")).agg(count(lit(1)).as("n"))
+          .orderBy(col("user_id"))
+      },
+      Some("""SELECT user_id, count(*) AS n FROM (
+             |  SELECT user_id FROM events WHERE value >= 50.0
+             |  EXCEPT ALL
+             |  SELECT user_id FROM events WHERE event_type = 'purchase') t
+             |GROUP BY user_id ORDER BY user_id""".stripMargin)),
+
     // data-quality: single-pass column profile (count/null/distinct/min/max)
     "dq_profile" -> Q(
       (s, d) => graft.quality.DataQuality.profile(
