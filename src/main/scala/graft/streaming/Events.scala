@@ -155,10 +155,25 @@ object Events {
   def resilientForeachBatchSink(
       df: DataFrame,
       writeBatch: (DataFrame, Long) => Unit,
-      onError: (Throwable, Long) => Unit = (_, _) => ()): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+      onError: (Throwable, Long) => Unit = (_, _) => (),
+      deadLetterPath: Option[String] = None): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     df.writeStream.foreachBatch { (batch: DataFrame, id: Long) =>
       try writeBatch(batch, id)
-      catch { case e: Throwable => onError(e, id) }
+      catch {
+        case e: Throwable =>
+          // the documented production alternative to silent drop: land the
+          // failed batch in a replayable DLQ keyed by batch id, with the
+          // failure reason alongside; a DLQ write failure still never kills
+          // the stream (the reference's "Don't raise" contract)
+          deadLetterPath.foreach { p =>
+            try batch
+              .withColumn("__dlq_error", org.apache.spark.sql.functions.lit(
+                Option(e.getMessage).getOrElse(e.getClass.getName).take(500)))
+              .write.mode("overwrite").parquet(s"$p/batch=$id")
+            catch { case _: Throwable => () }
+          }
+          onError(e, id)
+      }
     }
 
   /**

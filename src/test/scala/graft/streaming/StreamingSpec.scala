@@ -110,6 +110,25 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("T1+DLQ: a failing batch lands replayable in the dead-letter path") {
+    implicit val sqlCtx = spark.sqlContext
+    val dlq = java.nio.file.Files.createTempDirectory("graft-dlq").toString
+    val input = MemoryStream[String]
+    val q = Events.resilientForeachBatchSink(
+      input.toDF().toDF("v"),
+      (batch, _) => if (batch.count() > 0) sys.error("sink offline"),
+      deadLetterPath = Some(dlq))
+      .outputMode("append").start()
+    try {
+      input.addData("x", "y"); q.processAllAvailable()
+      assert(q.isActive)
+      val landed = spark.read.parquet(s"$dlq/batch=0")
+      assert(landed.select("v").as[String].collect().toSet == Set("x", "y"))
+      assert(landed.select("__dlq_error").as[String].collect()
+        .forall(_.contains("sink offline")))
+    } finally q.stop()
+  }
+
   test("session built with GraftExtensions resolves cosine_sim from SQL") {
     import org.apache.spark.sql.SparkSession
     val prev = spark
