@@ -703,6 +703,31 @@ object SparkEntry {
              |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sample_total
              |FROM orders WHERE substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 1) = '0'""".stripMargin)),
 
+    // array / higher-order-function surface over the embedding column:
+    // element access, slicing, per-element transforms, reductions — the
+    // Spark functions Catalyst codegens vs DuckDB's list_* twins
+    "f18_array_ops" -> Q(
+      (s, d) => TestData.embeddings(s, d)
+        .filter(col("vec_id").between(1, 100) && col("embedding").isNotNull)
+        .select(col("vec_id"),
+          size(col("embedding")).as("dim"),
+          round(element_at(col("embedding"), 1).cast("double"), 6).as("first_el"),
+          round(aggregate(slice(col("embedding"), 1, 4), lit(0.0d),
+            (a, x) => a + x.cast("double")), 6).as("head4_sum"),
+          size(filter(col("embedding"), x => x > 0.0f)).as("n_positive"),
+          round(array_max(transform(col("embedding"), x => abs(x.cast("double")))), 6)
+            .as("max_abs"))
+        .orderBy(col("vec_id")),
+      Some("""SELECT vec_id,
+             |  CAST(len(embedding) AS INT) AS dim,
+             |  round(CAST(embedding[1] AS DOUBLE), 6) AS first_el,
+             |  round(list_sum(list_transform(embedding[1:4], x -> CAST(x AS DOUBLE))), 6) AS head4_sum,
+             |  CAST(len(list_filter(embedding, x -> x > 0.0)) AS INT) AS n_positive,
+             |  round(list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))), 6) AS max_abs
+             |FROM embeddings
+             |WHERE vec_id BETWEEN 1 AND 100 AND embedding IS NOT NULL
+             |ORDER BY vec_id""".stripMargin)),
+
     // datetime surface: truncation, parts, arithmetic, epoch round trips —
     // F8's now()/ISO formatting generalized to the full temporal toolkit
     "f17_datetime" -> Q(
