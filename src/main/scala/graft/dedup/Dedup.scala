@@ -220,20 +220,27 @@ object Dedup {
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .distinct().cache()
     var labels = allIds.select(col(idCol).as("id"), col(idCol).as("cluster"))
-    var changed = 1L
+    // labels only ever decrease, so Σcluster strictly decreases until the
+    // fixpoint — convergence is one cheap scalar per round, not a self-join
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("cluster")).cast("decimal(38,0)")).head().getDecimal(0)
+    var prevSum = labelSum(labels)
+    var converged = false
     var i = 0
-    while (changed > 0 && i < maxIters) {
+    while (!converged && i < maxIters) {
       // neighbor's current label, pulled across each edge
       val viaEdge = edges
         .join(labels.withColumnRenamed("id", "dst").withColumnRenamed("cluster", "nbr"),
           "dst")
         .groupBy(col("src").as("id")).agg(min(col("nbr")).as("nbr_min"))
-      val next = labels.join(viaEdge, Seq("id"), "left")
+      val next0 = labels.join(viaEdge, Seq("id"), "left")
         .select(col("id"),
           least(col("cluster"), coalesce(col("nbr_min"), col("cluster"))).as("cluster"))
-        .localCheckpoint(true)
-      changed = next.join(labels.withColumnRenamed("cluster", "old"), "id")
-        .filter(col("cluster") =!= col("old")).count()
+      // truncate lineage every few rounds; in between a cached frame is enough
+      val next = if (i % 4 == 3) next0.localCheckpoint(true) else next0.cache()
+      val s = labelSum(next)
+      converged = s.compareTo(prevSum) == 0
+      prevSum = s
       labels = next
       i += 1
     }
