@@ -267,6 +267,18 @@ object SparkEntry {
       Some("""SELECT event_id, value FROM events
              |ORDER BY value DESC, event_id LIMIT 10""".stripMargin)),
 
+    "w7_topk_per_group" -> Q(
+      (s, d) => Relational.topKPerGroup(
+          TestData.events(s, d), "event_type",
+          Seq(col("value").desc, col("event_id")), 3)
+        .select(col("event_type"), col("event_id"), col("value"))
+        .orderBy(col("event_type"), col("value").desc, col("event_id")),
+      Some("""SELECT event_type, event_id, value FROM (
+             |  SELECT event_type, event_id, value,
+             |    row_number() OVER (PARTITION BY event_type ORDER BY value DESC, event_id) AS rn
+             |  FROM events) t WHERE rn <= 3
+             |ORDER BY event_type, value DESC, event_id""".stripMargin)),
+
     "a5_count_distinct" -> Q(
       (s, d) => TestData.events(s, d)
         .groupBy(col("event_type"))

@@ -60,9 +60,18 @@ object Relational {
   }
 
   /** W2 — top-1 per group by ord (last node: ORDER BY sequence DESC LIMIT 1). */
-  def top1PerGroup(df: DataFrame, groupKey: String, ord: Seq[Column]): DataFrame = {
+  def top1PerGroup(df: DataFrame, groupKey: String, ord: Seq[Column]): DataFrame =
+    topKPerGroup(df, groupKey, ord, 1)
+
+  /**
+   * W2 generalized — top-k rows per group. `row_number <= k` is planned by
+   * Spark 4 as partial (map-side) + final WindowGroupLimit: each task keeps
+   * only k rows per group before the shuffle, so the exchange carries
+   * O(groups × k), not O(rows) (pinned in PlanAuditSpec).
+   */
+  def topKPerGroup(df: DataFrame, groupKey: String, ord: Seq[Column], k: Int): DataFrame = {
     val w = Window.partitionBy(col(groupKey)).orderBy(ord: _*)
-    df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+    df.withColumn("__rn", row_number().over(w)).filter(col("__rn") <= k).drop("__rn")
   }
 
   /**

@@ -54,6 +54,12 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("WindowGroupLimit"), p)
   }
 
+  test("w7_topk_per_group: k>1 still plans partial+final WindowGroupLimit") {
+    val p = planOf("w7_topk_per_group")
+    assert(p.contains("WindowGroupLimit"), p)
+    assert(p.contains("Partial"), p)
+  }
+
   test("v3_knn_cosine: scan → cosine → TakeOrderedAndProject, codegen'd hot loop") {
     val df = SparkEntry.queries("v3_knn_cosine")(spark, sf)
     assert(df.queryExecution.executedPlan.toString.contains("TakeOrderedAndProject"))
