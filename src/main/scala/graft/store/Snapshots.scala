@@ -61,4 +61,44 @@ object Snapshots {
     drop.foreach(v => f.delete(new Path(s"$base/v=$v"), true))
     drop
   }
+
+  /**
+   * MERGE INTO (upsert-by-key): source rows replace same-key target rows,
+   * unmatched source rows insert; the merged table lands as the NEXT
+   * version (snapshot isolation — readers of the old version see nothing
+   * until the new directory is complete). Anti-join + union: one shuffle on
+   * the key, broadcast when the source is small.
+   */
+  def mergeInto(spark: SparkSession, base: String, source: DataFrame,
+                key: String): Long = {
+    import org.apache.spark.sql.functions.col
+    val target = read(spark, base)
+    val kept = target.join(source.select(col(key)), Seq(key), "left_anti")
+    write(kept.unionByName(source), base)
+  }
+
+  /**
+   * CDC between two snapshots: full-outer join on the key, rows classified
+   * `insert` / `delete` / `update` (any non-key column changed; unchanged
+   * rows drop out). The changed-row check hashes the full row on each side
+   * — no column list to maintain.
+   */
+  def diff(spark: SparkSession, base: String, fromV: Long, toV: Long,
+           key: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val cols = read(spark, base, Some(fromV)).columns.toSeq
+    def hashed(v: Long, tag: String) =
+      read(spark, base, Some(v)).select(
+        col(key),
+        xxhash64(struct(cols.filterNot(_ == key).map(col): _*)).as(s"__h_$tag"))
+    val from = hashed(fromV, "from")
+    val to = hashed(toV, "to")
+    from.join(to, Seq(key), "full_outer")
+      .withColumn("change_type",
+        when(col("__h_from").isNull, lit("insert"))
+          .when(col("__h_to").isNull, lit("delete"))
+          .when(col("__h_from") =!= col("__h_to"), lit("update")))
+      .filter(col("change_type").isNotNull)
+      .select(col(key), col("change_type"))
+  }
 }

@@ -1,5 +1,6 @@
 package graft.store
 
+import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.TestSpark
@@ -31,6 +32,26 @@ class SnapshotsSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       Snapshots.read(spark, base, Some(1L))
     }
+  }
+
+  test("mergeInto upserts by key into a new snapshot; diff classifies the CDC") {
+    val base = java.nio.file.Files.createTempDirectory("graft-snap-merge").toString + "/t"
+    Snapshots.write(Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "s"), base)
+    val v2 = Snapshots.mergeInto(spark, base,
+      Seq((2L, "B2"), (4L, "d")).toDF("id", "s"), key = "id")
+    assert(v2 == 2L)
+    val merged = Snapshots.read(spark, base).as[(Long, String)].collect().toSet
+    assert(merged == Set((1L, "a"), (2L, "B2"), (3L, "c"), (4L, "d")))
+
+    val cdc = Snapshots.diff(spark, base, 1L, 2L, "id")
+      .as[(Long, String)].collect().toMap
+    assert(cdc == Map(2L -> "update", 4L -> "insert"))
+
+    // a delete shows up when a version drops a key
+    Snapshots.write(Snapshots.read(spark, base).filter(col("id") =!= 1L), base)
+    val cdc2 = Snapshots.diff(spark, base, 2L, 3L, "id")
+      .as[(Long, String)].collect().toMap
+    assert(cdc2 == Map(1L -> "delete"))
   }
 
   test("reading an empty base fails loudly, never returns an empty frame") {
