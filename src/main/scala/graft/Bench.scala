@@ -44,12 +44,34 @@ object Bench {
       }
     } catch { case _: Throwable => () }
 
-    val results: Seq[(String, Either[String, Double])] =
+    // per-query shuffle accounting: stage-level shuffle-write bytes summed
+    // between marks — the scale-readiness number next to each wall time
+    val shuffleBytes = new java.util.concurrent.atomic.AtomicLong(0L)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onStageCompleted(
+          sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
+        shuffleBytes.addAndGet(sc.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
+    }
+    spark.sparkContext.addSparkListener(listener)
+    // the listener bus is async (and private) — poll the counter until it
+    // stops moving so a query's trailing stage events attribute to it
+    def settle(): Unit = {
+      var prev = -1L; var n = 0
+      while (n < 50 && prev != shuffleBytes.get()) {
+        prev = shuffleBytes.get(); Thread.sleep(10); n += 1
+      }
+    }
+
+    val results: Seq[(String, Either[String, (Double, Long)])] =
       SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+        settle()
+        val s0 = shuffleBytes.get()
         val t0 = System.nanoTime()
         val r = try {
           fn(spark, sfDir).write.mode("overwrite").format("noop").save()
-          Right((System.nanoTime() - t0) / 1e9)
+          val dt = (System.nanoTime() - t0) / 1e9
+          settle()
+          Right((dt, shuffleBytes.get() - s0))
         } catch {
           case e: Throwable =>
             Left(Option(e.getMessage).getOrElse(e.getClass.getName).take(200))
@@ -58,16 +80,19 @@ object Bench {
       }
 
     val qs = results.map {
-      case (k, Right(v)) => s"${q(k)}:$v"
+      case (k, Right((v, _))) => s"${q(k)}:$v"
       case (k, Left(_)) => s"${q(k)}:null"
+    }.mkString("{", ",", "}")
+    val shuf = results.collect { case (k, Right((_, b))) =>
+      s"${q(k)}:${(b / 1048576.0 * 100).round / 100.0}"
     }.mkString("{", ",", "}")
     val errs = results.collect { case (k, Left(m)) => s"${q(k)}:${q(m)}" }
       .mkString("{", ",", "}")
-    val ok = results.collect { case (_, Right(v)) => v }
+    val ok = results.collect { case (_, Right((v, _))) => v }
     val total = ok.sum
     val nFail = results.size - ok.size
     println(
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"n_failed":$nFail,"sf":${q(sfDir)}}""")
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"shuffle_mb":$shuf,"errors":$errs,"n_failed":$nFail,"sf":${q(sfDir)}}""")
     spark.stop()
     if (nFail > 0) sys.exit(1)
   }
