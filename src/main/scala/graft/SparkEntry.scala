@@ -822,6 +822,28 @@ object SparkEntry {
              |    count(*) FILTER (WHERE l_shipdate IS NULL)
              |  FROM lineitem) t ORDER BY rule""".stripMargin)),
 
+    // stratified sampling, engine-portable: per-stratum keep-fractions
+    // applied via an md5-prefix threshold — the same rows survive in any
+    // engine, no RNG state, no coordination; the rebalancing op of a
+    // training-data pipeline (downsample dominant classes)
+    "x6_stratified_sample" -> Q(
+      (s, d) => {
+        val frac = when(col("event_type") === "view", lit(4096))      // 1/16
+          .when(col("event_type") === "click", lit(16384))            // 1/4
+          .otherwise(lit(65536))                                      // keep all
+        TestData.events(s, d)
+          .filter(conv(substring(md5(col("event_id").cast("string")), 1, 4), 16, 10)
+            .cast("long") < frac)
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_kept"))
+          .orderBy(col("event_type"))
+      },
+      Some("""SELECT event_type, count(*) AS n_kept
+             |FROM events
+             |WHERE CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 4)) AS INTEGER) <
+             |  CASE event_type WHEN 'view' THEN 4096 WHEN 'click' THEN 16384 ELSE 65536 END
+             |GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
     // HLL sketch (approx_count_distinct): engine-specific estimator → no
     // cross-engine oracle; rows-only here, relative-error bound pinned in
     // RelationalSpec
