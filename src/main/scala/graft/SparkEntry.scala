@@ -715,6 +715,25 @@ object SparkEntry {
              |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sample_total
              |FROM orders WHERE substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 1) = '0'""".stripMargin)),
 
+    // multimodal plumbing in the battery: text bytes stand in for media
+    // payloads (no codecs in this container), but the pipeline is the real
+    // one — binary column → mapPartitions(per-partition codec init) → typed
+    // features. FNV checksum is engine-side → rows-only.
+    "mm_feature_extract" -> Q(
+      (s, d) => {
+        import graft.multimodal.Multimodal
+        val media = T(s, d, "documents").filter(col("doc_id") < 100)
+          .select(
+            concat(lit("doc-"), col("doc_id").cast("string")).as("media_id"),
+            lit("image").as("kind"),
+            encode(col("text"), "UTF-8").as("payload"))
+        Multimodal.extractFeatures(media, dim = 8).toDF()
+          .select(col("media_id"), col("n_bytes"), col("checksum"),
+            round(element_at(col("features"), 1).cast("double"), 6).as("f0"))
+          .orderBy(col("media_id"))
+      },
+      None),
+
     // array / higher-order-function surface over the embedding column:
     // element access, slicing, per-element transforms, reductions — the
     // Spark functions Catalyst codegens vs DuckDB's list_* twins
