@@ -82,4 +82,32 @@ class StreamOpsSpec extends AnyFunSuite {
       assert(rows == Set(("u1", "u1")))
     } finally q.stop()
   }
+
+  test("checkpointed restart delivers each input row exactly once") {
+    val root = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    val (in, ckpt, out) = (s"$root/in", s"$root/ckpt", s"$root/out")
+    def startQuery() = {
+      val schema = org.apache.spark.sql.types.StructType.fromDDL("v STRING")
+      spark.readStream.schema(schema).json(in)
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .outputMode("append").start()
+    }
+    def addFile(name: String, lines: Seq[String]): Unit = {
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(in))
+      java.nio.file.Files.write(java.nio.file.Paths.get(s"$in/$name"),
+        lines.map(l => s"""{"v":"$l"}""").mkString("\n")
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    }
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(in))
+    val q1 = startQuery()
+    try { addFile("a.json", Seq("r1", "r2")); q1.processAllAvailable() }
+    finally q1.stop()
+    // restart from the SAME checkpoint; only the new file may be processed
+    val q2 = startQuery()
+    try { addFile("b.json", Seq("r3")); q2.processAllAvailable() }
+    finally q2.stop()
+    val vs = spark.read.parquet(out).select("v").as[String].collect().toSeq
+    assert(vs.sorted == Seq("r1", "r2", "r3"), s"expected exactly-once, got $vs")
+  }
 }
