@@ -1,0 +1,43 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/**
+ * Driver-contract invariants over the whole battery, enforced at test time
+ * (cheap analysis, no execution): every query resolves its plan against the
+ * real testdata schemas, output column names are parquet-safe and unique
+ * (the driver writes each result to parquet and hash-compares by sorted
+ * column name), and every oracle key has a query.
+ */
+class SparkEntryContractSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  test("every oracleSql key has a matching queries entry") {
+    val missing = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(missing.isEmpty, s"oracle without query: $missing")
+  }
+
+  test("every query's plan analyzes against the sf0.001 schemas") {
+    val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      try { fn(spark, sf).schema; None }
+      catch { case e: Throwable =>
+        Some(s"$name: ${Option(e.getMessage).getOrElse(e.getClass.getName).take(120)}")
+      }
+    }
+    assert(failures.isEmpty, s"unresolvable queries:\n${failures.mkString("\n")}")
+  }
+
+  test("output column names are parquet-safe, unique, and lowercase") {
+    val bad = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      val cols = fn(spark, sf).schema.fieldNames.toSeq
+      val dups = cols.groupBy(identity).collect { case (c, vs) if vs.size > 1 => c }
+      val unsafe = cols.filter(c => c.exists(" ,;{}()\n\t=".contains(_)) || c.isEmpty)
+      val upper = cols.filter(c => c != c.toLowerCase)
+      (dups.map(c => s"$name: duplicate '$c'") ++
+        unsafe.map(c => s"$name: parquet-unsafe '$c'") ++
+        upper.map(c => s"$name: non-lowercase '$c'")).toSeq
+    }
+    assert(bad.isEmpty, bad.mkString("\n"))
+  }
+}
