@@ -279,6 +279,32 @@ object SparkEntry {
              |  FROM events) t WHERE rn <= 3
              |ORDER BY event_type, value DESC, event_id""".stripMargin)),
 
+    // ranking-function family over one window (single shuffle, all five
+    // functions share the sort)
+    "w8_rank_funcs" -> Q(
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("event_type")).orderBy(col("value"), col("event_id"))
+        TestData.events(s, d)
+          .filter(col("user_id") <= 20)
+          .select(col("event_type"), col("event_id"),
+            rank().over(w).as("rnk"),
+            dense_rank().over(w).as("drnk"),
+            round(percent_rank().over(w), 6).as("prnk"),
+            ntile(4).over(w).as("quartile"),
+            round(cume_dist().over(w), 6).as("cdist"))
+          .orderBy(col("event_type"), col("rnk"), col("event_id"))
+      },
+      Some("""SELECT event_type, event_id,
+             |  CAST(rank() OVER w AS INT) AS rnk,
+             |  CAST(dense_rank() OVER w AS INT) AS drnk,
+             |  round(percent_rank() OVER w, 6) AS prnk,
+             |  CAST(ntile(4) OVER w AS INT) AS quartile,
+             |  round(cume_dist() OVER w, 6) AS cdist
+             |FROM events WHERE user_id <= 20
+             |WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)
+             |ORDER BY event_type, rnk, event_id""".stripMargin)),
+
     "a5_count_distinct" -> Q(
       (s, d) => TestData.events(s, d)
         .groupBy(col("event_type"))
