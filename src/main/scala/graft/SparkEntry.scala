@@ -323,6 +323,63 @@ object SparkEntry {
              |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
              |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin)),
 
+    // full-outer join: per-nation supplier vs customer counts, null-filled
+    // on either side (join family completeness: inner/left/semi/anti
+    // elsewhere, outer here)
+    "j6_full_outer" -> Q(
+      (s, d) => {
+        val sup = T(s, d, "supplier").groupBy(col("s_nationkey").as("nk"))
+          .agg(count(lit(1)).as("n_sup"))
+        val cust = T(s, d, "customer").groupBy(col("c_nationkey").as("nk"))
+          .agg(count(lit(1)).as("n_cust"))
+        sup.join(cust, Seq("nk"), "full_outer")
+          .select(col("nk"), coalesce(col("n_sup"), lit(0L)).as("n_sup"),
+            coalesce(col("n_cust"), lit(0L)).as("n_cust"))
+          .orderBy(col("nk"))
+      },
+      Some("""SELECT coalesce(s.nk, c.nk) AS nk,
+             |  coalesce(n_sup, 0) AS n_sup, coalesce(n_cust, 0) AS n_cust
+             |FROM (SELECT s_nationkey AS nk, count(*) AS n_sup FROM supplier GROUP BY 1) s
+             |FULL OUTER JOIN (SELECT c_nationkey AS nk, count(*) AS n_cust FROM customer GROUP BY 1) c
+             |  ON s.nk = c.nk
+             |ORDER BY nk""".stripMargin)),
+
+    // null semantics: null-safe equality (<=> / IS NOT DISTINCT FROM),
+    // coalesce/nullif, and null-aware counting in one battery row
+    "p9_null_semantics" -> Q(
+      (s, d) => {
+        val e = T(s, d, "embeddings")
+        e.select(col("vec_id"),
+            (col("embedding") <=> lit(null)).as("is_null_safe"),
+            coalesce(size(col("embedding")), lit(-1)).as("dim_or_default"),
+            nullif(size(col("embedding")).cast("int"), lit(-1)).isNull.as("nullif_hit"))
+          .orderBy(col("vec_id"))
+      },
+      Some("""SELECT vec_id,
+             |  (embedding IS NOT DISTINCT FROM NULL) AS is_null_safe,
+             |  coalesce(CAST(len(embedding) AS INT), -1) AS dim_or_default,
+             |  (nullif(CAST(len(embedding) AS INT), -1) IS NULL) AS nullif_hit
+             |FROM embeddings ORDER BY vec_id""".stripMargin)),
+
+    // string pad/case/edit battery (F-family widening)
+    "f19_string_ops" -> Q(
+      (s, d) => T(s, d, "documents")
+        .filter(col("doc_id") < 100)
+        .select(col("doc_id"),
+          lpad(col("doc_id").cast("string"), 6, "0").as("padded_id"),
+          reverse(substring(col("text"), 1, 10)).as("rev10"),
+          translate(substring(col("text"), 1, 20), "aeiou", "AEIOU").as("vowels_up"),
+          repeat(lit("-"), 5).as("dashes"),
+          upper(substring(col("source"), 1, 3)).as("src_upper"))
+        .orderBy(col("doc_id")),
+      Some("""SELECT doc_id,
+             |  lpad(CAST(doc_id AS VARCHAR), 6, '0') AS padded_id,
+             |  reverse(substr(text, 1, 10)) AS rev10,
+             |  translate(substr(text, 1, 20), 'aeiou', 'AEIOU') AS vowels_up,
+             |  repeat('-', 5) AS dashes,
+             |  upper(substr(source, 1, 3)) AS src_upper
+             |FROM documents WHERE doc_id < 100 ORDER BY doc_id""".stripMargin)),
+
     // as-of join (composed operator Spark lacks) vs DuckDB's NATIVE ASOF
     "x1_asof_join" -> Q(
       (s, d) => {
