@@ -946,6 +946,19 @@ object SparkEntry {
              |  CASE event_type WHEN 'view' THEN 4096 WHEN 'click' THEN 16384 ELSE 65536 END
              |GROUP BY event_type ORDER BY event_type""".stripMargin)),
 
+    // mergeable HLL sketches (Apache DataSketches): per-group sketches that
+    // union into rollups WITHOUT rescanning — the incremental-cube pattern.
+    // Engine-specific binary → rows-only; merge exactness pinned in
+    // RelationalSpec
+    "a12_hll_mergeable" -> Q(
+      (s, d) => TestData.events(s, d)
+        .groupBy(col("event_type"))
+        .agg(expr("hll_sketch_agg(user_id)").as("sk"))
+        .select(col("event_type"),
+          expr("hll_sketch_estimate(sk)").as("est_users"))
+        .orderBy(col("event_type")),
+      None),
+
     // HLL sketch (approx_count_distinct): engine-specific estimator → no
     // cross-engine oracle; rows-only here, relative-error bound pinned in
     // RelationalSpec

@@ -173,6 +173,21 @@ class RelationalSpec extends AnyFunSuite {
     assert(agg.count() == 2)
   }
 
+  test("mergeable HLL sketches: per-group sketches union to the one-pass sketch") {
+    val events = graft.sources.TestData.events(spark, "/root/testdata/sf0.01")
+    val global = events
+      .selectExpr("hll_sketch_estimate(hll_sketch_agg(user_id)) AS est")
+      .as[Long].collect().head
+    // pre-aggregate per group (the 100 TB pattern: sketch once, merge later)
+    val merged = events.groupBy(col("event_type"))
+      .agg(expr("hll_sketch_agg(user_id)").as("sk"))
+      .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("est"))
+      .as[Long].collect().head
+    assert(merged == global, s"union-of-sketches $merged != one-pass sketch $global")
+    val exact = events.agg(countDistinct(col("user_id"))).as[Long].collect().head
+    assert(math.abs(merged - exact).toDouble / exact < 0.05)
+  }
+
   test("approx_count_distinct stays within HLL's default 5% rsd of exact") {
     val events = graft.sources.TestData.events(spark, "/root/testdata/sf0.01")
     val r = events.agg(
