@@ -323,6 +323,56 @@ object SparkEntry {
              |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
              |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin)),
 
+    // UNPIVOT (wide metrics → long): the inverse of p8_pivot, portable
+    // oracle via UNION ALL
+    "p10_unpivot" -> Q(
+      (s, d) => T(s, d, "orders")
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).cast("double").as("n_orders"),
+          dsum(col("o_totalprice")).as("total_price"))
+        .unpivot(Array(col("o_orderstatus")),
+          Array(col("n_orders"), col("total_price")), "metric", "value")
+        .orderBy(col("o_orderstatus"), col("metric")),
+      Some("""SELECT o_orderstatus, metric, value FROM (
+             |  SELECT o_orderstatus, 'n_orders' AS metric, CAST(count(*) AS DOUBLE) AS value
+             |  FROM orders GROUP BY o_orderstatus
+             |  UNION ALL
+             |  SELECT o_orderstatus, 'total_price',
+             |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             |  FROM orders GROUP BY o_orderstatus) t
+             |ORDER BY o_orderstatus, metric""".stripMargin)),
+
+    // time-series gap filling: dense daily spine per user (sequence +
+    // explode), zero-filled counts — the feature-engineering prerequisite
+    // for any windowed model input
+    "x7_gap_fill" -> Q(
+      (s, d) => {
+        val daily = TestData.events(s, d)
+          .filter(col("user_id") <= 10)
+          .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+          .agg(count(lit(1)).as("n"))
+        val bounds = daily.groupBy(col("user_id"))
+          .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+        val spine = bounds.select(col("user_id"),
+          explode(sequence(col("d0"), col("d1"), expr("INTERVAL 1 DAY"))).as("day"))
+        spine.join(daily, Seq("user_id", "day"), "left")
+          .select(col("user_id"), date_format(col("day"), "yyyy-MM-dd").as("day_str"),
+            coalesce(col("n"), lit(0L)).as("n_events"))
+          .orderBy(col("user_id"), col("day_str"))
+      },
+      Some("""WITH daily AS (
+             |  SELECT user_id, CAST(ts AS DATE) AS day, count(*) AS n
+             |  FROM events WHERE user_id <= 10 GROUP BY 1, 2),
+             |bounds AS (
+             |  SELECT user_id, min(day) AS d0, max(day) AS d1 FROM daily GROUP BY 1),
+             |spine AS (
+             |  SELECT user_id, CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day
+             |  FROM bounds)
+             |SELECT s.user_id, strftime(s.day, '%Y-%m-%d') AS day_str,
+             |  coalesce(n, 0) AS n_events
+             |FROM spine s LEFT JOIN daily USING (user_id, day)
+             |ORDER BY user_id, day_str""".stripMargin)),
+
     // full-outer join: per-nation supplier vs customer counts, null-filled
     // on either side (join family completeness: inner/left/semi/anti
     // elsewhere, outer here)
