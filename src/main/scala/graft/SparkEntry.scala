@@ -373,6 +373,54 @@ object SparkEntry {
              |FROM spine s LEFT JOIN daily USING (user_id, day)
              |ORDER BY user_id, day_str""".stripMargin)),
 
+    // LOCF imputation (carry the last observation forward): the standard
+    // fill for sparse sensor/feature series — last(ignoreNulls) over an
+    // unbounded-preceding window, one shuffle
+    "x8_locf_impute" -> Q(
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("user_id")).orderBy(col("event_id"))
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+        TestData.events(s, d)
+          .filter(col("user_id") <= 20)
+          // sparsify deterministically: only purchases keep their value
+          .withColumn("sparse",
+            when(col("event_type") === "purchase", col("value")))
+          .select(col("user_id"), col("event_id"),
+            last(col("sparse"), ignoreNulls = true).over(w).as("locf_value"))
+          .orderBy(col("user_id"), col("event_id"))
+      },
+      Some("""SELECT user_id, event_id,
+             |  last_value(CASE WHEN event_type = 'purchase' THEN value END IGNORE NULLS)
+             |    OVER (PARTITION BY user_id ORDER BY event_id
+             |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS locf_value
+             |FROM events WHERE user_id <= 20
+             |ORDER BY user_id, event_id""".stripMargin)),
+
+    // correlated scalar subquery through the SQL surface (Catalyst rewrites
+    // it to an aggregate + join — the plan a 100 TB run needs, not a
+    // per-row loop)
+    "x9_correlated_subquery" -> Q(
+      (s, d) => {
+        T(s, d, "orders").createOrReplaceTempView("orders_cs")
+        // price > 2*avg, cross-multiplied so the comparison is decimal-exact
+        // (no engine-dependent double summation order at the boundary)
+        s.sql("""SELECT o_orderkey, o_custkey, o_totalprice
+                |FROM orders_cs o
+                |WHERE CAST(o_totalprice AS DECIMAL(18,2)) *
+                |      (SELECT count(*) FROM orders_cs i WHERE i.o_custkey = o.o_custkey)
+                |    > 2 * (SELECT sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                |           FROM orders_cs i WHERE i.o_custkey = o.o_custkey)
+                |ORDER BY o_orderkey""".stripMargin)
+      },
+      Some("""SELECT o_orderkey, o_custkey, o_totalprice
+             |FROM orders o
+             |WHERE CAST(o_totalprice AS DECIMAL(18,2)) *
+             |      (SELECT count(*) FROM orders i WHERE i.o_custkey = o.o_custkey)
+             |    > 2 * (SELECT sum(CAST(o_totalprice AS DECIMAL(18,2)))
+             |           FROM orders i WHERE i.o_custkey = o.o_custkey)
+             |ORDER BY o_orderkey""".stripMargin)),
+
     // full-outer join: per-nation supplier vs customer counts, null-filled
     // on either side (join family completeness: inner/left/semi/anti
     // elsewhere, outer here)
