@@ -373,6 +373,50 @@ object SparkEntry {
              |FROM spine s LEFT JOIN daily USING (user_id, day)
              |ORDER BY user_id, day_str""".stripMargin)),
 
+    // median per group (interpolated, matches DuckDB's even-count average)
+    "a13_median" -> Q(
+      (s, d) => TestData.events(s, d)
+        .groupBy(col("event_type"))
+        .agg(round(median(col("value")), 6).as("med"))
+        .orderBy(col("event_type")),
+      Some("""SELECT event_type, round(median(value), 6) AS med
+             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    // second-moment statistics battery (stddev / correlation / covariance)
+    "a14_stats_moments" -> Q(
+      (s, d) => TestData.events(s, d)
+        .groupBy(col("event_type"))
+        .agg(
+          round(stddev_samp(col("value")), 4).as("sd"),
+          round(corr(col("value"), col("user_id").cast("double")), 4).as("r"),
+          round(covar_samp(col("value"), col("user_id").cast("double")), 4).as("cov"))
+        .orderBy(col("event_type")),
+      Some("""SELECT event_type,
+             |  round(stddev_samp(value), 4) AS sd,
+             |  round(corr(value, CAST(user_id AS DOUBLE)), 4) AS r,
+             |  round(covar_samp(value, CAST(user_id AS DOUBLE)), 4) AS cov
+             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    // EXISTS / NOT EXISTS through the SQL surface (Catalyst plans them as
+    // semi/anti joins — pinned DataFrame twins are j3/j2)
+    "j7_exists_sql" -> Q(
+      (s, d) => {
+        T(s, d, "customer").createOrReplaceTempView("customer_ex")
+        T(s, d, "orders").createOrReplaceTempView("orders_ex")
+        s.sql("""SELECT c_custkey FROM customer_ex c
+                |WHERE EXISTS (SELECT 1 FROM orders_ex o WHERE o.o_custkey = c.c_custkey
+                |              AND o.o_totalprice > 300000)
+                |  AND NOT EXISTS (SELECT 1 FROM orders_ex o WHERE o.o_custkey = c.c_custkey
+                |                  AND o.o_orderstatus = 'F')
+                |ORDER BY c_custkey""".stripMargin)
+      },
+      Some("""SELECT c_custkey FROM customer c
+             |WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+             |              AND o.o_totalprice > 300000)
+             |  AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+             |                  AND o.o_orderstatus = 'F')
+             |ORDER BY c_custkey""".stripMargin)),
+
     // LOCF imputation (carry the last observation forward): the standard
     // fill for sparse sensor/feature series — last(ignoreNulls) over an
     // unbounded-preceding window, one shuffle
