@@ -373,6 +373,31 @@ object SparkEntry {
              |FROM spine s LEFT JOIN daily USING (user_id, day)
              |ORDER BY user_id, day_str""".stripMargin)),
 
+    // regexp_extract_all: all digit runs per document, joined (array output
+    // flattened so the hash compare is scalar)
+    "f21_regexp_extract_all" -> Q(
+      (s, d) => T(s, d, "documents")
+        .filter(col("doc_id") < 200)
+        .select(col("doc_id"),
+          concat_ws(",", expr("regexp_extract_all(text, '[0-9]+', 0)")).as("digit_runs"))
+        .orderBy(col("doc_id")),
+      Some("""SELECT doc_id,
+             |  coalesce(list_aggregate(regexp_extract_all(text, '[0-9]+', 0), 'string_agg', ','), '') AS digit_runs
+             |FROM documents WHERE doc_id < 200 ORDER BY doc_id""".stripMargin)),
+
+    // boolean aggregates (every/any) per group
+    "a15_bool_agg" -> Q(
+      (s, d) => TestData.events(s, d)
+        .groupBy(col("event_type"))
+        .agg(
+          every(col("value") >= 0.0).as("all_nonneg"),
+          some(col("value") > 190.0).as("any_large"))
+        .orderBy(col("event_type")),
+      Some("""SELECT event_type,
+             |  bool_and(value >= 0.0) AS all_nonneg,
+             |  bool_or(value > 190.0) AS any_large
+             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
     // median per group (interpolated, matches DuckDB's even-count average)
     "a13_median" -> Q(
       (s, d) => TestData.events(s, d)
