@@ -34,6 +34,19 @@ class LayoutSpec extends AnyFunSuite {
     assert(oneDay.count() < events.count())
   }
 
+  test("schema evolution: mergeSchema unions old and new file generations") {
+    val dir = tmp("graft-evolve")
+    // generation 1: two columns; generation 2 adds a third
+    Seq((1L, "a")).toDF("id", "s").write.parquet(s"$dir/g1")
+    Seq((2L, "b", 9.5)).toDF("id", "s", "score").write.parquet(s"$dir/g2")
+    val merged = spark.read.option("mergeSchema", "true")
+      .parquet(s"$dir/g1", s"$dir/g2")
+    assert(merged.columns.toSet == Set("id", "s", "score"))
+    val rows = merged.select("id", "score").as[(Long, Option[Double])]
+      .collect().toMap
+    assert(rows == Map(1L -> None, 2L -> Some(9.5))) // old files read as null
+  }
+
   test("compact: many small files → few target-size files, content identical") {
     val in = tmp("graft-compact-in")
     val out = tmp("graft-compact-out")
