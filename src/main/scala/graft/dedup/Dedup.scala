@@ -238,7 +238,8 @@ object Dedup {
           least(col("cluster"), coalesce(col("nbr_min"), col("cluster"))).as("cluster"))
       // truncate lineage every few rounds; in between a cached frame is enough
       val next = if (i % 4 == 3) next0.localCheckpoint(true) else next0.cache()
-      val s = labelSum(next)
+      val s = labelSum(next) // materializes `next`, so the parent can go
+      labels.unpersist(false) // no-op on the uncached round-0 frame
       converged = s.compareTo(prevSum) == 0
       prevSum = s
       labels = next
