@@ -1579,6 +1579,41 @@ object SparkEntry {
         .orderBy(col("doc_id")),
       None),
 
+    // capstone: the full curation pipeline in ONE declarative query —
+    // scrub → length gate → exact-dedup (min-id survivor) → per-language
+    // rollup. Every stage is also verified standalone; this entry pins the
+    // composition end-to-end against the same chain in DuckDB.
+    "pipeline_curation" -> Q(
+      (s, d) => {
+        val cleaned = T(s, d, "documents")
+          .select(col("doc_id"), col("lang"),
+            graft.text.TextAnalysis.scrub(col("text")).as("clean"))
+          .filter(length(col("clean")) > 50)
+        val survivors = cleaned
+          .groupBy(col("clean"))
+          .agg(min(col("doc_id")).as("doc_id"))
+        survivors.join(cleaned, Seq("doc_id", "clean"))
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(length(col("clean"))).as("total_chars"))
+          .orderBy(col("lang"))
+      },
+      Some("""WITH cleaned AS (
+             |  SELECT doc_id, lang,
+             |    trim(regexp_replace(
+             |      regexp_replace(
+             |        regexp_replace(
+             |          regexp_replace(text, '<[^>]*>', '', 'g'),
+             |          '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+             |        'https?://[^\s]+', '[URL]', 'g'),
+             |      '\s+', ' ', 'g')) AS clean
+             |  FROM documents),
+             |gated AS (SELECT * FROM cleaned WHERE length(clean) > 50),
+             |survivors AS (SELECT clean, min(doc_id) AS doc_id FROM gated GROUP BY clean)
+             |SELECT lang, count(*) AS n_docs, sum(length(clean)) AS total_chars
+             |FROM survivors JOIN gated USING (doc_id, clean)
+             |GROUP BY lang ORDER BY lang""".stripMargin)),
+
     // corpus scrubbing: strip HTML → redact emails/URLs → normalize ws.
     // Synthetic dirt is injected from columns so the transform is provably
     // non-trivial; RE2-compatible patterns make the DuckDB oracle exact.
