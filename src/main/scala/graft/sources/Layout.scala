@@ -33,6 +33,19 @@ object Layout {
     spark.read.parquet(path)
 
   /**
+   * Range-partitioned layout: global range partitioning + in-file sort on
+   * the key gives every output file a DISJOINT key interval, so any engine
+   * skips whole files from the parquet min/max stats on a key predicate —
+   * the sort-order half of data skipping (the `dt=` layout is the
+   * partition-pruning half). LayoutSpec asserts the disjointness.
+   */
+  def writeRangePartitioned(df: DataFrame, keyCol: String, nFiles: Int,
+                            path: String): Unit =
+    df.repartitionByRange(nFiles, col(keyCol))
+      .sortWithinPartitions(col(keyCol))
+      .write.mode("overwrite").parquet(path)
+
+  /**
    * Compact small files to ~`targetBytes` per output file — the
    * `rewrite_data_files` maintenance verb. Rewrites into `outPath`
    * (object-store pattern: write-new-then-flip-pointer; an in-place swap is

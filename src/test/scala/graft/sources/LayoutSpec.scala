@@ -34,6 +34,27 @@ class LayoutSpec extends AnyFunSuite {
     assert(oneDay.count() < events.count())
   }
 
+  test("range layout: files carry disjoint key intervals (file-skipping ready)") {
+    val dir = tmp("graft-range")
+    val events = TestData.events(spark, "/root/testdata/sf0.001")
+      .select("event_id", "user_id", "value")
+    Layout.writeRangePartitioned(events, "user_id", nFiles = 4, dir)
+
+    val files = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getAbsolutePath).toSeq
+    assert(files.size >= 3, s"expected several range files, got ${files.size}")
+    val intervals = files.map { f =>
+      spark.read.parquet(f).agg(min("user_id"), max("user_id"))
+        .as[(Long, Long)].collect().head
+    }.sortBy(_._1)
+    intervals.sliding(2).foreach {
+      case Seq((_, hi1), (lo2, _)) =>
+        assert(hi1 <= lo2, s"overlapping file ranges: $intervals")
+      case _ =>
+    }
+    assert(spark.read.parquet(dir).count() == events.count())
+  }
+
   test("schema evolution: mergeSchema unions old and new file generations") {
     val dir = tmp("graft-evolve")
     // generation 1: two columns; generation 2 adds a third
