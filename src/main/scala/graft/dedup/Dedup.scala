@@ -162,11 +162,15 @@ object Dedup {
     val toks = df.select(col(idCol),
       explode(filter(split(col(textCol), "\\s+"), t => length(t) > 0)).as("tok"))
       .select(col(idCol), xxhash64(col("tok")).as("h"))
+    // vote_b = (+1 per set bit, -1 per clear bit) = 2·Σbit_b − n: sum the
+    // raw bit (branchless) once per lane plus ONE shared count, instead of
+    // a 64-way CASE — same aggregate count, ~half the per-row work
     val votes = (0 until 64).map(b =>
-      sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"v$b"))
+      sum(shiftright(col("h"), b).bitwiseAND(1)).as(s"s$b")) :+
+      count(lit(1)).as("n")
     val voted = toks.groupBy(col(idCol)).agg(votes.head, votes.tail: _*)
     val sig = (0 until 64).map(b =>
-      when(col(s"v$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+      when(col(s"s$b") * 2 > col("n"), lit(1L << b)).otherwise(lit(0L)))
       .reduce((a, b) => a.bitwiseOR(b))
     voted.select(col(idCol), sig.as("sig"))
   }
