@@ -442,6 +442,28 @@ object SparkEntry {
              |                  AND o.o_orderstatus = 'F')
              |ORDER BY c_custkey""".stripMargin)),
 
+    // RANGE-frame window: events in the trailing hour per user — value-based
+    // frames (vs w6's row-based), the sliding-window primitive for rate
+    // features
+    "x10_range_frame" -> Q(
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("user_id")).orderBy(col("ms"))
+          .rangeBetween(-3600000L, 0L)
+        TestData.events(s, d)
+          .filter(col("user_id") <= 20)
+          .select(col("user_id"), col("event_id"), unix_millis(col("ts")).as("ms"))
+          .select(col("user_id"), col("event_id"),
+            count(lit(1)).over(w).as("n_last_hour"))
+          .orderBy(col("user_id"), col("event_id"))
+      },
+      Some("""SELECT user_id, event_id, n_last_hour FROM (
+             |  SELECT user_id, event_id,
+             |    count(*) OVER (PARTITION BY user_id ORDER BY epoch_ms(CAST(ts AS TIMESTAMP))
+             |                   RANGE BETWEEN 3600000 PRECEDING AND CURRENT ROW) AS n_last_hour
+             |  FROM events WHERE user_id <= 20) t
+             |ORDER BY user_id, event_id""".stripMargin)),
+
     // LOCF imputation (carry the last observation forward): the standard
     // fill for sparse sensor/feature series — last(ignoreNulls) over an
     // unbounded-preceding window, one shuffle
