@@ -91,8 +91,29 @@ object Bench {
     val ok = results.collect { case (_, Right((v, _))) => v }
     val total = ok.sum
     val nFail = results.size - ok.size
+
+    // regression gate: diff against the committed per-query baseline
+    // (tools/baseline.json, written from the previous round's bench). A
+    // query is flagged when it's >1.5× its baseline AND the delta is >0.3 s
+    // (sub-noise times on 10 ms queries must not page anyone).
+    val baseline: Map[String, Double] = {
+      val f = new java.io.File(
+        sys.env.getOrElse("SPARK_GRAFT_BASELINE", "tools/baseline.json"))
+      if (!f.exists()) Map.empty
+      else {
+        val txt = scala.io.Source.fromFile(f).mkString
+        """"([^"]+)"\s*:\s*([0-9.]+)""".r.findAllMatchIn(txt)
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      }
+    }
+    val regressions = results.collect {
+      case (k, Right((v, _)))
+          if baseline.get(k).exists(b => v > b * 1.5 && v - b > 0.3) =>
+        s"${q(k)}:{${q("now")}:$v,${q("baseline")}:${baseline(k)}}"
+    }.mkString("{", ",", "}")
+
     println(
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"shuffle_mb":$shuf,"errors":$errs,"n_failed":$nFail,"sf":${q(sfDir)}}""")
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"shuffle_mb":$shuf,"errors":$errs,"regressions":$regressions,"n_failed":$nFail,"sf":${q(sfDir)}}""")
     spark.stop()
     if (nFail > 0) sys.exit(1)
   }

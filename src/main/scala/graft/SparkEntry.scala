@@ -630,8 +630,8 @@ object SparkEntry {
              |    CASE WHEN lag(ms) OVER w IS NULL OR ms - lag(ms) OVER w > 3600000 THEN 1 ELSE 0 END AS is_new
              |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ms, event_id))
              |SELECT event_id, user_id,
-             |  sum(is_new) OVER (PARTITION BY user_id ORDER BY ms, event_id
-             |                    ROWS UNBOUNDED PRECEDING) - 1 AS session_id
+             |  CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ms, event_id
+             |                         ROWS UNBOUNDED PRECEDING) - 1 AS BIGINT) AS session_id
              |FROM flags ORDER BY event_id""".stripMargin)),
 
     "x3_range_join" -> Q(
@@ -1241,7 +1241,9 @@ object SparkEntry {
 
     // V1+V2+V3 composed: chunk → pseudo-embed (deterministic V1 stand-in)
     // → cosine top-5 chunks for a fixed query — the full indexing flow as
-    // one distributed query; xxhash64-based → rows-only
+    // one distributed query. The portable md5 hash makes the whole chain
+    // DuckDB-reproducible: bucket sums are exact ±1 integers, the only
+    // rounding is the final /norm float cast, mirrored with ::FLOAT::DOUBLE.
     "v1_chunk_embed_search" -> Q(
       (s, d) => {
         import s.implicits._
@@ -1249,20 +1251,59 @@ object SparkEntry {
         val chunks = T(s, d, "documents")
           .filter(col("doc_id") < 100)
           .select(col("doc_id"), GraftFunctions.chunkText(col("text"), 200, 50))
-        val emb = Rag.pseudoEmbedBulk(chunks, Seq("doc_id", "chunk_idx"), "chunk", dim = 32)
+        val emb = Rag.pseudoEmbedBulk(chunks, Seq("doc_id", "chunk_idx"), "chunk",
+            dim = 32, portable = true)
           .withColumn("chunk_id",
             concat(col("doc_id").cast("string"), lit("#"), col("chunk_idx").cast("string")))
         val qvec = Seq("spark table scan merge").toDF("q")
-          .select(Rag.pseudoEmbed(col("q"), 32).as("e"))
+          .select(Rag.pseudoEmbedPortable(col("q"), 32).as("e"))
           .head().getSeq[Float](0).toArray
         Rag.knn(emb, "chunk_id", "embedding", qvec, k = 5, minScore = -1.0)
           .select(col("chunk_id"), round(col("score"), 6).as("score"))
       },
-      None),
+      Some(s"""WITH chunks AS (
+             |  SELECT doc_id, CAST(s // 150 AS INT) AS chunk_idx,
+             |         substr(text, CAST(s + 1 AS INT), 200) AS chunk
+             |  FROM (SELECT doc_id, text,
+             |          unnest(CASE WHEN length(text) <= 200 THEN [CAST(0 AS BIGINT)]
+             |                 ELSE range(0, length(text), 150) END) AS s
+             |        FROM documents WHERE doc_id < 100) t),
+             |toks AS (
+             |  SELECT CAST(doc_id AS VARCHAR) || '#' || CAST(chunk_idx AS VARCHAR) AS chunk_id,
+             |         ${md5HashSql("tok")} AS h
+             |  FROM (SELECT doc_id, chunk_idx,
+             |          unnest(list_filter(regexp_split_to_array(lower(chunk), '\\s+'), t -> length(t) > 0)) AS tok
+             |        FROM chunks) u),
+             |bsums AS (SELECT chunk_id, h % 32 AS d,
+             |    CAST(SUM(CASE WHEN h % 64 < 32 THEN 1.0 ELSE -1.0 END) AS DOUBLE) AS v
+             |  FROM toks GROUP BY 1, 2),
+             |dims AS (SELECT unnest(range(0, 32)) AS d),
+             |grid AS (SELECT c.chunk_id, dims.d, COALESCE(b.v, 0.0) AS v
+             |  FROM (SELECT DISTINCT chunk_id FROM bsums) c
+             |  CROSS JOIN dims LEFT JOIN bsums b ON b.chunk_id = c.chunk_id AND b.d = dims.d),
+             |norms AS (SELECT chunk_id, sqrt(SUM(v * v)) AS nrm FROM grid GROUP BY chunk_id),
+             |vecs AS (SELECT g.chunk_id, list((g.v / n.nrm)::FLOAT::DOUBLE ORDER BY g.d) AS vec
+             |  FROM grid g JOIN norms n ON g.chunk_id = n.chunk_id
+             |  WHERE n.nrm > 0 GROUP BY g.chunk_id),
+             |qtoks AS (SELECT ${md5HashSql("tok")} AS h
+             |  FROM (SELECT unnest(list_filter(regexp_split_to_array(lower('spark table scan merge'), '\\s+'),
+             |                                  t -> length(t) > 0)) AS tok) qt),
+             |qsums AS (SELECT h % 32 AS d,
+             |    CAST(SUM(CASE WHEN h % 64 < 32 THEN 1.0 ELSE -1.0 END) AS DOUBLE) AS v
+             |  FROM qtoks GROUP BY 1),
+             |qgrid AS (SELECT dims.d, COALESCE(q.v, 0.0) AS v FROM dims LEFT JOIN qsums q ON q.d = dims.d),
+             |qnorm AS (SELECT sqrt(SUM(v * v)) AS nrm FROM qgrid),
+             |qvec AS (SELECT list((g.v / n.nrm)::FLOAT::DOUBLE ORDER BY g.d) AS qv FROM qgrid g, qnorm n),
+             |pairs AS (SELECT v.chunk_id, unnest(v.vec) AS x, unnest(q.qv) AS y FROM vecs v, qvec q),
+             |scores AS (SELECT chunk_id, SUM(x * y) / (SQRT(SUM(x * x)) * SQRT(SUM(y * y))) AS s
+             |  FROM pairs GROUP BY chunk_id),
+             |topk AS (SELECT chunk_id, s FROM scores ORDER BY s DESC, chunk_id LIMIT 5)
+             |SELECT chunk_id, round(s, 6) AS score FROM topk""".stripMargin)),
 
-    // ANN scale path (hyperplane LSH prune + exact rerank) — planes are
-    // engine-side constants, no SQL twin → rows-only check; parity with
-    // brute force is pinned in RagSpec
+    // ANN scale path (hyperplane LSH prune + exact rerank) — the seed-fixed
+    // planes are embedded as SQL literals, so the oracle recomputes the
+    // identical signatures, Hamming prune, and rerank (hash-green); parity
+    // with brute force is additionally pinned in RagSpec
     "v3_ann_knn" -> Q(
       (s, d) => {
         val q = queryVec(s, d)
@@ -1274,7 +1315,21 @@ object SparkEntry {
           .select(col("vec_id"), round(col("score"), 6).as("score"))
           .orderBy(col("score").desc, col("vec_id"))
       },
-      None),
+      Some {
+        val planes = Rag.hyperplanes(dim = 64, nBits = 16, seed = 42L)
+        s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+           |qsig AS (SELECT ${planeSigSql(planes, "qv")} AS qs FROM q),
+           |sigs AS (SELECT vec_id, embedding, ${planeSigSql(planes, "embedding")} AS sig
+           |  FROM embeddings WHERE vec_id <> 0),
+           |cand AS (SELECT s.vec_id, s.embedding FROM sigs s, qsig
+           |  WHERE bit_count(xor(s.sig, qsig.qs)) <= 8),
+           |pairs AS (SELECT c.vec_id, unnest(c.embedding)::DOUBLE AS x, unnest(q.qv)::DOUBLE AS y
+           |  FROM cand c, q),
+           |scores AS (SELECT vec_id, SUM(x*y) / (SQRT(SUM(x*x)) * SQRT(SUM(y*y))) AS s
+           |  FROM pairs GROUP BY vec_id),
+           |topk AS (SELECT vec_id, s FROM scores ORDER BY s DESC, vec_id LIMIT 10)
+           |SELECT vec_id, round(s, 6) AS score FROM topk ORDER BY score DESC, vec_id""".stripMargin
+      }),
 
     // IVF scale path (coarse-quantizer cells + probe prune + exact rerank) —
     // centroids are engine-side trained constants, no SQL twin → rows-only;
@@ -1407,6 +1462,54 @@ object SparkEntry {
        |  FROM (SELECT doc_id, text, unnest(range(0, greatest(length(text) - 5, 0) + 1)) AS s
        |        FROM documents $pred) t)""".stripMargin
 
+  /** SQL twin of the portable md5 token hash (Dedup/Rag `portableTokenHash`):
+    * first 15 hex chars of md5 parsed as a 60-bit non-negative BIGINT. */
+  private def md5HashSql(tok: String): String =
+    s"CAST('0x' || substr(md5($tok), 1, 15) AS BIGINT)"
+
+  /** SQL twin of `Dedup.simhashNearDup(portable = true)`: identical md5
+    * 60-bit signature (per-bit majority votes), identical band buckets,
+    * identical Hamming filter — a full mirror of the banded blocking, so the
+    * oracle checks recall semantics too, not just the arithmetic. */
+  private def simhashPortableSql(pred: String, maxHamming: Int, bands: Int): String = {
+    val bits = graft.dedup.Dedup.PortableSigBits
+    val width = bits / bands
+    val mask = (1L << width) - 1
+    val sums = (0 until bits).map(b => s"sum((h >> $b) & 1) AS s$b").mkString(", ")
+    val sigExpr = (0 until bits)
+      .map(b => s"(CASE WHEN s$b * 2 > n THEN CAST(${1L << b} AS BIGINT) ELSE CAST(0 AS BIGINT) END)")
+      .mkString(" + ")
+    val bandSelects = (0 until bands)
+      .map(i => s"SELECT doc_id, $i AS band, (sig >> ${i * width}) & $mask AS bucket FROM sig")
+      .mkString(" UNION ALL ")
+    s"""WITH toks AS (
+       |  SELECT doc_id, ${md5HashSql("tok")} AS h
+       |  FROM (SELECT doc_id,
+       |          unnest(list_filter(regexp_split_to_array(text, '\\s+'), t -> length(t) > 0)) AS tok
+       |        FROM documents $pred) t),
+       |votes AS (SELECT doc_id, $sums, count(*) AS n FROM toks GROUP BY doc_id),
+       |sig AS (SELECT doc_id, $sigExpr AS sig FROM votes),
+       |bnd AS ($bandSelects),
+       |pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM bnd a JOIN bnd b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id)
+       |SELECT p.id_a, p.id_b, CAST(bit_count(xor(sa.sig, sb.sig)) AS INT) AS hamming
+       |FROM pairs p JOIN sig sa ON p.id_a = sa.doc_id JOIN sig sb ON p.id_b = sb.doc_id
+       |WHERE bit_count(xor(sa.sig, sb.sig)) <= $maxHamming
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
+  /** SQL twin of `Rag.signature(v, planes)`: per-plane dot product written as
+    * a left-associated elementwise sum — IEEE-identical to DotProduct's
+    * sequential double fold (plane floats are printed via toDouble, the exact
+    * value the Catalyst expression widens to). */
+  private def planeSigSql(planes: Array[Array[Float]], v: String): String =
+    planes.zipWithIndex.map { case (p, i) =>
+      val dot = p.zipWithIndex
+        .map { case (w, j) => s"$v[${j + 1}]::DOUBLE * (${w.toDouble})" }
+        .mkString(" + ")
+      s"(CASE WHEN ($dot) >= 0 THEN CAST(${1L << i} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+    }.mkString(" + ")
+
   private def dedupDefs: Seq[(String, Q)] = Seq(
 
     "dd_exact_groups" -> Q(
@@ -1499,12 +1602,48 @@ object SparkEntry {
              |SELECT id_a, id_b, round(jaccard, 6) AS jaccard FROM jac
              |WHERE jaccard >= 0.2 ORDER BY id_a, id_b""".stripMargin)),
 
-    // xxhash64-based: no DuckDB twin → rows-only check (weaker, by design)
+    // portable md5-derived 60-bit simhash + multi-band blocking: the DuckDB
+    // oracle recomputes the identical signature, band buckets, and Hamming
+    // filter — full hash-checked mirror of the banded near-dup path
     "dd_simhash_neardup" -> Q(
       (s, d) => Dedup.simhashNearDup(
-          T(s, d, "documents"), "doc_id", "text", maxHamming = 20, prefixBits = 8)
+          T(s, d, "documents"), "doc_id", "text", maxHamming = 20, bands = 4,
+          portable = true)
         .orderBy(col("id_a"), col("id_b")),
-      None),
+      Some(simhashPortableSql("", maxHamming = 20, bands = 4))),
+
+    // embedding near-dup LSH scale path: seed-fixed hyperplanes embedded as
+    // SQL literals so DuckDB computes the identical sign signature, band
+    // buckets, Hamming prune, and exact cosine rerank
+    "dd_embedding_lsh" -> Q(
+      (s, d) => {
+        val planes = Rag.hyperplanes(dim = 64, nBits = 16, seed = 42L)
+        Dedup.embeddingNearDupLsh(
+            T(s, d, "embeddings").filter(col("vec_id") < 200), "vec_id", "embedding",
+            minCosine = 0.3, planes, maxHamming = 6, bands = 4)
+          .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
+          .orderBy(col("id_a"), col("id_b"))
+      },
+      Some {
+        val planes = Rag.hyperplanes(dim = 64, nBits = 16, seed = 42L)
+        s"""WITH emb AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 200),
+           |sigs AS (SELECT vec_id, embedding, ${planeSigSql(planes, "embedding")} AS sig FROM emb),
+           |bnd AS (SELECT vec_id, 0 AS band, (sig >> 0) & 15 AS bucket FROM sigs
+           |  UNION ALL SELECT vec_id, 1 AS band, (sig >> 4) & 15 AS bucket FROM sigs
+           |  UNION ALL SELECT vec_id, 2 AS band, (sig >> 8) & 15 AS bucket FROM sigs
+           |  UNION ALL SELECT vec_id, 3 AS band, (sig >> 12) & 15 AS bucket FROM sigs),
+           |pairs AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+           |  FROM bnd a JOIN bnd b ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
+           |pruned AS (SELECT p.id_a, p.id_b FROM pairs p
+           |  JOIN sigs sa ON p.id_a = sa.vec_id JOIN sigs sb ON p.id_b = sb.vec_id
+           |  WHERE bit_count(xor(sa.sig, sb.sig)) <= 6),
+           |cp AS (SELECT p.id_a, p.id_b, unnest(a.embedding)::DOUBLE AS x, unnest(b.embedding)::DOUBLE AS y
+           |  FROM pruned p JOIN emb a ON p.id_a = a.vec_id JOIN emb b ON p.id_b = b.vec_id),
+           |cos AS (SELECT id_a, id_b, SUM(x*y) / (SQRT(SUM(x*x)) * SQRT(SUM(y*y))) AS c
+           |  FROM cp GROUP BY id_a, id_b)
+           |SELECT id_a, id_b, round(c, 6) AS cosine FROM cos
+           |WHERE c >= 0.3 ORDER BY id_a, id_b""".stripMargin
+      }),
 
     "dd_embedding_neardup" -> Q(
       (s, d) => Dedup.embeddingNearDupBruteForce(
@@ -1632,7 +1771,7 @@ object SparkEntry {
              |  FROM documents),
              |gated AS (SELECT * FROM cleaned WHERE length(clean) > 50),
              |survivors AS (SELECT clean, min(doc_id) AS doc_id FROM gated GROUP BY clean)
-             |SELECT lang, count(*) AS n_docs, sum(length(clean)) AS total_chars
+             |SELECT lang, count(*) AS n_docs, CAST(sum(length(clean)) AS BIGINT) AS total_chars
              |FROM survivors JOIN gated USING (doc_id, clean)
              |GROUP BY lang ORDER BY lang""".stripMargin)),
 

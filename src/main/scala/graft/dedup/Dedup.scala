@@ -151,6 +151,24 @@ object Dedup {
     bits.reduce((a, b) => a.bitwiseOR(b))
   }
 
+  /** Vote-assembly core shared by the simhash variants: (id, h) token-hash
+   *  rows → (id, sig). `nBits` codegen'd branchless bit sums + ONE shared
+   *  count per doc (vote_b = 2·Σbit_b − n), one shuffle on the id. */
+  private def simhashFromHashes(hashed: DataFrame, idCol: String, nBits: Int): DataFrame = {
+    val votes = (0 until nBits).map(b =>
+      sum(shiftright(col("h"), b).bitwiseAND(1)).as(s"s$b")) :+
+      count(lit(1)).as("n")
+    val voted = hashed.groupBy(col(idCol)).agg(votes.head, votes.tail: _*)
+    val sig = (0 until nBits).map(b =>
+      when(col(s"s$b") * 2 > col("n"), lit(1L << b)).otherwise(lit(0L)))
+      .reduce((a, b) => a.bitwiseOR(b))
+    voted.select(col(idCol), sig.as("sig"))
+  }
+
+  private def tokens(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol),
+      explode(filter(split(col(textCol), "\\s+"), t => length(t) > 0)).as("tok"))
+
   /**
    * SimHash signatures as a DataFrame op: explode tokens → xxhash64 →
    * 64 codegen'd conditional sums per doc → assemble the fingerprint.
@@ -158,32 +176,74 @@ object Dedup {
    * (unlike the Column-lambda variant above, whose higher-order-function
    * lambdas evaluate interpreted — fine for ad-hoc use, not for a scan).
    */
-  def simhashSignatures(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val toks = df.select(col(idCol),
-      explode(filter(split(col(textCol), "\\s+"), t => length(t) > 0)).as("tok"))
-      .select(col(idCol), xxhash64(col("tok")).as("h"))
-    // vote_b = (+1 per set bit, -1 per clear bit) = 2·Σbit_b − n: sum the
-    // raw bit (branchless) once per lane plus ONE shared count, instead of
-    // a 64-way CASE — same aggregate count, ~half the per-row work
-    val votes = (0 until 64).map(b =>
-      sum(shiftright(col("h"), b).bitwiseAND(1)).as(s"s$b")) :+
-      count(lit(1)).as("n")
-    val voted = toks.groupBy(col(idCol)).agg(votes.head, votes.tail: _*)
-    val sig = (0 until 64).map(b =>
-      when(col(s"s$b") * 2 > col("n"), lit(1L << b)).otherwise(lit(0L)))
-      .reduce((a, b) => a.bitwiseOR(b))
-    voted.select(col(idCol), sig.as("sig"))
+  def simhashSignatures(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    simhashFromHashes(
+      tokens(df, idCol, textCol).select(col(idCol), xxhash64(col("tok")).as("h")),
+      idCol, nBits = 64)
+
+  /** Portable-bit count of `simhashSignaturesPortable` (15 hex chars = 60 bits). */
+  val PortableSigBits = 60
+
+  /**
+   * Portable 60-bit SimHash: the token hash is the first 15 hex chars of
+   * md5(token) parsed as an integer — reproducible in ANY engine with md5
+   * (the DuckDB oracle recomputes the identical signature), at the cost of
+   * a slower hash than xxhash64. Same plan shape as `simhashSignatures`.
+   */
+  def simhashSignaturesPortable(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    simhashFromHashes(
+      tokens(df, idCol, textCol).select(col(idCol),
+        conv(substring(md5(col("tok")), 1, 15), 16, 10).cast("long").as("h")),
+      idCol, nBits = PortableSigBits)
+
+  /**
+   * Multi-band blocking over an integer signature column `sig`: split the
+   * `sigBits`-bit signature into `bands` contiguous bands; docs sharing ANY
+   * band value are candidates. Pigeonhole guarantee: every pair with
+   * Hamming distance < `bands` shares at least one intact band — unlike a
+   * single-prefix block, recall doesn't depend on WHERE the differing bits
+   * fall, and bucket sizes are ~N/2^(sigBits/bands) per band rather than
+   * N/2^prefix on one fixed prefix. Join is per-(band, bucket), never
+   * all-pairs.
+   */
+  def bandedSigPairs(sigged: DataFrame, idCol: String, sigBits: Int,
+                     bands: Int): DataFrame = {
+    require(bands > 0 && sigBits % bands == 0, s"bands ($bands) must divide sigBits ($sigBits)")
+    val width = sigBits / bands
+    val mask = (1L << width) - 1
+    val bandCols = (0 until bands).map { i =>
+      struct(lit(i).as("band"),
+        shiftrightunsigned(col("sig"), i * width).bitwiseAND(lit(mask)).as("bucket"))
+    }
+    val buckets = sigged.select(col(idCol), explode(array(bandCols: _*)).as("bb"))
+      .select(col(idCol), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    val a = buckets.select(col("band"), col("bucket"), col(idCol).as("id_a"))
+    val b = buckets.select(col("band"), col("bucket"), col(idCol).as("id_b"))
+    a.join(b, Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .distinct()
   }
 
-  /** SimHash near-dup pairs: block on the top `prefixBits` bits, then Hamming ≤ maxHamming. */
+  /**
+   * SimHash near-dup pairs: multi-band blocking (any shared band →
+   * candidate), then exact Hamming ≤ maxHamming on the full signature.
+   * Pairs with Hamming < `bands` are found with certainty; beyond that
+   * recall degrades gracefully (each band is a 1/bands sample of the bits).
+   * `portable = true` switches to the md5-derived 60-bit signature that a
+   * SQL oracle can recompute.
+   */
   def simhashNearDup(df: DataFrame, idCol: String, textCol: String,
-                     maxHamming: Int, prefixBits: Int = 16): DataFrame = {
-    // signatures materialized once — the self-join must not recompute them
-    val withSig = simhashSignatures(df, idCol, textCol).cache()
-    val blocked = withSig.withColumn("blk", shiftrightunsigned(col("sig"), 64 - prefixBits))
-    val a = blocked.select(col("blk"), col(idCol).as("id_a"), col("sig").as("sig_a"))
-    val b = blocked.select(col("blk"), col(idCol).as("id_b"), col("sig").as("sig_b"))
-    a.join(b, "blk").filter(col("id_a") < col("id_b"))
+                     maxHamming: Int, bands: Int = 4,
+                     portable: Boolean = false): DataFrame = {
+    val sigBits = if (portable) PortableSigBits else 64
+    // signatures materialized once — the pair join must not recompute them
+    val withSig = (if (portable) simhashSignaturesPortable(df, idCol, textCol)
+                   else simhashSignatures(df, idCol, textCol)).cache()
+    val pairs = bandedSigPairs(withSig, idCol, sigBits, bands)
+    val sa = withSig.select(col(idCol).as("id_a"), col("sig").as("sig_a"))
+    val sb = withSig.select(col(idCol).as("id_b"), col("sig").as("sig_b"))
+    pairs.join(sa, "id_a").join(sb, "id_b")
       .withColumn("hamming", bit_count(col("sig_a").bitwiseXOR(col("sig_b"))))
       .filter(col("hamming") <= maxHamming)
       .select(col("id_a"), col("id_b"), col("hamming"))
@@ -250,6 +310,11 @@ object Dedup {
       i += 1
     }
     edges.unpersist()
+    // min-label propagation moves one hop per round: a component whose
+    // diameter exceeds maxIters would otherwise return silently-split labels
+    require(converged,
+      s"connectedComponents did not converge in $maxIters rounds — a component's " +
+        s"diameter exceeds the budget; raise maxIters (labels would be silently wrong)")
     labels
   }
 
@@ -268,17 +333,20 @@ object Dedup {
       .filter(col("__rn") === 1).drop("__rn")
   }
 
+  /**
+   * Embedding near-dup, hyperplane-LSH blocked: multi-band blocking on the
+   * sign signature (any shared band → candidate; Hamming < `bands` pairs
+   * are found with certainty), Hamming prune, then exact cosine rerank.
+   */
   def embeddingNearDupLsh(emb: DataFrame, idCol: String, vecCol: String,
                           minCosine: Double, planes: Array[Array[Float]],
-                          maxHamming: Int = 4): DataFrame = {
+                          maxHamming: Int = 4, bands: Int = 4): DataFrame = {
     GraftFunctions.register(emb.sparkSession)
-    val sigged = graft.rag.Rag.withSignature(emb, vecCol, planes)
+    val sigged = graft.rag.Rag.withSignature(emb, vecCol, planes).cache()
+    val pairs = bandedSigPairs(sigged, idCol, sigBits = planes.length, bands = bands)
     val a = sigged.select(col(idCol).as("id_a"), col(vecCol).as("v_a"), col("sig").as("sig_a"))
     val b = sigged.select(col(idCol).as("id_b"), col(vecCol).as("v_b"), col("sig").as("sig_b"))
-    // block: equal signature prefix byte; verify Hamming then exact cosine
-    a.withColumn("blk", shiftrightunsigned(col("sig_a"), 8))
-      .join(b.withColumn("blk", shiftrightunsigned(col("sig_b"), 8)), "blk")
-      .filter(col("id_a") < col("id_b"))
+    pairs.join(a, "id_a").join(b, "id_b")
       .filter(bit_count(col("sig_a").bitwiseXOR(col("sig_b"))) <= maxHamming)
       .select(col("id_a"), col("id_b"),
         GraftFunctions.cosineSim(col("v_a"), col("v_b")).as("cosine"))

@@ -92,9 +92,27 @@ object Rag {
    * geometry behaves like an embedding (identical text ⇒ identical vector,
    * token overlap ⇒ cosine proximity) with zero external calls.
    */
-  def pseudoEmbed(text: Column, dim: Int = 64): Column = {
+  def pseudoEmbed(text: Column, dim: Int = 64): Column =
+    pseudoEmbedWith(text, dim, t => xxhash64(t))
+
+  /**
+   * Portable twin of `pseudoEmbed`: the token hash is the first 15 hex
+   * chars of md5(token) parsed as a 60-bit integer — reproducible in any
+   * engine with md5, which is what gives the chunk→embed→search pipeline a
+   * DuckDB oracle (bucket sums are ±1 integers, so every intermediate is
+   * exact; only the final /norm float cast rounds, identically on both
+   * sides).
+   */
+  def pseudoEmbedPortable(text: Column, dim: Int = 64): Column =
+    pseudoEmbedWith(text, dim, portableTokenHash)
+
+  /** md5-derived 60-bit token hash (always non-negative). */
+  private def portableTokenHash(t: Column): Column =
+    conv(substring(md5(t), 1, 15), 16, 10).cast("long")
+
+  private def pseudoEmbedWith(text: Column, dim: Int, hashFn: Column => Column): Column = {
     val toks = filter(split(lower(text), "\\s+"), t => length(t) > 0)
-    val hashed = transform(toks, t => xxhash64(t))
+    val hashed = transform(toks, t => hashFn(t))
     val counts = (0 until dim).map { d =>
       aggregate(hashed, lit(0.0d), (acc, h) =>
         acc + when(pmod(h, lit(dim)) === d,
@@ -112,12 +130,13 @@ object Rag {
    * corpus-scale embedding, the Column form for ad-hoc/driver-side use.
    */
   def pseudoEmbedBulk(df: DataFrame, idCols: Seq[String], textCol: String,
-                      dim: Int = 64): DataFrame = {
+                      dim: Int = 64, portable: Boolean = false): DataFrame = {
     val ids = idCols.map(col)
     val toks = df.select(ids :+
       explode(filter(split(lower(col(textCol)), "\\s+"), t => length(t) > 0)).as("tok"): _*)
+    val hashExpr = if (portable) portableTokenHash(col("tok")) else xxhash64(col("tok"))
     val buckets = toks
-      .select(ids :+ xxhash64(col("tok")).as("h"): _*)
+      .select(ids :+ hashExpr.as("h"): _*)
       .withColumn("d", pmod(col("h"), lit(dim)).cast("int"))
       .withColumn("v", when(pmod(col("h"), lit(2 * dim)) < dim, 1.0d).otherwise(-1.0d))
       .groupBy(ids :+ col("d"): _*)

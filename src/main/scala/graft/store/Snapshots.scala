@@ -26,21 +26,34 @@ object Snapshots {
   private def fs(spark: SparkSession, base: String) =
     new Path(base).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  /** All committed versions, ascending. */
+  /**
+   * All committed versions, ascending. "Committed" = the _SUCCESS marker
+   * exists: Spark creates the output directory at job START, so a bare
+   * `v=N` directory is an in-flight (or crashed) write — treating it as
+   * committed would hand readers a partial snapshot and make `write`
+   * allocate the next version on top of garbage. Gating on _SUCCESS keeps
+   * both snapshot isolation and crash-retryability (a failed write's
+   * versionless directory is simply never visible and gets overwritten on
+   * retry).
+   */
   def versions(spark: SparkSession, base: String): Seq[Long] = {
     val f = fs(spark, base)
     val p = new Path(base)
     if (!f.exists(p)) Seq.empty
     else f.listStatus(p).toSeq
       .filter(s => s.isDirectory && s.getPath.getName.startsWith("v="))
+      .filter(s => f.exists(new Path(s.getPath, "_SUCCESS")))
       .map(_.getPath.getName.stripPrefix("v=").toLong)
       .sorted
   }
 
-  /** Commit `df` as the next version; returns the new version number. */
+  /** Commit `df` as the next version; returns the new version number.
+    * Overwrite mode: the only way `v=next` already exists is a crashed
+    * write that never gained its _SUCCESS marker (invisible to
+    * `versions`) — the retry must be able to reclaim that directory. */
   def write(df: DataFrame, base: String): Long = {
     val next = versions(df.sparkSession, base).lastOption.getOrElse(0L) + 1
-    df.write.mode("errorifexists").parquet(s"$base/v=$next")
+    df.write.mode("overwrite").parquet(s"$base/v=$next")
     next
   }
 
@@ -80,17 +93,25 @@ object Snapshots {
   /**
    * CDC between two snapshots: full-outer join on the key, rows classified
    * `insert` / `delete` / `update` (any non-key column changed; unchanged
-   * rows drop out). The changed-row check hashes the full row on each side
-   * — no column list to maintain.
+   * rows drop out). The changed-row check hashes over the UNION of both
+   * versions' columns (a column only one side has is null-filled on the
+   * other) so schema evolution between snapshots is visible as `update`
+   * rather than silently ignored — and a dropped column can't throw.
    */
   def diff(spark: SparkSession, base: String, fromV: Long, toV: Long,
            key: String): DataFrame = {
     import org.apache.spark.sql.functions._
-    val cols = read(spark, base, Some(fromV)).columns.toSeq
-    def hashed(v: Long, tag: String) =
-      read(spark, base, Some(v)).select(
-        col(key),
-        xxhash64(struct(cols.filterNot(_ == key).map(col): _*)).as(s"__h_$tag"))
+    val fromCols = read(spark, base, Some(fromV)).columns.toSeq
+    val toCols = read(spark, base, Some(toV)).columns.toSeq
+    // stable order: fromV's columns first, then toV-only additions
+    val cols = fromCols ++ toCols.filterNot(fromCols.contains)
+    def hashed(v: Long, tag: String) = {
+      val df = read(spark, base, Some(v))
+      val present = df.columns.toSet
+      val hashInputs = cols.filterNot(_ == key).map(c =>
+        if (present(c)) col(c) else lit(null).as(c))
+      df.select(col(key), xxhash64(struct(hashInputs: _*)).as(s"__h_$tag"))
+    }
     val from = hashed(fromV, "from")
     val to = hashed(toV, "to")
     from.join(to, Seq(key), "full_outer")

@@ -66,8 +66,19 @@ object Sessions {
             sorted.foreach { e =>
               val ms = e.ts.getTime
               cur match {
+                // in-watermark straggler predating the open session by MORE
+                // than the gap: the batch twin (global sort) would have made
+                // it its own earlier session — emit it closed immediately
+                // instead of silently merging it (ms - lastMs is negative,
+                // so the merge guard below would always accept it)
+                case Some(s) if ms < s.startMs - gapMs =>
+                  closed :+= SessionOut(userId, new Timestamp(ms),
+                    new Timestamp(ms), 1L, e.value)
                 case Some(s) if ms - s.lastMs <= gapMs =>
                   cur = Some(s.copy(
+                    // a late event inside the gap can precede the recorded
+                    // start — session_start must cover it
+                    startMs = math.min(s.startMs, ms),
                     lastMs = math.max(s.lastMs, ms),
                     nEvents = s.nEvents + 1,
                     totalValue = s.totalValue + e.value))

@@ -78,7 +78,41 @@ class DedupSpec extends AnyFunSuite {
     assert(sigs(1L) == sigs(2L))
     def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
     assert(hamming(sigs(1L), sigs(3L)) < hamming(sigs(1L), sigs(4L)))
-    val near = Dedup.simhashNearDup(docs, "doc_id", "text", maxHamming = 0, prefixBits = 8)
+    val near = Dedup.simhashNearDup(docs, "doc_id", "text", maxHamming = 0, bands = 4)
+      .as[(Long, Long, Int)].collect().map(t => (t._1, t._2)).toSet
+    assert(near == Set((1L, 2L)))
+  }
+
+  test("simhash banded blocking: recall is 1.0 vs all-pairs for Hamming < bands") {
+    // maxHamming = 3 < bands = 4 → pigeonhole guarantees every qualifying
+    // pair shares an intact band; banded result must equal the all-pairs scan
+    // 8 groups of 5 identical docs (hamming 0, always qualifying) plus
+    // cross-group variation so blocking actually has work to do
+    val corpus = (0 until 40).map { i =>
+      (i.toLong, s"token${i % 8} alpha bravo charlie delta echo foxtrot golf hotel india")
+    }.toDF("doc_id", "text")
+    val sigs = Dedup.simhashSignatures(corpus, "doc_id", "text")
+      .as[(Long, Long)].collect().toMap
+    val allPairs = (for {
+      a <- sigs.keys; b <- sigs.keys if a < b
+      if java.lang.Long.bitCount(sigs(a) ^ sigs(b)) <= 3
+    } yield (a, b)).toSet
+    val banded = Dedup.simhashNearDup(corpus, "doc_id", "text", maxHamming = 3, bands = 4)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(banded == allPairs, "banded blocking must find every pair with hamming < bands")
+    assert(allPairs.nonEmpty, "test corpus should contain at least one near-dup pair")
+  }
+
+  test("portable md5 simhash: deterministic, 60-bit, identical docs agree") {
+    val sigs = Dedup.simhashSignaturesPortable(docs, "doc_id", "text")
+      .as[(Long, Long)].collect().toMap
+    assert(sigs(1L) == sigs(2L))
+    assert(sigs.values.forall(s => s >= 0 && s < (1L << Dedup.PortableSigBits)))
+    val again = Dedup.simhashSignaturesPortable(docs, "doc_id", "text")
+      .as[(Long, Long)].collect().toMap
+    assert(sigs == again)
+    val near = Dedup.simhashNearDup(docs, "doc_id", "text", maxHamming = 0,
+      bands = 4, portable = true)
       .as[(Long, Long, Int)].collect().map(t => (t._1, t._2)).toSet
     assert(near == Set((1L, 2L)))
   }
@@ -115,6 +149,17 @@ class DedupSpec extends AnyFunSuite {
       .as[(Long, Long)].collect().toMap
     assert(labels == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L,
       5L -> 5L, 6L -> 5L, 7L -> 7L))
+  }
+
+  test("connectedComponents fails fast instead of returning split labels") {
+    // a 7-node chain needs >2 propagation rounds; maxIters = 2 must throw,
+    // never silently return a partially-propagated labeling
+    val ids = (1L to 7L).toDF("doc_id")
+    val chain = (1L to 6L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val e = intercept[IllegalArgumentException] {
+      Dedup.connectedComponents(chain, ids, "doc_id", maxIters = 2).collect()
+    }
+    assert(e.getMessage.contains("did not converge"))
   }
 
   test("dedupByCluster keeps the best-scoring doc per component") {

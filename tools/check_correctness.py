@@ -17,9 +17,27 @@ for t in ["region","nation","customer","supplier","part","orders","lineitem",
 
 oracle = json.load(open(os.path.join(outdir, "oracle_sql.json")))
 
+def family(s):
+    """Coarse dtype family. The driver's hash is strict about integer-ness:
+    DuckDB HUGEINT (sum of INTEGER/BIGINT) surfaces as float64/object and
+    hash-mismatches Spark's BIGINT even when every value is equal — so an
+    int-vs-nonint difference must FAIL here, not be laundered away."""
+    if pd.api.types.is_integer_dtype(s):
+        return "int"
+    if pd.api.types.is_bool_dtype(s):
+        return "bool"
+    if pd.api.types.is_datetime64_any_dtype(s):
+        return "datetime"
+    if pd.api.types.is_float_dtype(s):
+        return "float"
+    import decimal
+    if s.dtype == object and s.map(lambda v: isinstance(v, (decimal.Decimal, int, float)) and not isinstance(v, bool)).any():
+        return "float"  # decimal/hugeint-as-object: numeric but NOT int dtype
+    return "other"
+
 def canon(df):
     df = df.reindex(sorted(df.columns), axis=1)
-    # normalize dtypes for value compare
+    # normalize values for compare (dtype families are checked separately)
     for c in df.columns:
         if pd.api.types.is_float_dtype(df[c]):
             df[c] = df[c].round(9)
@@ -53,6 +71,13 @@ for qdir in sorted(glob.glob(os.path.join(outdir, "*"))):
     a, b = canon(spark_df), canon(oracle_df)
     if list(a.columns) != list(b.columns):
         fails.append((name, f"COLUMNS spark={list(a.columns)} oracle={list(b.columns)}"))
+        continue
+    dtype_mismatch = [(c, family(spark_df[c]), family(oracle_df[c]))
+                      for c in spark_df.columns
+                      if {family(spark_df[c]), family(oracle_df[c])} == {"int", "float"}]
+    if dtype_mismatch:
+        fails.append((name, "DTYPE (driver hash would differ): " +
+                      ", ".join(f"{c} spark={fa} oracle={fb}" for c, fa, fb in dtype_mismatch)))
         continue
     if len(a) != len(b):
         fails.append((name, f"ROWS spark={len(a)} oracle={len(b)}"))
