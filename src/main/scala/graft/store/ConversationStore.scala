@@ -111,6 +111,43 @@ class ConversationStore(spark: SparkSession, basePath: String) {
   }
 
   /**
+   * Batch message ingest: per-workflow sequences assigned in ONE
+   * distributed pass — row_number over the batch (ordered by `ord`),
+   * offset by each workflow's current max sequence over Message∪Result.
+   * Bulk loads must never take the per-append max+1 driver round-trip:
+   * this is the scale path (one shuffle on workflow_id, reused by the
+   * join and the window), and it assigns exactly the sequences a loop of
+   * `addMessage` calls would (pinned in ConversationStoreSpec).
+   *
+   * `df` columns: workflow_id, message_type, content, created_at,
+   * message_category (nullable). Returns the written rows with their
+   * assigned message_id/sequence.
+   */
+  def addMessages(df: DataFrame,
+                  ord: Seq[org.apache.spark.sql.Column] = Seq(col("created_at"))): DataFrame = {
+    val existingMax = messages.select(col("workflow_id"), col("sequence"))
+      .unionByName(results.select(col("workflow_id"), col("sequence")))
+      .groupBy(col("workflow_id"))
+      .agg(max(col("sequence")).as("__base"))
+    val w = Window.partitionBy(col("workflow_id")).orderBy(ord: _*)
+    val assigned = df
+      .join(existingMax, Seq("workflow_id"), "left")
+      .withColumn("sequence",
+        (row_number().over(w) - 1 + coalesce(col("__base") + 1, lit(0))).cast("int"))
+      .withColumn("message_id",
+        concat(col("workflow_id"), lit("-msg-"), col("sequence")))
+      .select(col("message_id"), col("workflow_id"), col("message_type"),
+        col("content"), col("created_at"), col("sequence"), col("message_category"))
+    // materialize before append: the plan reads `messages` for __base while
+    // the write lands in the same directory
+    val cached = assigned.cache()
+    cached.count()
+    append("messages", cached)
+    cached.unpersist()
+    assigned
+  }
+
+  /**
    * J3-guarded message append: skip when (workflow_id, content, category)
    * already exists — the question-dedup guard of ui/backend/main.py:296-303.
    */

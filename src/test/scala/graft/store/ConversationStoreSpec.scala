@@ -48,6 +48,40 @@ class ConversationStoreSpec extends AnyFunSuite {
     assert(m0.message_id == "wf1-msg-0" && m1.message_id == "wf1-msg-1")
   }
 
+  test("batch addMessages assigns exactly the sequences a loop of addMessage would") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val t2 = Timestamp.valueOf("2026-01-01 00:02:00")
+    val t3 = Timestamp.valueOf("2026-01-01 00:03:00")
+
+    // store A: one-by-one appends (the reference's per-write path)
+    val a = freshStore()
+    a.addMessage("wf1", "human", "m0", t0)
+    a.addMessage("wf1", "ai", "m1", t1)
+    a.addMessage("wf1", "human", "m2", t2)
+    a.addMessage("wf1", "ai", "m3", t3)
+    a.addMessage("wf2", "human", "n0", t2)
+
+    // store B: same starting state (2 singles on wf1), then ONE batch
+    val b = freshStore()
+    b.addMessage("wf1", "human", "m0", t0)
+    b.addMessage("wf1", "ai", "m1", t1)
+    val batch = Seq(
+      ("wf1", "human", "m2", t2, None: Option[String]),
+      ("wf1", "ai", "m3", t3, None: Option[String]),
+      ("wf2", "human", "n0", t2, None: Option[String])
+    ).toDF("workflow_id", "message_type", "content", "created_at", "message_category")
+    b.addMessages(batch)
+
+    def snap(st: ConversationStore) = st.messages
+      .select("message_id", "workflow_id", "message_type", "content", "sequence")
+      .collect().map(_.toSeq).toSet
+    assert(snap(b) == snap(a), "batch and single-append sequence assignment must agree")
+    // continuation after a batch also agrees: next single append lands at max+1
+    assert(a.addMessage("wf1", "human", "m4", t3).sequence == 4)
+    assert(b.addMessage("wf1", "human", "m4", t3).sequence == 4)
+  }
+
   test("S5: result append shares the sequence counter with messages (Message∪Result)") {
     val st = freshStore()
     st.addMessage("wf1", "human", "q", t0)

@@ -58,4 +58,34 @@ class SnapshotsSpec extends AnyFunSuite {
     val base = java.nio.file.Files.createTempDirectory("graft-snap-empty").toString + "/t"
     intercept[IllegalArgumentException] { Snapshots.read(spark, base) }
   }
+
+  test("a version directory without _SUCCESS is invisible and its slot is reclaimed") {
+    val base = java.nio.file.Files.createTempDirectory("graft-snap-crash").toString + "/t"
+    Snapshots.write(Seq((1L, "a")).toDF("id", "s"), base)
+    // simulate a crashed in-flight write: a v=2 directory with data but no marker
+    val crashed = new java.io.File(s"$base/v=2")
+    crashed.mkdirs()
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$base/v=2/part-00000.parquet"), Array[Byte](1, 2, 3))
+    assert(Snapshots.versions(spark, base) == Seq(1L), "partial snapshot must not be listed")
+    assert(Snapshots.read(spark, base).as[(Long, String)].collect().toSet == Set((1L, "a")))
+    // the retry reclaims v=2 rather than skipping to v=3 or failing
+    val v = Snapshots.write(Seq((1L, "a"), (2L, "b")).toDF("id", "s"), base)
+    assert(v == 2L)
+    assert(Snapshots.read(spark, base).as[(Long, String)].collect().toSet ==
+      Set((1L, "a"), (2L, "b")))
+  }
+
+  test("diff sees a column added in the newer version (union-schema hash)") {
+    val base = java.nio.file.Files.createTempDirectory("graft-snap-evolve").toString + "/t"
+    Snapshots.write(Seq((1L, "a"), (2L, "b")).toDF("id", "s"), base)
+    // v2 adds a column; row 2 differs ONLY in the new column
+    Snapshots.write(
+      Seq((1L, "a", null.asInstanceOf[String]), (2L, "b", "extra"))
+        .toDF("id", "s", "note"), base)
+    val cdc = Snapshots.diff(spark, base, 1L, 2L, "id")
+      .as[(Long, String)].collect().toMap
+    assert(cdc == Map(2L -> "update"),
+      "row changed only in the added column must classify as update; null-filled row must not")
+  }
 }
