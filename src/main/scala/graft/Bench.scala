@@ -94,8 +94,9 @@ object Bench {
 
     // regression gate: diff against the committed per-query baseline
     // (tools/baseline.json, written from the previous round's bench). A
-    // query is flagged when it's >1.5× its baseline AND the delta is >0.3 s
-    // (sub-noise times on 10 ms queries must not page anyone).
+    // query is flagged when it's >1.5× its baseline AND the delta is >0.5 s
+    // (sub-second queries jitter by whole scheduling quanta run-to-run —
+    // absolute noise must not page anyone).
     val baseline: Map[String, Double] = {
       val f = new java.io.File(
         sys.env.getOrElse("SPARK_GRAFT_BASELINE", "tools/baseline.json"))
@@ -108,7 +109,7 @@ object Bench {
     }
     val regressions = results.collect {
       case (k, Right((v, _)))
-          if baseline.get(k).exists(b => v > b * 1.5 && v - b > 0.3) =>
+          if baseline.get(k).exists(b => v > b * 1.5 && v - b > 0.5) =>
         s"${q(k)}:{${q("now")}:$v,${q("baseline")}:${baseline(k)}}"
     }.mkString("{", ",", "}")
 

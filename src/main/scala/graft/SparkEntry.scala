@@ -987,6 +987,25 @@ object SparkEntry {
              |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sample_total
              |FROM orders WHERE substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 1) = '0'""".stripMargin)),
 
+    // write-layout z-order (Morton) key as a pure bit-interleave expression
+    // — the 2-D data-skipping sort key (Layout.writeZOrdered); the oracle
+    // recomputes the identical interleave bit by bit
+    "lo_zorder_key" -> Q(
+      (s, d) => TestData.events(s, d)
+        .filter(col("event_id") < 2000)
+        .select(col("event_id"),
+          graft.sources.Layout.zorderKey2(
+            pmod(col("user_id"), lit(1024)), pmod(col("event_id"), lit(1024)),
+            bitsPerCol = 10).as("zkey"))
+        .orderBy(col("event_id")),
+      Some {
+        val terms = (0 until 10).flatMap(i => Seq(
+          s"(((user_id % 1024) >> $i & 1) << ${2 * i})",
+          s"(((event_id % 1024) >> $i & 1) << ${2 * i + 1})"))
+        s"""SELECT event_id, ${terms.mkString(" | ")} AS zkey
+           |FROM events WHERE event_id < 2000 ORDER BY event_id""".stripMargin
+      }),
+
     // multimodal plumbing in the battery: text bytes stand in for media
     // payloads (no codecs in this container), but the pipeline is the real
     // one — binary column → mapPartitions(per-partition codec init) → typed

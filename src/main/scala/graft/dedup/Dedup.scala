@@ -283,11 +283,26 @@ object Dedup {
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .distinct().cache()
-    var labels = allIds.select(col(idCol).as("id"), col(idCol).as("cluster"))
+    // iterate ONLY over nodes that appear in an edge: in a near-dup corpus
+    // almost every doc is isolated, so propagating |V| labels per round
+    // would shuffle the whole corpus maxIters times for nothing — isolated
+    // ids are unioned back (cluster = own id) after convergence.
+    // Seed with the 1-hop minimum (least of self and direct neighbors),
+    // computed in ONE aggregation over edges: near-dup components are
+    // mostly cliques, so this init is already the fixpoint and the loop's
+    // first round just confirms it — one driver job saved per query, and
+    // the groupBy doubles as the edge-node enumeration.
+    var labels = edges
+      .groupBy(col("src"))
+      .agg(least(col("src"), min(col("dst"))).as("cluster"))
+      .select(col("src").as("id"), col("cluster"))
+      .cache()
     // labels only ever decrease, so Σcluster strictly decreases until the
     // fixpoint — convergence is one cheap scalar per round, not a self-join
+    // (null sum = empty edge set, e.g. a corpus with no near-dup pairs)
     def labelSum(df: DataFrame): java.math.BigDecimal =
-      df.agg(sum(col("cluster")).cast("decimal(38,0)")).head().getDecimal(0)
+      Option(df.agg(sum(col("cluster")).cast("decimal(38,0)")).head().getDecimal(0))
+        .getOrElse(java.math.BigDecimal.ZERO)
     var prevSum = labelSum(labels)
     var converged = false
     var i = 0
@@ -309,13 +324,19 @@ object Dedup {
       labels = next
       i += 1
     }
-    edges.unpersist()
     // min-label propagation moves one hop per round: a component whose
     // diameter exceeds maxIters would otherwise return silently-split labels
     require(converged,
       s"connectedComponents did not converge in $maxIters rounds — a component's " +
         s"diameter exceeds the budget; raise maxIters (labels would be silently wrong)")
-    labels
+    // the final labels frame is cached/checkpointed, so the anti-join reads
+    // the materialized edge-node set, not the pair-generation lineage
+    val isolated = allIds.select(col(idCol).as("id"))
+      .join(labels.select(col("id")), Seq("id"), "left_anti")
+      .select(col("id"), col("id").as("cluster"))
+    val out = labels.unionByName(isolated)
+    edges.unpersist()
+    out
   }
 
   /**

@@ -20,18 +20,21 @@ object DataQuality {
    * max, computed in a single aggregation pass and unpivoted. Min/max/
    * distinct are rendered as strings so heterogeneous column types stack.
    *
-   * `approxDistinct = true` swaps exact count-distinct for the HLL sketch:
-   * N exact distincts in one pass plan through Spark's Expand operator
-   * (input × (N+1) rows before the agg) — exact is fine for a handful of
-   * columns, the sketch is the 100 TB wide-profile path (no Expand, O(1)
-   * state per column).
+   * Exact distinct is `size(collect_set)` rather than N `count_distinct`s:
+   * multiple distinct aggregates plan through Spark's Expand operator
+   * (input × (N+1) rows through the agg — the whole batch re-shuffled N
+   * extra times), while collect_set keeps one in-memory set per column per
+   * partition with map-side partials and NO Expand. State is O(cardinality)
+   * per column, which is what profiling columns look like; for genuinely
+   * high-cardinality columns (ids, free text) pass `approxDistinct = true`
+   * — the HLL sketch with O(1) state, the 100 TB wide-profile default.
    */
   def profile(df: DataFrame, cols: Seq[String],
               approxDistinct: Boolean = false): DataFrame = {
     val aggs = cols.flatMap { c =>
       val dist =
         if (approxDistinct) approx_count_distinct(col(c))
-        else countDistinct(col(c))
+        else size(collect_set(col(c))).cast("long")
       Seq(
         count(col(c)).as(s"__cnt_$c"),
         count(when(col(c).isNull, 1)).as(s"__null_$c"),

@@ -121,6 +121,37 @@ object Ivf {
     df.withColumn(outCol, cellFor(col(vecCol), model))
 
   /**
+   * Distributed Lloyd refinement over the FULL corpus — closes the
+   * sample-vs-corpus gap of the driver-side `train`: each iteration assigns
+   * cells with the codegen'd argmax, aggregates per-(cell, dim) sums in one
+   * distributed pass (posexplode → groupBy — the shuffle carries
+   * nCells × dim rows, not the corpus), and renormalizes the KiB-sized
+   * centroid set on the driver (spherical k-means step; the collect is
+   * k × dim scalars, bounded and tiny by construction). The spherical
+   * Lloyd objective (mean best-dot) is non-decreasing per iteration —
+   * pinned in IvfSpec.
+   */
+  def refine(emb: DataFrame, vecCol: String, model: Model, iters: Int = 1): Model = {
+    var m = model
+    val vecs = emb.filter(col(vecCol).isNotNull)
+    for (_ <- 0 until iters) {
+      val dim = m.centroids.head.length
+      val sums = withCell(vecs, vecCol, m)
+        .select(col("cell"), posexplode(col(vecCol)).as(Seq("d", "x")))
+        .groupBy(col("cell"), col("d"))
+        .agg(sum(col("x").cast("double")).as("s"))
+        .collect()
+      val acc = Array.fill(m.nCells)(Array.fill(dim)(0.0))
+      sums.foreach(r => acc(r.getInt(0))(r.getInt(1)) = r.getDouble(2))
+      m = Model(Array.tabulate(m.nCells) { c =>
+        val n = math.sqrt(acc(c).map(x => x * x).sum)
+        if (n > 0) acc(c).map(x => (x / n).toFloat) else m.centroids(c) // empty cell: keep stable
+      })
+    }
+    m
+  }
+
+  /**
    * IVF top-k: filter to the `nProbe` nearest cells, exact cosine rerank.
    * With `nProbe == model.nCells` this is exhaustive and exactly equals
    * [[Rag.knn]] (pinned in IvfSpec); at scale use nProbe ≪ nCells.

@@ -46,6 +46,41 @@ object Layout {
       .write.mode("overwrite").parquet(path)
 
   /**
+   * Z-order (Morton) key over two non-negative integer columns: bit i of
+   * `x` lands at z-bit 2i, bit i of `y` at 2i+1, over the low `bitsPerCol`
+   * bits of each. Range-partitioning + sorting by the z-key clusters rows
+   * close in BOTH dimensions into the same files, so parquet min/max stats
+   * prune predicates on EITHER/both columns — a single-key range sort only
+   * skips on its leading key. This is Iceberg's `rewrite_data_files`
+   * z-order strategy expressed as a pure column expression: built-in bit
+   * ops only (whole-stage codegen, no UDF), and engine-portable — the
+   * DuckDB oracle recomputes the identical key.
+   */
+  def zorderKey2(x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column,
+                 bitsPerCol: Int = 16): org.apache.spark.sql.Column = {
+    require(bitsPerCol >= 1 && bitsPerCol <= 31, "bitsPerCol must be in [1, 31]")
+    val terms = (0 until bitsPerCol).flatMap { i =>
+      Seq(
+        shiftleft(shiftrightunsigned(x.cast("long"), i).bitwiseAND(1), 2 * i),
+        shiftleft(shiftrightunsigned(y.cast("long"), i).bitwiseAND(1), 2 * i + 1))
+    }
+    terms.reduce((a, b) => a.bitwiseOR(b))
+  }
+
+  /**
+   * Z-ordered layout: range-partition + sort by the Morton key of
+   * (xCol, yCol), then drop the key — each output file covers a compact
+   * 2-D tile, so both columns' min/max stats stay tight per file.
+   */
+  def writeZOrdered(df: DataFrame, xCol: String, yCol: String, nFiles: Int,
+                    path: String, bitsPerCol: Int = 16): Unit =
+    df.withColumn("__z", zorderKey2(col(xCol), col(yCol), bitsPerCol))
+      .repartitionByRange(nFiles, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z")
+      .write.mode("overwrite").parquet(path)
+
+  /**
    * Compact small files to ~`targetBytes` per output file — the
    * `rewrite_data_files` maintenance verb. Rewrites into `outPath`
    * (object-store pattern: write-new-then-flip-pointer; an in-place swap is

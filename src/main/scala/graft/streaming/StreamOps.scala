@@ -1,19 +1,27 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 /**
  * Streaming twins of the batch pipeline operators that matter at ingest
- * time: bounded-state exact dedup and stream-static dimension enrichment.
+ * time: bounded-state exact dedup, stream-static dimension enrichment, and
+ * banded-SimHash NEAR-dup candidate detection.
  *
- * At 100 TB/day ingest these are the two operators that decide whether the
+ * At 100 TB/day ingest these are the operators that decide whether the
  * pipeline holds: dedup state must be bounded by a watermark (unbounded
  * `dropDuplicates` state grows forever), and dimension joins must broadcast
  * the static side (a stream-stream shuffle join for a lookup table is the
  * classic self-inflicted bottleneck).
  */
 object StreamOps {
+
+  /** Input doc for streaming near-dup detection. */
+  final case class Doc(doc_id: String, ts: java.sql.Timestamp, text: String)
+
+  /** A near-dup candidate: `doc_id` arrived near-identical to `matched_id`. */
+  final case class NearDupHit(doc_id: String, matched_id: String, hamming: Int)
 
   /**
    * Exact dedup on a stream with bounded state: keeps one row per key among
@@ -55,5 +63,72 @@ object StreamOps {
       col(key) === col(s"r_$key") &&
         col(s"r_$rightTs") >= col(leftTs) - expr(s"INTERVAL $lowerMs MILLISECOND") &&
         col(s"r_$rightTs") <= col(leftTs) + expr(s"INTERVAL $upperMs MILLISECOND"))
+  }
+
+  /**
+   * Streaming NEAR-dup candidate detection — the streaming twin of
+   * `Dedup.simhashNearDup`: each doc's 64-bit SimHash splits into `bands`
+   * band buckets; per (band, bucket), recent signatures are held in keyed
+   * state, and an arriving doc emits a `NearDupHit` against every stored
+   * doc within `maxHamming` and `horizonMs`. Same banding guarantee as the
+   * batch path: a pair with Hamming < bands shares at least one intact
+   * band, so it is found with certainty.
+   *
+   * Scale: state per bucket is O(docs in the horizon window ∕ 2^(64/bands))
+   * and is evicted both inline (entries older than `ms − horizonMs`) and by
+   * event-time timeout when a bucket goes idle — bounded regardless of
+   * stream length. The signature is a pure projection (no shuffle); the one
+   * shuffle is the keyed-state partitioning on (band, bucket). The caller
+   * sets the watermark on `ts` BEFORE calling (delay ≥ expected disorder).
+   * The same pair can surface from two bands — downstream
+   * `dropDuplicates("doc_id", "matched_id")` per micro-batch if exact-once
+   * pair emission matters.
+   */
+  def nearDupCandidates(docs: Dataset[Doc], horizonMs: Long, maxHamming: Int,
+                        bands: Int = 4): Dataset[NearDupHit] = {
+    require(bands > 0 && 64 % bands == 0, s"bands ($bands) must divide 64")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val width = 64 / bands
+    val mask = (1L << width) - 1
+    val bandCols = (0 until bands).map { i =>
+      struct(lit(i).as("band"),
+        shiftrightunsigned(col("sig"), i * width).bitwiseAND(lit(mask)).as("bucket"))
+    }
+    val exploded = docs
+      .withColumn("sig", graft.dedup.Dedup.simhash64(col("text")))
+      .select(col("doc_id"), col("ts"), col("sig"), explode(array(bandCols: _*)).as("bb"))
+      .select(col("doc_id"), col("ts"), col("sig"),
+        col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+      .as[(String, java.sql.Timestamp, Long, Int, Long)]
+
+    exploded
+      .groupByKey { case (_, _, _, band, bucket) => (band, bucket) }
+      .flatMapGroupsWithState[List[(String, Long, Long)], NearDupHit](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (_, rows, state: GroupState[List[(String, Long, Long)]]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            var entries = state.getOption.getOrElse(Nil) // (doc_id, ms, sig)
+            val hits = Vector.newBuilder[NearDupHit]
+            var maxMs = entries.foldLeft(0L)((m, e) => math.max(m, e._2))
+            rows.toVector.sortBy(_._2.getTime).foreach { case (id, ts, sig, _, _) =>
+              val ms = ts.getTime
+              entries.foreach { case (oid, oms, osig) =>
+                val h = java.lang.Long.bitCount(sig ^ osig)
+                if (oid != id && math.abs(ms - oms) <= horizonMs && h <= maxHamming)
+                  hits += NearDupHit(id, oid, h)
+              }
+              entries = (id, ms, sig) :: entries
+              maxMs = math.max(maxMs, ms)
+            }
+            // inline eviction: nothing older than the horizon behind the
+            // newest entry can ever match a future in-watermark arrival
+            entries = entries.filter(_._2 >= maxMs - horizonMs)
+            state.update(entries)
+            state.setTimeoutTimestamp(maxMs + horizonMs)
+            hits.result().iterator
+          }
+      }
   }
 }

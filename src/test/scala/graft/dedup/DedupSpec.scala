@@ -151,6 +151,14 @@ class DedupSpec extends AnyFunSuite {
       5L -> 5L, 6L -> 5L, 7L -> 7L))
   }
 
+  test("connectedComponents with no pairs: every id is its own cluster") {
+    val ids = Seq(1L, 2L, 3L).toDF("doc_id")
+    val empty = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    val labels = Dedup.connectedComponents(empty, ids, "doc_id")
+      .as[(Long, Long)].collect().toMap
+    assert(labels == Map(1L -> 1L, 2L -> 2L, 3L -> 3L))
+  }
+
   test("connectedComponents fails fast instead of returning split labels") {
     // a 7-node chain needs >2 propagation rounds; maxIters = 2 must throw,
     // never silently return a partially-propagated labeling

@@ -60,6 +60,50 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("Partial"), p)
   }
 
+  test("banded LSH candidate pairs: equi-join on (band, bucket), never a cartesian") {
+    import org.apache.spark.sql.functions.col
+    val docs = graft.sources.TestData.documents(spark, sf).filter(col("doc_id") < 50)
+    val sig = graft.dedup.Dedup.simhashSignatures(docs, "doc_id", "text")
+    val p = graft.dedup.Dedup.bandedSigPairs(sig, "doc_id", sigBits = 64, bands = 4)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"banded blocking must stay an equi-join:\n${p.take(2000)}")
+  }
+
+  test("runtime bloom filter prunes the big side of a selective fact join") {
+    // Spark's runtime row-level filtering: a selective dimension side should
+    // inject a bloom filter into the lineitem scan — the 100 TB join-pruning
+    // story. Thresholds lowered so the sf0.001 fixture triggers the rewrite.
+    val s = spark
+    import org.apache.spark.sql.functions.col
+    val prev = Map(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" ->
+        s.conf.getOption("spark.sql.optimizer.runtime.bloomFilter.enabled"),
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" ->
+        s.conf.getOption("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold"),
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" ->
+        s.conf.getOption("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"),
+      "spark.sql.autoBroadcastJoinThreshold" ->
+        s.conf.getOption("spark.sql.autoBroadcastJoinThreshold"))
+    try {
+      s.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      s.conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "100MB")
+      s.conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "1KB")
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force a shuffle join
+      val lineitem = graft.sources.TestData.table(s, sf, "lineitem")
+      val orders = graft.sources.TestData.table(s, sf, "orders")
+        .filter(col("o_totalprice") > 500000.0) // selective build side
+      val j = lineitem.join(orders, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority")).count()
+      val p = j.queryExecution.optimizedPlan.toString
+      assert(p.contains("bloom_filter") || p.contains("BloomFilter"),
+        s"expected a runtime bloom filter on the fact scan:\n${p.take(3000)}")
+    } finally prev.foreach {
+      case (k, Some(v)) => s.conf.set(k, v)
+      case (k, None) => s.conf.unset(k)
+    }
+  }
+
   test("v3_knn_cosine: scan → cosine → TakeOrderedAndProject, codegen'd hot loop") {
     val df = SparkEntry.queries("v3_knn_cosine")(spark, sf)
     assert(df.queryExecution.executedPlan.toString.contains("TakeOrderedAndProject"))

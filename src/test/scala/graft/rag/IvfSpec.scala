@@ -27,6 +27,32 @@ class IvfSpec extends AnyFunSuite {
     }
   }
 
+  test("distributed refine: spherical Lloyd objective never decreases, deterministic") {
+    import graft.functions.GraftFunctions
+    val m0 = Ivf.train(emb, "vec_id", "embedding", nCells = 4, sampleCap = 64)
+    def meanBestDot(m: Ivf.Model): Double = {
+      GraftFunctions.register(spark)
+      val dots = array(m.centroids.map(c =>
+        GraftFunctions.dotProduct(col("embedding"), lit(c).cast("array<float>"))): _*)
+      emb.select(avg(array_max(dots))).head().getDouble(0)
+    }
+    val before = meanBestDot(m0)
+    val m1 = Ivf.refine(emb, "embedding", m0, iters = 2)
+    val after = meanBestDot(m1)
+    assert(after >= before - 1e-9,
+      s"refinement must not worsen the objective: before=$before after=$after")
+    // stable: re-refining reproduces the same centroids up to the float
+    // noise of distributed double summation (partial-agg order varies)
+    val m1b = Ivf.refine(emb, "embedding", m0, iters = 2)
+    m1.centroids.zip(m1b.centroids).foreach { case (a, b) =>
+      a.zip(b).foreach { case (x, y) => assert(math.abs(x - y) < 1e-5, s"$x vs $y") }
+    }
+    m1.centroids.foreach { c =>
+      val n = math.sqrt(c.map(x => x.toDouble * x.toDouble).sum)
+      assert(math.abs(n - 1.0) < 1e-3 || n == 0.0, s"refined centroid norm $n")
+    }
+  }
+
   test("every vector lands in exactly one cell, all cells in range") {
     val m = Ivf.train(emb, "vec_id", "embedding", nCells = 4, sampleCap = 256)
     val cells = Ivf.withCell(emb, "embedding", m)

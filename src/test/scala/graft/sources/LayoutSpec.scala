@@ -68,6 +68,39 @@ class LayoutSpec extends AnyFunSuite {
     assert(rows == Map(1L -> None, 2L -> Some(9.5))) // old files read as null
   }
 
+  test("zorderKey2 matches a reference bit-interleave exhaustively (64×64 grid)") {
+    def ref(x: Long, y: Long, bits: Int): Long =
+      (0 until bits).map(i => (((x >> i) & 1) << (2 * i)) | (((y >> i) & 1) << (2 * i + 1))).sum
+    val grid = (for (x <- 0L until 64L; y <- 0L until 64L) yield (x, y)).toDF("x", "y")
+    val mismatches = grid
+      .withColumn("z", Layout.zorderKey2(col("x"), col("y"), bitsPerCol = 6))
+      .as[(Long, Long, Long)].collect()
+      .filter { case (x, y, z) => z != ref(x, y, 6) }
+    assert(mismatches.isEmpty, s"first mismatch: ${mismatches.headOption}")
+    // spot-pin one canonical value: interleave(3=011b, 5=101b) = 100111b = 39
+    assert(ref(3, 5, 3) == 39)
+  }
+
+  test("z-ordered layout: every file covers a compact 2-D tile (both ranges prune)") {
+    val dir = tmp("graft-zorder")
+    val grid = (for (x <- 0L until 128L; y <- 0L until 128L) yield (x, y)).toDF("x", "y")
+    Layout.writeZOrdered(grid, "x", "y", nFiles = 64, path = dir, bitsPerCol = 7)
+    // a single-key range sort leaves the OTHER column's per-file range at
+    // ~full width; a z-order tile must bound BOTH well below the full 0..127
+    val perFile = spark.read.parquet(dir)
+      .groupBy(input_file_name())
+      .agg((max(col("x")) - min(col("x"))).as("xr"), (max(col("y")) - min(col("y"))).as("yr"))
+      .as[(String, Long, Long)].collect()
+    assert(perFile.length > 16)
+    // (a single-key x sort would give x-range ≈ 2 but y-range = 127 here;
+    // bound allows for repartitionByRange's sampled, unaligned boundaries)
+    val worstX = perFile.map(_._2).max
+    val worstY = perFile.map(_._3).max
+    assert(worstX < 100 && worstY < 100,
+      s"z-tiles should bound both dims: worst x-range $worstX, y-range $worstY of 127")
+    assert(spark.read.parquet(dir).count() == 128L * 128L)
+  }
+
   test("compact: many small files → few target-size files, content identical") {
     val in = tmp("graft-compact-in")
     val out = tmp("graft-compact-out")

@@ -83,6 +83,54 @@ class StreamOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("nearDupCandidates flags cross-batch near-identical docs, not distinct ones") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[StreamOps.Doc]
+    val hits = StreamOps.nearDupCandidates(
+      input.toDS().withWatermark("ts", "10 minutes").as[StreamOps.Doc],
+      horizonMs = 3600_000L, maxHamming = 3, bands = 4)
+    val q = hits.writeStream.format("memory").queryName("neardup_out")
+      .outputMode("append").start()
+    try {
+      val base = "the quick brown fox jumps over the lazy dog again and again"
+      input.addData(
+        StreamOps.Doc("d1", ts("2026-01-01 10:00:00"), base),
+        StreamOps.Doc("d2", ts("2026-01-01 10:00:10"), "completely different topic entirely unrelated words"))
+      q.processAllAvailable()
+      // second batch: an exact dup of d1 and a fresh unique doc
+      input.addData(
+        StreamOps.Doc("d3", ts("2026-01-01 10:05:00"), base),
+        StreamOps.Doc("d4", ts("2026-01-01 10:05:01"), "yet another unique document about spark plans"))
+      q.processAllAvailable()
+      val pairs = spark.table("neardup_out")
+        .select("doc_id", "matched_id").as[(String, String)].collect().toSet
+      assert(pairs.contains(("d3", "d1")), s"exact dup must be flagged, got $pairs")
+      assert(!pairs.exists(p => p._1 == "d2" || p._1 == "d4"),
+        s"distinct docs must not be flagged, got $pairs")
+    } finally q.stop()
+  }
+
+  test("nearDupCandidates: beyond-horizon repeats are NOT flagged (state evicted)") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[StreamOps.Doc]
+    val hits = StreamOps.nearDupCandidates(
+      input.toDS().withWatermark("ts", "1 minute").as[StreamOps.Doc],
+      horizonMs = 60_000L, maxHamming = 3, bands = 4)
+    val q = hits.writeStream.format("memory").queryName("neardup_h_out")
+      .outputMode("append").start()
+    try {
+      val base = "the quick brown fox jumps over the lazy dog again and again"
+      input.addData(StreamOps.Doc("e1", ts("2026-01-01 10:00:00"), base))
+      q.processAllAvailable()
+      // same text but 2 hours later — far outside the 1-minute horizon
+      input.addData(StreamOps.Doc("e2", ts("2026-01-01 12:00:00"), base))
+      q.processAllAvailable()
+      val pairs = spark.table("neardup_h_out")
+        .select("doc_id", "matched_id").as[(String, String)].collect().toSet
+      assert(pairs.isEmpty, s"beyond-horizon repeat must not match, got $pairs")
+    } finally q.stop()
+  }
+
   test("checkpointed restart delivers each input row exactly once") {
     val root = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
     val (in, ckpt, out) = (s"$root/in", s"$root/ckpt", s"$root/out")
