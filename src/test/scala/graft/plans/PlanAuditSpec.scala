@@ -60,6 +60,18 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("Partial"), p)
   }
 
+  test("tpch_q4: correlated EXISTS plans as a semi join, never a per-row subquery") {
+    val p = planOf("tpch_q4_priority_check")
+    assert(p.contains("LeftSemi"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("tpch_q10: dimension sides broadcast, fact shuffles once for the agg") {
+    val p = planOf("tpch_q10_returned")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
   test("banded LSH candidate pairs: equi-join on (band, bucket), never a cartesian") {
     import org.apache.spark.sql.functions.col
     val docs = graft.sources.TestData.documents(spark, sf).filter(col("doc_id") < 50)
