@@ -1248,6 +1248,36 @@ object SparkEntry {
              |                  WHERE e.event_type = 'purchase' AND e.user_id = c.user_id)
              |ORDER BY user_id""".stripMargin)),
 
+    // Snapshots CDC end-to-end: two versioned writes (deterministic slices
+    // of orders) → Snapshots.diff classifies insert/delete/update — the
+    // Iceberg changelog verb over the versioned-parquet store, pinned
+    // against an oracle that recomputes the classification relationally
+    "snap_diff_cdc" -> Q(
+      (s, d) => {
+        import graft.store.Snapshots
+        val base = java.nio.file.Files.createTempDirectory("graft-snapdiff").toString + "/t"
+        val orders = T(s, d, "orders").select(col("o_orderkey"), col("o_totalprice"))
+        Snapshots.write(orders.filter(pmod(col("o_orderkey"), lit(10)) =!= 0), base)
+        Snapshots.write(
+          orders.filter(pmod(col("o_orderkey"), lit(7)) =!= 0)
+            .withColumn("o_totalprice", col("o_totalprice") +
+              when(pmod(col("o_orderkey"), lit(3)) === 0, 1.0).otherwise(0.0)),
+          base)
+        Snapshots.diff(s, base, 1L, 2L, "o_orderkey")
+          .groupBy(col("change_type")).agg(count(lit(1)).as("n"))
+          .orderBy(col("change_type"))
+      },
+      Some("""WITH v1 AS (SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 10 <> 0),
+             |v2 AS (SELECT o_orderkey,
+             |         o_totalprice + CASE WHEN o_orderkey % 3 = 0 THEN 1.0 ELSE 0.0 END AS o_totalprice
+             |       FROM orders WHERE o_orderkey % 7 <> 0),
+             |d AS (SELECT CASE WHEN v1.o_orderkey IS NULL THEN 'insert'
+             |             WHEN v2.o_orderkey IS NULL THEN 'delete'
+             |             WHEN v1.o_totalprice <> v2.o_totalprice THEN 'update' END AS change_type
+             |      FROM v1 FULL OUTER JOIN v2 ON v1.o_orderkey = v2.o_orderkey)
+             |SELECT change_type, count(*) AS n FROM d
+             |WHERE change_type IS NOT NULL GROUP BY change_type ORDER BY change_type""".stripMargin)),
+
     // S7 — embedding column point-update semantics (SET r.embedding WHERE id)
     "s7_embedding_update" -> Q(
       (s, d) => {
@@ -1755,6 +1785,43 @@ object SparkEntry {
              |      UNION
              |      SELECT e.src, r.m FROM edges e JOIN r ON e.dst = r.id)
              |SELECT id AS doc_id, min(m) AS cluster FROM r GROUP BY id ORDER BY doc_id""".stripMargin)),
+
+    // pairs → components → SURVIVORS: the full near-dup reduction ending in
+    // a deduplicated corpus (best quality = longest text wins, ties to min
+    // id). Oracle closes the identical md5 LSH pairs with a recursive CTE,
+    // then picks the same per-cluster winner.
+    "dd_cluster_survivors" -> Q(
+      (s, d) => {
+        val docs = T(s, d, "documents").filter(col("doc_id") < 50)
+        val sig = Dedup.minhashSignature(docs, "doc_id", "text", 5, 4)
+        val pairs = Dedup.lshCandidatePairs(sig, "doc_id", numHashes = 4, bands = 2)
+        val labels = Dedup.connectedComponents(pairs, docs.select(col("doc_id")), "doc_id")
+        Dedup.dedupByCluster(docs, labels, "doc_id", length(col("text")))
+          .select(col("doc_id"), col("cluster"), length(col("text")).as("text_len"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH RECURSIVE ${shingleCte("WHERE doc_id < 50")},
+             |sig AS (SELECT doc_id,
+             |    min(md5('0|' || shingle)) AS h0, min(md5('1|' || shingle)) AS h1,
+             |    min(md5('2|' || shingle)) AS h2, min(md5('3|' || shingle)) AS h3
+             |  FROM sh GROUP BY doc_id),
+             |b AS (SELECT doc_id, 0 AS band, md5(h0 || '|' || h1) AS bucket FROM sig
+             |      UNION ALL
+             |      SELECT doc_id, 1 AS band, md5(h2 || '|' || h3) AS bucket FROM sig),
+             |pairs AS (SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
+             |  FROM b a JOIN b c ON a.band = c.band AND a.bucket = c.bucket AND a.doc_id < c.doc_id),
+             |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+             |          UNION SELECT id_b, id_a FROM pairs),
+             |r AS (SELECT doc_id AS id, doc_id AS m FROM documents WHERE doc_id < 50
+             |      UNION
+             |      SELECT e.src, r.m FROM edges e JOIN r ON e.dst = r.id),
+             |lbl AS (SELECT id AS doc_id, min(m) AS cluster FROM r GROUP BY id),
+             |ranked AS (SELECT d.doc_id, l.cluster, length(d.text) AS text_len,
+             |    row_number() OVER (PARTITION BY l.cluster
+             |                       ORDER BY length(d.text) DESC, d.doc_id) AS rn
+             |  FROM documents d JOIN lbl l ON d.doc_id = l.doc_id WHERE d.doc_id < 50)
+             |SELECT doc_id, cluster, CAST(text_len AS INT) AS text_len
+             |FROM ranked WHERE rn = 1 ORDER BY doc_id""".stripMargin)),
 
     "dd_ngram_jaccard" -> Q(
       (s, d) => Dedup.ngramJaccardPairs(
