@@ -1024,7 +1024,9 @@ object SparkEntry {
     // multimodal plumbing in the battery: text bytes stand in for media
     // payloads (no codecs in this container), but the pipeline is the real
     // one — binary column → mapPartitions(per-partition codec init) → typed
-    // features. FNV checksum is engine-side → rows-only.
+    // features. The stub's md5 checksum and exact-integer byte-bucket sums
+    // are engine-portable, so even the mapPartitions path is hash-checked
+    // (documents are ASCII, so DuckDB's per-char ord == the UTF-8 byte).
     "mm_feature_extract" -> Q(
       (s, d) => {
         import graft.multimodal.Multimodal
@@ -1038,7 +1040,18 @@ object SparkEntry {
             round(element_at(col("features"), 1).cast("double"), 6).as("f0"))
           .orderBy(col("media_id"))
       },
-      None),
+      Some("""WITH m AS (SELECT 'doc-' || CAST(doc_id AS VARCHAR) AS media_id, text
+             |           FROM documents WHERE doc_id < 100),
+             |bytes AS (SELECT media_id, ord(substr(text, CAST(p AS INT), 1)) AS b,
+             |            CAST(p - 1 AS INT) % 8 AS bucket
+             |  FROM (SELECT media_id, text, unnest(range(1, strlen(text) + 1)) AS p FROM m) t),
+             |f AS (SELECT media_id, CAST(sum(CASE WHEN bucket = 0 THEN b END) AS DOUBLE) AS s0
+             |      FROM bytes GROUP BY media_id)
+             |SELECT m.media_id, CAST(strlen(m.text) AS BIGINT) AS n_bytes,
+             |  CAST('0x' || substr(md5(m.text), 1, 15) AS BIGINT) AS checksum,
+             |  round((COALESCE(f.s0, 0) / 255)::FLOAT::DOUBLE, 6) AS f0
+             |FROM m LEFT JOIN f ON m.media_id = f.media_id
+             |ORDER BY m.media_id""".stripMargin)),
 
     // array / higher-order-function surface over the embedding column:
     // element access, slicing, per-element transforms, reductions — the

@@ -73,19 +73,32 @@ object Multimodal {
 
   /**
    * Deterministic fake codec: "decodes" payload bytes into a fixed-dim
-   * feature vector (rolling checksum buckets). Replace with a real codec
-   * binding at deployment; the call shape (per-partition init, batched
-   * rows) is the real contract.
+   * feature vector (per-bucket byte sums, exact integer accumulation, ONE
+   * float rounding at the end) and an md5-prefix checksum. Replace with a
+   * real codec binding at deployment; the call shape (per-partition init —
+   * the MessageDigest is the stand-in for expensive codec state — and
+   * batched rows) is the real contract. Both outputs are engine-portable:
+   * the DuckDB oracle recomputes them byte for byte, so even the
+   * mapPartitions path is hash-checked, not just rows-counted.
    */
   class DecodeStub(dim: Int = 16) extends Serializable {
+    private val digest = java.security.MessageDigest.getInstance("MD5")
+
+    /** First 15 hex chars of md5(payload) as a 60-bit non-negative long. */
+    def checksum(payload: Array[Byte]): Long = {
+      digest.reset()
+      val hex = digest.digest(payload).map(b => f"${b & 0xff}%02x").mkString
+      java.lang.Long.parseLong(hex.substring(0, 15), 16)
+    }
+
     def decode(payload: Array[Byte]): Array[Float] = {
-      val acc = new Array[Float](dim)
+      val acc = new Array[Long](dim)
       var i = 0
       while (i < payload.length) {
-        acc(i % dim) += (payload(i) & 0xff) / 255.0f
+        acc(i % dim) += (payload(i) & 0xff)
         i += 1
       }
-      acc
+      acc.map(a => (a / 255.0).toFloat)
     }
   }
 
@@ -104,8 +117,7 @@ object Multimodal {
         rows.map { case (id, kind, payload) =>
           val bytes = if (payload == null) Array.emptyByteArray else payload
           MediaFeatures(id, kind, bytes.length.toLong,
-            bytes.foldLeft(1469598103934665603L)((h, b) => (h ^ (b & 0xff)) * 1099511628211L),
-            codec.decode(bytes))
+            codec.checksum(bytes), codec.decode(bytes))
         }
       }
   }
