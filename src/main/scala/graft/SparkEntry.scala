@@ -1983,12 +1983,15 @@ object SparkEntry {
              |  CAST(sum(length(text)) AS BIGINT) AS total_chars
              |FROM documents GROUP BY lang ORDER BY lang""".stripMargin)),
 
-    // BPE-ish token count uses lookaround split — no RE2 twin → rows-only
+    // BPE-ish token count — match-counting formulation is RE2-safe, so the
+    // DuckDB oracle computes the identical count
     "ta_bpe_tokens" -> Q(
       (s, d) => T(s, d, "documents")
         .select(col("doc_id"), TextAnalysis.bpeIshTokenCount(col("text")).as("n_bpe"))
         .orderBy(col("doc_id")),
-      None),
+      Some("""SELECT doc_id,
+             |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\s]')) AS INT) AS n_bpe
+             |FROM documents ORDER BY doc_id""".stripMargin)),
 
     // capstone: the full curation pipeline in ONE declarative query —
     // scrub → length gate → exact-dedup (min-id survivor) → per-language

@@ -23,14 +23,16 @@ object TextAnalysis {
   def tokenCount(text: Column): Column = size(tokens(text))
 
   /**
-   * BPE-ish token estimate: counts word pieces + digit runs + punctuation
-   * marks separately (a GPT-2-style pre-tokenizer regex), cheap proxy for a
-   * real subword tokenizer at scan speed.
+   * BPE-ish token estimate: alphanumeric runs + individual non-space
+   * punctuation marks (a GPT-2-style pre-tokenizer shape), cheap proxy for
+   * a real subword tokenizer at scan speed. Match-counting is provably
+   * equal to the lookaround-split formulation (#alnum runs + #non-ws
+   * punctuation chars) while staying RE2-safe — any engine with
+   * regexp_extract_all computes the identical count, which is what gives
+   * `ta_bpe_tokens` its DuckDB oracle.
    */
   def bpeIshTokenCount(text: Column): Column =
-    size(filter(
-      split(text, "(?=[^A-Za-z0-9])|(?<=[^A-Za-z0-9])"),
-      t => length(trim(t)) > 0))
+    size(regexp_extract_all(text, lit("[A-Za-z0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
 
   /** Distinct-token ratio (type/token ratio) — repetition signal. */
   def typeTokenRatio(text: Column): Column = {

@@ -25,6 +25,19 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(one[Int](r) >= 4)
   }
 
+  test("bpeIshTokenCount == lookaround-split formulation on tricky strings") {
+    // the match-counting form must stay exactly (#alnum runs + #non-ws
+    // punctuation chars) — the semantics of the original lookaround split
+    val cases = Seq("hello, world42!", "a!!b", "  lead trail  ", "a.b.c",
+      "", "!!!", "one", "tab\tsep  and\nnewline", "x-1_y=2")
+    val got = cases.toDF("t")
+      .select(col("t"), TextAnalysis.bpeIshTokenCount(col("t")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    def ref(s: String): Int =
+      s.split("(?=[^A-Za-z0-9])|(?<=[^A-Za-z0-9])").count(_.trim.nonEmpty)
+    cases.foreach(c => assert(got(c) == ref(c), s"'$c': got ${got(c)}, want ${ref(c)}"))
+  }
+
   test("typeTokenRatio: all-unique = 1.0; repetition lowers it") {
     val u = Seq("a b c d").toDF("t").select(TextAnalysis.typeTokenRatio(col("t")))
     assert(one[Double](u) == 1.0)
