@@ -151,6 +151,31 @@ object Dedup {
     bits.reduce((a, b) => a.bitwiseOR(b))
   }
 
+  /**
+   * Plain-JVM twin of [[simhash64]] for typed/streaming paths where a
+   * Column expression would evaluate interpreted (higher-order-function
+   * lambdas) or per-row state is already deserialized: same tokens
+   * (whitespace split, non-empty), same xxhash64 (Spark's XXH64 with seed
+   * 42), same majority vote — parity with the Column form is pinned in
+   * DedupSpec.
+   */
+  def simhash64Local(text: String): Long = {
+    val votes = new Array[Int](64)
+    var n = 0
+    for (tok <- text.split("\\s+") if tok.nonEmpty) {
+      val bytes = tok.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val h = org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+        bytes, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, bytes.length, 42L)
+      var b = 0
+      while (b < 64) { votes(b) += ((h >>> b) & 1L).toInt; b += 1 }
+      n += 1
+    }
+    var sig = 0L
+    var b = 0
+    while (b < 64) { if (votes(b) * 2 > n) sig |= (1L << b); b += 1 }
+    sig
+  }
+
   /** Vote-assembly core shared by the simhash variants: (id, h) token-hash
    *  rows → (id, sig). `nBits` codegen'd branchless bit sums + ONE shared
    *  count per doc (vote_b = 2·Σbit_b − n), one shuffle on the id. */

@@ -77,15 +77,19 @@ object StreamOps {
    * Scale: state per bucket is O(docs in the horizon window ∕ 2^(64/bands))
    * and is evicted both inline (entries older than `ms − horizonMs`) and by
    * event-time timeout when a bucket goes idle — bounded regardless of
-   * stream length. The signature is a pure projection (no shuffle); the one
-   * shuffle is the keyed-state partitioning on (band, bucket). The caller
-   * sets the watermark on `ts` BEFORE calling (delay ≥ expected disorder).
-   * The same pair can surface from two bands — downstream
-   * `dropDuplicates("doc_id", "matched_id")` per micro-batch if exact-once
-   * pair emission matters.
+   * stream length. The signature is computed in a typed map with the
+   * plain-JVM `simhash64Local` (the Column HOF form evaluates interpreted —
+   * wrong for a per-row streaming hot path; parity is pinned in DedupSpec);
+   * because a typed map re-derives attributes, the op re-applies the
+   * watermark itself from `watermarkDelay` (delay ≥ expected disorder) —
+   * callers do NOT pre-watermark. The one shuffle is the keyed-state
+   * partitioning on (band, bucket). The same pair can surface from two
+   * bands — downstream `dropDuplicates("doc_id", "matched_id")` per
+   * micro-batch if exact-once pair emission matters.
    */
   def nearDupCandidates(docs: Dataset[Doc], horizonMs: Long, maxHamming: Int,
-                        bands: Int = 4): Dataset[NearDupHit] = {
+                        bands: Int = 4,
+                        watermarkDelay: String = "10 minutes"): Dataset[NearDupHit] = {
     require(bands > 0 && 64 % bands == 0, s"bands ($bands) must divide 64")
     val spark = docs.sparkSession
     import spark.implicits._
@@ -96,7 +100,9 @@ object StreamOps {
         shiftrightunsigned(col("sig"), i * width).bitwiseAND(lit(mask)).as("bucket"))
     }
     val exploded = docs
-      .withColumn("sig", graft.dedup.Dedup.simhash64(col("text")))
+      .map(d => (d.doc_id, d.ts, graft.dedup.Dedup.simhash64Local(d.text)))
+      .toDF("doc_id", "ts", "sig")
+      .withWatermark("ts", watermarkDelay)
       .select(col("doc_id"), col("ts"), col("sig"), explode(array(bandCols: _*)).as("bb"))
       .select(col("doc_id"), col("ts"), col("sig"),
         col("bb.band").as("band"), col("bb.bucket").as("bucket"))

@@ -103,6 +103,18 @@ class DedupSpec extends AnyFunSuite {
     assert(allPairs.nonEmpty, "test corpus should contain at least one near-dup pair")
   }
 
+  test("simhash64Local (plain-JVM twin) matches the Column form exactly") {
+    val texts = docs.select("text").as[String].collect().toSeq ++
+      Seq("", "one", "  spaced   out  ", "punct, marks! and42 digits")
+    val colSigs = texts.toDF("text")
+      .select(col("text"), Dedup.simhash64(col("text")).as("sig"))
+      .as[(String, Long)].collect().toMap
+    texts.foreach { t =>
+      assert(Dedup.simhash64Local(t) == colSigs(t),
+        s"local vs column simhash mismatch for '$t'")
+    }
+  }
+
   test("portable md5 simhash: deterministic, 60-bit, identical docs agree") {
     val sigs = Dedup.simhashSignaturesPortable(docs, "doc_id", "text")
       .as[(Long, Long)].collect().toMap

@@ -86,9 +86,8 @@ class StreamOpsSpec extends AnyFunSuite {
   test("nearDupCandidates flags cross-batch near-identical docs, not distinct ones") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[StreamOps.Doc]
-    val hits = StreamOps.nearDupCandidates(
-      input.toDS().withWatermark("ts", "10 minutes").as[StreamOps.Doc],
-      horizonMs = 3600_000L, maxHamming = 3, bands = 4)
+    val hits = StreamOps.nearDupCandidates(input.toDS(),
+      horizonMs = 3600_000L, maxHamming = 3, bands = 4, watermarkDelay = "10 minutes")
     val q = hits.writeStream.format("memory").queryName("neardup_out")
       .outputMode("append").start()
     try {
@@ -113,9 +112,8 @@ class StreamOpsSpec extends AnyFunSuite {
   test("nearDupCandidates: beyond-horizon repeats are NOT flagged (state evicted)") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[StreamOps.Doc]
-    val hits = StreamOps.nearDupCandidates(
-      input.toDS().withWatermark("ts", "1 minute").as[StreamOps.Doc],
-      horizonMs = 60_000L, maxHamming = 3, bands = 4)
+    val hits = StreamOps.nearDupCandidates(input.toDS(),
+      horizonMs = 60_000L, maxHamming = 3, bands = 4, watermarkDelay = "1 minute")
     val q = hits.writeStream.format("memory").queryName("neardup_h_out")
       .outputMode("append").start()
     try {
