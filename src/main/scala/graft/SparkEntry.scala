@@ -1268,7 +1268,18 @@ object SparkEntry {
     "snap_diff_cdc" -> Q(
       (s, d) => {
         import graft.store.Snapshots
-        val base = java.nio.file.Files.createTempDirectory("graft-snapdiff").toString + "/t"
+        val root = java.nio.file.Files.createTempDirectory("graft-snapdiff")
+        // bench/verify processes run this repeatedly — clean up on exit so
+        // repeated runs don't accumulate orders-sized temp copies
+        sys.addShutdownHook {
+          def rm(p: java.nio.file.Path): Unit = {
+            if (java.nio.file.Files.isDirectory(p))
+              java.nio.file.Files.list(p).forEach(rm(_))
+            java.nio.file.Files.deleteIfExists(p)
+          }
+          rm(root)
+        }
+        val base = root.toString + "/t"
         val orders = T(s, d, "orders").select(col("o_orderkey"), col("o_totalprice"))
         Snapshots.write(orders.filter(pmod(col("o_orderkey"), lit(10)) =!= 0), base)
         Snapshots.write(

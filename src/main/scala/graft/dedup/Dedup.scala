@@ -262,7 +262,10 @@ object Dedup {
                      maxHamming: Int, bands: Int = 4,
                      portable: Boolean = false): DataFrame = {
     val sigBits = if (portable) PortableSigBits else 64
-    // signatures materialized once — the pair join must not recompute them
+    // signatures materialized once — the pair join must not recompute them.
+    // The cache lives as long as the returned plan (Spark evicts it LRU
+    // under pressure); sessions running MANY near-dup passes should bound
+    // storage with spark.catalog.clearCache between passes.
     val withSig = (if (portable) simhashSignaturesPortable(df, idCol, textCol)
                    else simhashSignatures(df, idCol, textCol)).cache()
     val pairs = bandedSigPairs(withSig, idCol, sigBits, bands)

@@ -82,7 +82,9 @@ object Multimodal {
    * mapPartitions path is hash-checked, not just rows-counted.
    */
   class DecodeStub(dim: Int = 16) extends Serializable {
-    private val digest = java.security.MessageDigest.getInstance("MD5")
+    // transient + lazy: MessageDigest is NOT serializable — an instance
+    // closed over on the driver must re-init its codec state per executor
+    @transient private lazy val digest = java.security.MessageDigest.getInstance("MD5")
 
     /** First 15 hex chars of md5(payload) as a 60-bit non-negative long. */
     def checksum(payload: Array[Byte]): Long = {

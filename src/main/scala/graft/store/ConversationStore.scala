@@ -138,13 +138,14 @@ class ConversationStore(spark: SparkSession, basePath: String) {
         concat(col("workflow_id"), lit("-msg-"), col("sequence")))
       .select(col("message_id"), col("workflow_id"), col("message_type"),
         col("content"), col("created_at"), col("sequence"), col("message_category"))
-    // materialize before append: the plan reads `messages` for __base while
-    // the write lands in the same directory
-    val cached = assigned.cache()
-    cached.count()
-    append("messages", cached)
-    cached.unpersist()
-    assigned
+    // localCheckpoint (eager): materializes ONE assignment before the append
+    // (the plan reads `messages` for __base while the write lands in the
+    // same directory), and the returned frame is that same materialization —
+    // re-evaluating the lazy plan could re-order created_at ties in the
+    // window and report message_ids that differ from the rows written
+    val materialized = assigned.localCheckpoint(true)
+    append("messages", materialized)
+    materialized
   }
 
   /**

@@ -40,17 +40,22 @@ object Snapshots {
     val f = fs(spark, base)
     val p = new Path(base)
     if (!f.exists(p)) Seq.empty
-    else f.listStatus(p).toSeq
-      .filter(s => s.isDirectory && s.getPath.getName.startsWith("v="))
-      .filter(s => f.exists(new Path(s.getPath, "_SUCCESS")))
-      .map(_.getPath.getName.stripPrefix("v=").toLong)
-      .sorted
+    else
+      // one glob instead of an exists() RPC per version dir — a table with
+      // hundreds of snapshots on an object store must not pay N+1 listings
+      f.globStatus(new Path(p, "v=*/_SUCCESS")).toSeq
+        .map(_.getPath.getParent.getName.stripPrefix("v=").toLong)
+        .sorted
   }
 
   /** Commit `df` as the next version; returns the new version number.
-    * Overwrite mode: the only way `v=next` already exists is a crashed
-    * write that never gained its _SUCCESS marker (invisible to
-    * `versions`) — the retry must be able to reclaim that directory. */
+    * Overwrite mode: under the SINGLE-WRITER assumption (the norm for a
+    * versioned table without a catalog; on a real deployment the version
+    * pointer is a catalog CAS commit), the only way `v=next` already
+    * exists is a crashed write that never gained its _SUCCESS marker
+    * (invisible to `versions`) — the retry must be able to reclaim that
+    * directory. Two concurrent writers could race to the same version
+    * number; that coordination belongs to the catalog, not the layout. */
   def write(df: DataFrame, base: String): Long = {
     val next = versions(df.sparkSession, base).lastOption.getOrElse(0L) + 1
     df.write.mode("overwrite").parquet(s"$base/v=$next")

@@ -63,18 +63,31 @@ object Sessions {
             val sorted = rows.toVector.sortBy(_.ts.getTime)
             var closed = Vector.empty[SessionOut]
             var cur = state.getOption
+            // in-watermark stragglers predating the open session by MORE
+            // than the gap: the batch twin (global sort) would have formed
+            // their own earlier session(s) — accumulate them into `pre`
+            // (consecutive stragglers within the gap merge, a gap splits)
+            // and emit closed, instead of silently merging into the open
+            // session (ms - lastMs is negative there, so the merge guard
+            // below would always accept them)
+            var pre: Option[SessionState] = None
+            def closePre(): Unit = pre.foreach { p =>
+              closed :+= finalize(userId, p); pre = None
+            }
             sorted.foreach { e =>
               val ms = e.ts.getTime
               cur match {
-                // in-watermark straggler predating the open session by MORE
-                // than the gap: the batch twin (global sort) would have made
-                // it its own earlier session — emit it closed immediately
-                // instead of silently merging it (ms - lastMs is negative,
-                // so the merge guard below would always accept it)
                 case Some(s) if ms < s.startMs - gapMs =>
-                  closed :+= SessionOut(userId, new Timestamp(ms),
-                    new Timestamp(ms), 1L, e.value)
+                  pre match {
+                    case Some(p) if ms - p.lastMs <= gapMs =>
+                      pre = Some(p.copy(lastMs = math.max(p.lastMs, ms),
+                        nEvents = p.nEvents + 1, totalValue = p.totalValue + e.value))
+                    case other =>
+                      other.foreach(p => closed :+= finalize(userId, p))
+                      pre = Some(SessionState(ms, ms, 1L, e.value))
+                  }
                 case Some(s) if ms - s.lastMs <= gapMs =>
+                  closePre()
                   cur = Some(s.copy(
                     // a late event inside the gap can precede the recorded
                     // start — session_start must cover it
@@ -83,12 +96,15 @@ object Sessions {
                     nEvents = s.nEvents + 1,
                     totalValue = s.totalValue + e.value))
                 case Some(s) => // gap exceeded inside the batch: split now
+                  closePre()
                   closed :+= finalize(userId, s)
                   cur = Some(SessionState(ms, ms, 1L, e.value))
                 case None =>
+                  closePre()
                   cur = Some(SessionState(ms, ms, 1L, e.value))
               }
             }
+            closePre()
             cur.foreach { s =>
               state.update(s)
               // close when the watermark passes last-seen + gap

@@ -25,11 +25,14 @@ object TextAnalysis {
   /**
    * BPE-ish token estimate: alphanumeric runs + individual non-space
    * punctuation marks (a GPT-2-style pre-tokenizer shape), cheap proxy for
-   * a real subword tokenizer at scan speed. Match-counting is provably
-   * equal to the lookaround-split formulation (#alnum runs + #non-ws
-   * punctuation chars) while staying RE2-safe — any engine with
-   * regexp_extract_all computes the identical count, which is what gives
-   * `ta_bpe_tokens` its DuckDB oracle.
+   * a real subword tokenizer at scan speed. Match-counting equals the
+   * lookaround-split formulation under full-whitespace trimming
+   * (#alnum runs + #non-ws punctuation chars; pinned in the spec) while
+   * staying RE2-safe — any engine with regexp_extract_all computes the
+   * identical count, which is what gives `ta_bpe_tokens` its DuckDB
+   * oracle. (The earlier Column form used Spark `trim`, which strips only
+   * spaces, so a bare tab/newline piece counted as a token — a defect this
+   * formulation also fixes.)
    */
   def bpeIshTokenCount(text: Column): Column =
     size(regexp_extract_all(text, lit("[A-Za-z0-9]+|[^A-Za-z0-9\\s]"), lit(0)))

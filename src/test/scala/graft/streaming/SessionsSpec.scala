@@ -64,6 +64,32 @@ class SessionsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("in-watermark stragglers before the open session merge like the batch twin") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Ev]
+    // generous watermark so 2-hour-old events are still in-watermark
+    val sessions = Sessions.sessionize(
+      input.toDS().withWatermark("ts", "6 hours").as[Ev], GAP)
+    val q = sessions.writeStream.format("memory").queryName("sess_strag_out")
+      .outputMode("append").start()
+    try {
+      input.addData(Ev(5L, ts("2026-01-01 12:00:00"), 1.0)) // opens the session
+      q.processAllAvailable()
+      // two stragglers >gap BEFORE the open session, within gap of EACH
+      // OTHER: the batch twin makes ONE 2-event session of them
+      input.addData(
+        Ev(5L, ts("2026-01-01 10:00:00"), 2.0),
+        Ev(5L, ts("2026-01-01 10:00:30"), 3.0))
+      q.processAllAvailable()
+      val rows = spark.table("sess_strag_out").as[SessionOut].collect()
+        .filter(_.user_id == 5L)
+      assert(rows.length == 1, s"stragglers must merge into one session, got ${rows.toSeq}")
+      assert(rows.head.n_events == 2 && rows.head.total_value == 5.0)
+      assert(rows.head.session_start == ts("2026-01-01 10:00:00"))
+      assert(rows.head.session_end == ts("2026-01-01 10:00:30"))
+    } finally q.stop()
+  }
+
   test("stream sessions equal the batch sessionizer on the same data") {
     implicit val sqlCtx = spark.sqlContext
     val evs = Seq(
