@@ -11,6 +11,14 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// No "[success] Total time: ..." footer after a run: the bench/verify
+// drivers parse the LAST stdout line as JSON, and sbt's success banner was
+// landing after Bench's JSON line (BENCH_r{2,3}.json both show parsed:null).
+Global / showSuccess := false
+// Forward the forked JVM's stdout verbatim instead of through sbt's logger:
+// the logger would prefix every line with "[info] ", which breaks the
+// driver's last-line JSON parse of Bench/Verify output.
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
