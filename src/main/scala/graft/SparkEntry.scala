@@ -879,7 +879,7 @@ object SparkEntry {
              |  count(*) AS n, CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
              |FROM events GROUP BY 1, 2 ORDER BY hour_ms, event_type""".stripMargin))
   ) ++ dedupDefs ++ textDefs ++ scalarDefs ++ storeDefs ++ analyticsDefs ++
-    tpchDefs2 ++ advancedDefs
+    tpchDefs2 ++ graphDefs ++ advancedDefs
 
   /** OLAP widening: CUBE / GROUPING SETS / pivot / window frames /
     * exact percentiles / portable hash-sampling / HLL sketches. */
@@ -1436,6 +1436,110 @@ object SparkEntry {
           .orderBy(col("score").desc, col("vec_id"))
       },
       None)
+  )
+
+  // ── graph battery ──────────────────────────────────────────────────────
+  /** Directed nation-level trade edges: supplier-nation → customer-nation
+    * pairs carrying at least `minLines` lineitems. The "backbone graph" the
+    * graph battery traverses (the reference's data model is a graph store —
+    * its traversal surface re-expressed over DataFrames; `ops/Graph.scala`). */
+  private def tradeEdges(s: SparkSession, d: String, minLines: Long): DataFrame = {
+    val sup = broadcast(T(s, d, "supplier")
+      .join(T(s, d, "nation"), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("a")))
+    val cust = broadcast(T(s, d, "customer")
+      .join(T(s, d, "nation"), col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("n_name").as("b")))
+    T(s, d, "lineitem")
+      .join(sup, col("l_suppkey") === col("s_suppkey"))
+      .join(T(s, d, "orders").select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("n"))
+      .filter(col("n") >= minLines && col("a") =!= col("b"))
+      .select(col("a"), col("b"))
+  }
+
+  /** DuckDB twin of [[tradeEdges]] as a CTE named `edges`. */
+  private def tradeEdgeSql(minLines: Long): String =
+    s"""edges AS (
+       |  SELECT a, b FROM (
+       |    SELECT n1.n_name AS a, n2.n_name AS b, count(*) AS n
+       |    FROM lineitem
+       |    JOIN supplier ON l_suppkey = s_suppkey
+       |    JOIN nation n1 ON supplier.s_nationkey = n1.n_nationkey
+       |    JOIN orders ON l_orderkey = o_orderkey
+       |    JOIN customer ON o_custkey = c_custkey
+       |    JOIN nation n2 ON customer.c_nationkey = n2.n_nationkey
+       |    GROUP BY 1, 2)
+       |  WHERE n >= $minLines AND a <> b)""".stripMargin
+
+  private def graphDefs: Seq[(String, Q)] = Seq(
+
+    // Min-hop BFS over the (thinned) customer↔supplier bipartite graph —
+    // the reference's multi-hop traversal surface. Oracle = bounded
+    // recursive CTE with per-level dedup, min(hops) per node.
+    "g1_khop_reachability" -> Q(
+      (s, d) => {
+        val e = T(s, d, "lineitem").filter(col("l_quantity") >= 49)
+          .join(T(s, d, "orders").select(col("o_orderkey"), col("o_custkey")),
+            col("l_orderkey") === col("o_orderkey"))
+          .select(concat(lit("c:"), col("o_custkey").cast("string")).as("src"),
+            concat(lit("s:"), col("l_suppkey").cast("string")).as("dst"))
+          .distinct()
+        val sym = e.unionByName(e.select(col("dst").as("src"), col("src").as("dst")))
+        val start = s.range(1).select(lit("c:0").as("node"))
+        graft.ops.Graph.kHop(sym, "src", "dst", start, "node", maxHops = 3)
+          .orderBy(col("hops"), col("node"))
+      },
+      Some("""WITH RECURSIVE e AS (
+             |  SELECT DISTINCT 'c:' || o_custkey AS src, 's:' || l_suppkey AS dst
+             |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             |  WHERE l_quantity >= 49),
+             |sym AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e),
+             |walk AS (
+             |  SELECT 'c:0' AS node, 0 AS hops
+             |  UNION
+             |  SELECT sym.dst, walk.hops + 1 FROM walk
+             |  JOIN sym ON walk.node = sym.src WHERE walk.hops < 3)
+             |SELECT node, CAST(min(hops) AS INT) AS hops
+             |FROM walk GROUP BY 1 ORDER BY hops, node""".stripMargin)),
+
+    // Exact triangle count on the undirected trade backbone (canonical
+    // a<b<c two-join enumeration — each triangle counted once)
+    "g2_trade_triangles" -> Q(
+      (s, d) => graft.ops.Graph.triangleCount(tradeEdges(s, d, 120), "a", "b"),
+      Some(s"""WITH ${tradeEdgeSql(120)},
+              |und AS (SELECT DISTINCT least(a, b) AS a, greatest(a, b) AS b
+              |        FROM edges WHERE a <> b)
+              |SELECT count(*) AS n_triangles
+              |FROM und e1 JOIN und e2 ON e1.b = e2.a
+              |WHERE EXISTS (SELECT 1 FROM und e3
+              |              WHERE e3.a = e1.a AND e3.b = e2.b)""".stripMargin)),
+
+    // PageRank on the directed trade backbone — double mass sums are
+    // partition-order dependent, so no bit-exact SQL twin exists; the
+    // analytic/power-iteration pins live in GraphSpec (rows-only here)
+    "g3_pagerank" -> Q(
+      (s, d) => graft.ops.Graph.pageRank(tradeEdges(s, d, 120), "a", "b", iters = 10)
+        .select(col("node"), round(col("rank"), 6).as("rank"))
+        .orderBy(col("node")),
+      None),
+
+    // Degree profile of the trade backbone (out/in/total per node) — the
+    // skew census every traversal planner needs
+    "g4_degrees" -> Q(
+      (s, d) => graft.ops.Graph.degrees(tradeEdges(s, d, 120), "a", "b")
+        .orderBy(col("node")),
+      Some(s"""WITH ${tradeEdgeSql(120)},
+              |o AS (SELECT a AS node, count(*) AS out_deg FROM edges GROUP BY 1),
+              |i AS (SELECT b AS node, count(*) AS in_deg FROM edges GROUP BY 1)
+              |SELECT node,
+              |  CAST(coalesce(out_deg, 0) AS BIGINT) AS out_deg,
+              |  CAST(coalesce(in_deg, 0) AS BIGINT) AS in_deg,
+              |  CAST(coalesce(out_deg, 0) + coalesce(in_deg, 0) AS BIGINT) AS degree
+              |FROM o FULL OUTER JOIN i USING (node)
+              |ORDER BY node""".stripMargin))
   )
 
   private def analyticsDefs: Seq[(String, Q)] = Seq(
@@ -2160,6 +2264,29 @@ object SparkEntry {
         .orderBy(col("doc_id")),
       Some("""SELECT min(doc_id) AS doc_id FROM documents GROUP BY text ORDER BY doc_id""")),
 
+    // Train/test contamination: held-out docs (odd ids) whose 5-gram
+    // shingles leak from the training split (even ids) — the eval-integrity
+    // gate, blocked by shingle exactly like the n-gram Jaccard path
+    "dd_contamination" -> Q(
+      (s, d) => Dedup.contamination(
+          T(s, d, "documents").filter(col("doc_id") < 200), "doc_id", "text",
+          isTrain = col("doc_id") % 2 === 0, n = 5)
+        .select(col("doc_id"), col("n_shingles"), col("n_shared"),
+          round(col("contamination"), 6).as("contamination"))
+        .orderBy(col("doc_id")),
+      Some(s"""WITH ${shingleCte("WHERE doc_id < 200")},
+              |tr AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 2 = 0),
+              |te AS (SELECT doc_id, shingle FROM sh WHERE doc_id % 2 = 1),
+              |tot AS (SELECT doc_id, count(*) AS n_shingles FROM te GROUP BY 1),
+              |shared AS (SELECT doc_id, count(*) AS n_shared
+              |           FROM te JOIN tr USING (shingle) GROUP BY 1)
+              |SELECT t.doc_id, t.n_shingles,
+              |  CAST(coalesce(s.n_shared, 0) AS BIGINT) AS n_shared,
+              |  round(coalesce(s.n_shared, 0) / CAST(t.n_shingles AS DOUBLE), 6)
+              |    AS contamination
+              |FROM tot t LEFT JOIN shared s USING (doc_id)
+              |ORDER BY doc_id""".stripMargin)),
+
     "dd_minhash_signature" -> Q(
       (s, d) => Dedup.minhashSignature(
           T(s, d, "documents").filter(col("doc_id") < 50), "doc_id", "text",
@@ -2370,6 +2497,33 @@ object SparkEntry {
              |FROM (SELECT doc_id, text,
              |        list_filter(regexp_split_to_array(text, '\s+'), t -> length(t) > 0) AS toks
              |      FROM documents) t
+             |ORDER BY doc_id""".stripMargin)),
+
+    // Repetition profile: boilerplate/degenerate-text signal (explode →
+    // per-token counts → max per doc; both aggregations map-side combined)
+    "ta_repetition" -> Q(
+      (s, d) => TextAnalysis.repetitionStats(
+          T(s, d, "documents").filter(col("doc_id") < 300), "doc_id", "text")
+        .select(col("doc_id"), col("n_tokens"), col("n_distinct"),
+          round(col("repetition_ratio"), 6).as("repetition_ratio"),
+          col("max_tok_freq"))
+        .orderBy(col("doc_id")),
+      Some("""WITH base AS (
+             |  SELECT doc_id,
+             |    list_filter(regexp_split_to_array(text, '\s+'), t -> length(t) > 0) AS toks
+             |  FROM documents WHERE doc_id < 300),
+             |stats AS (SELECT doc_id, CAST(len(toks) AS INT) AS n_tokens,
+             |                 CAST(len(list_distinct(toks)) AS INT) AS n_distinct
+             |          FROM base),
+             |freq AS (SELECT doc_id, tok, count(*) AS c
+             |         FROM (SELECT doc_id, unnest(toks) AS tok FROM base) GROUP BY 1, 2),
+             |top AS (SELECT doc_id, max(c) AS max_tok_freq FROM freq GROUP BY 1)
+             |SELECT s.doc_id, s.n_tokens, s.n_distinct,
+             |  round(CASE WHEN s.n_tokens > 0
+             |             THEN 1.0 - s.n_distinct / CAST(s.n_tokens AS DOUBLE)
+             |             ELSE 0.0 END, 6) AS repetition_ratio,
+             |  CAST(coalesce(t.max_tok_freq, 0) AS BIGINT) AS max_tok_freq
+             |FROM stats s LEFT JOIN top t USING (doc_id)
              |ORDER BY doc_id""".stripMargin)),
 
     "ta_language_id" -> Q(

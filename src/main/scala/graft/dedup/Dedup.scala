@@ -46,6 +46,35 @@ object Dedup {
       .select(col(idCol), col("shingle"))
       .distinct()
 
+  // ── contamination ────────────────────────────────────────────────────────
+  /**
+   * Train/test contamination check — the eval-integrity gate every training
+   * corpus needs: for each held-out (test) document, how many of its
+   * character n-gram shingles also appear anywhere in the training split.
+   *
+   * Returns one row per test doc: (idCol, n_shingles, n_shared,
+   * contamination = n_shared / n_shingles). Blocked by shingle (the join key
+   * is the shingle itself), so cost is Σ|shingles| — never test × train
+   * pairs. The train-side set is deduplicated to distinct shingles before
+   * the join, which is the right broadcast candidate when the held-out set
+   * is small relative to the corpus.
+   */
+  def contamination(df: DataFrame, idCol: String, textCol: String,
+                    isTrain: Column, n: Int = 5): DataFrame = {
+    val sh = shingles(df, idCol, textCol, n)
+      .join(df.select(col(idCol), isTrain.as("__train")), Seq(idCol))
+    val trainSet = sh.filter(col("__train")).select(col("shingle")).distinct()
+    val test = sh.filter(!col("__train")).select(col(idCol), col("shingle"))
+    val tot = test.groupBy(col(idCol)).agg(count(lit(1)).as("n_shingles"))
+    val shared = test.join(trainSet, "shingle")
+      .groupBy(col(idCol)).agg(count(lit(1)).as("n_shared"))
+    tot.join(shared, Seq(idCol), "left")
+      .select(col(idCol), col("n_shingles"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+        (coalesce(col("n_shared"), lit(0L)).cast("double") /
+          col("n_shingles").cast("double")).as("contamination"))
+  }
+
   // ── MinHash ──────────────────────────────────────────────────────────────
   /**
    * MinHash signature: h_j(doc) = min over shingles of md5(j || shingle).

@@ -1,0 +1,135 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Distributed graph operators over edge-list DataFrames.
+ *
+ * The reference system is a graph store (conversation nodes linked by
+ * NEXT/CONTAINS/result_links edges — neo4j_memory's data model), and its
+ * traversal surface is point lookups plus short multi-hop walks. These
+ * operators re-express that surface Spark-first: an edge list is just a
+ * DataFrame, a hop is a join, and iterative algorithms follow the same
+ * cache/materialize/unpersist discipline as [[graft.dedup.Dedup.connectedComponents]].
+ *
+ * Scale notes (100 TB lens):
+ *  - Every round is ONE shuffle join on the frontier plus an anti-join on the
+ *    visited set; there is no all-pairs step anywhere.
+ *  - Frontiers are materialized per round (count) so convergence is a driver
+ *    scalar, and previous rounds are unpersisted as soon as the next one is
+ *    pinned — the BFS working set is one frontier + one visited set.
+ *  - PageRank's dangling-node mass is a one-scalar aggregate per iteration
+ *    (the standard treatment), not a broadcast of the rank vector.
+ */
+object Graph {
+
+  /**
+   * Min-hop BFS: nodes reachable from `start` within `maxHops` directed hops.
+   * Returns (node, hops) with hops = the minimum distance (start nodes at 0).
+   * For an undirected walk, symmetrize the edge list first
+   * (`edges.union(edges.select(dst, src))`).
+   */
+  def kHop(edges: DataFrame, srcCol: String, dstCol: String,
+           start: DataFrame, startCol: String, maxHops: Int): DataFrame = {
+    val e = edges.select(col(srcCol).as("__src"), col(dstCol).as("__dst"))
+    var visited = start.select(col(startCol).as("node")).distinct()
+      .withColumn("hops", lit(0)).cache()
+    var frontier = visited
+    var hop = 0
+    var done = false
+    while (hop < maxHops && !done) {
+      hop += 1
+      val next = frontier.join(e, frontier("node") === e("__src"))
+        .select(col("__dst").as("node")).distinct()
+        .join(visited.select("node"), Seq("node"), "left_anti")
+        .withColumn("hops", lit(hop))
+        .cache()
+      done = next.isEmpty // materializes `next`
+      if (!done) {
+        val nextVisited = visited.unionByName(next).cache()
+        nextVisited.count()
+        visited.unpersist(false)
+        frontier.unpersist(false)
+        visited = nextVisited
+        frontier = next
+      } else {
+        next.unpersist(false)
+      }
+    }
+    visited
+  }
+
+  /**
+   * PageRank by power iteration: rank = (1-d)/n + d * (Σ in-contribs +
+   * dangling-mass/n). Fixed `iters` rounds — rank deltas are double sums
+   * whose partition order varies run to run, so a convergence epsilon would
+   * be nondeterministic where a fixed iteration count is reproducible
+   * (modulo last-bit float noise; see GraphSpec's tolerance pins).
+   */
+  def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
+               iters: Int = 10, damping: Double = 0.85): DataFrame = {
+    val e = edges.select(col(srcCol).as("__src"), col(dstCol).as("__dst")).cache()
+    val nodes = e.select(col("__src").as("node"))
+      .unionByName(e.select(col("__dst").as("node"))).distinct().cache()
+    val n = nodes.count().toDouble
+    val outDeg = e.groupBy(col("__src").as("node")).agg(count(lit(1)).as("outdeg"))
+      .cache()
+    var ranks = nodes.withColumn("rank", lit(1.0 / n)).cache()
+    for (i <- 0 until iters) {
+      // mass parked on sinks (nodes with no out-edges) is spread uniformly —
+      // one scalar per round, computed from the (tiny) rank-vs-outdeg anti-join
+      val dangling = ranks.join(outDeg, Seq("node"), "left_anti")
+        .agg(sum(col("rank"))).head().getAs[Any](0) match {
+          case null => 0.0
+          case d: Double => d
+        }
+      val contribs = e.join(ranks.withColumnRenamed("node", "__src"), "__src")
+        .join(outDeg.withColumnRenamed("node", "__src"), "__src")
+        .select(col("__dst").as("node"), (col("rank") / col("outdeg")).as("c"))
+        .groupBy("node").agg(sum(col("c")).as("in_mass"))
+      val next0 = nodes.join(contribs, Seq("node"), "left")
+        .select(col("node"),
+          (lit((1.0 - damping) / n) +
+            lit(damping) * (coalesce(col("in_mass"), lit(0.0)) + lit(dangling / n)))
+            .as("rank"))
+      val next = if (i % 4 == 3) next0.localCheckpoint(true) else next0.cache()
+      if (i % 4 != 3) next.count()
+      ranks.unpersist(false)
+      ranks = next
+    }
+    ranks
+  }
+
+  /**
+   * Exact triangle count on an undirected graph. Edges are canonicalized to
+   * a < b, then the classic two-join enumeration (a<b<c) counts each
+   * triangle exactly once. At scale the joins shuffle on node id; the
+   * canonical orientation halves the edge set and kills 2-cycles.
+   */
+  def triangleCount(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    val und = edges
+      .select(least(col(srcCol), col(dstCol)).as("a"),
+        greatest(col(srcCol), col(dstCol)).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+    val e1 = und.select(col("a").as("x"), col("b").as("y"))
+    val e2 = und.select(col("a").as("y"), col("b").as("z"))
+    val e3 = und.select(col("a").as("x"), col("b").as("z"))
+    e1.join(e2, "y").join(e3, Seq("x", "z"), "left_semi")
+      .agg(count(lit(1)).as("n_triangles"))
+  }
+
+  /** Out-degree / in-degree / total per node — the profile that sizes skew
+    * (a hot node is a skewed join key in every traversal). */
+  def degrees(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    val out = edges.groupBy(col(srcCol).as("node")).agg(count(lit(1)).as("out_deg"))
+    val in = edges.groupBy(col(dstCol).as("node")).agg(count(lit(1)).as("in_deg"))
+    out.join(in, Seq("node"), "full_outer")
+      .select(col("node"),
+        coalesce(col("out_deg"), lit(0L)).as("out_deg"),
+        coalesce(col("in_deg"), lit(0L)).as("in_deg"),
+        (coalesce(col("out_deg"), lit(0L)) + coalesce(col("in_deg"), lit(0L)))
+          .as("degree"))
+  }
+}

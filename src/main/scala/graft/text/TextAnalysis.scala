@@ -44,6 +44,31 @@ object TextAnalysis {
       size(array_distinct(toks)).cast("double") / size(toks).cast("double"))
   }
 
+  /**
+   * Per-document repetition profile — the curation signal that catches
+   * boilerplate and degenerate generations: token count, distinct-token
+   * count, repetition ratio (1 − type/token), and the frequency of the most
+   * repeated token. The max-frequency part can't be a scalar expression
+   * without building a per-row map, so it's the classic explode →
+   * count-per-(doc, token) → max-per-doc aggregation: two shuffles on the
+   * doc id, both map-side-combined, no token list ever held whole.
+   */
+  def repetitionStats(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = tokens(col(textCol))
+    val base = df.select(col(idCol), size(toks).as("n_tokens"),
+      size(array_distinct(toks)).as("n_distinct"))
+    val topFreq = df
+      .select(col(idCol), explode(tokens(col(textCol))).as("tok"))
+      .groupBy(col(idCol), col("tok")).agg(count(lit(1)).as("c"))
+      .groupBy(col(idCol)).agg(max(col("c")).as("max_tok_freq"))
+    base.join(topFreq, Seq(idCol), "left")
+      .select(col(idCol), col("n_tokens"), col("n_distinct"),
+        when(col("n_tokens") > 0,
+          lit(1.0) - col("n_distinct").cast("double") / col("n_tokens").cast("double"))
+          .otherwise(lit(0.0)).as("repetition_ratio"),
+        coalesce(col("max_tok_freq"), lit(0L)).as("max_tok_freq"))
+  }
+
   /** Mean token length. */
   def avgTokenLen(text: Column): Column = {
     val toks = tokens(text)

@@ -193,4 +193,18 @@ class DedupSpec extends AnyFunSuite {
       .select("doc_id").as[Long].collect().sorted.toSeq
     assert(surv == Seq(2L, 4L)) // 2 wins its 3-doc cluster; 4 survives alone
   }
+
+  test("contamination counts shared train shingles per test doc, zero-fills clean docs") {
+    val corpus = Seq(
+      (0L, "abcdefgh"), // train
+      (1L, "abcdxyzw"), // test: shares exactly the 'abcd' 4-gram
+      (2L, "zzzzzz"),   // train
+      (3L, "qqqq")      // test: clean, single shingle
+    ).toDF("doc_id", "text")
+    val r = Dedup.contamination(corpus, "doc_id", "text",
+        isTrain = col("doc_id") % 2 === 0, n = 4)
+      .collect().map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2), x.getDouble(3))))
+      .toMap
+    assert(r == Map(1L -> ((5L, 1L, 0.2)), 3L -> ((1L, 0L, 0.0))))
+  }
 }

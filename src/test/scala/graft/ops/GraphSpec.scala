@@ -1,0 +1,93 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Graph operator invariants: BFS min-hops, PageRank (analytic + local
+  * power-iteration parity), triangle enumeration, degree census. */
+class GraphSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def edges(pairs: (String, String)*) =
+    pairs.toDF("src", "dst")
+
+  test("kHop: min-hop distances on a path graph, early-stop past the frontier") {
+    // a -> b -> c -> d, plus a shortcut a -> c: c is at hop 1, not 2
+    val e = edges("a" -> "b", "b" -> "c", "c" -> "d", "a" -> "c")
+    val start = Seq("a").toDF("node")
+    val r = Graph.kHop(e, "src", "dst", start, "node", maxHops = 5)
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(r == Map("a" -> 0, "b" -> 1, "c" -> 1, "d" -> 2))
+  }
+
+  test("kHop: maxHops bounds the walk; unreachable nodes are absent") {
+    val e = edges("a" -> "b", "b" -> "c", "x" -> "y")
+    val r = Graph.kHop(e, "src", "dst", Seq("a").toDF("node"), "node", maxHops = 1)
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(r == Map("a" -> 0, "b" -> 1)) // c beyond bound; x/y unreachable
+  }
+
+  test("pageRank: ranks sum to ~1 and match the star graph's analytic fixpoint") {
+    // star: three leaves all pointing at the hub (the hub is dangling, so
+    // its mass redistributes uniformly). Fixpoint: L = (1-d)/4 + dH/4 with
+    // H = 1 - 3L  =>  L = 1/(4 + 3d), H = 1 - 3L. Error contracts by
+    // (3d/4)^k, so 60 iterations pins ~1e-12.
+    val d = 0.85
+    val e = edges("l1" -> "hub", "l2" -> "hub", "l3" -> "hub")
+    val r = Graph.pageRank(e, "src", "dst", iters = 60, damping = d)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val leaf = 1.0 / (4 + 3 * d)
+    assert(math.abs(r.values.sum - 1.0) < 1e-9)
+    assert(math.abs(r("l1") - leaf) < 1e-9)
+    assert(math.abs(r("l2") - r("l3")) < 1e-12)
+    assert(math.abs(r("hub") - (1 - 3 * leaf)) < 1e-9)
+  }
+
+  test("pageRank: matches a driver-side power iteration on a small digraph") {
+    val pairs = Seq("a" -> "b", "b" -> "c", "c" -> "a", "a" -> "c", "d" -> "a")
+    val iters = 12
+    val d = 0.85
+    // plain-Scala reference power iteration (same dangling treatment)
+    val nodes = pairs.flatMap(p => Seq(p._1, p._2)).distinct.sorted
+    val n = nodes.size
+    val out = pairs.groupBy(_._1).view.mapValues(_.size).toMap
+    var rank = nodes.map(_ -> 1.0 / n).toMap
+    for (_ <- 0 until iters) {
+      val dangling = nodes.filterNot(out.contains).map(rank).sum
+      val contribs = pairs.groupBy(_._2).view.mapValues(
+        _.map { case (s, _) => rank(s) / out(s) }.sum).toMap
+      rank = nodes.map(v =>
+        v -> ((1 - d) / n + d * (contribs.getOrElse(v, 0.0) + dangling / n))).toMap
+    }
+    val got = Graph.pageRank(edges(pairs: _*), "src", "dst", iters = iters, damping = d)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    nodes.foreach(v => assert(math.abs(got(v) - rank(v)) < 1e-9, s"node $v"))
+  }
+
+  test("triangleCount: counts each triangle once, ignores direction and 2-cycles") {
+    // triangle a-b-c (mixed directions, one edge duplicated both ways),
+    // plus a dangling edge and a 2-cycle d<->e
+    val e = edges("a" -> "b", "b" -> "c", "c" -> "a", "b" -> "a",
+      "d" -> "e", "e" -> "d", "c" -> "d")
+    val n = Graph.triangleCount(e, "src", "dst").head().getLong(0)
+    assert(n == 1L)
+  }
+
+  test("triangleCount: two triangles sharing an edge") {
+    val e = edges("a" -> "b", "b" -> "c", "a" -> "c", "b" -> "d", "c" -> "d")
+    assert(Graph.triangleCount(e, "src", "dst").head().getLong(0) == 2L)
+  }
+
+  test("degrees: out/in/total with zero-fill on one-sided nodes") {
+    val e = edges("a" -> "b", "a" -> "c", "b" -> "c")
+    val r = Graph.degrees(e, "src", "dst")
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(r == Map(
+      "a" -> ((2L, 0L, 2L)),
+      "b" -> ((1L, 1L, 2L)),
+      "c" -> ((0L, 2L, 2L))))
+  }
+}

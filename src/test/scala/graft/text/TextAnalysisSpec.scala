@@ -108,4 +108,20 @@ class TextAnalysisSpec extends AnyFunSuite {
     val r = Seq(clean).toDF("t").select(TextAnalysis.scrub(col("t")).as("c"))
     assert(one[String](r) == clean)
   }
+
+  test("repetitionStats: counts, ratio, and max token frequency; empty text zero-fills") {
+    val docs = Seq(
+      (1L, "a a a b"),   // 4 tokens, 2 distinct, ratio 0.5, max freq 3
+      (2L, "x y z"),     // no repetition
+      (3L, "")           // degenerate: no tokens at all
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.repetitionStats(docs, "doc_id", "text")
+      .collect()
+      .map(x => x.getLong(0) ->
+        ((x.getInt(1), x.getInt(2), x.getDouble(3), x.getLong(4))))
+      .toMap
+    assert(r(1L) == ((4, 2, 0.5, 3L)))
+    assert(r(2L) == ((3, 3, 0.0, 1L)))
+    assert(r(3L) == ((0, 0, 0.0, 0L)))
+  }
 }
