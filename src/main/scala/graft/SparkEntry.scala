@@ -1816,6 +1816,10 @@ object SparkEntry {
               .filter(col("p_type") === "LARGE" && col("p_size") <= 10)
               .select(col("p_partkey"), col("p_name"))),
             col("l_partkey") === col("p_partkey"))
+          // one shuffle for both the agg AND the window below: hash on the
+          // window's partition key up front — partitioning on a prefix of
+          // the group keys satisfies the agg's clustered distribution
+          .repartition(col("p_partkey"))
           .groupBy(col("p_partkey"), col("p_name"), col("l_suppkey"))
           .agg(min(col("l_extendedprice") / col("l_quantity")).as("unit_cost"))
         val sup = broadcast(T(s, d, "supplier")
@@ -2117,6 +2121,8 @@ object SparkEntry {
             col("l_shipdate") < lit("1998-01-01"))
           .join(broadcast(T(s, d, "part").filter(col("p_name").startsWith("small"))
             .select(col("p_partkey"))), col("l_partkey") === col("p_partkey"))
+          // shared shuffle: agg on (part, supp) and window on part reuse it
+          .repartition(col("l_partkey"))
           .groupBy(col("l_partkey"), col("l_suppkey"))
           .agg(sum(col("l_quantity").cast("decimal(18,2)")).as("supp_qty"))
         val dominant = shipped
@@ -2127,7 +2133,7 @@ object SparkEntry {
         T(s, d, "supplier")
           .join(broadcast(T(s, d, "nation").filter(col("n_name") === "NATION_9")),
             col("s_nationkey") === col("n_nationkey"))
-          .join(dominant, col("s_suppkey") === col("l_suppkey"), "left_semi")
+          .join(broadcast(dominant), col("s_suppkey") === col("l_suppkey"), "left_semi")
           .select(col("s_suppkey"), col("s_name"))
           .orderBy(col("s_suppkey"))
       },
@@ -2160,7 +2166,10 @@ object SparkEntry {
           .withColumn("late",
             when(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS"), 1L)
               .otherwise(0L))
-        val perSupp = lo.groupBy(col("o_orderkey"), col("l_suppkey"))
+        // shared shuffle: the (order, supplier) agg and the per-order window
+        // both run off one hash partitioning on o_orderkey
+        val perSupp = lo.repartition(col("o_orderkey"))
+          .groupBy(col("o_orderkey"), col("l_suppkey"))
           .agg(max(col("late")).as("supp_late"))
         val w = W.partitionBy(col("o_orderkey"))
         perSupp
