@@ -879,7 +879,7 @@ object SparkEntry {
              |  count(*) AS n, CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
              |FROM events GROUP BY 1, 2 ORDER BY hour_ms, event_type""".stripMargin))
   ) ++ dedupDefs ++ textDefs ++ scalarDefs ++ storeDefs ++ analyticsDefs ++
-    tpchDefs2 ++ graphDefs ++ advancedDefs
+    tpchDefs2 ++ graphDefs ++ curationDefs ++ advancedDefs
 
   /** OLAP widening: CUBE / GROUPING SETS / pivot / window frames /
     * exact percentiles / portable hash-sampling / HLL sketches. */
@@ -1488,7 +1488,11 @@ object SparkEntry {
             concat(lit("s:"), col("l_suppkey").cast("string")).as("dst"))
           .distinct()
         val sym = e.unionByName(e.select(col("dst").as("src"), col("src").as("dst")))
-        val start = s.range(1).select(lit("c:0").as("node"))
+        // start set comes from the table, not a literal — a foldable start
+        // constant-propagates into the first hop and degrades it to a
+        // nested-loop join (PlanAuditSpec pins the hash-join shape)
+        val start = T(s, d, "customer").filter(col("c_custkey") === 0)
+          .select(concat(lit("c:"), col("c_custkey").cast("string")).as("node"))
         graft.ops.Graph.kHop(sym, "src", "dst", start, "node", maxHops = 3)
           .orderBy(col("hops"), col("node"))
       },
@@ -1540,6 +1544,61 @@ object SparkEntry {
               |  CAST(coalesce(out_deg, 0) + coalesce(in_deg, 0) AS BIGINT) AS degree
               |FROM o FULL OUTER JOIN i USING (node)
               |ORDER BY node""".stripMargin))
+  )
+
+  private def curationDefs: Seq[(String, Q)] = Seq(
+
+    // Exact corpus-wide heavy hitters (top-k frequent tokens + counts):
+    // groupBy + TakeOrderedAndProject — the distinct set is never sorted
+    "cu_heavy_hitters" -> Q(
+      (s, d) => graft.ops.Curation.heavyHitters(
+        T(s, d, "documents").select(
+          explode(graft.text.TextAnalysis.tokens(col("text"))).as("tok")),
+        col("tok"), k = 20),
+      Some("""SELECT value, count(*) AS n FROM (
+             |  SELECT unnest(list_filter(regexp_split_to_array(text, '\s+'),
+             |                            t -> length(t) > 0)) AS value
+             |  FROM documents)
+             |GROUP BY 1 ORDER BY n DESC, value LIMIT 20""".stripMargin)),
+
+    // Deterministic domain mixing (portable md5-Bernoulli per row) + audit:
+    // corpus composition is reproducible bit-for-bit on any engine
+    "cu_weighted_mix" -> Q(
+      (s, d) => graft.ops.Curation.mixAudit(
+          graft.ops.Curation.weightedMix(T(s, d, "documents"), "doc_id", "source",
+            rates = Map("src0" -> 1.0, "src1" -> 0.5, "src2" -> 0.25),
+            defaultRate = 0.1),
+          "source")
+        .select(col("source"), col("n_total"), col("n_kept"),
+          round(col("realized_rate"), 6).as("realized_rate"))
+        .orderBy(col("source")),
+      Some("""SELECT source, count(*) AS n_total,
+             |  CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+             |  round(sum(CASE WHEN kept THEN 1 ELSE 0 END)
+             |        / CAST(count(*) AS DOUBLE), 6) AS realized_rate
+             |FROM (SELECT source,
+             |        CAST('0x' || substr(md5('mix|' || doc_id), 1, 15) AS BIGINT)
+             |          % 10000 / 10000.0 <
+             |        CASE source WHEN 'src0' THEN 1.0 WHEN 'src1' THEN 0.5
+             |                    WHEN 'src2' THEN 0.25 ELSE 0.1 END AS kept
+             |      FROM documents)
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Quantile binning into quality tiers (deterministic ntile: total order
+    // with id tiebreak), rolled up per bin
+    "cu_quality_bins" -> Q(
+      (s, d) => graft.ops.Curation.quantileBins(
+          T(s, d, "documents"), "doc_id", col("n_chars"), n = 10)
+        .groupBy(col("bin"))
+        .agg(count(lit(1)).as("n_docs"),
+          min(col("n_chars")).as("min_chars"), max(col("n_chars")).as("max_chars"))
+        .orderBy(col("bin")),
+      Some("""SELECT CAST(bin AS INT) AS bin, count(*) AS n_docs,
+             |  min(n_chars) AS min_chars, max(n_chars) AS max_chars
+             |FROM (SELECT n_chars,
+             |        ntile(10) OVER (ORDER BY n_chars, doc_id) AS bin
+             |      FROM documents)
+             |GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 
   private def analyticsDefs: Seq[(String, Q)] = Seq(

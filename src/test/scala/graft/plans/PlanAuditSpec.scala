@@ -116,6 +116,35 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("tpch_q2: agg and window share ONE fact shuffle (prefix-key repartition)") {
+    val p = planOf("tpch_q2_min_cost_supp")
+    // exactly one non-broadcast Exchange below the window: the explicit
+    // repartition on p_partkey serves both the (part,name,supp) agg and the
+    // per-part window min — a second exchange means the sharing regressed
+    val shuffles = "(?<!Broadcast)Exchange hashpartitioning".r.findAllIn(p).size
+    assert(shuffles == 1, s"expected 1 shared fact shuffle, got $shuffles\n$p")
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("tpch_q21: window-count reformulation keeps two shuffles, no self-join") {
+    val p = planOf("tpch_q21_sole_late_supp")
+    val shuffles = "(?<!Broadcast)Exchange hashpartitioning".r.findAllIn(p).size
+    // one shared (agg+window on o_orderkey) + one for the final per-supplier count
+    assert(shuffles == 2, s"expected 2 shuffles, got $shuffles\n$p")
+    assert(!p.contains("SortMergeJoin"), p) // the exists/not-exists pair never self-joins
+  }
+
+  test("tpch_q20: dominant-supplier set broadcasts into the semi join") {
+    val p = planOf("tpch_q20_dominant_supp")
+    assert("BroadcastHashJoin \\[[^\\]]*\\], \\[[^\\]]*\\], LeftSemi".r
+      .findFirstIn(p).isDefined, p)
+  }
+
+  test("g1_khop: each BFS round is hash joins, never a nested-loop product") {
+    val p = planOf("g1_khop_reachability")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("v3_knn_cosine: scan → cosine → TakeOrderedAndProject, codegen'd hot loop") {
     val df = SparkEntry.queries("v3_knn_cosine")(spark, sf)
     assert(df.queryExecution.executedPlan.toString.contains("TakeOrderedAndProject"))
