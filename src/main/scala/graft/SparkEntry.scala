@@ -1303,6 +1303,50 @@ object SparkEntry {
              |SELECT change_type, count(*) AS n FROM d
              |WHERE change_type IS NOT NULL GROUP BY change_type ORDER BY change_type""".stripMargin)),
 
+    // Incremental materialized-aggregate maintenance: CDC delta applied to
+    // a v1 rollup must equal recomputing from v2 (the oracle computes the
+    // direct v2 aggregate; the Spark side takes the incremental path —
+    // decimal sums make the two bit-identical)
+    "snap_incremental_agg" -> Q(
+      (s, d) => {
+        import graft.store.Snapshots
+        val root = java.nio.file.Files.createTempDirectory("graft-incragg")
+        sys.addShutdownHook {
+          def rm(p: java.nio.file.Path): Unit = {
+            if (java.nio.file.Files.isDirectory(p))
+              java.nio.file.Files.list(p).forEach(rm(_))
+            java.nio.file.Files.deleteIfExists(p)
+          }
+          rm(root)
+        }
+        val base = root.toString + "/t"
+        val orders = T(s, d, "orders")
+          .select(col("o_orderkey"), col("o_totalprice"),
+            pmod(col("o_custkey"), lit(100)).as("cohort"))
+        Snapshots.write(orders.filter(pmod(col("o_orderkey"), lit(10)) =!= 0), base)
+        Snapshots.write(
+          orders.filter(pmod(col("o_orderkey"), lit(7)) =!= 0)
+            .withColumn("o_totalprice", col("o_totalprice") +
+              when(pmod(col("o_orderkey"), lit(3)) === 0, 1.0).otherwise(0.0)),
+          base)
+        val matAgg = Snapshots.read(s, base, Some(1L))
+          .groupBy(col("cohort"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("o_totalprice").cast("decimal(18,2)")).as("total"))
+        val delta = Snapshots.incrementalAggDelta(s, base, 1L, 2L,
+          "o_orderkey", Seq("cohort"), "o_totalprice")
+        Snapshots.applyAggDelta(matAgg, delta, Seq("cohort"))
+          .select(col("cohort"), col("n"),
+            round(col("total").cast("double"), 2).as("total"))
+          .orderBy(col("cohort"))
+      },
+      Some("""SELECT o_custkey % 100 AS cohort, count(*) AS n,
+             |  round(CAST(sum(CAST(o_totalprice +
+             |    CASE WHEN o_orderkey % 3 = 0 THEN 1.0 ELSE 0.0 END
+             |    AS DECIMAL(18,2))) AS DOUBLE), 2) AS total
+             |FROM orders WHERE o_orderkey % 7 <> 0
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // S7 — embedding column point-update semantics (SET r.embedding WHERE id)
     "s7_embedding_update" -> Q(
       (s, d) => {

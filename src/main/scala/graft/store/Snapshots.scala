@@ -103,6 +103,53 @@ object Snapshots {
    * other) so schema evolution between snapshots is visible as `update`
    * rather than silently ignored — and a dropped column can't throw.
    */
+  /**
+   * Incremental maintenance of a SUM/COUNT materialized aggregate between
+   * two snapshots — the materialized-view path that makes a 100 TB rollup
+   * affordable: instead of re-aggregating the whole new snapshot, compute
+   * the per-group delta contributed by changed rows only.
+   *
+   * Returns (groupCols..., cnt_delta, sum_delta). The CDC key-diff finds
+   * changed keys; each version is then SEMI-joined to its changed-key side
+   * (deleted+updated rows subtract, inserted+updated rows add), so the
+   * expensive aggregation runs over |changed rows|, not |table|. Sums stay
+   * decimal — decimal addition is exact and associative, so
+   * `applyAggDelta(matAgg(v1), delta)` is bit-identical to recomputing the
+   * aggregate from v2 (pinned in SnapshotsSpec).
+   */
+  def incrementalAggDelta(spark: SparkSession, base: String, fromV: Long,
+                          toV: Long, key: String, groupCols: Seq[String],
+                          valueCol: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val changed = diff(spark, base, fromV, toV, key)
+    val gone = changed.filter(col("change_type").isin("delete", "update")).select(col(key))
+    val came = changed.filter(col("change_type").isin("insert", "update")).select(col(key))
+    def side(v: Long, keys: DataFrame, sign: Int) =
+      read(spark, base, Some(v))
+        .join(keys, Seq(key), "left_semi")
+        .groupBy(groupCols.map(col): _*)
+        .agg(sum(lit(sign.toLong)).as("cnt_d"),
+          sum(col(valueCol).cast("decimal(18,2)") * sign).as("sum_d"))
+    side(fromV, gone, -1).unionByName(side(toV, came, +1))
+      .groupBy(groupCols.map(col): _*)
+      .agg(sum(col("cnt_d")).as("cnt_delta"), sum(col("sum_d")).as("sum_delta"))
+  }
+
+  /** Apply an [[incrementalAggDelta]] to a (groupCols..., n, total) decimal
+    * aggregate; groups whose count reaches zero drop out (full-outer +
+    * coalesce — a delta may create or retire a group). */
+  def applyAggDelta(matAgg: DataFrame, delta: DataFrame,
+                    groupCols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions._
+    matAgg.join(delta, groupCols, "full_outer")
+      .select(groupCols.map(col) ++ Seq(
+        (coalesce(col("n"), lit(0L)) + coalesce(col("cnt_delta"), lit(0L))).as("n"),
+        (coalesce(col("total"), lit(java.math.BigDecimal.ZERO).cast("decimal(28,2)")) +
+          coalesce(col("sum_delta"), lit(java.math.BigDecimal.ZERO).cast("decimal(28,2)")))
+          .as("total")): _*)
+      .filter(col("n") > 0)
+  }
+
   def diff(spark: SparkSession, base: String, fromV: Long, toV: Long,
            key: String): DataFrame = {
     import org.apache.spark.sql.functions._

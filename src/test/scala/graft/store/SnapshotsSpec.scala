@@ -76,6 +76,46 @@ class SnapshotsSpec extends AnyFunSuite {
       Set((1L, "a"), (2L, "b")))
   }
 
+  test("incremental agg delta + apply equals a full recompute from v2") {
+    import org.apache.spark.sql.functions._
+    val base = java.nio.file.Files.createTempDirectory("graft-snap-incr").toString + "/t"
+    // v1: groups a (2 rows) and b (1 row); v2: one update in a, a's second
+    // row deleted... no: key 2 deleted, key 4 inserted into new group c,
+    // key 1's value bumped — exercises insert/delete/update and group birth
+    Snapshots.write(Seq(
+      (1L, "a", 10.0), (2L, "a", 5.0), (3L, "b", 7.0)).toDF("id", "g", "v"), base)
+    Snapshots.write(Seq(
+      (1L, "a", 12.5), (3L, "b", 7.0), (4L, "c", 2.0)).toDF("id", "g", "v"), base)
+    val matAgg = Snapshots.read(spark, base, Some(1L))
+      .groupBy(col("g"))
+      .agg(count(lit(1)).as("n"), sum(col("v").cast("decimal(18,2)")).as("total"))
+    val delta = Snapshots.incrementalAggDelta(spark, base, 1L, 2L, "id", Seq("g"), "v")
+    val incr = Snapshots.applyAggDelta(matAgg, delta, Seq("g"))
+      .select(col("g"), col("n"), col("total").cast("double"))
+      .as[(String, Long, Double)].collect().toSet
+    val full = Snapshots.read(spark, base, Some(2L))
+      .groupBy(col("g"))
+      .agg(count(lit(1)).as("n"), sum(col("v").cast("decimal(18,2)")).as("total"))
+      .select(col("g"), col("n"), col("total").cast("double"))
+      .as[(String, Long, Double)].collect().toSet
+    assert(incr == full)
+    assert(incr == Set(("a", 1L, 12.5), ("b", 1L, 7.0), ("c", 1L, 2.0)))
+  }
+
+  test("incremental agg delta retires a group whose count reaches zero") {
+    import org.apache.spark.sql.functions._
+    val base = java.nio.file.Files.createTempDirectory("graft-snap-retire").toString + "/t"
+    Snapshots.write(Seq((1L, "a", 1.0), (2L, "b", 2.0)).toDF("id", "g", "v"), base)
+    Snapshots.write(Seq((1L, "a", 1.0)).toDF("id", "g", "v"), base)
+    val matAgg = Snapshots.read(spark, base, Some(1L))
+      .groupBy(col("g"))
+      .agg(count(lit(1)).as("n"), sum(col("v").cast("decimal(18,2)")).as("total"))
+    val delta = Snapshots.incrementalAggDelta(spark, base, 1L, 2L, "id", Seq("g"), "v")
+    val out = Snapshots.applyAggDelta(matAgg, delta, Seq("g"))
+      .select("g").as[String].collect().toSeq
+    assert(out == Seq("a"), "group b lost its only row and must drop out")
+  }
+
   test("diff sees a column added in the newer version (union-schema hash)") {
     val base = java.nio.file.Files.createTempDirectory("graft-snap-evolve").toString + "/t"
     Snapshots.write(Seq((1L, "a"), (2L, "b")).toDF("id", "s"), base)
