@@ -2399,6 +2399,29 @@ object SparkEntry {
               |FROM tot t LEFT JOIN shared s USING (doc_id)
               |ORDER BY doc_id""".stripMargin)),
 
+    // Typo-level fuzzy dedup: shingle-blocked candidates, exact levenshtein
+    // on a fixed prefix (both engines implement classic edit distance)
+    "dd_fuzzy_pairs" -> Q(
+      (s, d) => Dedup.fuzzyPairs(
+          T(s, d, "documents").filter(col("doc_id") < 200), "doc_id", "text",
+          prefixLen = 40, maxDist = 10, n = 5, maxDf = Some(50))
+        .orderBy(col("id_a"), col("id_b")),
+      Some("""WITH p AS (SELECT doc_id, substr(text, 1, 40) AS pre
+             |           FROM documents WHERE doc_id < 200),
+             |sh AS (SELECT DISTINCT doc_id, substr(pre, CAST(s + 1 AS INT), 5) AS shingle
+             |       FROM (SELECT doc_id, pre,
+             |               unnest(range(0, greatest(length(pre) - 5, 0) + 1)) AS s
+             |             FROM p) t),
+             |rare AS (SELECT shingle FROM sh GROUP BY 1 HAVING count(*) <= 50),
+             |blocked AS (SELECT doc_id, shingle FROM sh JOIN rare USING (shingle)),
+             |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+             |         FROM blocked a JOIN blocked b USING (shingle)
+             |         WHERE a.doc_id < b.doc_id)
+             |SELECT id_a, id_b, CAST(levenshtein(pa.pre, pb.pre) AS INT) AS dist
+             |FROM cand JOIN p pa ON id_a = pa.doc_id JOIN p pb ON id_b = pb.doc_id
+             |WHERE levenshtein(pa.pre, pb.pre) <= 10
+             |ORDER BY id_a, id_b""".stripMargin)),
+
     "dd_minhash_signature" -> Q(
       (s, d) => Dedup.minhashSignature(
           T(s, d, "documents").filter(col("doc_id") < 50), "doc_id", "text",

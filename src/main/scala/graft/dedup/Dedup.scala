@@ -159,6 +159,43 @@ object Dedup {
       .filter(col("jaccard") >= minJaccard)
   }
 
+  /**
+   * Fuzzy candidate join by edit distance on a fixed-length prefix:
+   * shingle-blocked (a shared rare n-gram makes a candidate), then an exact
+   * `levenshtein` filter over candidates only. Typo-level near-dup
+   * detection that complements the set-similarity paths (Jaccard/MinHash
+   * are blind to character transpositions inside tokens).
+   *
+   * Scale shape: identical to [[ngramJaccardPairs]] — the quadratic step
+   * runs only within shingle buckets, hot shingles capped by `maxDf`, and
+   * the O(prefixLen²) levenshtein is bounded by the fixed prefix (never
+   * the whole document — full-text edit distance at corpus scale is not a
+   * thing). Returns (id_a, id_b, dist), id_a < id_b.
+   */
+  def fuzzyPairs(df: DataFrame, idCol: String, textCol: String,
+                 prefixLen: Int = 40, maxDist: Int = 10,
+                 n: Int = 5, maxDf: Option[Int] = Some(50)): DataFrame = {
+    val pre = df.select(col(idCol), substring(col(textCol), 1, prefixLen).as("__pre"))
+    val sh = shingles(pre, idCol, "__pre", n)
+    val filtered = maxDf match {
+      case Some(cap) =>
+        val rare = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+          .filter(col("df") <= cap).select(col("shingle"))
+        sh.join(rare, Seq("shingle"), "left_semi")
+      case None => sh
+    }
+    val cand = filtered.select(col("shingle"), col(idCol).as("id_a"))
+      .join(filtered.select(col("shingle"), col(idCol).as("id_b")), "shingle")
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b")).distinct()
+    cand
+      .join(pre.toDF("id_a", "pre_a"), "id_a")
+      .join(pre.toDF("id_b", "pre_b"), "id_b")
+      .select(col("id_a"), col("id_b"),
+        levenshtein(col("pre_a"), col("pre_b")).as("dist"))
+      .filter(col("dist") <= maxDist)
+  }
+
   // ── SimHash ──────────────────────────────────────────────────────────────
   /**
    * 64-bit SimHash over whitespace tokens: bit b of the fingerprint is the

@@ -207,4 +207,20 @@ class DedupSpec extends AnyFunSuite {
       .toMap
     assert(r == Map(1L -> ((5L, 1L, 0.2)), 3L -> ((1L, 0L, 0.0))))
   }
+
+  test("fuzzyPairs finds typo-level near-dups via shingle blocking, skips far pairs") {
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps"),
+      (2L, "the quick brwon fox jumps"),  // transposition: dist 2
+      (3L, "the quick brown fox jumped"), // suffix edit: dist 2
+      (4L, "completely different subject")
+    ).toDF("doc_id", "text")
+    val r = Dedup.fuzzyPairs(corpus, "doc_id", "text",
+        prefixLen = 30, maxDist = 3, n = 5, maxDf = None)
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getInt(2))).toSet
+    assert(r == Set((1L, 2L, 2), (1L, 3L, 2), (2L, 3L, 4)).filter(_._3 <= 3),
+      s"got $r")
+    // doc 4 shares no shingle with the others: never even a candidate
+    assert(!r.exists(p => p._1 == 4L || p._2 == 4L))
+  }
 }
