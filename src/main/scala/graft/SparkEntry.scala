@@ -1630,6 +1630,50 @@ object SparkEntry {
 
     // Quantile binning into quality tiers (deterministic ntile: total order
     // with id tiebreak), rolled up per bin
+    // Count-min heavy hitters (the sketch scale path): sample→candidates,
+    // sketch→selection, exact verify pass → output counts are exact, so the
+    // exact top-k IS the oracle. Deterministic: xxhash64 buckets + hashed
+    // row sample, no rand().
+    "cu_cm_topk" -> Q(
+      (s, d) => graft.ops.Curation.cmTopK(
+        T(s, d, "documents").select(col("doc_id"),
+          posexplode(graft.text.TextAnalysis.tokens(col("text")))
+            .as(Seq("pos", "tok"))),
+        rowKey = concat_ws("#", col("doc_id"), col("pos")),
+        value = col("tok"), k = 10),
+      Some("""SELECT value, count(*) AS n FROM (
+             |  SELECT unnest(list_filter(regexp_split_to_array(text, '\s+'),
+             |                            t -> length(t) > 0)) AS value
+             |  FROM documents)
+             |GROUP BY 1 ORDER BY n DESC, value LIMIT 10""".stripMargin)),
+
+    // Cutpoint binning (the shuffle-free scale path of cu_quality_bins):
+    // exact interpolated percentiles (DuckDB quantile_cont twin) collected
+    // once, binning as a scalar expression over the scan
+    "cu_cutpoint_bins" -> Q(
+      (s, d) => {
+        val docs = T(s, d, "documents")
+        val cuts = graft.ops.Curation.percentileCutpoints(docs, col("n_chars"), n = 10)
+        graft.ops.Curation.binByCutpoints(docs, col("n_chars"), cuts)
+          .groupBy(col("bin"))
+          .agg(count(lit(1)).as("n_docs"),
+            min(col("n_chars")).as("min_chars"), max(col("n_chars")).as("max_chars"))
+          .orderBy(col("bin"))
+      },
+      Some("""WITH c AS (
+             |  SELECT quantile_cont(n_chars, [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS cuts
+             |  FROM documents)
+             |SELECT bin, count(*) AS n_docs,
+             |  min(n_chars) AS min_chars, max(n_chars) AS max_chars
+             |FROM (SELECT n_chars,
+             |        1 + CAST(n_chars > cuts[1] AS INT) + CAST(n_chars > cuts[2] AS INT)
+             |          + CAST(n_chars > cuts[3] AS INT) + CAST(n_chars > cuts[4] AS INT)
+             |          + CAST(n_chars > cuts[5] AS INT) + CAST(n_chars > cuts[6] AS INT)
+             |          + CAST(n_chars > cuts[7] AS INT) + CAST(n_chars > cuts[8] AS INT)
+             |          + CAST(n_chars > cuts[9] AS INT) AS bin
+             |      FROM documents, c)
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     "cu_quality_bins" -> Q(
       (s, d) => graft.ops.Curation.quantileBins(
           T(s, d, "documents"), "doc_id", col("n_chars"), n = 10)

@@ -61,6 +61,90 @@ object Curation {
       .orderBy(col("n").desc, col("value"))
       .limit(k)
 
+  // ── count-min sketch (the heavy-hitter scale path) ───────────────────────
+
+  /** Bucket of `value` in sketch row `d`: xxhash64 (codegen'd, 64-bit) taken
+    * positively modulo `width`. Deterministic across runs and partitionings —
+    * the sketch is a pure function of the multiset of values. */
+  private def cmBucket(value: Column, d: Int, width: Int, salt: String): Column =
+    pmod(xxhash64(lit(s"$salt|$d"), value.cast("string")), lit(width.toLong)).cast("int")
+
+  /**
+   * Count-min sketch of a value stream: `depth × width` counters, one
+   * DataFrame row per NON-EMPTY cell (`d`, `w`, `cnt`). Built in one scan —
+   * each input row explodes to its `depth` cells, then a map-side-combined
+   * groupBy folds them — so memory is O(depth·width) regardless of input
+   * size or cardinality, and two sketches merge by unioning and re-summing
+   * cells ([[cmMerge]]). Estimates are one-sided: min over a value's cells
+   * never undercounts ([[cmEstimate]]).
+   */
+  def countMinSketch(df: DataFrame, value: Column,
+                     depth: Int = 4, width: Int = 4096,
+                     salt: String = "cm"): DataFrame = {
+    val cells = array((0 until depth).map(d =>
+      struct(lit(d).as("d"), cmBucket(value, d, width, salt).as("w"))): _*)
+    df.select(explode(cells).as("cell"))
+      .groupBy(col("cell.d").as("d"), col("cell.w").as("w"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Merge sketches built with the same (depth, width, salt): cell-wise sum. */
+  def cmMerge(sketches: DataFrame*): DataFrame =
+    sketches.reduce(_ union _)
+      .groupBy(col("d"), col("w")).agg(sum(col("cnt")).as("cnt"))
+
+  /**
+   * Point-estimate each candidate value against a sketch: min over its
+   * `depth` cells. Candidates that truly occurred always have all their
+   * cells present, so the inner join is lossless for them; a value the
+   * sketch never saw may lose cells — treat absence as 0 by left join.
+   */
+  def cmEstimate(candidates: DataFrame, valueCol: String, sketch: DataFrame,
+                 depth: Int = 4, width: Int = 4096,
+                 salt: String = "cm"): DataFrame = {
+    val cells = array((0 until depth).map(d =>
+      struct(lit(d).as("d"), cmBucket(col(valueCol), d, width, salt).as("w"))): _*)
+    candidates.select(col(valueCol), explode(cells).as("cell"))
+      .select(col(valueCol), col("cell.d").as("d"), col("cell.w").as("w"))
+      .join(sketch, Seq("d", "w"), "left")
+      .groupBy(col(valueCol))
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
+  }
+
+  /**
+   * Heavy hitters at sketch scale: the architecture that replaces
+   * [[heavyHitters]] when the distinct set itself is too large to group.
+   * Three bounded passes, none of which materializes the full distinct set
+   * with exact counts:
+   *   1. candidates = distinct values of a deterministic row-sample
+   *      (`rowKey`-hashed Bernoulli — frequent values are in the sample
+   *      w.h.p., and re-runs pick the identical sample);
+   *   2. estimate every candidate from the O(depth·width) sketch;
+   *   3. keep the top-k by estimate, then one exact semi-join count pass
+   *      over only those k values, so the OUTPUT counts are exact — the
+   *      sketch decides *what* to count, never what to report.
+   * Output (value, n), ordered n desc then value. Matches [[heavyHitters]]
+   * exactly whenever the sample catches the head and sketch noise does not
+   * reorder the top-k boundary — the exact form is the oracle. Candidate
+   * recall needs `sampleRate` ≳ a-few / count(k-th hitter): the head of any
+   * distribution worth sketching has counts far above 1/rate.
+   */
+  def cmTopK(df: DataFrame, rowKey: Column, value: Column, k: Int,
+             depth: Int = 4, width: Int = 4096,
+             sampleRate: Double = 0.1, salt: String = "cm"): DataFrame = {
+    val vals = df.select(value.as("value"), rowKey.as("__rk"))
+    val sketch = countMinSketch(vals, col("value"), depth, width, salt)
+    val candidates = vals
+      .filter(pmod(xxhash64(lit(s"$salt|sample"), col("__rk").cast("string")),
+        lit(1000000L)) < (sampleRate * 1000000L).toLong)
+      .select(col("value")).distinct()
+    val selected = cmEstimate(candidates, "value", sketch, depth, width, salt)
+      .orderBy(col("est").desc, col("value")).limit(k)
+    vals.join(broadcast(selected.select(col("value"))), Seq("value"), "left_semi")
+      .groupBy(col("value")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("value"))
+  }
+
   /**
    * Quantile binning (curriculum/quality tiers): ntile over a total order.
    * The ORDER BY includes the id as tiebreak so bin assignment is
@@ -73,5 +157,34 @@ object Curation {
     val w = org.apache.spark.sql.expressions.Window
       .orderBy(score.asc, col(idCol).asc)
     df.withColumn("bin", ntile(n).over(w))
+  }
+
+  /**
+   * Interior quantile cutpoints i/n (i = 1..n-1) of `score`: exact
+   * interpolated percentiles (same semantics as DuckDB `quantile_cont`),
+   * one aggregation pass, collected as n-1 doubles on the driver. At
+   * 100 TB swap `percentile` for `percentile_approx` with a tight
+   * accuracy — the shape (one pass, tiny driver result) is unchanged.
+   */
+  def percentileCutpoints(df: DataFrame, score: Column, n: Int): Seq[Double] = {
+    val pcts = array((1 until n).map(i => lit(i.toDouble / n)): _*)
+    df.agg(percentile(score.cast("double"), pcts).as("cuts"))
+      .head().getSeq[Double](0)
+  }
+
+  /**
+   * Bin by precomputed cutpoints: bin = 1 + #cutpoints strictly below the
+   * score, as a pure scalar expression. This is [[quantileBins]]'s scale
+   * path — no global window sort, no shuffle at all: the cutpoints ride
+   * along as literals (broadcast by construction), so binning fuses into
+   * whatever scan or stage produces the rows. Ties sit in the lower bin;
+   * unlike ntile, bins need not be exactly equal-sized under ties.
+   */
+  def binByCutpoints(df: DataFrame, score: Column, cuts: Seq[Double]): DataFrame = {
+    require(cuts == cuts.sorted, "cutpoints must be ascending")
+    val bin = cuts.foldLeft(lit(1)) { (acc, c) =>
+      acc + when(score.cast("double") > c, 1).otherwise(0)
+    }
+    df.withColumn("bin", bin)
   }
 }

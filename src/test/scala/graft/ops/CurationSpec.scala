@@ -59,4 +59,76 @@ class CurationSpec extends AnyFunSuite {
       case _ => ()
     }
   }
+
+  // Zipf-ish stream: value v_i appears 2^(9-i) times, i = 0..9, plus a
+  // long tail of singletons — heavy head, clear top-k boundary.
+  private def zipfStream = {
+    val head = (0 until 10).flatMap(i => Seq.fill(1 << (9 - i))(s"hot$i"))
+    val tail = (0 until 200).map(i => s"cold$i")
+    (head ++ tail).zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      .toDF("rk", "v")
+  }
+
+  test("countMinSketch estimates are one-sided and exact when collision-free") {
+    val df = zipfStream
+    val sketch = Curation.countMinSketch(df, col("v"), depth = 4, width = 4096)
+    val exact = df.groupBy(col("v")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val est = Curation.cmEstimate(df.select("v").distinct(), "v", sketch,
+        depth = 4, width = 4096)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    exact.foreach { case (v, n) =>
+      assert(est(v) >= n, s"CM undercounted $v: ${est(v)} < $n")
+    }
+    // 210 distinct into 4x4096 cells: min-of-4 collisions are overwhelmingly
+    // unlikely AND deterministic — pin exactness outright
+    assert(est == exact)
+  }
+
+  test("cmMerge: sketch of a union == cell-wise sum of per-part sketches") {
+    val df = zipfStream
+    val (a, b) = (df.filter(col("rk") % 2 === 0), df.filter(col("rk") % 2 === 1))
+    val merged = Curation.cmMerge(
+      Curation.countMinSketch(a, col("v")), Curation.countMinSketch(b, col("v")))
+    val whole = Curation.countMinSketch(df, col("v"))
+    assert(merged.exceptAll(whole).isEmpty && whole.exceptAll(merged).isEmpty)
+  }
+
+  test("cmTopK matches exact heavyHitters on a skewed stream") {
+    val df = zipfStream
+    // rate 0.5: the k-th hitter has 16 occurrences, so the deterministic
+    // sample catches it (at 0.1 this fixed draw missed all 16 — candidate
+    // recall needs rate ≳ a few / count(k-th hitter))
+    val got = Curation.cmTopK(df, col("rk"), col("v"), k = 6, sampleRate = 0.5)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val want = Curation.heavyHitters(df, col("v"), k = 6)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got == want)
+    assert(got.head == (("hot0", 512L)))
+  }
+
+  test("cmEstimate of a never-seen value is 0 via left join, not a crash") {
+    val sketch = Curation.countMinSketch(zipfStream, col("v"), depth = 4, width = 1 << 20)
+    val est = Curation.cmEstimate(Seq("never-seen-xyz").toDF("v"), "v", sketch,
+      depth = 4, width = 1 << 20)
+    // with a 1M-cell width all 4 cells of an unseen value are empty w.h.p.
+    assert(est.collect().head.getLong(1) == 0L)
+  }
+
+  test("binByCutpoints agrees with ntile on unique scores, zero shuffles") {
+    val docs = (1L to 100L).map(i => (i, (i * 37) % 101)).toDF("id", "score")
+    val cuts = Curation.percentileCutpoints(docs, col("score"), n = 10)
+    assert(cuts == cuts.sorted && cuts.size == 9)
+    val byCut = Curation.binByCutpoints(docs, col("score"), cuts)
+      .select("id", "bin").as[(Long, Int)].collect().toMap
+    val byNtile = Curation.quantileBins(docs, "id", col("score"), n = 10)
+      .select("id", "bin").as[(Long, Int)].collect().toMap
+    // 100 unique scores, interior cutpoints interpolate strictly between
+    // order statistics: both paths assign identical bins
+    assert(byCut == byNtile)
+    // scale shape: the binning plan must contain no exchange at all
+    val plan = Curation.binByCutpoints(docs, col("score"), cuts)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"binByCutpoints shuffled:\n$plan")
+  }
 }
