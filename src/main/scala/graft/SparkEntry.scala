@@ -2447,11 +2447,11 @@ object SparkEntry {
     // on a fixed prefix (both engines implement classic edit distance)
     "dd_fuzzy_pairs" -> Q(
       (s, d) => Dedup.fuzzyPairs(
-          T(s, d, "documents").filter(col("doc_id") < 200), "doc_id", "text",
-          prefixLen = 40, maxDist = 10, n = 5, maxDf = Some(50))
+          T(s, d, "documents").filter(col("doc_id") < 500), "doc_id", "text",
+          prefixLen = 40, maxDist = 15, n = 5, maxDf = Some(50))
         .orderBy(col("id_a"), col("id_b")),
       Some("""WITH p AS (SELECT doc_id, substr(text, 1, 40) AS pre
-             |           FROM documents WHERE doc_id < 200),
+             |           FROM documents WHERE doc_id < 500),
              |sh AS (SELECT DISTINCT doc_id, substr(pre, CAST(s + 1 AS INT), 5) AS shingle
              |       FROM (SELECT doc_id, pre,
              |               unnest(range(0, greatest(length(pre) - 5, 0) + 1)) AS s
@@ -2463,7 +2463,7 @@ object SparkEntry {
              |         WHERE a.doc_id < b.doc_id)
              |SELECT id_a, id_b, CAST(levenshtein(pa.pre, pb.pre) AS INT) AS dist
              |FROM cand JOIN p pa ON id_a = pa.doc_id JOIN p pb ON id_b = pb.doc_id
-             |WHERE levenshtein(pa.pre, pb.pre) <= 10
+             |WHERE levenshtein(pa.pre, pb.pre) <= 15
              |ORDER BY id_a, id_b""".stripMargin)),
 
     "dd_minhash_signature" -> Q(
