@@ -65,6 +65,57 @@ object StreamOps {
         col(s"r_$rightTs") <= col(leftTs) + expr(s"INTERVAL $upperMs MILLISECOND"))
   }
 
+  /** One tracked counter of [[spaceSavingTopK]]: `est` never undercounts the
+    * true count, and `est - err` never overcounts it. */
+  final case class SSCounter(shard: Int, value: String, est: Long, err: Long)
+
+  /**
+   * Streaming heavy hitters with bounded state — the streaming twin of
+   * `Curation.cmTopK`, via the space-saving algorithm: each shard (values
+   * are hash-sharded, so a value lives in exactly one shard's state) keeps
+   * at most `m` counters. A tracked arrival increments its counter; an
+   * untracked one evicts the minimum counter (count ties broken by value
+   * for determinism), inheriting its count as the new counter's error
+   * bound. Classic guarantees, pinned in the spec: `est ≥ true ≥ est −
+   * err` for every tracked value, and any value with true count >
+   * N_shard/m is guaranteed tracked.
+   *
+   * Emits every shard's full counter set each micro-batch (Update mode):
+   * the global top-k is the query-side `ORDER BY est DESC LIMIT k` over
+   * the latest snapshot — no cross-shard merge is needed because shards
+   * partition the value space. State is O(numShards · m) forever, by
+   * construction — no watermark or timeout required; at cluster scale
+   * `numShards` spreads the counter maps across executors and is the
+   * only shuffle.
+   */
+  def spaceSavingTopK(values: DataFrame, valueCol: String,
+                      m: Int, numShards: Int = 32): Dataset[SSCounter] = {
+    val spark = values.sparkSession
+    import spark.implicits._
+    values
+      .select(col(valueCol).cast("string").as("value"),
+        pmod(xxhash64(lit("ss"), col(valueCol).cast("string")), lit(numShards.toLong))
+          .cast("int").as("shard"))
+      .as[(String, Int)]
+      .groupByKey(_._2)
+      .flatMapGroupsWithState[Map[String, (Long, Long)], SSCounter](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (shard, rows, state: GroupState[Map[String, (Long, Long)]]) =>
+          var counters = state.getOption.getOrElse(Map.empty) // value -> (est, err)
+          rows.foreach { case (v, _) =>
+            counters.get(v) match {
+              case Some((est, err)) => counters = counters.updated(v, (est + 1, err))
+              case None if counters.size < m => counters = counters.updated(v, (1L, 0L))
+              case None =>
+                val (minV, (minEst, _)) = counters.minBy { case (cv, (ce, _)) => (ce, cv) }
+                counters = (counters - minV).updated(v, (minEst + 1, minEst))
+            }
+          }
+          state.update(counters)
+          counters.iterator.map { case (v, (est, err)) => SSCounter(shard, v, est, err) }
+      }
+  }
+
   /**
    * Streaming NEAR-dup candidate detection — the streaming twin of
    * `Dedup.simhashNearDup`: each doc's 64-bit SimHash splits into `bands`

