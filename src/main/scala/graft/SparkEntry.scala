@@ -1467,6 +1467,31 @@ object SparkEntry {
     // IVF scale path (coarse-quantizer cells + probe prune + exact rerank) —
     // centroids are engine-side trained constants, no SQL twin → rows-only;
     // exhaustive-probe parity with brute force is pinned in IvfSpec
+    // PQ two-stage retrieve through the REAL path (train → encode → ADC
+    // rank over codes only → exact rerank). rerank = corpus makes the
+    // result exactly brute force, so the plain cosine SQL is its oracle;
+    // ADC-only ranking quality at small rerank is pinned in PqSpec.
+    "v3_pq_knn" -> Q(
+      (s, d) => {
+        val q = queryVec(s, d)
+        val emb = TestData.embeddings(s, d)
+          .filter(col("vec_id") =!= 0 && col("embedding").isNotNull)
+        val model = graft.rag.Pq.train(emb, "vec_id", "embedding", m = 8, ks = 16)
+        val coded = graft.rag.Pq.withCodes(emb, "embedding", model)
+        graft.rag.Pq.pqKnn(coded, "vec_id", "embedding", q, model,
+            k = 10, rerank = emb.count().toInt)
+          .select(col("vec_id"), round(col("score"), 6).as("score"))
+          .orderBy(col("score").desc, col("vec_id"))
+      },
+      Some("""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+             |pairs AS (SELECT e.vec_id AS vec_id, unnest(e.embedding)::DOUBLE AS x, unnest(q.qv)::DOUBLE AS y
+             |          FROM embeddings e, q WHERE e.vec_id <> 0 AND e.embedding IS NOT NULL),
+             |scores AS (SELECT vec_id, SUM(x*y) / (SQRT(SUM(x*x)) * SQRT(SUM(y*y))) AS s
+             |           FROM pairs GROUP BY vec_id),
+             |topk AS (SELECT vec_id, s FROM scores ORDER BY s DESC, vec_id LIMIT 10)
+             |SELECT vec_id, round(s, 6) AS score FROM topk
+             |ORDER BY score DESC, vec_id""".stripMargin)),
+
     "v3_ivf_knn" -> Q(
       (s, d) => {
         val q = queryVec(s, d)

@@ -38,14 +38,14 @@ object Ivf {
     /** Driver-side nearest-centroid ranking for a query vector. */
     def probesFor(q: Array[Float], nProbe: Int): Seq[Int] =
       centroids.zipWithIndex
-        .map { case (c, i) => (i, dot(c, q)) }
+        .map { case (c, i) => (i, dotLocal(c, q)) }
         .sortBy { case (i, s) => (-s, i) }
         .take(math.max(1, nProbe))
         .map(_._1)
         .toSeq
   }
 
-  private def dot(a: Array[Float], b: Array[Float]): Double = {
+  private[rag] def dotLocal(a: Array[Float], b: Array[Float]): Double = {
     var s = 0.0; var i = 0
     while (i < a.length && i < b.length) { s += a(i).toDouble * b(i).toDouble; i += 1 }
     s
@@ -86,7 +86,7 @@ object Ivf {
         var best = 0; var bestS = Double.MinValue
         var c = 0
         while (c < k) {
-          val s = dot(centroids(c), v)
+          val s = dotLocal(centroids(c), v)
           if (s > bestS) { bestS = s; best = c }
           c += 1
         }
