@@ -2809,6 +2809,91 @@ object SparkEntry {
     // corpus scrubbing: strip HTML → redact emails/URLs → normalize ws.
     // Synthetic dirt is injected from columns so the transform is provably
     // non-trivial; RE2-compatible patterns make the DuckDB oracle exact.
+    // PII governance: deterministic synthetic PII appended per doc (both
+    // engines build the identical text) so redaction/profiling run against
+    // real pattern shapes, never a vacuous clean corpus
+    "gov_pii_redact" -> Q(
+      (s, d) => T(s, d, "documents")
+        .select(col("doc_id"),
+          concat(col("text"),
+            lit(" Contact user"), col("doc_id").cast("string"),
+            lit("@mail.example.com or +1 (555) 010-"),
+            lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0"),
+            lit(" from 10.0."), pmod(col("doc_id"), lit(256)).cast("string"),
+            lit(".7, card 4111 1111 1111 1111.")).as("t"))
+        .select(col("doc_id"),
+          md5(graft.text.Governance.redactPii(col("t"))).as("h"))
+        .orderBy(col("doc_id")),
+      Some("""SELECT doc_id, md5(
+             |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+             |    text || ' Contact user' || doc_id::VARCHAR
+             |         || '@mail.example.com or +1 (555) 010-'
+             |         || lpad((doc_id % 10000)::VARCHAR, 4, '0')
+             |         || ' from 10.0.' || (doc_id % 256)::VARCHAR
+             |         || '.7, card 4111 1111 1111 1111.',
+             |    '\b(?:\d[ -]?){12,15}\d\b', '[CARD]', 'g'),
+             |    '\b(?:\d{1,3}\.){3}\d{1,3}\b', '[IP]', 'g'),
+             |    '\+?\d[\d().\s-]{6,}\d', '[PHONE]', 'g'),
+             |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+             |    'https?://[^\s]+', '[URL]', 'g')) AS h
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    "gov_pii_profile" -> Q(
+      (s, d) => graft.text.Governance.piiProfile(
+          T(s, d, "documents")
+            .select(col("doc_id"),
+              concat(col("text"),
+                lit(" Contact user"), col("doc_id").cast("string"),
+                lit("@mail.example.com or +1 (555) 010-"),
+                lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0"),
+                lit(" from 10.0."), pmod(col("doc_id"), lit(256)).cast("string"),
+                lit(".7, card 4111 1111 1111 1111.")).as("t")),
+          "doc_id", "t")
+        .agg(sum(col("n_cards")).cast("long").as("cards"),
+          sum(col("n_ips")).cast("long").as("ips"),
+          sum(col("n_phones")).cast("long").as("phones"),
+          sum(col("n_emails")).cast("long").as("emails"),
+          sum(col("n_urls")).cast("long").as("urls"),
+          count(lit(1)).as("n_docs")),
+      Some("""WITH t AS (
+             |  SELECT doc_id,
+             |    text || ' Contact user' || doc_id::VARCHAR
+             |         || '@mail.example.com or +1 (555) 010-'
+             |         || lpad((doc_id % 10000)::VARCHAR, 4, '0')
+             |         || ' from 10.0.' || (doc_id % 256)::VARCHAR
+             |         || '.7, card 4111 1111 1111 1111.' AS t
+             |  FROM documents),
+             |staged AS (
+             |  SELECT t,
+             |    regexp_replace(t, '\b(?:\d[ -]?){12,15}\d\b', '[CARD]', 'g') AS after_cards
+             |  FROM t),
+             |staged2 AS (
+             |  SELECT t, after_cards,
+             |    regexp_replace(after_cards, '\b(?:\d{1,3}\.){3}\d{1,3}\b', '[IP]', 'g') AS after_ips
+             |  FROM staged)
+             |SELECT
+             |  CAST(sum(length(regexp_extract_all(t, '\b(?:\d[ -]?){12,15}\d\b'))) AS BIGINT) AS cards,
+             |  CAST(sum(length(regexp_extract_all(after_cards, '\b(?:\d{1,3}\.){3}\d{1,3}\b'))) AS BIGINT) AS ips,
+             |  CAST(sum(length(regexp_extract_all(after_ips, '\+?\d[\d().\s-]{6,}\d'))) AS BIGINT) AS phones,
+             |  CAST(sum(length(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))) AS BIGINT) AS emails,
+             |  CAST(sum(length(regexp_extract_all(t, 'https?://[^\s]+'))) AS BIGINT) AS urls,
+             |  count(*) AS n_docs
+             |FROM staged2""".stripMargin)),
+
+    // Keyed pseudonymization survives joins/group-bys: per-customer order
+    // counts keyed by the anonymized name match the cleartext grouping
+    "gov_pseudonymize" -> Q(
+      (s, d) => T(s, d, "orders")
+        .join(T(s, d, "customer"),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy(graft.text.Governance.pseudonymize(col("c_name"), "k1").as("p"))
+        .agg(count(lit(1)).as("n_orders"))
+        .orderBy(col("n_orders").desc, col("p"))
+        .limit(20),
+      Some("""SELECT substr(md5('k1|' || c_name), 1, 16) AS p, count(*) AS n_orders
+             |FROM orders JOIN customer ON o_custkey = c_custkey
+             |GROUP BY 1 ORDER BY n_orders DESC, p LIMIT 20""".stripMargin)),
+
     "ta_scrub" -> Q(
       (s, d) => T(s, d, "documents")
         .filter(col("doc_id") < 200)

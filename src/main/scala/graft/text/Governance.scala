@@ -1,0 +1,76 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Data-governance operators for training corpora: PII redaction beyond the
+ * email/URL scrub in [[TextAnalysis]], a one-pass PII profile, and keyed
+ * deterministic pseudonymization.
+ *
+ * All patterns stay in the RE2-safe regex subset (no backreferences, no
+ * lookaround) so the same pattern runs identically in Spark
+ * (java.util.regex) and DuckDB (RE2) — which is what makes the hash oracles
+ * possible. Everything is a scalar projection: redaction and
+ * pseudonymization ride the scan with zero shuffles and compose with
+ * partition pruning, exactly like `Curation.weightedMix`.
+ */
+object Governance {
+
+  // Order matters in the chain: cards before IPs before phones — the
+  // looser phone pattern would otherwise swallow dotted IPs and spaced
+  // card runs.
+  private[text] val CardRe = "\\b(?:\\d[ -]?){12,15}\\d\\b"
+  private[text] val Ipv4Re = "\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b"
+  private[text] val PhoneRe = "\\+?\\d[\\d().\\s-]{6,}\\d"
+
+  /** Replace 13–16 digit card-like runs (optional space/dash separators). */
+  def redactCardLike(text: Column, token: String = "[CARD]"): Column =
+    regexp_replace(text, CardRe, token)
+
+  /** Replace dotted-quad IPv4 literals. */
+  def redactIpv4(text: Column, token: String = "[IP]"): Column =
+    regexp_replace(text, Ipv4Re, token)
+
+  /** Replace phone-like digit runs (8+ chars of digits/().-/space). */
+  def redactPhones(text: Column, token: String = "[PHONE]"): Column =
+    regexp_replace(text, PhoneRe, token)
+
+  /** The full PII chain: cards → IPs → phones → emails → URLs. */
+  def redactPii(text: Column): Column =
+    TextAnalysis.redactUrls(TextAnalysis.redactEmails(
+      redactPhones(redactIpv4(redactCardLike(text)))))
+
+  /**
+   * Per-row PII hit counts, one projection (no shuffle): how much of each
+   * class a document leaks. Counts follow the CHAIN's priority — each class
+   * is counted on text with the higher-priority classes already redacted
+   * (the loose phone pattern would otherwise also count every card run and
+   * IP), so each count equals the number of tokens [[redactPii]] inserts
+   * for that class. Feed to quarantine gates ("drop any doc with a card
+   * number") or corpus-level rollups.
+   */
+  def piiProfile(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val afterCards = redactCardLike(col(textCol))
+    val afterIps = redactIpv4(afterCards)
+    df.select(col(idCol),
+      regexp_count(col(textCol), lit(CardRe)).as("n_cards"),
+      regexp_count(afterCards, lit(Ipv4Re)).as("n_ips"),
+      regexp_count(afterIps, lit(PhoneRe)).as("n_phones"),
+      regexp_count(col(textCol),
+        lit("[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}")).as("n_emails"),
+      regexp_count(col(textCol), lit("https?://[^\\s]+")).as("n_urls"))
+  }
+
+  /**
+   * Keyed deterministic pseudonymization: value → first 16 hex chars of
+   * md5(key|value). The same (key, value) always maps to the same token, so
+   * joins and group-bys survive anonymization (referential integrity), while
+   * reversing requires the key and a dictionary attack. Portable: DuckDB
+   * computes the identical token (`substr(md5(key || '|' || v), 1, 16)`),
+   * which is also the oracle. Rotate `key` to unlink releases.
+   */
+  def pseudonymize(value: Column, key: String): Column =
+    when(value.isNull, lit(null))
+      .otherwise(substring(md5(concat(lit(key + "|"), value.cast("string"))), 1, 16))
+}

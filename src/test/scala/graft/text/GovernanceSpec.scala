@@ -1,0 +1,61 @@
+package graft.text
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** PII redaction chain order, profile counts, keyed pseudonymization. */
+class GovernanceSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val leaky =
+    "Call +1 (555) 010-4242 or mail bob@corp.example.com; " +
+      "server 192.168.7.12, card 4111 1111 1111 1111, see https://x.example/a?b=1 end"
+
+  test("redactPii removes every class; chain order protects IPs from the phone regex") {
+    val out = Seq(leaky).toDF("t")
+      .select(Governance.redactPii(col("t")).as("r")).as[String].head()
+    assert(out == "Call [PHONE] or mail [EMAIL]; server [IP], card [CARD], see [URL] end",
+      s"got: $out")
+    // the dotted quad must be [IP], not a half-eaten [PHONE]
+    assert(!out.contains("[PHONE]."))
+  }
+
+  test("piiProfile counts each class per row in one projection") {
+    val rows = Seq(
+      (1L, leaky),
+      (2L, "clean text, nothing to see"),
+      (3L, "two mails: a@b.example and c@d.example")).toDF("id", "t")
+    val p = Governance.piiProfile(rows, "id", "t")
+      .orderBy("id")
+      .as[(Long, Int, Int, Int, Int, Int)].collect().toSeq
+    assert(p == Seq(
+      (1L, 1, 1, 1, 1, 1),
+      (2L, 0, 0, 0, 0, 0),
+      (3L, 0, 0, 0, 2, 0)))
+    assert(!p.head.productIterator.exists(_ == null))
+  }
+
+  test("pseudonymize is deterministic, key-rotating, null-safe, join-preserving") {
+    val names = Seq(Some("alice"), Some("bob"), Some("alice"), None).toDF("name")
+    val t1 = names.select(Governance.pseudonymize(col("name"), "k1").as("p"))
+      .as[Option[String]].collect().toSeq
+    val t2 = names.select(Governance.pseudonymize(col("name"), "k1").as("p"))
+      .as[Option[String]].collect().toSeq
+    val rot = names.select(Governance.pseudonymize(col("name"), "k2").as("p"))
+      .as[Option[String]].collect().toSeq
+    assert(t1 == t2)                       // pure function of (key, value)
+    assert(t1.head == t1(2))               // same value → same token (joins survive)
+    assert(t1.head != t1(1))               // distinct values stay distinct
+    assert(t1 != rot)                      // key rotation unlinks
+    assert(t1(3).isEmpty)                  // null in → null out
+    assert(t1.flatten.forall(_.length == 16))
+    // group-by cardinality is preserved through anonymization
+    val before = names.filter(col("name").isNotNull).select("name").distinct().count()
+    val after = names.filter(col("name").isNotNull)
+      .select(Governance.pseudonymize(col("name"), "k1").as("p")).distinct().count()
+    assert(before == after)
+  }
+}
