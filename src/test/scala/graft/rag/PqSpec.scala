@@ -74,6 +74,26 @@ class PqSpec extends AnyFunSuite {
     assert(recall >= 0.7, s"PQ recall@10 too low: $recall (pq=$pq brute=$brute)")
   }
 
+  test("IVF cell-prune composes with PQ ADC + rerank (the staged funnel)") {
+    val ivf = Ivf.train(emb, "vec_id", "embedding", nCells = 8, sampleCap = 256)
+    val pq = Pq.train(emb, "vec_id", "embedding", m = 16, ks = 32, sampleCap = 512)
+    val indexed = Pq.withCodes(Ivf.withCell(emb, "embedding", ivf), "embedding", pq)
+    // stage 1: probe 6 of 8 cells; stage 2+3: ADC rank + exact rerank
+    val probes = ivf.probesFor(q, nProbe = 6)
+    val pruned = indexed.filter(col("cell").isin(probes: _*))
+    val got = Pq.pqKnn(pruned, "vec_id", "embedding", q, pq, k = 10, rerank = 50)
+      .select("vec_id").as[Long].collect().toSet
+    val brute = Rag.knn(emb, "vec_id", "embedding", q, k = 10, minScore = -1.0)
+      .select("vec_id").as[Long].collect().toSet
+    val recall = (got & brute).size / 10.0
+    assert(recall >= 0.6, s"IVF∘PQ recall@10: $recall (got=$got brute=$brute)")
+    // exhaustive probes + corpus rerank collapse to exact brute force
+    val exact = Pq.pqKnn(indexed, "vec_id", "embedding", q, pq,
+        k = 10, rerank = emb.count().toInt)
+      .select("vec_id").as[Long].collect().toSet
+    assert(exact == brute)
+  }
+
   test("the ADC scan never reads the float vector column") {
     val model = Pq.train(emb, "vec_id", "embedding", m = 4, ks = 8, sampleCap = 256)
     // codes-only table, as written at index time
