@@ -167,9 +167,12 @@ object Curation {
    * accuracy — the shape (one pass, tiny driver result) is unchanged.
    */
   def percentileCutpoints(df: DataFrame, score: Column, n: Int): Seq[Double] = {
+    require(n >= 2, s"need at least 2 bins, got $n")
     val pcts = array((1 until n).map(i => lit(i.toDouble / n)): _*)
-    df.agg(percentile(score.cast("double"), pcts).as("cuts"))
-      .head().getSeq[Double](0)
+    val row = df.agg(percentile(score.cast("double"), pcts).as("cuts")).head()
+    require(!row.isNullAt(0),
+      "percentileCutpoints: no non-null scores to compute cutpoints from")
+    row.getSeq[Double](0)
   }
 
   /**

@@ -51,15 +51,18 @@ object Governance {
    * number") or corpus-level rollups.
    */
   def piiProfile(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val afterCards = redactCardLike(col(textCol))
+    // null text profiles as zero hits, not a null row (a quarantine gate
+    // reading `n_cards > 0` must not three-value-logic its way past a null)
+    val t = coalesce(col(textCol), lit(""))
+    val afterCards = redactCardLike(t)
     val afterIps = redactIpv4(afterCards)
     df.select(col(idCol),
-      regexp_count(col(textCol), lit(CardRe)).as("n_cards"),
+      regexp_count(t, lit(CardRe)).as("n_cards"),
       regexp_count(afterCards, lit(Ipv4Re)).as("n_ips"),
       regexp_count(afterIps, lit(PhoneRe)).as("n_phones"),
-      regexp_count(col(textCol),
+      regexp_count(t,
         lit("[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}")).as("n_emails"),
-      regexp_count(col(textCol), lit("https?://[^\\s]+")).as("n_urls"))
+      regexp_count(t, lit("https?://[^\\s]+")).as("n_urls"))
   }
 
   /**

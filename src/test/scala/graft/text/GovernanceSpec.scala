@@ -27,14 +27,16 @@ class GovernanceSpec extends AnyFunSuite {
     val rows = Seq(
       (1L, leaky),
       (2L, "clean text, nothing to see"),
-      (3L, "two mails: a@b.example and c@d.example")).toDF("id", "t")
+      (3L, "two mails: a@b.example and c@d.example"),
+      (4L, null.asInstanceOf[String])).toDF("id", "t")
     val p = Governance.piiProfile(rows, "id", "t")
       .orderBy("id")
       .as[(Long, Int, Int, Int, Int, Int)].collect().toSeq
     assert(p == Seq(
       (1L, 1, 1, 1, 1, 1),
       (2L, 0, 0, 0, 0, 0),
-      (3L, 0, 0, 0, 2, 0)))
+      (3L, 0, 0, 0, 2, 0),
+      (4L, 0, 0, 0, 0, 0))) // null text profiles as zero hits, never null
     assert(!p.head.productIterator.exists(_ == null))
   }
 
