@@ -2894,6 +2894,20 @@ object SparkEntry {
              |FROM orders JOIN customer ON o_custkey = c_custkey
              |GROUP BY 1 ORDER BY n_orders DESC, p LIMIT 20""".stripMargin)),
 
+    // BPE tokenizer training: distributed word-freq pass + deterministic
+    // driver merge loop. No SQL oracle (iterative merge state) → rows-only;
+    // the merge rules are corpus-deterministic, pinned in BpeSpec.
+    "ta_bpe_train" -> Q(
+      (s, d) => {
+        val model = graft.text.Bpe.train(T(s, d, "documents"), "text", numMerges = 30)
+        import s.implicits._
+        model.merges.zipWithIndex
+          .map { case ((a, b), r) => (r, a, b) }
+          .toDF("rank", "left", "right")
+          .orderBy(col("rank"))
+      },
+      None),
+
     "ta_scrub" -> Q(
       (s, d) => T(s, d, "documents")
         .filter(col("doc_id") < 200)
