@@ -145,6 +145,29 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("gov_pseudonymize: the dimension side broadcasts into the fact scan") {
+    val p = planOf("gov_pseudonymize")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(p.contains("TakeOrderedAndProject"), p) // top-20 never global-sorts
+  }
+
+  test("cu_cm_topk: bounded sides broadcast — the corpus never builds a hash table") {
+    val p = planOf("cu_cm_topk")
+    // sketch (O(depth*width)) joins candidates via broadcast, and the
+    // selected top-k broadcasts into the exact-count semi join
+    assert("BroadcastHashJoin \\[[^\\]]*\\], \\[[^\\]]*\\], LeftSemi".r
+      .findFirstIn(p).isDefined, p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("cu_cutpoint_bins: binning fuses into the scan stage (single exchange for the rollup)") {
+    val p = planOf("cu_cutpoint_bins")
+    // one exchange for the bin rollup; the bin expression itself adds none
+    assert(p.linesIterator.count(_.trim.startsWith("Exchange")) <= 2, p)
+    assert(!p.contains("Window"), p) // no ntile global sort on the scale path
+  }
+
   test("v3_knn_cosine: scan → cosine → TakeOrderedAndProject, codegen'd hot loop") {
     val df = SparkEntry.queries("v3_knn_cosine")(spark, sf)
     assert(df.queryExecution.executedPlan.toString.contains("TakeOrderedAndProject"))
