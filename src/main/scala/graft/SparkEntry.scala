@@ -1699,6 +1699,38 @@ object SparkEntry {
              |      FROM documents, c)
              |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // Per-source quota caps (fixed-count companion to the rate-based mix):
+    // portable md5 hash order, so DuckDB reproduces the exact sample
+    "cu_quota_sample" -> Q(
+      (s, d) => graft.ops.Curation.quotaSample(
+          T(s, d, "documents"), "doc_id", "source", quota = 25)
+        .select(col("doc_id"), col("source"))
+        .orderBy(col("doc_id")),
+      Some("""SELECT doc_id, source FROM (
+             |  SELECT doc_id, source,
+             |    row_number() OVER (PARTITION BY source
+             |      ORDER BY md5('quota|' || doc_id::VARCHAR), doc_id) AS rk
+             |  FROM documents) t
+             |WHERE rk <= 25 ORDER BY doc_id""".stripMargin)),
+
+    // Deterministic corpus shuffle (epoch ordering): head of the permutation
+    // with its position — the position is what makes order hash-checkable
+    "cu_corpus_shuffle" -> Q(
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .orderBy(md5(concat(lit("shuffle|"), col("doc_id").cast("string"))).asc,
+            col("doc_id").asc)
+        T(s, d, "documents")
+          .select(col("doc_id"), row_number().over(w).as("pos"))
+          .filter(col("pos") <= 100)
+          .orderBy(col("pos"))
+      },
+      Some("""SELECT doc_id, pos FROM (
+             |  SELECT doc_id, row_number() OVER (
+             |    ORDER BY md5('shuffle|' || doc_id::VARCHAR), doc_id) AS pos
+             |  FROM documents) t
+             |WHERE pos <= 100 ORDER BY pos""".stripMargin)),
+
     "cu_quality_bins" -> Q(
       (s, d) => graft.ops.Curation.quantileBins(
           T(s, d, "documents"), "doc_id", col("n_chars"), n = 10)

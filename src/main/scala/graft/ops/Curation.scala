@@ -160,6 +160,38 @@ object Curation {
   }
 
   /**
+   * Per-source QUOTA sampling: keep exactly min(quota, |source|) rows per
+   * source, chosen by portable hash order — the fixed-COUNT companion to
+   * [[weightedMix]]'s fixed-RATE Bernoulli ("at most 1M docs per domain").
+   * Deterministic and stable under corpus growth: a doc's hash never
+   * changes, so adding new docs can only displace the largest-hash
+   * survivors, never reshuffle the whole sample. Plans as rank ≤ k over a
+   * per-source window, which Spark 4 executes with partial+final
+   * WindowGroupLimit — each map task forwards at most `quota` rows per
+   * source, so the shuffle carries O(sources · quota), not the corpus.
+   */
+  def quotaSample(df: DataFrame, idCol: String, sourceCol: String, quota: Int,
+                  salt: String = "quota"): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(sourceCol))
+      .orderBy(md5(concat(lit(salt + "|"), col(idCol).cast("string"))).asc,
+        col(idCol).asc)
+    df.withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= quota)
+      .drop("__rk")
+  }
+
+  /**
+   * Deterministic corpus shuffle: a distributed range-partitioned sort by
+   * portable row hash — the "random but reproducible" global ordering a
+   * training run wants for its data loader. Same salt → identical order on
+   * any engine or cluster layout; rotate the salt per epoch.
+   */
+  def corpusShuffle(df: DataFrame, idCol: String, salt: String = "shuffle"): DataFrame =
+    df.orderBy(md5(concat(lit(salt + "|"), col(idCol).cast("string"))).asc,
+      col(idCol).asc)
+
+  /**
    * Interior quantile cutpoints i/n (i = 1..n-1) of `score`: exact
    * interpolated percentiles (same semantics as DuckDB `quantile_cont`),
    * one aggregation pass, collected as n-1 doubles on the driver. At

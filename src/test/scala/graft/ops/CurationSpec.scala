@@ -115,6 +115,41 @@ class CurationSpec extends AnyFunSuite {
     assert(est.collect().head.getLong(1) == 0L)
   }
 
+  test("quotaSample keeps exactly min(quota, |source|) per source, stable under growth") {
+    val docs = ((1L to 40L).map(i => (i, "web")) ++ (41L to 45L).map(i => (i, "books")))
+      .toDF("id", "source")
+    val kept = Curation.quotaSample(docs, "id", "source", quota = 10)
+      .groupBy("source").count().as[(String, Long)].collect().toMap
+    assert(kept == Map("web" -> 10L, "books" -> 5L)) // quota caps, small groups intact
+    // deterministic + idempotent
+    val ids1 = Curation.quotaSample(docs, "id", "source", 10).select("id").as[Long].collect().toSet
+    val ids2 = Curation.quotaSample(docs, "id", "source", 10).select("id").as[Long].collect().toSet
+    assert(ids1 == ids2)
+    // growth stability: adding docs never evicts a survivor whose hash rank
+    // stayed within quota — the old sample is a superset test: survivors of
+    // the grown corpus that existed before must be survivors of the old one
+    val grown = docs.union(Seq((100L, "web"), (101L, "web")).toDF("id", "source"))
+    val idsGrown = Curation.quotaSample(grown, "id", "source", 10)
+      .select("id").as[Long].collect().toSet
+    assert((idsGrown -- Set(100L, 101L)).subsetOf(ids1))
+    // the plan must group-limit before the shuffle (partial WindowGroupLimit)
+    val plan = Curation.quotaSample(docs, "id", "source", 10)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), plan)
+  }
+
+  test("corpusShuffle: same salt → identical order; different salt → different order") {
+    val docs = (1L to 200L).toDF("id")
+    val o1 = Curation.corpusShuffle(docs, "id").select("id").as[Long].collect().toSeq
+    val o2 = Curation.corpusShuffle(docs, "id").select("id").as[Long].collect().toSeq
+    val o3 = Curation.corpusShuffle(docs, "id", salt = "epoch2")
+      .select("id").as[Long].collect().toSeq
+    assert(o1 == o2)
+    assert(o1 != o3)
+    assert(o1.sorted == (1L to 200L)) // a permutation, nothing lost
+    assert(o1 != (1L to 200L).toSeq)  // and actually shuffled
+  }
+
   test("binByCutpoints agrees with ntile on unique scores, zero shuffles") {
     val docs = (1L to 100L).map(i => (i, (i * 37) % 101)).toDF("id", "score")
     val cuts = Curation.percentileCutpoints(docs, col("score"), n = 10)
