@@ -1699,6 +1699,40 @@ object SparkEntry {
              |      FROM documents, c)
              |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // Crawl curation: subdomain-aware domain blocklist as equi joins over
+    // the suffix chain. URLs synthesized deterministically from doc_id
+    // (identical in both engines); the oracle uses the naive LIKE-suffix
+    // form — same semantics, nested-loop shape we deliberately avoid
+    "web_domain_block" -> Q(
+      (s, d) => {
+        import s.implicits._
+        val docs = T(s, d, "documents").select(col("doc_id"),
+          concat(lit("https://"),
+            when(pmod(col("doc_id"), lit(3)) === 0, lit("cdn.")).otherwise(lit("")),
+            lit("d"), pmod(col("doc_id"), lit(40)).cast("string"),
+            lit(".example.com/p/"), col("doc_id").cast("string")).as("url"))
+        val blocklist = Seq("d1.example.com", "d7.example.com",
+          "d13.example.com", "d28.example.com").toDF("domain")
+        graft.ops.Web.blockByDomain(docs, "doc_id", col("url"), blocklist)
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH u AS (
+             |  SELECT doc_id,
+             |    'https://' || CASE WHEN doc_id % 3 = 0 THEN 'cdn.' ELSE '' END
+             |      || 'd' || (doc_id % 40)::VARCHAR || '.example.com/p/'
+             |      || doc_id::VARCHAR AS url
+             |  FROM documents),
+             |b(domain) AS (VALUES ('d1.example.com'), ('d7.example.com'),
+             |                     ('d13.example.com'), ('d28.example.com')),
+             |d AS (SELECT doc_id, url,
+             |        lower(regexp_extract(url,
+             |          '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/:?#]+)', 1)) AS dom
+             |      FROM u)
+             |SELECT doc_id, url FROM d
+             |WHERE NOT EXISTS (SELECT 1 FROM b
+             |                  WHERE dom = b.domain OR dom LIKE '%.' || b.domain)
+             |ORDER BY doc_id""".stripMargin)),
+
     // Per-source quota caps (fixed-count companion to the rate-based mix):
     // portable md5 hash order, so DuckDB reproduces the exact sample
     "cu_quota_sample" -> Q(
