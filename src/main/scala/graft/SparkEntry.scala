@@ -2960,6 +2960,31 @@ object SparkEntry {
              |FROM orders JOIN customer ON o_custkey = c_custkey
              |GROUP BY 1 ORDER BY n_orders DESC, p LIMIT 20""".stripMargin)),
 
+    // BM25 keyword retrieval over documents — the lexical twin of v3 knn.
+    // Scores round to 6 decimals BEFORE ranking in both engines, so
+    // double-sum jitter can't reorder the boundary
+    "ta_bm25_search" -> Q(
+      (s, d) => graft.text.Bm25.search(
+        T(s, d, "documents"), "doc_id", "text",
+        queryTerms = Seq("join", "vector", "shard"), k = 15),
+      Some("""WITH toks AS (
+             |  SELECT doc_id, unnest(list_filter(regexp_split_to_array(text, '\s+'),
+             |                                    t -> length(t) > 0)) AS tok
+             |  FROM documents),
+             |stats AS (SELECT doc_id, count(*) AS len FROM toks GROUP BY 1),
+             |corpus AS (SELECT count(*) AS n_docs, avg(len) AS avg_len FROM stats),
+             |tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks
+             |       WHERE tok IN ('join', 'vector', 'shard') GROUP BY 1, 2),
+             |dfreq AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
+             |scores AS (
+             |  SELECT doc_id,
+             |    sum(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+             |        * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * len / avg_len))) AS s
+             |  FROM tf JOIN dfreq USING (tok) JOIN stats USING (doc_id), corpus
+             |  GROUP BY doc_id)
+             |SELECT doc_id, round(s, 6) AS score FROM scores
+             |ORDER BY score DESC, doc_id LIMIT 15""".stripMargin)),
+
     // BPE tokenizer training: distributed word-freq pass + deterministic
     // driver merge loop. No SQL oracle (iterative merge state) → rows-only;
     // the merge rules are corpus-deterministic, pinned in BpeSpec.
