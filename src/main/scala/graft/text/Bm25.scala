@@ -10,17 +10,19 @@ import org.apache.spark.sql.functions._
  * tf-saturation and length normalization.
  *
  * Scale design:
- *  - The postings pass filters tokens to the QUERY terms before any
- *    aggregation — the expensive explode feeds a `isin(query)` filter
- *    that drops ~all tokens at the scan stage, so the per-(doc, term)
- *    groupBy aggregates only matching postings, never the corpus
- *    vocabulary.
- *  - Document lengths + corpus stats are one aggregation (at write time a
- *    real index materializes `doc_len` once; here it is a second pass over
- *    the text column).
- *  - df/idf are computed on the tiny query-term posting set, joined back
- *    by term (|query| rows — broadcast by construction), and the final
- *    top-k is TakeOrderedAndProject.
+ *  - Document length is `size(tokens)` — computed per-row inside the scan
+ *    projection, never by exploding and re-grouping the token stream. The
+ *    corpus-stats aggregate then reduces one (len) row per document to a
+ *    single row map-side.
+ *  - The token ARRAY is filtered to the query terms BEFORE the explode
+ *    (`filter(toks, t.isin(query))`), so the generator emits only matching
+ *    postings — the per-(doc, term) groupBy shuffles |hits| rows, never
+ *    the corpus token stream, and docs with no hit are dropped pre-explode.
+ *  - Per-term document frequencies ride in the SAME one-row corpus-stats
+ *    aggregate (conditional sums over `array_contains` — query terms are
+ *    literals), so idf needs no vocabulary shuffle and no join: the stats
+ *    row broadcasts and df is a map lookup. The final top-k is
+ *    TakeOrderedAndProject.
  *  - Scores are rounded BEFORE ranking so cross-engine double-sum jitter
  *    (~1 ulp) cannot reorder the boundary — ties break by doc id.
  */
@@ -34,20 +36,34 @@ object Bm25 {
   def search(df: DataFrame, idCol: String, textCol: String,
              queryTerms: Seq[String], k: Int,
              k1: Double = 1.2, b: Double = 0.75): DataFrame = {
-    val toks = df.select(col(idCol),
-      explode(TextAnalysis.tokens(col(textCol))).as("tok"))
+    val withLen = df.select(col(idCol),
+      TextAnalysis.tokens(col(textCol)).as("toks"))
+      .withColumn("len", size(col("toks")))
 
-    val docLen = toks.groupBy(col(idCol)).agg(count(lit(1)).as("len"))
-    val corpus = docLen.agg(count(lit(1)).as("n_docs"),
-      avg(col("len")).as("avg_len"))
+    // Corpus stats AND per-term document frequencies in ONE map-side
+    // aggregate: query terms are literals, so df(t) is a conditional sum
+    // over array_contains — no vocabulary-wide shuffle, no df join. The
+    // result is a single broadcast row.
+    val dfCols = queryTerms.zipWithIndex.map { case (t, i) =>
+      sum(when(array_contains(col("toks"), t), 1L).otherwise(0L)).as(s"df_$i")
+    }
+    val corpus = withLen.agg(count(lit(1)).as("n_docs"),
+      avg(col("len")).as("avg_len") +: dfCols: _*)
+    val dfByTerm = map(queryTerms.zipWithIndex.flatMap { case (t, i) =>
+      Seq(lit(t), col(s"df_$i"))
+    }: _*)
 
-    val tf = toks.filter(col("tok").isin(queryTerms: _*))
-      .groupBy(col(idCol), col("tok")).agg(count(lit(1)).as("tf"))
-    val dfreq = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    // Prune to matching postings BEFORE the generator runs: docs with no
+    // hit never explode, and the explode emits only query-term tokens.
+    val tf = withLen
+      .withColumn("hits", filter(col("toks"), t => t.isin(queryTerms: _*)))
+      .filter(size(col("hits")) > 0)
+      .select(col(idCol), col("len"), explode(col("hits")).as("tok"))
+      .groupBy(col(idCol), col("tok"))
+      .agg(count(lit(1)).as("tf"), first(col("len")).as("len"))
 
-    tf.join(broadcast(dfreq), Seq("tok"))
-      .join(docLen, Seq(idCol))
-      .crossJoin(broadcast(corpus))
+    tf.crossJoin(broadcast(corpus))
+      .withColumn("df", element_at(dfByTerm, col("tok")))
       .withColumn("contrib",
         log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0) *
           (col("tf") * (k1 + 1.0)) /

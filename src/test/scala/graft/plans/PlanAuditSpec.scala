@@ -168,6 +168,20 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("Window"), p) // no ntile global sort on the scale path
   }
 
+  test("ta_bm25_search: postings pruned pre-explode, no corpus-wide token shuffle") {
+    val p = planOf("ta_bm25_search")
+    // the single Generate must explode the query-filtered `hits` array —
+    // never the full token array
+    val gen = p.linesIterator.filter(_.contains("Generate explode")).toSeq
+    assert(gen.size == 1 && gen.head.contains("hits"), p)
+    // doc length is size(tokens) in the scan projection and df rides in the
+    // one-row corpus aggregate, so the only exchanges are the (doc, term)
+    // postings agg, the final per-doc agg, and the stats SinglePartition
+    assert(p.linesIterator.count(_.trim.startsWith("Exchange")) <= 3, p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("SortMergeJoin"), p) // corpus stats row broadcasts
+  }
+
   test("v3_knn_cosine: scan → cosine → TakeOrderedAndProject, codegen'd hot loop") {
     val df = SparkEntry.queries("v3_knn_cosine")(spark, sf)
     assert(df.queryExecution.executedPlan.toString.contains("TakeOrderedAndProject"))
