@@ -2985,6 +2985,43 @@ object SparkEntry {
              |SELECT doc_id, round(s, 6) AS score FROM scores
              |ORDER BY score DESC, doc_id LIMIT 15""".stripMargin)),
 
+    // Index-backed BM25: build the bucket-partitioned inverted index, then
+    // answer the same query reading ONLY the query terms' partitions.
+    // Bit-identical to the direct path → same oracle SQL
+    "ta_bm25_index" -> Q(
+      (s, d) => {
+        val root = java.nio.file.Files.createTempDirectory("graft-bm25")
+        sys.addShutdownHook {
+          def rm(p: java.nio.file.Path): Unit = {
+            if (java.nio.file.Files.isDirectory(p))
+              java.nio.file.Files.list(p).forEach(rm(_))
+            java.nio.file.Files.deleteIfExists(p)
+          }
+          rm(root)
+        }
+        graft.text.Bm25.buildIndex(T(s, d, "documents"), "doc_id", "text",
+          root.toString + "/idx")
+        graft.text.Bm25.searchIndex(s, root.toString + "/idx",
+          queryTerms = Seq("join", "vector", "shard"), k = 15)
+      },
+      Some("""WITH toks AS (
+             |  SELECT doc_id, unnest(list_filter(regexp_split_to_array(text, '\s+'),
+             |                                    t -> length(t) > 0)) AS tok
+             |  FROM documents),
+             |stats AS (SELECT doc_id, count(*) AS len FROM toks GROUP BY 1),
+             |corpus AS (SELECT count(*) AS n_docs, avg(len) AS avg_len FROM stats),
+             |tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks
+             |       WHERE tok IN ('join', 'vector', 'shard') GROUP BY 1, 2),
+             |dfreq AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
+             |scores AS (
+             |  SELECT doc_id,
+             |    sum(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+             |        * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * len / avg_len))) AS s
+             |  FROM tf JOIN dfreq USING (tok) JOIN stats USING (doc_id), corpus
+             |  GROUP BY doc_id)
+             |SELECT doc_id, round(s, 6) AS score FROM scores
+             |ORDER BY score DESC, doc_id LIMIT 15""".stripMargin)),
+
     // BPE tokenizer training: distributed word-freq pass + deterministic
     // driver merge loop. No SQL oracle (iterative merge state) → rows-only;
     // the merge rules are corpus-deterministic, pinned in BpeSpec.

@@ -1,6 +1,6 @@
 package graft.text
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
 
 /**
@@ -71,6 +71,74 @@ object Bm25 {
       .groupBy(col(idCol))
       .agg(round(sum(col("contrib")), 6).as("score"))
       .orderBy(col("score").desc, col(idCol))
+      .limit(k)
+  }
+
+  /**
+   * Materialize an inverted index at `base` — the design a 100 TB corpus
+   * actually needs: tokenize ONCE at write time, then every query reads
+   * only its own terms' postings.
+   *
+   *  - `postings/` is partitioned by `bucket = pmod(xxhash64(term), n)`,
+   *    so a query's terms map to a handful of partition directories and
+   *    the scan prunes everything else (plan-pinned `PartitionFilters`).
+   *  - Doc length is denormalized into each posting (impact-style), so
+   *    scoring never joins a doc-stats table.
+   *  - `stats/` holds one row (n_docs, avg_len, n_buckets) — the only
+   *    corpus-wide state a query needs.
+   *  - The postings write repartitions by bucket first so each task owns
+   *    whole buckets — without it every task writes a file into every
+   *    partition directory (the small-files trap).
+   */
+  def buildIndex(df: DataFrame, idCol: String, textCol: String,
+                 base: String, nBuckets: Int = 64): Unit = {
+    val withLen = df.select(col(idCol).as("doc_id"),
+      TextAnalysis.tokens(col(textCol)).as("toks"))
+      .withColumn("len", size(col("toks")))
+    withLen.agg(count(lit(1)).as("n_docs"), avg(col("len")).as("avg_len"),
+        lit(nBuckets).as("n_buckets"))
+      .write.mode("overwrite").parquet(s"$base/stats")
+    withLen.select(col("doc_id"), col("len"), explode(col("toks")).as("term"))
+      .groupBy(col("term"), col("doc_id"))
+      .agg(count(lit(1)).as("tf"), first(col("len")).as("len"))
+      .withColumn("bucket", pmod(xxhash64(col("term")), lit(nBuckets.toLong)).cast("int"))
+      .repartition(col("bucket"))
+      .write.mode("overwrite").partitionBy("bucket").parquet(s"$base/postings")
+  }
+
+  /**
+   * BM25 top-k over a [[buildIndex]] index. Reads ONLY the query terms'
+   * bucket partitions (+ a 1-row stats read); df per term is an exact
+   * count over the pruned postings, broadcast back. Scores match
+   * [[search]] bit-for-bit (same formula, same round-before-rank).
+   */
+  def searchIndex(spark: SparkSession, base: String,
+                  queryTerms: Seq[String], k: Int,
+                  k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val stats = spark.read.parquet(s"$base/stats").collect()(0)
+    val nDocs = stats.getAs[Long]("n_docs")
+    val avgLen = stats.getAs[Double]("avg_len")
+    val nBuckets = stats.getAs[Int]("n_buckets")
+
+    // Evaluate the terms' bucket ids with the same Catalyst xxhash64 the
+    // build used (|terms| local rows — a bounded query-time constant).
+    val buckets = spark.createDataset(queryTerms)(Encoders.STRING).toDF("term")
+      .select(pmod(xxhash64(col("term")), lit(nBuckets.toLong)).cast("int"))
+      .collect().map(_.getInt(0)).toSeq.distinct
+
+    val postings = spark.read.parquet(s"$base/postings")
+      .filter(col("bucket").isin(buckets: _*) &&
+        col("term").isin(queryTerms: _*))
+    val dfreq = postings.groupBy(col("term")).agg(count(lit(1)).as("df"))
+
+    postings.join(broadcast(dfreq), Seq("term"))
+      .withColumn("contrib",
+        log((lit(nDocs) - col("df") + 0.5) / (col("df") + 0.5) + 1.0) *
+          (col("tf") * (k1 + 1.0)) /
+          (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("len") / lit(avgLen))))
+      .groupBy(col("doc_id"))
+      .agg(round(sum(col("contrib")), 6).as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
       .limit(k)
   }
 }

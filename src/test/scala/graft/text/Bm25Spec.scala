@@ -48,6 +48,45 @@ class Bm25Spec extends AnyFunSuite {
     assert(r(4L) > r(5L))
   }
 
+  test("index-backed search matches the direct path bit-for-bit") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-bm25idx")
+    try {
+      Bm25.buildIndex(corpus, "doc_id", "text", dir.toString, nBuckets = 8)
+      val terms = Seq("spark", "engine")
+      val direct = Bm25.search(corpus, "doc_id", "text", terms, k = 10)
+        .as[(Long, Double)].collect().toSeq
+      val viaIdx = Bm25.searchIndex(spark, dir.toString, terms, k = 10)
+        .as[(Long, Double)].collect().toSeq
+      assert(viaIdx == direct)
+    } finally {
+      def rm(p: java.nio.file.Path): Unit = {
+        if (java.nio.file.Files.isDirectory(p))
+          java.nio.file.Files.list(p).forEach(rm(_))
+        java.nio.file.Files.deleteIfExists(p)
+      }
+      rm(dir)
+    }
+  }
+
+  test("index search reads only the query terms' bucket partitions") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-bm25idx2")
+    try {
+      Bm25.buildIndex(corpus, "doc_id", "text", dir.toString, nBuckets = 8)
+      val p = Bm25.searchIndex(spark, dir.toString, Seq("spark"), k = 10)
+        .queryExecution.executedPlan.toString
+      // the bucket predicate must land in PartitionFilters (pruned dirs),
+      // not in PushedFilters/post-scan Filter
+      assert("PartitionFilters: \\[[^\\]]*bucket#\\d+ (=|IN)".r.findFirstIn(p).isDefined, p)
+    } finally {
+      def rm(p: java.nio.file.Path): Unit = {
+        if (java.nio.file.Files.isDirectory(p))
+          java.nio.file.Files.list(p).forEach(rm(_))
+        java.nio.file.Files.deleteIfExists(p)
+      }
+      rm(dir)
+    }
+  }
+
   test("deterministic: repeated runs produce identical rounded scores") {
     val a = Bm25.search(corpus, "doc_id", "text", Seq("spark", "engine"), k = 10)
       .as[(Long, Double)].collect().toSeq
