@@ -3022,6 +3022,31 @@ object SparkEntry {
              |SELECT doc_id, round(s, 6) AS score FROM scores
              |ORDER BY score DESC, doc_id LIMIT 15""".stripMargin)),
 
+    // Token-budget sequence packing (concat-and-chunk): deterministic md5
+    // order, two-phase distributed running sum, pack = floor(start/budget).
+    // The oracle recomputes the same order and offsets with one global
+    // window — small-engine semantics, big-engine plan
+    "cu_pack_sequences" -> Q(
+      (s, d) => graft.ops.Curation.packSequences(
+        T(s, d, "documents").select(col("doc_id"),
+          graft.text.TextAnalysis.tokenCount(col("text")).as("n_tokens")),
+        "doc_id", "n_tokens", budget = 4096L),
+      Some("""WITH t AS (
+             |  SELECT doc_id,
+             |    CAST(len(list_filter(regexp_split_to_array(text, '\s+'),
+             |                         x -> length(x) > 0)) AS BIGINT) AS n_tokens,
+             |    md5(CAST(doc_id AS VARCHAR)) AS k
+             |  FROM documents),
+             |c AS (
+             |  SELECT doc_id, n_tokens,
+             |    CAST(sum(n_tokens) OVER (ORDER BY k, doc_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |      - n_tokens AS BIGINT) AS start_offset
+             |  FROM t)
+             |SELECT doc_id, n_tokens, start_offset,
+             |  CAST(floor(start_offset / 4096.0) AS BIGINT) AS pack_id
+             |FROM c""".stripMargin)),
+
     // BPE tokenizer training: distributed word-freq pass + deterministic
     // driver merge loop. No SQL oracle (iterative merge state) → rows-only;
     // the merge rules are corpus-deterministic, pinned in BpeSpec.

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /**
@@ -221,5 +222,50 @@ object Curation {
       acc + when(score.cast("double") > c, 1).otherwise(0)
     }
     df.withColumn("bin", bin)
+  }
+
+  /**
+   * Token-budget sequence packing: assign every document a `pack_id` so
+   * that concatenating docs in deterministic md5 order and cutting every
+   * `budget` tokens yields the training sequences ("concat-and-chunk").
+   * pack_id = floor(start_offset / budget) where start_offset is the
+   * doc's position in the concatenated token stream — a doc straddling a
+   * boundary belongs to the pack it starts in (overflow < its own
+   * length); docs longer than the budget should be chunked upstream
+   * ([[graft.expr.ChunkText]]).
+   *
+   * Scale design — the global running sum is TWO-PHASE, never a single
+   * unpartitioned window:
+   *  1. rows bucket by the first hex byte of their md5 order key, so
+   *     bucket order IS key order (fixed-width lowercase hex);
+   *  2. one tiny aggregate (≤256 rows) computes per-bucket totals, whose
+   *     prefix sum — the only unpartitioned window — runs over those
+   *     ≤256 rows and broadcasts back;
+   *  3. the per-row running sum windows WITHIN each bucket (distributed)
+   *     and adds the bucket's broadcast base offset.
+   * Output: (idCol, n_tokens, start_offset, pack_id).
+   */
+  def packSequences(df: DataFrame, idCol: String, nTokensCol: String,
+                    budget: Long, buckets: Int = 256): DataFrame = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    require(buckets >= 1 && buckets <= 256, "buckets must be in [1, 256]")
+    val hexChars = math.max(1, math.ceil(math.log(buckets.toDouble) / math.log(16)).toInt)
+    val keyed = df.select(col(idCol),
+      col(nTokensCol).cast("long").as("n_tokens"))
+      .withColumn("__k", md5(col(idCol).cast("string")))
+      .withColumn("__bkt", substring(col("__k"), 1, hexChars))
+    val base = keyed.groupBy(col("__bkt"))
+      .agg(sum(col("n_tokens")).as("__bt"))
+      .withColumn("__base", coalesce(
+        sum(col("__bt")).over(Window.orderBy("__bkt")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("__bkt"), col("__base"))
+    keyed.join(broadcast(base), Seq("__bkt"))
+      .withColumn("start_offset", col("__base") +
+        sum(col("n_tokens")).over(Window.partitionBy(col("__bkt"))
+          .orderBy(col("__k"), col(idCol))) - col("n_tokens"))
+      .withColumn("pack_id",
+        floor(col("start_offset") / lit(budget.toDouble)).cast("long"))
+      .select(col(idCol), col("n_tokens"), col("start_offset"), col("pack_id"))
   }
 }

@@ -150,6 +150,49 @@ class CurationSpec extends AnyFunSuite {
     assert(o1 != (1L to 200L).toSeq)  // and actually shuffled
   }
 
+  test("packSequences: offsets are a consistent concatenation, packs cut at the budget") {
+    val docs = (1L to 500L).map(i => (i, 1 + (i * 13 % 97))).toDF("id", "n_tokens")
+    val packed = Curation.packSequences(docs, "id", "n_tokens", budget = 512)
+      .orderBy("start_offset")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    // offsets tile the concatenated stream exactly: each start = prior end
+    val total = packed.map(_._2).sum
+    assert(packed.head._3 == 0L)
+    packed.sliding(2).foreach { case Seq((_, n, s, _), (_, _, s2, _)) =>
+      assert(s + n == s2)
+    }
+    assert(packed.last._3 + packed.last._2 == total)
+    // pack assignment is exactly floor(start/budget), so packs advance
+    // monotonically and no pack starts past its window
+    packed.foreach { case (_, _, s, p) => assert(p == s / 512) }
+  }
+
+  test("packSequences: two-phase running sum equals a naive global window") {
+    val docs = (1L to 300L).map(i => (i, 1 + (i * 7 % 31))).toDF("id", "n_tokens")
+    val twoPhase = Curation.packSequences(docs, "id", "n_tokens", budget = 128)
+      .select("id", "start_offset").as[(Long, Long)].collect().toMap
+    // naive single-window reference (what a small engine would do)
+    import org.apache.spark.sql.expressions.Window
+    val naive = docs
+      .withColumn("k", md5(col("id").cast("string")))
+      .withColumn("start_offset",
+        sum(col("n_tokens").cast("long")).over(Window.orderBy("k", "id"))
+          - col("n_tokens"))
+      .select("id", "start_offset").as[(Long, Long)].collect().toMap
+    assert(twoPhase == naive)
+  }
+
+  test("packSequences: no unpartitioned window over the corpus in the plan") {
+    val docs = (1L to 100L).map(i => (i, 5L)).toDF("id", "n_tokens")
+    val plan = Curation.packSequences(docs, "id", "n_tokens", budget = 64)
+      .queryExecution.optimizedPlan.toString
+    // every corpus-sized Window must carry a partitionSpec; the only
+    // global-order window is the ≤256-row bucket prefix sum
+    val windows = plan.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+    val unpartitioned = windows.filterNot(_.contains("__bkt#"))
+    assert(unpartitioned.forall(_.contains("__bt")), plan)
+  }
+
   test("binByCutpoints agrees with ntile on unique scores, zero shuffles") {
     val docs = (1L to 100L).map(i => (i, (i * 37) % 101)).toDF("id", "score")
     val cuts = Curation.percentileCutpoints(docs, col("score"), n = 10)
