@@ -3047,6 +3047,27 @@ object SparkEntry {
              |  CAST(floor(start_offset / 4096.0) AS BIGINT) AS pack_id
              |FROM c""".stripMargin)),
 
+    // TF-IDF keyword extraction: top-5 terms per doc, rounded-then-ranked
+    // so the window boundary is jitter-proof in both engines
+    "ta_keywords" -> Q(
+      (s, d) => graft.text.TextAnalysis.keywords(
+        T(s, d, "documents"), "doc_id", "text", k = 5),
+      Some("""WITH toks AS (
+             |  SELECT doc_id, unnest(list_filter(regexp_split_to_array(text, '\s+'),
+             |                                    t -> length(t) > 0)) AS term
+             |  FROM documents),
+             |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+             |wd AS (SELECT doc_id, term, tf,
+             |         count(*) OVER (PARTITION BY term) AS df FROM tf),
+             |n AS (SELECT count(*) AS n_docs FROM documents),
+             |s AS (SELECT doc_id, term,
+             |        round(tf * ln(n_docs / df), 6) AS score,
+             |        row_number() OVER (PARTITION BY doc_id
+             |          ORDER BY round(tf * ln(n_docs / df), 6) DESC, term) AS rank
+             |      FROM wd, n)
+             |SELECT doc_id, term, score, CAST(rank AS INT) AS rank
+             |FROM s WHERE rank <= 5""".stripMargin)),
+
     // BPE tokenizer training: distributed word-freq pass + deterministic
     // driver merge loop. No SQL oracle (iterative merge state) → rows-only;
     // the merge rules are corpus-deterministic, pinned in BpeSpec.

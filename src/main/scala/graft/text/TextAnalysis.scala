@@ -174,4 +174,30 @@ object TextAnalysis {
       round(coalesce(avgTokenLen(col(textCol)), lit(0.0)), 6).as("avg_token_len"),
       qualityScore(col(textCol), stopwords).as("quality"),
       fingerprint(col(textCol)).as("fingerprint"))
+
+  /**
+   * Top-k keywords per document by tf·idf (idf = ln(N/df), scores rounded
+   * to 6 decimals BEFORE ranking; ties break by term).
+   *
+   * Scale shape: ONE explode of the corpus feeding the (doc, term) tf
+   * aggregate; df is a `count over (partition by term)` window on that
+   * same postings set — one extra shuffle of the postings, but the corpus
+   * is never re-scanned or re-exploded for a df rollup join. N broadcasts
+   * as a 1-row aggregate, and the per-doc top-k is a rank-limit window
+   * (Spark 4 WindowGroupLimit prunes partials map-side).
+   */
+  def keywords(df: DataFrame, idCol: String, textCol: String,
+               k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val nDocs = df.agg(count(lit(1)).as("n_docs"))
+    val tf = df.select(col(idCol), explode(tokens(col(textCol))).as("term"))
+      .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    tf.withColumn("df", count(lit(1)).over(Window.partitionBy(col("term"))))
+      .crossJoin(broadcast(nDocs))
+      .withColumn("score", round(col("tf") * log(col("n_docs") / col("df")), 6))
+      .withColumn("rank", row_number().over(Window.partitionBy(col(idCol))
+        .orderBy(col("score").desc, col("term"))))
+      .filter(col("rank") <= k)
+      .select(col(idCol), col("term"), col("score"), col("rank"))
+  }
 }

@@ -124,4 +124,36 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(r(2L) == ((3, 3, 0.0, 1L)))
     assert(r(3L) == ((0, 0, 0.0, 0L)))
   }
+
+  test("keywords: rare terms out-rank ubiquitous ones; ubiquitous idf is zero") {
+    val docs = Seq(
+      (1L, "alpha alpha common unique"),
+      (2L, "beta common other"),
+      (3L, "gamma common words here")
+    ).toDF("doc_id", "text")
+    val kw = TextAnalysis.keywords(docs, "doc_id", "text", k = 2)
+      .as[(Long, String, Double, Int)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._4).map(_._2).toSeq).toMap
+    // 'common' is in every doc → idf 0 → never a top keyword when any
+    // doc-specific term exists
+    assert(!kw(1L).contains("common") && !kw(2L).contains("common"))
+    // doc 1: 'alpha' (tf 2, df 1) beats 'unique' (tf 1, df 1)
+    assert(kw(1L) == Seq("alpha", "unique"))
+    val scores = TextAnalysis.keywords(docs, "doc_id", "text", k = 10)
+      .filter($"term" === "common").select("score").as[Double].collect()
+    assert(scores.nonEmpty && scores.forall(_ == 0.0))
+  }
+
+  test("keywords: at most k per doc, rank is dense from 1, deterministic") {
+    val docs = (1L to 40L).map(i =>
+      (i, s"w${i % 7} w${i % 5} w${i % 3} filler filler t$i")).toDF("doc_id", "text")
+    val a = TextAnalysis.keywords(docs, "doc_id", "text", k = 3)
+      .as[(Long, String, Double, Int)].collect().toSeq.sorted
+    val b = TextAnalysis.keywords(docs, "doc_id", "text", k = 3)
+      .as[(Long, String, Double, Int)].collect().toSeq.sorted
+    assert(a == b)
+    val byDoc = a.groupBy(_._1)
+    assert(byDoc.values.forall(g => g.size <= 3 &&
+      g.map(_._4).sorted == (1 to g.size)))
+  }
 }
