@@ -1161,6 +1161,29 @@ object SparkEntry {
              |    count(*) FILTER (WHERE l_shipdate IS NULL)
              |  FROM lineitem) t ORDER BY rule""".stripMargin)),
 
+    // robust outliers: modified z-score 0.6745*(x-med)/MAD per event_type,
+    // z rounded before thresholding so the flag is boundary-stable
+    "dq_outliers" -> Q(
+      (s, d) => graft.quality.DataQuality.robustOutliers(
+          TestData.events(s, d), "event_type", "value", threshold = 3.5)
+        .select(col("event_id"), col("event_type"), col("value"),
+          col("robust_z"), col("is_outlier"), col("grp_median"), col("grp_mad")),
+      Some("""WITH med AS (
+             |  SELECT event_type, median(value) AS m FROM events GROUP BY 1),
+             |mad AS (
+             |  SELECT e.event_type, median(abs(e.value - med.m)) AS d
+             |  FROM events e JOIN med USING (event_type) GROUP BY 1),
+             |r AS (
+             |  SELECT e.event_id, e.event_type, e.value,
+             |    CASE WHEN mad.d <> 0
+             |         THEN round(0.6745 * (e.value - med.m) / mad.d, 6) END AS robust_z,
+             |    round(med.m, 6) AS grp_median, round(mad.d, 6) AS grp_mad
+             |  FROM events e JOIN med USING (event_type) JOIN mad USING (event_type))
+             |SELECT event_id, event_type, value, robust_z,
+             |  coalesce(abs(robust_z) > 3.5, false) AS is_outlier,
+             |  grp_median, grp_mad
+             |FROM r""".stripMargin)),
+
     // stratified sampling, engine-portable: per-stratum keep-fractions
     // applied via an md5-prefix threshold — the same rows survive in any
     // engine, no RNG state, no coordination; the rebalancing op of a

@@ -60,4 +60,31 @@ class DataQualitySpec extends AnyFunSuite {
     assert(q(4L) == Seq("label_non_blank"))
     assert(pass.columns.toSeq == batch.columns.toSeq) // tag column dropped
   }
+
+  test("robustOutliers flags the planted spike and nothing else") {
+    // group a: tight cluster around 10 plus one spike; group b: constant
+    val rows = (1L to 20L).map(i => (i, "a", 10.0 + (i % 5) * 0.1)) :+
+      (21L, "a", 500.0)
+    val const = (22L to 30L).map(i => (i, "b", 7.0))
+    val df = (rows ++ const).toDF("id", "grp", "v")
+    val out = DataQuality.robustOutliers(df, "grp", "v")
+      .select("id", "is_outlier").as[(Long, Boolean)].collect().toMap
+    assert(out(21L))                                   // the spike flags
+    assert((1L to 20L).forall(!out(_)))                // the cluster does not
+    // MAD = 0 (constant group): null z, never flagged
+    assert((22L to 30L).forall(!out(_)))
+    val z = DataQuality.robustOutliers(df, "grp", "v")
+      .filter($"grp" === "b").select("robust_z").collect()
+    assert(z.forall(_.isNullAt(0)))
+  }
+
+  test("robustOutliers: median/MAD resist the outlier a mean/stddev gate lets through") {
+    // one huge spike drags stddev so far that 3.5-sigma misses it only in
+    // the classical gate — the robust gate must still flag it
+    val df = ((1L to 30L).map(i => (i, "g", 100.0 + (i % 7))) :+
+      (31L, "g", 1e6)).toDF("id", "grp", "v")
+    val robust = DataQuality.robustOutliers(df, "grp", "v")
+      .filter($"is_outlier").select("id").as[Long].collect().toSet
+    assert(robust == Set(31L))
+  }
 }
