@@ -2639,6 +2639,35 @@ object SparkEntry {
              |      SELECT e.src, r.m FROM edges e JOIN r ON e.dst = r.id)
              |SELECT id AS doc_id, min(m) AS cluster FROM r GROUP BY id ORDER BY doc_id""".stripMargin)),
 
+    // same clustering through the O(log d) large-star/small-star path —
+    // the deep-component scale route, checked against the identical
+    // recursive-CTE closure oracle
+    "dd_cluster_stars" -> Q(
+      (s, d) => {
+        val docs = T(s, d, "documents").filter(col("doc_id") < 50)
+        val sig = Dedup.minhashSignature(docs, "doc_id", "text", 5, 4)
+        val pairs = Dedup.lshCandidatePairs(sig, "doc_id", numHashes = 4, bands = 2)
+        Dedup.connectedComponentsStars(pairs, docs.select(col("doc_id")), "doc_id")
+          .select(col("id").as("doc_id"), col("cluster"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH RECURSIVE ${shingleCte("WHERE doc_id < 50")},
+             |sig AS (SELECT doc_id,
+             |    min(md5('0|' || shingle)) AS h0, min(md5('1|' || shingle)) AS h1,
+             |    min(md5('2|' || shingle)) AS h2, min(md5('3|' || shingle)) AS h3
+             |  FROM sh GROUP BY doc_id),
+             |b AS (SELECT doc_id, 0 AS band, md5(h0 || '|' || h1) AS bucket FROM sig
+             |      UNION ALL
+             |      SELECT doc_id, 1 AS band, md5(h2 || '|' || h3) AS bucket FROM sig),
+             |pairs AS (SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
+             |  FROM b a JOIN b c ON a.band = c.band AND a.bucket = c.bucket AND a.doc_id < c.doc_id),
+             |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+             |          UNION SELECT id_b, id_a FROM pairs),
+             |r AS (SELECT doc_id AS id, doc_id AS m FROM documents WHERE doc_id < 50
+             |      UNION
+             |      SELECT e.src, r.m FROM edges e JOIN r ON e.dst = r.id)
+             |SELECT id AS doc_id, min(m) AS cluster FROM r GROUP BY id ORDER BY doc_id""".stripMargin)),
+
     // pairs → components → SURVIVORS: the full near-dup reduction ending in
     // a deduplicated corpus (best quality = longest text wins, ties to min
     // id). Oracle closes the identical md5 LSH pairs with a recursive CTE,

@@ -434,6 +434,83 @@ object Dedup {
   }
 
   /**
+   * Connected components by alternating large-star / small-star edge
+   * rewrites (Kiveris et al., "Connected Components in MapReduce and
+   * Beyond", SoCC 2014) — the deep-component scale path. Min-label
+   * propagation ([[connectedComponents]]) moves one hop per round, so a
+   * path of diameter d needs d rounds; star contraction halves distances
+   * each alternation and converges in O(log d) rounds, at the cost of one
+   * extra shuffle per round (both phases group on the node id, same key).
+   *
+   * Each phase recomputes every node's min neighbor m and rewires:
+   * large-star points strictly-larger neighbors at m, small-star points
+   * ≤-neighbors (and the node itself) at m. The fixpoint is a star per
+   * component centered at its minimum id. Same output contract as
+   * [[connectedComponents]]: (id, cluster) over allIds, isolated nodes
+   * label themselves; fails fast if maxIters is exhausted.
+   */
+  def connectedComponentsStars(pairs: DataFrame, allIds: DataFrame,
+                               idCol: String, maxIters: Int = 15): DataFrame = {
+    def canon(df: DataFrame): DataFrame =
+      df.select(least(col("a"), col("b")).as("a"),
+          greatest(col("a"), col("b")).as("b"))
+        .filter(col("a") =!= col("b")).distinct()
+
+    def phase(e: DataFrame, large: Boolean): DataFrame = {
+      val both = e.select(col("a").as("u"), col("b").as("v"))
+        .union(e.select(col("b").as("u"), col("a").as("v")))
+      val mins = both.groupBy(col("u"))
+        .agg(least(col("u"), min(col("v"))).as("m"))
+      val joined = both.join(mins, Seq("u"))
+      val emitted =
+        if (large) joined.filter(col("v") > col("u"))
+          .select(col("v").as("a"), col("m").as("b"))
+        else joined.filter(col("v") <= col("u"))
+          .select(col("v").as("a"), col("m").as("b"))
+          .unionByName(mins.select(col("u").as("a"), col("m").as("b")))
+      canon(emitted)
+    }
+
+    // edge-set signature: (count, Σ xxhash64) — equal signature after a full
+    // large+small alternation ⇒ the star fixpoint (edges only ever move
+    // toward component minima, so an unchanged set is stable, not cycling)
+    def sig(e: DataFrame): (Long, java.math.BigDecimal) = {
+      val r = e.agg(count(lit(1)),
+        sum(xxhash64(col("a"), col("b")).cast("decimal(38,0)"))).head()
+      (r.getLong(0),
+        Option(r.getDecimal(1)).getOrElse(java.math.BigDecimal.ZERO))
+    }
+
+    var edges = canon(pairs.select(col("id_a").as("a"), col("id_b").as("b")))
+      .cache()
+    var prev = sig(edges)
+    var converged = edges.isEmpty
+    var i = 0
+    while (!converged && i < maxIters) {
+      val next0 = phase(phase(edges, large = true), large = false)
+      val next = if (i % 2 == 1) next0.localCheckpoint(true) else next0.cache()
+      val s = sig(next) // materializes `next` before the parent unpersists
+      edges.unpersist(false)
+      converged = s == prev
+      prev = s
+      edges = next
+      i += 1
+    }
+    require(converged,
+      s"connectedComponentsStars did not converge in $maxIters rounds — " +
+        "raise maxIters (labels would be silently wrong)")
+    val leaves = edges.groupBy(col("b").as("id")).agg(min(col("a")).as("cluster"))
+    val centers = edges.select(col("a").as("id")).distinct()
+      .join(leaves.select(col("id")), Seq("id"), "left_anti")
+      .select(col("id"), col("id").as("cluster"))
+    val labeled = leaves.unionByName(centers)
+    val isolated = allIds.select(col(idCol).as("id"))
+      .join(labeled.select(col("id")), Seq("id"), "left_anti")
+      .select(col("id"), col("id").as("cluster"))
+    labeled.unionByName(isolated)
+  }
+
+  /**
    * Survivor selection: one representative per cluster, highest `scoreCol`
    * wins (ties to min id) — the reduction that turns near-dup pairs into a
    * deduplicated corpus. Window top-1 per cluster (Spark 4 plans partial +

@@ -182,6 +182,40 @@ class DedupSpec extends AnyFunSuite {
     assert(e.getMessage.contains("did not converge"))
   }
 
+  test("connectedComponentsStars matches min-label propagation on a mixed graph") {
+    val ids = (1L to 40L).toDF("doc_id")
+    // two chains, a clique, a pair, the rest isolated
+    val pairs = ((1L to 9L).map(i => (i, i + 1)) ++
+      (20L to 24L).flatMap(a => (a + 1 to 25L).map(b => (a, b))) ++
+      Seq((30L, 31L), (12L, 15L), (15L, 13L))).toDF("id_a", "id_b")
+    val minLabel = Dedup.connectedComponents(pairs, ids, "doc_id")
+      .as[(Long, Long)].collect().toMap
+    val stars = Dedup.connectedComponentsStars(pairs, ids, "doc_id")
+      .as[(Long, Long)].collect().toMap
+    assert(stars == minLabel)
+  }
+
+  test("connectedComponentsStars converges in O(log d) where min-label needs d rounds") {
+    // a 60-node path: min-label at 20 rounds fails fast; star contraction
+    // finishes the same graph well inside 15 alternations
+    val ids = (1L to 60L).toDF("doc_id")
+    val path = (1L to 59L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    intercept[IllegalArgumentException] {
+      Dedup.connectedComponents(path, ids, "doc_id").collect()
+    }
+    val stars = Dedup.connectedComponentsStars(path, ids, "doc_id")
+      .as[(Long, Long)].collect().toMap
+    assert(stars == (1L to 60L).map(_ -> 1L).toMap)
+  }
+
+  test("connectedComponentsStars: empty pair set labels every id to itself") {
+    val ids = Seq(1L, 2L, 3L).toDF("doc_id")
+    val empty = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    val labels = Dedup.connectedComponentsStars(empty, ids, "doc_id")
+      .as[(Long, Long)].collect().toMap
+    assert(labels == Map(1L -> 1L, 2L -> 2L, 3L -> 3L))
+  }
+
   test("dedupByCluster keeps the best-scoring doc per component") {
     val corpus = Seq(
       (1L, "short", 5.0), (2L, "longer text", 9.0), (3L, "mid", 7.0),
