@@ -38,6 +38,42 @@ object SparkEntry {
     TestData.embeddings(s, d).filter(col("vec_id") === 0)
       .select(col("embedding")).head().getSeq[Float](0).toArray
 
+  /** DuckDB twin of [[graft.rag.Rag.mmr]]: the greedy loop unrolled into k
+    * chained CTEs. All comparisons run on 6-decimal-rounded rel/sim values
+    * exactly as the Scala loop does, and λ / (1−λ) are interpolated from
+    * the same doubles, so selection (and therefore the hash) matches. */
+  private def mmrOracleSql(k: Int, lambda: Double, poolSize: Int): String = {
+    val lam = lambda.toString
+    val mu = (1.0 - lambda).toString
+    val steps = (2 to k).map { i =>
+      val prev = (1 until i).map(j => s"SELECT vec_id FROM s$j").mkString(" UNION ALL ")
+      s"""p$i AS (SELECT p.vec_id, p.rel,
+         |  round($lam*p.rel - $mu*(SELECT max(sv) FROM sims
+         |    WHERE sims.ia = p.vec_id AND sims.ib IN ($prev)), 6) AS m
+         |  FROM pool p WHERE p.vec_id NOT IN ($prev)),
+         |s$i AS (SELECT vec_id, rel FROM p$i ORDER BY m DESC, vec_id LIMIT 1)""".stripMargin
+    }.mkString(",\n")
+    val out = (1 to k).map(i =>
+      s"SELECT vec_id, $i AS mmr_rank, rel FROM s$i").mkString(" UNION ALL ")
+    s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+       |rel0 AS (SELECT e.vec_id, unnest(e.embedding)::DOUBLE AS x, unnest(q.qv)::DOUBLE AS y
+       |         FROM embeddings e, q WHERE e.vec_id <> 0),
+       |relraw AS (SELECT vec_id, SUM(x*y)/(SQRT(SUM(x*x))*SQRT(SUM(y*y))) AS s
+       |           FROM rel0 GROUP BY vec_id),
+       |pool AS (SELECT vec_id, round(s, 6) AS rel FROM relraw
+       |         ORDER BY s DESC, vec_id LIMIT $poolSize),
+       |pv AS (SELECT e.vec_id, e.embedding FROM embeddings e JOIN pool p USING (vec_id)),
+       |pp AS (SELECT a.vec_id AS ia, b.vec_id AS ib,
+       |         unnest(a.embedding)::DOUBLE AS x, unnest(b.embedding)::DOUBLE AS y
+       |       FROM pv a JOIN pv b ON a.vec_id < b.vec_id),
+       |simh AS (SELECT ia, ib, round(SUM(x*y)/(SQRT(SUM(x*x))*SQRT(SUM(y*y))), 6) AS sv
+       |         FROM pp GROUP BY ia, ib),
+       |sims AS (SELECT ia, ib, sv FROM simh UNION ALL SELECT ib, ia, sv FROM simh),
+       |s1 AS (SELECT vec_id, rel FROM pool ORDER BY rel DESC, vec_id LIMIT 1),
+       |$steps
+       |SELECT vec_id, mmr_rank, rel FROM ($out) ORDER BY mmr_rank""".stripMargin
+  }
+
   // ────────────────────────────────────────────────────────────────────────
   /** Flagship: V5 context retrieval over documents+embeddings at sf0.001
     * (SURVEY §7.2 slice 0 — scan → cosine → top-k → threshold → truncate →
@@ -768,6 +804,14 @@ object SparkEntry {
              |topk AS (SELECT vec_id, s FROM scores ORDER BY s DESC, vec_id LIMIT 10)
              |SELECT vec_id, round(s, 6) AS score FROM topk WHERE s >= 0.0
              |ORDER BY score DESC, vec_id""".stripMargin)),
+
+    // MMR-diversified re-rank of the cosine top-20 pool: distributed
+    // retrieve, bounded greedy re-rank; the oracle unrolls the greedy loop
+    // into chained CTEs on the same rounded values
+    "v3_mmr_rerank" -> Q(
+      (s, d) => Rag.mmr(TestData.embeddings(s, d).filter(col("vec_id") =!= 0),
+        "vec_id", "embedding", queryVec(s, d), k = 5, lambda = 0.7, poolSize = 20),
+      Some(mmrOracleSql(k = 5, lambda = 0.7, poolSize = 20))),
 
     "v5_context_retrieval" -> Q(
       (s, d) => {

@@ -57,6 +57,64 @@ object Rag {
     knn(emb, idCol, vecCol, q, k = 1, minScore).collect().headOption
 
   /**
+   * MMR-diversified retrieval (Carbonell & Goldstein, SIGIR 1998): greedy
+   * re-rank of the cosine top-`poolSize` pool by
+   * λ·rel(d) − (1−λ)·max_{s∈S} sim(d, s).
+   *
+   * The pool retrieval is the fully distributed [[knn]] path (or swap in
+   * the ANN/IVF/PQ variants upstream); the greedy step is O(pool²) on the
+   * BOUNDED collected pool — the standard retrieve-then-rerank split, same
+   * driver-side budget as [[bestMatch]]. Every comparison happens on
+   * values rounded to 6 decimals (rel, pairwise sims, and the combined
+   * score), ties to the lower id, so the selection is reproducible
+   * bit-for-bit across engines — that is what lets a chained-CTE SQL twin
+   * hash-match the greedy loop. Returns (idCol, mmr_rank, rel) in
+   * selection order.
+   */
+  def mmr(emb: DataFrame, idCol: String, vecCol: String, q: Array[Float],
+          k: Int, lambda: Double = 0.7, poolSize: Int = 20): DataFrame = {
+    require(k >= 1 && poolSize >= k, s"need poolSize >= k >= 1, got k=$k pool=$poolSize")
+    require(lambda >= 0.0 && lambda <= 1.0, s"lambda must be in [0,1], got $lambda")
+    val sp = emb.sparkSession
+    import sp.implicits._
+    def r6(x: Double): Double =
+      java.math.BigDecimal.valueOf(x).setScale(6, java.math.RoundingMode.HALF_UP).doubleValue
+    def cosD(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+        nb += b(i).toDouble * b(i); i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val pool = knn(emb, idCol, vecCol, q, poolSize, minScore = Double.MinValue)
+      .select(col(idCol).cast("long"), col(vecCol), round(col("score"), 6))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray, r.getDouble(2)))
+    val sim = scala.collection.mutable.Map.empty[(Long, Long), Double]
+    def simOf(a: (Long, Array[Float], Double), b: (Long, Array[Float], Double)): Double =
+      sim.getOrElseUpdate((a._1 min b._1, a._1 max b._1), r6(cosD(a._2, b._2)))
+    val mu = 1.0 - lambda
+    val selected = scala.collection.mutable.ArrayBuffer.empty[(Long, Int, Double)]
+    var chosen = List.empty[(Long, Array[Float], Double)]
+    var remaining = pool.toList
+    var rank = 1
+    while (rank <= k && remaining.nonEmpty) {
+      val best =
+        if (chosen.isEmpty) remaining.minBy(c => (-c._3, c._1))
+        else remaining.minBy { c =>
+          val m = r6(lambda * c._3 - mu * chosen.map(simOf(c, _)).max)
+          (-m, c._1)
+        }
+      selected += ((best._1, rank, best._3))
+      chosen ::= best
+      remaining = remaining.filterNot(_._1 == best._1)
+      rank += 1
+    }
+    selected.toSeq.toDF(idCol, "mmr_rank", "rel")
+  }
+
+  /**
    * V5 — context retrieval (k=3, t=0.5): top-k → truncate(2000)+"..." →
    * "Title/Summary/Content/(Similarity: %.2f)" block → concat_ws with
    * "\n\n---\n\n" in DESC score order (neo4j_rag.py:333-375). Returns a

@@ -76,4 +76,34 @@ class RagSpec extends AnyFunSuite {
     val b = Rag.hyperplanes(4, 8, seed = 42)
     assert(a.map(_.toSeq).toSeq == b.map(_.toSeq).toSeq)
   }
+
+  test("MMR with lambda=1 degenerates to relevance order (knn)") {
+    val r = Rag.mmr(emb, "id", "vec", q, k = 3, lambda = 1.0, poolSize = 5)
+      .select("id", "mmr_rank").as[(Long, Int)].collect().toSeq.sortBy(_._2)
+    assert(r.map(_._1) == Seq(1L, 2L, 3L))
+  }
+
+  test("MMR penalizes redundancy: the near-duplicate of pick 1 is deferred") {
+    // doc 1 at +11° to the query, doc 2 at +12° (near-dup of 1), doc 3 at
+    // −25°: rel(2) ≈ rel(1) but sim(2,1) ≈ 1, while doc 3 trades a little
+    // relevance for real diversity (sim(3,1) = cos 36° ≈ 0.81)
+    val dup = Seq(
+      (1L, Seq(0.9816f, 0.1908f)),
+      (2L, Seq(0.9781f, 0.2079f)),
+      (3L, Seq(0.9063f, -0.4226f))
+    ).toDF("id", "vec").withColumn("vec", col("vec").cast("array<float>"))
+    val diversified = Rag.mmr(dup, "id", "vec", q, k = 2, lambda = 0.5, poolSize = 3)
+      .select("id", "mmr_rank").as[(Long, Int)].collect().toMap.map(_.swap)
+    assert(diversified(1) == 1L && diversified(2) == 3L) // 2 skipped for 3
+    val plain = Rag.mmr(dup, "id", "vec", q, k = 2, lambda = 1.0, poolSize = 3)
+      .select("id", "mmr_rank").as[(Long, Int)].collect().toMap.map(_.swap)
+    assert(plain(2) == 2L) // relevance-only keeps the duplicate
+  }
+
+  test("MMR stops at the pool: k beyond pool size returns pool-size rows") {
+    val r = Rag.mmr(emb, "id", "vec", q, k = 5, lambda = 0.7, poolSize = 5)
+    assert(r.count() == 5)
+    val ranks = r.select("mmr_rank").as[Int].collect().toSeq.sorted
+    assert(ranks == (1 to 5))
+  }
 }
