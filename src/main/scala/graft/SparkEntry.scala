@@ -3143,6 +3143,31 @@ object SparkEntry {
              |  CAST(floor(start_offset / 4096.0) AS BIGINT) AS pack_id
              |FROM c""".stripMargin)),
 
+    // boilerplate detection: word bigrams shared by >=10 distinct docs of
+    // the same source are crawl debris; per-doc contamination ratio
+    "ta_boilerplate" -> Q(
+      (s, d) => graft.text.TextAnalysis.boilerplate(
+        T(s, d, "documents"), "doc_id", "text", "source", n = 2, minDocs = 10),
+      Some("""WITH t AS (
+             |  SELECT doc_id, source,
+             |    list_filter(regexp_split_to_array(text, '\s+'), x -> length(x) > 0) AS toks
+             |  FROM documents),
+             |g AS (SELECT doc_id, source,
+             |    unnest(list_transform(range(1, CAST(greatest(len(toks) - 1, 0) AS INT) + 1),
+             |           i -> array_to_string(toks[i:i+1], ' '))) AS gram
+             |  FROM t),
+             |b AS (SELECT source, gram
+             |      FROM (SELECT DISTINCT doc_id, source, gram FROM g) dg
+             |      GROUP BY source, gram HAVING count(*) >= 10),
+             |pd AS (SELECT g.doc_id, count(*) AS n_boiler
+             |       FROM g JOIN b USING (source, gram) GROUP BY 1),
+             |base AS (SELECT doc_id,
+             |           CAST(greatest(len(toks) - 1, 0) AS BIGINT) AS n_grams FROM t)
+             |SELECT base.doc_id, n_grams,
+             |  coalesce(pd.n_boiler, 0) AS n_boiler,
+             |  coalesce(round(pd.n_boiler * 1.0 / nullif(n_grams, 0), 6), 0.0) AS boiler_ratio
+             |FROM base LEFT JOIN pd ON base.doc_id = pd.doc_id""".stripMargin)),
+
     // TF-IDF keyword extraction: top-5 terms per doc, rounded-then-ranked
     // so the window boundary is jitter-proof in both engines
     "ta_keywords" -> Q(

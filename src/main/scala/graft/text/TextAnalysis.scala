@@ -175,6 +175,51 @@ object TextAnalysis {
       qualityScore(col(textCol), stopwords).as("quality"),
       fingerprint(col(textCol)).as("fingerprint"))
 
+  /** Word n-grams as space-joined strings; empty array when the doc has
+    * fewer than n tokens. */
+  private def wordGrams(textCol: Column, n: Int): Column = {
+    val toks = tokens(textCol)
+    when(size(toks) >= n,
+      transform(sequence(lit(1), size(toks) - (n - 1)),
+        i => concat_ws(" ", slice(toks, i, lit(n)))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /**
+   * Boilerplate detection, CCNet/RefinedWeb style adapted to n-grams: a
+   * word n-gram that appears in ≥ `minDocs` DISTINCT documents of the
+   * same source is boilerplate (header/footer/nav debris repeats across a
+   * crawl source; real prose does not). Returns per-doc
+   * (idCol, n_grams, n_boiler, boiler_ratio) — the gate column a curation
+   * pipeline thresholds on before tokenization.
+   *
+   * Scale shape: one explode of the corpus n-grams; the (source, gram)
+   * document-frequency aggregate runs on the per-doc-distinct grams; the
+   * flagged set semi-joins back on (source, gram). `n_grams` per doc is
+   * size arithmetic in the scan projection — no second explode.
+   */
+  def boilerplate(df: DataFrame, idCol: String, textCol: String,
+                  sourceCol: String, n: Int = 5, minDocs: Int = 3): DataFrame = {
+    require(n >= 1 && minDocs >= 2, s"need n >= 1, minDocs >= 2; got n=$n minDocs=$minDocs")
+    val grams = df.select(col(idCol), col(sourceCol),
+      explode(wordGrams(col(textCol), n)).as("gram"))
+    val boiler = grams.dropDuplicates(idCol, sourceCol, "gram")
+      .groupBy(col(sourceCol), col("gram"))
+      .agg(count(lit(1)).as("__df"))
+      .filter(col("__df") >= minDocs)
+      .select(col(sourceCol), col("gram"))
+    val perDoc = grams.join(boiler, Seq(sourceCol, "gram"), "left_semi")
+      .groupBy(col(idCol)).agg(count(lit(1)).as("n_boiler"))
+    df.select(col(idCol),
+        greatest(size(tokens(col(textCol))) - (n - 1), lit(0))
+          .cast("long").as("n_grams"))
+      .join(perDoc, Seq(idCol), "left")
+      .select(col(idCol), col("n_grams"),
+        coalesce(col("n_boiler"), lit(0L)).as("n_boiler"),
+        coalesce(round(col("n_boiler") / nullif(col("n_grams"), lit(0)), 6),
+          lit(0.0)).as("boiler_ratio"))
+  }
+
   /**
    * Top-k keywords per document by tf·idf (idf = ln(N/df), scores rounded
    * to 6 decimals BEFORE ranking; ties break by term).

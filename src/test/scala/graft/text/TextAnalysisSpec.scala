@@ -125,6 +125,36 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(r(3L) == ((0, 0, 0.0, 0L)))
   }
 
+  test("boilerplate: grams shared across a source flag; cross-source sharing does not") {
+    val docs = Seq(
+      (1L, "a", "nav bar home link unique one"),
+      (2L, "a", "nav bar home link unique two"),
+      (3L, "a", "nav bar home link unique three"),
+      (4L, "b", "nav bar home link other text"),   // same gram, different source
+      (5L, "b", "totally different words here now")
+    ).toDF("doc_id", "source", "text")
+    val r = TextAnalysis.boilerplate(docs, "doc_id", "text", "source",
+        n = 2, minDocs = 3)
+      .as[(Long, Long, Long, Double)].collect()
+      .map(x => x._1 -> ((x._2, x._3, x._4))).toMap
+    // source a: "nav bar", "bar home", "home link", "link unique" in all 3
+    assert(r(1L)._2 == 4L && r(2L)._2 == 4L && r(3L)._2 == 4L)
+    assert(r(1L)._1 == 5L && r(1L)._3 == 0.8)
+    // source b never reaches minDocs — even though doc 4 shares the grams
+    assert(r(4L)._2 == 0L && r(5L)._2 == 0L)
+  }
+
+  test("boilerplate: docs shorter than n grams get zero counts, no nulls") {
+    val docs = Seq((1L, "one", "s"), (2L, "two words", "s"), (3L, "two words", "s"),
+      (4L, "two words", "s")).toDF("doc_id", "text", "source")
+    val r = TextAnalysis.boilerplate(docs, "doc_id", "text", "source",
+        n = 2, minDocs = 3)
+      .as[(Long, Long, Long, Double)].collect()
+      .map(x => x._1 -> ((x._2, x._3, x._4))).toMap
+    assert(r(1L) == ((0L, 0L, 0.0)))        // 1 token → no bigram, ratio 0
+    assert(r(2L) == ((1L, 1L, 1.0)))        // "two words" in 3 docs → flagged
+  }
+
   test("keywords: rare terms out-rank ubiquitous ones; ubiquitous idf is zero") {
     val docs = Seq(
       (1L, "alpha alpha common unique"),
