@@ -3168,6 +3168,22 @@ object SparkEntry {
              |  coalesce(round(pd.n_boiler * 1.0 / nullif(n_grams, 0), 6), 0.0) AS boiler_ratio
              |FROM base LEFT JOIN pd ON base.doc_id = pd.doc_id""".stripMargin)),
 
+    // unigram-LM quality score (in-engine KenLM-perplexity stand-in):
+    // avg token log-probability under corpus-trained frequencies
+    "ta_unigram_lm" -> Q(
+      (s, d) => graft.text.TextAnalysis.unigramLmScore(
+        T(s, d, "documents"), "doc_id", "text"),
+      Some("""WITH toks AS (
+             |  SELECT doc_id, unnest(list_filter(regexp_split_to_array(text, '\s+'),
+             |                                    t -> length(t) > 0)) AS tok
+             |  FROM documents),
+             |vocab AS (SELECT tok, count(*) AS cnt FROM toks GROUP BY 1),
+             |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM vocab),
+             |s AS (SELECT doc_id, count(*) AS n_tokens, avg(ln(cnt)) AS a
+             |      FROM toks JOIN vocab USING (tok) GROUP BY 1)
+             |SELECT doc_id, n_tokens, round(a - ln(total), 6) AS avg_logp
+             |FROM s, tot""".stripMargin)),
+
     // TF-IDF keyword extraction: top-5 terms per doc, rounded-then-ranked
     // so the window boundary is jitter-proof in both engines
     "ta_keywords" -> Q(

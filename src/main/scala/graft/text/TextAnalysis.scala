@@ -221,6 +221,32 @@ object TextAnalysis {
   }
 
   /**
+   * Unigram-LM quality score: the in-engine version of the KenLM
+   * perplexity filter (CCNet) — train token frequencies on the corpus
+   * itself, score each doc by its mean token log-probability
+   * avg(ln p(t)). Gibberish and off-distribution docs score low.
+   *
+   * avg(ln(cnt/total)) decomposes to avg(ln cnt) − ln(total), so the
+   * corpus total is size() arithmetic on the scan (one broadcast scalar,
+   * never a third pass) and only ln(cnt) rides through the aggregate. The
+   * token→count join shuffles on the token — at production scale the
+   * vocab is a materialized artifact (build it like [[Bm25.buildIndex]]'s
+   * postings); in-query it costs one extra explode.
+   * Returns (idCol, n_tokens, avg_logp), docs with ≥1 token.
+   */
+  def unigramLmScore(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val total = df.agg(sum(size(tokens(col(textCol)))).cast("long").as("total"))
+    val toks = df.select(col(idCol), explode(tokens(col(textCol))).as("tok"))
+    val vocab = toks.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+    toks.join(vocab, Seq("tok"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"), avg(log(col("cnt"))).as("__a"))
+      .crossJoin(broadcast(total))
+      .select(col(idCol), col("n_tokens"),
+        round(col("__a") - log(col("total")), 6).as("avg_logp"))
+  }
+
+  /**
    * Top-k keywords per document by tf·idf (idf = ln(N/df), scores rounded
    * to 6 decimals BEFORE ranking; ties break by term).
    *

@@ -155,6 +155,24 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(r(2L) == ((1L, 1L, 1.0)))        // "two words" in 3 docs → flagged
   }
 
+  test("unigramLmScore: common-token docs score higher; hand-checked value") {
+    // corpus: "the" ×3, "cat" ×2, "dog" ×2, "zyx" ×1 → total 8
+    val docs = Seq(
+      (1L, "the the cat"),   // avg(2·ln 3 + ln 2)/3 - ln 8
+      (2L, "the cat dog"),
+      (3L, "zyx dog")        // contains the rarest token
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.unigramLmScore(docs, "doc_id", "text")
+      .as[(Long, Long, Double)].collect().map(x => x._1 -> x._3).toMap
+    assert(r(1L) > r(2L) && r(2L) > r(3L))
+    val expected1 = BigDecimal((math.log(3) * 2 + math.log(2)) / 3 - math.log(8))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(math.abs(r(1L) - expected1) < 1e-9)
+    val n = TextAnalysis.unigramLmScore(docs, "doc_id", "text")
+      .as[(Long, Long, Double)].collect().map(x => x._1 -> x._2).toMap
+    assert(n == Map(1L -> 3L, 2L -> 3L, 3L -> 2L))
+  }
+
   test("keywords: rare terms out-rank ubiquitous ones; ubiquitous idf is zero") {
     val docs = Seq(
       (1L, "alpha alpha common unique"),
