@@ -1699,6 +1699,29 @@ object SparkEntry {
 
     // Deterministic domain mixing (portable md5-Bernoulli per row) + audit:
     // corpus composition is reproducible bit-for-bit on any engine
+    // temperature rebalancing audit: q_s ∝ n_s^0.5 keep-rates from the
+    // corpus itself, deterministic hash-Bernoulli application
+    "cu_temperature_mix" -> Q(
+      (s, d) => graft.ops.Curation.temperatureMix(
+          T(s, d, "documents"), "doc_id", "source", tau = 0.5, targetFrac = 0.5)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_total"),
+          sum(when(col("__keep"), 1L).otherwise(0L)).as("n_kept"),
+          first(col("__keep_rate")).as("keep_rate"))
+        .orderBy(col("source")),
+      Some("""WITH c AS (SELECT source, count(*) AS n FROM documents GROUP BY 1),
+             |t AS (SELECT CAST(sum(n) AS BIGINT) AS total_n, sum(pow(n, 0.5)) AS z FROM c),
+             |r AS (SELECT source, round(least(1.0,
+             |        0.5 * total_n * pow(n, 0.5) / z / n), 6) AS keep_rate FROM c, t),
+             |k AS (SELECT d.source, r.keep_rate,
+             |        CAST('0x' || substr(md5('temp|' || d.doc_id), 1, 15) AS BIGINT)
+             |          % 10000 / 10000.0 < r.keep_rate AS kept
+             |      FROM documents d JOIN r USING (source))
+             |SELECT source, count(*) AS n_total,
+             |  CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+             |  keep_rate
+             |FROM k GROUP BY source, keep_rate ORDER BY source""".stripMargin)),
+
     "cu_weighted_mix" -> Q(
       (s, d) => graft.ops.Curation.mixAudit(
           graft.ops.Curation.weightedMix(T(s, d, "documents"), "doc_id", "source",

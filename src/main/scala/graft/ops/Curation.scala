@@ -39,6 +39,40 @@ object Curation {
     df.withColumn("__keep", hashUniform(col(idCol), salt) < rate)
   }
 
+  /**
+   * Temperature rebalancing (the multilingual/source-balance knob of
+   * multilingual LM training, cf. mBERT/XLM-R exponential smoothing):
+   * target share q_s ∝ n_s^τ, so τ=1 keeps natural proportions and τ→0
+   * flattens toward uniform, up-weighting minority sources. Each source's
+   * keep-rate is min(1, targetFrac·N·q_s/n_s), rounded to 6 decimals, and
+   * rows keep via the same deterministic hash-Bernoulli as [[weightedMix]]
+   * — [[hashUniform]] < rate.
+   *
+   * Plan: one tiny per-source aggregate (+ its 1-row total) broadcasts
+   * back; the keep decision is then a scalar on the scan. No corpus
+   * shuffle. Note τ<1 cannot UP-sample a minority beyond keeping all of
+   * it (rate caps at 1); duplication-based oversampling is a separate,
+   * explicit step.
+   */
+  def temperatureMix(df: DataFrame, idCol: String, sourceCol: String,
+                     tau: Double, targetFrac: Double,
+                     salt: String = "temp"): DataFrame = {
+    require(tau > 0.0 && tau <= 1.0, s"tau must be in (0,1], got $tau")
+    require(targetFrac > 0.0 && targetFrac <= 1.0,
+      s"targetFrac must be in (0,1], got $targetFrac")
+    val counts = df.groupBy(col(sourceCol)).agg(count(lit(1)).as("__n"))
+    // per-source counts are a tiny frame; the two corpus totals are a
+    // 1-row driver scalar (same budget as percentileCutpoints)
+    val t = counts.agg(sum(col("__n")), sum(pow(col("__n"), tau))).head()
+    val (nTotal, z) = (t.getLong(0), t.getDouble(1))
+    val rates = counts
+      .withColumn("__keep_rate", round(least(lit(1.0),
+        lit(targetFrac) * lit(nTotal) * pow(col("__n"), tau) / lit(z) / col("__n")), 6))
+      .select(col(sourceCol), col("__keep_rate"))
+    df.join(broadcast(rates), Seq(sourceCol))
+      .withColumn("__keep", hashUniform(col(idCol), salt) < col("__keep_rate"))
+  }
+
   /** Per-source audit of a [[weightedMix]] pass: totals, kept counts, and
     * the realized rate (one aggregation over the mixed frame). */
   def mixAudit(mixed: DataFrame, sourceCol: String): DataFrame =

@@ -150,6 +150,28 @@ class CurationSpec extends AnyFunSuite {
     assert(o1 != (1L to 200L).toSeq)  // and actually shuffled
   }
 
+  test("temperatureMix: tau flattens toward uniform, tau=1 keeps proportions") {
+    // 90/10 skew between two sources
+    val docs = ((1L to 900L).map(i => (i, "big")) ++
+      (901L to 1000L).map(i => (i, "small"))).toDF("id", "src")
+    def rates(tau: Double) = Curation.temperatureMix(docs, "id", "src", tau, 0.5)
+      .select("src", "__keep_rate").distinct()
+      .as[(String, Double)].collect().toMap
+    val r1 = rates(1.0)
+    // tau=1: every source keeps exactly targetFrac
+    assert(r1("big") == 0.5 && r1("small") == 0.5)
+    val r5 = rates(0.5)
+    // tau=0.5 up-weights the minority relative to the majority
+    assert(r5("small") > r5("big"))
+    assert(r5.values.forall(r => r > 0.0 && r <= 1.0))
+    // keep decision is the deterministic hash — reruns agree
+    val a = Curation.temperatureMix(docs, "id", "src", 0.5, 0.5)
+      .filter(col("__keep")).select("id").as[Long].collect().toSet
+    val b = Curation.temperatureMix(docs, "id", "src", 0.5, 0.5)
+      .filter(col("__keep")).select("id").as[Long].collect().toSet
+    assert(a == b)
+  }
+
   test("packSequences: offsets are a consistent concatenation, packs cut at the budget") {
     val docs = (1L to 500L).map(i => (i, 1 + (i * 13 % 97))).toDF("id", "n_tokens")
     val packed = Curation.packSequences(docs, "id", "n_tokens", budget = 512)
