@@ -182,6 +182,25 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), p) // corpus stats row broadcasts
   }
 
+  test("ta_keywords: per-doc top-k is a WindowGroupLimit, df join never SMJs") {
+    val p = planOf("ta_keywords")
+    assert(p.contains("WindowGroupLimit"), p) // rank<=k prunes map-side
+    assert(!p.contains("SortMergeJoin"), p)   // N broadcasts; df is a window
+  }
+
+  test("cu_temperature_mix: keep decision is a scalar — corpus joins only the broadcast rates") {
+    val p = planOf("cu_temperature_mix")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("dq_outliers: both stats joins broadcast, corpus never shuffles for the join") {
+    val p = planOf("dq_outliers")
+    val broadcasts = p.linesIterator.count(_.contains("BroadcastHashJoin"))
+    assert(broadcasts >= 2, p) // median + MAD stats both broadcast
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   test("v3_knn_cosine: scan → cosine → TakeOrderedAndProject, codegen'd hot loop") {
     val df = SparkEntry.queries("v3_knn_cosine")(spark, sf)
     assert(df.queryExecution.executedPlan.toString.contains("TakeOrderedAndProject"))
