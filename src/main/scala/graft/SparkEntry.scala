@@ -2706,6 +2706,34 @@ object SparkEntry {
              |      SELECT e.src, r.m FROM edges e JOIN r ON e.dst = r.id)
              |SELECT id AS doc_id, min(m) AS cluster FROM r GROUP BY id ORDER BY doc_id""".stripMargin)),
 
+    // incremental near-dup: a new batch (doc_id % 10 = 0) blocked against
+    // the precomputed corpus signatures — batch buckets broadcast, corpus
+    // never self-joins
+    "dd_incremental_lsh" -> Q(
+      (s, d) => {
+        val docs = T(s, d, "documents").filter(col("doc_id") < 200)
+        val newDf = docs.filter(pmod(col("doc_id"), lit(10)) === 0)
+        val corpusDf = docs.filter(pmod(col("doc_id"), lit(10)) =!= 0)
+        Dedup.incrementalLshMatches(
+          Dedup.minhashSignature(newDf, "doc_id", "text", 5, 4),
+          Dedup.minhashSignature(corpusDf, "doc_id", "text", 5, 4),
+          "doc_id", numHashes = 4, bands = 2)
+          .orderBy(col("id_new"), col("id_corpus"))
+      },
+      Some(s"""WITH ${shingleCte("WHERE doc_id < 200")},
+             |sig AS (SELECT doc_id,
+             |    min(md5('0|' || shingle)) AS h0, min(md5('1|' || shingle)) AS h1,
+             |    min(md5('2|' || shingle)) AS h2, min(md5('3|' || shingle)) AS h3
+             |  FROM sh GROUP BY doc_id),
+             |b AS (SELECT doc_id, 0 AS band, md5(h0 || '|' || h1) AS bucket FROM sig
+             |      UNION ALL
+             |      SELECT doc_id, 1 AS band, md5(h2 || '|' || h3) AS bucket FROM sig),
+             |nb AS (SELECT doc_id AS id_new, band, bucket FROM b WHERE doc_id % 10 = 0),
+             |cb AS (SELECT doc_id AS id_corpus, band, bucket FROM b WHERE doc_id % 10 <> 0)
+             |SELECT DISTINCT id_new, id_corpus
+             |FROM nb JOIN cb USING (band, bucket)
+             |ORDER BY id_new, id_corpus""".stripMargin)),
+
     // same clustering through the O(log d) large-star/small-star path —
     // the deep-component scale route, checked against the identical
     // recursive-CTE closure oracle

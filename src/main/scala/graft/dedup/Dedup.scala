@@ -97,21 +97,54 @@ object Dedup {
    * bucket sizes are bounded by the band hash, so the within-bucket
    * self-join stays local after one shuffle on the bucket key.
    */
-  def lshCandidatePairs(sig: DataFrame, idCol: String, numHashes: Int,
-                        bands: Int): DataFrame = {
+  /** Band-bucket rows (idCol, band, bucket) of a minhash signature frame —
+    * the LSH blocking key. Shared by the all-pairs and incremental paths;
+    * at production scale the corpus side is a materialized table
+    * partitioned by band. */
+  def lshBuckets(sig: DataFrame, idCol: String, numHashes: Int,
+                 bands: Int): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rowsPerBand = numHashes / bands
     val bandCols = (0 until bands).map { b =>
       val slice = (0 until rowsPerBand).map(r => col(s"h${b * rowsPerBand + r}"))
       struct(lit(b).as("band"), md5(concat_ws("|", slice: _*)).as("bucket"))
     }
-    val buckets = sig.select(col(idCol), explode(array(bandCols: _*)).as("bb"))
+    sig.select(col(idCol), explode(array(bandCols: _*)).as("bb"))
       .select(col(idCol), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+  }
+
+  def lshCandidatePairs(sig: DataFrame, idCol: String, numHashes: Int,
+                        bands: Int): DataFrame = {
+    val buckets = lshBuckets(sig, idCol, numHashes, bands)
     val a = buckets.select(col("band"), col("bucket"), col(idCol).as("id_a"))
     val b = buckets.select(col("band"), col("bucket"), col(idCol).as("id_b"))
     a.join(b, Seq("band", "bucket"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"))
+      .distinct()
+  }
+
+  /**
+   * Incremental near-dup matching: block a NEW batch against an EXISTING
+   * corpus signature table — the daily-increment shape, where the corpus
+   * side is a precomputed artifact and only the batch is (re)signed. The
+   * batch's band-buckets broadcast into the corpus bucket table, so the
+   * corpus is never self-joined and never reshuffled; with the corpus
+   * buckets materialized partitioned-by-band, the scan prunes to the
+   * batch's buckets. Returns (id_new, id_corpus) candidate matches —
+   * batch-internal pairs are NOT emitted (run [[lshCandidatePairs]] on
+   * the batch alone for those).
+   */
+  def incrementalLshMatches(newSig: DataFrame, corpusSig: DataFrame,
+                            idCol: String, numHashes: Int,
+                            bands: Int): DataFrame = {
+    val nb = lshBuckets(newSig, idCol, numHashes, bands)
+      .withColumnRenamed(idCol, "id_new")
+    val cb = lshBuckets(corpusSig, idCol, numHashes, bands)
+      .withColumnRenamed(idCol, "id_corpus")
+    broadcast(nb).join(cb, Seq("band", "bucket"))
+      .filter(col("id_new") =!= col("id_corpus"))
+      .select(col("id_new"), col("id_corpus"))
       .distinct()
   }
 

@@ -216,6 +216,32 @@ class DedupSpec extends AnyFunSuite {
     assert(labels == Map(1L -> 1L, 2L -> 2L, 3L -> 3L))
   }
 
+  test("incrementalLshMatches: batch matches corpus twins, never batch-internal pairs") {
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "completely unrelated corpus content about something else entirely")
+    ).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog again and again"), // twin of 1
+      (11L, "the quick brown fox jumps over the lazy dog again and again"), // twin of 1 AND 10
+      (12L, "nothing like anything in the existing corpus at all whatsoever")
+    ).toDF("doc_id", "text")
+    val m = Dedup.incrementalLshMatches(
+      Dedup.minhashSignature(batch, "doc_id", "text", 5, 4),
+      Dedup.minhashSignature(corpus, "doc_id", "text", 5, 4),
+      "doc_id", numHashes = 4, bands = 2)
+      .as[(Long, Long)].collect().toSet
+    assert(m.contains((10L, 1L)) && m.contains((11L, 1L)))
+    assert(!m.exists(p => p._1 == 12L))          // no match for the novel doc
+    assert(!m.contains((10L, 11L)) && !m.contains((11L, 10L))) // no batch-batch
+    // plan: the batch side is the broadcast build side
+    val plan = Dedup.incrementalLshMatches(
+      Dedup.minhashSignature(batch, "doc_id", "text", 5, 4),
+      Dedup.minhashSignature(corpus, "doc_id", "text", 5, 4),
+      "doc_id", 4, 2).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
   test("dedupByCluster keeps the best-scoring doc per component") {
     val corpus = Seq(
       (1L, "short", 5.0), (2L, "longer text", 9.0), (3L, "mid", 7.0),
