@@ -1699,6 +1699,21 @@ object SparkEntry {
 
     // Deterministic domain mixing (portable md5-Bernoulli per row) + audit:
     // corpus composition is reproducible bit-for-bit on any engine
+    // deterministic train/val/test split audit: cumulative thresholds over
+    // the portable uniform (thresholds interpolated from the same doubles)
+    "cu_split_assign" -> Q(
+      (s, d) => graft.ops.Curation.splitAssign(T(s, d, "documents"), "doc_id",
+          Seq(("train", 0.8), ("val", 0.1), ("test", 0.1)))
+        .groupBy(col("split")).agg(count(lit(1)).as("n"))
+        .orderBy(col("split")),
+      Some(s"""SELECT CASE WHEN u < 0.8 THEN 'train'
+             |            WHEN u < ${0.8 + 0.1} THEN 'val'
+             |            ELSE 'test' END AS split, count(*) AS n
+             |FROM (SELECT CAST('0x' || substr(md5('split|' || doc_id), 1, 15) AS BIGINT)
+             |        % 10000 / 10000.0 AS u
+             |      FROM documents)
+             |GROUP BY 1 ORDER BY split""".stripMargin)),
+
     // temperature rebalancing audit: q_s ∝ n_s^0.5 keep-rates from the
     // corpus itself, deterministic hash-Bernoulli application
     "cu_temperature_mix" -> Q(

@@ -73,6 +73,30 @@ object Curation {
       .withColumn("__keep", hashUniform(col(idCol), salt) < col("__keep_rate"))
   }
 
+  /**
+   * Deterministic train/val/test assignment: the portable uniform of the
+   * row id lands in cumulative-weight intervals. A row's split is a pure
+   * function of (salt, id) — stable under reruns, backfills, and engine
+   * changes, and rows added later never flip existing assignments (the
+   * property `randomSplit` cannot give you). Zero shuffles: the label is
+   * a scalar chain on the scan.
+   */
+  def splitAssign(df: DataFrame, idCol: String,
+                  splits: Seq[(String, Double)],
+                  salt: String = "split"): DataFrame = {
+    require(splits.size >= 2, "need at least two splits")
+    require(splits.forall(_._2 > 0), "split weights must be positive")
+    require(math.abs(splits.map(_._2).sum - 1.0) < 1e-9,
+      s"split weights must sum to 1, got ${splits.map(_._2).sum}")
+    val u = hashUniform(col(idCol), salt)
+    val cum = splits.scanLeft(0.0)(_ + _._2).tail
+    val expr = splits.init.zip(cum.init)
+      .foldLeft(Option.empty[Column]) { case (acc, ((name, _), t)) =>
+        Some(acc.fold(when(u < t, name))(_.when(u < t, name)))
+      }.get.otherwise(splits.last._1)
+    df.withColumn("split", expr)
+  }
+
   /** Per-source audit of a [[weightedMix]] pass: totals, kept counts, and
     * the realized rate (one aggregation over the mixed frame). */
   def mixAudit(mixed: DataFrame, sourceCol: String): DataFrame =

@@ -172,6 +172,29 @@ class CurationSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("splitAssign: exhaustive, deterministic, stable under corpus growth") {
+    val docs = (1L to 2000L).toDF("id")
+    val splits = Seq(("train", 0.8), ("val", 0.1), ("test", 0.1))
+    val assigned = Curation.splitAssign(docs, "id", splits)
+      .select("id", "split").as[(Long, String)].collect().toMap
+    assert(assigned.size == 2000) // every row gets exactly one split
+    val frac = assigned.values.groupBy(identity).view.mapValues(_.size / 2000.0)
+    assert(math.abs(frac("train") - 0.8) < 0.05)
+    assert(math.abs(frac("val") - 0.1) < 0.03 && math.abs(frac("test") - 0.1) < 0.03)
+    // growing the corpus never flips an existing row's split
+    val grown = Curation.splitAssign((1L to 4000L).toDF("id"), "id", splits)
+      .select("id", "split").as[(Long, String)].collect().toMap
+    assert(assigned.forall { case (id, s) => grown(id) == s })
+    // a different salt reshuffles
+    val other = Curation.splitAssign(docs, "id", splits, salt = "fold2")
+      .select("id", "split").as[(Long, String)].collect().toMap
+    assert(assigned.exists { case (id, s) => other(id) != s })
+    // zero-shuffle scalar plan
+    val plan = Curation.splitAssign(docs, "id", splits)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
+
   test("packSequences: offsets are a consistent concatenation, packs cut at the budget") {
     val docs = (1L to 500L).map(i => (i, 1 + (i * 13 % 97))).toDF("id", "n_tokens")
     val packed = Curation.packSequences(docs, "id", "n_tokens", budget = 512)
