@@ -193,23 +193,32 @@ object TextAnalysis {
    * (idCol, n_grams, n_boiler, boiler_ratio) — the gate column a curation
    * pipeline thresholds on before tokenization.
    *
-   * Scale shape: one explode of the corpus n-grams; the (source, gram)
-   * document-frequency aggregate runs on the per-doc-distinct grams; the
-   * flagged set semi-joins back on (source, gram). `n_grams` per doc is
-   * size arithmetic in the scan projection — no second explode.
+   * Scale shape: ONE explode of the corpus n-grams into a per-(doc, gram)
+   * occurrence aggregate; document frequency is a count-over-(source,
+   * gram) window on that same (much smaller) frame, and the per-doc
+   * boiler count is a filtered re-aggregation — three shuffles of
+   * strictly shrinking size, no join, and the corpus text is never
+   * re-exploded. `n_grams` per doc is size arithmetic in the scan
+   * projection.
    */
   def boilerplate(df: DataFrame, idCol: String, textCol: String,
                   sourceCol: String, n: Int = 5, minDocs: Int = 3): DataFrame = {
     require(n >= 1 && minDocs >= 2, s"need n >= 1, minDocs >= 2; got n=$n minDocs=$minDocs")
-    val grams = df.select(col(idCol), col(sourceCol),
-      explode(wordGrams(col(textCol), n)).as("gram"))
-    val boiler = grams.dropDuplicates(idCol, sourceCol, "gram")
-      .groupBy(col(sourceCol), col("gram"))
-      .agg(count(lit(1)).as("__df"))
+    import org.apache.spark.sql.expressions.Window
+    // one explicit shuffle on (source, gram) serves BOTH the per-doc
+    // occurrence aggregate (partitioning on a subset of its group keys
+    // satisfies its distribution) and the df window — the gram strings
+    // cross the wire exactly once
+    val tf = df.select(col(idCol), col(sourceCol),
+        explode(wordGrams(col(textCol), n)).as("gram"))
+      .repartition(col(sourceCol), col("gram"))
+      .groupBy(col(idCol), col(sourceCol), col("gram"))
+      .agg(count(lit(1)).as("__tf"))
+    val perDoc = tf
+      .withColumn("__df", count(lit(1)).over(
+        Window.partitionBy(col(sourceCol), col("gram"))))
       .filter(col("__df") >= minDocs)
-      .select(col(sourceCol), col("gram"))
-    val perDoc = grams.join(boiler, Seq(sourceCol, "gram"), "left_semi")
-      .groupBy(col(idCol)).agg(count(lit(1)).as("n_boiler"))
+      .groupBy(col(idCol)).agg(sum(col("__tf")).as("n_boiler"))
     df.select(col(idCol),
         greatest(size(tokens(col(textCol))) - (n - 1), lit(0))
           .cast("long").as("n_grams"))
