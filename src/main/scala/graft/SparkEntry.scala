@@ -3234,6 +3234,34 @@ object SparkEntry {
              |  coalesce(round(pd.n_boiler * 1.0 / nullif(n_grams, 0), 6), 0.0) AS boiler_ratio
              |FROM base LEFT JOIN pd ON base.doc_id = pd.doc_id""".stripMargin)),
 
+    // token-distribution entropy per doc: ln n - sum(c ln c)/n —
+    // repetitive/templated text scores low
+    "ta_entropy" -> Q(
+      (s, d) => graft.text.TextAnalysis.tokenEntropy(
+        T(s, d, "documents"), "doc_id", "text"),
+      Some("""WITH toks AS (
+             |  SELECT doc_id, unnest(list_filter(regexp_split_to_array(text, '\s+'),
+             |                                    t -> length(t) > 0)) AS tok
+             |  FROM documents),
+             |tc AS (SELECT doc_id, tok, count(*) AS c FROM toks GROUP BY 1, 2),
+             |a AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+             |        sum(c * ln(c)) AS s FROM tc GROUP BY 1)
+             |SELECT doc_id, n_tokens,
+             |  round(ln(n_tokens) - s / n_tokens, 6) AS entropy
+             |FROM a""".stripMargin)),
+
+    // winsorization: clip the value tails at exact p05/p95 percentiles,
+    // cutpoints as broadcast literals, clip as a scan-level scalar
+    "dq_winsorize" -> Q(
+      (s, d) => graft.quality.DataQuality.winsorize(
+          TestData.events(s, d), "value", pLow = 0.05, pHigh = 0.95)
+        .select(col("event_id"), col("value"), col("winsorized")),
+      Some("""WITH q AS (SELECT quantile_cont(value, 0.05) AS lo,
+             |                  quantile_cont(value, 0.95) AS hi FROM events)
+             |SELECT event_id, value,
+             |  round(greatest(least(value, hi), lo), 6) AS winsorized
+             |FROM events, q""".stripMargin)),
+
     // unigram-LM quality score (in-engine KenLM-perplexity stand-in):
     // avg token log-probability under corpus-trained frequencies
     "ta_unigram_lm" -> Q(

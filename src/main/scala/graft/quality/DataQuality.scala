@@ -96,6 +96,28 @@ object DataQuality {
    * across engines. MAD = 0 (over half the group identical) yields a null
    * z and an unflagged row.
    */
+  /**
+   * Winsorize: clip `valueCol` to its [pLow, pHigh] exact interpolated
+   * percentiles — tame heavy tails without dropping rows. The two
+   * cutpoints are one aggregation collected as driver scalars (same
+   * budget as Curation.percentileCutpoints) and ride as literals, so the
+   * clip is a pure scalar on the scan; swap in `approx_percentile` at
+   * extreme scale. Output rounds to 6 decimals, which also makes the
+   * clip boundary engine-stable (a value within 1 ulp of a cutpoint
+   * rounds identically whether clipped or not).
+   */
+  def winsorize(df: DataFrame, valueCol: String,
+                pLow: Double = 0.01, pHigh: Double = 0.99,
+                outCol: String = "winsorized"): DataFrame = {
+    require(pLow >= 0 && pHigh <= 1 && pLow < pHigh,
+      s"need 0 <= pLow < pHigh <= 1, got ($pLow, $pHigh)")
+    val v = col(valueCol).cast("double")
+    val r = df.agg(percentile(v, lit(pLow)), percentile(v, lit(pHigh))).head()
+    require(!r.isNullAt(0), "winsorize: no non-null values")
+    val (lo, hi) = (r.getDouble(0), r.getDouble(1))
+    df.withColumn(outCol, round(greatest(least(v, lit(hi)), lit(lo)), 6))
+  }
+
   def robustOutliers(df: DataFrame, groupCol: String, valueCol: String,
                      threshold: Double = 3.5): DataFrame = {
     val v = col(valueCol).cast("double")

@@ -230,6 +230,25 @@ object TextAnalysis {
   }
 
   /**
+   * Per-doc Shannon entropy of the token distribution, in nats:
+   * H = ln n − (Σ c·ln c)/n. Low entropy = repetitive/templated text
+   * (complements [[repetitionStats]]'s exact-repeat view with a
+   * distribution-shape one). One explicit repartition on the doc id
+   * serves both the (doc, token) count and the per-doc reduction — the
+   * token stream shuffles once, and nothing is corpus-global.
+   * Returns (idCol, n_tokens, entropy), docs with ≥1 token.
+   */
+  def tokenEntropy(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol), explode(tokens(col(textCol))).as("tok"))
+      .repartition(col(idCol))
+      .groupBy(col(idCol), col("tok")).agg(count(lit(1)).as("__c"))
+      .groupBy(col(idCol))
+      .agg(sum(col("__c")).as("n_tokens"),
+        sum(col("__c") * log(col("__c"))).as("__s"))
+      .select(col(idCol), col("n_tokens"),
+        round(log(col("n_tokens")) - col("__s") / col("n_tokens"), 6).as("entropy"))
+
+  /**
    * Unigram-LM quality score: the in-engine version of the KenLM
    * perplexity filter (CCNet) — train token frequencies on the corpus
    * itself, score each doc by its mean token log-probability

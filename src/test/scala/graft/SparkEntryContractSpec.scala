@@ -28,6 +28,23 @@ class SparkEntryContractSpec extends AnyFunSuite {
     assert(failures.isEmpty, s"unresolvable queries:\n${failures.mkString("\n")}")
   }
 
+  test("no battery query plans an unbounded cartesian product") {
+    // CartesianProduct = big×big with no join key — the one plan shape that
+    // cannot survive scale-up. 1-row broadcast stats frames plan as
+    // BroadcastNestedLoopJoin and are fine; a true cartesian must be an
+    // explicitly documented brute-force oracle path.
+    val allowed = Set(
+      "dd_embedding_neardup" // documented brute-force oracle/small-data twin
+    )
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      try {
+        val p = fn(spark, sf).queryExecution.executedPlan.toString
+        if (p.contains("CartesianProduct") && !allowed(name)) Some(name) else None
+      } catch { case _: Throwable => None } // resolvability is the prior test
+    }
+    assert(offenders.isEmpty, s"unexpected cartesian in: $offenders")
+  }
+
   test("output column names are parquet-safe, unique, and lowercase") {
     val bad = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val cols = fn(spark, sf).schema.fieldNames.toSeq

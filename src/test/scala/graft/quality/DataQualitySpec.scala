@@ -61,6 +61,16 @@ class DataQualitySpec extends AnyFunSuite {
     assert(pass.columns.toSeq == batch.columns.toSeq) // tag column dropped
   }
 
+  test("winsorize clips both tails to the exact percentiles, interior untouched") {
+    val df = (1L to 100L).map(i => (i, i.toDouble)).toDF("id", "v")
+    val w = DataQuality.winsorize(df, "v", pLow = 0.1, pHigh = 0.9)
+      .select("id", "winsorized").as[(Long, Double)].collect().toMap
+    // p10 of 1..100 (interpolated) = 10.9, p90 = 90.1
+    assert(w(1L) == 10.9 && w(5L) == 10.9)    // low tail clipped up
+    assert(w(100L) == 90.1 && w(95L) == 90.1) // high tail clipped down
+    assert(w(50L) == 50.0)                    // interior unchanged
+  }
+
   test("robustOutliers flags the planted spike and nothing else") {
     // group a: tight cluster around 10 plus one spike; group b: constant
     val rows = (1L to 20L).map(i => (i, "a", 10.0 + (i % 5) * 0.1)) :+

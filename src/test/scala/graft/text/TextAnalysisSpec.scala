@@ -155,6 +155,24 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(r(2L) == ((1L, 1L, 1.0)))        // "two words" in 3 docs → flagged
   }
 
+  test("tokenEntropy: uniform tokens max out, repetition scores low, hand-checked") {
+    val docs = Seq(
+      (1L, "a b c d"),        // uniform: H = ln 4
+      (2L, "a a a a"),        // degenerate: H = 0
+      (3L, "a a b b c c d d") // uniform over 4: H = ln 4
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.tokenEntropy(docs, "doc_id", "text")
+      .as[(Long, Long, Double)].collect().map(x => x._1 -> x._3).toMap
+    val ln4 = BigDecimal(math.log(4)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r(1L) == ln4 && r(3L) == ln4)
+    assert(r(2L) == 0.0)
+    // entropy is invariant to length at fixed distribution, sensitive to skew
+    val skew = TextAnalysis.tokenEntropy(
+      Seq((9L, "a a a a a a b")).toDF("doc_id", "text"), "doc_id", "text")
+      .as[(Long, Long, Double)].collect().head._3
+    assert(skew > 0.0 && skew < ln4)
+  }
+
   test("unigramLmScore: common-token docs score higher; hand-checked value") {
     // corpus: "the" ×3, "cat" ×2, "dog" ×2, "zyx" ×1 → total 8
     val docs = Seq(
