@@ -1707,7 +1707,7 @@ object SparkEntry {
         .groupBy(col("split")).agg(count(lit(1)).as("n"))
         .orderBy(col("split")),
       Some(s"""SELECT CASE WHEN u < 0.8 THEN 'train'
-             |            WHEN u < ${0.8 + 0.1} THEN 'val'
+             |            WHEN u < 0.9 THEN 'val'
              |            ELSE 'test' END AS split, count(*) AS n
              |FROM (SELECT CAST('0x' || substr(md5('split|' || doc_id), 1, 15) AS BIGINT)
              |        % 10000 / 10000.0 AS u
@@ -3233,6 +3233,69 @@ object SparkEntry {
              |  coalesce(pd.n_boiler, 0) AS n_boiler,
              |  coalesce(round(pd.n_boiler * 1.0 / nullif(n_grams, 0), 6), 0.0) AS boiler_ratio
              |FROM base LEFT JOIN pd ON base.doc_id = pd.doc_id""".stripMargin)),
+
+    // CAPSTONE: the modern pretraining data pipeline composed end-to-end
+    // from this round's operators — quality gates (entropy + unigram LM)
+    // → exact dedup survivors → temperature rebalance → train/val/test
+    // split → per-(split, source) doc and token counts. Every stage's
+    // oracle block was proven individually; this checks the COMPOSITION
+    // (gate thresholds compare round-6 values, so the cascade is stable)
+    "pipeline_pretraining" -> Q(
+      (s, d) => {
+        import graft.ops.Curation
+        import graft.text.TextAnalysis
+        val docs = T(s, d, "documents")
+        val ent = TextAnalysis.tokenEntropy(docs, "doc_id", "text")
+          .select(col("doc_id"), col("entropy"))
+        val lm = TextAnalysis.unigramLmScore(docs, "doc_id", "text")
+          .select(col("doc_id"), col("avg_logp"))
+        val gated = docs.join(ent, "doc_id").join(lm, "doc_id")
+          .filter(col("entropy") >= 2.8 && col("avg_logp") >= -3.5)
+        val surv = Dedup.exactSurvivors(gated, "doc_id", "text")
+        val mixed = Curation.temperatureMix(surv, "doc_id", "source",
+            tau = 0.5, targetFrac = 0.5)
+          .filter(col("__keep")).drop("__keep", "__keep_rate")
+        Curation.splitAssign(mixed, "doc_id",
+            Seq(("train", 0.9), ("val", 0.05), ("test", 0.05)))
+          .groupBy(col("split"), col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(TextAnalysis.tokenCount(col("text"))).cast("long").as("n_tokens"))
+          .orderBy(col("split"), col("source"))
+      },
+      Some(s"""WITH toks AS (
+             |  SELECT doc_id, unnest(list_filter(regexp_split_to_array(text, '\\s+'),
+             |                                    t -> length(t) > 0)) AS tok
+             |  FROM documents),
+             |tc AS (SELECT doc_id, tok, count(*) AS c FROM toks GROUP BY 1, 2),
+             |ent AS (SELECT doc_id, round(ln(CAST(sum(c) AS BIGINT))
+             |          - sum(c * ln(c)) / CAST(sum(c) AS BIGINT), 6) AS entropy
+             |        FROM tc GROUP BY 1),
+             |vocab AS (SELECT tok, count(*) AS cnt FROM toks GROUP BY 1),
+             |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM vocab),
+             |lm AS (SELECT doc_id, round(avg(ln(cnt)) - ln(total), 6) AS avg_logp
+             |       FROM toks JOIN vocab USING (tok), tot GROUP BY doc_id, total),
+             |gated AS (SELECT d.* FROM documents d
+             |          JOIN ent USING (doc_id) JOIN lm USING (doc_id)
+             |          WHERE entropy >= 2.8 AND avg_logp >= -3.5),
+             |surv AS (SELECT g.* FROM gated g
+             |         JOIN (SELECT text, min(doc_id) AS doc_id
+             |               FROM gated GROUP BY text) k ON g.doc_id = k.doc_id),
+             |c AS (SELECT source, count(*) AS n FROM surv GROUP BY 1),
+             |t AS (SELECT CAST(sum(n) AS BIGINT) AS total_n, sum(pow(n, 0.5)) AS z FROM c),
+             |r AS (SELECT source, round(least(1.0,
+             |        0.5 * total_n * pow(n, 0.5) / z / n), 6) AS keep_rate FROM c, t),
+             |mixed AS (SELECT s.* FROM surv s JOIN r USING (source)
+             |          WHERE CAST('0x' || substr(md5('temp|' || s.doc_id), 1, 15) AS BIGINT)
+             |            % 10000 / 10000.0 < r.keep_rate),
+             |sp AS (SELECT *, CASE WHEN u < 0.9 THEN 'train'
+             |                      WHEN u < 0.95 THEN 'val'
+             |                      ELSE 'test' END AS split
+             |       FROM (SELECT m.*, CAST('0x' || substr(md5('split|' || doc_id), 1, 15) AS BIGINT)
+             |               % 10000 / 10000.0 AS u FROM mixed m))
+             |SELECT split, source, count(*) AS n_docs,
+             |  CAST(sum(len(list_filter(regexp_split_to_array(text, '\\s+'),
+             |                           x -> length(x) > 0))) AS BIGINT) AS n_tokens
+             |FROM sp GROUP BY 1, 2 ORDER BY split, source""".stripMargin)),
 
     // token-distribution entropy per doc: ln n - sum(c ln c)/n —
     // repetitive/templated text scores low

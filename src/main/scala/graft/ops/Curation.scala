@@ -89,7 +89,12 @@ object Curation {
     require(math.abs(splits.map(_._2).sum - 1.0) < 1e-9,
       s"split weights must sum to 1, got ${splits.map(_._2).sum}")
     val u = hashUniform(col(idCol), salt)
-    val cum = splits.scanLeft(0.0)(_ + _._2).tail
+    // cumulative thresholds in DECIMAL so 0.9 + 0.05 is exactly 0.95: the
+    // uniform lands on a 1e-4 grid, and a binary-float cumsum artifact
+    // (0.9500000000000001) straddles grid points differently across
+    // engines — decimal sums make boundary comparisons reproducible
+    val cum = splits.map(s => BigDecimal.valueOf(s._2))
+      .scanLeft(BigDecimal(0))(_ + _).tail.map(_.toDouble)
     val expr = splits.init.zip(cum.init)
       .foldLeft(Option.empty[Column]) { case (acc, ((name, _), t)) =>
         Some(acc.fold(when(u < t, name))(_.when(u < t, name)))
