@@ -478,6 +478,26 @@ object SparkEntry {
              |                  AND o.o_orderstatus = 'F')
              |ORDER BY c_custkey""".stripMargin)),
 
+    // Bloom-prune join: the big side is filtered through a bloom sketch of
+    // the small side's keys BEFORE the join — the manual runtime filter for
+    // un-broadcastable dims. Oracle is the PLAIN join: false positives are
+    // eliminated by the join, so the results are exactly equal.
+    "j8_bloom_prune" -> Q(
+      (s, d) => {
+        val li = T(s, d, "lineitem")
+        val parts = T(s, d, "part").filter(col("p_brand") === "Brand#23")
+        graft.ops.Relational.bloomPruneJoin(
+            li, parts, "l_partkey", "p_partkey", expectedItems = 1 << 14)
+          .groupBy(col("p_size"))
+          .agg(count(lit(1)).as("n_items"), dsum(col("l_quantity")).as("sum_qty"))
+          .orderBy(col("p_size"))
+      },
+      Some("""SELECT p_size, count(*) AS n_items,
+             |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+             |FROM lineitem JOIN part ON l_partkey = p_partkey
+             |WHERE p_brand = 'Brand#23'
+             |GROUP BY p_size ORDER BY p_size""".stripMargin)),
+
     // RANGE-frame window: events in the trailing hour per user — value-based
     // frames (vs w6's row-based), the sliding-window primitive for rate
     // features

@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import org.apache.spark.sql.functions._
 
-import graft.expr.{ChunkText, CosineSimilarity, DotProduct}
+import graft.expr.{BloomMightContain, ChunkText, CosineSimilarity, DotProduct}
 
 /**
  * Scalar-function surface of the engine (SURVEY.md §2.8–2.9, F1–F16 + V2–V3).
@@ -28,6 +28,10 @@ object GraftFunctions {
 
   /** Dot product of two array<float> columns; == cosine on normalized vectors. */
   def dotProduct(a: Column, b: Column): Column = call_function("dot_product", a, b)
+
+  /** Probe a serialized BloomFilter sketch (see [[graft.expr.BloomMightContain]]). */
+  def bloomMightContain(key: Column, filterBytes: Array[Byte]): Column =
+    call_function("bloom_might_contain", key, lit(filterBytes))
 
   /** L2-normalize an array<float> vector (null-safe; zero vector → null). */
   def l2Normalize(v: Column): Column = {
@@ -119,6 +123,9 @@ object GraftFunctions {
       (FunctionIdentifier("dot_product"),
         new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
         (children: Seq[Expression]) => DotProduct(children(0), children(1))),
+      (FunctionIdentifier("bloom_might_contain"),
+        new ExpressionInfo(classOf[BloomMightContain].getName, "bloom_might_contain"),
+        (children: Seq[Expression]) => BloomMightContain(children(0), children(1))),
       (FunctionIdentifier("chunk_text"),
         new ExpressionInfo(classOf[ChunkText].getName, "chunk_text"),
         (children: Seq[Expression]) => children match {
