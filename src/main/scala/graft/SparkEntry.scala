@@ -3517,7 +3517,199 @@ object SparkEntry {
              |FROM (SELECT user_id, count(*) AS n_total,
              |        count(*) FILTER (WHERE event_type = 'purchase') AS n_done
              |      FROM events GROUP BY user_id) t
-             |ORDER BY user_id""".stripMargin))
+             |ORDER BY user_id""".stripMargin)),
+
+    // ── round 4: SCD2, sampling, batching, hybrid retrieval, drift, URLs ──
+
+    // SCD2 dimension build from a change log: collapse no-op rows, then
+    // half-open validity intervals via lead — both windows share one
+    // shuffle on the entity key (plan pinned in PlanAuditSpec)
+    "x12_scd2" -> Q(
+      (s, d) => Relational.scd2(
+          TestData.events(s, d)
+            .select(col("event_id"), col("user_id"), col("event_type"),
+              unix_millis(col("ts")).as("ms")),
+          "user_id", "ms", Seq("event_type"), tieBreak = Seq(col("event_id")))
+        .select(col("user_id"), col("event_type"),
+          col("valid_from").as("valid_from_ms"), col("valid_to").as("valid_to_ms"),
+          col("is_current"))
+        .orderBy(col("user_id"), col("valid_from_ms"), col("event_type")),
+      Some("""WITH e AS (SELECT event_id, user_id, event_type,
+             |    epoch_ms(CAST(ts AS TIMESTAMP)) AS ms FROM events),
+             |c AS (SELECT *, lag(event_type) OVER (PARTITION BY user_id ORDER BY ms, event_id) AS prev FROM e),
+             |ch AS (SELECT user_id, event_type, ms, event_id FROM c
+             |       WHERE prev IS DISTINCT FROM event_type)
+             |SELECT user_id, event_type, ms AS valid_from_ms,
+             |  lead(ms) OVER w AS valid_to_ms,
+             |  lead(ms) OVER w IS NULL AS is_current
+             |FROM ch WINDOW w AS (PARTITION BY user_id ORDER BY ms, event_id)
+             |ORDER BY user_id, valid_from_ms, event_type""".stripMargin)),
+
+    // weighted sampling without replacement (A-ES): global top-k on the
+    // deterministic key, TakeOrderedAndProject — no full sort
+    "cu_weighted_sample" -> Q(
+      (s, d) => graft.ops.Curation.weightedSample(
+          T(s, d, "documents").select(col("doc_id"), col("n_chars")),
+          "doc_id", col("n_chars"), k = 50, salt = "ws1")
+        .orderBy(col("samp_key"), col("doc_id")),
+      Some("""WITH u AS (SELECT doc_id, n_chars,
+             |    greatest(CAST(CAST('0x' || substr(md5('ws1|' || doc_id), 1, 15) AS BIGINT) % 10000 AS DOUBLE) / 10000.0, 0.0001) AS uu
+             |  FROM documents)
+             |SELECT doc_id, n_chars, round(-ln(uu) / n_chars, 9) AS samp_key
+             |FROM u ORDER BY samp_key, doc_id LIMIT 50""".stripMargin)),
+
+    // length-bucketed batch assignment: quantile buckets via cutpoints (no
+    // global sort), md5-shuffled within bucket, cut every 16 rows
+    "cu_length_batches" -> Q(
+      (s, d) => graft.ops.Curation.lengthBatches(
+          T(s, d, "documents"), "doc_id", col("n_chars"),
+          nBuckets = 4, batchSize = 16, salt = "lb1")
+        .orderBy(col("batch_id"), col("pos_in_batch")),
+      Some("""WITH c AS (SELECT quantile_cont(n_chars, [0.25, 0.5, 0.75]) AS cuts FROM documents),
+             |b AS (SELECT doc_id, n_chars,
+             |        1 + CAST(n_chars > cuts[1] AS INT) + CAST(n_chars > cuts[2] AS INT)
+             |          + CAST(n_chars > cuts[3] AS INT) AS bucket
+             |      FROM documents, c),
+             |r AS (SELECT *, row_number() OVER (PARTITION BY bucket
+             |        ORDER BY md5('lb1|' || doc_id), doc_id) - 1 AS rn FROM b)
+             |SELECT doc_id, CAST(n_chars AS BIGINT) AS n_tokens, bucket,
+             |  CAST(bucket * 1000000 + rn // 16 AS BIGINT) AS batch_id,
+             |  CAST(rn % 16 AS INT) AS pos_in_batch
+             |FROM r ORDER BY batch_id, pos_in_batch""".stripMargin)),
+
+    // hybrid retrieval: BM25 top-20 ∪ cosine top-20 → reciprocal-rank
+    // fusion (k0=60); both lists are pre-reduced so fusion joins k rows
+    "v6_hybrid_rrf" -> Q(
+      (s, d) => {
+        val lex = graft.text.Bm25.search(T(s, d, "documents"), "doc_id", "text",
+          queryTerms = Seq("join", "vector", "shard"), k = 20)
+        val vec = Rag.knn(TestData.embeddings(s, d).filter(col("vec_id") =!= 0),
+            "vec_id", "embedding", queryVec(s, d), k = 20, minScore = 0.0)
+          .select(col("vec_id").as("doc_id"), round(col("score"), 6).as("score"))
+        Rag.rrfFuse(Seq(lex, vec), "doc_id", "score", k0 = 60, topK = 10)
+          .orderBy(col("rrf").desc, col("doc_id"))
+      },
+      Some("""WITH toks AS (
+             |  SELECT doc_id, unnest(list_filter(regexp_split_to_array(text, '\s+'),
+             |                                    t -> length(t) > 0)) AS tok
+             |  FROM documents),
+             |stats AS (SELECT doc_id, count(*) AS len FROM toks GROUP BY 1),
+             |corpus AS (SELECT count(*) AS n_docs, avg(len) AS avg_len FROM stats),
+             |tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks
+             |       WHERE tok IN ('join', 'vector', 'shard') GROUP BY 1, 2),
+             |dfreq AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
+             |sc AS (SELECT doc_id,
+             |    round(sum(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+             |        * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * len / avg_len))), 6) AS score
+             |  FROM tf JOIN dfreq USING (tok) JOIN stats USING (doc_id), corpus
+             |  GROUP BY doc_id),
+             |bmtop AS (SELECT doc_id, score FROM sc ORDER BY score DESC, doc_id LIMIT 20),
+             |bm AS (SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS rb FROM bmtop),
+             |qv AS (SELECT embedding AS q FROM embeddings WHERE vec_id = 0),
+             |pr AS (SELECT e.vec_id, unnest(e.embedding)::DOUBLE AS x, unnest(qv.q)::DOUBLE AS y
+             |       FROM embeddings e, qv WHERE e.vec_id <> 0),
+             |cs AS (SELECT vec_id, SUM(x*y) / (SQRT(SUM(x*x)) * SQRT(SUM(y*y))) AS s
+             |       FROM pr GROUP BY vec_id),
+             |vtop AS (SELECT vec_id AS doc_id, round(s, 6) AS score FROM cs
+             |         ORDER BY s DESC, vec_id LIMIT 20),
+             |vv AS (SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS rv FROM vtop),
+             |f AS (SELECT coalesce(bm.doc_id, vv.doc_id) AS doc_id,
+             |        round(coalesce(1.0/(60+rb), 0) + coalesce(1.0/(60+rv), 0), 9) AS rrf
+             |      FROM bm FULL OUTER JOIN vv ON bm.doc_id = vv.doc_id)
+             |SELECT doc_id, rrf FROM f ORDER BY rrf DESC, doc_id LIMIT 10""".stripMargin)),
+
+    // per-label embedding centroids in long form: decimal-exact dimension
+    // sums (order-independent partials), double mean on the way out
+    "v7_centroids" -> Q(
+      (s, d) => TestData.embeddings(s, d).filter(col("vec_id") =!= 0)
+        .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "x")))
+        .groupBy(col("label"), col("dim"))
+        .agg((sum(col("x").cast("decimal(28,12)")).cast("double") / count(lit(1))).as("m"))
+        .select(col("label"), col("dim"), round(col("m"), 6).as("mean"))
+        .orderBy(col("label"), col("dim")),
+      Some("""SELECT label, i - 1 AS dim,
+             |  round(CAST(sum(CAST(x AS DECIMAL(28,12))) AS DOUBLE) / count(*), 6) AS mean
+             |FROM (SELECT label, unnest(embedding)::DOUBLE AS x,
+             |        generate_subscripts(embedding, 1) AS i
+             |      FROM embeddings WHERE vec_id <> 0) t
+             |GROUP BY label, i ORDER BY label, dim""".stripMargin)),
+
+    // PSI distribution drift between two event halves: reference-quantile
+    // bins, add-half smoothing, per-bin (p_c − p_r)·ln(p_c/p_r)
+    "dq_drift" -> Q(
+      (s, d) => {
+        val ev = TestData.events(s, d).filter(col("value").isNotNull)
+        graft.quality.DataQuality.psiDrift(
+            ev.filter(col("event_id") % 2 === 0).select(col("value")),
+            ev.filter(col("event_id") % 2 === 1).select(col("value")),
+            "value", nBins = 10)
+          .orderBy(col("bin"))
+      },
+      Some("""WITH ref AS (SELECT value FROM events WHERE value IS NOT NULL AND event_id % 2 = 0),
+             |cur AS (SELECT value FROM events WHERE value IS NOT NULL AND event_id % 2 = 1),
+             |c AS (SELECT quantile_cont(value, [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS cuts FROM ref),
+             |rb AS (SELECT 1 + CAST(value > cuts[1] AS INT) + CAST(value > cuts[2] AS INT)
+             |         + CAST(value > cuts[3] AS INT) + CAST(value > cuts[4] AS INT)
+             |         + CAST(value > cuts[5] AS INT) + CAST(value > cuts[6] AS INT)
+             |         + CAST(value > cuts[7] AS INT) + CAST(value > cuts[8] AS INT)
+             |         + CAST(value > cuts[9] AS INT) AS bin FROM ref, c),
+             |cb AS (SELECT 1 + CAST(value > cuts[1] AS INT) + CAST(value > cuts[2] AS INT)
+             |         + CAST(value > cuts[3] AS INT) + CAST(value > cuts[4] AS INT)
+             |         + CAST(value > cuts[5] AS INT) + CAST(value > cuts[6] AS INT)
+             |         + CAST(value > cuts[7] AS INT) + CAST(value > cuts[8] AS INT)
+             |         + CAST(value > cuts[9] AS INT) AS bin FROM cur, c),
+             |rn AS (SELECT bin, count(*) AS n_ref FROM rb GROUP BY 1),
+             |cn AS (SELECT bin, count(*) AS n_cur FROM cb GROUP BY 1),
+             |spine AS (SELECT CAST(unnest(range(1, 11)) AS INT) AS bin),
+             |j AS (SELECT bin, coalesce(n_ref, 0) AS n_ref, coalesce(n_cur, 0) AS n_cur
+             |      FROM spine LEFT JOIN rn USING (bin) LEFT JOIN cn USING (bin)),
+             |t AS (SELECT sum(n_ref) AS tr, sum(n_cur) AS tc FROM j)
+             |SELECT bin, n_ref, n_cur,
+             |  round(((n_cur + 0.5)/(tc + 5.0) - (n_ref + 0.5)/(tr + 5.0))
+             |        * ln(((n_cur + 0.5)/(tc + 5.0)) / ((n_ref + 0.5)/(tr + 5.0))), 9) AS psi_term
+             |FROM j, t ORDER BY bin""".stripMargin)),
+
+    // URL canonicalization → exact dedup: 500 messy aliases (case, default
+    // port, tracking params, fragments, trailing slash) collapse to 25
+    // canonical URLs; the whole chain is scan-fused scalar expressions
+    "web_url_canon" -> Q(
+      (s, d) => {
+        val raw = T(s, d, "documents").select(col("doc_id"),
+          concat(
+            when(col("doc_id") % 2 === 0, lit("HTTPS://WWW.Example.COM:443"))
+              .otherwise(lit("https://www.example.com")),
+            lit("/docs/"), (col("doc_id") % 25).cast("string"),
+            when(col("doc_id") % 3 === 0, lit("/")).otherwise(lit("")),
+            lit("?utm_source=feed&id="), (col("doc_id") % 25).cast("string"),
+            when(col("doc_id") % 5 === 0, lit("&utm_campaign=x")).otherwise(lit("")),
+            lit("#sec"), col("doc_id").cast("string")).as("url"))
+        raw.select(col("doc_id"), graft.ops.Web.canonicalizeUrl(col("url")).as("canonical"))
+          .groupBy(col("canonical"))
+          .agg(count(lit(1)).as("n"), min(col("doc_id")).as("first_doc"))
+          .orderBy(col("canonical"))
+      },
+      Some("""WITH raw AS (SELECT doc_id,
+             |    (CASE WHEN doc_id % 2 = 0 THEN 'HTTPS://WWW.Example.COM:443' ELSE 'https://www.example.com' END)
+             |    || '/docs/' || (doc_id % 25)
+             |    || (CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '' END)
+             |    || '?utm_source=feed&id=' || (doc_id % 25)
+             |    || (CASE WHEN doc_id % 5 = 0 THEN '&utm_campaign=x' ELSE '' END)
+             |    || '#sec' || doc_id AS url FROM documents),
+             |st AS (SELECT doc_id, regexp_replace(url, '#.*', '', 'g') AS u1 FROM raw),
+             |au AS (SELECT doc_id, u1,
+             |         regexp_extract(u1, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*') AS auth FROM st),
+             |parts AS (SELECT doc_id,
+             |    regexp_replace(lower(auth), ':(80|443)$', '') AS a2,
+             |    substr(u1, length(auth) + 1) AS rest FROM au),
+             |clean AS (SELECT doc_id, a2,
+             |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+             |      rest, '([?&])(utm_[a-zA-Z0-9_]*|fbclid|gclid|ref)=[^&#]*', '\1', 'g'),
+             |      '\?&+', '?', 'g'), '&&+', '&', 'g'), '[?&]+$', '', 'g') AS r2 FROM parts),
+             |fin AS (SELECT doc_id,
+             |    a2 || regexp_replace(regexp_replace(r2, '/\?', '?', 'g'), '/$', '', 'g') AS canonical
+             |  FROM clean)
+             |SELECT canonical, count(*) AS n, min(doc_id) AS first_doc
+             |FROM fin GROUP BY canonical ORDER BY canonical""".stripMargin))
   )
 
   private val routingTopics = Events.Topics(

@@ -331,4 +331,63 @@ object Curation {
         floor(col("start_offset") / lit(budget.toDouble)).cast("long"))
       .select(col(idCol), col("n_tokens"), col("start_offset"), col("pack_id"))
   }
+
+  /**
+   * Weighted sampling WITHOUT replacement (Efraimidis–Spirakis A-ES):
+   * every row gets key = -ln(u) / w with u its deterministic md5-uniform,
+   * and the k smallest keys are the sample. Inclusion probability is
+   * proportional to weight, the draw is exact without-replacement
+   * semantics, and — the scale property — selection is a global TOP-K
+   * (TakeOrderedAndProject: per-partition heaps of k, then a k-sized
+   * merge on the driver), never a full sort or a single-partition window.
+   *
+   * The key is rounded to 9 dp before comparison so the selected SET is
+   * reproducible bit-for-bit on any engine computing the same md5 (the
+   * DuckDB oracle recomputes it); ties break by id.
+   *
+   * u is clamped away from 0 (ln(0) = -inf) and from 1 (key 0 would make
+   * zero-weight rows competitive); weights must be strictly positive.
+   */
+  def weightedSample(df: DataFrame, idCol: String, weight: Column, k: Int,
+                     salt: String = "wsample"): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val u = greatest(hashUniform(col(idCol), salt), lit(1e-4))
+    val key = round(-log(u) / weight.cast("double"), 9)
+    df.withColumn("samp_key", key)
+      .orderBy(col("samp_key").asc, col(idCol).asc)
+      .limit(k)
+  }
+
+  /**
+   * Length-bucketed batch assignment for training: bin rows into
+   * `nBuckets` length-quantile buckets (cutpoints from
+   * [[percentileCutpoints]] — one aggregate, then a pure scalar
+   * expression, NO global sort), deterministically shuffle within each
+   * bucket (md5 order), and cut every `batchSize` rows into a batch.
+   *
+   * Batches then contain near-equal-length sequences, so per-batch padding
+   * waste is bounded by the bucket's quantile spread instead of the
+   * corpus-wide max length. The only shuffle is the per-bucket window —
+   * partitioned by bucket, never corpus-global — and batch ids are
+   * deterministic: same corpus + salt ⇒ same batches on any engine.
+   * Output: (idCol, n_tokens, bucket, batch_id, pos_in_batch).
+   */
+  def lengthBatches(df: DataFrame, idCol: String, lenCol: Column,
+                    nBuckets: Int, batchSize: Int,
+                    salt: String = "batch"): DataFrame = {
+    require(batchSize > 0, s"batchSize must be positive, got $batchSize")
+    val cuts = percentileCutpoints(df, lenCol, nBuckets)
+    val binned = binByCutpoints(
+      df.select(col(idCol), lenCol.cast("long").as("n_tokens")),
+      col("n_tokens"), cuts)
+    val w = Window.partitionBy(col("bin"))
+      .orderBy(md5(concat(lit(salt + "|"), col(idCol).cast("string"))).asc,
+        col(idCol).asc)
+    binned
+      .withColumn("__rn", row_number().over(w) - 1)
+      .select(col(idCol), col("n_tokens"), col("bin").as("bucket"),
+        (col("bin").cast("long") * lit(1000000L) +
+          (col("__rn") / batchSize).cast("long")).as("batch_id"),
+        (col("__rn") % batchSize).cast("int").as("pos_in_batch"))
+  }
 }

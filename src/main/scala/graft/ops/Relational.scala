@@ -258,4 +258,36 @@ object Relational {
     val pruned = bloomPrune(big, small, bigKey, smallKey, expectedItems, fpp)
     pruned.join(small, pruned(bigKey) === small(smallKey))
   }
+
+  /**
+   * Slowly-changing-dimension type 2 build: a change log (key, ts, tracked
+   * attributes) becomes versioned dimension rows with half-open
+   * [valid_from, valid_to) intervals and an `is_current` flag.
+   *
+   * Two window passes over ONE shuffle (both windows share the
+   * partition-by-key sort, so Catalyst plans a single Exchange+Sort):
+   *  1. collapse no-op rows — a log row whose tracked attributes equal the
+   *     previous row's is noise, not a new version (null-safe struct
+   *     compare, so NULL→NULL is "unchanged" and NULL→x is a change);
+   *  2. valid_to = next change's valid_from (lead), NULL on the open row.
+   *
+   * At 100 TB the change log shuffles once on the entity key — the same
+   * partitioning a downstream point-in-time (as-of) join against the
+   * dimension wants, so the Exchange is reusable, and no self-join or
+   * cross-version comparison ever materializes.
+   */
+  def scd2(df: DataFrame, key: String, tsCol: String,
+           attrCols: Seq[String], tieBreak: Seq[Column] = Nil): DataFrame = {
+    val ord = col(tsCol) +: tieBreak
+    val w = Window.partitionBy(key).orderBy(ord: _*)
+    val attrs = struct(attrCols.map(col): _*)
+    val changes = df
+      .withColumn("_prev", lag(attrs, 1).over(w))
+      .filter(col("_prev").isNull || !(col("_prev") <=> attrs))
+      .drop("_prev")
+    changes
+      .withColumn("valid_from", col(tsCol))
+      .withColumn("valid_to", lead(col(tsCol), 1).over(w))
+      .withColumn("is_current", col("valid_to").isNull)
+  }
 }

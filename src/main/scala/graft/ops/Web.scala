@@ -55,4 +55,39 @@ object Web {
     df.filter(domainOf(urlCol).isNull ||
       !arrays_overlap(domainSuffixes(domainOf(urlCol)), blockedArr))
   }
+
+  /**
+   * URL canonicalization for crawl dedup: two crawls of the same page
+   * routinely differ only in case, default port, fragment, tracking
+   * params, or a trailing slash — canonicalize first, THEN dedup, or the
+   * exact-dedup pass silently keeps near-infinite URL aliases.
+   *
+   * Steps (each a codegen'd, RE2-safe column expression — no UDF, no
+   * shuffle; the whole chain fuses into the scan):
+   *  1. drop the #fragment;
+   *  2. lowercase scheme + authority (path/query stay case-sensitive);
+   *  3. strip default ports (:80 / :443);
+   *  4. remove tracking params (utm_*, fbclid, gclid, ref) wherever they
+   *     sit in the query string, then repair separators (?& → ?, && → &,
+   *     trailing ? or &);
+   *  5. collapse a bare trailing slash (path "/" or end-of-path).
+   */
+  def canonicalizeUrl(url: Column): Column = {
+    // authority = scheme://host[:port] — the prefix up to the first /, ? or #
+    val noFrag = regexp_replace(url, "#.*", "")
+    val auth = regexp_extract(noFrag, "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*", 0)
+    val rest = substring_index_safe(noFrag, auth)
+    val authLc = regexp_replace(lower(auth), ":(80|443)$", "")
+    val noTrack = regexp_replace(rest,
+      "([?&])(utm_[a-zA-Z0-9_]*|fbclid|gclid|ref)=[^&#]*", "$1")
+    val fixedSep = regexp_replace(regexp_replace(regexp_replace(
+      noTrack, "\\?&+", "?"), "&&+", "&"), "[?&]+$", "")
+    val noSlash = regexp_replace(regexp_replace(fixedSep, "/\\?", "?"), "/$", "")
+    concat(authLc, noSlash)
+  }
+
+  /** Suffix of `s` after the literal prefix `pre` (pre is a column whose
+    * value is a prefix of s by construction). */
+  private def substring_index_safe(s: Column, pre: Column): Column =
+    s.substr(length(pre) + 1, lit(Int.MaxValue))
 }

@@ -134,4 +134,46 @@ object DataQuality {
       .withColumn("grp_mad", round(col("__mad"), 6))
       .drop("__med", "__mad")
   }
+
+  /**
+   * Population-stability-index drift between a reference and a current
+   * sample of the same numeric column — the standard "did the
+   * distribution move between snapshots/batches" gate (PSI < 0.1 stable,
+   * 0.1–0.25 moderate, > 0.25 drifted).
+   *
+   * Bins come from the REFERENCE's quantile cutpoints
+   * ([[graft.ops.Curation.percentileCutpoints]] — one aggregate, driver
+   * holds nBins-1 doubles), so binning both sides is a pure scalar
+   * expression: two scans + two nBins-row aggregates, no join of the raw
+   * tables, no window. Proportions are add-half smoothed
+   * ((n + 0.5) / (N + nBins/2)) so empty bins never divide by zero, and
+   * each per-bin term (p_cur − p_ref)·ln(p_cur/p_ref) is rounded to 9 dp
+   * for cross-engine reproducibility. Σ terms = the PSI.
+   * Output: (bin, n_ref, n_cur, psi_term), bins dense 1..nBins.
+   */
+  def psiDrift(ref: DataFrame, cur: DataFrame, valueCol: String,
+               nBins: Int = 10): DataFrame = {
+    val v = col(valueCol).cast("double")
+    val cuts = graft.ops.Curation.percentileCutpoints(ref, v, nBins)
+    def counts(df: DataFrame, out: String): DataFrame =
+      graft.ops.Curation.binByCutpoints(df.select(v.as("__v")), col("__v"), cuts)
+        .groupBy(col("bin")).agg(count(lit(1)).as(out))
+    val spine = ref.sparkSession.range(1, nBins + 1).select(col("id").cast("int").as("bin"))
+    val joined = spine
+      .join(counts(ref, "n_ref"), Seq("bin"), "left")
+      .join(counts(cur, "n_cur"), Seq("bin"), "left")
+      .select(col("bin"),
+        coalesce(col("n_ref"), lit(0L)).as("n_ref"),
+        coalesce(col("n_cur"), lit(0L)).as("n_cur"))
+    // totals as broadcast scalars via a 1-row cross join: keeps the whole
+    // computation one declarative plan (no driver collect of the counts)
+    val totals = joined.agg(sum(col("n_ref")).as("__tr"), sum(col("n_cur")).as("__tc"))
+    val half = lit(nBins.toDouble / 2.0)
+    joined.crossJoin(broadcast(totals))
+      .withColumn("__pr", (col("n_ref") + lit(0.5)) / (col("__tr") + half))
+      .withColumn("__pc", (col("n_cur") + lit(0.5)) / (col("__tc") + half))
+      .select(col("bin"), col("n_ref"), col("n_cur"),
+        round((col("__pc") - col("__pr")) * log(col("__pc") / col("__pr")), 9)
+          .as("psi_term"))
+  }
 }

@@ -265,4 +265,35 @@ object Rag {
       bit_count(col("sig").bitwiseXOR(lit(qSig))) <= maxHamming)
     knn(candidates, idCol, vecCol, q, k, minScore)
   }
+
+  /**
+   * Hybrid retrieval: reciprocal-rank fusion of several result lists
+   * (lexical BM25, vector cosine, …). rrf(d) = Σᵢ 1/(k0 + rankᵢ(d)), a
+   * document absent from a list contributes nothing from it, and the
+   * classic k0 = 60 damps the head so one list can't dominate.
+   *
+   * Each input must carry (idCol, scoreCol) and be ALREADY REDUCED to a
+   * top-N list — the single-partition ranking window here is bounded by N
+   * (tens of rows), not the corpus; at 100 TB the heavy lifting happened
+   * inside the per-list retrievals (BM25 postings pruning, ANN signature
+   * prune), and the fusion joins k-sized lists. Contributions are summed
+   * in fixed input order (no AGG reorder), so the fused score is
+   * bit-deterministic and oracle-reproducible; ties break by id.
+   */
+  def rrfFuse(rankings: Seq[DataFrame], idCol: String, scoreCol: String,
+              k0: Int = 60, topK: Int = 10): DataFrame = {
+    require(rankings.nonEmpty, "rrfFuse needs at least one ranking")
+    val ranked = rankings.zipWithIndex.map { case (df, i) =>
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col(scoreCol).desc, col(idCol).asc)
+      df.select(col(idCol), row_number().over(w).as(s"__r$i"))
+    }
+    val joined = ranked.reduce((a, b) => a.join(b, Seq(idCol), "full_outer"))
+    val contrib = rankings.indices
+      .map(i => coalesce(lit(1.0) / (lit(k0) + col(s"__r$i")), lit(0.0)))
+      .reduce(_ + _)
+    joined.select(col(idCol), round(contrib, 9).as("rrf"))
+      .orderBy(col("rrf").desc, col(idCol).asc)
+      .limit(topK)
+  }
 }

@@ -254,4 +254,56 @@ class CurationSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), s"binByCutpoints shuffled:\n$plan")
   }
+
+  test("weightedSample: k rows, deterministic, weight-biased") {
+    val df = (1L to 2000L).map(i => (i, if (i <= 100) 100.0 else 1.0))
+      .toDF("id", "w")
+    val s1 = Curation.weightedSample(df, "id", col("w"), k = 100, salt = "t")
+      .select("id").as[Long].collect().toSet
+    val s2 = Curation.weightedSample(df, "id", col("w"), k = 100, salt = "t")
+      .select("id").as[Long].collect().toSet
+    assert(s1 == s2, "same corpus + salt must reproduce the same sample")
+    assert(s1.size == 100)
+    // the 100 heavy rows carry 100/(100+19) ≈ 84% of total weight; A-ES
+    // puts far more of them in the sample than their 5% population share
+    val heavy = s1.count(_ <= 100L)
+    assert(heavy > 30, s"expected heavy-weight rows to dominate, got $heavy/100")
+    // a different salt draws a different sample
+    val s3 = Curation.weightedSample(df, "id", col("w"), k = 100, salt = "u")
+      .select("id").as[Long].collect().toSet
+    assert(s1 != s3)
+  }
+
+  test("weightedSample plans a top-k, not a global sort") {
+    val df = (1L to 100L).map(i => (i, 1.0)).toDF("id", "w")
+    val plan = Curation.weightedSample(df, "id", col("w"), k = 5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
+  test("lengthBatches: homogeneous buckets, full batches, deterministic") {
+    val df = (1L to 400L).map(i => (i, i)).toDF("id", "len") // lengths 1..400
+    val out = Curation.lengthBatches(df, "id", col("len"),
+      nBuckets = 4, batchSize = 10, salt = "t")
+      .select("id", "n_tokens", "bucket", "batch_id", "pos_in_batch")
+      .as[(Long, Long, Int, Long, Int)].collect()
+    assert(out.length == 400)
+    // quartile buckets of 1..400 are exactly 100 each → 10 full batches
+    val perBatch = out.groupBy(_._4).view.mapValues(_.length).toMap
+    assert(perBatch.values.forall(_ == 10), s"ragged batches: $perBatch")
+    assert(perBatch.size == 40)
+    // every batch stays inside one quartile's length range
+    out.groupBy(_._4).foreach { case (b, rows) =>
+      val lens = rows.map(_._2)
+      assert(lens.max - lens.min < 100, s"batch $b spans quartiles: $lens")
+    }
+    // positions are 0..batchSize-1 within each batch
+    out.groupBy(_._4).foreach { case (_, rows) =>
+      assert(rows.map(_._5).sorted.toSeq == (0 until 10))
+    }
+    val again = Curation.lengthBatches(df, "id", col("len"),
+      nBuckets = 4, batchSize = 10, salt = "t")
+      .select("id", "batch_id").as[(Long, Long)].collect().toMap
+    assert(out.map(r => r._1 -> r._4).toMap == again)
+  }
 }

@@ -197,4 +197,40 @@ class RelationalSpec extends AnyFunSuite {
     val relErr = math.abs(r._2 - r._1).toDouble / r._1
     assert(relErr < 0.05, s"exact=${r._1} approx=${r._2} relErr=$relErr")
   }
+
+  test("scd2: collapses no-op rows, half-open intervals, one current per key") {
+    val log = Seq(
+      (1L, 10L, "new"), (1L, 20L, "new"), // no-op: collapsed
+      (1L, 30L, "active"), (1L, 40L, "done"),
+      (2L, 15L, "new")
+    ).toDF("k", "ts", "status")
+    val dim = Relational.scd2(log, "k", "ts", Seq("status"))
+      .select("k", "status", "valid_from", "valid_to", "is_current")
+      .as[(Long, String, Long, Option[Long], Boolean)].collect().toSet
+    assert(dim == Set(
+      (1L, "new", 10L, Some(30L), false),
+      (1L, "active", 30L, Some(40L), false),
+      (1L, "done", 40L, None, true),
+      (2L, "new", 15L, None, true)))
+  }
+
+  test("scd2: null attribute transitions are tracked null-safely") {
+    val log = Seq(
+      (1L, 10L, Option("a")), (1L, 20L, Option.empty[String]), // a → null = change
+      (1L, 30L, Option.empty[String]),                         // null → null = no-op
+      (1L, 40L, Option("b"))
+    ).toDF("k", "ts", "v")
+    val dim = Relational.scd2(log, "k", "ts", Seq("v"))
+      .select("k", "v", "valid_from").as[(Long, Option[String], Long)]
+      .collect().toSet
+    assert(dim == Set((1L, Some("a"), 10L), (1L, None, 20L), (1L, Some("b"), 40L)))
+  }
+
+  test("scd2 shares one shuffle across both window passes") {
+    val log = Seq((1L, 10L, "a"), (1L, 20L, "b")).toDF("k", "ts", "v")
+    val plan = Relational.scd2(log, "k", "ts", Seq("v"))
+      .queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges == 1, s"expected exactly 1 key shuffle, plan:\n$plan")
+  }
 }

@@ -53,4 +53,38 @@ class WebSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), plan)
   }
+
+  test("canonicalizeUrl: case, port, fragment, tracking params, slash") {
+    val cases = Seq(
+      // authority lowercased, default port stripped, path case kept
+      ("HTTPS://WWW.Example.COM:443/Docs/A", "https://www.example.com/Docs/A"),
+      (("http://x.com:80/p"), "http://x.com/p"),
+      // non-default port survives
+      ("http://x.com:8080/p", "http://x.com:8080/p"),
+      // fragment dropped
+      ("https://x.com/p#section-2", "https://x.com/p"),
+      // tracking params stripped wherever they sit; separators repaired
+      ("https://x.com/p?utm_source=a&id=1&utm_campaign=b", "https://x.com/p?id=1"),
+      ("https://x.com/p?id=1&fbclid=XYZ", "https://x.com/p?id=1"),
+      ("https://x.com/p?utm_medium=m", "https://x.com/p"),
+      // trailing slash collapsed, also before a query string
+      ("https://x.com/docs/", "https://x.com/docs"),
+      ("https://x.com/docs/?id=2", "https://x.com/docs?id=2"),
+      ("https://x.com/", "https://x.com"))
+    val out = cases.map(_._1).toDF("url")
+      .select(Web.canonicalizeUrl(col("url")).as("c")).as[String].collect()
+    out.zip(cases).foreach { case (got, (in, want)) =>
+      assert(got == want, s"canonicalizeUrl($in) = $got, want $want")
+    }
+  }
+
+  test("canonicalizeUrl is idempotent") {
+    val messy = Seq("HTTPS://A.B:443/x/?utm_source=s&q=1#f",
+      "http://c.d/e?gclid=g&r=2&utm_x=y")
+    val once = messy.toDF("url")
+      .select(Web.canonicalizeUrl(col("url")).as("c")).as[String].collect()
+    val twice = once.toSeq.toDF("url")
+      .select(Web.canonicalizeUrl(col("url")).as("c")).as[String].collect()
+    assert(once.toSeq == twice.toSeq)
+  }
 }

@@ -97,4 +97,27 @@ class DataQualitySpec extends AnyFunSuite {
       .filter($"is_outlier").select("id").as[Long].collect().toSet
     assert(robust == Set(31L))
   }
+
+  test("psiDrift: identical distributions score ~0, shifted ones don't") {
+    val ref = (1 to 1000).map(i => i.toDouble).toDF("v")
+    val same = (1 to 1000).map(i => i.toDouble).toDF("v")
+    val shifted = (1 to 1000).map(i => i.toDouble + 700).toDF("v")
+
+    def psi(cur: org.apache.spark.sql.DataFrame): Double =
+      DataQuality.psiDrift(ref, cur, "v", nBins = 10)
+        .agg(sum($"psi_term")).as[Double].head()
+
+    assert(math.abs(psi(same)) < 1e-6)
+    assert(psi(shifted) > 0.25, s"shift must register as drift, psi=${psi(shifted)}")
+  }
+
+  test("psiDrift: dense bins, empty bins smoothed (no NaN/Inf)") {
+    val ref = (1 to 100).map(_.toDouble).toDF("v")
+    val cur = Seq(1.0, 2.0, 3.0).toDF("v") // most bins empty on the current side
+    val rows = DataQuality.psiDrift(ref, cur, "v", nBins = 5)
+      .orderBy($"bin").as[(Int, Long, Long, Double)].collect()
+    assert(rows.map(_._1).toSeq == (1 to 5))
+    assert(rows.forall { case (_, _, _, t) => !t.isNaN && !t.isInfinite })
+    assert(rows.map(_._2).sum == 100 && rows.map(_._3).sum == 3)
+  }
 }

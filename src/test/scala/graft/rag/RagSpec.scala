@@ -106,4 +106,26 @@ class RagSpec extends AnyFunSuite {
     val ranks = r.select("mmr_rank").as[Int].collect().toSeq.sorted
     assert(ranks == (1 to 5))
   }
+
+  test("rrfFuse: agreement outranks a single-list hit, absence adds zero") {
+    val lex = Seq((10L, 5.0), (20L, 4.0), (30L, 3.0)).toDF("id", "score")
+    val vec = Seq((20L, 0.9), (40L, 0.8)).toDF("id", "score")
+    val fused = Rag.rrfFuse(Seq(lex, vec), "id", "score", k0 = 60, topK = 10)
+      .as[(Long, Double)].collect()
+    val byId = fused.toMap
+    // 20 appears in both lists (ranks 2 and 1) → top fused score
+    assert(fused.head._1 == 20L)
+    assert(math.abs(byId(20L) - (1.0 / 62 + 1.0 / 61)) < 1e-9)
+    // 10 only lexical rank 1, 40 only vector rank 2
+    assert(math.abs(byId(10L) - 1.0 / 61) < 1e-9)
+    assert(math.abs(byId(40L) - 1.0 / 62) < 1e-9)
+    assert(fused.length == 4)
+  }
+
+  test("rrfFuse truncates to topK with deterministic tie-break") {
+    val a = (1L to 8L).map(i => (i, 10.0 - i)).toDF("id", "score")
+    val out = Rag.rrfFuse(Seq(a, a), "id", "score", k0 = 60, topK = 3)
+      .as[(Long, Double)].collect()
+    assert(out.map(_._1).toSeq == Seq(1L, 2L, 3L))
+  }
 }
