@@ -92,10 +92,15 @@ object Bench {
       }
     }
 
+    // optional arg: comma-separated query-name filter for local A/B timing
+    val only: Option[Set[String]] =
+      if (args.nonEmpty) Some(args(0).split(",").toSet) else None
     val firstPass: Seq[(String, Either[String, (Double, Long)])] =
-      SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-        name -> runOnce(name, fn)
-      }
+      SparkEntry.queries.toSeq.sortBy(_._1)
+        .filter { case (name, _) => only.forall(_.contains(name)) }
+        .map { case (name, fn) =>
+          name -> runOnce(name, fn)
+        }
 
     // regression gate baseline: committed per-query times from the previous
     // round's bench (tools/baseline.json)

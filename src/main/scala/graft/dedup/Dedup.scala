@@ -442,9 +442,11 @@ object Dedup {
       val next0 = labels.join(viaEdge, Seq("id"), "left")
         .select(col("id"),
           least(col("cluster"), coalesce(col("nbr_min"), col("cluster"))).as("cluster"))
-      // truncate lineage every few rounds; in between a cached frame is enough
-      val next = if (i % 4 == 3) next0.localCheckpoint(true) else next0.cache()
-      val s = labelSum(next) // materializes `next`, so the parent can go
+      // truncate lineage EVERY round: the round plan references `labels`
+      // twice, so the analyzed tree doubles per round — with sparse
+      // truncation Catalyst analysis (not execution) dominated the loop
+      val next = next0.localCheckpoint(true)
+      val s = labelSum(next) // `next` is already materialized, parent can go
       labels.unpersist(false) // no-op on the uncached round-0 frame
       converged = s.compareTo(prevSum) == 0
       prevSum = s
@@ -521,8 +523,13 @@ object Dedup {
     var i = 0
     while (!converged && i < maxIters) {
       val next0 = phase(phase(edges, large = true), large = false)
-      val next = if (i % 2 == 1) next0.localCheckpoint(true) else next0.cache()
-      val s = sig(next) // materializes `next` before the parent unpersists
+      // truncate lineage EVERY round: each phase() references its input
+      // ~4 times, so one round grows the analyzed tree ~16x — with sparser
+      // truncation Catalyst ANALYSIS dominated wall time (measured 6 s+
+      // per round on a 42-edge graph); per-round localCheckpoint keeps the
+      // tree constant-size and the loop ~1 s/round
+      val next = next0.localCheckpoint(true)
+      val s = sig(next)
       edges.unpersist(false)
       converged = s == prev
       prev = s

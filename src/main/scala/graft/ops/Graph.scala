@@ -32,7 +32,11 @@ object Graph {
    */
   def kHop(edges: DataFrame, srcCol: String, dstCol: String,
            start: DataFrame, startCol: String, maxHops: Int): DataFrame = {
-    val e = edges.select(col(srcCol).as("__src"), col(dstCol).as("__dst"))
+    // pin the edge list once: the caller's edge expression is often itself a
+    // join/distinct pipeline, and every hop joins against it — without the
+    // cache each round re-executes the whole upstream build (at sf0.1 that
+    // tripled g1's wall time)
+    val e = edges.select(col(srcCol).as("__src"), col(dstCol).as("__dst")).cache()
     var visited = start.select(col(startCol).as("node")).distinct()
       .withColumn("hops", lit(0)).cache()
     var frontier = visited
@@ -57,6 +61,7 @@ object Graph {
         next.unpersist(false)
       }
     }
+    e.unpersist(false)
     visited
   }
 
@@ -78,7 +83,11 @@ object Graph {
     var ranks = nodes.withColumn("rank", lit(1.0 / n)).cache()
     for (i <- 0 until iters) {
       // mass parked on sinks (nodes with no out-edges) is spread uniformly —
-      // one scalar per round, computed from the (tiny) rank-vs-outdeg anti-join
+      // one scalar per round, computed from the (tiny) rank-vs-outdeg
+      // anti-join. Measured note: folding this into the next-rank plan as a
+      // broadcast 1-row aggregate was consistently ~1.5-2x SLOWER at sf0.1
+      // (the BroadcastExchange per iteration costs more than the extra tiny
+      // driver job it saves) — keep the driver scalar.
       val dangling = ranks.join(outDeg, Seq("node"), "left_anti")
         .agg(sum(col("rank"))).head().getAs[Any](0) match {
           case null => 0.0
