@@ -3709,7 +3709,67 @@ object SparkEntry {
              |    a2 || regexp_replace(regexp_replace(r2, '/\?', '?', 'g'), '/$', '', 'g') AS canonical
              |  FROM clean)
              |SELECT canonical, count(*) AS n, min(doc_id) AS first_doc
-             |FROM fin GROUP BY canonical ORDER BY canonical""".stripMargin))
+             |FROM fin GROUP BY canonical ORDER BY canonical""".stripMargin)),
+
+    // bigram LM fluency score: add-k smoothed mean ln P(w2|w1); both corpus
+    // counts share one shuffle (c2's (w1,w2) clustering is satisfied by the
+    // c1 window's w1 partitioning)
+    "ta_bigram_lm" -> Q(
+      (s, d) => graft.text.TextAnalysis.bigramLmScore(
+          T(s, d, "documents").filter(col("doc_id") < 200), "doc_id", "text")
+        .orderBy(col("doc_id")),
+      Some("""WITH base AS (SELECT doc_id,
+             |    list_filter(regexp_split_to_array(text, '\s+'), x -> length(x) > 0) AS t
+             |  FROM documents WHERE doc_id < 200),
+             |bi AS (SELECT doc_id, t[CAST(i AS INT)] AS w1, t[CAST(i AS INT) + 1] AS w2
+             |       FROM (SELECT doc_id, t, unnest(range(1, len(t))) AS i FROM base)),
+             |v AS (SELECT count(DISTINCT tok) AS vocab
+             |      FROM (SELECT unnest(t) AS tok FROM base)),
+             |c AS (SELECT doc_id, w1, w2,
+             |        count(*) OVER (PARTITION BY w1) AS c1,
+             |        count(*) OVER (PARTITION BY w1, w2) AS c2
+             |      FROM bi)
+             |SELECT doc_id, count(*) AS n_bigrams,
+             |  round(avg(ln((c2 + 0.5) / (c1 + 0.5 * vocab))), 6) AS avg_logp
+             |FROM c, v GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    // schema evolution: two drifted parquet batches read back through ONE
+    // mergeSchema scan (footer-union at planning, nulls where a batch
+    // predates a column); oracle recreates the union relationally
+    "src_schema_merge" -> Q(
+      (s, d) => {
+        val root = java.nio.file.Files.createTempDirectory("graft-evolve")
+        sys.addShutdownHook {
+          def rm(p: java.nio.file.Path): Unit = {
+            if (java.nio.file.Files.isDirectory(p))
+              java.nio.file.Files.list(p).forEach(rm(_))
+            java.nio.file.Files.deleteIfExists(p)
+          }
+          rm(root)
+        }
+        val orders = T(s, d, "orders")
+        // batch 1: v1 schema (no priority column); batch 2 adds it
+        orders.filter(col("o_orderkey") % 2 === 0)
+          .select(col("o_orderkey"), col("o_totalprice"))
+          .write.mode("overwrite").parquet(root.toString + "/b=1")
+        orders.filter(col("o_orderkey") % 2 === 1)
+          .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
+          .write.mode("overwrite").parquet(root.toString + "/b=2")
+        graft.sources.Ingest.readEvolved(s, root.toString)
+          .groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("total"))
+          .orderBy(col("o_orderpriority"))
+      },
+      Some("""WITH unified AS (
+             |  SELECT o_orderkey, o_totalprice, NULL AS o_orderpriority
+             |  FROM orders WHERE o_orderkey % 2 = 0
+             |  UNION ALL
+             |  SELECT o_orderkey, o_totalprice, o_orderpriority
+             |  FROM orders WHERE o_orderkey % 2 = 1)
+             |SELECT o_orderpriority, count(*) AS n,
+             |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+             |FROM unified GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin))
   )
 
   private val routingTopics = Events.Topics(

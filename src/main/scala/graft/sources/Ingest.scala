@@ -45,4 +45,20 @@ object Ingest {
       .select(col("p._corrupt_record").as("raw_line"))
     (clean, quarantined)
   }
+
+  /**
+   * Schema-evolution read: a long-lived dataset accumulates batches whose
+   * schemas drifted (columns added over time), and a consumer must see ONE
+   * unified schema with nulls where an old batch predates a column.
+   *
+   * `mergeSchema` asks the parquet source to union the file footers'
+   * schemas at planning time — per-FOOTER metadata only, no data scan, and
+   * at 100 TB the footer reads parallelize over the executor pool. Column
+   * pruning and filter pushdown still apply to the merged scan: a file
+   * without a requested column vectorizes it as nulls. Prefer this over N
+   * separate reads + unionByName(allowMissingColumns): one scan node, one
+   * pass, partition pruning intact.
+   */
+  def readEvolved(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("mergeSchema", "true").parquet(path)
 }

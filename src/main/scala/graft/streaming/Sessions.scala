@@ -144,4 +144,29 @@ object Sessions {
         col("n_events"), col("total_value"))
       .as[SessionOut]
   }
+
+  /**
+   * Built-in twin of [[sessionize]] using Spark's native `session_window`
+   * aggregate instead of custom `flatMapGroupsWithState` state.
+   *
+   * Prefer THIS form when the per-session result is expressible as
+   * standard aggregates (count/sum/min/max): the state store holds the
+   * native session layout, merges overlapping windows for free, and the
+   * aggregate runs with codegen — no Scala closure per event. Reach for
+   * the custom-state version only when session logic needs non-aggregate
+   * state (e.g. emit-on-split semantics or per-session distinct tracking).
+   * Same watermark rules: set it on `ts` before calling; append mode
+   * emits each session once its window can no longer grow.
+   */
+  def sessionizeBuiltin(events: Dataset[Ev], gapMs: Long): Dataset[SessionOut] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.toDF()
+      .groupBy(col("user_id"), session_window(col("ts"), s"$gapMs milliseconds"))
+      .agg(min(col("ts")).as("session_start"), max(col("ts")).as("session_end"),
+        count(lit(1)).as("n_events"), sum(col("value")).as("total_value"))
+      .select(col("user_id"), col("session_start"), col("session_end"),
+        col("n_events"), col("total_value"))
+      .as[SessionOut]
+  }
 }

@@ -275,6 +275,45 @@ object TextAnalysis {
   }
 
   /**
+   * Bigram language-model scoring with add-k smoothing — the next step up
+   * from [[unigramLmScore]] as an in-engine fluency/perplexity filter:
+   * avg_logp = mean ln P(w2|w1), P = (c(w1,w2)+k) / (c(w1)+k·V).
+   * Lower = less corpus-predictable text (gibberish or rare content).
+   *
+   * Scale shape: bigrams come from ONE pure array expression per doc
+   * (transform over token indices — no self-join of postings at pos+1),
+   * then a single explode. Both corpus counts ride ONE shuffle: the
+   * context count windows on w1, and the pair count's (w1, w2) clustering
+   * is already satisfied by the w1 partitioning, so Catalyst plans the
+   * second window without another Exchange. V broadcasts as a 1-row
+   * distinct aggregate. Docs with < 2 tokens have no bigrams and drop out.
+   */
+  def bigramLmScore(df: DataFrame, idCol: String, textCol: String,
+                    addK: Double = 0.5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val t = tokens(col(textCol))
+    val idxs = when(size(t) >= 2, sequence(lit(1), size(t) - 1))
+      .otherwise(array().cast("array<int>"))
+    val bi = df
+      .select(col(idCol), explode(transform(idxs,
+        i => struct(element_at(t, i).as("w1"), element_at(t, i + 1).as("w2"))))
+        .as("bg"))
+      .select(col(idCol), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val vocab = df
+      .select(explode(tokens(col(textCol))).as("tok"))
+      .agg(count_distinct(col("tok")).as("v"))
+    bi
+      .withColumn("c1", count(lit(1)).over(Window.partitionBy(col("w1"))))
+      .withColumn("c2", count(lit(1)).over(Window.partitionBy(col("w1"), col("w2"))))
+      .crossJoin(broadcast(vocab))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"),
+        avg(log((col("c2") + lit(addK)) / (col("c1") + lit(addK) * col("v"))))
+          .as("__a"))
+      .select(col(idCol), col("n_bigrams"), round(col("__a"), 6).as("avg_logp"))
+  }
+
+  /**
    * Top-k keywords per document by tf·idf (idf = ln(N/df), scores rounded
    * to 6 decimals BEFORE ranking; ties break by term).
    *

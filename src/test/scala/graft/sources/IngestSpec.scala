@@ -67,4 +67,30 @@ class IngestSpec extends AnyFunSuite {
       assert(clean.count() == 2 && quarantined.count() == 0)
     }
   }
+
+  test("readEvolved unifies drifted batch schemas with nulls for old rows") {
+    import org.apache.spark.sql.functions._
+    val root = java.nio.file.Files.createTempDirectory("graft-evolve-spec")
+    try {
+      Seq((1L, "x")).toDF("id", "a")
+        .write.mode("overwrite").parquet(root.toString + "/b=1")
+      Seq((2L, "y", 9L)).toDF("id", "a", "added")
+        .write.mode("overwrite").parquet(root.toString + "/b=2")
+      val df = Ingest.readEvolved(spark, root.toString)
+      assert(df.columns.toSet == Set("id", "a", "added", "b"))
+      val rows = df.select("id", "added")
+        .as[(Long, Option[Long])].collect().toMap
+      assert(rows(1L).isEmpty && rows(2L).contains(9L))
+      // column pruning still reaches the merged scan
+      val plan = df.select("id").queryExecution.executedPlan.toString
+      assert(plan.contains("ReadSchema: struct<id:bigint>"), plan)
+    } finally {
+      def rm(p: java.nio.file.Path): Unit = {
+        if (java.nio.file.Files.isDirectory(p))
+          java.nio.file.Files.list(p).forEach(rm(_))
+        java.nio.file.Files.deleteIfExists(p)
+      }
+      rm(root)
+    }
+  }
 }

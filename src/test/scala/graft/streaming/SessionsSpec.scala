@@ -122,4 +122,34 @@ class SessionsSpec extends AnyFunSuite {
       assert(batch.size == 3)
     } finally q.stop()
   }
+
+  test("native session_window twin matches custom state and the batch path") {
+    implicit val sqlCtx = spark.sqlContext
+    val evs = Seq(
+      Ev(1L, ts("2026-01-01 10:00:00"), 1.0),
+      Ev(1L, ts("2026-01-01 10:00:30"), 2.0),
+      Ev(1L, ts("2026-01-01 10:05:00"), 4.0), // gap > 1 min → new session
+      Ev(2L, ts("2026-01-01 10:00:05"), 8.0))
+    val input = MemoryStream[Ev]
+    val sessions = Sessions.sessionizeBuiltin(
+      input.toDS().withWatermark("ts", "0 seconds").as[Ev], GAP)
+    val q = sessions.writeStream.format("memory").queryName("sess_native_out")
+      .outputMode("append").start()
+    try {
+      input.addData(evs: _*)
+      q.processAllAvailable()
+      input.addData(Ev(99L, ts("2026-02-01 00:00:00"), 0.0))
+      q.processAllAvailable()
+      input.addData(Ev(99L, ts("2026-03-01 00:00:00"), 0.0))
+      q.processAllAvailable()
+      val native = spark.table("sess_native_out").as[SessionOut].collect()
+        .filter(_.user_id != 99L).map(s =>
+          (s.user_id, s.session_start.toString, s.session_end.toString,
+           s.n_events, s.total_value)).toSet
+      val batch = Sessions.sessionizeBatch(spark, evs.toDS(), GAP).collect()
+        .map(s => (s.user_id, s.session_start.toString, s.session_end.toString,
+          s.n_events, s.total_value)).toSet
+      assert(native == batch, s"native=$native batch=$batch")
+    } finally q.stop()
+  }
 }

@@ -222,4 +222,32 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(byDoc.values.forall(g => g.size <= 3 &&
       g.map(_._4).sorted == (1 to g.size)))
   }
+
+  test("bigramLmScore: hand-checked probabilities, short docs drop out") {
+    // corpus: "a b" ×2 and "a c" ×1 → c(a)=3 (as bigram context), V=3
+    val docs = Seq((1L, "a b"), (2L, "a b"), (3L, "a c"), (4L, "solo"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.bigramLmScore(docs, "doc_id", "text", addK = 0.5)
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    // doc 4 has one token → no bigrams → absent ("solo" still counts in V)
+    assert(!out.contains(4L) && out.size == 3)
+    val v = 4.0 // distinct tokens: a, b, c, solo
+    def lp(c2: Double, c1: Double) = math.log((c2 + 0.5) / (c1 + 0.5 * v))
+    assert(math.abs(out(1L)._3 - lp(2, 3)) < 1e-6) // P(b|a) = 2.5/5
+    assert(math.abs(out(3L)._3 - lp(1, 3)) < 1e-6) // P(c|a) = 1.5/5
+    assert(out(1L)._2 == 1 && out(3L)._2 == 1)
+    // the common continuation scores higher than the rare one
+    assert(out(1L)._3 > out(3L)._3)
+  }
+
+  test("bigramLmScore shares one shuffle between context and pair counts") {
+    val docs = Seq((1L, "a b c a b")).toDF("doc_id", "text")
+    val plan = TextAnalysis.bigramLmScore(docs, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    // both windows must stack on the single w1 exchange — the (w1, w2)
+    // pair-count window's clustering is satisfied by the w1 partitioning,
+    // so exactly one exchange mentions w1
+    val n = "Exchange hashpartitioning\\(w1".r.findAllIn(plan).size
+    assert(n == 1, s"expected the windows to share one w1 exchange, got $n:\n$plan")
+  }
 }
