@@ -3769,7 +3769,48 @@ object SparkEntry {
              |  FROM orders WHERE o_orderkey % 2 = 1)
              |SELECT o_orderpriority, count(*) AS n,
              |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
-             |FROM unified GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin))
+             |FROM unified GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)),
+
+    // error-tolerant expression surface: try_cast/try_divide/try_element_at
+    // return NULL instead of raising — the ingest-time posture where one
+    // malformed value must not fail a 100 TB batch (ANSI mode stays ON for
+    // everything else)
+    "f22_try_ops" -> Q(
+      (s, d) => T(s, d, "documents")
+        .select(col("doc_id"),
+          expr("try_cast(substring(text, 1, 2) AS INT)").as("maybe_int"),
+          try_divide(col("n_chars"), col("doc_id") % 3).as("maybe_div"),
+          try_element_at(split(col("source"), "-"), lit(2)).as("maybe_part"))
+        .orderBy(col("doc_id")),
+      Some("""SELECT doc_id,
+             |  TRY_CAST(substr(text, 1, 2) AS INT) AS maybe_int,
+             |  CASE WHEN doc_id % 3 = 0 THEN NULL
+             |       ELSE n_chars / (doc_id % 3) END AS maybe_div,
+             |  str_split(source, '-')[2] AS maybe_part
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // categorical aggregate surface: deterministic mode (ties → smallest),
+    // count_if; the oracle recomputes the modal value via a rank window
+    "a16_mode_aggs" -> Q(
+      (s, d) => TestData.events(s, d)
+        .groupBy(col("event_type"))
+        .agg(mode(col("user_id"), deterministic = true).as("modal_user"),
+          count_if(col("value") > 50).as("n_high"),
+          min(col("user_id")).as("first_user"))
+        .orderBy(col("event_type")),
+      Some("""WITH per AS (SELECT event_type, user_id, count(*) AS c,
+             |         count(*) FILTER (WHERE value > 50) AS high_c
+             |       FROM events GROUP BY event_type, user_id),
+             |agg AS (SELECT event_type, CAST(sum(high_c) AS BIGINT) AS n_high,
+             |          min(user_id) AS first_user
+             |        FROM per GROUP BY event_type),
+             |m AS (SELECT event_type, min(user_id) AS modal_user
+             |      FROM (SELECT event_type, user_id,
+             |              rank() OVER (PARTITION BY event_type ORDER BY c DESC) AS r
+             |            FROM per)
+             |      WHERE r = 1 GROUP BY event_type)
+             |SELECT event_type, modal_user, n_high, first_user
+             |FROM agg JOIN m USING (event_type) ORDER BY event_type""".stripMargin))
   )
 
   private val routingTopics = Events.Topics(
