@@ -3810,7 +3810,33 @@ object SparkEntry {
              |            FROM per)
              |      WHERE r = 1 GROUP BY event_type)
              |SELECT event_type, modal_user, n_high, first_user
-             |FROM agg JOIN m USING (event_type) ORDER BY event_type""".stripMargin))
+             |FROM agg JOIN m USING (event_type) ORDER BY event_type""".stripMargin)),
+
+    // interval algebra: merge each user's overlapping/touching 30-min
+    // purchase windows (running-max-end grouping catches contained
+    // intervals); one key shuffle serves both windows and the aggregate
+    "x13_interval_merge" -> Q(
+      (s, d) => Relational.mergeIntervals(
+          TestData.events(s, d).filter(col("event_type") === "purchase")
+            .select(col("user_id"), unix_millis(col("ts")).as("s"),
+              (unix_millis(col("ts")) + 1800000L).as("e")),
+          "user_id", "s", "e")
+        .orderBy(col("user_id"), col("merged_start")),
+      Some("""WITH iv AS (SELECT user_id, epoch_ms(CAST(ts AS TIMESTAMP)) AS s,
+             |    epoch_ms(CAST(ts AS TIMESTAMP)) + 1800000 AS e
+             |  FROM events WHERE event_type = 'purchase'),
+             |f AS (SELECT user_id, s, e,
+             |    max(e) OVER (PARTITION BY user_id ORDER BY s, e
+             |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS me
+             |  FROM iv),
+             |g AS (SELECT user_id, s, e,
+             |    sum(CASE WHEN me IS NULL OR s > me THEN 1 ELSE 0 END)
+             |      OVER (PARTITION BY user_id ORDER BY s, e ROWS UNBOUNDED PRECEDING) AS grp
+             |  FROM f)
+             |SELECT user_id, min(s) AS merged_start, max(e) AS merged_end,
+             |  count(*) AS n_intervals
+             |FROM g GROUP BY user_id, grp
+             |ORDER BY user_id, merged_start""".stripMargin))
   )
 
   private val routingTopics = Events.Topics(

@@ -80,19 +80,26 @@ object Graph {
     val n = nodes.count().toDouble
     val outDeg = e.groupBy(col("__src").as("node")).agg(count(lit(1)).as("outdeg"))
       .cache()
+    // sink set is STATIC (nodes with no out-edges) — computed once, so the
+    // per-round dangling mass is a semi-join against it, not an anti-join
+    // replanned every round
+    val sinks = nodes.join(outDeg.select(col("node")), Seq("node"), "left_anti")
+      .cache()
     var ranks = nodes.withColumn("rank", lit(1.0 / n)).cache()
-    for (i <- 0 until iters) {
-      // mass parked on sinks (nodes with no out-edges) is spread uniformly —
-      // one scalar per round, computed from the (tiny) rank-vs-outdeg
-      // anti-join. Measured note: folding this into the next-rank plan as a
-      // broadcast 1-row aggregate was consistently ~1.5-2x SLOWER at sf0.1
-      // (the BroadcastExchange per iteration costs more than the extra tiny
-      // driver job it saves) — keep the driver scalar.
-      val dangling = ranks.join(outDeg, Seq("node"), "left_anti")
+    // ONE job per iteration: the aggregate that reads the dangling mass off
+    // the freshly-built ranks also materializes their cache, so the next
+    // round's plan consumes a driver scalar and cached data. (Measured note:
+    // folding the scalar into the plan as a broadcast 1-row aggregate was
+    // consistently ~1.5-2x slower at sf0.1 — a BroadcastExchange per
+    // iteration costs more than a tiny driver job.)
+    def danglingOf(r: DataFrame): Double =
+      r.join(sinks, Seq("node"), "left_semi")
         .agg(sum(col("rank"))).head().getAs[Any](0) match {
           case null => 0.0
           case d: Double => d
         }
+    var dangling = danglingOf(ranks)
+    for (i <- 0 until iters) {
       val contribs = e.join(ranks.withColumnRenamed("node", "__src"), "__src")
         .join(outDeg.withColumnRenamed("node", "__src"), "__src")
         .select(col("__dst").as("node"), (col("rank") / col("outdeg")).as("c"))
@@ -103,10 +110,11 @@ object Graph {
             lit(damping) * (coalesce(col("in_mass"), lit(0.0)) + lit(dangling / n)))
             .as("rank"))
       val next = if (i % 4 == 3) next0.localCheckpoint(true) else next0.cache()
-      if (i % 4 != 3) next.count()
+      dangling = danglingOf(next) // materializes `next`, parent can go
       ranks.unpersist(false)
       ranks = next
     }
+    sinks.unpersist(false)
     ranks
   }
 

@@ -290,4 +290,33 @@ object Relational {
       .withColumn("valid_to", lead(col(tsCol), 1).over(w))
       .withColumn("is_current", col("valid_to").isNull)
   }
+
+  /**
+   * Merge overlapping or touching [start, end) intervals per key — the
+   * interval-algebra reduction behind "total active time", coverage
+   * analysis, and blackout stitching. A new merged group starts exactly
+   * when an interval's start exceeds the running max end of everything
+   * before it (handles contained intervals, which a lag-on-end misses).
+   *
+   * One shuffle on the key; both windows and the final aggregate share the
+   * same key clustering, so Catalyst plans a single Exchange. State per
+   * key is the window sort buffer — nothing corpus-global.
+   * Output: (key, merged_start, merged_end, n_intervals).
+   */
+  def mergeIntervals(df: DataFrame, key: String, startCol: String,
+                     endCol: String): DataFrame = {
+    val w = Window.partitionBy(key).orderBy(col(startCol), col(endCol))
+    df
+      .withColumn("__max_end", max(col(endCol)).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("__new",
+        (col("__max_end").isNull || col(startCol) > col("__max_end")).cast("int"))
+      .withColumn("__grp", sum(col("__new")).over(
+        w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col(key), col("__grp"))
+      .agg(min(col(startCol)).as("merged_start"),
+        max(col(endCol)).as("merged_end"),
+        count(lit(1)).as("n_intervals"))
+      .select(col(key), col("merged_start"), col("merged_end"), col("n_intervals"))
+  }
 }

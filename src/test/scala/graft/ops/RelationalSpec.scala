@@ -233,4 +233,26 @@ class RelationalSpec extends AnyFunSuite {
     val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
     assert(exchanges == 1, s"expected exactly 1 key shuffle, plan:\n$plan")
   }
+
+  test("mergeIntervals: overlap, touch, containment, and gaps") {
+    val iv = Seq(
+      (1L, 0L, 10L), (1L, 5L, 12L),   // overlap        → [0, 12)
+      (1L, 12L, 15L),                 // touching       → joins [0, 15)
+      (1L, 1L, 3L),                   // contained      → same group
+      (1L, 20L, 25L),                 // gap            → new group
+      (2L, 0L, 100L), (2L, 1L, 2L)    // containment across a big span
+    ).toDF("k", "s", "e")
+    val out = Relational.mergeIntervals(iv, "k", "s", "e")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(out == Set(
+      (1L, 0L, 15L, 4L), (1L, 20L, 25L, 1L), (2L, 0L, 100L, 2L)))
+  }
+
+  test("mergeIntervals plans a single key shuffle") {
+    val iv = Seq((1L, 0L, 10L), (1L, 5L, 12L)).toDF("k", "s", "e")
+    val plan = Relational.mergeIntervals(iv, "k", "s", "e")
+      .queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges == 1, s"expected exactly 1 key shuffle, plan:\n$plan")
+  }
 }
