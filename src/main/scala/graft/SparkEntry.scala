@@ -3836,7 +3836,21 @@ object SparkEntry {
              |SELECT user_id, min(s) AS merged_start, max(e) AS merged_end,
              |  count(*) AS n_intervals
              |FROM g GROUP BY user_id, grp
-             |ORDER BY user_id, merged_start""".stripMargin))
+             |ORDER BY user_id, merged_start""".stripMargin)),
+
+    // k-anonymity audit over a quasi-identifier projection (event_type ×
+    // user cohort): groups under k=5 are re-identifiable; suppression is
+    // the semi-join twin (GovernanceSpec)
+    "gov_k_anonymity" -> Q(
+      (s, d) => graft.text.Governance.kAnonymity(
+          TestData.events(s, d)
+            .select(col("event_type"), (col("user_id") % 37).as("cohort")),
+          Seq("event_type", "cohort"), k = 5)
+        .orderBy(col("event_type"), col("cohort")),
+      Some("""SELECT event_type, user_id % 37 AS cohort,
+             |  count(*) AS n_rows, count(*) < 5 AS at_risk
+             |FROM events GROUP BY event_type, user_id % 37
+             |ORDER BY event_type, cohort""".stripMargin))
   )
 
   private val routingTopics = Events.Topics(

@@ -76,4 +76,33 @@ object Governance {
   def pseudonymize(value: Column, key: String): Column =
     when(value.isNull, lit(null))
       .otherwise(substring(md5(concat(lit(key + "|"), value.cast("string"))), 1, 16))
+
+  /**
+   * k-anonymity audit: every quasi-identifier combination with fewer than
+   * `k` rows is re-identifiable and flagged. One hash aggregate with
+   * map-side partials — the group count is the whole computation, so this
+   * runs at corpus scale as a single shuffle on the quasi-id tuple.
+   * Output: (quasiIds..., n_rows, at_risk).
+   */
+  def kAnonymity(df: DataFrame, quasiIds: Seq[String], k: Int): DataFrame = {
+    require(quasiIds.nonEmpty && k >= 2, s"need quasi-ids and k >= 2, got $quasiIds, k=$k")
+    df.groupBy(quasiIds.map(col): _*)
+      .agg(count(lit(1)).as("n_rows"))
+      .withColumn("at_risk", col("n_rows") < k)
+  }
+
+  /**
+   * Suppression to enforce k-anonymity: drop every row whose quasi-id
+   * combination has fewer than `k` occurrences (the simplest of the
+   * generalize/suppress repertoire — generalization, e.g. bucketing an
+   * age into a band, belongs UPSTREAM in the projection that defines the
+   * quasi-ids). Planned as aggregate + semi-join on the quasi-id tuple;
+   * both sides cluster on the same keys, so AQE keeps it one logical
+   * shuffle of the table.
+   */
+  def suppressBelowK(df: DataFrame, quasiIds: Seq[String], k: Int): DataFrame = {
+    val safe = kAnonymity(df, quasiIds, k).filter(!col("at_risk"))
+      .select(quasiIds.map(col): _*)
+    df.join(safe, quasiIds, "left_semi")
+  }
 }

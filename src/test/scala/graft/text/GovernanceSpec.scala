@@ -60,4 +60,21 @@ class GovernanceSpec extends AnyFunSuite {
       .select(Governance.pseudonymize(col("name"), "k1").as("p")).distinct().count()
     assert(before == after)
   }
+
+  test("kAnonymity flags small groups; suppressBelowK removes exactly them") {
+    val rows = Seq(
+      ("a", 1, "r1"), ("a", 1, "r2"), ("a", 1, "r3"), // group of 3: safe at k=3
+      ("a", 2, "r4"), ("a", 2, "r5"),                 // group of 2: at risk
+      ("b", 1, "r6")                                  // singleton: at risk
+    ).toDF("seg", "band", "payload")
+    val audit = Governance.kAnonymity(rows, Seq("seg", "band"), k = 3)
+      .as[(String, Int, Long, Boolean)].collect().toSet
+    assert(audit == Set(("a", 1, 3L, false), ("a", 2, 2L, true), ("b", 1, 1L, true)))
+    val kept = Governance.suppressBelowK(rows, Seq("seg", "band"), k = 3)
+      .select("payload").as[String].collect().toSet
+    assert(kept == Set("r1", "r2", "r3"))
+    // suppression preserves the schema (semi-join, not a projection)
+    assert(Governance.suppressBelowK(rows, Seq("seg", "band"), 3).columns.toSeq
+      == rows.columns.toSeq)
+  }
 }
