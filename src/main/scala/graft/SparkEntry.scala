@@ -3850,7 +3850,31 @@ object SparkEntry {
       Some("""SELECT event_type, user_id % 37 AS cohort,
              |  count(*) AS n_rows, count(*) < 5 AS at_risk
              |FROM events GROUP BY event_type, user_id % 37
-             |ORDER BY event_type, cohort""".stripMargin))
+             |ORDER BY event_type, cohort""".stripMargin)),
+
+    // filtered vector search: the metadata predicate (lang = 'en') prunes
+    // candidates BEFORE any distance math — semi-join then knn, so the
+    // scan-side filter composes with the ANN paths' signature prune
+    "v8_filtered_knn" -> Q(
+      (s, d) => {
+        val en = T(s, d, "documents").filter(col("lang") === "en")
+          .select(col("doc_id").as("vec_id"))
+        val cand = TestData.embeddings(s, d).filter(col("vec_id") =!= 0)
+          .join(en, Seq("vec_id"), "left_semi")
+        Rag.knn(cand, "vec_id", "embedding", queryVec(s, d), k = 10, minScore = 0.0)
+          .select(col("vec_id"), round(col("score"), 6).as("score"))
+          .orderBy(col("score").desc, col("vec_id"))
+      },
+      Some("""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+             |en AS (SELECT doc_id FROM documents WHERE lang = 'en'),
+             |pairs AS (SELECT e.vec_id, unnest(e.embedding)::DOUBLE AS x, unnest(q.qv)::DOUBLE AS y
+             |          FROM embeddings e JOIN en ON e.vec_id = en.doc_id, q
+             |          WHERE e.vec_id <> 0),
+             |scores AS (SELECT vec_id, SUM(x*y) / (SQRT(SUM(x*x)) * SQRT(SUM(y*y))) AS s
+             |           FROM pairs GROUP BY vec_id),
+             |topk AS (SELECT vec_id, s FROM scores ORDER BY s DESC, vec_id LIMIT 10)
+             |SELECT vec_id, round(s, 6) AS score FROM topk WHERE s >= 0.0
+             |ORDER BY score DESC, vec_id""".stripMargin))
   )
 
   private val routingTopics = Events.Topics(

@@ -141,4 +141,27 @@ class PropertySpec extends AnyFunSuite {
       .select("vec_id").as[Long].collect().toSeq
     assert(ivf == exact)
   }
+
+  test("property: mergeIntervals equals a driver-side sweep on random intervals") {
+    val ivGen = for {
+      k <- Gen.choose(1L, 3L)
+      s <- Gen.choose(0L, 100L)
+      len <- Gen.choose(1L, 30L)
+    } yield (k, s, s + len)
+    val ivs = samples(ivGen, 60)
+    val got = graft.ops.Relational.mergeIntervals(ivs.toDF("k", "s", "e"), "k", "s", "e")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    // reference: per-key sort + linear sweep on the driver
+    val want = ivs.groupBy(_._1).flatMap { case (k, rows) =>
+      val sorted = rows.map(r => (r._2, r._3)).sortBy(identity)
+      val acc = scala.collection.mutable.ListBuffer[(Long, Long, Long)]()
+      for ((s, e) <- sorted) {
+        if (acc.nonEmpty && s <= acc.last._2)
+          acc(acc.size - 1) = (acc.last._1, math.max(acc.last._2, e), acc.last._3 + 1)
+        else acc += ((s, e, 1L))
+      }
+      acc.map { case (s, e, n) => (k, s, e, n) }
+    }.toSet
+    assert(got == want, s"merged=${got.toSeq.sorted} expected=${want.toSeq.sorted}")
+  }
 }

@@ -209,4 +209,45 @@ class StreamOpsSpec extends AnyFunSuite {
       assert(live.contains("a"))
     } finally q.stop()
   }
+
+  test("foreachBatch upserts each micro-batch into the versioned store") {
+    // the streaming-lakehouse pattern: stream → foreachBatch → MERGE INTO,
+    // giving idempotent-by-key continuous upsert with snapshot isolation
+    // for concurrent readers (each batch lands as the NEXT version)
+    implicit val sqlCtx = spark.sqlContext
+    import graft.store.Snapshots
+    val root = java.nio.file.Files.createTempDirectory("graft-stream-merge")
+    val base = root.toString + "/t"
+    try {
+      Snapshots.write(Seq((1L, "old"), (2L, "old")).toDF("id", "status"), base)
+      val input = MemoryStream[(Long, String)]
+      val q = input.toDF().toDF("id", "status").writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          Snapshots.mergeInto(spark, base, batch, "id"); ()
+        }
+        .option("checkpointLocation", root.toString + "/ckpt")
+        .start()
+      try {
+        input.addData((2L, "updated"), (3L, "inserted"))
+        q.processAllAvailable()
+        input.addData((1L, "updated-later"))
+        q.processAllAvailable()
+        val now = Snapshots.read(spark, base)
+          .as[(Long, String)].collect().toMap
+        assert(now == Map(1L -> "updated-later", 2L -> "updated", 3L -> "inserted"))
+        // every batch is a visible, time-travelable version
+        assert(Snapshots.versions(spark, base) == Seq(1L, 2L, 3L))
+        assert(Snapshots.read(spark, base, Some(2L))
+          .as[(Long, String)].collect().toMap
+          == Map(1L -> "old", 2L -> "updated", 3L -> "inserted"))
+      } finally q.stop()
+    } finally {
+      def rm(p: java.nio.file.Path): Unit = {
+        if (java.nio.file.Files.isDirectory(p))
+          java.nio.file.Files.list(p).forEach(rm(_))
+        java.nio.file.Files.deleteIfExists(p)
+      }
+      rm(root)
+    }
+  }
 }
