@@ -3874,7 +3874,53 @@ object SparkEntry {
              |           FROM pairs GROUP BY vec_id),
              |topk AS (SELECT vec_id, s FROM scores ORDER BY s DESC, vec_id LIMIT 10)
              |SELECT vec_id, round(s, 6) AS score FROM topk WHERE s >= 0.0
-             |ORDER BY score DESC, vec_id""".stripMargin))
+             |ORDER BY score DESC, vec_id""".stripMargin)),
+
+    // ordered conversion funnel signup → view → purchase: step i completes
+    // at the first qualifying ts AFTER step i-1's completion; the oracle
+    // mirrors the cascaded gated mins
+    "x14_funnel" -> Q(
+      (s, d) => Relational.funnel(
+          TestData.events(s, d)
+            .select(col("user_id"), col("event_type"), unix_millis(col("ts")).as("ms")),
+          "user_id", "event_type", "ms", Seq("signup", "view", "purchase"))
+        .orderBy(col("user_id")),
+      Some("""WITH e AS (SELECT user_id, event_type,
+             |    epoch_ms(CAST(ts AS TIMESTAMP)) AS ms FROM events
+             |  WHERE event_type IN ('signup', 'view', 'purchase')),
+             |s1 AS (SELECT user_id, min(ms) FILTER (WHERE event_type = 'signup') AS step_1_ts
+             |       FROM e GROUP BY user_id),
+             |s2 AS (SELECT e.user_id, min(ms) AS step_2_ts
+             |       FROM e JOIN s1 ON e.user_id = s1.user_id
+             |       WHERE event_type = 'view' AND ms >= step_1_ts
+             |       GROUP BY e.user_id),
+             |s3 AS (SELECT e.user_id, min(ms) AS step_3_ts
+             |       FROM e JOIN s2 ON e.user_id = s2.user_id
+             |       WHERE event_type = 'purchase' AND ms >= step_2_ts
+             |       GROUP BY e.user_id)
+             |SELECT s1.user_id, step_1_ts, step_2_ts, step_3_ts,
+             |  CAST(CASE WHEN step_1_ts IS NULL THEN 0 ELSE 1 END
+             |     + CASE WHEN step_2_ts IS NULL THEN 0 ELSE 1 END
+             |     + CASE WHEN step_3_ts IS NULL THEN 0 ELSE 1 END AS INT) AS steps_completed
+             |FROM s1 LEFT JOIN s2 ON s1.user_id = s2.user_id
+             |        LEFT JOIN s3 ON s1.user_id = s3.user_id
+             |ORDER BY s1.user_id""".stripMargin)),
+
+    // weekly retention cohorts: distinct users active N weeks after their
+    // first-seen week; integer period division, no epoch-float rounding
+    "x15_retention" -> Q(
+      (s, d) => Relational.retentionCohorts(
+          TestData.events(s, d)
+            .select(col("user_id"), unix_millis(col("ts")).as("ms")),
+          "user_id", "ms", periodMs = 604800000L)
+        .orderBy(col("cohort_p"), col("offset")),
+      Some("""WITH e AS (SELECT user_id,
+             |    epoch_ms(CAST(ts AS TIMESTAMP)) // 604800000 AS p FROM events),
+             |f AS (SELECT user_id, min(p) AS cohort_p FROM e GROUP BY user_id)
+             |SELECT cohort_p, p - cohort_p AS "offset",
+             |  count(DISTINCT user_id) AS n_active
+             |FROM e JOIN f USING (user_id)
+             |GROUP BY cohort_p, "offset" ORDER BY cohort_p, "offset"""".stripMargin))
   )
 
   private val routingTopics = Events.Topics(

@@ -319,4 +319,65 @@ object Relational {
         count(lit(1)).as("n_intervals"))
       .select(col(key), col("merged_start"), col("merged_end"), col("n_intervals"))
   }
+
+  /**
+   * Ordered conversion funnel: per key, step i completes at
+   * min(ts | event = step_i ∧ ts ≥ completion of step_{i-1}) — the exact
+   * "did A then B then C, in order" reduction. Returns one row per key
+   * with each step's completion ts (null once the chain breaks, and
+   * monotonically: a later step can never complete without the earlier
+   * ones) plus `steps_completed` (0..n).
+   *
+   * Scale shape: the event stream is filtered to funnel events, shuffled
+   * ONCE on the key, and every per-step aggregate + join reuses that
+   * clustering (no further Exchange of the big side; the per-key
+   * completion frames being joined back are one-row-per-key aggregates).
+   * Step i's gate depends on step i-1's completion VALUE, so exactness
+   * requires the n-1 cascaded aggregates — but each pass touches only
+   * funnel-step rows, state is one min per key, and n is funnel-sized
+   * (≤ 8), not data-sized.
+   */
+  def funnel(df: DataFrame, key: String, eventCol: String, tsCol: String,
+             steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty && steps.size <= 8, "funnel supports 1..8 steps")
+    val keyed = df.select(col(key), col(eventCol).as("__ev"),
+      col(tsCol).cast("long").as("__ts"))
+      .filter(col("__ev").isin(steps.map(s => s: Any): _*))
+      .repartition(col(key))
+    var acc = keyed.groupBy(col(key))
+      .agg(min(when(col("__ev") === steps.head, col("__ts"))).as("step_1_ts"))
+    for (i <- 2 to steps.size) {
+      val prev = s"step_${i - 1}_ts"
+      val cur = keyed.join(acc.select(col(key), col(prev)), Seq(key))
+        .filter(col("__ev") === steps(i - 1) && col("__ts") >= col(prev))
+        .groupBy(col(key)).agg(min(col("__ts")).as(s"step_${i}_ts"))
+      acc = acc.join(cur, Seq(key), "left")
+    }
+    val stepCols = (1 to steps.size).map(i => col(s"step_${i}_ts"))
+    acc.withColumn("steps_completed",
+      stepCols.map(c => when(c.isNotNull, 1).otherwise(0)).reduce(_ + _)
+        .cast("int"))
+  }
+
+  /**
+   * Retention cohorts: each key joins the cohort of its first-activity
+   * period; output is the classic retention matrix — distinct active keys
+   * per (cohort period, offset periods later).
+   *
+   * Two aggregates and one join: first-activity is a per-key min (the
+   * small side — one row per key — so the join back broadcasts or
+   * shuffle-hashes on the key), then the matrix is a count-distinct over
+   * (cohort, offset). Period math is integer division (`DIV`), exact —
+   * no epoch-float rounding at any scale.
+   */
+  def retentionCohorts(df: DataFrame, key: String, tsMsCol: String,
+                       periodMs: Long): DataFrame = {
+    require(periodMs > 0, s"periodMs must be positive, got $periodMs")
+    val ev = df.select(col(key), col(tsMsCol).cast("long").as("__ms"))
+      .select(col(key), expr(s"__ms DIV $periodMs").as("__p"))
+    val firsts = ev.groupBy(col(key)).agg(min(col("__p")).as("cohort_p"))
+    ev.join(firsts, Seq(key))
+      .groupBy(col("cohort_p"), (col("__p") - col("cohort_p")).as("offset"))
+      .agg(count_distinct(col(key)).as("n_active"))
+  }
 }

@@ -255,4 +255,41 @@ class RelationalSpec extends AnyFunSuite {
     val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
     assert(exchanges == 1, s"expected exactly 1 key shuffle, plan:\n$plan")
   }
+
+  test("funnel: order matters, chain gates progressively, ties allowed") {
+    val ev = Seq(
+      // u1 completes in order
+      (1L, "a", 10L), (1L, "b", 20L), (1L, "c", 30L),
+      // u2 has b BEFORE a: step b only counts after a → gated to the later b
+      (2L, "b", 5L), (2L, "a", 10L), (2L, "b", 40L), (2L, "c", 50L),
+      // u3 breaks at step c (c precedes b's completion)
+      (3L, "a", 10L), (3L, "c", 15L), (3L, "b", 20L),
+      // u4 only mid-funnel events, never signs up
+      (4L, "b", 10L), (4L, "c", 20L),
+      // u5 same-ts ties count (>= gate)
+      (5L, "a", 10L), (5L, "b", 10L), (5L, "c", 10L)
+    ).toDF("u", "ev", "ms")
+    val out = Relational.funnel(ev, "u", "ev", "ms", Seq("a", "b", "c"))
+      .select("u", "step_1_ts", "step_2_ts", "step_3_ts", "steps_completed")
+      .as[(Long, Option[Long], Option[Long], Option[Long], Int)]
+      .collect().map(r => r._1 -> r).toMap
+    assert(out(1L) == ((1L, Some(10L), Some(20L), Some(30L), 3)))
+    assert(out(2L) == ((2L, Some(10L), Some(40L), Some(50L), 3)))
+    assert(out(3L) == ((3L, Some(10L), Some(20L), None, 2)))
+    assert(out(4L) == ((4L, None, None, None, 0)))
+    assert(out(5L) == ((5L, Some(10L), Some(10L), Some(10L), 3)))
+  }
+
+  test("retentionCohorts: first-period cohort, distinct actives per offset") {
+    val p = 100L
+    val ev = Seq(
+      (1L, 10L), (1L, 150L), (1L, 151L), (1L, 320L), // cohort 0: offsets 0,1,1,3
+      (2L, 120L), (2L, 250L),                        // cohort 1: offsets 0,1
+      (3L, 20L)                                      // cohort 0: offset 0
+    ).toDF("u", "ms")
+    val out = Relational.retentionCohorts(ev, "u", "ms", p)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(out == Set((0L, 0L, 2L), (0L, 1L, 1L), (0L, 3L, 1L),
+      (1L, 0L, 1L), (1L, 1L, 1L)))
+  }
 }
