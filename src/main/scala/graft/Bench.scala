@@ -165,8 +165,14 @@ object Bench {
     val totalShufMb = results.collect { case (_, Right((_, b))) => b }.sum / 1048576.0
     val fullJson =
       s"""{"metric":"total","value":${r2(total)},"unit":"sec","queries":$fullQs,"shuffle_mb":$shuf,"errors":$errs,"regressions":$regressions,"n_queries":${results.size},"n_failed":$nFail,"shuffle_mb_total":${r2(totalShufMb)},"sf":${q(sfDir)}}"""
+    // sbt runs with cwd = project root; if the driver ever invokes the jar
+    // from elsewhere, fall back next to the baseline file so the detail
+    // always lands somewhere discoverable
+    val fullPath =
+      if (new java.io.File("build.sbt").exists()) "bench_full.json"
+      else sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL", "/root/repo/bench_full.json")
     java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("bench_full.json"), fullJson + "\n")
+      java.nio.file.Paths.get(fullPath), fullJson + "\n")
 
     // headline subset for the stdout line: one representative per family plus
     // the historically heaviest queries — the judge's quick read; everything
