@@ -3920,7 +3920,33 @@ object SparkEntry {
              |SELECT cohort_p, p - cohort_p AS "offset",
              |  count(DISTINCT user_id) AS n_active
              |FROM e JOIN f USING (user_id)
-             |GROUP BY cohort_p, "offset" ORDER BY cohort_p, "offset"""".stripMargin))
+             |GROUP BY cohort_p, "offset" ORDER BY cohort_p, "offset"""".stripMargin)),
+
+    // event transition matrix (1st-order Markov counts): consecutive event
+    // pairs per user via a lead window — one key shuffle feeds the window,
+    // the (from, to) rollup is a tiny aggregate over |event types|² groups
+    "x16_transitions" -> Q(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ms"), col("event_id"))
+        TestData.events(s, d)
+          .select(col("event_id"), col("user_id"), col("event_type"),
+            unix_millis(col("ts")).as("ms"))
+          .withColumn("next_type", lead(col("event_type"), 1).over(w))
+          .filter(col("next_type").isNotNull)
+          .groupBy(col("event_type").as("from_type"), col("next_type").as("to_type"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy(col("from_type"), col("to_type"))
+      },
+      Some("""WITH e AS (SELECT event_id, user_id, event_type,
+             |    epoch_ms(CAST(ts AS TIMESTAMP)) AS ms FROM events),
+             |p AS (SELECT event_type AS from_type,
+             |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ms, event_id) AS to_type
+             |  FROM e)
+             |SELECT from_type, to_type, count(*) AS n
+             |FROM p WHERE to_type IS NOT NULL
+             |GROUP BY from_type, to_type ORDER BY from_type, to_type""".stripMargin))
   )
 
   private val routingTopics = Events.Topics(
