@@ -3946,7 +3946,23 @@ object SparkEntry {
              |  FROM e)
              |SELECT from_type, to_type, count(*) AS n
              |FROM p WHERE to_type IS NOT NULL
-             |GROUP BY from_type, to_type ORDER BY from_type, to_type""".stripMargin))
+             |GROUP BY from_type, to_type ORDER BY from_type, to_type""".stripMargin)),
+
+    // per-group least-squares fit: one aggregation pass of second moments
+    // (map-side partials) — price-vs-quantity slope per return flag
+    "a17_regression" -> Q(
+      (s, d) => T(s, d, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          round(regr_slope(col("l_extendedprice"), col("l_quantity")), 4).as("slope"),
+          round(regr_intercept(col("l_extendedprice"), col("l_quantity")), 4).as("intercept"),
+          regr_count(col("l_extendedprice"), col("l_quantity")).as("n"))
+        .orderBy(col("l_returnflag")),
+      Some("""SELECT l_returnflag,
+             |  round(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
+             |  round(regr_intercept(l_extendedprice, l_quantity), 4) AS intercept,
+             |  regr_count(l_extendedprice, l_quantity) AS n
+             |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin))
   )
 
   private val routingTopics = Events.Topics(
