@@ -3962,7 +3962,31 @@ object SparkEntry {
              |  round(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
              |  round(regr_intercept(l_extendedprice, l_quantity), 4) AS intercept,
              |  regr_count(l_extendedprice, l_quantity) AS n
-             |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin))
+             |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
+    // pairwise co-occurrence mining (market-basket support): distinct
+    // (basket, item) FIRST bounds the self-join at |baskets|·|items|² —
+    // the frequent-pair shape that never goes all-pairs over raw rows
+    "x17_cooccurrence" -> Q(
+      (s, d) => {
+        val items = TestData.events(s, d)
+          .select(col("user_id"), col("event_type")).distinct()
+        items.select(col("user_id"), col("event_type").as("item_a"))
+          .join(items.select(col("user_id"), col("event_type").as("item_b")),
+            Seq("user_id"))
+          .filter(col("item_a") < col("item_b"))
+          .groupBy(col("item_a"), col("item_b"))
+          .agg(count(lit(1)).as("support"))
+          .filter(col("support") >= 10)
+          .orderBy(col("item_a"), col("item_b"))
+      },
+      Some("""WITH it AS (SELECT DISTINCT user_id, event_type FROM events)
+             |SELECT a.event_type AS item_a, b.event_type AS item_b,
+             |  count(*) AS support
+             |FROM it a JOIN it b
+             |  ON a.user_id = b.user_id AND a.event_type < b.event_type
+             |GROUP BY 1, 2 HAVING count(*) >= 10
+             |ORDER BY item_a, item_b""".stripMargin))
   )
 
   private val routingTopics = Events.Topics(
