@@ -1630,6 +1630,39 @@ object SparkEntry {
        |    GROUP BY 1, 2)
        |  WHERE n >= $minLines AND a <> b)""".stripMargin
 
+  /** DuckDB twin of [[graft.ops.Graph.pageRank]] with per-iteration 1e-dp
+    * rounding: the power iteration unrolled into chained CTEs (like
+    * [[mmrOracleSql]]). Every arithmetic step mirrors the Spark expression
+    * tree on identical doubles — (1 − d) computed in-query, dangling mass
+    * divided by n at use — so with both engines rounding each iteration to
+    * dp decimals, the fixed point is bit-identical. */
+  private def pageRankOracleSql(minLines: Long, iters: Int,
+                                damping: Double, dp: Int): String = {
+    val d = damping.toString
+    val steps = (1 to iters).map { i =>
+      s"""dng$i AS (SELECT coalesce(sum(r.rank), 0) AS dm
+         |  FROM r${i - 1} r LEFT JOIN outdeg o ON r.node = o.node
+         |  WHERE o.odeg IS NULL),
+         |c$i AS (SELECT e.b AS node, sum(r.rank / o.odeg) AS im
+         |  FROM edges e JOIN r${i - 1} r ON e.a = r.node
+         |  JOIN outdeg o ON e.a = o.node
+         |  GROUP BY e.b),
+         |r$i AS MATERIALIZED (SELECT n.node,
+         |    round((1 - $d) / nn.n + $d * (coalesce(c.im, 0) + g.dm / nn.n), $dp) AS rank
+         |  FROM nodes n LEFT JOIN c$i c ON n.node = c.node, dng$i g, nn)""".stripMargin
+    }.mkString(",\n")
+    // every r{i} is referenced twice (dangling + contribs) — without
+    // MATERIALIZED DuckDB inlines the chain, expanding 2^iters copies of
+    // the base join and exhausting file handles
+    s"""WITH ${tradeEdgeSql(minLines).replaceFirst("edges AS \\(", "edges AS MATERIALIZED (")},
+       |nodes AS MATERIALIZED (SELECT a AS node FROM edges UNION SELECT b FROM edges),
+       |nn AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+       |outdeg AS MATERIALIZED (SELECT a AS node, count(*) AS odeg FROM edges GROUP BY 1),
+       |r0 AS MATERIALIZED (SELECT node, 1.0 / nn.n AS rank FROM nodes, nn),
+       |$steps
+       |SELECT node, round(rank, 6) AS rank FROM r$iters ORDER BY node""".stripMargin
+  }
+
   private def graphDefs: Seq[(String, Q)] = Seq(
 
     // Min-hop BFS over the (thinned) customer↔supplier bipartite graph —
@@ -1680,11 +1713,15 @@ object SparkEntry {
     // PageRank on the directed trade backbone — double mass sums are
     // partition-order dependent, so no bit-exact SQL twin exists; the
     // analytic/power-iteration pins live in GraphSpec (rows-only here)
+    // per-iteration 1e-9 rounding (numerically immaterial, sub-noise-scale)
+    // pins the power iteration bit-for-bit across engines → a real hash
+    // oracle instead of rows-only; GraphSpec pins the unrounded default
     "g3_pagerank" -> Q(
-      (s, d) => graft.ops.Graph.pageRank(tradeEdges(s, d, 120), "a", "b", iters = 10)
+      (s, d) => graft.ops.Graph.pageRank(tradeEdges(s, d, 120), "a", "b",
+          iters = 10, roundPerIter = Some(9))
         .select(col("node"), round(col("rank"), 6).as("rank"))
         .orderBy(col("node")),
-      None),
+      Some(pageRankOracleSql(120, iters = 10, damping = 0.85, dp = 9))),
 
     // Degree profile of the trade backbone (out/in/total per node) — the
     // skew census every traversal planner needs

@@ -71,9 +71,15 @@ object Graph {
    * whose partition order varies run to run, so a convergence epsilon would
    * be nondeterministic where a fixed iteration count is reproducible
    * (modulo last-bit float noise; see GraphSpec's tolerance pins).
+   *
+   * `roundPerIter = Some(dp)` rounds every iteration's ranks to dp
+   * decimals: numerically immaterial at dp ≥ 9 (sub-ulp-noise scale) but
+   * it pins the fixed point bit-for-bit across engines and partitionings,
+   * which is what makes the DuckDB chained-CTE oracle possible.
    */
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
-               iters: Int = 10, damping: Double = 0.85): DataFrame = {
+               iters: Int = 10, damping: Double = 0.85,
+               roundPerIter: Option[Int] = None): DataFrame = {
     val e = edges.select(col(srcCol).as("__src"), col(dstCol).as("__dst")).cache()
     val nodes = e.select(col("__src").as("node"))
       .unionByName(e.select(col("__dst").as("node"))).distinct().cache()
@@ -104,11 +110,11 @@ object Graph {
         .join(outDeg.withColumnRenamed("node", "__src"), "__src")
         .select(col("__dst").as("node"), (col("rank") / col("outdeg")).as("c"))
         .groupBy("node").agg(sum(col("c")).as("in_mass"))
+      val rawRank = lit((1.0 - damping) / n) +
+        lit(damping) * (coalesce(col("in_mass"), lit(0.0)) + lit(dangling / n))
       val next0 = nodes.join(contribs, Seq("node"), "left")
         .select(col("node"),
-          (lit((1.0 - damping) / n) +
-            lit(damping) * (coalesce(col("in_mass"), lit(0.0)) + lit(dangling / n)))
-            .as("rank"))
+          roundPerIter.fold(rawRank)(dp => round(rawRank, dp)).as("rank"))
       val next = if (i % 4 == 3) next0.localCheckpoint(true) else next0.cache()
       dangling = danglingOf(next) // materializes `next`, parent can go
       ranks.unpersist(false)
