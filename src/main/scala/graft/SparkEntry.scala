@@ -4023,7 +4023,28 @@ object SparkEntry {
              |FROM it a JOIN it b
              |  ON a.user_id = b.user_id AND a.event_type < b.event_type
              |GROUP BY 1, 2 HAVING count(*) >= 10
-             |ORDER BY item_a, item_b""".stripMargin))
+             |ORDER BY item_a, item_b""".stripMargin)),
+
+    // exact substring dedup at stride granularity: docs sharing any exact
+    // 20-token span; md5 window fingerprints, distinct-first, maxDf
+    // boilerplate cap before the bucket self-join
+    "dd_span_pairs" -> Q(
+      (s, d) => Dedup.sharedSpanPairs(T(s, d, "documents"), "doc_id", "text",
+          w = 20, stride = 10, maxDf = 50)
+        .orderBy(col("id_a"), col("id_b")),
+      Some("""WITH base AS (SELECT doc_id,
+             |    list_filter(regexp_split_to_array(text, '\s+'), x -> length(x) > 0) AS t
+             |  FROM documents),
+             |wins AS (SELECT DISTINCT doc_id,
+             |    md5(array_to_string(t[CAST(s + 1 AS INT):CAST(s + 20 AS INT)], ' ')) AS fp
+             |  FROM (SELECT doc_id, t,
+             |          unnest(range(0, greatest(len(t) - 20, 0) + 1, 10)) AS s
+             |        FROM base)),
+             |freq AS (SELECT fp FROM wins GROUP BY fp HAVING count(*) <= 50),
+             |b AS (SELECT w.doc_id, w.fp FROM wins w JOIN freq USING (fp))
+             |SELECT a.doc_id AS id_a, c.doc_id AS id_b, count(*) AS shared_windows
+             |FROM b a JOIN b c ON a.fp = c.fp AND a.doc_id < c.doc_id
+             |GROUP BY 1, 2 ORDER BY id_a, id_b""".stripMargin))
   )
 
   private val routingTopics = Events.Topics(

@@ -584,4 +584,43 @@ object Dedup {
         GraftFunctions.cosineSim(col("v_a"), col("v_b")).as("cosine"))
       .filter(col("cosine") >= minCosine)
   }
+
+  /**
+   * Exact shared-span detection — the substring-dedup method ("documents
+   * that share any exact run of ≥ w tokens") from the training-data
+   * dedup literature, approximated at stride granularity: every w-token
+   * window at stride `stride` fingerprints to md5, and two docs sharing
+   * ANY window fingerprint share an exact w-token span (stride ≤ w/2
+   * guarantees every span of 1.5w tokens is caught; smaller strides
+   * tighten the bound toward w at linearly more windows).
+   *
+   * Scale shape: fingerprints are per-doc array expressions (one explode,
+   * no char-level blowup), DISTINCT bounds each doc's contribution, and
+   * `maxDf` drops boilerplate fingerprints shared by more than maxDf docs
+   * (same skew cap as the n-gram path) BEFORE the bucket self-join — the
+   * quadratic step runs only inside ≤ maxDf-sized buckets.
+   * Output: (id_a, id_b, shared_windows), id_a < id_b.
+   */
+  def sharedSpanPairs(df: DataFrame, idCol: String, textCol: String,
+                      w: Int = 20, stride: Int = 10,
+                      maxDf: Int = 50): DataFrame = {
+    require(w >= 2 && stride >= 1 && stride <= w,
+      s"need w >= 2 and 1 <= stride <= w, got w=$w stride=$stride")
+    import org.apache.spark.sql.expressions.Window
+    val toks = graft.text.TextAnalysis.tokens(col(textCol))
+    val starts = sequence(lit(0), greatest(size(toks) - w, lit(0)), lit(stride))
+    val fps = df.select(col(idCol).as("__id"),
+        explode(transform(starts,
+          s => md5(concat_ws(" ", slice(toks, s + 1, lit(w)))))).as("fp"))
+      .distinct()
+    val bounded = fps
+      .withColumn("__df", count(lit(1)).over(Window.partitionBy(col("fp"))))
+      .filter(col("__df") <= maxDf).drop("__df")
+    bounded.join(bounded.select(col("fp"), col("__id").as("__b")), Seq("fp"))
+      .filter(col("__id") < col("__b"))
+      .groupBy(col("__id"), col("__b"))
+      .agg(count(lit(1)).as("shared_windows"))
+      .select(col("__id").as("id_a"), col("__b").as("id_b"),
+        col("shared_windows"))
+  }
 }

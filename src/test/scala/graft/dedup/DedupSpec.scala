@@ -283,4 +283,27 @@ class DedupSpec extends AnyFunSuite {
     // doc 4 shares no shingle with the others: never even a candidate
     assert(!r.exists(p => p._1 == 4L || p._2 == 4L))
   }
+
+  test("sharedSpanPairs: aligned spans caught, boilerplate capped by maxDf") {
+    val span = (1 to 12).map(i => s"tok$i").mkString(" ") // a 12-token run
+    val corpus = Seq(
+      (1L, s"alpha $span omega"),
+      (2L, s"$span beta gamma delta"), // shares the exact 12-token run
+      (3L, "unrelated words only here padding filler content more text"),
+      (4L, s"x1 x2 x3 $span tail")     // also contains the run
+    ).toDF("doc_id", "text")
+    // w=4, stride=1: every 4-token window — any shared ≥4-token span hits
+    val pairs = Dedup.sharedSpanPairs(corpus, "doc_id", "text",
+        w = 4, stride = 1, maxDf = 50)
+      .as[(Long, Long, Long)].collect().map(p => (p._1, p._2)).toSet
+    assert(pairs == Set((1L, 2L), (1L, 4L), (2L, 4L)), s"got $pairs")
+
+    // a window shared by ALL docs is boilerplate: maxDf = 2 kills it
+    val boiler = Seq(
+      (1L, s"$span a"), (2L, s"$span b"), (3L, s"$span c")
+    ).toDF("doc_id", "text")
+    val capped = Dedup.sharedSpanPairs(boiler, "doc_id", "text",
+        w = 4, stride = 1, maxDf = 2)
+    assert(capped.count() == 0)
+  }
 }
