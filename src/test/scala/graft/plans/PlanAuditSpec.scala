@@ -210,4 +210,26 @@ class PlanAuditSpec extends AnyFunSuite {
     val cg = buf.toString("UTF-8")
     assert(cg.contains("WholeStageCodegen"), cg.take(2000))
   }
+
+  test("v8_filtered_knn: metadata semi-join prunes BEFORE the cosine top-k") {
+    val p = planOf("v8_filtered_knn")
+    // the lang predicate must reach the documents scan…
+    assert(p.contains("EqualTo(lang,en)"), p)
+    // …the candidate prune is a broadcast semi-join, not a shuffle…
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"), p)
+    // …and the top-k stays a TakeOrderedAndProject ABOVE the join (the
+    // cosine is evaluated only on the filtered survivors)
+    val topKIdx = p.indexOf("TakeOrderedAndProject")
+    val joinIdx = p.indexOf("BroadcastHashJoin")
+    assert(topKIdx >= 0 && joinIdx > topKIdx,
+      s"top-k must sit above the semi-join (cosine after pruning):\n$p")
+  }
+
+  test("x12_scd2 / x13_interval_merge: window chains keep to one key exchange") {
+    for (q <- Seq("x12_scd2", "x13_interval_merge")) {
+      val p = planOf(q)
+      val n = "Exchange hashpartitioning\\(user_id".r.findAllIn(p).size
+      assert(n == 1, s"$q: expected 1 user_id exchange, got $n:\n$p")
+    }
+  }
 }
