@@ -4044,7 +4044,25 @@ object SparkEntry {
              |b AS (SELECT w.doc_id, w.fp FROM wins w JOIN freq USING (fp))
              |SELECT a.doc_id AS id_a, c.doc_id AS id_b, count(*) AS shared_windows
              |FROM b a JOIN b c ON a.fp = c.fp AND a.doc_id < c.doc_id
-             |GROUP BY 1, 2 ORDER BY id_a, id_b""".stripMargin))
+             |GROUP BY 1, 2 ORDER BY id_a, id_b""".stripMargin)),
+
+    // per-source quantile normalization: each source's score distribution
+    // maps to percentile space so thresholds compare across sources —
+    // the comparability step before a cross-source quality gate or mix
+    "cu_score_norm" -> Q(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("source"))
+          .orderBy(col("n_chars"), col("doc_id"))
+        T(s, d, "documents")
+          .select(col("doc_id"), col("source"), col("n_chars"),
+            round(percent_rank().over(w), 6).as("pct_in_source"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""SELECT doc_id, source, n_chars,
+             |  round(percent_rank() OVER (PARTITION BY source
+             |                             ORDER BY n_chars, doc_id), 6) AS pct_in_source
+             |FROM documents ORDER BY doc_id""".stripMargin))
   )
 
   private val routingTopics = Events.Topics(
