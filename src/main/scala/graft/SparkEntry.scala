@@ -1910,36 +1910,43 @@ object SparkEntry {
              |WHERE rk <= 25 ORDER BY doc_id""".stripMargin)),
 
     // Deterministic corpus shuffle (epoch ordering): head of the permutation
-    // with its position — the position is what makes order hash-checkable
+    // with its position — the position is what makes order hash-checkable.
+    // Scale path: TakeOrderedAndProject top-100 + bounded self-join
+    // numbering (Curation.shuffleHead) — no single-partition WindowExec.
     "cu_corpus_shuffle" -> Q(
-      (s, d) => {
-        val w = org.apache.spark.sql.expressions.Window
-          .orderBy(md5(concat(lit("shuffle|"), col("doc_id").cast("string"))).asc,
-            col("doc_id").asc)
-        T(s, d, "documents")
-          .select(col("doc_id"), row_number().over(w).as("pos"))
-          .filter(col("pos") <= 100)
-          .orderBy(col("pos"))
-      },
+      (s, d) => graft.ops.Curation.shuffleHead(
+          T(s, d, "documents"), "doc_id", k = 100)
+        .select(col("doc_id"), col("pos"))
+        .orderBy(col("pos")),
       Some("""SELECT doc_id, pos FROM (
              |  SELECT doc_id, row_number() OVER (
              |    ORDER BY md5('shuffle|' || doc_id::VARCHAR), doc_id) AS pos
              |  FROM documents) t
              |WHERE pos <= 100 ORDER BY pos""".stripMargin)),
 
+    // Decile quality bins via the SCALE path: one percentile pass →
+    // cutpoints as broadcast literals → zero-shuffle scalar binning
+    // (Curation.percentileCutpoints + binByCutpoints). The global-ntile
+    // form (Curation.quantileBins) stays as the semantics cross-check in
+    // CurationSpec only — it must never be the benched plan.
     "cu_quality_bins" -> Q(
-      (s, d) => graft.ops.Curation.quantileBins(
-          T(s, d, "documents"), "doc_id", col("n_chars"), n = 10)
-        .groupBy(col("bin"))
-        .agg(count(lit(1)).as("n_docs"),
-          min(col("n_chars")).as("min_chars"), max(col("n_chars")).as("max_chars"))
-        .orderBy(col("bin")),
-      Some("""SELECT CAST(bin AS INT) AS bin, count(*) AS n_docs,
+      (s, d) => {
+        val docs = T(s, d, "documents")
+        val cuts = graft.ops.Curation.percentileCutpoints(docs, col("n_chars"), 10)
+        graft.ops.Curation.binByCutpoints(docs, col("n_chars"), cuts)
+          .groupBy(col("bin"))
+          .agg(count(lit(1)).as("n_docs"),
+            min(col("n_chars")).as("min_chars"), max(col("n_chars")).as("max_chars"))
+          .orderBy(col("bin"))
+      },
+      Some(s"""WITH c AS (SELECT quantile_cont(n_chars,
+             |    [${(1 to 9).map(i => s"0.$i").mkString(", ")}]) AS cuts FROM documents),
+             |b AS (SELECT n_chars,
+             |        1 ${(1 to 9).map(i => s"+ CAST(n_chars > cuts[$i] AS INT)").mkString(" ")} AS bin
+             |      FROM documents, c)
+             |SELECT bin, count(*) AS n_docs,
              |  min(n_chars) AS min_chars, max(n_chars) AS max_chars
-             |FROM (SELECT n_chars,
-             |        ntile(10) OVER (ORDER BY n_chars, doc_id) AS bin
-             |      FROM documents)
-             |GROUP BY 1 ORDER BY 1""".stripMargin))
+             |FROM b GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 
   private def analyticsDefs: Seq[(String, Q)] = Seq(

@@ -256,6 +256,35 @@ object Curation {
       col(idCol).asc)
 
   /**
+   * First `k` positions of the deterministic [[corpusShuffle]] order, WITH
+   * their 1-based position — "the head of this epoch's permutation" (the
+   * sample a data-loader smoke test or a curriculum preview reads).
+   *
+   * Scale shape: selection is a global top-k on the hash key
+   * (TakeOrderedAndProject — per-partition heaps of k, then a k-sized
+   * merge), and position numbering runs as a bounded broadcast self-join
+   * over the k survivors (pos = 1 + #rows strictly earlier; ≤k² pairs).
+   * No single-partition WindowExec anywhere: at 100 TB every task forwards
+   * at most k rows, and only k ever reach one place. Output: (idCol, pos).
+   */
+  def shuffleHead(df: DataFrame, idCol: String, k: Int,
+                  salt: String = "shuffle"): DataFrame = {
+    require(k >= 1, s"k must be positive, got $k")
+    val head = df
+      .select(col(idCol),
+        md5(concat(lit(salt + "|"), col(idCol).cast("string"))).as("__k"))
+      .orderBy(col("__k").asc, col(idCol).asc)
+      .limit(k)
+    head
+      .join(broadcast(head.select(col("__k").as("__pk"), col(idCol).as("__pid"))),
+        col("__pk") < col("__k") ||
+          (col("__pk") === col("__k") && col("__pid") < col(idCol)), "left")
+      .groupBy(col(idCol), col("__k"))
+      .agg((count(col("__pid")) + 1).cast("int").as("pos"))
+      .drop("__k")
+  }
+
+  /**
    * Interior quantile cutpoints i/n (i = 1..n-1) of `score`: exact
    * interpolated percentiles (same semantics as DuckDB `quantile_cont`),
    * one aggregation pass, collected as n-1 doubles on the driver. At
@@ -302,8 +331,9 @@ object Curation {
    *  1. rows bucket by the first hex byte of their md5 order key, so
    *     bucket order IS key order (fixed-width lowercase hex);
    *  2. one tiny aggregate (≤256 rows) computes per-bucket totals, whose
-   *     prefix sum — the only unpartitioned window — runs over those
-   *     ≤256 rows and broadcasts back;
+   *     prefix sum runs as a bounded broadcast self-join (Σ of strictly
+   *     earlier buckets — ≤256² pairs, no single-partition WindowExec
+   *     anywhere in the plan) and broadcasts back;
    *  3. the per-row running sum windows WITHIN each bucket (distributed)
    *     and adds the bucket's broadcast base offset.
    * Output: (idCol, n_tokens, start_offset, pack_id).
@@ -317,12 +347,13 @@ object Curation {
       col(nTokensCol).cast("long").as("n_tokens"))
       .withColumn("__k", md5(col(idCol).cast("string")))
       .withColumn("__bkt", substring(col("__k"), 1, hexChars))
-    val base = keyed.groupBy(col("__bkt"))
+    val totals = keyed.groupBy(col("__bkt"))
       .agg(sum(col("n_tokens")).as("__bt"))
-      .withColumn("__base", coalesce(
-        sum(col("__bt")).over(Window.orderBy("__bkt")
-          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .select(col("__bkt"), col("__base"))
+    val base = totals
+      .join(broadcast(totals.select(col("__bkt").as("__pbkt"), col("__bt").as("__pbt"))),
+        col("__pbkt") < col("__bkt"), "left")
+      .groupBy(col("__bkt"))
+      .agg(coalesce(sum(col("__pbt")), lit(0L)).as("__base"))
     keyed.join(broadcast(base), Seq("__bkt"))
       .withColumn("start_offset", col("__base") +
         sum(col("n_tokens")).over(Window.partitionBy(col("__bkt"))

@@ -273,20 +273,26 @@ object Rag {
    * classic k0 = 60 damps the head so one list can't dominate.
    *
    * Each input must carry (idCol, scoreCol) and be ALREADY REDUCED to a
-   * top-N list — the single-partition ranking window here is bounded by N
-   * (tens of rows), not the corpus; at 100 TB the heavy lifting happened
-   * inside the per-list retrievals (BM25 postings pruning, ANN signature
-   * prune), and the fusion joins k-sized lists. Contributions are summed
-   * in fixed input order (no AGG reorder), so the fused score is
-   * bit-deterministic and oracle-reproducible; ties break by id.
+   * top-N list — ranking within each list runs as a bounded broadcast
+   * self-join (rank = 1 + #rows strictly ahead by (score desc, id asc);
+   * ≤N² pairs, no single-partition WindowExec), so at 100 TB the heavy
+   * lifting happened inside the per-list retrievals (BM25 postings
+   * pruning, ANN signature prune) and the fusion joins k-sized lists.
+   * Contributions are summed in fixed input order (no AGG reorder), so the
+   * fused score is bit-deterministic and oracle-reproducible; ties break
+   * by id. Rank equals row_number because ids are unique per list, making
+   * (score desc, id asc) a total order.
    */
   def rrfFuse(rankings: Seq[DataFrame], idCol: String, scoreCol: String,
               k0: Int = 60, topK: Int = 10): DataFrame = {
     require(rankings.nonEmpty, "rrfFuse needs at least one ranking")
     val ranked = rankings.zipWithIndex.map { case (df, i) =>
-      val w = org.apache.spark.sql.expressions.Window
-        .orderBy(col(scoreCol).desc, col(idCol).asc)
-      df.select(col(idCol), row_number().over(w).as(s"__r$i"))
+      val in = df.select(col(idCol), col(scoreCol))
+      in.join(broadcast(in.select(col(idCol).as("__pid"), col(scoreCol).as("__ps"))),
+          col("__ps") > col(scoreCol) ||
+            (col("__ps") === col(scoreCol) && col("__pid") < col(idCol)), "left")
+        .groupBy(col(idCol))
+        .agg((count(col("__pid")) + 1).cast("int").as(s"__r$i"))
     }
     val joined = ranked.reduce((a, b) => a.join(b, Seq(idCol), "full_outer"))
     val contrib = rankings.indices

@@ -45,6 +45,25 @@ class SparkEntryContractSpec extends AnyFunSuite {
     assert(offenders.isEmpty, s"unexpected cartesian in: $offenders")
   }
 
+  test("no battery query plans a single-partition window") {
+    // An empty partitionSpec funnels the whole input through one task —
+    // the scale-killer WindowExec itself warns about ("No Partition
+    // Defined"). Bounded heads are numbered by self-join (Curation
+    // .shuffleHead, Rag.rrfFuse) and global prefix sums run two-phase
+    // (Curation.packSequences), so NO query may plan one.
+    import org.apache.spark.sql.execution.window.{WindowExec, WindowGroupLimitExec}
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      try {
+        val bad = fn(spark, sf).queryExecution.sparkPlan.collect {
+          case w: WindowExec if w.partitionSpec.isEmpty => w
+          case g: WindowGroupLimitExec if g.partitionSpec.isEmpty => g
+        }
+        if (bad.nonEmpty) Some(name) else None
+      } catch { case _: Throwable => None } // resolvability is the prior test
+    }
+    assert(offenders.isEmpty, s"single-partition window in: $offenders")
+  }
+
   test("output column names are parquet-safe, unique, and lowercase") {
     val bad = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val cols = fn(spark, sf).schema.fieldNames.toSeq

@@ -44,6 +44,18 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(bIdx >= 0 && p.indexOf("HashAggregate", bIdx) >= 0, p)
   }
 
+  test("cu_corpus_shuffle: head selection is TakeOrderedAndProject, numbering is windowless") {
+    val p = planOf("cu_corpus_shuffle")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("Window"), p) // self-join numbering — no WindowExec at all
+  }
+
+  test("cu_quality_bins: the benched plan is the cutpoints path — no window, no ntile") {
+    val p = planOf("cu_quality_bins")
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("ntile"), p)
+  }
+
   test("w5_topk_score: top-k is TakeOrderedAndProject, never a global sort") {
     val p = planOf("w5_topk_score")
     assert(p.contains("TakeOrderedAndProject"), p)
