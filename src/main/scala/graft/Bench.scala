@@ -157,10 +157,18 @@ object Bench {
     // a query is flagged when it's >1.5× its baseline AND the delta is
     // >0.5 s even after retries (sub-second queries jitter by whole
     // scheduling quanta run-to-run — absolute noise must not page anyone)
-    val regressions = results.collect {
+    val regEntries = results.collect {
       case (k, Right((v, _))) if regressed(k, v) =>
         s"${q(k)}:{${q("now")}:${r2(v)},${q("baseline")}:${baseline(k)}}"
-    }.mkString("{", ",", "}")
+    }
+    val regressions = regEntries.mkString("{", ",", "}")
+    // stdout-line variant is CAPPED (full map in bench_full.json): a round
+    // with many regressions must not push the tail line past the driver's
+    // ~2000-char stdout window and null the whole parse
+    val regressionsHead =
+      (regEntries.take(5) ++
+        (if (regEntries.size > 5) Seq(s"${q("_truncated")}:${regEntries.size - 5}")
+         else Nil)).mkString("{", ",", "}")
 
     val totalShufMb = results.collect { case (_, Right((_, b))) => b }.sum / 1048576.0
     val fullJson =
@@ -196,11 +204,14 @@ object Bench {
     val errNames = results.collect { case (k, Left(_)) => q(k) }.take(5)
       .mkString("[", ",", "]")
 
-    def line(qsJson: String): String =
-      s"""{"metric":"total","value":${r2(total)},"unit":"sec","queries":$qsJson,"n_queries":${results.size},"n_failed":$nFail,"failed":$errNames,"regressions":$regressions,"shuffle_mb_total":${r2(totalShufMb)},"detail":"bench_full.json","sf":${q(sfDir)}}"""
-    // belt-and-braces: if the headline line somehow exceeds the tail window
-    // (e.g. a long regressions map), fall back to totals-only
-    val out = if (line(headQs).length <= 1800) line(headQs) else line("{}")
+    def line(qsJson: String, regJson: String): String =
+      s"""{"metric":"total","value":${r2(total)},"unit":"sec","queries":$qsJson,"n_queries":${results.size},"n_failed":$nFail,"failed":$errNames,"regressions":$regJson,"shuffle_mb_total":${r2(totalShufMb)},"detail":"bench_full.json","sf":${q(sfDir)}}"""
+    // belt-and-braces: if the headline line somehow exceeds the tail window,
+    // drop first the per-query map, then the (already capped) regressions —
+    // the counts-only line always fits
+    val minimal = line("{}", s"""{${q("_truncated")}:${regEntries.size}}""")
+    val out = Seq(line(headQs, regressionsHead), line("{}", regressionsHead))
+      .find(_.length <= 1800).getOrElse(minimal)
 
     // stop BEFORE printing: the JSON line must be the last stdout line so
     // the driver's parse succeeds (shutdown logging would otherwise trail it)

@@ -1735,7 +1735,7 @@ object SparkEntry {
          |  JOIN outdeg o ON e.a = o.node
          |  GROUP BY e.b),
          |r$i AS MATERIALIZED (SELECT n.node,
-         |    round((1 - $d) / nn.n + $d * (coalesce(c.im, 0) + g.dm / nn.n), $dp) AS rank
+         |    round((1 - $d) / nn.n + $d * (coalesce(c.im, 0) + round(g.dm / nn.n, $dp)), $dp) AS rank
          |  FROM nodes n LEFT JOIN c$i c ON n.node = c.node, dng$i g, nn)""".stripMargin
     }.mkString(",\n")
     // every r{i} is referenced twice (dangling + contribs) — without
@@ -3729,9 +3729,16 @@ object SparkEntry {
         .orderBy(col("user_id"), col("valid_from_ms"), col("event_type")),
       Some("""WITH e AS (SELECT event_id, user_id, event_type,
              |    epoch_ms(CAST(ts AS TIMESTAMP)) AS ms FROM events),
-             |c AS (SELECT *, lag(event_type) OVER (PARTITION BY user_id ORDER BY ms, event_id) AS prev FROM e),
+             |c AS (SELECT *,
+             |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ms, event_id) AS prev,
+             |    lag(ms) OVER (PARTITION BY user_id ORDER BY ms, event_id) AS prev_ms
+             |  FROM e),
+             |-- prev_ms IS NULL keeps each key's FIRST row even when its
+             |-- tracked attribute is NULL: Spark's lag-struct is null only
+             |-- for the first row, but NULL-vs-NULL under IS DISTINCT FROM
+             |-- is "not distinct" and would drop it (ms is non-null)
              |ch AS (SELECT user_id, event_type, ms, event_id FROM c
-             |       WHERE prev IS DISTINCT FROM event_type)
+             |       WHERE prev_ms IS NULL OR prev IS DISTINCT FROM event_type)
              |SELECT user_id, event_type, ms AS valid_from_ms,
              |  lead(ms) OVER w AS valid_to_ms,
              |  lead(ms) OVER w IS NULL AS is_current
@@ -3892,7 +3899,8 @@ object SparkEntry {
              |au AS (SELECT doc_id, u1,
              |         regexp_extract(u1, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*') AS auth FROM st),
              |parts AS (SELECT doc_id,
-             |    regexp_replace(lower(auth), ':(80|443)$', '') AS a2,
+             |    regexp_replace(regexp_replace(lower(auth),
+             |      '^(http://[^/:]*):80$', '\1'), '^(https://[^/:]*):443$', '\1') AS a2,
              |    substr(u1, length(auth) + 1) AS rest FROM au),
              |clean AS (SELECT doc_id, a2,
              |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(
@@ -4194,8 +4202,8 @@ object SparkEntry {
              |wins AS (SELECT DISTINCT doc_id,
              |    md5(array_to_string(t[CAST(s + 1 AS INT):CAST(s + 20 AS INT)], ' ')) AS fp
              |  FROM (SELECT doc_id, t,
-             |          unnest(range(0, greatest(len(t) - 20, 0) + 1, 10)) AS s
-             |        FROM base)),
+             |          unnest(range(0, len(t) - 20 + 1, 10)) AS s
+             |        FROM base WHERE len(t) >= 20)),
              |freq AS (SELECT fp FROM wins GROUP BY fp HAVING count(*) <= 50),
              |b AS (SELECT w.doc_id, w.fp FROM wins w JOIN freq USING (fp))
              |SELECT a.doc_id AS id_a, c.doc_id AS id_b, count(*) AS shared_windows

@@ -608,10 +608,15 @@ object Dedup {
       s"need w >= 2 and 1 <= stride <= w, got w=$w stride=$stride")
     import org.apache.spark.sql.expressions.Window
     val toks = graft.text.TextAnalysis.tokens(col(textCol))
-    val starts = sequence(lit(0), greatest(size(toks) - w, lit(0)), lit(stride))
-    val fps = df.select(col(idCol).as("__id"),
-        explode(transform(starts,
-          s => md5(concat_ws(" ", slice(toks, s + 1, lit(w)))))).as("fp"))
+    // docs shorter than w tokens have no w-token span BY DEFINITION — without
+    // this filter two identical short docs would report a vacuous "shared
+    // w-token span" from the single sub-w window
+    val fps = df.select(col(idCol).as("__id"), toks.as("__toks"))
+      .filter(size(col("__toks")) >= w)
+      .select(col("__id"),
+        explode(transform(
+          sequence(lit(0), size(col("__toks")) - w, lit(stride)),
+          s => md5(concat_ws(" ", slice(col("__toks"), s + 1, lit(w)))))).as("fp"))
       .distinct()
     val bounded = fps
       .withColumn("__df", count(lit(1)).over(Window.partitionBy(col("fp"))))

@@ -104,6 +104,14 @@ object Graph {
           case null => 0.0
           case d: Double => d
         }
+    // With roundPerIter set, the dangling/n scalar is itself rounded to dp
+    // BEFORE injection (mirrored in the SQL oracle): the dangling sum is an
+    // unordered float reduction, and an unrounded scalar within ulp noise
+    // of a 0.5e-dp boundary could flip a rank digit mid-iteration. Rounding
+    // both sides pins the injected value; the residual risk (the scalar's
+    // OWN rounding landing on a boundary) is ~2^-52/0.5e-dp per iteration.
+    def injected(dang: Double): Double = roundPerIter.fold(dang / n)(dp =>
+      BigDecimal(dang / n).setScale(dp, BigDecimal.RoundingMode.HALF_UP).toDouble)
     var dangling = danglingOf(ranks)
     for (i <- 0 until iters) {
       val contribs = e.join(ranks.withColumnRenamed("node", "__src"), "__src")
@@ -111,7 +119,7 @@ object Graph {
         .select(col("__dst").as("node"), (col("rank") / col("outdeg")).as("c"))
         .groupBy("node").agg(sum(col("c")).as("in_mass"))
       val rawRank = lit((1.0 - damping) / n) +
-        lit(damping) * (coalesce(col("in_mass"), lit(0.0)) + lit(dangling / n))
+        lit(damping) * (coalesce(col("in_mass"), lit(0.0)) + lit(injected(dangling)))
       val next0 = nodes.join(contribs, Seq("node"), "left")
         .select(col("node"),
           roundPerIter.fold(rawRank)(dp => round(rawRank, dp)).as("rank"))

@@ -77,7 +77,11 @@ object Web {
     val noFrag = regexp_replace(url, "#.*", "")
     val auth = regexp_extract(noFrag, "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*", 0)
     val rest = substring_index_safe(noFrag, auth)
-    val authLc = regexp_replace(lower(auth), ":(80|443)$", "")
+    // default ports are scheme-specific: http://host:443 names a DIFFERENT
+    // resource than http://host, so strip :80 only under http and :443
+    // only under https
+    val authLc = regexp_replace(regexp_replace(lower(auth),
+      "^(http://[^/:]*):80$", "$1"), "^(https://[^/:]*):443$", "$1")
     val noTrack = regexp_replace(rest,
       "([?&])(utm_[a-zA-Z0-9_]*|fbclid|gclid|ref)=[^&#]*", "$1")
     val fixedSep = regexp_replace(regexp_replace(regexp_replace(

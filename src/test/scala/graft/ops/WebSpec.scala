@@ -61,6 +61,10 @@ class WebSpec extends AnyFunSuite {
       (("http://x.com:80/p"), "http://x.com/p"),
       // non-default port survives
       ("http://x.com:8080/p", "http://x.com:8080/p"),
+      // a default port of the OTHER scheme is not default here — it names
+      // a different resource and must survive
+      ("http://x.com:443/p", "http://x.com:443/p"),
+      ("https://x.com:80/p", "https://x.com:80/p"),
       // fragment dropped
       ("https://x.com/p#section-2", "https://x.com/p"),
       // tracking params stripped wherever they sit; separators repaired
