@@ -1470,6 +1470,44 @@ object SparkEntry {
              |FROM orders WHERE o_orderkey % 7 <> 0
              |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // Incremental snapshot APPEND: v2 inherits every v1 file by manifest
+    // reference and writes only the delta (write cost ∝ delta — the
+    // Iceberg manifest-sharing property, file-level pins in SnapshotsSpec).
+    // The oracle recomputes v2's content relationally; files_shared proves
+    // the inheritance actually happened, not a silent full rewrite.
+    "snap_append_share" -> Q(
+      (s, d) => {
+        import graft.store.Snapshots
+        val root = java.nio.file.Files.createTempDirectory("graft-snapappend")
+        sys.addShutdownHook {
+          def rm(p: java.nio.file.Path): Unit = {
+            if (java.nio.file.Files.isDirectory(p))
+              java.nio.file.Files.list(p).forEach(rm(_))
+            java.nio.file.Files.deleteIfExists(p)
+          }
+          rm(root)
+        }
+        val base = root.toString + "/t"
+        val orders = T(s, d, "orders")
+          .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+        val v1 = Snapshots.write(
+          orders.filter(pmod(col("o_orderkey"), lit(10)) < 8), base)
+        val v2 = Snapshots.append(
+          orders.filter(pmod(col("o_orderkey"), lit(10)) >= 8), base)
+        val m1 = Snapshots.manifestFiles(s, base, v1)
+        val m2 = Snapshots.manifestFiles(s, base, v2)
+        val shared = m1.nonEmpty && m1.forall(m2.contains)
+        Snapshots.read(s, base, Some(v2))
+          .groupBy(col("o_orderstatus"))
+          .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+          .withColumn("files_shared", lit(shared))
+          .orderBy(col("o_orderstatus"))
+      },
+      Some("""SELECT o_orderstatus, count(*) AS n,
+             |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+             |  TRUE AS files_shared
+             |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // S7 — embedding column point-update semantics (SET r.embedding WHERE id)
     "s7_embedding_update" -> Q(
       (s, d) => {
@@ -1631,8 +1669,119 @@ object SparkEntry {
           .select(col("vec_id"), round(col("score"), 6).as("score"))
           .orderBy(col("score").desc, col("vec_id"))
       },
-      Option(ivfOracleState.get()).map(ivfOracleSqlFor))
+      Option(ivfOracleState.get()).map(ivfOracleSqlFor)),
+
+    // Recall@10 instrumentation for every approximate index vs brute
+    // force — "recall at what cost" is the first question a user asks an
+    // ANN index. Params are deliberately lossy (maxHamming=6, nProbe=2,
+    // rerank=20) so the approximation is visible, not vacuously 1.0. The
+    // oracle replays all three index paths from the stashed trained
+    // constants (same move as v3_ivf_knn) and counts the overlap.
+    "v9_recall" -> Q(
+      (s, d) => {
+        val q = queryVec(s, d)
+        val emb = TestData.embeddings(s, d)
+          .filter(col("vec_id") =!= 0 && col("embedding").isNotNull)
+        val brute = Rag.knn(emb, "vec_id", "embedding", q, k = 10, minScore = -1.0)
+        val planes = Rag.hyperplanes(dim = q.length, nBits = 16, seed = 42L)
+        val ann = Rag.annKnn(Rag.withSignature(emb, "embedding", planes),
+          "vec_id", "embedding", q, planes, k = 10, minScore = -1.0, maxHamming = 6)
+        val ivfModel = graft.rag.Ivf.train(emb, "vec_id", "embedding", nCells = 8)
+        val ivf = graft.rag.Ivf.ivfKnn(
+          graft.rag.Ivf.withCell(emb, "embedding", ivfModel),
+          "vec_id", "embedding", q, ivfModel, k = 10, minScore = -1.0, nProbe = 2)
+        val pqModel = graft.rag.Pq.train(emb, "vec_id", "embedding", m = 8, ks = 16)
+        val pq = graft.rag.Pq.pqKnn(
+          graft.rag.Pq.withCodes(emb, "embedding", pqModel),
+          "vec_id", "embedding", q, pqModel, k = 10, rerank = 20)
+        recallOracleState.set(RecallState(ivfModel.centroids,
+          ivfModel.probesFor(q, 2), pqModel.books, pqModel.subDim,
+          pqModel.adcTable(q)))
+        Seq("ann_lsh" -> ann, "ivf" -> ivf, "pq_adc" -> pq).map { case (nm, df) =>
+          Rag.recallAtK(df, brute, "vec_id", k = 10)
+            .withColumn("index_kind", lit(nm))
+        }.reduce(_.unionByName(_))
+          .select(col("index_kind"), col("n_hits"), col("recall"))
+          .orderBy(col("index_kind"))
+      },
+      Option(recallOracleState.get()).map(recallOracleSqlFor))
   )
+
+  /** Post-run oracle state for v9_recall (same mechanism as
+    * [[ivfOracleState]]): the trained IVF centroids + probes, PQ codebooks,
+    * and the query's ADC table, stashed by the query run and embedded as
+    * SQL literals when `oracleSql` is evaluated afterwards. */
+  private final case class RecallState(ivfCents: Array[Array[Float]],
+                                       ivfProbes: Seq[Int],
+                                       books: Array[Array[Array[Float]]],
+                                       subDim: Int,
+                                       adc: Array[Array[Double]])
+  private val recallOracleState =
+    new java.util.concurrent.atomic.AtomicReference[RecallState]()
+
+  private def recallOracleSqlFor(st: RecallState): String = {
+    val planes = Rag.hyperplanes(dim = 64, nBits = 16, seed = 42L)
+    val ivfD = st.ivfCents.indices
+      .map(i => s"(${ivfDotSql(st.ivfCents(i), "embedding")}) AS d$i")
+      .mkString(",\n      ")
+    val ivfCase = firstMaxCaseSql(st.ivfCents.indices.map(i => s"d$i"))
+    val m = st.books.length
+    // per-(subspace, code) assignment score: dot(sub, c) − ‖c‖²/2 — the
+    // exact expression Pq.codesFor evaluates (argmin L2 == argmax this)
+    val pqScores = (0 until m).flatMap { sIdx =>
+      st.books(sIdx).zipWithIndex.toSeq.map { case (c, ci) =>
+        val n2h = c.map(x => x.toDouble * x.toDouble).sum / 2.0
+        s"(${ivfDotSql(c, "embedding", off = sIdx * st.subDim)} - ($n2h)) AS p${sIdx}_$ci"
+      }
+    }.mkString(",\n      ")
+    val pqCodes = (0 until m).map { sIdx =>
+      s"(${firstMaxCaseSql(st.books(sIdx).indices.map(ci => s"p${sIdx}_$ci"))}) AS c$sIdx"
+    }.mkString(",\n      ")
+    val adcExpr = (0 until m).map { sIdx =>
+      s"(${st.adc(sIdx).map(_.toString).mkString("[", ", ", "]")}[c$sIdx + 1])"
+    }.mkString(" + ")
+    def cosTop(cand: String, pfx: String) =
+      s"""${pfx}pairs AS (SELECT c.vec_id, unnest(c.embedding)::DOUBLE AS x, unnest(q.qv)::DOUBLE AS y
+         |  FROM $cand c, q),
+         |${pfx}top AS (SELECT vec_id FROM (
+         |  SELECT vec_id, SUM(x*y) / (SQRT(SUM(x*x)) * SQRT(SUM(y*y))) AS s
+         |  FROM ${pfx}pairs GROUP BY vec_id) sc ORDER BY s DESC, vec_id LIMIT 10)""".stripMargin
+    def recallRow(kind: String, top: String) =
+      s"""SELECT '$kind' AS index_kind,
+         |  (SELECT count(*) FROM $top t JOIN btop b USING (vec_id)) AS n_hits,
+         |  round((SELECT count(*) FROM $top t JOIN btop b USING (vec_id))::DOUBLE / 10, 6) AS recall""".stripMargin
+    s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+       |emb0 AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id <> 0 AND embedding IS NOT NULL),
+       |${cosTop("emb0", "b")},
+       |qsig AS (SELECT ${planeSigSql(planes, "qv")} AS qs FROM q),
+       |acand AS (SELECT e.vec_id, e.embedding FROM (
+       |    SELECT vec_id, embedding, ${planeSigSql(planes, "embedding")} AS sig FROM emb0) e, qsig
+       |  WHERE bit_count(xor(e.sig, qsig.qs)) <= 6),
+       |${cosTop("acand", "a")},
+       |icand AS (SELECT vec_id, embedding FROM (
+       |    SELECT vec_id, embedding, $ivfCase AS cell FROM (
+       |      SELECT vec_id, embedding,
+       |      $ivfD
+       |      FROM emb0) dd) cc
+       |  WHERE cell IN (${st.ivfProbes.mkString(", ")})),
+       |${cosTop("icand", "i")},
+       |pqs AS (SELECT vec_id, embedding,
+       |      $pqCodes
+       |    FROM (SELECT vec_id, embedding,
+       |      $pqScores
+       |      FROM emb0) ps),
+       |pcand AS (SELECT vec_id, embedding FROM (
+       |    SELECT vec_id, embedding, $adcExpr AS adc FROM pqs) pa
+       |  ORDER BY adc DESC, vec_id LIMIT 20),
+       |${cosTop("pcand", "p")}
+       |SELECT * FROM (
+       |${recallRow("ann_lsh", "atop")}
+       |UNION ALL
+       |${recallRow("ivf", "itop")}
+       |UNION ALL
+       |${recallRow("pq_adc", "ptop")}) r
+       |ORDER BY index_kind""".stripMargin
+  }
 
   /**
    * Post-run IVF oracle state: (trained centroids, probed cell ids). The
@@ -1647,11 +1796,24 @@ object SparkEntry {
     new java.util.concurrent.atomic.AtomicReference[(Array[Array[Float]], Seq[Int])]()
 
   /** Sequential left-to-right double dot — bit-identical to DotProduct's
-    * accumulation loop (float element → double product → running sum). */
-  private def ivfDotSql(c: Array[Float], v: String): String =
+    * accumulation loop (float element → double product → running sum).
+    * `off` shifts the vector index for subspace slices (PQ). */
+  private def ivfDotSql(c: Array[Float], v: String, off: Int = 0): String =
     c.zipWithIndex
-      .map { case (w, j) => s"$v[${j + 1}]::DOUBLE * (${w.toDouble})" }
+      .map { case (w, j) => s"$v[${off + j + 1}]::DOUBLE * (${w.toDouble})" }
       .mkString(" + ")
+
+  /** First-occurrence-of-max as a CASE chain over `names` — the DuckDB
+    * twin of `array_position(scores, array_max(scores)) - 1` (argmax, ties
+    * to the lowest index): branch i only needs comparisons against LATER
+    * entries, because reaching it means some earlier branch failed. */
+  private def firstMaxCaseSql(names: Seq[String]): String = {
+    val k = names.length
+    (0 until k).map { i =>
+      if (i == k - 1) s"ELSE $i"
+      else s"WHEN ${((i + 1) until k).map(j => s"${names(i)} >= ${names(j)}").mkString(" AND ")} THEN $i"
+    }.mkString("CASE ", " ", " END")
+  }
 
   /** DuckDB twin of cell assign (argmax ties→lowest, mirroring
     * `array_position(dots, array_max(dots)) - 1`) + probe filter + exact
@@ -1662,10 +1824,7 @@ object SparkEntry {
     val dcols = cents.indices
       .map(i => s"(${ivfDotSql(cents(i), "embedding")}) AS d$i")
       .mkString(",\n    ")
-    val cellCase = (0 until k).map { i =>
-      if (i == k - 1) s"ELSE $i"
-      else s"WHEN ${((i + 1) until k).map(j => s"d$i >= d$j").mkString(" AND ")} THEN $i"
-    }.mkString("CASE ", " ", " END")
+    val cellCase = firstMaxCaseSql((0 until k).map(i => s"d$i"))
     s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
        |dots AS (SELECT vec_id, embedding,
        |    $dcols

@@ -110,8 +110,11 @@ object Graph {
     // of a 0.5e-dp boundary could flip a rank digit mid-iteration. Rounding
     // both sides pins the injected value; the residual risk (the scalar's
     // OWN rounding landing on a boundary) is ~2^-52/0.5e-dp per iteration.
-    def injected(dang: Double): Double = roundPerIter.fold(dang / n)(dp =>
-      BigDecimal(dang / n).setScale(dp, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    def injected(dang: Double): Double = {
+      val raw = dang / n // NaN on an empty graph (n = 0) — plan stays valid
+      roundPerIter.filter(_ => !raw.isNaN && !raw.isInfinite).fold(raw)(dp =>
+        BigDecimal(raw).setScale(dp, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
     var dangling = danglingOf(ranks)
     for (i <- 0 until iters) {
       val contribs = e.join(ranks.withColumnRenamed("node", "__src"), "__src")

@@ -302,4 +302,21 @@ object Rag {
       .orderBy(col("rrf").desc, col(idCol).asc)
       .limit(topK)
   }
+
+  /**
+   * Recall@k of an approximate top-k list against the exact one:
+   * |approx ∩ exact| / k — the first question a user asks of any
+   * approximate index ("recall at what cost"). Both inputs are top-k
+   * lists (bounded), so the semi join and the single-row aggregate are
+   * driver-cheap regardless of corpus size; the expensive part was
+   * producing the lists. Returns one row: (n_hits, recall).
+   */
+  def recallAtK(approx: DataFrame, exact: DataFrame, idCol: String,
+                k: Int): DataFrame = {
+    require(k >= 1, s"k must be positive, got $k")
+    approx.select(col(idCol)).limit(k)
+      .join(exact.select(col(idCol)).limit(k), Seq(idCol), "left_semi")
+      .agg(count(lit(1)).as("n_hits"),
+        round(count(lit(1)).cast("double") / k, 6).as("recall"))
+  }
 }

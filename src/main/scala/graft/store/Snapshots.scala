@@ -8,33 +8,40 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
  * the Iceberg table-format verbs (snapshots, `VERSION AS OF`,
  * expire_snapshots) over plain parquet directories.
  *
- * Layout: `basePath/v=N/part-*.parquet`. A write never mutates an existing
- * version — it lands a complete new directory and the new version becomes
- * visible only when its directory is fully written (readers list versions at
- * read time, and Spark's _SUCCESS-marker write protocol makes the directory
- * appear atomically-complete on any filesystem with atomic rename; on a real
- * deployment the version pointer is a catalog row / Iceberg metadata.json
- * commit — same verbs, swap the pointer implementation).
+ * Layout: `basePath/v=N/part-*.parquet` data files plus a `v=N/_manifest`
+ * listing every data file (base-relative path) the snapshot consists of —
+ * the parquet-implemented stand-in for Iceberg's manifest lists. A version
+ * may therefore SHARE files with its ancestors: [[append]] writes only the
+ * delta and inherits the previous manifest, so snapshot N+1 costs O(delta),
+ * not O(table) — the property that makes a 100 TB versioned table
+ * affordable. [[write]] (full replace) and [[mergeInto]] (copy-on-write
+ * upsert) still rewrite, as they must.
  *
- * Scale: time travel costs nothing at read time beyond choosing a directory;
- * old snapshots share nothing (full copies) — at 100 TB you'd want Iceberg's
- * manifest-level sharing, which is exactly why the API mirrors its verbs so
- * the swap is mechanical.
+ * Commit protocol: data files land first, then the manifest is staged and
+ * RENAMED into place — rename is atomic on HDFS/local, so the version
+ * appears all-or-nothing (on a real deployment the pointer is a catalog
+ * CAS / Iceberg metadata.json commit — same verbs, swap the pointer).
+ *
+ * Scale: time travel costs one small-file read; expiry deletes only files
+ * unreferenced by surviving manifests, so shared files outlive the
+ * versions that wrote them.
  */
 object Snapshots {
 
   private def fs(spark: SparkSession, base: String) =
     new Path(base).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
+  private def manifestPath(base: String, v: Long) = new Path(s"$base/v=$v/_manifest")
+
   /**
-   * All committed versions, ascending. "Committed" = the _SUCCESS marker
-   * exists: Spark creates the output directory at job START, so a bare
-   * `v=N` directory is an in-flight (or crashed) write — treating it as
-   * committed would hand readers a partial snapshot and make `write`
-   * allocate the next version on top of garbage. Gating on _SUCCESS keeps
-   * both snapshot isolation and crash-retryability (a failed write's
-   * versionless directory is simply never visible and gets overwritten on
-   * retry).
+   * All committed versions, ascending. "Committed" = `_manifest` exists:
+   * the manifest is renamed into place only after every data file is fully
+   * written, so a manifest-less `v=N` directory is an in-flight (or
+   * crashed) write — treating it as committed would hand readers a partial
+   * snapshot and make `write` allocate the next version on top of garbage.
+   * Gating on the manifest keeps both snapshot isolation and
+   * crash-retryability (a failed write's directory is simply never visible
+   * and gets overwritten on retry).
    */
   def versions(spark: SparkSession, base: String): Seq[Long] = {
     val f = fs(spark, base)
@@ -43,40 +50,105 @@ object Snapshots {
     else
       // one glob instead of an exists() RPC per version dir — a table with
       // hundreds of snapshots on an object store must not pay N+1 listings
-      f.globStatus(new Path(p, "v=*/_SUCCESS")).toSeq
+      f.globStatus(new Path(p, "v=*/_manifest")).toSeq
         .map(_.getPath.getParent.getName.stripPrefix("v=").toLong)
         .sorted
   }
 
-  /** Commit `df` as the next version; returns the new version number.
-    * Overwrite mode: under the SINGLE-WRITER assumption (the norm for a
-    * versioned table without a catalog; on a real deployment the version
-    * pointer is a catalog CAS commit), the only way `v=next` already
-    * exists is a crashed write that never gained its _SUCCESS marker
-    * (invisible to `versions`) — the retry must be able to reclaim that
-    * directory. Two concurrent writers could race to the same version
+  /** Base-relative data-file paths of version `v`, in manifest order. */
+  def manifestFiles(spark: SparkSession, base: String, v: Long): Seq[String] = {
+    val in = fs(spark, base).open(manifestPath(base, v))
+    try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+      .map(_.trim).filter(_.nonEmpty).toVector
+    finally in.close()
+  }
+
+  /** The freshly-written `part-*` files under `v=N`, base-relative. */
+  private def ownFiles(spark: SparkSession, base: String, v: Long): Seq[String] = {
+    fs(spark, base).listStatus(new Path(s"$base/v=$v")).toSeq
+      .map(_.getPath.getName)
+      .filter(_.startsWith("part-"))
+      .sorted
+      .map(n => s"v=$v/$n")
+  }
+
+  /** Stage + atomic-rename the manifest: the version's commit point. */
+  private def commitManifest(spark: SparkSession, base: String, v: Long,
+                             files: Seq[String]): Unit = {
+    val f = fs(spark, base)
+    val tmp = new Path(s"$base/v=$v/_manifest.tmp")
+    val out = f.create(tmp, true)
+    try out.write((files.mkString("\n") + "\n").getBytes("UTF-8"))
+    finally out.close()
+    require(f.rename(tmp, manifestPath(base, v)),
+      s"manifest commit failed for $base v=$v")
+  }
+
+  /** Commit `df` as the next FULL version (complete replace); returns the
+    * new version number. Overwrite mode: under the SINGLE-WRITER assumption
+    * (the norm for a versioned table without a catalog), the only way
+    * `v=next` already exists is a crashed write that never gained its
+    * manifest (invisible to `versions`) — the retry must be able to reclaim
+    * that directory. Two concurrent writers could race to the same version
     * number; that coordination belongs to the catalog, not the layout. */
   def write(df: DataFrame, base: String): Long = {
-    val next = versions(df.sparkSession, base).lastOption.getOrElse(0L) + 1
+    val spark = df.sparkSession
+    val next = versions(spark, base).lastOption.getOrElse(0L) + 1
     df.write.mode("overwrite").parquet(s"$base/v=$next")
+    commitManifest(spark, base, next, ownFiles(spark, base, next))
     next
   }
 
-  /** Read latest (None) or `VERSION AS OF` (Some(v)). */
+  /**
+   * Commit `df` as the next version by APPENDING: only the delta's files
+   * are written; every file of the previous version is inherited by
+   * manifest reference. This is the incremental-metadata path — version
+   * N+1's write cost is proportional to the delta, and unchanged files are
+   * stored once however many snapshots reference them (pinned in
+   * SnapshotsSpec). With no prior version this is exactly [[write]].
+   */
+  def append(df: DataFrame, base: String): Long = {
+    val spark = df.sparkSession
+    val vs = versions(spark, base)
+    val next = vs.lastOption.getOrElse(0L) + 1
+    val inherited = vs.lastOption.map(manifestFiles(spark, base, _)).getOrElse(Seq.empty)
+    df.write.mode("overwrite").parquet(s"$base/v=$next")
+    commitManifest(spark, base, next, inherited ++ ownFiles(spark, base, next))
+    next
+  }
+
+  /** Read latest (None) or `VERSION AS OF` (Some(v)): the manifest's file
+    * list, wherever those files physically live. mergeSchema so a column
+    * added by a later append is null-filled on inherited files instead of
+    * silently dropped. */
   def read(spark: SparkSession, base: String, version: Option[Long] = None): DataFrame = {
     val vs = versions(spark, base)
     require(vs.nonEmpty, s"no snapshots under $base")
     val v = version.getOrElse(vs.last)
     require(vs.contains(v), s"version $v not in $vs")
-    spark.read.parquet(s"$base/v=$v")
+    val files = manifestFiles(spark, base, v).map(rel => s"$base/$rel")
+    spark.read.option("mergeSchema", true).parquet(files: _*)
   }
 
-  /** expire_snapshots: keep the newest `keep` versions, delete the rest. */
+  /** expire_snapshots: keep the newest `keep` versions; drop the rest.
+    * A dropped version's manifest goes first (the version becomes
+    * invisible atomically), then its data files — EXCEPT those still
+    * referenced by a surviving manifest, which stay until the last
+    * referencing snapshot expires. */
   def expire(spark: SparkSession, base: String, keep: Int): Seq[Long] = {
     val vs = versions(spark, base)
     val drop = vs.dropRight(math.max(1, keep))
+    val kept = vs.drop(drop.length)
     val f = fs(spark, base)
-    drop.foreach(v => f.delete(new Path(s"$base/v=$v"), true))
+    val referenced = kept.flatMap(manifestFiles(spark, base, _)).toSet
+    drop.foreach { v =>
+      f.delete(manifestPath(base, v), false)
+      val dir = new Path(s"$base/v=$v")
+      val leftover = f.listStatus(dir).toSeq.filterNot(st =>
+        referenced(s"v=$v/${st.getPath.getName}"))
+      leftover.foreach(st => f.delete(st.getPath, true))
+      if (f.listStatus(dir).isEmpty) f.delete(dir, true)
+    }
     drop
   }
 

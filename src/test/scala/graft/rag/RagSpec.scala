@@ -128,4 +128,18 @@ class RagSpec extends AnyFunSuite {
       .as[(Long, Double)].collect()
     assert(out.map(_._1).toSeq == Seq(1L, 2L, 3L))
   }
+
+  test("recallAtK: identical lists 1.0, disjoint 0.0, partial the exact fraction") {
+    def lst(ids: Long*) = ids.map(Tuple1(_)).toDF("vec_id")
+    val exact = lst(1, 2, 3, 4, 5)
+    assert(Rag.recallAtK(lst(1, 2, 3, 4, 5), exact, "vec_id", 5)
+      .as[(Long, Double)].head() == ((5L, 1.0)))
+    assert(Rag.recallAtK(lst(6, 7, 8, 9, 10), exact, "vec_id", 5)
+      .as[(Long, Double)].head() == ((0L, 0.0)))
+    assert(Rag.recallAtK(lst(1, 2, 9, 10, 11), exact, "vec_id", 5)
+      .as[(Long, Double)].head() == ((2L, 0.4)))
+    // an approx list shorter than k (a too-aggressive prune) still reports
+    assert(Rag.recallAtK(lst(1), exact, "vec_id", 5)
+      .as[(Long, Double)].head() == ((1L, 0.2)))
+  }
 }

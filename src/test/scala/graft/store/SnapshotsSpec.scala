@@ -59,7 +59,38 @@ class SnapshotsSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] { Snapshots.read(spark, base) }
   }
 
-  test("a version directory without _SUCCESS is invisible and its slot is reclaimed") {
+  test("append shares unchanged files: v2 write cost is proportional to the delta") {
+    val base = java.nio.file.Files.createTempDirectory("graft-snap-append").toString + "/t"
+    val v1 = Snapshots.write((1L to 1000L).map(i => (i, s"r$i")).toDF("id", "s"), base)
+    val m1 = Snapshots.manifestFiles(spark, base, v1)
+    val v2 = Snapshots.append(Seq((1001L, "x"), (1002L, "y")).toDF("id", "s"), base)
+    val m2 = Snapshots.manifestFiles(spark, base, v2)
+    // every v1 file is inherited by reference, not copied
+    assert(m1.forall(m2.contains), s"v1 files missing from v2 manifest: $m1 vs $m2")
+    // the only NEW files are under v=2 and hold only the delta rows
+    val own = m2.filterNot(m1.contains)
+    assert(own.nonEmpty && own.forall(_.startsWith("v=2/")), own.toString)
+    val ownRows = spark.read.parquet(own.map(p => s"$base/$p"): _*).count()
+    assert(ownRows == 2L, s"delta files must hold exactly the delta, got $ownRows")
+    // both versions read correctly through their manifests
+    assert(Snapshots.read(spark, base, Some(v1)).count() == 1000L)
+    assert(Snapshots.read(spark, base).count() == 1002L)
+    // expiring v1 must NOT break v2: shared files survive the expiry
+    assert(Snapshots.expire(spark, base, keep = 1) == Seq(v1))
+    assert(Snapshots.versions(spark, base) == Seq(v2))
+    assert(Snapshots.read(spark, base).count() == 1002L)
+  }
+
+  test("append: a column added later is null-filled on inherited files") {
+    val base = java.nio.file.Files.createTempDirectory("graft-snap-evolve").toString + "/t"
+    Snapshots.write(Seq((1L, "a")).toDF("id", "s"), base)
+    Snapshots.append(Seq((2L, "b", 9.5)).toDF("id", "s", "score"), base)
+    val rows = Snapshots.read(spark, base)
+      .select("id", "score").as[(Long, Option[Double])].collect().toSet
+    assert(rows == Set((1L, None), (2L, Some(9.5))))
+  }
+
+  test("a version directory without a manifest is invisible and its slot is reclaimed") {
     val base = java.nio.file.Files.createTempDirectory("graft-snap-crash").toString + "/t"
     Snapshots.write(Seq((1L, "a")).toDF("id", "s"), base)
     // simulate a crashed in-flight write: a v=2 directory with data but no marker
