@@ -158,13 +158,39 @@ object Snapshots {
    * version (snapshot isolation — readers of the old version see nothing
    * until the new directory is complete). Anti-join + union: one shuffle on
    * the key, broadcast when the source is small.
+   *
+   * Copy-on-write at FILE granularity (Iceberg's merge-on-write): only the
+   * data files that actually CONTAIN a matched key are rewritten; every
+   * untouched file is inherited into the new manifest by reference. A
+   * point-update of one key in a 100 TB table rewrites one file, not the
+   * table (pinned in SnapshotsSpec). The touched-file discovery is a
+   * semi-join + distinct over file names — its result is bounded by the
+   * file count, never the row count.
    */
   def mergeInto(spark: SparkSession, base: String, source: DataFrame,
                 key: String): Long = {
-    import org.apache.spark.sql.functions.col
-    val target = read(spark, base)
-    val kept = target.join(source.select(col(key)), Seq(key), "left_anti")
-    write(kept.unionByName(source), base)
+    import org.apache.spark.sql.functions.{col, input_file_name}
+    val vs = versions(spark, base)
+    val next = vs.lastOption.getOrElse(0L) + 1
+    val prior = vs.lastOption.map(manifestFiles(spark, base, _)).getOrElse(Seq.empty)
+    val target = read(spark, base).withColumn("__file", input_file_name())
+    // which files hold a matched key? (bounded: ≤ #files rows)
+    val touched: Set[String] = target
+      .join(source.select(col(key)), Seq(key), "left_semi")
+      .select(col("__file")).distinct()
+      .collect().map(_.getString(0)).toSet
+    // manifest entries are base-relative; input_file_name is a URI — match
+    // by the v=N/part-... suffix
+    val (rewrite, inherit) = prior.partition(rel => touched.exists(_.endsWith(rel)))
+    require(rewrite.size == touched.size,
+      s"merge file accounting: ${touched.size} touched vs ${rewrite.size} manifest matches")
+    val kept = target
+      .filter(col("__file").isin(touched.toSeq: _*))
+      .drop("__file")
+      .join(source.select(col(key)), Seq(key), "left_anti")
+    kept.unionByName(source).write.mode("overwrite").parquet(s"$base/v=$next")
+    commitManifest(spark, base, next, inherit ++ ownFiles(spark, base, next))
+    next
   }
 
   /**

@@ -81,6 +81,27 @@ class SnapshotsSpec extends AnyFunSuite {
     assert(Snapshots.read(spark, base).count() == 1002L)
   }
 
+  test("mergeInto rewrites only files containing matched keys (copy-on-write)") {
+    val base = java.nio.file.Files.createTempDirectory("graft-snap-cow").toString + "/t"
+    val df = (1L to 100L).map(i => (i, s"v$i")).toDF("id", "s").repartition(4, col("id"))
+    Snapshots.write(df, base)
+    val m1 = Snapshots.manifestFiles(spark, base, 1L)
+    assert(m1.size >= 2, s"fixture needs multiple files, got $m1")
+    // point-update ONE key → exactly the file holding it is rewritten
+    Snapshots.mergeInto(spark, base, Seq((1L, "UPDATED")).toDF("id", "s"), "id")
+    val m2 = Snapshots.manifestFiles(spark, base, 2L)
+    val inherited = m1.filter(m2.contains)
+    assert(m1.size - inherited.size == 1,
+      s"expected exactly 1 rewritten file, got ${m1.size - inherited.size}")
+    val rows = Snapshots.read(spark, base).as[(Long, String)].collect().toMap
+    assert(rows.size == 100 && rows(1L) == "UPDATED" && rows(50L) == "v50")
+    // insert-only merge touches no existing file: everything is inherited
+    Snapshots.mergeInto(spark, base, Seq((200L, "new")).toDF("id", "s"), "id")
+    val m3 = Snapshots.manifestFiles(spark, base, 3L)
+    assert(m2.forall(m3.contains), "insert-only merge must inherit every file")
+    assert(Snapshots.read(spark, base).count() == 101L)
+  }
+
   test("append: a column added later is null-filled on inherited files") {
     val base = java.nio.file.Files.createTempDirectory("graft-snap-evolve").toString + "/t"
     Snapshots.write(Seq((1L, "a")).toDF("id", "s"), base)
