@@ -1508,6 +1508,50 @@ object SparkEntry {
              |  TRUE AS files_shared
              |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // COW DELETE + compaction end-to-end: multi-file v1 → deleteWhere
+    // rewrites only files containing matches (clean files inherited) →
+    // compact bin-packs the rewritten smalls back together. The oracle
+    // recomputes the surviving content relationally; the two booleans
+    // prove file-level inheritance and file-count reduction actually
+    // happened rather than silent full rewrites.
+    "snap_delete_compact" -> Q(
+      (s, d) => {
+        import graft.store.Snapshots
+        val root = java.nio.file.Files.createTempDirectory("graft-snapdel")
+        sys.addShutdownHook {
+          def rm(p: java.nio.file.Path): Unit = {
+            if (java.nio.file.Files.isDirectory(p))
+              java.nio.file.Files.list(p).forEach(rm(_))
+            java.nio.file.Files.deleteIfExists(p)
+          }
+          rm(root)
+        }
+        val base = root.toString + "/t"
+        val orders = T(s, d, "orders")
+          .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+        // range-partitioned layout: a key-range delete touches only the
+        // low-range file(s), so COW inheritance is actually exercised
+        Snapshots.write(orders.repartitionByRange(8, col("o_orderkey")), base)
+        val m1 = Snapshots.manifestFiles(s, base, 1L)
+        val v2 = Snapshots.deleteWhere(s, base, col("o_orderkey") < 100)
+        val m2 = Snapshots.manifestFiles(s, base, v2)
+        val sharedAfterDelete = m1.exists(m2.contains)
+        val v3 = Snapshots.compact(s, base, smallBytes = 64L * 1024 * 1024,
+          targetBytes = 64L * 1024 * 1024)
+        val compactedFewer = Snapshots.manifestFiles(s, base, v3).size <= m2.size
+        Snapshots.read(s, base)
+          .groupBy(col("o_orderstatus"))
+          .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+          .withColumn("delete_shared_files", lit(sharedAfterDelete))
+          .withColumn("compacted_fewer_files", lit(compactedFewer))
+          .orderBy(col("o_orderstatus"))
+      },
+      Some("""SELECT o_orderstatus, count(*) AS n,
+             |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+             |  TRUE AS delete_shared_files, TRUE AS compacted_fewer_files
+             |FROM orders WHERE o_orderkey >= 100
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // S7 — embedding column point-update semantics (SET r.embedding WHERE id)
     "s7_embedding_update" -> Q(
       (s, d) => {

@@ -194,6 +194,86 @@ object Snapshots {
   }
 
   /**
+   * DELETE WHERE, copy-on-write at file granularity: only files that
+   * contain a matching row are rewritten (minus those rows); every clean
+   * file is inherited by manifest reference. Deleting one key from a
+   * 100 TB table rewrites one file. A predicate matching nothing commits
+   * a version that inherits everything (cheap no-op snapshot).
+   */
+  def deleteWhere(spark: SparkSession, base: String,
+                  predicate: org.apache.spark.sql.Column): Long = {
+    import org.apache.spark.sql.functions.{col, input_file_name, lit, not, coalesce}
+    val vs = versions(spark, base)
+    require(vs.nonEmpty, s"no snapshots under $base")
+    val next = vs.last + 1
+    val prior = manifestFiles(spark, base, vs.last)
+    val target = read(spark, base).withColumn("__file", input_file_name())
+    val touched: Set[String] = target.filter(predicate)
+      .select(col("__file")).distinct()
+      .collect().map(_.getString(0)).toSet
+    val (_, inherit) = prior.partition(rel => touched.exists(_.endsWith(rel)))
+    val kept = target
+      .filter(col("__file").isin(touched.toSeq: _*))
+      // SQL DELETE semantics: rows where the predicate is NULL are KEPT
+      .filter(not(coalesce(predicate, lit(false))))
+      .drop("__file")
+    kept.write.mode("overwrite").parquet(s"$base/v=$next")
+    commitManifest(spark, base, next, inherit ++ ownFiles(spark, base, next))
+    next
+  }
+
+  /**
+   * Compaction (Iceberg `rewrite_data_files` / OPTIMIZE bin-packing): data
+   * files smaller than `smallBytes` are rewritten together into
+   * ~`targetBytes`-sized files; files already big enough are inherited
+   * untouched. The small-file problem is THE operational tax of a
+   * heavily-appended 100 TB table — every scan pays a task per file —
+   * and compaction pays it down without touching well-sized data.
+   * Content is bit-identical (pinned in SnapshotsSpec); returns the new
+   * version (or the current one when ≤1 small file exists — nothing to
+   * bin-pack, no empty snapshot churn).
+   */
+  def compact(spark: SparkSession, base: String, smallBytes: Long,
+              targetBytes: Long = 128L * 1024 * 1024): Long = {
+    val vs = versions(spark, base)
+    require(vs.nonEmpty, s"no snapshots under $base")
+    val prior = manifestFiles(spark, base, vs.last)
+    val f = fs(spark, base)
+    val sized = prior.map(rel => rel -> f.getFileStatus(new Path(s"$base/$rel")).getLen)
+    val (small, big) = sized.partition(_._2 < smallBytes)
+    if (small.size <= 1) return vs.last
+    val next = vs.last + 1
+    val nOut = math.max(1, math.ceil(small.map(_._2).sum.toDouble / targetBytes).toInt)
+    spark.read.option("mergeSchema", true)
+      .parquet(small.map { case (rel, _) => s"$base/$rel" }: _*)
+      .repartition(nOut)
+      .write.mode("overwrite").parquet(s"$base/v=$next")
+    commitManifest(spark, base, next, big.map(_._1) ++ ownFiles(spark, base, next))
+    next
+  }
+
+  /**
+   * Orphan-file GC: removes version directories that never gained a
+   * manifest — crash debris from in-flight writes that died before their
+   * commit point. Committed versions and every file a surviving manifest
+   * references are untouched. SINGLE-WRITER assumption applies (a LIVE
+   * concurrent write's directory would look identical to debris; with a
+   * catalog this check is a lease, not a listing). Returns removed dirs.
+   */
+  def vacuum(spark: SparkSession, base: String): Seq[String] = {
+    val f = fs(spark, base)
+    val p = new Path(base)
+    if (!f.exists(p)) return Seq.empty
+    val committed = versions(spark, base).toSet
+    f.globStatus(new Path(p, "v=*")).toSeq
+      .filter(_.isDirectory)
+      .map(_.getPath)
+      .filter(d => scala.util.Try(
+        d.getName.stripPrefix("v=").toLong).toOption.exists(!committed(_)))
+      .map { d => f.delete(d, true); d.toString }
+  }
+
+  /**
    * CDC between two snapshots: full-outer join on the key, rows classified
    * `insert` / `delete` / `update` (any non-key column changed; unchanged
    * rows drop out). The changed-row check hashes over the UNION of both

@@ -102,6 +102,65 @@ class SnapshotsSpec extends AnyFunSuite {
     assert(Snapshots.read(spark, base).count() == 101L)
   }
 
+  test("deleteWhere rewrites only files containing matches; NULL predicate rows survive") {
+    val base = java.nio.file.Files.createTempDirectory("graft-snap-del").toString + "/t"
+    val df = (1L to 100L).map(i => (i, if (i == 7L) null else s"v$i"))
+      .toDF("id", "s").repartition(4, col("id"))
+    Snapshots.write(df, base)
+    val m1 = Snapshots.manifestFiles(spark, base, 1L)
+    assert(m1.size >= 2)
+    // delete ONE key → exactly its file is rewritten
+    Snapshots.deleteWhere(spark, base, col("id") === 1L)
+    val m2 = Snapshots.manifestFiles(spark, base, 2L)
+    assert(m1.count(!m2.contains(_)) == 1, s"expected 1 rewritten file: $m1 -> $m2")
+    assert(Snapshots.read(spark, base).count() == 99L)
+    // predicate NULL on a row (s is null for id=7) must KEEP that row
+    Snapshots.deleteWhere(spark, base, col("s") === "v8")
+    val rows = Snapshots.read(spark, base).select("id").as[Long].collect().toSet
+    assert(!rows.contains(8L) && rows.contains(7L) && rows.size == 98)
+    // delete-nothing commits a snapshot inheriting every file
+    val m3 = Snapshots.manifestFiles(spark, base, 3L)
+    Snapshots.deleteWhere(spark, base, col("id") === -1L)
+    val m4 = Snapshots.manifestFiles(spark, base, 4L)
+    assert(m3.forall(m4.contains) && Snapshots.read(spark, base).count() == 98L)
+  }
+
+  test("compact bin-packs small files, inherits big ones, content identical") {
+    val base = java.nio.file.Files.createTempDirectory("graft-snap-compact").toString + "/t"
+    // one big-ish file, then many small appends — the small-file problem
+    Snapshots.write((1L to 2000L).map(i => (i, s"row$i")).toDF("id", "s").coalesce(1), base)
+    (1 to 5).foreach { k =>
+      Snapshots.append(Seq((2000L + k, s"delta$k")).toDF("id", "s").coalesce(1), base)
+    }
+    val before = Snapshots.manifestFiles(spark, base, 6L)
+    assert(before.size == 6)
+    val content = Snapshots.read(spark, base).as[(Long, String)].collect().toSet
+    // threshold between the delta-file size and the 2000-row file size
+    val v7 = Snapshots.compact(spark, base, smallBytes = 4096, targetBytes = 1L << 20)
+    assert(v7 == 7L)
+    val after = Snapshots.manifestFiles(spark, base, v7)
+    assert(after.size < before.size, s"compaction must reduce file count: $before -> $after")
+    assert(after.count(_.startsWith("v=1/")) == 1, "the big file is inherited, not rewritten")
+    assert(Snapshots.read(spark, base).as[(Long, String)].collect().toSet == content)
+    // nothing left to pack → no new version churn
+    assert(Snapshots.compact(spark, base, smallBytes = 4096) == v7)
+  }
+
+  test("vacuum removes crash debris, never committed data") {
+    val base = java.nio.file.Files.createTempDirectory("graft-snap-vac").toString + "/t"
+    Snapshots.write(Seq((1L, "a")).toDF("id", "s"), base)
+    // crashed in-flight write: directory without a manifest
+    new java.io.File(s"$base/v=2").mkdirs()
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$base/v=2/part-00000.parquet"), Array[Byte](1, 2, 3))
+    val removed = Snapshots.vacuum(spark, base)
+    assert(removed.size == 1 && removed.head.endsWith("v=2"))
+    assert(!new java.io.File(s"$base/v=2").exists())
+    assert(Snapshots.versions(spark, base) == Seq(1L))
+    assert(Snapshots.read(spark, base).count() == 1L)
+    assert(Snapshots.vacuum(spark, base).isEmpty)
+  }
+
   test("append: a column added later is null-filled on inherited files") {
     val base = java.nio.file.Files.createTempDirectory("graft-snap-evolve").toString + "/t"
     Snapshots.write(Seq((1L, "a")).toDF("id", "s"), base)
