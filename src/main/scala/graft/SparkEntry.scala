@@ -1735,13 +1735,18 @@ object SparkEntry {
           graft.rag.Ivf.withCell(emb, "embedding", ivfModel),
           "vec_id", "embedding", q, ivfModel, k = 10, minScore = -1.0, nProbe = 2)
         val pqModel = graft.rag.Pq.train(emb, "vec_id", "embedding", m = 8, ks = 16)
-        val pq = graft.rag.Pq.pqKnn(
-          graft.rag.Pq.withCodes(emb, "embedding", pqModel),
-          "vec_id", "embedding", q, pqModel, k = 10, rerank = 20)
+        val coded = graft.rag.Pq.withCodes(emb, "embedding", pqModel)
+        // two PQ operating points: the rerank budget IS the recall dial —
+        // the number a user turns before trusting the index
+        val pq20 = graft.rag.Pq.pqKnn(coded, "vec_id", "embedding", q, pqModel,
+          k = 10, rerank = 20)
+        val pq50 = graft.rag.Pq.pqKnn(coded, "vec_id", "embedding", q, pqModel,
+          k = 10, rerank = 50)
         recallOracleState.set(RecallState(ivfModel.centroids,
           ivfModel.probesFor(q, 2), pqModel.books, pqModel.subDim,
           pqModel.adcTable(q)))
-        Seq("ann_lsh" -> ann, "ivf" -> ivf, "pq_adc" -> pq).map { case (nm, df) =>
+        Seq("ann_lsh" -> ann, "ivf" -> ivf,
+            "pq_adc_r20" -> pq20, "pq_adc_r50" -> pq50).map { case (nm, df) =>
           Rag.recallAtK(df, brute, "vec_id", k = 10)
             .withColumn("index_kind", lit(nm))
         }.reduce(_.unionByName(_))
@@ -1814,16 +1819,19 @@ object SparkEntry {
        |    FROM (SELECT vec_id, embedding,
        |      $pqScores
        |      FROM emb0) ps),
-       |pcand AS (SELECT vec_id, embedding FROM (
-       |    SELECT vec_id, embedding, $adcExpr AS adc FROM pqs) pa
-       |  ORDER BY adc DESC, vec_id LIMIT 20),
-       |${cosTop("pcand", "p")}
+       |padc AS (SELECT vec_id, embedding, $adcExpr AS adc FROM pqs),
+       |pcand AS (SELECT vec_id, embedding FROM padc ORDER BY adc DESC, vec_id LIMIT 20),
+       |${cosTop("pcand", "p")},
+       |pcand50 AS (SELECT vec_id, embedding FROM padc ORDER BY adc DESC, vec_id LIMIT 50),
+       |${cosTop("pcand50", "p5")}
        |SELECT * FROM (
        |${recallRow("ann_lsh", "atop")}
        |UNION ALL
        |${recallRow("ivf", "itop")}
        |UNION ALL
-       |${recallRow("pq_adc", "ptop")}) r
+       |${recallRow("pq_adc_r20", "ptop")}
+       |UNION ALL
+       |${recallRow("pq_adc_r50", "p5top")}) r
        |ORDER BY index_kind""".stripMargin
   }
 

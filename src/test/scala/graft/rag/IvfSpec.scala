@@ -89,4 +89,29 @@ class IvfSpec extends AnyFunSuite {
     assert(m.probesFor(Array(0.9f, 0.1f), 2) == Seq(0, 1))
     assert(m.probesFor(Array(-1.0f, 0.0f), 1) == Seq(2))
   }
+
+  test("cell-partitioned layout: the probe filter prunes to nProbe partitions at the scan") {
+    // the scale claim behind ivfKnn: materialize `cell` at write time,
+    // partition the table by it, and the probe filter becomes FILE-level
+    // pruning — a query touches nProbe/nCells of the data, enforced by
+    // the scan's partition filters, not a post-scan Filter
+    val m = Ivf.train(emb, "vec_id", "embedding", nCells = 8)
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf-layout").toString + "/t"
+    Ivf.withCell(emb, "embedding", m).write.partitionBy("cell").parquet(dir)
+    val table = spark.read.parquet(dir)
+    val probes = m.probesFor(q, 2)
+    val knn = Ivf.ivfKnn(table, "vec_id", "embedding", q, m, k = 10,
+      minScore = -1.0, nProbe = 2)
+    val plan = knn.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("cell"), plan)
+    // physically verify: only the probed partitions' files are read
+    val scanned = knn.queryExecution.executedPlan.collectLeaves().collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.selectedPartitions.partitionCount
+    }
+    assert(scanned.nonEmpty && scanned.forall(_ <= probes.length),
+      s"expected <= ${probes.length} partitions scanned, got $scanned")
+    // and the pruned search still returns the probed cells' true top-k
+    assert(knn.count() == 10)
+  }
 }
