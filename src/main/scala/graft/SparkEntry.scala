@@ -2207,6 +2207,40 @@ object SparkEntry {
              |  FROM documents) t
              |WHERE rk <= 25 ORDER BY doc_id""".stripMargin)),
 
+    // Greedy per-source token-budget fill: best docs first (type/token
+    // ratio as the quality proxy) until the source's cumulative token count
+    // hits the budget — the knapsack-ish selection after quality scoring.
+    // One partitioned running-sum window = one hash shuffle on source.
+    "cu_token_budget" -> Q(
+      (s, d) => {
+        val toks = graft.text.TextAnalysis.tokens(col("text"))
+        graft.ops.Curation.tokenBudget(
+            T(s, d, "documents")
+              .select(col("doc_id"), col("source"),
+                size(toks).cast("long").as("n_tokens"),
+                graft.text.TextAnalysis.typeTokenRatio(col("text")).as("__ttr")),
+            "doc_id", "source", col("n_tokens"), col("__ttr"), budget = 700L)
+          .select(col("doc_id"), col("source"), col("n_tokens"), col("cum_weight"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH scored AS (
+             |  SELECT doc_id, source, CAST(len(t) AS BIGINT) AS n_tokens,
+             |    CASE WHEN len(t) > 0
+             |         THEN len(list_distinct(t)) * 1.0 / len(t) END AS ttr
+             |  FROM (SELECT doc_id, source,
+             |          list_filter(regexp_split_to_array(text, '\s+'),
+             |                      x -> length(x) > 0) AS t
+             |        FROM documents)),
+             |runsum AS (
+             |  SELECT doc_id, source, n_tokens,
+             |    CAST(sum(n_tokens) OVER (PARTITION BY source
+             |      ORDER BY ttr DESC, doc_id
+             |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_weight
+             |  FROM scored)
+             |SELECT doc_id, source, n_tokens, cum_weight
+             |FROM runsum WHERE cum_weight <= 700
+             |ORDER BY doc_id""".stripMargin)),
+
     // Deterministic corpus shuffle (epoch ordering): head of the permutation
     // with its position — the position is what makes order hash-checkable.
     // Scale path: TakeOrderedAndProject top-100 + bounded self-join
@@ -4420,6 +4454,39 @@ object SparkEntry {
              |SELECT a.doc_id AS id_a, c.doc_id AS id_b, count(*) AS shared_windows
              |FROM b a JOIN b c ON a.fp = c.fp AND a.doc_id < c.doc_id
              |GROUP BY 1, 2 ORDER BY id_a, id_b""".stripMargin)),
+
+    // Duplicate-span REMOVAL (the rewrite, not just the report): w-token
+    // windows at stride 1 shared by >= 2 docs are dropped from every doc
+    // and the corpus is re-assembled — exact-substring dedup applied as a
+    // transformation. Linear explode, combiner'd df-count, anti-join on
+    // (id, pos); no pair join anywhere.
+    "dd_span_removal" -> Q(
+      (s, d) => Dedup.removeSharedSpans(T(s, d, "documents"), "doc_id", "text",
+          w = 20, minDf = 2)
+        .orderBy(col("doc_id")),
+      Some("""WITH base AS (SELECT doc_id,
+             |    list_filter(regexp_split_to_array(text, '\s+'), x -> length(x) > 0) AS t
+             |  FROM documents),
+             |wins AS (SELECT doc_id, CAST(s AS INT) AS start,
+             |    md5(array_to_string(t[CAST(s AS INT):CAST(s + 19 AS INT)], ' ')) AS fp
+             |  FROM (SELECT doc_id, t, unnest(range(1, len(t) - 20 + 2)) AS s
+             |        FROM base WHERE len(t) >= 20)),
+             |dup AS (SELECT fp FROM wins GROUP BY fp HAVING count(DISTINCT doc_id) >= 2),
+             |cov AS (SELECT DISTINCT w.doc_id, CAST(p AS INT) AS pos
+             |  FROM wins w JOIN dup USING (fp), unnest(range(w.start, w.start + 20)) AS u(p)),
+             |tok AS (SELECT doc_id, CAST(p AS INT) AS pos, t[CAST(p AS INT)] AS tok
+             |  FROM base, unnest(range(1, len(t) + 1)) AS u(p)),
+             |kept AS (SELECT tok.doc_id, tok.pos, tok.tok
+             |  FROM tok LEFT JOIN cov ON tok.doc_id = cov.doc_id AND tok.pos = cov.pos
+             |  WHERE cov.doc_id IS NULL),
+             |agg AS (SELECT doc_id, count(*) AS n_kept,
+             |    string_agg(tok, ' ' ORDER BY pos) AS clean_text
+             |  FROM kept GROUP BY 1)
+             |SELECT b.doc_id, CAST(len(b.t) AS BIGINT) AS n_tokens,
+             |  CAST(len(b.t) - coalesce(a.n_kept, 0) AS BIGINT) AS n_removed,
+             |  coalesce(a.clean_text, '') AS clean_text
+             |FROM base b LEFT JOIN agg a USING (doc_id)
+             |ORDER BY doc_id""".stripMargin)),
 
     // per-source quantile normalization: each source's score distribution
     // maps to percentile space so thresholds compare across sources —

@@ -628,4 +628,63 @@ object Dedup {
       .select(col("__id").as("id_a"), col("__b").as("id_b"),
         col("shared_windows"))
   }
+
+  /**
+   * Exact duplicate-span REMOVAL — the corpus-REWRITE counterpart of
+   * [[sharedSpanPairs]] (which only detects): every `w`-token window whose
+   * fingerprint occurs in >= `minDf` distinct documents is duplicated text,
+   * every token position covered by such a window is dropped, and each
+   * document is re-assembled from its surviving tokens in order. This is
+   * the exact-substring dedup of the training-data literature applied as a
+   * transformation: boilerplate and cross-document copies disappear from
+   * the corpus instead of merely being reported.
+   *
+   * Windows run at stride 1 (removal needs full coverage — a stride would
+   * leave duplicated tokens between sampled windows), so the explode is
+   * ~1 row per token: linear, never quadratic. The duplicated-fingerprint
+   * set is produced by a combiner-friendly distinct+count and is small in
+   * non-degenerate corpora (AQE broadcasts it back); covered positions are
+   * bounded by duplicated-text volume x w before DISTINCT collapses the
+   * overlaps. Re-assembly is one anti-join on (id, pos) plus one per-doc
+   * sort_array over collect_list — per-doc memory, same class as every
+   * other per-doc array op here.
+   *
+   * Output: (id, n_tokens, n_removed, clean_text), one row per input doc
+   * (docs shorter than w tokens pass through untouched by definition).
+   */
+  def removeSharedSpans(df: DataFrame, idCol: String, textCol: String,
+                        w: Int = 20, minDf: Int = 2): DataFrame = {
+    require(w >= 2 && minDf >= 2, s"need w >= 2 and minDf >= 2, got w=$w minDf=$minDf")
+    val toksC = graft.text.TextAnalysis.tokens(col(textCol))
+    // 1-based window starts, stride 1; sub-w docs have no w-token span
+    val wins = df.select(col(idCol).as("__id"), toksC.as("__toks"))
+      .filter(size(col("__toks")) >= w)
+      .select(col("__id"),
+        explode(transform(
+          sequence(lit(1), size(col("__toks")) - w + 1),
+          s => struct(s.as("start"),
+            md5(concat_ws(" ", slice(col("__toks"), s, lit(w)))).as("fp")))).as("__w"))
+      .select(col("__id"), col("__w.start").as("__start"), col("__w.fp").as("fp"))
+    val dup = wins.select(col("fp"), col("__id")).distinct()
+      .groupBy(col("fp")).agg(count(lit(1)).as("__df"))
+      .filter(col("__df") >= minDf).select(col("fp"))
+    val covered = wins.join(dup, Seq("fp"))
+      .select(col("__id"),
+        explode(sequence(col("__start"), col("__start") + w - 1)).as("__pos"))
+      .distinct()
+    val toksPos = df
+      .select(col(idCol).as("__id"), posexplode(toksC).as(Seq("__p0", "__tok")))
+      .select(col("__id"), (col("__p0") + 1).as("__pos"), col("__tok"))
+    val rebuilt = toksPos.join(covered, Seq("__id", "__pos"), "left_anti")
+      .groupBy(col("__id"))
+      .agg(count(lit(1)).as("__n_kept"),
+        concat_ws(" ",
+          transform(sort_array(collect_list(struct(col("__pos"), col("__tok")))),
+            x => x.getField("__tok"))).as("__clean"))
+    df.select(col(idCol).as("__id"), size(toksC).cast("long").as("n_tokens"))
+      .join(rebuilt, Seq("__id"), "left")
+      .select(col("__id").as(idCol), col("n_tokens"),
+        (col("n_tokens") - coalesce(col("__n_kept"), lit(0L))).as("n_removed"),
+        coalesce(col("__clean"), lit("")).as("clean_text"))
+  }
 }

@@ -246,6 +246,31 @@ object Curation {
   }
 
   /**
+   * Greedy per-group token-budget selection: within each group (source /
+   * domain), take documents in `scoreCol`-descending order until the
+   * cumulative `weightCol` (token count) would exceed `budget` — "fill
+   * 1 B tokens per domain with the best documents first", the knapsack-ish
+   * selection every pretraining mix does after quality scoring. A document
+   * is kept iff the running total INCLUDING it fits the budget — i.e. the
+   * selection is the maximal prefix of the per-group ranking whose total
+   * fits (weights are non-negative, so the running sum is monotone; ties
+   * break on id for determinism).
+   *
+   * One partitioned running-sum window per group — a single hash shuffle on
+   * the group key, no global ordering anywhere, so group count x group size
+   * scales the way groupBy does. Output: input columns + `cum_weight`.
+   */
+  def tokenBudget(df: DataFrame, idCol: String, groupCol: String,
+                  weightCol: Column, scoreCol: Column, budget: Long): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol))
+      .orderBy(scoreCol.desc, col(idCol).asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    df.withColumn("cum_weight", sum(weightCol).over(w))
+      .filter(col("cum_weight") <= budget)
+  }
+
+  /**
    * Deterministic corpus shuffle: a distributed range-partitioned sort by
    * portable row hash — the "random but reproducible" global ordering a
    * training run wants for its data loader. Same salt → identical order on

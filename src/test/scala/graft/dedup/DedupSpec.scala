@@ -306,4 +306,33 @@ class DedupSpec extends AnyFunSuite {
         w = 4, stride = 1, maxDf = 2)
     assert(capped.count() == 0)
   }
+
+  test("removeSharedSpans: shared spans cut, unique text and short docs intact") {
+    val span = (1 to 6).map(i => s"dup$i").mkString(" ") // a 6-token run
+    val corpus = Seq(
+      (1L, s"alpha beta $span gamma"),
+      (2L, s"$span delta epsilon zeta"),   // same 6-token run
+      (3L, "unrelated words only here padding filler"),
+      (4L, "tiny doc")                     // shorter than w: untouched
+    ).toDF("doc_id", "text")
+    val out = Dedup.removeSharedSpans(corpus, "doc_id", "text", w = 4, minDf = 2)
+      .as[(Long, Long, Long, String)].collect().map(r => r._1 -> r).toMap
+    // every w-window inside the 6-token run is shared by docs 1 and 2, so
+    // exactly those 6 tokens vanish from both; surrounding text survives
+    assert(out(1L) == ((1L, 9L, 6L, "alpha beta gamma")), s"got ${out(1L)}")
+    assert(out(2L) == ((2L, 9L, 6L, "delta epsilon zeta")), s"got ${out(2L)}")
+    assert(out(3L) == ((3L, 6L, 0L, "unrelated words only here padding filler")))
+    assert(out(4L) == ((4L, 2L, 0L, "tiny doc")))
+  }
+
+  test("removeSharedSpans: a doc that is ALL duplicate text empties out") {
+    val span = (1 to 8).map(i => s"b$i").mkString(" ")
+    val corpus = Seq((1L, span), (2L, span), (3L, s"$span and a unique tail end"))
+      .toDF("doc_id", "text")
+    val out = Dedup.removeSharedSpans(corpus, "doc_id", "text", w = 4, minDf = 2)
+      .as[(Long, Long, Long, String)].collect().map(r => r._1 -> r).toMap
+    assert(out(1L) == ((1L, 8L, 8L, "")))
+    assert(out(2L) == ((2L, 8L, 8L, "")))
+    assert(out(3L) == ((3L, 13L, 8L, "and a unique tail end")))
+  }
 }

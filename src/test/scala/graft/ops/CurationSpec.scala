@@ -306,4 +306,23 @@ class CurationSpec extends AnyFunSuite {
       .select("id", "batch_id").as[(Long, Long)].collect().toMap
     assert(out.map(r => r._1 -> r._4).toMap == again)
   }
+
+  test("tokenBudget: maximal best-first prefix per group, ties on id") {
+    val df = Seq(
+      // (id, grp, tokens, score) — grp a ranked by score desc: 2, 1, 3
+      (1L, "a", 40L, 0.5), (2L, "a", 50L, 0.9), (3L, "a", 30L, 0.1),
+      // grp b: tie on score → id order 4, 5
+      (4L, "b", 60L, 0.7), (5L, "b", 60L, 0.7), (6L, "b", 10L, 0.6)
+    ).toDF("id", "grp", "toks", "score")
+    val kept = Curation.tokenBudget(df, "id", "grp", col("toks"), col("score"),
+        budget = 100L)
+      .select("id", "cum_weight").as[(Long, Long)].collect().toMap
+    // a: 2 (cum 50) + 1 (cum 90) fit; 3 would reach 120 → out.
+    // b: 4 (cum 60) fits; 5 reaches 120 → out, and the prefix stops there
+    // (6 is NOT pulled in past the overflow: prefix semantics, cum 130).
+    assert(kept == Map(1L -> 90L, 2L -> 50L, 4L -> 60L), s"got $kept")
+    // budget below every doc → empty selection, never a partial doc
+    assert(Curation.tokenBudget(df, "id", "grp", col("toks"), col("score"),
+      budget = 5L).count() == 0)
+  }
 }
