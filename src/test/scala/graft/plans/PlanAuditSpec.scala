@@ -244,4 +244,12 @@ class PlanAuditSpec extends AnyFunSuite {
       assert(n == 1, s"$q: expected 1 user_id exchange, got $n:\n$p")
     }
   }
+
+  test("dd_span_removal: no pair join anywhere — dup set and coverage broadcast back") {
+    val p = planOf("dd_span_removal")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("SortMergeJoin"), p)          // every join-back is broadcast-able
+    assert(p.contains("LeftAnti"), p)                // coverage is subtracted, not re-joined
+    assert(!p.toLowerCase.contains("no partition defined"), p) // no global window
+  }
 }
