@@ -3385,6 +3385,82 @@ object SparkEntry {
              |      FROM documents) t
              |ORDER BY doc_id""".stripMargin)),
 
+    // Composite heuristic quality gate (Gopher/C4-style rule set): per-rule
+    // booleans + the verdict + the FIRST failing rule as reject_reason —
+    // the keep/drop decision a curation pipeline acts on, not just the raw
+    // stats. Pure per-row scalar expressions: zero shuffles before the
+    // oracle ORDER BY, so it costs exactly one scan at any corpus size.
+    "ta_quality_gate" -> Q(
+      (s, d) => {
+        // tokenize ONCE per row (two arrays), then derive every metric from
+        // the materialized arrays: CollapseProject keeps multi-referenced
+        // non-cheap aliases, so the split never re-runs per metric
+        val sw = array(Seq("the", "a", "of", "and").map(lit): _*)
+        val base = T(s, d, "documents").select(col("doc_id"),
+          TextAnalysis.tokens(col("text")).as("__toks"),
+          TextAnalysis.tokens(lower(col("text"))).as("__ltoks"))
+        val n = size(col("__toks"))
+        val metrics = base.select(col("doc_id"), n.as("__n"),
+          when(n > 0, size(array_distinct(col("__toks"))).cast("double")
+            / n.cast("double")).as("__ttr"),
+          when(n > 0, aggregate(col("__toks"), lit(0L),
+            (acc, t) => acc + length(t)).cast("double")
+            / n.cast("double")).as("__awl"),
+          when(size(col("__ltoks")) > 0,
+            size(filter(col("__ltoks"), t => array_contains(sw, t))).cast("double")
+              / size(col("__ltoks")).cast("double")).as("__sw"))
+        val fLen = col("__n").between(20, 90)
+        val fWl = col("__awl").between(3.8, 5.2)
+        val fTtr = col("__ttr") >= 0.45
+        val fSw = col("__sw") >= 0.02
+        metrics.select(col("doc_id"), col("__n").cast("long").as("n_tokens"),
+          round(coalesce(col("__ttr"), lit(0.0)), 6).as("ttr"),
+          round(coalesce(col("__awl"), lit(0.0)), 6).as("avg_token_len"),
+          round(coalesce(col("__sw"), lit(0.0)), 6).as("stop_ratio"),
+          fLen.as("ok_len"), fWl.as("ok_word_len"),
+          fTtr.as("ok_diversity"), fSw.as("ok_stopwords"),
+          (fLen && fWl && fTtr && fSw).as("keep"),
+          when(!fLen, lit("length_band")).when(!fWl, lit("word_len"))
+            .when(!fTtr, lit("low_diversity")).when(!fSw, lit("no_stopwords"))
+            .as("reject_reason"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH t AS (
+             |  SELECT doc_id,
+             |    list_filter(regexp_split_to_array(text, '\s+'),
+             |                x -> length(x) > 0) AS toks,
+             |    list_filter(regexp_split_to_array(lower(text), '\s+'),
+             |                x -> length(x) > 0) AS ltoks
+             |  FROM documents),
+             |m AS (
+             |  SELECT doc_id, len(toks) AS n,
+             |    CASE WHEN len(toks) > 0
+             |         THEN len(list_distinct(toks)) * 1.0 / len(toks) END AS ttr,
+             |    CASE WHEN len(toks) > 0
+             |         THEN list_sum(list_transform(toks, x -> length(x))) * 1.0
+             |              / len(toks) END AS awl,
+             |    CASE WHEN len(ltoks) > 0
+             |         THEN len(list_filter(ltoks,
+             |                x -> x IN ('the', 'a', 'of', 'and'))) * 1.0
+             |              / len(ltoks) END AS sw
+             |  FROM t)
+             |SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
+             |  round(coalesce(ttr, 0), 6) AS ttr,
+             |  round(coalesce(awl, 0), 6) AS avg_token_len,
+             |  round(coalesce(sw, 0), 6) AS stop_ratio,
+             |  n BETWEEN 20 AND 90 AS ok_len,
+             |  awl BETWEEN 3.8 AND 5.2 AS ok_word_len,
+             |  ttr >= 0.45 AS ok_diversity,
+             |  sw >= 0.02 AS ok_stopwords,
+             |  (n BETWEEN 20 AND 90) AND (awl BETWEEN 3.8 AND 5.2)
+             |    AND ttr >= 0.45 AND sw >= 0.02 AS keep,
+             |  CASE WHEN NOT (n BETWEEN 20 AND 90) THEN 'length_band'
+             |       WHEN NOT (awl BETWEEN 3.8 AND 5.2) THEN 'word_len'
+             |       WHEN NOT (ttr >= 0.45) THEN 'low_diversity'
+             |       WHEN NOT (sw >= 0.02) THEN 'no_stopwords'
+             |  END AS reject_reason
+             |FROM m ORDER BY doc_id""".stripMargin)),
+
     // Repetition profile: boilerplate/degenerate-text signal (explode →
     // per-token counts → max per doc; both aggregations map-side combined)
     "ta_repetition" -> Q(
