@@ -3533,6 +3533,90 @@ object SparkEntry {
     // scrub → length gate → exact-dedup (min-id survivor) → per-language
     // rollup. Every stage is also verified standalone; this entry pins the
     // composition end-to-end against the same chain in DuckDB.
+    // End-to-end data-prep chain built from this round's operators: quality
+    // gate (keep) → duplicate-span removal on the survivors → per-source
+    // token-budget fill ranked by the CLEANED text's diversity. One
+    // declarative plan: the gate fuses into the scans, span removal stays
+    // join-light, and the budget is one partitioned window — no stage ever
+    // materializes to the driver.
+    "pipeline_dataprep" -> Q(
+      (s, d) => {
+        val base = T(s, d, "documents").select(
+          col("doc_id"), col("source"), col("text"),
+          TextAnalysis.tokens(col("text")).as("__toks"),
+          TextAnalysis.tokens(lower(col("text"))).as("__ltoks"))
+        val n = size(col("__toks"))
+        val awl = when(n > 0, aggregate(col("__toks"), lit(0L),
+          (acc, t) => acc + length(t)).cast("double") / n.cast("double"))
+        val ttr = when(n > 0,
+          size(array_distinct(col("__toks"))).cast("double") / n.cast("double"))
+        val swArr = array(Seq("the", "a", "of", "and").map(lit): _*)
+        val sw = when(size(col("__ltoks")) > 0,
+          size(filter(col("__ltoks"), t => array_contains(swArr, t))).cast("double")
+            / size(col("__ltoks")).cast("double"))
+        val gated = base
+          .filter(n.between(20, 90) && awl.between(3.8, 5.2) &&
+            ttr >= 0.45 && sw >= 0.02)
+          .select(col("doc_id"), col("source"), col("text"))
+        val cleanedDocs = Dedup.removeSharedSpans(gated, "doc_id", "text",
+            w = 20, minDf = 2)
+          .join(gated.select(col("doc_id"), col("source")), Seq("doc_id"))
+          .select(col("doc_id"), col("source"),
+            (col("n_tokens") - col("n_removed")).as("kept_tokens"),
+            coalesce(TextAnalysis.typeTokenRatio(col("clean_text")), lit(0.0))
+              .as("__score"))
+        graft.ops.Curation.tokenBudget(cleanedDocs, "doc_id", "source",
+            col("kept_tokens"), col("__score"), budget = 300L)
+          .select(col("doc_id"), col("source"), col("kept_tokens"),
+            col("cum_weight"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH t AS (SELECT doc_id, source, text,
+             |    list_filter(regexp_split_to_array(text, '\s+'), x -> length(x) > 0) AS toks,
+             |    list_filter(regexp_split_to_array(lower(text), '\s+'), x -> length(x) > 0) AS ltoks
+             |  FROM documents),
+             |gated AS (SELECT doc_id, source, toks FROM t
+             |  WHERE len(toks) BETWEEN 20 AND 90
+             |    AND (CASE WHEN len(toks) > 0
+             |         THEN list_sum(list_transform(toks, x -> length(x))) * 1.0
+             |              / len(toks) END) BETWEEN 3.8 AND 5.2
+             |    AND (CASE WHEN len(toks) > 0
+             |         THEN len(list_distinct(toks)) * 1.0 / len(toks) END) >= 0.45
+             |    AND (CASE WHEN len(ltoks) > 0
+             |         THEN len(list_filter(ltoks,
+             |                x -> x IN ('the', 'a', 'of', 'and'))) * 1.0
+             |              / len(ltoks) END) >= 0.02),
+             |wins AS (SELECT doc_id, CAST(s AS INT) AS start,
+             |    md5(array_to_string(toks[CAST(s AS INT):CAST(s + 19 AS INT)], ' ')) AS fp
+             |  FROM (SELECT doc_id, toks, unnest(range(1, len(toks) - 20 + 2)) AS s
+             |        FROM gated WHERE len(toks) >= 20)),
+             |dup AS (SELECT fp FROM wins GROUP BY fp HAVING count(DISTINCT doc_id) >= 2),
+             |cov AS (SELECT DISTINCT w.doc_id, CAST(p AS INT) AS pos
+             |  FROM wins w JOIN dup USING (fp), unnest(range(w.start, w.start + 20)) AS u(p)),
+             |tok AS (SELECT doc_id, CAST(p AS INT) AS pos, toks[CAST(p AS INT)] AS tok
+             |  FROM gated, unnest(range(1, len(toks) + 1)) AS u(p)),
+             |kept AS (SELECT tok.doc_id, tok.pos, tok.tok
+             |  FROM tok LEFT JOIN cov ON tok.doc_id = cov.doc_id AND tok.pos = cov.pos
+             |  WHERE cov.doc_id IS NULL),
+             |agg AS (SELECT doc_id, count(*) AS n_kept,
+             |    string_agg(tok, ' ' ORDER BY pos) AS clean_text
+             |  FROM kept GROUP BY 1),
+             |clean AS (SELECT g.doc_id, g.source,
+             |    CAST(coalesce(a.n_kept, 0) AS BIGINT) AS kept_tokens,
+             |    coalesce(a.clean_text, '') AS clean_text
+             |  FROM gated g LEFT JOIN agg a USING (doc_id)),
+             |scored AS (SELECT doc_id, source, kept_tokens,
+             |    coalesce(CASE WHEN len(ct) > 0
+             |                  THEN len(list_distinct(ct)) * 1.0 / len(ct) END, 0) AS score
+             |  FROM (SELECT clean.*, list_filter(regexp_split_to_array(clean_text, '\s+'),
+             |                x -> length(x) > 0) AS ct FROM clean)),
+             |runsum AS (SELECT doc_id, source, kept_tokens,
+             |    CAST(sum(kept_tokens) OVER (PARTITION BY source
+             |      ORDER BY score DESC, doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_weight
+             |  FROM scored)
+             |SELECT doc_id, source, kept_tokens, cum_weight
+             |FROM runsum WHERE cum_weight <= 300 ORDER BY doc_id""".stripMargin)),
+
     "pipeline_curation" -> Q(
       (s, d) => {
         val cleaned = T(s, d, "documents")
