@@ -33,6 +33,28 @@ object SparkEntry {
   /** Exact money/quantity aggregation: decimal sum, double on the way out. */
   private def dsum(c: Column): Column = sum(c.cast("decimal(18,2)")).cast("double")
 
+  /** Shared temp root for queries that materialize fixture tables
+    * (snapshots, BM25 index, schema-drift batches). ONE process-wide
+    * shutdown hook cleans everything; each invocation still gets a fresh
+    * subdirectory so repeated runs (bench retries, contract suites) never
+    * see each other's snapshot state — and never accumulate hooks. */
+  private object FixtureRoot {
+    private lazy val root: java.nio.file.Path = {
+      val r = java.nio.file.Files.createTempDirectory("graft-fixtures")
+      sys.addShutdownHook(rm(r))
+      r
+    }
+    private def rm(p: java.nio.file.Path): Unit = {
+      if (java.nio.file.Files.isDirectory(p)) {
+        val s = java.nio.file.Files.list(p)
+        try s.forEach(rm(_)) finally s.close()
+      }
+      java.nio.file.Files.deleteIfExists(p)
+    }
+    def fresh(prefix: String): String =
+      java.nio.file.Files.createTempDirectory(root, prefix).toString
+  }
+
   /** Fetch the query vector (vec_id = 0) — driver-side scalar by design. */
   private def queryVec(s: SparkSession, d: String): Array[Float] =
     TestData.embeddings(s, d).filter(col("vec_id") === 0)
@@ -1392,17 +1414,7 @@ object SparkEntry {
     "snap_diff_cdc" -> Q(
       (s, d) => {
         import graft.store.Snapshots
-        val root = java.nio.file.Files.createTempDirectory("graft-snapdiff")
-        // bench/verify processes run this repeatedly — clean up on exit so
-        // repeated runs don't accumulate orders-sized temp copies
-        sys.addShutdownHook {
-          def rm(p: java.nio.file.Path): Unit = {
-            if (java.nio.file.Files.isDirectory(p))
-              java.nio.file.Files.list(p).forEach(rm(_))
-            java.nio.file.Files.deleteIfExists(p)
-          }
-          rm(root)
-        }
+        val root = FixtureRoot.fresh("snapdiff")
         val base = root.toString + "/t"
         val orders = T(s, d, "orders").select(col("o_orderkey"), col("o_totalprice"))
         Snapshots.write(orders.filter(pmod(col("o_orderkey"), lit(10)) =!= 0), base)
@@ -1433,15 +1445,7 @@ object SparkEntry {
     "snap_incremental_agg" -> Q(
       (s, d) => {
         import graft.store.Snapshots
-        val root = java.nio.file.Files.createTempDirectory("graft-incragg")
-        sys.addShutdownHook {
-          def rm(p: java.nio.file.Path): Unit = {
-            if (java.nio.file.Files.isDirectory(p))
-              java.nio.file.Files.list(p).forEach(rm(_))
-            java.nio.file.Files.deleteIfExists(p)
-          }
-          rm(root)
-        }
+        val root = FixtureRoot.fresh("incragg")
         val base = root.toString + "/t"
         val orders = T(s, d, "orders")
           .select(col("o_orderkey"), col("o_totalprice"),
@@ -1478,15 +1482,7 @@ object SparkEntry {
     "snap_append_share" -> Q(
       (s, d) => {
         import graft.store.Snapshots
-        val root = java.nio.file.Files.createTempDirectory("graft-snapappend")
-        sys.addShutdownHook {
-          def rm(p: java.nio.file.Path): Unit = {
-            if (java.nio.file.Files.isDirectory(p))
-              java.nio.file.Files.list(p).forEach(rm(_))
-            java.nio.file.Files.deleteIfExists(p)
-          }
-          rm(root)
-        }
+        val root = FixtureRoot.fresh("snapappend")
         val base = root.toString + "/t"
         val orders = T(s, d, "orders")
           .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
@@ -1517,15 +1513,7 @@ object SparkEntry {
     "snap_delete_compact" -> Q(
       (s, d) => {
         import graft.store.Snapshots
-        val root = java.nio.file.Files.createTempDirectory("graft-snapdel")
-        sys.addShutdownHook {
-          def rm(p: java.nio.file.Path): Unit = {
-            if (java.nio.file.Files.isDirectory(p))
-              java.nio.file.Files.list(p).forEach(rm(_))
-            java.nio.file.Files.deleteIfExists(p)
-          }
-          rm(root)
-        }
+        val root = FixtureRoot.fresh("snapdel")
         val base = root.toString + "/t"
         val orders = T(s, d, "orders")
           .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
@@ -3766,15 +3754,7 @@ object SparkEntry {
     // Bit-identical to the direct path → same oracle SQL
     "ta_bm25_index" -> Q(
       (s, d) => {
-        val root = java.nio.file.Files.createTempDirectory("graft-bm25")
-        sys.addShutdownHook {
-          def rm(p: java.nio.file.Path): Unit = {
-            if (java.nio.file.Files.isDirectory(p))
-              java.nio.file.Files.list(p).forEach(rm(_))
-            java.nio.file.Files.deleteIfExists(p)
-          }
-          rm(root)
-        }
+        val root = FixtureRoot.fresh("bm25")
         graft.text.Bm25.buildIndex(T(s, d, "documents"), "doc_id", "text",
           root.toString + "/idx")
         graft.text.Bm25.searchIndex(s, root.toString + "/idx",
@@ -4344,15 +4324,7 @@ object SparkEntry {
     // predates a column); oracle recreates the union relationally
     "src_schema_merge" -> Q(
       (s, d) => {
-        val root = java.nio.file.Files.createTempDirectory("graft-evolve")
-        sys.addShutdownHook {
-          def rm(p: java.nio.file.Path): Unit = {
-            if (java.nio.file.Files.isDirectory(p))
-              java.nio.file.Files.list(p).forEach(rm(_))
-            java.nio.file.Files.deleteIfExists(p)
-          }
-          rm(root)
-        }
+        val root = FixtureRoot.fresh("evolve")
         val orders = T(s, d, "orders")
         // batch 1: v1 schema (no priority column); batch 2 adds it
         orders.filter(col("o_orderkey") % 2 === 0)

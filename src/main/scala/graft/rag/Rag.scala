@@ -287,7 +287,10 @@ object Rag {
               k0: Int = 60, topK: Int = 10): DataFrame = {
     require(rankings.nonEmpty, "rrfFuse needs at least one ranking")
     val ranked = rankings.zipWithIndex.map { case (df, i) =>
-      val in = df.select(col(idCol), col(scoreCol))
+      // null scores would contribute zero "ahead" rows to the count-based
+      // rank and surface at rank 1; drop them (nulls-last ⇒ no contribution,
+      // matching the row_number-over-ORDER-BY semantics this replaced)
+      val in = df.select(col(idCol), col(scoreCol)).filter(col(scoreCol).isNotNull)
       in.join(broadcast(in.select(col(idCol).as("__pid"), col(scoreCol).as("__ps"))),
           col("__ps") > col(scoreCol) ||
             (col("__ps") === col(scoreCol) && col("__pid") < col(idCol)), "left")

@@ -211,7 +211,12 @@ object Snapshots {
     val touched: Set[String] = target.filter(predicate)
       .select(col("__file")).distinct()
       .collect().map(_.getString(0)).toSet
-    val (_, inherit) = prior.partition(rel => touched.exists(_.endsWith(rel)))
+    val (rewrite, inherit) = prior.partition(rel => touched.exists(_.endsWith(rel)))
+    // same loud guard as mergeInto: a touched file that fails the suffix
+    // match (URI-encoding drift) would be inherited AND rewritten —
+    // silent row duplication. Fail instead.
+    require(rewrite.size == touched.size,
+      s"delete file accounting: ${touched.size} touched vs ${rewrite.size} manifest matches")
     val kept = target
       .filter(col("__file").isin(touched.toSeq: _*))
       // SQL DELETE semantics: rows where the predicate is NULL are KEPT
@@ -253,24 +258,38 @@ object Snapshots {
   }
 
   /**
-   * Orphan-file GC: removes version directories that never gained a
-   * manifest — crash debris from in-flight writes that died before their
-   * commit point. Committed versions and every file a surviving manifest
-   * references are untouched. SINGLE-WRITER assumption applies (a LIVE
-   * concurrent write's directory would look identical to debris; with a
-   * catalog this check is a lease, not a listing). Returns removed dirs.
+   * Orphan-file GC: removes files in version directories that never gained
+   * a manifest — crash debris from in-flight writes that died before their
+   * commit point. Committed versions are untouched, and so is EVERY file a
+   * surviving manifest references: [[expire]] deliberately leaves
+   * still-shared data files behind in a dropped (now manifest-less)
+   * version's directory, so vacuum must resolve references before
+   * deleting, not treat "no manifest" as "all debris" — otherwise
+   * write → append → expire → vacuum loses the surviving snapshot's data
+   * (pinned in SnapshotsSpec). A manifest-less directory is removed only
+   * once it is empty. SINGLE-WRITER assumption applies (a LIVE concurrent
+   * write's directory would look identical to debris; with a catalog this
+   * check is a lease, not a listing). Returns removed paths.
    */
   def vacuum(spark: SparkSession, base: String): Seq[String] = {
     val f = fs(spark, base)
     val p = new Path(base)
     if (!f.exists(p)) return Seq.empty
     val committed = versions(spark, base).toSet
+    val referenced = committed.toSeq.flatMap(manifestFiles(spark, base, _)).toSet
     f.globStatus(new Path(p, "v=*")).toSeq
       .filter(_.isDirectory)
       .map(_.getPath)
       .filter(d => scala.util.Try(
         d.getName.stripPrefix("v=").toLong).toOption.exists(!committed(_)))
-      .map { d => f.delete(d, true); d.toString }
+      .flatMap { d =>
+        val v = d.getName
+        val removed = f.listStatus(d).toSeq
+          .filterNot(st => referenced(s"$v/${st.getPath.getName}"))
+          .map { st => f.delete(st.getPath, true); st.getPath.toString }
+        if (f.listStatus(d).isEmpty) { f.delete(d, true); removed :+ d.toString }
+        else removed
+      }
   }
 
   /**

@@ -154,11 +154,37 @@ class SnapshotsSpec extends AnyFunSuite {
     java.nio.file.Files.write(
       java.nio.file.Paths.get(s"$base/v=2/part-00000.parquet"), Array[Byte](1, 2, 3))
     val removed = Snapshots.vacuum(spark, base)
-    assert(removed.size == 1 && removed.head.endsWith("v=2"))
+    assert(removed.exists(_.endsWith("v=2")), s"debris dir must be collected: $removed")
     assert(!new java.io.File(s"$base/v=2").exists())
     assert(Snapshots.versions(spark, base) == Seq(1L))
     assert(Snapshots.read(spark, base).count() == 1L)
     assert(Snapshots.vacuum(spark, base).isEmpty)
+  }
+
+  test("vacuum after expire spares shared files a surviving manifest references") {
+    val base = java.nio.file.Files.createTempDirectory("graft-snap-expvac").toString + "/t"
+    // v1 writes the bulk, v2 appends a delta inheriting v1's files
+    Snapshots.write((1L to 1000L).map(i => (i, s"r$i")).toDF("id", "s"), base)
+    val v2 = Snapshots.append(Seq((1001L, "x")).toDF("id", "s"), base)
+    // expire v1: its manifest goes, but its data files stay (v2 references
+    // them) in a now manifest-less v=1 directory — exactly what vacuum
+    // must NOT mistake for crash debris
+    assert(Snapshots.expire(spark, base, keep = 1) == Seq(1L))
+    // plant genuine debris in the same manifest-less directory
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$base/v=1/part-99999-debris.parquet"), Array[Byte](1, 2, 3))
+    val removed = Snapshots.vacuum(spark, base)
+    assert(removed.size == 1 && removed.head.endsWith("part-99999-debris.parquet"),
+      s"vacuum must remove only the unreferenced debris, got $removed")
+    // the surviving snapshot still reads every row through its manifest
+    assert(Snapshots.read(spark, base, Some(v2)).count() == 1001L)
+    // once the last reference goes (expire of v2 after a full rewrite),
+    // vacuum may clear the leftovers
+    Snapshots.write(Seq((1L, "only")).toDF("id", "s"), base)
+    Snapshots.expire(spark, base, keep = 1)
+    Snapshots.vacuum(spark, base)
+    assert(!new java.io.File(s"$base/v=1").exists(), "unreferenced leftovers are collected")
+    assert(Snapshots.read(spark, base).count() == 1L)
   }
 
   test("append: a column added later is null-filled on inherited files") {
