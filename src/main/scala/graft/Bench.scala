@@ -44,6 +44,27 @@ object Bench {
       }
     } catch { case _: Throwable => () }
 
+    // host-speed canary: a fixed pure-CPU aggregate (no IO, no shuffle read,
+    // deterministic work) timed at battery start AND end. Rounds 4-5 showed
+    // ±20% UNIFORM host drift that the per-query gate cannot tell from a
+    // real regression (untouched queries paged). The canary moves with the
+    // host, not with the engine's code, so bar × canary_ratio separates
+    // "this host is slow today" from "this query got slower".
+    def canaryOnce(): Double = {
+      val t0 = System.nanoTime()
+      // ~8e9 rows ≈ 1.5-2 s on the reference host: long enough that a
+      // scheduling quantum or GC pause is noise, short enough that two
+      // median-of-3 canaries cost ~12 s of battery overhead
+      spark.range(0L, 8000000000L, 1L, cpus.toInt)
+        // max, not sum: 2e8 random longs overflow a sum under ANSI mode;
+        // the per-row xxhash64 is the calibrated CPU work, not the agg
+        .selectExpr("max(xxhash64(id)) AS h").collect()
+      (System.nanoTime() - t0) / 1e9
+    }
+    def canaryMedian3(): Double =
+      Seq(canaryOnce(), canaryOnce(), canaryOnce()).sorted.apply(1)
+    val canaryStart = canaryMedian3()
+
     // per-query shuffle accounting: stage-level shuffle-write bytes summed
     // between marks — the scale-readiness number next to each wall time
     val shuffleBytes = new java.util.concurrent.atomic.AtomicLong(0L)
@@ -114,8 +135,19 @@ object Bench {
           .map(m => m.group(1) -> m.group(2).toDouble).toMap
       }
     }
+    // canary re-timed at battery end; the mean of the two runs estimates the
+    // host's speed DURING the battery, and its ratio vs the committed
+    // `_canary` reference (tools/baseline.json, anchored to the bar-setting
+    // host — BASELINE.md round-6 note) scales every bar. Clamped: a
+    // faster-than-reference host must not TIGHTEN bars (floor 1.0), and a
+    // pathological canary must not blind the gate entirely (cap 2.0).
+    val canaryEnd = canaryMedian3()
+    val canarySec = (canaryStart + canaryEnd) / 2
+    val canaryRatioRaw = baseline.get("_canary").map(canarySec / _).getOrElse(1.0)
+    val canaryRatio = math.min(2.0, math.max(1.0, canaryRatioRaw))
     def regressed(k: String, v: Double): Boolean =
-      baseline.get(k).exists(b => v > b * 1.5 && v - b > 0.5)
+      baseline.get(k).exists(b =>
+        v > b * 1.5 * canaryRatio && v - b * canaryRatio > 0.5)
 
     // retry pass: a one-off slow time (GC pause, scheduler quantum, page
     // cache miss) must not be reported as a regression — re-time flagged
@@ -171,8 +203,10 @@ object Bench {
          else Nil)).mkString("{", ",", "}")
 
     val totalShufMb = results.collect { case (_, Right((_, b))) => b }.sum / 1048576.0
+    val canaryJson =
+      s""""canary_sec":${r2(canarySec)},"canary_ratio":${f"$canaryRatioRaw%.3f"}"""
     val fullJson =
-      s"""{"metric":"total","value":${r2(total)},"unit":"sec","queries":$fullQs,"shuffle_mb":$shuf,"errors":$errs,"regressions":$regressions,"n_queries":${results.size},"n_failed":$nFail,"shuffle_mb_total":${r2(totalShufMb)},"sf":${q(sfDir)}}"""
+      s"""{"metric":"total","value":${r2(total)},"unit":"sec","queries":$fullQs,"shuffle_mb":$shuf,"errors":$errs,"regressions":$regressions,"n_queries":${results.size},"n_failed":$nFail,"shuffle_mb_total":${r2(totalShufMb)},$canaryJson,"sf":${q(sfDir)}}"""
     // sbt runs with cwd = project root; if the driver ever invokes the jar
     // from elsewhere, fall back next to the baseline file so the detail
     // always lands somewhere discoverable
@@ -205,7 +239,7 @@ object Bench {
       .mkString("[", ",", "]")
 
     def line(qsJson: String, regJson: String): String =
-      s"""{"metric":"total","value":${r2(total)},"unit":"sec","queries":$qsJson,"n_queries":${results.size},"n_failed":$nFail,"failed":$errNames,"regressions":$regJson,"shuffle_mb_total":${r2(totalShufMb)},"detail":"bench_full.json","sf":${q(sfDir)}}"""
+      s"""{"metric":"total","value":${r2(total)},"unit":"sec","queries":$qsJson,"n_queries":${results.size},"n_failed":$nFail,"failed":$errNames,"regressions":$regJson,"shuffle_mb_total":${r2(totalShufMb)},$canaryJson,"detail":"bench_full.json","sf":${q(sfDir)}}"""
     // belt-and-braces: if the headline line somehow exceeds the tail window,
     // drop first the per-query map, then the (already capped) regressions —
     // the counts-only line always fits

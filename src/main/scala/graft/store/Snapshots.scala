@@ -17,16 +17,45 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
  * affordable. [[write]] (full replace) and [[mergeInto]] (copy-on-write
  * upsert) still rewrite, as they must.
  *
- * Commit protocol: data files land first, then the manifest is staged and
- * RENAMED into place — rename is atomic on HDFS/local, so the version
- * appears all-or-nothing (on a real deployment the pointer is a catalog
- * CAS / Iceberg metadata.json commit — same verbs, swap the pointer).
+ * Commit protocol (multi-writer safe): each writer stages its data files
+ * AND manifest in a private hidden `.txn-<uuid>` directory, then claims the
+ * version slot with ONE atomic directory rename to `v=N` — data and
+ * manifest become visible together, so a version is all-or-nothing and two
+ * concurrent writers can never tear each other's commit. The loser of a
+ * slot race (rename fails because `v=N` already committed) gets a
+ * [[SnapshotConflictException]] and must re-run against the new latest —
+ * optimistic concurrency, exactly Iceberg's commit loop (there the CAS is
+ * on metadata.json via the catalog; same verbs, swap the pointer).
+ * A crashed writer leaves only an invisible `.txn-*` directory; [[vacuum]]
+ * collects it once its `_inflight` marker goes stale, and spares live ones.
  *
  * Scale: time travel costs one small-file read; expiry deletes only files
  * unreferenced by surviving manifests, so shared files outlive the
  * versions that wrote them.
  */
 object Snapshots {
+
+  /** Optimistic-concurrency loser: the version slot was claimed by a
+    * concurrent writer between this operation's read and its commit.
+    * Retryable — re-run the operation; it will recompute against the new
+    * latest snapshot (serializable, no lost update). */
+  final class SnapshotConflictException(msg: String)
+    extends RuntimeException(msg)
+
+  /** Re-run `op` up to `attempts` times while it loses commit races —
+    * the standard client loop around the optimistic commit. */
+  def withConflictRetry[T](attempts: Int = 5)(op: => T): T = {
+    var left = attempts
+    while (true) {
+      try return op
+      catch {
+        case e: SnapshotConflictException =>
+          left -= 1
+          if (left <= 0) throw e
+      }
+    }
+    sys.error("unreachable")
+  }
 
   private def fs(spark: SparkSession, base: String) =
     new Path(base).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -55,48 +84,146 @@ object Snapshots {
         .sorted
   }
 
-  /** Base-relative data-file paths of version `v`, in manifest order. */
-  def manifestFiles(spark: SparkSession, base: String, v: Long): Seq[String] = {
+  /**
+   * A manifest line: base-relative data-file path, optionally followed by
+   * tab-separated per-file KEY STATS recorded at write time —
+   * `path \t keyName \t typeTag \t min \t max` (typeTag L=integral,
+   * D=floating/decimal, S=string). Stats are Iceberg's manifest min/max
+   * column bounds in miniature: they let MERGE discovery prune candidate
+   * files as a METADATA operation instead of a full table scan.
+   */
+  final case class ManifestEntry(line: String, path: String,
+      stats: Option[(String, String, String, String)])
+
+  private def parseEntry(line: String): ManifestEntry = {
+    val parts = line.split('\t')
+    if (parts.length == 5)
+      ManifestEntry(line, parts(0), Some((parts(1), parts(2), parts(3), parts(4))))
+    else ManifestEntry(line, parts(0), None)
+  }
+
+  /** Raw manifest lines of version `v` (paths + optional key stats). */
+  def manifestLines(spark: SparkSession, base: String, v: Long): Seq[String] = {
     val in = fs(spark, base).open(manifestPath(base, v))
     try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
       .map(_.trim).filter(_.nonEmpty).toVector
     finally in.close()
   }
 
-  /** The freshly-written `part-*` files under `v=N`, base-relative. */
-  private def ownFiles(spark: SparkSession, base: String, v: Long): Seq[String] = {
-    fs(spark, base).listStatus(new Path(s"$base/v=$v")).toSeq
-      .map(_.getPath.getName)
-      .filter(_.startsWith("part-"))
-      .sorted
-      .map(n => s"v=$v/$n")
+  /** Base-relative data-file paths of version `v`, in manifest order. */
+  def manifestFiles(spark: SparkSession, base: String, v: Long): Seq[String] =
+    manifestLines(spark, base, v).map(l => parseEntry(l).path)
+
+  /** Total order within one stats type tag. */
+  private def statLeq(tag: String, a: String, b: String): Boolean = tag match {
+    case "L" => a.toLong <= b.toLong
+    case "D" => a.toDouble <= b.toDouble
+    case _ => a <= b
   }
 
-  /** Stage + atomic-rename the manifest: the version's commit point. */
-  private def commitManifest(spark: SparkSession, base: String, v: Long,
-                             files: Seq[String]): Unit = {
+  private def statTag(dt: org.apache.spark.sql.types.DataType): String = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case LongType | IntegerType | ShortType | ByteType => "L"
+      case DoubleType | FloatType => "D"
+      case _: DecimalType => "D"
+      case StringType => "S"
+      case _ => ""
+    }
+  }
+
+  /** Per-staged-file (min, max) of `key`, stringified — one bounded scan of
+    * the freshly-written delta, the write-time cost of metadata pruning. */
+  private def stagedStats(spark: SparkSession, txn: String,
+                          key: String): (String, Map[String, (String, String)]) = {
+    import org.apache.spark.sql.functions.{col, input_file_name, max, min}
+    val df = spark.read.parquet(txn)
+    if (!df.columns.contains(key)) return ("", Map.empty)
+    val tag = statTag(df.schema(key).dataType)
+    if (tag.isEmpty) return ("", Map.empty)
+    val rows = df.groupBy(input_file_name().as("__f"))
+      .agg(min(col(key)).cast("string").as("mn"), max(col(key)).cast("string").as("mx"))
+      .collect()
+    val ok = rows.filter(r => !r.isNullAt(1) && !r.isNullAt(2) &&
+      !(r.getString(1) + r.getString(2)).exists(c => c == '\t' || c == '\n'))
+    (tag, ok.map(r => new Path(r.getString(0)).getName -> (r.getString(1), r.getString(2))).toMap)
+  }
+
+  /**
+   * The optimistic commit: stage data + manifest in a private hidden
+   * `.txn-<uuid>` directory, then claim `v=next` with ONE atomic directory
+   * rename. `writeData` receives the staging path and must land the part
+   * files there (append mode — the directory pre-exists holding the
+   * `_inflight` marker that keeps [[vacuum]] off a live transaction).
+   * A rename that finds the slot already claimed (a concurrent writer
+   * committed first) cleans its staging and throws the retryable
+   * [[SnapshotConflictException]]; the caller re-runs against the new
+   * latest, so interleaved writers serialize with no lost update. A
+   * manifest-LESS `v=next` is pre-protocol crash debris — reclaimed, since
+   * no committed reader can reference it.
+   */
+  private def commitStaged(spark: SparkSession, base: String, next: Long,
+                           inherited: Seq[String],
+                           writeData: String => Unit,
+                           statsKey: Option[String] = None): Long = {
     val f = fs(spark, base)
-    val tmp = new Path(s"$base/v=$v/_manifest.tmp")
-    val out = f.create(tmp, true)
-    try out.write((files.mkString("\n") + "\n").getBytes("UTF-8"))
-    finally out.close()
-    require(f.rename(tmp, manifestPath(base, v)),
-      s"manifest commit failed for $base v=$v")
+    val txn = s"$base/.txn-${java.util.UUID.randomUUID().toString.take(12)}"
+    val txnPath = new Path(txn)
+    f.mkdirs(txnPath)
+    val marker = new Path(txn, "_inflight")
+    val mo = f.create(marker, true)
+    try mo.write(System.currentTimeMillis().toString.getBytes("UTF-8"))
+    finally mo.close()
+    try {
+      writeData(txn)
+      val names = f.listStatus(txnPath).toSeq.map(_.getPath.getName)
+        .filter(_.startsWith("part-")).sorted
+      val (tag, stats) = statsKey.filter(_ => names.nonEmpty)
+        .map(stagedStats(spark, txn, _))
+        .getOrElse(("", Map.empty[String, (String, String)]))
+      val own = names.map { n =>
+        stats.get(n) match {
+          case Some((mn, mx)) => s"v=$next/$n\t${statsKey.get}\t$tag\t$mn\t$mx"
+          case None => s"v=$next/$n"
+        }
+      }
+      val out = f.create(new Path(txn, "_manifest"), true)
+      try out.write(((inherited ++ own).mkString("\n") + "\n").getBytes("UTF-8"))
+      finally out.close()
+      f.delete(marker, false)
+      val dest = new Path(s"$base/v=$next")
+      def conflict(): Nothing = {
+        f.delete(txnPath, true)
+        throw new SnapshotConflictException(
+          s"v=$next of $base was committed by a concurrent writer; " +
+            "re-run against the new latest snapshot")
+      }
+      if (f.exists(dest) && !f.exists(manifestPath(base, next))) f.delete(dest, true)
+      if (f.exists(dest)) conflict()
+      if (!f.rename(txnPath, dest)) conflict()
+      // RawLocalFileSystem.rename falls back to copy-into when dest appears
+      // concurrently (the loser's dir nests under the winner's version) —
+      // detect the nesting and yield rather than corrupt the winner
+      val nested = new Path(dest, txnPath.getName)
+      if (f.exists(nested)) { f.delete(nested, true); conflict() }
+      next
+    } catch {
+      case e: SnapshotConflictException => throw e
+      case e: Throwable => f.delete(txnPath, true); throw e
+    }
   }
 
   /** Commit `df` as the next FULL version (complete replace); returns the
-    * new version number. Overwrite mode: under the SINGLE-WRITER assumption
-    * (the norm for a versioned table without a catalog), the only way
-    * `v=next` already exists is a crashed write that never gained its
-    * manifest (invisible to `versions`) — the retry must be able to reclaim
-    * that directory. Two concurrent writers could race to the same version
-    * number; that coordination belongs to the catalog, not the layout. */
-  def write(df: DataFrame, base: String): Long = {
+    * new version number. Loses a slot race with [[SnapshotConflictException]]
+    * (retryable — see [[withConflictRetry]]). `statsKey` records per-file
+    * min/max of that column in the manifest so later MERGE/DELETE discovery
+    * prunes files from metadata. */
+  def write(df: DataFrame, base: String,
+            statsKey: Option[String] = None): Long = {
     val spark = df.sparkSession
     val next = versions(spark, base).lastOption.getOrElse(0L) + 1
-    df.write.mode("overwrite").parquet(s"$base/v=$next")
-    commitManifest(spark, base, next, ownFiles(spark, base, next))
-    next
+    commitStaged(spark, base, next, Seq.empty,
+      dir => df.write.mode("append").parquet(dir), statsKey)
   }
 
   /**
@@ -107,14 +234,15 @@ object Snapshots {
    * stored once however many snapshots reference them (pinned in
    * SnapshotsSpec). With no prior version this is exactly [[write]].
    */
-  def append(df: DataFrame, base: String): Long = {
+  def append(df: DataFrame, base: String,
+             statsKey: Option[String] = None): Long = {
     val spark = df.sparkSession
     val vs = versions(spark, base)
     val next = vs.lastOption.getOrElse(0L) + 1
-    val inherited = vs.lastOption.map(manifestFiles(spark, base, _)).getOrElse(Seq.empty)
-    df.write.mode("overwrite").parquet(s"$base/v=$next")
-    commitManifest(spark, base, next, inherited ++ ownFiles(spark, base, next))
-    next
+    // inherit full manifest LINES so prior files keep their key stats
+    val inherited = vs.lastOption.map(manifestLines(spark, base, _)).getOrElse(Seq.empty)
+    commitStaged(spark, base, next, inherited,
+      dir => df.write.mode("append").parquet(dir), statsKey)
   }
 
   /** Read latest (None) or `VERSION AS OF` (Some(v)): the manifest's file
@@ -165,32 +293,65 @@ object Snapshots {
    * point-update of one key in a 100 TB table rewrites one file, not the
    * table (pinned in SnapshotsSpec). The touched-file discovery is a
    * semi-join + distinct over file names — its result is bounded by the
-   * file count, never the row count.
+   * file count, never the row count — and when the manifest carries
+   * per-file key stats (written by any stats-keyed commit, including this
+   * one), discovery SCANS ONLY the files whose [min,max] overlaps the
+   * source's key range: a point-key merge into a 100 TB table reads one
+   * file's rows, not one full pass (Iceberg's manifest-bounds pruning;
+   * pinned via input-records metrics in SnapshotsSpec). New files written
+   * here always carry stats on the merge key.
    */
   def mergeInto(spark: SparkSession, base: String, source: DataFrame,
                 key: String): Long = {
-    import org.apache.spark.sql.functions.{col, input_file_name}
+    import org.apache.spark.sql.functions.{col, input_file_name, max, min}
     val vs = versions(spark, base)
     val next = vs.lastOption.getOrElse(0L) + 1
-    val prior = vs.lastOption.map(manifestFiles(spark, base, _)).getOrElse(Seq.empty)
-    val target = read(spark, base).withColumn("__file", input_file_name())
-    // which files hold a matched key? (bounded: ≤ #files rows)
-    val touched: Set[String] = target
-      .join(source.select(col(key)), Seq(key), "left_semi")
-      .select(col("__file")).distinct()
-      .collect().map(_.getString(0)).toSet
+    val prior = vs.lastOption.map(manifestLines(spark, base, _)).getOrElse(Seq.empty)
+      .map(parseEntry)
+    // metadata pruning: a file provably disjoint from the source key range
+    // cannot contain a matched key — inherit it without reading a byte
+    val srcTag = statTag(source.schema.find(_.name == key)
+      .map(_.dataType).getOrElse(org.apache.spark.sql.types.NullType))
+    val srcRange: Option[(String, String)] =
+      if (srcTag.isEmpty || prior.forall(_.stats.isEmpty)) None
+      else {
+        val r = source.agg(min(col(key)).cast("string"), max(col(key)).cast("string")).head()
+        if (r.isNullAt(0)) None else Some((r.getString(0), r.getString(1)))
+      }
+    def mayContain(e: ManifestEntry): Boolean = (e.stats, srcRange) match {
+      case (Some((k, tag, mn, mx)), Some((smin, smax))) if k == key && tag == srcTag =>
+        statLeq(tag, mn, smax) && statLeq(tag, smin, mx)
+      case _ => true // no stats / different key / unknown range → must scan
+    }
+    val (candidates, pruned) = prior.partition(mayContain)
+    val touched: Set[String] =
+      if (candidates.isEmpty) Set.empty
+      else {
+        val cand = spark.read.option("mergeSchema", true)
+          .parquet(candidates.map(e => s"$base/${e.path}"): _*)
+          .withColumn("__file", input_file_name())
+        // which files hold a matched key? (bounded: ≤ #files rows)
+        cand.join(source.select(col(key)), Seq(key), "left_semi")
+          .select(col("__file")).distinct()
+          .collect().map(_.getString(0)).toSet
+      }
     // manifest entries are base-relative; input_file_name is a URI — match
     // by the v=N/part-... suffix
-    val (rewrite, inherit) = prior.partition(rel => touched.exists(_.endsWith(rel)))
+    val (rewrite, inherit) = candidates.partition(e => touched.exists(_.endsWith(e.path)))
     require(rewrite.size == touched.size,
       s"merge file accounting: ${touched.size} touched vs ${rewrite.size} manifest matches")
-    val kept = target
-      .filter(col("__file").isin(touched.toSeq: _*))
-      .drop("__file")
-      .join(source.select(col(key)), Seq(key), "left_anti")
-    kept.unionByName(source).write.mode("overwrite").parquet(s"$base/v=$next")
-    commitManifest(spark, base, next, inherit ++ ownFiles(spark, base, next))
-    next
+    val kept =
+      if (touched.isEmpty) source.limit(0)
+      else spark.read.option("mergeSchema", true)
+        .parquet(rewrite.map(e => s"$base/${e.path}"): _*)
+        .join(source.select(col(key)), Seq(key), "left_anti")
+    // allowMissingColumns: a source carrying a NEW column (write-side
+    // schema evolution) null-fills it on kept rows; old files inherit
+    // untouched and read() null-fills them via mergeSchema
+    commitStaged(spark, base, next, (pruned ++ inherit).map(_.line),
+      dir => kept.unionByName(source, allowMissingColumns = true)
+        .write.mode("append").parquet(dir),
+      statsKey = Some(key))
   }
 
   /**
@@ -206,12 +367,12 @@ object Snapshots {
     val vs = versions(spark, base)
     require(vs.nonEmpty, s"no snapshots under $base")
     val next = vs.last + 1
-    val prior = manifestFiles(spark, base, vs.last)
+    val prior = manifestLines(spark, base, vs.last).map(parseEntry)
     val target = read(spark, base).withColumn("__file", input_file_name())
     val touched: Set[String] = target.filter(predicate)
       .select(col("__file")).distinct()
       .collect().map(_.getString(0)).toSet
-    val (rewrite, inherit) = prior.partition(rel => touched.exists(_.endsWith(rel)))
+    val (rewrite, inherit) = prior.partition(e => touched.exists(_.endsWith(e.path)))
     // same loud guard as mergeInto: a touched file that fails the suffix
     // match (URI-encoding drift) would be inherited AND rewritten —
     // silent row duplication. Fail instead.
@@ -222,9 +383,8 @@ object Snapshots {
       // SQL DELETE semantics: rows where the predicate is NULL are KEPT
       .filter(not(coalesce(predicate, lit(false))))
       .drop("__file")
-    kept.write.mode("overwrite").parquet(s"$base/v=$next")
-    commitManifest(spark, base, next, inherit ++ ownFiles(spark, base, next))
-    next
+    commitStaged(spark, base, next, inherit.map(_.line),
+      dir => kept.write.mode("append").parquet(dir))
   }
 
   /**
@@ -242,19 +402,25 @@ object Snapshots {
               targetBytes: Long = 128L * 1024 * 1024): Long = {
     val vs = versions(spark, base)
     require(vs.nonEmpty, s"no snapshots under $base")
-    val prior = manifestFiles(spark, base, vs.last)
+    val prior = manifestLines(spark, base, vs.last).map(parseEntry)
     val f = fs(spark, base)
-    val sized = prior.map(rel => rel -> f.getFileStatus(new Path(s"$base/$rel")).getLen)
+    val sized = prior.map(e => e -> f.getFileStatus(new Path(s"$base/${e.path}")).getLen)
     val (small, big) = sized.partition(_._2 < smallBytes)
     if (small.size <= 1) return vs.last
     val next = vs.last + 1
     val nOut = math.max(1, math.ceil(small.map(_._2).sum.toDouble / targetBytes).toInt)
-    spark.read.option("mergeSchema", true)
-      .parquet(small.map { case (rel, _) => s"$base/$rel" }: _*)
-      .repartition(nOut)
-      .write.mode("overwrite").parquet(s"$base/v=$next")
-    commitManifest(spark, base, next, big.map(_._1) ++ ownFiles(spark, base, next))
-    next
+    // if every packed small file carried stats on the SAME key, recompute
+    // stats for the packed output so pruning survives compaction
+    val statsKey = small.map(_._1.stats.map(_._1)).distinct match {
+      case Seq(Some(k)) => Some(k)
+      case _ => None
+    }
+    commitStaged(spark, base, next, big.map(_._1.line),
+      dir => spark.read.option("mergeSchema", true)
+        .parquet(small.map { case (e, _) => s"$base/${e.path}" }: _*)
+        .repartition(nOut)
+        .write.mode("append").parquet(dir),
+      statsKey)
   }
 
   /**
@@ -267,17 +433,22 @@ object Snapshots {
    * deleting, not treat "no manifest" as "all debris" — otherwise
    * write → append → expire → vacuum loses the surviving snapshot's data
    * (pinned in SnapshotsSpec). A manifest-less directory is removed only
-   * once it is empty. SINGLE-WRITER assumption applies (a LIVE concurrent
-   * write's directory would look identical to debris; with a catalog this
-   * check is a lease, not a listing). Returns removed paths.
+   * once it is empty.
+   *
+   * Concurrent writers are honored, not assumed away: a LIVE transaction is
+   * a `.txn-*` staging directory carrying an `_inflight` marker (written at
+   * txn start) or fresh file mtimes — vacuum spares it. Only a `.txn-*`
+   * directory whose newest mtime is older than `txnTtlMs` (a writer that
+   * died mid-stage) is collected. Returns removed paths.
    */
-  def vacuum(spark: SparkSession, base: String): Seq[String] = {
+  def vacuum(spark: SparkSession, base: String,
+             txnTtlMs: Long = 60L * 60 * 1000): Seq[String] = {
     val f = fs(spark, base)
     val p = new Path(base)
     if (!f.exists(p)) return Seq.empty
     val committed = versions(spark, base).toSet
     val referenced = committed.toSeq.flatMap(manifestFiles(spark, base, _)).toSet
-    f.globStatus(new Path(p, "v=*")).toSeq
+    val fromVersionDirs = f.globStatus(new Path(p, "v=*")).toSeq
       .filter(_.isDirectory)
       .map(_.getPath)
       .filter(d => scala.util.Try(
@@ -290,6 +461,18 @@ object Snapshots {
         if (f.listStatus(d).isEmpty) { f.delete(d, true); removed :+ d.toString }
         else removed
       }
+    val now = System.currentTimeMillis()
+    val fromTxnDirs = f.globStatus(new Path(p, ".txn-*")).toSeq
+      .filter(_.isDirectory)
+      .map(_.getPath)
+      .filter { d =>
+        val members = f.listStatus(d).toSeq
+        val newest = (members.map(_.getModificationTime) :+
+          f.getFileStatus(d).getModificationTime).max
+        now - newest > txnTtlMs
+      }
+      .map { d => f.delete(d, true); d.toString }
+    fromVersionDirs ++ fromTxnDirs
   }
 
   /**
