@@ -1540,6 +1540,53 @@ object SparkEntry {
              |FROM orders WHERE o_orderkey >= 100
              |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // Write-side schema evolution through the snapshot DML: v1 has two
+    // columns; a MERGE source carries a NEW column (o_orderpriority). Old
+    // files inherit untouched, the rewrite+insert file carries the column,
+    // read() null-fills inherited rows, and CDC classifies the merged rows
+    // — write → evolve → read → diff as ONE plan. Oracle recomputes the
+    // merge and the classification relationally.
+    "snap_schema_evolve" -> Q(
+      (s, d) => {
+        import graft.store.Snapshots
+        val root = FixtureRoot.fresh("snapevolve")
+        val base = root + "/t"
+        val orders = T(s, d, "orders").select(col("o_orderkey"), col("o_totalprice"))
+        Snapshots.write(orders.filter(pmod(col("o_orderkey"), lit(10)) =!= 0),
+          base, statsKey = Some("o_orderkey"))
+        val src = T(s, d, "orders")
+          .filter(pmod(col("o_orderkey"), lit(13)) === 0)
+          .select(col("o_orderkey"), (col("o_totalprice") + 1.0).as("o_totalprice"),
+            col("o_orderpriority"))
+        val v2 = Snapshots.mergeInto(s, base, src, "o_orderkey")
+        val latest = Snapshots.read(s, base, Some(v2))
+        val cdc = Snapshots.diff(s, base, 1L, v2, "o_orderkey")
+        latest.join(cdc, Seq("o_orderkey"), "left")
+          .groupBy(
+            coalesce(col("o_orderpriority"), lit("NONE")).as("o_orderpriority"),
+            coalesce(col("change_type"), lit("unchanged")).as("change_type"))
+          .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+          .orderBy(col("o_orderpriority"), col("change_type"))
+      },
+      Some("""WITH v1 AS (SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 10 <> 0),
+             |src AS (SELECT o_orderkey, o_totalprice + 1.0 AS o_totalprice, o_orderpriority
+             |        FROM orders WHERE o_orderkey % 13 = 0),
+             |latest AS (
+             |  SELECT v1.o_orderkey, v1.o_totalprice, CAST(NULL AS VARCHAR) AS o_orderpriority
+             |  FROM v1 WHERE v1.o_orderkey NOT IN (SELECT o_orderkey FROM src)
+             |  UNION ALL
+             |  SELECT o_orderkey, o_totalprice, o_orderpriority FROM src),
+             |cdc AS (
+             |  SELECT s.o_orderkey,
+             |    CASE WHEN v1.o_orderkey IS NULL THEN 'insert' ELSE 'update' END AS change_type
+             |  FROM src s LEFT JOIN v1 ON v1.o_orderkey = s.o_orderkey)
+             |SELECT COALESCE(l.o_orderpriority, 'NONE') AS o_orderpriority,
+             |  COALESCE(c.change_type, 'unchanged') AS change_type,
+             |  count(*) AS n,
+             |  CAST(sum(CAST(l.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+             |FROM latest l LEFT JOIN cdc c ON l.o_orderkey = c.o_orderkey
+             |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
     // S7 — embedding column point-update semantics (SET r.embedding WHERE id)
     "s7_embedding_update" -> Q(
       (s, d) => {

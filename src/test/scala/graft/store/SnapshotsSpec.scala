@@ -352,6 +352,29 @@ class SnapshotsSpec extends AnyFunSuite {
     assert(out == Seq("a"), "group b lost its only row and must drop out")
   }
 
+  test("mergeInto evolves schema: a new source column null-fills untouched rows") {
+    val base = java.nio.file.Files.createTempDirectory("graft-snap-mevolve").toString + "/t"
+    val df = (1L to 100L).map(i => (i, s"v$i")).toDF("id", "s").repartition(4, col("id"))
+    Snapshots.write(df, base, statsKey = Some("id"))
+    // the source carries a column v1 has never seen
+    val v2 = Snapshots.mergeInto(spark, base,
+      Seq((1L, "A", 9.5), (200L, "n", 1.0)).toDF("id", "s", "score"), "id")
+    val latest = Snapshots.read(spark, base, Some(v2))
+    assert(latest.columns.toSet == Set("id", "s", "score"))
+    val rows = latest.select("id", "s", "score")
+      .as[(Long, String, Option[Double])].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(rows(1L) == ("A", Some(9.5)) && rows(200L) == ("n", Some(1.0)))
+    assert(rows(50L) == ("v50", None), "untouched rows must null-fill the new column")
+    assert(rows.size == 101)
+    // old files are still INHERITED, not rewritten, despite the new schema
+    val m1 = Snapshots.manifestFiles(spark, base, 1L)
+    val m2 = Snapshots.manifestFiles(spark, base, v2)
+    assert(m1.count(m2.contains) == m1.size - 1, "only the file holding id=1 rewrites")
+    // CDC across the evolution classifies the changed/inserted rows
+    val cdc = Snapshots.diff(spark, base, 1L, v2, "id").as[(Long, String)].collect().toMap
+    assert(cdc == Map(1L -> "update", 200L -> "insert"))
+  }
+
   test("diff sees a column added in the newer version (union-schema hash)") {
     val base = java.nio.file.Files.createTempDirectory("graft-snap-evolve").toString + "/t"
     Snapshots.write(Seq((1L, "a"), (2L, "b")).toDF("id", "s"), base)
