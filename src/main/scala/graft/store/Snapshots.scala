@@ -397,9 +397,19 @@ object Snapshots {
    * Content is bit-identical (pinned in SnapshotsSpec); returns the new
    * version (or the current one when ≤1 small file exists — nothing to
    * bin-pack, no empty snapshot churn).
+   *
+   * `zorderBy = Some((x, y))` makes the rewrite CLUSTER while it packs
+   * (Iceberg `rewrite_data_files` z-order strategy): rows are
+   * range-partitioned and sorted by the Morton key of (x, y), so each
+   * rewritten file covers a compact 2-D tile and parquet min/max stats
+   * prune file scans on EITHER column — the same pass that fixes the
+   * small-file tax fixes data skipping, for free (pinned in SnapshotsSpec:
+   * a post-compact range predicate overlaps only a fraction of the files).
    */
   def compact(spark: SparkSession, base: String, smallBytes: Long,
-              targetBytes: Long = 128L * 1024 * 1024): Long = {
+              targetBytes: Long = 128L * 1024 * 1024,
+              zorderBy: Option[(String, String)] = None,
+              zBits: Int = 16): Long = {
     val vs = versions(spark, base)
     require(vs.nonEmpty, s"no snapshots under $base")
     val prior = manifestLines(spark, base, vs.last).map(parseEntry)
@@ -416,10 +426,20 @@ object Snapshots {
       case _ => None
     }
     commitStaged(spark, base, next, big.map(_._1.line),
-      dir => spark.read.option("mergeSchema", true)
-        .parquet(small.map { case (e, _) => s"$base/${e.path}" }: _*)
-        .repartition(nOut)
-        .write.mode("append").parquet(dir),
+      dir => {
+        import org.apache.spark.sql.functions.col
+        val in = spark.read.option("mergeSchema", true)
+          .parquet(small.map { case (e, _) => s"$base/${e.path}" }: _*)
+        val shaped = zorderBy match {
+          case Some((x, y)) =>
+            in.withColumn("__z", graft.sources.Layout.zorderKey2(col(x), col(y), zBits))
+              .repartitionByRange(nOut, col("__z"))
+              .sortWithinPartitions(col("__z"))
+              .drop("__z")
+          case None => in.repartition(nOut)
+        }
+        shaped.write.mode("append").parquet(dir)
+      },
       statsKey)
   }
 

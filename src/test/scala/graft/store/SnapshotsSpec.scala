@@ -146,6 +146,40 @@ class SnapshotsSpec extends AnyFunSuite {
     assert(Snapshots.compact(spark, base, smallBytes = 4096) == v7)
   }
 
+  test("z-ordered compaction tiles rewritten files so range predicates skip files") {
+    import org.apache.spark.sql.functions.{col, input_file_name, max, min}
+    val base = java.nio.file.Files.createTempDirectory("graft-snap-zord").toString + "/t"
+    // 8 small files with RANDOM (x, y): every file spans the full range of
+    // both columns — a range predicate can skip nothing
+    val df = (1 to 4000).map { i =>
+      ((i * 2654435761L % 128).toInt, (i * 40503L % 128).toInt, s"payload$i")
+    }.toDF("x", "y", "p").repartition(8)
+    Snapshots.write(df, base)
+    def overlapping(v: Long): (Long, Long) = {
+      val files = Snapshots.manifestFiles(spark, base, v).map(p => s"$base/$p")
+      val st = spark.read.parquet(files: _*)
+        .groupBy(input_file_name()).agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+        .collect()
+      (st.count(r => r.getInt(1) <= 24).toLong, st.length.toLong)
+    }
+    val (beforeHit, beforeN) = overlapping(1L)
+    assert(beforeN == 8 && beforeHit == 8, s"fixture: random files all overlap x<=24, got $beforeHit/$beforeN")
+    val content = Snapshots.read(spark, base).as[(Int, Int, String)].collect().toSet
+    // bin-pack INTO the same file count, but z-ordered by (x, y)
+    val sizes = Snapshots.manifestFiles(spark, base, 1L)
+      .map(p => new java.io.File(s"$base/$p").length())
+    val v2 = Snapshots.compact(spark, base, smallBytes = Long.MaxValue,
+      targetBytes = math.max(1L, sizes.sum / 8), zorderBy = Some(("x", "y")), zBits = 7)
+    val (afterHit, afterN) = overlapping(v2)
+    assert(afterN >= 4, s"compaction should still produce several files, got $afterN")
+    // x<=24 means the top x-bit is 0 — at most half the z-range tiles
+    // can contain it; random layout had every file containing it
+    assert(afterHit * 2 <= afterN,
+      s"z-order must bound the predicate to a fraction of files: $afterHit/$afterN")
+    assert(Snapshots.read(spark, base).as[(Int, Int, String)].collect().toSet == content,
+      "compaction must not change content")
+  }
+
   test("vacuum removes crash debris, never committed data") {
     val base = java.nio.file.Files.createTempDirectory("graft-snap-vac").toString + "/t"
     Snapshots.write(Seq((1L, "a")).toDF("id", "s"), base)
