@@ -3426,40 +3426,13 @@ object SparkEntry {
     // stats. Pure per-row scalar expressions: zero shuffles before the
     // oracle ORDER BY, so it costs exactly one scan at any corpus size.
     "ta_quality_gate" -> Q(
-      (s, d) => {
-        // tokenize ONCE per row (two arrays), then derive every metric from
-        // the materialized arrays: CollapseProject keeps multi-referenced
-        // non-cheap aliases, so the split never re-runs per metric
-        val sw = array(Seq("the", "a", "of", "and").map(lit): _*)
-        val base = T(s, d, "documents").select(col("doc_id"),
-          TextAnalysis.tokens(col("text")).as("__toks"),
-          TextAnalysis.tokens(lower(col("text"))).as("__ltoks"))
-        val n = size(col("__toks"))
-        val metrics = base.select(col("doc_id"), n.as("__n"),
-          when(n > 0, size(array_distinct(col("__toks"))).cast("double")
-            / n.cast("double")).as("__ttr"),
-          when(n > 0, aggregate(col("__toks"), lit(0L),
-            (acc, t) => acc + length(t)).cast("double")
-            / n.cast("double")).as("__awl"),
-          when(size(col("__ltoks")) > 0,
-            size(filter(col("__ltoks"), t => array_contains(sw, t))).cast("double")
-              / size(col("__ltoks")).cast("double")).as("__sw"))
-        val fLen = col("__n").between(20, 90)
-        val fWl = col("__awl").between(3.8, 5.2)
-        val fTtr = col("__ttr") >= 0.45
-        val fSw = col("__sw") >= 0.02
-        metrics.select(col("doc_id"), col("__n").cast("long").as("n_tokens"),
-          round(coalesce(col("__ttr"), lit(0.0)), 6).as("ttr"),
-          round(coalesce(col("__awl"), lit(0.0)), 6).as("avg_token_len"),
-          round(coalesce(col("__sw"), lit(0.0)), 6).as("stop_ratio"),
-          fLen.as("ok_len"), fWl.as("ok_word_len"),
-          fTtr.as("ok_diversity"), fSw.as("ok_stopwords"),
-          (fLen && fWl && fTtr && fSw).as("keep"),
-          when(!fLen, lit("length_band")).when(!fWl, lit("word_len"))
-            .when(!fTtr, lit("low_diversity")).when(!fSw, lit("no_stopwords"))
-            .as("reject_reason"))
-          .orderBy(col("doc_id"))
-      },
+      (s, d) => TextAnalysis.qualityGate(
+          T(s, d, "documents").select(col("doc_id"), col("text")), "text")
+        .select(col("doc_id"), col("n_tokens"), col("ttr"), col("avg_token_len"),
+          col("stop_ratio"), col("ok_len"), col("ok_word_len"),
+          col("ok_diversity"), col("ok_stopwords"), col("keep"),
+          col("reject_reason"))
+        .orderBy(col("doc_id")),
       Some("""WITH t AS (
              |  SELECT doc_id,
              |    list_filter(regexp_split_to_array(text, '\s+'),

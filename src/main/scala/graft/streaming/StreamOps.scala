@@ -188,4 +188,25 @@ object StreamOps {
           }
       }
   }
+
+  /**
+   * Streaming twin of the composite quality gate — the operator a
+   * production corpus runs ON ARRIVAL: every incoming doc is gated by the
+   * SAME scalar expressions as the batch `ta_quality_gate`
+   * ([[graft.text.TextAnalysis.qualityGate]] — parity is structural, one
+   * implementation), then per-rule outcomes are counted in event-time
+   * windows. Stateless scalar gate + one watermarked windowed aggregate:
+   * state is O(open windows × 5 rules), emitted in Append mode when the
+   * watermark closes a window. Returns
+   * (window_start, rule ∈ {kept, length_band, word_len, low_diversity,
+   * no_stopwords}, n).
+   */
+  def qualityGateCounters(docs: DataFrame, tsCol: String, textCol: String,
+                          windowDur: String,
+                          watermarkDelay: String): DataFrame =
+    graft.text.TextAnalysis.qualityGate(docs.withWatermark(tsCol, watermarkDelay), textCol)
+      .groupBy(window(col(tsCol), windowDur),
+        coalesce(col("reject_reason"), lit("kept")).as("rule"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("window_start"), col("rule"), col("n"))
 }

@@ -23,6 +23,56 @@ object TextAnalysis {
   def tokenCount(text: Column): Column = size(tokens(text))
 
   /**
+   * Composite per-document quality gate (the `ta_quality_gate` operator,
+   * factored here so the batch query and the streaming twin run the SAME
+   * expressions — parity is structural, not re-implemented). Appends to
+   * every input row: `n_tokens`, `ttr`, `avg_token_len`, `stop_ratio`,
+   * per-rule flags `ok_len`/`ok_word_len`/`ok_diversity`/`ok_stopwords`,
+   * the composite `keep`, and the first-failing `reject_reason` (null when
+   * kept). Pure scalar expressions over two tokenizations — no shuffle, no
+   * state: runs identically on a static frame and on a stream's
+   * micro-batches, and at 100 TB cost is one codegen'd scan.
+   */
+  def qualityGate(df: DataFrame, textCol: String): DataFrame = {
+    val sw = array(Seq("the", "a", "of", "and").map(lit): _*)
+    // tokenize ONCE per row (two arrays), then derive every metric from
+    // the materialized arrays: CollapseProject keeps multi-referenced
+    // non-cheap aliases, so the split never re-runs per metric
+    val base = df
+      .withColumn("__toks", tokens(col(textCol)))
+      .withColumn("__ltoks", tokens(lower(col(textCol))))
+    val n = size(col("__toks"))
+    val metrics = base
+      .withColumn("__n", n)
+      .withColumn("__ttr", when(n > 0,
+        size(array_distinct(col("__toks"))).cast("double") / n.cast("double")))
+      .withColumn("__awl", when(n > 0,
+        aggregate(col("__toks"), lit(0L), (acc, t) => acc + length(t)).cast("double")
+          / n.cast("double")))
+      .withColumn("__sw", when(size(col("__ltoks")) > 0,
+        size(filter(col("__ltoks"), t => array_contains(sw, t))).cast("double")
+          / size(col("__ltoks")).cast("double")))
+    val fLen = col("__n").between(20, 90)
+    val fWl = col("__awl").between(3.8, 5.2)
+    val fTtr = col("__ttr") >= 0.45
+    val fSw = col("__sw") >= 0.02
+    metrics
+      .withColumn("n_tokens", col("__n").cast("long"))
+      .withColumn("ttr", round(coalesce(col("__ttr"), lit(0.0)), 6))
+      .withColumn("avg_token_len", round(coalesce(col("__awl"), lit(0.0)), 6))
+      .withColumn("stop_ratio", round(coalesce(col("__sw"), lit(0.0)), 6))
+      .withColumn("ok_len", fLen)
+      .withColumn("ok_word_len", fWl)
+      .withColumn("ok_diversity", fTtr)
+      .withColumn("ok_stopwords", fSw)
+      .withColumn("keep", fLen && fWl && fTtr && fSw)
+      .withColumn("reject_reason",
+        when(!fLen, lit("length_band")).when(!fWl, lit("word_len"))
+          .when(!fTtr, lit("low_diversity")).when(!fSw, lit("no_stopwords")))
+      .drop("__toks", "__ltoks", "__n", "__ttr", "__awl", "__sw")
+  }
+
+  /**
    * BPE-ish token estimate: alphanumeric runs + individual non-space
    * punctuation marks (a GPT-2-style pre-tokenizer shape), cheap proxy for
    * a real subword tokenizer at scan speed. Match-counting equals the

@@ -250,4 +250,53 @@ class StreamOpsSpec extends AnyFunSuite {
       rm(root)
     }
   }
+
+  test("qualityGateCounters: streaming per-rule counts equal the batch twin") {
+    implicit val sqlCtx = spark.sqlContext
+    // fixture spanning every gate outcome: kept, too-short (length_band),
+    // short-word spam (word_len), repeated token (low_diversity), and a
+    // no-stopword wall of distinct long words (no_stopwords)
+    // kept: n=40, awl=(3+2+38·5)/40≈4.9, ttr=1.0, stop_ratio=2/40=0.05
+    val kept = ("k1", ts("2026-01-01 10:00:05"),
+      "the of " + (1 to 38).map(i => f"wd$i%03d").mkString(" "))
+    val tooShort = ("s1", ts("2026-01-01 10:00:10"), "just five short words here")
+    // 40 distinct 2-3 char tokens: awl≈2.8 < 3.8 → word_len
+    val spam = ("w1", ts("2026-01-01 10:00:20"), (1 to 40).map(i => s"a$i").mkString(" "))
+    // n=41, awl≈4.95, but ttr=2/41 → low_diversity
+    val repet = ("r1", ts("2026-01-01 10:00:30"),
+      "the " + Seq.fill(40)("lorem").mkString(" "))
+    // 40 distinct 5-char words, zero stopwords → no_stopwords
+    val noStop = ("n1", ts("2026-01-01 10:00:40"),
+      (1 to 40).map(i => f"nw$i%03d").mkString(" "))
+    val late = ("k2", ts("2026-01-01 10:20:00"), "closer") // advances watermark
+    val fixture = Seq(kept, tooShort, spam, repet, noStop)
+
+    val input = MemoryStream[(String, Timestamp, String)]
+    val counters = StreamOps.qualityGateCounters(
+      input.toDF().toDF("doc_id", "ts", "text"),
+      "ts", "text", windowDur = "1 minute", watermarkDelay = "1 minute")
+    val q = counters.writeStream.format("memory").queryName("qg_out")
+      .outputMode("append").start()
+    try {
+      input.addData(fixture: _*)
+      q.processAllAvailable()
+      input.addData(late) // push the watermark past the fixture window
+      q.processAllAvailable()
+      val streamed = spark.table("qg_out")
+        .select(col("window_start").cast("string"), col("rule"), col("n"))
+        .as[(String, String, Long)].collect().toSet
+      // batch twin: SAME gate expressions, same windowing, on a static frame
+      val batch = graft.text.TextAnalysis
+        .qualityGate(fixture.toDF("doc_id", "ts", "text"), "text")
+        .groupBy(window(col("ts"), "1 minute"),
+          coalesce(col("reject_reason"), lit("kept")).as("rule"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("window.start").cast("string"), col("rule"), col("n"))
+        .as[(String, String, Long)].collect().toSet
+      assert(streamed == batch, s"stream $streamed vs batch $batch")
+      // the fixture exercised every rule exactly once
+      assert(streamed.map(_._2) ==
+        Set("kept", "length_band", "word_len", "low_diversity", "no_stopwords"))
+    } finally q.stop()
+  }
 }
