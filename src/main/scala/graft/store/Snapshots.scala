@@ -355,11 +355,89 @@ object Snapshots {
   }
 
   /**
+   * Conservative per-column bounds implied by a predicate, extracted from
+   * its Catalyst expression tree: `col = lit` / `col < lit` / `col <= lit`
+   * / `col > lit` / `col >= lit` and conjunctions of those. Returns
+   * (colName → (lower bounds, upper bounds)), both possibly empty. Only
+   * top-level CONJUNCTS are harvested — any bound collected is implied by
+   * the whole predicate, so ignoring an unrecognized conjunct (OR
+   * subtrees, function calls, cross-column terms, IS NOT NULL) is
+   * conservative: the file merely stays a candidate. This is Iceberg's
+   * predicate-to-bounds conversion for file pruning. Bound values stay raw
+   * strings; [[statLeq]] compares them under the manifest entry's type tag
+   * at prune time. The caller passes the OPTIMIZED expression so literal
+   * casts (`id < 50` int-vs-long) are already constant-folded.
+   */
+  private def predicateBounds(pred: org.apache.spark.sql.catalyst.expressions.Expression)
+      : Map[String, (Seq[String], Seq[String])] = {
+    import org.apache.spark.sql.catalyst.expressions._
+    def litStr(l: Literal): Option[String] =
+      Option(l.value).map(_.toString).filterNot(_.exists(c => c == '\t' || c == '\n'))
+    def attrName(e: Expression): Option[String] = e match {
+      case a: AttributeReference => Some(a.name)
+      case u: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute => Some(u.name)
+      case _ => None
+    }
+    def one(name: String, l: Literal, lower: Boolean, upper: Boolean) =
+      litStr(l).map(v => Seq(name ->
+        ((if (lower) Seq(v) else Nil, if (upper) Seq(v) else Nil)))).getOrElse(Nil)
+    def walk(e: Expression): Seq[(String, (Seq[String], Seq[String]))] =
+      e match {
+        case And(l, r) => walk(l) ++ walk(r)
+        case cmp: BinaryComparison =>
+          val attrLit = attrName(cmp.left).collect {
+            case n if cmp.right.isInstanceOf[Literal] =>
+              (n, cmp.right.asInstanceOf[Literal], false)
+          }
+          val litAttr = attrName(cmp.right).collect {
+            case n if cmp.left.isInstanceOf[Literal] =>
+              (n, cmp.left.asInstanceOf[Literal], true)
+          }
+          attrLit.orElse(litAttr).toSeq.flatMap { case (n, l, flipped) =>
+            cmp match {
+              case _: EqualTo => one(n, l, lower = true, upper = true)
+              case _: LessThan | _: LessThanOrEqual =>
+                if (flipped) one(n, l, lower = true, upper = false)
+                else one(n, l, lower = false, upper = true)
+              case _: GreaterThan | _: GreaterThanOrEqual =>
+                if (flipped) one(n, l, lower = false, upper = true)
+                else one(n, l, lower = true, upper = false)
+              case _ => Nil // null-safe equality etc.: no sound bounds
+            }
+          }
+        case _ => Nil // unrecognized conjunct: contributes no bound
+      }
+    walk(pred).groupBy(_._1).map { case (c, bs) =>
+      c -> ((bs.flatMap(_._2._1), bs.flatMap(_._2._2)))
+    }
+  }
+
+  /** Bounds implied by `predicate` against `frame`, via the public
+    * queryExecution surface: analyze+optimize a lazy filter (no job runs)
+    * and harvest the optimized Filter condition — resolved attributes,
+    * literal casts folded. Any failure → no bounds (no pruning). */
+  private def boundsOf(frame: DataFrame, predicate: org.apache.spark.sql.Column)
+      : Map[String, (Seq[String], Seq[String])] =
+    scala.util.Try {
+      frame.filter(predicate).queryExecution.optimizedPlan.collectFirst {
+        case org.apache.spark.sql.catalyst.plans.logical.Filter(cond, _) =>
+          predicateBounds(cond)
+      }.getOrElse(Map.empty[String, (Seq[String], Seq[String])])
+    }.getOrElse(Map.empty)
+
+  /**
    * DELETE WHERE, copy-on-write at file granularity: only files that
    * contain a matching row are rewritten (minus those rows); every clean
    * file is inherited by manifest reference. Deleting one key from a
    * 100 TB table rewrites one file. A predicate matching nothing commits
    * a version that inherits everything (cheap no-op snapshot).
+   *
+   * Discovery is stats-pruned like [[mergeInto]]: bounds implied by the
+   * predicate ([[predicateBounds]]) are intersected with each manifest
+   * entry's per-file min/max — a file provably outside the predicate's
+   * range is inherited without reading a byte, so a key-range DELETE from
+   * a 100 TB table scans only the files the range can touch (spec-pinned
+   * via input-records metrics).
    */
   def deleteWhere(spark: SparkSession, base: String,
                   predicate: org.apache.spark.sql.Column): Long = {
@@ -368,11 +446,27 @@ object Snapshots {
     require(vs.nonEmpty, s"no snapshots under $base")
     val next = vs.last + 1
     val prior = manifestLines(spark, base, vs.last).map(parseEntry)
-    val target = read(spark, base).withColumn("__file", input_file_name())
+    val bounds = boundsOf(read(spark, base), predicate)
+    def mayMatch(e: ManifestEntry): Boolean = e.stats match {
+      case Some((k, tag, mn, mx)) => bounds.get(k) match {
+        case Some((los, his)) =>
+          // every conjunct bound must be satisfiable inside [mn, mx]
+          los.forall(v => statLeq(tag, v, mx)) && his.forall(v => statLeq(tag, mn, v))
+        case None => true
+      }
+      case None => true
+    }
+    val (candidates, pruned) = prior.partition(mayMatch)
+    val target =
+      (if (candidates.isEmpty) read(spark, base).limit(0)
+       else spark.read.option("mergeSchema", true)
+         .parquet(candidates.map(e => s"$base/${e.path}"): _*))
+        .withColumn("__file", input_file_name())
     val touched: Set[String] = target.filter(predicate)
       .select(col("__file")).distinct()
       .collect().map(_.getString(0)).toSet
-    val (rewrite, inherit) = prior.partition(e => touched.exists(_.endsWith(e.path)))
+    val (rewrite, inherit0) = candidates.partition(e => touched.exists(_.endsWith(e.path)))
+    val inherit = pruned ++ inherit0
     // same loud guard as mergeInto: a touched file that fails the suffix
     // match (URI-encoding drift) would be inherited AND rewritten —
     // silent row duplication. Fail instead.

@@ -265,6 +265,21 @@ class SnapshotsSpec extends AnyFunSuite {
     } finally spark.sparkContext.removeSparkListener(l2)
     assert(recs2.get() < 50, s"insert-only merge read ${recs2.get()} records; expected ~0")
     assert(Snapshots.read(spark, base).count() == 1001L)
+    // DELETE with a range predicate: bounds extracted from the Catalyst
+    // tree prune discovery the same way (only the low-range file scans)
+    val recs3 = new java.util.concurrent.atomic.AtomicLong(0L)
+    val l3 = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (te.taskMetrics != null) recs3.addAndGet(te.taskMetrics.inputMetrics.recordsRead)
+    }
+    spark.sparkContext.addSparkListener(l3)
+    try {
+      Snapshots.deleteWhere(spark, base, col("id") < 50L)
+      var prev = -1L; var n = 0
+      while (n < 100 && prev != recs3.get()) { prev = recs3.get(); Thread.sleep(20); n += 1 }
+    } finally spark.sparkContext.removeSparkListener(l3)
+    assert(recs3.get() < 600, s"range delete read ${recs3.get()} records; expected pruned discovery")
+    assert(Snapshots.read(spark, base).count() == 1001L - 49L)
   }
 
   test("interleaved mergeInto writers serialize: loser retries, no lost update") {
