@@ -1540,6 +1540,49 @@ object SparkEntry {
              |FROM orders WHERE o_orderkey >= 100
              |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // Z-order compaction end-to-end: a randomly-laid-out multi-file
+    // snapshot is bin-packed WITH Morton clustering on two bounded derived
+    // dims; the zorder_tiled flag proves a range predicate on one dim now
+    // overlaps at most half the files (it overlapped all of them before) —
+    // the data-skipping win a 100 TB scan cashes in via parquet min/max.
+    // Content must be bit-identical: the oracle recomputes it from orders.
+    "snap_zorder_compact" -> Q(
+      (s, d) => {
+        import graft.store.Snapshots
+        val root = FixtureRoot.fresh("snapzorder")
+        val base = root + "/t"
+        val orders = T(s, d, "orders").select(
+          col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
+          pmod(col("o_orderkey"), lit(1024)).cast("int").as("zx"),
+          pmod(col("o_custkey"), lit(1024)).cast("int").as("zy"))
+        Snapshots.write(orders.repartition(8), base)
+        val f1 = Snapshots.manifestFiles(s, base, 1L)
+        val sizes = f1.map(p => new java.io.File(s"$base/$p").length())
+        // ~16 tiles fix the top FOUR z bits (two per dim), so zx <= 127
+        // (zx's top three bits zero) lives in ≤ a quarter of the tiles
+        // plus boundary straddlers — comfortably under half
+        val v2 = Snapshots.compact(s, base, smallBytes = Long.MaxValue,
+          targetBytes = math.max(1L, sizes.sum / 16),
+          zorderBy = Some(("zx", "zy")), zBits = 10)
+        val files = Snapshots.manifestFiles(s, base, v2).map(p => s"$base/$p")
+        val st = s.read.parquet(files: _*)
+          .groupBy(input_file_name())
+          .agg(min(col("zx")).as("mn"), max(col("zx")).as("mx"))
+          .collect()
+        // zx <= 127 pins the top three zx bits to zero: at most half the
+        // z-range tiles can contain such rows
+        val tiled = st.length >= 4 && st.count(_.getInt(1) <= 127) * 2 <= st.length
+        Snapshots.read(s, base, Some(v2))
+          .groupBy(col("o_orderstatus"))
+          .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+          .withColumn("zorder_tiled", lit(tiled))
+          .orderBy(col("o_orderstatus"))
+      },
+      Some("""SELECT o_orderstatus, count(*) AS n,
+             |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+             |  TRUE AS zorder_tiled
+             |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // Write-side schema evolution through the snapshot DML: v1 has two
     // columns; a MERGE source carries a NEW column (o_orderpriority). Old
     // files inherit untouched, the rewrite+insert file carries the column,
