@@ -1540,6 +1540,61 @@ object SparkEntry {
              |FROM orders WHERE o_orderkey >= 100
              |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // Incremental ingest dedup — the composition a production corpus runs
+    // on every batch: MERGE the delta into the versioned store, let CDC
+    // name exactly the inserted docs, then LSH-check ONLY those against
+    // the prior corpus (broadcast delta buckets into the band-partitioned
+    // corpus — the corpus is never self-joined, so the check costs
+    // O(delta), not O(corpus²)). Output is the admission verdict per
+    // inserted doc. The oracle recomputes the identical md5 minhash/LSH
+    // relationally; the delta set (CDC inserts) is the deterministic
+    // %10 slice, so snapshot plumbing cancels out of the oracle.
+    "pipeline_incremental_dedup" -> Q(
+      (s, d) => {
+        import graft.store.Snapshots
+        val root = FixtureRoot.fresh("incdedup")
+        val base = root + "/t"
+        val docs = T(s, d, "documents").filter(col("doc_id") < 200)
+          .select(col("doc_id"), col("text"))
+        Snapshots.write(docs.filter(pmod(col("doc_id"), lit(10)) =!= 0),
+          base, statsKey = Some("doc_id"))
+        val v2 = Snapshots.mergeInto(s, base,
+          docs.filter(pmod(col("doc_id"), lit(10)) === 0), "doc_id")
+        val inserted = Snapshots.diff(s, base, 1L, v2, "doc_id")
+          .filter(col("change_type") === "insert").select(col("doc_id"))
+        val delta = Snapshots.read(s, base, Some(v2))
+          .join(inserted, Seq("doc_id"), "left_semi")
+        val corpus = Snapshots.read(s, base, Some(1L))
+        val matches = Dedup.incrementalLshMatches(
+          Dedup.minhashSignature(delta, "doc_id", "text", 5, 4),
+          Dedup.minhashSignature(corpus, "doc_id", "text", 5, 4),
+          "doc_id", numHashes = 4, bands = 2)
+        delta.select(col("doc_id"))
+          .join(matches.groupBy(col("id_new").as("doc_id"))
+            .agg(countDistinct(col("id_corpus")).as("n_dups")), Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("n_dups"), lit(0L)).as("n_dup_matches"),
+            (coalesce(col("n_dups"), lit(0L)) === 0).as("admitted"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH ${shingleCte("WHERE doc_id < 200")},
+             |sig AS (SELECT doc_id,
+             |    min(md5('0|' || shingle)) AS h0, min(md5('1|' || shingle)) AS h1,
+             |    min(md5('2|' || shingle)) AS h2, min(md5('3|' || shingle)) AS h3
+             |  FROM sh GROUP BY doc_id),
+             |b AS (SELECT doc_id, 0 AS band, md5(h0 || '|' || h1) AS bucket FROM sig
+             |      UNION ALL
+             |      SELECT doc_id, 1 AS band, md5(h2 || '|' || h3) AS bucket FROM sig),
+             |nb AS (SELECT doc_id AS id_new, band, bucket FROM b WHERE doc_id % 10 = 0),
+             |cb AS (SELECT doc_id AS id_corpus, band, bucket FROM b WHERE doc_id % 10 <> 0),
+             |m AS (SELECT DISTINCT id_new, id_corpus FROM nb JOIN cb USING (band, bucket)),
+             |agg AS (SELECT id_new, count(DISTINCT id_corpus) AS n FROM m GROUP BY id_new)
+             |SELECT d.doc_id, coalesce(a.n, 0) AS n_dup_matches,
+             |  coalesce(a.n, 0) = 0 AS admitted
+             |FROM (SELECT DISTINCT doc_id FROM documents WHERE doc_id < 200 AND doc_id % 10 = 0) d
+             |LEFT JOIN agg a ON a.id_new = d.doc_id
+             |ORDER BY d.doc_id""".stripMargin)),
+
     // Z-order compaction end-to-end: a randomly-laid-out multi-file
     // snapshot is bin-packed WITH Morton clustering on two bounded derived
     // dims; the zorder_tiled flag proves a range predicate on one dim now
