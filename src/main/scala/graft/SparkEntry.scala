@@ -1540,6 +1540,42 @@ object SparkEntry {
              |FROM orders WHERE o_orderkey >= 100
              |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // Write-audit-publish + rollback — the two recovery verbs of a
+    // versioned store: a corrupted batch is REJECTED at the audit stage
+    // (never becomes a version), a fat-finger replace that does land is
+    // undone by a metadata-only rollback, and the bad version stays
+    // time-travelable for the post-mortem. Oracle recomputes the surviving
+    // content; wap_rejected/n_versions pin that the audit blocked one
+    // commit and rollback added one.
+    "snap_rollback_wap" -> Q(
+      (s, d) => {
+        import graft.store.Snapshots
+        val root = FixtureRoot.fresh("snaprbwap")
+        val base = root + "/t"
+        val orders = T(s, d, "orders")
+          .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+        Snapshots.write(orders.filter(pmod(col("o_orderkey"), lit(10)) =!= 0), base)
+        val wapRejected = try {
+          Snapshots.writeAudited(
+            orders.withColumn("o_totalprice", -col("o_totalprice")),
+            base, a => a.filter(col("o_totalprice") < 0).count() == 0)
+          false
+        } catch { case _: Snapshots.AuditFailedException => true }
+        Snapshots.write(orders.filter(pmod(col("o_orderkey"), lit(3)) === 0), base)
+        val v3 = Snapshots.rollback(s, base, 1L)
+        Snapshots.read(s, base, Some(v3))
+          .groupBy(col("o_orderstatus"))
+          .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+          .withColumn("wap_rejected", lit(wapRejected))
+          .withColumn("n_versions", lit(Snapshots.versions(s, base).size))
+          .orderBy(col("o_orderstatus"))
+      },
+      Some("""SELECT o_orderstatus, count(*) AS n,
+             |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+             |  TRUE AS wap_rejected, 3 AS n_versions
+             |FROM orders WHERE o_orderkey % 10 <> 0
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // Incremental ingest dedup — the composition a production corpus runs
     // on every batch: MERGE the delta into the versioned store, let CDC
     // name exactly the inserted docs, then LSH-check ONLY those against

@@ -589,6 +589,73 @@ object Snapshots {
     fromVersionDirs ++ fromTxnDirs
   }
 
+  /** A write-audit-publish audit rejected the staged data; nothing was
+    * committed and the staging directory was cleaned. */
+  final class AuditFailedException(msg: String) extends RuntimeException(msg)
+
+  /**
+   * Write-audit-publish (Iceberg's WAP pattern): stage `df` as the
+   * would-be next version, run `audit` over EXACTLY the staged rows (read
+   * back from the staging files — what will be published, not what was
+   * planned), and publish only on pass. A failing audit throws
+   * [[AuditFailedException]] and leaves no trace: no new version, staging
+   * cleaned. With `append = true` the prior version's files are inherited
+   * and the audit still sees only the delta — the WAP contract for
+   * incremental loads.
+   */
+  def writeAudited(df: DataFrame, base: String,
+                   audit: DataFrame => Boolean,
+                   append: Boolean = false,
+                   statsKey: Option[String] = None): Long = {
+    val spark = df.sparkSession
+    val vs = versions(spark, base)
+    val next = vs.lastOption.getOrElse(0L) + 1
+    val inherited =
+      if (append) vs.lastOption.map(manifestLines(spark, base, _)).getOrElse(Seq.empty)
+      else Seq.empty
+    commitStaged(spark, base, next, inherited, dir => {
+      df.write.mode("append").parquet(dir)
+      if (!audit(spark.read.parquet(dir)))
+        throw new AuditFailedException(
+          s"audit rejected staged write for $base v=$next; nothing published")
+    }, statsKey)
+  }
+
+  /**
+   * rollback_to_version: make `toVersion`'s content the NEW latest by
+   * committing a version whose manifest is a copy of `toVersion`'s — a
+   * pure METADATA operation (no data file moves, zero bytes written), like
+   * Iceberg's rollback. History is preserved: the bad version stays
+   * time-travelable until [[expire]] drops it, and the rollback itself is
+   * an auditable snapshot.
+   */
+  def rollback(spark: SparkSession, base: String, toVersion: Long): Long = {
+    val vs = versions(spark, base)
+    require(vs.contains(toVersion), s"version $toVersion not in $vs")
+    val next = vs.last + 1
+    commitStaged(spark, base, next, manifestLines(spark, base, toVersion), _ => ())
+  }
+
+  /**
+   * Snapshot metadata table (Iceberg's `table.snapshots` in miniature):
+   * one row per committed version with file counts and byte sizes, split
+   * into own (written by that version) vs inherited (shared by manifest
+   * reference) — the numbers an operator reads before deciding to compact
+   * or expire. Metadata-only: manifests + file statuses, no data scan.
+   */
+  def history(spark: SparkSession, base: String): DataFrame = {
+    val f = fs(spark, base)
+    val rows = versions(spark, base).map { v =>
+      val entries = manifestFiles(spark, base, v)
+      val (own, inh) = entries.partition(_.startsWith(s"v=$v/"))
+      val bytes = entries.map(rel =>
+        scala.util.Try(f.getFileStatus(new Path(s"$base/$rel")).getLen).getOrElse(0L)).sum
+      (v, entries.size.toLong, own.size.toLong, inh.size.toLong, bytes)
+    }
+    import spark.implicits._
+    rows.toDF("version", "n_files", "n_own_files", "n_inherited_files", "total_bytes")
+  }
+
   /**
    * CDC between two snapshots: full-outer join on the key, rows classified
    * `insert` / `delete` / `update` (any non-key column changed; unchanged

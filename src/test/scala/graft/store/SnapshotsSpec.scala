@@ -335,6 +335,62 @@ class SnapshotsSpec extends AnyFunSuite {
     assert(Snapshots.read(spark, base).count() == 1L)
   }
 
+  test("rollback publishes an old manifest as the new latest, metadata-only") {
+    val base = java.nio.file.Files.createTempDirectory("graft-snap-rb").toString + "/t"
+    Snapshots.write(Seq((1L, "good"), (2L, "good")).toDF("id", "s"), base)
+    Snapshots.write(Seq((1L, "BAD")).toDF("id", "s"), base)
+    val v3 = Snapshots.rollback(spark, base, 1L)
+    assert(v3 == 3L && Snapshots.versions(spark, base) == Seq(1L, 2L, 3L))
+    // latest content is v1's; the manifest is a byte-for-byte copy
+    assert(Snapshots.read(spark, base).as[(Long, String)].collect().toSet ==
+      Set((1L, "good"), (2L, "good")))
+    assert(Snapshots.manifestLines(spark, base, v3) ==
+      Snapshots.manifestLines(spark, base, 1L))
+    // the rolled-back-over version stays time-travelable (auditable history)
+    assert(Snapshots.read(spark, base, Some(2L)).as[(Long, String)].collect().toSet ==
+      Set((1L, "BAD")))
+    // metadata-only: v=3 directory holds no data files
+    assert(Snapshots.manifestFiles(spark, base, v3).forall(_.startsWith("v=1/")))
+  }
+
+  test("writeAudited publishes on audit pass, aborts clean on fail") {
+    import org.apache.spark.sql.functions.col
+    val base = java.nio.file.Files.createTempDirectory("graft-snap-wap").toString + "/t"
+    // audit rejects: a null crept into the batch
+    intercept[Snapshots.AuditFailedException] {
+      Snapshots.writeAudited(Seq((1L, "a"), (2L, null.asInstanceOf[String])).toDF("id", "s"),
+        base, a => a.filter(col("s").isNull).count() == 0)
+    }
+    // nothing published, no staging debris
+    assert(Snapshots.versions(spark, base).isEmpty)
+    val dirs = new java.io.File(base).listFiles()
+    assert(dirs == null || dirs.forall(!_.getName.startsWith(".txn-")),
+      s"staging must be cleaned: ${Option(dirs).map(_.mkString(",")).getOrElse("")}")
+    // audit passes → version commits
+    val v1 = Snapshots.writeAudited(Seq((1L, "a"), (2L, "b")).toDF("id", "s"),
+      base, a => a.filter(col("s").isNull).count() == 0)
+    assert(v1 == 1L && Snapshots.read(spark, base).count() == 2L)
+    // append mode: the audit sees ONLY the staged delta
+    var audited = -1L
+    Snapshots.writeAudited(Seq((3L, "c")).toDF("id", "s"), base,
+      a => { audited = a.count(); true }, append = true)
+    assert(audited == 1L, "WAP audit must see the delta, not the table")
+    assert(Snapshots.read(spark, base).count() == 3L)
+  }
+
+  test("history reports own vs inherited files per version, no data scan") {
+    val base = java.nio.file.Files.createTempDirectory("graft-snap-hist").toString + "/t"
+    Snapshots.write((1L to 100L).map(i => (i, s"r$i")).toDF("id", "s").repartition(2), base)
+    Snapshots.append(Seq((101L, "x")).toDF("id", "s").coalesce(1), base)
+    val h = Snapshots.history(spark, base)
+      .select("version", "n_files", "n_own_files", "n_inherited_files")
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(h(0) == ((1L, 2L, 2L, 0L)), h.mkString(","))
+    assert(h(1) == ((2L, 3L, 1L, 2L)), h.mkString(","))
+    val bytes = Snapshots.history(spark, base).select("total_bytes").as[Long].collect()
+    assert(bytes.forall(_ > 0L))
+  }
+
   test("append: a column added later is null-filled on inherited files") {
     val base = java.nio.file.Files.createTempDirectory("graft-snap-evolve").toString + "/t"
     Snapshots.write(Seq((1L, "a")).toDF("id", "s"), base)
