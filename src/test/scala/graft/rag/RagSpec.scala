@@ -71,6 +71,24 @@ class RagSpec extends AnyFunSuite {
     assert(ann.headOption == Some(1L))
   }
 
+  test("SQ8: int8-quantized cosine preserves the brute-force order on spread vectors") {
+    // int8 error ~1/127 ≪ the cosine gaps in the fixture, so the full
+    // ranking (not just the top hit) must survive quantization
+    val s = Rag.sq8Knn(emb, "id", "vec", q, k = 5)
+      .select("id").as[Long].collect().toSeq
+    assert(s == Seq(1L, 2L, 3L, 4L, 5L))
+    // scores stay within int8 error of the exact cosine
+    val sc = Rag.sq8Knn(emb, "id", "vec", q, k = 5)
+      .select("id", "score").as[(Long, Double)].collect().toMap
+    assert(math.abs(sc(1L) - 1.0) < 0.02 && math.abs(sc(4L)) < 0.02,
+      s"sq8 scores drifted: $sc")
+    // a zero vector must not divide by zero — it is filtered out
+    val withZero = emb.union(Seq((9L, Seq(0.0f, 0.0f)))
+      .toDF("id", "vec").withColumn("vec", col("vec").cast("array<float>")))
+    assert(!Rag.sq8Knn(withZero, "id", "vec", q, k = 10)
+      .select("id").as[Long].collect().contains(9L))
+  }
+
   test("hyperplanes are deterministic for a seed") {
     val a = Rag.hyperplanes(4, 8, seed = 42)
     val b = Rag.hyperplanes(4, 8, seed = 42)
