@@ -3700,22 +3700,13 @@ object SparkEntry {
     // materializes to the driver.
     "pipeline_dataprep" -> Q(
       (s, d) => {
-        val base = T(s, d, "documents").select(
-          col("doc_id"), col("source"), col("text"),
-          TextAnalysis.tokens(col("text")).as("__toks"),
-          TextAnalysis.tokens(lower(col("text"))).as("__ltoks"))
-        val n = size(col("__toks"))
-        val awl = when(n > 0, aggregate(col("__toks"), lit(0L),
-          (acc, t) => acc + length(t)).cast("double") / n.cast("double"))
-        val ttr = when(n > 0,
-          size(array_distinct(col("__toks"))).cast("double") / n.cast("double"))
-        val swArr = array(Seq("the", "a", "of", "and").map(lit): _*)
-        val sw = when(size(col("__ltoks")) > 0,
-          size(filter(col("__ltoks"), t => array_contains(swArr, t))).cast("double")
-            / size(col("__ltoks")).cast("double"))
-        val gated = base
-          .filter(n.between(20, 90) && awl.between(3.8, 5.2) &&
-            ttr >= 0.45 && sw >= 0.02)
+        // stage 1: the SAME composite gate as ta_quality_gate / the
+        // streaming twin — one implementation, three surfaces; the unused
+        // metric columns are pruned by Catalyst since only `keep` is read
+        val gated = TextAnalysis.qualityGate(
+            T(s, d, "documents").select(col("doc_id"), col("source"), col("text")),
+            "text")
+          .filter(col("keep"))
           .select(col("doc_id"), col("source"), col("text"))
         val cleanedDocs = Dedup.removeSharedSpans(gated, "doc_id", "text",
             w = 20, minDf = 2)
