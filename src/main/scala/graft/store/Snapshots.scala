@@ -265,9 +265,32 @@ object Snapshots {
     * referencing snapshot expires. */
   def expire(spark: SparkSession, base: String, keep: Int): Seq[Long] = {
     val vs = versions(spark, base)
-    val drop = vs.dropRight(math.max(1, keep))
-    val kept = vs.drop(drop.length)
+    dropVersions(spark, base, vs, vs.dropRight(math.max(1, keep)))
+  }
+
+  /**
+   * Age-based expiry (Iceberg `expire_snapshots(older_than => ts)`): drops
+   * every version whose COMMIT time — the manifest's mtime, stamped by the
+   * atomic rename — is before `cutoffMs`, always sparing the latest
+   * version however old. Same shared-file discipline as [[expire]]: a
+   * data file survives until the last referencing snapshot goes.
+   */
+  def expireOlderThan(spark: SparkSession, base: String, cutoffMs: Long): Seq[Long] = {
     val f = fs(spark, base)
+    val vs = versions(spark, base)
+    if (vs.isEmpty) return Seq.empty
+    val old = vs.init.filter(v =>
+      f.getFileStatus(manifestPath(base, v)).getModificationTime < cutoffMs)
+    dropVersions(spark, base, vs, old)
+  }
+
+  /** Shared expiry tail: make `drop` invisible (manifests first), then
+    * remove their data files EXCEPT those still referenced by a surviving
+    * manifest. Returns the dropped versions. */
+  private def dropVersions(spark: SparkSession, base: String, all: Seq[Long],
+                           drop: Seq[Long]): Seq[Long] = {
+    val f = fs(spark, base)
+    val kept = all.filterNot(drop.contains)
     val referenced = kept.flatMap(manifestFiles(spark, base, _)).toSet
     drop.foreach { v =>
       f.delete(manifestPath(base, v), false)

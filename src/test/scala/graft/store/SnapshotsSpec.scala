@@ -335,6 +335,28 @@ class SnapshotsSpec extends AnyFunSuite {
     assert(Snapshots.read(spark, base).count() == 1L)
   }
 
+  test("expireOlderThan drops by commit age, spares the latest and shared files") {
+    val base = java.nio.file.Files.createTempDirectory("graft-snap-age").toString + "/t"
+    Snapshots.write((1L to 500L).map(i => (i, s"r$i")).toDF("id", "s"), base)
+    Snapshots.append(Seq((501L, "x")).toDF("id", "s"), base)
+    Snapshots.append(Seq((502L, "y")).toDF("id", "s"), base)
+    // age every manifest (including the latest — it must be spared anyway)
+    val old = System.currentTimeMillis() - 2L * 60 * 60 * 1000
+    (1L to 3L).foreach { v =>
+      new java.io.File(s"$base/v=$v/_manifest").setLastModified(old)
+    }
+    val dropped = Snapshots.expireOlderThan(spark, base,
+      cutoffMs = System.currentTimeMillis() - 60L * 60 * 1000)
+    assert(dropped == Seq(1L, 2L), s"got $dropped")
+    assert(Snapshots.versions(spark, base) == Seq(3L))
+    // v3 inherits v1's bulk files — they must survive v1's expiry
+    assert(Snapshots.read(spark, base).count() == 502L)
+    // only the latest remains and it is always spared → no-op
+    assert(Snapshots.expireOlderThan(spark, base,
+      cutoffMs = System.currentTimeMillis() + 1000).isEmpty)
+    assert(Snapshots.versions(spark, base) == Seq(3L))
+  }
+
   test("rollback publishes an old manifest as the new latest, metadata-only") {
     val base = java.nio.file.Files.createTempDirectory("graft-snap-rb").toString + "/t"
     Snapshots.write(Seq((1L, "good"), (2L, "good")).toDF("id", "s"), base)
