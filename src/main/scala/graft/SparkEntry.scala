@@ -1540,6 +1540,68 @@ object SparkEntry {
              |FROM orders WHERE o_orderkey >= 100
              |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // WAP with the QUALITY GATE as the audit — the publish-time contract
+    // of a versioned corpus: a batch only becomes a version if enough of
+    // it survives the composite gate. A degenerate batch (single repeated
+    // token per doc — fails low_diversity) is rejected at the audit and
+    // never becomes a version; the good batch lands. One implementation of
+    // the gate serves batch query, streaming counters, dataprep pipeline,
+    // and now the publish audit. Oracle recomputes the surviving content's
+    // gate stats relationally.
+    "pipeline_wap_gate" -> Q(
+      (s, d) => {
+        import graft.store.Snapshots
+        val root = FixtureRoot.fresh("wapgate")
+        val base = root + "/t"
+        val good = T(s, d, "documents").filter(col("doc_id") < 100)
+          .select(col("doc_id"), col("text"))
+        // audit: at least 10% of the batch must pass the composite gate
+        def gateAudit(batch: DataFrame): Boolean = {
+          val r = TextAnalysis.qualityGate(batch, "text")
+            .agg(count(lit(1)).as("n"),
+              sum(when(col("keep"), 1L).otherwise(0L)).as("k"))
+            .head()
+          r.getLong(0) > 0 && r.getLong(1).toDouble / r.getLong(0) >= 0.10
+        }
+        Snapshots.writeAudited(good, base, gateAudit)
+        // degenerate batch: every doc is one token repeated 40× —
+        // fails the diversity rule, keep-rate 0 → audit rejects
+        val garbage = good.limit(50)
+          .select((col("doc_id") + 100000).as("doc_id"),
+            concat_ws(" ", array_repeat(lit("lorem"), 40)).as("text"))
+        val rejected = try {
+          Snapshots.writeAudited(garbage, base, gateAudit, append = true)
+          false
+        } catch { case _: Snapshots.AuditFailedException => true }
+        TextAnalysis.qualityGate(Snapshots.read(s, base), "text")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"))
+          .withColumn("garbage_rejected", lit(rejected))
+          .withColumn("n_versions", lit(Snapshots.versions(s, base).size))
+      },
+      Some("""WITH t AS (
+             |  SELECT doc_id,
+             |    list_filter(regexp_split_to_array(text, '\s+'), x -> length(x) > 0) AS toks,
+             |    list_filter(regexp_split_to_array(lower(text), '\s+'), x -> length(x) > 0) AS ltoks
+             |  FROM documents WHERE doc_id < 100),
+             |m AS (
+             |  SELECT doc_id, len(toks) AS n,
+             |    CASE WHEN len(toks) > 0
+             |         THEN len(list_distinct(toks)) * 1.0 / len(toks) END AS ttr,
+             |    CASE WHEN len(toks) > 0
+             |         THEN list_sum(list_transform(toks, x -> length(x))) * 1.0
+             |              / len(toks) END AS awl,
+             |    CASE WHEN len(ltoks) > 0
+             |         THEN len(list_filter(ltoks,
+             |                x -> x IN ('the', 'a', 'of', 'and'))) * 1.0
+             |              / len(ltoks) END AS sw
+             |  FROM t)
+             |SELECT count(*) AS n_docs,
+             |  CAST(sum(CASE WHEN (n BETWEEN 20 AND 90) AND (awl BETWEEN 3.8 AND 5.2)
+             |            AND ttr >= 0.45 AND sw >= 0.02 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+             |  TRUE AS garbage_rejected, 1 AS n_versions
+             |FROM m""".stripMargin)),
+
     // Write-audit-publish + rollback — the two recovery verbs of a
     // versioned store: a corrupted batch is REJECTED at the audit stage
     // (never becomes a version), a fat-finger replace that does land is
