@@ -60,26 +60,45 @@ object Rag {
    * `orderBy.limit` plans as TakeOrderedAndProject.
    */
   def sq8Knn(emb: DataFrame, idCol: String, vecCol: String, q: Array[Float],
-             k: Int): DataFrame = {
-    val qAbs = q.map(x => math.abs(x.toDouble)).max
-    val qSc = if (qAbs == 0.0) 1.0 else qAbs / 127.0
-    val q8 = q.map(x => math.floor(x / qSc + 0.5))
-    val qNorm = math.sqrt(q8.map(v => v * v).sum)
-    val q8Col = array(q8.map(lit): _*)
+             k: Int): DataFrame =
+    sq8KnnIndexed(withSq8(emb, vecCol), idCol, q, k)
+
+  /**
+   * Write-time half of SQ8: append the int8 code column `q8`
+   * (`array<tinyint>`, 1 byte/dim vs the float column's 4). Persisting the
+   * indexed table lets every later search scan ONLY `q8` — column pruning
+   * reaches the parquet reader, so query-time scan bytes drop 4× along
+   * with the storage (pinned in RagSpec via the scan's ReadSchema).
+   */
+  def withSq8(df: DataFrame, vecCol: String): DataFrame = {
     val sc = {
       val m = aggregate(col(vecCol), lit(0.0d), (acc, x) =>
         greatest(acc, abs(x.cast("double"))))
       when(m === 0.0, lit(1.0)).otherwise(m / 127.0)
     }
-    emb
-      .withColumn("__v8", transform(col(vecCol),
-        x => floor(x.cast("double") / sc + lit(0.5))))
+    df.withColumn("q8", transform(col(vecCol),
+      x => floor(x.cast("double") / sc + lit(0.5)).cast("tinyint")))
+  }
+
+  /** Query-time half of SQ8: rank by quantized cosine reading only the
+    * `q8` code column (see [[sq8Knn]] for the math — per-vector scales
+    * cancel in cosine, so codes alone suffice). */
+  def sq8KnnIndexed(indexed: DataFrame, idCol: String, q: Array[Float],
+                    k: Int): DataFrame = {
+    val qAbs = q.map(x => math.abs(x.toDouble)).max
+    val qSc = if (qAbs == 0.0) 1.0 else qAbs / 127.0
+    val q8 = q.map(x => math.floor(x / qSc + 0.5))
+    val qNorm = math.sqrt(q8.map(v => v * v).sum)
+    val q8Col = array(q8.map(lit): _*)
+    indexed
       .withColumn("__dot", aggregate(
-        zip_with(col("__v8"), q8Col, (a, b) => a * b), lit(0.0d), (acc, x) => acc + x))
-      .withColumn("__n2", aggregate(col("__v8"), lit(0.0d), (acc, x) => acc + x * x))
+        zip_with(col("q8"), q8Col, (a, b) => a.cast("double") * b),
+        lit(0.0d), (acc, x) => acc + x))
+      .withColumn("__n2", aggregate(col("q8"), lit(0.0d),
+        (acc, x) => acc + x.cast("double") * x.cast("double")))
       .filter(col("__n2") > 0.0)
       .withColumn("score", col("__dot") / (sqrt(col("__n2")) * lit(qNorm)))
-      .drop("__v8", "__dot", "__n2")
+      .drop("__dot", "__n2")
       .orderBy(desc("score"), col(idCol))
       .limit(k)
   }

@@ -89,6 +89,20 @@ class RagSpec extends AnyFunSuite {
       .select("id").as[Long].collect().contains(9L))
   }
 
+  test("SQ8 indexed search scans only the 1-byte code column, not the floats") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-sq8").toString + "/idx"
+    Rag.withSq8(emb, "vec").write.mode("overwrite").parquet(dir)
+    val indexed = spark.read.parquet(dir).select("id", "q8")
+    val ranked = Rag.sq8KnnIndexed(indexed, "id", q, k = 3)
+    assert(ranked.select("id").as[Long].collect().toSeq == Seq(1L, 2L, 3L))
+    val plan = ranked.queryExecution.executedPlan.toString
+    // column pruning must reach the parquet reader: the scan's ReadSchema
+    // carries q8 only — the 4×-wider float column is never read
+    assert(plan.contains("q8") && !plan.contains("vec:"),
+      s"float column leaked into the scan:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"), s"expected top-k plan:\n$plan")
+  }
+
   test("hyperplanes are deterministic for a seed") {
     val a = Rag.hyperplanes(4, 8, seed = 42)
     val b = Rag.hyperplanes(4, 8, seed = 42)
