@@ -56,8 +56,9 @@ object Bench {
       // scheduling quantum or GC pause is noise, short enough that two
       // median-of-3 canaries cost ~12 s of battery overhead
       spark.range(0L, 8000000000L, 1L, cpus.toInt)
-        // max, not sum: 2e8 random longs overflow a sum under ANSI mode;
-        // the per-row xxhash64 is the calibrated CPU work, not the agg
+        // max, not sum: summing 8e9 random longs overflows under ANSI
+        // mode; the per-row xxhash64 is the calibrated CPU work, not the
+        // aggregate
         .selectExpr("max(xxhash64(id)) AS h").collect()
       (System.nanoTime() - t0) / 1e9
     }

@@ -114,11 +114,16 @@ object Snapshots {
   def manifestFiles(spark: SparkSession, base: String, v: Long): Seq[String] =
     manifestLines(spark, base, v).map(l => parseEntry(l).path)
 
-  /** Total order within one stats type tag. */
+  /** Total order within one stats type tag. Strings compare as UTF-8
+    * bytes — Spark's binary string ordering, which disagrees with Java's
+    * UTF-16 `compareTo` for supplementary characters; comparing the way
+    * the min/max were COMPUTED keeps pruning sound (a mismatch could prune
+    * a file that contains the key → silent duplicate rows on merge). */
   private def statLeq(tag: String, a: String, b: String): Boolean = tag match {
     case "L" => a.toLong <= b.toLong
     case "D" => a.toDouble <= b.toDouble
-    case _ => a <= b
+    case _ => java.util.Arrays.compareUnsigned(
+      a.getBytes("UTF-8"), b.getBytes("UTF-8")) <= 0
   }
 
   private def statTag(dt: org.apache.spark.sql.types.DataType): String = {
@@ -165,17 +170,27 @@ object Snapshots {
   private def commitStaged(spark: SparkSession, base: String, next: Long,
                            inherited: Seq[String],
                            writeData: String => Unit,
-                           statsKey: Option[String] = None): Long = {
+                           statsKey: Option[String] = None,
+                           validate: String => Unit = _ => ()): Long = {
     val f = fs(spark, base)
     val txn = s"$base/.txn-${java.util.UUID.randomUUID().toString.take(12)}"
     val txnPath = new Path(txn)
     f.mkdirs(txnPath)
     val marker = new Path(txn, "_inflight")
-    val mo = f.create(marker, true)
-    try mo.write(System.currentTimeMillis().toString.getBytes("UTF-8"))
-    finally mo.close()
+    def touchMarker(): Unit = {
+      val mo = f.create(marker, true)
+      try mo.write(System.currentTimeMillis().toString.getBytes("UTF-8"))
+      finally mo.close()
+    }
+    touchMarker()
     try {
       writeData(txn)
+      // refresh the liveness marker before the (possibly long) validate
+      // phase: data-file mtimes stop moving once the write finishes, and
+      // vacuum's staleness clock keys off the newest mtime — a validation
+      // longer than the vacuum TTL must still read a live transaction
+      touchMarker()
+      validate(txn)
       val names = f.listStatus(txnPath).toSeq.map(_.getPath.getName)
         .filter(_.startsWith("part-")).sorted
       val (tag, stats) = statsKey.filter(_ => names.nonEmpty)
@@ -324,13 +339,28 @@ object Snapshots {
    * pinned via input-records metrics in SnapshotsSpec). New files written
    * here always carry stats on the merge key.
    */
-  def mergeInto(spark: SparkSession, base: String, source: DataFrame,
+  def mergeInto(spark: SparkSession, base: String, source0: DataFrame,
                 key: String): Long = {
     import org.apache.spark.sql.functions.{col, input_file_name, max, min}
     val vs = versions(spark, base)
     val next = vs.lastOption.getOrElse(0L) + 1
     val prior = vs.lastOption.map(manifestLines(spark, base, _)).getOrElse(Seq.empty)
       .map(parseEntry)
+    // schema-evolution contract: the source may ADD columns (null-filled on
+    // kept rows), but must carry every existing table column — a source
+    // silently MISSING one would null-wipe that column on every updated
+    // row. Fail loudly instead (schema check only; no data is read).
+    if (vs.nonEmpty) {
+      val missing = read(spark, base).columns.filterNot(source0.columns.contains)
+      require(missing.isEmpty,
+        s"merge source is missing table columns ${missing.mkString(", ")}; " +
+          "a merge may add columns but must carry all existing ones")
+    }
+    // the source plan is evaluated up to three times (key-range stats,
+    // touched-file discovery, staged write) — persist it once; it is the
+    // delta, bounded by the batch, never the table
+    val source = source0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
     // metadata pruning: a file provably disjoint from the source key range
     // cannot contain a matched key — inherit it without reading a byte
     val srcTag = statTag(source.schema.find(_.name == key)
@@ -370,11 +400,13 @@ object Snapshots {
         .join(source.select(col(key)), Seq(key), "left_anti")
     // allowMissingColumns: a source carrying a NEW column (write-side
     // schema evolution) null-fills it on kept rows; old files inherit
-    // untouched and read() null-fills them via mergeSchema
+    // untouched and read() null-fills them via mergeSchema. The reverse
+    // direction (source missing a table column) was rejected above.
     commitStaged(spark, base, next, (pruned ++ inherit).map(_.line),
       dir => kept.unionByName(source, allowMissingColumns = true)
         .write.mode("append").parquet(dir),
       statsKey = Some(key))
+    } finally source.unpersist(false)
   }
 
   /**
@@ -590,13 +622,20 @@ object Snapshots {
       .map(_.getPath)
       .filter(d => scala.util.Try(
         d.getName.stripPrefix("v=").toLong).toOption.exists(!committed(_)))
+      // TOCTOU guard: a concurrent writer may have COMMITTED this slot
+      // between the versions() snapshot above and now — the rename drops
+      // the manifest in atomically, so re-checking it immediately before
+      // deletion keeps vacuum off a just-committed version
+      .filterNot(d => f.exists(new Path(d, "_manifest")))
       .flatMap { d =>
         val v = d.getName
         val removed = f.listStatus(d).toSeq
-          .filterNot(st => referenced(s"$v/${st.getPath.getName}"))
+          .filterNot(st => referenced(s"$v/${st.getPath.getName}") ||
+            st.getPath.getName == "_manifest")
           .map { st => f.delete(st.getPath, true); st.getPath.toString }
-        if (f.listStatus(d).isEmpty) { f.delete(d, true); removed :+ d.toString }
-        else removed
+        if (!f.exists(new Path(d, "_manifest")) && f.listStatus(d).isEmpty) {
+          f.delete(d, true); removed :+ d.toString
+        } else removed
       }
     val now = System.currentTimeMillis()
     val fromTxnDirs = f.globStatus(new Path(p, ".txn-*")).toSeq
@@ -636,12 +675,16 @@ object Snapshots {
     val inherited =
       if (append) vs.lastOption.map(manifestLines(spark, base, _)).getOrElse(Seq.empty)
       else Seq.empty
-    commitStaged(spark, base, next, inherited, dir => {
-      df.write.mode("append").parquet(dir)
-      if (!audit(spark.read.parquet(dir)))
-        throw new AuditFailedException(
-          s"audit rejected staged write for $base v=$next; nothing published")
-    }, statsKey)
+    commitStaged(spark, base, next, inherited,
+      dir => df.write.mode("append").parquet(dir),
+      statsKey,
+      // validate phase (marker re-touched first): a long audit must not
+      // look like a dead transaction to vacuum's staleness clock
+      validate = dir => {
+        if (!audit(spark.read.parquet(dir)))
+          throw new AuditFailedException(
+            s"audit rejected staged write for $base v=$next; nothing published")
+      })
   }
 
   /**

@@ -38,9 +38,14 @@ object TextAnalysis {
     // tokenize ONCE per row (two arrays), then derive every metric from
     // the materialized arrays: CollapseProject keeps multi-referenced
     // non-cheap aliases, so the split never re-runs per metric
+    // null text must REJECT, not slip through with all-null flags: under
+    // ANSI semantics size(null)=null makes every rule and reject_reason
+    // null, and a downstream coalesce would misread that as "kept".
+    // Empty-string semantics give n=0 → length_band rejection.
+    val txt = coalesce(col(textCol), lit(""))
     val base = df
-      .withColumn("__toks", tokens(col(textCol)))
-      .withColumn("__ltoks", tokens(lower(col(textCol))))
+      .withColumn("__toks", tokens(txt))
+      .withColumn("__ltoks", tokens(lower(txt)))
     val n = size(col("__toks"))
     val metrics = base
       .withColumn("__n", n)

@@ -10,6 +10,22 @@ class SnapshotsSpec extends AnyFunSuite {
   private val spark = TestSpark.spark
   import spark.implicits._
 
+  /** Input records read by Spark while `body` runs (listener-bus settled). */
+  private def recordsReadDuring(body: => Unit): Long = {
+    val recs = new java.util.concurrent.atomic.AtomicLong(0L)
+    val l = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (te.taskMetrics != null) recs.addAndGet(te.taskMetrics.inputMetrics.recordsRead)
+    }
+    spark.sparkContext.addSparkListener(l)
+    try {
+      body
+      var prev = -1L; var n = 0
+      while (n < 100 && prev != recs.get()) { prev = recs.get(); Thread.sleep(20); n += 1 }
+    } finally spark.sparkContext.removeSparkListener(l)
+    recs.get()
+  }
+
   test("write → time travel → expire round trip") {
     val base = java.nio.file.Files.createTempDirectory("graft-snap").toString + "/t"
 
@@ -231,54 +247,29 @@ class SnapshotsSpec extends AnyFunSuite {
     val lines = Snapshots.manifestLines(spark, base, 1L)
     assert(lines.size == 8 && lines.forall(_.split('\t').length == 5), lines.mkString("\n"))
     // count input records the merge actually reads
-    val recs = new java.util.concurrent.atomic.AtomicLong(0L)
-    val listener = new org.apache.spark.scheduler.SparkListener {
-      override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
-        if (te.taskMetrics != null) recs.addAndGet(te.taskMetrics.inputMetrics.recordsRead)
-    }
-    spark.sparkContext.addSparkListener(listener)
-    try {
+    val recs = recordsReadDuring {
       Snapshots.mergeInto(spark, base, Seq((5L, "X")).toDF("id", "s"), "id")
-      // listener bus is async — settle
-      var prev = -1L; var n = 0
-      while (n < 100 && prev != recs.get()) { prev = recs.get(); Thread.sleep(20); n += 1 }
-    } finally spark.sparkContext.removeSparkListener(listener)
+    }
     // full-scan discovery would read all 1000 rows; pruned discovery reads
     // one ~125-row file for discovery + the same file for rewrite + the
     // staged-stats pass over the delta — far under one full pass
-    assert(recs.get() < 600, s"merge read ${recs.get()} records; expected pruned discovery")
+    assert(recs < 600, s"merge read $recs records; expected pruned discovery")
     val rows = Snapshots.read(spark, base).as[(Long, String)].collect().toMap
     assert(rows.size == 1000 && rows(5L) == "X" && rows(999L) == "v999")
     // the new version's manifest still carries stats on every line
     assert(Snapshots.manifestLines(spark, base, 2L).forall(_.split('\t').length == 5))
     // an out-of-range insert-only merge prunes EVERY file (reads ~0 rows)
-    val recs2 = new java.util.concurrent.atomic.AtomicLong(0L)
-    val l2 = new org.apache.spark.scheduler.SparkListener {
-      override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
-        if (te.taskMetrics != null) recs2.addAndGet(te.taskMetrics.inputMetrics.recordsRead)
-    }
-    spark.sparkContext.addSparkListener(l2)
-    try {
+    val recs2 = recordsReadDuring {
       Snapshots.mergeInto(spark, base, Seq((5000L, "new")).toDF("id", "s"), "id")
-      var prev = -1L; var n = 0
-      while (n < 100 && prev != recs2.get()) { prev = recs2.get(); Thread.sleep(20); n += 1 }
-    } finally spark.sparkContext.removeSparkListener(l2)
-    assert(recs2.get() < 50, s"insert-only merge read ${recs2.get()} records; expected ~0")
+    }
+    assert(recs2 < 50, s"insert-only merge read $recs2 records; expected ~0")
     assert(Snapshots.read(spark, base).count() == 1001L)
     // DELETE with a range predicate: bounds extracted from the Catalyst
     // tree prune discovery the same way (only the low-range file scans)
-    val recs3 = new java.util.concurrent.atomic.AtomicLong(0L)
-    val l3 = new org.apache.spark.scheduler.SparkListener {
-      override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
-        if (te.taskMetrics != null) recs3.addAndGet(te.taskMetrics.inputMetrics.recordsRead)
-    }
-    spark.sparkContext.addSparkListener(l3)
-    try {
+    val recs3 = recordsReadDuring {
       Snapshots.deleteWhere(spark, base, col("id") < 50L)
-      var prev = -1L; var n = 0
-      while (n < 100 && prev != recs3.get()) { prev = recs3.get(); Thread.sleep(20); n += 1 }
-    } finally spark.sparkContext.removeSparkListener(l3)
-    assert(recs3.get() < 600, s"range delete read ${recs3.get()} records; expected pruned discovery")
+    }
+    assert(recs3 < 600, s"range delete read $recs3 records; expected pruned discovery")
     assert(Snapshots.read(spark, base).count() == 1001L - 49L)
   }
 
@@ -500,6 +491,12 @@ class SnapshotsSpec extends AnyFunSuite {
     // CDC across the evolution classifies the changed/inserted rows
     val cdc = Snapshots.diff(spark, base, 1L, v2, "id").as[(Long, String)].collect().toMap
     assert(cdc == Map(1L -> "update", 200L -> "insert"))
+    // the REVERSE direction fails loudly: a source missing an existing
+    // table column would null-wipe it on every updated row
+    val ex = intercept[IllegalArgumentException] {
+      Snapshots.mergeInto(spark, base, Seq(Tuple1(1L)).toDF("id"), "id")
+    }
+    assert(ex.getMessage.contains("missing table columns"), ex.getMessage)
   }
 
   test("diff sees a column added in the newer version (union-schema hash)") {

@@ -297,6 +297,13 @@ class StreamOpsSpec extends AnyFunSuite {
       // the fixture exercised every rule exactly once
       assert(streamed.map(_._2) ==
         Set("kept", "length_band", "word_len", "low_diversity", "no_stopwords"))
+      // a null-text record REJECTS (length_band) — it must never count as
+      // kept, which is what all-null flags would coalesce into
+      val nullGate = graft.text.TextAnalysis.qualityGate(
+        Seq(("x1", ts("2026-01-01 10:00:50"), null.asInstanceOf[String]))
+          .toDF("doc_id", "ts", "text"), "text")
+      assert(nullGate.select("reject_reason").as[String].head() == "length_band")
+      assert(nullGate.select("keep").as[Boolean].head() == false)
     } finally q.stop()
   }
 }
