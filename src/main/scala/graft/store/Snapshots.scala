@@ -149,8 +149,15 @@ object Snapshots {
     val rows = df.groupBy(input_file_name().as("__f"))
       .agg(min(col(key)).cast("string").as("mn"), max(col(key)).cast("string").as("mx"))
       .collect()
+    // manifest lines are read back via getLines + per-line trim, so a stats
+    // value holding ANY control character (\r splits a line just like \n)
+    // or leading/trailing whitespace would come back altered — an altered
+    // max under-states the file's range and pruning then skips a file that
+    // DOES hold a matching key (silent duplicates on merge). Such values
+    // fall back to no-stats: the file is always scanned, never mis-pruned.
     val ok = rows.filter(r => !r.isNullAt(1) && !r.isNullAt(2) &&
-      !(r.getString(1) + r.getString(2)).exists(c => c == '\t' || c == '\n'))
+      Seq(r.getString(1), r.getString(2)).forall(v =>
+        !v.exists(_.isControl) && v == v.trim))
     (tag, ok.map(r => new Path(r.getString(0)).getName -> (r.getString(1), r.getString(2))).toMap)
   }
 
@@ -213,7 +220,22 @@ object Snapshots {
           s"v=$next of $base was committed by a concurrent writer; " +
             "re-run against the new latest snapshot")
       }
-      if (f.exists(dest) && !f.exists(manifestPath(base, next))) f.delete(dest, true)
+      // pre-protocol crash debris occupying the slot is moved ASIDE with one
+      // atomic rename, never deleted in place: delete-then-claim opens a
+      // check-then-act window where a racing writer's committed rename can
+      // land between our manifest check and our delete and be silently
+      // erased (both writers would report success — a lost update). After a
+      // successful aside-rename we audit what we moved: a _manifest inside
+      // means it WAS a commit that raced us — put it back and yield. The
+      // manifest-less .debris-* husk is collected by [[vacuum]].
+      if (f.exists(dest) && !f.exists(manifestPath(base, next))) {
+        val aside = new Path(
+          s"$base/.debris-${java.util.UUID.randomUUID().toString.take(12)}")
+        if (f.rename(dest, aside) && f.exists(new Path(aside, "_manifest"))) {
+          f.rename(aside, dest) // best-effort restore; conflict either way
+          conflict()
+        }
+      }
       if (f.exists(dest)) conflict()
       if (!f.rename(txnPath, dest)) conflict()
       // RawLocalFileSystem.rename falls back to copy-into when dest appears
@@ -607,8 +629,12 @@ object Snapshots {
    * Concurrent writers are honored, not assumed away: a LIVE transaction is
    * a `.txn-*` staging directory carrying an `_inflight` marker (written at
    * txn start) or fresh file mtimes — vacuum spares it. Only a `.txn-*`
-   * directory whose newest mtime is older than `txnTtlMs` (a writer that
-   * died mid-stage) is collected. Returns removed paths.
+   * directory whose newest liveness signal (file mtimes AND the marker's
+   * embedded writer-clock timestamp, whichever is later) is older than
+   * `txnTtlMs` (a writer that died mid-stage) is collected. Manifest-less
+   * `.debris-*` husks (slot-claim leftovers) are collected too; a debris
+   * directory holding a `_manifest` is preserved for manual recovery.
+   * Returns removed paths.
    */
   def vacuum(spark: SparkSession, base: String,
              txnTtlMs: Long = 60L * 60 * 1000): Seq[String] = {
@@ -622,20 +648,25 @@ object Snapshots {
       .map(_.getPath)
       .filter(d => scala.util.Try(
         d.getName.stripPrefix("v=").toLong).toOption.exists(!committed(_)))
-      // TOCTOU guard: a concurrent writer may have COMMITTED this slot
-      // between the versions() snapshot above and now — the rename drops
-      // the manifest in atomically, so re-checking it immediately before
-      // deletion keeps vacuum off a just-committed version
-      .filterNot(d => f.exists(new Path(d, "_manifest")))
       .flatMap { d =>
-        val v = d.getName
-        val removed = f.listStatus(d).toSeq
-          .filterNot(st => referenced(s"$v/${st.getPath.getName}") ||
-            st.getPath.getName == "_manifest")
-          .map { st => f.delete(st.getPath, true); st.getPath.toString }
-        if (!f.exists(new Path(d, "_manifest")) && f.listStatus(d).isEmpty) {
-          f.delete(d, true); removed :+ d.toString
-        } else removed
+        // TOCTOU guard: a concurrent writer may have COMMITTED this slot
+        // between the versions() snapshot above and now — the rename drops
+        // the manifest in atomically. The re-check lives HERE, immediately
+        // before this directory's deletes (not in a prior filter pass over
+        // all directories, which would leave a wide window while earlier
+        // directories are being cleaned), keeping vacuum off a
+        // just-committed version
+        if (f.exists(new Path(d, "_manifest"))) Seq.empty
+        else {
+          val v = d.getName
+          val removed = f.listStatus(d).toSeq
+            .filterNot(st => referenced(s"$v/${st.getPath.getName}") ||
+              st.getPath.getName == "_manifest")
+            .map { st => f.delete(st.getPath, true); st.getPath.toString }
+          if (!f.exists(new Path(d, "_manifest")) && f.listStatus(d).isEmpty) {
+            f.delete(d, true); removed :+ d.toString
+          } else removed
+        }
       }
     val now = System.currentTimeMillis()
     val fromTxnDirs = f.globStatus(new Path(p, ".txn-*")).toSeq
@@ -643,12 +674,41 @@ object Snapshots {
       .map(_.getPath)
       .filter { d =>
         val members = f.listStatus(d).toSeq
-        val newest = (members.map(_.getModificationTime) :+
-          f.getFileStatus(d).getModificationTime).max
+        // liveness = newest of (file mtimes, the _inflight marker's EMBEDDED
+        // timestamp). The marker payload is the writer's own clock at its
+        // last touch — on shared storage whose server assigns mtimes, or
+        // with skew between writer and vacuum hosts, mtime alone can read
+        // stale for a live transaction, and collecting it makes the
+        // writer's commit fail as a spurious conflict. Taking the max keeps
+        // whichever clock is later. Residual assumption (documented): the
+        // writer's clock is not BEHIND the vacuum host's by more than
+        // txnTtlMs minus the writer's idle gap — keep txnTtlMs generous
+        // relative to expected skew and stage pauses.
+        val markerTs = members
+          .find(_.getPath.getName == "_inflight")
+          .flatMap { st =>
+            scala.util.Try {
+              val in = f.open(st.getPath)
+              try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toLong
+              finally in.close()
+            }.toOption
+          }
+        val newest = (members.map(_.getModificationTime) ++
+          markerTs :+ f.getFileStatus(d).getModificationTime).max
         now - newest > txnTtlMs
       }
       .map { d => f.delete(d, true); d.toString }
-    fromVersionDirs ++ fromTxnDirs
+    // manifest-less `.debris-*` husks are crash leftovers moved aside by a
+    // slot claim — never committed, referenced by no manifest, collectible
+    // immediately. A debris dir that DOES hold a _manifest is the forensic
+    // trace of the pathological moved-a-commit race (see commitStaged) and
+    // is deliberately preserved for manual recovery.
+    val fromDebris = f.globStatus(new Path(p, ".debris-*")).toSeq
+      .filter(_.isDirectory)
+      .map(_.getPath)
+      .filterNot(d => f.exists(new Path(d, "_manifest")))
+      .map { d => f.delete(d, true); d.toString }
+    fromVersionDirs ++ fromTxnDirs ++ fromDebris
   }
 
   /** A write-audit-publish audit rejected the staged data; nothing was

@@ -511,4 +511,79 @@ class SnapshotsSpec extends AnyFunSuite {
     assert(cdc == Map(2L -> "update"),
       "row changed only in the added column must classify as update; null-filled row must not")
   }
+
+  test("stats with control chars or untrimmed whitespace fall back to no-stats, merge stays exact") {
+    val base = java.nio.file.Files.createTempDirectory("graft-snap-ctl").toString + "/t"
+    // keys whose min/max would round-trip ALTERED through the line-oriented
+    // manifest: \r splits a line under getLines, trailing space is eaten by
+    // the per-line trim — either would under-state a file's range and
+    // mis-prune it. One clean partition keeps its stats as the control.
+    val dirty = Seq("k\rx", "k2 ", " k3", "clean").map(k => (k, 1L))
+    Snapshots.write(dirty.toDF("s", "n").repartition(col("s")), base,
+      statsKey = Some("s"))
+    val lines = Snapshots.manifestLines(spark, base, 1L)
+    // no manifest line may carry a value that survives trim/getLines altered
+    assert(lines.forall { l =>
+      val p = l.split('\t')
+      p.length == 1 || p.length == 5 &&
+        Seq(p(3), p(4)).forall(v => !v.exists(_.isControl) && v == v.trim)
+    }, lines.mkString("|"))
+    // a merge keyed on one of the dirty values must still find its file
+    // (no-stats files are always scanned, never pruned)
+    Snapshots.mergeInto(spark, base, Seq(("k\rx", 9L)).toDF("s", "n"), "s")
+    val rows = Snapshots.read(spark, base).as[(String, Long)].collect().toMap
+    assert(rows("k\rx") == 9L && rows("clean") == 1L, rows.toString)
+    // manifests stay one-entry-per-line parseable (no injected path lines)
+    assert(Snapshots.manifestLines(spark, base, 2L)
+      .forall(l => !l.contains('\r')), "no raw CR may reach a manifest")
+  }
+
+  test("slot-claim moves debris aside atomically; vacuum collects the husk") {
+    val base = java.nio.file.Files.createTempDirectory("graft-snap-aside").toString + "/t"
+    Snapshots.write(Seq((1L, "a")).toDF("id", "s"), base)
+    new java.io.File(s"$base/v=2").mkdirs()
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$base/v=2/part-00000.parquet"), Array[Byte](1, 2, 3))
+    val v = Snapshots.write(Seq((2L, "b")).toDF("id", "s"), base)
+    assert(v == 2L, "the debris slot must be reclaimed, not skipped")
+    // the debris was MOVED (atomic rename), not deleted in place — the
+    // check-then-delete race (advice r7) can no longer erase a racing commit
+    val debris = new java.io.File(base).listFiles()
+      .filter(_.getName.startsWith(".debris-"))
+    assert(debris.length == 1 &&
+      new java.io.File(debris.head, "part-00000.parquet").exists(),
+      s"debris must survive the claim as .debris-*: ${debris.mkString(",")}")
+    val removed = Snapshots.vacuum(spark, base)
+    assert(removed.exists(_.contains(".debris-")), removed.toString)
+    assert(!debris.head.exists(), "a manifest-less husk is collectible")
+    // a debris dir HOLDING a manifest is forensic evidence — preserved
+    val keep = new java.io.File(s"$base/.debris-keepme00000")
+    keep.mkdirs()
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"${keep.getPath}/_manifest"), "x\n".getBytes("UTF-8"))
+    assert(!Snapshots.vacuum(spark, base).exists(_.contains("keepme")))
+    assert(keep.exists(), "manifest-bearing debris is preserved for recovery")
+  }
+
+  test("vacuum trusts the _inflight marker's embedded clock over stale mtimes") {
+    val base = java.nio.file.Files.createTempDirectory("graft-snap-skew").toString + "/t"
+    Snapshots.write(Seq((1L, "a")).toDF("id", "s"), base)
+    val old = System.currentTimeMillis() - 2L * 60 * 60 * 1000
+    def mkTxn(name: String, payload: String): java.io.File = {
+      val d = new java.io.File(s"$base/$name"); d.mkdirs()
+      val m = java.nio.file.Paths.get(s"$base/$name/_inflight")
+      java.nio.file.Files.write(m, payload.getBytes("UTF-8"))
+      m.toFile.setLastModified(old); d.setLastModified(old)
+      d
+    }
+    // mtimes look 2 h stale (storage-assigned / skewed clock) but the
+    // writer's own embedded timestamp is fresh → live, must be spared
+    val skewed = mkTxn(".txn-skew000000", System.currentTimeMillis().toString)
+    // embedded timestamp AND mtimes both old → genuinely dead, collected
+    val dead = mkTxn(".txn-dead000000", old.toString)
+    val removed = Snapshots.vacuum(spark, base)
+    assert(skewed.exists(), "fresh embedded marker clock must defeat stale mtimes")
+    assert(!dead.exists() && removed.exists(_.endsWith(".txn-dead000000")),
+      removed.toString)
+  }
 }
