@@ -84,8 +84,13 @@ object Bench {
         .write.mode("overwrite").format("noop").save()
       (System.nanoTime() - t0) / 1e9
     }
+    // the probe-table write below is best-effort; if it failed, reading the
+    // empty temp dir throws AnalysisException — which must degrade to "probe
+    // unavailable" (ratio 1.0, flagged), never abort the battery before a
+    // single query has run (round-8 advisor item)
     def ioCanaryMedian3(): Double =
-      Seq(ioCanaryOnce(), ioCanaryOnce(), ioCanaryOnce()).sorted.apply(1)
+      try Seq(ioCanaryOnce(), ioCanaryOnce(), ioCanaryOnce()).sorted.apply(1)
+      catch { case _: Throwable => -1.0 }
     try {
       spark.range(0L, 20000000L, 1L, cpus.toInt)
         .selectExpr("id", "xxhash64(id) % 100000 AS k",
@@ -178,7 +183,7 @@ object Bench {
 
     // regression gate baseline: committed per-query times from the previous
     // round's bench (tools/baseline.json)
-    val baseline: Map[String, Double] = {
+    val baselineRaw: Map[String, Double] = {
       val f = new java.io.File(
         sys.env.getOrElse("SPARK_GRAFT_BASELINE", "tools/baseline.json"))
       if (!f.exists()) Map.empty
@@ -188,6 +193,26 @@ object Bench {
           .map(m => m.group(1) -> m.group(2).toDouble).toMap
       }
     }
+    // scale-factor guard (round-8, advisor item): the bars are measured at a
+    // specific SF (`_sf` anchor). An sf0.01 run compared against sf0.1 bars
+    // produces an empty-regressions artifact that LOOKS like a green gate —
+    // round 7 committed exactly that. When the run's SF (parsed from the dir
+    // name) differs from the baseline's, the gate is stamped not-applied and
+    // every bar is ignored rather than silently mis-compared.
+    val runSf: Option[Double] =
+      """sf([0-9.]+)""".r.findFirstMatchIn(sfDir)
+        .flatMap(m => scala.util.Try(m.group(1).toDouble).toOption)
+    val baselineSf: Option[Double] = baselineRaw.get("_sf")
+    val baselineApplied: Boolean = (baselineSf, runSf) match {
+      case (Some(b), Some(r)) => math.abs(b - r) < 1e-9
+      case (None, _) => true // legacy baseline with no anchor: keep old behavior
+      case (Some(_), None) => false // un-parseable dir vs an anchored baseline
+    }
+    // the canary probes are fixed-size (SF-independent), so their anchors
+    // survive the guard; every per-query bar is dropped
+    val baseline: Map[String, Double] =
+      if (baselineApplied) baselineRaw
+      else baselineRaw.view.filterKeys(_.startsWith("_canary")).toMap
     // canary re-timed at battery end; the mean of the two runs estimates the
     // host's speed DURING the battery, and its ratio vs the committed
     // `_canary` reference (tools/baseline.json, anchored to the bar-setting
@@ -197,7 +222,11 @@ object Bench {
     val canaryEnd = canaryMedian3()
     val canarySec = (canaryStart + canaryEnd) / 2
     val jvmCanarySec = (jvmCanaryStart + jvmCanaryMedian3()) / 2
-    val ioCanarySec = (ioCanaryStart + ioCanaryMedian3()) / 2
+    val ioCanaryEnd = ioCanaryMedian3()
+    // probe-unavailable sentinel (-1.0 from a failed setup/read): report -1
+    // and fall back to ratio 1.0 downstream instead of anchoring on garbage
+    val ioCanaryOk = ioCanaryStart > 0 && ioCanaryEnd > 0
+    val ioCanarySec = if (ioCanaryOk) (ioCanaryStart + ioCanaryEnd) / 2 else -1.0
     try { // best-effort: the probe table is a temp dir, drop it when done
       import scala.jdk.CollectionConverters._
       java.nio.file.Files.walk(ioCanaryDir).iterator().asScala.toSeq
@@ -208,23 +237,28 @@ object Bench {
     val jvmCanaryRatio =
       baseline.get("_canary_jvm").map(jvmCanarySec / _).getOrElse(1.0)
     val ioCanaryRatio =
-      baseline.get("_canary_io").map(ioCanarySec / _).getOrElse(1.0)
+      if (!ioCanaryOk) 1.0
+      else baseline.get("_canary_io").map(ioCanarySec / _).getOrElse(1.0)
     // advisor item (round 7): a large raw ratio must be AUDITED, not silently
     // absorbed by the clamp — a >1.2 drift claim needs the jvm/io probes to
     // corroborate it (jvm ≈ cpu → host drift is real; jvm ≈ 1.0 while the
     // Spark canary is high → suspect an engine-wide regression instead)
     val canaryFlag = canaryRatioRaw > 1.2 || canaryRatioRaw < 0.8 ||
-      ioCanaryRatio > 1.2
+      ioCanaryRatio > 1.2 || !ioCanaryOk
     val canaryRatio = math.min(2.0, math.max(1.0, canaryRatioRaw))
     def regressed(k: String, v: Double): Boolean =
       baseline.get(k).exists(b =>
         v > b * 1.5 * canaryRatio && v - b * canaryRatio > 0.5)
-    // warning tier (round-7 verdict item 3): same relative rule but WITHOUT
-    // the 0.5 s absolute floor — catches sub-floor creep (x8_locf_impute sat
-    // at 2.5× its 0.32 s bar for two rounds, invisible to the gate). Report,
-    // don't page: warnings never fail the run and never trigger retries.
+    // warning tier (round-7 verdict item 3): same relative rule but with a
+    // much smaller absolute floor than the gate's 0.5 s — catches sub-floor
+    // creep (x8_locf_impute sat at 2.5× its 0.32 s bar for two rounds,
+    // invisible to the gate). The 0.1 s floor (round-8 advisor item) keeps a
+    // single scheduling quantum on a 0.12 s bar from warning: 1.5× of a tiny
+    // bar is pure noise. Report, don't page: warnings never fail the run.
     def subFloorWarn(k: String, v: Double): Boolean =
-      baseline.get(k).exists(b => v > b * 1.5 * canaryRatio) && !regressed(k, v)
+      baseline.get(k).exists(b =>
+        v > b * 1.5 * canaryRatio && v - b * canaryRatio > 0.1) &&
+        !regressed(k, v)
 
     // retry pass: a one-off slow time (GC pause, scheduler quantum, page
     // cache miss) must not be reported as a regression — re-time flagged
@@ -312,7 +346,7 @@ object Bench {
 
     val totalShufMb = results.collect { case (_, Right((_, b))) => b }.sum / 1048576.0
     val canaryJson =
-      s""""canary_sec":${r2(canarySec)},"canary_ratio":${f"$canaryRatioRaw%.3f"},"canary_jvm_sec":${r2(jvmCanarySec)},"canary_jvm_ratio":${f"$jvmCanaryRatio%.3f"},"canary_io_sec":${r2(ioCanarySec)},"canary_io_ratio":${f"$ioCanaryRatio%.3f"},"canary_flag":$canaryFlag"""
+      s""""canary_sec":${r2(canarySec)},"canary_ratio":${f"$canaryRatioRaw%.3f"},"canary_jvm_sec":${r2(jvmCanarySec)},"canary_jvm_ratio":${f"$jvmCanaryRatio%.3f"},"canary_io_sec":${r2(ioCanarySec)},"canary_io_ratio":${f"$ioCanaryRatio%.3f"},"canary_flag":$canaryFlag,"baseline_applied":$baselineApplied,"baseline_sf":${baselineSf.map(_.toString).getOrElse("null")},"run_sf":${runSf.map(_.toString).getOrElse("null")}"""
     val fullJson =
       s"""{"metric":"total","value":${r2(total)},"unit":"sec","queries":$fullQs,"shuffle_mb":$shuf,"errors":$errs,"regressions":$regressions,"warnings":$warnings,"n_queries":${results.size},"n_failed":$nFail,"shuffle_mb_total":${r2(totalShufMb)},$canaryJson,"sf":${q(sfDir)}}"""
     // sbt runs with cwd = project root; if the driver ever invokes the jar

@@ -232,7 +232,23 @@ object Snapshots {
         val aside = new Path(
           s"$base/.debris-${java.util.UUID.randomUUID().toString.take(12)}")
         if (f.rename(dest, aside) && f.exists(new Path(aside, "_manifest"))) {
-          f.rename(aside, dest) // best-effort restore; conflict either way
+          // we moved a COMMITTED version aside (the racing writer's rename
+          // landed between our manifest check and our claim). The restore is
+          // not best-effort: if it fails, an acknowledged commit survives
+          // only as a .debris-* husk and readers silently see the prior
+          // version. Retry, then FAIL LOUDLY naming the husk so the
+          // durability loss is surfaced, never discovered by accident
+          // (round-8 advisor item).
+          val restored = f.rename(aside, dest) ||
+            { Thread.sleep(50); f.rename(aside, dest) }
+          if (!restored) {
+            f.delete(txnPath, true)
+            throw new SnapshotConflictException(
+              s"v=$next of $base was committed by a concurrent writer AND " +
+                s"could not be restored after being moved aside during the " +
+                s"slot claim — the committed data is preserved at $aside; " +
+                s"manually rename it back to $dest before any further writes")
+          }
           conflict()
         }
       }
@@ -657,22 +673,35 @@ object Snapshots {
         // directories are being cleaned), keeping vacuum off a
         // just-committed version
         if (f.exists(new Path(d, "_manifest"))) Seq.empty
-        else {
+        else scala.util.Try {
+          // the whole per-directory pass is Try-wrapped: a concurrent writer
+          // claiming this slot renames the dir aside (.debris-*) between the
+          // re-check above and the listStatus below, so the dir can vanish
+          // mid-iteration. A vanished dir is already-collected, not an
+          // error — one race must not abort the rest of the vacuum
+          // (round-8 advisor item).
           val v = d.getName
           val removed = f.listStatus(d).toSeq
             .filterNot(st => referenced(s"$v/${st.getPath.getName}") ||
               st.getPath.getName == "_manifest")
-            .map { st => f.delete(st.getPath, true); st.getPath.toString }
+            .flatMap { st =>
+              if (scala.util.Try(f.delete(st.getPath, true)).getOrElse(false))
+                Seq(st.getPath.toString)
+              else Seq.empty
+            }
           if (!f.exists(new Path(d, "_manifest")) && f.listStatus(d).isEmpty) {
             f.delete(d, true); removed :+ d.toString
           } else removed
-        }
+        }.getOrElse(Seq.empty)
       }
     val now = System.currentTimeMillis()
     val fromTxnDirs = f.globStatus(new Path(p, ".txn-*")).toSeq
       .filter(_.isDirectory)
       .map(_.getPath)
-      .filter { d =>
+      .filter { d => scala.util.Try {
+        // same vanish race as the version-dir pass: the txn's writer can
+        // COMMIT (rename to v=N) between the glob and this listStatus — a
+        // vanished txn dir is simply not collectible, not an error
         val members = f.listStatus(d).toSeq
         // liveness = newest of (file mtimes, the _inflight marker's EMBEDDED
         // timestamp). The marker payload is the writer's own clock at its
@@ -696,8 +725,11 @@ object Snapshots {
         val newest = (members.map(_.getModificationTime) ++
           markerTs :+ f.getFileStatus(d).getModificationTime).max
         now - newest > txnTtlMs
+      }.getOrElse(false) }
+      .flatMap { d =>
+        if (scala.util.Try(f.delete(d, true)).getOrElse(false)) Seq(d.toString)
+        else Seq.empty
       }
-      .map { d => f.delete(d, true); d.toString }
     // manifest-less `.debris-*` husks are crash leftovers moved aside by a
     // slot claim — never committed, referenced by no manifest, collectible
     // immediately. A debris dir that DOES hold a _manifest is the forensic
@@ -707,7 +739,12 @@ object Snapshots {
       .filter(_.isDirectory)
       .map(_.getPath)
       .filterNot(d => f.exists(new Path(d, "_manifest")))
-      .map { d => f.delete(d, true); d.toString }
+      .flatMap { d =>
+        // a raced-commit restore (commitStaged) renames a debris dir BACK to
+        // v=N concurrently — same vanished-dir tolerance as the passes above
+        if (scala.util.Try(f.delete(d, true)).getOrElse(false)) Seq(d.toString)
+        else Seq.empty
+      }
     fromVersionDirs ++ fromTxnDirs ++ fromDebris
   }
 

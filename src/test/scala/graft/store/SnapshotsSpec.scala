@@ -586,4 +586,67 @@ class SnapshotsSpec extends AnyFunSuite {
     assert(!dead.exists() && removed.exists(_.endsWith(".txn-dead000000")),
       removed.toString)
   }
+
+  test("vacuum survives directories vanishing mid-pass (concurrent slot claim)") {
+    // a concurrent writer claiming a slot renames the dir aside between
+    // vacuum's _manifest re-check and its listStatus — the dir vanishes
+    // under vacuum's feet. Simulated deterministically with a test-only
+    // filesystem whose listStatus deletes the armed path and throws, which
+    // is exactly what the race looks like from vacuum's side. One vanished
+    // dir must not abort the remaining vacuum work (round-8 advisor item).
+    val conf = spark.sparkContext.hadoopConfiguration
+    conf.set("fs.vanish.impl", classOf[VanishingFs].getName)
+    val base =
+      java.nio.file.Files.createTempDirectory("graft-snap-vanish").toString + "/t"
+    Snapshots.write(Seq((1L, "a"), (2L, "b")).toDF("id", "s"), base)
+    def mkJunk(name: String): java.io.File = {
+      val d = new java.io.File(s"$base/$name"); d.mkdirs()
+      new java.io.File(d, "part-junk").createNewFile(); d
+    }
+    // both passes' victims: a manifest-less version dir and a dead txn dir,
+    // each armed to vanish at its listStatus — plus one ordinary collectible
+    // husk per pass that must STILL be collected after the race
+    mkJunk("v=98"); mkJunk("v=99")
+    val txnDead = mkJunk(".txn-dead0000000")
+    val old = System.currentTimeMillis() - 2L * 60 * 60 * 1000
+    txnDead.listFiles().foreach(_.setLastModified(old)); txnDead.setLastModified(old)
+    mkJunk(".txn-vanish00000")
+    VanishingFs.arm(s"$base/v=98")
+    VanishingFs.arm(s"$base/.txn-vanish00000")
+    val removed = Snapshots.vacuum(spark, s"vanish://$base")
+    assert(VanishingFs.armedEmpty, "both armed vanishes must have fired")
+    // vanished dirs are treated as already-collected, never reported removed
+    assert(!removed.exists(_.contains("v=98")), removed.toString)
+    assert(!removed.exists(_.contains(".txn-vanish")), removed.toString)
+    // the races did not abort the pass: the ordinary husks were collected
+    assert(removed.exists(_.contains("v=99")), removed.toString)
+    assert(removed.exists(_.contains(".txn-dead")), removed.toString)
+    // committed data untouched throughout
+    assert(Snapshots.read(spark, base).count() == 2)
+  }
+}
+
+/**
+ * Test-only filesystem (scheme `vanish://`) over the local FS: `listStatus`
+ * of an ARMED path deletes the path and throws FileNotFoundException —
+ * deterministic stand-in for a concurrent writer renaming the directory
+ * aside between vacuum's re-check and its listing.
+ */
+class VanishingFs extends org.apache.hadoop.fs.RawLocalFileSystem {
+  override def getScheme: String = "vanish"
+  override def getUri: java.net.URI = java.net.URI.create("vanish:///")
+  override def listStatus(p: org.apache.hadoop.fs.Path)
+      : Array[org.apache.hadoop.fs.FileStatus] = {
+    if (VanishingFs.armed.remove(p.toUri.getPath)) {
+      super.delete(p, true)
+      throw new java.io.FileNotFoundException(s"simulated rename-aside race: $p")
+    }
+    super.listStatus(p)
+  }
+}
+object VanishingFs {
+  private val armed =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  def arm(path: String): Unit = armed.add(path)
+  def armedEmpty: Boolean = armed.isEmpty
 }
