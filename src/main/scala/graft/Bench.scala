@@ -199,8 +199,13 @@ object Bench {
     // round 7 committed exactly that. When the run's SF (parsed from the dir
     // name) differs from the baseline's, the gate is stamped not-applied and
     // every bar is ignored rather than silently mis-compared.
+    // anchored to the LAST path component (round-8 advisor item): matching
+    // the first "sf<digits>" anywhere in the path lets an earlier
+    // coincidental segment (e.g. /data/dsf0.5-archive/sf0.1) mis-parse the
+    // run SF and wrongly disable or wrongly apply the gate
     val runSf: Option[Double] =
-      """sf([0-9.]+)""".r.findFirstMatchIn(sfDir)
+      """^sf([0-9.]+)$""".r
+        .findFirstMatchIn(new java.io.File(sfDir).getName)
         .flatMap(m => scala.util.Try(m.group(1).toDouble).toOption)
     val baselineSf: Option[Double] = baselineRaw.get("_sf")
     val baselineApplied: Boolean = (baselineSf, runSf) match {
@@ -351,10 +356,17 @@ object Bench {
       s"""{"metric":"total","value":${r2(total)},"unit":"sec","queries":$fullQs,"shuffle_mb":$shuf,"errors":$errs,"regressions":$regressions,"warnings":$warnings,"n_queries":${results.size},"n_failed":$nFail,"shuffle_mb_total":${r2(totalShufMb)},$canaryJson,"sf":${q(sfDir)}}"""
     // sbt runs with cwd = project root; if the driver ever invokes the jar
     // from elsewhere, fall back next to the baseline file so the detail
-    // always lands somewhere discoverable
+    // always lands somewhere discoverable. A FILTERED run (query-name arg)
+    // or a run whose SF doesn't match the baseline anchor is a smoke/A-B
+    // probe, not full-battery evidence — it lands in bench_smoke.json so it
+    // can never overwrite the committed full-battery record (round-8
+    // advisor item: a 1-query sf0.01 run replaced the 196-query sf0.1
+    // artifact and erased the documented regression history).
+    val isSmoke = only.isDefined || !baselineApplied
+    val fullName = if (isSmoke) "bench_smoke.json" else "bench_full.json"
     val fullPath =
-      if (new java.io.File("build.sbt").exists()) "bench_full.json"
-      else sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL", "/root/repo/bench_full.json")
+      if (new java.io.File("build.sbt").exists()) fullName
+      else sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL", s"/root/repo/$fullName")
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(fullPath), fullJson + "\n")
 
@@ -381,7 +393,7 @@ object Bench {
       .mkString("[", ",", "]")
 
     def line(qsJson: String, regJson: String): String =
-      s"""{"metric":"total","value":${r2(total)},"unit":"sec","queries":$qsJson,"n_queries":${results.size},"n_failed":$nFail,"failed":$errNames,"regressions":$regJson,"n_warn":${warnEntries.size},"shuffle_mb_total":${r2(totalShufMb)},$canaryJson,"detail":"bench_full.json","sf":${q(sfDir)}}"""
+      s"""{"metric":"total","value":${r2(total)},"unit":"sec","queries":$qsJson,"n_queries":${results.size},"n_failed":$nFail,"failed":$errNames,"regressions":$regJson,"n_warn":${warnEntries.size},"shuffle_mb_total":${r2(totalShufMb)},$canaryJson,"detail":${q(fullName)},"sf":${q(sfDir)}}"""
     // belt-and-braces: if the headline line somehow exceeds the tail window,
     // drop first the per-query map, then the (already capped) regressions —
     // the counts-only line always fits

@@ -1638,6 +1638,64 @@ object SparkEntry {
              |FROM orders WHERE o_orderkey % 10 <> 0
              |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // Crash recovery end-to-end (round-8 verdict stretch item): the three
+    // crash-safety paths — stale-marker txn vacuum, debris aside-rename at
+    // slot claim, husk collection — exercised as ONE query with an oracle
+    // row, not just unit pins. A writer dies mid-stage (stale .txn-*), a
+    // second dies pre-protocol squatting the next version slot (manifest-
+    // less v=2); vacuum collects the first, the recommit claims the slot by
+    // moving the squatter aside atomically, and a second vacuum collects
+    // the husk. The oracle recomputes the final content (crash debris must
+    // never surface in ANY read) plus literal pins on the recovery counts.
+    "snap_crash_recover" -> Q(
+      (s, d) => {
+        import graft.store.Snapshots
+        val root = FixtureRoot.fresh("snapcrash")
+        val base = root + "/t"
+        val cust = T(s, d, "customer")
+          .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
+        Snapshots.write(cust.filter(pmod(col("c_custkey"), lit(2)) === 0), base)
+        // crashed writer #1: died mid-stage — a .txn-* dir whose marker
+        // clock AND mtimes are 2 h stale (past the 1 h ttl)
+        val old = System.currentTimeMillis() - 2L * 60 * 60 * 1000
+        val deadTxn = new java.io.File(s"$base/.txn-deadwriter0000")
+        deadTxn.mkdirs()
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(deadTxn.getPath, "part-00000-dead.parquet"),
+          Array[Byte](1, 2, 3))
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(deadTxn.getPath, "_inflight"),
+          old.toString.getBytes("UTF-8"))
+        deadTxn.listFiles().foreach(_.setLastModified(old))
+        deadTxn.setLastModified(old)
+        val vac1 = Snapshots.vacuum(s, base)
+        // crashed writer #2: pre-protocol debris SQUATTING the next slot —
+        // a manifest-less v=2 left after vacuum ran (worst-case ordering)
+        val squatter = new java.io.File(s"$base/v=2")
+        squatter.mkdirs()
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(squatter.getPath, "part-00000-crash.parquet"),
+          Array[Byte](9, 9, 9))
+        // recommit: the slot claim must move the squatter aside (atomic
+        // rename, never delete-in-place) and land v=2 all-or-nothing
+        val v2 = Snapshots.append(
+          cust.filter(pmod(col("c_custkey"), lit(2)) === 1), base)
+        val vac2 = Snapshots.vacuum(s, base)
+        Snapshots.read(s, base, Some(v2))
+          .groupBy(col("c_mktsegment"))
+          .agg(count(lit(1)).as("n"), dsum(col("c_acctbal")).as("total"))
+          .withColumn("recovered_versions",
+            lit(Snapshots.versions(s, base) == Seq(1L, 2L)))
+          .withColumn("n_vacuumed_txn", lit(vac1.count(_.contains(".txn-"))))
+          .withColumn("n_vacuumed_husk", lit(vac2.count(_.contains(".debris-"))))
+          .orderBy(col("c_mktsegment"))
+      },
+      Some("""SELECT c_mktsegment, count(*) AS n,
+             |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total,
+             |  TRUE AS recovered_versions, 1 AS n_vacuumed_txn,
+             |  1 AS n_vacuumed_husk
+             |FROM customer GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // Incremental ingest dedup — the composition a production corpus runs
     // on every batch: MERGE the delta into the versioned store, let CDC
     // name exactly the inserted docs, then LSH-check ONLY those against
@@ -3577,7 +3635,8 @@ object SparkEntry {
     * possible when left==right) form islands, and greedy left-to-right
     * takes the even offsets of each island. Pure integer counts and string
     * compares, so the match is exact, not tolerance-based. */
-  private def bpeTrainOracleSql(numMerges: Int, topWords: Int): String = {
+  private def bpeTrainOracleSql(numMerges: Int, topWords: Int,
+                                minCount: Long = 2L): String = {
     def round(i: Int): String = {
       val prev = s"r${i - 1}"
       s"""best$i AS MATERIALIZED (SELECT syms[j] AS x, syms[j+1] AS y
@@ -3605,7 +3664,8 @@ object SparkEntry {
     s"""WITH wf AS MATERIALIZED (
        |  SELECT word, count(*)::BIGINT AS n FROM (
        |    SELECT unnest(list_filter(regexp_split_to_array(text, '\\s+'), t -> length(t) > 0)) AS word
-       |    FROM documents) GROUP BY word ORDER BY n DESC, word LIMIT $topWords),
+       |    FROM documents) GROUP BY word HAVING count(*) >= $minCount
+       |  ORDER BY n DESC, word LIMIT $topWords),
        |r0 AS MATERIALIZED (SELECT word AS w, n,
        |  list_transform(range(1, length(word)+1), i -> substr(word, i::INT, 1)) AS syms FROM wf),
        |${(1 to numMerges).map(round).mkString(",\n")}

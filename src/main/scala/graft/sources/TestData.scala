@@ -24,15 +24,27 @@ object TestData {
   def orders(s: SparkSession, d: String): DataFrame = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = table(s, d, "lineitem")
   /**
-   * `events.parquet` carries TIMESTAMP(NANOS), which Spark's parquet reader
-   * rejects. Read nanos as long (legacy conf) and floor-convert to a µs
-   * timestamp — exactly what DuckDB's ns→TIMESTAMP coercion does, so oracle
-   * comparisons agree.
+   * `events.parquet`'s `ts` physical type has varied across driver testdata
+   * generations: TIMESTAMP(NANOS) (which Spark's parquet reader rejects —
+   * read nanos as long via the legacy conf, floor-convert to µs exactly as
+   * DuckDB's ns→TIMESTAMP coercion does) or plain TIMESTAMP(MICROS) (usable
+   * as-is). Dispatch on the INFERRED schema, not an assumed generation, so
+   * both vintages read identically and oracle comparisons agree.
    */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(s, d, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts DIV 1000)"))
+    val raw = table(s, d, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts",
+          org.apache.spark.sql.functions.expr("timestamp_micros(ts DIV 1000)"))
+      case _ =>
+        // already µs precision, but read as TIMESTAMP_NTZ; cast to the
+        // session-zone TIMESTAMP (session timezone is pinned UTC) so every
+        // downstream query and dumped parquet sees the SAME type the
+        // nanos-vintage path produced
+        raw.withColumn("ts", raw("ts").cast("timestamp"))
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")

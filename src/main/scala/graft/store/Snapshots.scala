@@ -42,6 +42,16 @@ object Snapshots {
   final class SnapshotConflictException(msg: String)
     extends RuntimeException(msg)
 
+  /** Durability emergency, NOT a retryable race: an acknowledged commit was
+    * moved aside during a slot claim and could not be renamed back, so it
+    * survives only as a `.debris-*` husk invisible to readers. Deliberately
+    * NOT a subtype of [[SnapshotConflictException]] — [[withConflictRetry]]
+    * must propagate it, because a retry would recompute `next` without the
+    * husk, reclaim the freed slot, and silently supersede the lost commit
+    * (the exact papering-over this exception exists to prevent). */
+  final class SnapshotDurabilityException(msg: String)
+    extends RuntimeException(msg)
+
   /** Re-run `op` up to `attempts` times while it loses commit races —
     * the standard client loop around the optimistic commit. */
   def withConflictRetry[T](attempts: Int = 5)(op: => T): T = {
@@ -243,7 +253,7 @@ object Snapshots {
             { Thread.sleep(50); f.rename(aside, dest) }
           if (!restored) {
             f.delete(txnPath, true)
-            throw new SnapshotConflictException(
+            throw new SnapshotDurabilityException(
               s"v=$next of $base was committed by a concurrent writer AND " +
                 s"could not be restored after being moved aside during the " +
                 s"slot claim — the committed data is preserved at $aside; " +
@@ -652,6 +662,24 @@ object Snapshots {
    * directory holding a `_manifest` is preserved for manual recovery.
    * Returns removed paths.
    */
+  /** Vanished-dir tolerance for vacuum's racy passes: a concurrent
+    * writer's rename makes a directory disappear mid-iteration, which a
+    * local FS surfaces as FileNotFoundException (and NIO as
+    * NoSuchFileException). ONLY that race is business-as-usual; any other
+    * failure (permission denied, transient FS fault) is logged before the
+    * pass moves on, so a systemically failing filesystem cannot make
+    * vacuum silently report partial work (round-8 advisor item). */
+  private def tolerateVanished[T](what: String, default: T)(op: => T): T =
+    try op catch {
+      case _: java.io.FileNotFoundException => default
+      case _: java.nio.file.NoSuchFileException => default
+      case scala.util.control.NonFatal(e) =>
+        System.err.println(
+          s"[graft.store.Snapshots] vacuum: non-vanish failure during $what " +
+            s"(skipped, NOT collected): ${e.getClass.getName}: ${e.getMessage}")
+        default
+    }
+
   def vacuum(spark: SparkSession, base: String,
              txnTtlMs: Long = 60L * 60 * 1000): Seq[String] = {
     val f = fs(spark, base)
@@ -673,32 +701,33 @@ object Snapshots {
         // directories are being cleaned), keeping vacuum off a
         // just-committed version
         if (f.exists(new Path(d, "_manifest"))) Seq.empty
-        else scala.util.Try {
-          // the whole per-directory pass is Try-wrapped: a concurrent writer
-          // claiming this slot renames the dir aside (.debris-*) between the
-          // re-check above and the listStatus below, so the dir can vanish
-          // mid-iteration. A vanished dir is already-collected, not an
-          // error — one race must not abort the rest of the vacuum
-          // (round-8 advisor item).
+        else tolerateVanished(s"version-dir pass on $d", Seq.empty[String]) {
+          // the per-directory pass tolerates ONLY the vanish race: a
+          // concurrent writer claiming this slot renames the dir aside
+          // (.debris-*) between the re-check above and the listStatus below.
+          // A vanished dir is already-collected, not an error — one race
+          // must not abort the rest of the vacuum. Any OTHER failure is
+          // logged by tolerateVanished (round-8 advisor items).
           val v = d.getName
           val removed = f.listStatus(d).toSeq
             .filterNot(st => referenced(s"$v/${st.getPath.getName}") ||
               st.getPath.getName == "_manifest")
             .flatMap { st =>
-              if (scala.util.Try(f.delete(st.getPath, true)).getOrElse(false))
+              if (tolerateVanished(s"delete ${st.getPath}", false)(
+                  f.delete(st.getPath, true)))
                 Seq(st.getPath.toString)
               else Seq.empty
             }
           if (!f.exists(new Path(d, "_manifest")) && f.listStatus(d).isEmpty) {
             f.delete(d, true); removed :+ d.toString
           } else removed
-        }.getOrElse(Seq.empty)
+        }
       }
     val now = System.currentTimeMillis()
     val fromTxnDirs = f.globStatus(new Path(p, ".txn-*")).toSeq
       .filter(_.isDirectory)
       .map(_.getPath)
-      .filter { d => scala.util.Try {
+      .filter { d => tolerateVanished(s"txn liveness check on $d", false) {
         // same vanish race as the version-dir pass: the txn's writer can
         // COMMIT (rename to v=N) between the glob and this listStatus — a
         // vanished txn dir is simply not collectible, not an error
@@ -716,18 +745,20 @@ object Snapshots {
         val markerTs = members
           .find(_.getPath.getName == "_inflight")
           .flatMap { st =>
-            scala.util.Try {
+            tolerateVanished(s"read marker ${st.getPath}", Option.empty[Long]) {
               val in = f.open(st.getPath)
-              try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toLong
+              try scala.util.Try(scala.io.Source.fromInputStream(in, "UTF-8")
+                .mkString.trim.toLong).toOption
               finally in.close()
-            }.toOption
+            }
           }
         val newest = (members.map(_.getModificationTime) ++
           markerTs :+ f.getFileStatus(d).getModificationTime).max
         now - newest > txnTtlMs
-      }.getOrElse(false) }
+      } }
       .flatMap { d =>
-        if (scala.util.Try(f.delete(d, true)).getOrElse(false)) Seq(d.toString)
+        if (tolerateVanished(s"delete txn dir $d", false)(f.delete(d, true)))
+          Seq(d.toString)
         else Seq.empty
       }
     // manifest-less `.debris-*` husks are crash leftovers moved aside by a
@@ -742,7 +773,8 @@ object Snapshots {
       .flatMap { d =>
         // a raced-commit restore (commitStaged) renames a debris dir BACK to
         // v=N concurrently — same vanished-dir tolerance as the passes above
-        if (scala.util.Try(f.delete(d, true)).getOrElse(false)) Seq(d.toString)
+        if (tolerateVanished(s"delete debris dir $d", false)(f.delete(d, true)))
+          Seq(d.toString)
         else Seq.empty
       }
     fromVersionDirs ++ fromTxnDirs ++ fromDebris

@@ -44,10 +44,22 @@ object Bpe {
    * Learn `numMerges` merge rules from the corpus. Collects at most
    * `topWords` (word, count) rows — KiB-to-MiB-scale — and runs the
    * classic merge loop locally.
+   *
+   * `minCount` is the frequency floor applied BEFORE the top-k (round-8
+   * verdict item): the collect itself is `limit`-bounded, but the top-k is
+   * executed as per-partition heaps merged through a single gatherer task,
+   * whose input is O(partitions × topWords). On a 100 TB corpus the
+   * distinct-word table is dominated by hapax legomena (roughly half of
+   * all distinct words, by Heaps/Zipf); `n >= minCount` removes them as a
+   * map-side predicate so the gatherer's input shrinks by that half
+   * without touching the learned merges in any realistic corpus — a word
+   * seen once cannot outrank the top-50k pair mass. Set `minCount = 1` to
+   * recover the unfloored behavior for tiny test corpora.
    */
   def train(df: DataFrame, textCol: String, numMerges: Int,
-            topWords: Int = 50000): Model = {
+            topWords: Int = 50000, minCount: Long = 2L): Model = {
     val freqs: Seq[(String, Long)] = wordFreqs(df, textCol)
+      .filter(col("n") >= minCount)
       .orderBy(col("n").desc, col("word"))
       .limit(topWords)
       .collect().map(r => (r.getString(0), r.getLong(1))).toSeq

@@ -624,6 +624,56 @@ class SnapshotsSpec extends AnyFunSuite {
     // committed data untouched throughout
     assert(Snapshots.read(spark, base).count() == 2)
   }
+
+  test("withConflictRetry propagates SnapshotDurabilityException, never retries it") {
+    // the restore-failure path (an acknowledged commit stuck as a .debris-*
+    // husk) must NOT be retried: a retry recomputes next without the husk,
+    // reclaims the freed slot, and silently supersedes the lost commit.
+    // Round-8 advisor item — the exception type IS the contract.
+    var calls = 0
+    val e = intercept[Snapshots.SnapshotDurabilityException] {
+      Snapshots.withConflictRetry(attempts = 5) {
+        calls += 1
+        throw new Snapshots.SnapshotDurabilityException("husk at .debris-x")
+      }
+    }
+    assert(calls == 1, s"durability loss must surface on the FIRST throw, got $calls calls")
+    assert(e.getMessage.contains("husk"))
+    // sanity: the retryable sibling still retries to exhaustion
+    var conflictCalls = 0
+    intercept[Snapshots.SnapshotConflictException] {
+      Snapshots.withConflictRetry(attempts = 3) {
+        conflictCalls += 1
+        throw new Snapshots.SnapshotConflictException("slot race")
+      }
+    }
+    assert(conflictCalls == 3)
+  }
+
+  test("vacuum skips (not collects) a dir behind a non-vanish fault and continues") {
+    // permission denied / transient FS faults are NOT the vanish race: the
+    // dir still exists, so vacuum must leave it alone, log, and keep
+    // collecting the rest (round-8 advisor item — a systemically failing
+    // filesystem must not silently read as partial-success)
+    val conf = spark.sparkContext.hadoopConfiguration
+    conf.set("fs.vanish.impl", classOf[VanishingFs].getName)
+    val base =
+      java.nio.file.Files.createTempDirectory("graft-snap-fault").toString + "/t"
+    Snapshots.write(Seq((1L, "a")).toDF("id", "s"), base)
+    def mkJunk(name: String): java.io.File = {
+      val d = new java.io.File(s"$base/$name"); d.mkdirs()
+      new java.io.File(d, "part-junk").createNewFile(); d
+    }
+    val faulty = mkJunk("v=97")
+    mkJunk("v=99")
+    VanishingFs.armFault(s"$base/v=97")
+    val removed = Snapshots.vacuum(spark, s"vanish://$base")
+    assert(faulty.exists(), "a faulted dir must be left in place, not collected")
+    assert(!removed.exists(_.contains("v=97")), removed.toString)
+    assert(removed.exists(_.contains("v=99")),
+      s"the pass must continue past the fault: $removed")
+    assert(Snapshots.read(spark, base).count() == 1)
+  }
 }
 
 /**
@@ -641,12 +691,18 @@ class VanishingFs extends org.apache.hadoop.fs.RawLocalFileSystem {
       super.delete(p, true)
       throw new java.io.FileNotFoundException(s"simulated rename-aside race: $p")
     }
+    if (VanishingFs.armedFaults.remove(p.toUri.getPath))
+      // dir still exists — a permission/transient fault, NOT the vanish race
+      throw new java.io.IOException(s"simulated permission denied: $p")
     super.listStatus(p)
   }
 }
 object VanishingFs {
   private val armed =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private[store] val armedFaults =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
   def arm(path: String): Unit = armed.add(path)
+  def armFault(path: String): Unit = armedFaults.add(path)
   def armedEmpty: Boolean = armed.isEmpty
 }

@@ -41,6 +41,21 @@ class BpeSpec extends AnyFunSuite {
     assert(Bpe.train(docs, "text", numMerges = 6).merges == dist.merges)
   }
 
+  test("train's frequency floor drops hapax words before the top-k collect") {
+    // "zq" appears ONCE; with the default minCount=2 its (z,q) pair must
+    // not reach the merge loop — the floor is what keeps the top-k
+    // gatherer's input O(non-hapax vocab) instead of O(all distinct words)
+    // at corpus scale (round-8 verdict item). minCount=1 restores it.
+    val docs = Seq((1L, "low low low zq"), (2L, "low low")).toDF("doc_id", "text")
+    val floored = Bpe.train(docs, "text", numMerges = 8)
+    assert(floored.merges == Bpe.trainLocal(Seq(("low", 5L)), 8).merges)
+    assert(!floored.merges.contains(("z", "q")))
+    val unfloored = Bpe.train(docs, "text", numMerges = 8, minCount = 1L)
+    assert(unfloored.merges ==
+      Bpe.trainLocal(Seq(("low", 5L), ("zq", 1L)), 8).merges)
+    assert(unfloored.merges.contains(("z", "q")))
+  }
+
   test("encodeWord applies merges by rank; encode counts pieces per doc") {
     val m = Bpe.Model(Seq(("a", "a"), ("a", "b")))
     assert(Bpe.encodeWord("aaab", m) == Vector("aa", "ab"))
