@@ -3451,6 +3451,71 @@ object SparkEntry {
              |FROM nb JOIN cb USING (band, bucket)
              |ORDER BY id_new, id_corpus""".stripMargin)),
 
+    // Winnowing document fingerprints (MOSS): md5 k-gram hashes, min per
+    // sliding window of w hashes, distinct selected hashes per doc. Row-
+    // local array arithmetic — the plan has NO shuffle before the final
+    // distinct, and the fingerprint density (~2/(w+1)) is the index-size
+    // dial. Oracle replays the selection with a window-frame MIN over the
+    // exploded gram table — same md5, same boundary rule (docs with fewer
+    // than w grams yield one whole-doc window).
+    "dd_winnow" -> Q(
+      (s, d) => Dedup.winnowFingerprints(
+          T(s, d, "documents").filter(col("doc_id") < 300), "doc_id", "text",
+          k = 8, w = 4)
+        .select(col("id").as("doc_id"), col("fingerprint"))
+        .orderBy(col("doc_id"), col("fingerprint")),
+      Some("""WITH g AS (SELECT doc_id, i, md5(substr(text, CAST(i AS INT), 8)) AS h,
+             |    greatest(length(text) - 8 + 1, 0) AS ng
+             |  FROM (SELECT doc_id, text,
+             |          unnest(range(1, greatest(length(text) - 8, 0) + 2)) AS i
+             |        FROM documents WHERE doc_id < 300) t
+             |  WHERE i <= length(text) - 8 + 1),
+             |wm AS (SELECT doc_id, i, ng,
+             |    min(h) OVER (PARTITION BY doc_id ORDER BY i
+             |                 ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+             |  FROM g)
+             |SELECT DISTINCT doc_id, fp AS fingerprint FROM wm
+             |WHERE i <= greatest(ng - 4 + 1, 1)
+             |ORDER BY doc_id, fingerprint""".stripMargin)),
+
+    // SemDeDup-style semantic pruning: deterministic centroid seed (per-
+    // label decimal-exact means), nearest-centroid assignment (K×dim
+    // broadcast), pairwise cosine ONLY within a cluster, smaller-id
+    // survivor rule. The all-pairs term is Σ|cluster|², never n² — the
+    // property that survives a 1000× corpus. Oracle replays centroids,
+    // assignment, and within-cluster pairs relationally.
+    "dd_semdedup" -> Q(
+      (s, d) => Dedup.semanticDedup(
+          TestData.embeddings(s, d).filter(col("vec_id") =!= 0),
+          "vec_id", "embedding", "label", minCosine = 0.35)
+        .select(col("id").as("vec_id"), col("cluster"), col("max_sim"), col("kept"))
+        .orderBy(col("vec_id")),
+      Some("""WITH base AS (SELECT vec_id, label, embedding FROM embeddings WHERE vec_id <> 0),
+             |dimsl AS (SELECT label, vec_id, unnest(embedding)::DOUBLE AS x,
+             |            generate_subscripts(embedding, 1) AS i FROM base),
+             |cent AS (SELECT label AS cl, i,
+             |    round(CAST(sum(CAST(x AS DECIMAL(28,12))) AS DOUBLE) / count(*), 6) AS m
+             |  FROM dimsl GROUP BY label, i),
+             |asg AS (SELECT d.vec_id, c.cl,
+             |    SUM(d.x * c.m) / (SQRT(SUM(d.x * d.x)) * SQRT(SUM(c.m * c.m))) AS s
+             |  FROM dimsl d JOIN cent c ON d.i = c.i GROUP BY d.vec_id, c.cl),
+             |best AS (SELECT vec_id, cl AS cluster FROM (
+             |    SELECT vec_id, cl, row_number() OVER (
+             |      PARTITION BY vec_id ORDER BY round(s, 6) DESC, cl) AS rn FROM asg) t
+             |  WHERE rn = 1),
+             |bc AS (SELECT b.vec_id, b.embedding, t.cluster FROM base b JOIN best t USING (vec_id)),
+             |pd AS (SELECT a.vec_id AS ia, b.vec_id AS ib,
+             |    unnest(a.embedding)::DOUBLE AS x, unnest(b.embedding)::DOUBLE AS y
+             |  FROM bc a JOIN bc b ON a.cluster = b.cluster AND a.vec_id < b.vec_id),
+             |ps AS (SELECT ia, ib,
+             |    round(SUM(x*y) / (SQRT(SUM(x*x)) * SQRT(SUM(y*y))), 6) AS s
+             |  FROM pd GROUP BY ia, ib),
+             |ms AS (SELECT ib AS vec_id, max(s) AS max_sim FROM ps GROUP BY ib)
+             |SELECT c.vec_id, c.cluster, m.max_sim,
+             |  coalesce(m.max_sim, -1.0) < 0.35 AS kept
+             |FROM bc c LEFT JOIN ms m USING (vec_id)
+             |ORDER BY c.vec_id""".stripMargin)),
+
     // same clustering through the O(log d) large-star/small-star path —
     // the deep-component scale route, checked against the identical
     // recursive-CTE closure oracle

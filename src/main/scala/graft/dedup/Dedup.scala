@@ -687,4 +687,131 @@ object Dedup {
         (col("n_tokens") - coalesce(col("__n_kept"), lit(0L))).as("n_removed"),
         coalesce(col("__clean"), lit("")).as("clean_text"))
   }
+
+  // ── winnowing fingerprints (MOSS-style document fingerprinting) ──────────
+  /**
+   * Winnowing fingerprint selection (Schleimer/Wilkerson/Aiken, SIGMOD'03):
+   * hash every `k`-char gram of the text, slide a window of `w` consecutive
+   * gram hashes, keep the MINIMUM hash of each window, and emit the distinct
+   * selected hashes as the document's fingerprints. Guarantees every shared
+   * substring of length ≥ w+k-1 contributes at least one common fingerprint
+   * between two documents, while sampling only ~2/(w+1) of all gram hashes —
+   * the standard index-size/recall dial for plagiarism-style exact-overlap
+   * detection at corpus scale.
+   *
+   * Everything is row-local array arithmetic (sequence → transform → slice →
+   * array_min → array_distinct → explode): zero shuffles before the caller's
+   * own aggregation, whole-stage codegen, cost linear in text length × w.
+   * md5 keeps the hash engine-portable (the DuckDB oracle replays the exact
+   * selection with a window-function MIN); ties inside a window (identical
+   * md5 strings ⇒ identical grams) collapse under the distinct.
+   *
+   * Documents shorter than k chars have no grams and produce no rows; with
+   * fewer than `w` grams the whole doc is one window (min of all grams) —
+   * the winnowing paper's boundary behavior.
+   * Output: (id, fingerprint) distinct pairs.
+   */
+  def winnowFingerprints(df: DataFrame, idCol: String, textCol: String,
+                         k: Int = 8, w: Int = 4): DataFrame = {
+    require(k >= 2 && w >= 1, s"need k >= 2 and w >= 1, got k=$k w=$w")
+    val nGrams = length(col(textCol)) - k + 1
+    val hashes = transform(sequence(lit(1), nGrams),
+      i => md5(substring(col(textCol), i, lit(k))))
+    // bind the gram-hash array to a LAMBDA VARIABLE (single-element
+    // transform) so it is evaluated once per row — naming it through a
+    // projection alias lets CollapseProject inline it into the window
+    // lambda, where it would be recomputed per window: O(len²) md5 calls
+    // instead of O(len), a 20× wall-time difference measured at sf0.1
+    val fps = flatten(transform(array(hashes), h => {
+      val g = size(h)
+      transform(sequence(lit(1), greatest(g - w + 1, lit(1))),
+        j => array_min(slice(h, j, least(lit(w), g))))
+    }))
+    df.filter(nGrams >= 1)
+      .select(col(idCol).as("id"),
+        explode(array_distinct(fps)).as("fingerprint"))
+  }
+
+  // ── semantic dedup (SemDeDup-style centroid-bucketed cosine pruning) ─────
+  /**
+   * Semantic near-dup pruning in the SemDeDup shape (Abbas et al., 2023):
+   * cluster the embedding space, then compare pairs ONLY within a cluster
+   * and prune every vector that has a sufficiently-similar lower-id
+   * neighbor. The cluster step here is one deterministic Lloyd assignment
+   * seeded by the corpus' own `labelCol` partition (per-label centroid =
+   * decimal-exact per-dimension mean, so the seed is bit-stable across
+   * engines and partitionings); swapping in k-means iterations changes only
+   * the centroid table, not the shape of the plan.
+   *
+   * Scale argument: the all-pairs term is bounded by the largest cluster
+   * (Σ|cluster|² instead of n²), centroids are a K×dim broadcast, and the
+   * pairwise stage is one self-join on `cluster` with the codegen'd
+   * cosine expression — the exact structure that holds when n grows 1000×
+   * and K grows with it.
+   *
+   * Output: (id, cluster, max_sim, kept) — cluster = assigned centroid
+   * label, max_sim = highest cosine to a smaller-id cluster-mate (null if
+   * none), kept = no cluster-mate with smaller id reaches `minCosine`.
+   */
+  def semanticDedup(emb: DataFrame, idCol: String, vecCol: String,
+                    labelCol: String, minCosine: Double): DataFrame = {
+    // per-label centroid, decimal-exact sums (order-independent, so the
+    // seed centroids are reproducible bit-for-bit), rounded to 6dp like
+    // every cross-engine float surface in this battery
+    val cent = emb
+      .select(col(labelCol).as("__cl"), posexplode(col(vecCol)).as(Seq("__dim", "__x")))
+      .groupBy(col("__cl"), col("__dim"))
+      .agg((sum(col("__x").cast("decimal(28,12)")).cast("double") /
+        count(lit(1))).as("__m"))
+      .groupBy(col("__cl"))
+      .agg(transform(array_sort(collect_list(struct(col("__dim"), col("__m")))),
+        x => round(x.getField("__m"), 6)).as("__cvec"))
+    // nearest centroid by cosine: K×dim broadcast, ordered-fold arithmetic
+    // (aggregate over zip_with) so the per-(vec,centroid) score is a
+    // deterministic left-to-right sum in EVERY engine's replay. Norms are
+    // precomputed per vector and per centroid (they're invariant across the
+    // K×n cross product — recomputing them per pair tripled the interpreted
+    // higher-order-function work), and the vector side is hash-repartitioned
+    // on id first: a small parquet scan arrives in one partition, and the
+    // cross product would otherwise evaluate single-threaded
+    def dotD(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, v) => acc + v)
+    val centN = cent.withColumn("__cnorm", sqrt(dotD(col("__cvec"), col("__cvec"))))
+    val vd = transform(col(vecCol), x => x.cast("double"))
+    val scored = emb.select(col(idCol).as("id"), col(vecCol))
+      .repartition(col(idCol))
+      .withColumn("__vd", vd)
+      .withColumn("__vnorm", sqrt(dotD(col("__vd"), col("__vd"))))
+      .crossJoin(broadcast(centN))
+      .withColumn("__s", round(
+        dotD(col("__vd"), col("__cvec")) / (col("__vnorm") * col("__cnorm")), 6))
+    // argmax as a hash aggregate (max_by on (score, -cluster): highest
+    // score wins, ties to the LOWEST cluster id — same total order as a
+    // row_number window but without the rank exchange+sort). Pinned: the
+    // pairwise stage consumes it on BOTH sides of the self-join, and it is
+    // also the output's id/cluster spine — without the cache the
+    // crossJoin+argmax pipeline executes three times.
+    val assigned = scored
+      .groupBy(col("id"))
+      .agg(max_by(struct(col("__cl"), col(vecCol).as("__v")),
+        struct(col("__s"), (-col("__cl")).as("__negcl"))).as("__best"))
+      .select(col("id"), col("__best.__v").as(vecCol),
+        col("__best.__cl").as("cluster"))
+      .cache()
+    // within-cluster pairwise cosine (codegen'd expression, no dim
+    // explosion); a vector is pruned when a SMALLER-id cluster-mate is
+    // ≥ minCosine similar — the deterministic one-survivor-per-pair rule
+    GraftFunctions.register(emb.sparkSession)
+    val b = assigned.select(col("cluster"), col("id").as("__ib"),
+      col(vecCol).as("__vb"))
+    val sims = assigned.join(b, Seq("cluster"))
+      .filter(col("id") < col("__ib"))
+      .select(col("__ib").as("id"),
+        round(GraftFunctions.cosineSim(col(vecCol), col("__vb")), 6).as("__sim"))
+      .groupBy(col("id")).agg(max(col("__sim")).as("max_sim"))
+    assigned.select(col("id"), col("cluster"))
+      .join(sims, Seq("id"), "left")
+      .select(col("id"), col("cluster"), col("max_sim"),
+        (coalesce(col("max_sim"), lit(-1.0d)) < minCosine).as("kept"))
+  }
 }

@@ -85,12 +85,20 @@ object Graph {
       .unionByName(e.select(col("__dst").as("node"))).distinct().cache()
     val n = nodes.count().toDouble
     val outDeg = e.groupBy(col("__src").as("node")).agg(count(lit(1)).as("outdeg"))
-      .cache()
+    // out-degree is static — fold it into the edge list ONCE so each
+    // iteration joins the rank vector against a single cached relation
+    // instead of re-joining (edges ⋈ ranks ⋈ outDeg) every round. The cache
+    // is hash-partitioned on the join key (__src), so the per-iteration join
+    // shuffles only the rank side; at cluster scale the heavy edge relation
+    // never moves again after this one repartition.
+    val ew = e.join(outDeg.withColumnRenamed("node", "__src"), "__src")
+      .select(col("__src"), col("__dst"), col("outdeg"))
+      .repartition(col("__src")).cache()
     // sink set is STATIC (nodes with no out-edges) — computed once, so the
     // per-round dangling mass is a semi-join against it, not an anti-join
     // replanned every round
-    val sinks = nodes.join(outDeg.select(col("node")), Seq("node"), "left_anti")
-      .cache()
+    val sinks = nodes.join(ew.select(col("__src").as("node")), Seq("node"),
+      "left_anti").cache()
     var ranks = nodes.withColumn("rank", lit(1.0 / n)).cache()
     // ONE job per iteration: the aggregate that reads the dangling mass off
     // the freshly-built ranks also materializes their cache, so the next
@@ -117,8 +125,7 @@ object Graph {
     }
     var dangling = danglingOf(ranks)
     for (i <- 0 until iters) {
-      val contribs = e.join(ranks.withColumnRenamed("node", "__src"), "__src")
-        .join(outDeg.withColumnRenamed("node", "__src"), "__src")
+      val contribs = ew.join(ranks.withColumnRenamed("node", "__src"), "__src")
         .select(col("__dst").as("node"), (col("rank") / col("outdeg")).as("c"))
         .groupBy("node").agg(sum(col("c")).as("in_mass"))
       val rawRank = lit((1.0 - damping) / n) +
@@ -132,6 +139,7 @@ object Graph {
       ranks = next
     }
     sinks.unpersist(false)
+    ew.unpersist(false)
     ranks
   }
 

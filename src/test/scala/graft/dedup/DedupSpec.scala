@@ -335,4 +335,79 @@ class DedupSpec extends AnyFunSuite {
     assert(out(2L) == ((2L, 8L, 8L, "")))
     assert(out(3L) == ((3L, 13L, 8L, "and a unique tail end")))
   }
+
+  test("winnowFingerprints: matches a driver-side winnowing replay") {
+    val k = 4; val w = 3
+    val texts = Seq((1L, "abcdefghijabcdefghij"), (2L, "abcdefgh"), (3L, "zzzzz"))
+    // driver replay: md5 of every k-gram, min per window of w, distinct
+    def md5Hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    val expect = texts.flatMap { case (id, t) =>
+      val hashes = (0 to t.length - k).map(i => md5Hex(t.substring(i, i + k)))
+      val wins =
+        if (hashes.size <= w) Seq(hashes.min)
+        else hashes.sliding(w).map(_.min).toSeq
+      wins.distinct.map(id -> _)
+    }.toSet
+    val got = Dedup.winnowFingerprints(texts.toDF("doc_id", "text"),
+        "doc_id", "text", k, w)
+      .as[(Long, String)].collect().toSet
+    assert(got == expect)
+  }
+
+  test("winnowFingerprints: shared long substring ⇒ shared fingerprint; " +
+       "sub-k docs vanish") {
+    val k = 5; val w = 4
+    val shared = "a common duplicated sentence fragment"
+    val corpus = Seq(
+      (1L, s"prefix one $shared suffix alpha"),
+      (2L, s"other beginning $shared different tail"),
+      (3L, "entirely unrelated text with nothing in common at all"),
+      (4L, "tiny") // shorter than k: no grams, no rows
+    ).toDF("doc_id", "text")
+    val fp = Dedup.winnowFingerprints(corpus, "doc_id", "text", k, w)
+      .as[(Long, String)].collect().toSeq
+    val byDoc = fp.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    // winnowing guarantee: any shared substring of length ≥ w+k-1 shares ≥ 1
+    // selected fingerprint
+    assert((byDoc(1L) & byDoc(2L)).nonEmpty)
+    assert(!byDoc.contains(4L))
+  }
+
+  test("semanticDedup: near-identical vectors in one cluster prune to the min id") {
+    def v(xs: Double*) = xs.map(_.toFloat).toArray
+    val emb = Seq(
+      (1L, v(1.0, 0.0, 0.0, 0.0), 0),
+      (2L, v(0.999, 0.01, 0.0, 0.0), 0),  // ~dup of 1 → pruned
+      (3L, v(0.0, 1.0, 0.0, 0.0), 1),
+      (4L, v(-0.02, 0.998, 0.0, 0.0), 1), // ~dup of 3 → pruned
+      (5L, v(0.0, 0.0, 1.0, 0.0), 2)      // alone in its cluster → kept
+    ).toDF("vec_id", "embedding", "label")
+    val out = Dedup.semanticDedup(emb, "vec_id", "embedding", "label",
+        minCosine = 0.95)
+      .select("id", "cluster", "kept")
+      .as[(Long, Int, Boolean)].collect().map(r => r._1 -> r).toMap
+    assert(out(1L)._3 && !out(2L)._3, "vec 2 prunes against smaller-id 1")
+    assert(out(3L)._3 && !out(4L)._3, "vec 4 prunes against smaller-id 3")
+    assert(out(5L)._3, "singleton cluster keeps its only member")
+    assert(out(1L)._2 == out(2L)._2 && out(3L)._2 == out(4L)._2)
+    assert(out(1L)._2 != out(3L)._2)
+  }
+
+  test("semanticDedup: assignment follows the nearest centroid, not the input label") {
+    def v(xs: Double*) = xs.map(_.toFloat).toArray
+    // vec 4 is labeled 1 but sits on cluster 0's axis — nearest-centroid
+    // assignment must move it (the label is only the centroid SEED)
+    val emb = Seq(
+      (1L, v(1.0, 0.0), 0),
+      (2L, v(0.98, 0.05), 0),
+      (3L, v(0.0, 1.0), 1),
+      (4L, v(1.0, 0.02), 1)
+    ).toDF("vec_id", "embedding", "label")
+    val out = Dedup.semanticDedup(emb, "vec_id", "embedding", "label",
+        minCosine = 0.99)
+      .select("id", "cluster").as[(Long, Int)].collect().toMap
+    assert(out(4L) == out(1L) && out(4L) != out(3L))
+  }
 }
