@@ -252,4 +252,29 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("LeftAnti"), p)                // coverage is subtracted, not re-joined
     assert(!p.toLowerCase.contains("no partition defined"), p) // no global window
   }
+
+  test("dd_winnow: fingerprint selection is row-local — no join, no window, " +
+       "one exchange (the final distinct)") {
+    val p = planOf("dd_winnow")
+    assert(!p.contains("Join"), p)     // selection never pairs documents
+    assert(!p.contains("WindowExec"), p)
+    // only the distinct (and the orderBy range exchange above it) shuffle;
+    // the md5/array pipeline itself must stay inside projections
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 1, p)
+  }
+
+  test("dd_semdedup: the only nested-loop is the K-centroid broadcast cross; " +
+       "the pairwise stage stays an equi-join keyed on cluster") {
+    val p = planOf("dd_semdedup")
+    assert(!p.contains("CartesianProduct"), p)
+    // every nested-loop occurrence must be the deliberate broadcast cross
+    // against the tiny centroid table (the cached assignment subtree prints
+    // once per consumer, so count lines, check their shape)
+    val bnlj = p.linesIterator.filter(_.contains("BroadcastNestedLoopJoin")).toSeq
+    assert(bnlj.nonEmpty && bnlj.forall(_.contains("BuildRight, Cross")), p)
+    // the quadratic candidate stage must be KEYED on cluster (equi-join with
+    // the id inequality as residual), never an unkeyed product
+    assert("""Join \[cluster#\d+\], \[cluster#\d+\], Inner""".r
+      .findFirstIn(p).isDefined, p)
+  }
 }
