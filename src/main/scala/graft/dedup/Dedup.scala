@@ -656,8 +656,12 @@ object Dedup {
                         w: Int = 20, minDf: Int = 2): DataFrame = {
     require(w >= 2 && minDf >= 2, s"need w >= 2 and minDf >= 2, got w=$w minDf=$minDf")
     val toksC = graft.text.TextAnalysis.tokens(col(textCol))
+    // spread an undersplit scan before the stride-1 window explode — the
+    // tokenize+md5 stage is the CPU bulk of this operator and must
+    // parallelize even when the corpus arrives as one small file
+    val spread = graft.text.TextAnalysis.spreadIfUndersplit(df, col(idCol))
     // 1-based window starts, stride 1; sub-w docs have no w-token span
-    val wins = df.select(col(idCol).as("__id"), toksC.as("__toks"))
+    val wins = spread.select(col(idCol).as("__id"), toksC.as("__toks"))
       .filter(size(col("__toks")) >= w)
       .select(col("__id"),
         explode(transform(
@@ -672,7 +676,7 @@ object Dedup {
       .select(col("__id"),
         explode(sequence(col("__start"), col("__start") + w - 1)).as("__pos"))
       .distinct()
-    val toksPos = df
+    val toksPos = spread
       .select(col(idCol).as("__id"), posexplode(toksC).as(Seq("__p0", "__tok")))
       .select(col("__id"), (col("__p0") + 1).as("__pos"), col("__tok"))
     val rebuilt = toksPos.join(covered, Seq("__id", "__pos"), "left_anti")
@@ -779,7 +783,10 @@ object Dedup {
     val centN = cent.withColumn("__cnorm", sqrt(dotD(col("__cvec"), col("__cvec"))))
     val vd = transform(col(vecCol), x => x.cast("double"))
     val scored = emb.select(col(idCol).as("id"), col(vecCol))
-      .repartition(col(idCol))
+      // explicit N: a bare repartition(key) is AQE-coalescible by shuffle
+      // BYTES, and a few MB of vectors collapse to one partition — leaving
+      // the K×n interpreted dot-product stage single-threaded
+      .repartition(emb.sparkSession.sparkContext.defaultParallelism, col(idCol))
       .withColumn("__vd", vd)
       .withColumn("__vnorm", sqrt(dotD(col("__vd"), col("__vd"))))
       .crossJoin(broadcast(centN))

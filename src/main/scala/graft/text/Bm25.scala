@@ -92,8 +92,11 @@ object Bm25 {
    */
   def buildIndex(df: DataFrame, idCol: String, textCol: String,
                  base: String, nBuckets: Int = 64): Unit = {
-    val withLen = df.select(col(idCol).as("doc_id"),
-      TextAnalysis.tokens(col(textCol)).as("toks"))
+    // spread an undersplit scan first: the tokenize+explode below is the
+    // CPU bulk of the index build (see TextAnalysis.spreadIfUndersplit)
+    val withLen = TextAnalysis.spreadIfUndersplit(df, col(idCol))
+      .select(col(idCol).as("doc_id"),
+        TextAnalysis.tokens(col(textCol)).as("toks"))
       .withColumn("len", size(col("toks")))
     withLen.agg(count(lit(1)).as("n_docs"), avg(col("len")).as("avg_len"),
         lit(nBuckets).as("n_buckets"))

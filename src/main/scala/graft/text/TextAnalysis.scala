@@ -19,6 +19,27 @@ object TextAnalysis {
   def tokens(text: Column): Column =
     filter(split(text, "\\s+"), t => length(t) > 0)
 
+  /**
+   * Normalize an undersplit input ahead of CPU-heavy per-row work: when the
+   * frame has fewer partitions than half the cluster's cores, hash-spread
+   * it on `key` so tokenize/explode stages parallelize. On a real 100 TB
+   * scan the file splits already exceed the core count and this is the
+   * identity — the guard exists because a SMALL parquet file arrives as one
+   * split, and a single-task regex/explode stage was measured 2.2× slower
+   * than the spread run on 32 local cores (ta_boilerplate, sf0.1).
+   */
+  private[graft] def spreadIfUndersplit(df: DataFrame, key: Column): DataFrame = {
+    val cores = df.sparkSession.sparkContext.defaultParallelism
+    // EXPLICIT partition count, deliberately: a bare repartition(key) is
+    // REPARTITION_BY_COL, which AQE coalesces by shuffle BYTES — a 1.5 MB
+    // text shuffle collapses right back to one partition, and the explode
+    // that multiplies work per row downstream stays single-threaded (the
+    // exact pathology this helper exists to fix; measured 3.6 s vs 0.7 s
+    // on the boilerplate gram stage). Byte-blind coalescing is wrong
+    // whenever per-row CPU, not bytes, is the cost.
+    if (df.rdd.getNumPartitions * 2 < cores) df.repartition(cores, key) else df
+  }
+
   /** Whitespace token count. */
   def tokenCount(text: Column): Column = size(tokens(text))
 
@@ -263,10 +284,14 @@ object TextAnalysis {
     // one explicit shuffle on (source, gram) serves BOTH the per-doc
     // occurrence aggregate (partitioning on a subset of its group keys
     // satisfies its distribution) and the df window — the gram strings
-    // cross the wire exactly once
-    val tf = df.select(col(idCol), col(sourceCol),
+    // cross the wire exactly once. The scan is spread first when the file
+    // arrives undersplit: the tokenize+explode is the CPU-heavy stage and
+    // must not run in one task (see spreadIfUndersplit).
+    val tf = spreadIfUndersplit(df, col(idCol))
+      .select(col(idCol), col(sourceCol),
         explode(wordGrams(col(textCol), n)).as("gram"))
-      .repartition(col(sourceCol), col("gram"))
+      .repartition(df.sparkSession.sparkContext.defaultParallelism,
+        col(sourceCol), col("gram"))
       .groupBy(col(idCol), col(sourceCol), col("gram"))
       .agg(count(lit(1)).as("__tf"))
     val perDoc = tf
@@ -294,8 +319,13 @@ object TextAnalysis {
    * Returns (idCol, n_tokens, entropy), docs with ≥1 token.
    */
   def tokenEntropy(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    df.select(col(idCol), explode(tokens(col(textCol))).as("tok"))
-      .repartition(col(idCol))
+    // repartition the TEXT (one row per doc) before the explode, not the
+    // token stream after it: same single shuffle serving both aggregates
+    // (hashpartitioning(id) clusters (id, tok) too), but it moves corpus
+    // bytes once instead of per-token AND the tokenize+explode stage
+    // parallelizes even when the file arrives as one split
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism, col(idCol))
+      .select(col(idCol), explode(tokens(col(textCol))).as("tok"))
       .groupBy(col(idCol), col("tok")).agg(count(lit(1)).as("__c"))
       .groupBy(col(idCol))
       .agg(sum(col("__c")).as("n_tokens"),
