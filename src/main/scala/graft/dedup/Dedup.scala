@@ -39,6 +39,11 @@ object Dedup {
   // ── shingles ─────────────────────────────────────────────────────────────
   /** Distinct character n-gram shingles per document (1 row per shingle). */
   def shingles(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    // NOT spread-normalized: callers mostly shingle SMALL filtered slices
+    // (the LSH queries cap the corpus), where an extra exchange costs more
+    // than the single-task explode saves — measured neutral-to-negative at
+    // sf0.1. Heavy whole-corpus gram paths (boilerplate, span removal) do
+    // spread; see TextAnalysis.spreadIfUndersplit.
     df.select(col(idCol),
         explode(transform(
           sequence(lit(0), greatest(length(col(textCol)) - n, lit(0))),

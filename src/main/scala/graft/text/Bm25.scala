@@ -92,11 +92,13 @@ object Bm25 {
    */
   def buildIndex(df: DataFrame, idCol: String, textCol: String,
                  base: String, nBuckets: Int = 64): Unit = {
-    // spread an undersplit scan first: the tokenize+explode below is the
-    // CPU bulk of the index build (see TextAnalysis.spreadIfUndersplit)
-    val withLen = TextAnalysis.spreadIfUndersplit(df, col(idCol))
-      .select(col(idCol).as("doc_id"),
-        TextAnalysis.tokens(col(textCol)).as("toks"))
+    // NOT spread-normalized: withLen is consumed by TWO actions (stats
+    // write, postings write), so an added exchange executes twice and
+    // costs more than the single-task tokenize saves (measured +0.5 s at
+    // sf0.1); the postings write's own repartition provides downstream
+    // parallelism
+    val withLen = df.select(col(idCol).as("doc_id"),
+      TextAnalysis.tokens(col(textCol)).as("toks"))
       .withColumn("len", size(col("toks")))
     withLen.agg(count(lit(1)).as("n_docs"), avg(col("len")).as("avg_len"),
         lit(nBuckets).as("n_buckets"))
