@@ -449,9 +449,12 @@ object Dedup {
           least(col("cluster"), coalesce(col("nbr_min"), col("cluster"))).as("cluster"))
       // truncate lineage EVERY round: the round plan references `labels`
       // twice, so the analyzed tree doubles per round — with sparse
-      // truncation Catalyst analysis (not execution) dominated the loop
-      val next = next0.localCheckpoint(true)
-      val s = labelSum(next) // `next` is already materialized, parent can go
+      // truncation Catalyst analysis (not execution) dominated the loop.
+      // LAZY checkpoint: the labelSum aggregate materializes it, ONE job
+      // per round instead of two (single-JVM local mode — no executor-loss
+      // caveat for lazy local checkpoints)
+      val next = next0.localCheckpoint(false)
+      val s = labelSum(next) // materializes `next`, parent can go
       labels.unpersist(false) // no-op on the uncached round-0 frame
       converged = s.compareTo(prevSum) == 0
       prevSum = s
@@ -532,8 +535,11 @@ object Dedup {
       // ~4 times, so one round grows the analyzed tree ~16x — with sparser
       // truncation Catalyst ANALYSIS dominated wall time (measured 6 s+
       // per round on a 42-edge graph); per-round localCheckpoint keeps the
-      // tree constant-size and the loop ~1 s/round
-      val next = next0.localCheckpoint(true)
+      // tree constant-size and the loop ~1 s/round. LAZY checkpoint: the
+      // sig() aggregate right below materializes it, so each round runs
+      // ONE job instead of two (single-JVM local mode — no executor-loss
+      // caveat for lazy local checkpoints here)
+      val next = next0.localCheckpoint(false)
       val s = sig(next)
       edges.unpersist(false)
       converged = s == prev

@@ -39,6 +39,7 @@ object Graph {
     val e = edges.select(col(srcCol).as("__src"), col(dstCol).as("__dst")).cache()
     var visited = start.select(col(startCol).as("node")).distinct()
       .withColumn("hops", lit(0)).cache()
+    var visitedCount = visited.count()
     var frontier = visited
     var hop = 0
     var done = false
@@ -49,15 +50,21 @@ object Graph {
         .join(visited.select("node"), Seq("node"), "left_anti")
         .withColumn("hops", lit(hop))
         .cache()
-      done = next.isEmpty // materializes `next`
+      // ONE action per hop: counting the union materializes BOTH caches
+      // (the union consumes `next`, populating its blocks for the next
+      // round's frontier), and an unchanged count IS the emptiness test —
+      // the separate isEmpty probe job was half of every hop's latency
+      val nextVisited = visited.unionByName(next).cache()
+      val newCount = nextVisited.count()
+      done = newCount == visitedCount
       if (!done) {
-        val nextVisited = visited.unionByName(next).cache()
-        nextVisited.count()
         visited.unpersist(false)
         frontier.unpersist(false)
         visited = nextVisited
+        visitedCount = newCount
         frontier = next
       } else {
+        nextVisited.unpersist(false)
         next.unpersist(false)
       }
     }
