@@ -250,4 +250,23 @@ class TextAnalysisSpec extends AnyFunSuite {
     val n = "Exchange hashpartitioning\\(w1".r.findAllIn(plan).size
     assert(n == 1, s"expected the windows to share one w1 exchange, got $n:\n$plan")
   }
+
+  test("spreadIfUndersplit: repartitions a 1-split frame to an EXPLICIT core " +
+       "count (AQE-proof); identity on a well-split frame") {
+    val cores = spark.sparkContext.defaultParallelism
+    val narrow = Seq((1L, "a"), (2L, "b")).toDF("id", "text").coalesce(1)
+    val spread = TextAnalysis.spreadIfUndersplit(narrow, col("id"))
+    // explicit-N RepartitionByExpression: numPartitions is pinned in the
+    // plan, so AQE cannot coalesce the exchange back to one partition by
+    // byte size (the round-9 trap: REPARTITION_BY_COL without N collapsed
+    // every small text shuffle to a single task)
+    val analyzed = spread.queryExecution.analyzed.toString
+    assert(analyzed.contains("RepartitionByExpression [id") &&
+      analyzed.contains(s"], $cores"), analyzed)
+    assert(spread.rdd.getNumPartitions == cores)
+    val wide = Seq.tabulate(64)(i => (i.toLong, "x")).toDF("id", "text")
+      .repartition(cores)
+    assert(TextAnalysis.spreadIfUndersplit(wide, col("id")) eq wide,
+      "a frame with >= cores/2 partitions must pass through untouched")
+  }
 }
