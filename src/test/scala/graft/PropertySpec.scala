@@ -164,4 +164,30 @@ class PropertySpec extends AnyFunSuite {
     }.toSet
     assert(got == want, s"merged=${got.toSeq.sorted} expected=${want.toSeq.sorted}")
   }
+
+  test("property: winnowing guarantee — docs sharing a substring of length " +
+       "≥ w+k-1 share at least one fingerprint") {
+    val k = 5; val w = 4
+    val charGen = Gen.oneOf(('a' to 'f') :+ ' ')
+    def textGen(n: Int): Gen[String] = Gen.listOfN(n, charGen).map(_.mkString)
+    // planted: a shared core of exactly w+k-1 chars inside random flanks —
+    // the TIGHT bound of the winnowing theorem (Schleimer et al. §3)
+    val cases = samples(for {
+      core <- textGen(w + k - 1)
+      l1 <- textGen(8); r1 <- textGen(8)
+      l2 <- textGen(8); r2 <- textGen(8)
+    } yield (l1 + core + r1, l2 + core + r2), 100)
+    val df = cases.zipWithIndex
+      .flatMap { case ((t1, t2), i) => Seq((i * 2L, t1), (i * 2L + 1, t2)) }
+      .toDF("doc_id", "text")
+    val fps = graft.dedup.Dedup.winnowFingerprints(df, "doc_id", "text", k, w)
+      .as[(Long, String)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    cases.indices.foreach { i =>
+      val (a, b) = (fps.getOrElse(i * 2L, Set.empty), fps.getOrElse(i * 2L + 1, Set.empty))
+      assert((a & b).nonEmpty,
+        s"case $i: shared ${w + k - 1}-char substring produced no common fingerprint\n" +
+          s"doc ${i * 2}: ${cases(i)._1}\ndoc ${i * 2 + 1}: ${cases(i)._2}")
+    }
+  }
 }
