@@ -767,6 +767,10 @@ object Dedup {
    * Output: (id, cluster, max_sim, kept) — cluster = assigned centroid
    * label, max_sim = highest cosine to a smaller-id cluster-mate (null if
    * none), kept = no cluster-mate with smaller id reaches `minCosine`.
+   *
+   * The assignment table is cached for the plan's lifetime (same contract
+   * as [[simhashNearDup]]: Spark evicts LRU under pressure; sessions
+   * running many passes should `spark.catalog.clearCache()` between them).
    */
   def semanticDedup(emb: DataFrame, idCol: String, vecCol: String,
                     labelCol: String, minCosine: Double): DataFrame = {
