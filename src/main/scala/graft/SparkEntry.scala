@@ -3478,6 +3478,40 @@ object SparkEntry {
              |WHERE i <= greatest(ng - 4 + 1, 1)
              |ORDER BY doc_id, fingerprint""".stripMargin)),
 
+    // winnow fingerprints → candidate PAIRS (the detection half of the
+    // winnow path, structurally the LSH-pairs shape): join only on the
+    // selected fingerprint, maxDf caps boilerplate buckets, ≥ minShared
+    // filters incidental single-gram collisions. k=20/w=10 chosen where
+    // the pair set is discriminative on this corpus (27 of 44k possible
+    // pairs at sf0.01), not all-pairs as char-8 grams would be.
+    "dd_winnow_pairs" -> Q(
+      (s, d) => Dedup.winnowCandidatePairs(
+          T(s, d, "documents").filter(col("doc_id") < 300), "doc_id", "text",
+          k = 20, w = 10, minShared = 2, maxDf = 10)
+        .orderBy(col("id_a"), col("id_b")),
+      Some("""WITH g AS (SELECT doc_id, i, md5(substr(text, CAST(i AS INT), 20)) AS h,
+             |    greatest(length(text) - 20 + 1, 0) AS ng
+             |  FROM (SELECT doc_id, text,
+             |          unnest(range(1, greatest(length(text) - 20, 0) + 2)) AS i
+             |        FROM documents WHERE doc_id < 300) t
+             |  WHERE i <= length(text) - 20 + 1),
+             |wm AS (SELECT doc_id, i, ng,
+             |    min(h) OVER (PARTITION BY doc_id ORDER BY i
+             |                 ROWS BETWEEN CURRENT ROW AND 9 FOLLOWING) AS fp
+             |  FROM g),
+             |fps AS (SELECT DISTINCT doc_id, fp FROM wm
+             |        WHERE i <= greatest(ng - 10 + 1, 1)),
+             |bounded AS (SELECT doc_id, fp FROM (
+             |    SELECT doc_id, fp, count(*) OVER (PARTITION BY fp) AS df
+             |    FROM fps) t WHERE df <= 10),
+             |pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             |    count(*) AS shared_fps
+             |  FROM bounded a JOIN bounded b
+             |    ON a.fp = b.fp AND a.doc_id < b.doc_id
+             |  GROUP BY 1, 2)
+             |SELECT id_a, id_b, shared_fps FROM pairs
+             |WHERE shared_fps >= 2 ORDER BY id_a, id_b""".stripMargin)),
+
     // SemDeDup-style semantic pruning: deterministic centroid seed (per-
     // label decimal-exact means), nearest-centroid assignment (K×dim
     // broadcast), pairwise cosine ONLY within a cluster, smaller-id

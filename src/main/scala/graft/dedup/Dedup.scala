@@ -747,6 +747,35 @@ object Dedup {
         explode(array_distinct(fps)).as("fingerprint"))
   }
 
+  /**
+   * Candidate pairs from shared winnowing fingerprints — the detection half
+   * of the winnow path (fingerprints → pairs), same structure as
+   * [[lshCandidatePairs]]: join ONLY on the fingerprint (never all-pairs),
+   * count shared selections per pair, keep pairs with ≥ `minShared`. A
+   * `maxDf` cap drops fingerprints selected in more than that many docs
+   * before the self-join — boilerplate grams would otherwise create a
+   * quadratic hot bucket (identical reasoning to [[sharedSpanPairs]]).
+   * Output: (id_a, id_b, shared_fps), id_a < id_b.
+   */
+  def winnowCandidatePairs(df: DataFrame, idCol: String, textCol: String,
+                           k: Int = 8, w: Int = 4, minShared: Int = 2,
+                           maxDf: Int = 50): DataFrame = {
+    require(minShared >= 1 && maxDf >= 2,
+      s"need minShared >= 1 and maxDf >= 2, got minShared=$minShared maxDf=$maxDf")
+    import org.apache.spark.sql.expressions.Window
+    val fps = winnowFingerprints(df, idCol, textCol, k, w)
+    val bounded = fps
+      .withColumn("__df", count(lit(1)).over(Window.partitionBy(col("fingerprint"))))
+      .filter(col("__df") <= maxDf).drop("__df")
+    bounded.join(bounded.select(col("fingerprint"), col("id").as("__b")),
+        Seq("fingerprint"))
+      .filter(col("id") < col("__b"))
+      .groupBy(col("id"), col("__b"))
+      .agg(count(lit(1)).as("shared_fps"))
+      .filter(col("shared_fps") >= minShared)
+      .select(col("id").as("id_a"), col("__b").as("id_b"), col("shared_fps"))
+  }
+
   // ── semantic dedup (SemDeDup-style centroid-bucketed cosine pruning) ─────
   /**
    * Semantic near-dup pruning in the SemDeDup shape (Abbas et al., 2023):

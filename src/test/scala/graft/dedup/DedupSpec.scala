@@ -375,6 +375,25 @@ class DedupSpec extends AnyFunSuite {
     assert(!byDoc.contains(4L))
   }
 
+  test("winnowCandidatePairs: near-dup docs pair up, unrelated don't; " +
+       "boilerplate fingerprints capped by maxDf") {
+    val shared = "a long enough duplicated passage that winnowing must catch"
+    val boiler = "standard footer line"
+    val corpus = Seq(
+      (1L, s"alpha intro $shared and some tail $boiler"),
+      (2L, s"beta opening $shared different ending $boiler"),
+      (3L, s"gamma unrelated body text with nothing repeated $boiler"),
+      (4L, s"delta fully distinct prose about other things $boiler")
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.winnowCandidatePairs(corpus, "doc_id", "text",
+        k = 8, w = 4, minShared = 2, maxDf = 3)
+      .as[(Long, Long, Long)].collect().map(r => (r._1, r._2)).toSet
+    assert(pairs.contains((1L, 2L)), s"shared passage must pair 1-2, got $pairs")
+    // the footer appears in ALL FOUR docs — over maxDf=3, so it alone must
+    // not create pairs among the otherwise-unrelated docs
+    assert(!pairs.contains((3L, 4L)), s"boilerplate-only pair leaked: $pairs")
+  }
+
   test("semanticDedup: near-identical vectors in one cluster prune to the min id") {
     def v(xs: Double*) = xs.map(_.toFloat).toArray
     val emb = Seq(
