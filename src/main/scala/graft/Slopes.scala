@@ -54,7 +54,7 @@ object Slopes {
     val root = sys.env.getOrElse("SPARK_GRAFT_TESTDATA", "/root/testdata")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val sfDirs: Seq[(Double, String)] =
-      new java.io.File(root).listFiles().toSeq
+      Option(new java.io.File(root).listFiles()).getOrElse(Array.empty[java.io.File]).toSeq
         .filter(_.isDirectory)
         .flatMap { d =>
           """^sf([0-9.]+)$""".r.findFirstMatchIn(d.getName)

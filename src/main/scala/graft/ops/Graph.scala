@@ -100,7 +100,7 @@ object Graph {
     // never moves again after this one repartition.
     val ew = e.join(outDeg.withColumnRenamed("node", "__src"), "__src")
       .select(col("__src"), col("__dst"), col("outdeg"))
-      .repartition(col("__src")).cache()
+      .repartition(e.sparkSession.sparkContext.defaultParallelism, col("__src")).cache()
     // sink set is STATIC (nodes with no out-edges) — computed once, so the
     // per-round dangling mass is a semi-join against it, not an anti-join
     // replanned every round
