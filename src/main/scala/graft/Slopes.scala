@@ -35,7 +35,8 @@ object Slopes {
     // exact hash-groups, n-gram jaccard, span fingerprints
     "dd_minhash_signature", "dd_lsh_candidates", "dd_simhash_neardup",
     "dd_exact_groups", "dd_ngram_jaccard", "dd_span_removal",
-    "dd_cluster_labels", "dd_winnow", "dd_semdedup",
+    "dd_cluster_labels", "dd_winnow", "dd_winnow_pairs", "dd_winnow_survivors",
+    "dd_semdedup",
     // vector family: brute-force knn vs the three index paths
     "v3_knn_cosine", "v3_ann_knn", "v3_ivf_knn", "v3_pq_knn",
     // text analysis: language id, bm25 index build, quality gate, boilerplate
@@ -46,7 +47,7 @@ object Slopes {
     "g1_khop_reachability", "g3_pagerank",
     // curation + end-to-end pipelines over documents
     "cu_pack_sequences", "cu_token_budget", "pipeline_dataprep",
-    "pipeline_pretraining",
+    "pipeline_pretraining", "pipeline_neardup_pretraining",
     // profiling + json/event path
     "dq_profile", "f10_json_extract", "t5_hourly_rollup")
 

@@ -3512,6 +3512,57 @@ object SparkEntry {
              |SELECT id_a, id_b, shared_fps FROM pairs
              |WHERE shared_fps >= 2 ORDER BY id_a, id_b""".stripMargin)),
 
+    // winnow pairs → connected components → SURVIVORS: the full winnow-
+    // family reduction mirroring dd_cluster_survivors (the minhash capstone):
+    // fingerprint-blocked pairs, min-label components, longest-text winner
+    // per cluster (ties to min id). Every stage re-uses the proven pieces —
+    // winnowCandidatePairs (fingerprint join, maxDf cap), connectedComponents
+    // (per-round lineage truncation), dedupByCluster — so the scale argument
+    // is the composition of their individual ones: no all-pairs term, joins
+    // only on fingerprint / node id. Oracle closes the identical md5 winnow
+    // pairs with the recursive-CTE pattern, then picks the same winner.
+    "dd_winnow_survivors" -> Q(
+      (s, d) => {
+        val docs = T(s, d, "documents").filter(col("doc_id") < 300)
+        val pairs = Dedup.winnowCandidatePairs(docs, "doc_id", "text",
+          k = 20, w = 10, minShared = 2, maxDf = 10)
+        val labels = Dedup.connectedComponents(pairs, docs.select(col("doc_id")), "doc_id")
+        Dedup.dedupByCluster(docs, labels, "doc_id", length(col("text")))
+          .select(col("doc_id"), col("cluster"), length(col("text")).as("text_len"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH RECURSIVE g AS (SELECT doc_id, i, md5(substr(text, CAST(i AS INT), 20)) AS h,
+             |    greatest(length(text) - 20 + 1, 0) AS ng
+             |  FROM (SELECT doc_id, text,
+             |          unnest(range(1, greatest(length(text) - 20, 0) + 2)) AS i
+             |        FROM documents WHERE doc_id < 300) t
+             |  WHERE i <= length(text) - 20 + 1),
+             |wm AS (SELECT doc_id, i, ng,
+             |    min(h) OVER (PARTITION BY doc_id ORDER BY i
+             |                 ROWS BETWEEN CURRENT ROW AND 9 FOLLOWING) AS fp
+             |  FROM g),
+             |fps AS (SELECT DISTINCT doc_id, fp FROM wm
+             |        WHERE i <= greatest(ng - 10 + 1, 1)),
+             |bounded AS (SELECT doc_id, fp FROM (
+             |    SELECT doc_id, fp, count(*) OVER (PARTITION BY fp) AS df
+             |    FROM fps) t WHERE df <= 10),
+             |pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared_fps
+             |  FROM bounded a JOIN bounded b
+             |    ON a.fp = b.fp AND a.doc_id < b.doc_id
+             |  GROUP BY 1, 2 HAVING count(*) >= 2),
+             |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+             |          UNION SELECT id_b, id_a FROM pairs),
+             |r AS (SELECT doc_id AS id, doc_id AS m FROM documents WHERE doc_id < 300
+             |      UNION
+             |      SELECT e.src, r.m FROM edges e JOIN r ON e.dst = r.id),
+             |lbl AS (SELECT id AS doc_id, min(m) AS cluster FROM r GROUP BY id),
+             |ranked AS (SELECT d.doc_id, l.cluster, length(d.text) AS text_len,
+             |    row_number() OVER (PARTITION BY l.cluster
+             |                       ORDER BY length(d.text) DESC, d.doc_id) AS rn
+             |  FROM documents d JOIN lbl l ON d.doc_id = l.doc_id WHERE d.doc_id < 300)
+             |SELECT doc_id, cluster, CAST(text_len AS INT) AS text_len
+             |FROM ranked WHERE rn = 1 ORDER BY doc_id""".stripMargin)),
+
     // SemDeDup-style semantic pruning: deterministic centroid seed (per-
     // label decimal-exact means), nearest-centroid assignment (K×dim
     // broadcast), pairwise cosine ONLY within a cluster, smaller-id
@@ -4264,6 +4315,101 @@ object SparkEntry {
              |mixed AS (SELECT s.* FROM surv s JOIN r USING (source)
              |          WHERE CAST('0x' || substr(md5('temp|' || s.doc_id), 1, 15) AS BIGINT)
              |            % 10000 / 10000.0 < r.keep_rate),
+             |sp AS (SELECT *, CASE WHEN u < 0.9 THEN 'train'
+             |                      WHEN u < 0.95 THEN 'val'
+             |                      ELSE 'test' END AS split
+             |       FROM (SELECT m.*, CAST('0x' || substr(md5('split|' || doc_id), 1, 15) AS BIGINT)
+             |               % 10000 / 10000.0 AS u FROM mixed m))
+             |SELECT split, source, count(*) AS n_docs,
+             |  CAST(sum(len(list_filter(regexp_split_to_array(text, '\\s+'),
+             |                           x -> length(x) > 0))) AS BIGINT) AS n_tokens
+             |FROM sp GROUP BY 1, 2 ORDER BY split, source""".stripMargin)),
+
+    // CAPSTONE (near-dup-aware): the pretraining pipeline with its dedup
+    // stage upgraded from exact-text to the full near-dup reduction — the
+    // dedup a real corpus-curation run uses (minhash → banded LSH pairs →
+    // connected components → longest-text survivor per cluster), chained
+    // BEFORE the temperature mix and split. Same gates and downstream
+    // stages as pipeline_pretraining, so diffing the two shows exactly what
+    // near-dup awareness removes. Composition of proven pieces: LSH join
+    // only on (band, bucket) — never all-pairs — and min-label components
+    // with per-round lineage truncation; scale argument is the sum of the
+    // stages' individual ones (SCALE.md dedup section). Oracle replays the
+    // whole cascade, closing the identical md5 LSH pairs with the
+    // recursive-CTE pattern proven in dd_cluster_survivors.
+    "pipeline_neardup_pretraining" -> Q(
+      (s, d) => {
+        import graft.ops.Curation
+        import graft.text.TextAnalysis
+        val docs = T(s, d, "documents")
+        val ent = TextAnalysis.tokenEntropy(docs, "doc_id", "text")
+          .select(col("doc_id"), col("entropy"))
+        val lm = TextAnalysis.unigramLmScore(docs, "doc_id", "text")
+          .select(col("doc_id"), col("avg_logp"))
+        val gated = docs.join(ent, "doc_id").join(lm, "doc_id")
+          .filter(col("entropy") >= 2.8 && col("avg_logp") >= -3.5)
+        val sig = Dedup.minhashSignature(gated, "doc_id", "text", 5, 4)
+        val pairs = Dedup.lshCandidatePairs(sig, "doc_id", numHashes = 4, bands = 2)
+        val labels = Dedup.connectedComponents(pairs, gated.select(col("doc_id")), "doc_id")
+        val surv = Dedup.dedupByCluster(gated, labels, "doc_id", length(col("text")))
+          .drop("cluster")
+        val mixed = Curation.temperatureMix(surv, "doc_id", "source",
+            tau = 0.5, targetFrac = 0.5)
+          .filter(col("__keep")).drop("__keep", "__keep_rate")
+        Curation.splitAssign(mixed, "doc_id",
+            Seq(("train", 0.9), ("val", 0.05), ("test", 0.05)))
+          .groupBy(col("split"), col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(TextAnalysis.tokenCount(col("text"))).cast("long").as("n_tokens"))
+          .orderBy(col("split"), col("source"))
+      },
+      Some(s"""WITH RECURSIVE toks AS (
+             |  SELECT doc_id, unnest(list_filter(regexp_split_to_array(text, '\\s+'),
+             |                                    t -> length(t) > 0)) AS tok
+             |  FROM documents),
+             |tc AS (SELECT doc_id, tok, count(*) AS c FROM toks GROUP BY 1, 2),
+             |ent AS (SELECT doc_id, round(ln(CAST(sum(c) AS BIGINT))
+             |          - sum(c * ln(c)) / CAST(sum(c) AS BIGINT), 6) AS entropy
+             |        FROM tc GROUP BY 1),
+             |vocab AS (SELECT tok, count(*) AS cnt FROM toks GROUP BY 1),
+             |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM vocab),
+             |lm AS (SELECT doc_id, round(avg(ln(cnt)) - ln(total), 6) AS avg_logp
+             |       FROM toks JOIN vocab USING (tok), tot GROUP BY doc_id, total),
+             |gated AS (SELECT d.* FROM documents d
+             |          JOIN ent USING (doc_id) JOIN lm USING (doc_id)
+             |          WHERE entropy >= 2.8 AND avg_logp >= -3.5),
+             |sh AS (SELECT DISTINCT doc_id, substr(text, CAST(s + 1 AS INT), 5) AS shingle
+             |  FROM (SELECT doc_id, text,
+             |          unnest(range(0, greatest(length(text) - 5, 0) + 1)) AS s
+             |        FROM gated) t),
+             |sig AS (SELECT doc_id,
+             |    min(md5('0|' || shingle)) AS h0, min(md5('1|' || shingle)) AS h1,
+             |    min(md5('2|' || shingle)) AS h2, min(md5('3|' || shingle)) AS h3
+             |  FROM sh GROUP BY doc_id),
+             |b AS (SELECT doc_id, 0 AS band, md5(h0 || '|' || h1) AS bucket FROM sig
+             |      UNION ALL
+             |      SELECT doc_id, 1 AS band, md5(h2 || '|' || h3) AS bucket FROM sig),
+             |pairs AS (SELECT DISTINCT a.doc_id AS id_a, c2.doc_id AS id_b
+             |  FROM b a JOIN b c2 ON a.band = c2.band AND a.bucket = c2.bucket
+             |    AND a.doc_id < c2.doc_id),
+             |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+             |          UNION SELECT id_b, id_a FROM pairs),
+             |reach AS (SELECT doc_id AS id, doc_id AS m FROM gated
+             |      UNION
+             |      SELECT e.src, reach.m FROM edges e JOIN reach ON e.dst = reach.id),
+             |lbl AS (SELECT id AS doc_id, min(m) AS cluster FROM reach GROUP BY id),
+             |ranked AS (SELECT g.doc_id, g.text, g.source,
+             |    row_number() OVER (PARTITION BY l.cluster
+             |                       ORDER BY length(g.text) DESC, g.doc_id) AS rn
+             |  FROM gated g JOIN lbl l USING (doc_id)),
+             |surv AS (SELECT doc_id, text, source FROM ranked WHERE rn = 1),
+             |c AS (SELECT source, count(*) AS n FROM surv GROUP BY 1),
+             |t AS (SELECT CAST(sum(n) AS BIGINT) AS total_n, sum(pow(n, 0.5)) AS z FROM c),
+             |kr AS (SELECT source, round(least(1.0,
+             |        0.5 * total_n * pow(n, 0.5) / z / n), 6) AS keep_rate FROM c, t),
+             |mixed AS (SELECT s.* FROM surv s JOIN kr USING (source)
+             |          WHERE CAST('0x' || substr(md5('temp|' || s.doc_id), 1, 15) AS BIGINT)
+             |            % 10000 / 10000.0 < kr.keep_rate),
              |sp AS (SELECT *, CASE WHEN u < 0.9 THEN 'train'
              |                      WHEN u < 0.95 THEN 'val'
              |                      ELSE 'test' END AS split
