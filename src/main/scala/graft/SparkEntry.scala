@@ -3601,6 +3601,58 @@ object SparkEntry {
              |FROM bc c LEFT JOIN ms m USING (vec_id)
              |ORDER BY c.vec_id""".stripMargin)),
 
+    // SemDeDup with TRAINED centroids (k-means proper, the paper's shape):
+    // the per-label seed refined by ONE distributed Lloyd iteration —
+    // assign to nearest seed centroid, recompute each centroid as the
+    // decimal-exact 6dp-rounded mean of its assignees (empty clusters keep
+    // their seed) — then the final assignment and within-cluster prune.
+    // The oracle replays the ENTIRE training relationally: seed means,
+    // assignment argmax, refined means, second assignment, pairwise prune —
+    // so it verifies the Lloyd arithmetic itself, not just its consumer.
+    "dd_semdedup_trained" -> Q(
+      (s, d) => Dedup.semanticDedupTrained(
+          TestData.embeddings(s, d).filter(col("vec_id") =!= 0),
+          "vec_id", "embedding", "label", minCosine = 0.35, lloydIters = 1)
+        .select(col("id").as("vec_id"), col("cluster"), col("max_sim"), col("kept"))
+        .orderBy(col("vec_id")),
+      Some("""WITH base AS (SELECT vec_id, label, embedding FROM embeddings WHERE vec_id <> 0),
+             |dimsl AS (SELECT label, vec_id, unnest(embedding)::DOUBLE AS x,
+             |            generate_subscripts(embedding, 1) AS i FROM base),
+             |cent0 AS (SELECT label AS cl, i,
+             |    round(CAST(sum(CAST(x AS DECIMAL(28,12))) AS DOUBLE) / count(*), 6) AS m
+             |  FROM dimsl GROUP BY label, i),
+             |asg0s AS (SELECT d.vec_id, c.cl,
+             |    SUM(d.x * c.m) / (SQRT(SUM(d.x * d.x)) * SQRT(SUM(c.m * c.m))) AS s
+             |  FROM dimsl d JOIN cent0 c ON d.i = c.i GROUP BY d.vec_id, c.cl),
+             |asg0 AS (SELECT vec_id, cl FROM (
+             |    SELECT vec_id, cl, row_number() OVER (
+             |      PARTITION BY vec_id ORDER BY round(s, 6) DESC, cl) AS rn FROM asg0s) t
+             |  WHERE rn = 1),
+             |cent1n AS (SELECT a.cl, d.i,
+             |    round(CAST(sum(CAST(d.x AS DECIMAL(28,12))) AS DOUBLE) / count(*), 6) AS m
+             |  FROM dimsl d JOIN asg0 a USING (vec_id) GROUP BY a.cl, d.i),
+             |cent1 AS (SELECT c0.cl, c0.i, coalesce(c1.m, c0.m) AS m
+             |  FROM cent0 c0 LEFT JOIN cent1n c1 ON c0.cl = c1.cl AND c0.i = c1.i),
+             |asg1s AS (SELECT d.vec_id, c.cl,
+             |    SUM(d.x * c.m) / (SQRT(SUM(d.x * d.x)) * SQRT(SUM(c.m * c.m))) AS s
+             |  FROM dimsl d JOIN cent1 c ON d.i = c.i GROUP BY d.vec_id, c.cl),
+             |best AS (SELECT vec_id, cl AS cluster FROM (
+             |    SELECT vec_id, cl, row_number() OVER (
+             |      PARTITION BY vec_id ORDER BY round(s, 6) DESC, cl) AS rn FROM asg1s) t
+             |  WHERE rn = 1),
+             |bc AS (SELECT b.vec_id, b.embedding, t.cluster FROM base b JOIN best t USING (vec_id)),
+             |pd AS (SELECT a.vec_id AS ia, b.vec_id AS ib,
+             |    unnest(a.embedding)::DOUBLE AS x, unnest(b.embedding)::DOUBLE AS y
+             |  FROM bc a JOIN bc b ON a.cluster = b.cluster AND a.vec_id < b.vec_id),
+             |ps AS (SELECT ia, ib,
+             |    round(SUM(x*y) / (SQRT(SUM(x*x)) * SQRT(SUM(y*y))), 6) AS s
+             |  FROM pd GROUP BY ia, ib),
+             |ms AS (SELECT ib AS vec_id, max(s) AS max_sim FROM ps GROUP BY ib)
+             |SELECT c.vec_id, c.cluster, m.max_sim,
+             |  coalesce(m.max_sim, -1.0) < 0.35 AS kept
+             |FROM bc c LEFT JOIN ms m USING (vec_id)
+             |ORDER BY c.vec_id""".stripMargin)),
+
     // same clustering through the O(log d) large-star/small-star path —
     // the deep-component scale route, checked against the identical
     // recursive-CTE closure oracle

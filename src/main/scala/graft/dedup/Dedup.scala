@@ -784,8 +784,9 @@ object Dedup {
    * neighbor. The cluster step here is one deterministic Lloyd assignment
    * seeded by the corpus' own `labelCol` partition (per-label centroid =
    * decimal-exact per-dimension mean, so the seed is bit-stable across
-   * engines and partitionings); swapping in k-means iterations changes only
-   * the centroid table, not the shape of the plan.
+   * engines and partitionings); [[semanticDedupTrained]] refines that seed
+   * with distributed Lloyd iterations (k-means proper) — the swap changes
+   * only the centroid table, not the shape of the plan.
    *
    * Scale argument: the all-pairs term is bounded by the largest cluster
    * (Σ|cluster|² instead of n²), centroids are a K×dim broadcast, and the
@@ -803,56 +804,117 @@ object Dedup {
    */
   def semanticDedup(emb: DataFrame, idCol: String, vecCol: String,
                     labelCol: String, minCosine: Double): DataFrame = {
-    // per-label centroid, decimal-exact sums (order-independent, so the
-    // seed centroids are reproducible bit-for-bit), rounded to 6dp like
-    // every cross-engine float surface in this battery
-    val cent = emb
-      .select(col(labelCol).as("__cl"), posexplode(col(vecCol)).as(Seq("__dim", "__x")))
+    val cent = centroidTable(emb, col(labelCol), vecCol)
+    val assigned = assignToCentroids(emb, idCol, vecCol, cent).cache()
+    pruneWithinClusters(assigned, vecCol, minCosine)
+  }
+
+  /**
+   * SemDeDup with TRAINED centroids — k-means proper, the paper's shape
+   * (Abbas et al., 2023 §3): the per-label seed is refined by `lloydIters`
+   * distributed Lloyd iterations (assign every vector to its nearest
+   * centroid, recompute each centroid as the decimal-exact mean of its
+   * assignees) before the final assignment and within-cluster prune.
+   *
+   * This is the same distributed-Lloyd shape as [[graft.rag.Ivf.refine]]
+   * (posexplode → groupBy(cluster, dim): the shuffle carries K×dim rows,
+   * never the corpus; the centroid relation is KiB-sized), re-expressed
+   * with this module's cross-engine determinism contract instead of
+   * Ivf's float/spherical arithmetic: decimal-exact order-independent
+   * sums, 6dp-rounded means, cosine assignment with ties to the lowest
+   * cluster id — so a relational replay (the DuckDB oracle) reproduces
+   * the centroids bit-for-bit. Clusters that lose every member keep
+   * their previous centroid (same empty-cell rule as Ivf.refine).
+   *
+   * Each iteration is one full corpus pass (inherent to Lloyd's); the
+   * centroid table is materialized per round with an eager
+   * localCheckpoint — K×dim scalars, the moral twin of Ivf.refine's
+   * driver collect — so iteration i+1's plan starts from data, not from
+   * iteration i's whole lineage.
+   */
+  def semanticDedupTrained(emb: DataFrame, idCol: String, vecCol: String,
+                           labelCol: String, minCosine: Double,
+                           lloydIters: Int = 1): DataFrame = {
+    require(lloydIters >= 1, s"need lloydIters >= 1, got $lloydIters")
+    var cent = centroidTable(emb, col(labelCol), vecCol)
+    for (_ <- 1 to lloydIters) {
+      val asg = assignToCentroids(emb, idCol, vecCol, cent)
+      val next = centroidTable(asg, col("cluster"), vecCol)
+      cent = cent.select(col("__cl"), col("__cvec").as("__cv0"))
+        .join(next.select(col("__cl"), col("__cvec").as("__cv1")), Seq("__cl"), "left")
+        .select(col("__cl"), coalesce(col("__cv1"), col("__cv0")).as("__cvec"))
+        .localCheckpoint(true)
+    }
+    val assigned = assignToCentroids(emb, idCol, vecCol, cent).cache()
+    pruneWithinClusters(assigned, vecCol, minCosine)
+  }
+
+  /**
+   * Per-cluster centroid table (`__cl`, `__cvec`): decimal-exact sums
+   * (order-independent, so centroids are reproducible bit-for-bit across
+   * engines and partitionings), means rounded to 6dp like every
+   * cross-engine float surface in this battery.
+   */
+  private def centroidTable(df: DataFrame, clCol: Column, vecCol: String): DataFrame =
+    df.select(clCol.as("__cl"), posexplode(col(vecCol)).as(Seq("__dim", "__x")))
       .groupBy(col("__cl"), col("__dim"))
       .agg((sum(col("__x").cast("decimal(28,12)")).cast("double") /
         count(lit(1))).as("__m"))
       .groupBy(col("__cl"))
       .agg(transform(array_sort(collect_list(struct(col("__dim"), col("__m")))),
         x => round(x.getField("__m"), 6)).as("__cvec"))
-    // nearest centroid by cosine: K×dim broadcast, ordered-fold arithmetic
-    // (aggregate over zip_with) so the per-(vec,centroid) score is a
-    // deterministic left-to-right sum in EVERY engine's replay. Norms are
-    // precomputed per vector and per centroid (they're invariant across the
-    // K×n cross product — recomputing them per pair tripled the interpreted
-    // higher-order-function work), and the vector side is hash-repartitioned
-    // on id first: a small parquet scan arrives in one partition, and the
-    // cross product would otherwise evaluate single-threaded
-    def dotD(a: Column, b: Column): Column =
-      aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, v) => acc + v)
+
+  private def dotD(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, v) => acc + v)
+
+  /**
+   * Nearest centroid by cosine → (id, vecCol, cluster). K×dim broadcast,
+   * ordered-fold arithmetic (aggregate over zip_with) so the
+   * per-(vec,centroid) score is a deterministic left-to-right sum in EVERY
+   * engine's replay. Norms are precomputed per vector and per centroid
+   * (they're invariant across the K×n cross product — recomputing them per
+   * pair tripled the interpreted higher-order-function work), and the
+   * vector side is hash-repartitioned on id first: a small parquet scan
+   * arrives in one partition, and the cross product would otherwise
+   * evaluate single-threaded. Explicit N: a bare repartition(key) is
+   * AQE-coalescible by shuffle BYTES, and a few MB of vectors collapse to
+   * one partition — leaving the K×n interpreted dot-product stage
+   * single-threaded. Argmax as a hash aggregate (max_by on
+   * (score, -cluster): highest score wins, ties to the LOWEST cluster id —
+   * same total order as a row_number window but without the rank
+   * exchange+sort).
+   */
+  private def assignToCentroids(emb: DataFrame, idCol: String, vecCol: String,
+                                cent: DataFrame): DataFrame = {
     val centN = cent.withColumn("__cnorm", sqrt(dotD(col("__cvec"), col("__cvec"))))
     val vd = transform(col(vecCol), x => x.cast("double"))
     val scored = emb.select(col(idCol).as("id"), col(vecCol))
-      // explicit N: a bare repartition(key) is AQE-coalescible by shuffle
-      // BYTES, and a few MB of vectors collapse to one partition — leaving
-      // the K×n interpreted dot-product stage single-threaded
       .repartition(emb.sparkSession.sparkContext.defaultParallelism, col(idCol))
       .withColumn("__vd", vd)
       .withColumn("__vnorm", sqrt(dotD(col("__vd"), col("__vd"))))
       .crossJoin(broadcast(centN))
       .withColumn("__s", round(
         dotD(col("__vd"), col("__cvec")) / (col("__vnorm") * col("__cnorm")), 6))
-    // argmax as a hash aggregate (max_by on (score, -cluster): highest
-    // score wins, ties to the LOWEST cluster id — same total order as a
-    // row_number window but without the rank exchange+sort). Pinned: the
-    // pairwise stage consumes it on BOTH sides of the self-join, and it is
-    // also the output's id/cluster spine — without the cache the
-    // crossJoin+argmax pipeline executes three times.
-    val assigned = scored
+    scored
       .groupBy(col("id"))
       .agg(max_by(struct(col("__cl"), col(vecCol).as("__v")),
         struct(col("__s"), (-col("__cl")).as("__negcl"))).as("__best"))
       .select(col("id"), col("__best.__v").as(vecCol),
         col("__best.__cl").as("cluster"))
-      .cache()
-    // within-cluster pairwise cosine (codegen'd expression, no dim
-    // explosion); a vector is pruned when a SMALLER-id cluster-mate is
-    // ≥ minCosine similar — the deterministic one-survivor-per-pair rule
-    GraftFunctions.register(emb.sparkSession)
+  }
+
+  /**
+   * Within-cluster pairwise cosine (codegen'd expression, no dim
+   * explosion); a vector is pruned when a SMALLER-id cluster-mate is
+   * ≥ minCosine similar — the deterministic one-survivor-per-pair rule.
+   * `assigned` should be cached by the caller: the pairwise stage consumes
+   * it on BOTH sides of the self-join, and it is also the output's
+   * id/cluster spine — without the cache the assignment pipeline executes
+   * three times.
+   */
+  private def pruneWithinClusters(assigned: DataFrame, vecCol: String,
+                                  minCosine: Double): DataFrame = {
+    GraftFunctions.register(assigned.sparkSession)
     val b = assigned.select(col("cluster"), col("id").as("__ib"),
       col(vecCol).as("__vb"))
     val sims = assigned.join(b, Seq("cluster"))

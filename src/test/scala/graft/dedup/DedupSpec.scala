@@ -429,4 +429,31 @@ class DedupSpec extends AnyFunSuite {
       .select("id", "cluster").as[(Long, Int)].collect().toMap
     assert(out(4L) == out(1L) && out(4L) != out(3L))
   }
+
+  test("semanticDedupTrained: a Lloyd iteration moves a boundary vector the seed misassigns") {
+    // unit vectors by angle: label-0 mass at {0°, 30°}, label-1 at
+    // {45°, 70°, 170°}. The 170° outlier drags label 1's SEED centroid to
+    // ~88°, so 45° seeds-assigns to cluster 0 and the partition becomes
+    // {0°,30°,45°} / {70°,170°} — whose REFINED centroids sit at ~25° and
+    // ~120°. The 70° vector is nearer the seed-1 centroid (18° vs 55°) but
+    // nearer the refined-0 centroid (45° vs 50°): training must flip it.
+    def u(deg: Double): Array[Float] = {
+      val r = math.toRadians(deg)
+      Array(math.cos(r).toFloat, math.sin(r).toFloat)
+    }
+    val emb = Seq(
+      (1L, u(0), 0), (2L, u(30), 0),
+      (3L, u(45), 1), (4L, u(70), 1), (5L, u(170), 1)
+    ).toDF("vec_id", "embedding", "label")
+    val seeded = Dedup.semanticDedup(emb, "vec_id", "embedding", "label",
+        minCosine = 0.999)
+      .select("id", "cluster").as[(Long, Int)].collect().toMap
+    val trained = Dedup.semanticDedupTrained(emb, "vec_id", "embedding", "label",
+        minCosine = 0.999, lloydIters = 1)
+      .select("id", "cluster").as[(Long, Int)].collect().toMap
+    assert(seeded(4L) == 1, s"fixture: seed centroids must put 70° with label 1, got $seeded")
+    assert(trained(4L) == 0, s"refined centroids must reassign the 70° vector, got $trained")
+    // the anchors stay put under training
+    assert(trained(1L) == 0 && trained(2L) == 0 && trained(5L) == 1)
+  }
 }
