@@ -308,6 +308,78 @@ object Snapshots {
       dir => df.write.mode("append").parquet(dir), statsKey)
   }
 
+  /** Streaming-commit marker inside a version dir: `appId \t batchId`.
+    * Not a manifest entry (readers never scan it) and safe from [[vacuum]]
+    * (which only cleans manifest-LESS version dirs). */
+  private val StreamTxnFile = "_streamtxn"
+
+  /**
+   * Highest micro-batch id this store has committed for `appId`, or None.
+   * Metadata-only: walks versions newest-first reading the per-version
+   * streaming marker. [[expire]] drops markers with their versions; keep
+   * enough history that a restart's replayed batch can still find its
+   * record (one version of retention is enough for the immediate-replay
+   * case, since a replay is always of the LAST in-flight batch).
+   */
+  def lastStreamBatch(spark: SparkSession, base: String, appId: String): Option[Long] = {
+    val f = fs(spark, base)
+    versions(spark, base).reverseIterator.flatMap { v =>
+      val p = new Path(s"$base/v=$v/$StreamTxnFile")
+      if (!f.exists(p)) Iterator.empty
+      else {
+        val in = f.open(p)
+        val lines =
+          try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+            .map(_.trim).filter(_.nonEmpty).toVector
+          finally in.close()
+        lines.iterator.map(_.split('\t')).collect {
+          case Array(a, b) if a == appId => b.toLong
+        }
+      }
+    }.nextOption()
+  }
+
+  /**
+   * Exactly-once streaming append — the Kafka-twin sink's commit half
+   * (Iceberg stores the same fact as the `streaming batchId` snapshot
+   * summary; Delta as a SetTransaction action). foreachBatch delivery is
+   * AT-LEAST-ONCE: a crash between this commit and the checkpoint's batch
+   * commit makes Structured Streaming replay the SAME (appId, batchId) on
+   * restart. The marker written atomically with the version (same staged
+   * directory, same rename) lets the replay detect the already-committed
+   * batch and no-op — at-least-once delivery + an idempotent commit is
+   * exactly-once end to end (pinned in StreamingSpec's crash-restart
+   * case). Reference semantics: the reference's fire-and-forget producer
+   * retries the whole activity on worker crash and relies on the
+   * consumer-side workflow-id key for dedup (`redpanda_activity.py:
+   * 127-143`, `REDPANDA.md:167-186`); this is the same guarantee moved
+   * into the store commit, where it is provable.
+   *
+   * Replays of a batch id ≤ the recorded one return the current latest
+   * version untouched. Under concurrent writers wrap calls in
+   * [[withConflictRetry]] as usual — the idempotence re-check runs on
+   * every attempt because it happens before the optimistic commit.
+   */
+  def appendStream(df: DataFrame, base: String, appId: String, batchId: Long,
+                   statsKey: Option[String] = None): Long = {
+    val spark = df.sparkSession
+    lastStreamBatch(spark, base, appId) match {
+      case Some(last) if batchId <= last =>
+        versions(spark, base).last
+      case _ =>
+        val vs = versions(spark, base)
+        val next = vs.lastOption.getOrElse(0L) + 1
+        val inherited = vs.lastOption.map(manifestLines(spark, base, _)).getOrElse(Seq.empty)
+        commitStaged(spark, base, next, inherited,
+          dir => {
+            df.write.mode("append").parquet(dir)
+            val o = fs(spark, base).create(new Path(dir, StreamTxnFile), true)
+            try o.write(s"$appId\t$batchId\n".getBytes("UTF-8"))
+            finally o.close()
+          }, statsKey)
+    }
+  }
+
   /** Read latest (None) or `VERSION AS OF` (Some(v)): the manifest's file
     * list, wherever those files physically live. mergeSchema so a column
     * added by a later append is null-filled on inherited files instead of

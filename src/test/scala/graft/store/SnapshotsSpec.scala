@@ -50,6 +50,24 @@ class SnapshotsSpec extends AnyFunSuite {
     }
   }
 
+  test("appendStream is idempotent per (appId, batchId); other apps are independent") {
+    val base = java.nio.file.Files.createTempDirectory("graft-snap").toString + "/t"
+    val v1 = Snapshots.appendStream(Seq((1L, "a")).toDF("id", "s"), base, "appA", 0L)
+    assert(v1 == 1L && Snapshots.lastStreamBatch(spark, base, "appA").contains(0L))
+    // a replay of the same (or an older) batch id is a no-op commit
+    assert(Snapshots.appendStream(Seq((1L, "a")).toDF("id", "s"), base, "appA", 0L) == 1L)
+    assert(Snapshots.versions(spark, base) == Seq(1L), "replay must not add a version")
+    // the next batch commits and advances the marker
+    val v2 = Snapshots.appendStream(Seq((2L, "b")).toDF("id", "s"), base, "appA", 1L)
+    assert(v2 == 2L && Snapshots.lastStreamBatch(spark, base, "appA").contains(1L))
+    assert(Snapshots.read(spark, base).as[(Long, String)].collect().toSet ==
+      Set((1L, "a"), (2L, "b")))
+    // a DIFFERENT query's batch 0 is not confused with appA's
+    assert(Snapshots.lastStreamBatch(spark, base, "appB").isEmpty)
+    val v3 = Snapshots.appendStream(Seq((3L, "c")).toDF("id", "s"), base, "appB", 0L)
+    assert(v3 == 3L && Snapshots.lastStreamBatch(spark, base, "appA").contains(1L))
+  }
+
   test("mergeInto upserts by key into a new snapshot; diff classifies the CDC") {
     val base = java.nio.file.Files.createTempDirectory("graft-snap-merge").toString + "/t"
     Snapshots.write(Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "s"), base)

@@ -187,6 +187,65 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("exactly-once crash-restart: a replayed micro-batch commits once into the Kafka-twin store") {
+    // the worst-case window of the S8 sink: crash AFTER the store commit
+    // but BEFORE the checkpoint records the batch. On restart Structured
+    // Streaming replays the SAME batchId (foreachBatch is at-least-once);
+    // Snapshots.appendStream's per-version (appId, batchId) marker —
+    // written atomically with the commit rename — makes the replay a
+    // no-op, so delivery is exactly-once end to end: no duplicate and no
+    // lost envelope. Reference guarantee being twinned:
+    // redpanda_activity.py:127-143 + REDPANDA.md:167-186 (producer
+    // retries on worker crash; dedup must make redelivery harmless).
+    val root = java.nio.file.Files.createTempDirectory("graft-eo").toString
+    val (in, ckpt, store) = (s"$root/in", s"$root/ckpt", s"$root/log")
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(in))
+    def addFile(name: String, rows: Seq[(String, String, String, String)]): Unit =
+      java.nio.file.Files.write(java.nio.file.Paths.get(s"$in/$name"),
+        rows.map { case (et, wf, t, data) =>
+          s"""{"et":"$et","wf":"$wf","ts":"$t","data":"$data"}"""
+        }.mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val crashOnce = new java.util.concurrent.atomic.AtomicBoolean(true)
+    def start() = {
+      val schema = org.apache.spark.sql.types.StructType.fromDDL(
+        "et STRING, wf STRING, ts STRING, data STRING")
+      val kafkaFrame = Events.toKafkaFrame(
+        spark.readStream.schema(schema).json(in),
+        col("et"), col("wf"), col("ts").cast("timestamp"), col("data"),
+        Events.Topics(default = "dft", clarifications = Some("clar")))
+      kafkaFrame.writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, bid: Long) =>
+          graft.store.Snapshots.appendStream(batch, store, "s8-twin", bid)
+          if (crashOnce.getAndSet(false))
+            sys.error("simulated crash between store commit and checkpoint")
+        }
+        .option("checkpointLocation", ckpt)
+        .outputMode("append").start()
+    }
+    addFile("a.json", Seq(
+      ("clarification_requested", "wf1", "2026-01-01 00:00:01", "q"),
+      ("search_executing", "wf2", "2026-01-01 00:00:02", "n")))
+    val q1 = start()
+    intercept[Exception] { q1.processAllAvailable() }
+    assert(!q1.isActive, "the simulated crash must kill the first query")
+    // the store DID commit the batch the checkpoint never acknowledged
+    assert(graft.store.Snapshots.versions(spark, store) == Seq(1L),
+      "batch 0 must be committed exactly once before the crash")
+    val q2 = start()
+    try {
+      q2.processAllAvailable() // replays batch 0 → must be a no-op
+      addFile("b.json", Seq(("pdf_generated", "wf1", "2026-01-01 00:00:03", "p")))
+      q2.processAllAvailable()
+    } finally q2.stop()
+    val back = Events.parseEnvelope(graft.store.Snapshots.read(spark, store))
+      .select("event_type", "workflow_id").as[(String, String)].collect().toSeq
+    assert(back.size == 3 && back.toSet == Set(
+      ("clarification_requested", "wf1"), ("search_executing", "wf2"),
+      ("pdf_generated", "wf1")), s"no duplicate, no lost envelope: $back")
+    assert(graft.store.Snapshots.versions(spark, store) == Seq(1L, 2L),
+      "the replayed batch must not create a new version")
+  }
+
   test("T1: a failing batch is swallowed and the stream keeps delivering") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[String]
