@@ -36,6 +36,23 @@ import graft.rag.Rag
  * is the explicit opt-in to approximate top-k (exactly like choosing
  * `annKnn` over `knn` in the DataFrame API; RagSpec pins their agreement).
  *
+ * THE IVF PATH (round-10): the same top-k shape over a table carrying a
+ * materialized `cell` column (Ivf.withCell at write time) is rewritten to
+ *
+ *   Sort(score DESC, …)
+ *     Project(…)
+ *       Filter(cell IN (<nProbe nearest cells to the query>))
+ *         <child>
+ *
+ * — the probe prune of Ivf.ivfKnn, derived automatically. The probe set is
+ * computed at plan time from the session-registered coarse quantizer
+ * ([[AnnRewrite.registerIvf]] — the miniature of the index-metadata
+ * catalog a real lakehouse keeps per table). On a table partitioned by
+ * `cell` the IN-filter is partition pruning: the scan touches
+ * nProbe/nCells of the files. When a table carries BOTH `sig` and `cell`,
+ * the Hamming prefilter wins (documented preference: it composes with
+ * z-order on sig and needs no registered model).
+ *
  * Registered via GraftExtensions.injectOptimizerRule — runs in the
  * user-provided-optimizer batch, after constant folding (so the cast query
  * vector has already collapsed to a Literal).
@@ -52,6 +69,7 @@ case class AnnRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     val bits = conf(BitsKey, "16").toInt
     val seed = conf(SeedKey, "42").toLong
     val maxHamming = conf(MaxHammingKey, "8").toInt
+    val nProbe = conf(NProbeKey, "2").toInt
 
     plan.transformDown {
       case sort @ Sort(SortOrder(scoreRef: AttributeReference, Descending, _, _) +: _, true, child, _) =>
@@ -63,12 +81,14 @@ case class AnnRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
               case Alias(CosineSimilarity(lit: Literal, _), _) =>
                 literalVec(lit)
             }.flatten
+            val isScoreProj = projList.exists {
+              case Alias(_: CosineSimilarity, name) => name == scoreRef.name
+              case _ => false
+            }
             val sigAttr = pchild.output.find(a => a.name == "sig" && a.dataType == LongType)
-            (qvecOpt, sigAttr) match {
-              case (Some(qvec), Some(sig)) if projList.exists {
-                    case Alias(_: CosineSimilarity, name) => name == scoreRef.name
-                    case _ => false
-                  } =>
+            val cellAttr = pchild.output.find(a => a.name == "cell" && a.dataType == IntegerType)
+            (qvecOpt, sigAttr, cellAttr) match {
+              case (Some(qvec), Some(sig), _) if isScoreProj =>
                 val planes = Rag.hyperplanes(qvec.length, bits, seed)
                 val qsig = planes.zipWithIndex.map { case (pl, i) =>
                   val dot = pl.zip(qvec).map { case (a, b) => a.toDouble * b.toDouble }.sum
@@ -78,6 +98,14 @@ case class AnnRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
                   BitwiseCount(BitwiseXor(sig, Literal(qsig, LongType))),
                   Literal(maxHamming, IntegerType))
                 Project(projList, Filter(cond, pchild))
+              case (Some(qvec), None, Some(cell)) if isScoreProj =>
+                ivfModel(spark) match {
+                  case Some(model) =>
+                    val probes = model.probesFor(qvec, nProbe)
+                    val cond = In(cell, probes.map(c => Literal(c, IntegerType)))
+                    Project(projList, Filter(cond, pchild))
+                  case None => p
+                }
               case _ => p
             }
         }
@@ -99,4 +127,24 @@ object AnnRewrite {
   val BitsKey = "spark.graft.ann.bits"
   val SeedKey = "spark.graft.ann.seed"
   val MaxHammingKey = "spark.graft.ann.maxHamming"
+  /** Probe count for the IVF rewrite (Ivf.ivfKnn's nProbe). */
+  val NProbeKey = "spark.graft.ann.ivf.nProbe"
+
+  // Session-scoped IVF index metadata: the coarse quantizer a table's
+  // `cell` column was materialized with. KiB-sized (K×dim floats) — the
+  // in-process miniature of the per-table index catalog a real system
+  // keeps. Sessions must unregister (or be short-lived): the map holds a
+  // strong reference to the session key until then.
+  private val ivfModels =
+    new java.util.concurrent.ConcurrentHashMap[SparkSession, graft.rag.Ivf.Model]()
+
+  /** Register the session's IVF coarse quantizer so the rule can derive
+    * probe sets for plain `orderBy(cosine).limit(k)` queries. */
+  def registerIvf(spark: SparkSession, model: graft.rag.Ivf.Model): Unit =
+    ivfModels.put(spark, model)
+
+  def unregisterIvf(spark: SparkSession): Unit = ivfModels.remove(spark)
+
+  private[plans] def ivfModel(spark: SparkSession): Option[graft.rag.Ivf.Model] =
+    Option(ivfModels.get(spark))
 }

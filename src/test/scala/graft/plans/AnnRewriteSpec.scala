@@ -63,6 +63,46 @@ class AnnRewriteSpec extends AnyFunSuite {
     }
   }
 
+  test("IVF path: plain orderBy(cos).limit(k) over a cell-indexed table gets the probe prune") {
+    withExtSession { s =>
+      import s.implicits._
+      import graft.rag.Ivf
+      // four well-separated directions → 4 clean cells
+      val emb = Seq(
+        (1L, Seq(1.0f, 0.0f)), (2L, Seq(0.97f, 0.24f)),
+        (3L, Seq(0.0f, 1.0f)), (4L, Seq(0.24f, 0.97f)),
+        (5L, Seq(-1.0f, 0.0f)), (6L, Seq(0.0f, -1.0f))
+      ).toDF("id", "vec").withColumn("vec", col("vec").cast("array<float>"))
+      val model = Ivf.train(emb, "id", "vec", nCells = 4, sampleCap = 16, iters = 4)
+      val indexed = Ivf.withCell(emb, "vec", model).cache()
+      indexed.count()
+      val q = Array(1.0f, 0.1f)
+      try {
+        s.conf.set(AnnRewrite.EnabledKey, "true")
+        s.conf.set(AnnRewrite.NProbeKey, "2")
+        AnnRewrite.registerIvf(s, model)
+        // the USER writes the brute-force shape; the rule must inject the
+        // cell IN (<probes>) filter Ivf.ivfKnn would have written by hand
+        val ann = Rag.knn(indexed, "id", "vec", q, k = 2, minScore = -1.0)
+        val planText = explainText(ann)
+        assert(planText.contains("cell#") && planText.matches("(?s).*cell#\\d+L? IN.*"),
+          s"expected probe prune in plan:\n$planText")
+        val annIds = ann.select("id").as[Long].collect().toSeq
+        val handIds = Ivf.ivfKnn(indexed, "id", "vec", q, model,
+          k = 2, minScore = -1.0, nProbe = 2).select("id").as[Long].collect().toSeq
+        assert(annIds == handIds, s"rewrite=$annIds hand-written=$handIds")
+        // without a registered model the rule must leave the plan alone
+        AnnRewrite.unregisterIvf(s)
+        val bare = Rag.knn(indexed, "id", "vec", q, k = 2, minScore = -1.0)
+        assert(!explainText(bare).matches("(?s).*cell#\\d+L? IN.*"),
+          "no registered quantizer → no probe prune")
+      } finally {
+        AnnRewrite.unregisterIvf(s)
+        s.conf.set(AnnRewrite.EnabledKey, "false")
+      }
+    }
+  }
+
   test("rule does not fire on sorts without a cosine score or without a sig column") {
     withExtSession { s =>
       import s.implicits._
