@@ -36,7 +36,7 @@ object Slopes {
     "dd_minhash_signature", "dd_lsh_candidates", "dd_simhash_neardup",
     "dd_exact_groups", "dd_ngram_jaccard", "dd_span_removal",
     "dd_cluster_labels", "dd_winnow", "dd_winnow_pairs", "dd_winnow_survivors",
-    "dd_semdedup",
+    "dd_semdedup", "dd_semdedup_trained",
     // vector family: brute-force knn vs the three index paths
     "v3_knn_cosine", "v3_ann_knn", "v3_ivf_knn", "v3_pq_knn",
     // text analysis: language id, bm25 index build, quality gate, boilerplate
