@@ -1,0 +1,169 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.store.Snapshots
+import graft.dedup.Dedup
+
+/**
+ * Snapshot-family scale harness: measures the CORPUS-FLAT claims the main
+ * `Slopes` harness deliberately excludes (snap_* battery queries rebuild
+ * their fixture inside the query, so an input-SF slope there measures the
+ * fixture generator, not the operator).
+ *
+ * Here the fixture build is SEPARATED from the steady-state operation:
+ * for corpora of 5k / 50k / 500k documents (two decades — past the top
+ * of the driver testdata), each round builds the corpus snapshot and the
+ * materialized LSH bucket artifact ONCE (reported as context; both are
+ * expected ~linear), then times the operations whose cost must NOT grow
+ * with the corpus:
+ *
+ *  - `append`: a FIXED 500-doc delta via [[Snapshots.append]] — the
+ *    O(delta)+O(#files-manifest) incremental-metadata claim.
+ *  - `merge`: a FIXED 100-doc point-key update via [[Snapshots.mergeInto]]
+ *    — stats-pruned file discovery should rewrite ~1 file regardless of
+ *    corpus size.
+ *  - `incr_dedup`: the FIXED delta probed against the materialized corpus
+ *    bucket table via [[Dedup.incrementalLshMatchesPrebucketed]] — the
+ *    steady-state daily-dedup shape (batch broadcasts; corpus side is one
+ *    columnar scan of a 3-column table, prunable by band/bucket layout at
+ *    cluster scale).
+ *
+ * Documents are synthetic (seeded xxhash64 word sampling — deterministic,
+ * generated distributed, no driver loop) because the claim under test is
+ * a COST shape vs corpus size, not query semantics; the driver testdata
+ * stays the sole input for every correctness query. Timed phases take the
+ * median of 3 runs. Output: one JSON line + SNAP_SLOPES.json with the
+ * per-size seconds and the fitted log-log slope per phase.
+ */
+object SnapSlopes {
+  private val Vocab: Array[String] = {
+    // fixed 240-word vocabulary: realistic-ish shingle mass, zero I/O
+    val stems = Array(
+      "data", "spark", "query", "table", "index", "merge", "append", "scan",
+      "shuffle", "broadcast", "partition", "cluster", "vector", "token",
+      "corpus", "window", "stream", "batch", "delta", "manifest", "commit",
+      "schema", "column", "filter", "join", "group", "order", "limit",
+      "hash", "sort", "cache", "plan", "stage", "task", "executor", "driver",
+      "memory", "disk", "network", "latency", "throughput", "pipeline",
+      "quality", "sample", "weight", "score", "rank", "bucket", "band",
+      "signature", "fingerprint", "shingle", "gram", "text", "document",
+      "embedding", "cosine", "distance", "nearest", "neighbor", "centroid")
+    stems.flatMap(s => Array(s, s + "s", s + "ing", s + "ed"))
+  }
+
+  private def syntheticDocs(spark: SparkSession, n: Long, idOffset: Long,
+                            seed: Int): DataFrame = {
+    val vocabLit = array(Vocab.map(lit): _*)
+    spark.range(n)
+      .select((col("id") + idOffset).as("doc_id"))
+      .withColumn("__len", (pmod(xxhash64(col("doc_id"), lit(seed)), lit(40)) + lit(30)).cast("int"))
+      .withColumn("text", concat_ws(" ",
+        transform(sequence(lit(0), col("__len") - 1),
+          i => element_at(vocabLit,
+            (pmod(xxhash64(col("doc_id") * 1000 + i, lit(seed)), lit(Vocab.length)) + 1).cast("int")))))
+      .select(col("doc_id"), col("text"),
+        (pmod(xxhash64(col("doc_id")), lit(20))).cast("int").as("source"))
+  }
+
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val root = sys.env.getOrElse("SPARK_GRAFT_SNAP_TMP", "tmp/snapslopes")
+    val sizes: Seq[Long] =
+      if (args.nonEmpty) args(0).split(",").toSeq.map(_.trim.toLong)
+      else Seq(5000L, 50000L, 500000L)
+    val deltaN = 500L
+    val mergeN = 100L
+
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.autoBroadcastJoinThreshold", s"${64 * 1024 * 1024}")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark.range(1000).selectExpr("sum(id)").collect() // JVM/codegen warmup
+
+    def timeIt(f: => Unit): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+    def median3(f: => Unit): Double = {
+      val ts = (1 to 3).map(_ => timeIt(f)).sorted; ts(1)
+    }
+
+    val fsRoot = new java.io.File(root)
+    def rmrf(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rmrf)
+      f.delete(); ()
+    }
+    rmrf(fsRoot); fsRoot.mkdirs()
+
+    // phase -> size -> median seconds
+    val results = scala.collection.mutable.LinkedHashMap[String, scala.collection.mutable.LinkedHashMap[Long, Double]]()
+    def record(phase: String, n: Long, sec: Double): Unit = {
+      results.getOrElseUpdate(phase, scala.collection.mutable.LinkedHashMap())(n) = sec
+      println(f"[snapslopes] n=$n%7d $phase%-12s ${sec}%8.3f s")
+    }
+
+    for (n <- sizes) {
+      val base = s"$root/corpus_$n"
+      val bucketDir = s"$root/buckets_$n"
+      val corpus = syntheticDocs(spark, n, 0L, seed = 7)
+
+      record("build", n, timeIt {
+        Snapshots.write(corpus, base, statsKey = Some("doc_id")); ()
+      })
+      record("bucket_build", n, timeIt {
+        val sig = Dedup.minhashSignature(
+          Snapshots.read(spark, base), "doc_id", "text", n = 5, numHashes = 8)
+        Dedup.lshBuckets(sig, "doc_id", numHashes = 8, bands = 4)
+          .write.mode("overwrite").parquet(bucketDir)
+      })
+
+      // steady-state operations: FIXED-size inputs against the growing corpus
+      var deltaTag = 0L
+      record("append", n, median3 {
+        deltaTag += 1
+        val delta = syntheticDocs(spark, deltaN, 10000000L + deltaTag * deltaN, seed = 11)
+        Snapshots.append(delta, base, statsKey = Some("doc_id")); ()
+      })
+      record("merge", n, median3 {
+        // point-key update of 100 CONSECUTIVE existing ids — stats pruning
+        // should discover ~1 touched file however large the table is
+        val upd = syntheticDocs(spark, mergeN, n / 2, seed = 13)
+        Snapshots.mergeInto(spark, base, upd, "doc_id"); ()
+      })
+      val corpusBuckets = spark.read.parquet(bucketDir)
+      record("incr_dedup", n, median3 {
+        val delta = syntheticDocs(spark, deltaN, 20000000L, seed = 17)
+        val dsig = Dedup.minhashSignature(delta, "doc_id", "text", n = 5, numHashes = 8)
+        Dedup.incrementalLshMatchesPrebucketed(
+          Dedup.lshBuckets(dsig, "doc_id", 8, 4), corpusBuckets, "doc_id")
+          .write.mode("overwrite").format("noop").save()
+      })
+    }
+
+    def slope(phase: String): Double = {
+      val pts = results(phase).toSeq.map { case (nn, s) =>
+        (math.log(nn.toDouble), math.log(math.max(s, 1e-3)))
+      }
+      val mx = pts.map(_._1).sum / pts.size
+      val my = pts.map(_._2).sum / pts.size
+      val num = pts.map(p => (p._1 - mx) * (p._2 - my)).sum
+      val den = pts.map(p => (p._1 - mx) * (p._1 - mx)).sum
+      if (den == 0) 0.0 else num / den
+    }
+
+    def q(s: String) = "\"" + s + "\""
+    val phasesJson = results.map { case (ph, m) =>
+      val pts = m.map { case (nn, s) => s"${q(nn.toString)}:${f"$s%.3f"}" }.mkString("{", ",", "}")
+      s"${q(ph)}:{${q("sec")}:$pts,${q("slope")}:${f"${slope(ph)}%.3f"}}"
+    }.mkString("{", ",", "}")
+    val line = s"""{"metric":"snap_slopes","sizes":${sizes.mkString("[", ",", "]")},"delta_docs":$deltaN,"merge_docs":$mergeN,"phases":$phasesJson}"""
+    java.nio.file.Files.writeString(java.nio.file.Paths.get("SNAP_SLOPES.json"), line + "\n")
+    rmrf(fsRoot) // scratch data is ~GB at the top size; don't leave it behind
+    spark.stop()
+    println(line)
+  }
+}

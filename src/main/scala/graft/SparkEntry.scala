@@ -3451,6 +3451,46 @@ object SparkEntry {
              |FROM nb JOIN cb USING (band, bucket)
              |ORDER BY id_new, id_corpus""".stripMargin)),
 
+    // Steady-state twin of dd_incremental_lsh: the corpus bucket table is
+    // MATERIALIZED to parquet first (the daily artifact a production
+    // pipeline maintains with one O(delta) append per batch) and the batch
+    // probes it via the prebucketed path — the corpus is never re-signed,
+    // never re-exploded; its cost per batch is one columnar scan of a
+    // 3-column table. Result is identical to the re-signing path, so the
+    // oracle is the same relational replay; hash-green here proves the
+    // parquet round-trip preserves the bucket keys bit-exactly.
+    "dd_incremental_prebucketed" -> Q(
+      (s, d) => {
+        val docs = T(s, d, "documents").filter(col("doc_id") < 200)
+        val newDf = docs.filter(pmod(col("doc_id"), lit(10)) === 0)
+        val corpusDf = docs.filter(pmod(col("doc_id"), lit(10)) =!= 0)
+        val root = FixtureRoot.fresh("prebucket")
+        val bucketDir = root.toString + "/corpus_buckets"
+        Dedup.lshBuckets(
+            Dedup.minhashSignature(corpusDf, "doc_id", "text", 5, 4),
+            "doc_id", numHashes = 4, bands = 2)
+          .write.mode("overwrite").parquet(bucketDir)
+        Dedup.incrementalLshMatchesPrebucketed(
+          Dedup.lshBuckets(
+            Dedup.minhashSignature(newDf, "doc_id", "text", 5, 4),
+            "doc_id", numHashes = 4, bands = 2),
+          s.read.parquet(bucketDir), "doc_id")
+          .orderBy(col("id_new"), col("id_corpus"))
+      },
+      Some(s"""WITH ${shingleCte("WHERE doc_id < 200")},
+             |sig AS (SELECT doc_id,
+             |    min(md5('0|' || shingle)) AS h0, min(md5('1|' || shingle)) AS h1,
+             |    min(md5('2|' || shingle)) AS h2, min(md5('3|' || shingle)) AS h3
+             |  FROM sh GROUP BY doc_id),
+             |b AS (SELECT doc_id, 0 AS band, md5(h0 || '|' || h1) AS bucket FROM sig
+             |      UNION ALL
+             |      SELECT doc_id, 1 AS band, md5(h2 || '|' || h3) AS bucket FROM sig),
+             |nb AS (SELECT doc_id AS id_new, band, bucket FROM b WHERE doc_id % 10 = 0),
+             |cb AS (SELECT doc_id AS id_corpus, band, bucket FROM b WHERE doc_id % 10 <> 0)
+             |SELECT DISTINCT id_new, id_corpus
+             |FROM nb JOIN cb USING (band, bucket)
+             |ORDER BY id_new, id_corpus""".stripMargin)),
+
     // Winnowing document fingerprints (MOSS): md5 k-gram hashes, min per
     // sliding window of w hashes, distinct selected hashes per doc. Row-
     // local array arithmetic — the plan has NO shuffle before the final

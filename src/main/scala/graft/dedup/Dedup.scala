@@ -143,10 +143,26 @@ object Dedup {
   def incrementalLshMatches(newSig: DataFrame, corpusSig: DataFrame,
                             idCol: String, numHashes: Int,
                             bands: Int): DataFrame = {
-    val nb = lshBuckets(newSig, idCol, numHashes, bands)
-      .withColumnRenamed(idCol, "id_new")
     val cb = lshBuckets(corpusSig, idCol, numHashes, bands)
-      .withColumnRenamed(idCol, "id_corpus")
+    incrementalLshMatchesPrebucketed(
+      lshBuckets(newSig, idCol, numHashes, bands), cb, idCol)
+  }
+
+  /**
+   * Steady-state form of [[incrementalLshMatches]]: the corpus side is the
+   * ALREADY-MATERIALIZED bucket table (idCol, band, bucket) — the artifact
+   * a daily pipeline maintains with one O(delta) append per batch — so a
+   * batch probe never re-signs or re-explodes the corpus. The batch
+   * buckets broadcast; the corpus-side work is one columnar scan of the
+   * 3-column bucket table (layout note: written partitioned by band /
+   * bucket prefix, that scan prunes to the batch's buckets and the probe
+   * cost stops growing with the corpus).
+   */
+  def incrementalLshMatchesPrebucketed(newBuckets: DataFrame,
+                                       corpusBuckets: DataFrame,
+                                       idCol: String): DataFrame = {
+    val nb = newBuckets.withColumnRenamed(idCol, "id_new")
+    val cb = corpusBuckets.withColumnRenamed(idCol, "id_corpus")
     broadcast(nb).join(cb, Seq("band", "bucket"))
       .filter(col("id_new") =!= col("id_corpus"))
       .select(col("id_new"), col("id_corpus"))

@@ -242,6 +242,31 @@ class DedupSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin"), plan)
   }
 
+  test("incrementalLshMatchesPrebucketed: parity with the re-signing path on a round-tripped bucket table") {
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "completely unrelated corpus content about something else entirely")
+    ).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog again and again"),
+      (12L, "nothing like anything in the existing corpus at all whatsoever")
+    ).toDF("doc_id", "text")
+    val batchSig = Dedup.minhashSignature(batch, "doc_id", "text", 5, 4)
+    val corpusSig = Dedup.minhashSignature(corpus, "doc_id", "text", 5, 4)
+    val direct = Dedup.incrementalLshMatches(batchSig, corpusSig, "doc_id", 4, 2)
+      .as[(Long, Long)].collect().toSet
+    // the steady-state shape: corpus buckets materialized to parquet once
+    // (the daily artifact), the batch probes the round-tripped table
+    val dir = java.nio.file.Files.createTempDirectory("prebucket").toString
+    Dedup.lshBuckets(corpusSig, "doc_id", 4, 2).write.mode("overwrite").parquet(dir)
+    val pre = Dedup.incrementalLshMatchesPrebucketed(
+      Dedup.lshBuckets(batchSig, "doc_id", 4, 2),
+      spark.read.parquet(dir), "doc_id")
+      .as[(Long, Long)].collect().toSet
+    assert(pre == direct, s"prebucketed $pre != direct $direct")
+    assert(pre.contains((10L, 1L)))
+  }
+
   test("dedupByCluster keeps the best-scoring doc per component") {
     val corpus = Seq(
       (1L, "short", 5.0), (2L, "longer text", 9.0), (3L, "mid", 7.0),
