@@ -1153,6 +1153,107 @@ object SparkEntry {
              |FROM m LEFT JOIN f ON m.media_id = f.media_id
              |ORDER BY m.media_id""".stripMargin)),
 
+    // ViT-style patchification of the opaque payload: byte i → patch
+    // min(i·grid/len, grid−1), per-patch byte-bucket sums (bucket = byte
+    // index mod dim) — exact Long arithmetic end to end, so the oracle
+    // replays the mapPartitions codec bit for bit. One row per patch is
+    // the batch shape a vision encoder consumes.
+    "mm_patch_embed" -> Q(
+      (s, d) => {
+        import graft.multimodal.Multimodal
+        val media = T(s, d, "documents").filter(col("doc_id") < 60)
+          .select(
+            concat(lit("doc-"), lpad(col("doc_id").cast("string"), 3, "0")).as("media_id"),
+            encode(col("text"), "UTF-8").as("payload"))
+        Multimodal.patchFeatures(media, grid = 4, dim = 8).toDF()
+          .select(col("media_id"), col("patch_idx"), col("n_bytes"),
+            element_at(col("features"), 1).as("f0"),
+            element_at(col("features"), 6).as("f5"))
+          .orderBy(col("media_id"), col("patch_idx"))
+      },
+      Some("""WITH m AS (SELECT 'doc-' || lpad(CAST(doc_id AS VARCHAR), 3, '0') AS media_id, text
+             |           FROM documents WHERE doc_id < 60 AND strlen(text) > 0),
+             |bytes AS (SELECT media_id, strlen(text) AS len,
+             |            ord(substr(text, CAST(p AS INT), 1)) AS b,
+             |            least(((p - 1) * 4) // strlen(text), 3) AS patch_idx,
+             |            CAST(p - 1 AS INT) % 8 AS bucket
+             |  FROM (SELECT media_id, text, unnest(range(1, strlen(text) + 1)) AS p FROM m) t),
+             |grid AS (SELECT media_id, len, g.patch_idx
+             |  FROM (SELECT DISTINCT media_id, len FROM bytes) mm,
+             |       (SELECT unnest(range(0, 4)) AS patch_idx) g)
+             |SELECT grid.media_id, CAST(grid.patch_idx AS INT) AS patch_idx,
+             |  CAST(grid.len AS BIGINT) AS n_bytes,
+             |  CAST(COALESCE(sum(CASE WHEN bucket = 0 THEN b END), 0) AS BIGINT) AS f0,
+             |  CAST(COALESCE(sum(CASE WHEN bucket = 5 THEN b END), 0) AS BIGINT) AS f5
+             |FROM grid LEFT JOIN bytes
+             |  ON grid.media_id = bytes.media_id AND grid.patch_idx = bytes.patch_idx
+             |GROUP BY grid.media_id, grid.patch_idx, grid.len
+             |ORDER BY grid.media_id, patch_idx""".stripMargin)),
+
+    // Cross-modal retrieval plumbing: fake-decoded media payloads pooled
+    // into 64-dim L2-normalized embeddings (patch sums are exact Longs;
+    // one round(·,6)→float quantization at the end, mirrored by the
+    // oracle's ::FLOAT::DOUBLE) and cosine-matched against the embeddings
+    // corpus — top-3 per media, the retrieve shape of an image→text or
+    // text→image search. The media side is tiny and broadcasts; the
+    // corpus side is the one real scan.
+    "mm_crossmodal_knn" -> Q(
+      (s, d) => {
+        import graft.multimodal.Multimodal
+        val media = T(s, d, "documents").filter(col("doc_id") < 10)
+          .select(
+            concat(lit("doc-"), lpad(col("doc_id").cast("string"), 3, "0")).as("media_id"),
+            encode(col("text"), "UTF-8").as("payload"))
+        val mediaEmb = Multimodal.pooledEmbedding(
+            Multimodal.patchFeatures(media, grid = 4, dim = 64).toDF(), dim = 64)
+          .withColumnRenamed("embedding", "m_emb")
+        graft.functions.GraftFunctions.register(s)
+        val corpus = TestData.embeddings(s, d).filter(col("vec_id") =!= 0)
+        val scored = corpus.crossJoin(broadcast(mediaEmb))
+          .select(col("media_id"), col("vec_id"),
+            graft.functions.GraftFunctions.cosineSim(
+              col("embedding"), col("m_emb")).as("sim"))
+          .filter(col("sim").isNotNull)
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("media_id")).orderBy(col("sim").desc, col("vec_id"))
+        scored.withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 3)
+          .select(col("media_id"), col("rank"), col("vec_id"),
+            round(col("sim"), 6).as("sim"))
+          .orderBy(col("media_id"), col("rank"))
+      },
+      Some("""WITH m AS (SELECT 'doc-' || lpad(CAST(doc_id AS VARCHAR), 3, '0') AS media_id, text
+             |           FROM documents WHERE doc_id < 10 AND strlen(text) > 0),
+             |bytes AS (SELECT media_id,
+             |            ord(substr(text, CAST(p AS INT), 1)) AS b,
+             |            CAST(p - 1 AS INT) % 64 AS bucket
+             |  FROM (SELECT media_id, text, unnest(range(1, strlen(text) + 1)) AS p FROM m) t),
+             |mgrid AS (SELECT mm.media_id, g.j
+             |  FROM (SELECT DISTINCT media_id FROM bytes) mm
+             |  CROSS JOIN (SELECT unnest(range(0, 64)) AS j) g),
+             |dims AS (SELECT mgrid.media_id, mgrid.j,
+             |    CAST(COALESCE(sum(bytes.b), 0) AS DOUBLE) AS s
+             |  FROM mgrid LEFT JOIN bytes
+             |    ON bytes.media_id = mgrid.media_id AND bytes.bucket = mgrid.j
+             |  GROUP BY mgrid.media_id, mgrid.j),
+             |norms AS (SELECT media_id, SQRT(SUM(s * s)) AS nrm FROM dims GROUP BY media_id),
+             |memb AS (SELECT d.media_id, d.j,
+             |    round(d.s / n.nrm, 6)::FLOAT::DOUBLE AS x
+             |  FROM dims d JOIN norms n USING (media_id) WHERE n.nrm > 0),
+             |corp AS (SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS j,
+             |           unnest(embedding)::DOUBLE AS y
+             |         FROM embeddings WHERE vec_id <> 0),
+             |scores AS (SELECT m.media_id, c.vec_id,
+             |    SUM(m.x * c.y) / (SQRT(SUM(m.x * m.x)) * SQRT(SUM(c.y * c.y))) AS sim
+             |  FROM memb m JOIN corp c ON m.j = c.j
+             |  GROUP BY m.media_id, c.vec_id),
+             |ranked AS (SELECT media_id, vec_id, sim, row_number() OVER (
+             |    PARTITION BY media_id ORDER BY sim DESC, vec_id) AS rank
+             |  FROM scores)
+             |SELECT media_id, CAST(rank AS INT) AS rank, vec_id, round(sim, 6) AS sim
+             |FROM ranked WHERE rank <= 3
+             |ORDER BY media_id, rank""".stripMargin)),
+
     // array / higher-order-function surface over the embedding column:
     // element access, slicing, per-element transforms, reductions — the
     // Spark functions Catalyst codegens vs DuckDB's list_* twins

@@ -124,6 +124,75 @@ object Multimodal {
       }
   }
 
+  /** One ViT-style patch of a media payload: exact integer byte-bucket
+    * sums, so the downstream pooling/normalization arithmetic is
+    * bit-replayable by the DuckDB oracle. */
+  final case class PatchFeatures(
+      media_id: String,
+      patch_idx: Int,
+      n_bytes: Long,
+      features: Array[Long])
+
+  /**
+   * ViT-style patchification over mapPartitions: the payload splits into
+   * `grid` contiguous byte slices (byte i → patch min(i·grid/len, grid−1)
+   * — exact integer math), each slice fake-decoded to a `dim`-vector of
+   * byte-bucket sums (bucket = global byte index mod dim; exact Long, ONE
+   * float conversion deferred to [[pooledEmbedding]]). One output row per
+   * patch — the batch shape a real vision encoder consumes (patches in,
+   * patch vectors out), with codec state per partition as in
+   * [[extractFeatures]]. Empty payloads yield no rows.
+   */
+  def patchFeatures(media: DataFrame, grid: Int = 4, dim: Int = 16): Dataset[PatchFeatures] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("payload")).as[(String, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.flatMap { case (id, payload0) =>
+          val payload = if (payload0 == null) Array.emptyByteArray else payload0
+          val len = payload.length
+          if (len == 0) Iterator.empty
+          else {
+            val acc = Array.fill(grid)(new Array[Long](dim))
+            var i = 0
+            while (i < len) {
+              val p = math.min((i.toLong * grid / len).toInt, grid - 1)
+              acc(p)(i % dim) += (payload(i) & 0xff)
+              i += 1
+            }
+            (0 until grid).iterator.map(p =>
+              PatchFeatures(id, p, len.toLong, acc(p)))
+          }
+        }
+      }
+  }
+
+  /**
+   * Pooled media embedding from patch features: per-dim sums across the
+   * patches (exact Long — the un-divided sum IS the mean-pool direction,
+   * cosine being scale-invariant), L2-normalized in double, rounded to
+   * 6 dp and quantized to float — the same float-boundary discipline the
+   * v3 oracles use, so a cross-modal cosine against the `embeddings`
+   * corpus hash-matches DuckDB's `::FLOAT::DOUBLE` replay. Two keyed
+   * shuffles on (media_id[, dim]) — O(#media · dim) rows, never
+   * payload-proportional.
+   */
+  def pooledEmbedding(patches: DataFrame, dim: Int): DataFrame =
+    patches
+      .select(col("media_id"), posexplode(col("features")).as(Seq("j", "v")))
+      .groupBy(col("media_id"), col("j"))
+      .agg(sum(col("v")).as("s"))
+      .groupBy(col("media_id"))
+      .agg(sort_array(collect_list(struct(col("j"), col("s")))).as("kv"))
+      .select(col("media_id"),
+        expr("transform(kv, x -> cast(x.s as double))").as("pooled"))
+      .withColumn("__norm",
+        sqrt(aggregate(col("pooled"), lit(0.0d), (a, x) => a + x * x)))
+      .filter(col("__norm") > 0)
+      .select(col("media_id"),
+        expr("transform(pooled, x -> cast(round(x / __norm, 6) as float))")
+          .as("embedding"))
+
   /**
    * Resize metadata op (F15 aspect-ratio math as a column expression; the
    * pixel work happens in the codec stage).

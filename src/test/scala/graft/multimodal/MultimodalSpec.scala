@@ -42,6 +42,40 @@ class MultimodalSpec extends AnyFunSuite {
     assert(f.view.mapValues(_.checksum).toMap == again)
   }
 
+  test("patchFeatures: contiguous byte slices, exact bucket sums, ragged tail to last patch") {
+    // 6 bytes over grid=4: i*4/6 → patches [0,0,1,2,2,3] — the ragged
+    // boundary the integer math must place deterministically
+    val media = Seq(("m1", Array[Byte](10, 20, 30, 40, 50, 60))).toDF("media_id", "payload")
+    val p = Multimodal.patchFeatures(media, grid = 4, dim = 2).collect()
+      .sortBy(_.patch_idx)
+    assert(p.length == 4 && p.forall(_.n_bytes == 6))
+    // bucket = global index % 2: patch0 gets bytes 10(i=0,b0),20(i=1,b1)
+    assert(p(0).features.toSeq == Seq(10L, 20L))
+    assert(p(1).features.toSeq == Seq(30L, 0L))     // byte 30 at i=2 → b0
+    assert(p(2).features.toSeq == Seq(50L, 40L))    // i=4→b0, i=3→b1
+    assert(p(3).features.toSeq == Seq(0L, 60L))     // i=5 → b1
+    // empty payload yields no patch rows
+    val empty = Seq(("m2", Array.emptyByteArray)).toDF("media_id", "payload")
+    assert(Multimodal.patchFeatures(empty, 4, 2).isEmpty)
+  }
+
+  test("pooledEmbedding: per-dim sums across patches, unit L2 norm, dim order preserved") {
+    val media = Seq(("m1", Array[Byte](10, 20, 30, 40, 50, 60))).toDF("media_id", "payload")
+    val emb = Multimodal.pooledEmbedding(
+      Multimodal.patchFeatures(media, grid = 4, dim = 2).toDF(), dim = 2)
+      .select($"media_id", $"embedding").as[(String, Array[Float])].collect()
+    assert(emb.length == 1)
+    val v = emb(0)._2
+    // pooled sums: b0 = 10+30+50 = 90, b1 = 20+40+60 = 120 → direction (3,4)/5
+    assert(math.abs(v(0) - 0.6f) < 1e-6 && math.abs(v(1) - 0.8f) < 1e-6)
+    val norm = math.sqrt(v.map(x => x.toDouble * x).sum)
+    assert(math.abs(norm - 1.0) < 1e-5)
+    // zero-payload media (no patches) and all-zero vectors are absent, not NaN
+    val zero = Seq(("mz", Array[Byte](0, 0))).toDF("media_id", "payload")
+    assert(Multimodal.pooledEmbedding(
+      Multimodal.patchFeatures(zero, 2, 2).toDF(), 2).isEmpty)
+  }
+
   test("withResizedDims keeps aspect ratio via integer floor math (F15)") {
     val r = Multimodal.withResizedDims(mediaDf, targetWidth = 320)
       .select("media_id", "resized_height").as[(String, Option[Int])].collect().toMap
