@@ -1,0 +1,104 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+import graft.dedup.Dedup
+import graft.store.Snapshots
+
+/**
+ * Continuous corpus curation: the end-to-end streaming twin of the batch
+ * `pipeline_neardup_pretraining` capstone. Each micro-batch of raw
+ * documents is quality-gated, near-dup-deduped BOTH against the corpus
+ * built so far (the prebucketed LSH probe — the corpus is never re-signed)
+ * and within itself, then committed exactly-once:
+ *
+ *   raw stream ─ gate ─ sign ─┬─ probe corpus buckets ──┐
+ *                             └─ intra-batch LSH pairs ─┴─ admitted docs
+ *        admitted ─► appendStream(corpus table)          (idempotent by batchId)
+ *        admitted's buckets ─► appendStream(bucket table) (same batchId)
+ *
+ * The two appends are EACH idempotent on (appId, batchId) — a crash
+ * between them leaves one committed; the replayed batch no-ops the
+ * committed half and completes the other, so the pair converges to
+ * exactly-once without a cross-table transaction. The bucket table is the
+ * same artifact [[Dedup.incrementalLshMatchesPrebucketed]] probes, so the
+ * index the NEXT batch dedups against is maintained by the pipeline
+ * itself — O(delta) per batch end to end (corpus-flat append + probe,
+ * measured in SNAP_SLOPES.json / SCALE.md round-10 section).
+ *
+ * Intra-batch rule: a doc is dropped when it LSH-pairs with a smaller-id
+ * doc in the same batch — the bounded, driver-state-free approximation of
+ * min-label components that a single micro-batch affords (transitive
+ * chains within one batch collapse to the smallest id via the pair set's
+ * transitivity on identical texts; cross-batch chains are covered by the
+ * corpus probe, because the admitted representative's buckets are in the
+ * bucket table for every later batch).
+ *
+ * Reference semantics: the dedup-on-write admission of
+ * `neo4j_memory.py:606-617` lifted from per-conversation rows to corpus
+ * curation, with the reference's at-least-once producer retry
+ * (`redpanda_activity.py:127-143`) made exactly-once in the store commit.
+ */
+object CurationStream {
+
+  /**
+   * Start the ingest query. `docs` is a STREAMING frame with columns
+   * (doc_id: long, text: string); `storeBase`/`bucketBase` are snapshot
+   * store roots (created on first batch).
+   */
+  def curationIngest(docs: DataFrame, storeBase: String, bucketBase: String,
+                     appId: String, checkpoint: String,
+                     minLen: Int = 20, numHashes: Int = 4,
+                     bands: Int = 2): StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        ingestBatch(batch, batchId, storeBase, bucketBase, appId,
+          minLen, numHashes, bands)
+      }
+      .start()
+
+  /** One micro-batch of the admission dataflow — factored out so the spec
+    * can drive the crash window deterministically. */
+  def ingestBatch(batch: DataFrame, batchId: Long, storeBase: String,
+                  bucketBase: String, appId: String, minLen: Int,
+                  numHashes: Int, bands: Int): Unit = {
+    val spark = batch.sparkSession
+    val gated = batch
+      .filter(col("text").isNotNull && length(trim(col("text"))) >= minLen)
+    if (gated.isEmpty) return
+
+    val sig = Dedup.minhashSignature(gated, "doc_id", "text", 5, numHashes)
+    val batchBuckets = Dedup.lshBuckets(sig, "doc_id", numHashes, bands)
+      .persist()
+    try {
+      // corpus probe: skip when no corpus exists yet (first batch). The
+      // drop set stays a DataFrame end to end — admission is an anti-join,
+      // never a collected id list (the batch is small but need not be).
+      val corpusHits =
+        if (Snapshots.versions(spark, bucketBase).isEmpty) None
+        else Some(Dedup.incrementalLshMatchesPrebucketed(
+            batchBuckets, Snapshots.read(spark, bucketBase), "doc_id")
+          .select(col("id_new").as("doc_id")))
+      // intra-batch: drop every doc that pairs with a smaller id
+      val intraDrops = Dedup.lshCandidatePairs(sig, "doc_id", numHashes, bands)
+        .select(col("id_b").as("doc_id"))
+      val dropIds = corpusHits.fold(intraDrops)(intraDrops.union)
+      val admitted = gated.join(dropIds, Seq("doc_id"), "left_anti")
+
+      // two idempotent commits under ONE batch id: replay after a crash
+      // between them no-ops the committed half and completes the other
+      Snapshots.appendStream(admitted, storeBase, appId, batchId,
+        statsKey = Some("doc_id"))
+      Snapshots.appendStream(
+        batchBuckets.join(admitted.select(col("doc_id")), "doc_id"),
+        bucketBase, appId, batchId)
+      ()
+    } finally {
+      batchBuckets.unpersist(false)
+      ()
+    }
+  }
+}
