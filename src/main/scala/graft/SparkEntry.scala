@@ -5358,7 +5358,61 @@ object SparkEntry {
       Some("""SELECT doc_id, source, n_chars,
              |  round(percent_rank() OVER (PARTITION BY source
              |                             ORDER BY n_chars, doc_id), 6) AS pct_in_source
-             |FROM documents ORDER BY doc_id""".stripMargin))
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // RLHF/DPO preference-pair assembly: per source, the highest- and
+    // lowest-quality docs form one (chosen, rejected) training pair with
+    // the score margin. Quality = distinct-token ratio (a repetition
+    // signal; exact integer counts, one double division shared by both
+    // engines). The arg-extremes are single-pass max_by/min_by aggregates
+    // with the tie-break INSIDE the ordering key (score, ∓doc_id) — one
+    // keyed shuffle on source, no window over the corpus, so "build pairs
+    // per domain over 100 TB" costs what a groupBy costs.
+    "cu_preference_pairs" -> Q(
+      (s, d) => {
+        import graft.text.TextAnalysis
+        val scored = T(s, d, "documents")
+          .select(col("doc_id"), col("source"),
+            TextAnalysis.tokens(col("text")).as("ts"))
+          .filter(size(col("ts")) > 0)
+          .select(col("doc_id"), col("source"),
+            (size(array_distinct(col("ts"))).cast("double") / size(col("ts")))
+              .as("score"))
+        scored.groupBy(col("source"))
+          .agg(
+            count(lit(1)).as("n_docs"),
+            max_by(struct(col("doc_id"), col("score")),
+              struct(col("score"), (-col("doc_id")).as("tb"))).as("ch"),
+            min_by(struct(col("doc_id"), col("score")),
+              struct(col("score"), col("doc_id"))).as("rj"))
+          .filter(col("n_docs") >= 2)
+          .select(col("source"), col("n_docs"),
+            col("ch.doc_id").as("chosen_id"),
+            col("rj.doc_id").as("rejected_id"),
+            round(col("ch.score") - col("rj.score"), 6).as("margin"))
+          .orderBy(col("source"))
+      },
+      Some("""WITH toks AS (SELECT doc_id, source,
+             |    unnest(list_filter(regexp_split_to_array(text, '\s+'),
+             |                       t -> length(t) > 0)) AS tok
+             |  FROM documents),
+             |sc AS (SELECT doc_id, any_value(source) AS source,
+             |    count(DISTINCT tok)::DOUBLE / count(tok) AS score
+             |  FROM toks GROUP BY doc_id),
+             |ch AS (SELECT source, doc_id AS chosen_id, score AS cs FROM (
+             |    SELECT source, doc_id, score, row_number() OVER (
+             |      PARTITION BY source ORDER BY score DESC, doc_id) AS rn
+             |    FROM sc) t WHERE rn = 1),
+             |rj AS (SELECT source, doc_id AS rejected_id, score AS rs FROM (
+             |    SELECT source, doc_id, score, row_number() OVER (
+             |      PARTITION BY source ORDER BY score ASC, doc_id) AS rn
+             |    FROM sc) t WHERE rn = 1),
+             |cnt AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+             |        FROM sc GROUP BY source)
+             |SELECT ch.source, cnt.n_docs, chosen_id, rejected_id,
+             |  round(cs - rs, 6) AS margin
+             |FROM ch JOIN rj USING (source) JOIN cnt ON cnt.source = ch.source
+             |WHERE cnt.n_docs >= 2 ORDER BY ch.source""".stripMargin))
   )
 
   private val routingTopics = Events.Topics(
