@@ -381,7 +381,8 @@ object Bench {
       "v3_ivf_knn", "v3_pq_knn", "ta_language_id", "ta_bm25_search",
       "x1_asof_join", "x2_sessionize", "w1_sequence_next", "f10_json_extract",
       "g1_khop_reachability", "g3_pagerank", "dq_profile", "pipeline_curation",
-      "pipeline_pretraining", "cu_pack_sequences", "s4_append_sequence")
+      "pipeline_pretraining", "pipeline_neardup_pretraining",
+      "cu_pack_sequences", "s4_append_sequence")
     val resMap = results.toMap
     val headQs = headline.flatMap { k =>
       resMap.get(k).map {

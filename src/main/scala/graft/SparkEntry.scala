@@ -1433,11 +1433,15 @@ object SparkEntry {
     // HLL sketch (approx_count_distinct): estimator internals are
     // engine-specific, so the oracle checks the bounded-relative-error
     // claim (|approx − exact| ≤ 5% · exact) as an exact boolean — the
-    // estimate itself never crosses engines
+    // estimate itself never crosses engines. rsd = 0.01 so the pinned 5%
+    // bound sits at ~5σ of the sketch's deterministic error: the default
+    // 0.05 makes 5% a ONE-sigma event, and at sf0.1 (1500 distinct per
+    // group) the estimate landed outside it — caught by the round-10
+    // both-SF oracle sweep.
     "a10_approx_distinct" -> Q(
       (s, d) => TestData.events(s, d)
         .groupBy(col("event_type"))
-        .agg(approx_count_distinct(col("user_id")).as("approx"),
+        .agg(approx_count_distinct(col("user_id"), 0.01).as("approx"),
           countDistinct(col("user_id")).as("exact_users"))
         .select(col("event_type"), col("exact_users"),
           (abs(col("approx") - col("exact_users")) <=
