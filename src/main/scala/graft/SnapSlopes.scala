@@ -80,6 +80,13 @@ object SnapSlopes {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.autoBroadcastJoinThreshold", s"${64 * 1024 * 1024}")
+      // the probe's scan side is a compact columnar artifact (hundreds of
+      // MB for a 5M-doc corpus) — at the default 128 MB maxPartitionBytes
+      // it splits into ~3 read tasks and the probe is PARALLELISM-bound,
+      // not work-bound (measured: 27.6 s at 5M docs on 32 idle cores).
+      // minPartitionNum floors the split count at core count; the same
+      // knob a cluster job sets per executor complement.
+      .config("spark.sql.files.minPartitionNum", cpus)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -115,9 +122,13 @@ object SnapSlopes {
         Snapshots.write(corpus, base, statsKey = Some("doc_id")); ()
       })
       record("bucket_build", n, timeIt {
-        val sig = Dedup.minhashSignature(
+        // hashed (xxhash64-long) artifact: the md5-string variant measured
+        // 815 s build / 33 s probe at the 5M point — a representation tax
+        // (32-char hex cells) the production path does not pay
+        val sig = Dedup.minhashSignatureHashed(
           Snapshots.read(spark, base), "doc_id", "text", n = 5, numHashes = 8)
-        Dedup.lshBuckets(sig, "doc_id", numHashes = 8, bands = 4)
+        Dedup.withBucketDf(
+            Dedup.lshBucketsHashed(sig, "doc_id", numHashes = 8, bands = 4))
           .write.mode("overwrite").parquet(bucketDir)
       })
 
@@ -135,13 +146,25 @@ object SnapSlopes {
         Snapshots.mergeInto(spark, base, upd, "doc_id"); ()
       })
       val corpusBuckets = spark.read.parquet(bucketDir)
-      record("incr_dedup", n, median3 {
+      def deltaBuckets() = {
         val delta = syntheticDocs(spark, deltaN, 20000000L, seed = 17)
-        val dsig = Dedup.minhashSignature(delta, "doc_id", "text", n = 5, numHashes = 8)
+        Dedup.lshBucketsHashed(
+          Dedup.minhashSignatureHashed(delta, "doc_id", "text", n = 5, numHashes = 8),
+          "doc_id", 8, 4)
+      }
+      // maxDf = 100: the hot-bucket cap (stored-df filter — the batch
+      // family's boilerplate treatment applied to the incremental probe);
+      // without it the synthetic corpus's small vocab makes every probe
+      // doc match a constant FRACTION of the corpus and the join output
+      // itself grows linearly (measured 24-33 s at 5M docs).
+      record("incr_dedup", n, median3 {
         Dedup.incrementalLshMatchesPrebucketed(
-          Dedup.lshBuckets(dsig, "doc_id", 8, 4), corpusBuckets, "doc_id")
+          deltaBuckets(), corpusBuckets, "doc_id", maxDf = 100)
           .write.mode("overwrite").format("noop").save()
       })
+      val nMatches = Dedup.incrementalLshMatchesPrebucketed(
+        deltaBuckets(), corpusBuckets, "doc_id", maxDf = 100).count()
+      println(s"[snapslopes] n=$n capped-probe matches = $nMatches")
     }
 
     def slope(phase: String): Double = {

@@ -96,6 +96,27 @@ object Dedup {
   }
 
   /**
+   * PRODUCTION twin of [[minhashSignature]]: xxhash64 longs instead of md5
+   * hex strings. Identical blocking semantics (min over a uniform hash is
+   * a valid permutation-min; two docs share a band bucket iff their band
+   * rows are equal, which holds for any injective-enough hash), but each
+   * signature cell is 8 bytes instead of a 32-char string — the third
+   * decade of SNAP_SLOPES measured the md5 path's bucket artifact at
+   * 20M×string rows becoming scan-bound (33 s probe, 815 s build at 5M
+   * docs), which is a representation tax, not an algorithmic term. Use
+   * this for engine-internal artifacts (the corpus bucket table, the
+   * streaming index); keep the md5 path where a DuckDB oracle must replay
+   * the values.
+   */
+  def minhashSignatureHashed(df: DataFrame, idCol: String, textCol: String,
+                             n: Int, numHashes: Int): DataFrame = {
+    val sh = shingles(df, idCol, textCol, n)
+    val aggs = (0 until numHashes).map(j =>
+      min(xxhash64(lit(j), col("shingle"))).as(s"h$j"))
+    sh.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /**
    * LSH banding over a MinHash signature: band b = hash of rows
    * [b*rowsPerBand, (b+1)*rowsPerBand). Docs sharing ANY band bucket are
    * candidates. The candidate join is per-(band, bucket) — never all-pairs;
@@ -113,6 +134,23 @@ object Dedup {
     val bandCols = (0 until bands).map { b =>
       val slice = (0 until rowsPerBand).map(r => col(s"h${b * rowsPerBand + r}"))
       struct(lit(b).as("band"), md5(concat_ws("|", slice: _*)).as("bucket"))
+    }
+    sig.select(col(idCol), explode(array(bandCols: _*)).as("bb"))
+      .select(col(idCol), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+  }
+
+  /** PRODUCTION twin of [[lshBuckets]] for [[minhashSignatureHashed]]
+    * signatures: the band bucket is one xxhash64 long over the band's
+    * signature rows — 9 bytes per bucket row instead of an md5 string.
+    * Same (idCol, band, bucket) shape, so it drops into
+    * [[incrementalLshMatchesPrebucketed]] unchanged. */
+  def lshBucketsHashed(sig: DataFrame, idCol: String, numHashes: Int,
+                       bands: Int): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rowsPerBand = numHashes / bands
+    val bandCols = (0 until bands).map { b =>
+      val slice = (0 until rowsPerBand).map(r => col(s"h${b * rowsPerBand + r}"))
+      struct(lit(b).as("band"), xxhash64(lit(b) +: slice: _*).as("bucket"))
     }
     sig.select(col(idCol), explode(array(bandCols: _*)).as("bb"))
       .select(col(idCol), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
@@ -160,13 +198,37 @@ object Dedup {
    */
   def incrementalLshMatchesPrebucketed(newBuckets: DataFrame,
                                        corpusBuckets: DataFrame,
-                                       idCol: String): DataFrame = {
+                                       idCol: String,
+                                       maxDf: Int = Int.MaxValue): DataFrame = {
     val nb = newBuckets.withColumnRenamed(idCol, "id_new")
-    val cb = corpusBuckets.withColumnRenamed(idCol, "id_corpus")
+    val cb0 = corpusBuckets.withColumnRenamed(idCol, "id_corpus")
+    // hot-bucket cap, the incremental twin of the batch family's maxDf:
+    // a bucket shared by thousands of corpus docs is boilerplate blocking
+    // noise — every probe doc "matches" it and the join output grows with
+    // the corpus, which is the one way this probe goes super-constant.
+    // The df column is PRECOMPUTED in the artifact (see [[withBucketDf]])
+    // so the cap is a scan-side filter, not an O(corpus) aggregation per
+    // batch; an artifact without the column ignores the cap.
+    val cb =
+      if (maxDf != Int.MaxValue && cb0.columns.contains("df"))
+        cb0.filter(col("df") <= maxDf).drop("df")
+      else cb0.drop(cb0.columns.filter(_ == "df"): _*)
     broadcast(nb).join(cb, Seq("band", "bucket"))
       .filter(col("id_new") =!= col("id_corpus"))
       .select(col("id_new"), col("id_corpus"))
       .distinct()
+  }
+
+  /** Annotate a bucket table with each (band, bucket)'s document frequency
+    * — computed ONCE at artifact build/compaction time so the incremental
+    * probe's hot-bucket cap ([[incrementalLshMatchesPrebucketed]] maxDf)
+    * is a stored-column filter at probe time. On append the df drifts
+    * conservatively low for new buckets; recompute with the periodic
+    * compaction pass, like any other table statistic. */
+  def withBucketDf(buckets: DataFrame): DataFrame = {
+    val df = buckets.groupBy(col("band"), col("bucket"))
+      .agg(count(lit(1)).cast("int").as("df"))
+    buckets.join(df, Seq("band", "bucket"))
   }
 
   /** MinHash-estimated Jaccard for candidate pairs (fraction of equal hashes). */

@@ -70,8 +70,12 @@ object CurationStream {
       .filter(col("text").isNotNull && length(trim(col("text"))) >= minLen)
     if (gated.isEmpty) return
 
-    val sig = Dedup.minhashSignature(gated, "doc_id", "text", 5, numHashes)
-    val batchBuckets = Dedup.lshBuckets(sig, "doc_id", numHashes, bands)
+    // hashed (xxhash64-long) signatures: this is a production path with no
+    // cross-engine oracle, so it takes the 8-byte bucket representation —
+    // the md5 artifact at the SNAP_SLOPES 5M point paid a 5.6× build tax
+    // purely for hex-string portability this path doesn't need
+    val sig = Dedup.minhashSignatureHashed(gated, "doc_id", "text", 5, numHashes)
+    val batchBuckets = Dedup.lshBucketsHashed(sig, "doc_id", numHashes, bands)
       .persist()
     try {
       // corpus probe: skip when no corpus exists yet (first batch). The
@@ -82,8 +86,13 @@ object CurationStream {
         else Some(Dedup.incrementalLshMatchesPrebucketed(
             batchBuckets, Snapshots.read(spark, bucketBase), "doc_id")
           .select(col("id_new").as("doc_id")))
-      // intra-batch: drop every doc that pairs with a smaller id
-      val intraDrops = Dedup.lshCandidatePairs(sig, "doc_id", numHashes, bands)
+      // intra-batch: drop every doc that pairs with a smaller id — a
+      // self-join of the PERSISTED bucket frame, so the batch is signed
+      // exactly once per micro-batch
+      val bbA = batchBuckets.select(col("band"), col("bucket"), col("doc_id").as("id_a"))
+      val bbB = batchBuckets.select(col("band"), col("bucket"), col("doc_id").as("id_b"))
+      val intraDrops = bbA.join(bbB, Seq("band", "bucket"))
+        .filter(col("id_a") < col("id_b"))
         .select(col("id_b").as("doc_id"))
       val dropIds = corpusHits.fold(intraDrops)(intraDrops.union)
       val admitted = gated.join(dropIds, Seq("doc_id"), "left_anti")

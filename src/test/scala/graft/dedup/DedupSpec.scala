@@ -267,6 +267,34 @@ class DedupSpec extends AnyFunSuite {
     assert(pre.contains((10L, 1L)))
   }
 
+  test("hashed signature/bucket twins: identical blocking verdicts on twins and non-dups") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again"), // exact twin of 1
+      (3L, "completely unrelated corpus content about something else entirely")
+    ).toDF("doc_id", "text")
+    def pairsVia(sig: org.apache.spark.sql.DataFrame,
+                 buckets: org.apache.spark.sql.DataFrame): Set[(Long, Long)] = {
+      val a = buckets.select(col("band"), col("bucket"), col("doc_id").as("id_a"))
+      val b = buckets.select(col("band"), col("bucket"), col("doc_id").as("id_b"))
+      a.join(b, Seq("band", "bucket")).filter(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b")).distinct()
+        .as[(Long, Long)].collect().toSet
+    }
+    val md5Sig = Dedup.minhashSignature(docs, "doc_id", "text", 5, 4)
+    val md5Pairs = pairsVia(md5Sig, Dedup.lshBuckets(md5Sig, "doc_id", 4, 2))
+    val hSig = Dedup.minhashSignatureHashed(docs, "doc_id", "text", 5, 4)
+    val hPairs = pairsVia(hSig, Dedup.lshBucketsHashed(hSig, "doc_id", 4, 2))
+    // exact twins MUST pair under any hash (equal shingle sets -> equal
+    // signatures -> equal band buckets); the unrelated doc must not
+    assert(md5Pairs == Set((1L, 2L)))
+    assert(hPairs == Set((1L, 2L)), s"hashed blocking diverged: $hPairs")
+    // the hashed bucket column is a LONG (the 8-byte representation the
+    // production artifact exists for)
+    assert(Dedup.lshBucketsHashed(hSig, "doc_id", 4, 2)
+      .schema("bucket").dataType.typeName == "long")
+  }
+
   test("dedupByCluster keeps the best-scoring doc per component") {
     val corpus = Seq(
       (1L, "short", 5.0), (2L, "longer text", 9.0), (3L, "mid", 7.0),
