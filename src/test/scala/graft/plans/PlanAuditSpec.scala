@@ -72,6 +72,17 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("Partial"), p)
   }
 
+  test("mm_crossmodal_knn: media side broadcasts, corpus streams, top-k pre-pruned") {
+    val p = planOf("mm_crossmodal_knn")
+    // the tiny pooled-media relation must be the BROADCAST side of the
+    // deliberate bounded cross — a corpus-side broadcast would ship the
+    // whole embedding table per executor at scale
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("BroadcastExchange"), p)
+    // rank<=3 per media physicalizes as WindowGroupLimit before the window
+    assert(p.contains("WindowGroupLimit"), p)
+  }
+
   test("tpch_q4: correlated EXISTS plans as a semi join, never a per-row subquery") {
     val p = planOf("tpch_q4_priority_check")
     assert(p.contains("LeftSemi"), p)
