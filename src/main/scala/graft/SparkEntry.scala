@@ -473,6 +473,53 @@ object SparkEntry {
       Some("""SELECT event_type, round(median(value), 6) AS med
              |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
 
+    // mergeable quantile sketch (approx_percentile, the GK/KLL-family
+    // structure Spark merges across partitions): sketch internals are
+    // engine-specific, so — like the HLL queries — the oracle checks the
+    // bounded-error claim as an exact boolean. accuracy=10000 ⇒ rank error
+    // ≤ 1/10000; with group sizes in the thousands the returned value must
+    // sit within a ±1% RANK window of the exact quantile, checked against
+    // the exact inverse-CDF bounds both engines compute identically.
+    "a18_quantile_sketch" -> Q(
+      (s, d) => {
+        val ev = TestData.events(s, d)
+        val approx = ev.groupBy(col("event_type"))
+          .agg(percentile_approx(col("value"), lit(0.9), lit(10000)).as("p90_approx"),
+            expr("percentile(value, array(0.889, 0.901))").as("bounds"),
+            count(lit(1)).as("n"))
+        approx.select(col("event_type"), col("n"),
+            (col("p90_approx") >= element_at(col("bounds"), 1) - 1e-9 &&
+             col("p90_approx") <= element_at(col("bounds"), 2) + 1e-9)
+              .as("within_1pct_rank"))
+          .orderBy(col("event_type"))
+      },
+      Some("""SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+             |  TRUE AS within_1pct_rank
+             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    // exact equi-width histogram: bucket = floor((x−lo)·k/(hi−lo)) clamped
+    // to k−1 — pure integer/double arithmetic both engines replay exactly,
+    // the profile primitive behind drift monitors and dashboards. Bounds
+    // come from one aggregate pass (broadcast scalar), counts from one
+    // keyed shuffle — two passes total, no window.
+    "x18_histogram" -> Q(
+      (s, d) => {
+        val ev = TestData.events(s, d).filter(col("value").isNotNull)
+        val bounds = ev.agg(min(col("value")).as("lo"), max(col("value")).as("hi"))
+        ev.crossJoin(broadcast(bounds))
+          .select(least(floor((col("value") - col("lo")) * 8 / (col("hi") - col("lo"))), lit(7L))
+            .cast("int").as("bucket"))
+          .groupBy(col("bucket"))
+          .agg(count(lit(1)).as("n_rows"))
+          .orderBy(col("bucket"))
+      },
+      Some("""WITH b AS (SELECT min(value) AS lo, max(value) AS hi
+             |           FROM events WHERE value IS NOT NULL)
+             |SELECT CAST(least(floor((value - lo) * 8 / (hi - lo)), 7) AS INT) AS bucket,
+             |  count(*) AS n_rows
+             |FROM events, b WHERE value IS NOT NULL
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // second-moment statistics battery (stddev / correlation / covariance)
     "a14_stats_moments" -> Q(
       (s, d) => TestData.events(s, d)
