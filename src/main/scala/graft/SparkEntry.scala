@@ -3709,7 +3709,9 @@ object SparkEntry {
     // fingerprint-blocked pairs, min-label components, longest-text winner
     // per cluster (ties to min id). Every stage re-uses the proven pieces —
     // winnowCandidatePairs (fingerprint join, maxDf cap), connectedComponents
-    // (per-round lineage truncation), dedupByCluster — so the scale argument
+    // (per-round lineage truncation; a round-11 A/B measured the star-
+    // contraction variant 2x slower on this shallow pair graph, so min-label
+    // stays), dedupByCluster — so the scale argument
     // is the composition of their individual ones: no all-pairs term, joins
     // only on fingerprint / node id. Oracle closes the identical md5 winnow
     // pairs with the recursive-CTE pattern, then picks the same winner.
@@ -3718,7 +3720,8 @@ object SparkEntry {
         val docs = T(s, d, "documents").filter(col("doc_id") < 300)
         val pairs = Dedup.winnowCandidatePairs(docs, "doc_id", "text",
           k = 20, w = 10, minShared = 2, maxDf = 10)
-        val labels = Dedup.connectedComponents(pairs, docs.select(col("doc_id")), "doc_id")
+        val labels = Dedup.connectedComponents(
+          pairs, docs.select(col("doc_id")), "doc_id")
         Dedup.dedupByCluster(docs, labels, "doc_id", length(col("text")))
           .select(col("doc_id"), col("cluster"), length(col("text")).as("text_len"))
           .orderBy(col("doc_id"))
@@ -4517,12 +4520,14 @@ object SparkEntry {
         import graft.ops.Curation
         import graft.text.TextAnalysis
         val docs = T(s, d, "documents")
-        val ent = TextAnalysis.tokenEntropy(docs, "doc_id", "text")
-          .select(col("doc_id"), col("entropy"))
-        val lm = TextAnalysis.unigramLmScore(docs, "doc_id", "text")
-          .select(col("doc_id"), col("avg_logp"))
-        val gated = docs.join(ent, "doc_id").join(lm, "doc_id")
+        // tokenize ONCE (round-11): the fused tokenStats pass feeds the
+        // entropy gate, the LM gate, AND the final token-count aggregate
+        // (n_tokens rides the pipeline as a column) — the previous
+        // three-explode composition was the battery's worst scale slope
+        val stats = TextAnalysis.tokenStats(docs, "doc_id", "text")
+        val gated = docs.join(stats, "doc_id")
           .filter(col("entropy") >= 2.8 && col("avg_logp") >= -3.5)
+          .drop("entropy", "avg_logp")
         val surv = Dedup.exactSurvivors(gated, "doc_id", "text")
         val mixed = Curation.temperatureMix(surv, "doc_id", "source",
             tau = 0.5, targetFrac = 0.5)
@@ -4531,7 +4536,7 @@ object SparkEntry {
             Seq(("train", 0.9), ("val", 0.05), ("test", 0.05)))
           .groupBy(col("split"), col("source"))
           .agg(count(lit(1)).as("n_docs"),
-            sum(TextAnalysis.tokenCount(col("text"))).cast("long").as("n_tokens"))
+            sum(col("n_tokens")).cast("long").as("n_tokens"))
           .orderBy(col("split"), col("source"))
       },
       Some(s"""WITH toks AS (
@@ -4580,21 +4585,30 @@ object SparkEntry {
     // with per-round lineage truncation; scale argument is the sum of the
     // stages' individual ones (SCALE.md dedup section). Oracle replays the
     // whole cascade, closing the identical md5 LSH pairs with the
-    // recursive-CTE pattern proven in dd_cluster_survivors.
+    // recursive-CTE pattern proven in dd_cluster_survivors. The gate and
+    // final token counts all derive from ONE fused tokenStats pass
+    // (round-11).
     "pipeline_neardup_pretraining" -> Q(
       (s, d) => {
         import graft.ops.Curation
         import graft.text.TextAnalysis
         val docs = T(s, d, "documents")
-        val ent = TextAnalysis.tokenEntropy(docs, "doc_id", "text")
-          .select(col("doc_id"), col("entropy"))
-        val lm = TextAnalysis.unigramLmScore(docs, "doc_id", "text")
-          .select(col("doc_id"), col("avg_logp"))
-        val gated = docs.join(ent, "doc_id").join(lm, "doc_id")
+        // tokenize-once gate + n_tokens carried as a column (round-11),
+        // same rationale as pipeline_pretraining
+        val stats = TextAnalysis.tokenStats(docs, "doc_id", "text")
+        val gated = docs.join(stats, "doc_id")
           .filter(col("entropy") >= 2.8 && col("avg_logp") >= -3.5)
+          .drop("entropy", "avg_logp")
         val sig = Dedup.minhashSignature(gated, "doc_id", "text", 5, 4)
         val pairs = Dedup.lshCandidatePairs(sig, "doc_id", numHashes = 4, bands = 2)
-        val labels = Dedup.connectedComponents(pairs, gated.select(col("doc_id")), "doc_id")
+        // min-label components, KEPT after a round-11 A/B vs the O(log d)
+        // star contraction: on this capstone's clique-like near-dup graph
+        // min-label's 1-hop-min seed converges in ~2 rounds while stars
+        // pays two grouped phases per alternation — measured 19.7 s vs
+        // 22.2 s at sf0.1. Stars (dd_cluster_stars) stays the deep-diameter
+        // scale path; swap it in when components are chain-shaped.
+        val labels = Dedup.connectedComponents(
+          pairs, gated.select(col("doc_id")), "doc_id")
         val surv = Dedup.dedupByCluster(gated, labels, "doc_id", length(col("text")))
           .drop("cluster")
         val mixed = Curation.temperatureMix(surv, "doc_id", "source",
@@ -4604,7 +4618,7 @@ object SparkEntry {
             Seq(("train", 0.9), ("val", 0.05), ("test", 0.05)))
           .groupBy(col("split"), col("source"))
           .agg(count(lit(1)).as("n_docs"),
-            sum(TextAnalysis.tokenCount(col("text"))).cast("long").as("n_tokens"))
+            sum(col("n_tokens")).cast("long").as("n_tokens"))
           .orderBy(col("split"), col("source"))
       },
       Some(s"""WITH RECURSIVE toks AS (
@@ -4707,6 +4721,28 @@ object SparkEntry {
              |      FROM toks JOIN vocab USING (tok) GROUP BY 1)
              |SELECT doc_id, n_tokens, round(a - ln(total), 6) AS avg_logp
              |FROM s, tot""".stripMargin)),
+
+    // fused token statistics (round-11): n_tokens + entropy + unigram-LM
+    // log-prob from ONE tokenize/explode pass — the pretraining gate's
+    // plan, pinned standalone so the fusion's parity with the separate
+    // ta_entropy / ta_unigram_lm operators is oracle-checked directly
+    "ta_token_stats" -> Q(
+      (s, d) => graft.text.TextAnalysis.tokenStats(
+        T(s, d, "documents"), "doc_id", "text"),
+      Some("""WITH toks AS (
+             |  SELECT doc_id, unnest(list_filter(regexp_split_to_array(text, '\s+'),
+             |                                    t -> length(t) > 0)) AS tok
+             |  FROM documents),
+             |tc AS (SELECT doc_id, tok, count(*) AS c FROM toks GROUP BY 1, 2),
+             |vocab AS (SELECT tok, CAST(sum(c) AS BIGINT) AS cnt FROM tc GROUP BY 1),
+             |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM vocab),
+             |a AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+             |        sum(c * ln(c)) AS s, sum(c * ln(cnt)) AS l
+             |      FROM tc JOIN vocab USING (tok) GROUP BY 1)
+             |SELECT doc_id, n_tokens,
+             |  round(ln(n_tokens) - s / n_tokens, 6) AS entropy,
+             |  round(l / n_tokens - ln(total), 6) AS avg_logp
+             |FROM a, tot""".stripMargin)),
 
     // TF-IDF keyword extraction: top-5 terms per doc, rounded-then-ranked
     // so the window boundary is jitter-proof in both engines

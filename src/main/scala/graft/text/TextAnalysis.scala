@@ -360,6 +360,47 @@ object TextAnalysis {
   }
 
   /**
+   * Fused per-document token statistics: ONE tokenize+explode pass
+   * producing `n_tokens`, [[tokenEntropy]]'s Shannon entropy, AND
+   * [[unigramLmScore]]'s mean token log-probability together. The
+   * pretraining gate needs all three, and composing the standalone
+   * operators explodes the corpus three times (entropy, LM, and the final
+   * token-count aggregate) — at 100× scale that is three full
+   * explode+shuffle passes where one suffices, and it was the worst
+   * measured scale slope in the battery (0.62 tail) before this fusion.
+   *
+   * Plan shape: the corpus repartitions on the doc id ONCE (text bytes
+   * move once, and the tokenize+explode stage parallelizes even from a
+   * single file split); the (doc, tok) count pre-aggregate rides that
+   * partitioning. Corpus token frequencies come from a `sum over
+   * (partition by tok)` window on the count frame — one shuffle of the
+   * (doc, tok) pairs, no separate vocab join — and the per-doc reduction
+   * derives all three outputs from the same grouped pass:
+   * H = ln n − Σc·ln c / n and avg_logp = Σc·ln cnt / n − ln(total).
+   * The corpus total is size() arithmetic on a map-only re-scan broadcast
+   * as a 1-row scalar (the [[unigramLmScore]] pattern — never a third
+   * explode). Returns (idCol, n_tokens, entropy, avg_logp), docs with
+   * ≥1 token; values match the standalone operators' rounded outputs.
+   */
+  def tokenStats(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val total = df.agg(sum(size(tokens(col(textCol)))).cast("long").as("total"))
+    val tc = df
+      .repartition(df.sparkSession.sparkContext.defaultParallelism, col(idCol))
+      .select(col(idCol), explode(tokens(col(textCol))).as("tok"))
+      .groupBy(col(idCol), col("tok")).agg(count(lit(1)).as("__c"))
+    tc.withColumn("cnt", sum(col("__c")).over(Window.partitionBy(col("tok"))))
+      .groupBy(col(idCol))
+      .agg(sum(col("__c")).as("n_tokens"),
+        sum(col("__c") * log(col("__c"))).as("__s"),
+        sum(col("__c") * log(col("cnt"))).as("__l"))
+      .crossJoin(broadcast(total))
+      .select(col(idCol), col("n_tokens"),
+        round(log(col("n_tokens")) - col("__s") / col("n_tokens"), 6).as("entropy"),
+        round(col("__l") / col("n_tokens") - log(col("total")), 6).as("avg_logp"))
+  }
+
+  /**
    * Bigram language-model scoring with add-k smoothing — the next step up
    * from [[unigramLmScore]] as an in-engine fluency/perplexity filter:
    * avg_logp = mean ln P(w2|w1), P = (c(w1,w2)+k) / (c(w1)+k·V).

@@ -191,6 +191,31 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(n == Map(1L -> 3L, 2L -> 3L, 3L -> 2L))
   }
 
+  test("tokenStats: fused pass matches the standalone entropy/LM operators") {
+    val docs = Seq(
+      (1L, "the the cat"),
+      (2L, "the cat dog"),
+      (3L, "zyx dog"),
+      (4L, "a a a a"),
+      (5L, "")              // no tokens → drops out of all three
+    ).toDF("doc_id", "text")
+    val fused = TextAnalysis.tokenStats(docs, "doc_id", "text")
+      .as[(Long, Long, Double, Double)].collect()
+      .map(x => x._1 -> ((x._2, x._3, x._4))).toMap
+    val ent = TextAnalysis.tokenEntropy(docs, "doc_id", "text")
+      .as[(Long, Long, Double)].collect().map(x => x._1 -> ((x._2, x._3))).toMap
+    val lm = TextAnalysis.unigramLmScore(docs, "doc_id", "text")
+      .as[(Long, Long, Double)].collect().map(x => x._1 -> ((x._2, x._3))).toMap
+    assert(fused.keySet == ent.keySet && fused.keySet == lm.keySet)
+    assert(!fused.contains(5L))
+    for ((id, (n, h, lp)) <- fused) {
+      assert((n, h) == ent(id), s"entropy branch diverged for doc $id")
+      assert(n == lm(id)._1)
+      assert(math.abs(lp - lm(id)._2) < 1e-9,
+        s"LM branch diverged for doc $id: fused $lp vs standalone ${lm(id)._2}")
+    }
+  }
+
   test("keywords: rare terms out-rank ubiquitous ones; ubiquitous idf is zero") {
     val docs = Seq(
       (1L, "alpha alpha common unique"),
