@@ -477,15 +477,19 @@ object SparkEntry {
     // structure Spark merges across partitions): sketch internals are
     // engine-specific, so — like the HLL queries — the oracle checks the
     // bounded-error claim as an exact boolean. accuracy=10000 ⇒ rank error
-    // ≤ 1/10000; with group sizes in the thousands the returned value must
-    // sit within a ±1% RANK window of the exact quantile, checked against
-    // the exact inverse-CDF bounds both engines compute identically.
+    // ≤ 1/10000; the returned value must sit inside the SYMMETRIC
+    // ±1%-relative rank window [0.891, 0.909] (round-11 advisory: the
+    // previous (0.889, 0.901) bounds were asymmetric, with only +0.001
+    // rank of upper headroom), i.e. ~90× the sketch's bound on each side,
+    // checked against exact inverse-CDF bounds both engines compute
+    // identically. Explicit cross-partition MERGE coverage lives in
+    // a19_kll_sketch_merge.
     "a18_quantile_sketch" -> Q(
       (s, d) => {
         val ev = TestData.events(s, d)
         val approx = ev.groupBy(col("event_type"))
           .agg(percentile_approx(col("value"), lit(0.9), lit(10000)).as("p90_approx"),
-            expr("percentile(value, array(0.889, 0.901))").as("bounds"),
+            expr("percentile(value, array(0.891, 0.909))").as("bounds"),
             count(lit(1)).as("n"))
         approx.select(col("event_type"), col("n"),
             (col("p90_approx") >= element_at(col("bounds"), 1) - 1e-9 &&
@@ -496,6 +500,35 @@ object SparkEntry {
       Some("""SELECT event_type, CAST(count(*) AS BIGINT) AS n,
              |  TRUE AS within_1pct_rank
              |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    // KLL quantile sketches (Apache DataSketches) with an EXPLICIT merge:
+    // per-DAY sketches combine via kll_merge_agg into the per-type rollup
+    // WITHOUT rescanning — a12_hll_mergeable's incremental pattern for
+    // quantiles (round-11: a18 asserted mergeability; this exercises it).
+    // k=1000 ⇒ 99%-confidence normalized rank error ~0.5%; the merged p90
+    // must land inside the exact ±1%-relative rank window, a boolean the
+    // oracle verifies exactly.
+    "a19_kll_sketch_merge" -> Q(
+      (s, d) => TestData.events(s, d)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(expr("kll_sketch_agg_double(value, 1000)").as("sk"))
+        .groupBy(col("event_type"))
+        .agg(expr("kll_sketch_get_quantile_double(kll_merge_agg_double(sk), 0.9)")
+            .as("p90_merged"),
+          count(lit(1)).as("n_daily_sketches"))
+        .join(TestData.events(s, d).groupBy(col("event_type"))
+            .agg(expr("percentile(value, array(0.891, 0.909))").as("bounds"),
+              count(lit(1)).as("n")),
+          Seq("event_type"))
+        .select(col("event_type"), col("n"), col("n_daily_sketches"),
+          (col("p90_merged") >= element_at(col("bounds"), 1) - 1e-9 &&
+           col("p90_merged") <= element_at(col("bounds"), 2) + 1e-9)
+            .as("within_1pct_rank"))
+        .orderBy(col("event_type")),
+      Some("""SELECT event_type, count(*) AS n,
+             |  count(DISTINCT CAST(ts AS DATE)) AS n_daily_sketches,
+             |  TRUE AS within_1pct_rank
+             |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)),
 
     // exact equi-width histogram: bucket = floor((x−lo)·k/(hi−lo)) clamped
     // to k−1 — pure integer/double arithmetic both engines replay exactly,

@@ -191,15 +191,34 @@ object Dedup {
    * ALREADY-MATERIALIZED bucket table (idCol, band, bucket) — the artifact
    * a daily pipeline maintains with one O(delta) append per batch — so a
    * batch probe never re-signs or re-explodes the corpus. The batch
-   * buckets broadcast; the corpus-side work is one columnar scan of the
-   * 3-column bucket table (layout note: written partitioned by band /
-   * bucket prefix, that scan prunes to the batch's buckets and the probe
-   * cost stops growing with the corpus).
+   * buckets broadcast (`broadcastBatch` — see below); the corpus-side work
+   * is one columnar scan of the 3-column bucket table (layout note:
+   * written partitioned by band / bucket prefix, that scan prunes to the
+   * batch's buckets and the probe cost stops growing with the corpus).
+   *
+   * `excludeSelf` controls the id_new == id_corpus rows. `true` (the
+   * batch-mode default) assumes DISJOINT id spaces and filters self-joins
+   * out; `false` treats a corpus row with the probe doc's own id as a
+   * match — the at-least-once-ingest setting ([[graft.streaming
+   * .CurationStream]]), where a redelivered doc re-hashes to its admitted
+   * copy's buckets and must be caught as a duplicate, not silently
+   * re-admitted. (A redelivery that MUTATED the text may land in entirely
+   * different buckets and still slip through — that is an update, not a
+   * duplicate, and is out of scope for LSH admission.)
+   *
+   * `broadcastBatch = true` hints the batch side regardless of size —
+   * right whenever the caller bounds the batch (micro-batches with a
+   * maxOffsets cap, a daily delta). Pass `false` for an UNBOUNDED batch
+   * (e.g. a first catch-up batch over a large backlog) so the planner
+   * falls back to a shuffle join instead of OOMing executors on the
+   * broadcast.
    */
   def incrementalLshMatchesPrebucketed(newBuckets: DataFrame,
                                        corpusBuckets: DataFrame,
                                        idCol: String,
-                                       maxDf: Int = Int.MaxValue): DataFrame = {
+                                       maxDf: Int = Int.MaxValue,
+                                       excludeSelf: Boolean = true,
+                                       broadcastBatch: Boolean = true): DataFrame = {
     val nb = newBuckets.withColumnRenamed(idCol, "id_new")
     val cb0 = corpusBuckets.withColumnRenamed(idCol, "id_corpus")
     // hot-bucket cap, the incremental twin of the batch family's maxDf:
@@ -208,15 +227,22 @@ object Dedup {
     // the corpus, which is the one way this probe goes super-constant.
     // The df column is PRECOMPUTED in the artifact (see [[withBucketDf]])
     // so the cap is a scan-side filter, not an O(corpus) aggregation per
-    // batch; an artifact without the column ignores the cap.
+    // batch. A caller asking for the cap against an artifact that lacks
+    // the column must hear about it — a silent no-op returns unboundedly
+    // more matches than the caller sized for (round-11 advisory).
+    require(maxDf == Int.MaxValue || cb0.columns.contains("df"),
+      "maxDf requested but the corpus bucket table has no precomputed 'df' " +
+        "column — build the artifact with withBucketDf (or refresh it at " +
+        "compaction) so the hot-bucket cap is a scan-side filter")
     val cb =
-      if (maxDf != Int.MaxValue && cb0.columns.contains("df"))
-        cb0.filter(col("df") <= maxDf).drop("df")
+      if (maxDf != Int.MaxValue) cb0.filter(col("df") <= maxDf).drop("df")
       else cb0.drop(cb0.columns.filter(_ == "df"): _*)
-    broadcast(nb).join(cb, Seq("band", "bucket"))
-      .filter(col("id_new") =!= col("id_corpus"))
-      .select(col("id_new"), col("id_corpus"))
-      .distinct()
+    val probe = if (broadcastBatch) broadcast(nb) else nb
+    val joined = probe.join(cb, Seq("band", "bucket"))
+    val matched =
+      if (excludeSelf) joined.filter(col("id_new") =!= col("id_corpus"))
+      else joined
+    matched.select(col("id_new"), col("id_corpus")).distinct()
   }
 
   /** Annotate a bucket table with each (band, bucket)'s document frequency

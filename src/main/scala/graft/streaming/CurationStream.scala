@@ -29,12 +29,22 @@ import graft.store.Snapshots
  * measured in SNAP_SLOPES.json / SCALE.md round-10 section).
  *
  * Intra-batch rule: a doc is dropped when it LSH-pairs with a smaller-id
- * doc in the same batch — the bounded, driver-state-free approximation of
- * min-label components that a single micro-batch affords (transitive
- * chains within one batch collapse to the smallest id via the pair set's
- * transitivity on identical texts; cross-batch chains are covered by the
- * corpus probe, because the admitted representative's buckets are in the
- * bucket table for every later batch).
+ * doc in the same batch — bounded and driver-state-free. Its exact
+ * semantics vs full min-label components (made precise in round 11):
+ * the admitted set NEVER contains two docs that are direct LSH
+ * candidates of each other (if kept u < kept v were paired, v would have
+ * the smaller partner u and be dropped), and it is a SUPERSET of the
+ * component-survivor set — the component minimum has no smaller partner,
+ * so it is always kept, and docs connected to their component's minimum
+ * only transitively (through a dropped middle doc) are kept too, where
+ * components would drop them. On identical texts the pair set is a
+ * clique and the two semantics coincide exactly; on near-dup CHAINS
+ * (A–B–C with no A–C pair) both drop B and C; on STARS the greedy rule
+ * deliberately keeps the non-adjacent leaves (they are not near-dups of
+ * the survivor — dropping them, as components would, loses data for no
+ * dedup gain). Cross-batch chains are covered by the corpus probe,
+ * because the admitted representative's buckets are in the bucket table
+ * for every later batch.
  *
  * Reference semantics: the dedup-on-write admission of
  * `neo4j_memory.py:606-617` lifted from per-conversation rows to corpus
@@ -47,6 +57,14 @@ object CurationStream {
    * Start the ingest query. `docs` is a STREAMING frame with columns
    * (doc_id: long, text: string); `storeBase`/`bucketBase` are snapshot
    * store roots (created on first batch).
+   *
+   * Batch-size assumption: each micro-batch must be broadcast-sized (the
+   * corpus probe hints the batch side — the design that keeps the probe
+   * O(delta)). Cap the source's per-trigger intake (e.g. Kafka
+   * `maxOffsetsPerTrigger`) accordingly; for a one-off catch-up over a
+   * large backlog, run the BATCH path (`incrementalLshMatchesPrebucketed`
+   * with `broadcastBatch = false`) instead of replaying it through the
+   * stream (round-11 advisory).
    */
   def curationIngest(docs: DataFrame, storeBase: String, bucketBase: String,
                      appId: String, checkpoint: String,
@@ -81,10 +99,17 @@ object CurationStream {
       // corpus probe: skip when no corpus exists yet (first batch). The
       // drop set stays a DataFrame end to end — admission is an anti-join,
       // never a collected id list (the batch is small but need not be).
+      // excludeSelf = false (round-11 advisory): source-level at-least-once
+      // redelivery re-sends an ALREADY-ADMITTED doc in a LATER batch — a
+      // different batchId, so the (appId, batchId) commit marker cannot
+      // no-op it. The redelivered copy hashes to its admitted twin's
+      // buckets with the SAME doc_id; the batch-mode self-exclusion would
+      // filter that exact match out and re-admit the duplicate.
       val corpusHits =
         if (Snapshots.versions(spark, bucketBase).isEmpty) None
         else Some(Dedup.incrementalLshMatchesPrebucketed(
-            batchBuckets, Snapshots.read(spark, bucketBase), "doc_id")
+            batchBuckets, Snapshots.read(spark, bucketBase), "doc_id",
+            excludeSelf = false)
           .select(col("id_new").as("doc_id")))
       // intra-batch: drop every doc that pairs with a smaller id — a
       // self-join of the PERSISTED bucket frame, so the batch is signed

@@ -357,4 +357,63 @@ class StreamingSpec extends AnyFunSuite {
     assert(Snapshots.read(spark, store).select("doc_id").as[Long].collect().toSet
       == Set(10L, 12L, 21L))
   }
+
+  // disjoint-vocabulary text segment: overlap between docs is controlled by
+  // which segments they share, so the LSH pair structure is plantable
+  private def seg(tag: String, seed: Int): String =
+    (0 until 10).map(i => s"$tag${(seed * 31 + i * 7) % 997}q").mkString(" ")
+
+  test("curation ingest intra-batch semantics: chains collapse to the min id, star leaves survive") {
+    import graft.store.Snapshots
+    // CHAIN (A–B, B–C, no A–C): segment construction X+Y / Y+Z / Z+W, seed
+    // picked so the hashed 4-hash/2-band LSH yields exactly pairs
+    // (1,2),(2,3). Greedy smaller-id drop: 2 falls to 1, 3 falls to 2 —
+    // the chain collapses to its minimum, SAME outcome as full min-label
+    // components (the scaladoc's chain claim, asserted here).
+    val (x, y, z, w) =
+      (seg("alpha", 14), seg("bravo", 114), seg("crick", 214), seg("delta", 314))
+    val chainRoot = java.nio.file.Files.createTempDirectory("curchain").toString
+    CurationStream.ingestBatch(
+      Seq((1L, x + " " + y), (2L, y + " " + z), (3L, z + " " + w))
+        .toDF("doc_id", "text"),
+      0L, s"$chainRoot/corpus", s"$chainRoot/buckets", "chain-app",
+      minLen = 20, numHashes = 4, bands = 2)
+    assert(Snapshots.read(spark, s"$chainRoot/corpus")
+      .select("doc_id").as[Long].collect().toSet == Set(1L),
+      "a 3-chain collapses to its smallest id")
+
+    // STAR at the largest id (pairs (1,3),(2,3) only): the greedy rule
+    // drops the center and keeps BOTH leaves — they are not near-dups of
+    // each other. Full components would keep only doc 1; the keep-more
+    // divergence is deliberate and pinned here.
+    val (ex, fy) = (seg("ever", 6), seg("fable", 106))
+    val starRoot = java.nio.file.Files.createTempDirectory("curstar").toString
+    CurationStream.ingestBatch(
+      Seq((1L, ex), (2L, fy), (3L, ex + " " + fy)).toDF("doc_id", "text"),
+      0L, s"$starRoot/corpus", s"$starRoot/buckets", "star-app",
+      minLen = 20, numHashes = 4, bands = 2)
+    assert(Snapshots.read(spark, s"$starRoot/corpus")
+      .select("doc_id").as[Long].collect().toSet == Set(1L, 2L),
+      "star leaves are kept; only the adjacent center is dropped")
+  }
+
+  test("curation ingest: source-level redelivery in a LATER batch is not re-admitted") {
+    import graft.store.Snapshots
+    val root = java.nio.file.Files.createTempDirectory("curredeliver").toString
+    val (store, buckets) = (s"$root/corpus", s"$root/buckets")
+    val textA = "the quick brown fox jumps over the lazy dog again and again today"
+    CurationStream.ingestBatch(
+      Seq((10L, textA)).toDF("doc_id", "text"),
+      0L, store, buckets, "rd-app", minLen = 20, numHashes = 4, bands = 2)
+    // at-least-once source redelivery: SAME doc, NEW batch id — the
+    // (appId, batchId) marker cannot no-op this; the corpus probe must
+    // catch it (id_new == id_corpus counts as a match, round-11 advisory)
+    CurationStream.ingestBatch(
+      Seq((10L, textA)).toDF("doc_id", "text"),
+      1L, store, buckets, "rd-app", minLen = 20, numHashes = 4, bands = 2)
+    assert(Snapshots.read(spark, store).select("doc_id").as[Long].collect()
+      .toSeq == Seq(10L), "redelivered doc appears exactly once in the corpus")
+    assert(Snapshots.read(spark, buckets).select("doc_id").as[Long].collect()
+      .toSet == Set(10L), "and exactly once in the bucket table")
+  }
 }
