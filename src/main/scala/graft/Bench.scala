@@ -171,11 +171,37 @@ object Bench {
       }
     }
 
+    // bench-only rows — no DuckDB oracle is possible (xxhash64-long
+    // internals don't cross engines; correctness parity with the md5
+    // twins is spec-pinned in DedupSpec). They exist so a regression in
+    // the PRODUCTION hashed dedup representation is visible to the gate:
+    // every oracle-checked bar runs the md5 portability twins, which
+    // would hide a hashed-path slowdown entirely (round-11 gate item).
+    // Build (sign + bucket + df annotate) and probe (prebucketed,
+    // hot-bucket-capped) time as ONE plan over the SF's documents table.
+    val benchOnly: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame] =
+      Map("dd_hashed_build_probe" -> { (s, dir) =>
+        import org.apache.spark.sql.functions.col
+        import graft.dedup.Dedup
+        val docs = s.read.parquet(s"$dir/documents.parquet")
+        val batch = docs.filter(col("doc_id") % 25 === 0) // ~4% probe delta
+        val corpus = docs.filter(col("doc_id") % 25 =!= 0)
+        val cb = Dedup.withBucketDf(Dedup.lshBucketsHashed(
+          Dedup.minhashSignatureHashed(corpus, "doc_id", "text", 5, 4),
+          "doc_id", 4, 2))
+        val nb = Dedup.lshBucketsHashed(
+          Dedup.minhashSignatureHashed(batch, "doc_id", "text", 5, 4),
+          "doc_id", 4, 2)
+        Dedup.incrementalLshMatchesPrebucketed(nb, cb, "doc_id", maxDf = 50)
+      })
+    val allQueries: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame] =
+      SparkEntry.queries ++ benchOnly
+
     // optional arg: comma-separated query-name filter for local A/B timing
     val only: Option[Set[String]] =
       if (args.nonEmpty) Some(args(0).split(",").toSet) else None
     val firstPass: Seq[(String, Either[String, (Double, Long)])] =
-      SparkEntry.queries.toSeq.sortBy(_._1)
+      allQueries.toSeq.sortBy(_._1)
         .filter { case (name, _) => only.forall(_.contains(name)) }
         .map { case (name, fn) =>
           name -> runOnce(name, fn)
@@ -273,7 +299,7 @@ object Bench {
       case (k, Right((v, b))) if regressed(k, v) =>
         val best = (1 to 2).foldLeft((v, b)) { case (acc @ (bv, _), _) =>
           if (!regressed(k, bv)) acc
-          else runOnce(k, SparkEntry.queries(k)) match {
+          else runOnce(k, allQueries(k)) match {
             case Right((v2, b2)) if v2 < bv => (v2, b2)
             case _ => acc
           }
@@ -298,7 +324,7 @@ object Bench {
       else {
         flushState(); System.gc(); Thread.sleep(500)
         flagged.map { k =>
-          k -> (runOnce(k, SparkEntry.queries(k)) match {
+          k -> (runOnce(k, allQueries(k)) match {
             case Right((v2, _)) => v2
             case Left(_) => -1.0
           })
