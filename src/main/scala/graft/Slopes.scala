@@ -187,13 +187,18 @@ object Slopes {
     val sfList = sfDirs.map(_._1).mkString("[", ",", "]")
     val fullJson =
       s"""{"metric":"tail_slope_median","value":${r2(pct(0.5))},"unit":"exponent","sfs":$sfList,"n_queries":${rows.size},"tail_slope_p90":${r2(pct(0.9))},"worst":$worst,"queries":$detail}"""
+    // filtered runs are probes, not the committed full-coverage artifact —
+    // route them to slopes_smoke.json so a 3-query sf-extension run can
+    // never overwrite the 39-query record (same rule as Bench's
+    // bench_smoke.json, round-8 advisor item)
+    val fileName = if (only.isDefined) "slopes_smoke.json" else "SLOPES.json"
     val path =
-      if (new java.io.File("build.sbt").exists()) "SLOPES.json"
-      else "/root/repo/SLOPES.json"
+      if (new java.io.File("build.sbt").exists()) fileName
+      else s"/root/repo/$fileName"
     java.nio.file.Files.writeString(java.nio.file.Paths.get(path), fullJson + "\n")
 
     spark.stop()
     println(
-      s"""{"metric":"tail_slope_median","value":${r2(pct(0.5))},"unit":"exponent","sfs":$sfList,"n_queries":${rows.size},"tail_slope_p90":${r2(pct(0.9))},"worst":$worst,"detail":"SLOPES.json"}""")
+      s"""{"metric":"tail_slope_median","value":${r2(pct(0.5))},"unit":"exponent","sfs":$sfList,"n_queries":${rows.size},"tail_slope_p90":${r2(pct(0.9))},"worst":$worst,"detail":"$fileName"}""")
   }
 }
