@@ -45,9 +45,13 @@ import graft.rag.Rag
  *         <child>
  *
  * — the probe prune of Ivf.ivfKnn, derived automatically. The probe set is
- * computed at plan time from the session-registered coarse quantizer
- * ([[AnnRewrite.registerIvf]] — the miniature of the index-metadata
- * catalog a real lakehouse keeps per table). On a table partitioned by
+ * computed at plan time from the coarse quantizer, resolved in preference
+ * order: the session-registered model ([[AnnRewrite.registerIvf]]) first,
+ * else the PATH-CONVENTION sidecar (round-11): the scan's root path is
+ * checked for `_graft_ivf/centroids.txt` ([[graft.rag.Ivf.saveModel]],
+ * written when the cell column is materialized) — the miniature of the
+ * index-metadata catalog a real lakehouse keeps per table, and the form
+ * that needs ZERO caller code at query time. On a table partitioned by
  * `cell` the IN-filter is partition pruning: the scan touches
  * nProbe/nCells of the files. When a table carries BOTH `sig` and `cell`,
  * the Hamming prefilter wins (documented preference: it composes with
@@ -99,7 +103,11 @@ case class AnnRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
                   Literal(maxHamming, IntegerType))
                 Project(projList, Filter(cond, pchild))
               case (Some(qvec), None, Some(cell)) if isScoreProj =>
-                ivfModel(spark) match {
+                // explicit session registration first; else the
+                // path-convention sidecar (round-11): the scan's root path
+                // names its quantizer, so plain orderBy(cos).limit(k) is
+                // probe-pruned with zero caller code
+                ivfModel(spark).orElse(pathIvfModel(spark, pchild)) match {
                   case Some(model) =>
                     val probes = model.probesFor(qvec, nProbe)
                     val cond = In(cell, probes.map(c => Literal(c, IntegerType)))
@@ -119,6 +127,23 @@ case class AnnRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
       val ad = lit.value.asInstanceOf[ArrayData]
       Some(ad.toFloatArray())
     case _ => None
+  }
+
+  /** Path-convention lookup: find the subtree's file-source scan and read
+    * its root path's `_graft_ivf` sidecar ([[graft.rag.Ivf.saveModel]]).
+    * Memoized per path — the optimizer re-runs rules many times per query
+    * and the lookup must not re-touch the filesystem each pass. */
+  private def pathIvfModel(spark: SparkSession,
+                           plan: LogicalPlan): Option[graft.rag.Ivf.Model] = {
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    val root = plan.collectFirst {
+      case lr: LogicalRelation => lr.relation match {
+        case fsRel: HadoopFsRelation =>
+          fsRel.location.rootPaths.headOption.map(_.toString)
+        case _ => None
+      }
+    }.flatten
+    root.flatMap(p => AnnRewrite.cachedPathModel(spark, p))
   }
 }
 
@@ -147,4 +172,20 @@ object AnnRewrite {
 
   private[plans] def ivfModel(spark: SparkSession): Option[graft.rag.Ivf.Model] =
     Option(ivfModels.get(spark))
+
+  // Path-convention catalog cache (round-11): sidecar lookups memoize per
+  // table root path, INCLUDING negative results — a sidecar written after
+  // the path's first query in this JVM needs invalidatePathCache() (index
+  // builds normally precede reads, so in practice this never fires).
+  private val pathModels =
+    new java.util.concurrent.ConcurrentHashMap[String, Option[graft.rag.Ivf.Model]]()
+
+  private[plans] def cachedPathModel(spark: SparkSession,
+                                     path: String): Option[graft.rag.Ivf.Model] =
+    pathModels.computeIfAbsent(path,
+      p => try graft.rag.Ivf.loadModel(spark, p)
+           catch { case _: Throwable => None })
+
+  /** Drop memoized sidecar lookups (tests / post-hoc index builds). */
+  def invalidatePathCache(): Unit = pathModels.clear()
 }

@@ -51,6 +51,46 @@ object Ivf {
     s
   }
 
+  /** Sidecar directory for the path-convention index catalog: a table
+    * whose `cell` column was materialized with [[withCell]] stores its
+    * coarse quantizer at `<table>/_graft_ivf/centroids.txt` (one centroid
+    * per line, comma-separated floats). The underscore prefix keeps
+    * Spark/Hadoop file listings from reading it as data. KiB-sized
+    * (K×dim); written/read driver-side through the Hadoop FileSystem API
+    * so the convention works on any supported scheme (file, hdfs, s3a).
+    * [[graft.plans.AnnRewrite]] resolves it automatically, making plain
+    * `orderBy(cosine).limit(k)` probe-pruned with zero caller code. */
+  val SidecarDir = "_graft_ivf"
+  private val SidecarFile = "centroids.txt"
+
+  /** Write `model` as the table's sidecar quantizer (overwrites). */
+  def saveModel(spark: org.apache.spark.sql.SparkSession, tablePath: String,
+                model: Model): Unit = {
+    val p = new org.apache.hadoop.fs.Path(tablePath, s"$SidecarDir/$SidecarFile")
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val out = fs.create(p, true)
+    try out.write(model.centroids.map(_.mkString(","))
+      .mkString("\n").getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  /** Load the table's sidecar quantizer, if one was saved. */
+  def loadModel(spark: org.apache.spark.sql.SparkSession,
+                tablePath: String): Option[Model] = {
+    val p = new org.apache.hadoop.fs.Path(tablePath, s"$SidecarDir/$SidecarFile")
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val txt =
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      val cents = txt.split("\n").filter(_.nonEmpty)
+        .map(_.split(",").map(_.toFloat))
+      if (cents.isEmpty) None else Some(Model(cents))
+    }
+  }
+
   /**
    * Train the coarse quantizer with Lloyd's iterations on a deterministic
    * sample. Vectors are expected l2-normalized (cosine == dot); assignment

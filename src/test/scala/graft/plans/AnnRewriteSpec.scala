@@ -103,6 +103,54 @@ class AnnRewriteSpec extends AnyFunSuite {
     }
   }
 
+  test("IVF path-convention sidecar: the probe prune fires with NO explicit registration") {
+    withExtSession { s =>
+      import s.implicits._
+      import graft.rag.Ivf
+      val emb = Seq(
+        (1L, Seq(1.0f, 0.0f)), (2L, Seq(0.97f, 0.24f)),
+        (3L, Seq(0.0f, 1.0f)), (4L, Seq(0.24f, 0.97f)),
+        (5L, Seq(-1.0f, 0.0f)), (6L, Seq(0.0f, -1.0f))
+      ).toDF("id", "vec").withColumn("vec", col("vec").cast("array<float>"))
+      val model = Ivf.train(emb, "id", "vec", nCells = 4, sampleCap = 16, iters = 4)
+      val dir = java.nio.file.Files.createTempDirectory("ivf-sidecar").toString
+      val tbl = s"$dir/emb"
+      // index build: materialize the cell column AND drop the sidecar —
+      // after this, query-time needs no code at all
+      Ivf.withCell(emb, "vec", model).write.parquet(tbl)
+      Ivf.saveModel(s, tbl, model)
+      assert(Ivf.loadModel(s, tbl).exists(_.centroids.map(_.toSeq).toSeq
+        == model.centroids.map(_.toSeq).toSeq), "sidecar round-trips")
+      val indexed = s.read.parquet(tbl)
+      val q = Array(1.0f, 0.1f)
+      try {
+        s.conf.set(AnnRewrite.EnabledKey, "true")
+        s.conf.set(AnnRewrite.NProbeKey, "2")
+        AnnRewrite.invalidatePathCache()
+        // NO registerIvf call — the rule must find the quantizer by path
+        val ann = Rag.knn(indexed, "id", "vec", q, k = 2, minScore = -1.0)
+        val planText = explainText(ann)
+        assert(planText.matches("(?s).*cell#\\d+L? IN.*"),
+          s"expected sidecar-derived probe prune in plan:\n$planText")
+        val annIds = ann.select("id").as[Long].collect().toSeq
+        val handIds = Ivf.ivfKnn(indexed, "id", "vec", q, model,
+          k = 2, minScore = -1.0, nProbe = 2).select("id").as[Long].collect().toSeq
+        assert(annIds == handIds, s"rewrite=$annIds hand-written=$handIds")
+        // a parquet table WITHOUT a sidecar must stay untouched (negative
+        // lookup, memoized)
+        val bareTbl = s"$dir/bare"
+        Ivf.withCell(emb, "vec", model).write.parquet(bareTbl)
+        val bare = Rag.knn(s.read.parquet(bareTbl), "id", "vec", q,
+          k = 2, minScore = -1.0)
+        assert(!explainText(bare).matches("(?s).*cell#\\d+L? IN.*"),
+          "no sidecar, no session model → no probe prune")
+      } finally {
+        s.conf.set(AnnRewrite.EnabledKey, "false")
+        AnnRewrite.invalidatePathCache()
+      }
+    }
+  }
+
   test("rule does not fire on sorts without a cosine score or without a sig column") {
     withExtSession { s =>
       import s.implicits._
