@@ -3636,6 +3636,30 @@ object SparkEntry {
              |FROM nb JOIN cb USING (band, bucket)
              |ORDER BY id_new, id_corpus""".stripMargin)),
 
+    // Bloom-guarded incremental EXACT-dedup admission (round-11): the
+    // corpus keeps a bloom over xxhash64(text) — a KB artifact that
+    // OR-merges on append — and a batch doc that MISSES it is admitted
+    // without touching the corpus at all; bloom-positives go through the
+    // exact confirm join (hash-keyed, text-compared), which kills the fpp
+    // false positives. Output is EXACT, so the oracle is the plain
+    // anti-join on content — bloom correctness and join-prune shape are
+    // both covered by the hash compare.
+    "dd_incremental_exact_bloom" -> Q(
+      (s, d) => {
+        val docs = T(s, d, "documents")
+        val batch = docs.filter(col("doc_id") >= 400)
+        val corpus = docs.filter(col("doc_id") < 400)
+        Dedup.bloomExactAdmission(batch, corpus, "text",
+            expectedItems = 1 << 12, fpp = 0.01)
+          .select(col("doc_id"), col("source"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""SELECT b.doc_id, b.source FROM documents b
+             |WHERE b.doc_id >= 400
+             |  AND NOT EXISTS (SELECT 1 FROM documents c
+             |                  WHERE c.doc_id < 400 AND c.text = b.text)
+             |ORDER BY b.doc_id""".stripMargin)),
+
     // Steady-state twin of dd_incremental_lsh: the corpus bucket table is
     // MATERIALIZED to parquet first (the daily artifact a production
     // pipeline maintains with one O(delta) append per batch) and the batch

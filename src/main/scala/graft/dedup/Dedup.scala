@@ -245,6 +245,59 @@ object Dedup {
     matched.select(col("id_new"), col("id_corpus")).distinct()
   }
 
+  /**
+   * Bloom-guarded incremental EXACT-dedup admission — the exact-match
+   * twin of [[incrementalLshMatchesPrebucketed]]'s near-dup probe, and
+   * the corpus-scale form of the reference's dedup-on-write admission
+   * (`neo4j_memory.py:606-617`). The corpus maintains a Bloom filter
+   * over xxhash64(content) — a KB–MB driver-side artifact that
+   * OR-merges on append, so maintenance is O(delta) exactly like the
+   * LSH bucket table. A batch doc whose content hash MISSES the bloom
+   * is provably novel and is admitted without touching the corpus at
+   * all; only bloom-positive docs (true duplicates plus the fpp sliver
+   * of false positives) enter the exact confirm join. At steady state
+   * (mostly-novel batches) the confirm join's probe side is the
+   * duplicate fraction of the batch, not the batch.
+   *
+   * The confirm join keys on the content hash AND compares the text, so
+   * a corpus laid out hash-bucketed on xxhash64(content) prunes the
+   * probe to the candidates' buckets (same layout argument as the
+   * bucket table). The result is EXACT — false positives die in the
+   * confirm join — so the output equals the plain anti-join on content,
+   * which is what the oracle replays.
+   *
+   * Returns the admitted subset of `batch` (original columns).
+   */
+  def bloomExactAdmission(batch: DataFrame, corpus: DataFrame,
+                          textCol: String,
+                          expectedItems: Long = 1L << 20,
+                          fpp: Double = 0.01): DataFrame = {
+    graft.functions.GraftFunctions.register(batch.sparkSession)
+    // empty corpus (first batch): everything is novel — and Spark's
+    // bloom_filter_agg returns null over zero rows, which stat.bloomFilter
+    // NPEs on, so the guard is required, not just a fast path
+    if (corpus.isEmpty) return batch
+    val bf = corpus.select(xxhash64(col(textCol)).as("__h"))
+      .stat.bloomFilter("__h", expectedItems, fpp)
+    val bytes = { // serialized once on the driver, ships as a literal
+      val out = new java.io.ByteArrayOutputStream()
+      bf.writeTo(out)
+      out.toByteArray
+    }
+    val flagged = batch.withColumn("__might",
+      graft.functions.GraftFunctions.bloomMightContain(
+        xxhash64(col(textCol)), bytes))
+    val novel = flagged.filter(!col("__might")).drop("__might")
+    val candidates = flagged.filter(col("__might")).drop("__might")
+    val ck = corpus.select(xxhash64(col(textCol)).as("__ch"),
+      col(textCol).as("__ct"))
+    val confirmedNovel = candidates.join(ck,
+        xxhash64(candidates(textCol)) === ck("__ch") &&
+          candidates(textCol) === ck("__ct"),
+        "left_anti")
+    novel.unionByName(confirmedNovel)
+  }
+
   /** Annotate a bucket table with each (band, bucket)'s document frequency
     * — computed ONCE at artifact build/compaction time so the incremental
     * probe's hot-bucket cap ([[incrementalLshMatchesPrebucketed]] maxDf)

@@ -267,6 +267,32 @@ class DedupSpec extends AnyFunSuite {
     assert(pre.contains((10L, 1L)))
   }
 
+  test("bloomExactAdmission: exact duplicates rejected, novels admitted, false positives confirmed away") {
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "completely unrelated corpus content about something else entirely")
+    ).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog again and again"), // exact dup of 1
+      (11L, "a genuinely novel document with vocabulary shared by nobody"),
+      (12L, "another brand new entry that the corpus has never seen before")
+    ).toDF("doc_id", "text")
+    val admitted = Dedup.bloomExactAdmission(batch, corpus, "text")
+      .select("doc_id").as[Long].collect().toSet
+    assert(admitted == Set(11L, 12L), s"got $admitted")
+    // pathological bloom (2 expected items, fpp 0.5): novels will bloom-
+    // positive as false positives — the confirm join must still admit
+    // them, because the RESULT contract is exact regardless of fpp
+    val admittedTiny = Dedup.bloomExactAdmission(batch, corpus, "text",
+        expectedItems = 2, fpp = 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(admittedTiny == Set(11L, 12L), s"fpp-stressed got $admittedTiny")
+    // empty corpus: everything is novel, nothing joins
+    val allIn = Dedup.bloomExactAdmission(batch, corpus.limit(0), "text")
+      .select("doc_id").as[Long].collect().toSet
+    assert(allIn == Set(10L, 11L, 12L))
+  }
+
   test("hashed signature/bucket twins: identical blocking verdicts on twins and non-dups") {
     val docs = Seq(
       (1L, "the quick brown fox jumps over the lazy dog again and again"),
