@@ -4582,9 +4582,16 @@ object SparkEntry {
         // (n_tokens rides the pipeline as a column) — the previous
         // three-explode composition was the battery's worst scale slope
         val stats = TextAnalysis.tokenStats(docs, "doc_id", "text")
+        // persist the gated corpus: four downstream consumers (survivor
+        // keep-set, survivor join, mix rates, final agg) re-reference this
+        // frame, and without a stage boundary each re-derivation re-runs
+        // the tokenize pass (column pruning differentiates the subtrees,
+        // so exchange reuse cannot dedup them) — the materialization is
+        // the fan-out boundary a production pipeline would write anyway
         val gated = docs.join(stats, "doc_id")
           .filter(col("entropy") >= 2.8 && col("avg_logp") >= -3.5)
           .drop("entropy", "avg_logp")
+          .persist()
         val surv = Dedup.exactSurvivors(gated, "doc_id", "text")
         val mixed = Curation.temperatureMix(surv, "doc_id", "source",
             tau = 0.5, targetFrac = 0.5)
@@ -4653,9 +4660,11 @@ object SparkEntry {
         // tokenize-once gate + n_tokens carried as a column (round-11),
         // same rationale as pipeline_pretraining
         val stats = TextAnalysis.tokenStats(docs, "doc_id", "text")
+        // persisted fan-out boundary, same rationale as pipeline_pretraining
         val gated = docs.join(stats, "doc_id")
           .filter(col("entropy") >= 2.8 && col("avg_logp") >= -3.5)
           .drop("entropy", "avg_logp")
+          .persist()
         val sig = Dedup.minhashSignature(gated, "doc_id", "text", 5, 4)
         val pairs = Dedup.lshCandidatePairs(sig, "doc_id", numHashes = 4, bands = 2)
         // min-label components, KEPT after a round-11 A/B vs the O(log d)

@@ -205,6 +205,30 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), p) // corpus stats row broadcasts
   }
 
+  test("pipeline_pretraining: ONE tokenize explode feeds entropy + LM + token counts") {
+    // the round-11 fusion's contract: the capstone must never regrow the
+    // triple-explode plan (its pre-fusion shape — 3 full explode+shuffle
+    // passes and the battery's worst scale slope). tokenStats' single
+    // Generate is the only explode in the whole pipeline; the corpus-total
+    // scalar is size() arithmetic on a scan, not an explode.
+    // the persisted fan-out boundary prints its ONE cached plan at every
+    // InMemoryTableScan reference site, so raw line counts over-count;
+    // distinct normalized nodes (tree-art stripped) is the real node set —
+    // pre-fusion the four explodes carried four DIFFERENT expression ids
+    // and this assertion fails exactly as intended
+    val p = planOf("pipeline_pretraining")
+    val gens = p.linesIterator.filter(_.contains("Generate explode"))
+      .map(l => l.substring(l.indexOf("+- Generate"))).toSet
+    assert(gens.size == 1, s"expected exactly 1 distinct explode, got ${gens.size}:\n$p")
+  }
+
+  test("ta_token_stats: fused stats derive from a single explode + two shuffles of (doc,tok)") {
+    val p = planOf("ta_token_stats")
+    assert(p.linesIterator.count(_.contains("Generate explode")) == 1, p)
+    // corpus frequencies are a window on the count frame, not a vocab join
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   test("ta_keywords: per-doc top-k is a WindowGroupLimit, df join never SMJs") {
     val p = planOf("ta_keywords")
     assert(p.contains("WindowGroupLimit"), p) // rank<=k prunes map-side
