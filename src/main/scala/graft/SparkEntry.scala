@@ -4788,6 +4788,30 @@ object SparkEntry {
              |SELECT doc_id, n_tokens, round(a - ln(total), 6) AS avg_logp
              |FROM s, tot""".stripMargin)),
 
+    // Flesch reading-ease (round-11): the classic readability gate as one
+    // codegen'd scalar — vowel-group syllables, [.!?]-run sentences, both
+    // RE2-safe so the oracle computes the identical arithmetic
+    "ta_readability" -> Q(
+      (s, d) => T(s, d, "documents")
+        .select(col("doc_id"),
+          graft.text.TextAnalysis.tokenCount(col("text")).as("n_words"),
+          graft.text.TextAnalysis.readability(col("text")).as("flesch"))
+        .orderBy(col("doc_id")),
+      Some("""SELECT doc_id,
+             |  CAST(len(list_filter(regexp_split_to_array(text, '\s+'),
+             |                       t -> length(t) > 0)) AS INT) AS n_words,
+             |  CASE WHEN len(list_filter(regexp_split_to_array(text, '\s+'),
+             |                            t -> length(t) > 0)) > 0 THEN
+             |    round(206.835
+             |      - 1.015 * len(list_filter(regexp_split_to_array(text, '\s+'),
+             |                                t -> length(t) > 0))
+             |        / greatest(len(regexp_extract_all(text, '[.!?]+')), 1)
+             |      - 84.6 * greatest(len(regexp_extract_all(lower(text), '[aeiouy]+')), 1)
+             |        / len(list_filter(regexp_split_to_array(text, '\s+'),
+             |                          t -> length(t) > 0)), 6)
+             |  END AS flesch
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
     // fused token statistics (round-11): n_tokens + entropy + unigram-LM
     // log-prob from ONE tokenize/explode pass — the pretraining gate's
     // plan, pinned standalone so the fusion's parity with the separate
@@ -5304,6 +5328,34 @@ object SparkEntry {
              |  count(*) AS n_rows, count(*) < 5 AS at_risk
              |FROM events GROUP BY event_type, user_id % 37
              |ORDER BY event_type, cohort""".stripMargin)),
+
+    // ε-DP stats release (round-11): Laplace-noised per-type counts and
+    // clipped sums, with the noise drawn DETERMINISTICALLY per (salt,
+    // group) from the portable hash-uniform — a pipeline rerun reproduces
+    // the same release instead of spending fresh privacy budget, and the
+    // oracle replays the identical inverse-CDF arithmetic bit-for-bit.
+    // One grouped pass each; the noise is a scalar on the aggregate.
+    "gov_dp_release" -> Q(
+      (s, d) => {
+        val ev = TestData.events(s, d)
+        graft.text.Governance.dpCounts(ev, "event_type", epsilon = 1.0)
+          .join(graft.text.Governance.dpSum(ev, "event_type", "value",
+            clip = 100.0, epsilon = 1.0), Seq("event_type"))
+          .orderBy(col("event_type"))
+      },
+      Some("""WITH u AS (SELECT event_type,
+             |    CAST(('0x' || substr(md5('dp|' || event_type), 1, 15)) AS BIGINT)
+             |      % 10000 / 10000.0 + 0.00005 AS uc,
+             |    CAST(('0x' || substr(md5('dpsum|' || event_type), 1, 15)) AS BIGINT)
+             |      % 10000 / 10000.0 + 0.00005 AS us,
+             |    count(*) AS n,
+             |    sum(least(greatest(value, 0.0), 100.0)) AS cs
+             |  FROM events GROUP BY event_type)
+             |SELECT event_type, n,
+             |  round(n + (-1.0 * sign(uc - 0.5) * ln(1 - 2 * abs(uc - 0.5))), 6) AS noisy_n,
+             |  round(cs, 6) AS clipped_sum,
+             |  round(cs + (-100.0 * sign(us - 0.5) * ln(1 - 2 * abs(us - 0.5))), 6) AS noisy_sum
+             |FROM u ORDER BY event_type""".stripMargin)),
 
     // filtered vector search: the metadata predicate (lang = 'en') prunes
     // candidates BEFORE any distance math — semi-join then knn, so the

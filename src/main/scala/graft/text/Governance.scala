@@ -105,4 +105,59 @@ object Governance {
       .select(quasiIds.map(col): _*)
     df.join(safe, quasiIds, "left_semi")
   }
+
+  // ── ε-differential-privacy release (Laplace mechanism) ─────────────────
+
+  /** Laplace(scale) noise from a portable uniform via the inverse CDF:
+    * x = −b·sign(u−0.5)·ln(1−2|u−0.5|). The uniform sits on
+    * [[graft.ops.Curation.hashUniform]]'s 1e-4 grid; the +5e-5 nudge
+    * centers each grid cell so neither endpoint reaches ln(0). Pure
+    * double arithmetic — DuckDB replays it bit-for-bit. */
+  private def laplaceNoise(u: Column, scale: Double): Column = {
+    val v = u + lit(0.00005)
+    -lit(scale) * signum(v - lit(0.5)) * log(lit(1.0) - lit(2.0) * abs(v - lit(0.5)))
+  }
+
+  /**
+   * ε-DP group counts (Dwork et al., "Calibrating Noise to Sensitivity",
+   * TCC 2006): noisy_n = n + Lap(1/ε) — a count query has sensitivity 1.
+   * The noise draw is DETERMINISTIC per (salt, group) via the portable
+   * hash-uniform: re-running the release on the same data reproduces the
+   * same noise instead of leaking a fresh draw (the repeated-release
+   * caveat of practical DP — the privacy budget is spent ONCE per salt,
+   * and a pipeline rerun is not a new query). Plan: one grouped count;
+   * the noise is a scalar projection on the aggregate's output — no
+   * extra pass, no extra shuffle, so the release runs at 100 TB exactly
+   * like the underlying count.
+   */
+  def dpCounts(df: DataFrame, groupCol: String, epsilon: Double,
+               salt: String = "dp"): DataFrame = {
+    require(epsilon > 0, s"epsilon must be positive, got $epsilon")
+    df.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"))
+      .select(col(groupCol), col("n"),
+        round(col("n") + laplaceNoise(
+          graft.ops.Curation.hashUniform(col(groupCol), salt),
+          1.0 / epsilon), 6).as("noisy_n"))
+  }
+
+  /**
+   * ε-DP group sums: values are CLIPPED to [0, clip] first (bounding each
+   * row's contribution is what gives the query finite sensitivity), then
+   * noisy_sum = Σ clip(v) + Lap(clip/ε). Same deterministic-noise and
+   * one-pass plan properties as [[dpCounts]]; the clip is a scalar on the
+   * scan, so nulls drop out of the sum exactly as in the plain aggregate.
+   */
+  def dpSum(df: DataFrame, groupCol: String, valueCol: String, clip: Double,
+            epsilon: Double, salt: String = "dpsum"): DataFrame = {
+    require(epsilon > 0 && clip > 0,
+      s"epsilon and clip must be positive, got eps=$epsilon clip=$clip")
+    df.groupBy(col(groupCol))
+      .agg(sum(least(greatest(col(valueCol), lit(0.0)), lit(clip)))
+        .as("__cs"))
+      .select(col(groupCol), round(col("__cs"), 6).as("clipped_sum"),
+        round(col("__cs") + laplaceNoise(
+          graft.ops.Curation.hashUniform(col(groupCol), salt),
+          clip / epsilon), 6).as("noisy_sum"))
+  }
 }

@@ -401,6 +401,31 @@ object TextAnalysis {
   }
 
   /**
+   * Flesch reading-ease score with the classic vowel-group syllable
+   * heuristic (Flesch 1948; the readability gate of several public corpus
+   * filters): 206.835 − 1.015·(words/sentences) − 84.6·(syllables/words).
+   * Sentences = runs of [.!?] (floored at 1, so fragments still score);
+   * syllables = runs of [aeiouy] in the lowercased text (floored at 1).
+   * Both counters are RE2-safe regexp_extract_all sizes, so the DuckDB
+   * oracle computes the identical value — and the whole score is one
+   * codegen'd scalar on the scan: no shuffle, composes with pruning.
+   * NULL for token-less text (no words → no score, mirroring the other
+   * per-doc operators' ≥1-token contract).
+   */
+  def readability(text: Column): Column = {
+    val words = tokenCount(text).cast("double")
+    val sentences =
+      greatest(size(regexp_extract_all(text, lit("[.!?]+"), lit(0))), lit(1))
+        .cast("double")
+    val syllables =
+      greatest(size(regexp_extract_all(lower(text), lit("[aeiouy]+"), lit(0))), lit(1))
+        .cast("double")
+    when(words > 0,
+      round(lit(206.835) - lit(1.015) * words / sentences
+        - lit(84.6) * syllables / words, 6))
+  }
+
+  /**
    * Bigram language-model scoring with add-k smoothing — the next step up
    * from [[unigramLmScore]] as an in-engine fluency/perplexity filter:
    * avg_logp = mean ln P(w2|w1), P = (c(w1,w2)+k) / (c(w1)+k·V).

@@ -77,4 +77,36 @@ class GovernanceSpec extends AnyFunSuite {
     assert(Governance.suppressBelowK(rows, Seq("seg", "band"), 3).columns.toSeq
       == rows.columns.toSeq)
   }
+
+  test("dpCounts/dpSum: deterministic per (salt, group), scale tracks 1/epsilon, clip bounds the sum") {
+    val rows = Seq(
+      ("a", 10.0), ("a", 50.0), ("a", 500.0), // 500 clips to 100
+      ("b", -3.0),                            // negative clips to 0
+      ("b", 20.0)
+    ).toDF("grp", "v")
+    def counts(eps: Double, salt: String = "dp") =
+      Governance.dpCounts(rows, "grp", eps, salt)
+        .as[(String, Long, Double)].collect().map(r => r._1 -> r).toMap
+    // reruns reproduce the release exactly (the repeated-release property)
+    assert(counts(1.0) == counts(1.0))
+    // a different salt is a different query → different draw
+    assert(counts(1.0).values.map(_._3).toSet
+      != counts(1.0, salt = "dp2").values.map(_._3).toSet)
+    // noise scales as 1/eps: the deviation from the true count at eps=0.1
+    // is exactly 10x the deviation at eps=1.0 (same uniform, same sign)
+    val e1 = counts(1.0); val e01 = counts(0.1)
+    for (g <- Seq("a", "b")) {
+      val d1 = e1(g)._3 - e1(g)._2
+      val d01 = e01(g)._3 - e01(g)._2
+      // both releases are rounded to 6 dp, and 10*d1 amplifies d1's
+      // rounding by 10 — the relation holds to ~5e-6, not machine epsilon
+      assert(math.abs(d01 - 10 * d1) < 1e-5, s"group $g: $d01 vs 10*$d1")
+    }
+    // clipping: group a's clipped_sum is 10+50+100, b's is 0+20
+    val sums = Governance.dpSum(rows, "grp", "v", clip = 100.0, epsilon = 1.0)
+      .as[(String, Double, Double)].collect().map(r => r._1 -> r).toMap
+    assert(sums("a")._2 == 160.0 && sums("b")._2 == 20.0)
+    // noisy release differs from the clipped truth (noise actually applied)
+    assert(sums("a")._3 != sums("a")._2)
+  }
 }

@@ -216,6 +216,23 @@ class TextAnalysisSpec extends AnyFunSuite {
     }
   }
 
+  test("readability: simple text outscores polysyllabic text; hand-checked value; empty is null") {
+    val docs = Seq(
+      (1L, "The cat sat. The dog ran."),
+      (2L, "Incontrovertibly multisyllabic terminology obfuscates comprehensibility."),
+      (3L, "")
+    ).toDF("doc_id", "text")
+    val r = docs.select(col("doc_id"),
+        TextAnalysis.readability(col("text")).as("f"))
+      .as[(Long, Option[Double])].collect().map(x => x._1 -> x._2).toMap
+    assert(r(1L).get > r(2L).get, s"simple ${r(1L)} must beat dense ${r(2L)}")
+    assert(r(3L).isEmpty, "token-less text scores null")
+    // hand check doc 1: 6 words, 2 sentences, 6 vowel groups (e/a/a/e/o/a)
+    val expected = BigDecimal(206.835 - 1.015 * 6.0 / 2.0 - 84.6 * 6.0 / 6.0)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(math.abs(r(1L).get - expected) < 1e-9, s"got ${r(1L)} want $expected")
+  }
+
   test("keywords: rare terms out-rank ubiquitous ones; ubiquitous idf is zero") {
     val docs = Seq(
       (1L, "alpha alpha common unique"),
