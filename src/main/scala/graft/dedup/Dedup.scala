@@ -298,6 +298,57 @@ object Dedup {
     novel.unionByName(confirmedNovel)
   }
 
+  /** Partition count for [[writeBucketArtifact]]'s bucket-prefix layout —
+    * a canonical constant so probe-side derivation needs no metadata. */
+  val BucketPrefixes = 16
+
+  /** The bucket-prefix partition key: a stable hash of the bucket value
+    * folded to [[BucketPrefixes]] cells. Equal buckets ⇒ equal prefix, so
+    * adding it to the probe's join keys is a no-op semantically and a
+    * partition-pruning handle physically. */
+  def bucketPrefix(bucket: Column): Column =
+    pmod(xxhash64(bucket), lit(BucketPrefixes.toLong)).cast("int")
+
+  /**
+   * Write the corpus bucket table PARTITIONED by the bucket prefix — the
+   * physical layout SCALE.md's probe argument assumes. With the artifact
+   * laid out this way and the batch side broadcast, Spark's dynamic
+   * partition pruning turns the (band, bucket, bp) join into file-level
+   * pruning: a probe touches only the partitions holding the batch's
+   * bucket prefixes, so probe IO stops growing with the corpus even
+   * before the row-level join runs. Appends (`mode=append` via the
+   * snapshot layer or plain parquet) land in the same partition dirs.
+   */
+  def writeBucketArtifact(buckets: DataFrame, path: String,
+                          mode: String = "overwrite"): Unit =
+    buckets.withColumn("bp", bucketPrefix(col("bucket")))
+      .write.partitionBy("bp").mode(mode).parquet(path)
+
+  /**
+   * Probe a [[writeBucketArtifact]] layout: derives the batch buckets'
+   * prefixes with the same canonical expression, adds `bp` to the join
+   * keys (semantically redundant — equal bucket implies equal bp — but it
+   * is what lets dynamic partition pruning prune the corpus scan), and
+   * delegates to [[incrementalLshMatchesPrebucketed]]'s contract.
+   */
+  def probeBucketArtifact(newBuckets: DataFrame, spark: org.apache.spark.sql.SparkSession,
+                          path: String, idCol: String,
+                          maxDf: Int = Int.MaxValue,
+                          excludeSelf: Boolean = true): DataFrame = {
+    val nb = newBuckets.withColumnRenamed(idCol, "id_new")
+      .withColumn("bp", bucketPrefix(col("bucket")))
+    val cb0 = spark.read.parquet(path).withColumnRenamed(idCol, "id_corpus")
+    require(maxDf == Int.MaxValue || cb0.columns.contains("df"),
+      "maxDf requested but the artifact has no precomputed 'df' column")
+    val cb =
+      if (maxDf != Int.MaxValue) cb0.filter(col("df") <= maxDf).drop("df")
+      else cb0.drop(cb0.columns.filter(_ == "df"): _*)
+    broadcast(nb).join(cb, Seq("band", "bucket", "bp"))
+      .filter(if (excludeSelf) col("id_new") =!= col("id_corpus") else lit(true))
+      .select(col("id_new"), col("id_corpus"))
+      .distinct()
+  }
+
   /** Annotate a bucket table with each (band, bucket)'s document frequency
     * — computed ONCE at artifact build/compaction time so the incremental
     * probe's hot-bucket cap ([[incrementalLshMatchesPrebucketed]] maxDf)

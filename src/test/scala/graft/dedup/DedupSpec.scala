@@ -293,6 +293,36 @@ class DedupSpec extends AnyFunSuite {
     assert(allIn == Set(10L, 11L, 12L))
   }
 
+  test("bucket artifact layout: partitioned probe matches the flat probe and prunes partitions") {
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "completely unrelated corpus content about something else entirely"),
+      (3L, "a third corpus document with its own vocabulary and phrasing")
+    ).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog again and again")
+    ).toDF("doc_id", "text")
+    val corpusBuckets = Dedup.lshBuckets(
+      Dedup.minhashSignature(corpus, "doc_id", "text", 5, 4), "doc_id", 4, 2)
+    val batchBuckets = Dedup.lshBuckets(
+      Dedup.minhashSignature(batch, "doc_id", "text", 5, 4), "doc_id", 4, 2)
+    val flat = Dedup.incrementalLshMatchesPrebucketed(
+      batchBuckets, corpusBuckets, "doc_id")
+      .as[(Long, Long)].collect().toSet
+    val dir = java.nio.file.Files.createTempDirectory("bucketart").toString
+    Dedup.writeBucketArtifact(corpusBuckets, dir)
+    val probed = Dedup.probeBucketArtifact(batchBuckets, spark, dir, "doc_id")
+    assert(probed.as[(Long, Long)].collect().toSet == flat)
+    assert(flat.contains((10L, 1L)))
+    // the physical claim: the corpus scan carries a partition filter on
+    // the bucket-prefix column (dynamic pruning from the broadcast batch),
+    // so probe IO is bounded by the batch's prefixes, not the corpus
+    val plan = probed.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") &&
+      (plan.contains("dynamicpruning") || plan.contains("bp#")),
+      s"expected a bucket-prefix partition filter in:\n$plan")
+  }
+
   test("hashed signature/bucket twins: identical blocking verdicts on twins and non-dups") {
     val docs = Seq(
       (1L, "the quick brown fox jumps over the lazy dog again and again"),
