@@ -5550,6 +5550,69 @@ object SparkEntry {
     // per-source quantile normalization: each source's score distribution
     // maps to percentile space so thresholds compare across sources —
     // the comparability step before a cross-source quality gate or mix
+    // dataset-card generator (round-11): the per-source summary a curation
+    // run publishes alongside the corpus — doc/token/char volumes, corpus
+    // share, mean entropy, language spread and majority language. One
+    // tokenStats pass (the fused operator, reused) + two tiny aggregates;
+    // the corpus total rides as a broadcast scalar, the majority language
+    // is a WindowGroupLimit top-1 over per-(source, lang) counts.
+    "cu_dataset_card" -> Q(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        import graft.text.TextAnalysis
+        val docs = T(s, d, "documents")
+        val stats = TextAnalysis.tokenStats(docs, "doc_id", "text")
+        val bySrc = docs.join(stats, Seq("doc_id"), "left")
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            coalesce(sum(col("n_tokens")), lit(0L)).cast("long").as("total_tokens"),
+            sum(length(col("text")).cast("long")).as("total_chars"),
+            round(avg(col("entropy")), 6).as("mean_entropy"),
+            count_distinct(col("lang")).as("n_langs"))
+        val w = Window.partitionBy(col("source"))
+          .orderBy(col("__n").desc, col("lang"))
+        val topLang = docs.groupBy(col("source"), col("lang"))
+          .agg(count(lit(1)).as("__n"))
+          .withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") === 1)
+          .select(col("source"), col("lang").as("top_lang"))
+        val total = docs.agg(count(lit(1)).cast("double").as("__total"))
+        bySrc.join(topLang, "source")
+          .crossJoin(broadcast(total))
+          .select(col("source"), col("n_docs"),
+            round(col("n_docs") / col("__total"), 6).as("corpus_share"),
+            col("total_tokens"), col("total_chars"),
+            col("mean_entropy"), col("n_langs"), col("top_lang"))
+          .orderBy(col("source"))
+      },
+      Some("""WITH toks AS (
+             |  SELECT doc_id, unnest(list_filter(regexp_split_to_array(text, '\s+'),
+             |                                    t -> length(t) > 0)) AS tok
+             |  FROM documents),
+             |tc AS (SELECT doc_id, tok, count(*) AS c FROM toks GROUP BY 1, 2),
+             |ent AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+             |          round(ln(CAST(sum(c) AS BIGINT))
+             |            - sum(c * ln(c)) / CAST(sum(c) AS BIGINT), 6) AS entropy
+             |        FROM tc GROUP BY 1),
+             |base AS (SELECT d.source, d.lang, length(d.text) AS n_chars,
+             |           e.n_tokens, e.entropy
+             |         FROM documents d LEFT JOIN ent e USING (doc_id)),
+             |agg AS (SELECT source, count(*) AS n_docs,
+             |          CAST(coalesce(sum(n_tokens), 0) AS BIGINT) AS total_tokens,
+             |          CAST(sum(n_chars) AS BIGINT) AS total_chars,
+             |          round(avg(entropy), 6) AS mean_entropy,
+             |          count(DISTINCT lang) AS n_langs
+             |        FROM base GROUP BY 1),
+             |tl AS (SELECT source, lang AS top_lang FROM (
+             |         SELECT source, lang, row_number() OVER (
+             |           PARTITION BY source ORDER BY count(*) DESC, lang) AS rn
+             |         FROM documents GROUP BY source, lang) t WHERE rn = 1),
+             |tot AS (SELECT CAST(count(*) AS DOUBLE) AS total FROM documents)
+             |SELECT a.source, a.n_docs,
+             |  round(a.n_docs / tot.total, 6) AS corpus_share,
+             |  a.total_tokens, a.total_chars, a.mean_entropy, a.n_langs, tl.top_lang
+             |FROM agg a JOIN tl USING (source), tot ORDER BY a.source""".stripMargin)),
+
     "cu_score_norm" -> Q(
       (s, d) => {
         import org.apache.spark.sql.expressions.Window
