@@ -2512,6 +2512,31 @@ object SparkEntry {
         .orderBy(col("node")),
       Some(pageRankOracleSql(120, iters = 10, damping = 0.85, dp = 9))),
 
+    // Synchronous label-propagation communities (round-11): 3 fixed
+    // rounds, most-frequent-neighbor label with smallest-label ties —
+    // fully deterministic, so the oracle unrolls the iterations as
+    // chained CTEs (the g3_pagerank pattern)
+    "g5_label_prop" -> Q(
+      (s, d) => graft.ops.Graph.labelPropagation(tradeEdges(s, d, 120),
+          "a", "b", iters = 3)
+        .orderBy(col("node")),
+      Some {
+        val rounds = (1 to 3).map { i =>
+          s"""r$i AS (SELECT und.u AS node, l${i - 1}.label AS nl, count(*) AS c
+             |  FROM und JOIN l${i - 1} ON und.v = l${i - 1}.node GROUP BY 1, 2),
+             |l$i AS (SELECT node, nl AS label FROM (
+             |  SELECT node, nl, row_number() OVER (
+             |    PARTITION BY node ORDER BY c DESC, nl) AS rn FROM r$i) t
+             |  WHERE rn = 1)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH ${tradeEdgeSql(120)},
+           |und AS (SELECT a AS u, b AS v FROM edges WHERE a <> b
+           |        UNION SELECT b, a FROM edges WHERE a <> b),
+           |l0 AS (SELECT DISTINCT u AS node, u AS label FROM und),
+           |$rounds
+           |SELECT node, label FROM l3 ORDER BY node""".stripMargin
+      }),
+
     // Degree profile of the trade backbone (out/in/total per node) — the
     // skew census every traversal planner needs
     "g4_degrees" -> Q(

@@ -169,6 +169,64 @@ object Graph {
       .agg(count(lit(1)).as("n_triangles"))
   }
 
+  /**
+   * Synchronous label propagation (Raghavan/Albert/Kumara 2007) for
+   * community detection, run for a FIXED number of rounds with fully
+   * deterministic semantics so the result is oracle-able: every node
+   * simultaneously adopts the most frequent label among its undirected
+   * neighbors, ties broken toward the SMALLEST label; labels start as the
+   * node's own id. (Classic LPA randomizes update order and tie-breaks —
+   * that converges faster but is irreproducible; the synchronous
+   * deterministic variant is what a lineage-audited pipeline wants.)
+   *
+   * Scale shape: each round is ONE grouped count of (node, neighbor-label)
+   * pairs over the edge list plus a WindowGroupLimit top-1 — per-round
+   * cost is one shuffle of the edges and one of the node-sized label
+   * frame, never quadratic. The label frame is eagerly localCheckpoint'd
+   * per round (same lineage-truncation discipline as
+   * [[graft.dedup.Dedup.connectedComponents]]).
+   * Returns (node, label); a community is the set of nodes sharing a
+   * label — the PARTITION is the output, not the label names: with
+   * min-tie-breaking, label ids migrate across bridges (GraphSpec pins a
+   * case where a clique settles on an imported id), so compare groups,
+   * never expect label == community-minimum.
+   */
+  def labelPropagation(edges: DataFrame, srcCol: String, dstCol: String,
+                       iters: Int): DataFrame = {
+    require(iters >= 1, s"need iters >= 1, got $iters")
+    import org.apache.spark.sql.expressions.Window
+    val und = edges
+      .select(col(srcCol).as("u"), col(dstCol).as("v"))
+      .union(edges.select(col(dstCol).as("u"), col(srcCol).as("v")))
+      .filter(col("u") =!= col("v"))
+      .distinct().cache()
+    val nodes = und.select(col("u").as("node")).distinct().cache()
+    var labels = nodes.select(col("node"), col("node").as("label"))
+    var i = 0
+    while (i < iters) {
+      val nbr = und
+        .join(labels.withColumnRenamed("node", "v").withColumnRenamed("label", "nl"),
+          "v")
+        .groupBy(col("u").as("node"), col("nl"))
+        .agg(count(lit(1)).as("__c"))
+      val w = Window.partitionBy(col("node"))
+        .orderBy(col("__c").desc, col("nl"))
+      val top = nbr.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1)
+        .select(col("node"), col("nl").as("label"))
+      // every node in `und` has >= 1 neighbor, but keep the left-join so a
+      // caller-provided degenerate edge list cannot silently drop nodes
+      val next = nodes.join(top, Seq("node"), "left")
+        .select(col("node"), coalesce(col("label"), col("node")).as("label"))
+        .localCheckpoint()
+      labels = next
+      i += 1
+    }
+    und.unpersist(false)
+    nodes.unpersist(false)
+    labels
+  }
+
   /** Out-degree / in-degree / total per node — the profile that sizes skew
     * (a hot node is a skewed join key in every traversal). */
   def degrees(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {

@@ -81,6 +81,32 @@ class GraphSpec extends AnyFunSuite {
     assert(Graph.triangleCount(e, "src", "dst").head().getLong(0) == 2L)
   }
 
+  test("labelPropagation: two cliques joined by a bridge settle into two communities") {
+    // clique {a1,a2,a3}, clique {z1,z2,z3}, one bridge a3–z1. Round 1:
+    // every node adopts its smallest neighbor; within a few synchronous
+    // rounds each clique agrees on its own minimum and the bridge does not
+    // merge them (z1 has two z-clique neighbors vs one a-side neighbor).
+    val e = edges(
+      "a1" -> "a2", "a1" -> "a3", "a2" -> "a3",
+      "z1" -> "z2", "z1" -> "z3", "z2" -> "z3",
+      "a3" -> "z1")
+    val r = Graph.labelPropagation(e, "src", "dst", iters = 4)
+      .collect().map(x => x.getString(0) -> x.getString(1)).toMap
+    // communities are the label PARTITION, not the label's name: with
+    // min-tie-breaking, label ids migrate (here the z-clique settles on
+    // the imported "a3" id) — what must hold is that each clique agrees
+    // internally and the bridge does not merge them
+    val aLabels = Set("a1", "a2", "a3").map(r)
+    val zLabels = Set("z1", "z2", "z3").map(r)
+    assert(aLabels.size == 1, s"a-clique must agree on one label, got $r")
+    assert(zLabels.size == 1, s"z-clique must agree on one label, got $r")
+    assert(aLabels != zLabels, s"bridge must not merge the cliques, got $r")
+    // deterministic: identical reruns produce identical labelings
+    val r2 = Graph.labelPropagation(e, "src", "dst", iters = 4)
+      .collect().map(x => x.getString(0) -> x.getString(1)).toMap
+    assert(r == r2)
+  }
+
   test("degrees: out/in/total with zero-fill on one-sided nodes") {
     val e = edges("a" -> "b", "a" -> "c", "b" -> "c")
     val r = Graph.degrees(e, "src", "dst")
