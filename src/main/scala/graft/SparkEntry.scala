@@ -2452,7 +2452,57 @@ object SparkEntry {
        |SELECT node, round(rank, 6) AS rank FROM r$iters ORDER BY node""".stripMargin
   }
 
+  /** DuckDB twin of [[graft.ops.Graph.personalizedPageRank]] on the trade
+    * graph with a literal restart set — iterations unrolled as MATERIALIZED
+    * chained CTEs, the [[pageRankOracleSql]] pattern with the teleport
+    * column in place of the uniform 1/n term. */
+  private def pprOracleSql(minLines: Long, restart: Seq[String], iters: Int,
+                           damping: Double, dp: Int): String = {
+    val d = damping.toString
+    val set = restart.map(s => s"'$s'").mkString(", ")
+    val steps = (1 to iters).map { i =>
+      s"""dng$i AS (SELECT coalesce(sum(r.rank), 0) AS dm
+         |  FROM r${i - 1} r LEFT JOIN outdeg o ON r.node = o.node
+         |  WHERE o.odeg IS NULL),
+         |c$i AS (SELECT e.b AS node, sum(r.rank / o.odeg) AS im
+         |  FROM edges e JOIN r${i - 1} r ON e.a = r.node
+         |  JOIN outdeg o ON e.a = o.node
+         |  GROUP BY e.b),
+         |r$i AS MATERIALIZED (SELECT t.node, t.tele,
+         |    round((1 - $d) * t.tele + $d * (coalesce(c.im, 0) + round(g.dm, $dp) * t.tele), $dp) AS rank
+         |  FROM tn t LEFT JOIN c$i c ON t.node = c.node, dng$i g)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ${tradeEdgeSql(minLines).replaceFirst("edges AS \\(", "edges AS MATERIALIZED (")},
+       |nodes AS MATERIALIZED (SELECT a AS node FROM edges UNION SELECT b FROM edges),
+       |src AS MATERIALIZED (SELECT node FROM nodes WHERE node IN ($set)),
+       |ns AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS n FROM src),
+       |tn AS MATERIALIZED (SELECT n.node,
+       |    CASE WHEN s.node IS NULL THEN 0.0 ELSE 1.0 / ns.n END AS tele
+       |  FROM nodes n LEFT JOIN src s ON n.node = s.node, ns),
+       |outdeg AS MATERIALIZED (SELECT a AS node, count(*) AS odeg FROM edges GROUP BY 1),
+       |r0 AS MATERIALIZED (SELECT node, tele, tele AS rank FROM tn),
+       |$steps
+       |SELECT node, round(rank, 6) AS rank FROM r$iters ORDER BY node""".stripMargin
+  }
+
   private def graphDefs: Seq[(String, Q)] = Seq(
+
+    // Personalized PageRank (round-11): teleport + dangling mass return to
+    // the restart set, so ranks measure proximity to it — the
+    // recommendation/related-entities primitive. Oracle unrolls the
+    // iterations with the teleport column replacing the uniform term.
+    "g6_personalized_pagerank" -> Q(
+      (s, d) => {
+        val sources = T(s, d, "nation")
+          .filter(col("n_name").isin("NATION_0", "NATION_1"))
+          .select(col("n_name"))
+        graft.ops.Graph.personalizedPageRank(tradeEdges(s, d, 120), "a", "b",
+            sources, "n_name", iters = 10, roundPerIter = Some(9))
+          .select(col("node"), round(col("rank"), 6).as("rank"))
+          .orderBy(col("node"))
+      },
+      Some(pprOracleSql(120, Seq("NATION_0", "NATION_1"),
+        iters = 10, damping = 0.85, dp = 9))),
 
     // Min-hop BFS over the (thinned) customer↔supplier bipartite graph —
     // the reference's multi-hop traversal surface. Oracle = bounded

@@ -170,6 +170,74 @@ object Graph {
   }
 
   /**
+   * Personalized PageRank (Jeh/Widom 2003's topic-sensitive variant of
+   * the power iteration): teleport mass — the (1−d) restart AND the
+   * dangling-node mass — returns to the RESTART SET instead of spreading
+   * uniformly, so ranks measure proximity to the set. rank =
+   * (1−d)·s(v) + d·(Σ in-contribs + dangling·s(v)), with s(v) = 1/|S| on
+   * the restart set, 0 elsewhere; init rank = s.
+   *
+   * Same scale discipline as [[pageRank]]: the out-degree-annotated edge
+   * list is cached hash-partitioned once, each iteration is one join +
+   * one grouped sum, the dangling mass is a driver scalar, and
+   * `roundPerIter` pins the fixed point for the cross-engine oracle.
+   * Nodes unreachable from the restart set legitimately settle at 0.
+   */
+  def personalizedPageRank(edges: DataFrame, srcCol: String, dstCol: String,
+                           sources: DataFrame, sourceCol: String,
+                           iters: Int = 10, damping: Double = 0.85,
+                           roundPerIter: Option[Int] = None): DataFrame = {
+    val e = edges.select(col(srcCol).as("__src"), col(dstCol).as("__dst")).cache()
+    val nodes = e.select(col("__src").as("node"))
+      .unionByName(e.select(col("__dst").as("node"))).distinct()
+    val src = sources.select(col(sourceCol).as("node")).distinct()
+    val nS = src.count().toDouble
+    require(nS > 0, "personalizedPageRank needs a non-empty restart set")
+    // teleport weight as a column on the node frame: 1/|S| on the set,
+    // 0 elsewhere — computed once, cached with the nodes
+    val tn = nodes.join(src.withColumn("__s", lit(1.0 / nS)), Seq("node"), "left")
+      .select(col("node"), coalesce(col("__s"), lit(0.0)).as("tele")).cache()
+    val outDeg = e.groupBy(col("__src").as("node")).agg(count(lit(1)).as("outdeg"))
+    val ew = e.join(outDeg.withColumnRenamed("node", "__src"), "__src")
+      .select(col("__src"), col("__dst"), col("outdeg"))
+      .repartition(e.sparkSession.sparkContext.defaultParallelism, col("__src")).cache()
+    val sinks = tn.select(col("node"))
+      .join(ew.select(col("__src").as("node")), Seq("node"), "left_anti").cache()
+    var ranks = tn.select(col("node"), col("tele").as("rank")).cache()
+    def danglingOf(r: DataFrame): Double =
+      r.join(sinks, Seq("node"), "left_semi")
+        .agg(sum(col("rank"))).head().getAs[Any](0) match {
+          case null => 0.0
+          case d: Double => d
+        }
+    def injected(dang: Double): Double =
+      roundPerIter.filter(_ => !dang.isNaN && !dang.isInfinite).fold(dang)(dp =>
+        BigDecimal(dang).setScale(dp, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    var dangling = danglingOf(ranks)
+    for (i <- 0 until iters) {
+      val contribs = ew.join(ranks.withColumnRenamed("node", "__src"), "__src")
+        .select(col("__dst").as("node"), (col("rank") / col("outdeg")).as("c"))
+        .groupBy("node").agg(sum(col("c")).as("in_mass"))
+      val rawRank = lit(1.0 - damping) * col("tele") +
+        lit(damping) * (coalesce(col("in_mass"), lit(0.0)) +
+          lit(injected(dangling)) * col("tele"))
+      val next0 = tn.join(contribs, Seq("node"), "left")
+        .select(col("node"), col("tele"),
+          roundPerIter.fold(rawRank)(dp => round(rawRank, dp)).as("rank"))
+      val next = if (i % 4 == 3) next0.localCheckpoint(true) else next0.cache()
+      dangling = danglingOf(next)
+      ranks.unpersist(false)
+      ranks = next
+    }
+    val out = ranks.select(col("node"), col("rank"))
+    sinks.unpersist(false)
+    ew.unpersist(false)
+    tn.unpersist(false)
+    e.unpersist(false)
+    out
+  }
+
+  /**
    * Synchronous label propagation (Raghavan/Albert/Kumara 2007) for
    * community detection, run for a FIXED number of rounds with fully
    * deterministic semantics so the result is oracle-able: every node

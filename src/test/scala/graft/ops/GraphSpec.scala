@@ -81,6 +81,25 @@ class GraphSpec extends AnyFunSuite {
     assert(Graph.triangleCount(e, "src", "dst").head().getLong(0) == 2L)
   }
 
+  test("personalizedPageRank: mass concentrates near the restart set, unreachable nodes get zero") {
+    // component 1: s -> m -> t (reachable from restart {s});
+    // component 2: x <-> y (unreachable from s)
+    val e = edges("s" -> "m", "m" -> "t", "x" -> "y", "y" -> "x")
+    val src = Seq("s").toDF("node")
+    val r = Graph.personalizedPageRank(e, "src", "dst", src, "node", iters = 20)
+      .collect().map(x => x.getString(0) -> x.getDouble(1)).toMap
+    assert(r("x") == 0.0 && r("y") == 0.0, s"unreachable must be 0, got $r")
+    assert(r("s") > r("m") && r("m") > r("t"),
+      s"rank must decay with distance from the restart set, got $r")
+    // t is a sink: its mass teleports back to s, never leaks to x/y
+    assert(r("s") + r("m") + r("t") > 0.99, s"mass must stay in the component, got $r")
+    // uniform pageRank on the same graph gives x/y NON-zero — the
+    // personalization is what zeroes them
+    val uni = Graph.pageRank(e, "src", "dst", iters = 20)
+      .collect().map(x => x.getString(0) -> x.getDouble(1)).toMap
+    assert(uni("x") > 0.0)
+  }
+
   test("labelPropagation: two cliques joined by a bridge settle into two communities") {
     // clique {a1,a2,a3}, clique {z1,z2,z3}, one bridge a3–z1. Round 1:
     // every node adopts its smallest neighbor; within a few synchronous
