@@ -4062,6 +4062,29 @@ object SparkEntry {
              |SELECT id_a, id_b, round(jaccard, 6) AS jaccard FROM jac
              |WHERE jaccard >= 0.2 ORDER BY id_a, id_b""".stripMargin)),
 
+    // Asymmetric containment (round-11): |A∩B|/|A| per direction — the
+    // excerpt/quotation detector Jaccard is blind to (a short doc copied
+    // into a long one has tiny Jaccard but containment ≈ 1). Same
+    // shared-shingle blocking as dd_ngram_jaccard; oracle replays both
+    // normalizations.
+    "dd_containment" -> Q(
+      (s, d) => Dedup.containmentPairs(
+          T(s, d, "documents").filter(col("doc_id") < 50), "doc_id", "text",
+          n = 5, minContainment = 0.4)
+        .orderBy(col("id_a"), col("id_b")),
+      Some(s"""WITH ${shingleCte("WHERE doc_id < 50")},
+             |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+             |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+             |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+             |  GROUP BY 1, 2),
+             |cont AS (SELECT id_a, id_b,
+             |    round(i * 1.0 / sa.sz, 6) AS c_ab,
+             |    round(i * 1.0 / sb.sz, 6) AS c_ba
+             |  FROM inter JOIN sizes sa ON id_a = sa.doc_id
+             |             JOIN sizes sb ON id_b = sb.doc_id)
+             |SELECT id_a, id_b, c_ab, c_ba FROM cont
+             |WHERE greatest(c_ab, c_ba) >= 0.4 ORDER BY id_a, id_b""".stripMargin)),
+
     // portable md5-derived 60-bit simhash + multi-band blocking: the DuckDB
     // oracle recomputes the identical signature, band buckets, and Hamming
     // filter — full hash-checked mirror of the banded near-dup path

@@ -406,6 +406,45 @@ object Dedup {
   }
 
   /**
+   * Asymmetric n-gram CONTAINMENT (Broder 1997's containment coefficient):
+   * c(A→B) = |A∩B| / |A| — how much of doc A's shingle set lives inside
+   * doc B. The excerpt/quotation detector Jaccard is blind to: a short
+   * doc fully copied into a long one has tiny Jaccard (the union is
+   * dominated by the long doc) but containment ≈ 1 in the short→long
+   * direction. Emits BOTH directions per candidate pair (c_ab = A-in-B,
+   * c_ba = B-in-A), filtered on max(c_ab, c_ba) ≥ `minContainment`.
+   *
+   * Scale shape identical to [[ngramJaccardPairs]]: the pair term exists
+   * only inside shared-shingle blocks, hot shingles capped by `maxDf`;
+   * sizes are a per-doc aggregate joined back. Returns
+   * (id_a, id_b, c_ab, c_ba), id_a < id_b, coefficients rounded to 6.
+   */
+  def containmentPairs(df: DataFrame, idCol: String, textCol: String,
+                       n: Int, minContainment: Double,
+                       maxDf: Option[Int] = None): DataFrame = {
+    val sh = shingles(df, idCol, textCol, n).cache()
+    val filtered = maxDf match {
+      case Some(cap) =>
+        val rare = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+          .filter(col("df") <= cap).select(col("shingle"))
+        sh.join(rare, Seq("shingle"), "left_semi")
+      case None => sh
+    }
+    val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
+    val inter = filtered.select(col("shingle"), col(idCol).as("id_a"))
+      .join(filtered.select(col("shingle"), col(idCol).as("id_b")), "shingle")
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("i"))
+    inter
+      .join(sizes.toDF("id_a", "sz_a"), "id_a")
+      .join(sizes.toDF("id_b", "sz_b"), "id_b")
+      .select(col("id_a"), col("id_b"),
+        round(col("i").cast("double") / col("sz_a"), 6).as("c_ab"),
+        round(col("i").cast("double") / col("sz_b"), 6).as("c_ba"))
+      .filter(greatest(col("c_ab"), col("c_ba")) >= minContainment)
+  }
+
+  /**
    * Fuzzy candidate join by edit distance on a fixed-length prefix:
    * shingle-blocked (a shared rare n-gram makes a candidate), then an exact
    * `levenshtein` filter over candidates only. Typo-level near-dup

@@ -267,6 +267,29 @@ class DedupSpec extends AnyFunSuite {
     assert(pre.contains((10L, 1L)))
   }
 
+  test("containmentPairs: full excerpt scores ~1 in the short->long direction where Jaccard stays low") {
+    val long = "the quick brown fox jumps over the lazy dog while many other " +
+      "words pad this much longer document out to a considerable total length"
+    val excerpt = "the quick brown fox jumps over the lazy dog"
+    val docs = Seq(
+      (1L, excerpt),
+      (2L, long),
+      (3L, "completely unrelated corpus content about something else entirely")
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.containmentPairs(docs, "doc_id", "text",
+        n = 5, minContainment = 0.4)
+      .as[(Long, Long, Double, Double)].collect()
+    assert(pairs.map(p => (p._1, p._2)).toSet == Set((1L, 2L)),
+      s"only the excerpt pair qualifies, got ${pairs.toSeq}")
+    val (_, _, cAb, cBa) = pairs.head
+    assert(cAb > 0.95, s"excerpt-in-long containment must be ~1, got $cAb")
+    assert(cBa < 0.5, s"long-in-excerpt containment must be small, got $cBa")
+    // the same pair under Jaccard at the same effective threshold: invisible
+    val jac = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+        n = 5, minJaccard = 0.95).count()
+    assert(jac == 0, "Jaccard at 0.95 misses the excerpt — the gap containment exists to close")
+  }
+
   test("bloomExactAdmission: exact duplicates rejected, novels admitted, false positives confirmed away") {
     val corpus = Seq(
       (1L, "the quick brown fox jumps over the lazy dog again and again"),
