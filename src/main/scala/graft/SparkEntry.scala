@@ -1823,6 +1823,47 @@ object SparkEntry {
              |FROM orders WHERE o_orderkey % 10 <> 0
              |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // Tag retention (round-11): Iceberg named refs — a tag pins its
+    // snapshot against BOTH expiry paths, read-by-name time travel works
+    // after aggressive expiry, and dropping the tag releases the pin. The
+    // oracle recomputes the tagged snapshot's content (which only survives
+    // the keep=1 expiry BECAUSE of the tag) plus literal pins on the
+    // retention counts before/after the drop.
+    "snap_tag_retention" -> Q(
+      (s, d) => {
+        import graft.store.Snapshots
+        val root = FixtureRoot.fresh("snaptag")
+        val base = root + "/t"
+        val cust = T(s, d, "customer")
+          .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
+        Snapshots.write(cust.filter(pmod(col("c_custkey"), lit(3)) === 0), base)
+        Snapshots.append(cust.filter(pmod(col("c_custkey"), lit(3)) === 1), base)
+        Snapshots.append(cust.filter(pmod(col("c_custkey"), lit(3)) === 2), base)
+        Snapshots.tag(s, base, "baseline", 1L)
+        // keep=1 would normally leave only v3 — the tag must pin v1
+        Snapshots.expire(s, base, keep = 1)
+        val afterExpire = Snapshots.versions(s, base)
+        // materialize the tagged read BEFORE releasing the pin — the
+        // second expire below deletes v1's files, and a lazy plan would
+        // read a deleted snapshot (exactly the mistake tags exist to stop)
+        val tagged = Snapshots.readTag(s, base, "baseline")
+          .groupBy(col("c_mktsegment"))
+          .agg(count(lit(1)).as("n"), dsum(col("c_acctbal")).as("total"))
+          .localCheckpoint()
+        // releasing the pin makes the snapshot expirable again
+        Snapshots.dropTag(s, base, "baseline")
+        Snapshots.expire(s, base, keep = 1)
+        tagged
+          .withColumn("n_versions_pinned", lit(afterExpire.size))
+          .withColumn("n_versions_released", lit(Snapshots.versions(s, base).size))
+          .orderBy(col("c_mktsegment"))
+      },
+      Some("""SELECT c_mktsegment, count(*) AS n,
+             |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total,
+             |  2 AS n_versions_pinned, 1 AS n_versions_released
+             |FROM customer WHERE c_custkey % 3 = 0
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // Crash recovery end-to-end (round-8 verdict stretch item): the three
     // crash-safety paths — stale-marker txn vacuum, debris aside-rename at
     // slot claim, husk collection — exercised as ONE query with an oracle

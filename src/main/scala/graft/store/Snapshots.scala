@@ -400,7 +400,62 @@ object Snapshots {
     * referencing snapshot expires. */
   def expire(spark: SparkSession, base: String, keep: Int): Seq[Long] = {
     val vs = versions(spark, base)
-    dropVersions(spark, base, vs, vs.dropRight(math.max(1, keep)))
+    val pinned = tags(spark, base).values.toSet
+    dropVersions(spark, base, vs,
+      vs.dropRight(math.max(1, keep)).filterNot(pinned))
+  }
+
+  // ── named refs (Iceberg tags) ─────────────────────────────────────────
+
+  private def refPath(base: String, name: String) = new Path(s"$base/_refs/$name")
+  private val RefNameRe = "^[A-Za-z0-9._-]{1,64}$".r
+
+  /**
+   * Iceberg-style TAG: an immutable named ref pinning a snapshot
+   * (`ALTER TABLE t CREATE TAG name AS OF VERSION v`). Tagged versions
+   * are PROTECTED from both expiry paths — Iceberg's ref-retention
+   * semantics — so a `prod-2024q4` tag keeps that snapshot
+   * time-travelable for as long as the tag lives, however aggressive the
+   * retention policy. Tags are immutable: re-pointing requires an
+   * explicit [[dropTag]] first (accidental overwrite of a release pin is
+   * the failure mode this guards).
+   */
+  def tag(spark: SparkSession, base: String, name: String, version: Long): Unit = {
+    require(RefNameRe.matches(name),
+      s"tag name must match ${RefNameRe.regex}, got '$name'")
+    require(versions(spark, base).contains(version),
+      s"version $version not in ${versions(spark, base)}")
+    val f = fs(spark, base)
+    val p = refPath(base, name)
+    // create(overwrite = false) is the existence check AND the write in
+    // one atomic call — two concurrent taggers cannot both win
+    val out = f.create(p, false)
+    try out.write(version.toString.getBytes("UTF-8")) finally out.close()
+  }
+
+  /** All named refs: tag name → pinned version. */
+  def tags(spark: SparkSession, base: String): Map[String, Long] = {
+    val f = fs(spark, base)
+    val dir = new Path(s"$base/_refs")
+    if (!f.exists(dir)) Map.empty
+    else f.listStatus(dir).toSeq.flatMap { st =>
+      val in = f.open(st.getPath)
+      val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+                finally in.close()
+      scala.util.Try(txt.toLong).toOption.map(st.getPath.getName -> _)
+    }.toMap
+  }
+
+  /** Drop a tag (its snapshot becomes expirable again). False if absent. */
+  def dropTag(spark: SparkSession, base: String, name: String): Boolean =
+    fs(spark, base).delete(refPath(base, name), false)
+
+  /** Read the snapshot a tag pins — time travel by name. */
+  def readTag(spark: SparkSession, base: String, name: String): DataFrame = {
+    val v = tags(spark, base).getOrElse(name,
+      throw new IllegalArgumentException(
+        s"no tag '$name' under $base (have: ${tags(spark, base).keys.toSeq.sorted})"))
+    read(spark, base, Some(v))
   }
 
   /**
@@ -414,8 +469,10 @@ object Snapshots {
     val f = fs(spark, base)
     val vs = versions(spark, base)
     if (vs.isEmpty) return Seq.empty
+    val pinned = tags(spark, base).values.toSet
     val old = vs.init.filter(v =>
-      f.getFileStatus(manifestPath(base, v)).getModificationTime < cutoffMs)
+      !pinned(v) &&
+        f.getFileStatus(manifestPath(base, v)).getModificationTime < cutoffMs)
     dropVersions(spark, base, vs, old)
   }
 

@@ -366,6 +366,37 @@ class SnapshotsSpec extends AnyFunSuite {
     assert(Snapshots.versions(spark, base) == Seq(3L))
   }
 
+  test("tags: pin snapshots against both expiry paths, time travel by name, drop releases") {
+    val base = java.nio.file.Files.createTempDirectory("graft-snap-tag").toString + "/t"
+    Snapshots.write(Seq((1L, "a")).toDF("id", "s"), base)
+    Snapshots.write(Seq((2L, "b")).toDF("id", "s"), base)
+    Snapshots.write(Seq((3L, "c")).toDF("id", "s"), base)
+    Snapshots.tag(spark, base, "rel-1", 1L)
+    assert(Snapshots.tags(spark, base) == Map("rel-1" -> 1L))
+    // immutability: a second tagger with the same name must fail
+    intercept[Exception] { Snapshots.tag(spark, base, "rel-1", 2L) }
+    // a bogus name and a bogus version must fail fast
+    intercept[IllegalArgumentException] { Snapshots.tag(spark, base, "no/slash", 1L) }
+    intercept[IllegalArgumentException] { Snapshots.tag(spark, base, "t2", 99L) }
+    // count-based expiry spares the tagged v1 (v2 goes)
+    assert(Snapshots.expire(spark, base, keep = 1) == Seq(2L))
+    assert(Snapshots.versions(spark, base) == Seq(1L, 3L))
+    assert(Snapshots.readTag(spark, base, "rel-1")
+      .as[(Long, String)].collect().toSeq == Seq((1L, "a")))
+    // age-based expiry also spares it
+    val old = System.currentTimeMillis() - 2L * 60 * 60 * 1000
+    Seq(1L, 3L).foreach(v =>
+      new java.io.File(s"$base/v=$v/_manifest").setLastModified(old))
+    assert(Snapshots.expireOlderThan(spark, base,
+      cutoffMs = System.currentTimeMillis() - 1000).isEmpty)
+    // dropping the tag releases the pin: the next expiry collects v1
+    assert(Snapshots.dropTag(spark, base, "rel-1"))
+    assert(!Snapshots.dropTag(spark, base, "rel-1"), "double drop reports false")
+    assert(Snapshots.expire(spark, base, keep = 1) == Seq(1L))
+    assert(Snapshots.versions(spark, base) == Seq(3L))
+    intercept[IllegalArgumentException] { Snapshots.readTag(spark, base, "rel-1") }
+  }
+
   test("rollback publishes an old manifest as the new latest, metadata-only") {
     val base = java.nio.file.Files.createTempDirectory("graft-snap-rb").toString + "/t"
     Snapshots.write(Seq((1L, "good"), (2L, "good")).toDF("id", "s"), base)
