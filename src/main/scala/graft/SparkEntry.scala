@@ -1823,6 +1823,45 @@ object SparkEntry {
              |FROM orders WHERE o_orderkey % 10 <> 0
              |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // Branch → audit → fast-forward publish (round-11): the Iceberg
+    // branching workflow end-to-end — fork a branch (metadata-only),
+    // commit experimental data to it while main stays undisturbed, audit
+    // the branch content, publish by fast-forwarding main to the branch
+    // head (again metadata-only), then drop the branch; the published
+    // files must survive the drop. Oracle recomputes the published
+    // content plus literal pins on the chain lengths at each step.
+    "snap_branch_publish" -> Q(
+      (s, d) => {
+        import graft.store.Snapshots
+        val root = FixtureRoot.fresh("snapbranch")
+        val base = root + "/t"
+        val orders = T(s, d, "orders")
+          .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+        Snapshots.write(orders.filter(col("o_orderstatus") === "O"), base)
+        Snapshots.createBranch(s, base, "staging", fromVersion = 1L)
+        Snapshots.appendBranch(orders.filter(col("o_orderstatus") === "F"),
+          base, "staging")
+        val mainUndisturbed = Snapshots.versions(s, base).size
+        // audit the branch before publishing (the WAP gate, on a branch)
+        val auditOk = Snapshots.readBranch(s, base, "staging")
+          .filter(col("o_totalprice") < 0).isEmpty
+        Snapshots.fastForward(s, base, "staging")
+        Snapshots.dropBranch(s, base, "staging")
+        Snapshots.read(s, base)
+          .groupBy(col("o_orderstatus"))
+          .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+          .withColumn("audit_ok", lit(auditOk))
+          .withColumn("n_main_during_branch", lit(mainUndisturbed))
+          .withColumn("n_main_after_publish", lit(Snapshots.versions(s, base).size))
+          .orderBy(col("o_orderstatus"))
+      },
+      Some("""SELECT o_orderstatus, count(*) AS n,
+             |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+             |  TRUE AS audit_ok, 1 AS n_main_during_branch,
+             |  2 AS n_main_after_publish
+             |FROM orders WHERE o_orderstatus IN ('O', 'F')
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // Tag retention (round-11): Iceberg named refs — a tag pins its
     // snapshot against BOTH expiry paths, read-by-name time travel works
     // after aggressive expiry, and dropping the tag releases the pin. The

@@ -188,7 +188,9 @@ object Snapshots {
                            inherited: Seq[String],
                            writeData: String => Unit,
                            statsKey: Option[String] = None,
-                           validate: String => Unit = _ => ()): Long = {
+                           validate: String => Unit = _ => (),
+                           branch: Option[String] = None): Long = {
+    val vDir = branchDir(branch, next)
     val f = fs(spark, base)
     val txn = s"$base/.txn-${java.util.UUID.randomUUID().toString.take(12)}"
     val txnPath = new Path(txn)
@@ -215,19 +217,19 @@ object Snapshots {
         .getOrElse(("", Map.empty[String, (String, String)]))
       val own = names.map { n =>
         stats.get(n) match {
-          case Some((mn, mx)) => s"v=$next/$n\t${statsKey.get}\t$tag\t$mn\t$mx"
-          case None => s"v=$next/$n"
+          case Some((mn, mx)) => s"$vDir/$n\t${statsKey.get}\t$tag\t$mn\t$mx"
+          case None => s"$vDir/$n"
         }
       }
       val out = f.create(new Path(txn, "_manifest"), true)
       try out.write(((inherited ++ own).mkString("\n") + "\n").getBytes("UTF-8"))
       finally out.close()
       f.delete(marker, false)
-      val dest = new Path(s"$base/v=$next")
+      val dest = new Path(s"$base/$vDir")
       def conflict(): Nothing = {
         f.delete(txnPath, true)
         throw new SnapshotConflictException(
-          s"v=$next of $base was committed by a concurrent writer; " +
+          s"$vDir of $base was committed by a concurrent writer; " +
             "re-run against the new latest snapshot")
       }
       // pre-protocol crash debris occupying the slot is moved ASIDE with one
@@ -238,7 +240,7 @@ object Snapshots {
       // successful aside-rename we audit what we moved: a _manifest inside
       // means it WAS a commit that raced us — put it back and yield. The
       // manifest-less .debris-* husk is collected by [[vacuum]].
-      if (f.exists(dest) && !f.exists(manifestPath(base, next))) {
+      if (f.exists(dest) && !f.exists(new Path(dest, "_manifest"))) {
         val aside = new Path(
           s"$base/.debris-${java.util.UUID.randomUUID().toString.take(12)}")
         if (f.rename(dest, aside) && f.exists(new Path(aside, "_manifest"))) {
@@ -458,6 +460,139 @@ object Snapshots {
     read(spark, base, Some(v))
   }
 
+  // ── branches (Iceberg named branches, round-11) ───────────────────────
+  //
+  // A branch is a SEPARATE version chain `vb-<name>=N/` living beside the
+  // main `v=N/` chain in the same store. The fork is a metadata commit:
+  // branch v1's manifest is a copy of the forked main version's, so every
+  // main data file is shared by reference, zero bytes move. Branch commits
+  // go through the SAME staged-rename protocol (atomic, multi-writer
+  // safe) into the branch's namespace; main's `versions().last` never
+  // sees them, so main writers are completely undisturbed — the
+  // write-audit-publish workflow Iceberg branches exist for. Manifest
+  // entries are base-relative in BOTH namespaces, so a manifest can mix
+  // `v=5/...` (inherited main files) and `vb-x=2/...` (branch-written
+  // files) and [[read]]'s resolution just works. Cross-namespace safety:
+  // expiry/vacuum protect any file referenced by ANY branch manifest
+  // (and [[dropBranch]] protects main-referenced files in reverse), so a
+  // shared file survives until its last referencing snapshot in either
+  // namespace goes.
+
+  private def branchDir(branch: Option[String], v: Long): String =
+    branch.fold(s"v=$v")(b => s"vb-$b=$v")
+
+  /** Committed versions of a branch, ascending (the branch's own chain). */
+  def branchVersions(spark: SparkSession, base: String, name: String): Seq[Long] = {
+    val f = fs(spark, base)
+    val p = new Path(base)
+    if (!f.exists(p)) Seq.empty
+    else f.globStatus(new Path(p, s"vb-$name=*/_manifest")).toSeq
+      .map(_.getPath.getParent.getName.stripPrefix(s"vb-$name=").toLong)
+      .sorted
+  }
+
+  private def branchManifestLines(spark: SparkSession, base: String,
+                                  name: String, v: Long): Seq[String] = {
+    val in = fs(spark, base).open(
+      new Path(s"$base/${branchDir(Some(name), v)}/_manifest"))
+    try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+      .map(_.trim).filter(_.nonEmpty).toVector
+    finally in.close()
+  }
+
+  /** Every data file referenced by any branch manifest — the
+    * cross-namespace protection set expiry and vacuum must honor. */
+  private def branchReferencedFiles(spark: SparkSession, base: String): Set[String] = {
+    val f = fs(spark, base)
+    val p = new Path(base)
+    if (!f.exists(p)) Set.empty
+    else f.globStatus(new Path(p, "vb-*/_manifest")).toSeq.flatMap { st =>
+      val in = f.open(st.getPath)
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+        .map(_.trim).filter(_.nonEmpty).map(l => parseEntry(l).path).toVector
+      finally in.close()
+    }.toSet
+  }
+
+  /** Fork a branch from a main version — pure metadata (manifest copy);
+    * fails if the branch already exists. */
+  def createBranch(spark: SparkSession, base: String, name: String,
+                   fromVersion: Long): Long = {
+    require(RefNameRe.matches(name),
+      s"branch name must match ${RefNameRe.regex}, got '$name'")
+    require(versions(spark, base).contains(fromVersion),
+      s"version $fromVersion not in ${versions(spark, base)}")
+    require(branchVersions(spark, base, name).isEmpty,
+      s"branch '$name' already exists under $base")
+    commitStaged(spark, base, 1L,
+      manifestLines(spark, base, fromVersion), _ => (),
+      branch = Some(name))
+  }
+
+  /** Append to a branch head (the branch twin of [[append]]): only the
+    * delta's files are written into the branch namespace; everything the
+    * head referenced — main files included — is inherited by reference. */
+  def appendBranch(df: DataFrame, base: String, name: String,
+                   statsKey: Option[String] = None): Long = {
+    val spark = df.sparkSession
+    val bvs = branchVersions(spark, base, name)
+    require(bvs.nonEmpty, s"no branch '$name' under $base — createBranch first")
+    commitStaged(spark, base, bvs.last + 1,
+      branchManifestLines(spark, base, name, bvs.last),
+      dir => df.write.mode("append").parquet(dir), statsKey,
+      branch = Some(name))
+  }
+
+  /** Read a branch snapshot (head by default) — time travel on the branch. */
+  def readBranch(spark: SparkSession, base: String, name: String,
+                 version: Option[Long] = None): DataFrame = {
+    val bvs = branchVersions(spark, base, name)
+    require(bvs.nonEmpty, s"no branch '$name' under $base")
+    val v = version.getOrElse(bvs.last)
+    require(bvs.contains(v), s"branch version $v not in $bvs")
+    val files = branchManifestLines(spark, base, name, v)
+      .map(l => s"$base/${parseEntry(l).path}")
+    spark.read.option("mergeSchema", true).parquet(files: _*)
+  }
+
+  /** Fast-forward main to the branch head (Iceberg's publish): commit a
+    * main version whose manifest is the branch head's — pure metadata,
+    * zero data movement; the branch's files become main-referenced. */
+  def fastForward(spark: SparkSession, base: String, name: String): Long = {
+    val bvs = branchVersions(spark, base, name)
+    require(bvs.nonEmpty, s"no branch '$name' under $base")
+    val next = versions(spark, base).lastOption.getOrElse(0L) + 1
+    commitStaged(spark, base, next,
+      branchManifestLines(spark, base, name, bvs.last), _ => ())
+  }
+
+  /** Drop a branch: its manifests go first (the branch becomes invisible
+    * atomically per version), then its OWN data files — except any still
+    * referenced by a main manifest (a fast-forwarded branch's files
+    * survive the branch's deletion) or another branch. */
+  def dropBranch(spark: SparkSession, base: String, name: String): Seq[Long] = {
+    val f = fs(spark, base)
+    val bvs = branchVersions(spark, base, name)
+    bvs.foreach(v => f.delete(
+      new Path(s"$base/${branchDir(Some(name), v)}/_manifest"), false))
+    // recompute AFTER the manifests are gone: protection = main + the
+    // remaining branches
+    val referenced =
+      versions(spark, base).flatMap(manifestFiles(spark, base, _)).toSet ++
+        branchReferencedFiles(spark, base)
+    bvs.foreach { v =>
+      val dirName = branchDir(Some(name), v)
+      val dir = new Path(s"$base/$dirName")
+      if (f.exists(dir)) {
+        f.listStatus(dir).toSeq
+          .filterNot(st => referenced(s"$dirName/${st.getPath.getName}"))
+          .foreach(st => f.delete(st.getPath, true))
+        if (f.listStatus(dir).isEmpty) f.delete(dir, true)
+      }
+    }
+    bvs
+  }
+
   /**
    * Age-based expiry (Iceberg `expire_snapshots(older_than => ts)`): drops
    * every version whose COMMIT time — the manifest's mtime, stamped by the
@@ -483,7 +618,11 @@ object Snapshots {
                            drop: Seq[Long]): Seq[Long] = {
     val f = fs(spark, base)
     val kept = all.filterNot(drop.contains)
-    val referenced = kept.flatMap(manifestFiles(spark, base, _)).toSet
+    // cross-namespace protection (round-11): a branch forked from a
+    // dropped main version still references its files — they must survive
+    // until the branch goes too
+    val referenced = kept.flatMap(manifestFiles(spark, base, _)).toSet ++
+      branchReferencedFiles(spark, base)
     drop.foreach { v =>
       f.delete(manifestPath(base, v), false)
       val dir = new Path(s"$base/v=$v")
@@ -815,7 +954,8 @@ object Snapshots {
     val p = new Path(base)
     if (!f.exists(p)) return Seq.empty
     val committed = versions(spark, base).toSet
-    val referenced = committed.toSeq.flatMap(manifestFiles(spark, base, _)).toSet
+    val referenced = committed.toSeq.flatMap(manifestFiles(spark, base, _)).toSet ++
+      branchReferencedFiles(spark, base)
     val fromVersionDirs = f.globStatus(new Path(p, "v=*")).toSeq
       .filter(_.isDirectory)
       .map(_.getPath)

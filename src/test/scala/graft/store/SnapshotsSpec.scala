@@ -397,6 +397,49 @@ class SnapshotsSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] { Snapshots.readTag(spark, base, "rel-1") }
   }
 
+  test("branches: fork is metadata-only, main undisturbed, expiry-safe, fast-forward publishes") {
+    val base = java.nio.file.Files.createTempDirectory("graft-snap-br").toString + "/t"
+    Snapshots.write(Seq((1L, "a"), (2L, "a")).toDF("id", "s"), base)    // main v1
+    Snapshots.append(Seq((3L, "b")).toDF("id", "s"), base)              // main v2
+    // fork from v1: pure manifest copy — branch sees v1's content only
+    assert(Snapshots.createBranch(spark, base, "exp", fromVersion = 1L) == 1L)
+    assert(Snapshots.readBranch(spark, base, "exp")
+      .as[(Long, String)].collect().toSet == Set((1L, "a"), (2L, "a")))
+    // branch commit: main chain must not see it
+    Snapshots.appendBranch(Seq((10L, "c")).toDF("id", "s"), base, "exp")
+    assert(Snapshots.versions(spark, base) == Seq(1L, 2L), "main undisturbed")
+    assert(Snapshots.branchVersions(spark, base, "exp") == Seq(1L, 2L))
+    assert(Snapshots.readBranch(spark, base, "exp")
+      .as[(Long, String)].collect().toSet ==
+      Set((1L, "a"), (2L, "a"), (10L, "c")))
+    assert(Snapshots.read(spark, base).as[(Long, String)].collect().toSet ==
+      Set((1L, "a"), (2L, "a"), (3L, "b")), "main head is still v2's content")
+    // main expiry drops v1, but the branch references v1's files — they
+    // must survive (cross-namespace protection)
+    assert(Snapshots.expire(spark, base, keep = 1) == Seq(1L))
+    assert(Snapshots.readBranch(spark, base, "exp")
+      .as[(Long, String)].collect().toSet ==
+      Set((1L, "a"), (2L, "a"), (10L, "c")),
+      "branch must survive main expiry of its fork point")
+    // fast-forward: main's next version IS the branch head, zero data moved
+    val v3 = Snapshots.fastForward(spark, base, "exp")
+    assert(v3 == 3L)
+    assert(Snapshots.read(spark, base).as[(Long, String)].collect().toSet ==
+      Set((1L, "a"), (2L, "a"), (10L, "c")))
+    // dropping the branch keeps every file main now references
+    Snapshots.dropBranch(spark, base, "exp")
+    assert(Snapshots.branchVersions(spark, base, "exp").isEmpty)
+    assert(Snapshots.read(spark, base).as[(Long, String)].collect().toSet ==
+      Set((1L, "a"), (2L, "a"), (10L, "c")),
+      "fast-forwarded files must survive the branch's deletion")
+    // vacuum after all of it: nothing it collects may break the main read
+    Snapshots.vacuum(spark, base)
+    assert(Snapshots.read(spark, base).count() == 3L)
+    // a second branch with the same name is a fresh fork
+    Snapshots.createBranch(spark, base, "exp", fromVersion = 3L)
+    assert(Snapshots.readBranch(spark, base, "exp").count() == 3L)
+  }
+
   test("rollback publishes an old manifest as the new latest, metadata-only") {
     val base = java.nio.file.Files.createTempDirectory("graft-snap-rb").toString + "/t"
     Snapshots.write(Seq((1L, "good"), (2L, "good")).toDF("id", "s"), base)
