@@ -165,6 +165,90 @@ class PropertySpec extends AnyFunSuite {
     assert(got == want, s"merged=${got.toSeq.sorted} expected=${want.toSeq.sorted}")
   }
 
+  test("property: containment ∈ (0,1], identical docs score 1 both ways, " +
+       "and containment ≥ Jaccard on every shared pair") {
+    val charGen = Gen.oneOf(('a' to 'h') :+ ' ')
+    def textGen(n: Int): Gen[String] = Gen.listOfN(n, charGen).map(_.mkString)
+    val cases = samples(for {
+      core <- textGen(30)
+      flank <- textGen(20)
+    } yield (core, core + flank), 40)
+    val df = cases.zipWithIndex
+      .flatMap { case ((a, b), i) => Seq((i * 2L, a), (i * 2L + 1, b)) }
+      .toDF("doc_id", "text")
+    val cont = graft.dedup.Dedup.containmentPairs(df, "doc_id", "text",
+        n = 5, minContainment = 0.0)
+      .as[(Long, Long, Double, Double)].collect()
+    val jac = graft.dedup.Dedup.ngramJaccardPairs(df, "doc_id", "text",
+        n = 5, minJaccard = 0.0)
+      .as[(Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(cont.nonEmpty)
+    cont.foreach { case (a, b, cAb, cBa) =>
+      assert(a < b, "pair order must be canonical")
+      assert(cAb > 0 && cAb <= 1.0 + 1e-9 && cBa > 0 && cBa <= 1.0 + 1e-9,
+        s"containment out of range: ($cAb, $cBa)")
+      // |A∩B|/|A| ≥ |A∩B|/|A∪B| always — containment dominates Jaccard
+      jac.get((a, b)).foreach(j =>
+        assert(math.max(cAb, cBa) >= j - 1e-9,
+          s"containment $cAb/$cBa below jaccard $j for ($a,$b)"))
+    }
+    // a doc fully inside its extension: one direction ≈ 1 (every shingle of
+    // the core also occurs in core+flank). Only each case's OWN pair
+    // (2i, 2i+1) — random cores can coincidentally share shingles across
+    // cases, and those pairs carry no containment guarantee
+    val full = cont.filter { case (a, b, _, _) => a % 2 == 0 && b == a + 1 }
+    assert(full.nonEmpty)
+    assert(full.forall { case (_, _, cAb, _) => cAb > 0.999 },
+      s"prefix-contained docs must have c_ab ~ 1: ${full.toSeq.take(5)}")
+  }
+
+  test("property: tokenStats equals the standalone entropy/LM operators on random corpora") {
+    val wordGen = Gen.oneOf("alpha", "beta", "gamma", "delta", "eps", "zeta")
+    val docGen = for {
+      n <- Gen.choose(1, 30)
+      ws <- Gen.listOfN(n, wordGen)
+    } yield ws.mkString(" ")
+    val docs = samples(docGen, 60).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    import graft.text.TextAnalysis
+    val fused = TextAnalysis.tokenStats(docs, "doc_id", "text")
+      .as[(Long, Long, Double, Double)].collect()
+      .map(x => x._1 -> ((x._2, x._3, x._4))).toMap
+    val ent = TextAnalysis.tokenEntropy(docs, "doc_id", "text")
+      .as[(Long, Long, Double)].collect().map(x => x._1 -> ((x._2, x._3))).toMap
+    val lm = TextAnalysis.unigramLmScore(docs, "doc_id", "text")
+      .as[(Long, Long, Double)].collect().map(x => x._1 -> x._3).toMap
+    assert(fused.keySet == ent.keySet)
+    fused.foreach { case (id, (n, h, lp)) =>
+      assert((n, h) == ent(id), s"entropy diverged for $id")
+      assert(math.abs(lp - lm(id)) < 1e-9, s"LM diverged for $id")
+    }
+  }
+
+  test("property: label-propagation communities refine connected components") {
+    val edgeGen = for {
+      a <- Gen.choose(0L, 30L)
+      b <- Gen.choose(0L, 30L) if a != b
+    } yield (a, b)
+    val edges = samples(edgeGen, 40).distinct.toDF("src", "dst")
+    val lpa = graft.ops.Graph.labelPropagation(edges, "src", "dst", iters = 3)
+      .as[(Long, Long)].collect().toMap
+    val cc = graft.dedup.Dedup.connectedComponents(
+        edges.select(col("src").as("id_a"), col("dst").as("id_b")),
+        edges.select(col("src").as("id")).union(edges.select(col("dst")))
+          .distinct(), "id")
+      .as[(Long, Long)].collect().toMap
+    assert(lpa.keySet == cc.keySet, "same node universe")
+    // two nodes sharing an LPA label must be in the same component —
+    // communities never span components (edges are the only label carrier)
+    lpa.groupBy(_._2).values.foreach { members =>
+      val comps = members.keys.map(cc).toSet
+      assert(comps.size == 1,
+        s"LPA community ${members.keys.toSeq.sorted} spans components $comps")
+    }
+  }
+
   test("property: winnowing guarantee — docs sharing a substring of length " +
        "≥ w+k-1 share at least one fingerprint") {
     val k = 5; val w = 4
