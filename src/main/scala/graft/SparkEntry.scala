@@ -5728,6 +5728,88 @@ object SparkEntry {
     // per-source quantile normalization: each source's score distribution
     // maps to percentile space so thresholds compare across sources —
     // the comparability step before a cross-source quality gate or mix
+    // A/B experiment analysis (round-11): deterministic hash-split arms
+    // (the assignment every experimentation platform uses — stable under
+    // reruns and late-arriving data), per-user conversion (> 13 clicks —
+    // the dense event fixture gives every user every event type, so a
+    // has-event metric saturates and degenerates the z denominator), and
+    // the pooled two-proportion z-test with a 1.96 significance flag —
+    // exact arithmetic both engines replay. Two aggregates (user rollup,
+    // arm rollup), one final scalar row.
+    "x19_ab_test" -> Q(
+      (s, d) => {
+        import graft.ops.Curation
+        val users = TestData.events(s, d)
+          .select(col("user_id"),
+            when(Curation.hashUniform(col("user_id"), "arm") < 0.5, "A")
+              .otherwise("B").as("arm"),
+            (col("event_type") === "click").cast("int").as("is_click"))
+          .groupBy(col("user_id"), col("arm"))
+          .agg((sum(col("is_click")) > 13).cast("int").as("converted"))
+        val agg = users.agg(
+          sum(when(col("arm") === "A", 1).otherwise(0)).cast("long").as("n_a"),
+          sum(when(col("arm") === "A", col("converted")).otherwise(0))
+            .cast("long").as("c_a"),
+          sum(when(col("arm") === "B", 1).otherwise(0)).cast("long").as("n_b"),
+          sum(when(col("arm") === "B", col("converted")).otherwise(0))
+            .cast("long").as("c_b"))
+        val pPool = (col("c_a") + col("c_b")).cast("double") /
+          (col("n_a") + col("n_b"))
+        val z = (col("c_a") / col("n_a").cast("double") -
+            col("c_b") / col("n_b").cast("double")) /
+          sqrt(pPool * (lit(1.0) - pPool) *
+            (lit(1.0) / col("n_a") + lit(1.0) / col("n_b")))
+        agg.select(col("n_a"), col("c_a"), col("n_b"), col("c_b"),
+          round(z, 6).as("z"), (abs(z) > 1.96).as("significant"))
+      },
+      Some("""WITH u AS (SELECT user_id,
+             |    CASE WHEN CAST(('0x' || substr(md5('arm|' || user_id), 1, 15)) AS BIGINT)
+             |           % 10000 / 10000.0 < 0.5 THEN 'A' ELSE 'B' END AS arm,
+             |    CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) > 13
+             |         AS INT) AS converted
+             |  FROM events GROUP BY 1, 2),
+             |a AS (SELECT
+             |    CAST(sum(CASE WHEN arm = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+             |    CAST(sum(CASE WHEN arm = 'A' THEN converted ELSE 0 END) AS BIGINT) AS c_a,
+             |    CAST(sum(CASE WHEN arm = 'B' THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+             |    CAST(sum(CASE WHEN arm = 'B' THEN converted ELSE 0 END) AS BIGINT) AS c_b
+             |  FROM u)
+             |SELECT n_a, c_a, n_b, c_b,
+             |  round((c_a * 1.0 / n_a - c_b * 1.0 / n_b)
+             |    / sqrt(((c_a + c_b) * 1.0 / (n_a + n_b))
+             |           * (1 - (c_a + c_b) * 1.0 / (n_a + n_b))
+             |           * (1.0 / n_a + 1.0 / n_b)), 6) AS z,
+             |  abs((c_a * 1.0 / n_a - c_b * 1.0 / n_b)
+             |    / sqrt(((c_a + c_b) * 1.0 / (n_a + n_b))
+             |           * (1 - (c_a + c_b) * 1.0 / (n_a + n_b))
+             |           * (1.0 / n_a + 1.0 / n_b))) > 1.96 AS significant
+             |FROM a""".stripMargin)),
+
+    // Duplication-based oversampling (round-11): minority sources rise
+    // ABOVE keep-all via deterministic replication — floor(rate) copies +
+    // one more with probability frac(rate) by the portable hash-Bernoulli
+    // (the epoch-count up-weighting of published training mixes; closes
+    // the gap temperatureMix's own doc defers to). One explode on the
+    // scan; the oracle replays copies via range(n).
+    "cu_oversample" -> Q(
+      (s, d) => graft.ops.Curation.oversample(
+          T(s, d, "documents").select(col("doc_id"), col("source")),
+          "doc_id", "source",
+          rates = Map("src0" -> 2.5, "src1" -> 0.5), defaultRate = 1.0)
+        .orderBy(col("doc_id"), col("__copy")),
+      Some("""WITH r AS (SELECT doc_id, source,
+             |    CASE source WHEN 'src0' THEN 2.5 WHEN 'src1' THEN 0.5
+             |                ELSE 1.0 END AS rate,
+             |    CAST(('0x' || substr(md5('over|' || doc_id), 1, 15)) AS BIGINT)
+             |      % 10000 / 10000.0 AS u
+             |  FROM documents),
+             |c AS (SELECT doc_id, source,
+             |    CAST(floor(rate) + CASE WHEN u < rate - floor(rate)
+             |                            THEN 1 ELSE 0 END AS INT) AS n
+             |  FROM r)
+             |SELECT doc_id, source, CAST(unnest(range(n)) AS INT) AS "__copy"
+             |FROM c WHERE n > 0 ORDER BY doc_id, "__copy" """.stripMargin)),
+
     // dataset-card generator (round-11): the per-source summary a curation
     // run publishes alongside the corpus — doc/token/char volumes, corpus
     // share, mean entropy, language spread and majority language. One

@@ -51,8 +51,8 @@ object Curation {
    * Plan: one tiny per-source aggregate (+ its 1-row total) broadcasts
    * back; the keep decision is then a scalar on the scan. No corpus
    * shuffle. Note τ<1 cannot UP-sample a minority beyond keeping all of
-   * it (rate caps at 1); duplication-based oversampling is a separate,
-   * explicit step.
+   * it (rate caps at 1); duplication-based oversampling is the separate,
+   * explicit [[oversample]] step.
    */
   def temperatureMix(df: DataFrame, idCol: String, sourceCol: String,
                      tau: Double, targetFrac: Double,
@@ -71,6 +71,41 @@ object Curation {
       .select(col(sourceCol), col("__keep_rate"))
     df.join(broadcast(rates), Seq(sourceCol))
       .withColumn("__keep", hashUniform(col(idCol), salt) < col("__keep_rate"))
+  }
+
+  /**
+   * Duplication-based oversampling — the explicit up-weighting step
+   * [[temperatureMix]]'s scaladoc defers to (a keep-rate caps at 1; only
+   * replication can raise a minority source ABOVE keeping all of it,
+   * epoch-style, cf. the per-source epoch counts of the Pile / ROOTS
+   * training mixes). Each row is emitted `floor(rate)` times plus one
+   * more with probability `frac(rate)` via the deterministic
+   * hash-Bernoulli, so the expected per-source multiplier is exactly its
+   * rate, replication is reproducible row-by-row, and a rate ≤ 1
+   * degenerates to [[weightedMix]]'s thinning. Copies are numbered in
+   * `__copy` (0 = the original) so downstream packing/splitting can
+   * treat them as distinct examples with a stable derived id.
+   *
+   * Plan: rates broadcast as a tiny map literal; the replication is ONE
+   * `explode(sequence(...))` on the scan — no shuffle, no join, and the
+   * output size is Σ n_s·rate_s by construction (never a blowup a skewed
+   * join could produce).
+   */
+  def oversample(df: DataFrame, idCol: String, sourceCol: String,
+                 rates: Map[String, Double], defaultRate: Double = 1.0,
+                 salt: String = "over"): DataFrame = {
+    require((rates.values ++ Seq(defaultRate)).forall(_ >= 0.0),
+      "oversample rates must be non-negative")
+    val rate = rates.foldLeft(lit(defaultRate)) { case (acc, (src, r)) =>
+      when(col(sourceCol) === src, lit(r)).otherwise(acc)
+    }
+    val copies = (floor(rate) +
+      when(hashUniform(col(idCol), salt) < (rate - floor(rate)), 1).otherwise(0))
+      .cast("int")
+    df.withColumn("__n", copies)
+      .filter(col("__n") > 0)
+      .withColumn("__copy", explode(sequence(lit(0), col("__n") - 1)))
+      .drop("__n")
   }
 
   /**

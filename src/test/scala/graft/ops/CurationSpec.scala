@@ -150,6 +150,37 @@ class CurationSpec extends AnyFunSuite {
     assert(o1 != (1L to 200L).toSeq)  // and actually shuffled
   }
 
+  test("oversample: floor+bernoulli copies, deterministic, integer rates exact, copies numbered") {
+    val df = (1L to 200L).map(i => (i, if (i <= 100) "min" else "maj"))
+      .toDF("id", "src")
+    val out = Curation.oversample(df, "id", "src",
+      rates = Map("min" -> 2.5, "maj" -> 1.0))
+    val rows = out.as[(Long, String, Int)].collect()
+    val byId = rows.groupBy(_._1).view.mapValues(_.map(_._3).sorted.toSeq).toMap
+    // integer rate: exactly one copy, numbered 0
+    (101L to 200L).foreach(i => assert(byId(i) == Seq(0), s"maj id $i: ${byId(i)}"))
+    // fractional rate 2.5: every row has 2 or 3 copies, densely numbered
+    (1L to 100L).foreach { i =>
+      assert(byId(i) == (0 until byId(i).size) && Set(2, 3)(byId(i).size),
+        s"min id $i: ${byId(i)}")
+    }
+    // expected multiplier ~2.5: the bernoulli extra lands on ~half the ids
+    val minTotal = rows.count(_._2 == "min")
+    assert(minTotal > 220 && minTotal < 280, s"min copies $minTotal far from 250")
+    // deterministic: identical rerun
+    val rerun = Curation.oversample(df, "id", "src",
+        rates = Map("min" -> 2.5, "maj" -> 1.0))
+      .as[(Long, String, Int)].collect()
+    assert(rows.toSet == rerun.toSet)
+    // rate < 1 degenerates to thinning: 0 or 1 copies, always numbered 0
+    val thin = Curation.oversample(df, "id", "src", rates = Map("min" -> 0.4),
+        defaultRate = 1.0)
+      .as[(Long, String, Int)].collect()
+    assert(thin.forall(_._3 == 0))
+    val kept = thin.count(_._2 == "min")
+    assert(kept > 20 && kept < 60, s"thinned to $kept of 100")
+  }
+
   test("temperatureMix: tau flattens toward uniform, tau=1 keeps proportions") {
     // 90/10 skew between two sources
     val docs = ((1L to 900L).map(i => (i, "big")) ++
