@@ -5728,6 +5728,26 @@ object SparkEntry {
     // per-source quantile normalization: each source's score distribution
     // maps to percentile space so thresholds compare across sources —
     // the comparability step before a cross-source quality gate or mix
+    // Source-interleaved training order (round-11): global positions
+    // cycle through the live sources round-robin (per-source shuffled
+    // round number + windowless arithmetic global position from a
+    // broadcast count frame — no single-partition window). The oracle
+    // computes the same order with a plain row_number over (rn, source),
+    // so the hash compare proves the arithmetic IS the global numbering.
+    "cu_interleave" -> Q(
+      (s, d) => graft.ops.Curation.interleaveBySource(
+          T(s, d, "documents").select(col("doc_id"), col("source")),
+          "doc_id", "source")
+        .select(col("doc_id"), col("source"), col("__rn"), col("pos"))
+        .orderBy(col("pos")),
+      Some("""WITH r AS (SELECT doc_id, source,
+             |    CAST(row_number() OVER (PARTITION BY source
+             |      ORDER BY md5('inter|' || doc_id), doc_id) AS INT) AS "__rn"
+             |  FROM documents)
+             |SELECT doc_id, source, "__rn",
+             |  CAST(row_number() OVER (ORDER BY "__rn", source) AS BIGINT) AS pos
+             |FROM r ORDER BY pos""".stripMargin)),
+
     // A/B experiment analysis (round-11): deterministic hash-split arms
     // (the assignment every experimentation platform uses — stable under
     // reruns and late-arriving data), per-user conversion (> 13 clicks —

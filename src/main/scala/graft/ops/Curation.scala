@@ -311,6 +311,39 @@ object Curation {
    * training run wants for its data loader. Same salt → identical order on
    * any engine or cluster layout; rotate the salt per epoch.
    */
+  /**
+   * Source-interleaved training order: every row gets a deterministic
+   * global position such that consecutive positions CYCLE through the
+   * live sources — round 1 holds each source's first (shuffled) row in
+   * source order, round 2 the second rows, and so on, sources dropping
+   * out as they exhaust. The ordering a data loader wants so no training
+   * batch sees a long single-source run (gradient batches stay
+   * source-diverse without runtime shuffling).
+   *
+   * Scale shape: the within-source epoch number is one window partitioned
+   * by source (the only shuffle). The GLOBAL position is pure arithmetic,
+   * not a single-partition window: all rows of earlier rounds precede
+   * this one (Σ_s min(cnt_s, rn−1)), plus this source's 1-based rank
+   * among sources still alive in round rn — both terms come from ONE
+   * broadcast non-equi join against the per-source count frame (a
+   * source-count-sized dimension, never the corpus). Returns the input
+   * plus (__rn, pos); write sorted by pos for the loader.
+   */
+  def interleaveBySource(df: DataFrame, idCol: String, sourceCol: String,
+                         salt: String = "inter"): DataFrame = {
+    val w = Window.partitionBy(col(sourceCol))
+      .orderBy(md5(concat(lit(salt + "|"), col(idCol).cast("string"))).asc,
+        col(idCol).asc)
+    val rn = df.withColumn("__rn", row_number().over(w))
+    val counts = df.groupBy(col(sourceCol).as("__src"))
+      .agg(count(lit(1)).as("__cnt"))
+    rn.join(broadcast(counts), lit(true))
+      .groupBy(df.columns.map(col) :+ col("__rn"): _*)
+      .agg((sum(least(col("__cnt"), col("__rn") - 1)) +
+        sum(when(col("__cnt") >= col("__rn") &&
+          col("__src") <= col(sourceCol), 1).otherwise(0))).cast("long").as("pos"))
+  }
+
   def corpusShuffle(df: DataFrame, idCol: String, salt: String = "shuffle"): DataFrame =
     df.orderBy(md5(concat(lit(salt + "|"), col(idCol).cast("string"))).asc,
       col(idCol).asc)

@@ -150,6 +150,26 @@ class CurationSpec extends AnyFunSuite {
     assert(o1 != (1L to 200L).toSeq)  // and actually shuffled
   }
 
+  test("interleave: positions are a permutation cycling sources until each exhausts") {
+    // 3 sources with different sizes: a x4, b x2, c x1
+    val df = Seq(
+      (1L, "a"), (2L, "a"), (3L, "a"), (4L, "a"),
+      (5L, "b"), (6L, "b"), (7L, "c")
+    ).toDF("id", "src")
+    val out = Curation.interleaveBySource(df, "id", "src")
+      .select("id", "src", "pos").as[(Long, String, Long)].collect()
+      .sortBy(_._3)
+    // positions are a dense 1-based permutation
+    assert(out.map(_._3).toSeq == (1L to 7L))
+    // round 1 holds all three sources in order; round 2 the survivors;
+    // rounds 3-4 only the largest source remains
+    assert(out.map(_._2).toSeq == Seq("a", "b", "c", "a", "b", "a", "a"))
+    // deterministic under rerun
+    val rerun = Curation.interleaveBySource(df, "id", "src")
+      .select("id", "pos").as[(Long, Long)].collect().toSet
+    assert(rerun == out.map(t => (t._1, t._3)).toSet)
+  }
+
   test("oversample: floor+bernoulli copies, deterministic, integer rates exact, copies numbered") {
     val df = (1L to 200L).map(i => (i, if (i <= 100) "min" else "maj"))
       .toDF("id", "src")
