@@ -229,6 +229,24 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("cu_interleave: one per-source window; global numbering is a bounded broadcast join, not a window") {
+    val p = planOf("cu_interleave")
+    // the count frame broadcasts into the non-equi join (20 rows, bounded)
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    // exactly ONE Window operator (the per-source epoch number) — a global
+    // row_number would appear as a second, single-partition window.
+    // "Window [" matches the operator, never WindowGroupLimit
+    assert(p.linesIterator.count(_.contains("Window [")) == 1, p)
+  }
+
+  test("dd_incremental_exact_bloom: bloom prefilter sits on the scan before any join") {
+    val p = planOf("dd_incremental_exact_bloom")
+    assert(p.contains("bloom_might_contain"), p)
+    // the confirm path is an anti join on the candidates, never a full
+    // batch x corpus comparison
+    assert(p.contains("LeftAnti"), p)
+  }
+
   test("ta_keywords: per-doc top-k is a WindowGroupLimit, df join never SMJs") {
     val p = planOf("ta_keywords")
     assert(p.contains("WindowGroupLimit"), p) // rank<=k prunes map-side
