@@ -759,6 +759,78 @@ object SparkEntry {
              |  ON p.user_id = s.user_id AND p.ms >= s.sms
              |ORDER BY p.event_id""".stripMargin)),
 
+    // CUSUM changepoint detection (round-11, Page 1954): the positive-
+    // shift detector S_i = max(0, S_{i-1} + (x_i − μ − k)), alarm at
+    // S > h — the drift monitor over metric streams. The recursion is NOT
+    // window-expressible directly, but the classic reset identity
+    // S_i = W_i − min_{j≤i} W_j (W = cumsum of the drift-adjusted series)
+    // turns it into two stacked running frames over ONE per-key sort —
+    // a single shuffle, no recursion, no UDF. Running sums evaluate
+    // left-to-right in both engines, so the doubles match bitwise.
+    "x20_cusum" -> Q(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val (mu, k, h) = (49.63, 25.0, 150.0)
+        val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        TestData.events(s, d)
+          .filter(col("user_id") <= 20 && col("value").isNotNull)
+          .select(col("user_id"), col("event_id"), col("value"))
+          .withColumn("__w", sum(col("value") - lit(mu) - lit(k)).over(w))
+          .withColumn("__s", col("__w") - min(col("__w")).over(w))
+          .select(col("user_id"), col("event_id"),
+            round(col("__s"), 6).as("cusum"),
+            (col("__s") > h).as("alarm"))
+          .orderBy(col("user_id"), col("event_id"))
+      },
+      Some("""WITH base AS (SELECT user_id, event_id, value FROM events
+             |              WHERE user_id <= 20 AND value IS NOT NULL),
+             |cw AS (SELECT user_id, event_id,
+             |    sum(value - 49.63 - 25.0) OVER (PARTITION BY user_id
+             |      ORDER BY event_id ROWS UNBOUNDED PRECEDING) AS w
+             |  FROM base),
+             |c AS (SELECT user_id, event_id, w,
+             |    min(w) OVER (PARTITION BY user_id ORDER BY event_id
+             |                 ROWS UNBOUNDED PRECEDING) AS mw
+             |  FROM cw)
+             |SELECT user_id, event_id, round(w - mw, 6) AS cusum,
+             |  (w - mw) > 150.0 AS alarm
+             |FROM c ORDER BY user_id, event_id""".stripMargin)),
+
+    // nearest as-of (round-11): closest state row in EITHER direction,
+    // ties to the past — one union + one shuffle serving both carry
+    // frames; oracle picks per probe via min |Δ| window with the same
+    // tie rule
+    "x1c_asof_nearest" -> Q(
+      (s, d) => {
+        val ev = TestData.events(s, d)
+        val probes = ev.filter(col("event_type") === "view")
+          .select(col("event_id"), col("user_id"), unix_millis(col("ts")).as("ms"))
+        val state = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), unix_millis(col("ts")).as("sms"), col("value"))
+          .groupBy(col("user_id"), col("sms")).agg(max(col("value")).as("price"))
+        Relational.asofJoinNearest(probes, state, "user_id", "ms", "sms",
+            Seq("price"))
+          .select(col("event_id"), col("user_id"), col("ms"), col("sms"),
+            col("price"))
+          .orderBy(col("event_id"))
+      },
+      Some("""WITH probes AS (
+             |  SELECT event_id, user_id, epoch_ms(CAST(ts AS TIMESTAMP)) AS ms
+             |  FROM events WHERE event_type = 'view'),
+             |state AS (
+             |  SELECT user_id, epoch_ms(CAST(ts AS TIMESTAMP)) AS sms, max(value) AS price
+             |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+             |cand AS (SELECT p.event_id, p.user_id, p.ms, s.sms, s.price,
+             |    row_number() OVER (PARTITION BY p.event_id
+             |      ORDER BY abs(p.ms - s.sms),
+             |               CASE WHEN s.sms <= p.ms THEN 0 ELSE 1 END) AS rn
+             |  FROM probes p JOIN state s ON p.user_id = s.user_id)
+             |SELECT p.event_id, p.user_id, p.ms, c.sms, c.price
+             |FROM probes p LEFT JOIN (SELECT * FROM cand WHERE rn = 1) c
+             |  ON p.event_id = c.event_id
+             |ORDER BY p.event_id""".stripMargin)),
+
     // forward as-of (nearest FUTURE state row) vs DuckDB's native ASOF with
     // the comparison reversed
     "x1b_asof_forward" -> Q(

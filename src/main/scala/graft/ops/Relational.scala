@@ -117,6 +117,56 @@ object Relational {
                       payloadCols: Seq[String]): DataFrame =
     asofImpl(left, right, key, leftTime, rightTime, payloadCols, forward = true)
 
+  /**
+   * Nearest as-of: attach the right row whose time is CLOSEST to the
+   * left row's in EITHER direction, ties to the past — the
+   * sensor/label-alignment join (backward-only as-of mis-labels a probe
+   * that fired just before its reading). Times must be numeric (epoch
+   * ms) so |Δ| is plain arithmetic.
+   *
+   * Plan: ONE union + ONE shuffle+sort on the key — both the
+   * carry-backward frame (last non-null over preceding, inclusive at
+   * equal time since right rows sort first) and the carry-forward frame
+   * (first non-null over following) ride the same Window sort, and the
+   * per-row choice is a scalar comparison of the two candidate deltas.
+   * Strictly cheaper than running the backward and forward joins
+   * separately and reconciling (which would need a row identity and a
+   * third shuffle).
+   */
+  def asofJoinNearest(left: DataFrame, right: DataFrame, key: String,
+                      leftTime: String, rightTime: String,
+                      payloadCols: Seq[String]): DataFrame = {
+    val pay = (rightTime +: payloadCols).distinct
+    val leftCols = left.columns.filterNot(_ == key).toSeq
+    val taggedLeft = left
+      .withColumn("__t", col(leftTime))
+      .withColumn("__is_left", lit(1))
+    val taggedRight = right
+      .select((key +: pay).distinct.map(col): _*)
+      .withColumn("__t", col(rightTime))
+      .withColumn("__is_left", lit(0))
+    val unioned = taggedLeft.unionByName(taggedRight, allowMissingColumns = true)
+    val wPrev = Window.partitionBy(col(key))
+      .orderBy(col("__t").asc, col("__is_left"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wNext = Window.partitionBy(col(key))
+      .orderBy(col("__t").asc, col("__is_left"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val carried = pay.foldLeft(unioned) { (df, c) =>
+      df.withColumn(s"__p_$c", last(col(c), ignoreNulls = true).over(wPrev))
+        .withColumn(s"__n_$c", first(col(c), ignoreNulls = true).over(wNext))
+    }
+    val (pt, nt) = (col(s"__p_$rightTime"), col(s"__n_$rightTime"))
+    // equal-time rights sort before the left row: they land in the PREV
+    // frame with Δ=0 and win, which is the documented tie rule
+    val takePrev = nt.isNull ||
+      (pt.isNotNull && (col("__t") - pt <= nt - col("__t")))
+    carried.filter(col("__is_left") === 1)
+      .select((key +: leftCols).map(col) ++
+        pay.map(c =>
+          when(takePrev, col(s"__p_$c")).otherwise(col(s"__n_$c")).as(c)): _*)
+  }
+
   private def asofImpl(left: DataFrame, right: DataFrame, key: String,
                        leftTime: String, rightTime: String,
                        payloadCols: Seq[String], forward: Boolean): DataFrame = {

@@ -132,6 +132,43 @@ class RelationalSpec extends AnyFunSuite {
       ("u2", 7L, None)))       // key with no state at all
   }
 
+  test("asofJoinNearest: closest state either direction, exact-tie to the past, null only when keyless") {
+    val probes = Seq(
+      ("u1", 5L, "p@5"),   // nearest is 10 (forward; no past state)
+      ("u1", 12L, "p@12"), // past 10 (d=2) beats future 15 (d=3)
+      ("u1", 14L, "p@14"), // future 15 (d=1) beats past 10 (d=4)
+      ("u1", 20L, "p@20"), // equidistant NOT possible here; past 15 (d=5)... vs nothing after → 15
+      ("u1", 25L, "p@25"), // tie: past 15 is d=10, future none → 15
+      ("u2", 7L, "p@7")
+    ).toDF("key", "t", "tag")
+    val state = Seq(
+      ("u1", 10L, 1.0), ("u1", 15L, 2.0),
+      ("u3", 1L, 9.9)
+    ).toDF("key", "st", "price")
+    val r = Relational.asofJoinNearest(probes, state, "key", "t", "st", Seq("price"))
+      .select("key", "t", "price").as[(String, Long, Option[Double])]
+      .collect().sortBy(x => (x._1, x._2)).toSeq
+    assert(r == Seq(
+      ("u1", 5L, Some(1.0)),
+      ("u1", 12L, Some(1.0)),
+      ("u1", 14L, Some(2.0)),
+      ("u1", 20L, Some(2.0)),
+      ("u1", 25L, Some(2.0)),
+      ("u2", 7L, None)))
+    // exact equidistance breaks to the PAST: probe at 12.5 between 10/15 —
+    // use integer midpoint with symmetric states
+    val p2 = Seq(("u1", 20L, "x")).toDF("key", "t", "tag")
+    val s2 = Seq(("u1", 15L, 1.0), ("u1", 25L, 2.0)).toDF("key", "st", "price")
+    val mid = Relational.asofJoinNearest(p2, s2, "key", "t", "st", Seq("price"))
+      .select("price").as[Double].head()
+    assert(mid == 1.0, "equidistant match must take the past state")
+    // and an exact-time match wins outright (delta 0, backward-inclusive)
+    val p3 = Seq(("u1", 15L, "x")).toDF("key", "t", "tag")
+    val ex = Relational.asofJoinNearest(p3, s2, "key", "t", "st", Seq("price"))
+      .select("price").as[Double].head()
+    assert(ex == 1.0)
+  }
+
   test("sessionize: gap starts a new dense 0-based session per key") {
     val ev = Seq(
       ("u1", 0L), ("u1", 10L), ("u1", 100L), // gap 90 > 50 → new session
