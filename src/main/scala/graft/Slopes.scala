@@ -41,13 +41,18 @@ object Slopes {
     "v3_knn_cosine", "v3_ann_knn", "v3_ivf_knn", "v3_pq_knn",
     // text analysis: language id, bm25 index build, quality gate, boilerplate
     "ta_language_id", "ta_bm25_index", "ta_quality_gate", "ta_boilerplate",
-    // window/sequence/sessionization and the as-of composition
-    "w1_sequence_next", "x1_asof_join", "x2_sessionize", "x14_funnel",
+    // window/sequence/sessionization and the as-of compositions (nearest
+    // variant added round-12: its two-directional carry is the
+    // shuffle-heaviest as-of — 3.0 MB at sf0.1)
+    "w1_sequence_next", "x1_asof_join", "x1c_asof_nearest", "x2_sessionize",
+    "x14_funnel",
     // graph iterations (pagerank is the heaviest battery query)
     "g1_khop_reachability", "g3_pagerank",
-    // curation + end-to-end pipelines over documents
-    "cu_pack_sequences", "cu_token_budget", "pipeline_dataprep",
-    "pipeline_pretraining", "pipeline_neardup_pretraining",
+    // curation + end-to-end pipelines over documents (interleave added
+    // round-12 after its shuffle-payload slim — track that the join-back
+    // shape holds its slope)
+    "cu_pack_sequences", "cu_token_budget", "cu_interleave",
+    "pipeline_dataprep", "pipeline_pretraining", "pipeline_neardup_pretraining",
     // profiling + json/event path
     "dq_profile", "f10_json_extract", "t5_hourly_rollup")
 

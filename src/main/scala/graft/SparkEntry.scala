@@ -326,6 +326,25 @@ object SparkEntry {
              |FROM orders ORDER BY o_orderdate DESC, o_orderkey DESC
              |LIMIT 20 OFFSET 10""".stripMargin)),
 
+    // W4's 100 TB listing path (round-12): keyset/seek pagination — the
+    // page after a fixed (date, key) cursor. Same ordering as
+    // w4_pagination; the boundary is a pushable predicate instead of an
+    // O(offset) skip (RelationalSpec pins page-equivalence with the
+    // offset path for a cursor taken from row `offset`).
+    "w4b_keyset_page" -> Q(
+      (s, d) => Relational.paginateAfter(
+          T(s, d, "orders"),
+          Seq("o_orderdate" -> false, "o_orderkey" -> false),
+          Seq(lit("1997-06-15").cast("date"), lit(3000L)), 20)
+        .select(col("o_orderkey"), col("o_totalprice"),
+          unix_millis(col("o_orderdate").cast("timestamp")).as("order_ms")),
+      Some("""SELECT o_orderkey, o_totalprice, epoch_ms(o_orderdate) AS order_ms
+             |FROM orders
+             |WHERE o_orderdate < DATE '1997-06-15'
+             |   OR (o_orderdate = DATE '1997-06-15' AND o_orderkey < 3000)
+             |ORDER BY o_orderdate DESC, o_orderkey DESC
+             |LIMIT 20""".stripMargin)),
+
     "w5_topk_score" -> Q(
       (s, d) => Relational.topK(
           TestData.events(s, d), Seq(col("value").desc, col("event_id")), 10)
@@ -1934,6 +1953,63 @@ object SparkEntry {
              |FROM orders WHERE o_orderstatus IN ('O', 'F')
              |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // Streaming branch-WAP (round-12): the CONTINUOUS version of the
+    // branch-publish workflow — micro-batch-shaped idempotent commits
+    // land on a staging branch under a write-audit, only audit-passed
+    // batches fast-forward to main (metadata-only), a rejected batch
+    // leaves a marker-only branch version (stream liveness without
+    // publishing), and a full crash-replay of a committed batch is a
+    // no-op on every chain. Oracle recomputes the published content
+    // (both clean thirds of orders) plus literal pins on the
+    // reject/replay outcomes and the main chain length.
+    "snap_stream_wap" -> Q(
+      (s, d) => {
+        import graft.store.Snapshots
+        val root = FixtureRoot.fresh("snapstreamwap")
+        val base = root + "/t"
+        val orders = T(s, d, "orders")
+          .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+        val audit: DataFrame => Boolean =
+          b => b.filter(col("o_totalprice") < 0).isEmpty
+        Snapshots.write(orders.limit(0), base) // v1: schema pin (bootstrap)
+        Snapshots.createBranch(s, base, "staging", fromVersion = 1L)
+        // batch 0: clean slice — branch commit + publish
+        Snapshots.appendStreamBranch(
+          orders.filter(pmod(col("o_orderkey"), lit(3)) === 0),
+          base, "staging", "wapstream", 0L, audit = Some(audit))
+        Snapshots.fastForwardStream(s, base, "staging", "wapstream", 0L)
+        // batch 1: corrupted (negative totals) — audit rejects: marker-only
+        // branch version, nothing published
+        val (_, ok1) = Snapshots.appendStreamBranch(
+          orders.filter(pmod(col("o_orderkey"), lit(3)) === 1)
+            .withColumn("o_totalprice", -col("o_totalprice")),
+          base, "staging", "wapstream", 1L, audit = Some(audit))
+        // batch 2: clean slice, committed and published …
+        val b2 = orders.filter(pmod(col("o_orderkey"), lit(3)) === 2)
+        Snapshots.appendStreamBranch(b2, base, "staging", "wapstream", 2L,
+          audit = Some(audit))
+        Snapshots.fastForwardStream(s, base, "staging", "wapstream", 2L)
+        // … then fully REPLAYED (the crash-restart path): triple no-op
+        val nMain = Snapshots.versions(s, base).size
+        Snapshots.appendStreamBranch(b2, base, "staging", "wapstream", 2L,
+          audit = Some(audit))
+        Snapshots.fastForwardStream(s, base, "staging", "wapstream", 2L)
+        val replayNoop = Snapshots.versions(s, base).size == nMain
+        Snapshots.read(s, base)
+          .groupBy(col("o_orderstatus"))
+          .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+          .withColumn("batch1_rejected", lit(!ok1))
+          .withColumn("replay_noop", lit(replayNoop))
+          .withColumn("n_main_versions", lit(nMain))
+          .orderBy(col("o_orderstatus"))
+      },
+      Some("""SELECT o_orderstatus, count(*) AS n,
+             |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+             |  TRUE AS batch1_rejected, TRUE AS replay_noop,
+             |  3 AS n_main_versions
+             |FROM orders WHERE o_orderkey % 3 <> 1
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // Tag retention (round-11): Iceberg named refs — a tag pins its
     // snapshot against BOTH expiry paths, read-by-name time travel works
     // after aggressive expiry, and dropping the tag releases the pin. The
@@ -2649,7 +2725,8 @@ object SparkEntry {
           .filter(col("n_name").isin("NATION_0", "NATION_1"))
           .select(col("n_name"))
         graft.ops.Graph.personalizedPageRank(tradeEdges(s, d, 120), "a", "b",
-            sources, "n_name", iters = 10, roundPerIter = Some(9))
+            sources, "n_name", iters = 10, roundPerIter = Some(9),
+            earlyExitTol = Some(0.0))
           .select(col("node"), round(col("rank"), 6).as("rank"))
           .orderBy(col("node"))
       },
@@ -2709,7 +2786,7 @@ object SparkEntry {
     // oracle instead of rows-only; GraphSpec pins the unrounded default
     "g3_pagerank" -> Q(
       (s, d) => graft.ops.Graph.pageRank(tradeEdges(s, d, 120), "a", "b",
-          iters = 10, roundPerIter = Some(9))
+          iters = 10, roundPerIter = Some(9), earlyExitTol = Some(0.0))
         .select(col("node"), round(col("rank"), 6).as("rank"))
         .orderBy(col("node")),
       Some(pageRankOracleSql(120, iters = 10, damping = 0.85, dp = 9))),

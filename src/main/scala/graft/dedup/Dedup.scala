@@ -284,9 +284,13 @@ object Dedup {
       bf.writeTo(out)
       out.toByteArray
     }
+    // NULL text ⇒ xxhash64 is NULL ⇒ bloomMightContain is NULL. The plain
+    // anti-join (and the oracle's NOT EXISTS) ADMITS such rows — a NULL
+    // key matches nothing — so route them to the novel branch via
+    // coalesce(_, false) instead of letting them fail both filters.
     val flagged = batch.withColumn("__might",
-      graft.functions.GraftFunctions.bloomMightContain(
-        xxhash64(col(textCol)), bytes))
+      coalesce(graft.functions.GraftFunctions.bloomMightContain(
+        xxhash64(col(textCol)), bytes), lit(false)))
     val novel = flagged.filter(!col("__might")).drop("__might")
     val candidates = flagged.filter(col("__might")).drop("__might")
     val ck = corpus.select(xxhash64(col(textCol)).as("__ch"),

@@ -320,28 +320,36 @@ object Curation {
    * batch sees a long single-source run (gradient batches stay
    * source-diverse without runtime shuffling).
    *
-   * Scale shape: the within-source epoch number is one window partitioned
-   * by source (the only shuffle). The GLOBAL position is pure arithmetic,
-   * not a single-partition window: all rows of earlier rounds precede
-   * this one (Σ_s min(cnt_s, rn−1)), plus this source's 1-based rank
-   * among sources still alive in round rn — both terms come from ONE
+   * Scale shape: the whole position pipeline runs on a THREE-COLUMN
+   * projection (id, source, __rn) — the within-source epoch number is one
+   * window partitioned by source, and the GLOBAL position is pure
+   * arithmetic, not a single-partition window: all rows of earlier rounds
+   * precede this one (Σ_s min(cnt_s, rn−1)), plus this source's 1-based
+   * rank among sources still alive in round rn — both terms from ONE
    * broadcast non-equi join against the per-source count frame (a
-   * source-count-sized dimension, never the corpus). Returns the input
-   * plus (__rn, pos); write sorted by pos for the loader.
+   * source-count-sized dimension, never the corpus). The payload joins
+   * back by id at the end, so the full row (document text included)
+   * crosses exactly ONE exchange instead of riding the window AND the
+   * position groupBy as part of a wide grouping key (round-11 advisor
+   * item). Requires `idCol` unique. Returns the input plus (__rn, pos);
+   * write sorted by pos for the loader.
    */
   def interleaveBySource(df: DataFrame, idCol: String, sourceCol: String,
                          salt: String = "inter"): DataFrame = {
     val w = Window.partitionBy(col(sourceCol))
       .orderBy(md5(concat(lit(salt + "|"), col(idCol).cast("string"))).asc,
         col(idCol).asc)
-    val rn = df.withColumn("__rn", row_number().over(w))
+    val rn = df.select(col(idCol), col(sourceCol))
+      .withColumn("__rn", row_number().over(w))
     val counts = df.groupBy(col(sourceCol).as("__src"))
       .agg(count(lit(1)).as("__cnt"))
-    rn.join(broadcast(counts), lit(true))
-      .groupBy(df.columns.map(col) :+ col("__rn"): _*)
+    val pos = rn.join(broadcast(counts), lit(true))
+      .groupBy(col(idCol), col(sourceCol), col("__rn"))
       .agg((sum(least(col("__cnt"), col("__rn") - 1)) +
         sum(when(col("__cnt") >= col("__rn") &&
           col("__src") <= col(sourceCol), 1).otherwise(0))).cast("long").as("pos"))
+    df.join(pos.select(col(idCol), col("__rn"), col("pos")), Seq(idCol))
+      .select(df.columns.map(col) :+ col("__rn") :+ col("pos"): _*)
   }
 
   def corpusShuffle(df: DataFrame, idCol: String, salt: String = "shuffle"): DataFrame =

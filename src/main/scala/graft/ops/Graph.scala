@@ -24,6 +24,12 @@ import org.apache.spark.sql.functions._
  */
 object Graph {
 
+  /** Iterations the most recent [[pageRank]]/[[personalizedPageRank]] run
+    * on this thread actually executed — lets tests pin that the
+    * `earlyExitTol` path really stops early (the loop runs on the calling
+    * thread, so a ThreadLocal is race-free under parallel suites). */
+  private[graft] val lastIterations = new ThreadLocal[Integer]
+
   /**
    * Min-hop BFS: nodes reachable from `start` within `maxHops` directed hops.
    * Returns (node, hops) with hops = the minimum distance (start nodes at 0).
@@ -83,14 +89,32 @@ object Graph {
    * decimals: numerically immaterial at dp ≥ 9 (sub-ulp-noise scale) but
    * it pins the fixed point bit-for-bit across engines and partitionings,
    * which is what makes the DuckDB chained-CTE oracle possible.
+   *
+   * `earlyExitTol = Some(t)` stops once the L1 rank delta between rounds
+   * is ≤ t (the delta rides the per-round dangling-mass aggregate — no
+   * extra job, one extra node-sized join). With roundPerIter set, t = 0 is
+   * the EXACT determinism-preserving choice: a zero delta at the pinned
+   * precision is a true fixed point, so the early-exited ranks equal the
+   * full fixed-iteration run's (GraphSpec pins this). Unrounded or t > 0
+   * is the conventional approximate stop — nondeterministic at the float
+   * margin, so keep it out of hash oracles.
    */
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
                iters: Int = 10, damping: Double = 0.85,
-               roundPerIter: Option[Int] = None): DataFrame = {
+               roundPerIter: Option[Int] = None,
+               earlyExitTol: Option[Double] = None): DataFrame = {
     val e = edges.select(col(srcCol).as("__src"), col(dstCol).as("__dst")).cache()
+    // sink flag folded into the node frame ONCE: the per-round dangling
+    // mass becomes a plain aggregate over the rank frame instead of a
+    // per-round semi-join against a sink set (round-12: one fewer join in
+    // every iteration's scalar job)
     val nodes = e.select(col("__src").as("node"))
-      .unionByName(e.select(col("__dst").as("node"))).distinct().cache()
-    val n = nodes.count().toDouble
+      .unionByName(e.select(col("__dst").as("node"))).distinct()
+    val nodeBase = nodes
+      .join(e.select(col("__src").as("node")).distinct()
+        .withColumn("__out", lit(true)), Seq("node"), "left")
+      .select(col("node"), col("__out").isNull.as("__sink")).cache()
+    val n = nodeBase.count().toDouble
     val outDeg = e.groupBy(col("__src").as("node")).agg(count(lit(1)).as("outdeg"))
     // out-degree is static — fold it into the edge list ONCE so each
     // iteration joins the rank vector against a single cached relation
@@ -101,24 +125,31 @@ object Graph {
     val ew = e.join(outDeg.withColumnRenamed("node", "__src"), "__src")
       .select(col("__src"), col("__dst"), col("outdeg"))
       .repartition(e.sparkSession.sparkContext.defaultParallelism, col("__src")).cache()
-    // sink set is STATIC (nodes with no out-edges) — computed once, so the
-    // per-round dangling mass is a semi-join against it, not an anti-join
-    // replanned every round
-    val sinks = nodes.join(ew.select(col("__src").as("node")), Seq("node"),
-      "left_anti").cache()
-    var ranks = nodes.withColumn("rank", lit(1.0 / n)).cache()
-    // ONE job per iteration: the aggregate that reads the dangling mass off
-    // the freshly-built ranks also materializes their cache, so the next
-    // round's plan consumes a driver scalar and cached data. (Measured note:
-    // folding the scalar into the plan as a broadcast 1-row aggregate was
-    // consistently ~1.5-2x slower at sf0.1 — a BroadcastExchange per
-    // iteration costs more than a tiny driver job.)
-    def danglingOf(r: DataFrame): Double =
-      r.join(sinks, Seq("node"), "left_semi")
-        .agg(sum(col("rank"))).head().getAs[Any](0) match {
-          case null => 0.0
-          case d: Double => d
-        }
+    // Every round's rank frame is EAGERLY localCheckpoint'd (lineage
+    // truncated, node-sized blocks) before its predecessor is unpersisted
+    // — so the unpersist can never strand a successor whose cached blocks
+    // would need the dropped frame to recompute (round-11 advisor item;
+    // same discipline as labelPropagation). Spark still logs a cosmetic
+    // "cannot be recomputed after unpersisting" WARN on each unpersist —
+    // safe here precisely because nothing downstream references the frame.
+    var ranks = nodeBase.withColumn("rank", lit(1.0 / n)).localCheckpoint(true)
+    // One tiny scalar job per iteration over the freshly checkpointed
+    // blocks reads the dangling mass — and, when `earlyExitTol` is set,
+    // the L1 rank delta in the SAME aggregate. (Measured note: folding the
+    // scalar into the plan as a broadcast 1-row aggregate was consistently
+    // ~1.5-2x slower at sf0.1 — a BroadcastExchange per iteration costs
+    // more than a tiny driver job.)
+    def scalarsOf(r: DataFrame, withDelta: Boolean): (Double, Double) = {
+      val aggs = sum(when(col("__sink"), col("rank"))).as("__dang") +:
+        (if (withDelta) Seq(sum(abs(col("rank") - col("__prev"))).as("__delta"))
+         else Seq.empty)
+      val row = r.agg(aggs.head, aggs.tail: _*).head()
+      def d(i: Int): Double = row.getAs[Any](i) match {
+        case null => 0.0
+        case v: Double => v
+      }
+      (d(0), if (withDelta) d(1) else Double.PositiveInfinity)
+    }
     // With roundPerIter set, the dangling/n scalar is itself rounded to dp
     // BEFORE injection (mirrored in the SQL oracle): the dangling sum is an
     // unordered float reduction, and an unrounded scalar within ulp noise
@@ -130,24 +161,46 @@ object Graph {
       roundPerIter.filter(_ => !raw.isNaN && !raw.isInfinite).fold(raw)(dp =>
         BigDecimal(raw).setScale(dp, BigDecimal.RoundingMode.HALF_UP).toDouble)
     }
-    var dangling = danglingOf(ranks)
-    for (i <- 0 until iters) {
-      val contribs = ew.join(ranks.withColumnRenamed("node", "__src"), "__src")
+    val trackDelta = earlyExitTol.isDefined
+    var dangling = scalarsOf(ranks, withDelta = false)._1
+    var i = 0
+    var converged = false
+    while (i < iters && !converged) {
+      val contribs = ew.join(
+          ranks.select(col("node").as("__src"), col("rank")), "__src")
         .select(col("__dst").as("node"), (col("rank") / col("outdeg")).as("c"))
         .groupBy("node").agg(sum(col("c")).as("in_mass"))
       val rawRank = lit((1.0 - damping) / n) +
         lit(damping) * (coalesce(col("in_mass"), lit(0.0)) + lit(injected(dangling)))
-      val next0 = nodes.join(contribs, Seq("node"), "left")
-        .select(col("node"),
-          roundPerIter.fold(rawRank)(dp => round(rawRank, dp)).as("rank"))
-      val next = if (i % 4 == 3) next0.localCheckpoint(true) else next0.cache()
-      dangling = danglingOf(next) // materializes `next`, parent can go
+      val joined = nodeBase.join(contribs, Seq("node"), "left")
+      val withPrev =
+        if (trackDelta)
+          joined.join(ranks.select(col("node"), col("rank").as("__prev")),
+            Seq("node"))
+        else joined
+      val next0 = withPrev.select(
+        Seq(col("node"), col("__sink"),
+          roundPerIter.fold(rawRank)(dp => round(rawRank, dp)).as("rank")) ++
+          (if (trackDelta) Seq(col("__prev")) else Seq.empty): _*)
+      val next = next0.localCheckpoint(true)
+      val (dang, delta) = scalarsOf(next, withDelta = trackDelta)
+      dangling = dang
       ranks.unpersist(false)
       ranks = next
+      // With roundPerIter pinning each stored rank, delta == 0 is an EXACT
+      // fixed point: every further iteration reproduces the same frame, so
+      // earlyExitTol = Some(0.0) returns results identical to the full
+      // fixed-iteration run (the property GraphSpec pins). Positive tol is
+      // the conventional approximate stop — results then differ from the
+      // fixed-iteration run and no hash oracle should wrap it.
+      converged = earlyExitTol.exists(delta <= _)
+      i += 1
     }
-    sinks.unpersist(false)
+    lastIterations.set(i)
     ew.unpersist(false)
-    ranks
+    nodeBase.unpersist(false)
+    e.unpersist(false)
+    ranks.select(col("node"), col("rank"))
   }
 
   /**
@@ -186,51 +239,78 @@ object Graph {
   def personalizedPageRank(edges: DataFrame, srcCol: String, dstCol: String,
                            sources: DataFrame, sourceCol: String,
                            iters: Int = 10, damping: Double = 0.85,
-                           roundPerIter: Option[Int] = None): DataFrame = {
+                           roundPerIter: Option[Int] = None,
+                           earlyExitTol: Option[Double] = None): DataFrame = {
     val e = edges.select(col(srcCol).as("__src"), col(dstCol).as("__dst")).cache()
     val nodes = e.select(col("__src").as("node"))
       .unionByName(e.select(col("__dst").as("node"))).distinct()
     val src = sources.select(col(sourceCol).as("node")).distinct()
     val nS = src.count().toDouble
     require(nS > 0, "personalizedPageRank needs a non-empty restart set")
-    // teleport weight as a column on the node frame: 1/|S| on the set,
-    // 0 elsewhere — computed once, cached with the nodes
-    val tn = nodes.join(src.withColumn("__s", lit(1.0 / nS)), Seq("node"), "left")
-      .select(col("node"), coalesce(col("__s"), lit(0.0)).as("tele")).cache()
+    // teleport weight AND sink flag as columns on the node frame: 1/|S| on
+    // the restart set, 0 elsewhere — computed once; the sink flag makes
+    // the per-round dangling mass a plain aggregate (see [[pageRank]])
+    val tn = nodes
+      .join(src.withColumn("__s", lit(1.0 / nS)), Seq("node"), "left")
+      .join(e.select(col("__src").as("node")).distinct()
+        .withColumn("__out", lit(true)), Seq("node"), "left")
+      .select(col("node"), coalesce(col("__s"), lit(0.0)).as("tele"),
+        col("__out").isNull.as("__sink")).cache()
     val outDeg = e.groupBy(col("__src").as("node")).agg(count(lit(1)).as("outdeg"))
     val ew = e.join(outDeg.withColumnRenamed("node", "__src"), "__src")
       .select(col("__src"), col("__dst"), col("outdeg"))
       .repartition(e.sparkSession.sparkContext.defaultParallelism, col("__src")).cache()
-    val sinks = tn.select(col("node"))
-      .join(ew.select(col("__src").as("node")), Seq("node"), "left_anti").cache()
-    var ranks = tn.select(col("node"), col("tele").as("rank")).cache()
-    def danglingOf(r: DataFrame): Double =
-      r.join(sinks, Seq("node"), "left_semi")
-        .agg(sum(col("rank"))).head().getAs[Any](0) match {
-          case null => 0.0
-          case d: Double => d
-        }
+    // eager per-round localCheckpoint before unpersisting the predecessor —
+    // the round-11 advisor fix; see [[pageRank]]'s note
+    var ranks = tn.select(col("node"), col("tele"), col("__sink"),
+      col("tele").as("rank")).localCheckpoint(true)
+    def scalarsOf(r: DataFrame, withDelta: Boolean): (Double, Double) = {
+      val aggs = sum(when(col("__sink"), col("rank"))).as("__dang") +:
+        (if (withDelta) Seq(sum(abs(col("rank") - col("__prev"))).as("__delta"))
+         else Seq.empty)
+      val row = r.agg(aggs.head, aggs.tail: _*).head()
+      def d(i: Int): Double = row.getAs[Any](i) match {
+        case null => 0.0
+        case v: Double => v
+      }
+      (d(0), if (withDelta) d(1) else Double.PositiveInfinity)
+    }
     def injected(dang: Double): Double =
       roundPerIter.filter(_ => !dang.isNaN && !dang.isInfinite).fold(dang)(dp =>
         BigDecimal(dang).setScale(dp, BigDecimal.RoundingMode.HALF_UP).toDouble)
-    var dangling = danglingOf(ranks)
-    for (i <- 0 until iters) {
-      val contribs = ew.join(ranks.withColumnRenamed("node", "__src"), "__src")
+    val trackDelta = earlyExitTol.isDefined
+    var dangling = scalarsOf(ranks, withDelta = false)._1
+    var i = 0
+    var converged = false
+    while (i < iters && !converged) {
+      val contribs = ew.join(
+          ranks.select(col("node").as("__src"), col("rank")), "__src")
         .select(col("__dst").as("node"), (col("rank") / col("outdeg")).as("c"))
         .groupBy("node").agg(sum(col("c")).as("in_mass"))
       val rawRank = lit(1.0 - damping) * col("tele") +
         lit(damping) * (coalesce(col("in_mass"), lit(0.0)) +
           lit(injected(dangling)) * col("tele"))
-      val next0 = tn.join(contribs, Seq("node"), "left")
-        .select(col("node"), col("tele"),
-          roundPerIter.fold(rawRank)(dp => round(rawRank, dp)).as("rank"))
-      val next = if (i % 4 == 3) next0.localCheckpoint(true) else next0.cache()
-      dangling = danglingOf(next)
+      val joined = tn.join(contribs, Seq("node"), "left")
+      val withPrev =
+        if (trackDelta)
+          joined.join(ranks.select(col("node"), col("rank").as("__prev")),
+            Seq("node"))
+        else joined
+      val next0 = withPrev.select(
+        Seq(col("node"), col("tele"), col("__sink"),
+          roundPerIter.fold(rawRank)(dp => round(rawRank, dp)).as("rank")) ++
+          (if (trackDelta) Seq(col("__prev")) else Seq.empty): _*)
+      val next = next0.localCheckpoint(true)
+      val (dang, delta) = scalarsOf(next, withDelta = trackDelta)
+      dangling = dang
       ranks.unpersist(false)
       ranks = next
+      // exact fixed-point exit under roundPerIter — see [[pageRank]]
+      converged = earlyExitTol.exists(delta <= _)
+      i += 1
     }
+    lastIterations.set(i)
     val out = ranks.select(col("node"), col("rank"))
-    sinks.unpersist(false)
     ew.unpersist(false)
     tn.unpersist(false)
     e.unpersist(false)

@@ -82,6 +82,37 @@ object Relational {
   def paginate(df: DataFrame, ord: Seq[Column], offsetN: Int, limitN: Int): DataFrame =
     df.orderBy(ord: _*).offset(offsetN).limit(limitN)
 
+  /**
+   * W4 at scale — keyset ("seek") pagination: the page strictly AFTER a
+   * cursor row in the lexicographic order `ord` (each entry a column name
+   * + ascending flag, paired positionally with the cursor values).
+   *
+   * Offset pagination is the reference's exact listing semantics
+   * (neo4j_memory.py:279-289) and stays correct, but a deep page skips
+   * O(offset) rows per request; the seek variant turns the page boundary
+   * into a pushable predicate — `(a < ca) OR (a = ca AND b < cb)` for a
+   * DESC (a, b) order — so the scan prunes row groups by column stats and
+   * the plan is the same TakeOrderedAndProject as a plain top-k: per-task
+   * k-heaps, O(n) cost per page regardless of how deep the cursor is
+   * (PushedFilters + plan shape pinned in PlanAuditSpec). The cursor must
+   * be a row that exists in the total order (use the last row of the
+   * previous page); `ord` must be a total order (append a unique key) or
+   * rows tying with the cursor are skipped.
+   */
+  def paginateAfter(df: DataFrame, ord: Seq[(String, Boolean)],
+                    cursor: Seq[Column], n: Int): DataFrame = {
+    require(ord.nonEmpty, "paginateAfter needs at least one ordering column")
+    require(ord.length == cursor.length,
+      s"ordering (${ord.length}) and cursor (${cursor.length}) lengths differ")
+    val seek = ord.zip(cursor).foldRight(lit(false)) {
+      case (((c, asc), cv), rest) =>
+        val strict = if (asc) col(c) > cv else col(c) < cv
+        strict || (col(c) === cv && rest)
+    }
+    val sortCols = ord.map { case (c, asc) => if (asc) col(c).asc else col(c).desc }
+    df.filter(seek).orderBy(sortCols: _*).limit(n)
+  }
+
   /** W5 — top-k by score: TakeOrderedAndProject, no global sort. */
   def topK(df: DataFrame, ord: Seq[Column], k: Int): DataFrame =
     df.orderBy(ord: _*).limit(k)
@@ -152,11 +183,18 @@ object Relational {
     val wNext = Window.partitionBy(col(key))
       .orderBy(col("__t").asc, col("__is_left"))
       .rowsBetween(Window.currentRow, Window.unboundedFollowing)
-    val carried = pay.foldLeft(unioned) { (df, c) =>
-      df.withColumn(s"__p_$c", last(col(c), ignoreNulls = true).over(wPrev))
-        .withColumn(s"__n_$c", first(col(c), ignoreNulls = true).over(wNext))
-    }
-    val (pt, nt) = (col(s"__p_$rightTime"), col(s"__n_$rightTime"))
+    // ONE struct per direction, null exactly on left rows (a right row's
+    // struct is non-null even if every payload value is null) — so the
+    // carry picks a WHOLE right row and payload fields stay row-atomic
+    // when individual values are null, matching the oracle's
+    // pick-one-row semantics (round-11 advisor item: per-column
+    // last/first(ignoreNulls) could stitch fields from different rows)
+    val payStruct = when(col("__is_left") === 0, struct(pay.map(col): _*))
+    val carried = unioned
+      .withColumn("__p", last(payStruct, ignoreNulls = true).over(wPrev))
+      .withColumn("__n", first(payStruct, ignoreNulls = true).over(wNext))
+    val (pt, nt) =
+      (col("__p").getField(rightTime), col("__n").getField(rightTime))
     // equal-time rights sort before the left row: they land in the PREV
     // frame with Δ=0 and win, which is the documented tie rule
     val takePrev = nt.isNull ||
@@ -164,7 +202,8 @@ object Relational {
     carried.filter(col("__is_left") === 1)
       .select((key +: leftCols).map(col) ++
         pay.map(c =>
-          when(takePrev, col(s"__p_$c")).otherwise(col(s"__n_$c")).as(c)): _*)
+          when(takePrev, col("__p").getField(c))
+            .otherwise(col("__n").getField(c)).as(c)): _*)
   }
 
   private def asofImpl(left: DataFrame, right: DataFrame, key: String,
@@ -185,12 +224,15 @@ object Relational {
     val w = Window.partitionBy(col(key))
       .orderBy(timeOrd, col("__is_left"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = payloadCols.foldLeft(unioned) { (df, c) =>
-      df.withColumn(s"__asof_$c", last(col(c), ignoreNulls = true).over(w))
-    }
+    // one whole-row struct, null exactly on left rows — row-atomic payload
+    // carry (see asofJoinNearest's note; same advisor item)
+    val payStruct = when(col("__is_left") === 0,
+      struct(payloadCols.map(col): _*))
+    val carried = unioned.withColumn("__asof",
+      last(payStruct, ignoreNulls = true).over(w))
     val out = carried.filter(col("__is_left") === 1)
       .select((key +: leftCols).map(col) ++
-        payloadCols.map(c => col(s"__asof_$c").as(c)): _*)
+        payloadCols.map(c => col("__asof").getField(c).as(c)): _*)
     out
   }
 

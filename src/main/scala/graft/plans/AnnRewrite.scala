@@ -181,10 +181,24 @@ object AnnRewrite {
     new java.util.concurrent.ConcurrentHashMap[String, Option[graft.rag.Ivf.Model]]()
 
   private[plans] def cachedPathModel(spark: SparkSession,
-                                     path: String): Option[graft.rag.Ivf.Model] =
-    pathModels.computeIfAbsent(path,
-      p => try graft.rag.Ivf.loadModel(spark, p)
-           catch { case _: Throwable => None })
+                                     path: String): Option[graft.rag.Ivf.Model] = {
+    val hit = pathModels.get(path)
+    if (hit != null) hit
+    else {
+      // an ABSENT sidecar returns None from loadModel and is memoized (the
+      // documented negative cache). A thrown error is a load FAILURE —
+      // possibly transient IO — so it is NOT memoized (the next query
+      // retries), and only NonFatal is swallowed: an OOM/interrupt must
+      // propagate, not become a permanent "no index" answer (round-11
+      // advisor item). Plain get/put instead of computeIfAbsent: a racing
+      // duplicate load is harmless, a poisoned permanent entry is not.
+      val loaded =
+        try graft.rag.Ivf.loadModel(spark, path)
+        catch { case scala.util.control.NonFatal(_) => return None }
+      pathModels.put(path, loaded)
+      loaded
+    }
+  }
 
   /** Drop memoized sidecar lookups (tests / post-hoc index builds). */
   def invalidatePathCache(): Unit = pathModels.clear()

@@ -323,10 +323,12 @@ object Snapshots {
    * record (one version of retention is enough for the immediate-replay
    * case, since a replay is always of the LAST in-flight batch).
    */
-  def lastStreamBatch(spark: SparkSession, base: String, appId: String): Option[Long] = {
+  def lastStreamBatch(spark: SparkSession, base: String, appId: String,
+                      branch: Option[String] = None): Option[Long] = {
     val f = fs(spark, base)
-    versions(spark, base).reverseIterator.flatMap { v =>
-      val p = new Path(s"$base/v=$v/$StreamTxnFile")
+    val vs = branch.fold(versions(spark, base))(b => branchVersions(spark, base, b))
+    vs.reverseIterator.flatMap { v =>
+      val p = new Path(s"$base/${branchDir(branch, v)}/$StreamTxnFile")
       if (!f.exists(p)) Iterator.empty
       else {
         val in = f.open(p)
@@ -381,6 +383,91 @@ object Snapshots {
           }, statsKey)
     }
   }
+
+  /**
+   * Exactly-once streaming append to a BRANCH — [[appendStream]]'s
+   * namespace twin plus an optional write-audit: the streaming half of the
+   * branch-WAP workflow ([[fastForwardStream]] is the publish half).
+   *
+   * With `audit` set, the staged delta is read BACK from the staging files
+   * (what will be committed, not what was planned — [[writeAudited]]'s
+   * contract) and a failing audit commits a MARKER-ONLY branch version:
+   * the batch's (appId, batchId) is recorded so the replay no-ops and the
+   * stream keeps its liveness, but no data file and no manifest change
+   * lands — the streaming analogue of "a rejected batch never becomes a
+   * version". (Poisoning the stream by throwing instead would replay the
+   * deterministic-fail batch forever.)
+   *
+   * Returns (branchVersion, admitted). `admitted = false` on both the
+   * audit-reject commit and an idempotent replay of one.
+   */
+  def appendStreamBranch(df: DataFrame, base: String, name: String,
+                         appId: String, batchId: Long,
+                         statsKey: Option[String] = None,
+                         audit: Option[DataFrame => Boolean] = None): (Long, Boolean) = {
+    val spark = df.sparkSession
+    lastStreamBatch(spark, base, appId, Some(name)) match {
+      case Some(last) if batchId <= last =>
+        val head = branchVersions(spark, base, name).last
+        // replay: admitted iff the recorded commit carried data files of
+        // its own (a marker-only version is an audit rejection)
+        val admitted = batchId == last &&
+          branchManifestLines(spark, base, name, head)
+            .exists(_.startsWith(s"${branchDir(Some(name), head)}/"))
+        (head, admitted)
+      case _ =>
+        val bvs = branchVersions(spark, base, name)
+        require(bvs.nonEmpty, s"no branch '$name' under $base — createBranch first")
+        val inherited = branchManifestLines(spark, base, name, bvs.last)
+        var admitted = true
+        val v = commitStaged(spark, base, bvs.last + 1, inherited,
+          dir => {
+            df.write.mode("append").parquet(dir)
+            val o = fs(spark, base).create(new Path(dir, StreamTxnFile), true)
+            try o.write(s"$appId\t$batchId\n".getBytes("UTF-8"))
+            finally o.close()
+          }, statsKey,
+          validate = dir => audit.foreach { a =>
+            if (!a(spark.read.parquet(dir))) {
+              // reject: delete the staged part files so the commit becomes
+              // marker-only (same staged-rename atomicity — the marker and
+              // the empty manifest land together)
+              val f = fs(spark, base)
+              f.listStatus(new Path(dir)).toSeq
+                .filter(_.getPath.getName.startsWith("part-"))
+                .foreach(st => f.delete(st.getPath, false))
+              admitted = false
+            }
+          },
+          branch = Some(name))
+        (v, admitted)
+    }
+  }
+
+  /**
+   * Idempotent streaming publish: fast-forward main to the branch head,
+   * keyed by the SAME (appId, batchId) marker discipline as
+   * [[appendStream]] but on main's chain — so the crash window between a
+   * batch's branch commit and its publish converges exactly-once on
+   * replay (the branch half no-ops via its own marker, this half
+   * completes or no-ops via main's). Metadata-only, like [[fastForward]].
+   */
+  def fastForwardStream(spark: SparkSession, base: String, name: String,
+                        appId: String, batchId: Long): Long =
+    lastStreamBatch(spark, base, appId) match {
+      case Some(last) if batchId <= last => versions(spark, base).last
+      case _ =>
+        val bvs = branchVersions(spark, base, name)
+        require(bvs.nonEmpty, s"no branch '$name' under $base")
+        val next = versions(spark, base).lastOption.getOrElse(0L) + 1
+        commitStaged(spark, base, next,
+          branchManifestLines(spark, base, name, bvs.last),
+          dir => {
+            val o = fs(spark, base).create(new Path(dir, StreamTxnFile), true)
+            try o.write(s"$appId\t$batchId\n".getBytes("UTF-8"))
+            finally o.close()
+          })
+    }
 
   /** Read latest (None) or `VERSION AS OF` (Some(v)): the manifest's file
     * list, wherever those files physically live. mergeSchema so a column
@@ -618,18 +705,40 @@ object Snapshots {
                            drop: Seq[Long]): Seq[Long] = {
     val f = fs(spark, base)
     val kept = all.filterNot(drop.contains)
+    // the dropped manifests' own entries must be read BEFORE the manifests
+    // go — after a fastForward they are the only record of the
+    // cross-namespace vb-<branch>=N/ files the version references
+    // (round-11 advisor item: sweeping only $base/v=$v orphaned those
+    // files forever once the branch itself was dropped)
+    val droppedEntries: Map[Long, Seq[String]] =
+      drop.map(v => v -> manifestFiles(spark, base, v)).toMap
     // cross-namespace protection (round-11): a branch forked from a
     // dropped main version still references its files — they must survive
     // until the branch goes too
     val referenced = kept.flatMap(manifestFiles(spark, base, _)).toSet ++
       branchReferencedFiles(spark, base)
+    val touchedDirs = scala.collection.mutable.LinkedHashSet[String]()
     drop.foreach { v =>
       f.delete(manifestPath(base, v), false)
       val dir = new Path(s"$base/v=$v")
-      val leftover = f.listStatus(dir).toSeq.filterNot(st =>
-        referenced(s"v=$v/${st.getPath.getName}"))
-      leftover.foreach(st => f.delete(st.getPath, true))
-      if (f.listStatus(dir).isEmpty) f.delete(dir, true)
+      val own =
+        if (f.exists(dir))
+          f.listStatus(dir).toSeq.map(st => s"v=$v/${st.getPath.getName}")
+        else Seq.empty
+      (own ++ droppedEntries(v)).distinct.filterNot(referenced).foreach { rel =>
+        val p = new Path(s"$base/$rel")
+        if (f.exists(p)) f.delete(p, true)
+        touchedDirs += rel.takeWhile(_ != '/')
+      }
+      touchedDirs += s"v=$v"
+    }
+    // remove namespaces emptied by the sweep — never a dir that still
+    // holds a _manifest (a live snapshot in either namespace)
+    touchedDirs.foreach { d =>
+      val dir = new Path(s"$base/$d")
+      if (f.exists(dir) && !f.exists(new Path(dir, "_manifest")) &&
+          f.listStatus(dir).isEmpty)
+        f.delete(dir, true)
     }
     drop
   }
@@ -1046,7 +1155,34 @@ object Snapshots {
           Seq(d.toString)
         else Seq.empty
       }
-    fromVersionDirs ++ fromTxnDirs ++ fromDebris
+    // manifest-less `vb-*` branch dirs: a committed branch version always
+    // carries its _manifest (the staged dir renames in atomically), so a
+    // manifest-less one is a dropBranch/expiry leftover whose remaining
+    // files are collectible unless some surviving manifest (main or
+    // another branch) still references them — the historical-orphan
+    // sweep complementing dropVersions' manifest-entry pass (round-11
+    // advisor item)
+    val fromBranchDirs = f.globStatus(new Path(p, "vb-*")).toSeq
+      .filter(_.isDirectory)
+      .map(_.getPath)
+      .filterNot(d => f.exists(new Path(d, "_manifest")))
+      .flatMap { d =>
+        tolerateVanished(s"branch-dir pass on $d", Seq.empty[String]) {
+          val dirName = d.getName
+          val removed = f.listStatus(d).toSeq
+            .filterNot(st => referenced(s"$dirName/${st.getPath.getName}"))
+            .flatMap { st =>
+              if (tolerateVanished(s"delete ${st.getPath}", false)(
+                  f.delete(st.getPath, true)))
+                Seq(st.getPath.toString)
+              else Seq.empty
+            }
+          if (!f.exists(new Path(d, "_manifest")) && f.listStatus(d).isEmpty) {
+            f.delete(d, true); removed :+ d.toString
+          } else removed
+        }
+      }
+    fromVersionDirs ++ fromTxnDirs ++ fromDebris ++ fromBranchDirs
   }
 
   /** A write-audit-publish audit rejected the staged data; nothing was

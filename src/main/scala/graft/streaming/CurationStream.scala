@@ -82,7 +82,85 @@ object CurationStream {
     * can drive the crash window deterministically. */
   def ingestBatch(batch: DataFrame, batchId: Long, storeBase: String,
                   bucketBase: String, appId: String, minLen: Int,
-                  numHashes: Int, bands: Int): Unit = {
+                  numHashes: Int, bands: Int): Unit =
+    withAdmission(batch, bucketBase, minLen, numHashes, bands) {
+      (admitted, admittedBuckets) =>
+        // two idempotent commits under ONE batch id: replay after a crash
+        // between them no-ops the committed half and completes the other
+        Snapshots.appendStream(admitted, storeBase, appId, batchId,
+          statsKey = Some("doc_id"))
+        Snapshots.appendStream(admittedBuckets, bucketBase, appId, batchId)
+        ()
+    }
+
+  /**
+   * Branch-WAP ingest (round-12): the stream's corpus commit lands on a
+   * `staging` BRANCH with a write-audit over exactly the staged delta;
+   * only an audit-passed batch is PUBLISHED by fast-forwarding main to
+   * the branch head (metadata-only) — `pipeline_wap_gate`'s
+   * audit-then-publish shape, continuous. Main readers therefore never
+   * see an unaudited row, while the branch keeps the full staged history.
+   *
+   * Exactly-once across THREE commits, each idempotent on
+   * (appId, batchId): branch data commit (marker in the branch version),
+   * bucket-index commit, main publish (marker via
+   * [[Snapshots.fastForwardStream]]). A crash in any window replays the
+   * batch; committed halves no-op on their markers and the rest
+   * completes (StreamingSpec drives each window). An audit-REJECTED
+   * batch commits marker-only on the branch (no data, no publish) so the
+   * stream stays live instead of replaying the poison batch forever.
+   *
+   * First batch bootstraps the store: an empty main v1 pinning the
+   * schema, then the staging branch forked from it.
+   */
+  def ingestBatchWap(batch: DataFrame, batchId: Long, storeBase: String,
+                     bucketBase: String, appId: String,
+                     audit: DataFrame => Boolean, branch: String = "staging",
+                     minLen: Int = 20, numHashes: Int = 4,
+                     bands: Int = 2): Unit =
+    withAdmission(batch, bucketBase, minLen, numHashes, bands) {
+      (admitted, admittedBuckets) =>
+        val spark = batch.sparkSession
+        if (Snapshots.versions(spark, storeBase).isEmpty)
+          Snapshots.write(admitted.limit(0), storeBase)
+        if (Snapshots.branchVersions(spark, storeBase, branch).isEmpty)
+          Snapshots.createBranch(spark, storeBase, branch,
+            Snapshots.versions(spark, storeBase).last)
+        val (_, ok) = Snapshots.appendStreamBranch(admitted, storeBase,
+          branch, appId, batchId, statsKey = Some("doc_id"),
+          audit = Some(audit))
+        if (ok) {
+          // the dedup index tracks PUBLISHED content only — a rejected
+          // batch must not shadow future legitimate admissions
+          Snapshots.appendStream(admittedBuckets, bucketBase, appId, batchId)
+          Snapshots.fastForwardStream(spark, storeBase, branch, appId, batchId)
+        }
+        ()
+    }
+
+  /** Start the WAP ingest query — [[curationIngest]] with the branch-WAP
+    * commit tail. */
+  def curationIngestWap(docs: DataFrame, storeBase: String, bucketBase: String,
+                        appId: String, checkpoint: String,
+                        audit: DataFrame => Boolean,
+                        branch: String = "staging",
+                        minLen: Int = 20, numHashes: Int = 4,
+                        bands: Int = 2): StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        ingestBatchWap(batch, batchId, storeBase, bucketBase, appId,
+          audit, branch, minLen, numHashes, bands)
+      }
+      .start()
+
+  /** The shared admission dataflow: gate → sign → corpus-bucket probe →
+    * intra-batch greedy drop, then hand (admitted, admittedBuckets) to the
+    * commit tail. The signed bucket frame is persisted for the span of the
+    * tail (probe + intra-join + both commits read it) and released after. */
+  private def withAdmission(batch: DataFrame, bucketBase: String, minLen: Int,
+                            numHashes: Int, bands: Int)(
+      commit: (DataFrame, DataFrame) => Unit): Unit = {
     val spark = batch.sparkSession
     val gated = batch
       .filter(col("text").isNotNull && length(trim(col("text"))) >= minLen)
@@ -121,15 +199,8 @@ object CurationStream {
         .select(col("id_b").as("doc_id"))
       val dropIds = corpusHits.fold(intraDrops)(intraDrops.union)
       val admitted = gated.join(dropIds, Seq("doc_id"), "left_anti")
-
-      // two idempotent commits under ONE batch id: replay after a crash
-      // between them no-ops the committed half and completes the other
-      Snapshots.appendStream(admitted, storeBase, appId, batchId,
-        statsKey = Some("doc_id"))
-      Snapshots.appendStream(
-        batchBuckets.join(admitted.select(col("doc_id")), "doc_id"),
-        bucketBase, appId, batchId)
-      ()
+      commit(admitted,
+        batchBuckets.join(admitted.select(col("doc_id")), "doc_id"))
     } finally {
       batchBuckets.unpersist(false)
       ()

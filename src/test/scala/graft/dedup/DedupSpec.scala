@@ -314,6 +314,19 @@ class DedupSpec extends AnyFunSuite {
     val allIn = Dedup.bloomExactAdmission(batch, corpus.limit(0), "text")
       .select("doc_id").as[Long].collect().toSet
     assert(allIn == Set(10L, 11L, 12L))
+    // NULL-text rows: the anti-join contract (and the oracle's NOT EXISTS)
+    // ADMITS them — a null key matches nothing. Before the round-12 fix a
+    // null xxhash64 made bloomMightContain null and the row fell through
+    // BOTH branch filters: silently dropped, not admitted.
+    val withNull = Seq(
+      (20L, Option.empty[String]),
+      (21L, Some("the quick brown fox jumps over the lazy dog again and again")),
+      (22L, Some("yet another fresh document nobody in the corpus has written"))
+    ).toDF("doc_id", "text")
+    val nullAdmitted = Dedup.bloomExactAdmission(withNull, corpus, "text")
+      .select("doc_id").as[Long].collect().toSet
+    assert(nullAdmitted == Set(20L, 22L),
+      s"null-text row must be admitted as novel, got $nullAdmitted")
   }
 
   test("bucket artifact layout: partitioned probe matches the flat probe and prunes partitions") {

@@ -100,6 +100,33 @@ class GraphSpec extends AnyFunSuite {
     assert(uni("x") > 0.0)
   }
 
+  test("pageRank/personalizedPageRank: earlyExitTol=0 under pinned rounding stops early, ranks identical to the fixed run") {
+    // 4-cycle: uniform ranks are the fixed point from round 1, so the
+    // zero-delta exit fires almost immediately at dp=6
+    val cyc = Seq((1, 2), (2, 3), (3, 4), (4, 1)).toDF("s", "d")
+    val fixed = Graph.pageRank(cyc, "s", "d", iters = 40, roundPerIter = Some(6))
+      .orderBy("node").as[(Int, Double)].collect().toSeq
+    val early = Graph.pageRank(cyc, "s", "d", iters = 40, roundPerIter = Some(6),
+        earlyExitTol = Some(0.0))
+      .orderBy("node").as[(Int, Double)].collect().toSeq
+    val ranRounds = Graph.lastIterations.get().intValue
+    assert(early == fixed, "early-exited ranks must equal the fixed-iteration run")
+    assert(ranRounds < 40, s"expected an early exit on the cycle, ran $ranRounds rounds")
+    // personalized variant: damping 0.5 contracts geometrically, so the
+    // dp=6 fixed point lands well inside 40 rounds
+    val src = Seq(Tuple1(1)).toDF("n")
+    val fixedP = Graph.personalizedPageRank(cyc, "s", "d", src, "n",
+        iters = 40, damping = 0.5, roundPerIter = Some(6))
+      .orderBy("node").as[(Int, Double)].collect().toSeq
+    val earlyP = Graph.personalizedPageRank(cyc, "s", "d", src, "n",
+        iters = 40, damping = 0.5, roundPerIter = Some(6),
+        earlyExitTol = Some(0.0))
+      .orderBy("node").as[(Int, Double)].collect().toSeq
+    val ranP = Graph.lastIterations.get().intValue
+    assert(earlyP == fixedP)
+    assert(ranP < 40, s"expected an early exit for PPR, ran $ranP rounds")
+  }
+
   test("labelPropagation: two cliques joined by a bridge settle into two communities") {
     // clique {a1,a2,a3}, clique {z1,z2,z3}, one bridge a3–z1. Round 1:
     // every node adopts its smallest neighbor; within a few synchronous

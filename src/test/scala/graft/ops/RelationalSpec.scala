@@ -169,6 +169,56 @@ class RelationalSpec extends AnyFunSuite {
     assert(ex == 1.0)
   }
 
+  test("asof joins: payload carry is ROW-atomic when individual fields are null") {
+    // state@10 is nearest for the probe and has a NULL price; the older
+    // state@5 has a price. Per-column carry would stitch sms from @10 with
+    // price back-filled from @5 — the whole-row contract emits @10's
+    // fields exactly, null price included (round-11 advisor item).
+    val probes = Seq(("u1", 12L)).toDF("key", "t")
+    val state = Seq(
+      ("u1", 5L, Some(9.0), "B"),
+      ("u1", 10L, Option.empty[Double], "A")
+    ).toDF("key", "st", "price", "sms")
+    val back = Relational.asofJoin(probes, state, "key", "t", "st",
+        Seq("price", "sms"))
+      .select("price", "sms").as[(Option[Double], String)].head()
+    assert(back == (None, "A"), s"backward stitched fields: $back")
+    val near = Relational.asofJoinNearest(probes, state, "key", "t", "st",
+        Seq("price", "sms"))
+      .select("price", "sms").as[(Option[Double], String)].head()
+    assert(near == (None, "A"), s"nearest stitched fields: $near")
+    // forward direction: probe@2, nearest future @5 ("B", 9.0); @10 has
+    // null price — atomicity means (9.0, "B"), never a mix
+    val fwd = Relational.asofJoinForward(Seq(("u1", 2L)).toDF("key", "t"),
+        state, "key", "t", "st", Seq("price", "sms"))
+      .select("price", "sms").as[(Option[Double], String)].head()
+    assert(fwd == (Some(9.0), "B"), s"forward stitched fields: $fwd")
+  }
+
+  test("W4b: paginateAfter equals the offset page when the cursor is the last skipped row") {
+    val df = (1 to 100).map(i => (i % 13, i.toLong)).toDF("d", "k")
+    val ord = Seq(col("d").desc, col("k").desc)
+    val offsetPage = Relational.paginate(df, ord, 10, 5)
+      .select("d", "k").as[(Int, Long)].collect().toSeq
+    val cursor = Relational.paginate(df, ord, 9, 1)
+      .select("d", "k").as[(Int, Long)].head()
+    val keysetPage = Relational.paginateAfter(df,
+        Seq("d" -> false, "k" -> false),
+        Seq(lit(cursor._1), lit(cursor._2)), 5)
+      .select("d", "k").as[(Int, Long)].collect().toSeq
+    assert(keysetPage == offsetPage)
+    // ascending order too
+    val ordAsc = Seq(col("d").asc, col("k").asc)
+    val offA = Relational.paginate(df, ordAsc, 7, 4)
+      .select("d", "k").as[(Int, Long)].collect().toSeq
+    val curA = Relational.paginate(df, ordAsc, 6, 1)
+      .select("d", "k").as[(Int, Long)].head()
+    val keyA = Relational.paginateAfter(df,
+        Seq("d" -> true, "k" -> true), Seq(lit(curA._1), lit(curA._2)), 4)
+      .select("d", "k").as[(Int, Long)].collect().toSeq
+    assert(keyA == offA)
+  }
+
   test("sessionize: gap starts a new dense 0-based session per key") {
     val ev = Seq(
       ("u1", 0L), ("u1", 10L), ("u1", 100L), // gap 90 > 50 → new session

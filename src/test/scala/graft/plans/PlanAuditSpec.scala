@@ -239,6 +239,16 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.linesIterator.count(_.contains("Window [")) == 1, p)
   }
 
+  test("w4b_keyset_page: seek predicate reaches the scan, page is TakeOrderedAndProject") {
+    val p = planOf("w4b_keyset_page")
+    // the whole (date < c) OR (date = c AND key < k) disjunction is a
+    // pushable source filter — row groups beyond the cursor prune on stats
+    assert(p.contains("PushedFilters: [Or(LessThan(o_orderdate,"), p)
+    // and the page itself is a top-k, never sort-then-offset
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("GlobalLimit"), p)
+  }
+
   test("dd_incremental_exact_bloom: bloom prefilter sits on the scan before any join") {
     val p = planOf("dd_incremental_exact_bloom")
     assert(p.contains("bloom_might_contain"), p)

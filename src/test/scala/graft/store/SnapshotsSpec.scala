@@ -440,6 +440,30 @@ class SnapshotsSpec extends AnyFunSuite {
     assert(Snapshots.readBranch(spark, base, "exp").count() == 3L)
   }
 
+  test("expiry sweeps branch-namespace files once main's last reference goes — no vb-* orphans") {
+    val base = java.nio.file.Files.createTempDirectory("graft-snap-vborphan").toString + "/t"
+    Snapshots.write(Seq((1L, "a")).toDF("id", "s"), base)               // main v1
+    Snapshots.createBranch(spark, base, "st", fromVersion = 1L)         // vb-st=1 (metadata)
+    Snapshots.appendBranch(Seq((2L, "b")).toDF("id", "s"), base, "st")  // vb-st=2: branch-owned files
+    Snapshots.fastForward(spark, base, "st")                            // main v2 references vb-st=2/
+    Snapshots.dropBranch(spark, base, "st")
+    // main still reads the branch-written row through the vb-* reference
+    assert(Snapshots.read(spark, base).as[(Long, String)].collect().toSet ==
+      Set((1L, "a"), (2L, "b")))
+    def vbDirs = Option(new java.io.File(base).listFiles).getOrElse(Array.empty)
+      .filter(_.getName.startsWith("vb-")).toSeq
+    assert(vbDirs.nonEmpty, "precondition: branch-namespace files survive dropBranch")
+    // a full rewrite then expire-to-1 removes the LAST reference to the
+    // vb-* files — pre-fix, dropVersions swept only v=N dirs and the
+    // branch-namespace files leaked forever (round-11 advisor item)
+    Snapshots.write(Seq((9L, "z")).toDF("id", "s"), base)               // main v3
+    assert(Snapshots.expire(spark, base, keep = 1) == Seq(1L, 2L))
+    assert(vbDirs.isEmpty,
+      s"expired vb-* files must be swept, still present: $vbDirs")
+    assert(Snapshots.read(spark, base).as[(Long, String)].collect().toSet ==
+      Set((9L, "z")))
+  }
+
   test("rollback publishes an old manifest as the new latest, metadata-only") {
     val base = java.nio.file.Files.createTempDirectory("graft-snap-rb").toString + "/t"
     Snapshots.write(Seq((1L, "good"), (2L, "good")).toDF("id", "s"), base)

@@ -397,6 +397,72 @@ class StreamingSpec extends AnyFunSuite {
       "star leaves are kept; only the adjacent center is dropped")
   }
 
+  test("branch-WAP ingest: audit gates the publish; every crash window converges exactly-once") {
+    import graft.store.Snapshots
+    import graft.dedup.Dedup
+    import org.apache.spark.sql.DataFrame
+    val root = java.nio.file.Files.createTempDirectory("curwap").toString
+    val (store, buckets) = (s"$root/corpus", s"$root/buckets")
+    val textA = "the quick brown fox jumps over the lazy dog again and again today"
+    val textB = "completely different content about distributed systems and storage layers"
+    val textC = "a third novel document concerning streaming commits and snapshot stores"
+    val textD = "yet another unique passage regarding manifests branches and publication"
+    val audit: DataFrame => Boolean =
+      b => b.filter(col("text").contains("poison")).isEmpty
+    def mainIds = Snapshots.read(spark, store).select("doc_id").as[Long].collect().toSet
+
+    // batch 0: bootstrap (empty main v1 + staging branch), admit, publish
+    CurationStream.ingestBatchWap(Seq((10L, textA)).toDF("doc_id", "text"), 0L,
+      store, buckets, "wap-app", audit)
+    assert(mainIds == Set(10L), "main sees the audited batch after the publish")
+
+    // batch 1: audit REJECTS — marker-only branch version, main untouched,
+    // and the stream stays LIVE (replay no-ops instead of poisoning)
+    val poisoned = Seq((11L, textB + " with a poison paragraph appended"))
+      .toDF("doc_id", "text")
+    val mainN = Snapshots.versions(spark, store).size
+    CurationStream.ingestBatchWap(poisoned, 1L, store, buckets, "wap-app", audit)
+    assert(mainIds == Set(10L) && Snapshots.versions(spark, store).size == mainN,
+      "a rejected batch never publishes")
+    val branchN = Snapshots.branchVersions(spark, store, "staging").size
+    CurationStream.ingestBatchWap(poisoned, 1L, store, buckets, "wap-app", audit)
+    assert(Snapshots.branchVersions(spark, store, "staging").size == branchN &&
+      mainIds == Set(10L), "replaying the rejected batch no-ops everywhere")
+
+    // batch 2: crash BETWEEN the branch commit and the rest — only the
+    // branch half ran; main must not see the staged rows until the replay
+    val b2 = Seq((12L, textC)).toDF("doc_id", "text")
+    Snapshots.appendStreamBranch(b2, store, "staging", "wap-app", 2L,
+      statsKey = Some("doc_id"), audit = Some(audit))
+    assert(mainIds == Set(10L), "pre-publish crash: staged rows invisible on main")
+    CurationStream.ingestBatchWap(b2, 2L, store, buckets, "wap-app", audit)
+    assert(mainIds == Set(10L, 12L), "replay completes bucket commit + publish")
+
+    // batch 3: crash AFTER the bucket commit, BEFORE the publish — the
+    // nastiest window: the replayed doc now LSH-matches its own committed
+    // buckets, so recomputed admission drops it; the branch marker must
+    // carry the truth through to the publish regardless
+    val b3 = Seq((13L, textD)).toDF("doc_id", "text")
+    Snapshots.appendStreamBranch(b3, store, "staging", "wap-app", 3L,
+      statsKey = Some("doc_id"), audit = Some(audit))
+    val sig3 = Dedup.minhashSignatureHashed(b3, "doc_id", "text", 5, 4)
+    Snapshots.appendStream(Dedup.lshBucketsHashed(sig3, "doc_id", 4, 2),
+      buckets, "wap-app", 3L)
+    CurationStream.ingestBatchWap(b3, 3L, store, buckets, "wap-app", audit)
+    assert(mainIds == Set(10L, 12L, 13L), "post-bucket crash still publishes")
+    assert(Snapshots.read(spark, store).count() == 3, "no duplicate rows anywhere")
+
+    // full replay of the final batch: every one of the three commits no-ops
+    val (nm, nb, ns) = (Snapshots.versions(spark, store).size,
+      Snapshots.branchVersions(spark, store, "staging").size,
+      Snapshots.versions(spark, buckets).size)
+    CurationStream.ingestBatchWap(b3, 3L, store, buckets, "wap-app", audit)
+    assert(Snapshots.versions(spark, store).size == nm &&
+      Snapshots.branchVersions(spark, store, "staging").size == nb &&
+      Snapshots.versions(spark, buckets).size == ns,
+      "replay of a fully-committed batch is a triple no-op")
+  }
+
   test("curation ingest: source-level redelivery in a LATER batch is not re-admitted") {
     import graft.store.Snapshots
     val root = java.nio.file.Files.createTempDirectory("curredeliver").toString
