@@ -1,0 +1,137 @@
+package graft.entry
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.dedup.Dedup
+import graft.functions.GraftFunctions
+import graft.model.Schemas
+import graft.ops.Relational
+import graft.rag.Rag
+import graft.sources.TestData
+import graft.streaming.Events
+import graft.text.TextAnalysis
+
+import graft.entry.Shared._
+
+/** Query family split out of SparkEntry (round-12); see Shared. */
+private[graft] object GraphQueries {
+
+  def defs: Seq[(String, Q)] = Seq(
+
+    // Personalized PageRank (round-11): teleport + dangling mass return to
+    // the restart set, so ranks measure proximity to it — the
+    // recommendation/related-entities primitive. Oracle unrolls the
+    // iterations with the teleport column replacing the uniform term.
+    "g6_personalized_pagerank" -> Q(
+      (s, d) => {
+        val sources = T(s, d, "nation")
+          .filter(col("n_name").isin("NATION_0", "NATION_1"))
+          .select(col("n_name"))
+        graft.ops.Graph.personalizedPageRank(tradeEdges(s, d, 120), "a", "b",
+            sources, "n_name", iters = 10, roundPerIter = Some(9),
+            earlyExitTol = Some(0.0))
+          .select(col("node"), round(col("rank"), 6).as("rank"))
+          .orderBy(col("node"))
+      },
+      Some(pprOracleSql(120, Seq("NATION_0", "NATION_1"),
+        iters = 10, damping = 0.85, dp = 9))),
+
+    // Min-hop BFS over the (thinned) customer↔supplier bipartite graph —
+    // the reference's multi-hop traversal surface. Oracle = bounded
+    // recursive CTE with per-level dedup, min(hops) per node.
+    "g1_khop_reachability" -> Q(
+      (s, d) => {
+        val e = T(s, d, "lineitem").filter(col("l_quantity") >= 49)
+          .join(T(s, d, "orders").select(col("o_orderkey"), col("o_custkey")),
+            col("l_orderkey") === col("o_orderkey"))
+          .select(concat(lit("c:"), col("o_custkey").cast("string")).as("src"),
+            concat(lit("s:"), col("l_suppkey").cast("string")).as("dst"))
+          .distinct()
+        val sym = e.unionByName(e.select(col("dst").as("src"), col("src").as("dst")))
+        // start set comes from the table, not a literal — a foldable start
+        // constant-propagates into the first hop and degrades it to a
+        // nested-loop join (PlanAuditSpec pins the hash-join shape)
+        val start = T(s, d, "customer").filter(col("c_custkey") === 0)
+          .select(concat(lit("c:"), col("c_custkey").cast("string")).as("node"))
+        graft.ops.Graph.kHop(sym, "src", "dst", start, "node", maxHops = 3)
+          .orderBy(col("hops"), col("node"))
+      },
+      Some("""WITH RECURSIVE e AS (
+             |  SELECT DISTINCT 'c:' || o_custkey AS src, 's:' || l_suppkey AS dst
+             |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             |  WHERE l_quantity >= 49),
+             |sym AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e),
+             |walk AS (
+             |  SELECT 'c:0' AS node, 0 AS hops
+             |  UNION
+             |  SELECT sym.dst, walk.hops + 1 FROM walk
+             |  JOIN sym ON walk.node = sym.src WHERE walk.hops < 3)
+             |SELECT node, CAST(min(hops) AS INT) AS hops
+             |FROM walk GROUP BY 1 ORDER BY hops, node""".stripMargin)),
+
+    // Exact triangle count on the undirected trade backbone (canonical
+    // a<b<c two-join enumeration — each triangle counted once)
+    "g2_trade_triangles" -> Q(
+      (s, d) => graft.ops.Graph.triangleCount(tradeEdges(s, d, 120), "a", "b"),
+      Some(s"""WITH ${tradeEdgeSql(120)},
+              |und AS (SELECT DISTINCT least(a, b) AS a, greatest(a, b) AS b
+              |        FROM edges WHERE a <> b)
+              |SELECT count(*) AS n_triangles
+              |FROM und e1 JOIN und e2 ON e1.b = e2.a
+              |WHERE EXISTS (SELECT 1 FROM und e3
+              |              WHERE e3.a = e1.a AND e3.b = e2.b)""".stripMargin)),
+
+    // PageRank on the directed trade backbone — double mass sums are
+    // partition-order dependent, so no bit-exact SQL twin exists; the
+    // analytic/power-iteration pins live in GraphSpec (rows-only here)
+    // per-iteration 1e-9 rounding (numerically immaterial, sub-noise-scale)
+    // pins the power iteration bit-for-bit across engines → a real hash
+    // oracle instead of rows-only; GraphSpec pins the unrounded default
+    "g3_pagerank" -> Q(
+      (s, d) => graft.ops.Graph.pageRank(tradeEdges(s, d, 120), "a", "b",
+          iters = 10, roundPerIter = Some(9), earlyExitTol = Some(0.0))
+        .select(col("node"), round(col("rank"), 6).as("rank"))
+        .orderBy(col("node")),
+      Some(pageRankOracleSql(120, iters = 10, damping = 0.85, dp = 9))),
+
+    // Synchronous label-propagation communities (round-11): 3 fixed
+    // rounds, most-frequent-neighbor label with smallest-label ties —
+    // fully deterministic, so the oracle unrolls the iterations as
+    // chained CTEs (the g3_pagerank pattern)
+    "g5_label_prop" -> Q(
+      (s, d) => graft.ops.Graph.labelPropagation(tradeEdges(s, d, 120),
+          "a", "b", iters = 3)
+        .orderBy(col("node")),
+      Some {
+        val rounds = (1 to 3).map { i =>
+          s"""r$i AS (SELECT und.u AS node, l${i - 1}.label AS nl, count(*) AS c
+             |  FROM und JOIN l${i - 1} ON und.v = l${i - 1}.node GROUP BY 1, 2),
+             |l$i AS (SELECT node, nl AS label FROM (
+             |  SELECT node, nl, row_number() OVER (
+             |    PARTITION BY node ORDER BY c DESC, nl) AS rn FROM r$i) t
+             |  WHERE rn = 1)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH ${tradeEdgeSql(120)},
+           |und AS (SELECT a AS u, b AS v FROM edges WHERE a <> b
+           |        UNION SELECT b, a FROM edges WHERE a <> b),
+           |l0 AS (SELECT DISTINCT u AS node, u AS label FROM und),
+           |$rounds
+           |SELECT node, label FROM l3 ORDER BY node""".stripMargin
+      }),
+
+    // Degree profile of the trade backbone (out/in/total per node) — the
+    // skew census every traversal planner needs
+    "g4_degrees" -> Q(
+      (s, d) => graft.ops.Graph.degrees(tradeEdges(s, d, 120), "a", "b")
+        .orderBy(col("node")),
+      Some(s"""WITH ${tradeEdgeSql(120)},
+              |o AS (SELECT a AS node, count(*) AS out_deg FROM edges GROUP BY 1),
+              |i AS (SELECT b AS node, count(*) AS in_deg FROM edges GROUP BY 1)
+              |SELECT node,
+              |  CAST(coalesce(out_deg, 0) AS BIGINT) AS out_deg,
+              |  CAST(coalesce(in_deg, 0) AS BIGINT) AS in_deg,
+              |  CAST(coalesce(out_deg, 0) + coalesce(in_deg, 0) AS BIGINT) AS degree
+              |FROM o FULL OUTER JOIN i USING (node)
+              |ORDER BY node""".stripMargin))
+  )
+}

@@ -1,0 +1,467 @@
+package graft.entry
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.dedup.Dedup
+import graft.functions.GraftFunctions
+import graft.model.Schemas
+import graft.ops.Relational
+import graft.rag.Rag
+import graft.sources.TestData
+import graft.streaming.Events
+import graft.text.TextAnalysis
+
+/**
+ * Helpers shared by every query-family object (split out of the former
+ * 6k-line SparkEntry.scala, round-12): the Q carrier, fixture roots,
+ * decimal-exact aggregation, and every oracle-SQL generator that more
+ * than one family replays. Everything here is implementation detail of
+ * the driver contract -- graft-internal on purpose.
+ */
+private[graft] object Shared {
+
+  def T(s: SparkSession, d: String, n: String): DataFrame = TestData.table(s, d, n)
+
+  /** Exact money/quantity aggregation: decimal sum, double on the way out. */
+  def dsum(c: Column): Column = sum(c.cast("decimal(18,2)")).cast("double")
+
+  /** Shared temp root for queries that materialize fixture tables
+    * (snapshots, BM25 index, schema-drift batches). ONE process-wide
+    * shutdown hook cleans everything; each invocation still gets a fresh
+    * subdirectory so repeated runs (bench retries, contract suites) never
+    * see each other's snapshot state — and never accumulate hooks. */
+  object FixtureRoot {
+    private lazy val root: java.nio.file.Path = {
+      val r = java.nio.file.Files.createTempDirectory("graft-fixtures")
+      sys.addShutdownHook(rm(r))
+      r
+    }
+    private def rm(p: java.nio.file.Path): Unit = {
+      if (java.nio.file.Files.isDirectory(p)) {
+        val s = java.nio.file.Files.list(p)
+        try s.forEach(rm(_)) finally s.close()
+      }
+      java.nio.file.Files.deleteIfExists(p)
+    }
+    def fresh(prefix: String): String =
+      java.nio.file.Files.createTempDirectory(root, prefix).toString
+  }
+
+  /** Fetch the query vector (vec_id = 0) — driver-side scalar by design. */
+  def queryVec(s: SparkSession, d: String): Array[Float] =
+    TestData.embeddings(s, d).filter(col("vec_id") === 0)
+      .select(col("embedding")).head().getSeq[Float](0).toArray
+
+  /** DuckDB twin of [[graft.rag.Rag.mmr]]: the greedy loop unrolled into k
+    * chained CTEs. All comparisons run on 6-decimal-rounded rel/sim values
+    * exactly as the Scala loop does, and λ / (1−λ) are interpolated from
+    * the same doubles, so selection (and therefore the hash) matches. */
+  def mmrOracleSql(k: Int, lambda: Double, poolSize: Int): String = {
+    val lam = lambda.toString
+    val mu = (1.0 - lambda).toString
+    val steps = (2 to k).map { i =>
+      val prev = (1 until i).map(j => s"SELECT vec_id FROM s$j").mkString(" UNION ALL ")
+      s"""p$i AS (SELECT p.vec_id, p.rel,
+         |  round($lam*p.rel - $mu*(SELECT max(sv) FROM sims
+         |    WHERE sims.ia = p.vec_id AND sims.ib IN ($prev)), 6) AS m
+         |  FROM pool p WHERE p.vec_id NOT IN ($prev)),
+         |s$i AS (SELECT vec_id, rel FROM p$i ORDER BY m DESC, vec_id LIMIT 1)""".stripMargin
+    }.mkString(",\n")
+    val out = (1 to k).map(i =>
+      s"SELECT vec_id, $i AS mmr_rank, rel FROM s$i").mkString(" UNION ALL ")
+    s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+       |rel0 AS (SELECT e.vec_id, unnest(e.embedding)::DOUBLE AS x, unnest(q.qv)::DOUBLE AS y
+       |         FROM embeddings e, q WHERE e.vec_id <> 0),
+       |relraw AS (SELECT vec_id, SUM(x*y)/(SQRT(SUM(x*x))*SQRT(SUM(y*y))) AS s
+       |           FROM rel0 GROUP BY vec_id),
+       |pool AS (SELECT vec_id, round(s, 6) AS rel FROM relraw
+       |         ORDER BY s DESC, vec_id LIMIT $poolSize),
+       |pv AS (SELECT e.vec_id, e.embedding FROM embeddings e JOIN pool p USING (vec_id)),
+       |pp AS (SELECT a.vec_id AS ia, b.vec_id AS ib,
+       |         unnest(a.embedding)::DOUBLE AS x, unnest(b.embedding)::DOUBLE AS y
+       |       FROM pv a JOIN pv b ON a.vec_id < b.vec_id),
+       |simh AS (SELECT ia, ib, round(SUM(x*y)/(SQRT(SUM(x*x))*SQRT(SUM(y*y))), 6) AS sv
+       |         FROM pp GROUP BY ia, ib),
+       |sims AS (SELECT ia, ib, sv FROM simh UNION ALL SELECT ib, ia, sv FROM simh),
+       |s1 AS (SELECT vec_id, rel FROM pool ORDER BY rel DESC, vec_id LIMIT 1),
+       |$steps
+       |SELECT vec_id, mmr_rank, rel FROM ($out) ORDER BY mmr_rank""".stripMargin
+  }
+
+  // ────────────────────────────────────────────────────────────────────────
+
+  case class Q(fn: (SparkSession, String) => DataFrame, sql: Option[String])
+
+  val NL = "\n"
+  val SEP = "\n\n---\n\n"
+
+  /** Exact disc-price: decimal(18,2) × decimal(3,2) stays exact; double out. */
+  def discPrice: Column =
+    sum(col("l_extendedprice").cast("decimal(18,2)") *
+      (lit(java.math.BigDecimal.ONE).cast("decimal(3,2)") - col("l_discount").cast("decimal(3,2)")))
+      .cast("double")
+
+  /** Post-run oracle state for v9_recall (same mechanism as
+    * [[ivfOracleState]]): the trained IVF centroids + probes, PQ codebooks,
+    * and the query's ADC table, stashed by the query run and embedded as
+    * SQL literals when `oracleSql` is evaluated afterwards. */
+  final case class RecallState(ivfCents: Array[Array[Float]],
+                                       ivfProbes: Seq[Int],
+                                       books: Array[Array[Array[Float]]],
+                                       subDim: Int,
+                                       adc: Array[Array[Double]])
+  val recallOracleState =
+    new java.util.concurrent.atomic.AtomicReference[RecallState]()
+
+  def recallOracleSqlFor(st: RecallState): String = {
+    val planes = Rag.hyperplanes(dim = 64, nBits = 16, seed = 42L)
+    val ivfD = st.ivfCents.indices
+      .map(i => s"(${ivfDotSql(st.ivfCents(i), "embedding")}) AS d$i")
+      .mkString(",\n      ")
+    val ivfCase = firstMaxCaseSql(st.ivfCents.indices.map(i => s"d$i"))
+    val m = st.books.length
+    // per-(subspace, code) assignment score: dot(sub, c) − ‖c‖²/2 — the
+    // exact expression Pq.codesFor evaluates (argmin L2 == argmax this)
+    val pqScores = (0 until m).flatMap { sIdx =>
+      st.books(sIdx).zipWithIndex.toSeq.map { case (c, ci) =>
+        val n2h = c.map(x => x.toDouble * x.toDouble).sum / 2.0
+        s"(${ivfDotSql(c, "embedding", off = sIdx * st.subDim)} - ($n2h)) AS p${sIdx}_$ci"
+      }
+    }.mkString(",\n      ")
+    val pqCodes = (0 until m).map { sIdx =>
+      s"(${firstMaxCaseSql(st.books(sIdx).indices.map(ci => s"p${sIdx}_$ci"))}) AS c$sIdx"
+    }.mkString(",\n      ")
+    val adcExpr = (0 until m).map { sIdx =>
+      s"(${st.adc(sIdx).map(_.toString).mkString("[", ", ", "]")}[c$sIdx + 1])"
+    }.mkString(" + ")
+    def cosTop(cand: String, pfx: String) =
+      s"""${pfx}pairs AS (SELECT c.vec_id, unnest(c.embedding)::DOUBLE AS x, unnest(q.qv)::DOUBLE AS y
+         |  FROM $cand c, q),
+         |${pfx}top AS (SELECT vec_id FROM (
+         |  SELECT vec_id, SUM(x*y) / (SQRT(SUM(x*x)) * SQRT(SUM(y*y))) AS s
+         |  FROM ${pfx}pairs GROUP BY vec_id) sc ORDER BY s DESC, vec_id LIMIT 10)""".stripMargin
+    def recallRow(kind: String, top: String) =
+      s"""SELECT '$kind' AS index_kind,
+         |  (SELECT count(*) FROM $top t JOIN btop b USING (vec_id)) AS n_hits,
+         |  round((SELECT count(*) FROM $top t JOIN btop b USING (vec_id))::DOUBLE / 10, 6) AS recall""".stripMargin
+    s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+       |emb0 AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id <> 0 AND embedding IS NOT NULL),
+       |${cosTop("emb0", "b")},
+       |qsig AS (SELECT ${planeSigSql(planes, "qv")} AS qs FROM q),
+       |acand AS (SELECT e.vec_id, e.embedding FROM (
+       |    SELECT vec_id, embedding, ${planeSigSql(planes, "embedding")} AS sig FROM emb0) e, qsig
+       |  WHERE bit_count(xor(e.sig, qsig.qs)) <= 6),
+       |${cosTop("acand", "a")},
+       |icand AS (SELECT vec_id, embedding FROM (
+       |    SELECT vec_id, embedding, $ivfCase AS cell FROM (
+       |      SELECT vec_id, embedding,
+       |      $ivfD
+       |      FROM emb0) dd) cc
+       |  WHERE cell IN (${st.ivfProbes.mkString(", ")})),
+       |${cosTop("icand", "i")},
+       |pqs AS (SELECT vec_id, embedding,
+       |      $pqCodes
+       |    FROM (SELECT vec_id, embedding,
+       |      $pqScores
+       |      FROM emb0) ps),
+       |padc AS (SELECT vec_id, embedding, $adcExpr AS adc FROM pqs),
+       |pcand AS (SELECT vec_id, embedding FROM padc ORDER BY adc DESC, vec_id LIMIT 20),
+       |${cosTop("pcand", "p")},
+       |pcand50 AS (SELECT vec_id, embedding FROM padc ORDER BY adc DESC, vec_id LIMIT 50),
+       |${cosTop("pcand50", "p5")},
+       |q8 AS (SELECT list_transform(qv, x -> floor(x::DOUBLE / (CASE WHEN qm = 0 THEN 1.0 ELSE qm / 127.0 END) + 0.5)) AS v8
+       |  FROM (SELECT qv, list_max(list_transform(qv, y -> abs(y::DOUBLE))) AS qm FROM q)),
+       |s8 AS (SELECT vec_id, list_transform(embedding, x -> floor(x::DOUBLE / sc + 0.5)) AS v8
+       |  FROM (SELECT vec_id, embedding, CASE WHEN m = 0 THEN 1.0 ELSE m / 127.0 END AS sc
+       |        FROM (SELECT vec_id, embedding,
+       |                list_max(list_transform(embedding, y -> abs(y::DOUBLE))) AS m
+       |              FROM emb0) mm) ss),
+       |spairs AS (SELECT s.vec_id, unnest(s.v8) AS x, unnest(q8.v8) AS y FROM s8 s, q8),
+       |stop8 AS (SELECT vec_id FROM (
+       |  SELECT vec_id, SUM(x*y) / (SQRT(SUM(x*x)) * SQRT(SUM(y*y))) AS sc2
+       |  FROM spairs GROUP BY vec_id HAVING SUM(x*x) > 0) z
+       |  ORDER BY sc2 DESC, vec_id LIMIT 10)
+       |SELECT * FROM (
+       |${recallRow("ann_lsh", "atop")}
+       |UNION ALL
+       |${recallRow("ivf", "itop")}
+       |UNION ALL
+       |${recallRow("pq_adc_r20", "ptop")}
+       |UNION ALL
+       |${recallRow("pq_adc_r50", "p5top")}
+       |UNION ALL
+       |${recallRow("sq8", "stop8")}) r
+       |ORDER BY index_kind""".stripMargin
+  }
+
+  /**
+   * Post-run IVF oracle state: (trained centroids, probed cell ids). The
+   * v3_ivf_knn query stores the constants it trained (seed-deterministic —
+   * `Ivf.train` samples by portable hash order and runs a fixed driver
+   * Lloyd loop); `oracleSql` is evaluated by Verify AFTER every query has
+   * run, so the SQL twin embeds those exact floats as literals — the same
+   * move v3_ann_knn makes with its seed-fixed hyperplanes. Before the
+   * query has run the entry is absent (rows-only), never wrong.
+   */
+  val ivfOracleState =
+    new java.util.concurrent.atomic.AtomicReference[(Array[Array[Float]], Seq[Int])]()
+
+  /** Sequential left-to-right double dot — bit-identical to DotProduct's
+    * accumulation loop (float element → double product → running sum).
+    * `off` shifts the vector index for subspace slices (PQ). */
+  def ivfDotSql(c: Array[Float], v: String, off: Int = 0): String =
+    c.zipWithIndex
+      .map { case (w, j) => s"$v[${off + j + 1}]::DOUBLE * (${w.toDouble})" }
+      .mkString(" + ")
+
+  /** First-occurrence-of-max as a CASE chain over `names` — the DuckDB
+    * twin of `array_position(scores, array_max(scores)) - 1` (argmax, ties
+    * to the lowest index): branch i only needs comparisons against LATER
+    * entries, because reaching it means some earlier branch failed. */
+  def firstMaxCaseSql(names: Seq[String]): String = {
+    val k = names.length
+    (0 until k).map { i =>
+      if (i == k - 1) s"ELSE $i"
+      else s"WHEN ${((i + 1) until k).map(j => s"${names(i)} >= ${names(j)}").mkString(" AND ")} THEN $i"
+    }.mkString("CASE ", " ", " END")
+  }
+
+  /** DuckDB twin of cell assign (argmax ties→lowest, mirroring
+    * `array_position(dots, array_max(dots)) - 1`) + probe filter + exact
+    * cosine rerank top-k. */
+  def ivfOracleSqlFor(state: (Array[Array[Float]], Seq[Int])): String = {
+    val (cents, probes) = state
+    val k = cents.length
+    val dcols = cents.indices
+      .map(i => s"(${ivfDotSql(cents(i), "embedding")}) AS d$i")
+      .mkString(",\n    ")
+    val cellCase = firstMaxCaseSql((0 until k).map(i => s"d$i"))
+    s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+       |dots AS (SELECT vec_id, embedding,
+       |    $dcols
+       |  FROM embeddings WHERE vec_id <> 0 AND embedding IS NOT NULL),
+       |cand AS (SELECT vec_id, embedding FROM (
+       |    SELECT vec_id, embedding, $cellCase AS cell FROM dots) t
+       |  WHERE cell IN (${probes.mkString(", ")})),
+       |pairs AS (SELECT c.vec_id, unnest(c.embedding)::DOUBLE AS x, unnest(q.qv)::DOUBLE AS y
+       |  FROM cand c, q),
+       |scores AS (SELECT vec_id, SUM(x*y) / (SQRT(SUM(x*x)) * SQRT(SUM(y*y))) AS s
+       |  FROM pairs GROUP BY vec_id),
+       |topk AS (SELECT vec_id, s FROM scores ORDER BY s DESC, vec_id LIMIT 10)
+       |SELECT vec_id, round(s, 6) AS score FROM topk ORDER BY score DESC, vec_id""".stripMargin
+  }
+
+  // ── graph battery ──────────────────────────────────────────────────────
+  /** Directed nation-level trade edges: supplier-nation → customer-nation
+    * pairs carrying at least `minLines` lineitems. The "backbone graph" the
+    * graph battery traverses (the reference's data model is a graph store —
+    * its traversal surface re-expressed over DataFrames; `ops/Graph.scala`). */
+  def tradeEdges(s: SparkSession, d: String, minLines: Long): DataFrame = {
+    val sup = broadcast(T(s, d, "supplier")
+      .join(T(s, d, "nation"), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("a")))
+    val cust = broadcast(T(s, d, "customer")
+      .join(T(s, d, "nation"), col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("n_name").as("b")))
+    T(s, d, "lineitem")
+      .join(sup, col("l_suppkey") === col("s_suppkey"))
+      .join(T(s, d, "orders").select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("n"))
+      .filter(col("n") >= minLines && col("a") =!= col("b"))
+      .select(col("a"), col("b"))
+  }
+
+  /** DuckDB twin of [[tradeEdges]] as a CTE named `edges`. */
+  def tradeEdgeSql(minLines: Long): String =
+    s"""edges AS (
+       |  SELECT a, b FROM (
+       |    SELECT n1.n_name AS a, n2.n_name AS b, count(*) AS n
+       |    FROM lineitem
+       |    JOIN supplier ON l_suppkey = s_suppkey
+       |    JOIN nation n1 ON supplier.s_nationkey = n1.n_nationkey
+       |    JOIN orders ON l_orderkey = o_orderkey
+       |    JOIN customer ON o_custkey = c_custkey
+       |    JOIN nation n2 ON customer.c_nationkey = n2.n_nationkey
+       |    GROUP BY 1, 2)
+       |  WHERE n >= $minLines AND a <> b)""".stripMargin
+
+  /** DuckDB twin of [[graft.ops.Graph.pageRank]] with per-iteration 1e-dp
+    * rounding: the power iteration unrolled into chained CTEs (like
+    * [[mmrOracleSql]]). Every arithmetic step mirrors the Spark expression
+    * tree on identical doubles — (1 − d) computed in-query, dangling mass
+    * divided by n at use — so with both engines rounding each iteration to
+    * dp decimals, the fixed point is bit-identical. */
+  def pageRankOracleSql(minLines: Long, iters: Int,
+                                damping: Double, dp: Int): String = {
+    val d = damping.toString
+    val steps = (1 to iters).map { i =>
+      s"""dng$i AS (SELECT coalesce(sum(r.rank), 0) AS dm
+         |  FROM r${i - 1} r LEFT JOIN outdeg o ON r.node = o.node
+         |  WHERE o.odeg IS NULL),
+         |c$i AS (SELECT e.b AS node, sum(r.rank / o.odeg) AS im
+         |  FROM edges e JOIN r${i - 1} r ON e.a = r.node
+         |  JOIN outdeg o ON e.a = o.node
+         |  GROUP BY e.b),
+         |r$i AS MATERIALIZED (SELECT n.node,
+         |    round((1 - $d) / nn.n + $d * (coalesce(c.im, 0) + round(g.dm / nn.n, $dp)), $dp) AS rank
+         |  FROM nodes n LEFT JOIN c$i c ON n.node = c.node, dng$i g, nn)""".stripMargin
+    }.mkString(",\n")
+    // every r{i} is referenced twice (dangling + contribs) — without
+    // MATERIALIZED DuckDB inlines the chain, expanding 2^iters copies of
+    // the base join and exhausting file handles
+    s"""WITH ${tradeEdgeSql(minLines).replaceFirst("edges AS \\(", "edges AS MATERIALIZED (")},
+       |nodes AS MATERIALIZED (SELECT a AS node FROM edges UNION SELECT b FROM edges),
+       |nn AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+       |outdeg AS MATERIALIZED (SELECT a AS node, count(*) AS odeg FROM edges GROUP BY 1),
+       |r0 AS MATERIALIZED (SELECT node, 1.0 / nn.n AS rank FROM nodes, nn),
+       |$steps
+       |SELECT node, round(rank, 6) AS rank FROM r$iters ORDER BY node""".stripMargin
+  }
+
+  /** DuckDB twin of [[graft.ops.Graph.personalizedPageRank]] on the trade
+    * graph with a literal restart set — iterations unrolled as MATERIALIZED
+    * chained CTEs, the [[pageRankOracleSql]] pattern with the teleport
+    * column in place of the uniform 1/n term. */
+  def pprOracleSql(minLines: Long, restart: Seq[String], iters: Int,
+                           damping: Double, dp: Int): String = {
+    val d = damping.toString
+    val set = restart.map(s => s"'$s'").mkString(", ")
+    val steps = (1 to iters).map { i =>
+      s"""dng$i AS (SELECT coalesce(sum(r.rank), 0) AS dm
+         |  FROM r${i - 1} r LEFT JOIN outdeg o ON r.node = o.node
+         |  WHERE o.odeg IS NULL),
+         |c$i AS (SELECT e.b AS node, sum(r.rank / o.odeg) AS im
+         |  FROM edges e JOIN r${i - 1} r ON e.a = r.node
+         |  JOIN outdeg o ON e.a = o.node
+         |  GROUP BY e.b),
+         |r$i AS MATERIALIZED (SELECT t.node, t.tele,
+         |    round((1 - $d) * t.tele + $d * (coalesce(c.im, 0) + round(g.dm, $dp) * t.tele), $dp) AS rank
+         |  FROM tn t LEFT JOIN c$i c ON t.node = c.node, dng$i g)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ${tradeEdgeSql(minLines).replaceFirst("edges AS \\(", "edges AS MATERIALIZED (")},
+       |nodes AS MATERIALIZED (SELECT a AS node FROM edges UNION SELECT b FROM edges),
+       |src AS MATERIALIZED (SELECT node FROM nodes WHERE node IN ($set)),
+       |ns AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS n FROM src),
+       |tn AS MATERIALIZED (SELECT n.node,
+       |    CASE WHEN s.node IS NULL THEN 0.0 ELSE 1.0 / ns.n END AS tele
+       |  FROM nodes n LEFT JOIN src s ON n.node = s.node, ns),
+       |outdeg AS MATERIALIZED (SELECT a AS node, count(*) AS odeg FROM edges GROUP BY 1),
+       |r0 AS MATERIALIZED (SELECT node, tele, tele AS rank FROM tn),
+       |$steps
+       |SELECT node, round(rank, 6) AS rank FROM r$iters ORDER BY node""".stripMargin
+  }
+
+  /** Shared shingle CTE for the dedup oracles (mirrors Dedup.shingles n=5). */
+  def shingleCte(pred: String): String =
+    s"""sh AS (SELECT DISTINCT doc_id, substr(text, CAST(s + 1 AS INT), 5) AS shingle
+       |  FROM (SELECT doc_id, text, unnest(range(0, greatest(length(text) - 5, 0) + 1)) AS s
+       |        FROM documents $pred) t)""".stripMargin
+
+  /** SQL twin of the portable md5 token hash (Dedup/Rag `portableTokenHash`):
+    * first 15 hex chars of md5 parsed as a 60-bit non-negative BIGINT. */
+  def md5HashSql(tok: String): String =
+    s"CAST('0x' || substr(md5($tok), 1, 15) AS BIGINT)"
+
+  /** SQL twin of `Dedup.simhashNearDup(portable = true)`: identical md5
+    * 60-bit signature (per-bit majority votes), identical band buckets,
+    * identical Hamming filter — a full mirror of the banded blocking, so the
+    * oracle checks recall semantics too, not just the arithmetic. */
+  def simhashPortableSql(pred: String, maxHamming: Int, bands: Int): String = {
+    val bits = graft.dedup.Dedup.PortableSigBits
+    val width = bits / bands
+    val mask = (1L << width) - 1
+    val sums = (0 until bits).map(b => s"sum((h >> $b) & 1) AS s$b").mkString(", ")
+    val sigExpr = (0 until bits)
+      .map(b => s"(CASE WHEN s$b * 2 > n THEN CAST(${1L << b} AS BIGINT) ELSE CAST(0 AS BIGINT) END)")
+      .mkString(" + ")
+    val bandSelects = (0 until bands)
+      .map(i => s"SELECT doc_id, $i AS band, (sig >> ${i * width}) & $mask AS bucket FROM sig")
+      .mkString(" UNION ALL ")
+    s"""WITH toks AS (
+       |  SELECT doc_id, ${md5HashSql("tok")} AS h
+       |  FROM (SELECT doc_id,
+       |          unnest(list_filter(regexp_split_to_array(text, '\\s+'), t -> length(t) > 0)) AS tok
+       |        FROM documents $pred) t),
+       |votes AS (SELECT doc_id, $sums, count(*) AS n FROM toks GROUP BY doc_id),
+       |sig AS (SELECT doc_id, $sigExpr AS sig FROM votes),
+       |bnd AS ($bandSelects),
+       |pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM bnd a JOIN bnd b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id)
+       |SELECT p.id_a, p.id_b, CAST(bit_count(xor(sa.sig, sb.sig)) AS INT) AS hamming
+       |FROM pairs p JOIN sig sa ON p.id_a = sa.doc_id JOIN sig sb ON p.id_b = sb.doc_id
+       |WHERE bit_count(xor(sa.sig, sb.sig)) <= $maxHamming
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
+  /** SQL twin of `Rag.signature(v, planes)`: per-plane dot product written as
+    * a left-associated elementwise sum — IEEE-identical to DotProduct's
+    * sequential double fold (plane floats are printed via toDouble, the exact
+    * value the Catalyst expression widens to). */
+  def planeSigSql(planes: Array[Array[Float]], v: String): String =
+    planes.zipWithIndex.map { case (p, i) =>
+      val dot = p.zipWithIndex
+        .map { case (w, j) => s"$v[${j + 1}]::DOUBLE * (${w.toDouble})" }
+        .mkString(" + ")
+      s"(CASE WHEN ($dot) >= 0 THEN CAST(${1L << i} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+    }.mkString(" + ")
+
+  val langProfiles: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of"),
+    "es" -> Seq("key", "row", "scan"),
+    "fr" -> Seq("merge", "join", "sort"))
+
+  /** DuckDB twin of [[graft.text.Bpe.train]]: the merge loop unrolled into
+    * `numMerges` materialized chained CTEs (like [[pageRankOracleSql]]).
+    * Round i recomputes adjacent-pair counts from the round i-1 symbol
+    * lists, selects the best pair by (count desc, pair asc) — the exact
+    * `minBy((-n, a, b))` order — and rebuilds each word's list with the
+    * greedy non-overlapping merge: consecutive pairable positions (only
+    * possible when left==right) form islands, and greedy left-to-right
+    * takes the even offsets of each island. Pure integer counts and string
+    * compares, so the match is exact, not tolerance-based. */
+  def bpeTrainOracleSql(numMerges: Int, topWords: Int,
+                                minCount: Long = 2L): String = {
+    def round(i: Int): String = {
+      val prev = s"r${i - 1}"
+      s"""best$i AS MATERIALIZED (SELECT syms[j] AS x, syms[j+1] AS y
+         |        FROM $prev, unnest(range(1, len(syms))) AS t(j)
+         |        GROUP BY 1, 2 ORDER BY SUM(n) DESC, x, y LIMIT 1),
+         |m$i AS MATERIALIZED (SELECT w, n, j, syms[j] AS sym, syms[j+1] AS nxt,
+         |         (syms[j] = b.x AND syms[j+1] IS NOT DISTINCT FROM b.y AND j < len(syms)) AS pairable
+         |       FROM $prev, unnest(range(1, len(syms)+1)) AS t(j), best$i b),
+         |starts$i AS MATERIALIZED (SELECT w, j FROM (
+         |          SELECT w, j, row_number() OVER (PARTITION BY w, isl ORDER BY j) AS rn FROM (
+         |            SELECT w, j, j - row_number() OVER (PARTITION BY w ORDER BY j) AS isl
+         |            FROM m$i WHERE pairable) t)
+         |        WHERE (rn - 1) % 2 = 0),
+         |r$i AS MATERIALIZED (SELECT m.w, m.n,
+         |         list(CASE WHEN s.j IS NOT NULL THEN m.sym || m.nxt ELSE m.sym END ORDER BY m.j) AS syms
+         |       FROM m$i m
+         |       LEFT JOIN starts$i s ON s.w = m.w AND s.j = m.j
+         |       LEFT JOIN starts$i p ON p.w = m.w AND p.j = m.j - 1
+         |       WHERE p.j IS NULL
+         |       GROUP BY m.w, m.n)""".stripMargin
+    }
+    val out = (1 to numMerges)
+      .map(i => s"""SELECT ${i - 1} AS rank, x AS "left", y AS "right" FROM best$i""")
+      .mkString(" UNION ALL ")
+    s"""WITH wf AS MATERIALIZED (
+       |  SELECT word, count(*)::BIGINT AS n FROM (
+       |    SELECT unnest(list_filter(regexp_split_to_array(text, '\\s+'), t -> length(t) > 0)) AS word
+       |    FROM documents) GROUP BY word HAVING count(*) >= $minCount
+       |  ORDER BY n DESC, word LIMIT $topWords),
+       |r0 AS MATERIALIZED (SELECT word AS w, n,
+       |  list_transform(range(1, length(word)+1), i -> substr(word, i::INT, 1)) AS syms FROM wf),
+       |${(1 to numMerges).map(round).mkString(",\n")}
+       |$out ORDER BY rank""".stripMargin
+  }
+
+  val routingTopics = Events.Topics(
+    default = "research-workflow-events",
+    lifecycle = Some("wf-lifecycle"),
+    clarifications = Some("wf-clarifications"),
+    artifacts = Some("wf-artifacts"),
+    research = Some("wf-research"))
+}

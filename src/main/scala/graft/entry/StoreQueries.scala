@@ -1,0 +1,850 @@
+package graft.entry
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.dedup.Dedup
+import graft.functions.GraftFunctions
+import graft.model.Schemas
+import graft.ops.Relational
+import graft.rag.Rag
+import graft.sources.TestData
+import graft.streaming.Events
+import graft.text.TextAnalysis
+
+import graft.entry.Shared._
+
+/** Query family split out of SparkEntry (round-12); see Shared. */
+private[graft] object StoreQueries {
+
+  def defs: Seq[(String, Q)] = Seq(
+
+    // S4 — append-with-sequence semantics over the Message∪Result union:
+    // batch row_number assignment + id synthesis (neo4j_memory.py:306-431)
+    "s4_append_sequence" -> Q(
+      (s, d) => {
+        val ev = TestData.events(s, d)
+        val items = ev.filter(col("event_type").isin("click", "view"))
+          .select(col("user_id"), col("event_id"), lit("msg").as("kind"))
+          .unionByName(ev.filter(col("event_type") === "purchase")
+            .select(col("user_id"), col("event_id"), lit("result").as("kind")))
+        Relational.sequenceAndNext(items, "user_id", "event_id", Seq(col("event_id")))
+          .select(col("user_id"), col("event_id"),
+            concat(lit("wf-"), col("user_id").cast("string"),
+              when(col("kind") === "msg", lit("-msg-")).otherwise(lit("-result-")),
+              col("sequence").cast("string")).as("node_id"),
+            col("sequence"), col("next_id"))
+          .orderBy(col("user_id"), col("sequence"))
+      },
+      Some("""WITH items AS (
+             |  SELECT user_id, event_id, 'msg' AS kind FROM events WHERE event_type IN ('click','view')
+             |  UNION ALL
+             |  SELECT user_id, event_id, 'result' AS kind FROM events WHERE event_type = 'purchase'),
+             |seq AS (SELECT user_id, event_id, kind,
+             |    CAST(row_number() OVER (PARTITION BY user_id ORDER BY event_id) - 1 AS INT) AS sequence,
+             |    lead(event_id) OVER (PARTITION BY user_id ORDER BY event_id) AS next_id
+             |  FROM items)
+             |SELECT user_id, event_id,
+             |  'wf-' || user_id || (CASE WHEN kind = 'msg' THEN '-msg-' ELSE '-result-' END) || sequence AS node_id,
+             |  sequence, next_id
+             |FROM seq ORDER BY user_id, sequence""".stripMargin)),
+
+    // S6 — idempotent re-link: candidates minus already-linked (anti-join).
+    // "Linked" = holds a high-value purchase (value > 90): every fixture
+    // user has SOME purchase, so the unqualified guard returned 0 rows and
+    // proved nothing — this fixture leaves real unlinked users at every SF
+    "s6_relink_guard" -> Q(
+      (s, d) => {
+        val ev = TestData.events(s, d)
+        val existing = ev
+          .filter(col("event_type") === "purchase" && col("value") > 90.0)
+          .select(col("user_id")).distinct()
+        val candidates = ev.select(col("user_id")).distinct()
+        candidates.join(existing, Seq("user_id"), "left_anti")
+          .select(col("user_id"), lit("r-shared").as("result_id"))
+          .orderBy(col("user_id"))
+      },
+      Some("""SELECT user_id, 'r-shared' AS result_id
+             |FROM (SELECT DISTINCT user_id FROM events) c
+             |WHERE NOT EXISTS (SELECT 1 FROM events e
+             |                  WHERE e.event_type = 'purchase' AND e.value > 90
+             |                    AND e.user_id = c.user_id)
+             |ORDER BY user_id""".stripMargin)),
+
+    // Snapshots CDC end-to-end: two versioned writes (deterministic slices
+    // of orders) → Snapshots.diff classifies insert/delete/update — the
+    // Iceberg changelog verb over the versioned-parquet store, pinned
+    // against an oracle that recomputes the classification relationally
+    "snap_diff_cdc" -> Q(
+      (s, d) => {
+        import graft.store.Snapshots
+        val root = FixtureRoot.fresh("snapdiff")
+        val base = root.toString + "/t"
+        val orders = T(s, d, "orders").select(col("o_orderkey"), col("o_totalprice"))
+        Snapshots.write(orders.filter(pmod(col("o_orderkey"), lit(10)) =!= 0), base)
+        Snapshots.write(
+          orders.filter(pmod(col("o_orderkey"), lit(7)) =!= 0)
+            .withColumn("o_totalprice", col("o_totalprice") +
+              when(pmod(col("o_orderkey"), lit(3)) === 0, 1.0).otherwise(0.0)),
+          base)
+        Snapshots.diff(s, base, 1L, 2L, "o_orderkey")
+          .groupBy(col("change_type")).agg(count(lit(1)).as("n"))
+          .orderBy(col("change_type"))
+      },
+      Some("""WITH v1 AS (SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 10 <> 0),
+             |v2 AS (SELECT o_orderkey,
+             |         o_totalprice + CASE WHEN o_orderkey % 3 = 0 THEN 1.0 ELSE 0.0 END AS o_totalprice
+             |       FROM orders WHERE o_orderkey % 7 <> 0),
+             |d AS (SELECT CASE WHEN v1.o_orderkey IS NULL THEN 'insert'
+             |             WHEN v2.o_orderkey IS NULL THEN 'delete'
+             |             WHEN v1.o_totalprice <> v2.o_totalprice THEN 'update' END AS change_type
+             |      FROM v1 FULL OUTER JOIN v2 ON v1.o_orderkey = v2.o_orderkey)
+             |SELECT change_type, count(*) AS n FROM d
+             |WHERE change_type IS NOT NULL GROUP BY change_type ORDER BY change_type""".stripMargin)),
+
+    // Incremental materialized-aggregate maintenance: CDC delta applied to
+    // a v1 rollup must equal recomputing from v2 (the oracle computes the
+    // direct v2 aggregate; the Spark side takes the incremental path —
+    // decimal sums make the two bit-identical)
+    "snap_incremental_agg" -> Q(
+      (s, d) => {
+        import graft.store.Snapshots
+        val root = FixtureRoot.fresh("incragg")
+        val base = root.toString + "/t"
+        val orders = T(s, d, "orders")
+          .select(col("o_orderkey"), col("o_totalprice"),
+            pmod(col("o_custkey"), lit(100)).as("cohort"))
+        Snapshots.write(orders.filter(pmod(col("o_orderkey"), lit(10)) =!= 0), base)
+        Snapshots.write(
+          orders.filter(pmod(col("o_orderkey"), lit(7)) =!= 0)
+            .withColumn("o_totalprice", col("o_totalprice") +
+              when(pmod(col("o_orderkey"), lit(3)) === 0, 1.0).otherwise(0.0)),
+          base)
+        val matAgg = Snapshots.read(s, base, Some(1L))
+          .groupBy(col("cohort"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("o_totalprice").cast("decimal(18,2)")).as("total"))
+        val delta = Snapshots.incrementalAggDelta(s, base, 1L, 2L,
+          "o_orderkey", Seq("cohort"), "o_totalprice")
+        Snapshots.applyAggDelta(matAgg, delta, Seq("cohort"))
+          .select(col("cohort"), col("n"),
+            round(col("total").cast("double"), 2).as("total"))
+          .orderBy(col("cohort"))
+      },
+      Some("""SELECT o_custkey % 100 AS cohort, count(*) AS n,
+             |  round(CAST(sum(CAST(o_totalprice +
+             |    CASE WHEN o_orderkey % 3 = 0 THEN 1.0 ELSE 0.0 END
+             |    AS DECIMAL(18,2))) AS DOUBLE), 2) AS total
+             |FROM orders WHERE o_orderkey % 7 <> 0
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Incremental snapshot APPEND: v2 inherits every v1 file by manifest
+    // reference and writes only the delta (write cost ∝ delta — the
+    // Iceberg manifest-sharing property, file-level pins in SnapshotsSpec).
+    // The oracle recomputes v2's content relationally; files_shared proves
+    // the inheritance actually happened, not a silent full rewrite.
+    "snap_append_share" -> Q(
+      (s, d) => {
+        import graft.store.Snapshots
+        val root = FixtureRoot.fresh("snapappend")
+        val base = root.toString + "/t"
+        val orders = T(s, d, "orders")
+          .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+        val v1 = Snapshots.write(
+          orders.filter(pmod(col("o_orderkey"), lit(10)) < 8), base)
+        val v2 = Snapshots.append(
+          orders.filter(pmod(col("o_orderkey"), lit(10)) >= 8), base)
+        val m1 = Snapshots.manifestFiles(s, base, v1)
+        val m2 = Snapshots.manifestFiles(s, base, v2)
+        val shared = m1.nonEmpty && m1.forall(m2.contains)
+        Snapshots.read(s, base, Some(v2))
+          .groupBy(col("o_orderstatus"))
+          .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+          .withColumn("files_shared", lit(shared))
+          .orderBy(col("o_orderstatus"))
+      },
+      Some("""SELECT o_orderstatus, count(*) AS n,
+             |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+             |  TRUE AS files_shared
+             |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // COW DELETE + compaction end-to-end: multi-file v1 → deleteWhere
+    // rewrites only files containing matches (clean files inherited) →
+    // compact bin-packs the rewritten smalls back together. The oracle
+    // recomputes the surviving content relationally; the two booleans
+    // prove file-level inheritance and file-count reduction actually
+    // happened rather than silent full rewrites.
+    "snap_delete_compact" -> Q(
+      (s, d) => {
+        import graft.store.Snapshots
+        val root = FixtureRoot.fresh("snapdel")
+        val base = root.toString + "/t"
+        val orders = T(s, d, "orders")
+          .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+        // range-partitioned layout: a key-range delete touches only the
+        // low-range file(s), so COW inheritance is actually exercised
+        Snapshots.write(orders.repartitionByRange(8, col("o_orderkey")), base)
+        val m1 = Snapshots.manifestFiles(s, base, 1L)
+        val v2 = Snapshots.deleteWhere(s, base, col("o_orderkey") < 100)
+        val m2 = Snapshots.manifestFiles(s, base, v2)
+        val sharedAfterDelete = m1.exists(m2.contains)
+        val v3 = Snapshots.compact(s, base, smallBytes = 64L * 1024 * 1024,
+          targetBytes = 64L * 1024 * 1024)
+        val compactedFewer = Snapshots.manifestFiles(s, base, v3).size <= m2.size
+        Snapshots.read(s, base)
+          .groupBy(col("o_orderstatus"))
+          .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+          .withColumn("delete_shared_files", lit(sharedAfterDelete))
+          .withColumn("compacted_fewer_files", lit(compactedFewer))
+          .orderBy(col("o_orderstatus"))
+      },
+      Some("""SELECT o_orderstatus, count(*) AS n,
+             |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+             |  TRUE AS delete_shared_files, TRUE AS compacted_fewer_files
+             |FROM orders WHERE o_orderkey >= 100
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // WAP with the QUALITY GATE as the audit — the publish-time contract
+    // of a versioned corpus: a batch only becomes a version if enough of
+    // it survives the composite gate. A degenerate batch (single repeated
+    // token per doc — fails low_diversity) is rejected at the audit and
+    // never becomes a version; the good batch lands. One implementation of
+    // the gate serves batch query, streaming counters, dataprep pipeline,
+    // and now the publish audit. Oracle recomputes the surviving content's
+    // gate stats relationally.
+    "pipeline_wap_gate" -> Q(
+      (s, d) => {
+        import graft.store.Snapshots
+        val root = FixtureRoot.fresh("wapgate")
+        val base = root + "/t"
+        val good = T(s, d, "documents").filter(col("doc_id") < 100)
+          .select(col("doc_id"), col("text"))
+        // audit: at least 10% of the batch must pass the composite gate
+        def gateAudit(batch: DataFrame): Boolean = {
+          val r = TextAnalysis.qualityGate(batch, "text")
+            .agg(count(lit(1)).as("n"),
+              sum(when(col("keep"), 1L).otherwise(0L)).as("k"))
+            .head()
+          r.getLong(0) > 0 && r.getLong(1).toDouble / r.getLong(0) >= 0.10
+        }
+        Snapshots.writeAudited(good, base, gateAudit)
+        // degenerate batch: every doc is one token repeated 40× —
+        // fails the diversity rule, keep-rate 0 → audit rejects
+        val garbage = good.limit(50)
+          .select((col("doc_id") + 100000).as("doc_id"),
+            concat_ws(" ", array_repeat(lit("lorem"), 40)).as("text"))
+        val rejected = try {
+          Snapshots.writeAudited(garbage, base, gateAudit, append = true)
+          false
+        } catch { case _: Snapshots.AuditFailedException => true }
+        TextAnalysis.qualityGate(Snapshots.read(s, base), "text")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"))
+          .withColumn("garbage_rejected", lit(rejected))
+          .withColumn("n_versions", lit(Snapshots.versions(s, base).size))
+      },
+      Some("""WITH t AS (
+             |  SELECT doc_id,
+             |    list_filter(regexp_split_to_array(text, '\s+'), x -> length(x) > 0) AS toks,
+             |    list_filter(regexp_split_to_array(lower(text), '\s+'), x -> length(x) > 0) AS ltoks
+             |  FROM documents WHERE doc_id < 100),
+             |m AS (
+             |  SELECT doc_id, len(toks) AS n,
+             |    CASE WHEN len(toks) > 0
+             |         THEN len(list_distinct(toks)) * 1.0 / len(toks) END AS ttr,
+             |    CASE WHEN len(toks) > 0
+             |         THEN list_sum(list_transform(toks, x -> length(x))) * 1.0
+             |              / len(toks) END AS awl,
+             |    CASE WHEN len(ltoks) > 0
+             |         THEN len(list_filter(ltoks,
+             |                x -> x IN ('the', 'a', 'of', 'and'))) * 1.0
+             |              / len(ltoks) END AS sw
+             |  FROM t)
+             |SELECT count(*) AS n_docs,
+             |  CAST(sum(CASE WHEN (n BETWEEN 20 AND 90) AND (awl BETWEEN 3.8 AND 5.2)
+             |            AND ttr >= 0.45 AND sw >= 0.02 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+             |  TRUE AS garbage_rejected, 1 AS n_versions
+             |FROM m""".stripMargin)),
+
+    // Write-audit-publish + rollback — the two recovery verbs of a
+    // versioned store: a corrupted batch is REJECTED at the audit stage
+    // (never becomes a version), a fat-finger replace that does land is
+    // undone by a metadata-only rollback, and the bad version stays
+    // time-travelable for the post-mortem. Oracle recomputes the surviving
+    // content; wap_rejected/n_versions pin that the audit blocked one
+    // commit and rollback added one.
+    "snap_rollback_wap" -> Q(
+      (s, d) => {
+        import graft.store.Snapshots
+        val root = FixtureRoot.fresh("snaprbwap")
+        val base = root + "/t"
+        val orders = T(s, d, "orders")
+          .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+        Snapshots.write(orders.filter(pmod(col("o_orderkey"), lit(10)) =!= 0), base)
+        val wapRejected = try {
+          Snapshots.writeAudited(
+            orders.withColumn("o_totalprice", -col("o_totalprice")),
+            base, a => a.filter(col("o_totalprice") < 0).count() == 0)
+          false
+        } catch { case _: Snapshots.AuditFailedException => true }
+        Snapshots.write(orders.filter(pmod(col("o_orderkey"), lit(3)) === 0), base)
+        val v3 = Snapshots.rollback(s, base, 1L)
+        Snapshots.read(s, base, Some(v3))
+          .groupBy(col("o_orderstatus"))
+          .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+          .withColumn("wap_rejected", lit(wapRejected))
+          .withColumn("n_versions", lit(Snapshots.versions(s, base).size))
+          .orderBy(col("o_orderstatus"))
+      },
+      Some("""SELECT o_orderstatus, count(*) AS n,
+             |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+             |  TRUE AS wap_rejected, 3 AS n_versions
+             |FROM orders WHERE o_orderkey % 10 <> 0
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Branch → audit → fast-forward publish (round-11): the Iceberg
+    // branching workflow end-to-end — fork a branch (metadata-only),
+    // commit experimental data to it while main stays undisturbed, audit
+    // the branch content, publish by fast-forwarding main to the branch
+    // head (again metadata-only), then drop the branch; the published
+    // files must survive the drop. Oracle recomputes the published
+    // content plus literal pins on the chain lengths at each step.
+    "snap_branch_publish" -> Q(
+      (s, d) => {
+        import graft.store.Snapshots
+        val root = FixtureRoot.fresh("snapbranch")
+        val base = root + "/t"
+        val orders = T(s, d, "orders")
+          .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+        Snapshots.write(orders.filter(col("o_orderstatus") === "O"), base)
+        Snapshots.createBranch(s, base, "staging", fromVersion = 1L)
+        Snapshots.appendBranch(orders.filter(col("o_orderstatus") === "F"),
+          base, "staging")
+        val mainUndisturbed = Snapshots.versions(s, base).size
+        // audit the branch before publishing (the WAP gate, on a branch)
+        val auditOk = Snapshots.readBranch(s, base, "staging")
+          .filter(col("o_totalprice") < 0).isEmpty
+        Snapshots.fastForward(s, base, "staging")
+        Snapshots.dropBranch(s, base, "staging")
+        Snapshots.read(s, base)
+          .groupBy(col("o_orderstatus"))
+          .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+          .withColumn("audit_ok", lit(auditOk))
+          .withColumn("n_main_during_branch", lit(mainUndisturbed))
+          .withColumn("n_main_after_publish", lit(Snapshots.versions(s, base).size))
+          .orderBy(col("o_orderstatus"))
+      },
+      Some("""SELECT o_orderstatus, count(*) AS n,
+             |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+             |  TRUE AS audit_ok, 1 AS n_main_during_branch,
+             |  2 AS n_main_after_publish
+             |FROM orders WHERE o_orderstatus IN ('O', 'F')
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Streaming branch-WAP (round-12): the CONTINUOUS version of the
+    // branch-publish workflow — micro-batch-shaped idempotent commits
+    // land on a staging branch under a write-audit, only audit-passed
+    // batches fast-forward to main (metadata-only), a rejected batch
+    // leaves a marker-only branch version (stream liveness without
+    // publishing), and a full crash-replay of a committed batch is a
+    // no-op on every chain. Oracle recomputes the published content
+    // (both clean thirds of orders) plus literal pins on the
+    // reject/replay outcomes and the main chain length.
+    "snap_stream_wap" -> Q(
+      (s, d) => {
+        import graft.store.Snapshots
+        val root = FixtureRoot.fresh("snapstreamwap")
+        val base = root + "/t"
+        val orders = T(s, d, "orders")
+          .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+        val audit: DataFrame => Boolean =
+          b => b.filter(col("o_totalprice") < 0).isEmpty
+        Snapshots.write(orders.limit(0), base) // v1: schema pin (bootstrap)
+        Snapshots.createBranch(s, base, "staging", fromVersion = 1L)
+        // batch 0: clean slice — branch commit + publish
+        Snapshots.appendStreamBranch(
+          orders.filter(pmod(col("o_orderkey"), lit(3)) === 0),
+          base, "staging", "wapstream", 0L, audit = Some(audit))
+        Snapshots.fastForwardStream(s, base, "staging", "wapstream", 0L)
+        // batch 1: corrupted (negative totals) — audit rejects: marker-only
+        // branch version, nothing published
+        val (_, ok1) = Snapshots.appendStreamBranch(
+          orders.filter(pmod(col("o_orderkey"), lit(3)) === 1)
+            .withColumn("o_totalprice", -col("o_totalprice")),
+          base, "staging", "wapstream", 1L, audit = Some(audit))
+        // batch 2: clean slice, committed and published …
+        val b2 = orders.filter(pmod(col("o_orderkey"), lit(3)) === 2)
+        Snapshots.appendStreamBranch(b2, base, "staging", "wapstream", 2L,
+          audit = Some(audit))
+        Snapshots.fastForwardStream(s, base, "staging", "wapstream", 2L)
+        // … then fully REPLAYED (the crash-restart path): triple no-op
+        val nMain = Snapshots.versions(s, base).size
+        Snapshots.appendStreamBranch(b2, base, "staging", "wapstream", 2L,
+          audit = Some(audit))
+        Snapshots.fastForwardStream(s, base, "staging", "wapstream", 2L)
+        val replayNoop = Snapshots.versions(s, base).size == nMain
+        Snapshots.read(s, base)
+          .groupBy(col("o_orderstatus"))
+          .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+          .withColumn("batch1_rejected", lit(!ok1))
+          .withColumn("replay_noop", lit(replayNoop))
+          .withColumn("n_main_versions", lit(nMain))
+          .orderBy(col("o_orderstatus"))
+      },
+      Some("""SELECT o_orderstatus, count(*) AS n,
+             |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+             |  TRUE AS batch1_rejected, TRUE AS replay_noop,
+             |  3 AS n_main_versions
+             |FROM orders WHERE o_orderkey % 3 <> 1
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Tag retention (round-11): Iceberg named refs — a tag pins its
+    // snapshot against BOTH expiry paths, read-by-name time travel works
+    // after aggressive expiry, and dropping the tag releases the pin. The
+    // oracle recomputes the tagged snapshot's content (which only survives
+    // the keep=1 expiry BECAUSE of the tag) plus literal pins on the
+    // retention counts before/after the drop.
+    "snap_tag_retention" -> Q(
+      (s, d) => {
+        import graft.store.Snapshots
+        val root = FixtureRoot.fresh("snaptag")
+        val base = root + "/t"
+        val cust = T(s, d, "customer")
+          .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
+        Snapshots.write(cust.filter(pmod(col("c_custkey"), lit(3)) === 0), base)
+        Snapshots.append(cust.filter(pmod(col("c_custkey"), lit(3)) === 1), base)
+        Snapshots.append(cust.filter(pmod(col("c_custkey"), lit(3)) === 2), base)
+        Snapshots.tag(s, base, "baseline", 1L)
+        // keep=1 would normally leave only v3 — the tag must pin v1
+        Snapshots.expire(s, base, keep = 1)
+        val afterExpire = Snapshots.versions(s, base)
+        // materialize the tagged read BEFORE releasing the pin — the
+        // second expire below deletes v1's files, and a lazy plan would
+        // read a deleted snapshot (exactly the mistake tags exist to stop)
+        val tagged = Snapshots.readTag(s, base, "baseline")
+          .groupBy(col("c_mktsegment"))
+          .agg(count(lit(1)).as("n"), dsum(col("c_acctbal")).as("total"))
+          .localCheckpoint()
+        // releasing the pin makes the snapshot expirable again
+        Snapshots.dropTag(s, base, "baseline")
+        Snapshots.expire(s, base, keep = 1)
+        tagged
+          .withColumn("n_versions_pinned", lit(afterExpire.size))
+          .withColumn("n_versions_released", lit(Snapshots.versions(s, base).size))
+          .orderBy(col("c_mktsegment"))
+      },
+      Some("""SELECT c_mktsegment, count(*) AS n,
+             |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total,
+             |  2 AS n_versions_pinned, 1 AS n_versions_released
+             |FROM customer WHERE c_custkey % 3 = 0
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Crash recovery end-to-end (round-8 verdict stretch item): the three
+    // crash-safety paths — stale-marker txn vacuum, debris aside-rename at
+    // slot claim, husk collection — exercised as ONE query with an oracle
+    // row, not just unit pins. A writer dies mid-stage (stale .txn-*), a
+    // second dies pre-protocol squatting the next version slot (manifest-
+    // less v=2); vacuum collects the first, the recommit claims the slot by
+    // moving the squatter aside atomically, and a second vacuum collects
+    // the husk. The oracle recomputes the final content (crash debris must
+    // never surface in ANY read) plus literal pins on the recovery counts.
+    "snap_crash_recover" -> Q(
+      (s, d) => {
+        import graft.store.Snapshots
+        val root = FixtureRoot.fresh("snapcrash")
+        val base = root + "/t"
+        val cust = T(s, d, "customer")
+          .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
+        Snapshots.write(cust.filter(pmod(col("c_custkey"), lit(2)) === 0), base)
+        // crashed writer #1: died mid-stage — a .txn-* dir whose marker
+        // clock AND mtimes are 2 h stale (past the 1 h ttl)
+        val old = System.currentTimeMillis() - 2L * 60 * 60 * 1000
+        val deadTxn = new java.io.File(s"$base/.txn-deadwriter0000")
+        deadTxn.mkdirs()
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(deadTxn.getPath, "part-00000-dead.parquet"),
+          Array[Byte](1, 2, 3))
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(deadTxn.getPath, "_inflight"),
+          old.toString.getBytes("UTF-8"))
+        deadTxn.listFiles().foreach(_.setLastModified(old))
+        deadTxn.setLastModified(old)
+        val vac1 = Snapshots.vacuum(s, base)
+        // crashed writer #2: pre-protocol debris SQUATTING the next slot —
+        // a manifest-less v=2 left after vacuum ran (worst-case ordering)
+        val squatter = new java.io.File(s"$base/v=2")
+        squatter.mkdirs()
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(squatter.getPath, "part-00000-crash.parquet"),
+          Array[Byte](9, 9, 9))
+        // recommit: the slot claim must move the squatter aside (atomic
+        // rename, never delete-in-place) and land v=2 all-or-nothing
+        val v2 = Snapshots.append(
+          cust.filter(pmod(col("c_custkey"), lit(2)) === 1), base)
+        val vac2 = Snapshots.vacuum(s, base)
+        Snapshots.read(s, base, Some(v2))
+          .groupBy(col("c_mktsegment"))
+          .agg(count(lit(1)).as("n"), dsum(col("c_acctbal")).as("total"))
+          .withColumn("recovered_versions",
+            lit(Snapshots.versions(s, base) == Seq(1L, 2L)))
+          .withColumn("n_vacuumed_txn", lit(vac1.count(_.contains(".txn-"))))
+          .withColumn("n_vacuumed_husk", lit(vac2.count(_.contains(".debris-"))))
+          .orderBy(col("c_mktsegment"))
+      },
+      Some("""SELECT c_mktsegment, count(*) AS n,
+             |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total,
+             |  TRUE AS recovered_versions, 1 AS n_vacuumed_txn,
+             |  1 AS n_vacuumed_husk
+             |FROM customer GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Incremental ingest dedup — the composition a production corpus runs
+    // on every batch: MERGE the delta into the versioned store, let CDC
+    // name exactly the inserted docs, then LSH-check ONLY those against
+    // the prior corpus (broadcast delta buckets into the band-partitioned
+    // corpus — the corpus is never self-joined, so the check costs
+    // O(delta), not O(corpus²)). Output is the admission verdict per
+    // inserted doc. The oracle recomputes the identical md5 minhash/LSH
+    // relationally; the delta set (CDC inserts) is the deterministic
+    // %10 slice, so snapshot plumbing cancels out of the oracle.
+    "pipeline_incremental_dedup" -> Q(
+      (s, d) => {
+        import graft.store.Snapshots
+        val root = FixtureRoot.fresh("incdedup")
+        val base = root + "/t"
+        val docs = T(s, d, "documents").filter(col("doc_id") < 200)
+          .select(col("doc_id"), col("text"))
+        Snapshots.write(docs.filter(pmod(col("doc_id"), lit(10)) =!= 0),
+          base, statsKey = Some("doc_id"))
+        val v2 = Snapshots.mergeInto(s, base,
+          docs.filter(pmod(col("doc_id"), lit(10)) === 0), "doc_id")
+        val inserted = Snapshots.diff(s, base, 1L, v2, "doc_id")
+          .filter(col("change_type") === "insert").select(col("doc_id"))
+        val delta = Snapshots.read(s, base, Some(v2))
+          .join(inserted, Seq("doc_id"), "left_semi")
+        val corpus = Snapshots.read(s, base, Some(1L))
+        val matches = Dedup.incrementalLshMatches(
+          Dedup.minhashSignature(delta, "doc_id", "text", 5, 4),
+          Dedup.minhashSignature(corpus, "doc_id", "text", 5, 4),
+          "doc_id", numHashes = 4, bands = 2)
+        delta.select(col("doc_id"))
+          .join(matches.groupBy(col("id_new").as("doc_id"))
+            .agg(countDistinct(col("id_corpus")).as("n_dups")), Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("n_dups"), lit(0L)).as("n_dup_matches"),
+            (coalesce(col("n_dups"), lit(0L)) === 0).as("admitted"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH ${shingleCte("WHERE doc_id < 200")},
+             |sig AS (SELECT doc_id,
+             |    min(md5('0|' || shingle)) AS h0, min(md5('1|' || shingle)) AS h1,
+             |    min(md5('2|' || shingle)) AS h2, min(md5('3|' || shingle)) AS h3
+             |  FROM sh GROUP BY doc_id),
+             |b AS (SELECT doc_id, 0 AS band, md5(h0 || '|' || h1) AS bucket FROM sig
+             |      UNION ALL
+             |      SELECT doc_id, 1 AS band, md5(h2 || '|' || h3) AS bucket FROM sig),
+             |nb AS (SELECT doc_id AS id_new, band, bucket FROM b WHERE doc_id % 10 = 0),
+             |cb AS (SELECT doc_id AS id_corpus, band, bucket FROM b WHERE doc_id % 10 <> 0),
+             |m AS (SELECT DISTINCT id_new, id_corpus FROM nb JOIN cb USING (band, bucket)),
+             |agg AS (SELECT id_new, count(DISTINCT id_corpus) AS n FROM m GROUP BY id_new)
+             |SELECT d.doc_id, coalesce(a.n, 0) AS n_dup_matches,
+             |  coalesce(a.n, 0) = 0 AS admitted
+             |FROM (SELECT DISTINCT doc_id FROM documents WHERE doc_id < 200 AND doc_id % 10 = 0) d
+             |LEFT JOIN agg a ON a.id_new = d.doc_id
+             |ORDER BY d.doc_id""".stripMargin)),
+
+    // Z-order compaction end-to-end: a randomly-laid-out multi-file
+    // snapshot is bin-packed WITH Morton clustering on two bounded derived
+    // dims; the zorder_tiled flag proves a range predicate on one dim now
+    // overlaps at most half the files (it overlapped all of them before) —
+    // the data-skipping win a 100 TB scan cashes in via parquet min/max.
+    // Content must be bit-identical: the oracle recomputes it from orders.
+    "snap_zorder_compact" -> Q(
+      (s, d) => {
+        import graft.store.Snapshots
+        val root = FixtureRoot.fresh("snapzorder")
+        val base = root + "/t"
+        val orders = T(s, d, "orders").select(
+          col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
+          pmod(col("o_orderkey"), lit(1024)).cast("int").as("zx"),
+          pmod(col("o_custkey"), lit(1024)).cast("int").as("zy"))
+        Snapshots.write(orders.repartition(8), base)
+        val f1 = Snapshots.manifestFiles(s, base, 1L)
+        val sizes = f1.map(p => new java.io.File(s"$base/$p").length())
+        // ~16 tiles fix the top FOUR z bits (two per dim), so zx <= 127
+        // (zx's top three bits zero) lives in ≤ a quarter of the tiles
+        // plus boundary straddlers — comfortably under half
+        val v2 = Snapshots.compact(s, base, smallBytes = Long.MaxValue,
+          targetBytes = math.max(1L, sizes.sum / 16),
+          zorderBy = Some(("zx", "zy")), zBits = 10)
+        val files = Snapshots.manifestFiles(s, base, v2).map(p => s"$base/$p")
+        val st = s.read.parquet(files: _*)
+          .groupBy(input_file_name())
+          .agg(min(col("zx")).as("mn"), max(col("zx")).as("mx"))
+          .collect()
+        // zx <= 127 pins the top three zx bits to zero: at most half the
+        // z-range tiles can contain such rows
+        val tiled = st.length >= 4 && st.count(_.getInt(1) <= 127) * 2 <= st.length
+        Snapshots.read(s, base, Some(v2))
+          .groupBy(col("o_orderstatus"))
+          .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+          .withColumn("zorder_tiled", lit(tiled))
+          .orderBy(col("o_orderstatus"))
+      },
+      Some("""SELECT o_orderstatus, count(*) AS n,
+             |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+             |  TRUE AS zorder_tiled
+             |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Write-side schema evolution through the snapshot DML: v1 has two
+    // columns; a MERGE source carries a NEW column (o_orderpriority). Old
+    // files inherit untouched, the rewrite+insert file carries the column,
+    // read() null-fills inherited rows, and CDC classifies the merged rows
+    // — write → evolve → read → diff as ONE plan. Oracle recomputes the
+    // merge and the classification relationally.
+    "snap_schema_evolve" -> Q(
+      (s, d) => {
+        import graft.store.Snapshots
+        val root = FixtureRoot.fresh("snapevolve")
+        val base = root + "/t"
+        val orders = T(s, d, "orders").select(col("o_orderkey"), col("o_totalprice"))
+        Snapshots.write(orders.filter(pmod(col("o_orderkey"), lit(10)) =!= 0),
+          base, statsKey = Some("o_orderkey"))
+        val src = T(s, d, "orders")
+          .filter(pmod(col("o_orderkey"), lit(13)) === 0)
+          .select(col("o_orderkey"), (col("o_totalprice") + 1.0).as("o_totalprice"),
+            col("o_orderpriority"))
+        val v2 = Snapshots.mergeInto(s, base, src, "o_orderkey")
+        val latest = Snapshots.read(s, base, Some(v2))
+        val cdc = Snapshots.diff(s, base, 1L, v2, "o_orderkey")
+        latest.join(cdc, Seq("o_orderkey"), "left")
+          .groupBy(
+            coalesce(col("o_orderpriority"), lit("NONE")).as("o_orderpriority"),
+            coalesce(col("change_type"), lit("unchanged")).as("change_type"))
+          .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+          .orderBy(col("o_orderpriority"), col("change_type"))
+      },
+      Some("""WITH v1 AS (SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 10 <> 0),
+             |src AS (SELECT o_orderkey, o_totalprice + 1.0 AS o_totalprice, o_orderpriority
+             |        FROM orders WHERE o_orderkey % 13 = 0),
+             |latest AS (
+             |  SELECT v1.o_orderkey, v1.o_totalprice, CAST(NULL AS VARCHAR) AS o_orderpriority
+             |  FROM v1 WHERE v1.o_orderkey NOT IN (SELECT o_orderkey FROM src)
+             |  UNION ALL
+             |  SELECT o_orderkey, o_totalprice, o_orderpriority FROM src),
+             |cdc AS (
+             |  SELECT s.o_orderkey,
+             |    CASE WHEN v1.o_orderkey IS NULL THEN 'insert' ELSE 'update' END AS change_type
+             |  FROM src s LEFT JOIN v1 ON v1.o_orderkey = s.o_orderkey)
+             |SELECT COALESCE(l.o_orderpriority, 'NONE') AS o_orderpriority,
+             |  COALESCE(c.change_type, 'unchanged') AS change_type,
+             |  count(*) AS n,
+             |  CAST(sum(CAST(l.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+             |FROM latest l LEFT JOIN cdc c ON l.o_orderkey = c.o_orderkey
+             |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // S7 — embedding column point-update semantics (SET r.embedding WHERE id)
+    "s7_embedding_update" -> Q(
+      (s, d) => {
+        val q = queryVec(s, d)
+        T(s, d, "embeddings")
+          .withColumn("embedding",
+            when(col("vec_id").isin(1L, 2L, 3L), lit(q).cast("array<float>"))
+              .otherwise(col("embedding")))
+          .select(col("vec_id"),
+            col("vec_id").isin(1L, 2L, 3L).as("was_updated"),
+            size(col("embedding")).as("dim"),
+            round(aggregate(col("embedding"), lit(0.0d),
+              (acc, x) => acc + x.cast("double") * x.cast("double")), 6).as("norm2"))
+          .orderBy(col("vec_id"))
+      },
+      Some("""WITH upd AS (
+             |  SELECT e.vec_id,
+             |    CASE WHEN e.vec_id IN (1,2,3) THEN (SELECT embedding FROM embeddings WHERE vec_id = 0)
+             |         ELSE e.embedding END AS embedding
+             |  FROM embeddings e)
+             |SELECT vec_id, vec_id IN (1,2,3) AS was_updated,
+             |  CAST(len(embedding) AS INT) AS dim,
+             |  round(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE)), 6) AS norm2
+             |FROM upd ORDER BY vec_id""".stripMargin)),
+
+    // V1+V2+V3 composed: chunk → pseudo-embed (deterministic V1 stand-in)
+    // → cosine top-5 chunks for a fixed query — the full indexing flow as
+    // one distributed query. The portable md5 hash makes the whole chain
+    // DuckDB-reproducible: bucket sums are exact ±1 integers, the only
+    // rounding is the final /norm float cast, mirrored with ::FLOAT::DOUBLE.
+    "v1_chunk_embed_search" -> Q(
+      (s, d) => {
+        import s.implicits._
+        GraftFunctions.register(s)
+        val chunks = T(s, d, "documents")
+          .filter(col("doc_id") < 100)
+          .select(col("doc_id"), GraftFunctions.chunkText(col("text"), 200, 50))
+        val emb = Rag.pseudoEmbedBulk(chunks, Seq("doc_id", "chunk_idx"), "chunk",
+            dim = 32, portable = true)
+          .withColumn("chunk_id",
+            concat(col("doc_id").cast("string"), lit("#"), col("chunk_idx").cast("string")))
+        val qvec = Seq("spark table scan merge").toDF("q")
+          .select(Rag.pseudoEmbedPortable(col("q"), 32).as("e"))
+          .head().getSeq[Float](0).toArray
+        Rag.knn(emb, "chunk_id", "embedding", qvec, k = 5, minScore = -1.0)
+          .select(col("chunk_id"), round(col("score"), 6).as("score"))
+      },
+      Some(s"""WITH chunks AS (
+             |  SELECT doc_id, CAST(s // 150 AS INT) AS chunk_idx,
+             |         substr(text, CAST(s + 1 AS INT), 200) AS chunk
+             |  FROM (SELECT doc_id, text,
+             |          unnest(CASE WHEN length(text) <= 200 THEN [CAST(0 AS BIGINT)]
+             |                 ELSE range(0, length(text), 150) END) AS s
+             |        FROM documents WHERE doc_id < 100) t),
+             |toks AS (
+             |  SELECT CAST(doc_id AS VARCHAR) || '#' || CAST(chunk_idx AS VARCHAR) AS chunk_id,
+             |         ${md5HashSql("tok")} AS h
+             |  FROM (SELECT doc_id, chunk_idx,
+             |          unnest(list_filter(regexp_split_to_array(lower(chunk), '\\s+'), t -> length(t) > 0)) AS tok
+             |        FROM chunks) u),
+             |bsums AS (SELECT chunk_id, h % 32 AS d,
+             |    CAST(SUM(CASE WHEN h % 64 < 32 THEN 1.0 ELSE -1.0 END) AS DOUBLE) AS v
+             |  FROM toks GROUP BY 1, 2),
+             |dims AS (SELECT unnest(range(0, 32)) AS d),
+             |grid AS (SELECT c.chunk_id, dims.d, COALESCE(b.v, 0.0) AS v
+             |  FROM (SELECT DISTINCT chunk_id FROM bsums) c
+             |  CROSS JOIN dims LEFT JOIN bsums b ON b.chunk_id = c.chunk_id AND b.d = dims.d),
+             |norms AS (SELECT chunk_id, sqrt(SUM(v * v)) AS nrm FROM grid GROUP BY chunk_id),
+             |vecs AS (SELECT g.chunk_id, list((g.v / n.nrm)::FLOAT::DOUBLE ORDER BY g.d) AS vec
+             |  FROM grid g JOIN norms n ON g.chunk_id = n.chunk_id
+             |  WHERE n.nrm > 0 GROUP BY g.chunk_id),
+             |qtoks AS (SELECT ${md5HashSql("tok")} AS h
+             |  FROM (SELECT unnest(list_filter(regexp_split_to_array(lower('spark table scan merge'), '\\s+'),
+             |                                  t -> length(t) > 0)) AS tok) qt),
+             |qsums AS (SELECT h % 32 AS d,
+             |    CAST(SUM(CASE WHEN h % 64 < 32 THEN 1.0 ELSE -1.0 END) AS DOUBLE) AS v
+             |  FROM qtoks GROUP BY 1),
+             |qgrid AS (SELECT dims.d, COALESCE(q.v, 0.0) AS v FROM dims LEFT JOIN qsums q ON q.d = dims.d),
+             |qnorm AS (SELECT sqrt(SUM(v * v)) AS nrm FROM qgrid),
+             |qvec AS (SELECT list((g.v / n.nrm)::FLOAT::DOUBLE ORDER BY g.d) AS qv FROM qgrid g, qnorm n),
+             |pairs AS (SELECT v.chunk_id, unnest(v.vec) AS x, unnest(q.qv) AS y FROM vecs v, qvec q),
+             |scores AS (SELECT chunk_id, SUM(x * y) / (SQRT(SUM(x * x)) * SQRT(SUM(y * y))) AS s
+             |  FROM pairs GROUP BY chunk_id),
+             |topk AS (SELECT chunk_id, s FROM scores ORDER BY s DESC, chunk_id LIMIT 5)
+             |SELECT chunk_id, round(s, 6) AS score FROM topk""".stripMargin)),
+
+    // ANN scale path (hyperplane LSH prune + exact rerank) — the seed-fixed
+    // planes are embedded as SQL literals, so the oracle recomputes the
+    // identical signatures, Hamming prune, and rerank (hash-green); parity
+    // with brute force is additionally pinned in RagSpec
+    "v3_ann_knn" -> Q(
+      (s, d) => {
+        val q = queryVec(s, d)
+        val planes = Rag.hyperplanes(dim = q.length, nBits = 16, seed = 42L)
+        val sigged = Rag.withSignature(
+          TestData.embeddings(s, d).filter(col("vec_id") =!= 0), "embedding", planes)
+        Rag.annKnn(sigged, "vec_id", "embedding", q, planes, k = 10,
+            minScore = -1.0, maxHamming = 8)
+          .select(col("vec_id"), round(col("score"), 6).as("score"))
+          .orderBy(col("score").desc, col("vec_id"))
+      },
+      Some {
+        val planes = Rag.hyperplanes(dim = 64, nBits = 16, seed = 42L)
+        s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+           |qsig AS (SELECT ${planeSigSql(planes, "qv")} AS qs FROM q),
+           |sigs AS (SELECT vec_id, embedding, ${planeSigSql(planes, "embedding")} AS sig
+           |  FROM embeddings WHERE vec_id <> 0),
+           |cand AS (SELECT s.vec_id, s.embedding FROM sigs s, qsig
+           |  WHERE bit_count(xor(s.sig, qsig.qs)) <= 8),
+           |pairs AS (SELECT c.vec_id, unnest(c.embedding)::DOUBLE AS x, unnest(q.qv)::DOUBLE AS y
+           |  FROM cand c, q),
+           |scores AS (SELECT vec_id, SUM(x*y) / (SQRT(SUM(x*x)) * SQRT(SUM(y*y))) AS s
+           |  FROM pairs GROUP BY vec_id),
+           |topk AS (SELECT vec_id, s FROM scores ORDER BY s DESC, vec_id LIMIT 10)
+           |SELECT vec_id, round(s, 6) AS score FROM topk ORDER BY score DESC, vec_id""".stripMargin
+      }),
+
+    // IVF scale path (coarse-quantizer cells + probe prune + exact rerank) —
+    // centroids are engine-side trained constants, no SQL twin → rows-only;
+    // exhaustive-probe parity with brute force is pinned in IvfSpec
+    // PQ two-stage retrieve through the REAL path (train → encode → ADC
+    // rank over codes only → exact rerank). rerank = corpus makes the
+    // result exactly brute force, so the plain cosine SQL is its oracle;
+    // ADC-only ranking quality at small rerank is pinned in PqSpec.
+    "v3_pq_knn" -> Q(
+      (s, d) => {
+        val q = queryVec(s, d)
+        val emb = TestData.embeddings(s, d)
+          .filter(col("vec_id") =!= 0 && col("embedding").isNotNull)
+        val model = graft.rag.Pq.train(emb, "vec_id", "embedding", m = 8, ks = 16)
+        val coded = graft.rag.Pq.withCodes(emb, "embedding", model)
+        graft.rag.Pq.pqKnn(coded, "vec_id", "embedding", q, model,
+            k = 10, rerank = emb.count().toInt)
+          .select(col("vec_id"), round(col("score"), 6).as("score"))
+          .orderBy(col("score").desc, col("vec_id"))
+      },
+      Some("""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+             |pairs AS (SELECT e.vec_id AS vec_id, unnest(e.embedding)::DOUBLE AS x, unnest(q.qv)::DOUBLE AS y
+             |          FROM embeddings e, q WHERE e.vec_id <> 0 AND e.embedding IS NOT NULL),
+             |scores AS (SELECT vec_id, SUM(x*y) / (SQRT(SUM(x*x)) * SQRT(SUM(y*y))) AS s
+             |           FROM pairs GROUP BY vec_id),
+             |topk AS (SELECT vec_id, s FROM scores ORDER BY s DESC, vec_id LIMIT 10)
+             |SELECT vec_id, round(s, 6) AS score FROM topk
+             |ORDER BY score DESC, vec_id""".stripMargin)),
+
+    "v3_ivf_knn" -> Q(
+      (s, d) => {
+        val q = queryVec(s, d)
+        val emb = TestData.embeddings(s, d)
+          .filter(col("vec_id") =!= 0 && col("embedding").isNotNull)
+        val model = graft.rag.Ivf.train(emb, "vec_id", "embedding", nCells = 8)
+        // stash the trained constants for the post-run oracle (see
+        // ivfOracleState) — probesFor is the same deterministic call
+        // ivfKnn makes internally
+        ivfOracleState.set((model.centroids, model.probesFor(q, 4)))
+        val cells = graft.rag.Ivf.withCell(emb, "embedding", model)
+        graft.rag.Ivf.ivfKnn(cells, "vec_id", "embedding", q, model,
+            k = 10, minScore = -1.0, nProbe = 4)
+          .select(col("vec_id"), round(col("score"), 6).as("score"))
+          .orderBy(col("score").desc, col("vec_id"))
+      },
+      Option(ivfOracleState.get()).map(ivfOracleSqlFor)),
+
+    // Recall@10 instrumentation for every approximate index vs brute
+    // force — "recall at what cost" is the first question a user asks an
+    // ANN index. Params are deliberately lossy (maxHamming=6, nProbe=2,
+    // rerank=20) so the approximation is visible, not vacuously 1.0. The
+    // oracle replays all three index paths from the stashed trained
+    // constants (same move as v3_ivf_knn) and counts the overlap.
+    "v9_recall" -> Q(
+      (s, d) => {
+        val q = queryVec(s, d)
+        val emb = TestData.embeddings(s, d)
+          .filter(col("vec_id") =!= 0 && col("embedding").isNotNull)
+        val brute = Rag.knn(emb, "vec_id", "embedding", q, k = 10, minScore = -1.0)
+        val planes = Rag.hyperplanes(dim = q.length, nBits = 16, seed = 42L)
+        val ann = Rag.annKnn(Rag.withSignature(emb, "embedding", planes),
+          "vec_id", "embedding", q, planes, k = 10, minScore = -1.0, maxHamming = 6)
+        val ivfModel = graft.rag.Ivf.train(emb, "vec_id", "embedding", nCells = 8)
+        val ivf = graft.rag.Ivf.ivfKnn(
+          graft.rag.Ivf.withCell(emb, "embedding", ivfModel),
+          "vec_id", "embedding", q, ivfModel, k = 10, minScore = -1.0, nProbe = 2)
+        val pqModel = graft.rag.Pq.train(emb, "vec_id", "embedding", m = 8, ks = 16)
+        val coded = graft.rag.Pq.withCodes(emb, "embedding", pqModel)
+        // two PQ operating points: the rerank budget IS the recall dial —
+        // the number a user turns before trusting the index
+        val pq20 = graft.rag.Pq.pqKnn(coded, "vec_id", "embedding", q, pqModel,
+          k = 10, rerank = 20)
+        val pq50 = graft.rag.Pq.pqKnn(coded, "vec_id", "embedding", q, pqModel,
+          k = 10, rerank = 50)
+        recallOracleState.set(RecallState(ivfModel.centroids,
+          ivfModel.probesFor(q, 2), pqModel.books, pqModel.subDim,
+          pqModel.adcTable(q)))
+        // SQ8: the 4× compression point — int8 storage, cosine computed in
+        // the quantized domain (per-vector scales cancel)
+        val sq8 = Rag.sq8Knn(emb, "vec_id", "embedding", q, k = 10)
+        Seq("ann_lsh" -> ann, "ivf" -> ivf,
+            "pq_adc_r20" -> pq20, "pq_adc_r50" -> pq50, "sq8" -> sq8).map { case (nm, df) =>
+          Rag.recallAtK(df, brute, "vec_id", k = 10)
+            .withColumn("index_kind", lit(nm))
+        }.reduce(_.unionByName(_))
+          .select(col("index_kind"), col("n_hits"), col("recall"))
+          .orderBy(col("index_kind"))
+      },
+      Option(recallOracleState.get()).map(recallOracleSqlFor))
+  )
+}
