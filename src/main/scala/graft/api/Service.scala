@@ -65,4 +65,10 @@ class Service(store: ConversationStore, pipeline: ResearchPipeline) {
   /** GET /api/conversations (main.py:684-750) — W4 pagination. */
   def listConversations(offset: Int, limit: Int): DataFrame =
     store.listConversations(offset, limit)
+
+  /** Cursor-based listing (the endpoint a deep-history UI pages with —
+    * same order as [[listConversations]], O(page) at any depth). */
+  def listConversationsAfter(cursorCreatedAt: java.sql.Timestamp,
+                             cursorWorkflowId: String, n: Int): DataFrame =
+    store.listConversationsAfter(cursorCreatedAt, cursorWorkflowId, n)
 }

@@ -928,6 +928,31 @@ private[graft] object CoreQueries {
              |SELECT vec_id, round(s, 6) AS score FROM topk WHERE s >= 0.0
              |ORDER BY score DESC, vec_id""".stripMargin)),
 
+    // Matryoshka-style truncated retrieval (round-12): cosine over the
+    // FIRST 16 of 64 dims — the MRL cost dial (4x less arithmetic and
+    // index memory per probe; with MRL-trained embeddings the prefix is
+    // the coarse representation by construction, and a full-dim rerank
+    // of the prefix top-k recovers the rest). Pure composition: slice +
+    // the same codegen'd cosine + TakeOrderedAndProject; cosine
+    // renormalizes, so no explicit renorm of the prefix is needed.
+    "v10_mrl_knn" -> Q(
+      (s, d) => {
+        val q16 = queryVec(s, d).take(16)
+        Rag.knn(TestData.embeddings(s, d).filter(col("vec_id") =!= 0)
+            .withColumn("emb16", slice(col("embedding"), 1, 16)),
+            "vec_id", "emb16", q16, k = 10, minScore = -1.0)
+          .select(col("vec_id"), round(col("score"), 6).as("score"))
+          .orderBy(col("score").desc, col("vec_id"))
+      },
+      Some("""WITH q AS (SELECT embedding[1:16] AS qv FROM embeddings WHERE vec_id = 0),
+             |pairs AS (SELECT e.vec_id AS vec_id, unnest(e.embedding[1:16])::DOUBLE AS x, unnest(q.qv)::DOUBLE AS y
+             |          FROM embeddings e, q WHERE e.vec_id <> 0),
+             |scores AS (SELECT vec_id, SUM(x*y) / (SQRT(SUM(x*x)) * SQRT(SUM(y*y))) AS s
+             |           FROM pairs GROUP BY vec_id),
+             |topk AS (SELECT vec_id, s FROM scores ORDER BY s DESC, vec_id LIMIT 10)
+             |SELECT vec_id, round(s, 6) AS score FROM topk
+             |ORDER BY score DESC, vec_id""".stripMargin)),
+
     // MMR-diversified re-rank of the cosine top-20 pool: distributed
     // retrieve, bounded greedy re-rank; the oracle unrolls the greedy loop
     // into chained CTEs on the same rounded values

@@ -349,6 +349,39 @@ private[graft] object StoreQueries {
     // no-op on every chain. Oracle recomputes the published content
     // (both clean thirds of orders) plus literal pins on the
     // reject/replay outcomes and the main chain length.
+    // Incremental append read (round-12): Iceberg's between-snapshots
+    // incremental scan — exactly the rows added after a version, planned
+    // as a manifest set-diff (O(delta) metadata + O(delta) data, never a
+    // table rescan). The fixture's third version is a branch fast-forward
+    // publish, so the diff correctly picks up added files living in the
+    // BRANCH namespace; reading from the head yields zero rows. Oracle
+    // recomputes the two appended slices.
+    "snap_incremental_read" -> Q(
+      (s, d) => {
+        import graft.store.Snapshots
+        val root = FixtureRoot.fresh("snapincr")
+        val base = root + "/t"
+        val orders = T(s, d, "orders")
+          .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+        Snapshots.write(orders.filter(pmod(col("o_orderkey"), lit(3)) === 0), base)
+        Snapshots.append(orders.filter(pmod(col("o_orderkey"), lit(3)) === 1), base)
+        Snapshots.createBranch(s, base, "pub", fromVersion = 2L)
+        Snapshots.appendBranch(
+          orders.filter(pmod(col("o_orderkey"), lit(3)) === 2), base, "pub")
+        Snapshots.fastForward(s, base, "pub")
+        val emptyAtHead = Snapshots.appendedSince(s, base, 3L).isEmpty
+        Snapshots.appendedSince(s, base, 1L)
+          .groupBy(col("o_orderstatus"))
+          .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+          .withColumn("empty_at_head", lit(emptyAtHead))
+          .orderBy(col("o_orderstatus"))
+      },
+      Some("""SELECT o_orderstatus, count(*) AS n,
+             |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+             |  TRUE AS empty_at_head
+             |FROM orders WHERE o_orderkey % 3 <> 0
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     "snap_stream_wap" -> Q(
       (s, d) => {
         import graft.store.Snapshots

@@ -213,6 +213,18 @@ class ConversationStore(spark: SparkSession, basePath: String) {
     conversations.orderBy(col("created_at").desc, col("workflow_id").desc)
       .offset(offset).limit(limit)
 
+  /** W4 at scale — keyset-paginated listing: the page strictly AFTER the
+    * (created_at, workflow_id) cursor in the same DESC total order as
+    * [[listConversations]]; pass the last row of the previous page as the
+    * cursor. The boundary is a pushable predicate + top-n, so page depth
+    * never costs an O(offset) skip (see
+    * [[graft.ops.Relational.paginateAfter]]). */
+  def listConversationsAfter(cursorCreatedAt: Timestamp,
+                             cursorWorkflowId: String, n: Int): DataFrame =
+    graft.ops.Relational.paginateAfter(conversations,
+      Seq("created_at" -> false, "workflow_id" -> false),
+      Seq(lit(cursorCreatedAt), lit(cursorWorkflowId)), n)
+
   /** J5 — results of a conversation through result_links (FK hash join). */
   def getResults(workflowId: String): DataFrame =
     resultLinks.filter(col("workflow_id") === workflowId)

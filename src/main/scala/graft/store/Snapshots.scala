@@ -482,6 +482,45 @@ object Snapshots {
     spark.read.option("mergeSchema", true).parquet(files: _*)
   }
 
+  /**
+   * Incremental append scan (Iceberg's incremental read between
+   * snapshots): exactly the rows APPENDED after `sinceVersion`, read from
+   * the newer versions' added files only — a manifest set-diff, so
+   * planning cost is O(delta manifests) and scan cost O(delta data): the
+   * downstream-incremental-consumption verb (feed new rows to an indexer
+   * or aggregator without rescanning the table). "Added" is defined on
+   * manifests, not directories, so a fast-forwarded publish whose new
+   * files live in a branch namespace (vb-*) is still a pure append and
+   * its rows are included. Requires every version in (since, head] to
+   * inherit the whole previous manifest; a rewrite version (merge /
+   * delete / compact / replace) changes history rather than extending
+   * it, and a file-level diff would double-count rewritten rows —
+   * exactly why Iceberg's incremental scan refuses non-append
+   * snapshots. Throws IllegalArgumentException naming the offending
+   * version in that case; [[cdcDiff]] is the verb for rewrite chains.
+   */
+  def appendedSince(spark: SparkSession, base: String,
+                    sinceVersion: Long): DataFrame = {
+    val vs = versions(spark, base)
+    require(vs.contains(sinceVersion), s"version $sinceVersion not in $vs")
+    val newer = vs.filter(_ > sinceVersion)
+    var prevLines = manifestLines(spark, base, sinceVersion).toSet
+    val added = newer.flatMap { v =>
+      val lines = manifestLines(spark, base, v)
+      require(prevLines.subsetOf(lines.toSet),
+        s"version $v of $base is not a pure append (it drops files of the " +
+          "previous manifest - merge/delete/compact/replace); incremental " +
+          "read is only defined over append chains, use cdcDiff or a full " +
+          "snapshot read instead")
+      val newLines = lines.filterNot(prevLines)
+      prevLines = lines.toSet
+      newLines.map(l => parseEntry(l).path)
+    }
+    if (added.isEmpty) read(spark, base).limit(0)
+    else spark.read.option("mergeSchema", true)
+      .parquet(added.map(rel => s"$base/$rel"): _*)
+  }
+
   /** expire_snapshots: keep the newest `keep` versions; drop the rest.
     * A dropped version's manifest goes first (the version becomes
     * invisible atomically), then its data files — EXCEPT those still

@@ -146,4 +146,29 @@ class ConversationStoreSpec extends AnyFunSuite {
     val page = st.listConversations(offset = 1, limit = 2).collect().map(_.getString(0))
     assert(page.toSeq == Seq("wf4", "wf3"))
   }
+
+  test("W4b: listConversationsAfter pages from a cursor, equal to the offset page") {
+    val st = freshStore()
+    (1 to 5).foreach(i =>
+      st.createConversation(s"wf$i", s"q$i", "pending",
+        Timestamp.valueOf(s"2026-01-0$i 00:00:00")))
+    // two conversations at the SAME created_at: the workflow_id tiebreak is
+    // what makes the cursor a total order
+    st.createConversation("wfa", "qa", "pending",
+      Timestamp.valueOf("2026-01-03 00:00:00"))
+    val all = st.listConversations(offset = 0, limit = 10).collect()
+      .map(r => (r.getString(0), r.getTimestamp(3)))
+    // page after the 2nd row == offset page (2, 2)
+    val cursor = all(1)
+    val keyset = st.listConversationsAfter(cursor._2, cursor._1, 2)
+      .collect().map(_.getString(0)).toSeq
+    val offsetPage = st.listConversations(offset = 2, limit = 2)
+      .collect().map(_.getString(0)).toSeq
+    assert(keyset == offsetPage, s"keyset $keyset vs offset $offsetPage")
+    // paging from the tie row skips only rows at/before it in total order
+    val tieIdx = all.indexWhere(_._1 == "wfa")
+    val afterTie = st.listConversationsAfter(all(tieIdx)._2, "wfa", 10)
+      .collect().map(_.getString(0)).toSeq
+    assert(afterTie == all.drop(tieIdx + 1).map(_._1).toSeq)
+  }
 }

@@ -440,6 +440,32 @@ class SnapshotsSpec extends AnyFunSuite {
     assert(Snapshots.readBranch(spark, base, "exp").count() == 3L)
   }
 
+  test("appendedSince reads exactly the appended delta, includes fast-forwarded branch files, rejects rewrites") {
+    val base = java.nio.file.Files.createTempDirectory("graft-snap-incr").toString + "/t"
+    Snapshots.write(Seq((1L, "a")).toDF("id", "s"), base)          // v1
+    Snapshots.append(Seq((2L, "b")).toDF("id", "s"), base)         // v2
+    Snapshots.createBranch(spark, base, "pub", fromVersion = 2L)
+    Snapshots.appendBranch(Seq((3L, "c")).toDF("id", "s"), base, "pub")
+    Snapshots.fastForward(spark, base, "pub")                      // v3: new files live in vb-pub=2/
+    assert(Snapshots.appendedSince(spark, base, 1L)
+      .as[(Long, String)].collect().toSet == Set((2L, "b"), (3L, "c")),
+      "delta after v1 is the two appended rows, branch-namespace files included")
+    assert(Snapshots.appendedSince(spark, base, 2L)
+      .as[(Long, String)].collect().toSet == Set((3L, "c")))
+    assert(Snapshots.appendedSince(spark, base, 3L).isEmpty,
+      "reading from the head yields no rows")
+    // a rewrite (merge) breaks the append chain: incremental read refuses
+    Snapshots.mergeInto(spark, base, Seq((1L, "A2")).toDF("id", "s"), "id")
+    val e = intercept[IllegalArgumentException] {
+      Snapshots.appendedSince(spark, base, 1L).collect()
+    }
+    assert(e.getMessage.contains("not a pure append"))
+    // but a cursor AFTER the rewrite works again
+    Snapshots.append(Seq((4L, "d")).toDF("id", "s"), base)
+    assert(Snapshots.appendedSince(spark, base, 4L)
+      .as[(Long, String)].collect().toSet == Set((4L, "d")))
+  }
+
   test("expiry sweeps branch-namespace files once main's last reference goes — no vb-* orphans") {
     val base = java.nio.file.Files.createTempDirectory("graft-snap-vborphan").toString + "/t"
     Snapshots.write(Seq((1L, "a")).toDF("id", "s"), base)               // main v1
