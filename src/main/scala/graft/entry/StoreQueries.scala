@@ -349,6 +349,83 @@ private[graft] object StoreQueries {
     // no-op on every chain. Oracle recomputes the published content
     // (both clean thirds of orders) plus literal pins on the
     // reject/replay outcomes and the main chain length.
+    // Timestamp time travel (round-12): FOR SYSTEM_TIME AS OF over the
+    // manifest-mtime commit clock (the same clock expireOlderThan keys
+    // on). Commit times are PINNED via setTimes in the fixture so the
+    // version choice is deterministic for the oracle: a cutoff between
+    // the two commits reads v1 (the even keys), a later cutoff reads the
+    // head, a cutoff before the first commit errors.
+    "snap_asof_read" -> Q(
+      (s, d) => {
+        import graft.store.Snapshots
+        val root = FixtureRoot.fresh("snapasof")
+        val base = root + "/t"
+        val orders = T(s, d, "orders")
+          .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+        Snapshots.write(orders.filter(pmod(col("o_orderkey"), lit(2)) === 0), base)
+        Snapshots.append(orders.filter(pmod(col("o_orderkey"), lit(2)) === 1), base)
+        val fsys = new org.apache.hadoop.fs.Path(base)
+          .getFileSystem(s.sessionState.newHadoopConf())
+        val t0 = 1700000000000L
+        fsys.setTimes(new org.apache.hadoop.fs.Path(s"$base/v=1/_manifest"), t0, -1)
+        fsys.setTimes(new org.apache.hadoop.fs.Path(s"$base/v=2/_manifest"), t0 + 60000, -1)
+        val headRows = Snapshots.readAsOf(s, base, t0 + 120000).count()
+        val tooEarlyErrors =
+          try { Snapshots.readAsOf(s, base, t0 - 1); false }
+          catch { case _: IllegalArgumentException => true }
+        Snapshots.readAsOf(s, base, t0 + 1000)
+          .groupBy(col("o_orderstatus"))
+          .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+          .withColumn("head_rows", lit(headRows))
+          .withColumn("too_early_errors", lit(tooEarlyErrors))
+          .orderBy(col("o_orderstatus"))
+      },
+      Some("""SELECT o_orderstatus, count(*) AS n,
+             |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+             |  (SELECT count(*) FROM orders) AS head_rows,
+             |  TRUE AS too_early_errors
+             |FROM orders WHERE o_orderkey % 2 = 0
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // GDPR-style erasure with an audit trail (round-12): deleteWhere
+    // executes the right-to-be-forgotten request (file-level
+    // copy-on-write: only files containing matching keys rewrite), the
+    // post-state is verified empty of the erased keys, and the CDC diff
+    // between the two snapshots must classify EXACTLY the erased rows as
+    // deletes and nothing else — the provable-erasure workflow a
+    // versioned 100 TB store owes its compliance team. Oracle recomputes
+    // the surviving content plus literal pins on the audit counts.
+    "gov_erasure_audit" -> Q(
+      (s, d) => {
+        import graft.store.Snapshots
+        val root = FixtureRoot.fresh("goverasure")
+        val base = root + "/t"
+        val cust = T(s, d, "customer")
+          .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
+        Snapshots.write(cust, base, statsKey = Some("c_custkey"))
+        val v2 = Snapshots.deleteWhere(s, base, pmod(col("c_custkey"), lit(7)) === 0)
+        val erasedGone = Snapshots.read(s, base)
+          .filter(pmod(col("c_custkey"), lit(7)) === 0).isEmpty
+        val audit = Snapshots.diff(s, base, 1L, v2, "c_custkey")
+          .groupBy(col("change_type")).agg(count(lit(1)).as("cnt"))
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        Snapshots.read(s, base)
+          .groupBy(col("c_mktsegment"))
+          .agg(count(lit(1)).as("n"), dsum(col("c_acctbal")).as("total"))
+          .withColumn("erased_gone", lit(erasedGone))
+          .withColumn("n_cdc_deletes", lit(audit.getOrElse("delete", 0L)))
+          .withColumn("n_cdc_other", lit(
+            audit.view.filterKeys(_ != "delete").values.sum))
+          .orderBy(col("c_mktsegment"))
+      },
+      Some("""SELECT c_mktsegment, count(*) AS n,
+             |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total,
+             |  TRUE AS erased_gone,
+             |  (SELECT count(*) FROM customer WHERE c_custkey % 7 = 0) AS n_cdc_deletes,
+             |  CAST(0 AS BIGINT) AS n_cdc_other
+             |FROM customer WHERE c_custkey % 7 <> 0
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // Incremental append read (round-12): Iceberg's between-snapshots
     // incremental scan — exactly the rows added after a version, planned
     // as a manifest set-diff (O(delta) metadata + O(delta) data, never a

@@ -483,6 +483,28 @@ object Snapshots {
   }
 
   /**
+   * Timestamp time travel (Iceberg's `FOR SYSTEM_TIME AS OF` / Delta's
+   * `timestampAsOf`): read the LATEST snapshot committed at or before
+   * `tsMillis`. Commit time is the manifest's mtime — stamped by the
+   * atomic claim rename, the same clock [[expireOlderThan]] keys on, so
+   * the two verbs agree on which snapshots a cutoff covers. Metadata-only
+   * resolution (one getFileStatus per version); throws when the cutoff
+   * predates the first commit — "the table did not exist yet" must be an
+   * error, not an empty frame a downstream join silently absorbs.
+   */
+  def readAsOf(spark: SparkSession, base: String, tsMillis: Long): DataFrame = {
+    val f = fs(spark, base)
+    val vs = versions(spark, base)
+    require(vs.nonEmpty, s"no snapshots under $base")
+    val eligible = vs.filter(v =>
+      f.getFileStatus(manifestPath(base, v)).getModificationTime <= tsMillis)
+    require(eligible.nonEmpty,
+      s"no snapshot of $base committed at or before $tsMillis " +
+        s"(earliest commit is after the cutoff)")
+    read(spark, base, Some(eligible.last))
+  }
+
+  /**
    * Incremental append scan (Iceberg's incremental read between
    * snapshots): exactly the rows APPENDED after `sinceVersion`, read from
    * the newer versions' added files only — a manifest set-diff, so

@@ -440,6 +440,28 @@ class SnapshotsSpec extends AnyFunSuite {
     assert(Snapshots.readBranch(spark, base, "exp").count() == 3L)
   }
 
+  test("readAsOf: timestamp time travel picks the latest commit at or before the cutoff, inclusive") {
+    val base = java.nio.file.Files.createTempDirectory("graft-snap-asof").toString + "/t"
+    Snapshots.write(Seq((1L, "a")).toDF("id", "s"), base)
+    Snapshots.append(Seq((2L, "b")).toDF("id", "s"), base)
+    val fsys = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val t0 = 1700000000000L
+    fsys.setTimes(new org.apache.hadoop.fs.Path(s"$base/v=1/_manifest"), t0, -1)
+    fsys.setTimes(new org.apache.hadoop.fs.Path(s"$base/v=2/_manifest"), t0 + 10000, -1)
+    assert(Snapshots.readAsOf(spark, base, t0 + 5000)
+      .as[(Long, String)].collect().toSet == Set((1L, "a")),
+      "cutoff between commits reads the earlier snapshot")
+    assert(Snapshots.readAsOf(spark, base, t0)
+      .as[(Long, String)].collect().toSet == Set((1L, "a")),
+      "cutoff exactly at a commit is inclusive")
+    assert(Snapshots.readAsOf(spark, base, t0 + 60000)
+      .as[(Long, String)].collect().toSet == Set((1L, "a"), (2L, "b")))
+    intercept[IllegalArgumentException] {
+      Snapshots.readAsOf(spark, base, t0 - 1)
+    }
+  }
+
   test("appendedSince reads exactly the appended delta, includes fast-forwarded branch files, rejects rewrites") {
     val base = java.nio.file.Files.createTempDirectory("graft-snap-incr").toString + "/t"
     Snapshots.write(Seq((1L, "a")).toDF("id", "s"), base)          // v1
