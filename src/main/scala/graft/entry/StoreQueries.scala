@@ -459,6 +459,36 @@ private[graft] object StoreQueries {
              |FROM orders WHERE o_orderkey % 3 <> 0
              |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // Predicate-pruned read (round-12): min/max file skipping on the scan
+    // path — the fixture range-clusters orders by key at write time (the
+    // layout that makes manifest stats selective), then a key-range query
+    // plans via scanPlan and must (a) provably skip files from metadata
+    // alone (pruned_some pins it) and (b) return byte-identical rows to
+    // the full-scan filter the oracle computes. This is the read-side
+    // half of the stats machinery deleteWhere/mergeInto already use.
+    "snap_stats_prune" -> Q(
+      (s, d) => {
+        import graft.store.Snapshots
+        val root = FixtureRoot.fresh("snapprune")
+        val base = root + "/t"
+        val orders = T(s, d, "orders")
+          .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+        Snapshots.write(orders.repartitionByRange(8, col("o_orderkey")),
+          base, statsKey = Some("o_orderkey"))
+        val pred = col("o_orderkey") < lit(3000L)
+        val (cand, pruned) = Snapshots.scanPlan(s, base, pred)
+        Snapshots.scanWhere(s, base, pred)
+          .groupBy(col("o_orderstatus"))
+          .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+          .withColumn("pruned_some", lit(pruned.nonEmpty && cand.nonEmpty))
+          .orderBy(col("o_orderstatus"))
+      },
+      Some("""SELECT o_orderstatus, count(*) AS n,
+             |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+             |  TRUE AS pruned_some
+             |FROM orders WHERE o_orderkey < 3000
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     "snap_stream_wap" -> Q(
       (s, d) => {
         import graft.store.Snapshots

@@ -504,6 +504,71 @@ object Snapshots {
     read(spark, base, Some(eligible.last))
   }
 
+  /** Can the file behind `e` hold a row satisfying the per-column bounds?
+    * Every conjunct bound must be satisfiable inside the entry's recorded
+    * [min, max]; no stats / no bounds for the column → must scan. Shared
+    * by the three stats-pruned verbs ([[scanWhere]], [[deleteWhere]],
+    * [[mergeInto]]'s discovery uses the source-range twin). */
+  private def mayMatchBounds(e: ManifestEntry,
+      bounds: Map[String, (Seq[String], Seq[String])]): Boolean = e.stats match {
+    case Some((k, tag, mn, mx)) => bounds.get(k) match {
+      case Some((los, his)) =>
+        los.forall(v => statLeq(tag, v, mx)) && his.forall(v => statLeq(tag, mn, v))
+      case None => true
+    }
+    case None => true
+  }
+
+  /**
+   * The metadata half of [[scanWhere]] — Iceberg's `planFiles`: resolve
+   * the version's manifest and split it into (files the predicate may
+   * touch, files provably outside the predicate's bounds). Pure manifest
+   * arithmetic: no data file is opened. Exposed so callers (and the spec)
+   * can observe exactly how much a scan skipped.
+   */
+  def scanPlan(spark: SparkSession, base: String,
+               predicate: org.apache.spark.sql.Column,
+               version: Option[Long] = None)
+      : (Seq[ManifestEntry], Seq[ManifestEntry]) = {
+    val vs = versions(spark, base)
+    require(vs.nonEmpty, s"no snapshots under $base")
+    val v = version.getOrElse(vs.last)
+    require(vs.contains(v), s"version $v not in $vs")
+    val entries = manifestLines(spark, base, v).map(parseEntry)
+    val bounds = boundsOf(read(spark, base, Some(v)), predicate)
+    entries.partition(mayMatchBounds(_, bounds))
+  }
+
+  /**
+   * Predicate-pruned snapshot scan — min/max file skipping on the READ
+   * path (Iceberg's scan planning, the read-side twin of the pruning
+   * [[deleteWhere]]/[[mergeInto]] already do on writes). The predicate's
+   * implied per-column bounds ([[predicateBounds]]) are intersected with
+   * each manifest entry's recorded min/max and only surviving files are
+   * handed to the parquet reader, so a key-range query against a 100 TB
+   * table whose files were range-clustered at write time opens the
+   * handful of files the manifest says can match — everything else is
+   * skipped from metadata, before parquet footers are even read (this is
+   * coarser-but-earlier than parquet row-group pruning: no open() call at
+   * all for a skipped file). Pruning is conservative by construction —
+   * a file is dropped only when provably outside the bounds; stat-less
+   * files and unrecognized predicate shapes always scan — so the result
+   * is identical to `read().filter(predicate)`, which the oracle key
+   * pins. The residual predicate is still applied (and pushed to the
+   * parquet scan) because file granularity is coarser than row
+   * granularity.
+   */
+  def scanWhere(spark: SparkSession, base: String,
+                predicate: org.apache.spark.sql.Column,
+                version: Option[Long] = None): DataFrame = {
+    val (candidates, _) = scanPlan(spark, base, predicate, version)
+    val frame =
+      if (candidates.isEmpty) read(spark, base, version).limit(0)
+      else spark.read.option("mergeSchema", true)
+        .parquet(candidates.map(e => s"$base/${e.path}"): _*)
+    frame.filter(predicate)
+  }
+
   /**
    * Incremental append scan (Iceberg's incremental read between
    * snapshots): exactly the rows APPENDED after `sinceVersion`, read from
@@ -988,16 +1053,7 @@ object Snapshots {
     val next = vs.last + 1
     val prior = manifestLines(spark, base, vs.last).map(parseEntry)
     val bounds = boundsOf(read(spark, base), predicate)
-    def mayMatch(e: ManifestEntry): Boolean = e.stats match {
-      case Some((k, tag, mn, mx)) => bounds.get(k) match {
-        case Some((los, his)) =>
-          // every conjunct bound must be satisfiable inside [mn, mx]
-          los.forall(v => statLeq(tag, v, mx)) && his.forall(v => statLeq(tag, mn, v))
-        case None => true
-      }
-      case None => true
-    }
-    val (candidates, pruned) = prior.partition(mayMatch)
+    val (candidates, pruned) = prior.partition(mayMatchBounds(_, bounds))
     val target =
       (if (candidates.isEmpty) read(spark, base).limit(0)
        else spark.read.option("mergeSchema", true)

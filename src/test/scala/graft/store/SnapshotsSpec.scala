@@ -512,6 +512,53 @@ class SnapshotsSpec extends AnyFunSuite {
       Set((9L, "z")))
   }
 
+  test("scanWhere prunes files from manifest stats and equals the full-scan filter") {
+    val base = java.nio.file.Files.createTempDirectory("graft-snap").toString + "/t"
+    def slice(lo: Long, hi: Long) =
+      (lo to hi).map(i => (i, s"r$i")).toDF("id", "s").coalesce(1)
+    Snapshots.write(slice(1, 10), base, statsKey = Some("id"))
+    Snapshots.append(slice(11, 20), base, statsKey = Some("id"))
+    Snapshots.append(slice(21, 30), base, statsKey = Some("id"))
+
+    // range predicate: only the first file may hold id < 5
+    val (c1, p1) = Snapshots.scanPlan(spark, base, col("id") < 5)
+    assert(c1.size == 1 && p1.size == 2)
+    // point predicate: only the middle file may hold id = 15
+    val (c2, p2) = Snapshots.scanPlan(spark, base, col("id") === 15)
+    assert(c2.size == 1 && p2.size == 2)
+    // an unrecognized conjunct keeps pruning by the recognized one
+    val (c3, p3) = Snapshots.scanPlan(spark, base,
+      col("id") < 5 && org.apache.spark.sql.functions.pmod(col("id"), col("id") + 1) >= 0)
+    assert(c3.size == 1 && p3.size == 2)
+    // a predicate with no extractable bounds must scan everything
+    val (c4, p4) = Snapshots.scanPlan(spark, base, col("s").contains("r"))
+    assert(c4.size == 3 && p4.isEmpty)
+
+    // results are identical to the full-scan filter, and the pruned scan
+    // provably reads only the surviving file's rows
+    for (pred <- Seq(col("id") < 5, col("id") === 15, col("id") >= 25,
+                     col("id") > 8 && col("id") <= 12, col("s").contains("r2"))) {
+      val got = Snapshots.scanWhere(spark, base, pred)
+        .as[(Long, String)].collect().toSet
+      val want = Snapshots.read(spark, base).filter(pred)
+        .as[(Long, String)].collect().toSet
+      assert(got == want, s"scanWhere mismatch for $pred")
+    }
+    val reads = recordsReadDuring {
+      Snapshots.scanWhere(spark, base, col("id") < 5).count()
+    }
+    assert(reads <= 10, s"pruned scan read $reads records, expected ≤ one file (10)")
+
+    // a stat-less append is never pruned (conservative), results stay exact
+    Snapshots.append(slice(31, 40), base) // no statsKey
+    val (c5, p5) = Snapshots.scanPlan(spark, base, col("id") < 5)
+    assert(c5.size == 2 && p5.size == 2, "stat-less file must stay a candidate")
+    assert(Snapshots.scanWhere(spark, base, col("id") < 5).count() == 4)
+    // predicate outside every stat-carrying file's range: only the
+    // stat-less file survives planning, and the residual filter empties it
+    assert(Snapshots.scanWhere(spark, base, col("id") > 100 && col("id") < 200).isEmpty)
+  }
+
   test("rollback publishes an old manifest as the new latest, metadata-only") {
     val base = java.nio.file.Files.createTempDirectory("graft-snap-rb").toString + "/t"
     Snapshots.write(Seq((1L, "good"), (2L, "good")).toDF("id", "s"), base)
