@@ -331,13 +331,27 @@ object Curation {
    * back by id at the end, so the full row (document text included)
    * crosses exactly ONE exchange instead of riding the window AND the
    * position groupBy as part of a wide grouping key (round-11 advisor
-   * item). Requires `idCol` unique. Returns the input plus (__rn, pos);
-   * write sorted by pos for the loader.
+   * item). Requires `idCol` non-null and unique: a NULL id FAILS FAST at
+   * execution (assert_true folded into the shuffle hash — zero extra
+   * scan) rather than silently vanishing through the inner join-back,
+   * and a duplicate id would silently multiply rows / corrupt positions
+   * (detecting it needs a full groupBy-count pass, so it is a documented
+   * contract, not a runtime check — run `dd_exact_groups` upstream if
+   * unsure). Returns the input plus (__rn, pos); write sorted by pos for
+   * the loader.
    */
   def interleaveBySource(df: DataFrame, idCol: String, sourceCol: String,
                          salt: String = "inter"): DataFrame = {
+    // assert_true(id IS NOT NULL) returns NULL when passing; coalesce to ""
+    // keeps the hash bytes identical to md5(salt|id) while making a NULL id
+    // raise with a named error instead of dropping through the join-back
+    val idGuard = coalesce(
+      assert_true(col(idCol).isNotNull,
+        lit(s"interleaveBySource requires non-null $idCol")).cast("string"),
+      lit(""))
     val w = Window.partitionBy(col(sourceCol))
-      .orderBy(md5(concat(lit(salt + "|"), col(idCol).cast("string"))).asc,
+      .orderBy(md5(concat(lit(salt + "|"), idGuard,
+        col(idCol).cast("string"))).asc,
         col(idCol).asc)
     val rn = df.select(col(idCol), col(sourceCol))
       .withColumn("__rn", row_number().over(w))

@@ -98,6 +98,16 @@ object Relational {
    * be a row that exists in the total order (use the last row of the
    * previous page); `ord` must be a total order (append a unique key) or
    * rows tying with the cursor are skipped.
+   *
+   * NULL ordering matches Spark's `orderBy` defaults (ASC = NULLS FIRST,
+   * DESC = NULLS LAST) via explicit null-safe arms, so rows with NULL in
+   * an ordering column are reachable from keyset pages exactly where the
+   * offset path would place them, and a NULL cursor value resumes from
+   * within the null block — not the empty page a bare three-valued
+   * comparison would return (round-12 advisor item). For a non-null
+   * literal cursor the null arms constant-fold: the DESC seek stays the
+   * pushable `Or(LessThan(c, cv), IsNull(c))` and the ASC seek stays a
+   * plain GreaterThan, so source-filter pushdown is unchanged.
    */
   def paginateAfter(df: DataFrame, ord: Seq[(String, Boolean)],
                     cursor: Seq[Column], n: Int): DataFrame = {
@@ -106,8 +116,16 @@ object Relational {
       s"ordering (${ord.length}) and cursor (${cursor.length}) lengths differ")
     val seek = ord.zip(cursor).foldRight(lit(false)) {
       case (((c, asc), cv), rest) =>
-        val strict = if (asc) col(c) > cv else col(c) < cv
-        strict || (col(c) === cv && rest)
+        // "strictly after the cursor" in this column, under Spark's default
+        // null placement: ASC puts nulls FIRST (after a null cursor comes
+        // every non-null value; after a non-null cursor only larger
+        // non-nulls), DESC puts nulls LAST (after a non-null cursor come
+        // smaller values and then the null block; after a null cursor
+        // nothing but ties). The cv null-tests fold away for literals.
+        val strict =
+          if (asc) (col(c) > cv) || (cv.isNull && col(c).isNotNull)
+          else (col(c) < cv) || (cv.isNotNull && col(c).isNull)
+        strict || (col(c) <=> cv && rest)
     }
     val sortCols = ord.map { case (c, asc) => if (asc) col(c).asc else col(c).desc }
     df.filter(seek).orderBy(sortCols: _*).limit(n)

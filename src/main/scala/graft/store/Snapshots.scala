@@ -564,8 +564,15 @@ object Snapshots {
     val (candidates, _) = scanPlan(spark, base, predicate, version)
     val frame =
       if (candidates.isEmpty) read(spark, base, version).limit(0)
-      else spark.read.option("mergeSchema", true)
-        .parquet(candidates.map(e => s"$base/${e.path}"): _*)
+      else
+        // Read with the FULL snapshot schema, not mergeSchema over the
+        // surviving files: under schema evolution the predicate may name a
+        // column physically absent from every candidate file, and a
+        // merged-candidates-only schema would fail to resolve the residual
+        // filter (AnalysisException) where the documented-equivalent
+        // read().filter(predicate) null-fills the column and succeeds.
+        spark.read.schema(read(spark, base, version).schema)
+          .parquet(candidates.map(e => s"$base/${e.path}"): _*)
     frame.filter(predicate)
   }
 
@@ -1284,7 +1291,15 @@ object Snapshots {
       .map(_.getPath)
       .filterNot(d => f.exists(new Path(d, "_manifest")))
       .flatMap { d =>
-        tolerateVanished(s"branch-dir pass on $d", Seq.empty[String]) {
+        // TOCTOU guard mirroring the version-dir pass above: a concurrent
+        // writer can reclaim this manifest-less slot (rename-aside, then
+        // commit a fresh staged dir carrying its _manifest) between the
+        // filterNot pass over ALL vb-* dirs and this dir's turn in the
+        // sweep. The re-check lives HERE, immediately before this
+        // directory's listing/deletes, so vacuum never deletes files of a
+        // just-committed branch version.
+        if (f.exists(new Path(d, "_manifest"))) Seq.empty
+        else tolerateVanished(s"branch-dir pass on $d", Seq.empty[String]) {
           val dirName = d.getName
           val removed = f.listStatus(d).toSeq
             .filterNot(st => referenced(s"$dirName/${st.getPath.getName}"))

@@ -170,6 +170,20 @@ class CurationSpec extends AnyFunSuite {
     assert(rerun == out.map(t => (t._1, t._3)).toSet)
   }
 
+  test("interleave: a NULL id fails fast with a named error, never a silent drop") {
+    // pre-fix, the inner join-back by id silently dropped NULL-id rows from
+    // the output (round-12 advisor item); now the hash guard raises
+    val df = Seq((Some(1L), "a"), (None, "a"), (Some(3L), "b"))
+      .toDF("id", "src")
+    val e = intercept[Exception] {
+      Curation.interleaveBySource(df, "id", "src").count()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("non-null id")),
+      s"expected the named guard error, got: $e")
+  }
+
   test("oversample: floor+bernoulli copies, deterministic, integer rates exact, copies numbered") {
     val df = (1L to 200L).map(i => (i, if (i <= 100) "min" else "maj"))
       .toDF("id", "src")

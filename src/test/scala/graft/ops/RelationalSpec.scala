@@ -219,6 +219,36 @@ class RelationalSpec extends AnyFunSuite {
     assert(keyA == offA)
   }
 
+  test("W4b: paginateAfter reaches NULL ordering values and resumes from a NULL cursor") {
+    // d: 1..5 plus two NULLs; DESC order puts the null block LAST (Spark
+    // default) — pre-fix the three-valued seek made those rows unreachable
+    // from every page and a NULL cursor returned an empty page
+    val df = (Seq.tabulate(5)(i => (Some(i + 1), (i + 1).toLong)) ++
+      Seq((None, 100L), (None, 101L))).toDF("d", "k")
+    val ord = Seq(col("d").desc, col("k").desc)
+    // walk the whole table in pages of 2: keyset pages must reproduce the
+    // offset walk exactly, nulls included
+    val all = Relational.paginate(df, ord, 0, 10)
+      .select("d", "k").as[(Option[Int], Long)].collect().toSeq
+    assert(all.takeRight(2).forall(_._1.isEmpty), s"precondition nulls-last: $all")
+    var walked = all.take(2)
+    while (walked.length < all.length) {
+      val cur = walked.last
+      val page = Relational.paginateAfter(df, Seq("d" -> false, "k" -> false),
+          Seq(cur._1.map(lit).getOrElse(lit(null).cast("int")), lit(cur._2)), 2)
+        .select("d", "k").as[(Option[Int], Long)].collect().toSeq
+      assert(page.nonEmpty, s"empty page after cursor $cur")
+      walked ++= page
+    }
+    assert(walked == all, s"keyset walk $walked != offset order $all")
+    // ascending: nulls FIRST — after a null cursor come the remaining null
+    // ties (by k) and then every non-null value
+    val ascPage = Relational.paginateAfter(df, Seq("d" -> true, "k" -> true),
+        Seq(lit(null).cast("int"), lit(100L)), 3)
+      .select("d", "k").as[(Option[Int], Long)].collect().toSeq
+    assert(ascPage == Seq((None, 101L), (Some(1), 1L), (Some(2), 2L)), ascPage.toString)
+  }
+
   test("sessionize: gap starts a new dense 0-based session per key") {
     val ev = Seq(
       ("u1", 0L), ("u1", 10L), ("u1", 100L), // gap 90 > 50 → new session

@@ -241,9 +241,12 @@ class PlanAuditSpec extends AnyFunSuite {
 
   test("w4b_keyset_page: seek predicate reaches the scan, page is TakeOrderedAndProject") {
     val p = planOf("w4b_keyset_page")
-    // the whole (date < c) OR (date = c AND key < k) disjunction is a
-    // pushable source filter — row groups beyond the cursor prune on stats
-    assert(p.contains("PushedFilters: [Or(LessThan(o_orderdate,"), p)
+    // the whole null-safe seek — (date < c OR date IS NULL) OR
+    // (date <=> c AND (key < k OR key IS NULL)) — is a pushable source
+    // filter: row groups beyond the cursor prune on stats, and the NULLS
+    // LAST block stays reachable (round-12 advisor item)
+    assert(p.contains("PushedFilters: [Or(Or(LessThan(o_orderdate,"), p)
+    assert(p.contains("IsNull(o_orderdate)"), p)
     // and the page itself is a top-k, never sort-then-offset
     assert(p.contains("TakeOrderedAndProject"), p)
     assert(!p.contains("GlobalLimit"), p)

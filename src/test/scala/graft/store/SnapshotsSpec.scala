@@ -559,6 +559,26 @@ class SnapshotsSpec extends AnyFunSuite {
     assert(Snapshots.scanWhere(spark, base, col("id") > 100 && col("id") < 200).isEmpty)
   }
 
+  test("scanWhere resolves under schema evolution when no candidate file has the column") {
+    val base = java.nio.file.Files.createTempDirectory("graft-snap").toString + "/t"
+    Snapshots.write((1L to 10L).map(i => (i, s"r$i")).toDF("id", "s").coalesce(1),
+      base, statsKey = Some("id"))
+    // evolved append adds `extra`; id-pruning for id<5 keeps ONLY the old
+    // file, which physically lacks `extra` — pre-fix the residual filter
+    // failed to resolve (mergeSchema over candidates only), whereas the
+    // documented-equivalent read().filter() null-fills and succeeds
+    Snapshots.append((11L to 20L).map(i => (i, s"r$i", i * 10))
+      .toDF("id", "s", "extra").coalesce(1), base, statsKey = Some("id"))
+    val pred = col("id") < 5 && col("extra").isNotNull
+    val got = Snapshots.scanWhere(spark, base, pred).collect().toSet
+    val want = Snapshots.read(spark, base).filter(pred).collect().toSet
+    assert(got == want && want.isEmpty, s"got $got want $want")
+    // and the evolved column is readable through the pruned path too
+    val hit = Snapshots.scanWhere(spark, base, col("id") === 15)
+      .select("id", "extra").as[(Long, Option[Long])].collect().toSet
+    assert(hit == Set((15L, Some(150L))), hit.toString)
+  }
+
   test("rollback publishes an old manifest as the new latest, metadata-only") {
     val base = java.nio.file.Files.createTempDirectory("graft-snap-rb").toString + "/t"
     Snapshots.write(Seq((1L, "good"), (2L, "good")).toDF("id", "s"), base)
