@@ -678,6 +678,38 @@ private[graft] object TextQueries {
              |SELECT doc_id, n_tokens, round(a - ln(total), 6) AS avg_logp
              |FROM s, tot""".stripMargin)),
 
+    // Unicode text canonicalization (round-13): norm_text (NFC + control
+    // strip + [ \t\n\r]+ collapse + trim) and strip_accents (NFD − Mn →
+    // NFC), both native codegen expressions (expr/NormalizeText.scala) —
+    // the canonical-form pass every dedup fingerprint and match key runs
+    // first. The corpus fixture is pure ASCII, so the query injects a
+    // deterministic dirty suffix (decomposed accents, a control char,
+    // tab/space runs) IDENTICALLY on both engines; the oracle replays the
+    // contract with nfc_normalize/strip_accents + the same regex classes.
+    "ta_unicode_norm" -> Q(
+      (s, d) => {
+        GraftFunctions.register(s)
+        val dirty = concat(lit("  "), substring(col("text"), 1, 48),
+          lit("\t\tCafe\u0301\u0007 stru\u0308m  "))
+        T(s, d, "documents")
+          .select(col("doc_id"), GraftFunctions.normText(dirty).as("norm"),
+            GraftFunctions.stripAccents(GraftFunctions.normText(dirty)).as("folded"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH dirty AS (
+             |  SELECT doc_id,
+             |    '  ' || substr(text, 1, 48) || chr(9) || chr(9) || 'Cafe'
+             |      || chr(769) || chr(7) || ' stru' || chr(776) || 'm  ' AS dt
+             |  FROM documents),
+             |n AS (
+             |  SELECT doc_id,
+             |    trim(regexp_replace(regexp_replace(nfc_normalize(dt),
+             |      '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g'),
+             |      '[ \t\n\r]+', ' ', 'g')) AS norm
+             |  FROM dirty)
+             |SELECT doc_id, norm, strip_accents(norm) AS folded
+             |FROM n ORDER BY doc_id""".stripMargin)),
+
     // Flesch reading-ease (round-11): the classic readability gate as one
     // codegen'd scalar — vowel-group syllables, [.!?]-run sentences, both
     // RE2-safe so the oracle computes the identical arithmetic

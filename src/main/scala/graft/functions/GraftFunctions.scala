@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import org.apache.spark.sql.functions._
 
-import graft.expr.{BloomMightContain, ChunkText, CosineSimilarity, DotProduct}
+import graft.expr.{BloomMightContain, ChunkText, CosineSimilarity, DotProduct, NormalizeText, StripAccents}
 
 /**
  * Scalar-function surface of the engine (SURVEY.md §2.8–2.9, F1–F16 + V2–V3).
@@ -28,6 +28,14 @@ object GraftFunctions {
 
   /** Dot product of two array<float> columns; == cosine on normalized vectors. */
   def dotProduct(a: Column, b: Column): Column = call_function("dot_product", a, b)
+
+  /** Canonical text form (NFC + control strip + whitespace collapse + trim) —
+    * the dedup/fingerprint key (native codegen expression). */
+  def normText(c: Column): Column = call_function("norm_text", c)
+
+  /** Accent fold (NFD − combining marks → NFC) — the match-key fold for
+    * entity resolution and search (native codegen expression). */
+  def stripAccents(c: Column): Column = call_function("strip_accents", c)
 
   /** Probe a serialized BloomFilter sketch (see [[graft.expr.BloomMightContain]]). */
   def bloomMightContain(key: Column, filterBytes: Array[Byte]): Column =
@@ -126,6 +134,12 @@ object GraftFunctions {
       (FunctionIdentifier("bloom_might_contain"),
         new ExpressionInfo(classOf[BloomMightContain].getName, "bloom_might_contain"),
         (children: Seq[Expression]) => BloomMightContain(children(0), children(1))),
+      (FunctionIdentifier("norm_text"),
+        new ExpressionInfo(classOf[NormalizeText].getName, "norm_text"),
+        (children: Seq[Expression]) => NormalizeText(children.head)),
+      (FunctionIdentifier("strip_accents"),
+        new ExpressionInfo(classOf[StripAccents].getName, "strip_accents"),
+        (children: Seq[Expression]) => StripAccents(children.head)),
       (FunctionIdentifier("chunk_text"),
         new ExpressionInfo(classOf[ChunkText].getName, "chunk_text"),
         (children: Seq[Expression]) => children match {
