@@ -69,6 +69,76 @@ private[graft] object GraphQueries {
              |SELECT node, CAST(min(hops) AS INT) AS hops
              |FROM walk GROUP BY 1 ORDER BY hops, node""".stripMargin)),
 
+    // Link prediction (round-13): Adamic–Adar / common-neighbors /
+    // Jaccard over NON-adjacent nation pairs of the trade backbone —
+    // candidates generated only through shared neighbors (hub-capped
+    // self-join, never all-pairs). Oracle replays the identical CTE
+    // chain; both engines round the float sums at 6dp.
+    // Edge rule is scale-RELATIVE (strictly above the average pair volume),
+    // not a fixed lineitem floor: a fixed floor saturates the 25-node
+    // backbone at larger SFs (every pair qualifies → no non-adjacent pairs
+    // to predict). avg(bigint) is an exact integer sum over an exact count
+    // in both engines, so the single-double comparison is portable. The
+    // 1-row average joins in as a broadcast scalar (the x18 pattern), not
+    // a window.
+    "g7_link_prediction" -> Q(
+      (s, d) => {
+        val pairs = T(s, d, "lineitem")
+          .join(broadcast(T(s, d, "supplier")
+            .join(T(s, d, "nation"), col("s_nationkey") === col("n_nationkey"))
+            .select(col("s_suppkey"), col("n_name").as("a"))),
+            col("l_suppkey") === col("s_suppkey"))
+          .join(T(s, d, "orders").select(col("o_orderkey"), col("o_custkey")),
+            col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(T(s, d, "customer")
+            .join(T(s, d, "nation"), col("c_nationkey") === col("n_nationkey"))
+            .select(col("c_custkey"), col("n_name").as("b"))),
+            col("o_custkey") === col("c_custkey"))
+          .groupBy(col("a"), col("b")).agg(count(lit(1)).as("n"))
+          .filter(col("a") =!= col("b"))
+        val edges = pairs
+          .join(broadcast(pairs.agg(avg(col("n")).as("nbar"))), lit(true))
+          .filter(col("n") > col("nbar"))
+          .select(col("a"), col("b"))
+        graft.ops.Graph.linkPrediction(edges, "a", "b")
+          .orderBy(col("u"), col("v"))
+      },
+      Some(s"""WITH rawpairs AS (
+              |  SELECT n1.n_name AS a, n2.n_name AS b, count(*) AS n
+              |  FROM lineitem
+              |  JOIN supplier ON l_suppkey = s_suppkey
+              |  JOIN nation n1 ON supplier.s_nationkey = n1.n_nationkey
+              |  JOIN orders ON l_orderkey = o_orderkey
+              |  JOIN customer ON o_custkey = c_custkey
+              |  JOIN nation n2 ON customer.c_nationkey = n2.n_nationkey
+              |  GROUP BY 1, 2 HAVING n1.n_name <> n2.n_name),
+              |edges AS (SELECT a, b FROM rawpairs
+              |          WHERE n > (SELECT avg(n) FROM rawpairs)),
+              |und AS (SELECT DISTINCT least(a, b) AS a, greatest(a, b) AS b
+              |        FROM edges WHERE a <> b),
+              |adj AS (SELECT a AS node, b AS nbr FROM und
+              |        UNION ALL SELECT b, a FROM und),
+              |deg AS (SELECT node, count(*) AS deg FROM adj GROUP BY 1),
+              |cap AS (SELECT adj.nbr AS w, adj.node AS u, deg.deg
+              |        FROM adj JOIN deg ON adj.nbr = deg.node
+              |        WHERE deg.deg <= 10000),
+              |pairs AS (SELECT c1.u AS u, c2.u AS v, c1.deg
+              |          FROM cap c1 JOIN cap c2 ON c1.w = c2.w
+              |          WHERE c1.u < c2.u),
+              |scored AS (SELECT u, v, count(*) AS common,
+              |             sum(1.0 / ln(deg)) AS aa
+              |           FROM pairs GROUP BY 1, 2 HAVING count(*) >= 1),
+              |cand AS (SELECT * FROM scored s
+              |         WHERE NOT EXISTS (SELECT 1 FROM und
+              |                           WHERE s.u = und.a AND s.v = und.b))
+              |SELECT u, v, CAST(common AS BIGINT) AS common,
+              |  round(aa, 6) AS adamic_adar,
+              |  round(CAST(common AS DOUBLE) / (du.deg + dv.deg - common), 6)
+              |    AS jaccard
+              |FROM cand JOIN deg du ON cand.u = du.node
+              |          JOIN deg dv ON cand.v = dv.node
+              |ORDER BY u, v""".stripMargin)),
+
     // Exact triangle count on the undirected trade backbone (canonical
     // a<b<c two-join enumeration — each triangle counted once)
     "g2_trade_triangles" -> Q(

@@ -162,4 +162,49 @@ class GraphSpec extends AnyFunSuite {
       "b" -> ((1L, 1L, 2L)),
       "c" -> ((0L, 2L, 2L))))
   }
+
+  test("linkPrediction: path endpoints score via the middle node, adjacent pairs excluded") {
+    // path a-b-c: only non-adjacent pair is (a,c), common neighbor b
+    // (deg 2), so aa = 1/ln 2; jaccard = 1/(1+1-1) = 1
+    val e = edges("a" -> "b", "b" -> "c")
+    val r = Graph.linkPrediction(e, "src", "dst")
+      .collect().map(x => (x.getString(0), x.getString(1)) ->
+        ((x.getLong(2), x.getDouble(3), x.getDouble(4)))).toMap
+    assert(r.keySet == Set(("a", "c")), r.toString)
+    val (common, aa, jac) = r(("a", "c"))
+    assert(common == 1L && jac == 1.0, r.toString)
+    assert(math.abs(aa - BigDecimal(1.0 / math.log(2.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9, aa.toString)
+  }
+
+  test("linkPrediction: higher-degree common neighbors contribute less; direction/duplicates ignored") {
+    // (x,y) share hub h (deg 4: x,y,p,q) AND w (deg 2: x,y):
+    // aa = 1/ln4 + 1/ln2; common=2; deg(x)=deg(y)=2 (h,w) → jaccard = 2/(2+2-2)=1
+    val e = edges("x" -> "h", "h" -> "y", "p" -> "h", "h" -> "q",
+      "x" -> "w", "y" -> "w", "w" -> "x") // duplicate reversed edge collapses
+    val r = Graph.linkPrediction(e, "src", "dst")
+      .collect().map(x => (x.getString(0), x.getString(1)) ->
+        ((x.getLong(2), x.getDouble(3), x.getDouble(4)))).toMap
+    val (common, aa, _) = r(("x", "y"))
+    assert(common == 2L, r.toString)
+    assert(math.abs(aa - (1.0 / math.log(4.0) + 1.0 / math.log(2.0))) < 1e-6, aa.toString)
+    // p and q are adjacent only to h: (p,q),(p,x)... all score through h
+    assert(r.contains(("p", "q")) && r(("p", "q"))._1 == 1L, r.toString)
+  }
+
+  test("linkPrediction: maxDegree cap removes super-hub pair generation") {
+    // star of 5 leaves around hub S, plus one path leaf1-t: capping deg<=4
+    // excludes S (deg 5), so only pairs through t-adjacent nodes survive
+    val star = (1 to 5).map(i => s"l$i" -> "S")
+    val e = edges(star :+ ("l1" -> "t") :+ ("t" -> "l2"): _*)
+    val capped = Graph.linkPrediction(e, "src", "dst", maxDegree = 4)
+      .collect().map(x => (x.getString(0), x.getString(1))).toSet
+    // every S-MEDIATED pair (l_i, l_j through S) is gone; S survives as an
+    // ENDPOINT — (S,t) scores through the low-degree commons l1/l2, which
+    // is the cap's intent (hubs stop fanning out pairs, not being scored)
+    assert(capped == Set(("S", "t"), ("l1", "l2")), capped.toString)
+    val uncapped = Graph.linkPrediction(e, "src", "dst")
+      .collect().map(x => (x.getString(0), x.getString(1))).toSet
+    assert(uncapped.size > 1 && uncapped.contains(("l3", "l4")), uncapped.toString)
+  }
 }
