@@ -466,6 +466,63 @@ private[graft] object AdvancedQueries {
              |  TRUE AS within_5pct
              |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // HLL set operations (round-13): distinct-count INTERSECTION and union
+    // between per-type audience sketches via inclusion–exclusion —
+    // |A∩B| ≈ est(A) + est(B) − est(A∪B) — the overlap/reach arithmetic a
+    // union-only sketch family cannot answer directly, computed from the
+    // same mergeable DataSketches HLLs a12 rolls up (lgK=14, rsd≈0.4%, so
+    // the 5%-of-union bound sits at ~7σ of the compounded three-sketch
+    // error). Exact sets replay as one distinct-(type,user) projection
+    // self-joined per pair; bounds are booleans the oracle checks exactly
+    // (the a10/a12 pattern — estimates never cross engines).
+    "a20_hll_set_ops" -> Q(
+      (s, d) => {
+        val tu = TestData.events(s, d)
+          .select(col("event_type").as("t"), col("user_id").as("u")).distinct()
+        val sk = tu.groupBy(col("t"))
+          .agg(expr("hll_sketch_agg(u, 14)").as("sk"),
+            count(lit(1)).as("exact"))
+        val pairs = sk.select(col("t").as("type_a"), col("sk").as("ska"),
+            col("exact").as("exact_a"))
+          .join(sk.select(col("t").as("type_b"), col("sk").as("skb"),
+            col("exact").as("exact_b")), col("type_a") < col("type_b"))
+        val inter = tu.select(col("t").as("type_a"), col("u"))
+          .join(tu.select(col("t").as("type_b"), col("u")), "u")
+          .filter(col("type_a") < col("type_b"))
+          .groupBy(col("type_a"), col("type_b"))
+          .agg(count(lit(1)).as("exact_inter"))
+        pairs.join(inter, Seq("type_a", "type_b"), "left")
+          .withColumn("exact_inter", coalesce(col("exact_inter"), lit(0L)))
+          .withColumn("exact_union",
+            col("exact_a") + col("exact_b") - col("exact_inter"))
+          .withColumn("est_a", expr("hll_sketch_estimate(ska)"))
+          .withColumn("est_b", expr("hll_sketch_estimate(skb)"))
+          .withColumn("est_union",
+            expr("hll_sketch_estimate(hll_union(ska, skb))"))
+          .select(col("type_a"), col("type_b"), col("exact_a"), col("exact_b"),
+            col("exact_inter"), col("exact_union"),
+            (abs(col("est_union") - col("exact_union")) <=
+              col("exact_union") * 0.05).as("union_ok"),
+            (abs(col("est_a") + col("est_b") - col("est_union") -
+              col("exact_inter")) <=
+              col("exact_union") * 0.05).as("inter_ok"))
+          .orderBy(col("type_a"), col("type_b"))
+      },
+      Some("""WITH tu AS (SELECT DISTINCT event_type AS t, user_id AS u
+             |            FROM events),
+             |c AS (SELECT t, count(*) AS ec FROM tu GROUP BY 1),
+             |i AS (SELECT x.t AS type_a, y.t AS type_b, count(*) AS ei
+             |      FROM tu x JOIN tu y ON x.u = y.u AND x.t < y.t
+             |      GROUP BY 1, 2)
+             |SELECT ca.t AS type_a, cb.t AS type_b,
+             |  ca.ec AS exact_a, cb.ec AS exact_b,
+             |  coalesce(ei, 0) AS exact_inter,
+             |  ca.ec + cb.ec - coalesce(ei, 0) AS exact_union,
+             |  TRUE AS union_ok, TRUE AS inter_ok
+             |FROM c ca JOIN c cb ON ca.t < cb.t
+             |LEFT JOIN i ON i.type_a = ca.t AND i.type_b = cb.t
+             |ORDER BY type_a, type_b""".stripMargin)),
+
     // HLL sketch (approx_count_distinct): estimator internals are
     // engine-specific, so the oracle checks the bounded-relative-error
     // claim (|approx − exact| ≤ 5% · exact) as an exact boolean — the

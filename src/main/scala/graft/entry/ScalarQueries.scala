@@ -771,6 +771,41 @@ private[graft] object ScalarQueries {
              |SELECT doc_id, source, CAST(unnest(range(n)) AS INT) AS "__copy"
              |FROM c WHERE n > 0 ORDER BY doc_id, "__copy" """.stripMargin)),
 
+    // Budgeted target-proportion mix (round-13): "rebalance the corpus to
+    // 40% src0 / 25% src1 / 10% src2 at its own size" — rates solve to
+    // total·p_s/n_s per source (thinning below 1, epoch replication above),
+    // broadcast back by source; unlisted sources drop. Oracle replays the
+    // count → rate → floor+Bernoulli → unnest(range) chain exactly.
+    "cu_target_mix" -> Q(
+      (s, d) => {
+        val docs = T(s, d, "documents").select(col("doc_id"), col("source"))
+        // corpus size as the budget: a bounded driver scalar (one count),
+        // so the same proportions exercise both thinning and replication
+        // at every SF
+        val n = docs.count()
+        graft.ops.Curation.targetMix(docs, "doc_id", "source",
+            targets = Map("src0" -> 0.4, "src1" -> 0.25, "src2" -> 0.1),
+            totalRows = n)
+          .orderBy(col("doc_id"), col("__copy"))
+      },
+      Some("""WITH tot AS (SELECT count(*) AS total FROM documents),
+             |c AS (SELECT source, count(*) AS ns FROM documents GROUP BY 1),
+             |r AS (SELECT source, round(total *
+             |        CASE source WHEN 'src0' THEN 0.4 WHEN 'src1' THEN 0.25
+             |                    WHEN 'src2' THEN 0.1 ELSE 0.0 END / ns, 6)
+             |        AS "__rate"
+             |      FROM c, tot),
+             |b AS (SELECT doc_id, d.source, "__rate",
+             |        CAST(floor("__rate") + CASE WHEN
+             |          CAST(('0x' || substr(md5('tmix|' || doc_id), 1, 15))
+             |            AS BIGINT) % 10000 / 10000.0
+             |            < "__rate" - floor("__rate")
+             |          THEN 1 ELSE 0 END AS INT) AS nc
+             |      FROM documents d JOIN r USING (source))
+             |SELECT doc_id, source, "__rate",
+             |  CAST(unnest(range(nc)) AS INT) AS "__copy"
+             |FROM b WHERE nc > 0 ORDER BY doc_id, "__copy" """.stripMargin)),
+
     // dataset-card generator (round-11): the per-source summary a curation
     // run publishes alongside the corpus — doc/token/char volumes, corpus
     // share, mean entropy, language spread and majority language. One

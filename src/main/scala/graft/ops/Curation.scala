@@ -109,6 +109,54 @@ object Curation {
   }
 
   /**
+   * Budgeted target-proportion mixing — "make me a `totalRows`-example
+   * corpus that is 40% src0, 25% src1, …": the mixing verb a training-mix
+   * spec states directly, where [[weightedMix]] wants per-source RATES
+   * and [[temperatureMix]] a smoothing exponent. Each source's rate
+   * solves to totalRows·p_s/n_s — BELOW 1 it thins like weightedMix,
+   * ABOVE 1 it replicates epoch-style like [[oversample]] (floor copies +
+   * deterministic hash-Bernoulli remainder), so the expected per-source
+   * output is exactly totalRows·p_s whether the source is over- or
+   * under-supplied. Sources not named in `targets` get proportion 0 and
+   * drop out.
+   *
+   * Scale shape: the only aggregation is the per-source count (one
+   * map-side-combined groupBy over a 2-column projection); the rates ride
+   * back on a BROADCAST join keyed by source (a source-count-sized
+   * dimension, never the corpus), and the replication is the same single
+   * explode(sequence) on the scan as oversample — no corpus shuffle
+   * anywhere. Rates are rounded to 6dp so the Bernoulli boundary against
+   * the 1e-4 uniform grid replays identically on any engine. Output: the
+   * input columns + (__rate, __copy) with `__copy` = 0 for the original.
+   */
+  def targetMix(df: DataFrame, idCol: String, sourceCol: String,
+                targets: Map[String, Double], totalRows: Long,
+                salt: String = "tmix"): DataFrame = {
+    require(targets.nonEmpty && targets.values.forall(_ >= 0.0),
+      "target proportions must be non-negative")
+    require(targets.values.sum <= 1.0 + 1e-9,
+      s"target proportions must sum to <= 1, got ${targets.values.sum}")
+    require(totalRows > 0, s"totalRows must be positive, got $totalRows")
+    val tgt = targets.foldLeft(lit(0.0)) { case (acc, (src, p)) =>
+      when(col("__src") === src, lit(p)).otherwise(acc)
+    }
+    val rates = df.groupBy(col(sourceCol).as("__src"))
+      .agg(count(lit(1)).as("__n"))
+      .withColumn("__rate",
+        round(lit(totalRows.toDouble) * tgt / col("__n"), 6))
+      .select(col("__src"), col("__rate"))
+    val copies = (floor(col("__rate")) +
+      when(hashUniform(col(idCol), salt) <
+        (col("__rate") - floor(col("__rate"))), 1).otherwise(0))
+      .cast("int")
+    df.join(broadcast(rates), col(sourceCol) === col("__src"))
+      .withColumn("__nc", copies)
+      .filter(col("__nc") > 0)
+      .withColumn("__copy", explode(sequence(lit(0), col("__nc") - 1)))
+      .drop("__src", "__nc")
+  }
+
+  /**
    * Deterministic train/val/test assignment: the portable uniform of the
    * row id lands in cumulative-weight intervals. A row's split is a pure
    * function of (salt, id) — stable under reruns, backfills, and engine

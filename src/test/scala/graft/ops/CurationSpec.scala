@@ -170,6 +170,34 @@ class CurationSpec extends AnyFunSuite {
     assert(rerun == out.map(t => (t._1, t._3)).toSet)
   }
 
+  test("targetMix: exact integer rates hit the budgeted proportions, unlisted sources drop") {
+    // 100 min + 100 maj rows; budget 400 at {min: 0.75, maj: 0.25} →
+    // rate(min) = 3.0 (exact replication ×3), rate(maj) = 1.0 (keep all);
+    // an unlisted third source vanishes
+    val df = ((1L to 100L).map((_, "min")) ++ (101L to 200L).map((_, "maj")) ++
+      (201L to 210L).map((_, "other"))).toDF("id", "src")
+    val out = Curation.targetMix(df, "id", "src",
+      targets = Map("min" -> 0.75, "maj" -> 0.25), totalRows = 400L)
+    val bySrc = out.groupBy("src").count().as[(String, Long)].collect().toMap
+    assert(bySrc == Map("min" -> 300L, "maj" -> 100L), bySrc.toString)
+    // copies are numbered 0..2 per min row
+    val copies = out.filter(col("src") === "min").groupBy("id").count()
+      .as[(Long, Long)].collect()
+    assert(copies.forall(_._2 == 3L), copies.take(3).mkString(","))
+    // fractional rates: expected output ±  deterministic under rerun
+    val frac = Curation.targetMix(df, "id", "src",
+      targets = Map("min" -> 0.375), totalRows = 400L) // rate 1.5
+    val n1 = frac.count()
+    assert(n1 > 100 && n1 < 200, n1.toString) // 100 originals + ~50 bernoulli
+    assert(frac.count() == n1) // deterministic
+    // thinning branch: rate < 1 behaves like weightedMix
+    val thin = Curation.targetMix(df, "id", "src",
+      targets = Map("maj" -> 0.125), totalRows = 400L) // rate 0.5
+    val n2 = thin.count()
+    assert(n2 > 25 && n2 < 75, n2.toString)
+    assert(thin.select("__copy").distinct().as[Int].collect().toSeq == Seq(0))
+  }
+
   test("interleave: a NULL id fails fast with a named error, never a silent drop") {
     // pre-fix, the inner join-back by id silently dropped NULL-id rows from
     // the output (round-12 advisor item); now the hash guard raises
