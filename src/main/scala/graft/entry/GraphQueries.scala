@@ -96,6 +96,9 @@ private[graft] object GraphQueries {
             col("o_custkey") === col("c_custkey"))
           .groupBy(col("a"), col("b")).agg(count(lit(1)).as("n"))
           .filter(col("a") =!= col("b"))
+          // nation-pair-sized frame consumed twice (average + filter):
+          // checkpoint so the lineitem join chain runs once
+          .localCheckpoint()
         val edges = pairs
           .join(broadcast(pairs.agg(avg(col("n")).as("nbar"))), lit(true))
           .filter(col("n") > col("nbar"))

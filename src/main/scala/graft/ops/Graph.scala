@@ -376,17 +376,24 @@ object Graph {
   }
 
   /** Out-degree / in-degree / total per node — the profile that sizes skew
-    * (a hot node is a skewed join key in every traversal). */
-  def degrees(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
-    val out = edges.groupBy(col(srcCol).as("node")).agg(count(lit(1)).as("out_deg"))
-    val in = edges.groupBy(col(dstCol).as("node")).agg(count(lit(1)).as("in_deg"))
-    out.join(in, Seq("node"), "full_outer")
-      .select(col("node"),
-        coalesce(col("out_deg"), lit(0L)).as("out_deg"),
-        coalesce(col("in_deg"), lit(0L)).as("in_deg"),
-        (coalesce(col("out_deg"), lit(0L)) + coalesce(col("in_deg"), lit(0L)))
-          .as("degree"))
-  }
+    * (a hot node is a skewed join key in every traversal).
+    *
+    * One pass: each edge explodes into its two (node, role) halves and a
+    * single grouped sum folds both degrees — ONE scan of the edge frame,
+    * ONE shuffle, no join. The former per-side-aggregate + full-outer
+    * shape evaluated the edge lineage twice (at 100 TB that is two reads
+    * of the edge table; on the bench backbone it recomputed the 5-way
+    * lineitem join chain twice — the round-12 g4 watch item) and paid a
+    * third exchange for the join; zero-fill now falls out of the sums. */
+  def degrees(edges: DataFrame, srcCol: String, dstCol: String): DataFrame =
+    edges
+      .select(explode(array(
+        struct(col(srcCol).as("node"), lit(1L).as("o"), lit(0L).as("i")),
+        struct(col(dstCol).as("node"), lit(0L).as("o"), lit(1L).as("i")))).as("x"))
+      .select(col("x.node").as("node"), col("x.o").as("o"), col("x.i").as("i"))
+      .groupBy(col("node"))
+      .agg(sum(col("o")).as("out_deg"), sum(col("i")).as("in_deg"),
+        count(lit(1)).as("degree"))
 
   /**
    * Link prediction over the undirected graph: for every NON-adjacent
@@ -411,11 +418,18 @@ object Graph {
    */
   def linkPrediction(edges: DataFrame, srcCol: String, dstCol: String,
                      maxDegree: Int = 10000, minCommon: Long = 1): DataFrame = {
+    // the canonical edge set feeds SIX downstream consumers (adjacency ×2,
+    // degree ×3 through adj, the LeftAnti) — eagerly localCheckpoint it so
+    // the caller's edge lineage (often a multi-join chain) runs ONCE and
+    // every consumer reads edge-sized blocks (the pageRank/CC discipline;
+    // blocks are reclaimed by the context cleaner when the frame is
+    // unreachable)
     val und = edges
       .select(least(col(srcCol), col(dstCol)).as("a"),
         greatest(col(srcCol), col(dstCol)).as("b"))
       .filter(col("a") =!= col("b"))
       .distinct()
+      .localCheckpoint()
     val adj = und.select(col("a").as("node"), col("b").as("nbr"))
       .unionByName(und.select(col("b").as("node"), col("a").as("nbr")))
     val deg = adj.groupBy(col("node")).agg(count(lit(1)).as("deg"))
