@@ -489,6 +489,31 @@ private[graft] object StoreQueries {
              |FROM orders WHERE o_orderkey < 3000
              |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // Per-file bloom sidecars (round-13): the point-lookup index beyond
+    // min/max — three stat-LESS appends (bounds cannot prune), sidecars
+    // built post-commit, then a present + an absent id lookup. Oracle is
+    // the plain source-table equality; the pruning proof (≤ one file's
+    // records read, 0 for an absent key) lives in SnapshotsSpec.
+    "snap_point_bloom" -> Q(
+      (s, d) => {
+        import graft.store.Snapshots
+        val root = FixtureRoot.fresh("snapbloom")
+        val base = root + "/t"
+        val docs = T(s, d, "documents")
+          .select(col("doc_id"), col("source"), col("n_chars"))
+        Snapshots.write(docs.filter(col("doc_id") % 3 === 0).repartition(2), base)
+        Snapshots.append(docs.filter(col("doc_id") % 3 === 1).repartition(2), base)
+        Snapshots.append(docs.filter(col("doc_id") % 3 === 2).repartition(2), base)
+        val built = Snapshots.writeBloomSidecars(s, base, "doc_id",
+          expectedItems = 100000L)
+        Snapshots.pointLookup(s, base, "doc_id", 123L)
+          .unionByName(Snapshots.pointLookup(s, base, "doc_id", -1L))
+          .withColumn("built_all", lit(built >= 3))
+          .orderBy(col("doc_id"))
+      },
+      Some("""SELECT doc_id, source, n_chars, TRUE AS built_all
+             |FROM documents WHERE doc_id = 123 ORDER BY doc_id""".stripMargin)),
+
     "snap_stream_wap" -> Q(
       (s, d) => {
         import graft.store.Snapshots

@@ -576,6 +576,136 @@ object Snapshots {
     frame.filter(predicate)
   }
 
+  // ─── Per-file bloom sidecars: point-lookup pruning beyond min/max ───────
+
+  private[store] val BloomSuffix = ".bloom"
+
+  /** A file survives a sweep if a manifest references it — or if it is a
+    * bloom sidecar whose DATA file is referenced: sidecars are not
+    * manifest-listed (they are derived indexes, not data), so they live
+    * and die with their file across every expiry/vacuum path. */
+  private def protectedBy(referenced: Set[String])(rel: String): Boolean =
+    referenced(rel) ||
+      (rel.endsWith(BloomSuffix) && referenced(rel.stripSuffix(BloomSuffix)))
+
+  /** Per-file bloom aggregator. Keys are canonicalized to their string
+    * form — the same canon the manifest min/max stats use — so the build
+    * and probe sides agree for any key type. */
+  private class BloomAgg(expected: Long, fpp: Double)
+      extends org.apache.spark.sql.expressions.Aggregator[
+        String, org.apache.spark.util.sketch.BloomFilter, Array[Byte]] {
+    import org.apache.spark.util.sketch.BloomFilter
+    def zero: BloomFilter = BloomFilter.create(expected, fpp)
+    def reduce(b: BloomFilter, a: String): BloomFilter = {
+      if (a != null) b.putString(a)
+      b
+    }
+    def merge(x: BloomFilter, y: BloomFilter): BloomFilter = {
+      x.mergeInPlace(y); x
+    }
+    def finish(b: BloomFilter): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      b.writeTo(bos)
+      bos.toByteArray
+    }
+    def bufferEncoder: org.apache.spark.sql.Encoder[BloomFilter] =
+      org.apache.spark.sql.Encoders.javaSerialization[BloomFilter]
+    def outputEncoder: org.apache.spark.sql.Encoder[Array[Byte]] =
+      org.apache.spark.sql.Encoders.BINARY
+  }
+
+  /**
+   * Build `<file>.bloom` sidecars for every data file of `version` (latest
+   * when None) that does not have one yet — the point-lookup index beyond
+   * min/max stats. Manifest bounds prune RANGE queries well only when
+   * files are range-clustered on the key; a high-cardinality id looked up
+   * against a time-partitioned 100 TB table survives bounds-pruning in
+   * almost every file, and THAT is the case a per-file bloom kills: the
+   * probe then opens ~fpp·|files| + 1 files instead of all of them
+   * (Iceberg stores the same structure as puffin blooms; Delta as its
+   * bloom index files).
+   *
+   * One scan of exactly the sidecar-less files builds every bloom
+   * map-side (grouped by `input_file_name`); results stream back via
+   * `toLocalIterator` (one sidecar in driver memory at a time, never the
+   * fleet) and each sidecar lands with a tmp-write + atomic rename.
+   * Idempotent; new appends only build their delta (inherited files
+   * already carry sidecars). Unreadable/half-written sidecars are treated
+   * as missing by [[pointLookup]] — conservative, never wrong. Size the
+   * filter with `expectedItems` ≈ rows per file; 1M keys at fpp 0.01 is
+   * ~1.2 MB per sidecar.
+   */
+  def writeBloomSidecars(spark: SparkSession, base: String, key: String,
+                         version: Option[Long] = None,
+                         expectedItems: Long = 1000000L,
+                         fpp: Double = 0.01): Int = {
+    import org.apache.spark.sql.functions.{col, input_file_name, udaf}
+    val f = fs(spark, base)
+    val vs = versions(spark, base)
+    require(vs.nonEmpty, s"no snapshots under $base")
+    val v = version.getOrElse(vs.last)
+    require(vs.contains(v), s"version $v not in $vs")
+    val missing = manifestFiles(spark, base, v)
+      .filterNot(rel => f.exists(new Path(s"$base/$rel$BloomSuffix")))
+    if (missing.isEmpty) return 0
+    val bloomOf = udaf(new BloomAgg(expectedItems, fpp))
+    val it = spark.read.option("mergeSchema", true)
+      .parquet(missing.map(rel => s"$base/$rel"): _*)
+      .select(input_file_name().as("__f"), col(key).cast("string").as("__k"))
+      .groupBy(col("__f")).agg(bloomOf(col("__k")).as("__b"))
+      .toLocalIterator()
+    var written = 0
+    while (it.hasNext) {
+      val r = it.next()
+      val p = new Path(r.getString(0))
+      val rel = s"${p.getParent.getName}/${p.getName}"
+      val dest = new Path(s"$base/$rel$BloomSuffix")
+      val tmp = new Path(s"$base/$rel$BloomSuffix.tmp")
+      val out = f.create(tmp, true)
+      try out.write(r.getAs[Array[Byte]](1)) finally out.close()
+      if (f.rename(tmp, dest)) written += 1 else f.delete(tmp, false)
+    }
+    written
+  }
+
+  /**
+   * Point lookup with three-stage pruning: manifest min/max bounds first
+   * (free), then each surviving file's bloom sidecar (one small driver
+   * read per candidate — metadata-scale, proportional to the
+   * bounds-survivors, not the table), then the residual equality pushed
+   * into the parquet scan of the files both filters admit. Result is
+   * identical to `read().filter(col(key) === value)` — a bloom only ever
+   * says "definitely absent", a missing/unreadable sidecar admits the
+   * file, and fpp false positives die in the residual filter. `value` is
+   * canonicalized with the same string form the build side used; intended
+   * for integral and string keys (the id-lookup case).
+   */
+  def pointLookup(spark: SparkSession, base: String, key: String, value: Any,
+                  version: Option[Long] = None): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val f = fs(spark, base)
+    val pred = col(key) === lit(value)
+    val (candidates, _) = scanPlan(spark, base, pred, version)
+    val canon = String.valueOf(value)
+    val survivors = candidates.filter { e =>
+      val sc = new Path(s"$base/${e.path}$BloomSuffix")
+      scala.util.Try {
+        if (!f.exists(sc)) true
+        else {
+          val in = f.open(sc)
+          try org.apache.spark.util.sketch.BloomFilter.readFrom(in)
+            .mightContainString(canon)
+          finally in.close()
+        }
+      }.getOrElse(true)
+    }
+    val frame =
+      if (survivors.isEmpty) read(spark, base, version).limit(0)
+      else spark.read.schema(read(spark, base, version).schema)
+        .parquet(survivors.map(e => s"$base/${e.path}"): _*)
+    frame.filter(pred)
+  }
+
   /**
    * Incremental append scan (Iceberg's incremental read between
    * snapshots): exactly the rows APPENDED after `sinceVersion`, read from
@@ -805,7 +935,8 @@ object Snapshots {
       val dir = new Path(s"$base/$dirName")
       if (f.exists(dir)) {
         f.listStatus(dir).toSeq
-          .filterNot(st => referenced(s"$dirName/${st.getPath.getName}"))
+          .filterNot(st => protectedBy(referenced)(
+            s"$dirName/${st.getPath.getName}"))
           .foreach(st => f.delete(st.getPath, true))
         if (f.listStatus(dir).isEmpty) f.delete(dir, true)
       }
@@ -858,7 +989,8 @@ object Snapshots {
         if (f.exists(dir))
           f.listStatus(dir).toSeq.map(st => s"v=$v/${st.getPath.getName}")
         else Seq.empty
-      (own ++ droppedEntries(v)).distinct.filterNot(referenced).foreach { rel =>
+      (own ++ droppedEntries(v)).distinct
+        .filterNot(protectedBy(referenced)).foreach { rel =>
         val p = new Path(s"$base/$rel")
         if (f.exists(p)) f.delete(p, true)
         touchedDirs += rel.takeWhile(_ != '/')
@@ -1212,7 +1344,8 @@ object Snapshots {
           // logged by tolerateVanished (round-8 advisor items).
           val v = d.getName
           val removed = f.listStatus(d).toSeq
-            .filterNot(st => referenced(s"$v/${st.getPath.getName}") ||
+            .filterNot(st => protectedBy(referenced)(
+              s"$v/${st.getPath.getName}") ||
               st.getPath.getName == "_manifest")
             .flatMap { st =>
               if (tolerateVanished(s"delete ${st.getPath}", false)(
@@ -1302,7 +1435,8 @@ object Snapshots {
         else tolerateVanished(s"branch-dir pass on $d", Seq.empty[String]) {
           val dirName = d.getName
           val removed = f.listStatus(d).toSeq
-            .filterNot(st => referenced(s"$dirName/${st.getPath.getName}"))
+            .filterNot(st => protectedBy(referenced)(
+              s"$dirName/${st.getPath.getName}"))
             .flatMap { st =>
               if (tolerateVanished(s"delete ${st.getPath}", false)(
                   f.delete(st.getPath, true)))

@@ -559,6 +559,71 @@ class SnapshotsSpec extends AnyFunSuite {
     assert(Snapshots.scanWhere(spark, base, col("id") > 100 && col("id") < 200).isEmpty)
   }
 
+  test("bloom sidecars: point lookups open ~one file, sweeps keep sidecars alive with their file") {
+    val base = java.nio.file.Files.createTempDirectory("graft-snap").toString + "/t"
+    def slice(lo: Long, hi: Long) =
+      (lo to hi).map(i => (i, s"r$i")).toDF("id", "s").coalesce(1)
+    // NO statsKey anywhere: min/max bounds cannot prune, the blooms do all
+    // the work — isolating what the sidecar buys
+    Snapshots.write(slice(1, 10), base)
+    Snapshots.append(slice(11, 20), base)
+    Snapshots.append(slice(21, 30), base)
+    assert(Snapshots.writeBloomSidecars(spark, base, "id",
+      expectedItems = 100) == 3)
+    assert(Snapshots.writeBloomSidecars(spark, base, "id",
+      expectedItems = 100) == 0) // idempotent: inherited files covered
+    // lookup equals the full-scan filter
+    assert(Snapshots.pointLookup(spark, base, "id", 15L)
+      .as[(Long, String)].collect().toSet == Set((15L, "r15")))
+    // and provably opens ~one file
+    val reads = recordsReadDuring {
+      Snapshots.pointLookup(spark, base, "id", 15L).count()
+    }
+    assert(reads <= 10, s"bloom-pruned lookup read $reads records")
+    // an absent key reads ZERO data records — every bloom says no
+    val reads0 = recordsReadDuring {
+      Snapshots.pointLookup(spark, base, "id", 999L).count()
+    }
+    assert(reads0 == 0, s"absent-key lookup read $reads0 records")
+    // a sidecar-less append is admitted conservatively; results stay exact
+    Snapshots.append(slice(31, 40), base)
+    assert(Snapshots.pointLookup(spark, base, "id", 35L).count() == 1)
+    assert(Snapshots.pointLookup(spark, base, "id", 15L)
+      .as[(Long, String)].collect().toSet == Set((15L, "r15")))
+    // a corrupt sidecar admits its file (conservative), never errors
+    val f = new java.io.File(base)
+    def bloomFiles = Option(f.listFiles).getOrElse(Array.empty).flatMap(d =>
+      Option(d.listFiles).getOrElse(Array.empty))
+      .filter(_.getName.endsWith(".bloom"))
+    val victim = bloomFiles.head
+    java.nio.file.Files.write(victim.toPath, Array[Byte](1, 2, 3))
+    assert(Snapshots.read(spark, base).count() == 40)
+    assert(Snapshots.pointLookup(spark, base, "id", 15L).count() == 1)
+    // expiry after a full rewrite sweeps sidecars WITH their data files —
+    // no .bloom orphans survive their file
+    Snapshots.write(slice(100, 101), base)
+    Snapshots.expire(spark, base, keep = 1)
+    assert(bloomFiles.isEmpty,
+      s"orphan sidecars survived expiry: ${bloomFiles.mkString(",")}")
+  }
+
+  test("bloom sidecars survive expiry while a surviving manifest references their file") {
+    val base = java.nio.file.Files.createTempDirectory("graft-snap").toString + "/t"
+    def slice(lo: Long, hi: Long) =
+      (lo to hi).map(i => (i, s"r$i")).toDF("id", "s").coalesce(1)
+    Snapshots.write(slice(1, 10), base)
+    Snapshots.writeBloomSidecars(spark, base, "id", expectedItems = 100)
+    Snapshots.append(slice(11, 20), base) // v2 inherits v1's file
+    Snapshots.writeBloomSidecars(spark, base, "id", expectedItems = 100)
+    Snapshots.expire(spark, base, keep = 1) // drops v1; its FILE is shared
+    // the shared file's sidecar must still prune
+    val reads = recordsReadDuring {
+      Snapshots.pointLookup(spark, base, "id", 5L).count()
+    }
+    assert(reads <= 10, s"shared-file sidecar lost: read $reads records")
+    assert(Snapshots.pointLookup(spark, base, "id", 5L).count() == 1)
+  }
+
   test("scanWhere resolves under schema evolution when no candidate file has the column") {
     val base = java.nio.file.Files.createTempDirectory("graft-snap").toString + "/t"
     Snapshots.write((1L to 10L).map(i => (i, s"r$i")).toDF("id", "s").coalesce(1),
