@@ -928,6 +928,36 @@ private[graft] object CoreQueries {
              |SELECT vec_id, round(s, 6) AS score FROM topk WHERE s >= 0.0
              |ORDER BY score DESC, vec_id""".stripMargin)),
 
+    // Batch KNN join (round-13): 20 query vectors × the rest of the corpus
+    // in ONE corpus scan — broadcast query batch, codegen'd cosine,
+    // rank-≤-k window (WindowGroupLimit prunes map-side). Oracle replays
+    // the |Q|×|C| score matrix exactly via the v3 unnest-to-double chain.
+    "v11_knn_join" -> Q(
+      (s, d) => {
+        val emb = TestData.embeddings(s, d).filter(col("embedding").isNotNull)
+        Rag.knnJoin(
+            emb.filter(col("vec_id") < 20), "vec_id", "embedding",
+            emb.filter(col("vec_id") >= 20), "vec_id", "embedding", k = 5)
+          .orderBy(col("query_id"), col("rank"))
+      },
+      Some("""WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+             |           FROM embeddings WHERE vec_id < 20 AND embedding IS NOT NULL),
+             |c AS (SELECT vec_id, embedding FROM embeddings
+             |      WHERE vec_id >= 20 AND embedding IS NOT NULL),
+             |pairs AS (SELECT q.query_id, c.vec_id,
+             |            unnest(c.embedding)::DOUBLE AS x,
+             |            unnest(q.qv)::DOUBLE AS y
+             |          FROM c, q),
+             |scores AS (SELECT query_id, vec_id,
+             |             round(SUM(x*y) / (SQRT(SUM(x*x)) * SQRT(SUM(y*y))), 6) AS score
+             |           FROM pairs GROUP BY 1, 2),
+             |ranked AS (SELECT query_id, vec_id, score,
+             |             CAST(row_number() OVER (PARTITION BY query_id
+             |               ORDER BY score DESC, vec_id) AS INT) AS rank
+             |           FROM scores WHERE score IS NOT NULL)
+             |SELECT query_id, vec_id, score, rank FROM ranked WHERE rank <= 5
+             |ORDER BY query_id, rank""".stripMargin)),
+
     // Matryoshka-style truncated retrieval (round-12): cosine over the
     // FIRST 16 of 64 dims — the MRL cost dial (4x less arithmetic and
     // index memory per probe; with MRL-trained embeddings the prefix is

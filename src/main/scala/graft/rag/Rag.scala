@@ -47,6 +47,42 @@ object Rag {
       .filter(col("score") >= minScore)
 
   /**
+   * Batch top-k cosine JOIN: every row of `queries` gets its `k` nearest
+   * rows of `corpus` — the many-queries-at-once retrieval shape (eval-set
+   * scoring, semdedup seeding, recommendation batch fill) where [[knn]]
+   * serves a single vector.
+   *
+   * Scale shape: the query batch is BOUNDED by contract and broadcasts;
+   * the corpus scans ONCE with the codegen'd cosine scoring |Q| columns
+   * per row, and the per-query top-k is a rank-≤-k window over query_id —
+   * Spark's WindowGroupLimit prunes it map-side, so each task forwards at
+   * most |Q|·k rows into the single query-keyed exchange (never the
+   * |Q|·|C| score matrix). Ranking is on the 6dp-rounded score with id
+   * tie-break, making the result (and the cross-engine hash) exact.
+   * Null/zero-norm/mismatched vectors score null and are dropped before
+   * ranking on both sides.
+   */
+  def knnJoin(queries: DataFrame, qIdCol: String, qVecCol: String,
+              corpus: DataFrame, cIdCol: String, cVecCol: String,
+              k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    GraftFunctions.register(queries.sparkSession)
+    val q = queries.select(col(qIdCol).as("query_id"), col(qVecCol).as("__qv"))
+      .filter(col("__qv").isNotNull)
+    corpus
+      .filter(col(cVecCol).isNotNull)
+      .join(org.apache.spark.sql.functions.broadcast(q), lit(true))
+      .withColumn("score",
+        round(GraftFunctions.cosineSim(col(cVecCol), col("__qv")), 6))
+      .filter(col("score").isNotNull)
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("score").desc, col(cIdCol))))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col(cIdCol), col("score"), col("rank"))
+  }
+
+  /**
    * SQ8 (scalar int8 quantization) approximate top-k: every vector is
    * quantized to int8 with a per-vector scale (max|x|/127), and cosine is
    * computed ENTIRELY in the quantized domain — per-vector scales cancel

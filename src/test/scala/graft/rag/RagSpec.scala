@@ -174,4 +174,31 @@ class RagSpec extends AnyFunSuite {
     assert(Rag.recallAtK(lst(1), exact, "vec_id", 5)
       .as[(Long, Double)].head() == ((1L, 0.2)))
   }
+
+  test("knnJoin: each query gets its own planted nearest, nulls dropped, map-side group limit") {
+    // orthogonal-ish plant: q1 ≈ c10, q2 ≈ c20; c30 is noise, c40 null
+    val queries = Seq(
+      (1L, Seq(1f, 0f, 0f)), (2L, Seq(0f, 1f, 0f))).toDF("qid", "qv")
+    val corpus = Seq(
+      (10L, Some(Seq(0.9f, 0.1f, 0f))), (20L, Some(Seq(0.1f, 0.9f, 0f))),
+      (30L, Some(Seq(0.5f, 0.5f, 0.7f))), (40L, Option.empty[Seq[Float]]))
+      .toDF("cid", "cv")
+      .withColumn("cv", col("cv").cast("array<float>"))
+    val qf = queries.withColumn("qv", col("qv").cast("array<float>"))
+    val out = Rag.knnJoin(qf, "qid", "qv", corpus, "cid", "cv", k = 1)
+      .select("query_id", "cid", "rank").as[(Long, Long, Int)].collect().toSet
+    assert(out == Set((1L, 10L, 1), (2L, 20L, 1)), out.toString)
+    // k larger than the non-null corpus: 3 rows per query, ranked densely
+    val all = Rag.knnJoin(qf, "qid", "qv", corpus, "cid", "cv", k = 10)
+    assert(all.groupBy("query_id").count().as[(Long, Long)].collect().toMap
+      == Map(1L -> 3L, 2L -> 3L))
+    // the per-query top-k is a WindowGroupLimit (map-side heap), and the
+    // query batch rides a broadcast, never a shuffle of the corpus. Assert
+    // on the k=1 frame: with a k ≥ known-maxRows local fixture Spark
+    // rightly skips the group limit as useless, which the k=10 frame hits
+    val plan = Rag.knnJoin(qf, "qid", "qv", corpus, "cid", "cv", k = 1)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), plan)
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
 }
