@@ -489,6 +489,37 @@ private[graft] object StoreQueries {
              |FROM orders WHERE o_orderkey < 3000
              |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // Merge-on-read delete (round-13): Iceberg-v2-style positional delete
+    // file committed WITHOUT rewriting data files, then materialized
+    // (affected-file-only rewrite). The key checks BOTH read paths — the
+    // anti-join read under a pending delete and the folded read after
+    // materializeDeletes — against the same relational oracle, plus their
+    // agreement as a boolean.
+    "snap_mor_delete" -> Q(
+      (s, d) => {
+        import graft.store.Snapshots
+        val root = FixtureRoot.fresh("snapmor")
+        val base = root + "/t"
+        val docs = T(s, d, "documents")
+          .select(col("doc_id"), col("source"), col("n_chars"))
+        Snapshots.write(docs.filter(col("doc_id") % 2 === 0).repartition(2),
+          base, statsKey = Some("doc_id"))
+        Snapshots.append(docs.filter(col("doc_id") % 2 === 1).repartition(2),
+          base, statsKey = Some("doc_id"))
+        Snapshots.deleteWhereMoR(s, base, col("doc_id") % 5 === 0)
+        val pending = Snapshots.read(s, base)
+          .agg(count(lit(1)), sum(col("doc_id"))).head()
+        Snapshots.materializeDeletes(s, base, statsKey = Some("doc_id"))
+        val folded = Snapshots.read(s, base)
+          .agg(count(lit(1)), sum(col("doc_id"))).head()
+        Snapshots.read(s, base)
+          .withColumn("paths_agree", lit(pending == folded))
+          .orderBy(col("doc_id"))
+      },
+      Some("""SELECT doc_id, source, n_chars, TRUE AS paths_agree
+             |FROM documents WHERE doc_id % 5 <> 0
+             |ORDER BY doc_id""".stripMargin)),
+
     // Per-file bloom sidecars (round-13): the point-lookup index beyond
     // min/max — three stat-LESS appends (bounds cannot prune), sidecars
     // built post-commit, then a present + an absent id lookup. Oracle is

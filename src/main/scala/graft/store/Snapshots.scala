@@ -103,14 +103,21 @@ object Snapshots {
    * files as a METADATA operation instead of a full table scan.
    */
   final case class ManifestEntry(line: String, path: String,
-      stats: Option[(String, String, String, String)])
+      stats: Option[(String, String, String, String)],
+      isDelete: Boolean = false)
 
   private def parseEntry(line: String): ManifestEntry = {
+    if (line.startsWith("D:"))
+      return ManifestEntry(line, line.drop(2), None, isDelete = true)
     val parts = line.split('\t')
     if (parts.length == 5)
       ManifestEntry(line, parts(0), Some((parts(1), parts(2), parts(3), parts(4))))
     else ManifestEntry(line, parts(0), None)
   }
+
+  /** (data entries, positional-delete entries) of a manifest line set. */
+  private def splitEntries(lines: Seq[String]): (Seq[ManifestEntry], Seq[ManifestEntry]) =
+    lines.map(parseEntry).partition(!_.isDelete)
 
   /** Raw manifest lines of version `v` (paths + optional key stats). */
   def manifestLines(spark: SparkSession, base: String, v: Long): Seq[String] = {
@@ -478,8 +485,35 @@ object Snapshots {
     require(vs.nonEmpty, s"no snapshots under $base")
     val v = version.getOrElse(vs.last)
     require(vs.contains(v), s"version $v not in $vs")
-    val files = manifestFiles(spark, base, v).map(rel => s"$base/$rel")
-    spark.read.option("mergeSchema", true).parquet(files: _*)
+    val (data, dels) = splitEntries(manifestLines(spark, base, v))
+    val frame = spark.read.option("mergeSchema", true)
+      .parquet(data.map(e => s"$base/${e.path}"): _*)
+    applyDeletes(spark, base, frame, dels)
+  }
+
+  /**
+   * Anti-join `frame`'s rows against the version's positional delete
+   * files (merge-on-read): each delete file lists (file, pos) pairs keyed
+   * by the data file's manifest-relative path and parquet row index, the
+   * same identity Iceberg v2 positional deletes use. No deletes → the
+   * frame passes through untouched (zero overhead for copy-on-write
+   * tables). The join keys on (file, pos), so at scale it is a hash join
+   * against a delete set that is small relative to the data by
+   * construction — AQE broadcasts it whenever it fits.
+   */
+  private def applyDeletes(spark: SparkSession, base: String,
+                           frame: DataFrame,
+                           dels: Seq[ManifestEntry]): DataFrame = {
+    if (dels.isEmpty) return frame
+    import org.apache.spark.sql.functions.{col, expr}
+    val cols = frame.columns
+    val delDf = spark.read.parquet(dels.map(e => s"$base/${e.path}"): _*)
+      .select(col("file").as("__delf"), col("pos").as("__delp"))
+    frame
+      .withColumn("__delf", expr("substring_index(_metadata.file_path, '/', -2)"))
+      .withColumn("__delp", col("_metadata.row_index"))
+      .join(delDf, Seq("__delf", "__delp"), "left_anti")
+      .select(cols.map(col): _*)
   }
 
   /**
@@ -534,7 +568,9 @@ object Snapshots {
     require(vs.nonEmpty, s"no snapshots under $base")
     val v = version.getOrElse(vs.last)
     require(vs.contains(v), s"version $v not in $vs")
-    val entries = manifestLines(spark, base, v).map(parseEntry)
+    // positional-delete entries are metadata, never scan candidates; the
+    // read-side verbs re-apply them over whatever files survive pruning
+    val (entries, _) = splitEntries(manifestLines(spark, base, v))
     val bounds = boundsOf(read(spark, base, Some(v)), predicate)
     entries.partition(mayMatchBounds(_, bounds))
   }
@@ -562,6 +598,9 @@ object Snapshots {
                 predicate: org.apache.spark.sql.Column,
                 version: Option[Long] = None): DataFrame = {
     val (candidates, _) = scanPlan(spark, base, predicate, version)
+    val vs = versions(spark, base)
+    val v = version.getOrElse(vs.last)
+    val (_, dels) = splitEntries(manifestLines(spark, base, v))
     val frame =
       if (candidates.isEmpty) read(spark, base, version).limit(0)
       else
@@ -571,8 +610,9 @@ object Snapshots {
         // merged-candidates-only schema would fail to resolve the residual
         // filter (AnalysisException) where the documented-equivalent
         // read().filter(predicate) null-fills the column and succeeds.
-        spark.read.schema(read(spark, base, version).schema)
-          .parquet(candidates.map(e => s"$base/${e.path}"): _*)
+        applyDeletes(spark, base,
+          spark.read.schema(read(spark, base, version).schema)
+            .parquet(candidates.map(e => s"$base/${e.path}"): _*), dels)
     frame.filter(predicate)
   }
 
@@ -645,7 +685,7 @@ object Snapshots {
     require(vs.nonEmpty, s"no snapshots under $base")
     val v = version.getOrElse(vs.last)
     require(vs.contains(v), s"version $v not in $vs")
-    val missing = manifestFiles(spark, base, v)
+    val missing = splitEntries(manifestLines(spark, base, v))._1.map(_.path)
       .filterNot(rel => f.exists(new Path(s"$base/$rel$BloomSuffix")))
     if (missing.isEmpty) return 0
     val bloomOf = udaf(new BloomAgg(expectedItems, fpp))
@@ -699,10 +739,13 @@ object Snapshots {
         }
       }.getOrElse(true)
     }
+    val (_, dels) = splitEntries(manifestLines(spark, base,
+      version.getOrElse(versions(spark, base).last)))
     val frame =
       if (survivors.isEmpty) read(spark, base, version).limit(0)
-      else spark.read.schema(read(spark, base, version).schema)
-        .parquet(survivors.map(e => s"$base/${e.path}"): _*)
+      else applyDeletes(spark, base,
+        spark.read.schema(read(spark, base, version).schema)
+          .parquet(survivors.map(e => s"$base/${e.path}"): _*), dels)
     frame.filter(pred)
   }
 
@@ -737,6 +780,10 @@ object Snapshots {
           "read is only defined over append chains, use cdcDiff or a full " +
           "snapshot read instead")
       val newLines = lines.filterNot(prevLines)
+      require(!newLines.exists(_.startsWith("D:")),
+        s"version $v of $base adds a merge-on-read DELETE - not a pure " +
+          "append; run materializeDeletes (or use cdcDiff) before " +
+          "incremental reads")
       prevLines = lines.toSet
       newLines.map(l => parseEntry(l).path)
     }
@@ -900,9 +947,10 @@ object Snapshots {
     require(bvs.nonEmpty, s"no branch '$name' under $base")
     val v = version.getOrElse(bvs.last)
     require(bvs.contains(v), s"branch version $v not in $bvs")
-    val files = branchManifestLines(spark, base, name, v)
-      .map(l => s"$base/${parseEntry(l).path}")
-    spark.read.option("mergeSchema", true).parquet(files: _*)
+    val (data, dels) = splitEntries(branchManifestLines(spark, base, name, v))
+    applyDeletes(spark, base,
+      spark.read.option("mergeSchema", true)
+        .parquet(data.map(e => s"$base/${e.path}"): _*), dels)
   }
 
   /** Fast-forward main to the branch head (Iceberg's publish): commit a
@@ -1036,6 +1084,9 @@ object Snapshots {
     val next = vs.lastOption.getOrElse(0L) + 1
     val prior = vs.lastOption.map(manifestLines(spark, base, _)).getOrElse(Seq.empty)
       .map(parseEntry)
+    require(!prior.exists(_.isDelete),
+      s"pending merge-on-read deletes on $base - run materializeDeletes " +
+        "first (a file-level rewrite would resurrect MoR-deleted rows)")
     // schema-evolution contract: the source may ADD columns (null-filled on
     // kept rows), but must carry every existing table column — a source
     // silently MISSING one would null-wipe that column on every updated
@@ -1191,6 +1242,9 @@ object Snapshots {
     require(vs.nonEmpty, s"no snapshots under $base")
     val next = vs.last + 1
     val prior = manifestLines(spark, base, vs.last).map(parseEntry)
+    require(!prior.exists(_.isDelete),
+      s"pending merge-on-read deletes on $base - run materializeDeletes " +
+        "first (a file-level rewrite would resurrect MoR-deleted rows)")
     val bounds = boundsOf(read(spark, base), predicate)
     val (candidates, pruned) = prior.partition(mayMatchBounds(_, bounds))
     val target =
@@ -1215,6 +1269,97 @@ object Snapshots {
       .drop("__file")
     commitStaged(spark, base, next, inherit.map(_.line),
       dir => kept.write.mode("append").parquet(dir))
+  }
+
+  /**
+   * Merge-on-read DELETE (Iceberg v2 positional deletes / Delta deletion
+   * vectors): instead of rewriting every touched file ([[deleteWhere]]'s
+   * copy-on-write), commit a POSITIONAL DELETE FILE listing the (file,
+   * row-index) pairs the predicate matched, and let readers anti-join it.
+   * At 100 TB this turns "delete 0.1% of rows scattered over 10k files"
+   * from a 10k-file rewrite into one small parquet write — the write cost
+   * is O(matches), the read cost a hash anti-join against a delete set
+   * AQE broadcasts while small. The trade is Iceberg's: reads carry the
+   * join until [[materializeDeletes]] folds deletes into clean files.
+   *
+   * Semantics match [[deleteWhere]] exactly (NULL-predicate rows KEPT;
+   * result of read() identical between the two paths — pinned in
+   * SnapshotsSpec). Bounds-pruning limits the position scan to files the
+   * predicate can touch; a predicate matching nothing returns the current
+   * version untouched. Already-deleted positions may be re-listed
+   * (harmless: the anti-join dedups). The delete set is written as ONE
+   * file per commit (coalesce(1)) — real engines shard per partition;
+   * at one-delete-file-per-commit granularity that simplification caps
+   * commit metadata at one line.
+   *
+   * Every read path honors pending deletes (read/readBranch/readAsOf/
+   * readTag/scanWhere/pointLookup/diff/incrementalAggDelta); file-level
+   * REWRITE verbs (deleteWhere/mergeInto/compact) and the append-chain
+   * reader (appendedSince) FAIL LOUDLY while deletes are pending rather
+   * than resurrect rows — run [[materializeDeletes]] first.
+   */
+  def deleteWhereMoR(spark: SparkSession, base: String,
+                     predicate: org.apache.spark.sql.Column): Long = {
+    import org.apache.spark.sql.functions.{coalesce, col, expr, lit}
+    val vs = versions(spark, base)
+    require(vs.nonEmpty, s"no snapshots under $base")
+    val next = vs.last + 1
+    val priorLines = manifestLines(spark, base, vs.last)
+    val (data, dels) = splitEntries(priorLines)
+    val bounds = boundsOf(read(spark, base), predicate)
+    val cand = data.filter(mayMatchBounds(_, bounds))
+    if (cand.isEmpty) return vs.last
+    val positions = spark.read.schema(read(spark, base).schema)
+      .parquet(cand.map(e => s"$base/${e.path}"): _*)
+      .withColumn("file", expr("substring_index(_metadata.file_path, '/', -2)"))
+      .withColumn("pos", col("_metadata.row_index"))
+      .filter(coalesce(predicate, lit(false)))
+      .select(col("file"), col("pos"))
+    if (positions.isEmpty) return vs.last
+    val vDir = branchDir(None, next)
+    val delName = s"del-${java.util.UUID.randomUUID().toString.take(12)}.parquet"
+    commitStaged(spark, base, next,
+      inherited = priorLines :+ s"D:$vDir/$delName",
+      writeData = dir => {
+        val stage = new Path(s"$dir/_delstage")
+        positions.coalesce(1).write.parquet(stage.toString)
+        val f = fs(spark, base)
+        val part = f.listStatus(stage).toSeq
+          .find(_.getPath.getName.startsWith("part-"))
+          .getOrElse(throw new IllegalStateException(
+            s"no part file in staged delete write under $stage"))
+        require(f.rename(part.getPath, new Path(dir, delName)),
+          s"staging rename of $delName failed")
+        f.delete(stage, true)
+      })
+  }
+
+  /**
+   * Fold pending merge-on-read deletes into clean data files (Iceberg's
+   * `rewrite_position_delete_files` + affected-file rewrite): ONLY files
+   * that actually carry deleted positions are rewritten (with their rows
+   * dropped); untouched files are inherited by reference, manifest-only.
+   * The new version has no delete entries, so the rewrite verbs unlock
+   * and reads shed the anti-join. No pending deletes → no-op, current
+   * version returned.
+   */
+  def materializeDeletes(spark: SparkSession, base: String,
+                         statsKey: Option[String] = None): Long = {
+    val vs = versions(spark, base)
+    require(vs.nonEmpty, s"no snapshots under $base")
+    val priorLines = manifestLines(spark, base, vs.last)
+    val (data, dels) = splitEntries(priorLines)
+    if (dels.isEmpty) return vs.last
+    import org.apache.spark.sql.functions.col
+    val touched = spark.read.parquet(dels.map(e => s"$base/${e.path}"): _*)
+      .select(col("file")).distinct()
+      .collect().map(_.getString(0)).toSet
+    val (rewrite, inherit) = data.partition(e => touched(e.path))
+    val kept = applyDeletes(spark, base,
+      spark.read.schema(read(spark, base).schema)
+        .parquet(rewrite.map(e => s"$base/${e.path}"): _*), dels)
+    commitStaged(spark, base, vs.last + 1, inherit.map(_.line),
+      dir => kept.write.mode("append").parquet(dir), statsKey)
   }
 
   /**
@@ -1243,6 +1388,9 @@ object Snapshots {
     val vs = versions(spark, base)
     require(vs.nonEmpty, s"no snapshots under $base")
     val prior = manifestLines(spark, base, vs.last).map(parseEntry)
+    require(!prior.exists(_.isDelete),
+      s"pending merge-on-read deletes on $base - run materializeDeletes " +
+        "first (a file-level rewrite would resurrect MoR-deleted rows)")
     val f = fs(spark, base)
     val sized = prior.map(e => e -> f.getFileStatus(new Path(s"$base/${e.path}")).getLen)
     val (small, big) = sized.partition(_._2 < smallBytes)

@@ -624,6 +624,82 @@ class SnapshotsSpec extends AnyFunSuite {
     assert(Snapshots.pointLookup(spark, base, "id", 5L).count() == 1)
   }
 
+  test("merge-on-read delete: positional file, reads equal copy-on-write, rewrites guard, materialize folds") {
+    val base = java.nio.file.Files.createTempDirectory("graft-snap").toString + "/t"
+    def slice(lo: Long, hi: Long) =
+      (lo to hi).map(i => (i, s"r$i")).toDF("id", "s").coalesce(1)
+    Snapshots.write(slice(1, 10), base, statsKey = Some("id"))
+    Snapshots.append(slice(11, 20), base, statsKey = Some("id"))
+    val filesBefore = Snapshots.manifestFiles(spark, base, 2L).toSet
+
+    val v3 = Snapshots.deleteWhereMoR(spark, base, col("id") % 2 === 0)
+    assert(v3 == 3L)
+    // logical rows: evens gone everywhere a reader looks
+    val odd = (1L to 20L by 2).map(i => (i, s"r$i")).toSet
+    assert(Snapshots.read(spark, base).as[(Long, String)].collect().toSet == odd)
+    assert(Snapshots.scanWhere(spark, base, col("id") < 5)
+      .as[(Long, String)].collect().toSet == Set((1L, "r1"), (3L, "r3")))
+    assert(Snapshots.pointLookup(spark, base, "id", 4L).isEmpty)
+    assert(Snapshots.pointLookup(spark, base, "id", 5L).count() == 1)
+    // the commit wrote ONE delete file and rewrote NO data file
+    val v3files = Snapshots.manifestFiles(spark, base, 3L).toSet
+    assert(filesBefore.subsetOf(v3files), "data files must be inherited")
+    val delFiles = v3files -- filesBefore
+    assert(delFiles.size == 1 && delFiles.head.contains("del-"), delFiles.toString)
+    // CDC sees the logical change
+    assert(Snapshots.diff(spark, base, 2L, 3L, "id")
+      .filter(col("change_type") === "delete").count() == 10)
+    // a no-match predicate is a version no-op
+    assert(Snapshots.deleteWhereMoR(spark, base, col("id") > 999) == 3L)
+    // file-level rewrite verbs refuse while deletes are pending
+    intercept[IllegalArgumentException] {
+      Snapshots.deleteWhere(spark, base, col("id") === 1)
+    }
+    intercept[IllegalArgumentException] {
+      Snapshots.compact(spark, base, smallBytes = 1L << 20)
+    }
+    intercept[IllegalArgumentException] {
+      Snapshots.mergeInto(spark, base, Seq((1L, "x")).toDF("id", "s"), "id")
+    }
+    intercept[IllegalArgumentException] {
+      Snapshots.appendedSince(spark, base, 2L).count()
+    }
+    // appends on top of pending deletes inherit them
+    Snapshots.append(slice(21, 22), base, statsKey = Some("id"))
+    assert(Snapshots.read(spark, base).as[(Long, String)].collect().toSet ==
+      odd ++ Set((21L, "r21"), (22L, "r22")))
+    // materialize: only delete-touched files rewrite; untouched inherit
+    val v5 = Snapshots.materializeDeletes(spark, base, statsKey = Some("id"))
+    val v5lines = Snapshots.manifestLines(spark, base, v5)
+    assert(!v5lines.exists(_.startsWith("D:")), v5lines.mkString("\n"))
+    assert(v5lines.exists(_.contains("part-") &&
+      Snapshots.manifestFiles(spark, base, 4L).contains(
+        v5lines.find(_.contains("v=4/")).map(_.split('\t').head).getOrElse(""))),
+      "the untouched v4 append must be inherited by reference")
+    assert(Snapshots.read(spark, base).as[(Long, String)].collect().toSet ==
+      odd ++ Set((21L, "r21"), (22L, "r22")))
+    // unlocked again, and a second materialize is a no-op
+    assert(Snapshots.materializeDeletes(spark, base) == v5)
+    Snapshots.deleteWhere(spark, base, col("id") === 21L)
+    assert(Snapshots.read(spark, base).as[(Long, String)].collect().toSet ==
+      odd + ((22L, "r22")))
+  }
+
+  test("merge-on-read parity: MoR and CoW deletes produce identical tables, NULL predicate rows kept") {
+    val mor = java.nio.file.Files.createTempDirectory("graft-snap").toString + "/t"
+    val cow = java.nio.file.Files.createTempDirectory("graft-snap").toString + "/t"
+    val rows = Seq((1L, Some(1.0)), (2L, None), (3L, Some(3.0)), (4L, Some(4.0)))
+      .toDF("id", "score").coalesce(1)
+    Snapshots.write(rows, mor)
+    Snapshots.write(rows, cow)
+    val pred = col("score") > 2.0 // NULL for id=2 → kept on both paths
+    Snapshots.deleteWhereMoR(spark, mor, pred)
+    Snapshots.deleteWhere(spark, cow, pred)
+    val a = Snapshots.read(spark, mor).as[(Long, Option[Double])].collect().toSet
+    val b = Snapshots.read(spark, cow).as[(Long, Option[Double])].collect().toSet
+    assert(a == b && a == Set((1L, Some(1.0)), (2L, None)), s"mor=$a cow=$b")
+  }
+
   test("scanWhere resolves under schema evolution when no candidate file has the column") {
     val base = java.nio.file.Files.createTempDirectory("graft-snap").toString + "/t"
     Snapshots.write((1L to 10L).map(i => (i, s"r$i")).toDF("id", "s").coalesce(1),
