@@ -54,7 +54,12 @@ object Slopes {
     "cu_pack_sequences", "cu_token_budget", "cu_interleave",
     "pipeline_dataprep", "pipeline_pretraining", "pipeline_neardup_pretraining",
     // profiling + json/event path
-    "dq_profile", "f10_json_extract", "t5_hourly_rollup")
+    "dq_profile", "f10_json_extract", "t5_hourly_rollup",
+    // round-13 additions: the shared-neighbor self-join (pair cost
+    // Σ deg²), the corpus-scan batch knn join, the codegen'd
+    // canonicalization scan, and the sketch-pair set ops
+    "g7_link_prediction", "v11_knn_join", "ta_unicode_norm",
+    "a20_hll_set_ops")
 
   def main(args: Array[String]): Unit = {
     val root = sys.env.getOrElse("SPARK_GRAFT_TESTDATA", "/root/testdata")

@@ -1671,6 +1671,85 @@ object Snapshots {
   }
 
   /**
+   * `table.files`-style metadata table (Iceberg's files / Delta's
+   * DESCRIBE DETAIL granularity): one row per manifest entry of
+   * `version` — path, kind (data / positional-delete), byte size,
+   * whether a bloom sidecar exists, and the manifest min/max key stats.
+   * Metadata-only: one getFileStatus per entry, zero data IO; the
+   * inspection surface an operator reads before deciding to compact,
+   * re-stat, or build sidecars.
+   */
+  def files(spark: SparkSession, base: String,
+            version: Option[Long] = None): DataFrame = {
+    val f = fs(spark, base)
+    val vs = versions(spark, base)
+    require(vs.nonEmpty, s"no snapshots under $base")
+    val v = version.getOrElse(vs.last)
+    require(vs.contains(v), s"version $v not in $vs")
+    val rows = manifestLines(spark, base, v).map(parseEntry).map { e =>
+      val bytes = scala.util.Try(
+        f.getFileStatus(new Path(s"$base/${e.path}")).getLen).getOrElse(-1L)
+      val hasBloom = f.exists(new Path(s"$base/${e.path}$BloomSuffix"))
+      (e.path, if (e.isDelete) "positional-delete" else "data", bytes,
+        hasBloom, e.stats.map(_._1).orNull,
+        e.stats.map(_._3).orNull, e.stats.map(_._4).orNull)
+    }
+    import spark.implicits._
+    rows.toDF("path", "kind", "bytes", "has_bloom",
+      "stats_key", "stats_min", "stats_max")
+  }
+
+  /**
+   * `table.snapshots`-style metadata table: one row per committed main
+   * version — commit time (the manifest mtime, the clock expiry and
+   * time travel share), file/delete counts, and pending-delete flag.
+   * Metadata-only.
+   */
+  def snapshots(spark: SparkSession, base: String): DataFrame = {
+    val f = fs(spark, base)
+    val rows = versions(spark, base).map { v =>
+      val (data, dels) = splitEntries(manifestLines(spark, base, v))
+      (v, f.getFileStatus(manifestPath(base, v)).getModificationTime,
+        data.size.toLong, dels.size.toLong, dels.nonEmpty)
+    }
+    import spark.implicits._
+    rows.toDF("version", "committed_at_ms", "n_data_files",
+      "n_delete_files", "has_pending_deletes")
+  }
+
+  /**
+   * `table.refs`-style metadata table: one row per named ref — tags
+   * (immutable pins into main's version chain) and branches (their own
+   * chains under the vb-* namespace; `version` is the branch HEAD,
+   * `n_versions` its chain length). `n_files` is the manifest entry
+   * count at the ref target — what a reader of that ref would open.
+   * Metadata-only; the inspection surface for retention decisions
+   * ("what still pins this snapshot?").
+   */
+  def refs(spark: SparkSession, base: String): DataFrame = {
+    val f = fs(spark, base)
+    val tagRows = tags(spark, base).toSeq.map { case (name, v) =>
+      (name, "tag", v, manifestLines(spark, base, v).size.toLong, 1L)
+    }
+    val branchNames =
+      if (!f.exists(new Path(base))) Seq.empty[String]
+      else f.globStatus(new Path(base, "vb-*=*/_manifest")).toSeq
+        .map(_.getPath.getParent.getName)
+        .collect { case s if s.startsWith("vb-") && s.contains("=") =>
+          s.stripPrefix("vb-").takeWhile(_ != '=') }
+        .distinct
+    val branchRows = branchNames.map { name =>
+      val vs = branchVersions(spark, base, name)
+      (name, "branch", vs.last,
+        branchManifestLines(spark, base, name, vs.last).size.toLong,
+        vs.size.toLong)
+    }
+    import spark.implicits._
+    (tagRows ++ branchRows).sortBy(r => (r._2, r._1))
+      .toDF("name", "kind", "version", "n_files", "n_versions")
+  }
+
+  /**
    * CDC between two snapshots: full-outer join on the key, rows classified
    * `insert` / `delete` / `update` (any non-key column changed; unchanged
    * rows drop out). The changed-row check hashes over the UNION of both

@@ -252,6 +252,13 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("GlobalLimit"), p)
   }
 
+  test("cu_target_mix: rates ride a broadcast, replication is one explode, corpus never SMJs") {
+    val p = planOf("cu_target_mix")
+    assert(p.contains("BroadcastHashJoin"), p)  // source-dimension rates
+    assert(p.contains("Generate explode"), p)   // the only replication pass
+    assert(!p.contains("SortMergeJoin"), p)     // corpus is never shuffled for a join
+  }
+
   test("dd_incremental_exact_bloom: bloom prefilter sits on the scan before any join") {
     val p = planOf("dd_incremental_exact_bloom")
     assert(p.contains("bloom_might_contain"), p)

@@ -685,6 +685,42 @@ class SnapshotsSpec extends AnyFunSuite {
       odd + ((22L, "r22")))
   }
 
+  test("files/snapshots metadata tables: kinds, sidecar flag, pending-delete flag, zero data IO") {
+    val base = java.nio.file.Files.createTempDirectory("graft-snap").toString + "/t"
+    def slice(lo: Long, hi: Long) =
+      (lo to hi).map(i => (i, s"r$i")).toDF("id", "s").coalesce(1)
+    Snapshots.write(slice(1, 10), base, statsKey = Some("id"))
+    Snapshots.writeBloomSidecars(spark, base, "id", expectedItems = 100)
+    Snapshots.deleteWhereMoR(spark, base, col("id") === 3)
+    val fl = Snapshots.files(spark, base)
+      .select("kind", "has_bloom", "stats_key")
+      .as[(String, Boolean, Option[String])].collect().toSeq.sorted
+    assert(fl == Seq(("data", true, Some("id")),
+      ("positional-delete", false, None)), fl.toString)
+    // stats survive into the metadata view
+    val st = Snapshots.files(spark, base).filter(col("kind") === "data")
+      .select("stats_min", "stats_max").as[(String, String)].head()
+    assert(st == (("1", "10")), st.toString)
+    val reads = recordsReadDuring {
+      val sn = Snapshots.snapshots(spark, base)
+        .select("version", "n_delete_files", "has_pending_deletes")
+        .as[(Long, Long, Boolean)].collect().toSet
+      assert(sn == Set((1L, 0L, false), (2L, 1L, true)), sn.toString)
+    }
+    assert(reads == 0, s"metadata tables read $reads data records")
+    // refs view: empty before any ref, then one row per tag/branch with
+    // the branch head and chain length
+    assert(Snapshots.refs(spark, base).count() == 0)
+    Snapshots.tag(spark, base, "prod", 1L)
+    Snapshots.createBranch(spark, base, "staging", 2L)
+    Snapshots.appendBranch(slice(11, 12), base, "staging")
+    val rf = Snapshots.refs(spark, base)
+      .select("name", "kind", "version", "n_versions")
+      .as[(String, String, Long, Long)].collect().toSet
+    assert(rf == Set(("staging", "branch", 2L, 2L), ("prod", "tag", 1L, 1L)),
+      rf.toString)
+  }
+
   test("merge-on-read parity: MoR and CoW deletes produce identical tables, NULL predicate rows kept") {
     val mor = java.nio.file.Files.createTempDirectory("graft-snap").toString + "/t"
     val cow = java.nio.file.Files.createTempDirectory("graft-snap").toString + "/t"
