@@ -154,6 +154,35 @@ private[graft] object GraphQueries {
               |WHERE EXISTS (SELECT 1 FROM und e3
               |              WHERE e3.a = e1.a AND e3.b = e2.b)""".stripMargin)),
 
+    // Per-node triangle counts + local clustering coefficient (round-13):
+    // degree-rank orientation bounds wedge generation at O(m^1.5) where
+    // g2's canonical a<b apex pays the hub's full Σ deg². Oracle
+    // enumerates each triangle once (a<b<c) and credits all three
+    // corners; both engines round clustering at 6dp.
+    "g8_triangle_counts" -> Q(
+      (s, d) => graft.ops.Graph.triangleCounts(tradeEdges(s, d, 120), "a", "b")
+        .orderBy(col("node")),
+      Some(s"""WITH ${tradeEdgeSql(120)},
+              |und AS (SELECT DISTINCT least(a, b) AS a, greatest(a, b) AS b
+              |        FROM edges WHERE a <> b),
+              |deg AS (SELECT node, count(*) AS deg FROM
+              |        (SELECT a AS node FROM und UNION ALL SELECT b FROM und)
+              |        GROUP BY 1),
+              |tri AS (SELECT e1.a AS u, e1.b AS v, e2.b AS w
+              |        FROM und e1 JOIN und e2 ON e1.a = e2.a AND e1.b < e2.b
+              |        JOIN und e3 ON e3.a = e1.b AND e3.b = e2.b),
+              |corners AS (SELECT u AS node FROM tri
+              |            UNION ALL SELECT v FROM tri
+              |            UNION ALL SELECT w FROM tri)
+              |SELECT deg.node AS node, count(corners.node) AS triangles,
+              |  CASE WHEN deg.deg < 2 THEN 0.0
+              |       ELSE round(count(corners.node) * 2.0
+              |                  / (deg.deg * (deg.deg - 1)), 6)
+              |  END AS clustering
+              |FROM deg LEFT JOIN corners ON deg.node = corners.node
+              |GROUP BY deg.node, deg.deg
+              |ORDER BY deg.node""".stripMargin)),
+
     // PageRank on the directed trade backbone — double mass sums are
     // partition-order dependent, so no bit-exact SQL twin exists; the
     // analytic/power-iteration pins live in GraphSpec (rows-only here)

@@ -520,6 +520,39 @@ private[graft] object StoreQueries {
              |FROM documents WHERE doc_id % 5 <> 0
              |ORDER BY doc_id""".stripMargin)),
 
+    // UPDATE WHERE (round-13): the third DML verb — copy-on-write at file
+    // granularity, matched rows get simultaneous SET assignments evaluated
+    // against the OLD row, clean files inherit by reference. Oracle is the
+    // equivalent CASE projection; the `inherited_some` boolean pins that
+    // the commit actually reused prior manifest entries rather than
+    // rewriting the table.
+    "snap_update_where" -> Q(
+      (s, d) => {
+        import graft.store.Snapshots
+        val root = FixtureRoot.fresh("snapupd")
+        val base = root + "/t"
+        val docs = T(s, d, "documents")
+          .select(col("doc_id"), col("source"), col("n_chars"))
+        Snapshots.write(docs.repartitionByRange(6, col("doc_id")), base,
+          statsKey = Some("doc_id"))
+        val hit = col("doc_id") % 7 === 0 && col("doc_id") < 200
+        val v = Snapshots.updateWhere(s, base, hit, Seq(
+          "source" -> concat(lit("redacted-"), col("source")),
+          "n_chars" -> -col("n_chars")))
+        val prior = Snapshots.manifestLines(s, base, v - 1).toSet
+        val inherited = Snapshots.manifestLines(s, base, v).count(prior.contains)
+        Snapshots.read(s, base)
+          .withColumn("inherited_some", lit(inherited > 0))
+          .orderBy(col("doc_id"))
+      },
+      Some("""SELECT doc_id,
+             |  CASE WHEN doc_id % 7 = 0 AND doc_id < 200
+             |       THEN 'redacted-' || source ELSE source END AS source,
+             |  CASE WHEN doc_id % 7 = 0 AND doc_id < 200
+             |       THEN -n_chars ELSE n_chars END AS n_chars,
+             |  TRUE AS inherited_some
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
     // Per-file bloom sidecars (round-13): the point-lookup index beyond
     // min/max — three stat-LESS appends (bounds cannot prune), sidecars
     // built post-commit, then a present + an absent id lookup. Oracle is

@@ -1267,8 +1267,74 @@ object Snapshots {
       // SQL DELETE semantics: rows where the predicate is NULL are KEPT
       .filter(not(coalesce(predicate, lit(false))))
       .drop("__file")
+    // same empty-part-file guard as updateWhere: nothing touched → pure
+    // metadata commit, no zero-row parquet in the manifest
     commitStaged(spark, base, next, inherit.map(_.line),
-      dir => kept.write.mode("append").parquet(dir))
+      dir => if (touched.nonEmpty) kept.write.mode("append").parquet(dir))
+  }
+
+  /**
+   * UPDATE WHERE, copy-on-write at file granularity — the third DML verb
+   * beside [[deleteWhere]] and [[mergeInto]]. Only files containing a
+   * matching row are rewritten (matched rows get the SET assignments,
+   * their unmatched neighbors are carried verbatim); every clean file is
+   * inherited by manifest reference, and discovery is stats-pruned by the
+   * predicate's implied bounds exactly like DELETE. Updating one key's
+   * rows in a 100 TB table rewrites one file, reads only the files the
+   * predicate's range can touch.
+   *
+   * SQL UPDATE semantics: an assignment applies only where the predicate
+   * is TRUE; rows where it is FALSE or NULL are kept unchanged.
+   * Assignments may reference the row's own pre-update columns (all
+   * right-hand sides evaluate against the OLD row, simultaneously — so
+   * `a -> b, b -> a` swaps). A predicate matching nothing commits a
+   * cheap all-inherited snapshot. Refuses while MoR deletes are pending
+   * (same resurrection guard as every file-level rewrite verb).
+   */
+  def updateWhere(spark: SparkSession, base: String,
+                  predicate: org.apache.spark.sql.Column,
+                  set: Seq[(String, org.apache.spark.sql.Column)]): Long = {
+    import org.apache.spark.sql.functions.{coalesce, col, input_file_name, lit, when}
+    val vs = versions(spark, base)
+    require(vs.nonEmpty, s"no snapshots under $base")
+    require(set.nonEmpty, "UPDATE needs at least one SET assignment")
+    val next = vs.last + 1
+    val prior = manifestLines(spark, base, vs.last).map(parseEntry)
+    require(!prior.exists(_.isDelete),
+      s"pending merge-on-read deletes on $base - run materializeDeletes " +
+        "first (a file-level rewrite would resurrect MoR-deleted rows)")
+    val schema = read(spark, base).columns.toSet
+    val unknown = set.map(_._1).filterNot(schema.contains)
+    require(unknown.isEmpty, s"SET targets unknown column(s): $unknown")
+    require(set.map(_._1).distinct.size == set.size,
+      s"duplicate SET target in ${set.map(_._1)}")
+    val bounds = boundsOf(read(spark, base), predicate)
+    val (candidates, pruned) = prior.partition(mayMatchBounds(_, bounds))
+    val target =
+      (if (candidates.isEmpty) read(spark, base).limit(0)
+       else spark.read.option("mergeSchema", true)
+         .parquet(candidates.map(e => s"$base/${e.path}"): _*))
+        .withColumn("__file", input_file_name())
+    val touched: Set[String] = target.filter(predicate)
+      .select(col("__file")).distinct()
+      .collect().map(_.getString(0)).toSet
+    val (rewrite, inherit0) = candidates.partition(e => touched.exists(_.endsWith(e.path)))
+    val inherit = pruned ++ inherit0
+    require(rewrite.size == touched.size,
+      s"update file accounting: ${touched.size} touched vs ${rewrite.size} manifest matches")
+    val sets = set.toMap
+    val hit = coalesce(predicate, lit(false))
+    // one select, every RHS against the OLD row — simultaneous assignment
+    val updated = target
+      .filter(col("__file").isin(touched.toSeq: _*))
+      .select(target.columns.filterNot(_ == "__file").map { c =>
+        sets.get(c).fold(col(c))(rhs => when(hit, rhs).otherwise(col(c)).as(c))
+      }: _*)
+    // no touched file → pure-inheritance commit; an unconditional write
+    // would land one EMPTY part file (Spark emits a file per partition,
+    // empty included) and pollute every later read with a no-op open
+    commitStaged(spark, base, next, inherit.map(_.line),
+      dir => if (touched.nonEmpty) updated.write.mode("append").parquet(dir))
   }
 
   /**

@@ -207,4 +207,43 @@ class GraphSpec extends AnyFunSuite {
       .collect().map(x => (x.getString(0), x.getString(1))).toSet
     assert(uncapped.size > 1 && uncapped.contains(("l3", "l4")), uncapped.toString)
   }
+
+  test("triangleCounts: planted triangles credited to all corners, zero-fill, dup/direction collapse") {
+    // K4 on {a,b,c,d} (4 triangles, each node in 3), a pendant p off a
+    // (0 triangles), plus reversed + duplicate edges that must collapse
+    val k4 = Seq("a" -> "b", "a" -> "c", "a" -> "d", "b" -> "c",
+      "b" -> "d", "c" -> "d")
+    val e = edges(k4 ++ Seq("a" -> "p", "b" -> "a", "c" -> "a"): _*)
+    val r = Graph.triangleCounts(e, "src", "dst")
+      .collect().map(x => x.getString(0) -> ((x.getLong(1), x.getDouble(2)))).toMap
+    assert(r.view.mapValues(_._1).toMap ==
+      Map("a" -> 3L, "b" -> 3L, "c" -> 3L, "d" -> 3L, "p" -> 0L), r.toString)
+    // clustering: a has deg 4 (b,c,d,p) → 3/C(4,2) = 0.5; b,c,d are fully
+    // clustered (3/3); the pendant has no wedge → 0 by convention
+    assert(r.view.mapValues(_._2).toMap ==
+      Map("a" -> 0.5, "b" -> 1.0, "c" -> 1.0, "d" -> 1.0, "p" -> 0.0), r.toString)
+  }
+
+  test("triangleCounts: matches the brute-force count on a hashed random graph") {
+    // deterministic pseudo-random sparse graph: 40 nodes, edge (i,j) iff
+    // md5-derived bit — brute-force all C(40,3) triples as the oracle
+    val n = 40
+    def bit(i: Int, j: Int): Boolean =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$i:$j".getBytes("UTF-8"))(0) % 4 == 0
+    val pairs = for {
+      i <- 0 until n; j <- (i + 1) until n if bit(i, j)
+    } yield (s"n$i", s"n$j")
+    val adj = pairs.toSet
+    def linked(x: Int, y: Int) = adj.contains((s"n$x", s"n$y"))
+    val expected = (for {
+      i <- 0 until n; j <- (i + 1) until n if linked(i, j)
+      k <- (j + 1) until n if linked(j, k) && linked(i, k)
+    } yield Seq(i, j, k)).flatten
+      .groupBy(identity).map { case (i, ts) => s"n$i" -> ts.size.toLong }
+    val got = Graph.triangleCounts(edges(pairs: _*), "src", "dst")
+      .collect().map(x => x.getString(0) -> x.getLong(1)).toMap
+      .filter(_._2 > 0L)
+    assert(got == expected, s"got $got\nexpected $expected")
+  }
 }

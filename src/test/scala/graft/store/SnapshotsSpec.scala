@@ -721,6 +721,68 @@ class SnapshotsSpec extends AnyFunSuite {
       rf.toString)
   }
 
+  test("updateWhere: CoW at file granularity, simultaneous SET, NULL rows untouched, stats-pruned reads") {
+    import org.apache.spark.sql.functions.{col, concat, lit, when}
+    val base = java.nio.file.Files.createTempDirectory("graft-snap").toString + "/t"
+    // three range-disjoint files with per-file stats, plus a NULL id row
+    def part(lo: Long, hi: Long) =
+      (lo to hi).map(i => (Option(i), s"s$i", i * 10L)).toDF("id", "s", "score").coalesce(1)
+    Snapshots.write(part(1, 10), base, statsKey = Some("id"))
+    Snapshots.append(part(11, 20), base, statsKey = Some("id"))
+    Snapshots.append(
+      ((21L to 30L).map(i => (Option(i), s"s$i", i * 10L)) :+
+        ((None: Option[Long], "snull", 0L)))
+        .toDF("id", "s", "score").coalesce(1),
+      base, statsKey = Some("id"))
+    val before = Snapshots.read(spark, base).collect()
+
+    // swap-style simultaneous assignment over a one-file key range: s gets
+    // a score-derived value, score gets -score — both RHS read OLD columns
+    val reads = recordsReadDuring {
+      Snapshots.updateWhere(spark, base, col("id").between(3L, 7L),
+        Seq("s" -> concat(lit("u"), col("score")), "score" -> -col("score")))
+    }
+    // bounds pruning: only the 1..10 file (+1 NULL-stats-free? no — all
+    // three carry stats) is scanned for discovery AND rewrite ≤ 2 passes
+    assert(reads <= 22, s"stats pruning failed: read $reads records")
+
+    val after = Snapshots.read(spark, base)
+      .as[(Option[Long], String, Long)].collect()
+    val expected = before.map { r =>
+      val id = if (r.isNullAt(0)) None else Some(r.getLong(0))
+      val hit = id.exists(i => i >= 3 && i <= 7)
+      (id,
+       if (hit) "u" + r.getLong(2) else r.getString(1),
+       if (hit) -r.getLong(2) else r.getLong(2))
+    }.toSet
+    assert(after.toSet == expected, "update semantics diverged")
+    assert(after.count(_._3 < 0) == 5)
+    // NULL-predicate row untouched
+    assert(after.exists(t => t._1.isEmpty && t._2 == "snull" && t._3 == 0L))
+    // file granularity: the two clean files are inherited by reference
+    val lines = Snapshots.manifestLines(spark, base,
+      Snapshots.versions(spark, base).last)
+    val prior = Snapshots.manifestLines(spark, base, 3L)
+    assert(lines.count(prior.contains) == 2,
+      s"expected 2 inherited entries, got:\n${lines.mkString("\n")}")
+    // time travel still sees the pre-update table
+    assert(Snapshots.read(spark, base, Some(3L)).collect().toSet == before.toSet)
+
+    // guards: unknown SET column; no-match predicate inherits everything
+    intercept[IllegalArgumentException] {
+      Snapshots.updateWhere(spark, base, col("id") === 1L, Seq("nope" -> lit(1)))
+    }
+    val v = Snapshots.updateWhere(spark, base, col("id") === -99L,
+      Seq("score" -> lit(0L)))
+    assert(Snapshots.manifestLines(spark, base, v).toSet ==
+      Snapshots.manifestLines(spark, base, v - 1).toSet)
+    // refuses under pending MoR deletes
+    Snapshots.deleteWhereMoR(spark, base, col("id") === 1L)
+    intercept[IllegalArgumentException] {
+      Snapshots.updateWhere(spark, base, col("id") === 2L, Seq("score" -> lit(1L)))
+    }
+  }
+
   test("merge-on-read parity: MoR and CoW deletes produce identical tables, NULL predicate rows kept") {
     val mor = java.nio.file.Files.createTempDirectory("graft-snap").toString + "/t"
     val cow = java.nio.file.Files.createTempDirectory("graft-snap").toString + "/t"
