@@ -520,6 +520,46 @@ private[graft] object StoreQueries {
              |FROM documents WHERE doc_id % 5 <> 0
              |ORDER BY doc_id""".stripMargin)),
 
+    // Equality deletes (round-13): merge-on-read DELETE BY KEY — a key-set
+    // file committed with ZERO data scan, applied by readers as a
+    // null-safe anti-join scoped to the files present at delete time.
+    // The fixture proves the sequence scoping: doc_id % 11 == 0 rows are
+    // key-deleted, then the sub-100 slice of those keys is REINSERTED with
+    // a marked source — the reinserted rows must survive the delete that
+    // preceded them. Both the pending (anti-join) and materialized (folded)
+    // read paths are compared via the agreement boolean.
+    "snap_eq_delete" -> Q(
+      (s, d) => {
+        import graft.store.Snapshots
+        val root = FixtureRoot.fresh("snapeq")
+        val base = root + "/t"
+        val docs = T(s, d, "documents")
+          .select(col("doc_id"), col("source"), col("n_chars"))
+        Snapshots.write(docs.repartitionByRange(4, col("doc_id")), base,
+          statsKey = Some("doc_id"))
+        Snapshots.deleteByKey(s, base,
+          docs.filter(col("doc_id") % 11 === 0).select(col("doc_id")))
+        Snapshots.append(
+          docs.filter(col("doc_id") % 11 === 0 && col("doc_id") < 100)
+            .withColumn("source", concat(lit("reinserted-"), col("source"))),
+          base, statsKey = Some("doc_id"))
+        val pending = Snapshots.read(s, base)
+          .agg(count(lit(1)), sum(col("doc_id")), sum(col("n_chars"))).head()
+        Snapshots.materializeDeletes(s, base, statsKey = Some("doc_id"))
+        val folded = Snapshots.read(s, base)
+          .agg(count(lit(1)), sum(col("doc_id")), sum(col("n_chars"))).head()
+        Snapshots.read(s, base)
+          .withColumn("paths_agree", lit(pending == folded))
+          .orderBy(col("doc_id"), col("source"))
+      },
+      Some("""SELECT doc_id, source, n_chars, TRUE AS paths_agree
+             |FROM documents WHERE doc_id % 11 <> 0
+             |UNION ALL
+             |SELECT doc_id, 'reinserted-' || source AS source, n_chars,
+             |       TRUE AS paths_agree
+             |FROM documents WHERE doc_id % 11 = 0 AND doc_id < 100
+             |ORDER BY doc_id, source""".stripMargin)),
+
     // UPDATE WHERE (round-13): the third DML verb — copy-on-write at file
     // granularity, matched rows get simultaneous SET assignments evaluated
     // against the OLD row, clean files inherit by reference. Oracle is the

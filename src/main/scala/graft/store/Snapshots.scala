@@ -104,11 +104,21 @@ object Snapshots {
    */
   final case class ManifestEntry(line: String, path: String,
       stats: Option[(String, String, String, String)],
-      isDelete: Boolean = false)
+      isDelete: Boolean = false,
+      /** equality-delete payload: (version whose data files the delete
+        * covers, key column names) — Iceberg v2's sequence-number scoping
+        * in miniature. None for data entries and positional deletes. */
+      eqMeta: Option[(Long, Seq[String])] = None)
 
   private def parseEntry(line: String): ManifestEntry = {
     if (line.startsWith("D:"))
       return ManifestEntry(line, line.drop(2), None, isDelete = true)
+    if (line.startsWith("E:")) {
+      // E:<path>\t<coveredVersion>\t<k1,k2,...>
+      val p = line.drop(2).split('\t')
+      return ManifestEntry(line, p(0), None, isDelete = true,
+        eqMeta = Some((p(1).toLong, p(2).split(',').toSeq)))
+    }
     val parts = line.split('\t')
     if (parts.length == 5)
       ManifestEntry(line, parts(0), Some((parts(1), parts(2), parts(3), parts(4))))
@@ -492,28 +502,60 @@ object Snapshots {
   }
 
   /**
-   * Anti-join `frame`'s rows against the version's positional delete
-   * files (merge-on-read): each delete file lists (file, pos) pairs keyed
-   * by the data file's manifest-relative path and parquet row index, the
-   * same identity Iceberg v2 positional deletes use. No deletes → the
-   * frame passes through untouched (zero overhead for copy-on-write
-   * tables). The join keys on (file, pos), so at scale it is a hash join
-   * against a delete set that is small relative to the data by
-   * construction — AQE broadcasts it whenever it fits.
+   * Anti-join `frame`'s rows against the version's merge-on-read delete
+   * files, both kinds: POSITIONAL (a delete file lists (file, pos) pairs
+   * keyed by manifest-relative path and parquet row index — Iceberg v2
+   * positional deletes) and EQUALITY (a delete file lists key tuples that
+   * remove matching rows in the data files the delete COVERS — Iceberg v2
+   * equality deletes with sequence-number scoping, see [[deleteByKey]]).
+   * No deletes → the frame passes through untouched (zero overhead for
+   * copy-on-write tables). Every join keys on (file, pos) or on the key
+   * columns, against delete sets small relative to the data by
+   * construction — AQE broadcasts them whenever they fit.
    */
   private def applyDeletes(spark: SparkSession, base: String,
                            frame: DataFrame,
                            dels: Seq[ManifestEntry]): DataFrame = {
     if (dels.isEmpty) return frame
-    import org.apache.spark.sql.functions.{col, expr}
+    import org.apache.spark.sql.functions.{broadcast, col, expr, lit}
     val cols = frame.columns
-    val delDf = spark.read.parquet(dels.map(e => s"$base/${e.path}"): _*)
-      .select(col("file").as("__delf"), col("pos").as("__delp"))
-    frame
+    val (eqs, pos) = dels.partition(_.eqMeta.isDefined)
+    // resolve the file-scan metadata ONCE, before any projection hides it
+    var out = frame
       .withColumn("__delf", expr("substring_index(_metadata.file_path, '/', -2)"))
       .withColumn("__delp", col("_metadata.row_index"))
-      .join(delDf, Seq("__delf", "__delp"), "left_anti")
-      .select(cols.map(col): _*)
+    if (pos.nonEmpty) {
+      val delDf = spark.read.parquet(pos.map(e => s"$base/${e.path}"): _*)
+        .select(col("file").as("__delf"), col("pos").as("__delp"))
+      out = out.join(delDf, Seq("__delf", "__delp"), "left_anti")
+    }
+    // equality deletes: anti-join by KEY VALUE, but only against rows in
+    // data files the delete COVERS — the files present when it committed
+    // (its eqMeta version's manifest). Later-appended rows with the same
+    // key survive: that is the sequence-number scoping that makes
+    // delete-then-reinsert (the streaming-upsert shape) correct. The
+    // covered set is manifest metadata (file counts, not row counts) and
+    // rides a broadcast join; each pending delete costs one anti-join,
+    // the read tax [[materializeDeletes]] retires.
+    eqs.foreach { e =>
+      val (coveredV, keyCols) = e.eqMeta.get
+      val covered = splitEntries(manifestLines(spark, base, coveredV))._1
+        .map(_.path)
+      import spark.implicits._
+      val keys = spark.read.parquet(s"$base/${e.path}").distinct()
+      val renamed = keys.columns.foldLeft(keys)((d, c) => d.withColumnRenamed(c, s"__eqk_$c"))
+      val tagged = out.join(
+        broadcast(covered.toDF("__delf").withColumn("__cov", lit(true))),
+        Seq("__delf"), "left_outer")
+      // NULL-safe key equality: an equality delete with a NULL key field
+      // matches rows whose field is NULL (Iceberg v2 equality semantics)
+      val cond = keyCols.map(k => col(k) <=> col(s"__eqk_$k")).reduce(_ && _)
+      out = tagged.filter(col("__cov"))
+        .join(renamed, cond, "left_anti")
+        .unionByName(tagged.filter(col("__cov").isNull))
+        .drop("__cov")
+    }
+    out.select(cols.map(col): _*)
   }
 
   /**
@@ -1004,8 +1046,18 @@ object Snapshots {
     val vs = versions(spark, base)
     if (vs.isEmpty) return Seq.empty
     val pinned = tags(spark, base).values.toSet
+    // pending equality deletes SCOPE by a prior version's manifest (their
+    // covered-file set) — that manifest must outlive the delete, or every
+    // read of the live head breaks. Metadata-only check on the head.
+    val eqPinned = (splitEntries(manifestLines(spark, base, vs.last))._2 ++
+      f.globStatus(new Path(new Path(base), "vb-*/_manifest")).toSeq.flatMap { st =>
+        val in = f.open(st.getPath)
+        try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+          .map(_.trim).filter(_.nonEmpty).map(parseEntry).filter(_.isDelete).toVector
+        finally in.close()
+      }).flatMap(_.eqMeta.map(_._1)).toSet
     val old = vs.init.filter(v =>
-      !pinned(v) &&
+      !pinned(v) && !eqPinned(v) &&
         f.getFileStatus(manifestPath(base, v)).getModificationTime < cutoffMs)
     dropVersions(spark, base, vs, old)
   }
@@ -1401,13 +1453,70 @@ object Snapshots {
   }
 
   /**
+   * Merge-on-read DELETE BY KEY (Iceberg v2 equality deletes): commit a
+   * small file of key tuples and let readers anti-join it — NO data scan
+   * at delete time at all, unlike [[deleteWhereMoR]] whose position
+   * discovery must read candidate files. This is the O(|keys|) delete the
+   * streaming-upsert / CDC-apply path needs at 100 TB: retracting a
+   * million keys from a 10k-file table writes one small parquet file and
+   * touches zero data files.
+   *
+   * Scoping is Iceberg's sequence-number rule in miniature: the delete
+   * covers exactly the data files present in the CURRENT version's
+   * manifest (recorded in the `E:` entry), so a row with the same key
+   * APPENDED LATER survives — delete-then-reinsert converges to the
+   * reinserted row, which is what makes the upsert stream correct.
+   * NULL-safe key match (a NULL key field matches NULL). Keys are cast to
+   * the table's column types at write time so the read-side join never
+   * falls into a cross-type comparison. Empty key set → no-op. Readers
+   * pay one anti-join per pending delete until [[materializeDeletes]]
+   * folds them; rewrite verbs refuse while any delete is pending (same
+   * guard as positional).
+   */
+  def deleteByKey(spark: SparkSession, base: String, keys0: DataFrame): Long = {
+    import org.apache.spark.sql.functions.col
+    val vs = versions(spark, base)
+    require(vs.nonEmpty, s"no snapshots under $base")
+    val keyCols = keys0.columns.toSeq
+    require(keyCols.nonEmpty, "deleteByKey needs at least one key column")
+    require(!keyCols.exists(_.contains(",")),
+      s"key column names may not contain ',': $keyCols")
+    val schema = read(spark, base).schema
+    val missing = keyCols.filterNot(c => schema.fieldNames.contains(c))
+    require(missing.isEmpty, s"key column(s) not in table schema: $missing")
+    val keys = keys0.select(keyCols.map(c =>
+      col(c).cast(schema(c).dataType).as(c)): _*).distinct()
+    if (keys.isEmpty) return vs.last
+    val next = vs.last + 1
+    val priorLines = manifestLines(spark, base, vs.last)
+    val vDir = branchDir(None, next)
+    val delName = s"eqdel-${java.util.UUID.randomUUID().toString.take(12)}.parquet"
+    commitStaged(spark, base, next,
+      inherited = priorLines :+
+        s"E:$vDir/$delName\t${vs.last}\t${keyCols.mkString(",")}",
+      writeData = dir => {
+        val stage = new Path(s"$dir/_delstage")
+        keys.coalesce(1).write.parquet(stage.toString)
+        val f = fs(spark, base)
+        val part = f.listStatus(stage).toSeq
+          .find(_.getPath.getName.startsWith("part-"))
+          .getOrElse(throw new IllegalStateException(
+            s"no part file in staged delete write under $stage"))
+        require(f.rename(part.getPath, new Path(dir, delName)),
+          s"staging rename of $delName failed")
+        f.delete(stage, true)
+      })
+  }
+
+  /**
    * Fold pending merge-on-read deletes into clean data files (Iceberg's
    * `rewrite_position_delete_files` + affected-file rewrite): ONLY files
-   * that actually carry deleted positions are rewritten (with their rows
-   * dropped); untouched files are inherited by reference, manifest-only.
-   * The new version has no delete entries, so the rewrite verbs unlock
-   * and reads shed the anti-join. No pending deletes → no-op, current
-   * version returned.
+   * that actually carry deleted rows are rewritten (positional: files
+   * named in a delete file; equality: COVERED files containing a matching
+   * key, found by one stats-schema scan + semi-join); untouched files are
+   * inherited by reference, manifest-only. The new version has no delete
+   * entries, so the rewrite verbs unlock and reads shed the anti-join.
+   * No pending deletes → no-op, current version returned.
    */
   def materializeDeletes(spark: SparkSession, base: String,
                          statsKey: Option[String] = None): Long = {
@@ -1416,11 +1525,40 @@ object Snapshots {
     val priorLines = manifestLines(spark, base, vs.last)
     val (data, dels) = splitEntries(priorLines)
     if (dels.isEmpty) return vs.last
-    import org.apache.spark.sql.functions.col
-    val touched = spark.read.parquet(dels.map(e => s"$base/${e.path}"): _*)
-      .select(col("file")).distinct()
-      .collect().map(_.getString(0)).toSet
+    import org.apache.spark.sql.functions.{col, expr}
+    val (eqDels, posDels) = dels.partition(_.eqMeta.isDefined)
+    val touchedPos: Set[String] =
+      if (posDels.isEmpty) Set.empty
+      else spark.read.parquet(posDels.map(e => s"$base/${e.path}"): _*)
+        .select(col("file")).distinct()
+        .collect().map(_.getString(0)).toSet
+    val touchedEq: Set[String] = eqDels.flatMap { e =>
+      val (coveredV, keyCols) = e.eqMeta.get
+      val covered = splitEntries(manifestLines(spark, base, coveredV))._1
+        .map(_.path).toSet
+      val live = data.map(_.path).filter(covered)
+      if (live.isEmpty) Seq.empty[String]
+      else {
+        val keys = spark.read.parquet(s"$base/${e.path}").distinct()
+        val renamed = keys.columns.foldLeft(keys)((d, c) =>
+          d.withColumnRenamed(c, s"__eqk_$c"))
+        val cond = keyCols.map(k => col(k) <=> col(s"__eqk_$k")).reduce(_ && _)
+        spark.read.schema(read(spark, base).schema)
+          .parquet(live.map(p => s"$base/$p"): _*)
+          .withColumn("__file", expr("substring_index(_metadata.file_path, '/', -2)"))
+          .join(renamed, cond, "left_semi")
+          .select(col("__file")).distinct()
+          .collect().map(_.getString(0)).toSeq
+      }
+    }.toSet
+    val touched = touchedPos ++ touchedEq
     val (rewrite, inherit) = data.partition(e => touched(e.path))
+    // a pending delete can touch NOTHING (an equality delete whose keys
+    // never landed): fold it away with a pure-metadata commit — the same
+    // empty-part-file guard as the DML verbs
+    if (rewrite.isEmpty)
+      return commitStaged(spark, base, vs.last + 1, inherit.map(_.line),
+        _ => ())
     val kept = applyDeletes(spark, base,
       spark.read.schema(read(spark, base).schema)
         .parquet(rewrite.map(e => s"$base/${e.path}"): _*), dels)
@@ -1756,7 +1894,10 @@ object Snapshots {
       val bytes = scala.util.Try(
         f.getFileStatus(new Path(s"$base/${e.path}")).getLen).getOrElse(-1L)
       val hasBloom = f.exists(new Path(s"$base/${e.path}$BloomSuffix"))
-      (e.path, if (e.isDelete) "positional-delete" else "data", bytes,
+      (e.path,
+        if (e.eqMeta.isDefined) "equality-delete"
+        else if (e.isDelete) "positional-delete"
+        else "data", bytes,
         hasBloom, e.stats.map(_._1).orNull,
         e.stats.map(_._3).orNull, e.stats.map(_._4).orNull)
     }

@@ -783,6 +783,102 @@ class SnapshotsSpec extends AnyFunSuite {
     }
   }
 
+  test("deleteByKey: zero-data-scan commit, sequence scoping keeps reinserts, materialize folds") {
+    val base = java.nio.file.Files.createTempDirectory("graft-snap").toString + "/t"
+    def part(lo: Long, hi: Long) =
+      (lo to hi).map(i => (i, s"s$i")).toDF("id", "s").coalesce(1)
+    Snapshots.write(part(1, 10), base, statsKey = Some("id"))
+    Snapshots.append(part(11, 20), base, statsKey = Some("id"))
+    Snapshots.append(part(21, 30), base, statsKey = Some("id"))
+
+    // THE selling point vs positional MoR: the delete commit itself opens
+    // no data file — O(|keys|) write, zero scan (the only input records
+    // are the in-memory key rows themselves, if the runtime counts them)
+    val reads = recordsReadDuring {
+      Snapshots.deleteByKey(spark, base,
+        Seq(5L, 15L, 99L).toDF("id")) // 99 never existed — harmless
+    }
+    assert(reads <= 3, s"equality delete scanned data: $reads records read")
+
+    val afterDel = Snapshots.read(spark, base).as[(Long, String)].collect().toSet
+    assert(afterDel == (1L to 30L).filterNot(Set(5L, 15L))
+      .map(i => (i, s"s$i")).toSet)
+    // metadata tables see the pending equality delete
+    assert(Snapshots.files(spark, base).filter(col("kind") === "equality-delete")
+      .count() == 1)
+
+    // sequence scoping: a REINSERT of a deleted key appended AFTER the
+    // delete survives — the delete covers only files present when it
+    // committed (the streaming-upsert delete-then-reinsert shape)
+    Snapshots.append(Seq((5L, "s5-new"), (31L, "s31")).toDF("id", "s")
+      .coalesce(1), base, statsKey = Some("id"))
+    val afterRe = Snapshots.read(spark, base).as[(Long, String)].collect().toSet
+    assert(afterRe.contains((5L, "s5-new")) && !afterRe.contains((5L, "s5")))
+    assert(!afterRe.contains((15L, "s15")) && afterRe.contains((31L, "s31")))
+
+    // scanWhere / pointLookup honor the pending equality delete
+    assert(Snapshots.scanWhere(spark, base, col("id") === 15L).count() == 0)
+    assert(Snapshots.scanWhere(spark, base, col("id") === 5L)
+      .as[(Long, String)].collect().toSet == Set((5L, "s5-new")))
+
+    // rewrite verbs refuse while the equality delete is pending
+    intercept[IllegalArgumentException] {
+      Snapshots.updateWhere(spark, base, col("id") === 2L, Seq("s" -> col("s")))
+    }
+    intercept[IllegalArgumentException] {
+      Snapshots.compact(spark, base, smallBytes = 1L << 20)
+    }
+
+    // expiry cannot drop the manifest the delete scopes by
+    val expected = afterRe
+    Snapshots.expireOlderThan(spark, base, System.currentTimeMillis() + 1000)
+    assert(Snapshots.read(spark, base).as[(Long, String)].collect().toSet
+      == expected, "expiry broke equality-delete scoping")
+
+    // materialize: only the two covered files CONTAINING a match rewrite;
+    // the clean covered file and the post-delete append inherit
+    val vBefore = Snapshots.versions(spark, base).last
+    val priorLines = Snapshots.manifestLines(spark, base, vBefore).toSet
+    val vm = Snapshots.materializeDeletes(spark, base, statsKey = Some("id"))
+    val lines = Snapshots.manifestLines(spark, base, vm)
+    assert(lines.count(priorLines.contains) == 2,
+      s"expected 2 inherited data entries:\n${lines.mkString("\n")}")
+    assert(!lines.exists(_.startsWith("E:")) && !lines.exists(_.startsWith("D:")))
+    assert(Snapshots.read(spark, base).as[(Long, String)].collect().toSet == expected)
+    // post-fold: rewrite verbs unlock
+    Snapshots.updateWhere(spark, base, col("id") === -1L, Seq("s" -> col("s")))
+  }
+
+  test("deleteByKey: NULL-safe key match, composite keys, no-match fold, guards") {
+    val base = java.nio.file.Files.createTempDirectory("graft-snap").toString + "/t"
+    Snapshots.write(
+      Seq((Option(1L), "a", 1), (Option(2L), "b", 2), (None, "c", 3),
+        (None, "d", 4), (Option(5L), "b", 5))
+        .toDF("id", "grp", "x").coalesce(1), base)
+    // composite (id, grp) key with a NULL id: matches ONLY the (NULL, "c")
+    // row — Iceberg v2 equality semantics, null-safe per field
+    Snapshots.deleteByKey(spark, base,
+      Seq((None: Option[Long], "c"), (Option(2L), "b")).toDF("id", "grp"))
+    assert(Snapshots.read(spark, base).as[(Option[Long], String, Int)]
+      .collect().toSet ==
+      Set((Option(1L), "a", 1), (None, "d", 4), (Option(5L), "b", 5)))
+
+    // guards: unknown key column; empty key set is a no-op
+    intercept[IllegalArgumentException] {
+      Snapshots.deleteByKey(spark, base, Seq(1L).toDF("nope"))
+    }
+    val v = Snapshots.versions(spark, base).last
+    assert(Snapshots.deleteByKey(spark, base,
+      Seq.empty[Long].toDF("id")) == v)
+
+    // a delete whose keys never landed folds away metadata-only
+    Snapshots.deleteByKey(spark, base, Seq(404L).toDF("id"))
+    val before = Snapshots.read(spark, base).collect().toSet
+    val vm = Snapshots.materializeDeletes(spark, base)
+    assert(!Snapshots.manifestLines(spark, base, vm).exists(_.startsWith("E:")))
+    assert(Snapshots.read(spark, base).collect().toSet == before)
+  }
+
   test("merge-on-read parity: MoR and CoW deletes produce identical tables, NULL predicate rows kept") {
     val mor = java.nio.file.Files.createTempDirectory("graft-snap").toString + "/t"
     val cow = java.nio.file.Files.createTempDirectory("graft-snap").toString + "/t"
