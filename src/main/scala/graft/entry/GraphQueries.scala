@@ -154,6 +154,18 @@ private[graft] object GraphQueries {
               |WHERE EXISTS (SELECT 1 FROM und e3
               |              WHERE e3.a = e1.a AND e3.b = e2.b)""".stripMargin)),
 
+    // K-core decomposition (round-13): parallel peel to fixpoint. The
+    // oracle unrolls the peel as chained CTEs — on a ≤25-node graph every
+    // non-fixpoint round removes ≥1 node, so 25 unrolled rounds provably
+    // REACH the fixpoint and further rounds are no-ops; Spark runs the
+    // true fixpoint loop. Cascade matters: the sf0.01 backbone has degrees
+    // 3..24 and the k=8 peel removes six nodes in waves as removals expose
+    // new light nodes (k=10 would cascade all the way to empty).
+    "g9_kcore" -> Q(
+      (s, d) => graft.ops.Graph.kCore(tradeEdges(s, d, 120), "a", "b", 8)
+        .orderBy(col("node")),
+      Some(kcoreOracleSql(120, k = 8, rounds = 25))),
+
     // Per-node triangle counts + local clustering coefficient (round-13):
     // degree-rank orientation bounds wedge generation at O(m^1.5) where
     // g2's canonical a<b apex pays the hub's full Σ deg². Oracle

@@ -287,6 +287,36 @@ private[graft] object Shared {
        |    GROUP BY 1, 2)
        |  WHERE n >= $minLines AND a <> b)""".stripMargin
 
+  /** DuckDB twin of [[graft.ops.Graph.kCore]]: the parallel peel unrolled
+    * into chained (degree, alive, edges) CTE rounds. Correct whenever
+    * `rounds` ≥ the peel depth — every non-fixpoint round removes at
+    * least one node, so rounds = node-count upper-bounds it and trailing
+    * rounds are no-ops. */
+  def kcoreOracleSql(minLines: Long, k: Int, rounds: Int): String = {
+    val sb = new StringBuilder
+    sb ++= s"WITH ${tradeEdgeSql(minLines)},\n"
+    // MATERIALIZED is load-bearing: each round references the previous
+    // round's CTE three times — inlined, the reference tree (and the
+    // parquet opens at its leaves) grows 3^rounds and exhausts fds
+    sb ++= "e0 AS MATERIALIZED (SELECT DISTINCT least(a, b) AS a, greatest(a, b) AS b FROM edges)"
+    for (i <- 1 to rounds) {
+      val p = i - 1
+      sb ++= s""",
+               |d$i AS MATERIALIZED (SELECT node, count(*) AS deg FROM
+               |  (SELECT a AS node FROM e$p UNION ALL SELECT b FROM e$p)
+               |  GROUP BY 1),
+               |a$i AS MATERIALIZED (SELECT node FROM d$i WHERE deg >= $k),
+               |e$i AS MATERIALIZED (SELECT a, b FROM e$p
+               |  WHERE a IN (SELECT node FROM a$i)
+               |    AND b IN (SELECT node FROM a$i))""".stripMargin
+    }
+    sb ++= s"""
+              |SELECT node, count(*) AS core_degree FROM
+              |  (SELECT a AS node FROM e$rounds UNION ALL SELECT b FROM e$rounds)
+              |GROUP BY node ORDER BY node""".stripMargin
+    sb.toString
+  }
+
   /** DuckDB twin of [[graft.ops.Graph.pageRank]] with per-iteration 1e-dp
     * rounding: the power iteration unrolled into chained CTEs (like
     * [[mmrOracleSql]]). Every arithmetic step mirrors the Spark expression

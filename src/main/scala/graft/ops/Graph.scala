@@ -455,6 +455,52 @@ object Graph {
   }
 
   /**
+   * K-CORE decomposition by parallel peeling: repeatedly delete every
+   * node whose degree in the SURVIVING subgraph is < k until a fixpoint —
+   * what remains is the (unique, maximal) k-core. Returns (node,
+   * core_degree) where core_degree is the node's degree INSIDE the core
+   * subgraph (≥ k by construction); nodes outside the core are absent.
+   *
+   * The dense-cohesion primitive the curation stack wants for "find the
+   * tightly-interlinked cluster" (spam rings, boilerplate families,
+   * citation cores). Per round: one degree aggregation + two semi-joins,
+   * all keyed on the node — no all-pairs anywhere, and the edge set only
+   * SHRINKS, so every round is cheaper than the last. Rounds = parallel
+   * peel depth (bounded by the graph's degeneracy peel sequence; small in
+   * practice — each round removes EVERY currently-underweight node, not
+   * one). Per-round localCheckpoint truncates lineage; the fixpoint test
+   * rides the same count() that sizes the next round's edge set — one
+   * scalar action per round, the PageRank/CC discipline.
+   */
+  def kCore(edges: DataFrame, srcCol: String, dstCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"k-core needs k >= 1, got $k")
+    def degrees(e: DataFrame): DataFrame =
+      e.select(col("a").as("node"))
+        .unionByName(e.select(col("b").as("node")))
+        .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    var cur = edges
+      .select(least(col(srcCol), col(dstCol)).as("a"),
+        greatest(col(srcCol), col(dstCol)).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+      .localCheckpoint()
+    var n = cur.count()
+    var done = n == 0L
+    while (!done) {
+      val alive = degrees(cur).filter(col("deg") >= k)
+      val next = cur
+        .join(alive.select(col("node").as("a")), Seq("a"), "left_semi")
+        .join(alive.select(col("node").as("b")), Seq("b"), "left_semi")
+        .localCheckpoint()
+      val m = next.count()
+      done = m == n
+      cur = next
+      n = m
+    }
+    degrees(cur).select(col("node"), col("deg").as("core_degree"))
+  }
+
+  /**
    * Per-node triangle counts by DEGREE-RANK ORIENTATION (the
    * compact-forward / Latapy shape — the standard distributed triangle
    * algorithm, cf. Suri & Vassilvitskii's MR formulation): each

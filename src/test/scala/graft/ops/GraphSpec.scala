@@ -208,6 +208,52 @@ class GraphSpec extends AnyFunSuite {
     assert(uncapped.size > 1 && uncapped.contains(("l3", "l4")), uncapped.toString)
   }
 
+  test("kCore: cascade peel — pendant chain unravels, clique survives with core degrees") {
+    // K4 on {a,b,c,d} plus a chain d-e-f-g: the 2-core is K4 ∪ nothing of
+    // the chain (e has deg 2 until f peels, then cascades — the fixpoint
+    // loop must keep peeling as removals expose new underweight nodes)
+    val e = edges("a" -> "b", "a" -> "c", "a" -> "d", "b" -> "c",
+      "b" -> "d", "c" -> "d", "d" -> "e", "e" -> "f", "f" -> "g")
+    val core2 = Graph.kCore(e, "src", "dst", 2)
+      .collect().map(x => x.getString(0) -> x.getLong(1)).toMap
+    assert(core2 == Map("a" -> 3L, "b" -> 3L, "c" -> 3L, "d" -> 3L), core2.toString)
+    // 3-core identical here; 4-core empty (K4 is only 3-regular)
+    assert(Graph.kCore(e, "src", "dst", 3)
+      .collect().map(_.getString(0)).toSet == Set("a", "b", "c", "d"))
+    assert(Graph.kCore(e, "src", "dst", 4).count() == 0L)
+    // 1-core: everything with an edge survives, duplicate/reversed edges collapse
+    val withDups = edges("a" -> "b", "b" -> "a", "a" -> "b", "b" -> "c")
+    assert(Graph.kCore(withDups, "src", "dst", 1)
+      .collect().map(x => x.getString(0) -> x.getLong(1)).toMap ==
+      Map("a" -> 1L, "b" -> 2L, "c" -> 1L))
+  }
+
+  test("kCore: matches the brute-force peel on a hashed random graph") {
+    val n = 40
+    def bit(i: Int, j: Int): Boolean =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$i:$j".getBytes("UTF-8"))(0) % 4 == 0
+    val pairs = for {
+      i <- 0 until n; j <- (i + 1) until n if bit(i, j)
+    } yield (s"n$i", s"n$j")
+    // brute-force sequential peel (order-independent result)
+    val k = 3
+    var adj = pairs.toSet
+    var changed = true
+    while (changed) {
+      val deg = adj.toSeq.flatMap(p => Seq(p._1, p._2))
+        .groupBy(identity).view.mapValues(_.size).toMap
+      val dead = deg.filter(_._2 < k).keySet
+      changed = dead.nonEmpty
+      adj = adj.filterNot(p => dead(p._1) || dead(p._2))
+    }
+    val expected = adj.toSeq.flatMap(p => Seq(p._1, p._2))
+      .groupBy(identity).map { case (v, xs) => v -> xs.size.toLong }
+    val got = Graph.kCore(edges(pairs: _*), "src", "dst", k)
+      .collect().map(x => x.getString(0) -> x.getLong(1)).toMap
+    assert(got == expected, s"got $got\nexpected $expected")
+  }
+
   test("triangleCounts: planted triangles credited to all corners, zero-fill, dup/direction collapse") {
     // K4 on {a,b,c,d} (4 triangles, each node in 3), a pendant p off a
     // (0 triangles), plus reversed + duplicate edges that must collapse
