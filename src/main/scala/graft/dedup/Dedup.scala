@@ -410,6 +410,73 @@ object Dedup {
   }
 
   /**
+   * EXACT edit-distance similarity join (ED-Join's prefix filtering, Xiao
+   * et al. 2008): every pair with levenshtein ≤ `maxDist`, found WITHOUT
+   * an all-pairs pass. The pruning chain, each step exactness-preserving:
+   *
+   *  1. q-gram prefix blocking: one edit destroys at most q positional
+   *     q-grams, so two strings within distance k share at least one of
+   *     each other's (k·q+1) RAREST q-grams (rarity = global document
+   *     frequency, ties on the gram). Candidates are generated ONLY by
+   *     joining those prefixes — the rare-gram buckets are small by
+   *     construction, the hot-gram bucket problem solved by theorem
+   *     instead of a lossy df cap.
+   *  2. length filter: |len(s) − len(t)| ≤ k.
+   *  3. exact levenshtein confirm on the surviving candidates.
+   *
+   * The prefix theorem needs ≥ k·q+1 grams per string (len ≥ q·(k+1));
+   * shorter strings fall back to an all-pairs pass WITHIN the short
+   * cohort (any missed pair must have BOTH sides short, since length
+   * differs by ≤ k) — bounded because "short" is a constant length, and
+   * exact. Returns (id_a, id_b, dist) with id_a < id_b, dist ≤ maxDist.
+   *
+   * This is the entity-resolution / near-identical-title join; for long
+   * documents use the shingle/MinHash family — edit distance on 10 KB
+   * texts is the wrong metric and the wrong cost.
+   */
+  def editDistancePairs(df: DataFrame, idCol: String, strCol: String,
+                        maxDist: Int, q: Int = 3): DataFrame = {
+    require(maxDist >= 1, s"maxDist must be >= 1, got $maxDist")
+    require(q >= 2, s"q must be >= 2, got $q")
+    val k = maxDist
+    val d = df.select(col(idCol).as("__id"), col(strCol).as("__s"))
+      .filter(col("__s").isNotNull).cache()
+    val shortMax = q * (k + 1) // strings below this can miss the theorem
+    val grams = d
+      .filter(length(col("__s")) >= shortMax)
+      .select(col("__id"), posexplode(expr(
+        s"transform(sequence(1, length(__s) - ${q - 1}), i -> substring(__s, i, $q))"))
+        .as(Seq("__pos", "__g")))
+    val gramDf = grams.groupBy(col("__g")).agg(count(lit(1)).as("__df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__id"))
+      .orderBy(col("__df"), col("__g"), col("__pos"))
+    val prefix = grams.join(gramDf, "__g")
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k * q + 1)
+      .select(col("__id"), col("__g"))
+    val blocked = prefix.select(col("__g"), col("__id").as("id_a"))
+      .join(prefix.select(col("__g"), col("__id").as("id_b")), "__g")
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b")).distinct()
+    // short-cohort fallback: a pair the prefix theorem cannot cover has
+    // both sides shorter than shortMax + k — all-pairs within that
+    // constant-length cohort only
+    val shorts = d.filter(length(col("__s")) < shortMax + k)
+    val shortPairs = shorts.select(col("__id").as("id_a"))
+      .crossJoin(shorts.select(col("__id").as("id_b")))
+      .filter(col("id_a") < col("id_b"))
+    val candidates = blocked.unionByName(shortPairs).distinct()
+    candidates
+      .join(d.select(col("__id").as("id_a"), col("__s").as("__sa")), "id_a")
+      .join(d.select(col("__id").as("id_b"), col("__s").as("__sb")), "id_b")
+      .filter(abs(length(col("__sa")) - length(col("__sb"))) <= k)
+      .select(col("id_a"), col("id_b"),
+        levenshtein(col("__sa"), col("__sb")).as("dist"))
+      .filter(col("dist") <= k)
+  }
+
+  /**
    * Asymmetric n-gram CONTAINMENT (Broder 1997's containment coefficient):
    * c(A→B) = |A∩B| / |A| — how much of doc A's shingle set lives inside
    * doc B. The excerpt/quotation detector Jaccard is blind to: a short

@@ -517,6 +517,26 @@ private[graft] object DedupQueries {
              |SELECT id_a, id_b, round(jaccard, 6) AS jaccard FROM jac
              |WHERE jaccard >= 0.2 ORDER BY id_a, id_b""".stripMargin)),
 
+    // Exact edit-distance similarity join (round-13): ED-Join q-gram
+    // prefix blocking + levenshtein confirm. The oracle is the brute-force
+    // all-pairs join over the SAME bounded fixture — a hash match proves
+    // the blocking chain (rare-gram prefixes, length filter, short-cohort
+    // fallback) loses NO pair, which is the entire claim of the operator.
+    "dd_edit_join" -> Q(
+      (s, d) => Dedup.editDistancePairs(
+          T(s, d, "documents").filter(col("doc_id") < 500)
+            .select(col("doc_id"), substring(col("text"), 1, 25).as("t")),
+          "doc_id", "t", maxDist = 3)
+        .orderBy(col("id_a"), col("id_b")),
+      Some("""WITH fix AS (SELECT doc_id, substr(text, 1, 25) AS t
+             |  FROM documents WHERE doc_id < 500)
+             |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             |  CAST(levenshtein(a.t, b.t) AS INT) AS dist
+             |FROM fix a JOIN fix b ON a.doc_id < b.doc_id
+             |WHERE abs(length(a.t) - length(b.t)) <= 3
+             |  AND levenshtein(a.t, b.t) <= 3
+             |ORDER BY id_a, id_b""".stripMargin)),
+
     // Asymmetric containment (round-11): |A∩B|/|A| per direction — the
     // excerpt/quotation detector Jaccard is blind to (a short doc copied
     // into a long one has tiny Jaccard but containment ≈ 1). Same

@@ -575,6 +575,56 @@ class DedupSpec extends AnyFunSuite {
     assert(out(4L) == out(1L) && out(4L) != out(3L))
   }
 
+  test("editDistancePairs: planted edits found, far pairs excluded, short cohort covered") {
+    val rows = Seq(
+      (1L, "the quick brown fox jumps"),
+      (2L, "the quick brown fox jumped"),   // dist 2 from 1 (s→ed)
+      (3L, "the quack brown fox jumps"),    // dist 1 from 1
+      (4L, "a completely different line"),  // far from everything
+      (5L, "ab"),                           // short cohort
+      (6L, "abc"),                          // short: dist 1 from 5
+      (7L, "xyz")                           // short: far from 5/6
+    ).toDF("id", "s")
+    val got = Dedup.editDistancePairs(rows, "id", "s", maxDist = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    // 2 vs 3 ("quick…jumped" / "quack…jumps") is 3 edits > 2 → excluded
+    assert(got == Set((1L, 2L, 2), (1L, 3L, 1), (5L, 6L, 1)), got.toString)
+  }
+
+  test("editDistancePairs: matches brute force on a mutated-string corpus") {
+    // deterministic corpus: 60 strings = 12 seeds × 5 hash-driven mutants
+    // (substitutions/deletions at hashed positions) — plenty of pairs at
+    // every distance, lengths straddling the short-cohort boundary
+    val seeds = (0 until 12).map(i => s"seed-$i-" + ("abcdefghij".drop(i % 5)))
+    def mutate(s: String, j: Int): String = {
+      val h = s"$s:$j".hashCode.abs
+      val pos = h % math.max(1, s.length)
+      if (j % 3 == 0 && s.length > 3) s.take(pos) + s.drop(pos + 1) // delete
+      else s.take(pos) + ('a' + h % 26).toChar + s.drop(pos + 1)    // substitute
+    }
+    val corpus = seeds.zipWithIndex.flatMap { case (s0, i) =>
+      (0 until 5).map(j => ((i * 5 + j).toLong,
+        (0 to j % 3).foldLeft(s0)((s, r) => mutate(s, j + r))))
+    }
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) => i + j)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val k = 3
+    val expected = (for {
+      (ia, sa) <- corpus; (ib, sb) <- corpus if ia < ib
+      d = lev(sa, sb) if d <= k
+    } yield (ia, ib, d)).toSet
+    assert(expected.nonEmpty && expected.size < corpus.size * (corpus.size - 1) / 2)
+    val got = Dedup.editDistancePairs(corpus.toDF("id", "s"), "id", "s", maxDist = k)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got == expected,
+      s"missing=${expected -- got}\nextra=${got -- expected}")
+  }
+
   test("semanticDedupTrained: a Lloyd iteration moves a boundary vector the seed misassigns") {
     // unit vectors by angle: label-0 mass at {0°, 30°}, label-1 at
     // {45°, 70°, 170°}. The 170° outlier drags label 1's SEED centroid to
