@@ -257,6 +257,67 @@ private[graft] object CurationQueries {
              |      FROM documents, c)
              |SELECT bin, count(*) AS n_docs,
              |  min(n_chars) AS min_chars, max(n_chars) AS max_chars
-             |FROM b GROUP BY 1 ORDER BY 1""".stripMargin))
+             |FROM b GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // DSIR importance weights (Xie et al. 2023): hashed unigram+bigram
+    // multinomials, target = the English slice, raw = the whole corpus.
+    // The raw explode is shared between the per-doc counts and the raw
+    // marginal (ReuseExchange); the log-ratio table (≤4096 rows)
+    // broadcasts. Only the final sum rounds (6 dp) — a pre-rounded λ
+    // parks sums exactly on the half-way boundary (4/500 docs flipped).
+    "cu_dsir_weights" -> Q(
+      (s, d) => {
+        val docs = T(s, d, "documents")
+        graft.ops.Curation.dsirLogWeights(
+            docs, docs.filter(col("lang") === "en"), "doc_id", "text",
+            buckets = 4096, alpha = 1.0)
+          .orderBy(col("doc_id"))
+      },
+      Some(dsirWeightsCte +
+        "\nSELECT doc_id, n_grams, log_w FROM w ORDER BY doc_id")),
+
+    // DSIR resampling: Gumbel-top-k over the log-weights — deterministic
+    // per-row Gumbel (md5-uniform nudged off the grid edge), global top-k
+    // via TakeOrderedAndProject, ties by id
+    "cu_dsir_sample" -> Q(
+      (s, d) => {
+        val docs = T(s, d, "documents")
+        graft.ops.Curation.dsirResample(
+            docs, docs.filter(col("lang") === "en"), "doc_id", "text",
+            k = 100, buckets = 4096, alpha = 1.0)
+          .orderBy(col("samp_key").desc, col("doc_id"))
+      },
+      Some(dsirWeightsCte + """
+             |SELECT doc_id, n_grams, log_w,
+             |  round(log_w - ln(-ln((CAST('0x' || substr(md5('dsir|' || doc_id::VARCHAR), 1, 15)
+             |    AS BIGINT) % 10000 + 0.5) / 10000.0)), 6) AS samp_key
+             |FROM w ORDER BY samp_key DESC, doc_id LIMIT 100""".stripMargin))
   )
+
+  /** Shared oracle CTE for the DSIR pair: per-doc hashed-gram counts,
+    * target/raw bucket marginals, smoothed log-ratio λ (8 dp), per-doc
+    * weights `w(doc_id, n_grams, log_w)` (6 dp). Replays
+    * [[graft.ops.Curation.dsirLogWeights]] with buckets=4096, alpha=1. */
+  private val dsirWeightsCte: String =
+    """WITH tok AS (SELECT doc_id,
+      |    list_filter(regexp_split_to_array(text, '\s+'), x -> length(x) > 0) AS t
+      |  FROM documents),
+      |uni AS (SELECT doc_id, unnest(t) AS gram FROM tok),
+      |bi AS (SELECT doc_id, t[CAST(i AS INT)] || ' ' || t[CAST(i AS INT) + 1] AS gram
+      |       FROM (SELECT doc_id, t, unnest(range(1, len(t))) AS i FROM tok)),
+      |grams AS (SELECT doc_id,
+      |    CAST('0x' || substr(md5(gram), 1, 15) AS BIGINT) % 4096 AS bucket
+      |  FROM (SELECT * FROM uni UNION ALL SELECT * FROM bi)),
+      |rdb AS (SELECT doc_id, bucket, count(*) AS n FROM grams GROUP BY 1, 2),
+      |rc AS (SELECT bucket, sum(n) AS rc FROM rdb GROUP BY 1),
+      |tc AS (SELECT bucket, count(*) AS tc FROM grams
+      |       JOIN documents USING (doc_id) WHERE lang = 'en' GROUP BY 1),
+      |tot AS (SELECT (SELECT sum(tc) FROM tc) AS tt, (SELECT sum(rc) FROM rc) AS rt),
+      |lam AS (SELECT bucket,
+      |    ln((coalesce(tc, 0) + 1.0) / (tt + 1.0 * 4096))
+      |        - ln((coalesce(rc, 0) + 1.0) / (rt + 1.0 * 4096)) AS lam
+      |  FROM rc FULL OUTER JOIN tc USING (bucket), tot),
+      |w AS (SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_grams,
+      |        round(sum(n * lam), 6) AS log_w
+      |      FROM rdb JOIN lam USING (bucket) GROUP BY doc_id)""".stripMargin
 }

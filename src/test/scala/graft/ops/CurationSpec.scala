@@ -418,4 +418,74 @@ class CurationSpec extends AnyFunSuite {
     assert(Curation.tokenBudget(df, "id", "grp", col("toks"), col("score"),
       budget = 5L).count() == 0)
   }
+
+  // ---- DSIR importance resampling (Xie et al. 2023) ----
+
+  private def dsirCorpus = Seq(
+    // target-like docs: "good" vocabulary
+    (1L, "the quick brown fox jumps over the lazy dog", "en"),
+    (2L, "the quick dog jumps over the brown fox again", "en"),
+    (3L, "a lazy brown dog and a quick fox", "en"),
+    // off-target docs: disjoint vocabulary
+    (4L, "zzz qqq www eee rrr ttt yyy uuu", "xx"),
+    (5L, "qqq www zzz rrr eee yyy ttt uuu", "xx"),
+    (6L, "mixed doc the quick zzz qqq fox", "mx")
+  ).toDF("id", "text", "lang")
+
+  test("dsirLogWeights: target-vocabulary docs outscore off-target docs") {
+    val raw = dsirCorpus
+    val target = raw.filter(col("lang") === "en")
+    val w = Curation.dsirLogWeights(raw, target, "id", "text", buckets = 512)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(w.size == 6)
+    // every in-target doc beats every off-target doc; the mixed doc lands between
+    assert(Seq(1L, 2L, 3L).map(w).min > w(6L), s"got $w")
+    assert(w(6L) > Seq(4L, 5L).map(w).max, s"got $w")
+  }
+
+  test("dsirLogWeights: hand-computed smoothed log-ratio replays exactly") {
+    val raw = dsirCorpus
+    val target = raw.filter(col("lang") === "en")
+    val buckets = 64
+    // driver-side replay with the same md5 bucketing and smoothing
+    def toks(s: String) = s.split("\\s+").filter(_.nonEmpty).toSeq
+    def grams(s: String) = { val t = toks(s); t ++ t.sliding(2).filter(_.size == 2).map(_.mkString(" ")) }
+    def bucket(g: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5").digest(g.getBytes("UTF-8"))
+      val hex = d.map("%02x".format(_)).mkString.substring(0, 15)
+      java.lang.Long.parseLong(hex, 16) % buckets
+    }
+    val rows = dsirCorpus.collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val rawB = rows.flatMap { case (id, t, _) => grams(t).map(g => (id, bucket(g))) }
+    val tgtB = rows.filter(_._3 == "en").flatMap { case (id, t, _) => grams(t).map(g => bucket(g)) }
+    val rc = rawB.groupBy(_._2).view.mapValues(_.size).toMap
+    val tc = tgtB.groupBy(identity).view.mapValues(_.size).toMap
+    val (rt, tt) = (rawB.size.toDouble, tgtB.size.toDouble)
+    def lam(b: Long): Double = {
+      val l = math.log((tc.getOrElse(b, 0) + 1.0) / (tt + buckets)) -
+        math.log((rc.getOrElse(b, 0) + 1.0) / (rt + buckets))
+      BigDecimal(l).setScale(8, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val expected = rawB.groupBy(_._1).view.mapValues { bs =>
+      val s = bs.map(x => lam(x._2)).sum
+      BigDecimal(s).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }.toMap
+    val got = Curation.dsirLogWeights(raw, target, "id", "text", buckets = buckets)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(got == expected, s"got $got expected $expected")
+  }
+
+  test("dsirResample: exactly k, deterministic, biased toward the target") {
+    val raw = dsirCorpus
+    val target = raw.filter(col("lang") === "en")
+    val s1 = Curation.dsirResample(raw, target, "id", "text", k = 3, buckets = 512)
+      .select("id").as[Long].collect().toSeq
+    val s2 = Curation.dsirResample(raw, target, "id", "text", k = 3, buckets = 512)
+      .select("id").as[Long].collect().toSeq
+    assert(s1.size == 3 && s1 == s2)       // exact k, pure function of the corpus
+    // Gumbel noise is bounded in practice by the md5 grid (|g| ≤ ~2.3 at
+    // u ∈ [5e-5, 0.99995]); the vocabulary gap here is far wider, so the
+    // sample must come from the target-like side
+    assert(s1.toSet.subsetOf(Set(1L, 2L, 3L, 6L)), s"got $s1")
+  }
 }
