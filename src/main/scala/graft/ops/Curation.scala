@@ -617,13 +617,19 @@ object Curation {
    * to 6 dp — documents with zero tokens are absent (no feature mass).
    *
    * Scale shape — the reason hashed DSIR works at 100 TB where an LM
-   * scorer doesn't: each corpus is exploded ONCE; the raw side's
-   * (doc, bucket, n) partial aggregate is the only corpus-sized shuffle
-   * (linear in token count, map-side combined), and the raw bucket
-   * marginal re-aggregates FROM that exchange (ReuseExchange, no second
-   * scan). Both distribution estimates collapse to ≤`buckets` rows, the
-   * per-bucket log-ratio table broadcasts (≤`buckets` rows regardless of
-   * corpus size), and only the FINAL per-doc sum is rounded (6 dp): a
+   * scorer doesn't: each corpus is exploded ONCE. The raw side's
+   * (doc, bucket, n) aggregate is persisted (MEMORY_AND_DISK) because it
+   * feeds THREE consumers (raw marginal, its total, the final per-doc
+   * sum) whose grouping keys differ — exchange reuse cannot dedup them
+   * (measured: without the persist the raw corpus is tokenized 3× and
+   * the target 2×, 5 scans per query). It is at most one row per
+   * (doc, distinct bucket) — min(tokens, buckets) per doc, far below
+   * token count — and spills to disk if the corpus outruns memory. The
+   * target's marginal is persisted AFTER its ≤`buckets`-row aggregate
+   * (KiB-sized). Both distribution estimates collapse to ≤`buckets`
+   * rows, the per-bucket log-ratio table broadcasts (≤`buckets` rows
+   * regardless of corpus size), and only the FINAL per-doc sum is
+   * rounded (6 dp): a
    * pre-rounded λ would make the sum an exact multiple of the grid and
    * park it ON the half-way rounding boundary (measured: 4/500 docs
    * flipped at 1e-6 with an 8 dp λ), while raw doubles differ across
@@ -636,9 +642,11 @@ object Curation {
     require(alpha > 0, s"alpha must be positive, got $alpha")
     val rawDB = hashedGrams(raw, idCol, textCol, buckets)
       .groupBy(col(idCol), col("bucket")).agg(count(lit(1)).as("n"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val rc = rawDB.groupBy(col("bucket")).agg(sum(col("n")).as("rc"))
     val tc = hashedGrams(target, idCol, textCol, buckets)
       .groupBy(col("bucket")).agg(count(lit(1)).as("tc"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val rTot = rc.agg(sum(col("rc")).as("rt"))
     val tTot = tc.agg(sum(col("tc")).as("tt"))
     val aB = lit(alpha * buckets)
