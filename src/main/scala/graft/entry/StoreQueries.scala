@@ -1114,6 +1114,78 @@ private[graft] object StoreQueries {
           .select(col("index_kind"), col("n_hits"), col("recall"))
           .orderBy(col("index_kind"))
       },
-      Option(recallOracleState.get()).map(recallOracleSqlFor))
+      Option(recallOracleState.get()).map(recallOracleSqlFor)),
+
+    // Metadata-only aggregates (round-13): count(*) and MIN/MAX answered
+    // from manifest record counts / per-file bounds with ZERO data-file
+    // IO — counting a 100 TB table as a driver-side manifest fold. The
+    // fixture commits two appends (counts recorded per file), takes the
+    // metadata bounds while sound, then a positional MoR delete; the
+    // post-delete count subtracts distinct delete positions without
+    // touching a data file. The zero-IO proof (count survives physically
+    // deleted data files) lives in SnapshotsSpec.
+    "snap_meta_count" -> Q(
+      (s, d) => {
+        import graft.store.Snapshots
+        val root = FixtureRoot.fresh("snapmeta")
+        val base = root + "/t"
+        val docs = T(s, d, "documents")
+          .select(col("doc_id"), col("source"), col("n_chars"))
+        Snapshots.write(docs.filter(pmod(col("doc_id"), lit(2)) === 0)
+          .repartition(3), base, statsKey = Some("doc_id"))
+        Snapshots.append(docs.filter(pmod(col("doc_id"), lit(2)) === 1)
+          .repartition(3), base, statsKey = Some("doc_id"))
+        val nFull = Snapshots.metaCount(s, base).get
+        val Some((boundsKey, mn, mx)) = Snapshots.metaBounds(s, base)
+        Snapshots.deleteWhereMoR(s, base, pmod(col("doc_id"), lit(5)) === 0)
+        val nAfter = Snapshots.metaCount(s, base).get
+        val boundsGoneUnderDeletes = Snapshots.metaBounds(s, base).isEmpty
+        import s.implicits._
+        Seq((nFull, nAfter, boundsKey, mn.toLong, mx.toLong,
+          boundsGoneUnderDeletes))
+          .toDF("n_full", "n_after_delete", "bounds_key", "min_id", "max_id",
+            "bounds_gone_under_deletes")
+      },
+      Some("""SELECT (SELECT count(*) FROM documents) AS n_full,
+             |  (SELECT count(*) FROM documents WHERE doc_id % 5 <> 0)
+             |    AS n_after_delete,
+             |  'doc_id' AS bounds_key,
+             |  (SELECT min(doc_id) FROM documents) AS min_id,
+             |  (SELECT max(doc_id) FROM documents) AS max_id,
+             |  TRUE AS bounds_gone_under_deletes""".stripMargin)),
+
+    // Materialized-view lifecycle (round-13): create → two appends →
+    // O(delta) refresh (appendedSince fast path) → CoW delete (breaks the
+    // append chain) → CDC-fallback refresh. The final view must equal a
+    // full recompute bit-exactly (decimal sums are associative), which is
+    // exactly what the oracle computes from the orders table; src_version
+    // pins that the anchor advanced through all five source versions. The
+    // O(delta)-records proof lives in MatViewSpec.
+    "snap_mv_agg" -> Q(
+      (s, d) => {
+        import graft.store.{MatView, Snapshots}
+        val root = FixtureRoot.fresh("snapmv")
+        val (base, mv) = (root + "/t", root + "/mv")
+        val orders = T(s, d, "orders")
+          .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
+        Snapshots.write(orders.filter(pmod(col("o_orderkey"), lit(3)) === 0), base)
+        MatView.create(s, base, mv, Seq("o_orderpriority"), "o_totalprice")
+        Snapshots.append(orders.filter(pmod(col("o_orderkey"), lit(3)) === 1), base)
+        Snapshots.append(orders.filter(pmod(col("o_orderkey"), lit(3)) === 2), base)
+        MatView.refresh(s, base, mv, Seq("o_orderpriority"), "o_totalprice")
+        Snapshots.deleteWhere(s, base, pmod(col("o_orderkey"), lit(11)) === 0)
+        MatView.refresh(s, base, mv, Seq("o_orderpriority"), "o_totalprice",
+          cdcKey = Some("o_orderkey"))
+        Snapshots.read(s, mv)
+          .select(col("o_orderpriority"), col("n"),
+            col("total").cast("double").as("total"),
+            col(MatView.SrcVersionCol).as("src_version"))
+          .orderBy(col("o_orderpriority"))
+      },
+      Some("""SELECT o_orderpriority, count(*) AS n,
+             |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+             |  4 AS src_version
+             |FROM orders WHERE o_orderkey % 11 <> 0
+             |GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 }

@@ -1,0 +1,109 @@
+package graft.store
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Persistent incrementally-maintained aggregate view over a [[Snapshots]]
+ * table — the materialized-view lifecycle that makes a 100 TB rollup
+ * affordable: the view is created once with a full aggregation, then each
+ * [[refresh]] advances it by aggregating ONLY the rows that changed since
+ * the last refresh.
+ *
+ * The view itself is a snapshot table of shape
+ * `(groupCols..., n: bigint, total: decimal(28,2), _src_version: bigint)`:
+ * `n`/`total` are COUNT/SUM of the value column (decimal, so incremental
+ * application is bit-identical to a full recompute — decimal addition is
+ * exact and associative), and `_src_version` is the source snapshot the
+ * view reflects, carried on every row so the anchor commits ATOMICALLY
+ * with the aggregate it describes (a sidecar meta file could be lost
+ * between commits, and a stale anchor would double-apply the next delta).
+ *
+ * Refresh strategy, in cost order:
+ *  1. source head == anchor → no-op (no new MV version).
+ *  2. the history since the anchor is a pure append chain →
+ *     [[Snapshots.appendedSince]] reads ONLY the added files (O(delta)
+ *     scan, manifest set-diff planning), the delta aggregates map-side,
+ *     and [[Snapshots.applyAggDelta]] folds it into the current view —
+ *     the view table is |groups|-sized, so the rewrite is bounded by
+ *     group cardinality, not source size.
+ *  3. a rewrite version (merge / CoW delete / compact) broke the append
+ *     chain → fall back to the CDC delta ([[Snapshots.incrementalAggDelta]]
+ *     over `cdcKey`), which subtracts removed rows and adds new ones;
+ *     groups whose count reaches zero drop out. Requires `cdcKey`.
+ *
+ * The anchor version must still exist when refresh runs: pin it with a
+ * [[Snapshots.tag]] if aggressive `expire` runs between refreshes.
+ * Concurrent refreshes serialize on the view's optimistic commit — a
+ * loser sees [[Snapshots.SnapshotConflictException]] and can simply
+ * re-run (the anchor read repeats, so replays are exactly-once).
+ */
+object MatView {
+  /** Anchor column carried on every view row (uniform per version). */
+  val SrcVersionCol = "_src_version"
+
+  private def aggregate(df: DataFrame, groupCols: Seq[String],
+                        valueCol: String): DataFrame =
+    df.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("n"),
+        sum(col(valueCol).cast("decimal(18,2)"))
+          .cast("decimal(28,2)").as("total"))
+
+  /** Full build from the source's current snapshot; the view starts at
+    * version 1 anchored to the source head. */
+  def create(spark: SparkSession, srcBase: String, mvBase: String,
+             groupCols: Seq[String], valueCol: String): Long = {
+    val anchor = Snapshots.versions(spark, srcBase).last
+    Snapshots.write(
+      aggregate(Snapshots.read(spark, srcBase), groupCols, valueCol)
+        .withColumn(SrcVersionCol, lit(anchor)),
+      mvBase)
+  }
+
+  /** The view's rows without the anchor bookkeeping column. */
+  def read(spark: SparkSession, mvBase: String): DataFrame =
+    Snapshots.read(spark, mvBase).drop(SrcVersionCol)
+
+  /** Source version the view currently reflects. */
+  def anchor(spark: SparkSession, mvBase: String): Long =
+    Snapshots.read(spark, mvBase)
+      .agg(max(col(SrcVersionCol))).head.getLong(0)
+
+  /**
+   * Advance the view to the source head. Returns the view's (possibly
+   * unchanged) latest version. `cdcKey` names a unique row key used only
+   * by the rewrite-chain fallback; omitting it makes a rewrite since the
+   * anchor an error (IllegalStateException) instead of a silent full
+   * recompute — at 100 TB the caller should KNOW when O(delta) stopped
+   * being available.
+   */
+  def refresh(spark: SparkSession, srcBase: String, mvBase: String,
+              groupCols: Seq[String], valueCol: String,
+              cdcKey: Option[String] = None): Long = {
+    val mvVersions = Snapshots.versions(spark, mvBase)
+    require(mvVersions.nonEmpty, s"no materialized view under $mvBase - run create first")
+    val mv = Snapshots.read(spark, mvBase)
+    val from = anchor(spark, mvBase)
+    val head = Snapshots.versions(spark, srcBase).last
+    if (head == from) return mvVersions.last
+    val delta =
+      try {
+        aggregate(Snapshots.appendedSince(spark, srcBase, from),
+            groupCols, valueCol)
+          .withColumnRenamed("n", "cnt_delta")
+          .withColumnRenamed("total", "sum_delta")
+      } catch {
+        case e: IllegalArgumentException =>
+          val key = cdcKey.getOrElse(throw new IllegalStateException(
+            s"source history ($from, $head] of $srcBase is not a pure " +
+              "append chain and no cdcKey was given for the CDC fallback: " +
+              e.getMessage))
+          Snapshots.incrementalAggDelta(spark, srcBase, from, head, key,
+            groupCols, valueCol)
+      }
+    Snapshots.write(
+      Snapshots.applyAggDelta(mv.drop(SrcVersionCol), delta, groupCols)
+        .withColumn(SrcVersionCol, lit(head)),
+      mvBase)
+  }
+}

@@ -108,7 +108,12 @@ object Snapshots {
       /** equality-delete payload: (version whose data files the delete
         * covers, key column names) — Iceberg v2's sequence-number scoping
         * in miniature. None for data entries and positional deletes. */
-      eqMeta: Option[(Long, Seq[String])] = None)
+      eqMeta: Option[(Long, Seq[String])] = None,
+      /** per-file row count from the parquet footer, recorded at commit
+        * time as a trailing `#r=<n>` manifest field — Iceberg's
+        * record_count in miniature. None on entries written before the
+        * field existed (readers must fall back to scanning). */
+      rows: Option[Long] = None)
 
   private def parseEntry(line: String): ManifestEntry = {
     if (line.startsWith("D:"))
@@ -119,10 +124,21 @@ object Snapshots {
       return ManifestEntry(line, p(0), None, isDelete = true,
         eqMeta = Some((p(1).toLong, p(2).split(',').toSeq)))
     }
-    val parts = line.split('\t')
+    val parts0 = line.split('\t')
+    // A trailing `#r=<n>` field is the optional row count. It is only
+    // recognized at the arities the writer produces (2 = path+rows,
+    // 6 = path+stats+rows): a 5-part STATS line whose max value happens
+    // to start with "#r=" must not be misparsed as a 4-part line.
+    val (parts, rows) =
+      if ((parts0.length == 6 || parts0.length == 2) &&
+          parts0.last.startsWith("#r="))
+        (parts0.dropRight(1),
+          scala.util.Try(parts0.last.drop(3).toLong).toOption)
+      else (parts0, None)
     if (parts.length == 5)
-      ManifestEntry(line, parts(0), Some((parts(1), parts(2), parts(3), parts(4))))
-    else ManifestEntry(line, parts(0), None)
+      ManifestEntry(line, parts(0),
+        Some((parts(1), parts(2), parts(3), parts(4))), rows = rows)
+    else ManifestEntry(line, parts(0), None, rows = rows)
   }
 
   /** (data entries, positional-delete entries) of a manifest line set. */
@@ -188,6 +204,17 @@ object Snapshots {
     (tag, ok.map(r => new Path(r.getString(0)).getName -> (r.getString(1), r.getString(2))).toMap)
   }
 
+  /** Row count of one parquet file from its footer alone (block metadata;
+    * zero data pages read). None on any failure — callers degrade to a
+    * scan, never to a wrong count. */
+  private def footerRowCount(conf: org.apache.hadoop.conf.Configuration,
+                             p: Path): Option[Long] =
+    scala.util.Try {
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, conf))
+      try r.getRecordCount finally r.close()
+    }.toOption
+
   /**
    * The optimistic commit: stage data + manifest in a private hidden
    * `.txn-<uuid>` directory, then claim `v=next` with ONE atomic directory
@@ -232,10 +259,18 @@ object Snapshots {
       val (tag, stats) = statsKey.filter(_ => names.nonEmpty)
         .map(stagedStats(spark, txn, _))
         .getOrElse(("", Map.empty[String, (String, String)]))
+      val conf = spark.sparkContext.hadoopConfiguration
       val own = names.map { n =>
+        // record_count from the parquet FOOTER (no data pages touched) —
+        // powers metadata-only count(*) ([[metaCount]]). Failure degrades
+        // to a count-less entry (readers fall back to scanning), never
+        // fails the commit.
+        val rowsSuffix = footerRowCount(conf, new Path(txn, n))
+          .map(r => s"\t#r=$r").getOrElse("")
         stats.get(n) match {
-          case Some((mn, mx)) => s"$vDir/$n\t${statsKey.get}\t$tag\t$mn\t$mx"
-          case None => s"$vDir/$n"
+          case Some((mn, mx)) =>
+            s"$vDir/$n\t${statsKey.get}\t$tag\t$mn\t$mx$rowsSuffix"
+          case None => s"$vDir/$n$rowsSuffix"
         }
       }
       val out = f.create(new Path(txn, "_manifest"), true)
@@ -1899,11 +1934,72 @@ object Snapshots {
         else if (e.isDelete) "positional-delete"
         else "data", bytes,
         hasBloom, e.stats.map(_._1).orNull,
-        e.stats.map(_._3).orNull, e.stats.map(_._4).orNull)
+        e.stats.map(_._3).orNull, e.stats.map(_._4).orNull,
+        e.rows)
     }
     import spark.implicits._
     rows.toDF("path", "kind", "bytes", "has_bloom",
-      "stats_key", "stats_min", "stats_max")
+      "stats_key", "stats_min", "stats_max", "n_rows")
+  }
+
+  /**
+   * Metadata-only `count(*)`: the table's row count from manifest record
+   * counts alone — zero data-file IO, O(|manifest|) driver work. This is
+   * what makes counting a 100 TB table a millisecond operation: every
+   * commit records each file's parquet-footer row count as a `#r=` field,
+   * so the count is a sum over manifest lines. Pending POSITIONAL deletes
+   * subtract exactly: the delete files themselves are read (KiB-sized,
+   * still zero DATA-file IO) and distinct (file,pos) rows counted —
+   * distinct because stacked overlapping MoR deletes may repeat a
+   * position, mirroring [[applyDeletes]]'s anti-join semantics.
+   *
+   * None (caller falls back to `read(...).count()`) when the count cannot
+   * be answered soundly from metadata: any data entry lacking a recorded
+   * count (written before the field existed), or pending EQUALITY deletes
+   * (how many rows a key matches is unknowable without scanning).
+   */
+  def metaCount(spark: SparkSession, base: String,
+                version: Option[Long] = None): Option[Long] = {
+    val vs = versions(spark, base)
+    require(vs.nonEmpty, s"no snapshots under $base")
+    val v = version.getOrElse(vs.last)
+    require(vs.contains(v), s"version $v not in $vs")
+    val (data, dels) = splitEntries(manifestLines(spark, base, v))
+    if (dels.exists(_.eqMeta.isDefined)) return None
+    if (data.exists(_.rows.isEmpty)) return None
+    val total = data.flatMap(_.rows).sum
+    val posDeleted =
+      if (dels.isEmpty) 0L
+      else spark.read.parquet(dels.map(e => s"$base/${e.path}"): _*)
+        .select("file", "pos").distinct().count()
+    Some(total - posDeleted)
+  }
+
+  /**
+   * Metadata-only MIN/MAX of the stats key: (key, min, max) folded over
+   * the manifest's per-file bounds with the same type-tag comparator the
+   * bounds were computed with. Sound only when every data entry carries
+   * stats for ONE shared key and NO delete entries are pending (a delete
+   * may remove the extreme row, making file bounds an over-approximation);
+   * returns None otherwise and the caller falls back to an aggregation
+   * scan.
+   */
+  def metaBounds(spark: SparkSession, base: String,
+                 version: Option[Long] = None): Option[(String, String, String)] = {
+    val vs = versions(spark, base)
+    require(vs.nonEmpty, s"no snapshots under $base")
+    val v = version.getOrElse(vs.last)
+    require(vs.contains(v), s"version $v not in $vs")
+    val (data, dels) = splitEntries(manifestLines(spark, base, v))
+    if (dels.nonEmpty || data.isEmpty || data.exists(_.stats.isEmpty))
+      return None
+    val st = data.flatMap(_.stats)
+    val (keys, tags) = (st.map(_._1).distinct, st.map(_._2).distinct)
+    if (keys.size != 1 || tags.size != 1) return None
+    val tag = tags.head
+    val mn = st.map(_._3).reduce((a, b) => if (statLeq(tag, a, b)) a else b)
+    val mx = st.map(_._4).reduce((a, b) => if (statLeq(tag, a, b)) b else a)
+    Some((keys.head, mn, mx))
   }
 
   /**

@@ -261,9 +261,12 @@ class SnapshotsSpec extends AnyFunSuite {
     val df = (1L to 1000L).map(i => (i, s"v$i")).toDF("id", "s")
       .repartitionByRange(8, col("id"))
     Snapshots.write(df, base, statsKey = Some("id"))
-    // every file's manifest line carries (key, tag, min, max)
+    // every file's manifest line carries (key, tag, min, max) + #r= count
     val lines = Snapshots.manifestLines(spark, base, 1L)
-    assert(lines.size == 8 && lines.forall(_.split('\t').length == 5), lines.mkString("\n"))
+    assert(lines.size == 8 && lines.forall { l =>
+      val p = l.split('\t')
+      p.length == 6 && p(5).startsWith("#r=")
+    }, lines.mkString("\n"))
     // count input records the merge actually reads
     val recs = recordsReadDuring {
       Snapshots.mergeInto(spark, base, Seq((5L, "X")).toDF("id", "s"), "id")
@@ -275,7 +278,9 @@ class SnapshotsSpec extends AnyFunSuite {
     val rows = Snapshots.read(spark, base).as[(Long, String)].collect().toMap
     assert(rows.size == 1000 && rows(5L) == "X" && rows(999L) == "v999")
     // the new version's manifest still carries stats on every line
-    assert(Snapshots.manifestLines(spark, base, 2L).forall(_.split('\t').length == 5))
+    // (5 stats fields, plus the #r= row count where recorded)
+    assert(Snapshots.manifestLines(spark, base, 2L)
+      .forall(l => l.split('\t').filterNot(_.startsWith("#r=")).length == 5))
     // an out-of-range insert-only merge prunes EVERY file (reads ~0 rows)
     val recs2 = recordsReadDuring {
       Snapshots.mergeInto(spark, base, Seq((5000L, "new")).toDF("id", "s"), "id")
@@ -1088,9 +1093,10 @@ class SnapshotsSpec extends AnyFunSuite {
     Snapshots.write(dirty.toDF("s", "n").repartition(col("s")), base,
       statsKey = Some("s"))
     val lines = Snapshots.manifestLines(spark, base, 1L)
-    // no manifest line may carry a value that survives trim/getLines altered
+    // no manifest line may carry a value that survives trim/getLines
+    // altered (a trailing #r= row-count field may follow either shape)
     assert(lines.forall { l =>
-      val p = l.split('\t')
+      val p = l.split('\t').filterNot(_.startsWith("#r="))
       p.length == 1 || p.length == 5 &&
         Seq(p(3), p(4)).forall(v => !v.exists(_.isControl) && v == v.trim)
     }, lines.mkString("|"))
@@ -1239,6 +1245,98 @@ class SnapshotsSpec extends AnyFunSuite {
     assert(removed.exists(_.contains("v=99")),
       s"the pass must continue past the fault: $removed")
     assert(Snapshots.read(spark, base).count() == 1)
+  }
+
+  // ── metadata-only aggregates (manifest record counts + bounds) ─────────
+
+  test("metaCount: manifest-only count, zero jobs, survives missing data files") {
+    val base = java.nio.file.Files.createTempDirectory("graft-meta").toString + "/t"
+    val df = (1L to 500L).map(i => (i, s"s${i % 7}")).toDF("id", "s")
+    Snapshots.write(df.filter(col("id") <= 300).repartition(3), base,
+      statsKey = Some("id"))
+    Snapshots.append(df.filter(col("id") > 300).repartition(2), base,
+      statsKey = Some("id"))
+    assert(Snapshots.metaCount(spark, base) == Some(500L))
+    assert(Snapshots.metaCount(spark, base, Some(1L)) == Some(300L))
+    // zero data IO, no Spark job at all with no pending deletes
+    val read = recordsReadDuring {
+      assert(Snapshots.metaCount(spark, base) == Some(500L))
+    }
+    assert(read == 0L, s"metaCount must not read data, read $read records")
+    // the hard proof: physically remove every data file — the count still
+    // answers from manifests alone (a scan-based count would throw)
+    val f = new java.io.File(base)
+    def parts(d: java.io.File): Seq[java.io.File] =
+      Option(d.listFiles()).toSeq.flatten.filter(_.getName.startsWith("part-"))
+    Option(f.listFiles()).toSeq.flatten.filter(_.getName.startsWith("v="))
+      .flatMap(parts).foreach(p => assert(p.delete()))
+    assert(Snapshots.metaCount(spark, base) == Some(500L))
+  }
+
+  test("metaCount: positional deletes subtract exactly, incl. stacked overlap") {
+    val base = java.nio.file.Files.createTempDirectory("graft-meta-del").toString + "/t"
+    val df = (1L to 200L).map(i => (i, i % 10)).toDF("id", "grp")
+    Snapshots.write(df.repartition(4), base, statsKey = Some("id"))
+    Snapshots.deleteWhereMoR(spark, base, col("id") <= 40)
+    assert(Snapshots.metaCount(spark, base) == Some(160L))
+    // overlapping second delete repeats positions 31..40 in a second
+    // delete file — the distinct (file,pos) count must not double-subtract
+    Snapshots.deleteWhereMoR(spark, base, col("id") > 30 && col("id") <= 60)
+    assert(Snapshots.metaCount(spark, base) == Some(140L))
+    assert(Snapshots.read(spark, base).count() == 140L)
+  }
+
+  test("metaCount: equality deletes and legacy count-less manifests → None") {
+    val base = java.nio.file.Files.createTempDirectory("graft-meta-eq").toString + "/t"
+    val df = (1L to 50L).map(i => (i, s"x$i")).toDF("id", "s")
+    Snapshots.write(df, base, statsKey = Some("id"))
+    Snapshots.deleteByKey(spark, base, Seq(7L, 9L).toDF("id"))
+    assert(Snapshots.metaCount(spark, base).isEmpty,
+      "equality deletes make the matched-row count unknowable from metadata")
+    // legacy manifest: strip the #r= fields in place → must fall back
+    val base2 = java.nio.file.Files.createTempDirectory("graft-meta-legacy").toString + "/t"
+    Snapshots.write(df, base2, statsKey = Some("id"))
+    val mf = new java.io.File(s"$base2/v=1/_manifest")
+    val stripped = scala.io.Source.fromFile(mf).getLines()
+      .map(_.replaceAll("\\t#r=\\d+$", "")).mkString("\n") + "\n"
+    java.nio.file.Files.writeString(mf.toPath, stripped)
+    // the in-place edit invalidates LocalFileSystem's checksum sidecar
+    new java.io.File(s"$base2/v=1/._manifest.crc").delete()
+    assert(Snapshots.metaCount(spark, base2).isEmpty,
+      "entries without recorded counts must fall back, never guess")
+    assert(Snapshots.read(spark, base2).count() == 50L, "read path unaffected")
+  }
+
+  test("metaBounds: manifest min/max parity; deletes and stat-less → None") {
+    val base = java.nio.file.Files.createTempDirectory("graft-meta-b").toString + "/t"
+    val df = (1L to 400L).map(i => (i * 3 - 1, s"v$i")).toDF("id", "s")
+    Snapshots.write(df.filter(col("id") < 600).repartition(3), base,
+      statsKey = Some("id"))
+    Snapshots.append(df.filter(col("id") >= 600).repartition(3), base,
+      statsKey = Some("id"))
+    val Some((key, mn, mx)) = Snapshots.metaBounds(spark, base)
+    val exact = Snapshots.read(spark, base)
+      .agg(org.apache.spark.sql.functions.min(col("id")),
+        org.apache.spark.sql.functions.max(col("id"))).head
+    assert(key == "id" && mn.toLong == exact.getLong(0) && mx.toLong == exact.getLong(1))
+    // a pending delete may have removed the extreme row — bounds go None
+    Snapshots.deleteWhereMoR(spark, base, col("id") === mx.toLong)
+    assert(Snapshots.metaBounds(spark, base).isEmpty)
+    // stat-less table: no bounds to fold
+    val base2 = java.nio.file.Files.createTempDirectory("graft-meta-b2").toString + "/t"
+    Snapshots.write(df, base2)
+    assert(Snapshots.metaBounds(spark, base2).isEmpty)
+    assert(Snapshots.metaCount(spark, base2) == Some(400L),
+      "row counts are recorded even without a stats key")
+  }
+
+  test("files() metadata table exposes per-file n_rows") {
+    val base = java.nio.file.Files.createTempDirectory("graft-meta-f").toString + "/t"
+    Snapshots.write((1L to 90L).toDF("id").repartition(3), base)
+    val rows = Snapshots.files(spark, base)
+      .select("kind", "n_rows").collect()
+    assert(rows.forall(_.getString(0) == "data"))
+    assert(rows.map(_.getLong(1)).sum == 90L)
   }
 }
 
