@@ -276,6 +276,48 @@ private[graft] object CurationQueries {
       Some(dsirWeightsCte +
         "\nSELECT doc_id, n_grams, log_w FROM w ORDER BY doc_id")),
 
+    // Leakage-safe split (round-13): near-dup clusters (star pairs per
+    // (source, length-bucket) group, run through the real min-label CC)
+    // must land whole in one split — the oracle replays the cluster label
+    // as the group-min window and the split as the md5 threshold chain on
+    // that LABEL, and pins the no-leakage invariant as a boolean.
+    "cu_leakage_split" -> Q(
+      (s, d) => {
+        val docs = T(s, d, "documents")
+          .select(col("doc_id"), col("source"), col("n_chars"))
+        val g = docs.withColumn("__b", floor(col("n_chars") / 200))
+        val mins = g.groupBy(col("source"), col("__b"))
+          .agg(min(col("doc_id")).as("m"))
+        val pairs = g.join(mins, Seq("source", "__b"))
+          .filter(col("doc_id") > col("m"))
+          .select(col("m").as("id_a"), col("doc_id").as("id_b"))
+        val cc = graft.dedup.Dedup.connectedComponents(
+          pairs, docs.select(col("doc_id")), "doc_id")
+        val split = graft.ops.Curation.leakageSafeSplit(docs, "doc_id",
+          cc, Seq(("train", 0.8), ("val", 0.1), ("test", 0.1)))
+        val leakFree = split
+          .join(cc.select(col("id").as("doc_id"), col("cluster")), "doc_id")
+          .groupBy(col("cluster"))
+          .agg(countDistinct(col("split")).as("k"))
+          .agg(max(col("k")).as("mx")).head.getLong(0) == 1L
+        split.groupBy(col("split")).agg(count(lit(1)).as("n"))
+          .withColumn("no_leakage", lit(leakFree))
+          .orderBy(col("split"))
+      },
+      Some("""WITH c AS (
+             |  SELECT doc_id,
+             |    min(doc_id) OVER (PARTITION BY source,
+             |      CAST(floor(n_chars / 200) AS BIGINT)) AS cluster
+             |  FROM documents),
+             |s AS (SELECT doc_id, cluster,
+             |  CASE WHEN u < 0.8 THEN 'train'
+             |       WHEN u < 0.9 THEN 'val' ELSE 'test' END AS split
+             |  FROM (SELECT doc_id, cluster,
+             |    CAST('0x' || substr(md5('split|' || cluster), 1, 15) AS BIGINT)
+             |      % 10000 / 10000.0 AS u FROM c))
+             |SELECT split, count(*) AS n, TRUE AS no_leakage
+             |FROM s GROUP BY 1 ORDER BY split""".stripMargin)),
+
     // DSIR resampling: Gumbel-top-k over the log-weights — deterministic
     // per-row Gumbel (md5-uniform nudged off the grid edge), global top-k
     // via TakeOrderedAndProject, ties by id

@@ -185,6 +185,30 @@ object Curation {
     df.withColumn("split", expr)
   }
 
+  /**
+   * Leakage-safe train/val/test split: assignment at duplicate-CLUSTER
+   * granularity, so every member of a near-dup cluster lands in the SAME
+   * split. Splitting by document id leaks: a train doc's near-duplicate
+   * in the val set scores as generalization what is actually recall.
+   * `clusters` is the `(id, cluster)` frame of
+   * [[graft.dedup.Dedup.connectedComponents]] over near-dup pairs
+   * (singletons carry their own id as label, so on a clean corpus this
+   * degenerates to [[splitAssign]]); documents absent from the frame
+   * also fall back to their own id. Cost at 100 TB: one equi-join on the
+   * id (the cluster frame is corpus-sized but narrow — two ids), then
+   * the same zero-shuffle deterministic scalar chain as [[splitAssign]],
+   * keyed on the cluster label.
+   */
+  def leakageSafeSplit(df: DataFrame, idCol: String, clusters: DataFrame,
+                       splits: Seq[(String, Double)],
+                       salt: String = "split"): DataFrame = {
+    val lbl = clusters.select(col("id").as(idCol), col("cluster").as("__cluster"))
+    splitAssign(
+      df.join(lbl, Seq(idCol), "left")
+        .withColumn("__cluster", coalesce(col("__cluster"), col(idCol))),
+      "__cluster", splits, salt).drop("__cluster")
+  }
+
   /** Per-source audit of a [[weightedMix]] pass: totals, kept counts, and
     * the realized rate (one aggregation over the mixed frame). */
   def mixAudit(mixed: DataFrame, sourceCol: String): DataFrame =

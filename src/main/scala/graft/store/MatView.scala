@@ -106,4 +106,25 @@ object MatView {
         .withColumn(SrcVersionCol, lit(head)),
       mvBase)
   }
+
+  /**
+   * foreachBatch body for CONTINUOUS view maintenance: exactly-once
+   * append of the micro-batch into the source table (idempotent on
+   * `(appId, batchId)` via [[Snapshots.appendStream]] — a redelivered
+   * batch commits nothing), then an anchor-based catch-up [[refresh]].
+   * No dual-commit machinery is needed for the view itself because
+   * refresh IS a catch-up: a crash after the append but before the
+   * refresh leaves the view one (or many) source versions behind, and
+   * the next batch's refresh folds the whole backlog in one O(backlog
+   * delta) pass; a crash after the refresh makes the replayed batch a
+   * no-op on both tables. The view never double-counts and never misses
+   * rows — exactly-once end to end from an at-least-once stream.
+   */
+  def ingestAndRefresh(batch: DataFrame, batchId: Long, srcBase: String,
+                       mvBase: String, groupCols: Seq[String],
+                       valueCol: String, appId: String,
+                       statsKey: Option[String] = None): Long = {
+    Snapshots.appendStream(batch, srcBase, appId, batchId, statsKey)
+    refresh(batch.sparkSession, srcBase, mvBase, groupCols, valueCol)
+  }
 }

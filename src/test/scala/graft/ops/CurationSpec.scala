@@ -475,6 +475,30 @@ class CurationSpec extends AnyFunSuite {
     assert(got == expected, s"got $got expected $expected")
   }
 
+  test("leakageSafeSplit: cluster members share a split; singletons = splitAssign") {
+    val docs = (1L to 40L).map(i => (i, s"d$i")).toDF("id", "text")
+    // two near-dup clusters: a star {1,2,3} and a pair {10,11}
+    val pairs = Seq((1L, 2L), (1L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val clusters = graft.dedup.Dedup.connectedComponents(
+      pairs, docs.select(col("id")), "id")
+    val split = Curation.leakageSafeSplit(docs, "id", clusters,
+      Seq(("train", 0.5), ("val", 0.25), ("test", 0.25)))
+    val m = split.select("id", "split").as[(Long, String)].collect().toMap
+    assert(Set(m(1L), m(2L), m(3L)).size == 1, "cluster {1,2,3} split apart")
+    assert(m(10L) == m(11L), "cluster {10,11} split apart")
+    // singletons fall back to their own id = plain splitAssign
+    val plain = Curation.splitAssign(docs, "id",
+        Seq(("train", 0.5), ("val", 0.25), ("test", 0.25)))
+      .select("id", "split").as[(Long, String)].collect().toMap
+    (4L to 9L).foreach(i => assert(m(i) == plain(i)))
+    // docs ABSENT from the clusters frame also fall back to their own id
+    val partial = Curation.leakageSafeSplit(docs, "id",
+      clusters.filter(col("id") <= 11L),
+      Seq(("train", 0.5), ("val", 0.25), ("test", 0.25)))
+      .select("id", "split").as[(Long, String)].collect().toMap
+    (12L to 40L).foreach(i => assert(partial(i) == plain(i)))
+  }
+
   test("dsirResample: exactly k, deterministic, biased toward the target") {
     val raw = dsirCorpus
     val target = raw.filter(col("lang") === "en")

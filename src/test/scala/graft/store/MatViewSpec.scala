@@ -103,4 +103,29 @@ class MatViewSpec extends AnyFunSuite {
     assert(!MatView.read(spark, mv).select("grp").as[String]
       .collect().contains("g1"))
   }
+
+  test("streaming maintenance: redelivery, skipped refresh, and backlog all converge") {
+    val root = java.nio.file.Files.createTempDirectory("graft-mv-str").toString
+    val (base, mv) = (root + "/t", root + "/mv")
+    def b(ids: Range) = ids.map(i => (i.toLong, s"g${i % 3}", 1.0)).toDF("id", "grp", "v")
+    Snapshots.write(b(1 to 10), base)
+    MatView.create(spark, base, mv, Seq("grp"), "v")
+
+    // batch 0 lands normally
+    MatView.ingestAndRefresh(b(11 to 20), 0L, base, mv, Seq("grp"), "v", "app")
+    assert(rows(MatView.read(spark, mv)) == rows(fullRecompute(base)))
+    // batch 0 is REDELIVERED (at-least-once source): both tables no-op
+    val srcV = Snapshots.versions(spark, base).last
+    val mvV = Snapshots.versions(spark, mv).last
+    MatView.ingestAndRefresh(b(11 to 20), 0L, base, mv, Seq("grp"), "v", "app")
+    assert(Snapshots.versions(spark, base).last == srcV &&
+      Snapshots.versions(spark, mv).last == mvV,
+      "a redelivered batch must commit nothing on either table")
+    // batch 1 appends but CRASHES before its refresh (simulated by a raw
+    // appendStream); batch 2 then folds the two-version backlog at once
+    Snapshots.appendStream(b(21 to 30), base, "app", 1L)
+    MatView.ingestAndRefresh(b(31 to 40), 2L, base, mv, Seq("grp"), "v", "app")
+    assert(rows(MatView.read(spark, mv)) == rows(fullRecompute(base)))
+    assert(MatView.read(spark, mv).agg(sum(col("n"))).head.getLong(0) == 40L)
+  }
 }
