@@ -350,4 +350,17 @@ class PlanAuditSpec extends AnyFunSuite {
     assert("""Join \[cluster#\d+\], \[cluster#\d+\], Inner""".r
       .findFirstIn(p).isDefined, p)
   }
+
+  test("cu_dsir_weights: gram aggregates are persisted — fan-out reads the cache") {
+    // three consumers with different grouping keys hang off the raw
+    // (doc,bucket) aggregate and two off the target marginal; without the
+    // persist the corpus tokenizes 3×/2× (measured 5.95 s vs 2.70 s
+    // isolated at sf0.1 — BASELINE.md round-13 notes). The pin: the
+    // executed plan reads the aggregates through InMemoryTableScan.
+    val p = planOf("cu_dsir_weights")
+    assert(p.contains("InMemoryTableScan"), p)
+    // and the log-ratio table still BROADCASTS to the per-doc join (the
+    // ≤buckets-row side must never shuffle the corpus)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
 }
