@@ -1154,6 +1154,38 @@ private[graft] object StoreQueries {
              |  (SELECT max(doc_id) FROM documents) AS max_id,
              |  TRUE AS bounds_gone_under_deletes""".stripMargin)),
 
+    // Hybrid COUNT WHERE (round-13): files provably outside the range
+    // contribute 0, files provably fully inside (min/max + zero nulls)
+    // contribute their recorded footer counts unopened, and only
+    // boundary files are scanned with the residual. Counts must be
+    // layout-independent — the oracle is the plain filtered count; the
+    // boundary-only-IO proof (0 records for covered ranges) lives in
+    // SnapshotsSpec.
+    "snap_count_where" -> Q(
+      (s, d) => {
+        import graft.store.Snapshots
+        val root = FixtureRoot.fresh("snapcw")
+        val base = root + "/t"
+        val docs = T(s, d, "documents")
+          .select(col("doc_id"), col("source"), col("n_chars"))
+        Snapshots.write(docs.repartitionByRange(6, col("doc_id")), base,
+          statsKey = Some("doc_id"))
+        import s.implicits._
+        Seq((
+          Snapshots.countWhere(s, base, col("doc_id") <= 333L),
+          Snapshots.countWhere(s, base,
+            col("doc_id") > 100L && col("doc_id") <= 400L),
+          Snapshots.countWhere(s, base, col("doc_id") === 123L),
+          Snapshots.countWhere(s, base, col("doc_id") < 0L)))
+          .toDF("n_le", "n_range", "n_eq", "n_none")
+      },
+      Some("""SELECT
+             |  (SELECT count(*) FROM documents WHERE doc_id <= 333) AS n_le,
+             |  (SELECT count(*) FROM documents
+             |     WHERE doc_id > 100 AND doc_id <= 400) AS n_range,
+             |  (SELECT count(*) FROM documents WHERE doc_id = 123) AS n_eq,
+             |  (SELECT count(*) FROM documents WHERE doc_id < 0) AS n_none""".stripMargin)),
+
     // Materialized-view lifecycle (round-13): create → two appends →
     // O(delta) refresh (appendedSince fast path) → CoW delete (breaks the
     // append chain) → CDC-fallback refresh. The final view must equal a

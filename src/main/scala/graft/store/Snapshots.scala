@@ -113,7 +113,11 @@ object Snapshots {
         * time as a trailing `#r=<n>` manifest field — Iceberg's
         * record_count in miniature. None on entries written before the
         * field existed (readers must fall back to scanning). */
-      rows: Option[Long] = None)
+      rows: Option[Long] = None,
+      /** NULL count of the stats key in this file (`#n=` field) —
+        * Iceberg's null_value_counts in miniature; what lets
+        * [[countWhere]] prove `IS NOT NULL` from metadata. */
+      nulls: Option[Long] = None)
 
   private def parseEntry(line: String): ManifestEntry = {
     if (line.startsWith("D:"))
@@ -125,20 +129,27 @@ object Snapshots {
         eqMeta = Some((p(1).toLong, p(2).split(',').toSeq)))
     }
     val parts0 = line.split('\t')
-    // A trailing `#r=<n>` field is the optional row count. It is only
-    // recognized at the arities the writer produces (2 = path+rows,
-    // 6 = path+stats+rows): a 5-part STATS line whose max value happens
-    // to start with "#r=" must not be misparsed as a 4-part line.
-    val (parts, rows) =
-      if ((parts0.length == 6 || parts0.length == 2) &&
-          parts0.last.startsWith("#r="))
-        (parts0.dropRight(1),
-          scala.util.Try(parts0.last.drop(3).toLong).toOption)
-      else (parts0, None)
+    // Trailing `#r=<rows>` / `#n=<nulls>` fields are optional per-file
+    // counters. They are recognized only when stripping them lands the
+    // line on an arity the writer produces (1 = bare path, 5 =
+    // path+stats): a 5-part STATS line whose max value happens to start
+    // with "#r="/"#n=" must not be misparsed as a shorter line.
+    val tagged = parts0.reverse.takeWhile(p =>
+      p.startsWith("#r=") || p.startsWith("#n="))
+    val core = parts0.length - tagged.length
+    val (parts, counters) =
+      if ((core == 1 || core == 5) && tagged.nonEmpty)
+        (parts0.take(core),
+          tagged.map(p => p.take(3) ->
+            scala.util.Try(p.drop(3).toLong).toOption).toMap)
+      else (parts0, Map.empty[String, Option[Long]])
+    val rows = counters.getOrElse("#r=", None)
+    val nulls = counters.getOrElse("#n=", None)
     if (parts.length == 5)
       ManifestEntry(line, parts(0),
-        Some((parts(1), parts(2), parts(3), parts(4))), rows = rows)
-    else ManifestEntry(line, parts(0), None, rows = rows)
+        Some((parts(1), parts(2), parts(3), parts(4))),
+        rows = rows, nulls = nulls)
+    else ManifestEntry(line, parts(0), None, rows = rows, nulls = nulls)
   }
 
   /** (data entries, positional-delete entries) of a manifest line set. */
@@ -183,14 +194,15 @@ object Snapshots {
   /** Per-staged-file (min, max) of `key`, stringified — one bounded scan of
     * the freshly-written delta, the write-time cost of metadata pruning. */
   private def stagedStats(spark: SparkSession, txn: String,
-                          key: String): (String, Map[String, (String, String)]) = {
-    import org.apache.spark.sql.functions.{col, input_file_name, max, min}
+                          key: String): (String, Map[String, (String, String, Long)]) = {
+    import org.apache.spark.sql.functions.{col, count, input_file_name, max, min, when}
     val df = spark.read.parquet(txn)
     if (!df.columns.contains(key)) return ("", Map.empty)
     val tag = statTag(df.schema(key).dataType)
     if (tag.isEmpty) return ("", Map.empty)
     val rows = df.groupBy(input_file_name().as("__f"))
-      .agg(min(col(key)).cast("string").as("mn"), max(col(key)).cast("string").as("mx"))
+      .agg(min(col(key)).cast("string").as("mn"), max(col(key)).cast("string").as("mx"),
+        count(when(col(key).isNull, 1)).as("nnull"))
       .collect()
     // manifest lines are read back via getLines + per-line trim, so a stats
     // value holding ANY control character (\r splits a line just like \n)
@@ -201,7 +213,8 @@ object Snapshots {
     val ok = rows.filter(r => !r.isNullAt(1) && !r.isNullAt(2) &&
       Seq(r.getString(1), r.getString(2)).forall(v =>
         !v.exists(_.isControl) && v == v.trim))
-    (tag, ok.map(r => new Path(r.getString(0)).getName -> (r.getString(1), r.getString(2))).toMap)
+    (tag, ok.map(r => new Path(r.getString(0)).getName ->
+      (r.getString(1), r.getString(2), r.getLong(3))).toMap)
   }
 
   /** Row count of one parquet file from its footer alone (block metadata;
@@ -258,18 +271,20 @@ object Snapshots {
         .filter(_.startsWith("part-")).sorted
       val (tag, stats) = statsKey.filter(_ => names.nonEmpty)
         .map(stagedStats(spark, txn, _))
-        .getOrElse(("", Map.empty[String, (String, String)]))
+        .getOrElse(("", Map.empty[String, (String, String, Long)]))
       val conf = spark.sparkContext.hadoopConfiguration
       val own = names.map { n =>
         // record_count from the parquet FOOTER (no data pages touched) —
         // powers metadata-only count(*) ([[metaCount]]). Failure degrades
         // to a count-less entry (readers fall back to scanning), never
-        // fails the commit.
+        // fails the commit. Stats entries also record the key's per-file
+        // NULL count (#n=) so [[countWhere]] can prove full inclusion —
+        // min/max alone cannot prove `IS NOT NULL`.
         val rowsSuffix = footerRowCount(conf, new Path(txn, n))
           .map(r => s"\t#r=$r").getOrElse("")
         stats.get(n) match {
-          case Some((mn, mx)) =>
-            s"$vDir/$n\t${statsKey.get}\t$tag\t$mn\t$mx$rowsSuffix"
+          case Some((mn, mx, nNull)) =>
+            s"$vDir/$n\t${statsKey.get}\t$tag\t$mn\t$mx\t#n=$nNull$rowsSuffix"
           case None => s"$vDir/$n$rowsSuffix"
         }
       }
@@ -1973,6 +1988,104 @@ object Snapshots {
       else spark.read.parquet(dels.map(e => s"$base/${e.path}"): _*)
         .select("file", "pos").distinct().count()
     Some(total - posDeleted)
+  }
+
+  /** Strict total order within a stats tag ([[statLeq]] minus equality;
+    * values are canonical renderings, so string equality is value
+    * equality within a tag). */
+  private def statLt(tag: String, a: String, b: String): Boolean =
+    statLeq(tag, a, b) && !statLeq(tag, b, a)
+
+  /** Does EVERY row of `e`'s file satisfy `cond`? Conservative proof from
+    * per-file (min, max, nullCount) stats: conjunctions of comparisons
+    * between the stats key and a literal, plus `IS NOT NULL` on the key.
+    * Anything unprovable → false (the file is scanned, never mis-counted).
+    * Comparisons also require nullCount == 0: a NULL key row fails any
+    * comparison, so its presence breaks full inclusion. */
+  private def provenByStats(e: ManifestEntry,
+      cond: org.apache.spark.sql.catalyst.expressions.Expression): Boolean = {
+    import org.apache.spark.sql.catalyst.expressions._
+    e.stats match {
+      case None => false
+      case Some((key, tag, mn, mx)) =>
+        val noNulls = e.nulls.contains(0L)
+        def attrName(ex: Expression): Option[String] = ex match {
+          case a: AttributeReference => Some(a.name)
+          case u: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute => Some(u.name)
+          case _ => None
+        }
+        def litStr(l: Literal): Option[String] =
+          Option(l.value).map(_.toString).filterNot(_.exists(c => c == '\t' || c == '\n'))
+        def prove(ex: Expression): Boolean = ex match {
+          case And(l, r) => prove(l) && prove(r)
+          case IsNotNull(a) if attrName(a).contains(key) => noNulls
+          case cmp: BinaryComparison =>
+            val keyLit = attrName(cmp.left).filter(_ == key).flatMap { _ =>
+              cmp.right match { case l: Literal => litStr(l).map((_, false)); case _ => None }
+            }.orElse(attrName(cmp.right).filter(_ == key).flatMap { _ =>
+              cmp.left match { case l: Literal => litStr(l).map((_, true)); case _ => None }
+            })
+            keyLit.exists { case (v, flipped) =>
+              noNulls && (cmp match {
+                // all values in [mn, mx] must satisfy the comparison
+                case _: EqualTo => !statLt(tag, mn, v) && !statLt(tag, v, mn) &&
+                  !statLt(tag, mx, v) && !statLt(tag, v, mx)
+                case _: LessThan =>
+                  if (flipped) statLt(tag, v, mn) else statLt(tag, mx, v)
+                case _: LessThanOrEqual =>
+                  if (flipped) statLeq(tag, v, mn) else statLeq(tag, mx, v)
+                case _: GreaterThan =>
+                  if (flipped) statLt(tag, mx, v) else statLt(tag, v, mn)
+                case _: GreaterThanOrEqual =>
+                  if (flipped) statLeq(tag, mx, v) else statLeq(tag, v, mn)
+                case _ => false
+              })
+            }
+          case _ => false
+        }
+        prove(cond)
+    }
+  }
+
+  /**
+   * Hybrid metadata + boundary-scan COUNT WHERE — Iceberg-style scan
+   * planning with residuals, applied to counting: every file provably
+   * OUTSIDE the predicate's bounds contributes 0, every file provably
+   * fully INSIDE (min/max within range AND zero nulls, per
+   * [[provenByStats]]) contributes its recorded row count without being
+   * opened, and only BOUNDARY files — those the range genuinely cuts
+   * through — are scanned with the residual filter. A key-range count
+   * over a 100 TB range-clustered table reads two boundary files. Falls
+   * back to a full filtered count under pending deletes or when the
+   * optimizer yields no Filter to analyze (predicate folded away).
+   */
+  def countWhere(spark: SparkSession, base: String,
+                 predicate: org.apache.spark.sql.Column,
+                 version: Option[Long] = None): Long = {
+    val vs = versions(spark, base)
+    require(vs.nonEmpty, s"no snapshots under $base")
+    val v = version.getOrElse(vs.last)
+    require(vs.contains(v), s"version $v not in $vs")
+    val (data, dels) = splitEntries(manifestLines(spark, base, v))
+    def fullScan(): Long = read(spark, base, Some(v)).filter(predicate).count()
+    if (dels.nonEmpty) return fullScan()
+    val frame = read(spark, base, Some(v))
+    val cond = scala.util.Try {
+      frame.filter(predicate).queryExecution.optimizedPlan.collectFirst {
+        case org.apache.spark.sql.catalyst.plans.logical.Filter(c, _) => c
+      }
+    }.toOption.flatten.getOrElse(return fullScan())
+    val bounds = predicateBounds(cond)
+    val candidates = data.filter(mayMatchBounds(_, bounds))
+    val (proven, boundary) = candidates.partition(e =>
+      e.rows.isDefined && provenByStats(e, cond))
+    val metaPart = proven.flatMap(_.rows).sum
+    val scanned =
+      if (boundary.isEmpty) 0L
+      else spark.read.schema(frame.schema)
+        .parquet(boundary.map(e => s"$base/${e.path}"): _*)
+        .filter(predicate).count()
+    metaPart + scanned
   }
 
   /**

@@ -261,11 +261,12 @@ class SnapshotsSpec extends AnyFunSuite {
     val df = (1L to 1000L).map(i => (i, s"v$i")).toDF("id", "s")
       .repartitionByRange(8, col("id"))
     Snapshots.write(df, base, statsKey = Some("id"))
-    // every file's manifest line carries (key, tag, min, max) + #r= count
+    // every file's manifest line carries (key, tag, min, max) + the
+    // #n= null-count and #r= row-count fields
     val lines = Snapshots.manifestLines(spark, base, 1L)
     assert(lines.size == 8 && lines.forall { l =>
       val p = l.split('\t')
-      p.length == 6 && p(5).startsWith("#r=")
+      p.length == 7 && p(5).startsWith("#n=") && p(6).startsWith("#r=")
     }, lines.mkString("\n"))
     // count input records the merge actually reads
     val recs = recordsReadDuring {
@@ -278,9 +279,11 @@ class SnapshotsSpec extends AnyFunSuite {
     val rows = Snapshots.read(spark, base).as[(Long, String)].collect().toMap
     assert(rows.size == 1000 && rows(5L) == "X" && rows(999L) == "v999")
     // the new version's manifest still carries stats on every line
-    // (5 stats fields, plus the #r= row count where recorded)
+    // (5 stats fields, plus the #n=/#r= counters where recorded)
     assert(Snapshots.manifestLines(spark, base, 2L)
-      .forall(l => l.split('\t').filterNot(_.startsWith("#r=")).length == 5))
+      .forall(l => l.split('\t')
+        .filterNot(x => x.startsWith("#r=") || x.startsWith("#n="))
+        .length == 5))
     // an out-of-range insert-only merge prunes EVERY file (reads ~0 rows)
     val recs2 = recordsReadDuring {
       Snapshots.mergeInto(spark, base, Seq((5000L, "new")).toDF("id", "s"), "id")
@@ -1094,9 +1097,10 @@ class SnapshotsSpec extends AnyFunSuite {
       statsKey = Some("s"))
     val lines = Snapshots.manifestLines(spark, base, 1L)
     // no manifest line may carry a value that survives trim/getLines
-    // altered (a trailing #r= row-count field may follow either shape)
+    // altered (trailing #n=/#r= counter fields may follow either shape)
     assert(lines.forall { l =>
-      val p = l.split('\t').filterNot(_.startsWith("#r="))
+      val p = l.split('\t')
+        .filterNot(x => x.startsWith("#r=") || x.startsWith("#n="))
       p.length == 1 || p.length == 5 &&
         Seq(p(3), p(4)).forall(v => !v.exists(_.isControl) && v == v.trim)
     }, lines.mkString("|"))
@@ -1328,6 +1332,51 @@ class SnapshotsSpec extends AnyFunSuite {
     assert(Snapshots.metaBounds(spark, base2).isEmpty)
     assert(Snapshots.metaCount(spark, base2) == Some(400L),
       "row counts are recorded even without a stats key")
+  }
+
+  test("countWhere: boundary-only scan, strict operators, exact parity") {
+    val base = java.nio.file.Files.createTempDirectory("graft-cw").toString + "/t"
+    // three range-clustered files: [1,100] [101,200] [201,300]
+    val df = (1L to 300L).map(i => (i, s"v$i")).toDF("id", "s")
+      .repartitionByRange(3, col("id"))
+    Snapshots.write(df, base, statsKey = Some("id"))
+    def exact(pred: org.apache.spark.sql.Column): Long =
+      Snapshots.read(spark, base).filter(pred).count()
+    // fully-covered + pruned: zero data records read
+    val r1 = recordsReadDuring {
+      assert(Snapshots.countWhere(spark, base, col("id") <= 200L) == 200L)
+    }
+    assert(r1 == 0L, s"two proven files + one pruned must read 0, read $r1")
+    // a range that CUTS one file: only that file is scanned
+    val r2 = recordsReadDuring {
+      assert(Snapshots.countWhere(spark, base, col("id") <= 150L) == 150L)
+    }
+    assert(r2 > 0L && r2 <= 110L, s"only the boundary file should be read, read $r2")
+    // strict < at a file edge, equality, conjunction, cross-file range
+    for (pred <- Seq(col("id") < 101L, col("id") === 100L,
+        col("id") > 100L && col("id") <= 201L, col("id") >= 301L,
+        org.apache.spark.sql.functions.lit(50L) < col("id"))) {
+      assert(Snapshots.countWhere(spark, base, pred) == exact(pred), pred.toString)
+    }
+  }
+
+  test("countWhere: null keys break inclusion proofs, never the count") {
+    val base = java.nio.file.Files.createTempDirectory("graft-cw-null").toString + "/t"
+    val withNulls = ((1L to 10L).map(i => (Some(i), s"v$i")) ++
+      (1 to 5).map(i => (None, s"n$i"))).toDF("id", "s")
+    Snapshots.write(withNulls.coalesce(1), base, statsKey = Some("id"))
+    // metadata alone would claim 15 rows; the 5 NULL-key rows fail id<=10
+    assert(Snapshots.countWhere(spark, base, col("id") <= 10L) == 10L)
+    // a second file WITHOUT nulls still proves from metadata
+    Snapshots.append((11L to 20L).map(i => (i, s"v$i")).toDF("id", "s")
+      .coalesce(1), base, statsKey = Some("id"))
+    val recs = recordsReadDuring {
+      assert(Snapshots.countWhere(spark, base, col("id") >= 11L) == 10L)
+    }
+    assert(recs == 0L, s"the null-free file proves from metadata, read $recs")
+    // pending deletes: falls back to the exact filtered count
+    Snapshots.deleteWhereMoR(spark, base, col("id") === 15L)
+    assert(Snapshots.countWhere(spark, base, col("id") >= 11L) == 9L)
   }
 
   test("files() metadata table exposes per-file n_rows") {
