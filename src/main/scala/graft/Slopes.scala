@@ -59,7 +59,11 @@ object Slopes {
     // Σ deg²), the corpus-scan batch knn join, the codegen'd
     // canonicalization scan, and the sketch-pair set ops
     "g7_link_prediction", "v11_knn_join", "ta_unicode_norm",
-    "a20_hll_set_ops")
+    "a20_hll_set_ops",
+    // round-13 second batch: the two corpus-explode DSIR passes (persisted
+    // gram aggregates — track that the one-explode-per-corpus shape holds),
+    // and the CC-backed cluster-granular split
+    "cu_dsir_weights", "cu_leakage_split")
 
   def main(args: Array[String]): Unit = {
     val root = sys.env.getOrElse("SPARK_GRAFT_TESTDATA", "/root/testdata")
