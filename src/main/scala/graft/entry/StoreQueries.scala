@@ -1186,6 +1186,43 @@ private[graft] object StoreQueries {
              |  (SELECT count(*) FROM documents WHERE doc_id = 123) AS n_eq,
              |  (SELECT count(*) FROM documents WHERE doc_id < 0) AS n_none""".stripMargin)),
 
+    // One-verb maintenance (round-13): three small appends + a pending MoR
+    // delete, then maintain() folds the delete, bin-packs the nine tiny
+    // files, expires to one snapshot, and vacuums — content must be
+    // bit-identical to the source minus the delete (the oracle), and the
+    // report booleans pin that each step actually fired.
+    "snap_maintain" -> Q(
+      (s, d) => {
+        import graft.store.Snapshots
+        val root = FixtureRoot.fresh("snapmaint")
+        val base = root + "/t"
+        val docs = T(s, d, "documents")
+          .select(col("doc_id"), col("source"), col("n_chars"))
+        Snapshots.write(docs.filter(pmod(col("doc_id"), lit(3)) === 0)
+          .repartition(3), base, statsKey = Some("doc_id"))
+        Snapshots.append(docs.filter(pmod(col("doc_id"), lit(3)) === 1)
+          .repartition(3), base, statsKey = Some("doc_id"))
+        Snapshots.append(docs.filter(pmod(col("doc_id"), lit(3)) === 2)
+          .repartition(3), base, statsKey = Some("doc_id"))
+        Snapshots.deleteWhereMoR(s, base, pmod(col("doc_id"), lit(7)) === 0)
+        val r = Snapshots.maintain(s, base, smallBytes = 64L * 1024 * 1024,
+          keepSnapshots = 1, statsKey = Some("doc_id"))
+        Snapshots.read(s, base)
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("sum_chars"))
+          .withColumn("deletes_folded", lit(r.deletesFolded))
+          .withColumn("compacted", lit(r.compactedToVersion.isDefined))
+          .withColumn("n_versions_left",
+            lit(Snapshots.versions(s, base).size))
+          .orderBy(col("source"))
+      },
+      Some("""SELECT source, count(*) AS n,
+             |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+             |  TRUE AS deletes_folded, TRUE AS compacted,
+             |  1 AS n_versions_left
+             |FROM documents WHERE doc_id % 7 <> 0
+             |GROUP BY 1 ORDER BY source""".stripMargin)),
+
     // Materialized-view lifecycle (round-13): create → two appends →
     // O(delta) refresh (appendedSince fast path) → CoW delete (breaks the
     // append chain) → CDC-fallback refresh. The final view must equal a

@@ -1853,6 +1853,61 @@ object Snapshots {
     fromVersionDirs ++ fromTxnDirs ++ fromDebris ++ fromBranchDirs
   }
 
+  /** What one [[maintain]] cycle actually did (each field None/empty/false
+    * when that step was below its threshold). */
+  final case class MaintenanceReport(
+      deletesFolded: Boolean,
+      compactedToVersion: Option[Long],
+      expiredVersions: Seq[Long],
+      vacuumedPaths: Int)
+
+  /**
+   * One-verb scheduled maintenance — the nightly job every lakehouse
+   * deployment runs, with the ordering constraints encoded so a scheduler
+   * can't get them wrong:
+   *
+   *  1. fold pending MoR deletes once `maxDeleteFiles` accumulate
+   *     ([[materializeDeletes]]) — read amplification control, and the
+   *     precondition for compaction (a file rewrite under pending deletes
+   *     would resurrect rows, which [[compact]] refuses);
+   *  2. bin-pack small files ([[compact]]) — skipped while deletes are
+   *     still pending below threshold;
+   *  3. expire old snapshots ([[expire]], tag-pinned versions survive);
+   *  4. [[vacuum]] — AFTER expiry, because expiry is what makes files
+   *     unreferenced and reclaimable; also sweeps stale txn debris.
+   *
+   * Every step is independently a no-op below its threshold, so running
+   * maintain on a quiet table commits nothing. Statistics sidecars and
+   * key stats survive where their files are inherited; rewritten files
+   * re-stat via `statsKey`.
+   */
+  def maintain(spark: SparkSession, base: String,
+               smallBytes: Long = 32L * 1024 * 1024,
+               targetBytes: Long = 128L * 1024 * 1024,
+               keepSnapshots: Int = 5,
+               maxDeleteFiles: Int = 1,
+               txnTtlMs: Long = 60L * 60 * 1000,
+               statsKey: Option[String] = None): MaintenanceReport = {
+    val vs = versions(spark, base)
+    require(vs.nonEmpty, s"no snapshots under $base")
+    val (_, dels) = splitEntries(manifestLines(spark, base, vs.last))
+    val folded =
+      if (dels.nonEmpty && dels.size >= maxDeleteFiles) {
+        materializeDeletes(spark, base, statsKey); true
+      } else false
+    val stillPending = dels.nonEmpty && !folded
+    val vBefore = versions(spark, base).last
+    val compacted =
+      if (stillPending) None // compact would refuse; wait for the fold
+      else {
+        val vAfter = compact(spark, base, smallBytes, targetBytes)
+        if (vAfter != vBefore) Some(vAfter) else None
+      }
+    val expired = expire(spark, base, keepSnapshots)
+    val vacuumed = vacuum(spark, base, txnTtlMs)
+    MaintenanceReport(folded, compacted, expired, vacuumed.size)
+  }
+
   /** A write-audit-publish audit rejected the staged data; nothing was
     * committed and the staging directory was cleaned. */
   final class AuditFailedException(msg: String) extends RuntimeException(msg)

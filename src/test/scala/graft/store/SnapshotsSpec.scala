@@ -1379,6 +1379,51 @@ class SnapshotsSpec extends AnyFunSuite {
     assert(Snapshots.countWhere(spark, base, col("id") >= 11L) == 9L)
   }
 
+  test("maintain: fold → compact → expire → vacuum in one verb; quiet table no-ops") {
+    val base = java.nio.file.Files.createTempDirectory("graft-maint").toString + "/t"
+    val df = (1L to 300L).map(i => (i, s"v$i")).toDF("id", "s")
+    Snapshots.write(df.filter(col("id") <= 100).repartition(3), base,
+      statsKey = Some("id"))
+    Snapshots.append(df.filter(col("id") > 100 && col("id") <= 200)
+      .repartition(3), base, statsKey = Some("id"))
+    Snapshots.append(df.filter(col("id") > 200).repartition(3), base,
+      statsKey = Some("id"))
+    Snapshots.deleteWhereMoR(spark, base, col("id") % 10 === 0)
+    val expected = Snapshots.read(spark, base).as[(Long, String)].collect().toSet
+
+    val r = Snapshots.maintain(spark, base, smallBytes = 1024 * 1024,
+      keepSnapshots = 1, statsKey = Some("id"))
+    assert(r.deletesFolded, "one pending delete file at threshold 1 must fold")
+    assert(r.compactedToVersion.isDefined, "nine tiny files must bin-pack")
+    // expiry self-cleans its dropped files, so vacuum (crash debris /
+    // stale txns) legitimately finds nothing on a healthy table
+    assert(r.expiredVersions.nonEmpty && r.vacuumedPaths == 0, r.toString)
+    // content is bit-identical through the whole cycle
+    assert(Snapshots.read(spark, base).as[(Long, String)].collect().toSet == expected)
+    assert(Snapshots.metaCount(spark, base) == Some(270L))
+
+    // a quiet table: every step below threshold, nothing commits
+    val vHead = Snapshots.versions(spark, base).last
+    val r2 = Snapshots.maintain(spark, base, smallBytes = 1024 * 1024,
+      keepSnapshots = 1)
+    assert(!r2.deletesFolded && r2.compactedToVersion.isEmpty &&
+      r2.expiredVersions.isEmpty && r2.vacuumedPaths == 0, r2.toString)
+    assert(Snapshots.versions(spark, base).last == vHead)
+  }
+
+  test("maintain: deletes below threshold defer the fold AND the compaction") {
+    val base = java.nio.file.Files.createTempDirectory("graft-maint2").toString + "/t"
+    Snapshots.write((1L to 100L).map(i => (i, s"v$i")).toDF("id", "s")
+      .repartition(4), base, statsKey = Some("id"))
+    Snapshots.deleteWhereMoR(spark, base, col("id") === 7L)
+    val r = Snapshots.maintain(spark, base, smallBytes = 1024 * 1024,
+      keepSnapshots = 10, maxDeleteFiles = 5)
+    assert(!r.deletesFolded && r.compactedToVersion.isEmpty,
+      s"below-threshold deletes must defer fold and compaction: $r")
+    // the pending delete still applies on read
+    assert(Snapshots.read(spark, base).filter(col("id") === 7L).count() == 0)
+  }
+
   test("files() metadata table exposes per-file n_rows") {
     val base = java.nio.file.Files.createTempDirectory("graft-meta-f").toString + "/t"
     Snapshots.write((1L to 90L).toDF("id").repartition(3), base)
