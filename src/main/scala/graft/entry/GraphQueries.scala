@@ -161,6 +161,24 @@ private[graft] object GraphQueries {
     // true fixpoint loop. Cascade matters: the sf0.01 backbone has degrees
     // 3..24 and the k=8 peel removes six nodes in waves as removals expose
     // new light nodes (k=10 would cascade all the way to empty).
+    // Harmonic centrality (round-13): all |V| BFS waves advance as one
+    // (src, node, d) relation — sources = every trade-graph node, so the
+    // estimator is exact here; the sampling knob is the 100 TB path.
+    // Oracle unrolls 6 min-plus BFS levels (trade graph diameter < 6)
+    // with the 1/d terms quantized to 6dp and summed in DECIMAL.
+    "g10_harmonic" -> Q(
+      (s, d) => {
+        // pin the 5-way edge build once: it feeds BOTH the source-node
+        // census and the BFS edge relation (same move as g7)
+        val e = tradeEdges(s, d, 120).localCheckpoint()
+        val nodes = e.select(col("a").as("n"))
+          .union(e.select(col("b").as("n"))).distinct()
+        graft.ops.Graph.harmonicCentrality(e, "a", "b", nodes, "n",
+            maxHops = 6, termDp = Some(6))
+          .orderBy(col("node"))
+      },
+      Some(harmonicOracleSql(120, rounds = 6))),
+
     "g9_kcore" -> Q(
       (s, d) => graft.ops.Graph.kCore(tradeEdges(s, d, 120), "a", "b", 8)
         .orderBy(col("node")),

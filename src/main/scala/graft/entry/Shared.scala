@@ -292,6 +292,37 @@ private[graft] object Shared {
     * `rounds` ≥ the peel depth — every non-fixpoint round removes at
     * least one node, so rounds = node-count upper-bounds it and trailing
     * rounds are no-ops. */
+  /** DuckDB twin of [[graft.ops.Graph.harmonicCentrality]] over
+    * [[tradeEdges]] with sources = every node: `rounds` unrolled
+    * min-plus BFS levels (MATERIALIZED per round — the reference tree
+    * would otherwise grow geometrically), then per-node Σ round(1/d, 6)
+    * summed in DECIMAL so the float sum order cannot differ between
+    * engines. */
+  def harmonicOracleSql(minLines: Long, rounds: Int): String = {
+    val sb = new StringBuilder
+    sb ++= s"WITH ${tradeEdgeSql(minLines)},\n"
+    sb ++= ("und AS MATERIALIZED (SELECT DISTINCT a, b FROM " +
+      "(SELECT a, b FROM edges UNION ALL SELECT b, a FROM edges)),\n")
+    sb ++= ("t0 AS MATERIALIZED (SELECT n AS src, n AS node, 0 AS d FROM " +
+      "(SELECT DISTINCT a AS n FROM und))")
+    for (i <- 1 to rounds) {
+      val p = i - 1
+      sb ++= s""",
+               |t$i AS MATERIALIZED (SELECT src, node, min(d) AS d FROM (
+               |  SELECT src, node, d FROM t$p
+               |  UNION ALL
+               |  SELECT t.src, u.b AS node, $i AS d
+               |  FROM t$p t JOIN und u ON t.node = u.a WHERE t.d = $p
+               |) GROUP BY 1, 2)""".stripMargin
+    }
+    sb ++= s"""
+              |SELECT node, count(*) AS n_reached,
+              |  CAST(sum(CAST(round(1.0 / d, 6) AS DECIMAL(18,6))) AS DOUBLE)
+              |    AS harmonic
+              |FROM t$rounds WHERE d > 0 GROUP BY 1 ORDER BY node""".stripMargin
+    sb.toString
+  }
+
   def kcoreOracleSql(minLines: Long, k: Int, rounds: Int): String = {
     val sb = new StringBuilder
     sb ++= s"WITH ${tradeEdgeSql(minLines)},\n"

@@ -567,4 +567,70 @@ object Graph {
           .otherwise(round(t * 2.0 / (col("deg") * (col("deg") - 1)), 6))
           .as("clustering"))
   }
+
+  /**
+   * Harmonic centrality from a source sample (the Eppstein–Wang
+   * estimator shape): H(v) = Σ over sources s ≠ v with d(s,v) < ∞ of
+   * 1/d(s,v). All |S| BFS waves advance SIMULTANEOUSLY as one
+   * (src, node, d) relation — one frontier→edge join and one anti-join
+   * per round for the whole sample, never a per-source traversal, and
+   * each round's frontier is exactly the newly reached (src, node)
+   * pairs (their `d` is minimal by construction, BFS level order).
+   * Edges are treated as undirected (the centrality convention).
+   *
+   * Scale shape: state is at most |S|·|V| pairs — the reason S is a
+   * SAMPLE at 100 TB (error O(1/√|S|) for normalized centrality; pass
+   * every node to make it exact on small graphs). Rounds stop at the
+   * sample's eccentricity or `maxHops`, whichever is first, with the
+   * kHop one-action-per-round discipline (the union count is both the
+   * materialization and the emptiness test).
+   *
+   * `termDp = Some(dp)` quantizes each 1/d term to dp decimals and sums
+   * in DECIMAL — numerically immaterial at dp ≥ 6 for hop counts, but
+   * it makes the sum exact and order-independent, which is what lets a
+   * cross-engine oracle hash-match (the [[pageRank]] roundPerIter move).
+   */
+  def harmonicCentrality(edges: DataFrame, srcCol: String, dstCol: String,
+                         sources: DataFrame, sourceCol: String,
+                         maxHops: Int, termDp: Option[Int] = None): DataFrame = {
+    val e0 = edges.select(col(srcCol).as("__a"), col(dstCol).as("__b"))
+    val e = e0.union(e0.select(col("__b").as("__a"), col("__a").as("__b")))
+      .distinct().cache()
+    var dist = sources.select(col(sourceCol).as("src")).distinct()
+      .select(col("src"), col("src").as("node"), lit(0).as("d")).cache()
+    var distCount = dist.count()
+    var frontier = dist
+    var hop = 0
+    var done = false
+    while (hop < maxHops && !done) {
+      hop += 1
+      val next = frontier.join(e, frontier("node") === e("__a"))
+        .select(col("src"), col("__b").as("node")).distinct()
+        .join(dist.select("src", "node"), Seq("src", "node"), "left_anti")
+        .withColumn("d", lit(hop))
+        .cache()
+      val nextDist = dist.unionByName(next).cache()
+      val newCount = nextDist.count()
+      done = newCount == distCount
+      if (!done) {
+        dist.unpersist(false)
+        frontier.unpersist(false)
+        dist = nextDist
+        distCount = newCount
+        frontier = next
+      } else {
+        nextDist.unpersist(false)
+        next.unpersist(false)
+      }
+    }
+    e.unpersist(false)
+    val term = termDp match {
+      case Some(dp) => round(lit(1.0) / col("d"), dp).cast(s"decimal(18,$dp)")
+      case None => lit(1.0) / col("d")
+    }
+    dist.filter(col("d") > 0)
+      .groupBy(col("node"))
+      .agg(count(lit(1)).as("n_reached"),
+        sum(term).cast("double").as("harmonic"))
+  }
 }

@@ -292,4 +292,32 @@ class GraphSpec extends AnyFunSuite {
       .filter(_._2 > 0L)
     assert(got == expected, s"got $got\nexpected $expected")
   }
+
+  test("harmonicCentrality: exact on a path, sampled = per-source distances") {
+    // path a-b-c-d-e: H(c) = 1/2+1+1+1/2 = 3, H(a) = 1+1/2+1/3+1/4
+    val e = edges(("a", "b"), ("b", "c"), ("c", "d"), ("d", "e"))
+    val all = Seq("a", "b", "c", "d", "e", "zz").toDF("n") // zz: isolated
+    val h = Graph.harmonicCentrality(e, "src", "dst", all, "n",
+        maxHops = 6, termDp = Some(6))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toList
+    val m = h.map(x => x._1 -> x._3).toMap
+    assert(h.map(x => x._1 -> x._2).toMap ==
+      Map("a" -> 4L, "b" -> 4L, "c" -> 4L, "d" -> 4L, "e" -> 4L),
+      s"every path node reaches the other four: $h")
+    assert(!m.contains("zz"), "an isolated source reaches nothing and is absent")
+    assert(math.abs(m("c") - 3.0) < 1e-9, s"H(c): $m")
+    assert(math.abs(m("a") - (1.0 + 0.5 + 0.333333 + 0.25)) < 1e-9, s"H(a): $m")
+    assert(math.abs(m("a") - m("e")) < 1e-12 && math.abs(m("b") - m("d")) < 1e-12)
+    // sampled: sources = {a} → H(v) = 1/d(a, v) only
+    val s1 = Graph.harmonicCentrality(e, "src", "dst",
+        Seq("a").toDF("n"), "n", maxHops = 6, termDp = Some(6))
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(s1 == Map("b" -> 1.0, "c" -> 0.5, "d" -> 0.333333, "e" -> 0.25),
+      s1.toString)
+    // maxHops truncates the wave: d > 2 contributes nothing
+    val s2 = Graph.harmonicCentrality(e, "src", "dst",
+        Seq("a").toDF("n"), "n", maxHops = 2, termDp = Some(6))
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(s2 == Map("b" -> 1.0, "c" -> 0.5), s2.toString)
+  }
 }
