@@ -256,6 +256,52 @@ private[graft] object AnalyticsQueries {
              |WHERE c_acctbal > t.avg_bal
              |  AND NOT EXISTS (SELECT 1 FROM orders
              |                  WHERE o_custkey = c_custkey AND o_orderdate >= TIMESTAMP '2000-06-01')
-             |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin))
+             |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)),
+
+    // PIVOT (round-13): status columns from a fixed value list (the
+    // schema must not depend on the data) — Spark's pivot + count yields
+    // NULL for absent combinations where a FILTER aggregate yields 0, so
+    // both sides coalesce explicitly.
+    "x21_pivot" -> Q(
+      (s, d) => T(s, d, "orders")
+        .groupBy(col("o_orderpriority"))
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(count(lit(1)))
+        .select(col("o_orderpriority"),
+          coalesce(col("F"), lit(0L)).as("n_f"),
+          coalesce(col("O"), lit(0L)).as("n_o"),
+          coalesce(col("P"), lit(0L)).as("n_p"))
+        .orderBy(col("o_orderpriority")),
+      Some("""SELECT o_orderpriority,
+             |  count(*) FILTER (o_orderstatus = 'F') AS n_f,
+             |  count(*) FILTER (o_orderstatus = 'O') AS n_o,
+             |  count(*) FILTER (o_orderstatus = 'P') AS n_p
+             |FROM orders GROUP BY 1 ORDER BY o_orderpriority""".stripMargin)),
+
+    // ROLLUP with grouping flags (round-13): subtotal + grand-total rows
+    // in one pass (partial-aggregate expansion, not a union of scans);
+    // grouping() flags disambiguate a NULL group from a rollup row on
+    // both engines, and double as the deterministic sort key.
+    "a21_rollup" -> Q(
+      (s, d) => T(s, d, "orders")
+        .rollup(col("o_orderstatus"), col("o_orderpriority"))
+        // grouping() is only legal inside the rollup's own agg
+        .agg(grouping(col("o_orderstatus")).cast("int").as("g_status"),
+          grouping(col("o_orderpriority")).cast("int").as("g_prio"),
+          count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+        .select(col("g_status"), col("g_prio"),
+          coalesce(col("o_orderstatus"), lit("<all>")).as("status"),
+          coalesce(col("o_orderpriority"), lit("<all>")).as("priority"),
+          col("n"), col("total"))
+        .orderBy(col("g_status"), col("g_prio"), col("status"),
+          col("priority")),
+      Some("""SELECT CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+             |  CAST(GROUPING(o_orderpriority) AS INT) AS g_prio,
+             |  coalesce(o_orderstatus, '<all>') AS status,
+             |  coalesce(o_orderpriority, '<all>') AS priority,
+             |  count(*) AS n,
+             |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+             |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+             |ORDER BY g_status, g_prio, status, priority""".stripMargin))
   )
 }
