@@ -399,6 +399,28 @@ private[graft] object AdvancedQueries {
 
     // robust outliers: modified z-score 0.6745*(x-med)/MAD per event_type,
     // z rounded before thresholding so the flag is boundary-stable
+    // Seasonal-profile anomalies (round-13): z against the (metric,
+    // hour-of-day) cell, not the global distribution — the profile is
+    // |groups|×24 rows and broadcasts; z rounds 4dp (the a14 stats
+    // precedent) so the flag predicate replays bit-identically.
+    "dq_seasonal_anomaly" -> Q(
+      (s, d) => graft.quality.DataQuality.seasonalAnomalies(
+          TestData.events(s, d), "event_type", hour(col("ts")), "value",
+          zThreshold = 3.0)
+        .select(col("event_id"), col("event_type"), col("z"))
+        .orderBy(col("event_id")),
+      Some("""WITH p AS (
+             |  SELECT event_type, hour(ts) AS h, avg(value) AS m,
+             |    stddev_samp(value) AS sd, count(value) AS n
+             |  FROM events GROUP BY 1, 2)
+             |SELECT e.event_id, e.event_type,
+             |  round((e.value - p.m) / p.sd, 4) AS z
+             |FROM events e JOIN p ON e.event_type = p.event_type
+             |  AND hour(e.ts) = p.h
+             |WHERE p.sd > 0 AND p.n >= 2
+             |  AND abs(round((e.value - p.m) / p.sd, 4)) > 3.0
+             |ORDER BY e.event_id""".stripMargin)),
+
     "dq_outliers" -> Q(
       (s, d) => graft.quality.DataQuality.robustOutliers(
           TestData.events(s, d), "event_type", "value", threshold = 3.5)

@@ -151,6 +151,38 @@ object DataQuality {
    * for cross-engine reproducibility. Σ terms = the PSI.
    * Output: (bin, n_ref, n_cur, psi_term), bins dense 1..nBins.
    */
+  /**
+   * Seasonal-profile anomaly detection: each point's z-score against the
+   * mean/stddev of its (group, season-bucket) cell — the "is this value
+   * unusual FOR THIS HOUR of this metric" gate, which a global z-score
+   * gets wrong whenever the series has a daily shape. `seasonCol` is any
+   * bucketing expression (hour-of-day by default at the call site).
+   *
+   * Scale shape: the profile is one aggregation over the corpus
+   * (map-side combined) collapsing to |groups|×|buckets| rows, which
+   * then BROADCASTS back — the corpus is scanned once and never
+   * shuffles for the join. z is rounded (`dp`) so flags replay
+   * bit-identically cross-engine (the a14 stats-rounding precedent);
+   * cells with stddev 0/NULL or below `minN` points flag nothing (a
+   * one-point cell is its own mean — z would be 0/0).
+   */
+  def seasonalAnomalies(df: DataFrame, groupCol: String, seasonCol: Column,
+                        valueCol: String, zThreshold: Double,
+                        minN: Long = 2L, dp: Int = 4): DataFrame = {
+    val profile = df
+      .groupBy(col(groupCol), seasonCol.as("__season"))
+      .agg(avg(col(valueCol)).as("__m"),
+        stddev_samp(col(valueCol)).as("__sd"),
+        count(col(valueCol)).as("__n"))
+    val z = round((col(valueCol) - col("__m")) / col("__sd"), dp)
+    df.withColumn("__season", seasonCol)
+      .join(broadcast(profile), Seq(groupCol, "__season"))
+      .filter(col("__sd") > 0 && col("__n") >= minN &&
+        abs(z) > zThreshold)
+      .withColumn("z", z)
+      .drop("__season", "__m", "__sd", "__n")
+  }
+
   def psiDrift(ref: DataFrame, cur: DataFrame, valueCol: String,
                nBins: Int = 10): DataFrame = {
     val v = col(valueCol).cast("double")

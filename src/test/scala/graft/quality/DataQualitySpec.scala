@@ -120,4 +120,24 @@ class DataQualitySpec extends AnyFunSuite {
     assert(rows.forall { case (_, _, _, t) => !t.isNaN && !t.isInfinite })
     assert(rows.map(_._2).sum == 100 && rows.map(_._3).sum == 3)
   }
+
+  test("seasonalAnomalies: per-cell z, spike caught where a global z misses it") {
+    // metric m: hour 0 sits near 10, hour 12 near 100. A value of 25 at
+    // hour 0 is a wild anomaly for ITS cell but unremarkable globally
+    // (global mean ≈ 55) — the reason for seasonal profiling.
+    val base = (1 to 40).flatMap { i =>
+      Seq((i.toLong, "m", 0, 10.0 + (i % 5) * 0.1),
+        (100L + i, "m", 12, 100.0 + (i % 5) * 0.1))
+    }
+    val rows = (base :+ ((999L, "m", 0, 25.0))).toDF("id", "grp", "h", "v")
+    val flagged = DataQuality.seasonalAnomalies(rows, "grp", col("h"), "v",
+        zThreshold = 3.0)
+      .select("id", "z").collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(flagged.keySet == Set(999L), s"only the hour-0 spike flags: $flagged")
+    assert(flagged(999L) > 3.0)
+    // a single-point cell never flags (its own mean; sd undefined)
+    val single = rows.union(Seq((777L, "m", 5, 1e9)).toDF("id", "grp", "h", "v"))
+    assert(DataQuality.seasonalAnomalies(single, "grp", col("h"), "v", 3.0)
+      .select("id").as[Long].collect().toSet == Set(999L))
+  }
 }
