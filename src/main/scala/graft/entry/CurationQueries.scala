@@ -276,6 +276,43 @@ private[graft] object CurationQueries {
       Some(dsirWeightsCte +
         "\nSELECT doc_id, n_grams, log_w FROM w ORDER BY doc_id")),
 
+    // Dataset diff card (round-13): per-source delta between two corpus
+    // versions — old = doc_id % 3 ≠ 0, new = doc_id % 2 ≠ 0, so every
+    // source both gains and loses docs. added/removed are id-level
+    // anti-joins: a source that gains AND loses shows both (the net
+    // alone hides it).
+    "cu_dataset_diff" -> Q(
+      (s, d) => {
+        val docs = T(s, d, "documents")
+          .select(col("doc_id"), col("source"), col("n_chars"))
+        graft.ops.Curation.datasetDiff(
+            docs.filter(pmod(col("doc_id"), lit(3)) =!= 0),
+            docs.filter(pmod(col("doc_id"), lit(2)) =!= 0),
+            "doc_id", "source", col("n_chars"))
+          .orderBy(col("source"))
+      },
+      Some("""WITH o AS (SELECT * FROM documents WHERE doc_id % 3 <> 0),
+             |n AS (SELECT * FROM documents WHERE doc_id % 2 <> 0),
+             |oa AS (SELECT source, count(*) AS old_docs,
+             |         CAST(sum(n_chars) AS BIGINT) AS old_toks
+             |       FROM o GROUP BY 1),
+             |na AS (SELECT source, count(*) AS new_docs,
+             |         CAST(sum(n_chars) AS BIGINT) AS new_toks
+             |       FROM n GROUP BY 1),
+             |ad AS (SELECT source, count(*) AS added FROM n
+             |       WHERE doc_id NOT IN (SELECT doc_id FROM o) GROUP BY 1),
+             |rm AS (SELECT source, count(*) AS removed FROM o
+             |       WHERE doc_id NOT IN (SELECT doc_id FROM n) GROUP BY 1)
+             |SELECT source,
+             |  coalesce(old_docs, 0) AS old_docs,
+             |  coalesce(new_docs, 0) AS new_docs,
+             |  coalesce(added, 0) AS added,
+             |  coalesce(removed, 0) AS removed,
+             |  coalesce(new_toks, 0) - coalesce(old_toks, 0) AS token_delta
+             |FROM oa FULL OUTER JOIN na USING (source)
+             |  LEFT JOIN ad USING (source) LEFT JOIN rm USING (source)
+             |ORDER BY source""".stripMargin)),
+
     // Leakage-safe split (round-13): near-dup clusters (star pairs per
     // (source, length-bucket) group, run through the real min-label CC)
     // must land whole in one split — the oracle replays the cluster label

@@ -209,6 +209,42 @@ object Curation {
       "__cluster", splits, salt).drop("__cluster")
   }
 
+  /**
+   * Dataset diff card: the per-source delta between two corpus versions —
+   * what a curation review actually signs off on ("web shrank 12%, books
+   * gained 40k docs, net −1.2B tokens"). Per source: old/new doc counts,
+   * ADDED and REMOVED doc counts (id-level anti-joins — a source can gain
+   * and lose simultaneously, which the net alone hides), and the token
+   * delta. Sources present on one side only appear with zeros on the
+   * other.
+   *
+   * Scale: two corpus aggregations (map-side combined, |sources| rows
+   * out) plus two anti-joins on the narrow (id, source) projection —
+   * the text column never shuffles.
+   */
+  def datasetDiff(old: DataFrame, cur: DataFrame, idCol: String,
+                  sourceCol: String, tokensCol: Column): DataFrame = {
+    def agg(df: DataFrame, p: String) =
+      df.groupBy(col(sourceCol))
+        .agg(count(lit(1)).as(s"${p}_docs"),
+          sum(tokensCol).cast("long").as(s"${p}_tokens"))
+    def only(a: DataFrame, b: DataFrame, name: String) =
+      a.select(col(idCol), col(sourceCol))
+        .join(b.select(col(idCol)), Seq(idCol), "left_anti")
+        .groupBy(col(sourceCol)).agg(count(lit(1)).as(name))
+    val zero = lit(0L)
+    agg(old, "old").join(agg(cur, "new"), Seq(sourceCol), "full_outer")
+      .join(only(cur, old, "added"), Seq(sourceCol), "left_outer")
+      .join(only(old, cur, "removed"), Seq(sourceCol), "left_outer")
+      .select(col(sourceCol),
+        coalesce(col("old_docs"), zero).as("old_docs"),
+        coalesce(col("new_docs"), zero).as("new_docs"),
+        coalesce(col("added"), zero).as("added"),
+        coalesce(col("removed"), zero).as("removed"),
+        (coalesce(col("new_tokens"), zero) - coalesce(col("old_tokens"), zero))
+          .as("token_delta"))
+  }
+
   /** Per-source audit of a [[weightedMix]] pass: totals, kept counts, and
     * the realized rate (one aggregation over the mixed frame). */
   def mixAudit(mixed: DataFrame, sourceCol: String): DataFrame =

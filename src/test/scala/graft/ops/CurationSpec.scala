@@ -499,6 +499,21 @@ class CurationSpec extends AnyFunSuite {
     (12L to 40L).foreach(i => assert(partial(i) == plain(i)))
   }
 
+  test("datasetDiff: simultaneous add+remove visible; one-sided sources zero-fill") {
+    val old = Seq((1L, "web", 10L), (2L, "web", 20L), (3L, "books", 5L),
+      (4L, "gone", 7L)).toDF("id", "src", "toks")
+    val cur = Seq((1L, "web", 10L), (5L, "web", 40L), (3L, "books", 5L),
+      (6L, "fresh", 9L)).toDF("id", "src", "toks")
+    val d = Curation.datasetDiff(old, cur, "id", "src", col("toks"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    // web: lost doc 2 (20 toks), gained doc 5 (40) — net +20, add+remove both visible
+    assert(d("web") == ((2L, 2L, 1L, 1L, 20L)), d.toString)
+    assert(d("books") == ((1L, 1L, 0L, 0L, 0L)), d.toString)
+    assert(d("gone") == ((1L, 0L, 0L, 1L, -7L)), d.toString)
+    assert(d("fresh") == ((0L, 1L, 1L, 0L, 9L)), d.toString)
+  }
+
   test("dsirResample: exactly k, deterministic, biased toward the target") {
     val raw = dsirCorpus
     val target = raw.filter(col("lang") === "en")
