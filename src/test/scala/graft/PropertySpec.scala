@@ -274,4 +274,36 @@ class PropertySpec extends AnyFunSuite {
           s"doc ${i * 2}: ${cases(i)._1}\ndoc ${i * 2 + 1}: ${cases(i)._2}")
     }
   }
+
+  test("property: countWhere equals the filtered count on random layouts and predicates") {
+    import org.apache.spark.sql.functions.col
+    val base = java.nio.file.Files.createTempDirectory("graft-cw-prop").toString + "/t"
+    // skewed values with duplicates and NULL keys, randomly partitioned so
+    // file bounds overlap arbitrarily
+    val ids = samples(Gen.frequency(
+      9 -> Gen.choose(-500L, 500L).map(Option(_)),
+      1 -> Gen.const(Option.empty[Long])), 2000)
+    val df = ids.zipWithIndex.map { case (id, i) => (id, s"r$i") }
+      .toDF("id", "s")
+    graft.store.Snapshots.write(df.repartition(7), base, statsKey = Some("id"))
+    graft.store.Snapshots.append(df.limit(300).repartition(2), base,
+      statsKey = Some("id"))
+    val frame = graft.store.Snapshots.read(spark, base)
+    val preds = samples(for {
+      a <- Gen.choose(-600L, 600L); b <- Gen.choose(-600L, 600L)
+      kind <- Gen.choose(0, 5)
+    } yield (kind, math.min(a, b), math.max(a, b)), 40).map {
+      case (0, lo, _) => col("id") <= lo
+      case (1, lo, _) => col("id") < lo
+      case (2, _, hi) => col("id") >= hi
+      case (3, lo, hi) => col("id") > lo && col("id") <= hi
+      case (4, lo, _) => col("id") === lo
+      case (_, lo, hi) => col("id") >= lo && col("id") < hi
+    }
+    preds.foreach { p =>
+      val expected = frame.filter(p).count()
+      val got = graft.store.Snapshots.countWhere(spark, base, p)
+      assert(got == expected, s"pred $p: countWhere=$got filtered=$expected")
+    }
+  }
 }
