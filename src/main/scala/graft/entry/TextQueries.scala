@@ -816,6 +816,36 @@ private[graft] object TextQueries {
              |        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
              |      'https?://[^\s]+', '[URL]', 'g'),
              |    '\s+', ' ', 'g')) AS clean
-             |FROM documents WHERE doc_id < 200 ORDER BY doc_id""".stripMargin))
+             |FROM documents WHERE doc_id < 200 ORDER BY doc_id""".stripMargin)),
+
+    // Zipf rank-frequency fit (round-13): slope of ln(freq) over ln(rank)
+    // across the vocabulary — natural text sits near −1; a corpus whose
+    // slope drifts is template-spam or degenerate generation. The window
+    // ranks the |types|-sized AGGREGATED table (vocab << corpus — the
+    // only unpartitioned sort here is over distinct tokens, never rows);
+    // the fit is one regr_slope pass, 4dp like a14/a17.
+    "ta_zipf" -> Q(
+      (s, d) => {
+        val counts = T(s, d, "documents")
+          .select(explode(graft.text.TextAnalysis.tokens(col("text"))).as("tok"))
+          .groupBy(col("tok")).agg(count(lit(1)).as("n"))
+        val ranked = counts.withColumn("rank",
+          row_number().over(org.apache.spark.sql.expressions.Window
+            .orderBy(col("n").desc, col("tok"))))
+        ranked.agg(
+          round(regr_slope(log(col("n")), log(col("rank"))), 4).as("zipf_slope"),
+          round(regr_intercept(log(col("n")), log(col("rank"))), 4).as("zipf_intercept"),
+          count(lit(1)).as("n_types"))
+      },
+      Some("""WITH c AS (
+             |  SELECT tok, count(*) AS n FROM (
+             |    SELECT unnest(list_filter(regexp_split_to_array(text, '\s+'),
+             |                              t -> length(t) > 0)) AS tok
+             |    FROM documents) GROUP BY 1),
+             |r AS (SELECT n, row_number() OVER (ORDER BY n DESC, tok) AS rank FROM c)
+             |SELECT round(regr_slope(ln(n), ln(rank)), 4) AS zipf_slope,
+             |  round(regr_intercept(ln(n), ln(rank)), 4) AS zipf_intercept,
+             |  count(*) AS n_types
+             |FROM r""".stripMargin))
   )
 }
