@@ -1154,6 +1154,38 @@ private[graft] object StoreQueries {
              |  (SELECT max(doc_id) FROM documents) AS max_id,
              |  TRUE AS bounds_gone_under_deletes""".stripMargin)),
 
+    // HLL distinct-count view (round-13): the mergeable-sketch MV — create
+    // on one slice, refresh over two appended slices (overlapping users,
+    // so the merge must dedupe, not add), estimates within 5% of exact
+    // (lgK=14 ≈ 0.4% rsd — the a12 bounded-error pattern; estimates never
+    // cross engines).
+    "snap_mv_distinct" -> Q(
+      (s, d) => {
+        import graft.store.{MatView, Snapshots}
+        val root = FixtureRoot.fresh("snapmvd")
+        val (base, mv) = (root + "/t", root + "/mv")
+        val orders = T(s, d, "orders")
+          .select(col("o_orderkey"), col("o_orderpriority"), col("o_custkey"))
+        Snapshots.write(orders.filter(pmod(col("o_orderkey"), lit(3)) === 0), base)
+        MatView.createDistinctView(s, base, mv, Seq("o_orderpriority"),
+          "o_custkey", lgK = 14)
+        Snapshots.append(orders.filter(pmod(col("o_orderkey"), lit(3)) === 1), base)
+        Snapshots.append(orders.filter(pmod(col("o_orderkey"), lit(3)) === 2), base)
+        MatView.refreshDistinctView(s, base, mv, Seq("o_orderpriority"),
+          "o_custkey", lgK = 14)
+        MatView.readDistinctView(s, mv)
+          .join(T(s, d, "orders").groupBy(col("o_orderpriority"))
+              .agg(countDistinct(col("o_custkey")).as("exact_custs")),
+            Seq("o_orderpriority"))
+          .select(col("o_orderpriority"), col("exact_custs"),
+            (abs(col("approx_distinct") - col("exact_custs")) <=
+              col("exact_custs") * 0.05).as("within_5pct"))
+          .orderBy(col("o_orderpriority"))
+      },
+      Some("""SELECT o_orderpriority,
+             |  count(DISTINCT o_custkey) AS exact_custs, TRUE AS within_5pct
+             |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // Hybrid COUNT WHERE (round-13): files provably outside the range
     // contribute 0, files provably fully inside (min/max + zero nulls)
     // contribute their recorded footer counts unopened, and only

@@ -107,6 +107,66 @@ object MatView {
       mvBase)
   }
 
+  // ── HLL distinct-count views ────────────────────────────────────────────
+
+  /**
+   * Distinct-count view backed by mergeable DataSketches HLLs: the
+   * per-group state is a SKETCH (KB), not a distinct set, so maintaining
+   * "distinct users per segment over 100 TB" costs a delta scan + a
+   * |groups|-sized sketch merge per refresh — the rollup a12/a19 do
+   * across days, here made a persistent anchored view. Sketches merge
+   * but cannot SUBTRACT: [[refreshDistinctView]] accepts only pure
+   * append chains and fails loudly on a rewritten history (rebuild with
+   * [[createDistinctView]] — there is no cheaper sound option).
+   */
+  def createDistinctView(spark: SparkSession, srcBase: String, mvBase: String,
+                         groupCols: Seq[String], distinctCol: String,
+                         lgK: Int = 12): Long = {
+    val anchor = Snapshots.versions(spark, srcBase).last
+    Snapshots.write(
+      Snapshots.read(spark, srcBase)
+        .groupBy(groupCols.map(col): _*)
+        .agg(expr(s"hll_sketch_agg(`$distinctCol`, $lgK)").as("sketch"))
+        .withColumn(SrcVersionCol, lit(anchor)),
+      mvBase)
+  }
+
+  /** Advance the distinct view over the appended delta: sketch the delta,
+    * union-merge per group (new groups appear automatically). */
+  def refreshDistinctView(spark: SparkSession, srcBase: String, mvBase: String,
+                          groupCols: Seq[String], distinctCol: String,
+                          lgK: Int = 12): Long = {
+    val mvVersions = Snapshots.versions(spark, mvBase)
+    require(mvVersions.nonEmpty, s"no view under $mvBase - run createDistinctView first")
+    val mv = Snapshots.read(spark, mvBase)
+    val from = anchor(spark, mvBase)
+    val head = Snapshots.versions(spark, srcBase).last
+    if (head == from) return mvVersions.last
+    val delta =
+      try Snapshots.appendedSince(spark, srcBase, from)
+      catch {
+        case e: IllegalArgumentException => throw new IllegalStateException(
+          s"source history ($from, $head] of $srcBase is not a pure append " +
+            "chain - HLL sketches cannot subtract removed rows; rebuild the " +
+            s"view with createDistinctView: ${e.getMessage}")
+      }
+    val dAgg = delta.groupBy(groupCols.map(col): _*)
+      .agg(expr(s"hll_sketch_agg(`$distinctCol`, $lgK)").as("sketch"))
+    Snapshots.write(
+      mv.drop(SrcVersionCol).unionByName(dAgg)
+        .groupBy(groupCols.map(col): _*)
+        .agg(expr("hll_union_agg(sketch)").as("sketch"))
+        .withColumn(SrcVersionCol, lit(head)),
+      mvBase)
+  }
+
+  /** The distinct view's estimates: (groupCols..., approx_distinct). */
+  def readDistinctView(spark: SparkSession, mvBase: String): DataFrame =
+    Snapshots.read(spark, mvBase)
+      .select(col("*"))
+      .withColumn("approx_distinct", expr("hll_sketch_estimate(sketch)"))
+      .drop("sketch", SrcVersionCol)
+
   /**
    * foreachBatch body for CONTINUOUS view maintenance: exactly-once
    * append of the micro-batch into the source table (idempotent on

@@ -104,6 +104,36 @@ class MatViewSpec extends AnyFunSuite {
       .collect().contains("g1"))
   }
 
+  test("distinct view: sketch merge tracks exact distincts; rewrites refuse") {
+    val root = java.nio.file.Files.createTempDirectory("graft-mv-hll").toString
+    val (base, mv) = (root + "/t", root + "/mv")
+    def batch(r: Range) = r.map(i => (i.toLong, s"g${i % 2}", (i % 500).toLong))
+      .toDF("id", "grp", "user")
+    Snapshots.write(batch(1 to 2000), base)
+    MatView.createDistinctView(spark, base, mv, Seq("grp"), "user", lgK = 14)
+    // append overlaps old users (no distinct growth) AND adds new ones
+    Snapshots.append(batch(1500 to 4000), base)
+    MatView.refreshDistinctView(spark, base, mv, Seq("grp"), "user", lgK = 14)
+    val est = MatView.readDistinctView(spark, mv)
+      .collect().map(r => r.getString(0) -> r.getLong(1).toDouble).toMap
+    val exact = Snapshots.read(spark, base).groupBy("grp")
+      .agg(countDistinct(col("user")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    exact.foreach { case (g, n) =>
+      assert(math.abs(est(g) - n) <= n * 0.05, s"$g: est ${est(g)} vs exact $n")
+    }
+    // replay: head == anchor → no new view version
+    val v = Snapshots.versions(spark, mv).last
+    MatView.refreshDistinctView(spark, base, mv, Seq("grp"), "user", lgK = 14)
+    assert(Snapshots.versions(spark, mv).last == v)
+    // a rewrite breaks merge-only maintenance loudly
+    Snapshots.deleteWhere(spark, base, col("id") === 10L)
+    val e = intercept[IllegalStateException] {
+      MatView.refreshDistinctView(spark, base, mv, Seq("grp"), "user", lgK = 14)
+    }
+    assert(e.getMessage.contains("cannot subtract"))
+  }
+
   test("streaming maintenance: redelivery, skipped refresh, and backlog all converge") {
     val root = java.nio.file.Files.createTempDirectory("graft-mv-str").toString
     val (base, mv) = (root + "/t", root + "/mv")
