@@ -1154,6 +1154,40 @@ private[graft] object StoreQueries {
              |  (SELECT max(doc_id) FROM documents) AS max_id,
              |  TRUE AS bounds_gone_under_deletes""".stripMargin)),
 
+    // Multi-column stats sidecars (round-13): countWhere on columns the
+    // manifest key does NOT cover — bounds come from per-file .stats
+    // sidecars (min/max/nulls for n_chars and source), built in one job.
+    // Counts are layout-independent (exact regardless of what pruned);
+    // the zero-IO pruning proof lives in SnapshotsSpec.
+    "snap_sidecar_count" -> Q(
+      (s, d) => {
+        import graft.store.Snapshots
+        val root = FixtureRoot.fresh("snapsc")
+        val base = root + "/t"
+        val docs = T(s, d, "documents")
+          .select(col("doc_id"), col("source"), col("n_chars"))
+        Snapshots.write(docs.repartitionByRange(5, col("doc_id")), base,
+          statsKey = Some("doc_id"))
+        val built = Snapshots.writeStatsSidecars(s, base,
+          Seq("n_chars", "source"))
+        import s.implicits._
+        Seq((built.toLong,
+          Snapshots.countWhere(s, base, col("n_chars") <= 500),
+          Snapshots.countWhere(s, base,
+            col("n_chars") > 200 && col("n_chars") <= 800),
+          Snapshots.countWhere(s, base, col("source") === "src3"),
+          Snapshots.countWhere(s, base,
+            col("doc_id") <= 250L && col("n_chars") <= 500)))
+          .toDF("n_sidecars", "n_le", "n_range", "n_src", "n_mixed")
+      },
+      Some("""SELECT 5 AS n_sidecars,
+             |  (SELECT count(*) FROM documents WHERE n_chars <= 500) AS n_le,
+             |  (SELECT count(*) FROM documents
+             |     WHERE n_chars > 200 AND n_chars <= 800) AS n_range,
+             |  (SELECT count(*) FROM documents WHERE source = 'src3') AS n_src,
+             |  (SELECT count(*) FROM documents
+             |     WHERE doc_id <= 250 AND n_chars <= 500) AS n_mixed""".stripMargin)),
+
     // HLL distinct-count view (round-13): the mergeable-sketch MV — create
     // on one slice, refresh over two appended slices (overlapping users,
     // so the merge must dedupe, not add), estimates within 5% of exact

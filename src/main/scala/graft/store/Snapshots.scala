@@ -711,14 +711,16 @@ object Snapshots {
   // ─── Per-file bloom sidecars: point-lookup pruning beyond min/max ───────
 
   private[store] val BloomSuffix = ".bloom"
+  private[store] val StatsSuffix = ".stats"
 
   /** A file survives a sweep if a manifest references it — or if it is a
-    * bloom sidecar whose DATA file is referenced: sidecars are not
+    * bloom/stats sidecar whose DATA file is referenced: sidecars are not
     * manifest-listed (they are derived indexes, not data), so they live
     * and die with their file across every expiry/vacuum path. */
   private def protectedBy(referenced: Set[String])(rel: String): Boolean =
     referenced(rel) ||
-      (rel.endsWith(BloomSuffix) && referenced(rel.stripSuffix(BloomSuffix)))
+      (rel.endsWith(BloomSuffix) && referenced(rel.stripSuffix(BloomSuffix))) ||
+      (rel.endsWith(StatsSuffix) && referenced(rel.stripSuffix(StatsSuffix)))
 
   /** Per-file bloom aggregator. Keys are canonicalized to their string
     * form — the same canon the manifest min/max stats use — so the build
@@ -2045,62 +2047,169 @@ object Snapshots {
     Some(total - posDeleted)
   }
 
+  /**
+   * Multi-column stats sidecars — Iceberg's per-column bounds beyond the
+   * single manifest `statsKey`: one `<file>.stats` text sidecar per data
+   * file holding `col \t tag \t min \t max \t #n=<nulls>` lines for every
+   * requested (orderable) column. Built in ONE aggregation job over the
+   * files that lack a sidecar (never a job per file), written atomically
+   * (tmp + rename), and swept with their data file like bloom sidecars.
+   * [[countWhere]] consults them for predicate columns the manifest key
+   * doesn't cover; a missing/corrupt sidecar degrades to "must scan",
+   * never to a wrong prune. Values that would round-trip the line format
+   * altered (control chars / untrimmed whitespace — the stagedStats rule)
+   * are omitted per column.
+   */
+  def writeStatsSidecars(spark: SparkSession, base: String,
+                         cols: Seq[String],
+                         version: Option[Long] = None): Int = {
+    import org.apache.spark.sql.functions.{col, count, input_file_name, max, min, when}
+    val f = fs(spark, base)
+    val vs = versions(spark, base)
+    require(vs.nonEmpty, s"no snapshots under $base")
+    val v = version.getOrElse(vs.last)
+    require(vs.contains(v), s"version $v not in $vs")
+    val missing = splitEntries(manifestLines(spark, base, v))._1.map(_.path)
+      .filterNot(rel => f.exists(new Path(s"$base/$rel$StatsSuffix")))
+    if (missing.isEmpty) return 0
+    val schema = read(spark, base, Some(v)).schema
+    val usable = cols.filter(c => schema.fieldNames.contains(c) &&
+      statTag(schema(c).dataType).nonEmpty)
+    if (usable.isEmpty) return 0
+    val aggs = usable.flatMap(c => Seq(
+      min(col(c)).cast("string").as(s"__mn_$c"),
+      max(col(c)).cast("string").as(s"__mx_$c"),
+      count(when(col(c).isNull, 1)).as(s"__nn_$c")))
+    val it = spark.read.schema(schema)
+      .parquet(missing.map(rel => s"$base/$rel"): _*)
+      .groupBy(input_file_name().as("__f"))
+      .agg(aggs.head, aggs.tail: _*)
+      .toLocalIterator()
+    var written = 0
+    while (it.hasNext) {
+      val r = it.next()
+      val p = new Path(r.getString(0))
+      val rel = s"${p.getParent.getName}/${p.getName}"
+      val lines = usable.flatMap { c =>
+        val tag = statTag(schema(c).dataType)
+        val (mnI, mxI, nnI) =
+          (r.fieldIndex(s"__mn_$c"), r.fieldIndex(s"__mx_$c"), r.fieldIndex(s"__nn_$c"))
+        if (r.isNullAt(mnI) || r.isNullAt(mxI)) None
+        else {
+          val (mn, mx) = (r.getString(mnI), r.getString(mxI))
+          if (Seq(mn, mx).exists(s => s.exists(ch => ch.isControl || ch == '\t') ||
+              s != s.trim)) None
+          else Some(s"$c\t$tag\t$mn\t$mx\t#n=${r.getLong(nnI)}")
+        }
+      }
+      if (lines.nonEmpty) {
+        val dest = new Path(s"$base/$rel$StatsSuffix")
+        val tmp = new Path(s"$base/$rel$StatsSuffix.tmp")
+        val out = f.create(tmp, true)
+        try out.write((lines.mkString("\n") + "\n").getBytes("UTF-8"))
+        finally out.close()
+        if (f.rename(tmp, dest)) written += 1 else f.delete(tmp, false)
+      }
+    }
+    written
+  }
+
+  /** (tag, min, max, nulls) per column from a file's stats sidecar; empty
+    * on missing/corrupt (degrade to scan, never mis-prune). */
+  private def sidecarColStats(spark: SparkSession, base: String,
+                              rel: String): Map[String, (String, String, String, Option[Long])] =
+    scala.util.Try {
+      val f = fs(spark, base)
+      val p = new Path(s"$base/$rel$StatsSuffix")
+      if (!f.exists(p)) Map.empty[String, (String, String, String, Option[Long])]
+      else {
+        val in = f.open(p)
+        val lines =
+          try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toVector
+          finally in.close()
+        lines.flatMap { l =>
+          val parts = l.split('\t')
+          if (parts.length == 5 && parts(4).startsWith("#n="))
+            scala.util.Try(parts(4).drop(3).toLong).toOption
+              .map(n => parts(0) -> ((parts(1), parts(2), parts(3), Option(n))))
+          else None
+        }.toMap
+      }
+    }.getOrElse(Map.empty)
+
   /** Strict total order within a stats tag ([[statLeq]] minus equality;
     * values are canonical renderings, so string equality is value
     * equality within a tag). */
   private def statLt(tag: String, a: String, b: String): Boolean =
     statLeq(tag, a, b) && !statLeq(tag, b, a)
 
-  /** Does EVERY row of `e`'s file satisfy `cond`? Conservative proof from
-    * per-file (min, max, nullCount) stats: conjunctions of comparisons
-    * between the stats key and a literal, plus `IS NOT NULL` on the key.
+  /** Per-column (tag, min, max, nulls) lookup backing the pruning and
+    * inclusion proofs: the manifest's own stats key first, then the
+    * file's multi-column [[writeStatsSidecars]] sidecar (read lazily,
+    * only when a bound column isn't the manifest key). */
+  private type ColStats = (String, String, String, Option[Long])
+
+  /** Does EVERY row of the file satisfy `cond`? Conservative proof from
+    * per-column (min, max, nullCount) stats: conjunctions of comparisons
+    * between a stats-covered column and a literal, plus `IS NOT NULL`.
     * Anything unprovable → false (the file is scanned, never mis-counted).
-    * Comparisons also require nullCount == 0: a NULL key row fails any
+    * Comparisons also require nullCount == 0: a NULL row fails any
     * comparison, so its presence breaks full inclusion. */
-  private def provenByStats(e: ManifestEntry,
+  private def provenByStats(statsOf: String => Option[ColStats],
       cond: org.apache.spark.sql.catalyst.expressions.Expression): Boolean = {
     import org.apache.spark.sql.catalyst.expressions._
-    e.stats match {
-      case None => false
-      case Some((key, tag, mn, mx)) =>
-        val noNulls = e.nulls.contains(0L)
-        def attrName(ex: Expression): Option[String] = ex match {
-          case a: AttributeReference => Some(a.name)
-          case u: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute => Some(u.name)
-          case _ => None
-        }
-        def litStr(l: Literal): Option[String] =
-          Option(l.value).map(_.toString).filterNot(_.exists(c => c == '\t' || c == '\n'))
-        def prove(ex: Expression): Boolean = ex match {
-          case And(l, r) => prove(l) && prove(r)
-          case IsNotNull(a) if attrName(a).contains(key) => noNulls
-          case cmp: BinaryComparison =>
-            val keyLit = attrName(cmp.left).filter(_ == key).flatMap { _ =>
-              cmp.right match { case l: Literal => litStr(l).map((_, false)); case _ => None }
-            }.orElse(attrName(cmp.right).filter(_ == key).flatMap { _ =>
-              cmp.left match { case l: Literal => litStr(l).map((_, true)); case _ => None }
-            })
-            keyLit.exists { case (v, flipped) =>
-              noNulls && (cmp match {
-                // all values in [mn, mx] must satisfy the comparison
-                case _: EqualTo => !statLt(tag, mn, v) && !statLt(tag, v, mn) &&
-                  !statLt(tag, mx, v) && !statLt(tag, v, mx)
-                case _: LessThan =>
-                  if (flipped) statLt(tag, v, mn) else statLt(tag, mx, v)
-                case _: LessThanOrEqual =>
-                  if (flipped) statLeq(tag, v, mn) else statLeq(tag, mx, v)
-                case _: GreaterThan =>
-                  if (flipped) statLt(tag, mx, v) else statLt(tag, v, mn)
-                case _: GreaterThanOrEqual =>
-                  if (flipped) statLeq(tag, mx, v) else statLeq(tag, v, mn)
-                case _ => false
-              })
-            }
-          case _ => false
-        }
-        prove(cond)
+    def attrName(ex: Expression): Option[String] = ex match {
+      case a: AttributeReference => Some(a.name)
+      case u: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute => Some(u.name)
+      case _ => None
     }
+    def litStr(l: Literal): Option[String] =
+      Option(l.value).map(_.toString).filterNot(_.exists(c => c == '\t' || c == '\n'))
+    def prove(ex: Expression): Boolean = ex match {
+      case And(l, r) => prove(l) && prove(r)
+      case IsNotNull(a) =>
+        attrName(a).flatMap(statsOf).exists(_._4.contains(0L))
+      case cmp: BinaryComparison =>
+        val colLit = attrName(cmp.left).flatMap { n =>
+          cmp.right match { case l: Literal => litStr(l).map((n, _, false)); case _ => None }
+        }.orElse(attrName(cmp.right).flatMap { n =>
+          cmp.left match { case l: Literal => litStr(l).map((n, _, true)); case _ => None }
+        })
+        colLit.exists { case (n, v, flipped) =>
+          statsOf(n).exists { case (tag, mn, mx, nulls) =>
+            nulls.contains(0L) && (cmp match {
+              // all values in [mn, mx] must satisfy the comparison
+              case _: EqualTo => !statLt(tag, mn, v) && !statLt(tag, v, mn) &&
+                !statLt(tag, mx, v) && !statLt(tag, v, mx)
+              case _: LessThan =>
+                if (flipped) statLt(tag, v, mn) else statLt(tag, mx, v)
+              case _: LessThanOrEqual =>
+                if (flipped) statLeq(tag, v, mn) else statLeq(tag, mx, v)
+              case _: GreaterThan =>
+                if (flipped) statLt(tag, mx, v) else statLt(tag, v, mn)
+              case _: GreaterThanOrEqual =>
+                if (flipped) statLeq(tag, mx, v) else statLeq(tag, v, mn)
+              case _ => false
+            })
+          }
+        }
+      case _ => false
+    }
+    prove(cond)
   }
+
+  /** [[mayMatchBounds]] generalized over a per-column stats lookup: every
+    * bound column with stats must keep its range satisfiable; a column
+    * without stats must be scanned. */
+  private def mayMatchBoundsMulti(statsOf: String => Option[ColStats],
+      bounds: Map[String, (Seq[String], Seq[String])]): Boolean =
+    bounds.forall { case (c, (los, his)) =>
+      statsOf(c) match {
+        case Some((tag, mn, mx, _)) =>
+          los.forall(v => statLeq(tag, v, mx)) && his.forall(v => statLeq(tag, mn, v))
+        case None => true
+      }
+    }
 
   /**
    * Hybrid metadata + boundary-scan COUNT WHERE — Iceberg-style scan
@@ -2131,9 +2240,23 @@ object Snapshots {
       }
     }.toOption.flatten.getOrElse(return fullScan())
     val bounds = predicateBounds(cond)
-    val candidates = data.filter(mayMatchBounds(_, bounds))
+    // per-entry column lookup: manifest stats key first, then the file's
+    // multi-column sidecar — read LAZILY and only when the predicate
+    // touches a column the manifest key doesn't cover
+    val needsSidecar = bounds.keySet.exists(c =>
+      data.exists(e => !e.stats.exists(_._1 == c)))
+    val sidecarOf: String => Map[String, ColStats] =
+      if (!needsSidecar) _ => Map.empty
+      else {
+        val cache = scala.collection.mutable.Map.empty[String, Map[String, ColStats]]
+        rel => cache.getOrElseUpdate(rel, sidecarColStats(spark, base, rel))
+      }
+    def statsOf(e: ManifestEntry)(c: String): Option[ColStats] =
+      e.stats.collect { case (k, tag, mn, mx) if k == c => (tag, mn, mx, e.nulls) }
+        .orElse(sidecarOf(e.path).get(c))
+    val candidates = data.filter(e => mayMatchBoundsMulti(statsOf(e), bounds))
     val (proven, boundary) = candidates.partition(e =>
-      e.rows.isDefined && provenByStats(e, cond))
+      e.rows.isDefined && provenByStats(statsOf(e), cond))
     val metaPart = proven.flatMap(_.rows).sum
     val scanned =
       if (boundary.isEmpty) 0L

@@ -1424,6 +1424,41 @@ class SnapshotsSpec extends AnyFunSuite {
     assert(Snapshots.read(spark, base).filter(col("id") === 7L).count() == 0)
   }
 
+  test("stats sidecars: countWhere prunes on a NON-manifest column; corrupt falls back") {
+    val base = java.nio.file.Files.createTempDirectory("graft-sc").toString + "/t"
+    // range-clustered on id (the manifest key); `score` happens to be
+    // range-aligned too, so sidecar bounds on it CAN prune — but the
+    // manifest alone knows nothing about score
+    val df = (1L to 300L).map(i => (i, i * 10.0, s"v$i")).toDF("id", "score", "s")
+      .repartitionByRange(3, col("id"))
+    Snapshots.write(df, base, statsKey = Some("id"))
+    val built = Snapshots.writeStatsSidecars(spark, base, Seq("score", "s"))
+    assert(built == 3, s"one sidecar per data file, built $built")
+    def exact(p: org.apache.spark.sql.Column): Long =
+      Snapshots.read(spark, base).filter(p).count()
+    // fully-covered + pruned on score: zero data records read
+    val r1 = recordsReadDuring {
+      assert(Snapshots.countWhere(spark, base, col("score") <= 2000.0) == 200L)
+    }
+    assert(r1 == 0L, s"sidecar bounds must prove/prune score ranges, read $r1")
+    // boundary range on score: one file scanned
+    val r2 = recordsReadDuring {
+      assert(Snapshots.countWhere(spark, base, col("score") <= 1500.0) == 150L)
+    }
+    assert(r2 > 0L && r2 <= 110L, s"only the boundary file, read $r2")
+    // string column bounds work through the same sidecar
+    assert(Snapshots.countWhere(spark, base, col("s") === "v42") ==
+      exact(col("s") === "v42"))
+    // idempotent: nothing missing → 0 built
+    assert(Snapshots.writeStatsSidecars(spark, base, Seq("score")) == 0)
+    // corrupt one sidecar: its file degrades to scan, count stays exact
+    val f = new java.io.File(base).listFiles().filter(_.getName.startsWith("v="))
+      .flatMap(_.listFiles()).filter(_.getName.endsWith(".stats")).head
+    java.nio.file.Files.writeString(f.toPath, "garbage\nlines\n")
+    new java.io.File(f.getParent, "." + f.getName + ".crc").delete()
+    assert(Snapshots.countWhere(spark, base, col("score") <= 2000.0) == 200L)
+  }
+
   test("files() metadata table exposes per-file n_rows") {
     val base = java.nio.file.Files.createTempDirectory("graft-meta-f").toString + "/t"
     Snapshots.write((1L to 90L).toDF("id").repartition(3), base)
