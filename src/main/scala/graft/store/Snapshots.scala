@@ -664,7 +664,31 @@ object Snapshots {
     // read-side verbs re-apply them over whatever files survive pruning
     val (entries, _) = splitEntries(manifestLines(spark, base, v))
     val bounds = boundsOf(read(spark, base, Some(v)), predicate)
-    entries.partition(mayMatchBounds(_, bounds))
+    // manifest-key bounds first; per-file stats SIDECARS cover bound
+    // columns the key doesn't (read lazily, only when such a column
+    // exists — same lookup countWhere uses)
+    val statsOf = entryStatsLookup(spark, base, entries, bounds.keySet)
+    entries.partition(e => mayMatchBoundsMulti(statsOf(e), bounds))
+  }
+
+  /** Per-entry column-stats lookup: the manifest's own key first, then
+    * the file's [[writeStatsSidecars]] sidecar — sidecars are read
+    * LAZILY (memoized per file) and only when some bound column isn't
+    * covered by the manifest key of every entry. */
+  private def entryStatsLookup(spark: SparkSession, base: String,
+      entries: Seq[ManifestEntry], boundCols: Set[String])
+      : ManifestEntry => String => Option[ColStats] = {
+    val needsSidecar = boundCols.exists(c =>
+      entries.exists(e => !e.stats.exists(_._1 == c)))
+    val sidecarOf: String => Map[String, ColStats] =
+      if (!needsSidecar) _ => Map.empty
+      else {
+        val cache = scala.collection.mutable.Map.empty[String, Map[String, ColStats]]
+        rel => cache.getOrElseUpdate(rel, sidecarColStats(spark, base, rel))
+      }
+    e => c =>
+      e.stats.collect { case (k, tag, mn, mx) if k == c => (tag, mn, mx, e.nulls) }
+        .orElse(sidecarOf(e.path).get(c))
   }
 
   /**
@@ -2241,19 +2265,8 @@ object Snapshots {
     }.toOption.flatten.getOrElse(return fullScan())
     val bounds = predicateBounds(cond)
     // per-entry column lookup: manifest stats key first, then the file's
-    // multi-column sidecar — read LAZILY and only when the predicate
-    // touches a column the manifest key doesn't cover
-    val needsSidecar = bounds.keySet.exists(c =>
-      data.exists(e => !e.stats.exists(_._1 == c)))
-    val sidecarOf: String => Map[String, ColStats] =
-      if (!needsSidecar) _ => Map.empty
-      else {
-        val cache = scala.collection.mutable.Map.empty[String, Map[String, ColStats]]
-        rel => cache.getOrElseUpdate(rel, sidecarColStats(spark, base, rel))
-      }
-    def statsOf(e: ManifestEntry)(c: String): Option[ColStats] =
-      e.stats.collect { case (k, tag, mn, mx) if k == c => (tag, mn, mx, e.nulls) }
-        .orElse(sidecarOf(e.path).get(c))
+    // multi-column sidecar (lazy, memoized — see entryStatsLookup)
+    val statsOf = entryStatsLookup(spark, base, data, bounds.keySet)
     val candidates = data.filter(e => mayMatchBoundsMulti(statsOf(e), bounds))
     val (proven, boundary) = candidates.partition(e =>
       e.rows.isDefined && provenByStats(statsOf(e), cond))

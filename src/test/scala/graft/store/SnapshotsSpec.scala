@@ -1451,6 +1451,10 @@ class SnapshotsSpec extends AnyFunSuite {
       exact(col("s") === "v42"))
     // idempotent: nothing missing → 0 built
     assert(Snapshots.writeStatsSidecars(spark, base, Seq("score")) == 0)
+    // the read path prunes on sidecar bounds too: score<=900 touches one file
+    val (cands, pruned) = Snapshots.scanPlan(spark, base, col("score") <= 900.0)
+    assert(cands.size == 1 && pruned.size == 2,
+      s"scanPlan must prune by sidecar bounds: ${cands.size}/${pruned.size}")
     // corrupt one sidecar: its file degrades to scan, count stays exact
     val f = new java.io.File(base).listFiles().filter(_.getName.startsWith("v="))
       .flatMap(_.listFiles()).filter(_.getName.endsWith(".stats")).head
