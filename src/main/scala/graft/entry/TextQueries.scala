@@ -820,22 +820,35 @@ private[graft] object TextQueries {
 
     // Zipf rank-frequency fit (round-13): slope of ln(freq) over ln(rank)
     // across the vocabulary — natural text sits near −1; a corpus whose
-    // slope drifts is template-spam or degenerate generation. The window
-    // ranks the |types|-sized AGGREGATED table (vocab << corpus — the
-    // only unpartitioned sort here is over distinct tokens, never rows);
-    // the fit is one regr_slope pass, 4dp like a14/a17.
+    // slope drifts is template-spam or degenerate generation. The global
+    // rank is TWO-LEVEL so no single-partition window exists (the
+    // battery-wide contract pin): frequency-range bins from broadcast
+    // cutpoints (equal counts always share a bin, so cross-bin order is
+    // total), a PARTITIONED row_number within each bin, and driver-side
+    // bin offsets (≤33 longs) joined back broadcast.
     "ta_zipf" -> Q(
       (s, d) => {
+        import s.implicits._
         val counts = T(s, d, "documents")
           .select(explode(graft.text.TextAnalysis.tokens(col("text"))).as("tok"))
           .groupBy(col("tok")).agg(count(lit(1)).as("n"))
-        val ranked = counts.withColumn("rank",
-          row_number().over(org.apache.spark.sql.expressions.Window
-            .orderBy(col("n").desc, col("tok"))))
-        ranked.agg(
-          round(regr_slope(log(col("n")), log(col("rank"))), 4).as("zipf_slope"),
-          round(regr_intercept(log(col("n")), log(col("rank"))), 4).as("zipf_intercept"),
-          count(lit(1)).as("n_types"))
+          .persist() // two consumers: bin sizes (driver) + the ranked fit
+        val cuts = graft.ops.Curation.percentileCutpoints(counts, col("n"), n = 32)
+        val binned = graft.ops.Curation.binByCutpoints(counts, col("n"), cuts)
+        val sizes = binned.groupBy(col("bin")).agg(count(lit(1)).as("c"))
+          .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+        // offset(b) = #types in bins holding LARGER counts (higher bin idx)
+        val offs = sizes.keys.toSeq
+          .map(b => (b, sizes.filter(_._1 > b).values.sum)).toDF("bin", "__off")
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("bin")).orderBy(col("n").desc, col("tok"))
+        binned.withColumn("__lr", row_number().over(w))
+          .join(broadcast(offs), "bin")
+          .withColumn("rank", col("__off") + col("__lr"))
+          .agg(
+            round(regr_slope(log(col("n")), log(col("rank"))), 4).as("zipf_slope"),
+            round(regr_intercept(log(col("n")), log(col("rank"))), 4).as("zipf_intercept"),
+            count(lit(1)).as("n_types"))
       },
       Some("""WITH c AS (
              |  SELECT tok, count(*) AS n FROM (
