@@ -425,10 +425,21 @@ object Dedup {
    *  3. exact levenshtein confirm on the surviving candidates.
    *
    * The prefix theorem needs ≥ k·q+1 grams per string (len ≥ q·(k+1));
-   * shorter strings fall back to an all-pairs pass WITHIN the short
-   * cohort (any missed pair must have BOTH sides short, since length
-   * differs by ≤ k) — bounded because "short" is a constant length, and
-   * exact. Returns (id_a, id_b, dist) with id_a < id_b, dist ≤ maxDist.
+   * shorter strings go through a DELETION-NEIGHBORHOOD block instead (any
+   * missed pair must have BOTH sides short, since length differs by ≤ k):
+   * identical shorts collapse to one blocking row first, then each
+   * DISTINCT short string keys on every string reachable by deleting ≤ k
+   * characters. This is exact and complete — an alignment with ≤ k edit
+   * ops leaves a common subsequence obtainable from EITHER side by ≤ k
+   * deletions (each op consumes ≤ 1 character per side), so two strings
+   * within distance k always share a neighborhood key (the SymSpell
+   * theorem). Candidate count is Σ bucket² over deletion-variant buckets
+   * — never all-pairs across distinct strings, whatever the cohort COUNT;
+   * the per-string key fan-out is ≤ (len choose k) + 1 ≤ a small constant
+   * because short strings have constant max length. (Pairs of IDENTICAL
+   * strings are inherently quadratic in the duplicate count — that is the
+   * join's own output size, not a blocking defect.)
+   * Returns (id_a, id_b, dist) with id_a < id_b, dist ≤ maxDist.
    *
    * This is the entity-resolution / near-identical-title join; for long
    * documents use the shingle/MinHash family — edit distance on 10 KB
@@ -460,12 +471,32 @@ object Dedup {
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b")).distinct()
     // short-cohort fallback: a pair the prefix theorem cannot cover has
-    // both sides shorter than shortMax + k — all-pairs within that
-    // constant-length cohort only
+    // both sides shorter than shortMax + k. Blocked, not all-pairs:
+    // identical shorts collapse to one row, then distinct strings join on
+    // their ≤k-deletion neighborhoods (exact — see scaladoc). The hash
+    // join on the variant key replaces the former crossJoin, so a 10⁸-row
+    // short cohort generates Σ bucket² candidates, not 10¹⁶.
     val shorts = d.filter(length(col("__s")) < shortMax + k)
-    val shortPairs = shorts.select(col("__id").as("id_a"))
-      .crossJoin(shorts.select(col("__id").as("id_b")))
-      .filter(col("id_a") < col("id_b"))
+    val sdist = shorts.select(col("__s")).distinct()
+    // D≤k(s): grow the ≤j-deletion set one deletion level at a time
+    val delOnce = "transform(sequence(1, length(x)), i -> " +
+      "concat(substring(x, 1, i-1), substring(x, i+1, length(x))))"
+    var nbr = sdist.withColumn("__nbr", array(col("__s")))
+    for (_ <- 1 to k)
+      nbr = nbr.withColumn("__nbr", array_distinct(concat(col("__nbr"),
+        expr(s"flatten(transform(__nbr, x -> case when length(x) = 0 " +
+          s"then cast(array() as array<string>) else $delOnce end))"))))
+    val keyed = nbr.select(col("__s"), explode(col("__nbr")).as("__key"))
+    val strPairs = keyed.select(col("__key"), col("__s").as("__pa"))
+      .join(keyed.select(col("__key"), col("__s").as("__pb")), "__key")
+      .filter(col("__pa") <= col("__pb"))
+      .select(col("__pa"), col("__pb")).distinct()
+    val shortPairs = strPairs
+      .join(shorts.select(col("__s").as("__pa"), col("__id").as("ida0")), "__pa")
+      .join(shorts.select(col("__s").as("__pb"), col("__id").as("idb0")), "__pb")
+      .filter(col("ida0") =!= col("idb0"))
+      .select(least(col("ida0"), col("idb0")).as("id_a"),
+        greatest(col("ida0"), col("idb0")).as("id_b"))
     val candidates = blocked.unionByName(shortPairs).distinct()
     candidates
       .join(d.select(col("__id").as("id_a"), col("__s").as("__sa")), "id_a")

@@ -1321,6 +1321,87 @@ private[graft] object StoreQueries {
              |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
              |  4 AS src_version
              |FROM orders WHERE o_orderkey % 11 <> 0
-             |GROUP BY 1 ORDER BY 1""".stripMargin))
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // String-bounds file pruning (round-14): the commonest 100 TB filter
+    // is a partition-like string equality — files are range-clustered by
+    // `source`, the manifest records string-tagged (UTF-8 byte order)
+    // min/max per file, and a `source = 'src3'` scan must provably skip
+    // files from metadata alone (pruned_some pins it) while returning
+    // byte-identical rows to the oracle's full-scan filter. The
+    // records-read IO assertion lives in SnapshotsSpec.
+    "snap_str_prune" -> Q(
+      (s, d) => {
+        import graft.store.Snapshots
+        val root = FixtureRoot.fresh("snapstrp")
+        val base = root + "/t"
+        val docs = T(s, d, "documents")
+          .select(col("doc_id"), col("source"), col("n_chars"))
+        Snapshots.write(
+          docs.repartitionByRange(6, col("source"), col("doc_id")), base,
+          statsKey = Some("source"))
+        val pred = col("source") === "src3"
+        val (cand, pruned) = Snapshots.scanPlan(s, base, pred)
+        Snapshots.scanWhere(s, base, pred)
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n"), dsum(col("n_chars")).as("sum_chars"))
+          .withColumn("pruned_some", lit(pruned.nonEmpty && cand.nonEmpty))
+          .orderBy(col("source"))
+      },
+      Some("""SELECT source, count(*) AS n,
+             |  CAST(sum(CAST(n_chars AS DECIMAL(18,2))) AS DOUBLE) AS sum_chars,
+             |  TRUE AS pruned_some
+             |FROM documents WHERE source = 'src3'
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Streaming MV end-to-end (round-14): the exactly-once
+    // stream→source→view chain as an oracle key — MatView.ingestAndRefresh
+    // under the at-least-once hazards a real stream delivers. Batch 1
+    // CRASHES between the source append and the view refresh (simulated
+    // by a bare appendStream); its redelivery must no-op the append
+    // (idempotent on (appId, batchId)) while the refresh folds the whole
+    // backlog. Batch 2 is then fully REPLAYED after success — no-op on
+    // both tables (replay_noop pins it). The final view must equal the
+    // full recompute the oracle runs, anchored at the last source version.
+    "snap_mv_stream" -> Q(
+      (s, d) => {
+        import graft.store.{MatView, Snapshots}
+        val root = FixtureRoot.fresh("snapmvstream")
+        val (base, mv) = (root + "/t", root + "/mv")
+        val orders = T(s, d, "orders")
+          .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
+        def slice(i: Int) = orders.filter(pmod(col("o_orderkey"), lit(4)) === i)
+        val grp = Seq("o_orderpriority")
+        Snapshots.write(slice(0), base)
+        MatView.create(s, base, mv, grp, "o_totalprice")
+        // batch 0: the happy path — exactly-once append + O(delta) refresh
+        MatView.ingestAndRefresh(slice(1), 0L, base, mv, grp,
+          "o_totalprice", "mvstream")
+        // batch 1: crash AFTER the source append, BEFORE the refresh …
+        Snapshots.appendStream(slice(2), base, "mvstream", 1L)
+        // … restart redelivers it: the append no-ops, the refresh folds
+        // the backlog — the view never double-counts batch 1
+        MatView.ingestAndRefresh(slice(2), 1L, base, mv, grp,
+          "o_totalprice", "mvstream")
+        // batch 2: delivered, then fully replayed — no-op on BOTH tables
+        MatView.ingestAndRefresh(slice(3), 2L, base, mv, grp,
+          "o_totalprice", "mvstream")
+        val (nSrc, nMv) =
+          (Snapshots.versions(s, base).size, Snapshots.versions(s, mv).size)
+        MatView.ingestAndRefresh(slice(3), 2L, base, mv, grp,
+          "o_totalprice", "mvstream")
+        val replayNoop = Snapshots.versions(s, base).size == nSrc &&
+          Snapshots.versions(s, mv).size == nMv
+        Snapshots.read(s, mv)
+          .select(col("o_orderpriority"), col("n"),
+            col("total").cast("double").as("total"),
+            col(MatView.SrcVersionCol).as("src_version"))
+          .withColumn("replay_noop", lit(replayNoop))
+          .orderBy(col("o_orderpriority"))
+      },
+      Some("""SELECT o_orderpriority, count(*) AS n,
+             |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+             |  4 AS src_version, TRUE AS replay_noop
+             |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 }

@@ -832,7 +832,10 @@ private[graft] object TextQueries {
         val counts = T(s, d, "documents")
           .select(explode(graft.text.TextAnalysis.tokens(col("text"))).as("tok"))
           .groupBy(col("tok")).agg(count(lit(1)).as("n"))
-          .persist() // two consumers: bin sizes (driver) + the ranked fit
+          // two consumers (bin sizes collect + the ranked fit): RDD-storage
+          // checkpoint instead of .persist() so the blocks auto-release
+          // when the frame is garbage (no CacheManager residue per call)
+          .localCheckpoint()
         val cuts = graft.ops.Curation.percentileCutpoints(counts, col("n"), n = 32)
         val binned = graft.ops.Curation.binByCutpoints(counts, col("n"), cuts)
         val sizes = binned.groupBy(col("bin")).agg(count(lit(1)).as("c"))

@@ -678,10 +678,11 @@ object Curation {
    *
    * Scale shape — the reason hashed DSIR works at 100 TB where an LM
    * scorer doesn't: each corpus is exploded ONCE. The raw side's
-   * (doc, bucket, n) aggregate is persisted (MEMORY_AND_DISK) because it
-   * feeds THREE consumers (raw marginal, its total, the final per-doc
-   * sum) whose grouping keys differ — exchange reuse cannot dedup them
-   * (measured: without the persist the raw corpus is tokenized 3× and
+   * (doc, bucket, n) aggregate is checkpointed (MEMORY_AND_DISK RDD
+   * blocks, ContextCleaner-released) because it feeds THREE consumers
+   * (raw marginal, its total, the final per-doc sum) whose grouping keys
+   * differ — exchange reuse cannot dedup them (measured: without the
+   * materialization the raw corpus is tokenized 3× and
    * the target 2×, 5 scans per query). It is at most one row per
    * (doc, distinct bucket) — min(tokens, buckets) per doc, far below
    * token count — and spills to disk if the corpus outruns memory. The
@@ -700,13 +701,19 @@ object Curation {
                      alpha: Double = 1.0): DataFrame = {
     require(buckets > 0, s"buckets must be positive, got $buckets")
     require(alpha > 0, s"alpha must be positive, got $alpha")
+    // RDD-storage checkpoint, not .persist(): same MEMORY_AND_DISK blocks
+    // and the same single-tokenize guarantee, but the blocks are owned by
+    // the RDD and auto-released by the ContextCleaner once the returned
+    // frame is garbage — a .persist() here is a CacheManager entry nothing
+    // ever drops, accumulating across invocations in a long session
+    // (round-13 advisor item).
     val rawDB = hashedGrams(raw, idCol, textCol, buckets)
       .groupBy(col(idCol), col("bucket")).agg(count(lit(1)).as("n"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint()
     val rc = rawDB.groupBy(col("bucket")).agg(sum(col("n")).as("rc"))
     val tc = hashedGrams(target, idCol, textCol, buckets)
       .groupBy(col("bucket")).agg(count(lit(1)).as("tc"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint()
     val rTot = rc.agg(sum(col("rc")).as("rt"))
     val tTot = tc.agg(sum(col("tc")).as("tt"))
     val aB = lit(alpha * buckets)

@@ -75,7 +75,12 @@ object Graph {
       }
     }
     e.unpersist(false)
-    visited
+    // return over an RDD-storage checkpoint and drop the CacheManager
+    // entry — a returned .cache() frame would pin executor memory for the
+    // session's lifetime (round-13 advisor item, harmonicCentrality twin)
+    val out = visited.localCheckpoint()
+    visited.unpersist(false)
+    out
   }
 
   /**
@@ -319,7 +324,10 @@ object Graph {
 
   /**
    * Synchronous label propagation (Raghavan/Albert/Kumara 2007) for
-   * community detection, run for a FIXED number of rounds with fully
+   * community detection, run for at most `iters` rounds — with an EXACT
+   * early exit the moment a round changes no label (the update is
+   * deterministic, so a fixed point repeats forever; stopping there is
+   * output-identical to running all remaining rounds) — and fully
    * deterministic semantics so the result is oracle-able: every node
    * simultaneously adopts the most frequent label among its undirected
    * neighbors, ties broken toward the SMALLEST label; labels start as the
@@ -351,10 +359,10 @@ object Graph {
     val nodes = und.select(col("u").as("node")).distinct().cache()
     var labels = nodes.select(col("node"), col("node").as("label"))
     var i = 0
-    while (i < iters) {
+    var converged = false
+    while (i < iters && !converged) {
       val nbr = und
-        .join(labels.withColumnRenamed("node", "v").withColumnRenamed("label", "nl"),
-          "v")
+        .join(labels.select(col("node").as("v"), col("label").as("nl")), "v")
         .groupBy(col("u").as("node"), col("nl"))
         .agg(count(lit(1)).as("__c"))
       val w = Window.partitionBy(col("node"))
@@ -363,13 +371,27 @@ object Graph {
         .filter(col("__rn") === 1)
         .select(col("node"), col("nl").as("label"))
       // every node in `und` has >= 1 neighbor, but keep the left-join so a
-      // caller-provided degenerate edge list cannot silently drop nodes
+      // caller-provided degenerate edge list cannot silently drop nodes.
+      // The __chg flag (did this node's label move?) rides the SAME
+      // checkpointed frame, so the convergence test below scans cached
+      // node-sized blocks instead of paying its own round.
+      val prev = labels.select(col("node"), col("label").as("__pl"))
       val next = nodes.join(top, Seq("node"), "left")
-        .select(col("node"), coalesce(col("label"), col("node")).as("label"))
+        .join(prev, Seq("node"), "left")
+        .select(col("node"), coalesce(col("label"), col("node")).as("label"),
+          col("__pl"))
+        .withColumn("__chg", !(col("label") <=> col("__pl")))
+        .drop("__pl")
         .localCheckpoint()
-      labels = next
+      // EXACT early exit: synchronous LPA is deterministic, so a round
+      // that changes no label fixes every later round — identical output
+      // to running the remaining iterations (the oracle pins N rounds;
+      // convergence before N yields the same frame).
+      converged = next.filter(col("__chg")).limit(1).isEmpty
+      labels = next.drop("__chg")
       i += 1
     }
+    lastIterations.set(i)
     und.unpersist(false)
     nodes.unpersist(false)
     labels
@@ -624,11 +646,17 @@ object Graph {
       }
     }
     e.unpersist(false)
+    // hand the result back over an RDD-storage checkpoint (auto-cleaned
+    // by the ContextCleaner when the frame is GC'd) and release the
+    // CacheManager entry, which would otherwise outlive the call — the
+    // long-session accumulation the round-13 advisor flagged
+    val finalDist = dist.localCheckpoint()
+    dist.unpersist(false)
     val term = termDp match {
       case Some(dp) => round(lit(1.0) / col("d"), dp).cast(s"decimal(18,$dp)")
       case None => lit(1.0) / col("d")
     }
-    dist.filter(col("d") > 0)
+    finalDist.filter(col("d") > 0)
       .groupBy(col("node"))
       .agg(count(lit(1)).as("n_reached"),
         sum(term).cast("double").as("harmonic"))

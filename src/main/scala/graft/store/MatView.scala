@@ -32,15 +32,47 @@ import org.apache.spark.sql.functions._
  *     over `cdcKey`), which subtracts removed rows and adds new ones;
  *     groups whose count reaches zero drop out. Requires `cdcKey`.
  *
- * The anchor version must still exist when refresh runs: pin it with a
- * [[Snapshots.tag]] if aggressive `expire` runs between refreshes.
- * Concurrent refreshes serialize on the view's optimistic commit — a
- * loser sees [[Snapshots.SnapshotConflictException]] and can simply
- * re-run (the anchor read repeats, so replays are exactly-once).
+ * The anchor version must still exist when refresh runs — and the
+ * library guarantees it: every create/refresh PINS its anchor with a
+ * [[Snapshots.tag]] on the SOURCE table (name derived from the view
+ * path) and drops the previous pin, so however aggressive
+ * `expire`/`maintain` runs between refreshes, the version a view still
+ * needs — the one the CDC fallback diffs against — can never be
+ * collected. Concurrent refreshes serialize on the view's optimistic
+ * commit — a loser sees [[Snapshots.SnapshotConflictException]] and can
+ * simply re-run (the anchor read repeats, so replays are exactly-once).
  */
 object MatView {
   /** Anchor column carried on every view row (uniform per version). */
   val SrcVersionCol = "_src_version"
+
+  /** Deterministic per-view pin-tag name on the SOURCE table: derived
+    * from the view's base path, so one source can carry pins from many
+    * views and a re-created view reuses (re-points) its own pin. */
+  private[store] def pinName(mvBase: String): String = {
+    val h = java.security.MessageDigest.getInstance("SHA-1")
+      .digest(mvBase.getBytes("UTF-8"))
+      .take(8).map(b => f"$b%02x").mkString
+    s"mv-pin-$h"
+  }
+
+  /** Re-point the view's source pin to `anchor` (tags are immutable —
+    * drop-then-create; the window where no pin exists is harmless
+    * because the caller holds the just-committed view whose refresh has
+    * already read everything it needs from the old anchor). */
+  private def pinAnchor(spark: SparkSession, srcBase: String, mvBase: String,
+                        anchor: Long): Unit = {
+    val name = pinName(mvBase)
+    if (!Snapshots.tags(spark, srcBase).get(name).contains(anchor)) {
+      Snapshots.dropTag(spark, srcBase, name)
+      Snapshots.tag(spark, srcBase, name, anchor)
+    }
+  }
+
+  /** Drop the view's pin on its source (call when retiring a view so its
+    * anchor snapshot becomes expirable again). */
+  def unpin(spark: SparkSession, srcBase: String, mvBase: String): Boolean =
+    Snapshots.dropTag(spark, srcBase, pinName(mvBase))
 
   private def aggregate(df: DataFrame, groupCols: Seq[String],
                         valueCol: String): DataFrame =
@@ -49,25 +81,62 @@ object MatView {
         sum(col(valueCol).cast("decimal(18,2)"))
           .cast("decimal(28,2)").as("total"))
 
-  /** Full build from the source's current snapshot; the view starts at
-    * version 1 anchored to the source head. */
-  def create(spark: SparkSession, srcBase: String, mvBase: String,
-             groupCols: Seq[String], valueCol: String): Long = {
-    val anchor = Snapshots.versions(spark, srcBase).last
-    Snapshots.write(
-      aggregate(Snapshots.read(spark, srcBase), groupCols, valueCol)
-        .withColumn(SrcVersionCol, lit(anchor)),
-      mvBase)
+  /**
+   * Stamp the anchor onto `df` — and keep it stamped even when the view
+   * body is EMPTY (a CDC refresh can retire every group; a view created
+   * over an empty source starts that way): the anchor rides only on data
+   * rows, so a zero-row commit would lose it permanently and brick the
+   * next refresh. An empty body commits ONE marker row: all-null except
+   * the anchor column. Markers are invisible to every reader (filtered
+   * on the null aggregate — `n` is count(*) and a sketch is an agg
+   * value, so a REAL row can never carry null there) and contribute
+   * nothing to the next delta application. The frame is eagerly
+   * localCheckpoint'd so the emptiness probe and the write share one
+   * computation of the delta.
+   */
+  private def anchored(df: DataFrame, head: Long): DataFrame = {
+    val out = df.withColumn(SrcVersionCol, lit(head)).localCheckpoint()
+    if (!out.isEmpty) out
+    else {
+      val relaxed = org.apache.spark.sql.types.StructType(out.schema.map(f =>
+        if (f.name == SrcVersionCol) f else f.copy(nullable = true)))
+      out.sparkSession.createDataFrame(
+        java.util.Collections.singletonList(
+          org.apache.spark.sql.Row.fromSeq(relaxed.map(f =>
+            if (f.name == SrcVersionCol) head else null))),
+        relaxed)
+    }
   }
 
-  /** The view's rows without the anchor bookkeeping column. */
-  def read(spark: SparkSession, mvBase: String): DataFrame =
-    Snapshots.read(spark, mvBase).drop(SrcVersionCol)
+  /** Full build from the source's current snapshot; the view starts at
+    * version 1 anchored (and source-pinned) to the source head. */
+  def create(spark: SparkSession, srcBase: String, mvBase: String,
+             groupCols: Seq[String], valueCol: String): Long = {
+    val head = Snapshots.versions(spark, srcBase).last
+    val v = Snapshots.write(
+      anchored(aggregate(Snapshots.read(spark, srcBase), groupCols, valueCol),
+        head),
+      mvBase)
+    pinAnchor(spark, srcBase, mvBase, head)
+    v
+  }
 
-  /** Source version the view currently reflects. */
-  def anchor(spark: SparkSession, mvBase: String): Long =
-    Snapshots.read(spark, mvBase)
-      .agg(max(col(SrcVersionCol))).head.getLong(0)
+  /** The view's rows without the anchor bookkeeping column (and without
+    * the empty-view marker row, which has a null `n`). */
+  def read(spark: SparkSession, mvBase: String): DataFrame =
+    Snapshots.read(spark, mvBase).filter(col("n").isNotNull)
+      .drop(SrcVersionCol)
+
+  /** Source version the view currently reflects (read from the rows; the
+    * empty-view marker carries it when every group retired). */
+  def anchor(spark: SparkSession, mvBase: String): Long = {
+    val r = Snapshots.read(spark, mvBase)
+      .agg(max(col(SrcVersionCol))).head
+    require(!r.isNullAt(0),
+      s"view $mvBase carries no anchor (zero rows, pre-marker layout) - " +
+        "re-create the view")
+    r.getLong(0)
+  }
 
   /**
    * Advance the view to the source head. Returns the view's (possibly
@@ -82,7 +151,7 @@ object MatView {
               cdcKey: Option[String] = None): Long = {
     val mvVersions = Snapshots.versions(spark, mvBase)
     require(mvVersions.nonEmpty, s"no materialized view under $mvBase - run create first")
-    val mv = Snapshots.read(spark, mvBase)
+    val mv = Snapshots.read(spark, mvBase).filter(col("n").isNotNull)
     val from = anchor(spark, mvBase)
     val head = Snapshots.versions(spark, srcBase).last
     if (head == from) return mvVersions.last
@@ -101,10 +170,12 @@ object MatView {
           Snapshots.incrementalAggDelta(spark, srcBase, from, head, key,
             groupCols, valueCol)
       }
-    Snapshots.write(
-      Snapshots.applyAggDelta(mv.drop(SrcVersionCol), delta, groupCols)
-        .withColumn(SrcVersionCol, lit(head)),
+    val v = Snapshots.write(
+      anchored(Snapshots.applyAggDelta(mv.drop(SrcVersionCol), delta,
+        groupCols), head),
       mvBase)
+    pinAnchor(spark, srcBase, mvBase, head)
+    v
   }
 
   // ── HLL distinct-count views ────────────────────────────────────────────
@@ -122,13 +193,15 @@ object MatView {
   def createDistinctView(spark: SparkSession, srcBase: String, mvBase: String,
                          groupCols: Seq[String], distinctCol: String,
                          lgK: Int = 12): Long = {
-    val anchor = Snapshots.versions(spark, srcBase).last
-    Snapshots.write(
-      Snapshots.read(spark, srcBase)
+    val head = Snapshots.versions(spark, srcBase).last
+    val v = Snapshots.write(
+      anchored(Snapshots.read(spark, srcBase)
         .groupBy(groupCols.map(col): _*)
-        .agg(expr(s"hll_sketch_agg(`$distinctCol`, $lgK)").as("sketch"))
-        .withColumn(SrcVersionCol, lit(anchor)),
+        .agg(expr(s"hll_sketch_agg(`$distinctCol`, $lgK)").as("sketch")),
+        head),
       mvBase)
+    pinAnchor(spark, srcBase, mvBase, head)
+    v
   }
 
   /** Advance the distinct view over the appended delta: sketch the delta,
@@ -152,18 +225,22 @@ object MatView {
       }
     val dAgg = delta.groupBy(groupCols.map(col): _*)
       .agg(expr(s"hll_sketch_agg(`$distinctCol`, $lgK)").as("sketch"))
-    Snapshots.write(
-      mv.drop(SrcVersionCol).unionByName(dAgg)
+    val v = Snapshots.write(
+      anchored(mv.drop(SrcVersionCol).filter(col("sketch").isNotNull)
+        .unionByName(dAgg)
         .groupBy(groupCols.map(col): _*)
-        .agg(expr("hll_union_agg(sketch)").as("sketch"))
-        .withColumn(SrcVersionCol, lit(head)),
+        .agg(expr("hll_union_agg(sketch)").as("sketch")),
+        head),
       mvBase)
+    pinAnchor(spark, srcBase, mvBase, head)
+    v
   }
 
-  /** The distinct view's estimates: (groupCols..., approx_distinct). */
+  /** The distinct view's estimates: (groupCols..., approx_distinct); the
+    * empty-view marker (null sketch) is filtered out. */
   def readDistinctView(spark: SparkSession, mvBase: String): DataFrame =
     Snapshots.read(spark, mvBase)
-      .select(col("*"))
+      .filter(col("sketch").isNotNull)
       .withColumn("approx_distinct", expr("hll_sketch_estimate(sketch)"))
       .drop("sketch", SrcVersionCol)
 

@@ -145,10 +145,15 @@ object Snapshots {
       else (parts0, Map.empty[String, Option[Long]])
     val rows = counters.getOrElse("#r=", None)
     val nulls = counters.getOrElse("#n=", None)
-    if (parts.length == 5)
+    if (parts.length == 5 && validStat(parts(2), parts(3), parts(4)))
       ManifestEntry(line, parts(0),
         Some((parts(1), parts(2), parts(3), parts(4))),
         rows = rows, nulls = nulls)
+    else if (parts.length == 5)
+      // 5-field line with an unusable stats triple (unknown tag, value
+      // that doesn't parse, NaN bound): keep the file, drop the stats —
+      // degrade to must-scan, never crash in statLeq or mis-prune
+      ManifestEntry(line, parts(0), None, rows = rows, nulls = nulls)
     else ManifestEntry(line, parts(0), None, rows = rows, nulls = nulls)
   }
 
@@ -178,6 +183,24 @@ object Snapshots {
     case "D" => a.toDouble <= b.toDouble
     case _ => java.util.Arrays.compareUnsigned(
       a.getBytes("UTF-8"), b.getBytes("UTF-8")) <= 0
+  }
+
+  /** Is a (tag, min, max) stats triple USABLE for pruning? The tag must
+    * be known and both endpoints must parse under it — and for doubles
+    * neither may be NaN: Spark's max() returns NaN when any value is NaN
+    * (NaN sorts above everything), and every NaN comparison in [[statLeq]]
+    * is false, so a NaN bound would prune a file that DOES contain
+    * matching non-NaN rows — a silently wrong count/merge. (Iceberg
+    * tracks nan_value_counts for exactly this reason.) Unusable stats
+    * degrade the file to must-scan, never to a wrong prune; the writers
+    * also refuse to RECORD such stats, so this read-side check only fires
+    * on corrupt or foreign lines. */
+  private def validStat(tag: String, mn: String, mx: String): Boolean = tag match {
+    case "L" => Seq(mn, mx).forall(v => scala.util.Try(v.toLong).isSuccess)
+    case "D" => Seq(mn, mx).forall(v =>
+      scala.util.Try(v.toDouble).toOption.exists(d => !d.isNaN))
+    case "S" => true
+    case _ => false
   }
 
   private def statTag(dt: org.apache.spark.sql.types.DataType): String = {
@@ -210,9 +233,13 @@ object Snapshots {
     // max under-states the file's range and pruning then skips a file that
     // DOES hold a matching key (silent duplicates on merge). Such values
     // fall back to no-stats: the file is always scanned, never mis-pruned.
+    // NaN rejection mirrors [[validStat]]: a double column with any NaN
+    // value stringifies its max to "NaN", which compares false against
+    // everything — recording it would prune files that hold matching rows
     val ok = rows.filter(r => !r.isNullAt(1) && !r.isNullAt(2) &&
       Seq(r.getString(1), r.getString(2)).forall(v =>
-        !v.exists(_.isControl) && v == v.trim))
+        !v.exists(_.isControl) && v == v.trim) &&
+      validStat(tag, r.getString(1), r.getString(2)))
     (tag, ok.map(r => new Path(r.getString(0)).getName ->
       (r.getString(1), r.getString(2), r.getLong(3))).toMap)
   }
@@ -587,12 +614,20 @@ object Snapshots {
     // covered set is manifest metadata (file counts, not row counts) and
     // rides a broadcast join; each pending delete costs one anti-join,
     // the read tax [[materializeDeletes]] retires.
-    eqs.foreach { e =>
-      val (coveredV, keyCols) = e.eqMeta.get
+    // shards of one logical delete (same covered version + key columns —
+    // [[deleteByKey]] writes one E: line per shard file) fold into ONE
+    // anti-join over the union of their key files; grouping is sorted so
+    // the plan is deterministic. Distinct logical deletes with identical
+    // metadata also merge — sound, since anti-joins against the same
+    // covered set commute and compose by key-set union.
+    val eqGroups = eqs.groupBy(_.eqMeta.get).toSeq
+      .sortBy { case ((v, cols), _) => (v, cols.mkString(",")) }
+    eqGroups.foreach { case ((coveredV, keyCols), es) =>
       val covered = splitEntries(manifestLines(spark, base, coveredV))._1
         .map(_.path)
       import spark.implicits._
-      val keys = spark.read.parquet(s"$base/${e.path}").distinct()
+      val keys = spark.read
+        .parquet(es.map(e => s"$base/${e.path}"): _*).distinct()
       val renamed = keys.columns.foldLeft(keys)((d, c) => d.withColumnRenamed(c, s"__eqk_$c"))
       val tagged = out.join(
         broadcast(covered.toDF("__delf").withColumn("__cov", lit(true))),
@@ -664,11 +699,15 @@ object Snapshots {
     // read-side verbs re-apply them over whatever files survive pruning
     val (entries, _) = splitEntries(manifestLines(spark, base, v))
     val bounds = boundsOf(read(spark, base, Some(v)), predicate)
-    // manifest-key bounds first; per-file stats SIDECARS cover bound
-    // columns the key doesn't (read lazily, only when such a column
-    // exists — same lookup countWhere uses)
+    // ONE planner composes every per-file pruning evidence source:
+    // manifest-key bounds, multi-column stats SIDECARS for bound columns
+    // the key doesn't cover (read lazily — same lookup countWhere uses),
+    // and BLOOM sidecars for the predicate's equality points. Every verb
+    // that plans through here gets every prune for free.
     val statsOf = entryStatsLookup(spark, base, entries, bounds.keySet)
-    entries.partition(e => mayMatchBoundsMulti(statsOf(e), bounds))
+    val bloomAdmits = bloomPruner(spark, base, eqPointsOf(bounds))
+    entries.partition(e =>
+      mayMatchBoundsMulti(statsOf(e), bounds) && bloomAdmits(e))
   }
 
   /** Per-entry column-stats lookup: the manifest's own key first, then
@@ -736,6 +775,60 @@ object Snapshots {
 
   private[store] val BloomSuffix = ".bloom"
   private[store] val StatsSuffix = ".stats"
+  private val BloomMagic = "GRAFTBLOOM1"
+
+  /** Equality points implied by per-column bounds: a value appearing as
+    * BOTH a lower and an upper bound of a column forces `col == value`
+    * on every matching row — the case a bloom filter can answer. */
+  private def eqPointsOf(bounds: Map[String, (Seq[String], Seq[String])])
+      : Map[String, String] =
+    bounds.flatMap { case (c, (los, his)) =>
+      (los.toSet intersect his.toSet).headOption.map(c -> _)
+    }
+
+  /** Load `<rel>.bloom`: (key column, filter). None on missing, corrupt,
+    * or header-less files — such a file admits everything (conservative,
+    * never a wrong prune). The header names the column the filter was
+    * built over, so the planner can never probe a doc_id bloom with a
+    * `source = 'x'` literal. */
+  private def loadBloom(spark: SparkSession, base: String, rel: String)
+      : Option[(String, org.apache.spark.util.sketch.BloomFilter)] =
+    scala.util.Try {
+      val f = fs(spark, base)
+      val p = new Path(s"$base/$rel$BloomSuffix")
+      if (!f.exists(p)) None
+      else {
+        val in = f.open(p)
+        try {
+          val header = new java.io.ByteArrayOutputStream()
+          var b = in.read()
+          while (b != -1 && b != '\n' && header.size < 4096) {
+            header.write(b); b = in.read()
+          }
+          val parts = new String(header.toByteArray, "UTF-8").split('\t')
+          if (b != '\n' || parts.length != 2 || parts(0) != BloomMagic) None
+          else Some((parts(1),
+            org.apache.spark.util.sketch.BloomFilter.readFrom(in)))
+        } finally in.close()
+      }
+    }.toOption.flatten
+
+  /** Per-entry bloom admission for a set of equality points, memoized
+    * per file within one planning call: false ONLY when the file's bloom
+    * covers one of the equality columns and provably excludes its value.
+    * No equality points → no sidecar is even opened. */
+  private def bloomPruner(spark: SparkSession, base: String,
+      eqPoints: Map[String, String]): ManifestEntry => Boolean =
+    if (eqPoints.isEmpty) _ => true
+    else {
+      val cache = scala.collection.mutable.Map
+        .empty[String, Option[(String, org.apache.spark.util.sketch.BloomFilter)]]
+      e => cache.getOrElseUpdate(e.path, loadBloom(spark, base, e.path)) match {
+        case Some((c, bf)) =>
+          eqPoints.get(c).forall(v => bf.mightContainString(v))
+        case None => true
+      }
+    }
 
   /** A file survives a sweep if a manifest references it — or if it is a
     * bloom/stats sidecar whose DATA file is referenced: sidecars are not
@@ -798,6 +891,8 @@ object Snapshots {
                          expectedItems: Long = 1000000L,
                          fpp: Double = 0.01): Int = {
     import org.apache.spark.sql.functions.{col, input_file_name, udaf}
+    require(!key.exists(c => c == '\t' || c == '\n'),
+      s"bloom key column name may not contain tab/newline: '$key'")
     val f = fs(spark, base)
     val vs = versions(spark, base)
     require(vs.nonEmpty, s"no snapshots under $base")
@@ -820,51 +915,34 @@ object Snapshots {
       val dest = new Path(s"$base/$rel$BloomSuffix")
       val tmp = new Path(s"$base/$rel$BloomSuffix.tmp")
       val out = f.create(tmp, true)
-      try out.write(r.getAs[Array[Byte]](1)) finally out.close()
+      // header names the indexed column so the unified planner can match
+      // sidecar to predicate (see [[loadBloom]])
+      try {
+        out.write(s"$BloomMagic\t$key\n".getBytes("UTF-8"))
+        out.write(r.getAs[Array[Byte]](1))
+      } finally out.close()
       if (f.rename(tmp, dest)) written += 1 else f.delete(tmp, false)
     }
     written
   }
 
   /**
-   * Point lookup with three-stage pruning: manifest min/max bounds first
-   * (free), then each surviving file's bloom sidecar (one small driver
-   * read per candidate — metadata-scale, proportional to the
-   * bounds-survivors, not the table), then the residual equality pushed
-   * into the parquet scan of the files both filters admit. Result is
-   * identical to `read().filter(col(key) === value)` — a bloom only ever
-   * says "definitely absent", a missing/unreadable sidecar admits the
-   * file, and fpp false positives die in the residual filter. `value` is
-   * canonicalized with the same string form the build side used; intended
-   * for integral and string keys (the id-lookup case).
+   * Point lookup with three-stage pruning: manifest min/max bounds
+   * (free), each surviving file's bloom sidecar (one small driver read
+   * per candidate — metadata-scale, proportional to the bounds-survivors,
+   * not the table), then the residual equality pushed into the parquet
+   * scan of the files both filters admit. All three stages live in the
+   * unified [[scanPlan]] planner, so this is just the equality spelling
+   * of [[scanWhere]]. Result is identical to
+   * `read().filter(col(key) === value)` — a bloom only ever says
+   * "definitely absent", a missing/unreadable sidecar admits the file,
+   * and fpp false positives die in the residual filter. Intended for
+   * integral and string keys (the id-lookup case).
    */
   def pointLookup(spark: SparkSession, base: String, key: String, value: Any,
                   version: Option[Long] = None): DataFrame = {
     import org.apache.spark.sql.functions.{col, lit}
-    val f = fs(spark, base)
-    val pred = col(key) === lit(value)
-    val (candidates, _) = scanPlan(spark, base, pred, version)
-    val canon = String.valueOf(value)
-    val survivors = candidates.filter { e =>
-      val sc = new Path(s"$base/${e.path}$BloomSuffix")
-      scala.util.Try {
-        if (!f.exists(sc)) true
-        else {
-          val in = f.open(sc)
-          try org.apache.spark.util.sketch.BloomFilter.readFrom(in)
-            .mightContainString(canon)
-          finally in.close()
-        }
-      }.getOrElse(true)
-    }
-    val (_, dels) = splitEntries(manifestLines(spark, base,
-      version.getOrElse(versions(spark, base).last)))
-    val frame =
-      if (survivors.isEmpty) read(spark, base, version).limit(0)
-      else applyDeletes(spark, base,
-        spark.read.schema(read(spark, base, version).schema)
-          .parquet(survivors.map(e => s"$base/${e.path}"): _*), dels)
-    frame.filter(pred)
+    scanWhere(spark, base, col(key) === lit(value), version)
   }
 
   /**
@@ -1549,8 +1627,10 @@ object Snapshots {
    * folds them; rewrite verbs refuse while any delete is pending (same
    * guard as positional).
    */
-  def deleteByKey(spark: SparkSession, base: String, keys0: DataFrame): Long = {
+  def deleteByKey(spark: SparkSession, base: String, keys0: DataFrame,
+                  maxKeysPerFile: Long = 4000000L): Long = {
     import org.apache.spark.sql.functions.col
+    require(maxKeysPerFile > 0, s"maxKeysPerFile must be > 0, got $maxKeysPerFile")
     val vs = versions(spark, base)
     require(vs.nonEmpty, s"no snapshots under $base")
     val keyCols = keys0.columns.toSeq
@@ -1562,24 +1642,41 @@ object Snapshots {
     require(missing.isEmpty, s"key column(s) not in table schema: $missing")
     val keys = keys0.select(keyCols.map(c =>
       col(c).cast(schema(c).dataType).as(c)): _*).distinct()
-    if (keys.isEmpty) return vs.last
+    val nKeys = keys.count()
+    if (nKeys == 0) return vs.last
+    // key sets above maxKeysPerFile shard into ceil(n/max) delete files
+    // written in parallel — a GDPR-scale 10⁸-key purge must not funnel
+    // through one writer task. One E: line per shard, all sharing the
+    // covered version and key columns; the read side folds shards of the
+    // same logical delete into ONE anti-join (see applyDeletes), so
+    // sharding costs readers nothing.
+    val shards = math.min((nKeys - 1) / maxKeysPerFile + 1, 1024L).toInt
     val next = vs.last + 1
     val priorLines = manifestLines(spark, base, vs.last)
     val vDir = branchDir(None, next)
-    val delName = s"eqdel-${java.util.UUID.randomUUID().toString.take(12)}.parquet"
+    val delStem = s"eqdel-${java.util.UUID.randomUUID().toString.take(12)}"
+    val delNames = (0 until shards).map(i => s"$delStem-$i.parquet")
     commitStaged(spark, base, next,
-      inherited = priorLines :+
-        s"E:$vDir/$delName\t${vs.last}\t${keyCols.mkString(",")}",
+      inherited = priorLines ++ delNames.map(nm =>
+        s"E:$vDir/$nm\t${vs.last}\t${keyCols.mkString(",")}"),
       writeData = dir => {
         val stage = new Path(s"$dir/_delstage")
-        keys.coalesce(1).write.parquet(stage.toString)
+        (if (shards == 1) keys.coalesce(1) else keys.repartition(shards))
+          .write.parquet(stage.toString)
         val f = fs(spark, base)
-        val part = f.listStatus(stage).toSeq
-          .find(_.getPath.getName.startsWith("part-"))
-          .getOrElse(throw new IllegalStateException(
-            s"no part file in staged delete write under $stage"))
-        require(f.rename(part.getPath, new Path(dir, delName)),
-          s"staging rename of $delName failed")
+        val parts = f.listStatus(stage).toSeq
+          .filter(_.getPath.getName.startsWith("part-"))
+          .sortBy(_.getPath.getName)
+        // round-robin repartition spreads n >= shards rows evenly, so
+        // every shard file exists; the manifest's E: lines were fixed
+        // before the write, so a miscount must abort the commit loudly
+        require(parts.size == shards,
+          s"staged delete shard accounting: expected $shards part files, " +
+            s"found ${parts.size} under $stage")
+        parts.zip(delNames).foreach { case (st, nm) =>
+          require(f.rename(st.getPath, new Path(dir, nm)),
+            s"staging rename of $nm failed")
+        }
         f.delete(stage, true)
       })
   }
@@ -1608,14 +1705,19 @@ object Snapshots {
       else spark.read.parquet(posDels.map(e => s"$base/${e.path}"): _*)
         .select(col("file")).distinct()
         .collect().map(_.getString(0)).toSet
-    val touchedEq: Set[String] = eqDels.flatMap { e =>
-      val (coveredV, keyCols) = e.eqMeta.get
+    val touchedEq: Set[String] = eqDels.groupBy(_.eqMeta.get).toSeq
+        .sortBy { case ((v, cols), _) => (v, cols.mkString(",")) }
+        .flatMap { case ((coveredV, keyCols), es) =>
       val covered = splitEntries(manifestLines(spark, base, coveredV))._1
         .map(_.path).toSet
       val live = data.map(_.path).filter(covered)
       if (live.isEmpty) Seq.empty[String]
       else {
-        val keys = spark.read.parquet(s"$base/${e.path}").distinct()
+        // shards of one logical delete probe as ONE key set (see
+        // applyDeletes) — a sharded 10⁸-key purge still costs one
+        // semi-join here, not one per shard file
+        val keys = spark.read
+          .parquet(es.map(e => s"$base/${e.path}"): _*).distinct()
         val renamed = keys.columns.foldLeft(keys)((d, c) =>
           d.withColumnRenamed(c, s"__eqk_$c"))
         val cond = keyCols.map(k => col(k) <=> col(s"__eqk_$k")).reduce(_ && _)
@@ -2122,7 +2224,7 @@ object Snapshots {
         else {
           val (mn, mx) = (r.getString(mnI), r.getString(mxI))
           if (Seq(mn, mx).exists(s => s.exists(ch => ch.isControl || ch == '\t') ||
-              s != s.trim)) None
+              s != s.trim) || !validStat(tag, mn, mx)) None
           else Some(s"$c\t$tag\t$mn\t$mx\t#n=${r.getLong(nnI)}")
         }
       }
@@ -2151,9 +2253,15 @@ object Snapshots {
         val lines =
           try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toVector
           finally in.close()
+        // per-LINE validation, not just whole-file Try: a parseable line
+        // with a garbage tag or a non-numeric/NaN bound under tag L/D
+        // must degrade that column to must-scan (dropped here), not crash
+        // out of countWhere/scanPlan in statLeq and not fall into the
+        // byte-compare default branch where it could mis-prune
         lines.flatMap { l =>
           val parts = l.split('\t')
-          if (parts.length == 5 && parts(4).startsWith("#n="))
+          if (parts.length == 5 && parts(4).startsWith("#n=") &&
+              validStat(parts(1), parts(2), parts(3)))
             scala.util.Try(parts(4).drop(3).toLong).toOption
               .map(n => parts(0) -> ((parts(1), parts(2), parts(3), Option(n))))
           else None
@@ -2265,9 +2373,13 @@ object Snapshots {
     }.toOption.flatten.getOrElse(return fullScan())
     val bounds = predicateBounds(cond)
     // per-entry column lookup: manifest stats key first, then the file's
-    // multi-column sidecar (lazy, memoized — see entryStatsLookup)
+    // multi-column sidecar (lazy, memoized — see entryStatsLookup);
+    // bloom sidecars answer the predicate's equality points (a
+    // bloom-excluded file provably contributes 0)
     val statsOf = entryStatsLookup(spark, base, data, bounds.keySet)
-    val candidates = data.filter(e => mayMatchBoundsMulti(statsOf(e), bounds))
+    val bloomAdmits = bloomPruner(spark, base, eqPointsOf(bounds))
+    val candidates = data.filter(e =>
+      mayMatchBoundsMulti(statsOf(e), bounds) && bloomAdmits(e))
     val (proven, boundary) = candidates.partition(e =>
       e.rows.isDefined && provenByStats(statsOf(e), cond))
     val metaPart = proven.flatMap(_.rows).sum

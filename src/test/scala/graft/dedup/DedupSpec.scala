@@ -625,6 +625,39 @@ class DedupSpec extends AnyFunSuite {
       s"missing=${expected -- got}\nextra=${got -- expected}")
   }
 
+  test("editDistancePairs: large short cohort is blocked, never all-pairs") {
+    // 400 distinct sub-shortMax strings (4 chars at q=3,k=1 → all in the
+    // short cohort) with a handful of planted near-duplicates. The former
+    // crossJoin fallback would evaluate 79,800 candidate pairs here (and
+    // 10¹⁶ on a 10⁸-title corpus); the deletion-neighborhood block must
+    // (a) return exactly the brute-force answer and (b) plan as hash
+    // joins — no cartesian/nested-loop node anywhere.
+    val base = (0 until 400).map(i => (i.toLong, f"s$i%03d"))
+    val planted = Seq((1000L, "s00"), (1001L, "s001x"), (1002L, "s001"))
+    val rows = (base ++ planted).toDF("id", "s")
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) => i + j)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val all = base ++ planted
+    val expected = (for {
+      (ia, sa) <- all; (ib, sb) <- all if ia < ib
+      d = lev(sa, sb) if d <= 1
+    } yield (ia, ib, d)).toSet
+    assert(expected.nonEmpty)
+    val q = Dedup.editDistancePairs(rows, "id", "s", maxDist = 1)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoop"),
+      s"short cohort planned an all-pairs join:\n$plan")
+    val got = q.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got == expected,
+      s"missing=${expected -- got}\nextra=${got -- expected}")
+  }
+
   test("semanticDedupTrained: a Lloyd iteration moves a boundary vector the seed misassigns") {
     // unit vectors by angle: label-0 mass at {0°, 30°}, label-1 at
     // {45°, 70°, 170°}. The 170° outlier drags label 1's SEED centroid to

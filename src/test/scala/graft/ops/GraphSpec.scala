@@ -153,6 +153,24 @@ class GraphSpec extends AnyFunSuite {
     assert(r == r2)
   }
 
+  test("labelPropagation: exact early exit — a fixed point stops the loop, output identical") {
+    // two disjoint triangles converge in 2 rounds (round 1 reaches the
+    // minimum everywhere, round 2 changes nothing); iters=25 must stop
+    // right there and return the same frame the full run would
+    val e = edges(
+      "a1" -> "a2", "a1" -> "a3", "a2" -> "a3",
+      "z1" -> "z2", "z1" -> "z3", "z2" -> "z3")
+    val full = Graph.labelPropagation(e, "src", "dst", iters = 25)
+      .collect().map(x => x.getString(0) -> x.getString(1)).toMap
+    val ran = Graph.lastIterations.get().intValue
+    assert(ran < 25, s"converged graph must exit early, ran $ran rounds")
+    val pinned = Graph.labelPropagation(e, "src", "dst", iters = ran)
+      .collect().map(x => x.getString(0) -> x.getString(1)).toMap
+    assert(full == pinned, "early exit must be output-identical")
+    assert(full("a1") == full("a2") && full("a2") == full("a3"))
+    assert(full("z1") == full("z2") && full("z2") == full("z3"))
+  }
+
   test("degrees: out/in/total with zero-fill on one-sided nodes") {
     val e = edges("a" -> "b", "a" -> "c", "b" -> "c")
     val r = Graph.degrees(e, "src", "dst")

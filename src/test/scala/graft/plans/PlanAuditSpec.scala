@@ -351,14 +351,19 @@ class PlanAuditSpec extends AnyFunSuite {
       .findFirstIn(p).isDefined, p)
   }
 
-  test("cu_dsir_weights: gram aggregates are persisted — fan-out reads the cache") {
+  test("cu_dsir_weights: gram aggregates are materialized once — fan-out reads the checkpoint") {
     // three consumers with different grouping keys hang off the raw
     // (doc,bucket) aggregate and two off the target marginal; without the
-    // persist the corpus tokenizes 3×/2× (measured 5.95 s vs 2.70 s
-    // isolated at sf0.1 — BASELINE.md round-13 notes). The pin: the
-    // executed plan reads the aggregates through InMemoryTableScan.
+    // materialization the corpus tokenizes 3×/2× (measured 5.95 s vs
+    // 2.70 s isolated at sf0.1 — BASELINE.md round-13 notes). Round 14
+    // switched the .persist() to an eager localCheckpoint (same
+    // MEMORY_AND_DISK blocks, but ContextCleaner-released instead of a
+    // CacheManager entry that outlives the call — advisor item), so the
+    // pin is now: every corpus access is a checkpoint-RDD scan, and the
+    // raw TOKENIZE pipeline (the explode) appears nowhere in the plan.
     val p = planOf("cu_dsir_weights")
-    assert(p.contains("InMemoryTableScan"), p)
+    assert(p.contains("Scan ExistingRDD"), p)
+    assert(!p.contains("Generate explode"), p)
     // and the log-ratio table still BROADCASTS to the per-doc join (the
     // ≤buckets-row side must never shuffle the corpus)
     assert(p.contains("BroadcastHashJoin"), p)

@@ -158,4 +158,49 @@ class MatViewSpec extends AnyFunSuite {
     assert(rows(MatView.read(spark, mv)) == rows(fullRecompute(base)))
     assert(MatView.read(spark, mv).agg(sum(col("n"))).head.getLong(0) == 40L)
   }
+
+  test("anchor auto-pin: aggressive source expiry between refreshes cannot break refresh") {
+    val root = java.nio.file.Files.createTempDirectory("graft-mv-pin").toString
+    val (base, mv) = (root + "/t", root + "/mv")
+    def b(ids: Range) = ids.map(i => (i.toLong, s"g${i % 3}", 1.0)).toDF("id", "grp", "v")
+    Snapshots.write(b(1 to 10), base)
+    MatView.create(spark, base, mv, Seq("grp"), "v") // pins source v1
+    assert(Snapshots.tags(spark, base).values.toSet.contains(1L),
+      "create must pin its anchor on the source")
+    Snapshots.append(b(11 to 20), base)
+    Snapshots.append(b(21 to 30), base)
+    // keep=1 would normally drop v1 and v2 — the pin must keep v1 alive,
+    // or the next refresh's appendedSince(v1) has no chain to diff
+    Snapshots.expire(spark, base, keep = 1)
+    assert(Snapshots.versions(spark, base).contains(1L),
+      "the pinned anchor version must survive expiry")
+    MatView.refresh(spark, base, mv, Seq("grp"), "v")
+    assert(rows(MatView.read(spark, mv)) == rows(fullRecompute(base)))
+    // the pin moved to the new anchor: expiry can now collect v1
+    Snapshots.expire(spark, base, keep = 1)
+    assert(!Snapshots.versions(spark, base).contains(1L),
+      "re-pointing the pin must release the old anchor")
+    // retiring the view releases the pin entirely
+    assert(MatView.unpin(spark, base, mv))
+    assert(Snapshots.tags(spark, base).isEmpty)
+  }
+
+  test("empty view keeps its anchor: retire-all CDC refresh, then repopulate") {
+    val root = java.nio.file.Files.createTempDirectory("graft-mv-empty").toString
+    val (base, mv) = (root + "/t", root + "/mv")
+    def b(ids: Range) = ids.map(i => (i.toLong, s"g${i % 3}", 1.0)).toDF("id", "grp", "v")
+    Snapshots.write(b(1 to 10), base)
+    MatView.create(spark, base, mv, Seq("grp"), "v")
+    // CoW-delete EVERY row → the CDC refresh retires every group
+    Snapshots.deleteWhere(spark, base, lit(true))
+    MatView.refresh(spark, base, mv, Seq("grp"), "v", cdcKey = Some("id"))
+    assert(MatView.read(spark, mv).isEmpty, "all groups retired")
+    // the anchor must survive the zero-row view (marker row / pin) …
+    assert(MatView.anchor(spark, mv) == Snapshots.versions(spark, base).last)
+    // … so the next refresh repopulates instead of throwing
+    Snapshots.append(b(41 to 50), base)
+    MatView.refresh(spark, base, mv, Seq("grp"), "v", cdcKey = Some("id"))
+    assert(rows(MatView.read(spark, mv)) == rows(fullRecompute(base)))
+    assert(MatView.read(spark, mv).agg(sum(col("n"))).head.getLong(0) == 10L)
+  }
 }

@@ -1471,6 +1471,118 @@ class SnapshotsSpec extends AnyFunSuite {
     assert(rows.forall(_.getString(0) == "data"))
     assert(rows.map(_.getLong(1)).sum == 90L)
   }
+
+  test("deleteByKey shards large key sets into multiple delete files") {
+    val base = java.nio.file.Files.createTempDirectory("graft-eqshard").toString + "/t"
+    Snapshots.write((1L to 300L).map(i => (i, s"v$i")).toDF("id", "s")
+      .repartition(3), base, statsKey = Some("id"))
+    // 120 keys at 50 per file → 3 shard files, 3 E: manifest lines
+    val keys = (1L to 240L by 2L).toDF("id")
+    val v = Snapshots.deleteByKey(spark, base, keys, maxKeysPerFile = 50L)
+    val eqLines = Snapshots.manifestLines(spark, base, v)
+      .filter(_.startsWith("E:"))
+    assert(eqLines.size == 3, s"expected 3 E: lines, got:\n${eqLines.mkString("\n")}")
+    assert(eqLines.forall(_.endsWith("\t1\tid")), "shards must share covered version + key cols")
+    // pending (anti-join over the union of shards) read is exact
+    val expected = (1L to 300L).filterNot(i => i % 2 == 1 && i <= 240).toSet
+    assert(Snapshots.read(spark, base).select("id")
+      .collect().map(_.getLong(0)).toSet == expected)
+    // … and ONE anti-join, not one per shard: a single logical delete's
+    // shards fold into one key set on the read side
+    val plan = Snapshots.read(spark, base).queryExecution.executedPlan.toString
+    assert("LeftAnti".r.findAllIn(plan).size == 1,
+      s"sharded delete must read as one anti-join:\n$plan")
+    // materialize folds them and the folded read agrees
+    Snapshots.materializeDeletes(spark, base, statsKey = Some("id"))
+    assert(Snapshots.read(spark, base).select("id")
+      .collect().map(_.getLong(0)).toSet == expected)
+  }
+
+  test("string-typed manifest stats prune a source-equality scan from metadata") {
+    val base = java.nio.file.Files.createTempDirectory("graft-strprune").toString + "/t"
+    val docs = (1L to 400L).map(i => (i, s"src${i % 8}", i * 10))
+      .toDF("id", "source", "chars")
+    Snapshots.write(docs.repartitionByRange(8, col("source"), col("id")),
+      base, statsKey = Some("source"))
+    val (cand, pruned) = Snapshots.scanPlan(spark, base, col("source") === "src3")
+    assert(pruned.nonEmpty, "string bounds must prune range-clustered files")
+    assert(cand.nonEmpty)
+    val expected = docs.filter(col("source") === "src3")
+      .select("id").collect().map(_.getLong(0)).toSet
+    var got: Set[Long] = null
+    val reads = recordsReadDuring {
+      got = Snapshots.scanWhere(spark, base, col("source") === "src3")
+        .select("id").collect().map(_.getLong(0)).toSet
+    }
+    assert(got == expected)
+    // IO proof: only the candidate files' rows were opened, not the table
+    assert(reads <= cand.flatMap(_.rows).sum && reads < 400L,
+      s"read $reads records; candidates hold ${cand.flatMap(_.rows).sum}")
+  }
+
+  test("NaN in a double column degrades its stats to must-scan, never a wrong prune") {
+    val base = java.nio.file.Files.createTempDirectory("graft-nan").toString + "/t"
+    // file layout: one clean low-range file, one NaN-poisoned file whose
+    // non-NaN values sit in the high range
+    val clean = Seq((1L, 1.0), (2L, 2.0)).toDF("id", "score")
+    val poisoned = Seq((3L, 100.0), (4L, Double.NaN)).toDF("id", "score")
+    Snapshots.write(clean.coalesce(1), base, statsKey = Some("score"))
+    Snapshots.append(poisoned.coalesce(1), base, statsKey = Some("score"))
+    // the poisoned file's manifest line must carry NO stats (max would
+    // stringify to NaN and compare false against everything)
+    val manifest = Snapshots.manifestLines(spark, base, 2L)
+    assert(!manifest.exists(_.contains("NaN")), manifest.mkString("\n"))
+    // a high-range predicate must still scan the poisoned file — under
+    // Spark's ordering NaN is LARGER than any double, so both 100.0 and
+    // the NaN row satisfy score >= 50 (a NaN-poisoned max that pruned
+    // this file would lose both)
+    assert(Snapshots.countWhere(spark, base, col("score") >= 50.0) == 2L)
+    val got = Snapshots.scanWhere(spark, base, col("score") >= 50.0)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(got == Set(3L, 4L))
+    // same hazard through multi-column sidecars: stats for the NaN column
+    // are refused there too (countWhere stays exact)
+    Snapshots.writeStatsSidecars(spark, base, Seq("score"))
+    assert(Snapshots.countWhere(spark, base, col("score") >= 50.0) == 2L)
+  }
+
+  test("corrupt-but-parseable sidecar lines degrade to scan, never crash or mis-prune") {
+    val base = java.nio.file.Files.createTempDirectory("graft-sidecorrupt").toString + "/t"
+    Snapshots.write((1L to 100L).map(i => (i, i * 1.0)).toDF("id", "score")
+      .repartitionByRange(2, col("id")), base, statsKey = Some("id"))
+    Snapshots.writeStatsSidecars(spark, base, Seq("score"))
+    // overwrite one sidecar with 5-field lines that PARSE but are garbage:
+    // unknown tag, and non-numeric min/max under tag D
+    val sc = new java.io.File(base).listFiles().filter(_.isDirectory)
+      .flatMap(_.listFiles()).filter(_.getName.endsWith(".stats")).head
+    java.nio.file.Files.writeString(sc.toPath,
+      "score\tQ\t1.0\t2.0\t#n=0\nscore\tD\tnotanum\tNaN\t#n=0\n")
+    new java.io.File(sc.getParent, "." + sc.getName + ".crc").delete()
+    // neither line may crash countWhere or prune the file it describes
+    assert(Snapshots.countWhere(spark, base, col("score") >= 99.0) == 2L)
+    assert(Snapshots.countWhere(spark, base, col("score") <= 1.0) == 1L)
+  }
+
+  test("scanPlan composes bloom sidecars: equality points prune bounds-blind layouts") {
+    val base = java.nio.file.Files.createTempDirectory("graft-bloomplan").toString + "/t"
+    // interleaved layout: every file's id range spans the whole table, so
+    // min/max bounds prune NOTHING — only the bloom can
+    val df = (1L to 300L).map(i => (i, s"p${i % 3}")).toDF("id", "part")
+    Snapshots.write(df.repartition(3, col("part")), base, statsKey = Some("id"))
+    Snapshots.writeBloomSidecars(spark, base, "id", expectedItems = 1000L)
+    val total = Snapshots.manifestFiles(spark, base, 1L).size
+    assert(total >= 2, s"fixture needs >= 2 files, got $total")
+    val (cand, pruned) = Snapshots.scanPlan(spark, base, col("id") === 42L)
+    assert(cand.size < total && cand.size + pruned.size == total,
+      s"bloom must prune interleaved files: cand=${cand.size}/$total")
+    // a bloom for column id must NOT prune a part-equality predicate
+    val (cand2, _) = Snapshots.scanPlan(spark, base, col("part") === "p9")
+    assert(cand2.size == total, "foreign-column equality must not consult the id bloom")
+    // unified planner flows through scanWhere and countWhere identically
+    assert(Snapshots.countWhere(spark, base, col("id") === 42L) == 1L)
+    assert(Snapshots.scanWhere(spark, base, col("id") === 42L)
+      .select("part").head.getString(0) == "p0")
+  }
 }
 
 /**
