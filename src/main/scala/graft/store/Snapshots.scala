@@ -698,16 +698,20 @@ object Snapshots {
     // positional-delete entries are metadata, never scan candidates; the
     // read-side verbs re-apply them over whatever files survive pruning
     val (entries, _) = splitEntries(manifestLines(spark, base, v))
-    val bounds = boundsOf(read(spark, base, Some(v)), predicate)
+    val cond = condOf(read(spark, base, Some(v)), predicate)
+    val bounds = cond.map(predicateBounds).getOrElse(Map.empty)
+    val eqSets = cond.map(eqSetsOf).getOrElse(Nil)
     // ONE planner composes every per-file pruning evidence source:
     // manifest-key bounds, multi-column stats SIDECARS for bound columns
     // the key doesn't cover (read lazily — same lookup countWhere uses),
-    // and BLOOM sidecars for the predicate's equality points. Every verb
-    // that plans through here gets every prune for free.
-    val statsOf = entryStatsLookup(spark, base, entries, bounds.keySet)
-    val bloomAdmits = bloomPruner(spark, base, eqPointsOf(bounds))
+    // per-value bounds containment for equality/IN sets, and BLOOM
+    // sidecars over the surviving values. Every verb that plans through
+    // here gets every prune for free.
+    val statsOf = entryStatsLookup(spark, base, entries,
+      bounds.keySet ++ eqSets.map(_._1))
+    val eqAdmits = eqSetPruner(spark, base, eqSets, statsOf)
     entries.partition(e =>
-      mayMatchBoundsMulti(statsOf(e), bounds) && bloomAdmits(e))
+      mayMatchBoundsMulti(statsOf(e), bounds) && eqAdmits(e))
   }
 
   /** Per-entry column-stats lookup: the manifest's own key first, then
@@ -777,56 +781,141 @@ object Snapshots {
   private[store] val StatsSuffix = ".stats"
   private val BloomMagic = "GRAFTBLOOM1"
 
-  /** Equality points implied by per-column bounds: a value appearing as
-    * BOTH a lower and an upper bound of a column forces `col == value`
-    * on every matching row — the case a bloom filter can answer. */
-  private def eqPointsOf(bounds: Map[String, (Seq[String], Seq[String])])
-      : Map[String, String] =
-    bounds.flatMap { case (c, (los, his)) =>
-      (los.toSet intersect his.toSet).headOption.map(c -> _)
+  /**
+   * Equality-SET conjuncts implied by the predicate: each entry is a
+   * (column, candidate values) pair such that every matching row must
+   * have `column` equal to ONE of the values — `col = v` contributes a
+   * singleton, `col IN (v1..vn)` / the optimizer's `InSet` contribute
+   * the list. Disjunctive by value, conjunctive across entries: a file
+   * where ANY entry has NO admissible value provably holds no match.
+   * These drive the two prunes [[boundsOf]]'s conjunctive ranges cannot
+   * express — per-value min/max containment for IN lists and bloom
+   * probes — inside the unified planner.
+   */
+  private def eqSetsOf(cond: org.apache.spark.sql.catalyst.expressions.Expression)
+      : Seq[(String, Seq[String])] = {
+    import org.apache.spark.sql.catalyst.expressions._
+    def attrName(ex: Expression): Option[String] = ex match {
+      case a: AttributeReference => Some(a.name)
+      case u: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute => Some(u.name)
+      case _ => None
     }
+    def canon(v: Any): Option[String] =
+      Option(v).map(_.toString).filterNot(_.exists(c => c == '\t' || c == '\n'))
+    def walk(ex: Expression): Seq[(String, Seq[String])] = ex match {
+      case And(l, r) => walk(l) ++ walk(r)
+      case EqualTo(a, l: Literal) =>
+        attrName(a).flatMap(n => canon(l.value).map(v => n -> Seq(v))).toSeq
+      case EqualTo(l: Literal, a) =>
+        attrName(a).flatMap(n => canon(l.value).map(v => n -> Seq(v))).toSeq
+      case In(a, vs) if vs.forall(_.isInstanceOf[Literal]) =>
+        attrName(a).toSeq.flatMap { n =>
+          val cs = vs.map(v => canon(v.asInstanceOf[Literal].value))
+          // a NULL / uncanonicalizable element makes the set unprovable
+          if (cs.exists(_.isEmpty)) Nil else Seq(n -> cs.flatten)
+        }
+      case InSet(a, hset) =>
+        attrName(a).toSeq.flatMap { n =>
+          val cs = hset.toSeq.map(canon)
+          if (cs.exists(_.isEmpty)) Nil else Seq(n -> cs.flatten.sorted)
+        }
+      case _ => Nil
+    }
+    walk(cond)
+  }
 
-  /** Load `<rel>.bloom`: (key column, filter). None on missing, corrupt,
-    * or header-less files — such a file admits everything (conservative,
-    * never a wrong prune). The header names the column the filter was
-    * built over, so the planner can never probe a doc_id bloom with a
-    * `source = 'x'` literal. */
-  private def loadBloom(spark: SparkSession, base: String, rel: String)
-      : Option[(String, org.apache.spark.util.sketch.BloomFilter)] =
+  /** Load every (column → filter) section of `<rel>.bloom`. Empty map on
+    * missing/corrupt files — admits everything (conservative, never a
+    * wrong prune). Sections carry the column name, so the planner can
+    * never probe a doc_id bloom with a `source = 'x'` literal. Format:
+    * repeated `GRAFTBLOOM1\t<col>\t<nbytes>\n` headers, each followed by
+    * exactly nbytes of serialized filter (the legacy 2-field single-
+    * section header is still readable). */
+  private def loadBlooms(spark: SparkSession, base: String, rel: String)
+      : Map[String, org.apache.spark.util.sketch.BloomFilter] =
     scala.util.Try {
       val f = fs(spark, base)
       val p = new Path(s"$base/$rel$BloomSuffix")
-      if (!f.exists(p)) None
+      if (!f.exists(p)) Map.empty[String, org.apache.spark.util.sketch.BloomFilter]
       else {
         val in = f.open(p)
         try {
-          val header = new java.io.ByteArrayOutputStream()
-          var b = in.read()
-          while (b != -1 && b != '\n' && header.size < 4096) {
-            header.write(b); b = in.read()
+          val out = scala.collection.mutable.Map
+            .empty[String, org.apache.spark.util.sketch.BloomFilter]
+          var eof = false
+          while (!eof) {
+            val header = new java.io.ByteArrayOutputStream()
+            var b = in.read()
+            while (b != -1 && b != '\n' && header.size < 4096) {
+              header.write(b); b = in.read()
+            }
+            if (b != '\n') { // EOF (or overlong garbage): stop
+              if (header.size > 0 && out.isEmpty) throw new java.io.IOException(
+                s"malformed bloom sidecar header in $rel")
+              eof = true
+            } else {
+              val parts = new String(header.toByteArray, "UTF-8").split('\t')
+              if (parts.length == 3 && parts(0) == BloomMagic) {
+                val buf = new Array[Byte](parts(2).toInt)
+                in.readFully(buf)
+                out(parts(1)) = org.apache.spark.util.sketch.BloomFilter
+                  .readFrom(new java.io.ByteArrayInputStream(buf))
+              } else if (parts.length == 2 && parts(0) == BloomMagic) {
+                // legacy single-section file: the filter runs to EOF
+                out(parts(1)) = org.apache.spark.util.sketch.BloomFilter.readFrom(in)
+                eof = true
+              } else throw new java.io.IOException(
+                s"unknown bloom sidecar section in $rel")
+            }
           }
-          val parts = new String(header.toByteArray, "UTF-8").split('\t')
-          if (b != '\n' || parts.length != 2 || parts(0) != BloomMagic) None
-          else Some((parts(1),
-            org.apache.spark.util.sketch.BloomFilter.readFrom(in)))
+          out.toMap
         } finally in.close()
       }
-    }.toOption.flatten
+    }.getOrElse(Map.empty)
 
-  /** Per-entry bloom admission for a set of equality points, memoized
-    * per file within one planning call: false ONLY when the file's bloom
-    * covers one of the equality columns and provably excludes its value.
-    * No equality points → no sidecar is even opened. */
-  private def bloomPruner(spark: SparkSession, base: String,
-      eqPoints: Map[String, String]): ManifestEntry => Boolean =
-    if (eqPoints.isEmpty) _ => true
+  /** Serialize multi-section bloom sidecar content (see [[loadBlooms]]). */
+  private def bloomBytes(
+      sections: Seq[(String, Array[Byte])]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    sections.sortBy(_._1).foreach { case (c, bytes) =>
+      bos.write(s"$BloomMagic\t$c\t${bytes.length}\n".getBytes("UTF-8"))
+      bos.write(bytes)
+    }
+    bos.toByteArray
+  }
+
+  /**
+   * Per-entry admission for the predicate's equality-set conjuncts,
+   * composing BOTH evidence kinds per file — stats bounds (keep only
+   * values inside [min, max]; IN-list range pruning the conjunctive
+   * bounds map cannot see) and bloom probes over the survivors — and
+   * memoizing sidecar loads within one planning call. False ONLY when
+   * some conjunct provably admits no value. No equality sets → no
+   * sidecar is even opened.
+   */
+  private def eqSetPruner(spark: SparkSession, base: String,
+      eqSets: Seq[(String, Seq[String])],
+      statsOf: ManifestEntry => String => Option[ColStats])
+      : ManifestEntry => Boolean =
+    if (eqSets.isEmpty) _ => true
     else {
       val cache = scala.collection.mutable.Map
-        .empty[String, Option[(String, org.apache.spark.util.sketch.BloomFilter)]]
-      e => cache.getOrElseUpdate(e.path, loadBloom(spark, base, e.path)) match {
-        case Some((c, bf)) =>
-          eqPoints.get(c).forall(v => bf.mightContainString(v))
-        case None => true
+        .empty[String, Map[String, org.apache.spark.util.sketch.BloomFilter]]
+      e => {
+        lazy val blooms = cache.getOrElseUpdate(e.path, loadBlooms(spark, base, e.path))
+        eqSets.forall { case (c, values) =>
+          val inBounds = statsOf(e)(c) match {
+            case Some((tag, mn, mx, _)) =>
+              // a value that cannot compare under the tag stays admissible
+              values.filter(v => scala.util.Try(
+                statLeq(tag, mn, v) && statLeq(tag, v, mx)).getOrElse(true))
+            case None => values
+          }
+          inBounds.nonEmpty && (blooms.get(c) match {
+            case Some(bf) => inBounds.exists(bf.mightContainString)
+            case None => true
+          })
+        }
       }
     }
 
@@ -876,15 +965,17 @@ object Snapshots {
    * (Iceberg stores the same structure as puffin blooms; Delta as its
    * bloom index files).
    *
-   * One scan of exactly the sidecar-less files builds every bloom
-   * map-side (grouped by `input_file_name`); results stream back via
-   * `toLocalIterator` (one sidecar in driver memory at a time, never the
-   * fleet) and each sidecar lands with a tmp-write + atomic rename.
+   * One scan of exactly the files still owing THIS column's section
+   * builds every bloom map-side (grouped by `input_file_name`); results
+   * stream back via `toLocalIterator` (one sidecar in driver memory at a
+   * time, never the fleet) and each sidecar lands with a tmp-write +
+   * atomic rename, merging with sections other columns already built —
+   * a table can carry blooms on several point-lookup keys at once.
    * Idempotent; new appends only build their delta (inherited files
    * already carry sidecars). Unreadable/half-written sidecars are treated
-   * as missing by [[pointLookup]] — conservative, never wrong. Size the
+   * as missing by the planner — conservative, never wrong. Size the
    * filter with `expectedItems` ≈ rows per file; 1M keys at fpp 0.01 is
-   * ~1.2 MB per sidecar.
+   * ~1.2 MB per section.
    */
   def writeBloomSidecars(spark: SparkSession, base: String, key: String,
                          version: Option[Long] = None,
@@ -898,8 +989,13 @@ object Snapshots {
     require(vs.nonEmpty, s"no snapshots under $base")
     val v = version.getOrElse(vs.last)
     require(vs.contains(v), s"version $v not in $vs")
+    // a sidecar holds one SECTION per indexed column — "missing" means
+    // the file has no section for THIS column yet, so a table can carry
+    // blooms on several point-lookup keys (id + request_id + user_id)
+    // and each build only scans the files it still owes
     val missing = splitEntries(manifestLines(spark, base, v))._1.map(_.path)
-      .filterNot(rel => f.exists(new Path(s"$base/$rel$BloomSuffix")))
+      .filterNot(rel => f.exists(new Path(s"$base/$rel$BloomSuffix")) &&
+        loadBlooms(spark, base, rel).contains(key))
     if (missing.isEmpty) return 0
     val bloomOf = udaf(new BloomAgg(expectedItems, fpp))
     val it = spark.read.option("mergeSchema", true)
@@ -914,13 +1010,21 @@ object Snapshots {
       val rel = s"${p.getParent.getName}/${p.getName}"
       val dest = new Path(s"$base/$rel$BloomSuffix")
       val tmp = new Path(s"$base/$rel$BloomSuffix.tmp")
+      // merge with the file's existing sections (other columns survive),
+      // then tmp-write + atomic rename as before
+      val existing = loadBlooms(spark, base, rel).view
+        .filterKeys(_ != key).mapValues { bf =>
+          val bos = new java.io.ByteArrayOutputStream()
+          bf.writeTo(bos); bos.toByteArray
+        }.toSeq
       val out = f.create(tmp, true)
-      // header names the indexed column so the unified planner can match
-      // sidecar to predicate (see [[loadBloom]])
-      try {
-        out.write(s"$BloomMagic\t$key\n".getBytes("UTF-8"))
-        out.write(r.getAs[Array[Byte]](1))
-      } finally out.close()
+      try out.write(bloomBytes(existing :+ (key -> r.getAs[Array[Byte]](1))))
+      finally out.close()
+      // rename refuses an existing destination: drop the old sidecar
+      // first — the gap is safe because a MISSING sidecar only admits
+      // files (never a wrong prune), and the new file carries every
+      // section the old one did
+      if (f.exists(dest)) f.delete(dest, false)
       if (f.rename(tmp, dest)) written += 1 else f.delete(tmp, false)
     }
     written
@@ -1414,18 +1518,26 @@ object Snapshots {
     }
   }
 
-  /** Bounds implied by `predicate` against `frame`, via the public
-    * queryExecution surface: analyze+optimize a lazy filter (no job runs)
-    * and harvest the optimized Filter condition — resolved attributes,
-    * literal casts folded. Any failure → no bounds (no pruning). */
-  private def boundsOf(frame: DataFrame, predicate: org.apache.spark.sql.Column)
-      : Map[String, (Seq[String], Seq[String])] =
+  /** The optimized filter condition of `predicate` against `frame`, via
+    * the public queryExecution surface: analyze+optimize a lazy filter
+    * (no job runs) and harvest the Filter node — resolved attributes,
+    * literal casts folded. None on any failure or when the optimizer
+    * folded the filter away entirely. */
+  private def condOf(frame: DataFrame, predicate: org.apache.spark.sql.Column)
+      : Option[org.apache.spark.sql.catalyst.expressions.Expression] =
     scala.util.Try {
       frame.filter(predicate).queryExecution.optimizedPlan.collectFirst {
-        case org.apache.spark.sql.catalyst.plans.logical.Filter(cond, _) =>
-          predicateBounds(cond)
-      }.getOrElse(Map.empty[String, (Seq[String], Seq[String])])
-    }.getOrElse(Map.empty)
+        case org.apache.spark.sql.catalyst.plans.logical.Filter(cond, _) => cond
+      }
+    }.toOption.flatten
+
+  /** Bounds implied by `predicate` against `frame` ([[condOf]] +
+    * [[predicateBounds]]). Any failure → no bounds (no pruning). */
+  private def boundsOf(frame: DataFrame, predicate: org.apache.spark.sql.Column)
+      : Map[String, (Seq[String], Seq[String])] =
+    condOf(frame, predicate)
+      .map(predicateBounds)
+      .getOrElse(Map.empty)
 
   /**
    * DELETE WHERE, copy-on-write at file granularity: only files that
@@ -1571,8 +1683,11 @@ object Snapshots {
    * than resurrect rows — run [[materializeDeletes]] first.
    */
   def deleteWhereMoR(spark: SparkSession, base: String,
-                     predicate: org.apache.spark.sql.Column): Long = {
+                     predicate: org.apache.spark.sql.Column,
+                     maxPositionsPerFile: Long = 4000000L): Long = {
     import org.apache.spark.sql.functions.{coalesce, col, expr, lit}
+    require(maxPositionsPerFile > 0,
+      s"maxPositionsPerFile must be > 0, got $maxPositionsPerFile")
     val vs = versions(spark, base)
     require(vs.nonEmpty, s"no snapshots under $base")
     val next = vs.last + 1
@@ -1581,27 +1696,42 @@ object Snapshots {
     val bounds = boundsOf(read(spark, base), predicate)
     val cand = data.filter(mayMatchBounds(_, bounds))
     if (cand.isEmpty) return vs.last
+    // ONE position-discovery scan: the checkpoint feeds both the
+    // emptiness/shard decision and the write (the former isEmpty + write
+    // pair read every candidate file twice)
     val positions = spark.read.schema(read(spark, base).schema)
       .parquet(cand.map(e => s"$base/${e.path}"): _*)
       .withColumn("file", expr("substring_index(_metadata.file_path, '/', -2)"))
       .withColumn("pos", col("_metadata.row_index"))
       .filter(coalesce(predicate, lit(false)))
       .select(col("file"), col("pos"))
-    if (positions.isEmpty) return vs.last
+      .localCheckpoint()
+    val nPos = positions.count()
+    if (nPos == 0) return vs.last
+    // wide predicates shard their delete file like [[deleteByKey]]: one
+    // D: line per shard, written in parallel; readers union all pending
+    // positional files into ONE anti-join either way (see applyDeletes)
+    val shards = math.min((nPos - 1) / maxPositionsPerFile + 1, 1024L).toInt
     val vDir = branchDir(None, next)
-    val delName = s"del-${java.util.UUID.randomUUID().toString.take(12)}.parquet"
+    val delStem = s"del-${java.util.UUID.randomUUID().toString.take(12)}"
+    val delNames = (0 until shards).map(i => s"$delStem-$i.parquet")
     commitStaged(spark, base, next,
-      inherited = priorLines :+ s"D:$vDir/$delName",
+      inherited = priorLines ++ delNames.map(nm => s"D:$vDir/$nm"),
       writeData = dir => {
         val stage = new Path(s"$dir/_delstage")
-        positions.coalesce(1).write.parquet(stage.toString)
+        (if (shards == 1) positions.coalesce(1)
+         else positions.repartition(shards)).write.parquet(stage.toString)
         val f = fs(spark, base)
-        val part = f.listStatus(stage).toSeq
-          .find(_.getPath.getName.startsWith("part-"))
-          .getOrElse(throw new IllegalStateException(
-            s"no part file in staged delete write under $stage"))
-        require(f.rename(part.getPath, new Path(dir, delName)),
-          s"staging rename of $delName failed")
+        val parts = f.listStatus(stage).toSeq
+          .filter(_.getPath.getName.startsWith("part-"))
+          .sortBy(_.getPath.getName)
+        require(parts.size == shards,
+          s"staged delete shard accounting: expected $shards part files, " +
+            s"found ${parts.size} under $stage")
+        parts.zip(delNames).foreach { case (st, nm) =>
+          require(f.rename(st.getPath, new Path(dir, nm)),
+            s"staging rename of $nm failed")
+        }
         f.delete(stage, true)
       })
   }
@@ -2372,14 +2502,16 @@ object Snapshots {
       }
     }.toOption.flatten.getOrElse(return fullScan())
     val bounds = predicateBounds(cond)
+    val eqSets = eqSetsOf(cond)
     // per-entry column lookup: manifest stats key first, then the file's
     // multi-column sidecar (lazy, memoized — see entryStatsLookup);
-    // bloom sidecars answer the predicate's equality points (a
-    // bloom-excluded file provably contributes 0)
-    val statsOf = entryStatsLookup(spark, base, data, bounds.keySet)
-    val bloomAdmits = bloomPruner(spark, base, eqPointsOf(bounds))
+    // equality/IN sets prune by per-value bounds containment and bloom
+    // probes (an excluded file provably contributes 0)
+    val statsOf = entryStatsLookup(spark, base, data,
+      bounds.keySet ++ eqSets.map(_._1))
+    val eqAdmits = eqSetPruner(spark, base, eqSets, statsOf)
     val candidates = data.filter(e =>
-      mayMatchBoundsMulti(statsOf(e), bounds) && bloomAdmits(e))
+      mayMatchBoundsMulti(statsOf(e), bounds) && eqAdmits(e))
     val (proven, boundary) = candidates.partition(e =>
       e.rows.isDefined && provenByStats(statsOf(e), cond))
     val metaPart = proven.flatMap(_.rows).sum

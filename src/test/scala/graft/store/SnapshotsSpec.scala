@@ -1583,6 +1583,77 @@ class SnapshotsSpec extends AnyFunSuite {
     assert(Snapshots.scanWhere(spark, base, col("id") === 42L)
       .select("part").head.getString(0) == "p0")
   }
+
+  test("IN-list predicates prune by per-value bounds and bloom probes") {
+    val base = java.nio.file.Files.createTempDirectory("graft-inlist").toString + "/t"
+    Snapshots.write((1L to 400L).map(i => (i, s"g${i % 4}")).toDF("id", "g")
+      .repartitionByRange(8, col("id")), base, statsKey = Some("id"))
+    // bounds path: every IN value lives in the low range → high files prune
+    val (cand, pruned) = Snapshots.scanPlan(spark, base,
+      col("id").isin(3L, 7L, 11L))
+    assert(pruned.nonEmpty, "IN values confined to one range must prune files")
+    assert(Snapshots.countWhere(spark, base, col("id").isin(3L, 7L, 11L)) == 3L)
+    val got = Snapshots.scanWhere(spark, base, col("id").isin(3L, 7L, 11L))
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(got == Set(3L, 7L, 11L))
+    // a large IN list survives the optimizer's InSet conversion too
+    val big = (1L to 20L).map(java.lang.Long.valueOf)
+    assert(Snapshots.countWhere(spark, base,
+      col("id").isin(big: _*)) == 20L)
+    val (_, prunedBig) = Snapshots.scanPlan(spark, base, col("id").isin(big: _*))
+    assert(prunedBig.nonEmpty, "InSet must prune like In")
+    // bloom path: add blooms, probe an IN list with one present value —
+    // files not holding any of the values must drop even where bounds admit
+    Snapshots.writeBloomSidecars(spark, base, "id", expectedItems = 1000L)
+    assert(Snapshots.countWhere(spark, base, col("id").isin(3L, 999999L)) == 1L)
+  }
+
+  test("multi-column bloom sidecars: sections coexist and prune independently") {
+    val base = java.nio.file.Files.createTempDirectory("graft-bloom2").toString + "/t"
+    // interleaved on BOTH columns so min/max bounds never prune
+    val df = (1L to 300L).map(i => (i, s"u${(i * 7) % 300}", s"p${i % 3}"))
+      .toDF("id", "user", "part")
+    Snapshots.write(df.repartition(3), base) // round-robin: ids interleave
+    val total = Snapshots.manifestFiles(spark, base, 1L).size
+    assert(total == 3)
+    assert(Snapshots.writeBloomSidecars(spark, base, "id",
+      expectedItems = 1000L) == total)
+    // second column: builds its own sections without destroying the first
+    assert(Snapshots.writeBloomSidecars(spark, base, "user",
+      expectedItems = 1000L) == total)
+    // idempotent per column
+    assert(Snapshots.writeBloomSidecars(spark, base, "id",
+      expectedItems = 1000L) == 0)
+    val (cId, _) = Snapshots.scanPlan(spark, base, col("id") === 42L)
+    assert(cId.size < total, "id bloom must still prune after the user build")
+    val (cU, _) = Snapshots.scanPlan(spark, base, col("user") === "u7")
+    assert(cU.size < total, "user bloom must prune too")
+    // both lookups stay exact
+    assert(Snapshots.pointLookup(spark, base, "id", 42L).count() == 1L)
+    assert(Snapshots.pointLookup(spark, base, "user", "u7").count() == 1L)
+    assert(Snapshots.pointLookup(spark, base, "user", "nope").count() == 0L)
+  }
+
+  test("deleteWhereMoR shards wide positional deletes into multiple files") {
+    val base = java.nio.file.Files.createTempDirectory("graft-morshard").toString + "/t"
+    Snapshots.write((1L to 300L).map(i => (i, s"v$i")).toDF("id", "s")
+      .repartition(3), base)
+    // 150 matching positions at 60 per file → 3 D: shard lines
+    val v = Snapshots.deleteWhereMoR(spark, base, col("id") % 2 === 0,
+      maxPositionsPerFile = 60L)
+    val dLines = Snapshots.manifestLines(spark, base, v)
+      .filter(_.startsWith("D:"))
+    assert(dLines.size == 3, s"expected 3 D: lines, got:\n${dLines.mkString("\n")}")
+    val expected = (1L to 300L by 2L).toSet
+    assert(Snapshots.read(spark, base).select("id")
+      .collect().map(_.getLong(0)).toSet == expected)
+    // shards union into ONE positional anti-join on the read side
+    val plan = Snapshots.read(spark, base).queryExecution.executedPlan.toString
+    assert("LeftAnti".r.findAllIn(plan).size == 1, plan)
+    Snapshots.materializeDeletes(spark, base)
+    assert(Snapshots.read(spark, base).select("id")
+      .collect().map(_.getLong(0)).toSet == expected)
+  }
 }
 
 /**
