@@ -1354,6 +1354,42 @@ private[graft] object StoreQueries {
              |FROM documents WHERE source = 'src3'
              |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // IN-list file pruning (round-14): `key IN (…)` is the other commonest
+    // 100 TB filter shape — the conjunctive bounds map cannot express a
+    // disjunction, so the planner prunes per VALUE: a file survives only
+    // if some IN value sits inside its [min,max] (and its bloom, when one
+    // exists, admits a surviving value). The fixture range-clusters orders
+    // by key and probes a 3-value IN confined to one end plus a countWhere
+    // over a wider mixed list; both must match the oracle's plain filters
+    // while provably skipping files (pruned_some pins it; the records-read
+    // proof lives in SnapshotsSpec).
+    "snap_in_prune" -> Q(
+      (s, d) => {
+        import graft.store.Snapshots
+        val root = FixtureRoot.fresh("snapin")
+        val base = root + "/t"
+        val orders = T(s, d, "orders")
+          .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+        Snapshots.write(orders.repartitionByRange(8, col("o_orderkey")),
+          base, statsKey = Some("o_orderkey"))
+        val inPred = col("o_orderkey").isin(7L, 32L, 69L)
+        val (cand, pruned) = Snapshots.scanPlan(s, base, inPred)
+        val nWide = Snapshots.countWhere(s, base,
+          col("o_orderkey").isin((1L to 40L).map(java.lang.Long.valueOf): _*))
+        Snapshots.scanWhere(s, base, inPred)
+          .select(col("o_orderkey"), col("o_orderstatus"),
+            col("o_totalprice").cast("double").as("price"))
+          .withColumn("pruned_some", lit(pruned.nonEmpty && cand.nonEmpty))
+          .withColumn("n_wide_in", lit(nWide))
+          .orderBy(col("o_orderkey"))
+      },
+      Some("""SELECT o_orderkey, o_orderstatus,
+             |  CAST(o_totalprice AS DOUBLE) AS price, TRUE AS pruned_some,
+             |  (SELECT count(*) FROM orders
+             |     WHERE o_orderkey BETWEEN 1 AND 40) AS n_wide_in
+             |FROM orders WHERE o_orderkey IN (7, 32, 69)
+             |ORDER BY o_orderkey""".stripMargin)),
+
     // Streaming MV end-to-end (round-14): the exactly-once
     // stream→source→view chain as an oracle key — MatView.ingestAndRefresh
     // under the at-least-once hazards a real stream delivers. Batch 1
