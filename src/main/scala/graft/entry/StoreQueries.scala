@@ -1390,6 +1390,47 @@ private[graft] object StoreQueries {
              |FROM orders WHERE o_orderkey IN (7, 32, 69)
              |ORDER BY o_orderkey""".stripMargin)),
 
+    // Timestamp-bounds file pruning (round-14): event-time range scans are
+    // THE canonical 100 TB filter — the fixture time-clusters events and
+    // records timestamp stats in the manifest. The canon is Catalyst's
+    // internal value space (epoch MICROS — what a predicate Literal
+    // stringifies to), never the session-TZ rendering, so bounds and
+    // literals compare in one number space. A two-day head scan must
+    // provably skip files (pruned_some) and a mid-month countWhere must
+    // stay exact; both replay against the oracle's plain filters.
+    "snap_ts_prune" -> Q(
+      (s, d) => {
+        import graft.store.Snapshots
+        val root = FixtureRoot.fresh("snaptsp")
+        val base = root + "/t"
+        val ev = TestData.events(s, d)
+          .select(col("event_id"), col("ts"), col("event_type"), col("value"))
+        Snapshots.write(ev.repartitionByRange(8, col("ts")), base,
+          statsKey = Some("ts"))
+        val pred =
+          col("ts") < lit(java.sql.Timestamp.valueOf("2024-01-03 00:00:00"))
+        val (cand, pruned) = Snapshots.scanPlan(s, base, pred)
+        val nWin = Snapshots.countWhere(s, base,
+          col("ts") >= lit(java.sql.Timestamp.valueOf("2024-01-10 00:00:00")) &&
+            col("ts") < lit(java.sql.Timestamp.valueOf("2024-01-12 00:00:00")))
+        Snapshots.scanWhere(s, base, pred)
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"), dsum(col("value")).as("total_value"))
+          .withColumn("pruned_some", lit(pruned.nonEmpty && cand.nonEmpty))
+          .withColumn("n_window", lit(nWin))
+          .orderBy(col("event_type"))
+      },
+      Some("""SELECT event_type, count(*) AS n,
+             |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+             |  TRUE AS pruned_some,
+             |  (SELECT count(*) FROM events
+             |     WHERE CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-10 00:00:00'
+             |       AND CAST(ts AS TIMESTAMP) <  TIMESTAMP '2024-01-12 00:00:00')
+             |    AS n_window
+             |FROM events
+             |WHERE CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-03 00:00:00'
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // Streaming MV end-to-end (round-14): the exactly-once
     // stream→source→view chain as an oracle key — MatView.ingestAndRefresh
     // under the at-least-once hazards a real stream delivers. Batch 1

@@ -210,7 +210,30 @@ object Snapshots {
       case DoubleType | FloatType => "D"
       case _: DecimalType => "D"
       case StringType => "S"
+      // timestamps/dates canonicalize to their CATALYST-internal numbers
+      // (epoch micros / epoch days — see statExtract), which is exactly
+      // what a predicate Literal's value stringifies to, so bounds and
+      // literals compare in one number space with no rendering/TZ drift
+      case TimestampType | DateType => "L"
       case _ => ""
+    }
+  }
+
+  /** Stats/bloom canonicalization of a column: the string whose [[statLeq]]
+    * order matches the column's value order AND whose form equals a
+    * predicate Literal's `value.toString` for that type. Plain cast for
+    * numerics/strings; epoch micros for timestamps; epoch days for dates
+    * (a rendered timestamp would compare in session-TZ string space while
+    * the literal compares in micros — unsound both ways). */
+  private def statExtract(c: org.apache.spark.sql.Column,
+                          dt: org.apache.spark.sql.types.DataType)
+      : org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.{datediff, lit, unix_micros}
+    import org.apache.spark.sql.types._
+    dt match {
+      case TimestampType => unix_micros(c).cast("string")
+      case DateType => datediff(c, lit("1970-01-01")).cast("string")
+      case _ => c.cast("string")
     }
   }
 
@@ -221,10 +244,14 @@ object Snapshots {
     import org.apache.spark.sql.functions.{col, count, input_file_name, max, min, when}
     val df = spark.read.parquet(txn)
     if (!df.columns.contains(key)) return ("", Map.empty)
-    val tag = statTag(df.schema(key).dataType)
+    val dt = df.schema(key).dataType
+    val tag = statTag(dt)
     if (tag.isEmpty) return ("", Map.empty)
+    // min/max fold on the VALUE, canonicalize after (statExtract on the
+    // aggregate) — extracting first would make the fold lexicographic
     val rows = df.groupBy(input_file_name().as("__f"))
-      .agg(min(col(key)).cast("string").as("mn"), max(col(key)).cast("string").as("mx"),
+      .agg(statExtract(min(col(key)), dt).as("mn"),
+        statExtract(max(col(key)), dt).as("mx"),
         count(when(col(key).isNull, 1)).as("nnull"))
       .collect()
     // manifest lines are read back via getLines + per-line trim, so a stats
@@ -998,9 +1025,15 @@ object Snapshots {
         loadBlooms(spark, base, rel).contains(key))
     if (missing.isEmpty) return 0
     val bloomOf = udaf(new BloomAgg(expectedItems, fpp))
+    val keyType = read(spark, base, Some(v)).schema
+      .find(_.name == key).map(_.dataType)
+      .getOrElse(org.apache.spark.sql.types.StringType)
     val it = spark.read.option("mergeSchema", true)
       .parquet(missing.map(rel => s"$base/$rel"): _*)
-      .select(input_file_name().as("__f"), col(key).cast("string").as("__k"))
+      // statExtract canon: the probe side stringifies the predicate
+      // Literal's CATALYST value (micros for timestamps, days for dates)
+      .select(input_file_name().as("__f"),
+        statExtract(col(key), keyType).as("__k"))
       .groupBy(col("__f")).agg(bloomOf(col("__k")).as("__b"))
       .toLocalIterator()
     var written = 0
@@ -2333,8 +2366,8 @@ object Snapshots {
       statTag(schema(c).dataType).nonEmpty)
     if (usable.isEmpty) return 0
     val aggs = usable.flatMap(c => Seq(
-      min(col(c)).cast("string").as(s"__mn_$c"),
-      max(col(c)).cast("string").as(s"__mx_$c"),
+      statExtract(min(col(c)), schema(c).dataType).as(s"__mn_$c"),
+      statExtract(max(col(c)), schema(c).dataType).as(s"__mx_$c"),
       count(when(col(c).isNull, 1)).as(s"__nn_$c")))
     val it = spark.read.schema(schema)
       .parquet(missing.map(rel => s"$base/$rel"): _*)

@@ -1,6 +1,6 @@
 package graft.store
 
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, lit}
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.TestSpark
@@ -1632,6 +1632,43 @@ class SnapshotsSpec extends AnyFunSuite {
     assert(Snapshots.pointLookup(spark, base, "id", 42L).count() == 1L)
     assert(Snapshots.pointLookup(spark, base, "user", "u7").count() == 1L)
     assert(Snapshots.pointLookup(spark, base, "user", "nope").count() == 0L)
+  }
+
+  test("timestamp and date stats prune range scans in the Catalyst value space") {
+    val base = java.nio.file.Files.createTempDirectory("graft-tsprune").toString + "/t"
+    // one row per hour across ~42 days, time-clustered into 8 files
+    val df = spark.range(0, 1000)
+      .selectExpr("id",
+        "timestamp_micros(CAST(1704067200000000 + id * 3600000000 AS LONG)) AS ts",
+        "to_date(timestamp_micros(CAST(1704067200000000 + id * 3600000000 AS LONG))) AS d")
+    Snapshots.write(df.repartitionByRange(8, col("ts")), base,
+      statsKey = Some("ts"))
+    // manifest stats must be epoch-MICROS strings (the Literal value
+    // space), not a rendered timestamp that would compare lexically in
+    // session-TZ space
+    val st = Snapshots.manifestLines(spark, base, 1L)
+      .filter(l => l.split('\t').length >= 5)
+    assert(st.nonEmpty && st.forall(_.split('\t')(2) == "L"), st.mkString("\n"))
+    assert(st.forall(_.split('\t')(3).forall(c => c.isDigit || c == '-')),
+      "timestamp bounds must be numeric micros:\n" + st.mkString("\n"))
+    val cut = java.sql.Timestamp.valueOf("2024-01-03 00:00:00")
+    val (cand, pruned) = Snapshots.scanPlan(spark, base, col("ts") < lit(cut))
+    assert(pruned.nonEmpty && cand.nonEmpty,
+      s"time-clustered files must prune on a ts range: cand=${cand.size}")
+    assert(Snapshots.countWhere(spark, base, col("ts") < lit(cut)) == 48L)
+    assert(Snapshots.scanWhere(spark, base, col("ts") < lit(cut)).count() == 48L)
+    // date column through stats SIDECARS (epoch-days canon) prunes too
+    Snapshots.writeStatsSidecars(spark, base, Seq("d"))
+    val dCut = java.sql.Date.valueOf("2024-01-02")
+    assert(Snapshots.countWhere(spark, base, col("d") < lit(dCut)) == 24L)
+    val (cd, pd) = Snapshots.scanPlan(spark, base, col("d") < lit(dCut))
+    assert(pd.nonEmpty && cd.nonEmpty, "date sidecar bounds must prune")
+    // bloom canon agrees: a timestamp point probe builds and probes in micros
+    Snapshots.writeBloomSidecars(spark, base, "ts", expectedItems = 2000L)
+    val point = java.sql.Timestamp.valueOf("2024-01-05 07:00:00")
+    assert(Snapshots.pointLookup(spark, base, "ts", point).count() == 1L)
+    assert(Snapshots.pointLookup(spark, base, "ts",
+      java.sql.Timestamp.valueOf("2030-01-01 00:00:00")).count() == 0L)
   }
 
   test("deleteWhereMoR shards wide positional deletes into multiple files") {
