@@ -728,17 +728,20 @@ object Snapshots {
     val cond = condOf(read(spark, base, Some(v)), predicate)
     val bounds = cond.map(predicateBounds).getOrElse(Map.empty)
     val eqSets = cond.map(eqSetsOf).getOrElse(Nil)
+    val nullCols = cond.map(mustBeNullOf).getOrElse(Nil)
     // ONE planner composes every per-file pruning evidence source:
     // manifest-key bounds, multi-column stats SIDECARS for bound columns
     // the key doesn't cover (read lazily — same lookup countWhere uses),
-    // per-value bounds containment for equality/IN sets, and BLOOM
-    // sidecars over the surviving values. Every verb that plans through
-    // here gets every prune for free.
+    // per-value bounds containment for equality/IN sets, BLOOM sidecars
+    // over the surviving values, and zero-null-count proofs for IS NULL
+    // conjuncts. Every verb that plans through here gets every prune for
+    // free.
     val statsOf = entryStatsLookup(spark, base, entries,
-      bounds.keySet ++ eqSets.map(_._1))
+      bounds.keySet ++ eqSets.map(_._1) ++ nullCols)
     val eqAdmits = eqSetPruner(spark, base, eqSets, statsOf)
+    val nullAdmits = nullPruner(statsOf, nullCols)
     entries.partition(e =>
-      mayMatchBoundsMulti(statsOf(e), bounds) && eqAdmits(e))
+      mayMatchBoundsMulti(statsOf(e), bounds) && eqAdmits(e) && nullAdmits(e))
   }
 
   /** Per-entry column-stats lookup: the manifest's own key first, then
@@ -846,10 +849,52 @@ object Snapshots {
           val cs = hset.toSeq.map(canon)
           if (cs.exists(_.isEmpty)) Nil else Seq(n -> cs.flatten.sorted)
         }
+      case Or(l, r) =>
+        // `c = a OR c = b` (any disjunction whose BOTH branches pin c):
+        // within a branch the conjuncts intersect, across branches the
+        // sets union — a matching row satisfies some branch, so its c
+        // sits in that branch's set. Columns pinned by only one branch
+        // contribute nothing (the other branch leaves them free).
+        val (lm, rm) = (walk(l).groupBy(_._1), walk(r).groupBy(_._1))
+        (lm.keySet intersect rm.keySet).toSeq.sorted.map { c =>
+          def branchSet(m: Map[String, Seq[(String, Seq[String])]]) =
+            m(c).map(_._2.toSet).reduce(_ intersect _)
+          c -> (branchSet(lm) ++ branchSet(rm)).toSeq.sorted
+        }.filter(_._2.nonEmpty)
       case _ => Nil
     }
     walk(cond)
   }
+
+  /** Columns the predicate forces to be NULL (`c IS NULL` conjuncts,
+    * including inside disjunctions where BOTH branches force it). A file
+    * whose recorded null count for such a column is ZERO provably holds
+    * no match — the `WHERE key IS NULL` audit scan over a fully-populated
+    * 100 TB column prunes everything from metadata. */
+  private def mustBeNullOf(
+      cond: org.apache.spark.sql.catalyst.expressions.Expression): Seq[String] = {
+    import org.apache.spark.sql.catalyst.expressions._
+    def attrName(ex: Expression): Option[String] = ex match {
+      case a: AttributeReference => Some(a.name)
+      case u: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute => Some(u.name)
+      case _ => None
+    }
+    def walk(ex: Expression): Seq[String] = ex match {
+      case And(l, r) => walk(l) ++ walk(r)
+      case IsNull(a) => attrName(a).toSeq
+      case Or(l, r) => walk(l).toSet.intersect(walk(r).toSet).toSeq.sorted
+      case _ => Nil
+    }
+    walk(cond).distinct
+  }
+
+  /** Admission for must-be-null columns: reject a file only when its
+    * stats PROVE zero nulls for one of them. */
+  private def nullPruner(
+      statsOf: ManifestEntry => String => Option[ColStats],
+      mustBeNull: Seq[String]): ManifestEntry => Boolean =
+    if (mustBeNull.isEmpty) _ => true
+    else e => mustBeNull.forall(c => !statsOf(e)(c).exists(_._4.contains(0L)))
 
   /** Load every (column → filter) section of `<rel>.bloom`. Empty map on
     * missing/corrupt files — admits everything (conservative, never a
@@ -2536,15 +2581,18 @@ object Snapshots {
     }.toOption.flatten.getOrElse(return fullScan())
     val bounds = predicateBounds(cond)
     val eqSets = eqSetsOf(cond)
+    val nullCols = mustBeNullOf(cond)
     // per-entry column lookup: manifest stats key first, then the file's
     // multi-column sidecar (lazy, memoized — see entryStatsLookup);
     // equality/IN sets prune by per-value bounds containment and bloom
-    // probes (an excluded file provably contributes 0)
+    // probes, IS NULL conjuncts by zero-null-count proofs (an excluded
+    // file provably contributes 0)
     val statsOf = entryStatsLookup(spark, base, data,
-      bounds.keySet ++ eqSets.map(_._1))
+      bounds.keySet ++ eqSets.map(_._1) ++ nullCols)
     val eqAdmits = eqSetPruner(spark, base, eqSets, statsOf)
+    val nullAdmits = nullPruner(statsOf, nullCols)
     val candidates = data.filter(e =>
-      mayMatchBoundsMulti(statsOf(e), bounds) && eqAdmits(e))
+      mayMatchBoundsMulti(statsOf(e), bounds) && eqAdmits(e) && nullAdmits(e))
     val (proven, boundary) = candidates.partition(e =>
       e.rows.isDefined && provenByStats(statsOf(e), cond))
     val metaPart = proven.flatMap(_.rows).sum

@@ -1634,6 +1634,37 @@ class SnapshotsSpec extends AnyFunSuite {
     assert(Snapshots.pointLookup(spark, base, "user", "nope").count() == 0L)
   }
 
+  test("OR-of-equalities and IS NULL prune from metadata") {
+    val base = java.nio.file.Files.createTempDirectory("graft-ornull").toString + "/t"
+    val df = (1L to 400L).map(i => (i, if (i % 50 == 0) null else s"v$i"))
+      .toDF("id", "s")
+    Snapshots.write(df.repartitionByRange(8, col("id")), base,
+      statsKey = Some("id"))
+    // c = a OR c = b extracts as the {a, b} equality set: only the edge
+    // files can match, the middle six prune
+    val pred = col("id") === 3L || col("id") === 395L
+    val (cand, pruned) = Snapshots.scanPlan(spark, base, pred)
+    assert(pruned.size >= 6 && cand.nonEmpty,
+      s"edge-value OR must prune middle files: cand=${cand.size}")
+    assert(Snapshots.countWhere(spark, base, pred) == 2L)
+    assert(Snapshots.scanWhere(spark, base, pred)
+      .select("id").collect().map(_.getLong(0)).toSet == Set(3L, 395L))
+    // a branch that does not pin the column disables the extraction but
+    // never the answer
+    assert(Snapshots.countWhere(spark, base,
+      col("id") === 3L || col("s") === "v395") == 2L)
+    // IS NULL on the fully-populated key column: every file proves zero
+    // nulls (#n=0 rides the stats), so the scan is pure metadata
+    val reads = recordsReadDuring {
+      assert(Snapshots.countWhere(spark, base, col("id").isNull) == 0L)
+    }
+    assert(reads == 0L, s"IS NULL over a no-null column must not scan, read $reads")
+    assert(Snapshots.scanWhere(spark, base, col("id").isNull).count() == 0L)
+    // on a column WITH nulls (via sidecars) the count stays exact
+    Snapshots.writeStatsSidecars(spark, base, Seq("s"))
+    assert(Snapshots.countWhere(spark, base, col("s").isNull) == 8L)
+  }
+
   test("timestamp and date stats prune range scans in the Catalyst value space") {
     val base = java.nio.file.Files.createTempDirectory("graft-tsprune").toString + "/t"
     // one row per hour across ~42 days, time-clustered into 8 files
