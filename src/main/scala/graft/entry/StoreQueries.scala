@@ -1390,6 +1390,44 @@ private[graft] object StoreQueries {
              |FROM orders WHERE o_orderkey IN (7, 32, 69)
              |ORDER BY o_orderkey""".stripMargin)),
 
+    // Metadata-assisted top-k (round-14): ORDER BY … LIMIT k planned from
+    // per-file bounds — files that cannot beat the k-th value found so
+    // far are never opened, so "top spenders" over a value-clustered
+    // 100 TB table reads one file where TakeOrderedAndProject scans all.
+    // Both directions exercised; the oracle is the plain order-limit
+    // (ties broken by key, NULLs-last matching Spark's default); the
+    // records-read proof lives in SnapshotsSpec.
+    "snap_topk" -> Q(
+      (s, d) => {
+        import graft.store.Snapshots
+        val root = FixtureRoot.fresh("snaptopk")
+        val base = root + "/t"
+        val orders = T(s, d, "orders")
+          .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+        Snapshots.write(orders.repartitionByRange(8, col("o_totalprice")),
+          base, statsKey = Some("o_totalprice"))
+        val hi = Snapshots.topK(s, base, "o_totalprice", 15,
+            tieBreak = Seq("o_orderkey"))
+          .withColumn("dir", lit("hi"))
+        val lo = Snapshots.topK(s, base, "o_totalprice", 15,
+            tieBreak = Seq("o_orderkey"), ascending = true)
+          .withColumn("dir", lit("lo"))
+        hi.unionByName(lo)
+          .select(col("dir"), col("o_orderkey"), col("o_orderstatus"),
+            col("o_totalprice").cast("double").as("price"))
+          .orderBy(col("dir"), col("price"), col("o_orderkey"))
+      },
+      Some("""WITH hi AS (
+             |  SELECT 'hi' AS dir, o_orderkey, o_orderstatus,
+             |         CAST(o_totalprice AS DOUBLE) AS price
+             |  FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 15),
+             |lo AS (
+             |  SELECT 'lo' AS dir, o_orderkey, o_orderstatus,
+             |         CAST(o_totalprice AS DOUBLE) AS price
+             |  FROM orders ORDER BY o_totalprice ASC, o_orderkey LIMIT 15)
+             |SELECT * FROM (SELECT * FROM hi UNION ALL SELECT * FROM lo)
+             |ORDER BY dir, price, o_orderkey""".stripMargin)),
+
     // Timestamp-bounds file pruning (round-14): event-time range scans are
     // THE canonical 100 TB filter — the fixture time-clusters events and
     // records timestamp stats in the manifest. The canon is Catalyst's

@@ -2605,6 +2605,92 @@ object Snapshots {
   }
 
   /**
+   * Metadata-assisted TOP-K: `ORDER BY key DESC/ASC LIMIT k` planned from
+   * per-file bounds — the "latest N events" query that a plain
+   * TakeOrderedAndProject still answers by SCANNING every file of a
+   * 100 TB table. Files are admitted lazily, best bound first: after
+   * reading the current candidate set, any file whose bound (max for
+   * descending, min for ascending) cannot beat-or-tie the k-th value
+   * found so far is provably irrelevant and never opened; on a
+   * range-clustered table this converges in one or two batches reading
+   * one or two files. Exactness: stat-less files are always admitted,
+   * ties admit (the threshold test is ≥, so a tied row in another file
+   * can still displace on the tie-break), a NULL k-th value (fewer than
+   * k non-null keys seen) disables thresholding entirely, and pending
+   * MoR deletes are applied to every candidate read. The result is
+   * identical to `read().orderBy(...).limit(k)` with NULL keys sorted
+   * last (Spark's default), which the oracle key pins. `k` is collected
+   * to the driver to compute the threshold — same bounded-k contract as
+   * the ANN verbs.
+   */
+  def topK(spark: SparkSession, base: String, key: String, k: Int,
+           tieBreak: Seq[String] = Nil, ascending: Boolean = false,
+           version: Option[Long] = None): DataFrame = {
+    import org.apache.spark.sql.functions.{col => c}
+    require(k >= 1, s"k must be >= 1, got $k")
+    val vs = versions(spark, base)
+    require(vs.nonEmpty, s"no snapshots under $base")
+    val v = version.getOrElse(vs.last)
+    require(vs.contains(v), s"version $v not in $vs")
+    val (data, dels) = splitEntries(manifestLines(spark, base, v))
+    val schema = read(spark, base, Some(v)).schema
+    require(schema.fieldNames.contains(key), s"no column '$key' in $base")
+    val dt = schema(key).dataType
+    val order =
+      (if (ascending) c(key).asc else c(key).desc) +: tieBreak.map(c(_).asc)
+    def frameOf(es: Seq[ManifestEntry]) = applyDeletes(spark, base,
+      spark.read.schema(schema).parquet(es.map(e => s"$base/${e.path}"): _*),
+      dels)
+    if (data.isEmpty) return read(spark, base, Some(v)).limit(0)
+    val statsOf = entryStatsLookup(spark, base, data, Set(key))
+    // bound(e): the best key value the file could hold — None = unknown,
+    // always admitted (and never usable as an exclusion threshold)
+    def bound(e: ManifestEntry): Option[(String, String)] =
+      statsOf(e)(key).map { case (tag, mn, mx, _) =>
+        (tag, if (ascending) mn else mx)
+      }
+    // can `b` beat-or-tie the k-th value `kth`? (ties must admit)
+    def beats(tag: String, b: String, kth: String): Boolean =
+      if (ascending) statLeq(tag, b, kth) else statLeq(tag, kth, b)
+    val (statless, statted) = data.partition(e => bound(e).isEmpty)
+    val ranked = statted.sortWith { (a, b) =>
+      val (ta, va) = bound(a).get
+      val (_, vb) = bound(b).get
+      if (ascending) statLt(ta, va, vb) else statLt(ta, vb, va)
+    }
+    var included = statless ++ ranked.take(1)
+    var excluded = ranked.drop(1)
+    var done = excluded.isEmpty
+    while (!done) {
+      // canon of the k-th best value among included rows (ordering runs
+      // on the VALUE; only the threshold is canonicalized)
+      val kthRow = frameOf(included)
+        .orderBy(order: _*)
+        .limit(k)
+        .select(statExtract(c(key), dt).as("__c"))
+        .collect()
+      val kth = if (kthRow.length < k) None
+                else Option(kthRow.last.getString(0))
+      kth match {
+        case None =>
+          // fewer than k rows (or a NULL k-th key): no sound threshold —
+          // admit the next best-bounded file and retry
+          included ++= excluded.take(1)
+          excluded = excluded.drop(1)
+          done = excluded.isEmpty
+        case Some(t) =>
+          val (need, drop) = excluded.partition { e =>
+            val (tag, b) = bound(e).get
+            beats(tag, b, t)
+          }
+          if (need.isEmpty) done = true
+          else { included ++= need; excluded = drop }
+      }
+    }
+    frameOf(included).orderBy(order: _*).limit(k)
+  }
+
+  /**
    * Metadata-only MIN/MAX of the stats key: (key, min, max) folded over
    * the manifest's per-file bounds with the same type-tag comparator the
    * bounds were computed with. Sound only when every data entry carries

@@ -1634,6 +1634,42 @@ class SnapshotsSpec extends AnyFunSuite {
     assert(Snapshots.pointLookup(spark, base, "user", "nope").count() == 0L)
   }
 
+  test("topK reads only the files whose bounds can reach the k-th value") {
+    val base = java.nio.file.Files.createTempDirectory("graft-topk").toString + "/t"
+    val df = (1L to 800L).map(i => (i, s"v$i", (i % 7).toInt)).toDF("id", "s", "grp")
+    Snapshots.write(df.repartitionByRange(8, col("id")), base,
+      statsKey = Some("id"))
+    val expectedDesc = (791L to 800L).toSeq.reverse
+    var got: Seq[Long] = null
+    val reads = recordsReadDuring {
+      got = Snapshots.topK(spark, base, "id", 10)
+        .select("id").collect().map(_.getLong(0)).toSeq
+    }
+    assert(got == expectedDesc)
+    // range-clustered: the top-10 lives in the tail file; the candidate
+    // loop must stop after reading ~1 file (plus its re-read for the
+    // final frame), never the 800-row table
+    assert(reads < 800L, s"topK scanned the table: $reads records")
+    // ascending spelling
+    assert(Snapshots.topK(spark, base, "id", 5, ascending = true)
+      .select("id").collect().map(_.getLong(0)).toSeq == (1L to 5L))
+    // ties: k-th value shared across file boundary must admit both files
+    val base2 = java.nio.file.Files.createTempDirectory("graft-topk2").toString + "/t"
+    val dup = ((2L to 101L).map(i => (i, 1L)) ++ Seq((1L, 9L), (102L, 9L)))
+      .toDF("id", "score")
+    // cluster by id so the two score-9 rows land in DIFFERENT id-range
+    // files (opposite ends)
+    Snapshots.write(dup.repartitionByRange(4, col("id")), base2,
+      statsKey = Some("score"))
+    val top2 = Snapshots.topK(spark, base2, "score", 2, tieBreak = Seq("id"))
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(top2 == Set(1L, 102L))
+    // under a pending MoR delete the deleted top rows must not surface
+    Snapshots.deleteWhereMoR(spark, base, col("id") > 795L)
+    assert(Snapshots.topK(spark, base, "id", 3)
+      .select("id").collect().map(_.getLong(0)).toSeq == Seq(795L, 794L, 793L))
+  }
+
   test("OR-of-equalities and IS NULL prune from metadata") {
     val base = java.nio.file.Files.createTempDirectory("graft-ornull").toString + "/t"
     val df = (1L to 400L).map(i => (i, if (i % 50 == 0) null else s"v$i"))
