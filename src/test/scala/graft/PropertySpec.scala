@@ -306,4 +306,133 @@ class PropertySpec extends AnyFunSuite {
       assert(got == expected, s"pred $p: countWhere=$got filtered=$expected")
     }
   }
+
+  test("property: countWhere equals the filtered count for IN / OR / IS NULL shapes") {
+    import org.apache.spark.sql.functions.col
+    val base = java.nio.file.Files.createTempDirectory("graft-cw-prop2").toString + "/t"
+    val ids = samples(Gen.frequency(
+      9 -> Gen.choose(-300L, 300L).map(Option(_)),
+      1 -> Gen.const(Option.empty[Long])), 1500)
+    val df = ids.zipWithIndex.map { case (id, i) => (id, s"r$i") }.toDF("id", "s")
+    graft.store.Snapshots.write(df.repartition(6), base, statsKey = Some("id"))
+    graft.store.Snapshots.writeBloomSidecars(spark, base, "id",
+      expectedItems = 2000L)
+    val frame = graft.store.Snapshots.read(spark, base)
+    val preds = samples(for {
+      vs <- Gen.nonEmptyListOf(Gen.choose(-350L, 350L)).map(_.take(20))
+      kind <- Gen.choose(0, 3)
+    } yield (kind, vs), 30).map {
+      case (0, vs) => col("id").isin(vs.map(java.lang.Long.valueOf): _*)
+      case (1, vs) => vs.map(v => col("id") === v).reduce(_ || _)
+      case (2, vs) => col("id").isNull || col("id") === vs.head
+      case (_, vs) => col("id").isNull && col("s") =!= s"r${vs.head.abs}"
+    }
+    preds.foreach { p =>
+      val expected = frame.filter(p).count()
+      val got = graft.store.Snapshots.countWhere(spark, base, p)
+      assert(got == expected, s"pred $p: countWhere=$got filtered=$expected")
+    }
+  }
+
+  test("property: statLeq over the stats canon is value order for every tagged type") {
+    // the pruning comparator must agree with the COLUMN's own ordering for
+    // longs, doubles, strings, timestamps (epoch-micros canon), and dates
+    // (epoch-days canon) — a canon/order mismatch is a silent mis-prune
+    import org.apache.spark.sql.functions.{col, expr}
+    val longs = samples(Gen.choose(-1000000L, 1000000L), 300)
+    val pairs = longs.grouped(2).collect { case Seq(a, b) => (a, b) }.toSeq
+    val df = pairs.toDF("a", "b").select(
+      col("a"), col("b"),
+      expr("timestamp_micros(a * 1000000)").as("tsa"),
+      expr("timestamp_micros(b * 1000000)").as("tsb"),
+      expr("date_add(date '2020-01-01', CAST(a % 10000 AS INT))").as("da"),
+      expr("date_add(date '2020-01-01', CAST(b % 10000 AS INT))").as("db"))
+    // canonicalize exactly as the stats writers do (via the snapshot layer:
+    // write one-row files and read the manifest bounds back)
+    val rows = df.collect()
+    rows.take(40).foreach { r =>
+      val base = java.nio.file.Files.createTempDirectory("graft-canon").toString + "/t"
+      val one = Seq((r.getLong(0), r.getTimestamp(2), r.getDate(4)),
+        (r.getLong(1), r.getTimestamp(3), r.getDate(5)))
+        .toDF("l", "ts", "d")
+      graft.store.Snapshots.write(one.repartition(1), base, statsKey = Some("ts"))
+      graft.store.Snapshots.writeStatsSidecars(spark, base, Seq("l", "d"))
+      // min/max read back through the planner must bracket both rows:
+      // countWhere proves it by counting exactly 2 on [min, max] ranges
+      // derived from the raw values
+      val (lLo, lHi) = (math.min(r.getLong(0), r.getLong(1)),
+        math.max(r.getLong(0), r.getLong(1)))
+      assert(graft.store.Snapshots.countWhere(spark, base,
+        col("l") >= lLo && col("l") <= lHi) == 2L)
+      val (tsLo, tsHi) =
+        if (r.getTimestamp(2).before(r.getTimestamp(3)))
+          (r.getTimestamp(2), r.getTimestamp(3))
+        else (r.getTimestamp(3), r.getTimestamp(2))
+      assert(graft.store.Snapshots.countWhere(spark, base,
+        col("ts") >= tsLo && col("ts") <= tsHi) == 2L)
+      // and a point just OUTSIDE the bracket counts zero (pruned or not,
+      // the answer is exact)
+      assert(graft.store.Snapshots.countWhere(spark, base,
+        col("l") > lHi) == 0L)
+      assert(graft.store.Snapshots.countWhere(spark, base,
+        col("ts") > tsHi) == 0L)
+    }
+  }
+
+  test("property: deletion-neighborhood blocking finds exactly the brute-force " +
+       "edit-distance pairs on random short strings") {
+    // the SymSpell theorem the short cohort leans on: ed(s,t) <= k iff the
+    // <=k-deletion neighborhoods intersect — verified end-to-end against a
+    // driver-side Levenshtein over random <=6-char strings (all inside the
+    // short cohort at q=3, k<=2), including empty strings and duplicates
+    val strGen = for {
+      n <- Gen.choose(0, 6)
+      cs <- Gen.listOfN(n, Gen.oneOf('a', 'b', 'c'))
+    } yield cs.mkString
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) => i + j)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val strs = samples(strGen, 120).zipWithIndex.map { case (s, i) => (i.toLong, s) }
+    for (k <- Seq(1, 2)) {
+      val expected = (for {
+        (ia, sa) <- strs; (ib, sb) <- strs if ia < ib
+        d = lev(sa, sb) if d <= k
+      } yield (ia, ib, d)).toSet
+      val got = graft.dedup.Dedup.editDistancePairs(
+          strs.toDF("id", "s"), "id", "s", maxDist = k)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      assert(got == expected,
+        s"k=$k missing=${(expected -- got).take(5)} extra=${(got -- expected).take(5)}")
+    }
+  }
+
+  test("property: topK equals the full order-limit on random layouts") {
+    import org.apache.spark.sql.functions.col
+    val vals = samples(Gen.frequency(
+      8 -> Gen.choose(-1000L, 1000L).map(Option(_)),
+      1 -> Gen.const(Option.empty[Long]),
+      1 -> Gen.const(Option(7L))), 1200) // heavy ties on 7
+    val df = vals.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("id", "v")
+    for ((parts, clustered) <- Seq((5, true), (7, false))) {
+      val base = java.nio.file.Files.createTempDirectory("graft-topk-prop").toString + "/t"
+      val laid = if (clustered) df.repartitionByRange(parts, col("v"))
+                 else df.repartition(parts)
+      graft.store.Snapshots.write(laid, base, statsKey = Some("v"))
+      val frame = graft.store.Snapshots.read(spark, base)
+      for (k <- Seq(1, 13, 200); asc <- Seq(false, true)) {
+        val order = (if (asc) col("v").asc else col("v").desc) :: col("id").asc :: Nil
+        val expected = frame.orderBy(order: _*).limit(k)
+          .select("id").collect().map(_.getLong(0)).toSeq
+        val got = graft.store.Snapshots.topK(spark, base, "v", k,
+            tieBreak = Seq("id"), ascending = asc)
+          .select("id").collect().map(_.getLong(0)).toSeq
+        assert(got == expected,
+          s"parts=$parts clustered=$clustered k=$k asc=$asc: got ${got.take(8)} vs ${expected.take(8)}")
+      }
+    }
+  }
 }
