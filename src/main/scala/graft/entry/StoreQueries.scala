@@ -1390,6 +1390,59 @@ private[graft] object StoreQueries {
              |FROM orders WHERE o_orderkey IN (7, 32, 69)
              |ORDER BY o_orderkey""".stripMargin)),
 
+    // Column RENAME evolution (round-14; the ADD-column path is
+    // snap_schema_evolve): a metadata-only commit — zero data moves, old
+    // files keep their physical name and coalesce into the logical column
+    // at read, new appends carry the new name, time travel sees the
+    // schema AS OF the version, and the pre-rename manifest stats keep
+    // pruning new-name scans through the translation layer.
+    // materializeSchema then rewrites ONLY the stale-shape files (the
+    // post-rename append is inherited by reference) and the read is
+    // bit-identical before and after. The guard matrix (rewrite verbs
+    // refuse while ops pend, name-reuse quarantine) lives in
+    // SnapshotsSpec.
+    "snap_rename_col" -> Q(
+      (s, d) => {
+        import graft.store.Snapshots
+        val root = FixtureRoot.fresh("snapschevo")
+        val base = root + "/t"
+        val docs = T(s, d, "documents")
+          .select(col("doc_id"), col("source"), col("n_chars"))
+        Snapshots.write(
+          docs.filter(col("doc_id") % 2 === 0)
+            .repartitionByRange(4, col("n_chars"), col("doc_id")),
+          base, statsKey = Some("n_chars"))
+        Snapshots.renameColumn(s, base, "n_chars", "chars")
+        Snapshots.append(docs.filter(col("doc_id") % 2 === 1)
+          .withColumnRenamed("n_chars", "chars"), base)
+        val oldNameAtV1 =
+          Snapshots.read(s, base, Some(1L)).columns.contains("n_chars")
+        // pre-rename stats prune a NEW-name range scan (translation)
+        val (cand, pruned) = Snapshots.scanPlan(s, base, col("chars") <= 300L)
+        val nLow = Snapshots.countWhere(s, base, col("chars") <= 300L)
+        val preFiles = Snapshots.manifestFiles(s, base,
+          Snapshots.versions(s, base).last).toSet
+        Snapshots.materializeSchema(s, base, statsKey = Some("chars"))
+        val postFiles = Snapshots.manifestFiles(s, base,
+          Snapshots.versions(s, base).last).toSet
+        val partialRewrite = (preFiles intersect postFiles).nonEmpty &&
+          (preFiles -- postFiles).nonEmpty
+        Snapshots.read(s, base)
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n"), dsum(col("chars")).as("sum_chars"))
+          .withColumn("old_name_at_v1", lit(oldNameAtV1))
+          .withColumn("pruned_some", lit(pruned.nonEmpty && cand.nonEmpty))
+          .withColumn("n_low", lit(nLow))
+          .withColumn("partial_rewrite", lit(partialRewrite))
+          .orderBy(col("source"))
+      },
+      Some("""SELECT source, count(*) AS n,
+             |  CAST(sum(CAST(n_chars AS DECIMAL(18,2))) AS DOUBLE) AS sum_chars,
+             |  TRUE AS old_name_at_v1, TRUE AS pruned_some,
+             |  (SELECT count(*) FROM documents WHERE n_chars <= 300) AS n_low,
+             |  TRUE AS partial_rewrite
+             |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // Metadata-assisted top-k (round-14): ORDER BY … LIMIT k planned from
     // per-file bounds — files that cannot beat the k-th value found so
     // far are never opened, so "top spenders" over a value-clustered

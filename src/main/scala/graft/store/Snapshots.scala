@@ -117,9 +117,85 @@ object Snapshots {
       /** NULL count of the stats key in this file (`#n=` field) —
         * Iceberg's null_value_counts in miniature; what lets
         * [[countWhere]] prove `IS NOT NULL` from metadata. */
-      nulls: Option[Long] = None)
+      nulls: Option[Long] = None,
+      /** true for `R:`/`X:` schema-evolution lines — metadata, never a
+        * file; filtered out of every data/delete partition. */
+      isSchemaOp: Boolean = false)
+
+  /** Schema-evolution manifest ops, applied to reads IN LINE ORDER
+    * (chronological: inherited lines precede the version's own). */
+  private[store] sealed trait SchemaOp
+  private[store] final case class RenameOp(from: String, to: String) extends SchemaOp
+  private[store] final case class DropOp(col: String) extends SchemaOp
+
+  /** The version's schema-evolution ops, in application order. */
+  private def schemaOps(lines: Seq[String]): Seq[SchemaOp] = lines.flatMap {
+    case l if l.startsWith("R:") =>
+      val p = l.drop(2).split('\t')
+      if (p.length == 2) Some(RenameOp(p(0), p(1))) else None
+    case l if l.startsWith("X:") => Some(DropOp(l.drop(2)))
+    case _ => None
+  }
+
+  /** Apply the ops to a frame holding the UNION of physical schemas:
+    * a rename coalesces old-name and new-name columns when files of both
+    * vintages are present (post-rename appends write the new name), or
+    * renames in place when only the old vintage exists; a drop removes
+    * the column. Bookkeeping columns (__-prefixed) always survive. */
+  private def applySchemaOps(frame: DataFrame, ops: Seq[SchemaOp]): DataFrame = {
+    import org.apache.spark.sql.functions.{coalesce, col}
+    ops.foldLeft(frame) {
+      case (f, RenameOp(from, to)) =>
+        if (f.columns.contains(from) && f.columns.contains(to))
+          f.withColumn(to, coalesce(col(to), col(from))).drop(from)
+        else if (f.columns.contains(from)) f.withColumnRenamed(from, to)
+        else f
+      case (f, DropOp(c)) => f.drop(c)
+    }
+  }
+
+  /** Translate a write-time (physical) stats/sidecar column name to its
+    * current logical name; None when a later op dropped it. Lets files
+    * written BEFORE a rename keep pruning scans issued in the new name. */
+  private def physToLogical(ops: Seq[SchemaOp])(k: String): Option[String] = {
+    var cur = k
+    ops.foreach {
+      case RenameOp(p, l) if cur == p => cur = l
+      case DropOp(c) if cur == c => return None
+      case _ => ()
+    }
+    Some(cur)
+  }
+
+  /** Guard for verbs whose file-level rewrites / raw-schema scans are
+    * undefined while schema ops are pending: fail loudly, pointing at
+    * [[materializeSchema]] (the same discipline as the pending-MoR-delete
+    * guard on rewrite verbs). */
+  private def requireNoSchemaOps(lines: Seq[String], verb: String): Unit =
+    require(schemaOps(lines).isEmpty,
+      s"$verb is not defined while schema-evolution ops (rename/drop) are " +
+        "pending - run materializeSchema first (files of mixed physical " +
+        "schemas cannot be rewritten or index-built soundly by name)")
+
+  /** Name-reuse quarantine for the APPEND verbs (see [[renameColumn]]):
+    * an appended frame must not carry a pending op's SOURCE name — the
+    * new physical bytes would be relabeled (rename) or hidden (drop) by
+    * the read-side mapping. */
+  private def requireNoPhysClash(df: DataFrame, inherited: Seq[String]): Unit = {
+    val pendingPhys = schemaOps(inherited).map {
+      case RenameOp(f0, _) => f0
+      case DropOp(c0) => c0
+    }.toSet
+    val clash = df.columns.filter(pendingPhys)
+    require(clash.isEmpty,
+      s"append carries column(s) ${clash.mkString(", ")} that are pending " +
+        "schema-op sources (renamed away or dropped); use the new names, " +
+        "or run materializeSchema before reintroducing the old ones")
+  }
 
   private def parseEntry(line: String): ManifestEntry = {
+    if (line.startsWith("R:") || line.startsWith("X:"))
+      return ManifestEntry(line, line, None, isSchemaOp = true)
     if (line.startsWith("D:"))
       return ManifestEntry(line, line.drop(2), None, isDelete = true)
     if (line.startsWith("E:")) {
@@ -157,9 +233,10 @@ object Snapshots {
     else ManifestEntry(line, parts(0), None, rows = rows, nulls = nulls)
   }
 
-  /** (data entries, positional-delete entries) of a manifest line set. */
+  /** (data entries, positional/equality-delete entries) of a manifest
+    * line set; schema-op lines are metadata and appear in neither. */
   private def splitEntries(lines: Seq[String]): (Seq[ManifestEntry], Seq[ManifestEntry]) =
-    lines.map(parseEntry).partition(!_.isDelete)
+    lines.map(parseEntry).filterNot(_.isSchemaOp).partition(!_.isDelete)
 
   /** Raw manifest lines of version `v` (paths + optional key stats). */
   def manifestLines(spark: SparkSession, base: String, v: Long): Seq[String] = {
@@ -169,9 +246,11 @@ object Snapshots {
     finally in.close()
   }
 
-  /** Base-relative data-file paths of version `v`, in manifest order. */
+  /** Base-relative data-file paths of version `v`, in manifest order
+    * (schema-op metadata lines excluded). */
   def manifestFiles(spark: SparkSession, base: String, v: Long): Seq[String] =
-    manifestLines(spark, base, v).map(l => parseEntry(l).path)
+    manifestLines(spark, base, v).map(parseEntry)
+      .filterNot(_.isSchemaOp).map(_.path)
 
   /** Total order within one stats type tag. Strings compare as UTF-8
     * bytes — Spark's binary string ordering, which disagrees with Java's
@@ -427,6 +506,7 @@ object Snapshots {
     val next = vs.lastOption.getOrElse(0L) + 1
     // inherit full manifest LINES so prior files keep their key stats
     val inherited = vs.lastOption.map(manifestLines(spark, base, _)).getOrElse(Seq.empty)
+    requireNoPhysClash(df, inherited)
     commitStaged(spark, base, next, inherited,
       dir => df.write.mode("append").parquet(dir), statsKey)
   }
@@ -495,6 +575,7 @@ object Snapshots {
         val vs = versions(spark, base)
         val next = vs.lastOption.getOrElse(0L) + 1
         val inherited = vs.lastOption.map(manifestLines(spark, base, _)).getOrElse(Seq.empty)
+        requireNoPhysClash(df, inherited)
         commitStaged(spark, base, next, inherited,
           dir => {
             df.write.mode("append").parquet(dir)
@@ -540,6 +621,7 @@ object Snapshots {
         val bvs = branchVersions(spark, base, name)
         require(bvs.nonEmpty, s"no branch '$name' under $base — createBranch first")
         val inherited = branchManifestLines(spark, base, name, bvs.last)
+        requireNoPhysClash(df, inherited)
         var admitted = true
         val v = commitStaged(spark, base, bvs.last + 1, inherited,
           dir => {
@@ -599,10 +681,36 @@ object Snapshots {
     require(vs.nonEmpty, s"no snapshots under $base")
     val v = version.getOrElse(vs.last)
     require(vs.contains(v), s"version $v not in $vs")
-    val (data, dels) = splitEntries(manifestLines(spark, base, v))
+    val lines = manifestLines(spark, base, v)
+    val (data, dels) = splitEntries(lines)
     val frame = spark.read.option("mergeSchema", true)
       .parquet(data.map(e => s"$base/${e.path}"): _*)
-    applyDeletes(spark, base, frame, dels)
+    // schema ops live in the version's own manifest, so time travel
+    // naturally sees the schema AS OF that version
+    applyDeletes(spark, base, frame, dels,
+      f => applySchemaOps(f, schemaOps(lines)))
+  }
+
+  /** Read a SUBSET of a version's data files with full fidelity: the
+    * union physical schema of the WHOLE version (so a residual predicate
+    * naming a column absent from every subset file still resolves,
+    * null-filled), pending deletes applied, schema ops applied. The
+    * shared read tail of every pruning verb ([[scanWhere]],
+    * [[countWhere]]'s boundary scan, [[topK]]'s candidate loop). */
+  private def readSubset(spark: SparkSession, base: String,
+      lines: Seq[String], subset: Seq[ManifestEntry]): DataFrame = {
+    val (allData, dels) = splitEntries(lines)
+    val ops = schemaOps(lines)
+    if (subset.isEmpty) {
+      val empty = spark.read.option("mergeSchema", true)
+        .parquet(allData.map(e => s"$base/${e.path}"): _*).limit(0)
+      return applySchemaOps(empty, ops)
+    }
+    val rawSchema = spark.read.option("mergeSchema", true)
+      .parquet(allData.map(e => s"$base/${e.path}"): _*).schema
+    val frame = spark.read.schema(rawSchema)
+      .parquet(subset.map(e => s"$base/${e.path}"): _*)
+    applyDeletes(spark, base, frame, dels, f => applySchemaOps(f, ops))
   }
 
   /**
@@ -619,10 +727,11 @@ object Snapshots {
    */
   private def applyDeletes(spark: SparkSession, base: String,
                            frame: DataFrame,
-                           dels: Seq[ManifestEntry]): DataFrame = {
-    if (dels.isEmpty) return frame
+                           dels: Seq[ManifestEntry],
+                           mapOps: DataFrame => DataFrame = identity): DataFrame = {
+    if (dels.isEmpty) return mapOps(frame)
     import org.apache.spark.sql.functions.{broadcast, col, expr, lit}
-    val cols = frame.columns
+    val cols = mapOps(frame).columns
     val (eqs, pos) = dels.partition(_.eqMeta.isDefined)
     // resolve the file-scan metadata ONCE, before any projection hides it
     var out = frame
@@ -633,6 +742,11 @@ object Snapshots {
         .select(col("file").as("__delf"), col("pos").as("__delp"))
       out = out.join(delDf, Seq("__delf", "__delp"), "left_anti")
     }
+    // schema ops apply between the delete phases: positional deletes key
+    // on raw file metadata (above), equality deletes key on LOGICAL
+    // column names (below — rename/drop refuse while deletes are pending,
+    // so every pending E: entry postdates the last schema op)
+    out = mapOps(out)
     // equality deletes: anti-join by KEY VALUE, but only against rows in
     // data files the delete COVERS — the files present when it committed
     // (its eqMeta version's manifest). Later-appended rows with the same
@@ -724,11 +838,14 @@ object Snapshots {
     require(vs.contains(v), s"version $v not in $vs")
     // positional-delete entries are metadata, never scan candidates; the
     // read-side verbs re-apply them over whatever files survive pruning
-    val (entries, _) = splitEntries(manifestLines(spark, base, v))
+    val lines = manifestLines(spark, base, v)
+    val (entries, _) = splitEntries(lines)
+    val ops = schemaOps(lines)
+    val pairs = renamePairs(ops)
     val cond = condOf(read(spark, base, Some(v)), predicate)
-    val bounds = cond.map(predicateBounds).getOrElse(Map.empty)
-    val eqSets = cond.map(eqSetsOf).getOrElse(Nil)
-    val nullCols = cond.map(mustBeNullOf).getOrElse(Nil)
+    val bounds = cond.map(predicateBounds(_, pairs)).getOrElse(Map.empty)
+    val eqSets = cond.map(eqSetsOf(_, pairs)).getOrElse(Nil)
+    val nullCols = cond.map(mustBeNullOf(_, pairs)).getOrElse(Nil)
     // ONE planner composes every per-file pruning evidence source:
     // manifest-key bounds, multi-column stats SIDECARS for bound columns
     // the key doesn't cover (read lazily — same lookup countWhere uses),
@@ -737,8 +854,8 @@ object Snapshots {
     // conjuncts. Every verb that plans through here gets every prune for
     // free.
     val statsOf = entryStatsLookup(spark, base, entries,
-      bounds.keySet ++ eqSets.map(_._1) ++ nullCols)
-    val eqAdmits = eqSetPruner(spark, base, eqSets, statsOf)
+      bounds.keySet ++ eqSets.map(_._1) ++ nullCols, ops)
+    val eqAdmits = eqSetPruner(spark, base, eqSets, statsOf, ops)
     val nullAdmits = nullPruner(statsOf, nullCols)
     entries.partition(e =>
       mayMatchBoundsMulti(statsOf(e), bounds) && eqAdmits(e) && nullAdmits(e))
@@ -747,21 +864,31 @@ object Snapshots {
   /** Per-entry column-stats lookup: the manifest's own key first, then
     * the file's [[writeStatsSidecars]] sidecar — sidecars are read
     * LAZILY (memoized per file) and only when some bound column isn't
-    * covered by the manifest key of every entry. */
+    * covered by the manifest key of every entry. Stats/sidecar keys are
+    * write-time (physical) names; `ops` translates them to the current
+    * logical name, so files written before a rename keep pruning scans
+    * issued in the new name. */
   private def entryStatsLookup(spark: SparkSession, base: String,
-      entries: Seq[ManifestEntry], boundCols: Set[String])
+      entries: Seq[ManifestEntry], boundCols: Set[String],
+      ops: Seq[SchemaOp] = Nil)
       : ManifestEntry => String => Option[ColStats] = {
+    val toLogical = physToLogical(ops) _
     val needsSidecar = boundCols.exists(c =>
-      entries.exists(e => !e.stats.exists(_._1 == c)))
+      entries.exists(e => !e.stats.exists(s => toLogical(s._1).contains(c))))
     val sidecarOf: String => Map[String, ColStats] =
       if (!needsSidecar) _ => Map.empty
       else {
         val cache = scala.collection.mutable.Map.empty[String, Map[String, ColStats]]
-        rel => cache.getOrElseUpdate(rel, sidecarColStats(spark, base, rel))
+        rel => cache.getOrElseUpdate(rel,
+          sidecarColStats(spark, base, rel).flatMap { case (k, v) =>
+            toLogical(k).map(_ -> v)
+          })
       }
     e => c =>
-      e.stats.collect { case (k, tag, mn, mx) if k == c => (tag, mn, mx, e.nulls) }
-        .orElse(sidecarOf(e.path).get(c))
+      e.stats.collect {
+        case (k, tag, mn, mx) if toLogical(k).contains(c) =>
+          (tag, mn, mx, e.nulls)
+      }.orElse(sidecarOf(e.path).get(c))
   }
 
   /**
@@ -789,20 +916,12 @@ object Snapshots {
     val (candidates, _) = scanPlan(spark, base, predicate, version)
     val vs = versions(spark, base)
     val v = version.getOrElse(vs.last)
-    val (_, dels) = splitEntries(manifestLines(spark, base, v))
-    val frame =
-      if (candidates.isEmpty) read(spark, base, version).limit(0)
-      else
-        // Read with the FULL snapshot schema, not mergeSchema over the
-        // surviving files: under schema evolution the predicate may name a
-        // column physically absent from every candidate file, and a
-        // merged-candidates-only schema would fail to resolve the residual
-        // filter (AnalysisException) where the documented-equivalent
-        // read().filter(predicate) null-fills the column and succeeds.
-        applyDeletes(spark, base,
-          spark.read.schema(read(spark, base, version).schema)
-            .parquet(candidates.map(e => s"$base/${e.path}"): _*), dels)
-    frame.filter(predicate)
+    // readSubset reads with the version's UNION physical schema (a
+    // residual predicate naming a column absent from every candidate
+    // file still resolves, null-filled — the read().filter equivalence)
+    // and applies pending deletes + schema ops
+    readSubset(spark, base, manifestLines(spark, base, v), candidates)
+      .filter(predicate)
   }
 
   // ─── Per-file bloom sidecars: point-lookup pruning beyond min/max ───────
@@ -822,14 +941,11 @@ object Snapshots {
    * express — per-value min/max containment for IN lists and bloom
    * probes — inside the unified planner.
    */
-  private def eqSetsOf(cond: org.apache.spark.sql.catalyst.expressions.Expression)
+  private def eqSetsOf(cond: org.apache.spark.sql.catalyst.expressions.Expression,
+      opsPairs: Set[(String, String)] = Set.empty)
       : Seq[(String, Seq[String])] = {
     import org.apache.spark.sql.catalyst.expressions._
-    def attrName(ex: Expression): Option[String] = ex match {
-      case a: AttributeReference => Some(a.name)
-      case u: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute => Some(u.name)
-      case _ => None
-    }
+    val attrName = mappedAttrName(opsPairs) _
     def canon(v: Any): Option[String] =
       Option(v).map(_.toString).filterNot(_.exists(c => c == '\t' || c == '\n'))
     def walk(ex: Expression): Seq[(String, Seq[String])] = ex match {
@@ -872,13 +988,10 @@ object Snapshots {
     * no match — the `WHERE key IS NULL` audit scan over a fully-populated
     * 100 TB column prunes everything from metadata. */
   private def mustBeNullOf(
-      cond: org.apache.spark.sql.catalyst.expressions.Expression): Seq[String] = {
+      cond: org.apache.spark.sql.catalyst.expressions.Expression,
+      opsPairs: Set[(String, String)] = Set.empty): Seq[String] = {
     import org.apache.spark.sql.catalyst.expressions._
-    def attrName(ex: Expression): Option[String] = ex match {
-      case a: AttributeReference => Some(a.name)
-      case u: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute => Some(u.name)
-      case _ => None
-    }
+    val attrName = mappedAttrName(opsPairs) _
     def walk(ex: Expression): Seq[String] = ex match {
       case And(l, r) => walk(l) ++ walk(r)
       case IsNull(a) => attrName(a).toSeq
@@ -967,14 +1080,21 @@ object Snapshots {
    */
   private def eqSetPruner(spark: SparkSession, base: String,
       eqSets: Seq[(String, Seq[String])],
-      statsOf: ManifestEntry => String => Option[ColStats])
+      statsOf: ManifestEntry => String => Option[ColStats],
+      ops: Seq[SchemaOp] = Nil)
       : ManifestEntry => Boolean =
     if (eqSets.isEmpty) _ => true
     else {
+      val toLogical = physToLogical(ops) _
       val cache = scala.collection.mutable.Map
         .empty[String, Map[String, org.apache.spark.util.sketch.BloomFilter]]
       e => {
-        lazy val blooms = cache.getOrElseUpdate(e.path, loadBlooms(spark, base, e.path))
+        // bloom sections carry write-time (physical) column names —
+        // translate so pre-rename blooms still answer new-name probes
+        lazy val blooms = cache.getOrElseUpdate(e.path,
+          loadBlooms(spark, base, e.path).flatMap { case (k, bf) =>
+            toLogical(k).map(_ -> bf)
+          })
         eqSets.forall { case (c, values) =>
           val inBounds = statsOf(e)(c) match {
             case Some((tag, mn, mx, _)) =>
@@ -1061,6 +1181,10 @@ object Snapshots {
     require(vs.nonEmpty, s"no snapshots under $base")
     val v = version.getOrElse(vs.last)
     require(vs.contains(v), s"version $v not in $vs")
+    // building a bloom over a RENAMED column via mergeSchema would read
+    // NULLs from old-vintage files and record a filter that excludes
+    // every real value — a silent mis-prune; refuse instead
+    requireNoSchemaOps(manifestLines(spark, base, v), "writeBloomSidecars")
     // a sidecar holds one SECTION per indexed column — "missing" means
     // the file has no section for THIS column yet, so a table can carry
     // blooms on several point-lookup keys (id + request_id + user_id)
@@ -1162,8 +1286,12 @@ object Snapshots {
         s"version $v of $base adds a merge-on-read DELETE - not a pure " +
           "append; run materializeDeletes (or use cdcDiff) before " +
           "incremental reads")
+      require(!newLines.exists(l => l.startsWith("R:") || l.startsWith("X:")),
+        s"version $v of $base changes the SCHEMA (rename/drop) - rows " +
+          "appended before and after the change are not union-compatible " +
+          "by name; run materializeSchema, or read full snapshots")
       prevLines = lines.toSet
-      newLines.map(l => parseEntry(l).path)
+      newLines.map(parseEntry).filterNot(_.isSchemaOp).map(_.path)
     }
     if (added.isEmpty) read(spark, base).limit(0)
     else spark.read.option("mergeSchema", true)
@@ -1312,8 +1440,9 @@ object Snapshots {
     val spark = df.sparkSession
     val bvs = branchVersions(spark, base, name)
     require(bvs.nonEmpty, s"no branch '$name' under $base — createBranch first")
-    commitStaged(spark, base, bvs.last + 1,
-      branchManifestLines(spark, base, name, bvs.last),
+    val inherited = branchManifestLines(spark, base, name, bvs.last)
+    requireNoPhysClash(df, inherited)
+    commitStaged(spark, base, bvs.last + 1, inherited,
       dir => df.write.mode("append").parquet(dir), statsKey,
       branch = Some(name))
   }
@@ -1325,10 +1454,12 @@ object Snapshots {
     require(bvs.nonEmpty, s"no branch '$name' under $base")
     val v = version.getOrElse(bvs.last)
     require(bvs.contains(v), s"branch version $v not in $bvs")
-    val (data, dels) = splitEntries(branchManifestLines(spark, base, name, v))
+    val lines = branchManifestLines(spark, base, name, v)
+    val (data, dels) = splitEntries(lines)
     applyDeletes(spark, base,
       spark.read.option("mergeSchema", true)
-        .parquet(data.map(e => s"$base/${e.path}"): _*), dels)
+        .parquet(data.map(e => s"$base/${e.path}"): _*), dels,
+      f => applySchemaOps(f, schemaOps(lines)))
   }
 
   /** Fast-forward main to the branch head (Iceberg's publish): commit a
@@ -1470,8 +1601,9 @@ object Snapshots {
     import org.apache.spark.sql.functions.{col, input_file_name, max, min}
     val vs = versions(spark, base)
     val next = vs.lastOption.getOrElse(0L) + 1
-    val prior = vs.lastOption.map(manifestLines(spark, base, _)).getOrElse(Seq.empty)
-      .map(parseEntry)
+    val priorLines0 = vs.lastOption.map(manifestLines(spark, base, _)).getOrElse(Seq.empty)
+    requireNoSchemaOps(priorLines0, "mergeInto")
+    val prior = priorLines0.map(parseEntry)
     require(!prior.exists(_.isDelete),
       s"pending merge-on-read deletes on $base - run materializeDeletes " +
         "first (a file-level rewrite would resurrect MoR-deleted rows)")
@@ -1552,16 +1684,13 @@ object Snapshots {
    * at prune time. The caller passes the OPTIMIZED expression so literal
    * casts (`id < 50` int-vs-long) are already constant-folded.
    */
-  private def predicateBounds(pred: org.apache.spark.sql.catalyst.expressions.Expression)
+  private def predicateBounds(pred: org.apache.spark.sql.catalyst.expressions.Expression,
+      opsPairs: Set[(String, String)] = Set.empty)
       : Map[String, (Seq[String], Seq[String])] = {
     import org.apache.spark.sql.catalyst.expressions._
     def litStr(l: Literal): Option[String] =
       Option(l.value).map(_.toString).filterNot(_.exists(c => c == '\t' || c == '\n'))
-    def attrName(e: Expression): Option[String] = e match {
-      case a: AttributeReference => Some(a.name)
-      case u: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute => Some(u.name)
-      case _ => None
-    }
+    val attrName = mappedAttrName(opsPairs) _
     def one(name: String, l: Literal, lower: Boolean, upper: Boolean) =
       litStr(l).map(v => Seq(name ->
         ((if (lower) Seq(v) else Nil, if (upper) Seq(v) else Nil)))).getOrElse(Nil)
@@ -1609,12 +1738,42 @@ object Snapshots {
       }
     }.toOption.flatten
 
+  /** Attribute-name extraction that sees through the schema-op mapping:
+    * when rename ops are pending, read()'s coalesce projection makes the
+    * optimizer substitute a filter's column with `coalesce(new, old)`;
+    * this recognizes EXACTLY that shape — a two-arm coalesce whose arm
+    * names form a pending (from, to) rename pair (nested for chained
+    * renames) — and reports the LOGICAL (new) name. A user-written
+    * coalesce over unrelated columns never matches, so bounds from it
+    * are never claimed (a coalesce is not column identity in general —
+    * only the mapping's is, because both arms are vintages of one
+    * logical column). */
+  private def mappedAttrName(opsPairs: Set[(String, String)])(
+      ex: org.apache.spark.sql.catalyst.expressions.Expression): Option[String] = {
+    import org.apache.spark.sql.catalyst.expressions._
+    ex match {
+      case a: AttributeReference => Some(a.name)
+      case u: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute => Some(u.name)
+      case Coalesce(Seq(l, r)) =>
+        for {
+          ln <- mappedAttrName(opsPairs)(l)
+          rn <- mappedAttrName(opsPairs)(r)
+          if opsPairs((rn, ln))
+        } yield ln
+      case _ => None
+    }
+  }
+
+  /** (from, to) pairs of the pending renames — [[mappedAttrName]]'s key. */
+  private def renamePairs(ops: Seq[SchemaOp]): Set[(String, String)] =
+    ops.collect { case RenameOp(f0, t0) => (f0, t0) }.toSet
+
   /** Bounds implied by `predicate` against `frame` ([[condOf]] +
     * [[predicateBounds]]). Any failure → no bounds (no pruning). */
   private def boundsOf(frame: DataFrame, predicate: org.apache.spark.sql.Column)
       : Map[String, (Seq[String], Seq[String])] =
     condOf(frame, predicate)
-      .map(predicateBounds)
+      .map(predicateBounds(_))
       .getOrElse(Map.empty)
 
   /**
@@ -1637,7 +1796,9 @@ object Snapshots {
     val vs = versions(spark, base)
     require(vs.nonEmpty, s"no snapshots under $base")
     val next = vs.last + 1
-    val prior = manifestLines(spark, base, vs.last).map(parseEntry)
+    val priorLines0 = manifestLines(spark, base, vs.last)
+    requireNoSchemaOps(priorLines0, "deleteWhere")
+    val prior = priorLines0.map(parseEntry)
     require(!prior.exists(_.isDelete),
       s"pending merge-on-read deletes on $base - run materializeDeletes " +
         "first (a file-level rewrite would resurrect MoR-deleted rows)")
@@ -1695,7 +1856,9 @@ object Snapshots {
     require(vs.nonEmpty, s"no snapshots under $base")
     require(set.nonEmpty, "UPDATE needs at least one SET assignment")
     val next = vs.last + 1
-    val prior = manifestLines(spark, base, vs.last).map(parseEntry)
+    val priorLines0 = manifestLines(spark, base, vs.last)
+    requireNoSchemaOps(priorLines0, "updateWhere")
+    val prior = priorLines0.map(parseEntry)
     require(!prior.exists(_.isDelete),
       s"pending merge-on-read deletes on $base - run materializeDeletes " +
         "first (a file-level rewrite would resurrect MoR-deleted rows)")
@@ -1770,6 +1933,7 @@ object Snapshots {
     require(vs.nonEmpty, s"no snapshots under $base")
     val next = vs.last + 1
     val priorLines = manifestLines(spark, base, vs.last)
+    requireNoSchemaOps(priorLines, "deleteWhereMoR")
     val (data, dels) = splitEntries(priorLines)
     val bounds = boundsOf(read(spark, base), predicate)
     val cand = data.filter(mayMatchBounds(_, bounds))
@@ -1861,6 +2025,7 @@ object Snapshots {
     val shards = math.min((nKeys - 1) / maxKeysPerFile + 1, 1024L).toInt
     val next = vs.last + 1
     val priorLines = manifestLines(spark, base, vs.last)
+    requireNoSchemaOps(priorLines, "deleteByKey")
     val vDir = branchDir(None, next)
     val delStem = s"eqdel-${java.util.UUID.randomUUID().toString.take(12)}"
     val delNames = (0 until shards).map(i => s"$delStem-$i.parquet")
@@ -1904,6 +2069,7 @@ object Snapshots {
     val vs = versions(spark, base)
     require(vs.nonEmpty, s"no snapshots under $base")
     val priorLines = manifestLines(spark, base, vs.last)
+    requireNoSchemaOps(priorLines, "materializeDeletes")
     val (data, dels) = splitEntries(priorLines)
     if (dels.isEmpty) return vs.last
     import org.apache.spark.sql.functions.{col, expr}
@@ -1952,6 +2118,116 @@ object Snapshots {
       dir => kept.write.mode("append").parquet(dir), statsKey)
   }
 
+  // ─── Schema evolution: rename / drop without rewriting data ─────────────
+
+  private val ColNameRe = "^[^\\t\\n\\r]{1,256}$".r
+
+  /**
+   * RENAME COLUMN as a metadata-only commit (Iceberg `ALTER TABLE …
+   * RENAME COLUMN` without column ids): an `R:` manifest line recorded in
+   * every subsequent version. Readers apply ops in line order — files
+   * written BEFORE the rename keep their physical name and are coalesced
+   * into the logical column at read; files appended AFTER carry the new
+   * name physically. Zero data moves; time travel sees the schema as of
+   * the version read; manifest/sidecar stats and bloom sections keep
+   * pruning through a name-translation layer ([[entryStatsLookup]]).
+   *
+   * Honesty contract: file-level REWRITE verbs (delete/update/merge/
+   * compact/materializeDeletes/maintain) and sidecar BUILDS refuse while
+   * ops are pending — rewriting mixed physical schemas by name is a
+   * silent-corruption factory — and fail loudly pointing at
+   * [[materializeSchema]], exactly like the pending-MoR-delete guard.
+   * Refuses while MoR deletes are pending (delete files reference key
+   * columns by name). The new name must be free; chains of renames
+   * compose in commit order.
+   */
+  def renameColumn(spark: SparkSession, base: String,
+                   from: String, to: String): Long = {
+    val vs = versions(spark, base)
+    require(vs.nonEmpty, s"no snapshots under $base")
+    require(ColNameRe.matches(to) && !to.startsWith("__"),
+      s"invalid target column name '$to'")
+    val lines = manifestLines(spark, base, vs.last)
+    val (_, dels) = splitEntries(lines)
+    require(dels.isEmpty,
+      s"pending merge-on-read deletes on $base - run materializeDeletes " +
+        "first (delete files reference key columns by name)")
+    val logical = read(spark, base).columns
+    require(logical.contains(from), s"no column '$from' in $base")
+    require(!logical.contains(to), s"column '$to' already exists in $base")
+    // name-reuse guard (the hazard Iceberg column ids exist for): files
+    // of the pre-op vintage still carry the old PHYSICAL name, and the
+    // read-side coalesce would merge their orphaned values into the
+    // reused column. Until materializeSchema rewrites them, a name that
+    // appears as any pending op's source stays quarantined.
+    val pendingPhys = schemaOps(lines).map {
+      case RenameOp(f0, _) => f0
+      case DropOp(c0) => c0
+    }
+    require(!pendingPhys.contains(to),
+      s"'$to' is still the physical name of a pending schema op's source " +
+        "column in existing files - run materializeSchema before reusing it")
+    commitStaged(spark, base, vs.last + 1, lines :+ s"R:$from\t$to", _ => ())
+  }
+
+  /** DROP COLUMN as a metadata-only commit (`X:` line): the column
+    * disappears from every read of this and later versions; the bytes
+    * stay until [[materializeSchema]] (or a later file rewrite) drops
+    * them physically — Iceberg's drop-column semantics. Same guards as
+    * [[renameColumn]]. */
+  def dropColumn(spark: SparkSession, base: String, colName: String): Long = {
+    val vs = versions(spark, base)
+    require(vs.nonEmpty, s"no snapshots under $base")
+    val lines = manifestLines(spark, base, vs.last)
+    val (_, dels) = splitEntries(lines)
+    require(dels.isEmpty,
+      s"pending merge-on-read deletes on $base - run materializeDeletes " +
+        "first (delete files reference key columns by name)")
+    val logical = read(spark, base).columns
+    require(logical.contains(colName), s"no column '$colName' in $base")
+    require(logical.length > 1, "cannot drop the last column")
+    commitStaged(spark, base, vs.last + 1, lines :+ s"X:$colName", _ => ())
+  }
+
+  /** Physical field names of one parquet file's footer; None on failure
+    * (caller treats the file as stale — rewritten, never guessed). */
+  private def footerFields(conf: org.apache.hadoop.conf.Configuration,
+                           p: Path): Option[Set[String]] =
+    scala.util.Try {
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, conf))
+      try r.getFileMetaData.getSchema.getFields.toArray.map(
+        _.asInstanceOf[org.apache.parquet.schema.Type].getName).toSet
+      finally r.close()
+    }.toOption
+
+  /**
+   * Fold pending schema ops into the data (the rewrite that unlocks the
+   * guarded verbs): ONLY files whose footer fields differ from the
+   * logical schema are rewritten through the mapped read; files already
+   * written in the logical shape are inherited by reference, and the new
+   * manifest carries no `R:`/`X:` lines. The 100 TB shape: a rename
+   * yesterday means today's materialize rewrites yesterday's files only.
+   */
+  def materializeSchema(spark: SparkSession, base: String,
+                        statsKey: Option[String] = None): Long = {
+    val vs = versions(spark, base)
+    require(vs.nonEmpty, s"no snapshots under $base")
+    val lines = manifestLines(spark, base, vs.last)
+    if (schemaOps(lines).isEmpty) return vs.last
+    val (data, dels) = splitEntries(lines)
+    require(dels.isEmpty, // unreachable via public verbs; defend anyway
+      s"pending MoR deletes with pending schema ops on $base")
+    val logicalFields = read(spark, base).schema.fieldNames.toSet
+    val conf = spark.sparkContext.hadoopConfiguration
+    val (fresh, stale) = data.partition(e =>
+      footerFields(conf, new Path(s"$base/${e.path}")).contains(logicalFields))
+    val kept = readSubset(spark, base, lines, stale)
+    commitStaged(spark, base, vs.last + 1, fresh.map(_.line),
+      dir => if (stale.nonEmpty) kept.write.mode("append").parquet(dir),
+      statsKey)
+  }
+
   /**
    * Compaction (Iceberg `rewrite_data_files` / OPTIMIZE bin-packing): data
    * files smaller than `smallBytes` are rewritten together into
@@ -1977,7 +2253,9 @@ object Snapshots {
               zBits: Int = 16): Long = {
     val vs = versions(spark, base)
     require(vs.nonEmpty, s"no snapshots under $base")
-    val prior = manifestLines(spark, base, vs.last).map(parseEntry)
+    val priorLines0 = manifestLines(spark, base, vs.last)
+    requireNoSchemaOps(priorLines0, "compact")
+    val prior = priorLines0.map(parseEntry)
     require(!prior.exists(_.isDelete),
       s"pending merge-on-read deletes on $base - run materializeDeletes " +
         "first (a file-level rewrite would resurrect MoR-deleted rows)")
@@ -2226,6 +2504,7 @@ object Snapshots {
                statsKey: Option[String] = None): MaintenanceReport = {
     val vs = versions(spark, base)
     require(vs.nonEmpty, s"no snapshots under $base")
+    requireNoSchemaOps(manifestLines(spark, base, vs.last), "maintain")
     val (_, dels) = splitEntries(manifestLines(spark, base, vs.last))
     val folded =
       if (dels.nonEmpty && dels.size >= maxDeleteFiles) {
@@ -2268,6 +2547,7 @@ object Snapshots {
     val inherited =
       if (append) vs.lastOption.map(manifestLines(spark, base, _)).getOrElse(Seq.empty)
       else Seq.empty
+    if (append) requireNoPhysClash(df, inherited)
     commitStaged(spark, base, next, inherited,
       dir => df.write.mode("append").parquet(dir),
       statsKey,
@@ -2331,7 +2611,8 @@ object Snapshots {
     require(vs.nonEmpty, s"no snapshots under $base")
     val v = version.getOrElse(vs.last)
     require(vs.contains(v), s"version $v not in $vs")
-    val rows = manifestLines(spark, base, v).map(parseEntry).map { e =>
+    val rows = manifestLines(spark, base, v).map(parseEntry)
+      .filterNot(_.isSchemaOp).map { e =>
       val bytes = scala.util.Try(
         f.getFileStatus(new Path(s"$base/${e.path}")).getLen).getOrElse(-1L)
       val hasBloom = f.exists(new Path(s"$base/${e.path}$BloomSuffix"))
@@ -2403,6 +2684,7 @@ object Snapshots {
     require(vs.nonEmpty, s"no snapshots under $base")
     val v = version.getOrElse(vs.last)
     require(vs.contains(v), s"version $v not in $vs")
+    requireNoSchemaOps(manifestLines(spark, base, v), "writeStatsSidecars")
     val missing = splitEntries(manifestLines(spark, base, v))._1.map(_.path)
       .filterNot(rel => f.exists(new Path(s"$base/$rel$StatsSuffix")))
     if (missing.isEmpty) return 0
@@ -2496,13 +2778,10 @@ object Snapshots {
     * Comparisons also require nullCount == 0: a NULL row fails any
     * comparison, so its presence breaks full inclusion. */
   private def provenByStats(statsOf: String => Option[ColStats],
-      cond: org.apache.spark.sql.catalyst.expressions.Expression): Boolean = {
+      cond: org.apache.spark.sql.catalyst.expressions.Expression,
+      opsPairs: Set[(String, String)] = Set.empty): Boolean = {
     import org.apache.spark.sql.catalyst.expressions._
-    def attrName(ex: Expression): Option[String] = ex match {
-      case a: AttributeReference => Some(a.name)
-      case u: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute => Some(u.name)
-      case _ => None
-    }
+    val attrName = mappedAttrName(opsPairs) _
     def litStr(l: Literal): Option[String] =
       Option(l.value).map(_.toString).filterNot(_.exists(c => c == '\t' || c == '\n'))
     def prove(ex: Expression): Boolean = ex match {
@@ -2570,36 +2849,34 @@ object Snapshots {
     require(vs.nonEmpty, s"no snapshots under $base")
     val v = version.getOrElse(vs.last)
     require(vs.contains(v), s"version $v not in $vs")
-    val (data, dels) = splitEntries(manifestLines(spark, base, v))
+    val lines = manifestLines(spark, base, v)
+    val (data, dels) = splitEntries(lines)
+    val ops = schemaOps(lines)
     def fullScan(): Long = read(spark, base, Some(v)).filter(predicate).count()
     if (dels.nonEmpty) return fullScan()
     val frame = read(spark, base, Some(v))
-    val cond = scala.util.Try {
-      frame.filter(predicate).queryExecution.optimizedPlan.collectFirst {
-        case org.apache.spark.sql.catalyst.plans.logical.Filter(c, _) => c
-      }
-    }.toOption.flatten.getOrElse(return fullScan())
-    val bounds = predicateBounds(cond)
-    val eqSets = eqSetsOf(cond)
-    val nullCols = mustBeNullOf(cond)
+    val pairs = renamePairs(ops)
+    val cond = condOf(frame, predicate).getOrElse(return fullScan())
+    val bounds = predicateBounds(cond, pairs)
+    val eqSets = eqSetsOf(cond, pairs)
+    val nullCols = mustBeNullOf(cond, pairs)
     // per-entry column lookup: manifest stats key first, then the file's
     // multi-column sidecar (lazy, memoized — see entryStatsLookup);
     // equality/IN sets prune by per-value bounds containment and bloom
     // probes, IS NULL conjuncts by zero-null-count proofs (an excluded
     // file provably contributes 0)
     val statsOf = entryStatsLookup(spark, base, data,
-      bounds.keySet ++ eqSets.map(_._1) ++ nullCols)
-    val eqAdmits = eqSetPruner(spark, base, eqSets, statsOf)
+      bounds.keySet ++ eqSets.map(_._1) ++ nullCols, ops)
+    val eqAdmits = eqSetPruner(spark, base, eqSets, statsOf, ops)
     val nullAdmits = nullPruner(statsOf, nullCols)
     val candidates = data.filter(e =>
       mayMatchBoundsMulti(statsOf(e), bounds) && eqAdmits(e) && nullAdmits(e))
     val (proven, boundary) = candidates.partition(e =>
-      e.rows.isDefined && provenByStats(statsOf(e), cond))
+      e.rows.isDefined && provenByStats(statsOf(e), cond, pairs))
     val metaPart = proven.flatMap(_.rows).sum
     val scanned =
       if (boundary.isEmpty) 0L
-      else spark.read.schema(frame.schema)
-        .parquet(boundary.map(e => s"$base/${e.path}"): _*)
+      else readSubset(spark, base, lines, boundary)
         .filter(predicate).count()
     metaPart + scanned
   }
@@ -2632,17 +2909,17 @@ object Snapshots {
     require(vs.nonEmpty, s"no snapshots under $base")
     val v = version.getOrElse(vs.last)
     require(vs.contains(v), s"version $v not in $vs")
-    val (data, dels) = splitEntries(manifestLines(spark, base, v))
+    val lines = manifestLines(spark, base, v)
+    val (data, dels) = splitEntries(lines)
+    val ops = schemaOps(lines)
     val schema = read(spark, base, Some(v)).schema
     require(schema.fieldNames.contains(key), s"no column '$key' in $base")
     val dt = schema(key).dataType
     val order =
       (if (ascending) c(key).asc else c(key).desc) +: tieBreak.map(c(_).asc)
-    def frameOf(es: Seq[ManifestEntry]) = applyDeletes(spark, base,
-      spark.read.schema(schema).parquet(es.map(e => s"$base/${e.path}"): _*),
-      dels)
+    def frameOf(es: Seq[ManifestEntry]) = readSubset(spark, base, lines, es)
     if (data.isEmpty) return read(spark, base, Some(v)).limit(0)
-    val statsOf = entryStatsLookup(spark, base, data, Set(key))
+    val statsOf = entryStatsLookup(spark, base, data, Set(key), ops)
     // bound(e): the best key value the file could hold — None = unknown,
     // always admitted (and never usable as an exclusion threshold)
     def bound(e: ManifestEntry): Option[(String, String)] =

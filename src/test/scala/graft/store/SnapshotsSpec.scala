@@ -1634,6 +1634,76 @@ class SnapshotsSpec extends AnyFunSuite {
     assert(Snapshots.pointLookup(spark, base, "user", "nope").count() == 0L)
   }
 
+  test("schema evolution: rename/drop are metadata-only, reads/pruning/time-travel hold") {
+    val base = java.nio.file.Files.createTempDirectory("graft-schevo").toString + "/t"
+    val df = (1L to 300L).map(i => (i, s"src${i % 4}", i * 10L))
+      .toDF("id", "source", "n_chars")
+    Snapshots.write(df.repartitionByRange(4, col("n_chars")), base,
+      statsKey = Some("n_chars"))
+    val v2 = Snapshots.renameColumn(spark, base, "n_chars", "chars")
+    // metadata-only: same data files, new logical schema
+    assert(Snapshots.manifestFiles(spark, base, v2) ==
+      Snapshots.manifestFiles(spark, base, 1L))
+    assert(Snapshots.read(spark, base).columns.toSeq == Seq("id", "source", "chars"))
+    assert(Snapshots.read(spark, base).agg(org.apache.spark.sql.functions.sum("chars"))
+      .head.getLong(0) == (1L to 300L).map(_ * 10).sum)
+    // time travel sees the schema AS OF the version
+    assert(Snapshots.read(spark, base, Some(1L)).columns.contains("n_chars"))
+    // appends carry the NEW name; old-name appends are quarantined
+    Snapshots.append((301L to 320L).map(i => (i, "srcX", i * 10L))
+      .toDF("id", "source", "chars"), base)
+    intercept[IllegalArgumentException] {
+      Snapshots.append(Seq((999L, "bad", 1L)).toDF("id", "source", "n_chars"), base)
+    }
+    assert(Snapshots.read(spark, base).count() == 320L)
+    // old files' stats keep pruning scans issued in the NEW name
+    val (cand, pruned) = Snapshots.scanPlan(spark, base, col("chars") <= 400L)
+    assert(pruned.nonEmpty && cand.nonEmpty, "renamed stats must still prune")
+    assert(Snapshots.countWhere(spark, base, col("chars") <= 400L) == 40L)
+    assert(Snapshots.topK(spark, base, "chars", 3, tieBreak = Seq("id"))
+      .select("id").collect().map(_.getLong(0)).toSeq == Seq(320L, 319L, 318L))
+    // rewrite verbs refuse while ops are pending; name reuse is quarantined
+    intercept[IllegalArgumentException] {
+      Snapshots.deleteWhere(spark, base, col("id") === 1L)
+    }
+    intercept[IllegalArgumentException] {
+      Snapshots.compact(spark, base, smallBytes = 1L << 30)
+    }
+    intercept[IllegalArgumentException] {
+      Snapshots.renameColumn(spark, base, "source", "n_chars")
+    }
+    // materializeSchema rewrites ONLY stale-schema files
+    val preHead = Snapshots.versions(spark, base).last
+    val preFiles = Snapshots.manifestFiles(spark, base, preHead).toSet
+    Snapshots.materializeSchema(spark, base, statsKey = Some("chars"))
+    val postFiles = Snapshots.manifestFiles(spark, base,
+      Snapshots.versions(spark, base).last).toSet
+    assert((preFiles intersect postFiles).nonEmpty,
+      "logical-shape files must be inherited, not rewritten")
+    assert((preFiles -- postFiles).nonEmpty, "stale-shape files must be rewritten")
+    assert(Snapshots.read(spark, base).count() == 320L)
+    assert(Snapshots.read(spark, base).agg(org.apache.spark.sql.functions.sum("chars"))
+      .head.getLong(0) == (1L to 320L).map(_ * 10).sum)
+    // verbs unlock after materialization
+    Snapshots.deleteWhere(spark, base, col("id") === 1L)
+    assert(Snapshots.read(spark, base).count() == 319L)
+    // drop: column disappears logically now, physically after materialize
+    Snapshots.dropColumn(spark, base, "source")
+    assert(Snapshots.read(spark, base).columns.toSeq == Seq("id", "chars"))
+    Snapshots.materializeSchema(spark, base)
+    assert(Snapshots.read(spark, base).columns.toSeq == Seq("id", "chars"))
+    assert(Snapshots.read(spark, base).count() == 319L)
+    // rename refuses while MoR deletes are pending (and vice versa)
+    Snapshots.deleteByKey(spark, base, Seq(2L).toDF("id"))
+    intercept[IllegalArgumentException] {
+      Snapshots.renameColumn(spark, base, "chars", "len")
+    }
+    Snapshots.materializeDeletes(spark, base)
+    Snapshots.renameColumn(spark, base, "chars", "len")
+    assert(Snapshots.read(spark, base).columns.toSeq == Seq("id", "len"))
+    assert(Snapshots.read(spark, base).count() == 318L)
+  }
+
   test("topK reads only the files whose bounds can reach the k-th value") {
     val base = java.nio.file.Files.createTempDirectory("graft-topk").toString + "/t"
     val df = (1L to 800L).map(i => (i, s"v$i", (i % 7).toInt)).toDF("id", "s", "grp")
