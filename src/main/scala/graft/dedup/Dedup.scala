@@ -502,9 +502,12 @@ object Dedup {
       .join(d.select(col("__id").as("id_a"), col("__s").as("__sa")), "id_a")
       .join(d.select(col("__id").as("id_b"), col("__s").as("__sb")), "id_b")
       .filter(abs(length(col("__sa")) - length(col("__sb"))) <= k)
+      // thresholded levenshtein runs the BANDED O(k·n) DP and returns -1
+      // past the bound — the confirm step's cost no longer grows with the
+      // square of string length, only with k
       .select(col("id_a"), col("id_b"),
-        levenshtein(col("__sa"), col("__sb")).as("dist"))
-      .filter(col("dist") <= k)
+        levenshtein(col("__sa"), col("__sb"), k).as("dist"))
+      .filter(col("dist") >= 0)
   }
 
   /**

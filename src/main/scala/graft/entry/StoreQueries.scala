@@ -1390,6 +1390,37 @@ private[graft] object StoreQueries {
              |FROM orders WHERE o_orderkey IN (7, 32, 69)
              |ORDER BY o_orderkey""".stripMargin)),
 
+    // NDV sketch sidecars (round-14): per-file mergeable HLLs — Iceberg's
+    // puffin NDV sketches in miniature. One build job over the sidecar-
+    // less files, then "how many distinct customers" answers from
+    // METADATA (zero records read once covered — the IO pin lives in
+    // SnapshotsSpec; fresh appends pay a delta-only hybrid scan). The
+    // low-cardinality estimate is exact (HLL is exact far below 2^lgK);
+    // the high-cardinality one is pinned within 5% (lgK=14 ≈ 0.4% rsd —
+    // estimates never cross engines, the a12 pattern).
+    "snap_ndv" -> Q(
+      (s, d) => {
+        import graft.store.Snapshots
+        val root = FixtureRoot.fresh("snapndv")
+        val base = root + "/t"
+        val orders = T(s, d, "orders")
+          .select(col("o_orderkey"), col("o_custkey"), col("o_orderpriority"))
+        Snapshots.write(orders.repartition(4), base)
+        val built = Snapshots.writeNdvSidecars(s, base,
+          Seq("o_custkey", "o_orderpriority"), lgK = 14)
+        val custEst = Snapshots.approxDistinct(s, base, "o_custkey")
+        val prioEst = Snapshots.approxDistinct(s, base, "o_orderpriority")
+        T(s, d, "orders")
+          .agg(countDistinct(col("o_custkey")).as("exact_cust"))
+          .select(lit(built.toLong).as("n_sidecars"),
+            (abs(lit(custEst) - col("exact_cust")) <=
+              col("exact_cust") * 0.05).as("cust_within_5pct"),
+            lit(prioEst).as("prio_ndv"))
+      },
+      Some("""SELECT 4 AS n_sidecars, TRUE AS cust_within_5pct,
+             |  (SELECT count(DISTINCT o_orderpriority) FROM orders)
+             |    AS prio_ndv""".stripMargin)),
+
     // Column RENAME evolution (round-14; the ADD-column path is
     // snap_schema_evolve): a metadata-only commit — zero data moves, old
     // files keep their physical name and coalesce into the logical column

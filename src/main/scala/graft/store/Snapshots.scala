@@ -928,7 +928,9 @@ object Snapshots {
 
   private[store] val BloomSuffix = ".bloom"
   private[store] val StatsSuffix = ".stats"
+  private[store] val NdvSuffix = ".ndv"
   private val BloomMagic = "GRAFTBLOOM1"
+  private val NdvMagic = "GRAFTNDV1"
 
   /**
    * Equality-SET conjuncts implied by the predicate: each entry is a
@@ -1069,6 +1071,172 @@ object Snapshots {
     bos.toByteArray
   }
 
+  /** Load every (column → payload bytes) section of a `magic`-framed
+    * sidecar file; empty on missing/corrupt (degrade, never guess). */
+  private def loadSections(spark: SparkSession, base: String, rel: String,
+      suffix: String, magic: String): Map[String, Array[Byte]] =
+    scala.util.Try {
+      val f = fs(spark, base)
+      val p = new Path(s"$base/$rel$suffix")
+      if (!f.exists(p)) Map.empty[String, Array[Byte]]
+      else {
+        val in = f.open(p)
+        try {
+          val out = scala.collection.mutable.Map.empty[String, Array[Byte]]
+          var eof = false
+          while (!eof) {
+            val header = new java.io.ByteArrayOutputStream()
+            var b = in.read()
+            while (b != -1 && b != '\n' && header.size < 4096) {
+              header.write(b); b = in.read()
+            }
+            if (b != '\n') {
+              if (header.size > 0 && out.isEmpty)
+                throw new java.io.IOException(s"malformed $suffix header in $rel")
+              eof = true
+            } else {
+              val parts = new String(header.toByteArray, "UTF-8").split('\t')
+              if (parts.length == 3 && parts(0) == magic) {
+                val buf = new Array[Byte](parts(2).toInt)
+                in.readFully(buf)
+                out(parts(1)) = buf
+              } else throw new java.io.IOException(
+                s"unknown $suffix section in $rel")
+            }
+          }
+          out.toMap
+        } finally in.close()
+      }
+    }.getOrElse(Map.empty)
+
+  /** Serialize `magic`-framed sidecar sections. */
+  private def sectionBytes(magic: String,
+      sections: Seq[(String, Array[Byte])]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    sections.sortBy(_._1).foreach { case (c, bytes) =>
+      bos.write(s"$magic\t$c\t${bytes.length}\n".getBytes("UTF-8"))
+      bos.write(bytes)
+    }
+    bos.toByteArray
+  }
+
+  /**
+   * Build `<file>.ndv` sidecars: one mergeable DataSketches HLL per
+   * (file, column) — Iceberg's puffin NDV sketches in miniature. Built
+   * in ONE job over exactly the files still owing a requested column's
+   * section (per-column incremental, like blooms), streamed back one
+   * file at a time, tmp-write + atomic rename, swept with their data
+   * file. Values are canonicalized with [[statExtract]] (injective per
+   * column), so sketches of any column type merge consistently.
+   */
+  def writeNdvSidecars(spark: SparkSession, base: String,
+                       cols: Seq[String], version: Option[Long] = None,
+                       lgK: Int = 14): Int = {
+    import org.apache.spark.sql.functions.{col, expr, input_file_name}
+    val f = fs(spark, base)
+    val vs = versions(spark, base)
+    require(vs.nonEmpty, s"no snapshots under $base")
+    val v = version.getOrElse(vs.last)
+    require(vs.contains(v), s"version $v not in $vs")
+    requireNoSchemaOps(manifestLines(spark, base, v), "writeNdvSidecars")
+    val schema = read(spark, base, Some(v)).schema
+    val usable = cols.filter(c0 => schema.fieldNames.contains(c0) &&
+      !c0.exists(ch => ch == '\t' || ch == '\n'))
+    if (usable.isEmpty) return 0
+    val missing = splitEntries(manifestLines(spark, base, v))._1.map(_.path)
+      .filterNot { rel =>
+        val have = loadSections(spark, base, rel, NdvSuffix, NdvMagic).keySet
+        usable.forall(have)
+      }
+    if (missing.isEmpty) return 0
+    val aggs = usable.map(c0 => expr(
+      s"hll_sketch_agg(`__ndv_$c0`, $lgK)").as(s"__sk_$c0"))
+    val it = spark.read.schema(schema)
+      .parquet(missing.map(rel => s"$base/$rel"): _*)
+      .select(input_file_name().as("__f") +:
+        usable.map(c0 => statExtract(col(c0), schema(c0).dataType)
+          .as(s"__ndv_$c0")): _*)
+      .groupBy(col("__f")).agg(aggs.head, aggs.tail: _*)
+      .toLocalIterator()
+    var written = 0
+    while (it.hasNext) {
+      val r = it.next()
+      val p = new Path(r.getString(0))
+      val rel = s"${p.getParent.getName}/${p.getName}"
+      val existing = loadSections(spark, base, rel, NdvSuffix, NdvMagic)
+        .view.filterKeys(!usable.contains(_)).toSeq
+      val fresh = usable.flatMap { c0 =>
+        val i = r.fieldIndex(s"__sk_$c0")
+        if (r.isNullAt(i)) None else Some(c0 -> r.getAs[Array[Byte]](i))
+      }
+      if (fresh.nonEmpty) {
+        val dest = new Path(s"$base/$rel$NdvSuffix")
+        val tmp = new Path(s"$base/$rel$NdvSuffix.tmp")
+        val out = f.create(tmp, true)
+        try out.write(sectionBytes(NdvMagic, existing ++ fresh))
+        finally out.close()
+        if (f.exists(dest)) f.delete(dest, false)
+        if (f.rename(tmp, dest)) written += 1 else f.delete(tmp, false)
+      }
+    }
+    written
+  }
+
+  /**
+   * Approximate distinct count from METADATA: union the per-file HLL
+   * sketches of every data file that has one, scan ONLY the files that
+   * don't (the countWhere hybrid applied to NDV), and estimate — the
+   * "how many distinct users in this 100 TB table" answer in
+   * milliseconds once sidecars exist, with fresh appends paying a
+   * delta-only scan until the next sidecar build. Falls back to a full
+   * approx scan under pending MoR deletes (sketches cannot subtract
+   * removed rows — same honesty rule as the HLL views). Bounded error
+   * (~0.4% rsd at lgK=14); never exact, never biased beyond the sketch
+   * guarantee.
+   */
+  def approxDistinct(spark: SparkSession, base: String, colName: String,
+                     version: Option[Long] = None, lgK: Int = 14): Long = {
+    import org.apache.spark.sql.functions.{col, expr}
+    import spark.implicits._
+    val vs = versions(spark, base)
+    require(vs.nonEmpty, s"no snapshots under $base")
+    val v = version.getOrElse(vs.last)
+    require(vs.contains(v), s"version $v not in $vs")
+    val lines = manifestLines(spark, base, v)
+    val (data, dels) = splitEntries(lines)
+    val schema = read(spark, base, Some(v)).schema
+    require(schema.fieldNames.contains(colName), s"no column '$colName' in $base")
+    def fullScan(): Long = {
+      val r = read(spark, base, Some(v))
+        .select(statExtract(col(colName), schema(colName).dataType).as("__k"))
+        .agg(expr(s"hll_sketch_estimate(hll_sketch_agg(__k, $lgK))")).head
+      if (r.isNullAt(0)) 0L else r.getLong(0)
+    }
+    if (dels.nonEmpty) return fullScan()
+    val ops = schemaOps(lines)
+    val toLogical = physToLogical(ops) _
+    val sketches: Map[String, Array[Byte]] = data.flatMap { e =>
+      loadSections(spark, base, e.path, NdvSuffix, NdvMagic)
+        .flatMap { case (k, bs) => toLogical(k).map(_ -> bs) }
+        .get(colName).map(e.path -> _)
+    }.toMap
+    val (covered, uncovered) = data.partition(e => sketches.contains(e.path))
+    if (covered.isEmpty && uncovered.isEmpty) return 0L
+    val sketchDf = covered.flatMap(e => sketches.get(e.path)).toDF("sketch")
+    val union =
+      if (uncovered.isEmpty) sketchDf
+      else sketchDf.unionByName(
+        readSubset(spark, base, lines, uncovered)
+          .select(statExtract(col(colName), schema(colName).dataType).as("__k"))
+          .agg(expr(s"hll_sketch_agg(__k, $lgK)").as("sketch")))
+    union.filter(col("sketch").isNotNull)
+      .agg(expr("hll_sketch_estimate(hll_union_agg(sketch))"))
+      .head match {
+        case r if r.isNullAt(0) => 0L // every sketch null: all-NULL column
+        case r => r.getLong(0)
+      }
+  }
+
   /**
    * Per-entry admission for the predicate's equality-set conjuncts,
    * composing BOTH evidence kinds per file — stats bounds (keep only
@@ -1118,7 +1286,8 @@ object Snapshots {
   private def protectedBy(referenced: Set[String])(rel: String): Boolean =
     referenced(rel) ||
       (rel.endsWith(BloomSuffix) && referenced(rel.stripSuffix(BloomSuffix))) ||
-      (rel.endsWith(StatsSuffix) && referenced(rel.stripSuffix(StatsSuffix)))
+      (rel.endsWith(StatsSuffix) && referenced(rel.stripSuffix(StatsSuffix))) ||
+      (rel.endsWith(NdvSuffix) && referenced(rel.stripSuffix(NdvSuffix)))
 
   /** Per-file bloom aggregator. Keys are canonicalized to their string
     * form — the same canon the manifest min/max stats use — so the build

@@ -1634,6 +1634,38 @@ class SnapshotsSpec extends AnyFunSuite {
     assert(Snapshots.pointLookup(spark, base, "user", "nope").count() == 0L)
   }
 
+  test("NDV sidecars: metadata estimate tracks exact, hybrid covers fresh appends") {
+    val base = java.nio.file.Files.createTempDirectory("graft-ndv").toString + "/t"
+    val df = (1L to 2000L).map(i => (i, s"u${i % 700}", s"g${i % 5}"))
+      .toDF("id", "user", "grp")
+    Snapshots.write(df.repartition(4), base)
+    assert(Snapshots.writeNdvSidecars(spark, base, Seq("user", "grp")) == 4)
+    // idempotent per column set; incremental for a new column
+    assert(Snapshots.writeNdvSidecars(spark, base, Seq("user")) == 0)
+    assert(Snapshots.writeNdvSidecars(spark, base, Seq("id")) == 4)
+    // metadata-only estimate: ZERO records read once every file is sketched
+    var est = 0L
+    val reads = recordsReadDuring {
+      est = Snapshots.approxDistinct(spark, base, "user")
+    }
+    assert(reads == 0L, s"covered NDV must not scan, read $reads records")
+    assert(math.abs(est - 700L) <= 35L, s"estimate $est vs exact 700")
+    assert(Snapshots.approxDistinct(spark, base, "grp") == 5L)
+    // hybrid: an unsketched append scans ONLY the delta
+    Snapshots.append((2001L to 2200L).map(i => (i, s"u${i}", "g9"))
+      .toDF("id", "user", "grp"), base)
+    var est2 = 0L
+    val reads2 = recordsReadDuring {
+      est2 = Snapshots.approxDistinct(spark, base, "user")
+    }
+    assert(reads2 <= 200L, s"hybrid NDV must scan only the delta, read $reads2")
+    assert(math.abs(est2 - 900L) <= 45L, s"estimate $est2 vs exact 900")
+    // pending MoR deletes force the honest full scan (sketches cannot subtract)
+    Snapshots.deleteByKey(spark, base, (1L to 2000L).toDF("id"))
+    val est3 = Snapshots.approxDistinct(spark, base, "grp")
+    assert(est3 == 1L, s"post-delete distinct grp must be 1 (g9 only), got $est3")
+  }
+
   test("schema evolution: rename/drop are metadata-only, reads/pruning/time-travel hold") {
     val base = java.nio.file.Files.createTempDirectory("graft-schevo").toString + "/t"
     val df = (1L to 300L).map(i => (i, s"src${i % 4}", i * 10L))
