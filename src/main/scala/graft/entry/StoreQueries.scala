@@ -1390,6 +1390,56 @@ private[graft] object StoreQueries {
              |FROM orders WHERE o_orderkey IN (7, 32, 69)
              |ORDER BY o_orderkey""".stripMargin)),
 
+    // MERGE with a delete clause (round-14): Iceberg's WHEN MATCHED THEN
+    // DELETE — one copy-on-write merge applies a mixed upsert/delete CDC
+    // batch: odd keys under 500 get their price negated (update), keys
+    // divisible by 9 retract (delete), keys 9000001..9000040 insert, and a
+    // delete of an absent key no-ops. The oracle replays the batch
+    // relationally; file-granular CoW and pruning are the same machinery
+    // snap_merge already pins.
+    "snap_merge_delete" -> Q(
+      (s, d) => {
+        import graft.store.Snapshots
+        val root = FixtureRoot.fresh("snapmdel")
+        val base = root + "/t"
+        val orders = T(s, d, "orders")
+          .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+        Snapshots.write(orders.repartitionByRange(4, col("o_orderkey")),
+          base, statsKey = Some("o_orderkey"))
+        import s.implicits._
+        val updates = orders
+          .filter(col("o_orderkey") % 2 === 1 && col("o_orderkey") < 500 &&
+            col("o_orderkey") % 9 =!= 0) // a key must not be updated AND deleted
+          .withColumn("o_totalprice", -col("o_totalprice"))
+          .withColumn("__op", lit("u"))
+        val deletes = orders.filter(col("o_orderkey") % 9 === 0)
+          .withColumn("__op", lit("d"))
+        val inserts = (9000001L to 9000040L).map(k => (k, "Z", 1.0))
+          .toDF("o_orderkey", "o_orderstatus", "o_totalprice")
+          .withColumn("__op", lit("u"))
+        val ghost = Seq((999999L, "Z", 0.0))
+          .toDF("o_orderkey", "o_orderstatus", "o_totalprice")
+          .withColumn("__op", lit("d"))
+        Snapshots.mergeInto(s, base,
+          updates.unionByName(deletes).unionByName(inserts).unionByName(ghost),
+          "o_orderkey", deleteWhen = Some(col("__op") === "d"))
+        Snapshots.read(s, base)
+          .groupBy(col("o_orderstatus"))
+          .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+          .orderBy(col("o_orderstatus"))
+      },
+      Some("""WITH merged AS (
+             |  SELECT o_orderkey, o_orderstatus,
+             |    CASE WHEN o_orderkey % 2 = 1 AND o_orderkey < 500
+             |         THEN -o_totalprice ELSE o_totalprice END AS o_totalprice
+             |  FROM orders WHERE o_orderkey % 9 <> 0
+             |  UNION ALL
+             |  SELECT 9000000 + i, 'Z', 1.0
+             |  FROM generate_series(1, 40) AS t(i))
+             |SELECT o_orderstatus, count(*) AS n,
+             |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+             |FROM merged GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // NDV sketch sidecars (round-14): per-file mergeable HLLs — Iceberg's
     // puffin NDV sketches in miniature. One build job over the sidecar-
     // less files, then "how many distinct customers" answers from

@@ -1764,10 +1764,17 @@ object Snapshots {
    * file's rows, not one full pass (Iceberg's manifest-bounds pruning;
    * pinned via input-records metrics in SnapshotsSpec). New files written
    * here always carry stats on the merge key.
+   *
+   * `deleteWhen` is Iceberg MERGE's `WHEN MATCHED [AND cond] THEN DELETE`
+   * clause, evaluated against the SOURCE row: a matching delete row
+   * retracts its target row and inserts nothing; a non-matching one is a
+   * no-op; NULL means upsert. One call applies a mixed upsert/delete CDC
+   * batch copy-on-write.
    */
   def mergeInto(spark: SparkSession, base: String, source0: DataFrame,
-                key: String): Long = {
-    import org.apache.spark.sql.functions.{col, input_file_name, max, min}
+                key: String,
+                deleteWhen: Option[org.apache.spark.sql.Column] = None): Long = {
+    import org.apache.spark.sql.functions.{coalesce, col, input_file_name, lit, max, min}
     val vs = versions(spark, base)
     val next = vs.lastOption.getOrElse(0L) + 1
     val priorLines0 = vs.lastOption.map(manifestLines(spark, base, _)).getOrElse(Seq.empty)
@@ -1832,8 +1839,19 @@ object Snapshots {
     // schema evolution) null-fills it on kept rows; old files inherit
     // untouched and read() null-fills them via mergeSchema. The reverse
     // direction (source missing a table column) was rejected above.
+    // WHEN MATCHED [AND deleteWhen] THEN DELETE (Iceberg MERGE's delete
+    // clause): a source row satisfying deleteWhen retracts its target row
+    // — the anti-join above already removed it from `kept` — and is NOT
+    // re-inserted; a non-matching delete row is a no-op (nothing to
+    // retract, nothing to insert — MERGE semantics). NULL deleteWhen
+    // means upsert. The CDC-apply shape: one merge call applies a mixed
+    // upsert/delete batch.
+    val inserts = deleteWhen match {
+      case Some(cond) => source.filter(!coalesce(cond, lit(false)))
+      case None => source
+    }
     commitStaged(spark, base, next, (pruned ++ inherit).map(_.line),
-      dir => kept.unionByName(source, allowMissingColumns = true)
+      dir => kept.unionByName(inserts, allowMissingColumns = true)
         .write.mode("append").parquet(dir),
       statsKey = Some(key))
     } finally source.unpersist(false)

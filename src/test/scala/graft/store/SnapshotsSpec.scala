@@ -1634,6 +1634,30 @@ class SnapshotsSpec extends AnyFunSuite {
     assert(Snapshots.pointLookup(spark, base, "user", "nope").count() == 0L)
   }
 
+  test("mergeInto deleteWhen: matched rows retract, unmatched deletes no-op, mixed batch applies") {
+    val base = java.nio.file.Files.createTempDirectory("graft-mergedel").toString + "/t"
+    Snapshots.write((1L to 10L).map(i => (i, s"v$i", "u")).toDF("id", "s", "op")
+      .repartition(2), base, statsKey = Some("id"))
+    // mixed CDC batch: update id=2, delete id=3, delete id=99 (unmatched
+    // → no-op), insert id=11, and a NULL-op row (→ upsert) for id=4
+    val batch = Seq(
+      (2L, "V2", "u"), (3L, "gone", "d"), (99L, "ghost", "d"),
+      (11L, "v11", "u"), (4L, "V4", null.asInstanceOf[String]))
+      .toDF("id", "s", "op")
+    Snapshots.mergeInto(spark, base, batch, "id",
+      deleteWhen = Some(col("op") === "d"))
+    val got = Snapshots.read(spark, base).select("id", "s")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(!got.contains(3L), "matched delete must retract")
+    assert(!got.contains(99L), "unmatched delete must not insert")
+    assert(got(2L) == "V2" && got(4L) == "V4" && got(11L) == "v11")
+    assert(got.size == 10, s"10 rows expected (10 - 1 del + 1 ins), got ${got.size}")
+    // default path unchanged: no deleteWhen behaves as plain upsert
+    Snapshots.mergeInto(spark, base,
+      Seq((3L, "back", "d")).toDF("id", "s", "op"), "id")
+    assert(Snapshots.read(spark, base).filter(col("id") === 3L).count() == 1)
+  }
+
   test("NDV sidecars: metadata estimate tracks exact, hybrid covers fresh appends") {
     val base = java.nio.file.Files.createTempDirectory("graft-ndv").toString + "/t"
     val df = (1L to 2000L).map(i => (i, s"u${i % 700}", s"g${i % 5}"))
