@@ -145,6 +145,26 @@ object SnapSlopes {
         val upd = syntheticDocs(spark, mergeN, n / 2, seed = 13)
         Snapshots.mergeInto(spark, base, upd, "doc_id"); ()
       })
+      // round-14 metadata verbs, all FIXED-size against the growing
+      // corpus — the claim is corpus-flat (slope ≈ 0): the hybrid count
+      // opens boundary files only, top-k admits the best-bounded files
+      // only, and the NDV estimate unions per-file sketches (built once,
+      // post-merge, so the build also covers rewritten files)
+      record("count_where", n, median3 {
+        val lo = n / 2
+        Snapshots.countWhere(spark, base,
+          col("doc_id") >= lo && col("doc_id") < lo + 100); ()
+      })
+      record("top_k", n, median3 {
+        Snapshots.topK(spark, base, "doc_id", 10, tieBreak = Seq("source"))
+          .write.mode("overwrite").format("noop").save()
+      })
+      record("ndv_build", n, timeIt {
+        Snapshots.writeNdvSidecars(spark, base, Seq("source")); ()
+      })
+      record("approx_ndv", n, median3 {
+        Snapshots.approxDistinct(spark, base, "source"); ()
+      })
       val corpusBuckets = spark.read.parquet(bucketDir)
       def deltaBuckets() = {
         val delta = syntheticDocs(spark, deltaN, 20000000L, seed = 17)
