@@ -698,16 +698,23 @@ object Snapshots {
     * shared read tail of every pruning verb ([[scanWhere]],
     * [[countWhere]]'s boundary scan, [[topK]]'s candidate loop). */
   private def readSubset(spark: SparkSession, base: String,
-      lines: Seq[String], subset: Seq[ManifestEntry]): DataFrame = {
+      lines: Seq[String], subset: Seq[ManifestEntry],
+      rawSchemaOpt: Option[org.apache.spark.sql.types.StructType] = None)
+      : DataFrame = {
     val (allData, dels) = splitEntries(lines)
     val ops = schemaOps(lines)
-    if (subset.isEmpty) {
-      val empty = spark.read.option("mergeSchema", true)
-        .parquet(allData.map(e => s"$base/${e.path}"): _*).limit(0)
-      return applySchemaOps(empty, ops)
-    }
-    val rawSchema = spark.read.option("mergeSchema", true)
-      .parquet(allData.map(e => s"$base/${e.path}"): _*).schema
+    // deriving the union schema reads every file's footer (an object-store
+    // GET per file at scale) — callers that read several subsets of one
+    // version (topK's candidate loop) pass it in once
+    lazy val rawSchema = rawSchemaOpt.getOrElse(
+      spark.read.option("mergeSchema", true)
+        .parquet(allData.map(e => s"$base/${e.path}"): _*).schema)
+    if (subset.isEmpty)
+      return applySchemaOps(
+        spark.read.schema(rawSchema)
+          .parquet(allData.headOption.map(e => s"$base/${e.path}").toSeq: _*)
+          .limit(0),
+        ops)
     val frame = spark.read.schema(rawSchema)
       .parquet(subset.map(e => s"$base/${e.path}"): _*)
     applyDeletes(spark, base, frame, dels, f => applySchemaOps(f, ops))
@@ -2334,6 +2341,9 @@ object Snapshots {
     require(vs.nonEmpty, s"no snapshots under $base")
     require(ColNameRe.matches(to) && !to.startsWith("__"),
       s"invalid target column name '$to'")
+    require(ColNameRe.matches(from),
+      s"invalid source column name '$from' (control characters would " +
+        "corrupt the manifest line)")
     val lines = manifestLines(spark, base, vs.last)
     val (_, dels) = splitEntries(lines)
     require(dels.isEmpty,
@@ -2370,6 +2380,9 @@ object Snapshots {
     require(dels.isEmpty,
       s"pending merge-on-read deletes on $base - run materializeDeletes " +
         "first (delete files reference key columns by name)")
+    require(ColNameRe.matches(colName),
+      s"invalid column name '$colName' (control characters would corrupt " +
+        "the manifest line)")
     val logical = read(spark, base).columns
     require(logical.contains(colName), s"no column '$colName' in $base")
     require(logical.length > 1, "cannot drop the last column")
@@ -3104,7 +3117,14 @@ object Snapshots {
     val dt = schema(key).dataType
     val order =
       (if (ascending) c(key).asc else c(key).desc) +: tieBreak.map(c(_).asc)
-    def frameOf(es: Seq[ManifestEntry]) = readSubset(spark, base, lines, es)
+    // derive the union physical schema ONCE — the candidate loop reads
+    // several subsets and must not pay a footer sweep per iteration
+    val rawSchema =
+      if (data.isEmpty) schema
+      else spark.read.option("mergeSchema", true)
+        .parquet(data.map(e => s"$base/${e.path}"): _*).schema
+    def frameOf(es: Seq[ManifestEntry]) =
+      readSubset(spark, base, lines, es, Some(rawSchema))
     if (data.isEmpty) return read(spark, base, Some(v)).limit(0)
     val statsOf = entryStatsLookup(spark, base, data, Set(key), ops)
     // bound(e): the best key value the file could hold — None = unknown,
