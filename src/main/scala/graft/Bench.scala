@@ -334,6 +334,59 @@ object Bench {
 
     def r2(v: Double): String = f"$v%.2f"
 
+    // Phase-attributed timing for the heaviest capstone (round-15 verdict
+    // item 3: its battery time has spread 8.8-27.3 s across sessions with
+    // an UNCHANGED plan — the next high reading must say WHICH phase
+    // moved). Runs once after the battery, full-battery mode only, with
+    // explicit materialization barriers between the three phases
+    // (tokenize-gate / LSH pairs / CC+survivors+mix), so the sum tracks
+    // the fused query's cost but each phase is separately attributable.
+    // PlanAuditSpec pins the fused plan's operator census alongside.
+    def neardupPhases(): Option[(Double, Double, Double)] =
+      try {
+        import org.apache.spark.sql.functions.{col, length, lit}
+        import graft.dedup.Dedup
+        import graft.ops.Curation
+        import graft.text.TextAnalysis
+        def timed[T](body: => T): (T, Double) = {
+          val t0 = System.nanoTime()
+          val r = body
+          (r, (System.nanoTime() - t0) / 1e9)
+        }
+        val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+        val (gated, tGate) = timed {
+          val stats = TextAnalysis.tokenStats(docs, "doc_id", "text")
+          val g = docs.join(stats, "doc_id")
+            .filter(col("entropy") >= 2.8 && col("avg_logp") >= -3.5)
+            .drop("entropy", "avg_logp")
+            .persist()
+          g.count()
+          g
+        }
+        val (pairs, tLsh) = timed {
+          val sig = Dedup.minhashSignature(gated, "doc_id", "text", 5, 4)
+          Dedup.lshCandidatePairs(sig, "doc_id", numHashes = 4, bands = 2)
+            .localCheckpoint()
+        }
+        val (_, tCc) = timed {
+          val labels = Dedup.connectedComponents(
+            pairs, gated.select(col("doc_id")), "doc_id")
+          val surv = Dedup.dedupByCluster(gated, labels, "doc_id",
+            length(col("text"))).drop("cluster")
+          Curation.temperatureMix(surv, "doc_id", "source",
+              tau = 0.5, targetFrac = 0.5)
+            .filter(col("__keep")).drop("__keep", "__keep_rate")
+            .write.mode("overwrite").format("noop").save()
+        }
+        gated.unpersist(false)
+        flushState()
+        Some((tGate, tLsh, tCc))
+      } catch { case _: Throwable => flushState(); None }
+    val phasesJson = (if (only.isEmpty) neardupPhases() else None)
+      .map { case (g, l, c) =>
+        s""","neardup_phases":{"gate":${r2(g)},"lsh":${r2(l)},"cc":${r2(c)}}"""
+      }.getOrElse("")
+
     // full per-query detail goes to a FILE — the driver only captures the
     // last ~2000 chars of stdout, so a 147-entry JSON line gets truncated
     // mid-line and the driver records parsed:null (rounds 2 and 3 both hit
@@ -379,7 +432,7 @@ object Bench {
     val canaryJson =
       s""""canary_sec":${r2(canarySec)},"canary_ratio":${f"$canaryRatioRaw%.3f"},"canary_jvm_sec":${r2(jvmCanarySec)},"canary_jvm_ratio":${f"$jvmCanaryRatio%.3f"},"canary_io_sec":${r2(ioCanarySec)},"canary_io_ratio":${f"$ioCanaryRatio%.3f"},"canary_flag":$canaryFlag,"baseline_applied":$baselineApplied,"baseline_sf":${baselineSf.map(_.toString).getOrElse("null")},"run_sf":${runSf.map(_.toString).getOrElse("null")}"""
     val fullJson =
-      s"""{"metric":"total","value":${r2(total)},"unit":"sec","queries":$fullQs,"shuffle_mb":$shuf,"errors":$errs,"regressions":$regressions,"warnings":$warnings,"n_queries":${results.size},"n_failed":$nFail,"shuffle_mb_total":${r2(totalShufMb)},$canaryJson,"sf":${q(sfDir)}}"""
+      s"""{"metric":"total","value":${r2(total)},"unit":"sec","queries":$fullQs,"shuffle_mb":$shuf,"errors":$errs,"regressions":$regressions,"warnings":$warnings,"n_queries":${results.size},"n_failed":$nFail,"shuffle_mb_total":${r2(totalShufMb)},$canaryJson$phasesJson,"sf":${q(sfDir)}}"""
     // sbt runs with cwd = project root; if the driver ever invokes the jar
     // from elsewhere, fall back next to the baseline file so the detail
     // always lands somewhere discoverable. A FILTERED run (query-name arg)

@@ -187,6 +187,21 @@ object SnapSlopes {
       println(s"[snapslopes] n=$n capped-probe matches = $nMatches")
     }
 
+    // round-15: executor-side sidecar builds must be flat in FILE COUNT at
+    // fixed data volume (the former driver-serialized toLocalIterator loop
+    // paid a sequential driver write per file — linear in files however
+    // small they are). Same corpus bytes, 8/32/128 files; the recorded
+    // "n" for this phase IS the file count, so its fitted slope reads
+    // seconds-vs-files directly (expect ≈ 0 past the task-launch floor).
+    val fcDocs = syntheticDocs(spark, 200000L, 0L, seed = 23)
+    for (files <- Seq(8, 32, 128)) {
+      val b = s"$root/fc_$files"
+      Snapshots.write(fcDocs.repartition(files), b, statsKey = Some("doc_id"))
+      record("ndv_build_filecount", files.toLong, timeIt {
+        Snapshots.writeNdvSidecars(spark, b, Seq("source")); ()
+      })
+    }
+
     def slope(phase: String): Double = {
       val pts = results(phase).toSeq.map { case (nn, s) =>
         (math.log(nn.toDouble), math.log(math.max(s, 1e-3)))

@@ -1651,6 +1651,119 @@ private[graft] object StoreQueries {
       Some("""SELECT o_orderpriority, count(*) AS n,
              |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
              |  4 AS src_version, TRUE AS replay_noop
-             |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin))
+             |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Type-widening evolution (round-15; the third evolution verb after
+    // r14's rename/drop): `W:` manifest op, metadata-only — files of the
+    // int vintage stay physically narrow and the parquet reader upcasts
+    // them under the recorded-schema union (Spark 4's widening read path);
+    // post-widen appends land wide; time travel sees int AS OF v1; stats
+    // keep pruning across the widening (the lattice never crosses a type
+    // tag); materializeSchema then rewrites ONLY the narrow-vintage files
+    // (type-exact staleness from the per-file recorded schemas) and folds
+    // the op away. Guard matrix (rewrite verbs refuse while the op pends,
+    // no mixing with rename/drop) lives in SchemaWidenSpec.
+    "snap_type_widen" -> Q(
+      (s, d) => {
+        import graft.store.Snapshots
+        import org.apache.spark.sql.types.{IntegerType, LongType}
+        val root = FixtureRoot.fresh("snapwiden")
+        val base = root + "/t"
+        val docs = T(s, d, "documents")
+          .select(col("doc_id"), col("source"), col("n_chars"))
+        Snapshots.write(
+          docs.filter(col("doc_id") % 2 === 0)
+            .withColumn("n_chars", col("n_chars").cast("int"))
+            .repartitionByRange(4, col("n_chars"), col("doc_id")),
+          base, statsKey = Some("n_chars"))
+        val intAtV1 =
+          Snapshots.read(s, base).schema("n_chars").dataType == IntegerType
+        Snapshots.widenColumn(s, base, "n_chars", LongType)
+        Snapshots.append(docs.filter(col("doc_id") % 2 === 1), base,
+          statsKey = Some("n_chars"))
+        val longNow =
+          Snapshots.read(s, base).schema("n_chars").dataType == LongType &&
+            Snapshots.read(s, base, Some(1L))
+              .schema("n_chars").dataType == IntegerType
+        // int-vintage stats prune a long-literal range scan (tag L spans
+        // the widening)
+        val (cand, pruned) = Snapshots.scanPlan(s, base, col("n_chars") <= 300L)
+        val nLow = Snapshots.countWhere(s, base, col("n_chars") <= 300L)
+        val preFiles = Snapshots.manifestFiles(s, base,
+          Snapshots.versions(s, base).last).toSet
+        Snapshots.materializeSchema(s, base, statsKey = Some("n_chars"))
+        val postFiles = Snapshots.manifestFiles(s, base,
+          Snapshots.versions(s, base).last).toSet
+        val partialRewrite = (preFiles intersect postFiles).nonEmpty &&
+          (preFiles -- postFiles).nonEmpty
+        Snapshots.read(s, base)
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n"), dsum(col("n_chars")).as("sum_chars"))
+          .withColumn("int_at_v1", lit(intAtV1))
+          .withColumn("long_now", lit(longNow))
+          .withColumn("pruned_some", lit(pruned.nonEmpty && cand.nonEmpty))
+          .withColumn("n_low", lit(nLow))
+          .withColumn("partial_rewrite", lit(partialRewrite))
+          .orderBy(col("source"))
+      },
+      Some("""SELECT source, count(*) AS n,
+             |  CAST(sum(CAST(n_chars AS DECIMAL(18,2))) AS DOUBLE) AS sum_chars,
+             |  TRUE AS int_at_v1, TRUE AS long_now, TRUE AS pruned_some,
+             |  (SELECT count(*) FROM documents WHERE n_chars <= 300) AS n_low,
+             |  TRUE AS partial_rewrite
+             |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Generalized metadata MIN/MAX (round-15): metaBoundsOf answers on a
+    // NON-manifest-key column from the multi-column stats sidecars — the
+    // same composed lookup the unified scan planner prunes with — with
+    // zero records read (the IO pin lives in Round15StoreSpec). A column
+    // without sidecar coverage soundly returns None instead of guessing.
+    "snap_meta_minmax" -> Q(
+      (s, d) => {
+        import graft.store.Snapshots
+        val root = FixtureRoot.fresh("snapmmx")
+        val base = root + "/t"
+        val docs = T(s, d, "documents")
+          .select(col("doc_id"), col("source"), col("n_chars"))
+        Snapshots.write(docs.repartition(4), base, statsKey = Some("doc_id"))
+        Snapshots.writeStatsSidecars(s, base, Seq("n_chars"))
+        val Some((mn, mx)) = Snapshots.metaBoundsOf(s, base, "n_chars")
+        val uncovered = Snapshots.metaBoundsOf(s, base, "source").isEmpty
+        import s.implicits._
+        Seq((mn.toLong, mx.toLong, uncovered))
+          .toDF("min_chars", "max_chars", "none_without_sidecar")
+      },
+      Some("""SELECT min(n_chars) AS min_chars, max(n_chars) AS max_chars,
+             |  TRUE AS none_without_sidecar FROM documents""".stripMargin)),
+
+    // NDV under pending MoR deletes (round-15): the hybrid approxDistinct
+    // no longer forces a full re-scan when deletes pend — it re-scans only
+    // files the deletes COVER and keeps untouched files' sketches (the
+    // records-read pin lives in Round15StoreSpec); this key pins the
+    // VALUE: deleting every key ≡ 0 (mod 4) removes exactly the residues
+    // ≡ 0 (mod 4) of `o_orderkey % 120`, so the post-delete NDV is an
+    // exact, SQL-checkable 90-of-120 drop (120 distincts sit far inside
+    // HLL's exact sparse range).
+    "snap_ndv_mor" -> Q(
+      (s, d) => {
+        import graft.store.Snapshots
+        val root = FixtureRoot.fresh("snapndvmor")
+        val base = root + "/t"
+        val orders = T(s, d, "orders")
+          .select(col("o_orderkey"), (col("o_orderkey") % 120).as("bucket"))
+        Snapshots.write(orders.repartitionByRange(4, col("o_orderkey")),
+          base, statsKey = Some("o_orderkey"))
+        Snapshots.writeNdvSidecars(s, base, Seq("bucket"))
+        val before = Snapshots.approxDistinct(s, base, "bucket")
+        Snapshots.deleteWhereMoR(s, base, col("o_orderkey") % 4 === 0)
+        val after = Snapshots.approxDistinct(s, base, "bucket")
+        import s.implicits._
+        Seq((before, after)).toDF("ndv_before", "ndv_after")
+      },
+      Some("""SELECT
+             |  (SELECT count(DISTINCT o_orderkey % 120) FROM orders)
+             |    AS ndv_before,
+             |  (SELECT count(DISTINCT o_orderkey % 120) FROM orders
+             |   WHERE o_orderkey % 4 <> 0) AS ndv_after""".stripMargin))
   )
 }

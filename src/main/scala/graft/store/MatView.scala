@@ -46,33 +46,62 @@ object MatView {
   /** Anchor column carried on every view row (uniform per version). */
   val SrcVersionCol = "_src_version"
 
-  /** Deterministic per-view pin-tag name on the SOURCE table: derived
+  /** Explicit marker column (round-15, advisor item): TRUE only on the
+    * one all-null row an EMPTY view body commits to keep its anchor.
+    * Before this the readers keyed "marker" on a null aggregate value —
+    * which conflated the marker with a REAL group whose distinct-column
+    * values are all NULL (hll_sketch_agg yields a null sketch), silently
+    * dropping that group from distinct views. */
+  val MarkerCol = "__mv_marker"
+
+  /** Deterministic per-view pin-tag PREFIX on the SOURCE table: derived
     * from the view's base path, so one source can carry pins from many
-    * views and a re-created view reuses (re-points) its own pin. */
-  private[store] def pinName(mvBase: String): String = {
+    * views. Each anchor gets its own tag (`<prefix>-v<anchor>`). */
+  private[store] def pinPrefix(mvBase: String): String = {
     val h = java.security.MessageDigest.getInstance("SHA-1")
       .digest(mvBase.getBytes("UTF-8"))
       .take(8).map(b => f"$b%02x").mkString
     s"mv-pin-$h"
   }
 
-  /** Re-point the view's source pin to `anchor` (tags are immutable —
-    * drop-then-create; the window where no pin exists is harmless
-    * because the caller holds the just-committed view whose refresh has
-    * already read everything it needs from the old anchor). */
-  private def pinAnchor(spark: SparkSession, srcBase: String, mvBase: String,
-                        anchor: Long): Unit = {
-    val name = pinName(mvBase)
-    if (!Snapshots.tags(spark, srcBase).get(name).contains(anchor)) {
-      Snapshots.dropTag(spark, srcBase, name)
-      Snapshots.tag(spark, srcBase, name, anchor)
-    }
+  /** Pin `anchor` BEFORE the view commit that will reference it (round-15,
+    * advisor item: the old pin-AFTER-commit left a window — crash between
+    * the view write and the pin, or a concurrent expire inside the old
+    * drop-then-create — where an aggressive expire could collect the
+    * anchor the next refresh needs). Create-new-then-drop-old means SOME
+    * pin always covers every version a committed view references; losing
+    * the tag-create race to a concurrent refresher of the same view is
+    * fine (the tag then exists with the right target). */
+  private def pinAnchorPre(spark: SparkSession, srcBase: String,
+                           mvBase: String, anchor: Long): Unit = {
+    val name = s"${pinPrefix(mvBase)}-v$anchor"
+    if (!Snapshots.tags(spark, srcBase).contains(name))
+      try Snapshots.tag(spark, srcBase, name, anchor)
+      catch { case _: java.io.IOException
+          if Snapshots.tags(spark, srcBase).contains(name) => () }
   }
 
-  /** Drop the view's pin on its source (call when retiring a view so its
+  /** AFTER a successful view commit: drop every pin of this view except
+    * the one covering `anchor` (also collects pre-round-15 single-name
+    * pins and any crash-orphaned pre-pins). */
+  private def dropStalePins(spark: SparkSession, srcBase: String,
+                            mvBase: String, anchor: Long): Unit = {
+    val pre = pinPrefix(mvBase)
+    val keep = s"$pre-v$anchor"
+    Snapshots.tags(spark, srcBase).keys
+      .filter(n => (n == pre || n.startsWith(s"$pre-v")) && n != keep)
+      .foreach(Snapshots.dropTag(spark, srcBase, _))
+  }
+
+  /** Drop the view's pins on its source (call when retiring a view so its
     * anchor snapshot becomes expirable again). */
-  def unpin(spark: SparkSession, srcBase: String, mvBase: String): Boolean =
-    Snapshots.dropTag(spark, srcBase, pinName(mvBase))
+  def unpin(spark: SparkSession, srcBase: String, mvBase: String): Boolean = {
+    val pre = pinPrefix(mvBase)
+    Snapshots.tags(spark, srcBase).keys
+      .filter(n => n == pre || n.startsWith(s"$pre-v")).toSeq
+      .map(Snapshots.dropTag(spark, srcBase, _))
+      .exists(identity)
+  }
 
   private def aggregate(df: DataFrame, groupCols: Seq[String],
                         valueCol: String): DataFrame =
@@ -87,45 +116,56 @@ object MatView {
    * over an empty source starts that way): the anchor rides only on data
    * rows, so a zero-row commit would lose it permanently and brick the
    * next refresh. An empty body commits ONE marker row: all-null except
-   * the anchor column. Markers are invisible to every reader (filtered
-   * on the null aggregate — `n` is count(*) and a sketch is an agg
-   * value, so a REAL row can never carry null there) and contribute
-   * nothing to the next delta application. The frame is eagerly
-   * localCheckpoint'd so the emptiness probe and the write share one
-   * computation of the delta.
+   * the anchor and the explicit [[MarkerCol]] flag — the flag (not a null
+   * aggregate) is what readers filter on, so a REAL group whose sketch is
+   * null (all-NULL distinct values) is never mistaken for the marker.
+   * The frame is eagerly localCheckpoint'd so the emptiness probe and the
+   * write share one computation of the delta.
    */
   private def anchored(df: DataFrame, head: Long): DataFrame = {
-    val out = df.withColumn(SrcVersionCol, lit(head)).localCheckpoint()
+    val out = df.withColumn(SrcVersionCol, lit(head))
+      .withColumn(MarkerCol, lit(false)).localCheckpoint()
     if (!out.isEmpty) out
     else {
       val relaxed = org.apache.spark.sql.types.StructType(out.schema.map(f =>
-        if (f.name == SrcVersionCol) f else f.copy(nullable = true)))
+        if (f.name == SrcVersionCol || f.name == MarkerCol) f
+        else f.copy(nullable = true)))
       out.sparkSession.createDataFrame(
         java.util.Collections.singletonList(
           org.apache.spark.sql.Row.fromSeq(relaxed.map(f =>
-            if (f.name == SrcVersionCol) head else null))),
+            if (f.name == SrcVersionCol) head
+            else if (f.name == MarkerCol) true
+            else null))),
         relaxed)
     }
   }
+
+  /** The view's REAL rows: marker row out (explicit flag; legacy views
+    * without the flag fall back to the null-aggregate heuristic on
+    * `legacyAggCol`), marker column dropped. */
+  private def bodyRows(df: DataFrame, legacyAggCol: String): DataFrame =
+    if (df.columns.contains(MarkerCol))
+      df.filter(!coalesce(col(MarkerCol), lit(false))).drop(MarkerCol)
+    else df.filter(col(legacyAggCol).isNotNull)
 
   /** Full build from the source's current snapshot; the view starts at
     * version 1 anchored (and source-pinned) to the source head. */
   def create(spark: SparkSession, srcBase: String, mvBase: String,
              groupCols: Seq[String], valueCol: String): Long = {
     val head = Snapshots.versions(spark, srcBase).last
+    pinAnchorPre(spark, srcBase, mvBase, head)
     val v = Snapshots.write(
       anchored(aggregate(Snapshots.read(spark, srcBase), groupCols, valueCol),
         head),
       mvBase)
-    pinAnchor(spark, srcBase, mvBase, head)
+    dropStalePins(spark, srcBase, mvBase, head)
     v
   }
 
-  /** The view's rows without the anchor bookkeeping column (and without
-    * the empty-view marker row, which has a null `n`). */
+  /** The view's rows without the bookkeeping columns (and without the
+    * empty-view marker row — filtered on the explicit marker flag). */
   def read(spark: SparkSession, mvBase: String): DataFrame =
-    Snapshots.read(spark, mvBase).filter(col("n").isNotNull)
-      .drop(SrcVersionCol)
+    bodyRows(Snapshots.read(spark, mvBase), "n").drop(SrcVersionCol)
 
   /** Source version the view currently reflects (read from the rows; the
     * empty-view marker carries it when every group retired). */
@@ -151,10 +191,14 @@ object MatView {
               cdcKey: Option[String] = None): Long = {
     val mvVersions = Snapshots.versions(spark, mvBase)
     require(mvVersions.nonEmpty, s"no materialized view under $mvBase - run create first")
-    val mv = Snapshots.read(spark, mvBase).filter(col("n").isNotNull)
+    val mv = bodyRows(Snapshots.read(spark, mvBase), "n")
     val from = anchor(spark, mvBase)
     val head = Snapshots.versions(spark, srcBase).last
     if (head == from) return mvVersions.last
+    // the NEW anchor is pinned before the commit that references it; the
+    // OLD anchor's pin survives until after (the delta computation below
+    // is lazy — it must still find the old version when the write runs)
+    pinAnchorPre(spark, srcBase, mvBase, head)
     val delta =
       try {
         aggregate(Snapshots.appendedSince(spark, srcBase, from),
@@ -174,7 +218,7 @@ object MatView {
       anchored(Snapshots.applyAggDelta(mv.drop(SrcVersionCol), delta,
         groupCols), head),
       mvBase)
-    pinAnchor(spark, srcBase, mvBase, head)
+    dropStalePins(spark, srcBase, mvBase, head)
     v
   }
 
@@ -194,13 +238,14 @@ object MatView {
                          groupCols: Seq[String], distinctCol: String,
                          lgK: Int = 12): Long = {
     val head = Snapshots.versions(spark, srcBase).last
+    pinAnchorPre(spark, srcBase, mvBase, head)
     val v = Snapshots.write(
       anchored(Snapshots.read(spark, srcBase)
         .groupBy(groupCols.map(col): _*)
         .agg(expr(s"hll_sketch_agg(`$distinctCol`, $lgK)").as("sketch")),
         head),
       mvBase)
-    pinAnchor(spark, srcBase, mvBase, head)
+    dropStalePins(spark, srcBase, mvBase, head)
     v
   }
 
@@ -211,10 +256,11 @@ object MatView {
                           lgK: Int = 12): Long = {
     val mvVersions = Snapshots.versions(spark, mvBase)
     require(mvVersions.nonEmpty, s"no view under $mvBase - run createDistinctView first")
-    val mv = Snapshots.read(spark, mvBase)
+    val mv = bodyRows(Snapshots.read(spark, mvBase), "sketch")
     val from = anchor(spark, mvBase)
     val head = Snapshots.versions(spark, srcBase).last
     if (head == from) return mvVersions.last
+    pinAnchorPre(spark, srcBase, mvBase, head)
     val delta =
       try Snapshots.appendedSince(spark, srcBase, from)
       catch {
@@ -225,23 +271,28 @@ object MatView {
       }
     val dAgg = delta.groupBy(groupCols.map(col): _*)
       .agg(expr(s"hll_sketch_agg(`$distinctCol`, $lgK)").as("sketch"))
+    // real groups with a NULL sketch (all-NULL distinct values) survive the
+    // fold — hll_union_agg ignores nulls per group and yields null only
+    // when every input is null, which readDistinctView reports as 0
     val v = Snapshots.write(
-      anchored(mv.drop(SrcVersionCol).filter(col("sketch").isNotNull)
+      anchored(mv.drop(SrcVersionCol)
         .unionByName(dAgg)
         .groupBy(groupCols.map(col): _*)
         .agg(expr("hll_union_agg(sketch)").as("sketch")),
         head),
       mvBase)
-    pinAnchor(spark, srcBase, mvBase, head)
+    dropStalePins(spark, srcBase, mvBase, head)
     v
   }
 
-  /** The distinct view's estimates: (groupCols..., approx_distinct); the
-    * empty-view marker (null sketch) is filtered out. */
+  /** The distinct view's estimates: (groupCols..., approx_distinct). The
+    * empty-view marker row is filtered on the explicit flag; a REAL group
+    * whose distinct-column values are all NULL reports 0 (matching
+    * `count(DISTINCT x)` over all-NULL x), not a dropped row. */
   def readDistinctView(spark: SparkSession, mvBase: String): DataFrame =
-    Snapshots.read(spark, mvBase)
-      .filter(col("sketch").isNotNull)
-      .withColumn("approx_distinct", expr("hll_sketch_estimate(sketch)"))
+    bodyRows(Snapshots.read(spark, mvBase), "sketch")
+      .withColumn("approx_distinct",
+        coalesce(expr("hll_sketch_estimate(sketch)"), lit(0L)))
       .drop("sketch", SrcVersionCol)
 
   /**

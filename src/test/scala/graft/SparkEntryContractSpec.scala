@@ -18,6 +18,17 @@ class SparkEntryContractSpec extends AnyFunSuite {
     assert(missing.isEmpty, s"oracle without query: $missing")
   }
 
+  test("README's advertised query count matches the battery (round-15: the front door can't go stale)") {
+    val readme = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("README.md")), "UTF-8")
+    val advertised = """(\d+) queries""".r.findAllMatchIn(readme)
+      .map(_.group(1).toInt).toSeq.distinct
+    assert(advertised.nonEmpty, "README must advertise the query count")
+    assert(advertised == Seq(SparkEntry.queries.size),
+      s"README says $advertised queries; the battery has " +
+        s"${SparkEntry.queries.size} - update README.md")
+  }
+
   test("every query's plan analyzes against the sf0.001 schemas") {
     val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       try { fn(spark, sf).schema; None }

@@ -368,4 +368,28 @@ class PlanAuditSpec extends AnyFunSuite {
     // ≤buckets-row side must never shuffle the corpus)
     assert(p.contains("BroadcastHashJoin"), p)
   }
+
+  test("pipeline_neardup_pretraining: operator census is pinned (round-15 variance watch)") {
+    // The capstone's battery time has spread 8.8-27.3 s across sessions
+    // with a claim of "plan unchanged" — this makes that claim mechanical:
+    // any drift in shuffle/join/explode/window-limit structure fails HERE
+    // before the bench moves, so a future high reading is attributable to
+    // the host or a phase (Bench's neardup_phases timers), never to a
+    // silently different plan. Note: constructing the query RUNS the CC
+    // loop's checkpointed rounds at sf0.001; the census covers the fused
+    // tokenize-gate head and the post-CC survivor/mix/split tail around
+    // the checkpoint scans.
+    val p = planOf("pipeline_neardup_pretraining")
+    assert(!p.contains("CartesianProduct"), "no all-pairs, ever")
+    val shuffles = "(?<!Broadcast)Exchange hashpartitioning".r.findAllIn(p).size
+    val explodes = p.linesIterator.count(_.contains("Generate explode"))
+    val smj = "SortMergeJoin".r.findAllIn(p).size
+    val bhj = "BroadcastHashJoin".r.findAllIn(p).size
+    val winlim = "WindowGroupLimit".r.findAllIn(p).size
+    val census = (shuffles, explodes, smj, bhj, winlim)
+    assert(census == ((30, 8, 2, 11, 4)),
+      s"capstone plan census drifted (shuffles, explodes, SMJ, BHJ, " +
+        s"WindowGroupLimit): $census - if the change is intentional, " +
+        "re-pin alongside a bench A/B")
+  }
 }

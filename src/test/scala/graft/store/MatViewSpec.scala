@@ -203,4 +203,52 @@ class MatViewSpec extends AnyFunSuite {
     assert(rows(MatView.read(spark, mv)) == rows(fullRecompute(base)))
     assert(MatView.read(spark, mv).agg(sum(col("n"))).head.getLong(0) == 10L)
   }
+
+  test("distinct view keeps a REAL group whose distinct values are all NULL (round-15)") {
+    val root = java.nio.file.Files.createTempDirectory("graft-mv-nullg").toString
+    val (base, mv) = (root + "/t", root + "/mv")
+    // group gX: every distinct-column value NULL → null sketch, but the
+    // group is REAL and a GROUP BY oracle shows it with 0 distincts
+    val rows0 = Seq(("gA", Option("u1")), ("gA", Option("u2")),
+      ("gX", None: Option[String]), ("gX", None: Option[String]))
+    Snapshots.write(rows0.toDF("grp", "user"), base)
+    MatView.createDistinctView(spark, base, mv, Seq("grp"), "user")
+    val got = MatView.readDistinctView(spark, mv)
+      .orderBy(col("grp"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got == Seq(("gA", 2L), ("gX", 0L)),
+      s"all-NULL group must report 0, not vanish: $got")
+    // the group survives a refresh (union keeps null-sketch rows) and
+    // starts counting once real values arrive
+    Snapshots.append(Seq(("gX", Option("u9")), ("gY", None: Option[String]))
+      .toDF("grp", "user"), base)
+    MatView.refreshDistinctView(spark, base, mv, Seq("grp"), "user")
+    val got2 = MatView.readDistinctView(spark, mv)
+      .orderBy(col("grp"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got2 == Seq(("gA", 2L), ("gX", 1L), ("gY", 0L)), got2.toString)
+  }
+
+  test("anchor pins are created BEFORE the view commit and stale pins are collected (round-15)") {
+    val root = java.nio.file.Files.createTempDirectory("graft-mv-prepin").toString
+    val (base, mv) = (root + "/t", root + "/mv")
+    def b(ids: Range) = ids.map(i => (i.toLong, s"g${i % 3}", 1.0)).toDF("id", "grp", "v")
+    Snapshots.write(b(1 to 10), base)
+    MatView.create(spark, base, mv, Seq("grp"), "v")
+    val pre = MatView.pinPrefix(mv)
+    // exactly one pin, named for its anchor — some pin covers every version
+    // a committed view references, with no drop-then-create window
+    assert(Snapshots.tags(spark, base).toSeq == Seq((s"$pre-v1", 1L)))
+    // a legacy single-name pin (pre-round-15 layout) and a crash-orphaned
+    // pre-pin are both collected by the next refresh
+    Snapshots.tag(spark, base, pre, 1L)
+    Snapshots.append(b(11 to 20), base)
+    Snapshots.tag(spark, base, s"$pre-v2", 2L) // orphaned pre-pin shape
+    Snapshots.append(b(21 to 30), base)
+    MatView.refresh(spark, base, mv, Seq("grp"), "v")
+    assert(Snapshots.tags(spark, base).toSeq == Seq((s"$pre-v3", 3L)),
+      s"stale pins must be collected: ${Snapshots.tags(spark, base)}")
+    assert(MatView.unpin(spark, base, mv))
+    assert(Snapshots.tags(spark, base).isEmpty)
+  }
 }

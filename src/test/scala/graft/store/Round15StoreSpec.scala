@@ -1,0 +1,160 @@
+package graft.store
+
+import org.apache.spark.sql.functions.{col, lit}
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/**
+ * Round-15 store behaviors: generalized metadata MIN/MAX (metaBoundsOf),
+ * delete-scoped approxDistinct, executor-side sidecar builds, and the
+ * bloom canon-vintage guard.
+ */
+class Round15StoreSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def recordsReadDuring(body: => Unit): Long = {
+    val recs = new java.util.concurrent.atomic.AtomicLong(0L)
+    val l = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (te.taskMetrics != null) recs.addAndGet(te.taskMetrics.inputMetrics.recordsRead)
+    }
+    spark.sparkContext.addSparkListener(l)
+    try {
+      body
+      var prev = -1L; var n = 0
+      while (n < 100 && prev != recs.get()) { prev = recs.get(); Thread.sleep(20); n += 1 }
+    } finally spark.sparkContext.removeSparkListener(l)
+    recs.get()
+  }
+
+  test("metaBoundsOf: min/max of a NON-key column from sidecars, zero records read") {
+    val base = java.nio.file.Files.createTempDirectory("graft-mbof").toString + "/t"
+    val df = (1L to 300L).map(i => (i, i * 2 + 1, s"v$i")).toDF("id", "score", "s")
+      .repartitionByRange(3, col("id"))
+    Snapshots.write(df, base, statsKey = Some("id"))
+    // manifest-key column answers immediately
+    assert(Snapshots.metaBoundsOf(spark, base, "id") == Some(("1", "300")))
+    // non-key column: no sidecars yet → None (fallback, never a guess)
+    assert(Snapshots.metaBoundsOf(spark, base, "score").isEmpty)
+    Snapshots.writeStatsSidecars(spark, base, Seq("score"))
+    val read = recordsReadDuring {
+      assert(Snapshots.metaBoundsOf(spark, base, "score") == Some(("3", "601")))
+    }
+    assert(read == 0L, s"metaBoundsOf must not read data, read $read records")
+    // string column is sidecar-covered too (UTF-8 byte order)
+    Snapshots.writeStatsSidecars(spark, base, Seq("s")) // no-op: sidecars exist
+    // pending delete → None (the extreme row may be gone)
+    Snapshots.deleteWhereMoR(spark, base, col("id") === 300L)
+    assert(Snapshots.metaBoundsOf(spark, base, "score").isEmpty)
+  }
+
+  test("metaBoundsOf answers in the NEW name after a rename (translation layer)") {
+    val base = java.nio.file.Files.createTempDirectory("graft-mbof2").toString + "/t"
+    Snapshots.write((1L to 90L).map(i => (i, i * 3)).toDF("id", "score")
+      .repartitionByRange(3, col("id")), base, statsKey = Some("id"))
+    Snapshots.writeStatsSidecars(spark, base, Seq("score"))
+    Snapshots.renameColumn(spark, base, "score", "points")
+    assert(Snapshots.metaBoundsOf(spark, base, "points") == Some(("3", "270")))
+    assert(Snapshots.metaBoundsOf(spark, base, "score").isEmpty,
+      "the old name no longer exists")
+  }
+
+  test("approxDistinct under a pending MoR delete re-scans ONLY covered files") {
+    val base = java.nio.file.Files.createTempDirectory("graft-ndvdel").toString + "/t"
+    val df = (1L to 400L).map(i => (i, s"u${i}")).toDF("id", "user")
+      .repartitionByRange(4, col("id"))
+    Snapshots.write(df, base, statsKey = Some("id"))
+    assert(Snapshots.writeNdvSidecars(spark, base, Seq("id")) == 4)
+    assert(Snapshots.approxDistinct(spark, base, "id") == 400L)
+    // positional delete confined to ONE file ([1,100])
+    Snapshots.deleteWhereMoR(spark, base, col("id") === 5L)
+    val read = recordsReadDuring {
+      assert(Snapshots.approxDistinct(spark, base, "id") == 399L)
+    }
+    // covered-file rows (100) + the KiB delete file (1 row) — NOT the
+    // 400-row full re-scan round 14 paid
+    assert(read <= 150L, s"expected delete-scoped re-scan, read $read records")
+
+    // equality delete covers the whole recorded version → full honesty
+    // re-scan, still exact
+    val base2 = java.nio.file.Files.createTempDirectory("graft-ndvdel2").toString + "/t"
+    Snapshots.write(df, base2, statsKey = Some("id"))
+    Snapshots.writeNdvSidecars(spark, base2, Seq("id"))
+    Snapshots.deleteByKey(spark, base2, Seq(7L, 9L).toDF("id"))
+    assert(Snapshots.approxDistinct(spark, base2, "id") == 398L)
+    // appended-after files are NOT covered by the earlier delete: their
+    // sketches stay usable
+    Snapshots.append((401L to 500L).map(i => (i, s"u$i")).toDF("id", "user"),
+      base2, statsKey = Some("id"))
+    Snapshots.writeNdvSidecars(spark, base2, Seq("id"))
+    assert(Snapshots.approxDistinct(spark, base2, "id") == 498L)
+  }
+
+  test("executor-side sidecar builds: multi-partition, counted, idempotent") {
+    val base = java.nio.file.Files.createTempDirectory("graft-execsc").toString + "/t"
+    val df = (1L to 600L).map(i => (i, i / 2.0, s"g${i % 5}")).toDF("id", "x", "g")
+      .repartitionByRange(6, col("id"))
+    Snapshots.write(df, base)
+    assert(Snapshots.writeNdvSidecars(spark, base, Seq("id", "g")) == 6)
+    assert(Snapshots.writeNdvSidecars(spark, base, Seq("id", "g")) == 0)
+    assert(Snapshots.writeStatsSidecars(spark, base, Seq("x")) == 6)
+    assert(Snapshots.writeStatsSidecars(spark, base, Seq("x")) == 0)
+    assert(Snapshots.writeBloomSidecars(spark, base, "id",
+      expectedItems = 1000L) == 6)
+    assert(Snapshots.writeBloomSidecars(spark, base, "id",
+      expectedItems = 1000L) == 0)
+    // the artifacts work end to end
+    assert(Snapshots.approxDistinct(spark, base, "g") == 5L)
+    assert(Snapshots.metaBoundsOf(spark, base, "x") == Some(("0.5", "300.0")))
+    assert(Snapshots.pointLookup(spark, base, "id", 42L).count() == 1L)
+    // no tmp debris left behind by the executor writers
+    val debris = new java.io.File(base).listFiles().filter(_.isDirectory)
+      .flatMap(_.listFiles()).filter(_.getName.contains(".tmp-"))
+    assert(debris.isEmpty, debris.mkString(", "))
+  }
+
+  test("legacy (pre-canon) bloom sections never probe timestamp columns; long columns still prune") {
+    val base = java.nio.file.Files.createTempDirectory("graft-bloomv1").toString + "/t"
+    val rows = (0 until 300).map { i =>
+      (java.sql.Timestamp.valueOf(f"2024-01-${i / 10 + 1}%02d 00:00:${i % 10}%02d"),
+        i.toLong, s"v$i")
+    }.toDF("ts", "id", "s")
+    Snapshots.write(rows.repartition(3), base) // interleaved: bounds can't prune
+    // hand-write V1 sidecars whose ts sections use the OLD canon (rendered
+    // timestamps) — exactly what a pre-round-14 build left on disk. A new-
+    // canon probe (epoch micros) would read "definitely absent" from them.
+    val f = new java.io.File(base + "/v=1")
+    val dataFiles = f.listFiles().filter(_.getName.endsWith(".parquet"))
+    dataFiles.foreach { df0 =>
+      val rel = s"v=1/${df0.getName}"
+      val vals = spark.read.parquet(df0.getPath)
+      val tsBloom = org.apache.spark.util.sketch.BloomFilter.create(1000, 0.01)
+      vals.select(col("ts").cast("string")).collect()
+        .foreach(r => tsBloom.putString(r.getString(0)))
+      val idBloom = org.apache.spark.util.sketch.BloomFilter.create(1000, 0.01)
+      vals.select(col("id").cast("string")).collect()
+        .foreach(r => idBloom.putString(r.getString(0)))
+      val bos = new java.io.ByteArrayOutputStream()
+      def sec(c: String, b: org.apache.spark.util.sketch.BloomFilter): Unit = {
+        val bb = new java.io.ByteArrayOutputStream(); b.writeTo(bb)
+        bos.write(s"GRAFTBLOOM1\t$c\t${bb.size}\n".getBytes("UTF-8"))
+        bos.write(bb.toByteArray)
+      }
+      sec("id", idBloom); sec("ts", tsBloom)
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"$base/$rel.bloom"), bos.toByteArray)
+    }
+    // timestamp probe: the v1 ts section must be IGNORED (must-scan), so
+    // the count stays exact instead of mis-pruning to 0
+    val probe = java.sql.Timestamp.valueOf("2024-01-05 00:00:03")
+    assert(Snapshots.countWhere(spark, base, col("ts") === lit(probe)) == 1L)
+    assert(Snapshots.scanPlan(spark, base, col("ts") === lit(probe))._1.size == 3,
+      "v1 ts sections must admit every file")
+    // long probe: v1 and v2 canons coincide → the v1 id section still prunes
+    val (candId, _) = Snapshots.scanPlan(spark, base, col("id") === 42L)
+    assert(candId.size < 3, "v1 long sections remain usable")
+    assert(Snapshots.countWhere(spark, base, col("id") === 42L) == 1L)
+  }
+}

@@ -262,11 +262,15 @@ class SnapshotsSpec extends AnyFunSuite {
       .repartitionByRange(8, col("id"))
     Snapshots.write(df, base, statsKey = Some("id"))
     // every file's manifest line carries (key, tag, min, max) + the
-    // #n= null-count and #r= row-count fields
+    // #n= null-count, #r= row-count, and #s= schema-id fields (plus ONE
+    // interned S: schema-definition line for the whole commit)
     val lines = Snapshots.manifestLines(spark, base, 1L)
-    assert(lines.size == 8 && lines.forall { l =>
+    val (defs, entries) = lines.partition(_.startsWith("S:"))
+    assert(defs.size == 1, lines.mkString("\n"))
+    assert(entries.size == 8 && entries.forall { l =>
       val p = l.split('\t')
-      p.length == 7 && p(5).startsWith("#n=") && p(6).startsWith("#r=")
+      p.length == 8 && p(5).startsWith("#n=") && p(6).startsWith("#r=") &&
+        p(7).startsWith("#s=")
     }, lines.mkString("\n"))
     // count input records the merge actually reads
     val recs = recordsReadDuring {
@@ -278,11 +282,13 @@ class SnapshotsSpec extends AnyFunSuite {
     assert(recs < 600, s"merge read $recs records; expected pruned discovery")
     val rows = Snapshots.read(spark, base).as[(Long, String)].collect().toMap
     assert(rows.size == 1000 && rows(5L) == "X" && rows(999L) == "v999")
-    // the new version's manifest still carries stats on every line
-    // (5 stats fields, plus the #n=/#r= counters where recorded)
+    // the new version's manifest still carries stats on every entry line
+    // (5 stats fields, plus the #n=/#r=/#s= counters where recorded)
     assert(Snapshots.manifestLines(spark, base, 2L)
+      .filterNot(_.startsWith("S:"))
       .forall(l => l.split('\t')
-        .filterNot(x => x.startsWith("#r=") || x.startsWith("#n="))
+        .filterNot(x => x.startsWith("#r=") || x.startsWith("#n=") ||
+          x.startsWith("#s="))
         .length == 5))
     // an out-of-range insert-only merge prunes EVERY file (reads ~0 rows)
     val recs2 = recordsReadDuring {
@@ -769,7 +775,7 @@ class SnapshotsSpec extends AnyFunSuite {
     assert(after.exists(t => t._1.isEmpty && t._2 == "snull" && t._3 == 0L))
     // file granularity: the two clean files are inherited by reference
     val lines = Snapshots.manifestLines(spark, base,
-      Snapshots.versions(spark, base).last)
+      Snapshots.versions(spark, base).last).filterNot(_.startsWith("S:"))
     val prior = Snapshots.manifestLines(spark, base, 3L)
     assert(lines.count(prior.contains) == 2,
       s"expected 2 inherited entries, got:\n${lines.mkString("\n")}")
@@ -849,7 +855,7 @@ class SnapshotsSpec extends AnyFunSuite {
     val priorLines = Snapshots.manifestLines(spark, base, vBefore).toSet
     val vm = Snapshots.materializeDeletes(spark, base, statsKey = Some("id"))
     val lines = Snapshots.manifestLines(spark, base, vm)
-    assert(lines.count(priorLines.contains) == 2,
+    assert(lines.filterNot(_.startsWith("S:")).count(priorLines.contains) == 2,
       s"expected 2 inherited data entries:\n${lines.mkString("\n")}")
     assert(!lines.exists(_.startsWith("E:")) && !lines.exists(_.startsWith("D:")))
     assert(Snapshots.read(spark, base).as[(Long, String)].collect().toSet == expected)
@@ -1096,11 +1102,12 @@ class SnapshotsSpec extends AnyFunSuite {
     Snapshots.write(dirty.toDF("s", "n").repartition(col("s")), base,
       statsKey = Some("s"))
     val lines = Snapshots.manifestLines(spark, base, 1L)
-    // no manifest line may carry a value that survives trim/getLines
-    // altered (trailing #n=/#r= counter fields may follow either shape)
-    assert(lines.forall { l =>
+    // no manifest ENTRY line may carry a value that survives trim/getLines
+    // altered (trailing #n=/#r=/#s= counter fields may follow either shape)
+    assert(lines.filterNot(_.startsWith("S:")).forall { l =>
       val p = l.split('\t')
-        .filterNot(x => x.startsWith("#r=") || x.startsWith("#n="))
+        .filterNot(x => x.startsWith("#r=") || x.startsWith("#n=") ||
+          x.startsWith("#s="))
       p.length == 1 || p.length == 5 &&
         Seq(p(3), p(4)).forall(v => !v.exists(_.isControl) && v == v.trim)
     }, lines.mkString("|"))
@@ -1302,7 +1309,7 @@ class SnapshotsSpec extends AnyFunSuite {
     Snapshots.write(df, base2, statsKey = Some("id"))
     val mf = new java.io.File(s"$base2/v=1/_manifest")
     val stripped = scala.io.Source.fromFile(mf).getLines()
-      .map(_.replaceAll("\\t#r=\\d+$", "")).mkString("\n") + "\n"
+      .map(_.replaceAll("\\t#r=\\d+", "")).mkString("\n") + "\n"
     java.nio.file.Files.writeString(mf.toPath, stripped)
     // the in-place edit invalidates LocalFileSystem's checksum sidecar
     new java.io.File(s"$base2/v=1/._manifest.crc").delete()
