@@ -197,6 +197,16 @@ object SnapSlopes {
     for (files <- Seq(8, 32, 128)) {
       val b = s"$root/fc_$files"
       Snapshots.write(fcDocs.repartition(files), b, statsKey = Some("doc_id"))
+      // scan-only twin: the same per-file aggregation WITHOUT sidecar
+      // writes — isolates the scan's inherent per-file task floor, so
+      // build − scanonly reads the WRITE path's file-count cost alone
+      // (the executor-side writes; the old driver loop was linear here)
+      record("ndv_scanonly_filecount", files.toLong, timeIt {
+        Snapshots.read(spark, b)
+          .groupBy(input_file_name().as("__f"))
+          .agg(expr("hll_sketch_agg(cast(source as string), 14)").as("sk"))
+          .write.mode("overwrite").format("noop").save()
+      })
       record("ndv_build_filecount", files.toLong, timeIt {
         Snapshots.writeNdvSidecars(spark, b, Seq("source")); ()
       })

@@ -227,7 +227,8 @@ object Snapshots {
 
   private def parseEntry(line: String): ManifestEntry = {
     if (line.startsWith("R:") || line.startsWith("X:") ||
-        line.startsWith("W:") || line.startsWith("S:"))
+        line.startsWith("W:") || line.startsWith("S:") ||
+        line.startsWith("I:")) // segment include: only in RAW line views
       return ManifestEntry(line, line, None, isSchemaOp = true)
     if (line.startsWith("D:"))
       return ManifestEntry(line, line.drop(2), None, isDelete = true)
@@ -402,12 +403,79 @@ object Snapshots {
       spark.read.option("mergeSchema", true)
         .parquet(data.map(e => s"$base/${e.path}"): _*).schema)
 
-  /** Raw manifest lines of version `v` (paths + optional key stats). */
-  def manifestLines(spark: SparkSession, base: String, v: Long): Seq[String] = {
-    val in = fs(spark, base).open(manifestPath(base, v))
+  // ─── Manifest segments (round-15): O(delta) commit metadata ─────────────
+  //
+  // A manifest may carry `I:<rel>` include lines referencing IMMUTABLE
+  // segment files (`_seg-*`, staged and committed atomically with their
+  // version) that hold a chunk of manifest lines verbatim. Without them,
+  // every append rewrites the FULL line set — O(table-files) metadata
+  // bytes per commit, the write-side twin of the footer sweep this round
+  // killed on reads: at 100k files each commit rewrote 100k lines to add
+  // 4. Now [[commitStaged]] folds any inherited run of ≥
+  // [[FoldRunThreshold]] loose lines into one segment written once and
+  // referenced forever after, so append-chain commits write
+  // O(delta + includes) lines. Readers expand includes transparently
+  // ([[manifestLines]]); rewrite verbs inherit filtered EXPANDED subsets
+  // (unfolding — re-folded by the next append). Segments are protected
+  // from expiry/vacuum like the data files they describe: a segment lives
+  // until the last manifest including it goes.
+
+  private[store] val FoldRunThresholdDefault = 512
+  /** Mutable ONLY so tests can exercise folding without 512-file
+    * fixtures; production code never writes it. */
+  @volatile private[store] var FoldRunThreshold: Int = FoldRunThresholdDefault
+
+  /** Immutable-segment content cache (bounded): segments are written once
+    * and never modified, so (absolute path → lines) is safe to memoize. */
+  private val segCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Vector[String]]()
+
+  private def readLinesOf(f: org.apache.hadoop.fs.FileSystem,
+                          p: Path): Vector[String] = {
+    val in = f.open(p)
     try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
       .map(_.trim).filter(_.nonEmpty).toVector
     finally in.close()
+  }
+
+  private def segmentLines(f: org.apache.hadoop.fs.FileSystem, base: String,
+                           rel: String): Vector[String] = {
+    val key = s"$base/$rel"
+    val hit = segCache.get(key)
+    if (hit != null) hit
+    else {
+      val lines = readLinesOf(f, new Path(key))
+      if (segCache.size > 256) segCache.clear() // crude bound; re-read is cheap
+      segCache.put(key, lines)
+      lines
+    }
+  }
+
+  /** Expand `I:` include lines (one level — segments never nest). */
+  private def expandLines(f: org.apache.hadoop.fs.FileSystem, base: String,
+                          raw: Seq[String]): Seq[String] =
+    if (!raw.exists(_.startsWith("I:"))) raw
+    else raw.flatMap {
+      case l if l.startsWith("I:") => segmentLines(f, base, l.drop(2))
+      case l => Seq(l)
+    }
+
+  /** Segment rel-paths a raw line set references. */
+  private def segmentRefs(raw: Seq[String]): Seq[String] =
+    raw.collect { case l if l.startsWith("I:") => l.drop(2) }
+
+  /** RAW manifest lines of version `v` — includes NOT expanded. The form
+    * commits inherit (so segment references persist instead of being
+    * unfolded and rewritten every commit). */
+  def rawManifestLines(spark: SparkSession, base: String, v: Long): Seq[String] =
+    readLinesOf(fs(spark, base), manifestPath(base, v))
+
+  /** Manifest lines of version `v`, includes expanded (paths + optional
+    * key stats + schema metadata) — the logical line set every reader
+    * consumes. */
+  def manifestLines(spark: SparkSession, base: String, v: Long): Seq[String] = {
+    val f = fs(spark, base)
+    expandLines(f, base, readLinesOf(f, manifestPath(base, v)))
   }
 
   /** Base-relative data-file paths of version `v`, in manifest order
@@ -570,6 +638,11 @@ object Snapshots {
         .map(stagedStats(spark, txn, _))
         .getOrElse(("", Map.empty[String, (String, String, Long)]))
       val conf = spark.sparkContext.hadoopConfiguration
+      // inherited lines may be RAW (append family — segment includes kept
+      // as-is, the O(delta) commit path) or EXPANDED (rewrite verbs, which
+      // filter per entry); every metadata computation below needs the
+      // expanded view, while the write path folds the raw one
+      val inheritedView = expandLines(f, base, inherited)
       // physical schema of THIS commit's staged files (one footer read over
       // the O(delta) staging directory — the write-time cost that lets every
       // later read derive the union schema from metadata instead of
@@ -577,7 +650,7 @@ object Snapshots {
       // reuses the inherited `S:` definition's id; failure to derive or a
       // line-unsafe JSON degrades to id-less entries (readers sweep, as
       // before) — never fails the commit.
-      val priorDefs = schemaDefLines(inherited)
+      val priorDefs = schemaDefLines(inheritedView)
       val (schemaIdOpt, newDefLine): (Option[Long], Option[String]) =
         (if (names.isEmpty) None
          else scala.util.Try(asNullable(
@@ -612,12 +685,42 @@ object Snapshots {
       }
       // drop schema definitions no surviving entry references (a rewrite
       // verb may retire a whole vintage); pure appends keep every inherited
-      // line, so the append-chain subset check stays intact
+      // line, so the append-chain subset check stays intact. Pruning only
+      // runs on a fully-loose view: with segment includes present, a
+      // top-level def's references may be segment-held — keep it.
       val allLines = inherited ++ newDefLine.toSeq ++ own
-      val liveIds = allLines.map(parseEntry).filterNot(_.isSchemaOp)
-        .flatMap(_.schemaId).toSet
-      val manifestBody = allLines.filter(l => !l.startsWith("S:") ||
-        schemaDefLines(Seq(l)).keys.exists(liveIds))
+      val pruned0 =
+        if (inherited.exists(_.startsWith("I:"))) allLines
+        else {
+          val liveIds = allLines.map(parseEntry).filterNot(_.isSchemaOp)
+            .flatMap(_.schemaId).toSet
+          allLines.filter(l => !l.startsWith("S:") ||
+            schemaDefLines(Seq(l)).keys.exists(liveIds))
+        }
+      // fold long runs of loose lines into immutable segment files staged
+      // with this commit — the manifest itself stays O(delta + includes)
+      // however many files the table accumulates. Runs shorter than the
+      // threshold stay loose (a segment per tiny commit would trade line
+      // volume for file-open volume).
+      val manifestBody: Seq[String] = {
+        val outB = Seq.newBuilder[String]
+        val run = scala.collection.mutable.ArrayBuffer.empty[String]
+        def flush(): Unit = {
+          if (run.length >= FoldRunThreshold) {
+            val name = s"_seg-${java.util.UUID.randomUUID().toString.take(12)}"
+            val so = f.create(new Path(txn, name), true)
+            try so.write((run.mkString("\n") + "\n").getBytes("UTF-8"))
+            finally so.close()
+            outB += s"I:$vDir/$name"
+          } else outB ++= run
+          run.clear()
+        }
+        pruned0.foreach { l =>
+          if (l.startsWith("I:")) { flush(); outB += l } else run += l
+        }
+        flush()
+        outB.result()
+      }
       val out = f.create(new Path(txn, "_manifest"), true)
       try out.write((manifestBody.mkString("\n") + "\n").getBytes("UTF-8"))
       finally out.close()
@@ -701,9 +804,10 @@ object Snapshots {
     val spark = df.sparkSession
     val vs = versions(spark, base)
     val next = vs.lastOption.getOrElse(0L) + 1
-    // inherit full manifest LINES so prior files keep their key stats
-    val inherited = vs.lastOption.map(manifestLines(spark, base, _)).getOrElse(Seq.empty)
-    requireNoPhysClash(df, inherited)
+    // inherit RAW manifest lines (segment includes preserved) so prior
+    // files keep their key stats AND the commit writes O(delta) metadata
+    val inherited = vs.lastOption.map(rawManifestLines(spark, base, _)).getOrElse(Seq.empty)
+    requireNoPhysClash(df, expandLines(fs(spark, base), base, inherited))
     commitStaged(spark, base, next, inherited,
       dir => df.write.mode("append").parquet(dir), statsKey)
   }
@@ -771,8 +875,8 @@ object Snapshots {
       case _ =>
         val vs = versions(spark, base)
         val next = vs.lastOption.getOrElse(0L) + 1
-        val inherited = vs.lastOption.map(manifestLines(spark, base, _)).getOrElse(Seq.empty)
-        requireNoPhysClash(df, inherited)
+        val inherited = vs.lastOption.map(rawManifestLines(spark, base, _)).getOrElse(Seq.empty)
+        requireNoPhysClash(df, expandLines(fs(spark, base), base, inherited))
         commitStaged(spark, base, next, inherited,
           dir => {
             df.write.mode("append").parquet(dir)
@@ -817,8 +921,8 @@ object Snapshots {
       case _ =>
         val bvs = branchVersions(spark, base, name)
         require(bvs.nonEmpty, s"no branch '$name' under $base — createBranch first")
-        val inherited = branchManifestLines(spark, base, name, bvs.last)
-        requireNoPhysClash(df, inherited)
+        val inherited = rawBranchManifestLines(spark, base, name, bvs.last)
+        requireNoPhysClash(df, expandLines(fs(spark, base), base, inherited))
         var admitted = true
         val v = commitStaged(spark, base, bvs.last + 1, inherited,
           dir => {
@@ -861,7 +965,7 @@ object Snapshots {
         require(bvs.nonEmpty, s"no branch '$name' under $base")
         val next = versions(spark, base).lastOption.getOrElse(0L) + 1
         commitStaged(spark, base, next,
-          branchManifestLines(spark, base, name, bvs.last),
+          rawBranchManifestLines(spark, base, name, bvs.last),
           dir => {
             val o = fs(spark, base).create(new Path(dir, StreamTxnFile), true)
             try o.write(s"$appId\t$batchId\n".getBytes("UTF-8"))
@@ -1856,28 +1960,37 @@ object Snapshots {
       .sorted
   }
 
+  private def rawBranchManifestLines(spark: SparkSession, base: String,
+                                     name: String, v: Long): Seq[String] =
+    readLinesOf(fs(spark, base),
+      new Path(s"$base/${branchDir(Some(name), v)}/_manifest"))
+
   private def branchManifestLines(spark: SparkSession, base: String,
                                   name: String, v: Long): Seq[String] = {
-    val in = fs(spark, base).open(
-      new Path(s"$base/${branchDir(Some(name), v)}/_manifest"))
-    try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
-      .map(_.trim).filter(_.nonEmpty).toVector
-    finally in.close()
+    val f = fs(spark, base)
+    expandLines(f, base, rawBranchManifestLines(spark, base, name, v))
   }
 
-  /** Every data file referenced by any branch manifest — the
-    * cross-namespace protection set expiry and vacuum must honor. */
+  /** Every data file referenced by any branch manifest — PLUS the segment
+    * files those manifests include: the cross-namespace protection set
+    * expiry and vacuum must honor. */
   private def branchReferencedFiles(spark: SparkSession, base: String): Set[String] = {
     val f = fs(spark, base)
     val p = new Path(base)
     if (!f.exists(p)) Set.empty
     else f.globStatus(new Path(p, "vb-*/_manifest")).toSeq.flatMap { st =>
-      val in = f.open(st.getPath)
-      try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
-        .map(_.trim).filter(_.nonEmpty).map(l => parseEntry(l).path).toVector
-      finally in.close()
+      val raw = readLinesOf(f, st.getPath)
+      segmentRefs(raw) ++
+        expandLines(f, base, raw).map(l => parseEntry(l).path)
     }.toSet
   }
+
+  /** Segment files referenced by the given MAIN versions' manifests —
+    * joined into every expiry/vacuum protection set: a segment lives
+    * until the last manifest including it goes. */
+  private def mainSegmentRefs(spark: SparkSession, base: String,
+                              vs: Seq[Long]): Set[String] =
+    vs.flatMap(v => segmentRefs(rawManifestLines(spark, base, v))).toSet
 
   /** Fork a branch from a main version — pure metadata (manifest copy);
     * fails if the branch already exists. */
@@ -1890,7 +2003,7 @@ object Snapshots {
     require(branchVersions(spark, base, name).isEmpty,
       s"branch '$name' already exists under $base")
     commitStaged(spark, base, 1L,
-      manifestLines(spark, base, fromVersion), _ => (),
+      rawManifestLines(spark, base, fromVersion), _ => (),
       branch = Some(name))
   }
 
@@ -1902,8 +2015,8 @@ object Snapshots {
     val spark = df.sparkSession
     val bvs = branchVersions(spark, base, name)
     require(bvs.nonEmpty, s"no branch '$name' under $base — createBranch first")
-    val inherited = branchManifestLines(spark, base, name, bvs.last)
-    requireNoPhysClash(df, inherited)
+    val inherited = rawBranchManifestLines(spark, base, name, bvs.last)
+    requireNoPhysClash(df, expandLines(fs(spark, base), base, inherited))
     commitStaged(spark, base, bvs.last + 1, inherited,
       dir => df.write.mode("append").parquet(dir), statsKey,
       branch = Some(name))
@@ -1932,7 +2045,7 @@ object Snapshots {
     require(bvs.nonEmpty, s"no branch '$name' under $base")
     val next = versions(spark, base).lastOption.getOrElse(0L) + 1
     commitStaged(spark, base, next,
-      branchManifestLines(spark, base, name, bvs.last), _ => ())
+      rawBranchManifestLines(spark, base, name, bvs.last), _ => ())
   }
 
   /** Drop a branch: its manifests go first (the branch becomes invisible
@@ -1942,12 +2055,17 @@ object Snapshots {
   def dropBranch(spark: SparkSession, base: String, name: String): Seq[Long] = {
     val f = fs(spark, base)
     val bvs = branchVersions(spark, base, name)
+    // segments these manifests include (read BEFORE deletion) sweep with
+    // the branch if nothing else references them — wherever they live
+    val branchSegs = bvs.flatMap(v =>
+      segmentRefs(rawBranchManifestLines(spark, base, name, v))).distinct
     bvs.foreach(v => f.delete(
       new Path(s"$base/${branchDir(Some(name), v)}/_manifest"), false))
     // recompute AFTER the manifests are gone: protection = main + the
-    // remaining branches
+    // remaining branches (segments included on both sides)
     val referenced =
       versions(spark, base).flatMap(manifestFiles(spark, base, _)).toSet ++
+        mainSegmentRefs(spark, base, versions(spark, base)) ++
         branchReferencedFiles(spark, base)
     bvs.foreach { v =>
       val dirName = branchDir(Some(name), v)
@@ -1959,6 +2077,10 @@ object Snapshots {
           .foreach(st => f.delete(st.getPath, true))
         if (f.listStatus(dir).isEmpty) f.delete(dir, true)
       }
+    }
+    branchSegs.filterNot(protectedBy(referenced)).foreach { rel =>
+      val p = new Path(s"$base/$rel")
+      if (f.exists(p)) f.delete(p, false)
     }
     bvs
   }
@@ -1980,10 +2102,9 @@ object Snapshots {
     // read of the live head breaks. Metadata-only check on the head.
     val eqPinned = (splitEntries(manifestLines(spark, base, vs.last))._2 ++
       f.globStatus(new Path(new Path(base), "vb-*/_manifest")).toSeq.flatMap { st =>
-        val in = f.open(st.getPath)
-        try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
-          .map(_.trim).filter(_.nonEmpty).map(parseEntry).filter(_.isDelete).toVector
-        finally in.close()
+        // expand includes: a branch's pending E: line may be segment-held
+        expandLines(f, base, readLinesOf(f, st.getPath))
+          .map(parseEntry).filter(_.isDelete)
       }).flatMap(_.eqMeta.map(_._1)).toSet
     val old = vs.init.filter(v =>
       !pinned(v) && !eqPinned(v) &&
@@ -2003,12 +2124,18 @@ object Snapshots {
     // cross-namespace vb-<branch>=N/ files the version references
     // (round-11 advisor item: sweeping only $base/v=$v orphaned those
     // files forever once the branch itself was dropped)
+    // segments the dropped manifests include sweep WITH them (wherever
+    // they physically live — an older version's dir may hold a segment
+    // only newer manifests still referenced)
     val droppedEntries: Map[Long, Seq[String]] =
-      drop.map(v => v -> manifestFiles(spark, base, v)).toMap
+      drop.map(v => v -> (manifestFiles(spark, base, v) ++
+        segmentRefs(rawManifestLines(spark, base, v)))).toMap
     // cross-namespace protection (round-11): a branch forked from a
     // dropped main version still references its files — they must survive
-    // until the branch goes too
+    // until the branch goes too. Segment files included (round-15): a
+    // manifest-line segment lives until the last manifest including it goes
     val referenced = kept.flatMap(manifestFiles(spark, base, _)).toSet ++
+      mainSegmentRefs(spark, base, kept) ++
       branchReferencedFiles(spark, base)
     val touchedDirs = scala.collection.mutable.LinkedHashSet[String]()
     drop.foreach { v =>
@@ -2468,7 +2595,8 @@ object Snapshots {
     val delStem = s"del-${java.util.UUID.randomUUID().toString.take(12)}"
     val delNames = (0 until shards).map(i => s"$delStem-$i.parquet")
     commitStaged(spark, base, next,
-      inherited = priorLines ++ delNames.map(nm => s"D:$vDir/$nm"),
+      inherited = rawManifestLines(spark, base, vs.last) ++
+        delNames.map(nm => s"D:$vDir/$nm"),
       writeData = dir => {
         val stage = new Path(s"$dir/_delstage")
         (if (shards == 1) positions.coalesce(1)
@@ -2540,7 +2668,7 @@ object Snapshots {
     val delStem = s"eqdel-${java.util.UUID.randomUUID().toString.take(12)}"
     val delNames = (0 until shards).map(i => s"$delStem-$i.parquet")
     commitStaged(spark, base, next,
-      inherited = priorLines ++ delNames.map(nm =>
+      inherited = rawManifestLines(spark, base, vs.last) ++ delNames.map(nm =>
         s"E:$vDir/$nm\t${vs.last}\t${keyCols.mkString(",")}"),
       writeData = dir => {
         val stage = new Path(s"$dir/_delstage")
@@ -2686,7 +2814,8 @@ object Snapshots {
     require(widenTargets(schemaOps(lines)).isEmpty,
       s"pending type-widening ops on $base - run materializeSchema before " +
         "renaming (widen ops reference columns by name)")
-    commitStaged(spark, base, vs.last + 1, lines :+ s"R:$from\t$to", _ => ())
+    commitStaged(spark, base, vs.last + 1,
+      rawManifestLines(spark, base, vs.last) :+ s"R:$from\t$to", _ => ())
   }
 
   /** DROP COLUMN as a metadata-only commit (`X:` line): the column
@@ -2711,7 +2840,8 @@ object Snapshots {
     require(widenTargets(schemaOps(lines)).isEmpty,
       s"pending type-widening ops on $base - run materializeSchema before " +
         "dropping columns (widen ops reference columns by name)")
-    commitStaged(spark, base, vs.last + 1, lines :+ s"X:$colName", _ => ())
+    commitStaged(spark, base, vs.last + 1,
+      rawManifestLines(spark, base, vs.last) :+ s"X:$colName", _ => ())
   }
 
   /**
@@ -2762,7 +2892,8 @@ object Snapshots {
         "vintages cannot be read through the legacy mergeSchema fallback")
     val json = to.json
     require(!json.exists(_.isControl), s"unserializable type $to")
-    commitStaged(spark, base, vs.last + 1, lines :+ s"W:$colName\t$json", _ => ())
+    commitStaged(spark, base, vs.last + 1,
+      rawManifestLines(spark, base, vs.last) :+ s"W:$colName\t$json", _ => ())
   }
 
   /** Physical field names of one parquet file's footer; None on failure
@@ -2932,6 +3063,7 @@ object Snapshots {
     if (!f.exists(p)) return Seq.empty
     val committed = versions(spark, base).toSet
     val referenced = committed.toSeq.flatMap(manifestFiles(spark, base, _)).toSet ++
+      mainSegmentRefs(spark, base, committed.toSeq) ++
       branchReferencedFiles(spark, base)
     val fromVersionDirs = f.globStatus(new Path(p, "v=*")).toSeq
       .filter(_.isDirectory)
@@ -3141,9 +3273,10 @@ object Snapshots {
     val vs = versions(spark, base)
     val next = vs.lastOption.getOrElse(0L) + 1
     val inherited =
-      if (append) vs.lastOption.map(manifestLines(spark, base, _)).getOrElse(Seq.empty)
+      if (append) vs.lastOption.map(rawManifestLines(spark, base, _)).getOrElse(Seq.empty)
       else Seq.empty
-    if (append) requireNoPhysClash(df, inherited)
+    if (append) requireNoPhysClash(df,
+      expandLines(fs(spark, base), base, inherited))
     commitStaged(spark, base, next, inherited,
       dir => df.write.mode("append").parquet(dir),
       statsKey,
@@ -3168,7 +3301,8 @@ object Snapshots {
     val vs = versions(spark, base)
     require(vs.contains(toVersion), s"version $toVersion not in $vs")
     val next = vs.last + 1
-    commitStaged(spark, base, next, manifestLines(spark, base, toVersion), _ => ())
+    commitStaged(spark, base, next,
+      rawManifestLines(spark, base, toVersion), _ => ())
   }
 
   /**
