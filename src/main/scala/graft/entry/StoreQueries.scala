@@ -1764,6 +1764,56 @@ private[graft] object StoreQueries {
              |  (SELECT count(DISTINCT o_orderkey % 120) FROM orders)
              |    AS ndv_before,
              |  (SELECT count(DISTINCT o_orderkey % 120) FROM orders
-             |   WHERE o_orderkey % 4 <> 0) AS ndv_after""".stripMargin))
+             |   WHERE o_orderkey % 4 <> 0) AS ndv_after""".stripMargin)),
+
+    // ADD COLUMN evolution (round-15; completes the DDL family with
+    // rename/drop/widen): `A:` metadata-only op — the column appears
+    // null-filled on every pre-existing file with zero data moves, appends
+    // physicalize it at the declared type, time travel doesn't see it, and
+    // — unlike rename/drop/widen — DML proceeds while the op pends (the
+    // update below runs BEFORE any materialize). The oracle replays the
+    // whole lifecycle relationally.
+    "snap_add_col" -> Q(
+      (s, d) => {
+        import graft.store.Snapshots
+        import org.apache.spark.sql.types.DoubleType
+        val root = FixtureRoot.fresh("snapaddcol")
+        val base = root + "/t"
+        val docs = T(s, d, "documents")
+          .select(col("doc_id"), col("source"), col("n_chars"))
+        Snapshots.write(
+          docs.filter(col("doc_id") % 2 === 0)
+            .repartitionByRange(4, col("doc_id")),
+          base, statsKey = Some("doc_id"))
+        Snapshots.addColumn(s, base, "score", DoubleType)
+        val absentAtV1 =
+          !Snapshots.read(s, base, Some(1L)).columns.contains("score")
+        // post-add appends carry the column physically …
+        Snapshots.append(docs.filter(col("doc_id") % 2 === 1)
+          .withColumn("score", col("n_chars").cast("double") / 100.0),
+          base, statsKey = Some("doc_id"))
+        // … and DML runs while the op pends (no materialize needed):
+        // backfill the old vintage's low ids
+        Snapshots.updateWhere(s, base,
+          col("doc_id") % 2 === 0 && col("doc_id") < 100,
+          Seq("score" -> lit(1.0)))
+        Snapshots.read(s, base)
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n"),
+            count(col("score")).as("n_scored"),
+            dsum(coalesce(col("score"), lit(0.0))).as("sum_score"))
+          .withColumn("absent_at_v1", lit(absentAtV1))
+          .orderBy(col("source"))
+      },
+      Some("""SELECT source, count(*) AS n,
+             |  count(CASE WHEN doc_id % 2 = 1 THEN 1
+             |             WHEN doc_id % 2 = 0 AND doc_id < 100 THEN 1 END)
+             |    AS n_scored,
+             |  CAST(sum(CAST(
+             |    CASE WHEN doc_id % 2 = 1 THEN n_chars / 100.0
+             |         WHEN doc_id % 2 = 0 AND doc_id < 100 THEN 1.0
+             |         ELSE 0.0 END AS DECIMAL(18,2))) AS DOUBLE) AS sum_score,
+             |  TRUE AS absent_at_v1
+             |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 }

@@ -143,6 +143,14 @@ object Snapshots {
     * [[materializeSchema]] rewrites only narrow-vintage files. */
   private[store] final case class WidenOp(col: String,
       to: org.apache.spark.sql.types.DataType) extends SchemaOp
+  /** ADD COLUMN (`A:<col>\t<DataType.json>`): declares a column before
+    * any file carries it — reads null-fill it; appends may start carrying
+    * it physically (type-checked). Unlike rename/drop/widen it is NOT a
+    * rewrite hazard (null-fill is sound at file granularity), so rewrite
+    * verbs and sidecar builds proceed while it pends; rewritten files
+    * physicalize the column as they go. */
+  private[store] final case class AddOp(col: String,
+      to: org.apache.spark.sql.types.DataType) extends SchemaOp
 
   /** The version's schema-evolution ops, in application order. */
   private def schemaOps(lines: Seq[String]): Seq[SchemaOp] = lines.flatMap {
@@ -156,6 +164,12 @@ object Snapshots {
       else scala.util.Try(
         org.apache.spark.sql.types.DataType.fromJson(p(1))).toOption
         .map(WidenOp(p(0), _))
+    case l if l.startsWith("A:") =>
+      val p = l.drop(2).split('\t')
+      if (p.length != 2) None
+      else scala.util.Try(
+        org.apache.spark.sql.types.DataType.fromJson(p(1))).toOption
+        .map(AddOp(p(0), _))
     case _ => None
   }
 
@@ -181,6 +195,12 @@ object Snapshots {
         if (f.columns.contains(c) && f.schema(c).dataType != to)
           f.withColumn(c, col(c).cast(to))
         else f
+      // declared-but-not-yet-materialized column: null-fill (a no-op once
+      // any append/rewrite carries it physically — the union schema then
+      // already contains it)
+      case (f, AddOp(c, to)) =>
+        if (f.columns.contains(c)) f
+        else f.withColumn(c, org.apache.spark.sql.functions.lit(null).cast(to))
     }
   }
 
@@ -202,7 +222,10 @@ object Snapshots {
     * [[materializeSchema]] (the same discipline as the pending-MoR-delete
     * guard on rewrite verbs). */
   private def requireNoSchemaOps(lines: Seq[String], verb: String): Unit =
-    require(schemaOps(lines).isEmpty,
+    // AddOp is exempt: null-filling a declared column is sound at file
+    // granularity, so rewrites/sidecar builds proceed (and physicalize it)
+    require(!schemaOps(lines).exists {
+      case _: AddOp => false; case _ => true },
       s"$verb is not defined while schema-evolution ops (rename/drop/widen) " +
         "are pending - run materializeSchema first (files of mixed physical " +
         "schemas cannot be rewritten or index-built soundly by name)")
@@ -214,7 +237,8 @@ object Snapshots {
   private def requireNoPhysClash(df: DataFrame, inherited: Seq[String]): Unit = {
     // widen ops don't quarantine their column: post-widen appends carry the
     // SAME name (narrow or already-wide — the union schema reconciles both)
-    val pendingPhys = schemaOps(inherited).collect {
+    val ops = schemaOps(inherited)
+    val pendingPhys = ops.collect {
       case RenameOp(f0, _) => f0
       case DropOp(c0) => c0
     }.toSet
@@ -223,11 +247,21 @@ object Snapshots {
       s"append carries column(s) ${clash.mkString(", ")} that are pending " +
         "schema-op sources (renamed away or dropped); use the new names, " +
         "or run materializeSchema before reintroducing the old ones")
+    // an append may start carrying an ADD-declared column, but only at the
+    // declared type — a divergent vintage would poison the union schema
+    ops.collect { case AddOp(c, to) if df.columns.contains(c) => (c, to) }
+      .foreach { case (c, to) =>
+        val t = df.schema(c).dataType
+        require(asNullable(t) == asNullable(to),
+          s"append carries declared column '$c' as ${t.simpleString}, but " +
+            s"addColumn declared ${to.simpleString} - cast before appending")
+      }
   }
 
   private def parseEntry(line: String): ManifestEntry = {
     if (line.startsWith("R:") || line.startsWith("X:") ||
-        line.startsWith("W:") || line.startsWith("S:") ||
+        line.startsWith("W:") || line.startsWith("A:") ||
+        line.startsWith("S:") ||
         line.startsWith("I:")) // segment include: only in RAW line views
       return ManifestEntry(line, line, None, isSchemaOp = true)
     if (line.startsWith("D:"))
@@ -383,6 +417,19 @@ object Snapshots {
             out(f.name) = prev.copy(dataType = target)
         }
       }
+    }
+    // declared-but-unmaterialized columns (ADD COLUMN) join the union;
+    // where a later vintage already carries one, the types must agree
+    // (requireNoPhysClash enforces it on appends — a foreign mismatch
+    // degrades to the sweep, never a guessed type)
+    schemaOps(lines).foreach {
+      case AddOp(c, t) =>
+        out.get(c) match {
+          case None => out(c) = StructField(c, asNullable(t), nullable = true)
+          case Some(f) if asNullable(f.dataType) == asNullable(t) => ()
+          case Some(_) => return None
+        }
+      case _ => ()
     }
     // a pending widen applies even when every present vintage is narrow
     // (files appended after the op may still be written narrow)
@@ -2202,7 +2249,7 @@ object Snapshots {
     // S: schema-definition lines are metadata: inherited verbatim (the
     // entries that keep referencing them need them); never scan candidates
     val (metaLines, prior) =
-      (priorLines0.filter(_.startsWith("S:")),
+      (priorLines0.filter(l => l.startsWith("S:") || l.startsWith("A:")),
         priorLines0.map(parseEntry).filterNot(_.isSchemaOp))
     require(!prior.exists(_.isDelete),
       s"pending merge-on-read deletes on $base - run materializeDeletes " +
@@ -2432,7 +2479,7 @@ object Snapshots {
     val priorLines0 = manifestLines(spark, base, vs.last)
     requireNoSchemaOps(priorLines0, "deleteWhere")
     val (metaLines, prior) =
-      (priorLines0.filter(_.startsWith("S:")),
+      (priorLines0.filter(l => l.startsWith("S:") || l.startsWith("A:")),
         priorLines0.map(parseEntry).filterNot(_.isSchemaOp))
     require(!prior.exists(_.isDelete),
       s"pending merge-on-read deletes on $base - run materializeDeletes " +
@@ -2494,7 +2541,7 @@ object Snapshots {
     val priorLines0 = manifestLines(spark, base, vs.last)
     requireNoSchemaOps(priorLines0, "updateWhere")
     val (metaLines, prior) =
-      (priorLines0.filter(_.startsWith("S:")),
+      (priorLines0.filter(l => l.startsWith("S:") || l.startsWith("A:")),
         priorLines0.map(parseEntry).filterNot(_.isSchemaOp))
     require(!prior.exists(_.isDelete),
       s"pending merge-on-read deletes on $base - run materializeDeletes " +
@@ -2708,7 +2755,7 @@ object Snapshots {
     require(vs.nonEmpty, s"no snapshots under $base")
     val priorLines = manifestLines(spark, base, vs.last)
     requireNoSchemaOps(priorLines, "materializeDeletes")
-    val metaLines = priorLines.filter(_.startsWith("S:"))
+    val metaLines = priorLines.filter(l => l.startsWith("S:") || l.startsWith("A:"))
     val (data, dels) = splitEntries(priorLines)
     if (dels.isEmpty) return vs.last
     import org.apache.spark.sql.functions.{col, expr}
@@ -2896,6 +2943,43 @@ object Snapshots {
       rawManifestLines(spark, base, vs.last) :+ s"W:$colName\t$json", _ => ())
   }
 
+  /**
+   * ADD COLUMN as a metadata-only commit (Iceberg `ALTER TABLE … ADD
+   * COLUMN`): an `A:` manifest line — zero data moves, zero files touched.
+   * Reads see the column immediately, null-filled on every file that
+   * predates it; appends may start carrying it physically at the declared
+   * type (enforced — a divergent vintage would poison the union schema).
+   * UNLIKE rename/drop/widen this is not a rewrite hazard (null-filling
+   * is sound at file granularity), so DML, compaction, and sidecar builds
+   * all proceed while the op pends — rewritten files simply physicalize
+   * the column as they go, and [[materializeSchema]] physicalizes it
+   * everywhere when a full fold is wanted. Name-reuse rules match the
+   * DDL family: the name must be free, including against pending
+   * rename/drop sources.
+   */
+  def addColumn(spark: SparkSession, base: String, colName: String,
+                to: org.apache.spark.sql.types.DataType): Long = {
+    val vs = versions(spark, base)
+    require(vs.nonEmpty, s"no snapshots under $base")
+    require(ColNameRe.matches(colName) && !colName.startsWith("__"),
+      s"invalid column name '$colName'")
+    val lines = manifestLines(spark, base, vs.last)
+    val logical = read(spark, base).columns
+    require(!logical.contains(colName), s"column '$colName' already exists in $base")
+    val pendingPhys = schemaOps(lines).collect {
+      case RenameOp(f0, _) => f0
+      case DropOp(c0) => c0
+    }
+    require(!pendingPhys.contains(colName),
+      s"'$colName' is still the physical name of a pending schema op's " +
+        "source column in existing files - run materializeSchema before " +
+        "reusing it")
+    val json = to.json
+    require(!json.exists(_.isControl), s"unserializable type $to")
+    commitStaged(spark, base, vs.last + 1,
+      rawManifestLines(spark, base, vs.last) :+ s"A:$colName\t$json", _ => ())
+  }
+
   /** Physical field names of one parquet file's footer; None on failure
     * (caller treats the file as stale — rewritten, never guessed). */
   private def footerFields(conf: org.apache.hadoop.conf.Configuration,
@@ -2980,7 +3064,7 @@ object Snapshots {
     val priorLines0 = manifestLines(spark, base, vs.last)
     requireNoSchemaOps(priorLines0, "compact")
     val (metaLines, prior) =
-      (priorLines0.filter(_.startsWith("S:")),
+      (priorLines0.filter(l => l.startsWith("S:") || l.startsWith("A:")),
         priorLines0.map(parseEntry).filterNot(_.isSchemaOp))
     require(!prior.exists(_.isDelete),
       s"pending merge-on-read deletes on $base - run materializeDeletes " +
@@ -3192,7 +3276,32 @@ object Snapshots {
           } else removed
         }
       }
-    fromVersionDirs ++ fromTxnDirs ++ fromDebris ++ fromBranchDirs
+    // orphaned sidecar tmp files (a failed/raced executor write's
+    // attempt-unique `.<name>.tmp-xxxx` — see writeSidecarAtomic) live in
+    // COMMITTED version dirs, which every pass above deliberately skips;
+    // collect them once stale on the same ttl clock. Never referenced by
+    // any manifest, so no protection check is needed beyond the age gate.
+    val fromTmpDebris =
+      (f.globStatus(new Path(p, "v=*")) ++ f.globStatus(new Path(p, "vb-*")))
+        .toSeq.filter(_.isDirectory).map(_.getPath)
+        .flatMap { d =>
+          tolerateVanished(s"tmp-debris pass on $d", Seq.empty[String]) {
+            f.listStatus(d).toSeq
+              .filter { st =>
+                val n = st.getPath.getName
+                n.startsWith(".") && n.contains(".tmp-") &&
+                  now - st.getModificationTime > txnTtlMs
+              }
+              .flatMap { st =>
+                if (tolerateVanished(s"delete ${st.getPath}", false)(
+                    f.delete(st.getPath, false)))
+                  Seq(st.getPath.toString)
+                else Seq.empty
+              }
+          }
+        }
+    fromVersionDirs ++ fromTxnDirs ++ fromDebris ++ fromBranchDirs ++
+      fromTmpDebris
   }
 
   /** What one [[maintain]] cycle actually did (each field None/empty/false
