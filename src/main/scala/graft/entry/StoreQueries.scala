@@ -1814,6 +1814,95 @@ private[graft] object StoreQueries {
              |         WHEN doc_id % 2 = 0 AND doc_id < 100 THEN 1.0
              |         ELSE 0.0 END AS DECIMAL(18,2))) AS DOUBLE) AS sum_score,
              |  TRUE AS absent_at_v1
-             |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin))
+             |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Hidden partitioning: the bucket transform (round-15). Iceberg's
+    // `bucket(n, col)` re-expressed on Spark's own bucketBy layout: the
+    // manifest records `B:<col>\t<n>`, each file's bucket id rides its
+    // bucket file name, and scanPlan prunes equality/IN probes on the
+    // bucket column to 1/n of the files FROM METADATA — the point-lookup
+    // win min/max bounds can never give an UNSORTED high-cardinality key.
+    // The fixture buckets orders by o_custkey (statsKey deliberately a
+    // DIFFERENT column, so bounds contribute nothing and the prune is
+    // purely bucket-driven) and probes the two extreme customers; at 16
+    // buckets the 2-value probe must skip ≥14 files (pruned_some pins it;
+    // the files-opened proof lives in BucketLayoutSpec).
+    "snap_bucket_prune" -> Q(
+      (s, d) => {
+        import graft.store.Snapshots
+        val root = FixtureRoot.fresh("snapbktp")
+        val base = root + "/t"
+        val orders = T(s, d, "orders")
+          .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        Snapshots.writeBucketed(orders, base, "o_custkey", 16,
+          statsKey = Some("o_orderkey"))
+        val mm = orders.agg(min(col("o_custkey")), max(col("o_custkey"))).head()
+        val (kLo, kHi) = (mm.getLong(0), mm.getLong(1))
+        val pred = col("o_custkey") === kLo || col("o_custkey") === kHi
+        val (cand, pruned) = Snapshots.scanPlan(s, base, pred)
+        Snapshots.scanWhere(s, base, pred)
+          .groupBy(col("o_custkey"))
+          .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+          .withColumn("pruned_some", lit(pruned.size >= cand.size))
+          .orderBy(col("o_custkey"))
+      },
+      Some("""SELECT o_custkey, count(*) AS n,
+             |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             |    AS total,
+             |  TRUE AS pruned_some
+             |FROM orders
+             |WHERE o_custkey = (SELECT min(o_custkey) FROM orders)
+             |   OR o_custkey = (SELECT max(o_custkey) FROM orders)
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Storage-partitioned join (round-15): two tables written bucketed by
+    // the SAME (key, n) spec are registered as catalog bucketed tables and
+    // joined with ZERO exchanges below the join — each FileSourceScan
+    // reports HashPartitioning(key, n), so the sort-merge join's children
+    // are co-partitioned at the storage layer. This is THE answer to the
+    // single biggest shuffle of a pretraining pipeline: joining two
+    // ~100 TB fact tables (docs × annotations on doc_id) moves ZERO bytes
+    // over the network when both were laid out bucketed at write time.
+    // The `copartitioned` boolean pins the property: planned with the
+    // broadcast shortcut disabled, the join tree carries NO Exchange
+    // (execution afterwards runs under the session's normal confs — at
+    // oracle SF the small side may well broadcast, which is also
+    // shuffle-free). The hard plan pin lives in BucketLayoutSpec.
+    "snap_bucket_join" -> Q(
+      (s, d) => {
+        import graft.store.Snapshots
+        val root = FixtureRoot.fresh("snapbktj")
+        val (bc, bo) = (root + "/c", root + "/o")
+        val cust = T(s, d, "customer")
+          .select(col("c_custkey"), col("c_mktsegment"))
+        val orders = T(s, d, "orders")
+          .select(col("o_custkey"), col("o_totalprice"))
+        Snapshots.writeBucketed(cust, bc, "c_custkey", 8,
+          statsKey = Some("c_custkey"))
+        Snapshots.writeBucketed(orders, bo, "o_custkey", 8,
+          statsKey = Some("o_custkey"))
+        val tag = math.abs(root.hashCode).toString
+        val l = Snapshots.bucketedTable(s, bc, s"graft_bkt_c_$tag")
+        val r = Snapshots.bucketedTable(s, bo, s"graft_bkt_o_$tag")
+        val prev = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        try {
+          s.conf.set("spark.sql.autoBroadcastJoinThreshold", -1)
+          val joined = l.join(r, l("c_custkey") === r("o_custkey"))
+          // copartitioned: the planned join needs no Exchange anywhere in
+          // the join tree (the agg above it is allowed its own shuffle)
+          val copart = !joined.queryExecution.executedPlan.toString
+            .contains("Exchange")
+          joined.groupBy(col("c_mktsegment"))
+            .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+            .withColumn("copartitioned", lit(copart))
+            .orderBy(col("c_mktsegment"))
+        } finally s.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      },
+      Some("""SELECT c_mktsegment, count(*) AS n,
+             |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             |    AS total,
+             |  TRUE AS copartitioned
+             |FROM customer JOIN orders ON c_custkey = o_custkey
+             |GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 }

@@ -262,6 +262,7 @@ object Snapshots {
     if (line.startsWith("R:") || line.startsWith("X:") ||
         line.startsWith("W:") || line.startsWith("A:") ||
         line.startsWith("S:") ||
+        line.startsWith("B:") || // bucket-layout spec (hidden partitioning)
         line.startsWith("I:")) // segment include: only in RAW line views
       return ManifestEntry(line, line, None, isSchemaOp = true)
     if (line.startsWith("D:"))
@@ -306,7 +307,7 @@ object Snapshots {
 
   /** (data entries, positional/equality-delete entries) of a manifest
     * line set; schema-op lines are metadata and appear in neither. */
-  private def splitEntries(lines: Seq[String]): (Seq[ManifestEntry], Seq[ManifestEntry]) =
+  private[store] def splitEntries(lines: Seq[String]): (Seq[ManifestEntry], Seq[ManifestEntry]) =
     lines.map(parseEntry).filterNot(_.isSchemaOp).partition(!_.isDelete)
 
   // ─── Per-file physical schemas in the manifest (round-15) ───────────────
@@ -658,7 +659,8 @@ object Snapshots {
                            writeData: String => Unit,
                            statsKey: Option[String] = None,
                            validate: String => Unit = _ => (),
-                           branch: Option[String] = None): Long = {
+                           branch: Option[String] = None,
+                           extraMeta: Seq[String] = Seq.empty): Long = {
     val vDir = branchDir(branch, next)
     val f = fs(spark, base)
     val txn = s"$base/.txn-${java.util.UUID.randomUUID().toString.take(12)}"
@@ -735,7 +737,7 @@ object Snapshots {
       // line, so the append-chain subset check stays intact. Pruning only
       // runs on a fully-loose view: with segment includes present, a
       // top-level def's references may be segment-held — keep it.
-      val allLines = inherited ++ newDefLine.toSeq ++ own
+      val allLines = inherited ++ extraMeta ++ newDefLine.toSeq ++ own
       val pruned0 =
         if (inherited.exists(_.startsWith("I:"))) allLines
         else {
@@ -1215,8 +1217,11 @@ object Snapshots {
     val eqAdmits = eqSetPruner(spark, base, eqSets, statsOf, ops,
       c => frame.schema.find(_.name == c).map(_.dataType))
     val nullAdmits = nullPruner(statsOf, nullCols)
+    val bucketAdmits = bucketPruner(lines, ops, cond,
+      c => frame.schema.find(_.name == c).map(_.dataType))
     entries.partition(e =>
-      mayMatchBoundsMulti(statsOf(e), bounds) && eqAdmits(e) && nullAdmits(e))
+      mayMatchBoundsMulti(statsOf(e), bounds) && eqAdmits(e) &&
+        nullAdmits(e) && bucketAdmits(e))
   }
 
   /** Per-entry column-stats lookup: the manifest's own key first, then
@@ -1280,6 +1285,255 @@ object Snapshots {
     // and applies pending deletes + schema ops
     readSubset(spark, base, manifestLines(spark, base, v), candidates)
       .filter(predicate)
+  }
+
+  // ─── Hidden partitioning: the bucket transform (round-15) ───────────────
+  //
+  // Iceberg's `bucket(n, col)` partition transform re-expressed on Spark's
+  // OWN bucketing machinery. A bucketed layout gives a 100 TB table the two
+  // wins clustering alone cannot:
+  //
+  //  * EQUALITY pruning on a high-cardinality, UNSORTED key: a point lookup
+  //    or IN-list probe touches 1/n of the table's files from metadata —
+  //    min/max bounds only help when the key is range-clustered, a bucket
+  //    id helps regardless of row order (the manifest records the table's
+  //    `B:<col>\t<n>` spec; each file's bucket id rides its Spark bucket
+  //    file name).
+  //  * SHUFFLE-FREE joins and aggregations: [[bucketedTable]] registers the
+  //    layout as a catalog bucketed table, so Catalyst plans joins between
+  //    two same-spec tables with NO Exchange on either side — the
+  //    storage-partitioned join that turns the single biggest shuffle of a
+  //    pretraining pipeline (joining two 100 TB fact tables on doc/user id)
+  //    into a co-located map-side merge.
+  //
+  // The bucket id function is exactly Spark's: pmod(murmur3(col, seed=42),
+  // n) — the same expression `df.write.bucketBy` hashes with and
+  // `HashPartitioning.partitionIdExpression` plans with, so
+  // `repartition(n, col)` upstream of `bucketBy(n, col)` lands each bucket
+  // in exactly one task and the layout writes ONE file per bucket.
+  //
+  // Pruning is conservative by construction: a file prunes by bucket only
+  // when its name parses a bucket id (plain appends and compaction rewrites
+  // produce un-bucketed names — those files always scan), the predicate
+  // literal's type equals the column's current type, and no widen op is
+  // pending on the column (a widened probe would hash the wide
+  // representation while old files were placed by the narrow one).
+
+  /** The table's bucket spec (`B:<col>\t<n>` metadata line), if any.
+    * The column name is the WRITE-TIME physical name (like stats keys);
+    * readers translate through pending rename ops. */
+  private[store] def bucketSpecOf(lines: Seq[String]): Option[(String, Int)] =
+    lines.filter(_.startsWith("B:")).lastOption.flatMap { l =>
+      val p = l.drop(2).split('\t')
+      if (p.length != 2) None
+      else scala.util.Try((p(0), p(1).toInt)).toOption.filter(_._2 > 0)
+    }
+
+  /** Bucket id from a Spark bucketed-write file name
+    * (`part-00000-<uuid>_00003.c000.snappy.parquet` → 3). Plain parquet
+    * writes name files `part-…-c000…` (dash, never `_ddddd.`), so a parse
+    * here is proof the file was written by a bucketBy job. */
+  private val BucketIdRe = "_(\\d{5})\\.".r
+  private[store] def bucketIdOf(path: String): Option[Int] = {
+    val name = path.substring(path.lastIndexOf('/') + 1)
+    BucketIdRe.findFirstMatchIn(name).map(_.group(1).toInt)
+  }
+
+  /** Spark's bucket id of a literal: pmod(murmur3_32(value, seed 42), n) —
+    * `HashPartitioning.partitionIdExpression` evaluated on the spot. */
+  private def bucketIdForValue(
+      lit: org.apache.spark.sql.catalyst.expressions.Literal, n: Int): Int = {
+    val h = org.apache.spark.sql.catalyst.expressions
+      .Murmur3Hash(Seq(lit), 42)
+      .eval(org.apache.spark.sql.catalyst.InternalRow.empty)
+      .asInstanceOf[Int]
+    ((h % n) + n) % n
+  }
+
+  /**
+   * TYPED equality-literal set the predicate pins `col` to, or None when
+   * unconstrained/unprovable. [[eqSetsOf]]'s typed twin: bucket hashing
+   * needs the exact Catalyst literal (value AND type), not the canon
+   * string. Conservative: And-branches UNION (a superset admits more
+   * files, never mis-prunes), Or requires BOTH branches to pin the
+   * column, a NULL literal makes the set unprovable.
+   */
+  private def typedEqLitsOf(
+      cond: org.apache.spark.sql.catalyst.expressions.Expression,
+      names: Set[String], opsPairs: Set[(String, String)])
+      : Option[Seq[org.apache.spark.sql.catalyst.expressions.Literal]] = {
+    import org.apache.spark.sql.catalyst.expressions._
+    val attrName = mappedAttrName(opsPairs) _
+    // the filter may surface the column under its LOGICAL name (coalesce
+    // projection when both rename vintages exist) or its PHYSICAL one
+    // (pushed through an in-place rename of a single old vintage) — both
+    // denote the same stored values, so both pin the bucket column
+    def pins(a: Expression): Boolean = attrName(a).exists(names.contains)
+    def walk(ex: Expression): Option[Seq[Literal]] = ex match {
+      case And(l, r) => (walk(l), walk(r)) match {
+        case (Some(a), Some(b)) => Some(a ++ b) // union: superset is safe
+        case (a, None) => a
+        case (None, b) => b
+      }
+      case Or(l, r) => for { a <- walk(l); b <- walk(r) } yield a ++ b
+      case EqualTo(a, l: Literal) if pins(a) && l.value != null => Some(Seq(l))
+      case EqualTo(l: Literal, a) if pins(a) && l.value != null => Some(Seq(l))
+      case In(a, vs) if pins(a) && vs.forall(_.isInstanceOf[Literal]) =>
+        val ls = vs.map(_.asInstanceOf[Literal])
+        if (ls.exists(_.value == null)) None else Some(ls)
+      case InSet(a, hset) if pins(a) =>
+        if (hset.exists(_ == null)) None
+        else Some(hset.toSeq.map(v => Literal.create(v, a.dataType)))
+      case _ => None
+    }
+    walk(cond)
+  }
+
+  /** Per-entry bucket admission for a scan predicate — the planner's
+    * bucket-transform evidence source. Admits everything unless the table
+    * has a bucket spec, the predicate pins the bucket column to typed
+    * literals of the column's exact current type, and no widen pends on
+    * the column; a file without a parseable bucket id always scans. */
+  private def bucketPruner(lines: Seq[String], ops: Seq[SchemaOp],
+      cond: Option[org.apache.spark.sql.catalyst.expressions.Expression],
+      dtOf: String => Option[org.apache.spark.sql.types.DataType])
+      : ManifestEntry => Boolean = {
+    val admit: Option[ManifestEntry => Boolean] = for {
+      (physCol, n) <- bucketSpecOf(lines)
+      if !ops.exists { case WidenOp(w, _) => w == physCol; case _ => false }
+      logical <- physToLogical(ops)(physCol)
+      dt <- dtOf(logical)
+      c <- cond
+      lits <- typedEqLitsOf(c, Set(logical, physCol), renamePairs(ops))
+      if lits.nonEmpty && lits.forall(l => asNullable(l.dataType) == asNullable(dt))
+    } yield {
+      val ids = lits.map(l => bucketIdForValue(l, n)).toSet
+      (e: ManifestEntry) => bucketIdOf(e.path).forall(ids.contains)
+    }
+    admit.getOrElse(_ => true)
+  }
+
+  /**
+   * Commit `df` as the next FULL version in a BUCKETED layout: Spark's
+   * `bucketBy(n, key)` write (upstream `repartition(n, key)` places each
+   * bucket in exactly one task → exactly one file per bucket, sorted by
+   * key within), plus a `B:<key>\t<n>` manifest spec line. Equality scans
+   * on `key` then prune to 1/n of the files from metadata ([[scanPlan]]),
+   * and [[bucketedTable]] exposes the layout to Catalyst for shuffle-free
+   * joins. The staged table registration is transient (external table,
+   * dropped after the write — files stay in the staging dir and commit
+   * through the normal rename protocol).
+   */
+  def writeBucketed(df: DataFrame, base: String, key: String, n: Int,
+                    statsKey: Option[String] = None): Long = {
+    require(n > 0 && n <= 100000, s"bucket count $n out of range")
+    require(df.columns.contains(key), s"bucket column '$key' not in schema")
+    val spark = df.sparkSession
+    val next = versions(spark, base).lastOption.getOrElse(0L) + 1
+    commitStaged(spark, base, next, Seq.empty,
+      dir => stageBucketed(df, dir, key, n),
+      statsKey, extraMeta = Seq(s"B:$key\t$n"))
+  }
+
+  /** Append a bucketed delta under the table's EXISTING spec (or declare
+    * one on a spec-less table — inherited plain files simply never prune
+    * by bucket). Spec mismatch refuses: files placed by a different
+    * (column, n) would poison equality pruning. */
+  def appendBucketed(df: DataFrame, base: String, key: String, n: Int,
+                     statsKey: Option[String] = None): Long = {
+    require(df.columns.contains(key), s"bucket column '$key' not in schema")
+    val spark = df.sparkSession
+    val vs = versions(spark, base)
+    val next = vs.lastOption.getOrElse(0L) + 1
+    val inherited = vs.lastOption.map(rawManifestLines(spark, base, _)).getOrElse(Seq.empty)
+    val expanded = expandLines(fs(spark, base), base, inherited)
+    requireNoPhysClash(df, expanded)
+    val specLine = bucketSpecOf(expanded) match {
+      case Some((k0, n0)) =>
+        require(k0 == key && n0 == n,
+          s"table is bucketed as ($k0, $n0) but the append declares " +
+            s"($key, $n) - rewriteBucketed to change the spec")
+        Seq.empty
+      case None => Seq(s"B:$key\t$n")
+    }
+    commitStaged(spark, base, next, inherited,
+      dir => stageBucketed(df, dir, key, n),
+      statsKey, extraMeta = specLine)
+  }
+
+  /** Consolidate the CURRENT logical table (pending deletes and schema
+    * ops applied) into a fresh single-directory bucketed layout — the
+    * maintenance verb that re-earns [[bucketedTable]] eligibility after
+    * plain appends or DML scattered files across version dirs. */
+  def rewriteBucketed(spark: SparkSession, base: String, key: String, n: Int,
+                      statsKey: Option[String] = None): Long =
+    writeBucketed(read(spark, base), base, key, n, statsKey)
+
+  /** The bucketBy staging job shared by the bucketed write verbs. */
+  private def stageBucketed(df: DataFrame, dir: String, key: String,
+                            n: Int): Unit = {
+    val spark = df.sparkSession
+    val tmp = s"graft_bkt_stage_${math.abs(dir.hashCode).toString}"
+    spark.sql(s"DROP TABLE IF EXISTS `$tmp`")
+    df.repartition(n, df(key))
+      .write.format("parquet").option("path", dir)
+      .bucketBy(n, key).sortBy(key)
+      .mode("overwrite").saveAsTable(tmp)
+    spark.sql(s"DROP TABLE `$tmp`") // external: files stay in the staging dir
+  }
+
+  /**
+   * Register the head (or `version`) of a bucketed snapshot table as a
+   * catalog BUCKETED external table and return it — the doorway to
+   * Catalyst's storage-partitioned planning: a join between two tables
+   * registered with the same (key, n) spec plans with NO Exchange on
+   * either side (each scan reports `HashPartitioning(key, n)`), and a
+   * groupBy on the key skips its shuffle too. Demands the invariants the
+   * catalog cannot check itself: a bucket spec, no pending MoR deletes,
+   * no pending schema ops, every data file bucket-named, and a
+   * single-directory layout (run [[rewriteBucketed]] after appends/DML
+   * to re-consolidate). Sidecars coexist: the registration filters the
+   * directory to `*.parquet`.
+   */
+  def bucketedTable(spark: SparkSession, base: String, name: String,
+                    version: Option[Long] = None): DataFrame = {
+    val vs = versions(spark, base)
+    require(vs.nonEmpty, s"no snapshots under $base")
+    val v = version.getOrElse(vs.last)
+    require(vs.contains(v), s"version $v not in $vs")
+    val lines = manifestLines(spark, base, v)
+    val (data, dels) = splitEntries(lines)
+    require(dels.isEmpty,
+      s"pending merge-on-read deletes on $base - materializeDeletes first " +
+        "(a catalog table cannot apply delete files)")
+    require(schemaOps(lines).isEmpty,
+      s"pending schema-evolution ops on $base - materializeSchema first " +
+        "(a catalog table reads physical schemas only)")
+    val (key, n) = bucketSpecOf(lines).getOrElse(
+      throw new IllegalArgumentException(
+        s"$base has no bucket spec - writeBucketed/rewriteBucketed first"))
+    require(data.nonEmpty, s"$base is empty at v=$v")
+    data.foreach(e => require(bucketIdOf(e.path).exists(_ < n),
+      s"data file ${e.path} is not bucket-named - the layout was broken " +
+        "by a plain append or rewrite; run rewriteBucketed"))
+    val dirs = data.map { e =>
+      val i = e.path.lastIndexOf('/')
+      if (i < 0) "" else e.path.take(i)
+    }.distinct
+    require(dirs.size == 1 && dirs.head.nonEmpty &&
+      data.forall(_.path.count(_ == '/') == 1),
+      s"bucketed files span ${dirs.size} directories - rewriteBucketed to " +
+        "consolidate (a catalog table points at one location)")
+    val dir = s"$base/${dirs.head}"
+    val schema = read(spark, base, Some(v)).schema
+    spark.sql(s"DROP TABLE IF EXISTS `$name`")
+    spark.sql(
+      s"""CREATE TABLE `$name` (${schema.toDDL})
+         |USING parquet
+         |OPTIONS (path '$dir', pathGlobFilter '*.parquet')
+         |CLUSTERED BY (`$key`) SORTED BY (`$key`) INTO $n BUCKETS
+         |""".stripMargin)
+    spark.table(name)
   }
 
   // ─── Per-file bloom sidecars: point-lookup pruning beyond min/max ───────
