@@ -1903,6 +1903,151 @@ private[graft] object StoreQueries {
              |    AS total,
              |  TRUE AS copartitioned
              |FROM customer JOIN orders ON c_custkey = o_custkey
-             |GROUP BY 1 ORDER BY 1""".stripMargin))
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // REPLACE WHERE (round-15): Delta's replaceWhere / Iceberg's dynamic
+    // overwrite as ONE commit — the backfill idiom. Recompute the low-key
+    // range (here: negate its totalprice) and swap it in atomically;
+    // discovery is bounds-pruned, touched files rewrite copy-on-write at
+    // file granularity, clean files inherit by reference (files_shared
+    // pins it — at 100 TB a one-partition backfill must not touch the
+    // other 10k partitions' files), and no reader can ever see the
+    // delete-then-insert gap because both halves land in one rename.
+    "snap_replace_where" -> Q(
+      (s, d) => {
+        import graft.store.Snapshots
+        val root = FixtureRoot.fresh("snaprw")
+        val base = root + "/t"
+        val orders = T(s, d, "orders")
+          .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+        Snapshots.write(orders.repartitionByRange(6, col("o_orderkey")), base,
+          statsKey = Some("o_orderkey"))
+        val vBefore = Snapshots.versions(s, base).last
+        val repl = orders.filter(col("o_orderkey") < 1000)
+          .withColumn("o_totalprice", -col("o_totalprice"))
+        Snapshots.replaceWhere(s, base, col("o_orderkey") < 1000, repl,
+          statsKey = Some("o_orderkey"))
+        def paths(v: Long): Set[String] = Snapshots.files(s, base, Some(v))
+          .select(col("path")).collect().map(_.getString(0)).toSet
+        val shared = (paths(vBefore) intersect paths(vBefore + 1)).nonEmpty
+        Snapshots.read(s, base)
+          .groupBy(col("o_orderstatus"))
+          .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+          .withColumn("files_shared", lit(shared))
+          .orderBy(col("o_orderstatus"))
+      },
+      Some("""SELECT o_orderstatus, count(*) AS n,
+             |  CAST(sum(CAST(CASE WHEN o_orderkey < 1000
+             |    THEN -o_totalprice ELSE o_totalprice END
+             |    AS DECIMAL(18,2))) AS DOUBLE) AS total,
+             |  TRUE AS files_shared
+             |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // CHECK constraints (round-15): Delta table constraints in miniature.
+    // Declared metadata-only after a one-time full validation; every later
+    // commit's STAGED rows are checked BEFORE the atomic rename, so a
+    // poisoned batch never becomes a version — at 100 TB the write-time
+    // gate costs a delta-sized scan where the alternative (discovering
+    // poisoned rows after they joined the corpus) costs a reprocessing
+    // campaign. The violating append here must refuse WITHOUT creating a
+    // version (refused_clean pins both halves); the clean append passes.
+    "snap_constraint" -> Q(
+      (s, d) => {
+        import graft.store.Snapshots
+        val root = FixtureRoot.fresh("snapck")
+        val base = root + "/t"
+        val docs = T(s, d, "documents")
+          .select(col("doc_id"), col("source"), col("n_chars"))
+        Snapshots.write(docs.repartitionByRange(4, col("doc_id")), base,
+          statsKey = Some("doc_id"))
+        Snapshots.addConstraint(s, base, "chars_nonneg", "n_chars >= 0")
+        val vBefore = Snapshots.versions(s, base).last
+        import s.implicits._
+        val refused =
+          try {
+            Snapshots.append(
+              Seq((2000000000L, "zzz", -1L)).toDF("doc_id", "source", "n_chars"),
+              base, statsKey = Some("doc_id"))
+            false
+          } catch { case _: Snapshots.ConstraintViolationException => true }
+        val clean = refused && Snapshots.versions(s, base).last == vBefore
+        Snapshots.append(
+          docs.filter(col("doc_id") % 97 === 0)
+            .withColumn("doc_id", col("doc_id") + 1000000000L)
+            .withColumn("source", lit("extra")),
+          base, statsKey = Some("doc_id"))
+        Snapshots.read(s, base)
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n"), dsum(col("n_chars")).as("sum_chars"))
+          .withColumn("refused_clean", lit(clean))
+          .orderBy(col("source"))
+      },
+      Some("""WITH t AS (
+             |  SELECT source, n_chars FROM documents
+             |  UNION ALL
+             |  SELECT 'extra' AS source, n_chars FROM documents
+             |  WHERE doc_id % 97 = 0)
+             |SELECT source, count(*) AS n,
+             |  CAST(sum(CAST(n_chars AS DECIMAL(18,2))) AS DOUBLE)
+             |    AS sum_chars,
+             |  TRUE AS refused_clean
+             |FROM t GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // ADD COLUMN ... DEFAULT (round-15; Iceberg v3 default values): the
+    // default is a constant SQL expression applied at read to every row
+    // whose FILE's recorded schema lacks the column — pre-add vintages AND
+    // post-add appends that omitted it (initial-default and write-default
+    // collapse into one file-granular rule, decided from the manifest's
+    // per-file schemas). Zero rewrites: declaring a default on a 100 TB
+    // table is one metadata line; carriers' real values — including
+    // explicit NULLs — pass through untouched. The fixture layers all
+    // three vintages: pre-add files (default), a carrier append (real
+    // scores), and an omitting append (default again).
+    "snap_default_col" -> Q(
+      (s, d) => {
+        import graft.store.Snapshots
+        import org.apache.spark.sql.types.DoubleType
+        val root = FixtureRoot.fresh("snapdflt")
+        val base = root + "/t"
+        val docs = T(s, d, "documents")
+          .select(col("doc_id"), col("source"), col("n_chars"))
+        Snapshots.write(
+          docs.filter(col("doc_id") % 2 === 0)
+            .repartitionByRange(4, col("doc_id")),
+          base, statsKey = Some("doc_id"))
+        Snapshots.addColumn(s, base, "score", DoubleType, Some("0.25"))
+        val v1Absent =
+          !Snapshots.read(s, base, Some(1L)).columns.contains("score")
+        // carrier vintage: real values ride the append
+        Snapshots.append(docs.filter(col("doc_id") % 2 === 1)
+          .withColumn("score", col("n_chars").cast("double") / 100.0),
+          base, statsKey = Some("doc_id"))
+        // omitting vintage: the writer never mentions the column —
+        // write-default fills it, same file-granular rule
+        Snapshots.append(docs.filter(col("doc_id") % 103 === 0)
+          .withColumn("doc_id", col("doc_id") + 2000000000L)
+          .withColumn("source", lit("extra")),
+          base, statsKey = Some("doc_id"))
+        Snapshots.read(s, base)
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n"),
+            count(col("score")).as("n_scored"),
+            dsum(col("score")).as("sum_score"))
+          .withColumn("v1_absent", lit(v1Absent))
+          .orderBy(col("source"))
+      },
+      Some("""WITH t AS (
+             |  SELECT source,
+             |    CASE WHEN doc_id % 2 = 0 THEN 0.25
+             |         ELSE n_chars / 100.0 END AS score
+             |  FROM documents
+             |  UNION ALL
+             |  SELECT 'extra' AS source, 0.25 AS score FROM documents
+             |  WHERE doc_id % 103 = 0)
+             |SELECT source, count(*) AS n, count(score) AS n_scored,
+             |  CAST(sum(CAST(score AS DECIMAL(18,2))) AS DOUBLE)
+             |    AS sum_score,
+             |  TRUE AS v1_absent
+             |FROM t GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 }

@@ -52,6 +52,12 @@ object Snapshots {
   final class SnapshotDurabilityException(msg: String)
     extends RuntimeException(msg)
 
+  /** A commit's staged rows falsified a table CHECK constraint. NOT
+    * retryable — the batch itself is bad; the staged transaction was
+    * already cleaned up and no version was created. */
+  final class ConstraintViolationException(msg: String)
+    extends RuntimeException(msg)
+
   /** Re-run `op` up to `attempts` times while it loses commit races —
     * the standard client loop around the optimistic commit. */
   def withConflictRetry[T](attempts: Int = 5)(op: => T): T = {
@@ -143,14 +149,19 @@ object Snapshots {
     * [[materializeSchema]] rewrites only narrow-vintage files. */
   private[store] final case class WidenOp(col: String,
       to: org.apache.spark.sql.types.DataType) extends SchemaOp
-  /** ADD COLUMN (`A:<col>\t<DataType.json>`): declares a column before
-    * any file carries it — reads null-fill it; appends may start carrying
-    * it physically (type-checked). Unlike rename/drop/widen it is NOT a
-    * rewrite hazard (null-fill is sound at file granularity), so rewrite
-    * verbs and sidecar builds proceed while it pends; rewritten files
-    * physicalize the column as they go. */
+  /** ADD COLUMN (`A:<col>\t<DataType.json>[\t<defaultSql>]`): declares a
+    * column before any file carries it — reads null-fill it (or
+    * DEFAULT-fill: Iceberg v3 default values — the optional third field is
+    * a constant SQL expression applied to every row whose FILE's recorded
+    * schema lacks the column, which covers both pre-add files and post-add
+    * appends that omitted it); appends may start carrying it physically
+    * (type-checked). Unlike rename/drop/widen it is NOT a rewrite hazard
+    * (null/default-fill is sound at file granularity), so rewrite verbs
+    * and sidecar builds proceed while it pends; rewritten files
+    * physicalize the column — defaults included — as they go. */
   private[store] final case class AddOp(col: String,
-      to: org.apache.spark.sql.types.DataType) extends SchemaOp
+      to: org.apache.spark.sql.types.DataType,
+      default: Option[String] = None) extends SchemaOp
 
   /** The version's schema-evolution ops, in application order. */
   private def schemaOps(lines: Seq[String]): Seq[SchemaOp] = lines.flatMap {
@@ -166,10 +177,10 @@ object Snapshots {
         .map(WidenOp(p(0), _))
     case l if l.startsWith("A:") =>
       val p = l.drop(2).split('\t')
-      if (p.length != 2) None
+      if (p.length != 2 && p.length != 3) None
       else scala.util.Try(
         org.apache.spark.sql.types.DataType.fromJson(p(1))).toOption
-        .map(AddOp(p(0), _))
+        .map(AddOp(p(0), _, if (p.length == 3) Some(p(2)) else None))
     case _ => None
   }
 
@@ -195,14 +206,98 @@ object Snapshots {
         if (f.columns.contains(c) && f.schema(c).dataType != to)
           f.withColumn(c, col(c).cast(to))
         else f
-      // declared-but-not-yet-materialized column: null-fill (a no-op once
-      // any append/rewrite carries it physically — the union schema then
-      // already contains it)
-      case (f, AddOp(c, to)) =>
+      // declared-but-not-yet-materialized column: null-fill, or
+      // DEFAULT-fill when the op declared one (a no-op once any
+      // append/rewrite carries it physically — the union schema then
+      // already contains it, and the per-VINTAGE fill in
+      // [[fillAddDefaults]] takes over)
+      case (f, AddOp(c, to, d)) =>
         if (f.columns.contains(c)) f
-        else f.withColumn(c, org.apache.spark.sql.functions.lit(null).cast(to))
+        else f.withColumn(c,
+          d.map(sql => org.apache.spark.sql.functions.expr(sql))
+            .getOrElse(org.apache.spark.sql.functions.lit(null)).cast(to))
     }
   }
+
+  /** Column name carrying each row's manifest-relative file path through
+    * the default-fill and delete phases of a read — resolved ONCE on the
+    * scan (metadata columns hide behind projections). */
+  private val VintageCol = "__vintage_file"
+  /** Pre-resolved `_metadata.row_index` twin, carried alongside
+    * [[VintageCol]] so positional-delete application never needs to
+    * re-resolve scan metadata through the fill projection. */
+  private val VintagePosCol = "__vintage_pos"
+
+  /** Per-vintage DEFAULT fill for ADD-COLUMN defaults on a frame whose
+    * union schema already CARRIES the column (some file physicalized it):
+    * rows from files whose recorded schema lacks the column read as null
+    * from parquet and take the default instead; rows from carrier files —
+    * including a carrier's explicit NULLs — pass through untouched. File
+    * sets come from the manifest's per-file schemas ([[addColumn]] refuses
+    * to declare a default on a table with schema-less entries, so the
+    * split is exact, never guessed). The frame must carry [[VintageCol]]. */
+  private def fillAddDefaults(frame: DataFrame, lines: Seq[String],
+      entries: Seq[ManifestEntry]): DataFrame = {
+    import org.apache.spark.sql.functions.{col, when}
+    val withDefault = schemaOps(lines).collect {
+      case AddOp(c, to, Some(d)) => (c, to, d)
+    }
+    if (withDefault.isEmpty || !frame.columns.contains(VintageCol)) return frame
+    // the declare-time guard makes schema-less entries unreachable here;
+    // if one appears anyway (a later commit whose schema interning
+    // degraded), fail LOUDLY — classifying it pre-add would overwrite a
+    // carrier's explicit NULLs, classifying it carrier would drop the
+    // default: both corrupt rows silently
+    val idless = entries.filter(_.schemaId.isEmpty)
+    require(idless.isEmpty,
+      s"ADD-COLUMN defaults are declared but ${idless.size} data file(s) " +
+        s"carry no recorded schema (e.g. ${idless.head.path}) - run " +
+        "compact or materializeSchema to restore exact vintage classification")
+    val defs = schemaDefs(lines)
+    withDefault.foldLeft(frame) { case (f, (c, to, d)) =>
+      if (!f.columns.contains(c)) f // applySchemaOps's absent-case fills it
+      else {
+        val preAdd = entries.filter(e =>
+          !e.schemaId.flatMap(defs.get).exists(_.fieldNames.contains(c)))
+          .map(_.path)
+        if (preAdd.isEmpty) f
+        else f.withColumn(c,
+          when(col(VintageCol).isin(preAdd: _*),
+            org.apache.spark.sql.functions.expr(d).cast(to))
+            .otherwise(col(c)))
+      }
+    }
+  }
+
+  /** True when a read of `entries` under `lines` needs the per-vintage
+    * default fill: some ADD default exists and some entry's file lacks
+    * the column (the union schema always DECLARES it, so those files'
+    * rows surface as parquet nulls the fill must replace). */
+  private def needsDefaultFill(lines: Seq[String],
+      entries: Seq[ManifestEntry]): Boolean = {
+    val withDefault = schemaOps(lines).collect {
+      case AddOp(c, _, Some(_)) => c
+    }
+    if (withDefault.isEmpty) false
+    else {
+      val defs = schemaDefs(lines)
+      def has(e: ManifestEntry, c: String) =
+        e.schemaId.flatMap(defs.get).exists(_.fieldNames.contains(c))
+      withDefault.exists(c => entries.exists(!has(_, c)))
+    }
+  }
+
+  /** Default fill for the rewrite verbs' RAW candidate reads (they carry
+    * a full-path file column from input_file_name rather than scan
+    * metadata): same rule as [[fillAddDefaults]] — the rewrite thereby
+    * PHYSICALIZES the default into the files it rewrites anyway. */
+  private def fillAddDefaultsByFile(frame: DataFrame, fileCol: String,
+      lines: Seq[String], entries: Seq[ManifestEntry]): DataFrame =
+    if (!needsDefaultFill(lines, entries)) frame
+    else fillAddDefaults(
+      frame.withColumn(VintageCol, org.apache.spark.sql.functions
+        .expr(s"substring_index($fileCol, '/', -2)")),
+      lines, entries).drop(VintageCol)
 
   /** Translate a write-time (physical) stats/sidecar column name to its
     * current logical name; None when a later op dropped it. Lets files
@@ -249,7 +344,7 @@ object Snapshots {
         "or run materializeSchema before reintroducing the old ones")
     // an append may start carrying an ADD-declared column, but only at the
     // declared type — a divergent vintage would poison the union schema
-    ops.collect { case AddOp(c, to) if df.columns.contains(c) => (c, to) }
+    ops.collect { case AddOp(c, to, _) if df.columns.contains(c) => (c, to) }
       .foreach { case (c, to) =>
         val t = df.schema(c).dataType
         require(asNullable(t) == asNullable(to),
@@ -263,6 +358,7 @@ object Snapshots {
         line.startsWith("W:") || line.startsWith("A:") ||
         line.startsWith("S:") ||
         line.startsWith("B:") || // bucket-layout spec (hidden partitioning)
+        line.startsWith("C:") || // CHECK constraint
         line.startsWith("I:")) // segment include: only in RAW line views
       return ManifestEntry(line, line, None, isSchemaOp = true)
     if (line.startsWith("D:"))
@@ -424,7 +520,7 @@ object Snapshots {
     // (requireNoPhysClash enforces it on appends — a foreign mismatch
     // degrades to the sweep, never a guessed type)
     schemaOps(lines).foreach {
-      case AddOp(c, t) =>
+      case AddOp(c, t, _) =>
         out.get(c) match {
           case None => out(c) = StructField(c, asNullable(t), nullable = true)
           case Some(f) if asNullable(f.dataType) == asNullable(t) => ()
@@ -683,6 +779,37 @@ object Snapshots {
       validate(txn)
       val names = f.listStatus(txnPath).toSeq.map(_.getPath.getName)
         .filter(_.startsWith("part-")).sorted
+      // CHECK constraints: every commit's STAGED rows must satisfy each
+      // `C:` line carried by the table (SQL CHECK semantics: TRUE or
+      // UNKNOWN passes, FALSE violates). Enforcement happens before the
+      // rename, so a violating batch never becomes a version — the
+      // transactional half Delta's constraints and Iceberg's write
+      // validation provide. A constraint that does not RESOLVE against
+      // the staged schema is skipped for that commit (delete-file commits
+      // stage positional/equality payloads, not table rows; a rewrite of
+      // a column subset cannot re-check expressions naming other
+      // columns) — declared-time validation already proved the existing
+      // rows, and ingest commits always stage full rows.
+      locally {
+        val cs = constraintsOf(
+          expandLines(f, base, inherited) ++ extraMeta)
+        if (cs.nonEmpty && names.nonEmpty) {
+          import org.apache.spark.sql.functions.{coalesce, expr, lit, not}
+          val staged = spark.read.option("mergeSchema", true)
+            .parquet(names.map(n => s"$txn/$n"): _*)
+          cs.foreach { case (cname, sql) =>
+            scala.util.Try(staged.filter(not(coalesce(expr(sql), lit(true))))
+              .take(1)).toOption.foreach { bad =>
+              if (bad.nonEmpty) {
+                f.delete(txnPath, true)
+                throw new ConstraintViolationException(
+                  s"commit to $base violates CHECK constraint '$cname' " +
+                    s"($sql) - first offending row: ${bad.head}")
+              }
+            }
+          }
+        }
+      }
       val (tag, stats) = statsKey.filter(_ => names.nonEmpty)
         .map(stagedStats(spark, txn, _))
         .getOrElse(("", Map.empty[String, (String, String, Long)]))
@@ -1035,12 +1162,20 @@ object Snapshots {
     require(vs.contains(v), s"version $v not in $vs")
     val lines = manifestLines(spark, base, v)
     val (data, dels) = splitEntries(lines)
-    val frame = spark.read.schema(unionSchemaOf(spark, base, lines, data))
+    val frame0 = spark.read.schema(unionSchemaOf(spark, base, lines, data))
       .parquet(data.map(e => s"$base/${e.path}"): _*)
+    val fill = needsDefaultFill(lines, data)
+    val frame = if (!fill) frame0
+      else frame0.withColumn(VintageCol, org.apache.spark.sql.functions
+          .expr("substring_index(_metadata.file_path, '/', -2)"))
+        .withColumn(VintagePosCol, org.apache.spark.sql.functions
+          .expr("_metadata.row_index"))
     // schema ops live in the version's own manifest, so time travel
     // naturally sees the schema AS OF that version
     applyDeletes(spark, base, frame, dels,
-      f => applySchemaOps(f, schemaOps(lines)))
+      f => applySchemaOps(
+        if (fill) fillAddDefaults(f, lines, data) else f,
+        schemaOps(lines)).drop(VintageCol).drop(VintagePosCol))
   }
 
   /** Read a SUBSET of a version's data files with full fidelity: the
@@ -1066,9 +1201,20 @@ object Snapshots {
           .parquet(allData.headOption.map(e => s"$base/${e.path}").toSeq: _*)
           .limit(0),
         ops)
-    val frame = spark.read.schema(rawSchema)
+    val frame0 = spark.read.schema(rawSchema)
       .parquet(subset.map(e => s"$base/${e.path}"): _*)
-    applyDeletes(spark, base, frame, dels, f => applySchemaOps(f, ops))
+    // per-vintage ADD-COLUMN defaults: fill sets need only THIS subset's
+    // pre-add files (rows can come from nowhere else)
+    val fill = needsDefaultFill(lines, subset)
+    val frame = if (!fill) frame0
+      else frame0.withColumn(VintageCol, org.apache.spark.sql.functions
+          .expr("substring_index(_metadata.file_path, '/', -2)"))
+        .withColumn(VintagePosCol, org.apache.spark.sql.functions
+          .expr("_metadata.row_index"))
+    applyDeletes(spark, base, frame, dels,
+      f => applySchemaOps(
+        if (fill) fillAddDefaults(f, lines, subset) else f,
+        ops).drop(VintageCol).drop(VintagePosCol))
   }
 
   /**
@@ -1092,9 +1238,16 @@ object Snapshots {
     val cols = mapOps(frame).columns
     val (eqs, pos) = dels.partition(_.eqMeta.isDefined)
     // resolve the file-scan metadata ONCE, before any projection hides it
+    // (a frame that already carries the default-fill vintage column is a
+    // projection over the scan — reuse its path rather than re-resolving
+    // _metadata through it)
     var out = frame
-      .withColumn("__delf", expr("substring_index(_metadata.file_path, '/', -2)"))
-      .withColumn("__delp", col("_metadata.row_index"))
+      .withColumn("__delf",
+        if (frame.columns.contains(VintageCol)) col(VintageCol)
+        else expr("substring_index(_metadata.file_path, '/', -2)"))
+      .withColumn("__delp",
+        if (frame.columns.contains(VintagePosCol)) col(VintagePosCol)
+        else col("_metadata.row_index"))
     if (pos.nonEmpty) {
       val delDf = spark.read.parquet(pos.map(e => s"$base/${e.path}"): _*)
         .select(col("file").as("__delf"), col("pos").as("__delp"))
@@ -1534,6 +1687,183 @@ object Snapshots {
          |CLUSTERED BY (`$key`) SORTED BY (`$key`) INTO $n BUCKETS
          |""".stripMargin)
     spark.table(name)
+  }
+
+  // ─── CHECK constraints (round-15) ────────────────────────────────────────
+  //
+  // Delta's table constraints / Iceberg's write validation in miniature:
+  // a `C:<name>\t<sql>` manifest line declares a SQL CHECK expression every
+  // committed batch must satisfy (TRUE or UNKNOWN passes — SQL CHECK
+  // semantics). Enforcement lives in [[commitStaged]], before the atomic
+  // rename, so a violating batch never becomes a version: at 100 TB the
+  // alternative — discovering poisoned rows after they've been joined,
+  // deduplicated, and trained on — costs a reprocessing campaign; a
+  // write-time gate costs one delta-sized scan per commit. Constraints
+  // ride the manifest lineage: appends and DML inherit them; a full
+  // [[write]] replaces table STATE including its constraints (declare
+  // them again, like the bucket spec).
+
+  /** (name, sql) of every `C:` constraint line. */
+  private def constraintsOf(lines: Seq[String]): Seq[(String, String)] =
+    lines.filter(_.startsWith("C:")).flatMap { l =>
+      val t = l.indexOf('\t')
+      if (t < 3) None else Some((l.substring(2, t), l.substring(t + 1)))
+    }
+
+  /** Declared constraints of the head (or `version`) — inspection twin of
+    * [[files]]/[[snapshots]]/[[refs]]. */
+  def constraints(spark: SparkSession, base: String,
+                  version: Option[Long] = None): Seq[(String, String)] = {
+    val vs = versions(spark, base)
+    require(vs.nonEmpty, s"no snapshots under $base")
+    val v = version.getOrElse(vs.last)
+    require(vs.contains(v), s"version $v not in $vs")
+    constraintsOf(manifestLines(spark, base, v))
+  }
+
+  /** Top-level column names a constraint's SQL references (parse-time,
+    * unresolved). Unparseable SQL returns empty — the declare-time parse
+    * in [[addConstraint]] already rejected it, so this only happens for
+    * hand-written manifests; degrading to "no references" keeps DDL
+    * usable there. */
+  private def constraintRefs(sql: String,
+      spark: SparkSession): Set[String] =
+    scala.util.Try {
+      spark.sessionState.sqlParser.parseExpression(sql).collect {
+        case u: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+          u.nameParts.head
+      }.toSet
+    }.getOrElse(Set.empty)
+
+  /** Rename/drop/widen of a column a CHECK constraint references is
+    * refused: the constraint's SQL names the column textually, so the op
+    * would silently un-enforce it (the staged check would stop
+    * resolving). Drop or re-declare the constraint first — explicit
+    * beats a constraint that looks declared but no longer fires. */
+  private def requireNoConstraintRefs(lines: Seq[String], colName: String,
+      verb: String, spark: SparkSession): Unit = {
+    val offenders = constraintsOf(lines).collect {
+      case (n, sql) if constraintRefs(sql, spark)
+        .exists(_.equalsIgnoreCase(colName)) => n
+    }
+    require(offenders.isEmpty,
+      s"$verb('$colName') would orphan CHECK constraint(s) " +
+        s"${offenders.mkString(", ")} that reference the column - " +
+        "dropConstraint (and re-declare under the new shape) first")
+  }
+
+  /**
+   * ADD CONSTRAINT: validates the expression parses, resolves against the
+   * current schema, and HOLDS on every existing row (one full scan — the
+   * price Delta charges too; a constraint that exempted the backlog would
+   * be a lie), then commits the `C:` line metadata-only. Every later
+   * commit's staged rows are checked before their rename.
+   */
+  def addConstraint(spark: SparkSession, base: String, name: String,
+                    sql: String): Long = {
+    import org.apache.spark.sql.functions.{coalesce, expr, lit, not}
+    require(name.nonEmpty && name.forall(c => c.isLetterOrDigit || c == '_'),
+      s"invalid constraint name '$name'")
+    require(!sql.exists(c => c == '\t' || c == '\n' || c == '\r'),
+      "constraint SQL must be tab/newline-free (manifest line format)")
+    val vs = versions(spark, base)
+    require(vs.nonEmpty, s"no snapshots under $base")
+    val inherited = rawManifestLines(spark, base, vs.last)
+    val expanded = expandLines(fs(spark, base), base, inherited)
+    require(!constraintsOf(expanded).exists(_._1 == name),
+      s"constraint '$name' already exists on $base - dropConstraint first")
+    val cur = read(spark, base)
+    val bad = cur.filter(not(coalesce(expr(sql), lit(true)))).take(1)
+    require(bad.isEmpty,
+      s"existing rows violate '$name' ($sql) - first offender: " +
+        bad.headOption.getOrElse(""))
+    commitStaged(spark, base, vs.last + 1, inherited, _ => (),
+      extraMeta = Seq(s"C:$name\t$sql"))
+  }
+
+  /** DROP CONSTRAINT — metadata-only. Operates on the expanded line view
+    * (the line may sit inside an immutable segment); the next commit's
+    * fold re-segments. */
+  def dropConstraint(spark: SparkSession, base: String, name: String): Long = {
+    val vs = versions(spark, base)
+    require(vs.nonEmpty, s"no snapshots under $base")
+    val expanded = expandLines(fs(spark, base), base,
+      rawManifestLines(spark, base, vs.last))
+    require(constraintsOf(expanded).exists(_._1 == name),
+      s"no constraint '$name' on $base")
+    commitStaged(spark, base, vs.last + 1,
+      expanded.filterNot(_.startsWith(s"C:$name\t")), _ => ())
+  }
+
+  // ─── REPLACE WHERE: transactional dynamic overwrite (round-15) ──────────
+
+  /**
+   * Atomically replace the rows matching `predicate` with `df` — Delta's
+   * `replaceWhere` / Iceberg's dynamic overwrite as ONE commit. The
+   * backfill idiom at 100 TB: recompute one day/source/partition of a
+   * derived table and swap it in without touching (or even reading) the
+   * rest — discovery is stats-pruned by the predicate's implied bounds,
+   * matching rows are removed copy-on-write at FILE granularity (a
+   * touched file's non-matching neighbors are carried verbatim), clean
+   * files are inherited by manifest reference, and the replacement rows
+   * stage in the same staged directory, so the delete half and the
+   * insert half land in one atomic rename (no reader ever sees the gap
+   * a delete-then-append pair exposes).
+   *
+   * Every replacement row must SATISFY the predicate (checked first,
+   * delta-sized scan) — the Delta rule that keeps "replace WHERE src='a'"
+   * from smuggling rows into partitions it never claimed to touch.
+   * SQL semantics elsewhere: rows where the predicate is NULL are KEPT,
+   * like DELETE. Refuses while MoR deletes or schema ops are pending
+   * (same rewrite-verb guards as [[deleteWhere]]).
+   */
+  def replaceWhere(spark: SparkSession, base: String,
+                   predicate: org.apache.spark.sql.Column,
+                   df: DataFrame, statsKey: Option[String] = None): Long = {
+    import org.apache.spark.sql.functions.{coalesce, col, input_file_name, lit, not}
+    val vs = versions(spark, base)
+    require(vs.nonEmpty, s"no snapshots under $base")
+    val stray = df.filter(not(coalesce(predicate, lit(false)))).take(1)
+    require(stray.isEmpty,
+      s"replaceWhere: replacement rows must satisfy the predicate - " +
+        s"first stray row: ${stray.headOption.getOrElse("")}")
+    val next = vs.last + 1
+    val priorLines0 = manifestLines(spark, base, vs.last)
+    requireNoSchemaOps(priorLines0, "replaceWhere")
+    val (metaLines, prior) =
+      (priorLines0.filter(l => l.startsWith("S:") || l.startsWith("A:") ||
+         l.startsWith("C:")),
+        priorLines0.map(parseEntry).filterNot(_.isSchemaOp))
+    require(!prior.exists(_.isDelete),
+      s"pending merge-on-read deletes on $base - run materializeDeletes " +
+        "first (a file-level rewrite would resurrect MoR-deleted rows)")
+    val bounds = boundsOf(read(spark, base), predicate)
+    val (candidates, pruned) = prior.partition(mayMatchBounds(_, bounds))
+    // per-vintage ADD-COLUMN defaults apply to the raw candidate read, so
+    // the rewrite physicalizes them instead of writing back parquet nulls
+    val target = fillAddDefaultsByFile(
+      (if (candidates.isEmpty) read(spark, base).limit(0)
+       else spark.read.schema(unionSchemaOf(spark, base, priorLines0, prior))
+         .parquet(candidates.map(e => s"$base/${e.path}"): _*))
+        .withColumn("__file", input_file_name()),
+      "__file", priorLines0, candidates)
+    val touched: Set[String] = target.filter(predicate)
+      .select(col("__file")).distinct()
+      .collect().map(_.getString(0)).toSet
+    val (rewrite, inherit0) = candidates.partition(e => touched.exists(_.endsWith(e.path)))
+    val inherit = pruned ++ inherit0
+    require(rewrite.size == touched.size,
+      s"replace file accounting: ${touched.size} touched vs ${rewrite.size} manifest matches")
+    val kept = target
+      .filter(col("__file").isin(touched.toSeq: _*))
+      .filter(not(coalesce(predicate, lit(false))))
+      .drop("__file")
+    commitStaged(spark, base, next, metaLines ++ inherit.map(_.line),
+      dir => {
+        if (touched.nonEmpty) kept.write.mode("append").parquet(dir)
+        df.write.mode("append").parquet(dir)
+      },
+      statsKey)
   }
 
   // ─── Per-file bloom sidecars: point-lookup pruning beyond min/max ───────
@@ -2503,7 +2833,8 @@ object Snapshots {
     // S: schema-definition lines are metadata: inherited verbatim (the
     // entries that keep referencing them need them); never scan candidates
     val (metaLines, prior) =
-      (priorLines0.filter(l => l.startsWith("S:") || l.startsWith("A:")),
+      (priorLines0.filter(l => l.startsWith("S:") || l.startsWith("A:") ||
+         l.startsWith("B:") || l.startsWith("C:")),
         priorLines0.map(parseEntry).filterNot(_.isSchemaOp))
     require(!prior.exists(_.isDelete),
       s"pending merge-on-read deletes on $base - run materializeDeletes " +
@@ -2563,8 +2894,12 @@ object Snapshots {
       s"merge file accounting: ${touched.size} touched vs ${rewrite.size} manifest matches")
     val kept =
       if (touched.isEmpty) source.limit(0)
-      else spark.read.schema(priorSchema)
-        .parquet(rewrite.map(e => s"$base/${e.path}"): _*)
+      else fillAddDefaultsByFile(
+          spark.read.schema(priorSchema)
+            .parquet(rewrite.map(e => s"$base/${e.path}"): _*)
+            .withColumn("__file", input_file_name()),
+          "__file", priorLines0, rewrite)
+        .drop("__file")
         .join(source.select(col(key)), Seq(key), "left_anti")
     // allowMissingColumns: a source carrying a NEW column (write-side
     // schema evolution) null-fills it on kept rows; old files inherit
@@ -2733,18 +3068,22 @@ object Snapshots {
     val priorLines0 = manifestLines(spark, base, vs.last)
     requireNoSchemaOps(priorLines0, "deleteWhere")
     val (metaLines, prior) =
-      (priorLines0.filter(l => l.startsWith("S:") || l.startsWith("A:")),
+      (priorLines0.filter(l => l.startsWith("S:") || l.startsWith("A:") ||
+         l.startsWith("B:") || l.startsWith("C:")),
         priorLines0.map(parseEntry).filterNot(_.isSchemaOp))
     require(!prior.exists(_.isDelete),
       s"pending merge-on-read deletes on $base - run materializeDeletes " +
         "first (a file-level rewrite would resurrect MoR-deleted rows)")
     val bounds = boundsOf(read(spark, base), predicate)
     val (candidates, pruned) = prior.partition(mayMatchBounds(_, bounds))
-    val target =
+    // per-vintage ADD-COLUMN defaults apply to the raw candidate read, so
+    // the rewrite physicalizes them instead of writing back parquet nulls
+    val target = fillAddDefaultsByFile(
       (if (candidates.isEmpty) read(spark, base).limit(0)
        else spark.read.schema(unionSchemaOf(spark, base, priorLines0, prior))
          .parquet(candidates.map(e => s"$base/${e.path}"): _*))
-        .withColumn("__file", input_file_name())
+        .withColumn("__file", input_file_name()),
+      "__file", priorLines0, candidates)
     val touched: Set[String] = target.filter(predicate)
       .select(col("__file")).distinct()
       .collect().map(_.getString(0)).toSet
@@ -2795,7 +3134,8 @@ object Snapshots {
     val priorLines0 = manifestLines(spark, base, vs.last)
     requireNoSchemaOps(priorLines0, "updateWhere")
     val (metaLines, prior) =
-      (priorLines0.filter(l => l.startsWith("S:") || l.startsWith("A:")),
+      (priorLines0.filter(l => l.startsWith("S:") || l.startsWith("A:") ||
+         l.startsWith("B:") || l.startsWith("C:")),
         priorLines0.map(parseEntry).filterNot(_.isSchemaOp))
     require(!prior.exists(_.isDelete),
       s"pending merge-on-read deletes on $base - run materializeDeletes " +
@@ -2807,11 +3147,14 @@ object Snapshots {
       s"duplicate SET target in ${set.map(_._1)}")
     val bounds = boundsOf(read(spark, base), predicate)
     val (candidates, pruned) = prior.partition(mayMatchBounds(_, bounds))
-    val target =
+    // per-vintage ADD-COLUMN defaults apply to the raw candidate read, so
+    // the rewrite physicalizes them instead of writing back parquet nulls
+    val target = fillAddDefaultsByFile(
       (if (candidates.isEmpty) read(spark, base).limit(0)
        else spark.read.schema(unionSchemaOf(spark, base, priorLines0, prior))
          .parquet(candidates.map(e => s"$base/${e.path}"): _*))
-        .withColumn("__file", input_file_name())
+        .withColumn("__file", input_file_name()),
+      "__file", priorLines0, candidates)
     val touched: Set[String] = target.filter(predicate)
       .select(col("__file")).distinct()
       .collect().map(_.getString(0)).toSet
@@ -3009,7 +3352,8 @@ object Snapshots {
     require(vs.nonEmpty, s"no snapshots under $base")
     val priorLines = manifestLines(spark, base, vs.last)
     requireNoSchemaOps(priorLines, "materializeDeletes")
-    val metaLines = priorLines.filter(l => l.startsWith("S:") || l.startsWith("A:"))
+    val metaLines = priorLines.filter(l => l.startsWith("S:") ||
+      l.startsWith("A:") || l.startsWith("B:") || l.startsWith("C:"))
     val (data, dels) = splitEntries(priorLines)
     if (dels.isEmpty) return vs.last
     import org.apache.spark.sql.functions.{col, expr}
@@ -3051,9 +3395,19 @@ object Snapshots {
     if (rewrite.isEmpty)
       return commitStaged(spark, base, vs.last + 1,
         metaLines ++ inherit.map(_.line), _ => ())
-    val kept = applyDeletes(spark, base,
-      spark.read.schema(read(spark, base).schema)
-        .parquet(rewrite.map(e => s"$base/${e.path}"): _*), dels)
+    // per-vintage ADD-COLUMN defaults fill before the rewrite lands, so
+    // folding deletes physicalizes defaults instead of burying nulls
+    val rewriteFrame0 = spark.read.schema(read(spark, base).schema)
+      .parquet(rewrite.map(e => s"$base/${e.path}"): _*)
+    val fill = needsDefaultFill(priorLines, rewrite)
+    val rewriteFrame = if (!fill) rewriteFrame0
+      else rewriteFrame0
+        .withColumn(VintageCol,
+          expr("substring_index(_metadata.file_path, '/', -2)"))
+        .withColumn(VintagePosCol, expr("_metadata.row_index"))
+    val kept = applyDeletes(spark, base, rewriteFrame, dels,
+      f => (if (fill) fillAddDefaults(f, priorLines, rewrite) else f)
+        .drop(VintageCol).drop(VintagePosCol))
     commitStaged(spark, base, vs.last + 1, metaLines ++ inherit.map(_.line),
       dir => kept.write.mode("append").parquet(dir), statsKey)
   }
@@ -3115,6 +3469,7 @@ object Snapshots {
     require(widenTargets(schemaOps(lines)).isEmpty,
       s"pending type-widening ops on $base - run materializeSchema before " +
         "renaming (widen ops reference columns by name)")
+    requireNoConstraintRefs(lines, from, "renameColumn", spark)
     commitStaged(spark, base, vs.last + 1,
       rawManifestLines(spark, base, vs.last) :+ s"R:$from\t$to", _ => ())
   }
@@ -3141,6 +3496,7 @@ object Snapshots {
     require(widenTargets(schemaOps(lines)).isEmpty,
       s"pending type-widening ops on $base - run materializeSchema before " +
         "dropping columns (widen ops reference columns by name)")
+    requireNoConstraintRefs(lines, colName, "dropColumn", spark)
     commitStaged(spark, base, vs.last + 1,
       rawManifestLines(spark, base, vs.last) :+ s"X:$colName", _ => ())
   }
@@ -3212,7 +3568,8 @@ object Snapshots {
    * rename/drop sources.
    */
   def addColumn(spark: SparkSession, base: String, colName: String,
-                to: org.apache.spark.sql.types.DataType): Long = {
+                to: org.apache.spark.sql.types.DataType,
+                default: Option[String] = None): Long = {
     val vs = versions(spark, base)
     require(vs.nonEmpty, s"no snapshots under $base")
     require(ColNameRe.matches(colName) && !colName.startsWith("__"),
@@ -3230,8 +3587,42 @@ object Snapshots {
         "reusing it")
     val json = to.json
     require(!json.exists(_.isControl), s"unserializable type $to")
+    // DEFAULT (Iceberg v3 default values): a constant SQL expression,
+    // validated here by parse + constant-fold + cast; applied at read to
+    // every row whose FILE's recorded schema lacks the column (pre-add
+    // vintages AND post-add appends that omitted it — initial-default and
+    // write-default collapse into one file-granular rule). Demands
+    // recorded per-file schemas: a schema-less entry cannot be classified
+    // pre-add vs carrier, and guessing either way corrupts rows.
+    val defSuffix = default.map { d =>
+      require(!d.exists(c => c == '\t' || c == '\n' || c == '\r'),
+        "default SQL must be tab/newline-free (manifest line format)")
+      val refs = scala.util.Try {
+        spark.sessionState.sqlParser.parseExpression(d).collect {
+          case u: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+            u.name
+        }
+      }
+      require(refs.isSuccess && refs.get.isEmpty,
+        s"default '$d' must be a CONSTANT expression - it references " +
+          s"${refs.getOrElse(Nil).mkString(", ")}")
+      val folded = scala.util.Try {
+        import org.apache.spark.sql.functions.expr
+        spark.sql("SELECT 1").select(expr(d).cast(to)).head()
+      }
+      require(folded.isSuccess,
+        s"default '$d' does not evaluate as a constant ${to.simpleString}: " +
+          folded.failed.map(_.getMessage).getOrElse(""))
+      val (data, _) = splitEntries(lines)
+      require(data.isEmpty || manifestUnionSchema(lines).isDefined,
+        s"$base has data files without recorded schemas (pre-upgrade " +
+          "commits); run compact or materializeSchema once before " +
+          "declaring a DEFAULT - vintage classification must be exact")
+      s"\t$d"
+    }.getOrElse("")
     commitStaged(spark, base, vs.last + 1,
-      rawManifestLines(spark, base, vs.last) :+ s"A:$colName\t$json", _ => ())
+      rawManifestLines(spark, base, vs.last) :+
+        s"A:$colName\t$json$defSuffix", _ => ())
   }
 
   /** Physical field names of one parquet file's footer; None on failure
@@ -3283,7 +3674,22 @@ object Snapshots {
               .contains(logicalMap.keySet)
       }
     }
-    val metaLines = lines.filter(_.startsWith("S:"))
+    // schema-op lines fold away; S: defs, constraints, and the bucket spec
+    // survive — the bucket column's name follows the folding renames (a
+    // rename leaves bucket PLACEMENT intact: same values, same hash) and a
+    // dropped bucket column retires the spec with it. Constraints cannot
+    // reference a renamed/dropped column here: the DDL verbs refuse that
+    // combination at declare time.
+    val foldedBucket = bucketSpecOf(lines).flatMap { case (c0, n) =>
+      val renamed = schemaOps(lines).foldLeft(Option(c0)) {
+        case (Some(c), RenameOp(f0, t0)) if f0 == c => Some(t0)
+        case (Some(c), DropOp(d0)) if d0 == c => None
+        case (acc, _) => acc
+      }
+      renamed.map(c => s"B:$c\t$n")
+    }
+    val metaLines = lines.filter(l =>
+      l.startsWith("S:") || l.startsWith("C:")) ++ foldedBucket.toSeq
     val kept = readSubset(spark, base, lines, stale)
     commitStaged(spark, base, vs.last + 1, metaLines ++ fresh.map(_.line),
       dir => if (stale.nonEmpty) kept.write.mode("append").parquet(dir),
@@ -3318,7 +3724,8 @@ object Snapshots {
     val priorLines0 = manifestLines(spark, base, vs.last)
     requireNoSchemaOps(priorLines0, "compact")
     val (metaLines, prior) =
-      (priorLines0.filter(l => l.startsWith("S:") || l.startsWith("A:")),
+      (priorLines0.filter(l => l.startsWith("S:") || l.startsWith("A:") ||
+         l.startsWith("B:") || l.startsWith("C:")),
         priorLines0.map(parseEntry).filterNot(_.isSchemaOp))
     require(!prior.exists(_.isDelete),
       s"pending merge-on-read deletes on $base - run materializeDeletes " +
@@ -3338,9 +3745,12 @@ object Snapshots {
     commitStaged(spark, base, next, metaLines ++ big.map(_._1.line),
       dir => {
         import org.apache.spark.sql.functions.col
-        val in = spark.read
-          .schema(unionSchemaOf(spark, base, priorLines0, prior))
-          .parquet(small.map { case (e, _) => s"$base/${e.path}" }: _*)
+        val in = fillAddDefaultsByFile(
+          spark.read
+            .schema(unionSchemaOf(spark, base, priorLines0, prior))
+            .parquet(small.map { case (e, _) => s"$base/${e.path}" }: _*)
+            .withColumn("__file", org.apache.spark.sql.functions.input_file_name()),
+          "__file", priorLines0, small.map(_._1)).drop("__file")
         val shaped = zorderBy match {
           case Some((x, y)) =>
             in.withColumn("__z", graft.sources.Layout.zorderKey2(col(x), col(y), zBits))
