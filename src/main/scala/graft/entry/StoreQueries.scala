@@ -1440,6 +1440,121 @@ private[graft] object StoreQueries {
              |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
              |FROM merged GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // MERGE WHEN NOT MATCHED BY SOURCE (round-15): Delta's third clause
+    // family completes the three-way merge — one commit reconciles a full
+    // snapshot feed: matched keys upsert (price doubled), unmatched source
+    // rows insert, and TARGET rows the feed no longer carries are retired
+    // (high-key delete clause) or flagged (low-key update clause, whose
+    // simultaneous assignments read the OLD row: status:='X' AND price
+    // negated together). Each clause's bounds prune its own discovery
+    // scan; the files_shared boolean pins that untouched mid-range files
+    // were inherited by reference, not rewritten.
+    "snap_merge_nmbs" -> Q(
+      (s, d) => {
+        import graft.store.Snapshots
+        val root = FixtureRoot.fresh("snapnmbs")
+        val base = root + "/t"
+        val orders = T(s, d, "orders")
+          .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+        Snapshots.write(orders.repartitionByRange(6, col("o_orderkey")),
+          base, statsKey = Some("o_orderkey"))
+        import s.implicits._
+        val matched = orders
+          .filter(col("o_orderkey") % 7 === 0 && col("o_orderkey") < 2000)
+          .withColumn("o_totalprice", col("o_totalprice") * 2)
+        val inserts = (9000001L to 9000020L).map(k => (k, "Z", 1.0))
+          .toDF("o_orderkey", "o_orderstatus", "o_totalprice")
+        val preFiles = Snapshots.manifestFiles(s, base, 1L).toSet
+        Snapshots.mergeInto(s, base, matched.unionByName(inserts), "o_orderkey",
+          notMatchedBySourceDelete = Some(
+            col("o_orderkey").between(50000L, 60000L) && col("o_orderkey") % 3 === 0),
+          notMatchedBySourceUpdate = Some((
+            col("o_orderkey") <= 3000L && col("o_orderkey") % 5 === 0,
+            Map("o_orderstatus" -> lit("X"),
+                "o_totalprice" -> -col("o_totalprice")))))
+        val postFiles = Snapshots.manifestFiles(s, base,
+          Snapshots.versions(s, base).last).toSet
+        val filesShared = (preFiles intersect postFiles).nonEmpty
+        Snapshots.read(s, base)
+          .groupBy(col("o_orderstatus"))
+          .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+          .withColumn("files_shared", lit(filesShared))
+          .orderBy(col("o_orderstatus"))
+      },
+      Some("""WITH merged AS (
+             |  SELECT o_orderkey, o_orderstatus, o_totalprice * 2 AS o_totalprice
+             |  FROM orders WHERE o_orderkey % 7 = 0 AND o_orderkey < 2000
+             |  UNION ALL
+             |  SELECT 9000000 + i, 'Z', 1.0 FROM generate_series(1, 20) AS t(i)
+             |  UNION ALL
+             |  SELECT o_orderkey,
+             |    CASE WHEN o_orderkey <= 3000 AND o_orderkey % 5 = 0
+             |         THEN 'X' ELSE o_orderstatus END,
+             |    CASE WHEN o_orderkey <= 3000 AND o_orderkey % 5 = 0
+             |         THEN -o_totalprice ELSE o_totalprice END
+             |  FROM orders
+             |  WHERE NOT (o_orderkey % 7 = 0 AND o_orderkey < 2000)
+             |    AND NOT (o_orderkey BETWEEN 50000 AND 60000 AND o_orderkey % 3 = 0))
+             |SELECT o_orderstatus, count(*) AS n,
+             |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+             |  TRUE AS files_shared
+             |FROM merged GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Full-row CDC feed (round-15): Delta's table_changes shape — every
+    // logical change between two versions as rows with _change_type
+    // (insert / delete / update_preimage+postimage pairs), state-based so
+    // intermediate churn collapses (a key updated at v2 then deleted at
+    // v3 surfaces as ONE delete carrying the v1 image). The 100 TB path
+    // is O(delta) file scoping: each side reads only its version's
+    // non-shared files (pinned in CdcChangesSpec); the oracle replays the
+    // whole three-commit history relationally.
+    "snap_changes" -> Q(
+      (s, d) => {
+        import graft.store.Snapshots
+        val root = FixtureRoot.fresh("snapchg")
+        val base = root + "/t"
+        val orders = T(s, d, "orders")
+          .select(col("o_orderkey"), col("o_totalprice"))
+        Snapshots.write(orders.repartitionByRange(4, col("o_orderkey")),
+          base, statsKey = Some("o_orderkey"))
+        Snapshots.updateWhere(s, base,
+          col("o_orderkey").between(100L, 200L),
+          Seq("o_totalprice" -> (col("o_totalprice") * 2)))
+        Snapshots.deleteWhere(s, base,
+          col("o_orderkey") % 13 === 0 && col("o_orderkey") <= 1000L)
+        import s.implicits._
+        Snapshots.append((9000001L to 9000010L).map(k => (k, 1.0))
+          .toDF("o_orderkey", "o_totalprice"), base)
+        Snapshots.changes(s, base, 1L,
+            Snapshots.versions(s, base).last, "o_orderkey")
+          .select(col("o_orderkey"),
+            col("o_totalprice").cast("double").as("price"),
+            col("_change_type"))
+          .orderBy(col("o_orderkey"), col("_change_type"))
+      },
+      Some("""WITH v1 AS (
+             |  SELECT o_orderkey AS k, CAST(o_totalprice AS DOUBLE) AS p
+             |  FROM orders),
+             |v4 AS (
+             |  SELECT k, CASE WHEN k BETWEEN 100 AND 200 THEN p * 2 ELSE p END AS p
+             |  FROM v1 WHERE NOT (k % 13 = 0 AND k <= 1000)
+             |  UNION ALL
+             |  SELECT 9000000 + i, 1.0 FROM generate_series(1, 10) AS t(i)),
+             |chg AS (
+             |  SELECT k, p, 'insert' AS ct FROM v4
+             |    WHERE k NOT IN (SELECT k FROM v1)
+             |  UNION ALL
+             |  SELECT k, p, 'delete' FROM v1
+             |    WHERE k NOT IN (SELECT k FROM v4)
+             |  UNION ALL
+             |  SELECT v1.k, v1.p, 'update_preimage'
+             |    FROM v1 JOIN v4 USING (k) WHERE v1.p <> v4.p
+             |  UNION ALL
+             |  SELECT v4.k, v4.p, 'update_postimage'
+             |    FROM v1 JOIN v4 USING (k) WHERE v1.p <> v4.p)
+             |SELECT k AS o_orderkey, p AS price, ct AS "_change_type"
+             |FROM chg ORDER BY 1, 3""".stripMargin)),
+
     // NDV sketch sidecars (round-14): per-file mergeable HLLs — Iceberg's
     // puffin NDV sketches in miniature. One build job over the sidecar-
     // less files, then "how many distinct customers" answers from

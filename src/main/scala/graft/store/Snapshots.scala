@@ -2821,10 +2821,34 @@ object Snapshots {
    * retracts its target row and inserts nothing; a non-matching one is a
    * no-op; NULL means upsert. One call applies a mixed upsert/delete CDC
    * batch copy-on-write.
+   *
+   * `notMatchedBySourceDelete` / `notMatchedBySourceUpdate` are Delta's
+   * `WHEN NOT MATCHED BY SOURCE [AND cond] THEN DELETE / UPDATE SET ...`
+   * clauses, evaluated against the TARGET row (source columns are not in
+   * scope — the row has no source match by definition). They complete the
+   * three-way merge surface: full-snapshot reconciliation ("retire every
+   * row my feed no longer carries") becomes one commit instead of merge +
+   * deleteWhere with a window of inconsistency between them. Semantics:
+   *   - a clause applies only to target rows whose key has NO source row;
+   *   - DELETE is evaluated first; UPDATE applies to surviving rows whose
+   *     condition is TRUE (FALSE/NULL rows pass through unchanged — SQL
+   *     DML null semantics, same as [[deleteWhere]]/[[updateWhere]]);
+   *   - UPDATE assignments evaluate simultaneously against the OLD row
+   *     (`a -> b, b -> a` swaps), exactly [[updateWhere]]'s contract.
+   * File granularity survives: a file with no matched key can still hold
+   * clause-affected rows, so each clause condition contributes its own
+   * bounds-pruned discovery scan ([[predicateBounds]] vs manifest stats —
+   * a file provably outside EVERY clause's range is inherited without
+   * reading a byte). A condition with no extractable bounds degrades to
+   * must-scan, never to must-rewrite: only files actually CONTAINING an
+   * affected row are rewritten.
    */
   def mergeInto(spark: SparkSession, base: String, source0: DataFrame,
                 key: String,
-                deleteWhen: Option[org.apache.spark.sql.Column] = None): Long = {
+                deleteWhen: Option[org.apache.spark.sql.Column] = None,
+                notMatchedBySourceDelete: Option[org.apache.spark.sql.Column] = None,
+                notMatchedBySourceUpdate: Option[(org.apache.spark.sql.Column,
+                  Map[String, org.apache.spark.sql.Column])] = None): Long = {
     import org.apache.spark.sql.functions.{coalesce, col, input_file_name, lit, max, min}
     val vs = versions(spark, base)
     val next = vs.lastOption.getOrElse(0L) + 1
@@ -2887,13 +2911,43 @@ object Snapshots {
           .select(col("__file")).distinct()
           .collect().map(_.getString(0)).toSet
       }
+    // NOT MATCHED BY SOURCE discovery: runs over ALL prior entries (a file
+    // with zero matched keys can still hold clause-affected rows), pruned
+    // per clause — a file must be scanned only if SOME clause's implied
+    // bounds admit it. The affected-row test is the clause disjunction
+    // over rows the source key set does NOT cover; defaults are filled so
+    // a condition on an ADD-COLUMN column evaluates per vintage.
+    val nmbsConds: Seq[org.apache.spark.sql.Column] =
+      notMatchedBySourceDelete.toSeq ++ notMatchedBySourceUpdate.map(_._1).toSeq
+    val nmbsTouched: Set[String] =
+      if (nmbsConds.isEmpty) Set.empty
+      else {
+        val cur = read(spark, base)
+        val boundsList = nmbsConds.map(c => boundsOf(cur, c))
+        val nmbsCand = prior.filter(e => boundsList.exists(mayMatchBounds(e, _)))
+        if (nmbsCand.isEmpty) Set.empty
+        else {
+          val anyCond = nmbsConds.map(c => coalesce(c, lit(false))).reduce(_ || _)
+          fillAddDefaultsByFile(
+              spark.read.schema(priorSchema)
+                .parquet(nmbsCand.map(e => s"$base/${e.path}"): _*)
+                .withColumn("__file", input_file_name()),
+              "__file", priorLines0, nmbsCand)
+            .join(source.select(col(key)), Seq(key), "left_anti")
+            .filter(anyCond)
+            .select(col("__file")).distinct()
+            .collect().map(_.getString(0)).toSet
+        }
+      }
     // manifest entries are base-relative; input_file_name is a URI — match
     // by the v=N/part-... suffix
-    val (rewrite, inherit) = candidates.partition(e => touched.exists(_.endsWith(e.path)))
-    require(rewrite.size == touched.size,
-      s"merge file accounting: ${touched.size} touched vs ${rewrite.size} manifest matches")
-    val kept =
-      if (touched.isEmpty) source.limit(0)
+    val allTouched = touched ++ nmbsTouched
+    val (rewrite, inherit) =
+      (pruned ++ candidates).partition(e => allTouched.exists(_.endsWith(e.path)))
+    require(rewrite.size == allTouched.size,
+      s"merge file accounting: ${allTouched.size} touched vs ${rewrite.size} manifest matches")
+    val keptNotMatched =
+      if (rewrite.isEmpty) source.limit(0)
       else fillAddDefaultsByFile(
           spark.read.schema(priorSchema)
             .parquet(rewrite.map(e => s"$base/${e.path}"): _*)
@@ -2901,6 +2955,30 @@ object Snapshots {
           "__file", priorLines0, rewrite)
         .drop("__file")
         .join(source.select(col(key)), Seq(key), "left_anti")
+    // WHEN NOT MATCHED BY SOURCE: DELETE first, then UPDATE on survivors.
+    // Both respect SQL null semantics (NULL condition = not affected); the
+    // UPDATE's assignments all read the PRE-update row (one simultaneous
+    // projection).
+    val afterNmbsDelete = notMatchedBySourceDelete match {
+      case Some(c) =>
+        keptNotMatched.filter(!coalesce(c, lit(false)))
+      case None => keptNotMatched
+    }
+    val kept = notMatchedBySourceUpdate match {
+      case Some((c, sets)) =>
+        val unknown = sets.keySet.filterNot(afterNmbsDelete.columns.contains)
+        require(unknown.isEmpty,
+          s"notMatchedBySourceUpdate assigns unknown columns ${unknown.mkString(", ")}")
+        val hit = coalesce(c, lit(false))
+        afterNmbsDelete.select(afterNmbsDelete.columns.map { n =>
+          sets.get(n) match {
+            case Some(rhs) =>
+              org.apache.spark.sql.functions.when(hit, rhs).otherwise(col(n)).as(n)
+            case None => col(n)
+          }
+        }: _*)
+      case None => afterNmbsDelete
+    }
     // allowMissingColumns: a source carrying a NEW column (write-side
     // schema evolution) null-fills it on kept rows; old files inherit
     // untouched and read() null-fills them via mergeSchema. The reverse
@@ -2932,7 +3010,7 @@ object Snapshots {
       }.getOrElse(Seq.empty[String])
     }.distinct.filterNot(tableCols)
     val inserts = routingCols.foldLeft(inserts0)(_ drop _)
-    commitStaged(spark, base, next, metaLines ++ (pruned ++ inherit).map(_.line),
+    commitStaged(spark, base, next, metaLines ++ inherit.map(_.line),
       dir => kept.unionByName(inserts, allowMissingColumns = true)
         .write.mode("append").parquet(dir),
       statsKey = Some(key))
@@ -4623,18 +4701,18 @@ object Snapshots {
                           toV: Long, key: String, groupCols: Seq[String],
                           valueCol: String): DataFrame = {
     import org.apache.spark.sql.functions._
-    val changed = diff(spark, base, fromV, toV, key)
-    val gone = changed.filter(col("change_type").isin("delete", "update")).select(col(key))
-    val came = changed.filter(col("change_type").isin("insert", "update")).select(col(key))
-    def side(v: Long, keys: DataFrame, sign: Int) =
-      read(spark, base, Some(v))
-        .join(keys, Seq(key), "left_semi")
-        .groupBy(groupCols.map(col): _*)
-        .agg(sum(lit(sign.toLong)).as("cnt_d"),
-          sum(col(valueCol).cast("decimal(18,2)") * sign).as("sum_d"))
-    side(fromV, gone, -1).unionByName(side(toV, came, +1))
+    // [[changes]] carries the full pre/post row images, so the delta is
+    // ONE delta-file-scoped pass: retired images (delete/update_preimage)
+    // subtract under their FROM-version group values, arrived images
+    // (insert/update_postimage) add under their TO-version values — no
+    // re-read of either full version.
+    changes(spark, base, fromV, toV, key)
+      .withColumn("__sign",
+        when(col("_change_type").isin("delete", "update_preimage"), lit(-1L))
+          .otherwise(lit(1L)))
       .groupBy(groupCols.map(col): _*)
-      .agg(sum(col("cnt_d")).as("cnt_delta"), sum(col("sum_d")).as("sum_delta"))
+      .agg(sum(col("__sign")).as("cnt_delta"),
+        sum(col(valueCol).cast("decimal(18,2)") * col("__sign")).as("sum_delta"))
   }
 
   /** Apply an [[incrementalAggDelta]] to a (groupCols..., n, total) decimal
@@ -4652,28 +4730,97 @@ object Snapshots {
       .filter(col("n") > 0)
   }
 
+  /**
+   * Full-row CDC between two versions (Delta's `table_changes` /
+   * `readChangeFeed` shape, computed state-based): every logical change
+   * from `fromV` to `toV` as data rows plus a `_change_type` column —
+   * `insert` (post-image), `delete` (pre-image), and an
+   * `update_preimage` / `update_postimage` PAIR per updated key. The
+   * contract is the same as [[diff]]: `key` is unique per version (the
+   * upsert-table shape every CDC consumer assumes), and intermediate
+   * churn collapses — a row updated at v2 and deleted at v3 surfaces as
+   * one `delete` carrying the v_from image, because the feed describes
+   * the STATE transition, not the commit log.
+   *
+   * 100 TB path — O(delta) file scoping from manifest metadata: a row can
+   * differ between the versions only if it lives in a data file ADDED or
+   * REMOVED between them (copy-on-write rewrites both sides of every
+   * touched file; inherited files are byte-identical), so each side reads
+   * ONLY its version's non-shared files. Ten changed files out of 100k
+   * means ten files read per side, never the table. The one exception is
+   * honesty about merge-on-read: a delete FILE added between the versions
+   * changes rows of data files it covers without touching them, so when
+   * the pending-delete sets differ the scope widens to every file (the
+   * same fallback [[approxDistinct]] takes) — run [[materializeDeletes]]
+   * first to stay on the delta path. Schema evolution is fine: each side
+   * reads through its own version's schema ops, and columns added by
+   * `toV` null-fill the pre-images.
+   */
+  def changes(spark: SparkSession, base: String, fromV: Long, toV: Long,
+              key: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val linesFrom = manifestLines(spark, base, fromV)
+    val linesTo = manifestLines(spark, base, toV)
+    val (dataF, delsF) = splitEntries(linesFrom)
+    val (dataT, delsT) = splitEntries(linesTo)
+    // delta scoping is sound only when the MoR delete sets agree
+    val deltaScope = delsF.map(_.line).toSet == delsT.map(_.line).toSet
+    val pathsF = dataF.map(_.path).toSet
+    val pathsT = dataT.map(_.path).toSet
+    val subF = if (deltaScope) dataF.filterNot(e => pathsT.contains(e.path)) else dataF
+    val subT = if (deltaScope) dataT.filterNot(e => pathsF.contains(e.path)) else dataT
+    val fromDf = readSubset(spark, base, linesFrom, subF)
+    val toDf = readSubset(spark, base, linesTo, subT)
+    require(fromDf.columns.contains(key) && toDf.columns.contains(key),
+      s"changes key $key must exist in both versions' schemas")
+    // unified output schema: fromV's columns first, then toV-only additions
+    val cols = fromDf.columns.toSeq ++
+      toDf.columns.toSeq.filterNot(fromDf.columns.contains)
+    val dtypes: Map[String, org.apache.spark.sql.types.DataType] =
+      (fromDf.schema.fields ++ toDf.schema.fields)
+        .map(f => f.name -> f.dataType).toMap
+    def side(df: DataFrame, tag: String) = {
+      val present = df.columns.toSet
+      val aligned = cols.map(c =>
+        if (present(c)) col(c).as(c) else lit(null).cast(dtypes(c)).as(c))
+      df.select(col(key).as(s"__k"),
+        xxhash64(struct(cols.filterNot(_ == key).map(c =>
+          if (present(c)) col(c) else lit(null).cast(dtypes(c)).as(c)): _*))
+          .as(s"__h_$tag"),
+        struct(aligned: _*).as(s"__row_$tag"))
+    }
+    val joined = side(fromDf, "from").join(side(toDf, "to"), Seq("__k"), "full_outer")
+    val pre = col("__row_from"); val post = col("__row_to")
+    def tagged(row: org.apache.spark.sql.Column, ct: String) =
+      struct(row.as("row"), lit(ct).as("ct"))
+    val changeRows = joined
+      .withColumn("__changes",
+        when(col("__h_from").isNull, array(tagged(post, "insert")))
+          .when(col("__h_to").isNull, array(tagged(pre, "delete")))
+          .when(col("__h_from") =!= col("__h_to"),
+            array(tagged(pre, "update_preimage"), tagged(post, "update_postimage"))))
+      .filter(col("__changes").isNotNull)
+      .select(explode(col("__changes")).as("__c"))
+    changeRows.select(
+      cols.map(c => col(s"__c.row.$c").as(c)) :+
+        col("__c.ct").as("_change_type"): _*)
+  }
+
+  /** Changed-key summary between two versions: (key, change_type ∈
+    * insert/delete/update). Thin projection over [[changes]], so it
+    * inherits the O(delta) file scoping — the MV rewrite-chain fallback
+    * ([[incrementalAggDelta]]) reads only the files the churn touched,
+    * never both full versions. */
   def diff(spark: SparkSession, base: String, fromV: Long, toV: Long,
            key: String): DataFrame = {
     import org.apache.spark.sql.functions._
-    val fromCols = read(spark, base, Some(fromV)).columns.toSeq
-    val toCols = read(spark, base, Some(toV)).columns.toSeq
-    // stable order: fromV's columns first, then toV-only additions
-    val cols = fromCols ++ toCols.filterNot(fromCols.contains)
-    def hashed(v: Long, tag: String) = {
-      val df = read(spark, base, Some(v))
-      val present = df.columns.toSet
-      val hashInputs = cols.filterNot(_ == key).map(c =>
-        if (present(c)) col(c) else lit(null).as(c))
-      df.select(col(key), xxhash64(struct(hashInputs: _*)).as(s"__h_$tag"))
-    }
-    val from = hashed(fromV, "from")
-    val to = hashed(toV, "to")
-    from.join(to, Seq(key), "full_outer")
-      .withColumn("change_type",
-        when(col("__h_from").isNull, lit("insert"))
-          .when(col("__h_to").isNull, lit("delete"))
-          .when(col("__h_from") =!= col("__h_to"), lit("update")))
-      .filter(col("change_type").isNotNull)
-      .select(col(key), col("change_type"))
+    changes(spark, base, fromV, toV, key)
+      .select(col(key),
+        when(col("_change_type") === "insert", lit("insert"))
+          .when(col("_change_type") === "delete", lit("delete"))
+          .otherwise(lit("update")).as("change_type"))
+      // an update contributes a preimage AND a postimage row; the summary
+      // carries one
+      .distinct()
   }
 }
