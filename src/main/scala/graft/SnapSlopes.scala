@@ -145,6 +145,21 @@ object SnapSlopes {
         val upd = syntheticDocs(spark, mergeN, n / 2, seed = 13)
         Snapshots.mergeInto(spark, base, upd, "doc_id"); ()
       })
+      // round-15 CDC verbs: the feed over the LAST merge transition — a
+      // fixed ~1-file rewrite however large the corpus — must be
+      // corpus-flat: [[Snapshots.changes]] reads only each side's
+      // non-shared files, and the agg delta is one signed pass over them
+      val vsNow = Snapshots.versions(spark, base)
+      val (cdcFrom, cdcTo) = (vsNow(vsNow.size - 2), vsNow.last)
+      record("cdc_changes", n, median3 {
+        Snapshots.changes(spark, base, cdcFrom, cdcTo, "doc_id")
+          .write.mode("overwrite").format("noop").save()
+      })
+      record("cdc_agg_delta", n, median3 {
+        Snapshots.incrementalAggDelta(spark, base, cdcFrom, cdcTo,
+            "doc_id", Seq("source"), "source")
+          .write.mode("overwrite").format("noop").save()
+      })
       // round-14 metadata verbs, all FIXED-size against the growing
       // corpus — the claim is corpus-flat (slope ≈ 0): the hybrid count
       // opens boundary files only, top-k admits the best-bounded files

@@ -1555,6 +1555,42 @@ private[graft] object StoreQueries {
              |SELECT k AS o_orderkey, p AS price, ct AS "_change_type"
              |FROM chg ORDER BY 1, 3""".stripMargin)),
 
+    // OPTIMIZE / cluster rewrite (round-15): Delta OPTIMIZE ZORDER's
+    // linear cousin — a table written in ARRIVAL order (round-robin
+    // files, every file spanning the whole keyspace, so bounds prune
+    // nothing) gets one full CoW cluster rewrite on the key, after which
+    // the same range scan admits only boundary files. Pruning quality is
+    // what a maintenance verb buys at 100 TB: ingest appends in arrival
+    // order all day, the scheduled cluster rewrite restores metadata
+    // selectivity. The before/after scanPlan booleans pin the flip; the
+    // aggregate pins content invariance against the raw table.
+    "snap_cluster_sort" -> Q(
+      (s, d) => {
+        import graft.store.Snapshots
+        val root = FixtureRoot.fresh("snapclus")
+        val base = root + "/t"
+        val orders = T(s, d, "orders")
+          .select(col("o_orderkey"), col("o_totalprice"))
+        Snapshots.write(orders.repartition(4), base,
+          statsKey = Some("o_orderkey"))
+        val lowScan = col("o_orderkey") <= 100L
+        val (c1, p1) = Snapshots.scanPlan(s, base, lowScan)
+        Snapshots.rewriteSorted(s, base, Seq("o_orderkey"),
+          targetBytes = 64L * 1024)
+        val (c2, p2) = Snapshots.scanPlan(s, base, lowScan)
+        val nLow = Snapshots.countWhere(s, base, lowScan)
+        Snapshots.read(s, base)
+          .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+          .withColumn("n_low", lit(nLow))
+          .withColumn("pruned_before", lit(p1.nonEmpty && c1.nonEmpty))
+          .withColumn("pruned_after", lit(p2.nonEmpty && c2.nonEmpty))
+      },
+      Some("""SELECT count(*) AS n,
+             |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+             |  (SELECT count(*) FROM orders WHERE o_orderkey <= 100) AS n_low,
+             |  FALSE AS pruned_before, TRUE AS pruned_after
+             |FROM orders""".stripMargin)),
+
     // NDV sketch sidecars (round-14): per-file mergeable HLLs — Iceberg's
     // puffin NDV sketches in miniature. One build job over the sidecar-
     // less files, then "how many distinct customers" answers from

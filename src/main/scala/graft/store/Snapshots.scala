@@ -3843,6 +3843,75 @@ object Snapshots {
   }
 
   /**
+   * OPTIMIZE/cluster verb (Delta `OPTIMIZE ... ZORDER BY` / Iceberg
+   * rewrite-with-sort-order): one full-table copy-on-write rewrite that
+   * lays rows out range-clustered on `cols` — linear sort, or a z-order
+   * interleave over exactly two columns — so every metadata evidence
+   * source this store prunes with (manifest key bounds, multi-column
+   * stats sidecars, [[topK]]'s bound admission, [[countWhere]]'s coverage
+   * proofs) becomes maximally selective: after clustering, per-file
+   * [min,max] ranges are disjoint and a range scan admits only boundary
+   * files. This is the MAINTENANCE path to pruning — ingest can append in
+   * arrival order all day and a scheduled cluster rewrite buys back the
+   * layout, which matters at 100 TB because pruning quality, not scan
+   * speed, is what bounds interactive latency there.
+   *
+   * Output file count targets `targetBytes` per file from the current
+   * physical size (ceil, never 0). The rewrite physicalizes pending
+   * ADD-COLUMN defaults (all files postdate the add afterwards) and drops
+   * a pending `B:` bucket spec — a sorted layout REPLACES hidden bucket
+   * partitioning; re-bucket with [[rewriteBucketed]] if that's the layout
+   * you want. Refuses while rename/drop/widen ops or MoR deletes pend
+   * (same guards as every file-level rewrite). Stats on `cols.head` land
+   * in the manifest; build stats sidecars for the secondary columns when
+   * z-ordering — both dimensions cluster, so both prune.
+   */
+  def rewriteSorted(spark: SparkSession, base: String, cols: Seq[String],
+                    targetBytes: Long = 128L * 1024 * 1024,
+                    zorder: Boolean = false, zBits: Int = 16): Long = {
+    import org.apache.spark.sql.functions.col
+    require(cols.nonEmpty, "rewriteSorted needs at least one cluster column")
+    require(!zorder || cols.size == 2,
+      "z-order clustering interleaves exactly two columns")
+    val vs = versions(spark, base)
+    require(vs.nonEmpty, s"no snapshots under $base")
+    val priorLines0 = manifestLines(spark, base, vs.last)
+    requireNoSchemaOps(priorLines0, "rewriteSorted")
+    // keep schema defs / ADD ops / constraints; DROP the bucket spec (the
+    // sorted layout replaces it — stale bucket metadata over non-bucket
+    // file names would be useless at best)
+    val metaLines = priorLines0.filter(l => l.startsWith("S:") ||
+      l.startsWith("A:") || l.startsWith("C:"))
+    val prior = priorLines0.map(parseEntry).filterNot(_.isSchemaOp)
+    require(!prior.exists(_.isDelete),
+      s"pending merge-on-read deletes on $base - run materializeDeletes " +
+        "first (a file-level rewrite would resurrect MoR-deleted rows)")
+    val f = fs(spark, base)
+    val totalBytes = prior.map(e =>
+      f.getFileStatus(new Path(s"$base/${e.path}")).getLen).sum
+    val nOut = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
+    val next = vs.last + 1
+    commitStaged(spark, base, next, metaLines,
+      dir => {
+        // read() applies pending ADD defaults per vintage, so the rewrite
+        // physicalizes them (every output file postdates the add)
+        val in = read(spark, base)
+        val shaped =
+          if (zorder)
+            in.withColumn("__z", graft.sources.Layout.zorderKey2(
+                col(cols.head), col(cols(1)), zBits))
+              .repartitionByRange(nOut, col("__z"))
+              .sortWithinPartitions(col("__z"))
+              .drop("__z")
+          else
+            in.repartitionByRange(nOut, cols.map(col): _*)
+              .sortWithinPartitions(cols.map(col): _*)
+        shaped.write.mode("append").parquet(dir)
+      },
+      statsKey = Some(cols.head))
+  }
+
+  /**
    * Orphan-file GC: removes files in version directories that never gained
    * a manifest — crash debris from in-flight writes that died before their
    * commit point. Committed versions are untouched, and so is EVERY file a
@@ -4701,18 +4770,45 @@ object Snapshots {
                           toV: Long, key: String, groupCols: Seq[String],
                           valueCol: String): DataFrame = {
     import org.apache.spark.sql.functions._
-    // [[changes]] carries the full pre/post row images, so the delta is
-    // ONE delta-file-scoped pass: retired images (delete/update_preimage)
-    // subtract under their FROM-version group values, arrived images
-    // (insert/update_postimage) add under their TO-version values — no
-    // re-read of either full version.
-    changes(spark, base, fromV, toV, key)
-      .withColumn("__sign",
-        when(col("_change_type").isin("delete", "update_preimage"), lit(-1L))
-          .otherwise(lit(1L)))
+    // Signed multiset subtraction over the CHANGED FILES ONLY: every
+    // from-side row counts -1, every to-side row +1, and a row carried
+    // verbatim through a CoW rewrite appears on BOTH sides, so it cancels
+    // inside the aggregate — no key join, no row hashing, one delta-scoped
+    // pass ([[changes]]' file scoping, without its pre/post pairing; the
+    // cancellation argument needs no key uniqueness at all). Zero-delta
+    // groups (all their rows cancelled) are dropped to keep the output
+    // change-proportional.
+    val (subF, subT) = changedFileSides(spark, base, fromV, toV)
+    def side(sub: DataFrame, sign: Long) =
+      sub.select(groupCols.map(col) :+ lit(sign).as("__sign") :+
+        col(valueCol).cast("decimal(18,2)").as("__v"): _*)
+    side(subF, -1L).unionByName(side(subT, 1L))
       .groupBy(groupCols.map(col): _*)
       .agg(sum(col("__sign")).as("cnt_delta"),
-        sum(col(valueCol).cast("decimal(18,2)") * col("__sign")).as("sum_delta"))
+        sum(col("__v") * col("__sign")).as("sum_delta"))
+      .filter(col("cnt_delta") =!= 0L ||
+        coalesce(col("sum_delta"), lit(java.math.BigDecimal.ZERO)) =!= 0)
+  }
+
+  /** The two delta-scoped sides of a version transition: each side reads
+    * only its version's non-shared data files (shared files are
+    * byte-identical under copy-on-write), widening to every file when the
+    * pending MoR delete sets differ (a delete file changes covered rows
+    * it never touches). The shared scoping core of [[changes]] and
+    * [[incrementalAggDelta]]. */
+  private def changedFileSides(spark: SparkSession, base: String,
+      fromV: Long, toV: Long): (DataFrame, DataFrame) = {
+    val linesFrom = manifestLines(spark, base, fromV)
+    val linesTo = manifestLines(spark, base, toV)
+    val (dataF, delsF) = splitEntries(linesFrom)
+    val (dataT, delsT) = splitEntries(linesTo)
+    val deltaScope = delsF.map(_.line).toSet == delsT.map(_.line).toSet
+    val pathsF = dataF.map(_.path).toSet
+    val pathsT = dataT.map(_.path).toSet
+    val subF = if (deltaScope) dataF.filterNot(e => pathsT.contains(e.path)) else dataF
+    val subT = if (deltaScope) dataT.filterNot(e => pathsF.contains(e.path)) else dataT
+    (readSubset(spark, base, linesFrom, subF),
+      readSubset(spark, base, linesTo, subT))
   }
 
   /** Apply an [[incrementalAggDelta]] to a (groupCols..., n, total) decimal
@@ -4759,18 +4855,7 @@ object Snapshots {
   def changes(spark: SparkSession, base: String, fromV: Long, toV: Long,
               key: String): DataFrame = {
     import org.apache.spark.sql.functions._
-    val linesFrom = manifestLines(spark, base, fromV)
-    val linesTo = manifestLines(spark, base, toV)
-    val (dataF, delsF) = splitEntries(linesFrom)
-    val (dataT, delsT) = splitEntries(linesTo)
-    // delta scoping is sound only when the MoR delete sets agree
-    val deltaScope = delsF.map(_.line).toSet == delsT.map(_.line).toSet
-    val pathsF = dataF.map(_.path).toSet
-    val pathsT = dataT.map(_.path).toSet
-    val subF = if (deltaScope) dataF.filterNot(e => pathsT.contains(e.path)) else dataF
-    val subT = if (deltaScope) dataT.filterNot(e => pathsF.contains(e.path)) else dataT
-    val fromDf = readSubset(spark, base, linesFrom, subF)
-    val toDf = readSubset(spark, base, linesTo, subT)
+    val (fromDf, toDf) = changedFileSides(spark, base, fromV, toV)
     require(fromDf.columns.contains(key) && toDf.columns.contains(key),
       s"changes key $key must exist in both versions' schemas")
     // unified output schema: fromV's columns first, then toV-only additions
@@ -4807,20 +4892,30 @@ object Snapshots {
   }
 
   /** Changed-key summary between two versions: (key, change_type ∈
-    * insert/delete/update). Thin projection over [[changes]], so it
-    * inherits the O(delta) file scoping — the MV rewrite-chain fallback
-    * ([[incrementalAggDelta]]) reads only the files the churn touched,
-    * never both full versions. */
+    * insert/delete/update). Same O(delta) file scoping as [[changes]] —
+    * only non-shared files are read per side — but the per-row payload is
+    * one xxhash64, not a full pre/post image pair, so the summary stays
+    * the cheap verb. Unchanged rows carried through a CoW rewrite hash
+    * equal and are filtered; rows in shared files can't differ at all. */
   def diff(spark: SparkSession, base: String, fromV: Long, toV: Long,
            key: String): DataFrame = {
     import org.apache.spark.sql.functions._
-    changes(spark, base, fromV, toV, key)
-      .select(col(key),
-        when(col("_change_type") === "insert", lit("insert"))
-          .when(col("_change_type") === "delete", lit("delete"))
-          .otherwise(lit("update")).as("change_type"))
-      // an update contributes a preimage AND a postimage row; the summary
-      // carries one
-      .distinct()
+    val (fromDf, toDf) = changedFileSides(spark, base, fromV, toV)
+    // stable order: fromV's columns first, then toV-only additions
+    val cols = fromDf.columns.toSeq ++
+      toDf.columns.toSeq.filterNot(fromDf.columns.contains)
+    def hashed(df: DataFrame, tag: String) = {
+      val present = df.columns.toSet
+      val hashInputs = cols.filterNot(_ == key).map(c =>
+        if (present(c)) col(c) else lit(null).as(c))
+      df.select(col(key), xxhash64(struct(hashInputs: _*)).as(s"__h_$tag"))
+    }
+    hashed(fromDf, "from").join(hashed(toDf, "to"), Seq(key), "full_outer")
+      .withColumn("change_type",
+        when(col("__h_from").isNull, lit("insert"))
+          .when(col("__h_to").isNull, lit("delete"))
+          .when(col("__h_from") =!= col("__h_to"), lit("update")))
+      .filter(col("change_type").isNotNull)
+      .select(col(key), col("change_type"))
   }
 }

@@ -1,0 +1,129 @@
+package graft.store
+
+import org.apache.spark.sql.functions.col
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/**
+ * [[Snapshots.rewriteSorted]] — the OPTIMIZE/cluster maintenance verb.
+ * Pins content invariance, the pruning flip (arrival-order layout admits
+ * everything; clustered layout prunes to boundary files, counting-FS
+ * proof), the z-order variant clustering BOTH dimensions, target file
+ * sizing, metadata lineage (constraints kept, bucket spec dropped,
+ * ADD-COLUMN defaults physicalized), and the rewrite guard matrix.
+ */
+class ClusterRewriteSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("content invariant; range scan flips from scan-all to boundary files") {
+    spark.sparkContext.hadoopConfiguration
+      .set("fs.cntfs.impl", classOf[CountingLocalFs].getName)
+    val root = java.nio.file.Files.createTempDirectory("graft-clus1")
+    val base = s"cntfs:$root/t"
+    // arrival order: every file spans the whole keyspace
+    Snapshots.write(
+      (1L to 1200L).map(i => (i, s"v$i", i * 1.0)).toDF("id", "s", "x")
+        .repartition(4),
+      base, statsKey = Some("id"))
+    val before = Snapshots.read(spark, base).as[(Long, String, Double)]
+      .collect().toSet
+    val (c1, p1) = Snapshots.scanPlan(spark, base, col("id") <= 50L)
+    assert(p1.isEmpty && c1.size == 4, "arrival order must admit every file")
+    Snapshots.rewriteSorted(spark, base, Seq("id"), targetBytes = 8L * 1024)
+    val (c2, p2) = Snapshots.scanPlan(spark, base, col("id") <= 50L)
+    assert(p2.nonEmpty && c2.size < c2.size + p2.size,
+      s"clustered layout must prune: ${c2.size} cand / ${p2.size} pruned")
+    // counting-FS: the scan opens ONLY admitted files
+    CountingLocalFs.reset()
+    val n = Snapshots.scanWhere(spark, base, col("id") <= 50L).count()
+    assert(n == 50L)
+    val stray = CountingLocalFs.openedParquet
+      .filterNot(pth => c2.exists(e => pth.endsWith(e.path)))
+    assert(stray.isEmpty, s"scan opened pruned files: ${stray.mkString(", ")}")
+    val after = Snapshots.read(spark, base).as[(Long, String, Double)]
+      .collect().toSet
+    assert(after == before, "cluster rewrite must not change content")
+  }
+
+  test("z-order clusters BOTH dimensions: each column's scan prunes files") {
+    val base = java.nio.file.Files.createTempDirectory("graft-clus2").toString + "/t"
+    // two independent uniform dimensions
+    val rows = (0L until 4096L).map { i =>
+      val a = (i * 2654435761L) % 1024L  // Knuth-hash scatter
+      val b = (i * 40503L) % 1024L
+      (i, a, b)
+    }
+    Snapshots.write(rows.toDF("id", "a", "b").repartition(4), base,
+      statsKey = Some("a"))
+    Snapshots.rewriteSorted(spark, base, Seq("a", "b"),
+      targetBytes = 8L * 1024, zorder = true)
+    Snapshots.writeStatsSidecars(spark, base, Seq("a", "b"))
+    val (ca, pa) = Snapshots.scanPlan(spark, base, col("a") < 64L)
+    val (cb, pb) = Snapshots.scanPlan(spark, base, col("b") < 64L)
+    assert(pa.nonEmpty, "z-order must prune on the first dimension")
+    assert(pb.nonEmpty, "z-order must prune on the second dimension")
+    // correctness: counts match a full-scan filter
+    assert(Snapshots.countWhere(spark, base, col("a") < 64L) ==
+      rows.count(_._2 < 64L))
+    assert(Snapshots.countWhere(spark, base, col("b") < 64L) ==
+      rows.count(_._3 < 64L))
+    assert(ca.nonEmpty && cb.nonEmpty)
+  }
+
+  test("metadata lineage: constraints ride along, bucket spec is dropped, ADD default physicalizes") {
+    val base = java.nio.file.Files.createTempDirectory("graft-clus3").toString + "/t"
+    Snapshots.writeBucketed(
+      (1L to 200L).map(i => (i, i * 1.0)).toDF("id", "x"), base, "id", 4)
+    Snapshots.addConstraint(spark, base, "pos_x", "x >= 0")
+    Snapshots.addColumn(spark, base, "tag",
+      org.apache.spark.sql.types.StringType, default = Some("'fresh'"))
+    Snapshots.rewriteSorted(spark, base, Seq("id"), targetBytes = 4L * 1024)
+    val v = Snapshots.versions(spark, base).last
+    val lines = Snapshots.manifestLines(spark, base, v)
+    assert(lines.exists(_.startsWith("C:")), "constraint must survive")
+    assert(!lines.exists(_.startsWith("B:")), "bucket spec must be dropped")
+    // default physicalized: every row carries it, and a violating append
+    // still refuses (constraint is live)
+    val tags = Snapshots.read(spark, base).select("tag").distinct()
+      .as[String].collect().toSeq
+    assert(tags == Seq("fresh"))
+    intercept[Snapshots.ConstraintViolationException] {
+      Snapshots.append(Seq((999L, -5.0, "t")).toDF("id", "x", "tag"), base)
+    }
+    assert(Snapshots.read(spark, base).count() == 200L)
+  }
+
+  test("target sizing: smaller targetBytes yields more, range-disjoint files") {
+    val base = java.nio.file.Files.createTempDirectory("graft-clus4").toString + "/t"
+    Snapshots.write((1L to 2000L).map(i => (i, s"pad-$i-${"x" * 20}"))
+      .toDF("id", "s").repartition(2), base, statsKey = Some("id"))
+    Snapshots.rewriteSorted(spark, base, Seq("id"), targetBytes = 6L * 1024)
+    val files = Snapshots.scanPlan(spark, base, col("id") >= 1L)._1
+    assert(files.size >= 3, s"expected several output files, got ${files.size}")
+    // clustered: per-file [min,max] are pairwise disjoint
+    val ranges = files.flatMap(_.stats.map { case (_, _, mn, mx) =>
+      (mn.toLong, mx.toLong) }).sortBy(_._1)
+    assert(ranges.sliding(2).forall {
+      case Seq((_, mx1), (mn2, _)) => mx1 < mn2
+      case _ => true
+    }, s"ranges must be disjoint: $ranges")
+  }
+
+  test("guards: pending rename and pending MoR deletes refuse") {
+    val base = java.nio.file.Files.createTempDirectory("graft-clus5").toString + "/t"
+    Snapshots.write((1L to 50L).map(i => (i, i * 1.0)).toDF("id", "x"), base)
+    Snapshots.renameColumn(spark, base, "x", "y")
+    val e = intercept[IllegalArgumentException] {
+      Snapshots.rewriteSorted(spark, base, Seq("id"))
+    }
+    assert(e.getMessage.contains("materializeSchema"))
+    Snapshots.materializeSchema(spark, base)
+    Snapshots.deleteWhereMoR(spark, base, col("id") === 3L)
+    val e2 = intercept[IllegalArgumentException] {
+      Snapshots.rewriteSorted(spark, base, Seq("id"))
+    }
+    assert(e2.getMessage.contains("materializeDeletes"))
+  }
+}
