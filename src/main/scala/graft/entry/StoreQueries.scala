@@ -1591,6 +1591,41 @@ private[graft] object StoreQueries {
              |  FALSE AS pruned_before, TRUE AS pruned_after
              |FROM orders""".stripMargin)),
 
+    // Health-triggered maintenance (round-15): clusteringDepth measures
+    // layout health from metadata alone — the expected number of files a
+    // uniform point probe admits (arrival order ≈ file count, clustered
+    // = 1) — and maintain(clusterBy) re-clusters ONLY past the threshold,
+    // so the nightly job stops rewriting healthy tables on a blind
+    // schedule. Booleans pin the full cycle: degraded before, trigger
+    // fires, healthy after, second run quiet.
+    "snap_cluster_health" -> Q(
+      (s, d) => {
+        import graft.store.Snapshots
+        val root = FixtureRoot.fresh("snapchealth")
+        val base = root + "/t"
+        val orders = T(s, d, "orders")
+          .select(col("o_orderkey"), col("o_totalprice"))
+        Snapshots.write(orders.repartition(4), base,
+          statsKey = Some("o_orderkey"))
+        val d0 = Snapshots.clusteringDepth(s, base, "o_orderkey").getOrElse(0.0)
+        val r1 = Snapshots.maintain(s, base, targetBytes = 64L * 1024,
+          clusterBy = Some(Seq("o_orderkey")), maxClusterDepth = 2.0)
+        val d1 = Snapshots.clusteringDepth(s, base, "o_orderkey").getOrElse(99.0)
+        val r2 = Snapshots.maintain(s, base, targetBytes = 64L * 1024,
+          clusterBy = Some(Seq("o_orderkey")), maxClusterDepth = 2.0)
+        Snapshots.read(s, base)
+          .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+          .withColumn("degraded_before", lit(d0 > 2.0))
+          .withColumn("trigger_fired", lit(r1.clusteredToVersion.isDefined))
+          .withColumn("healthy_after", lit(d1 <= 1.5))
+          .withColumn("second_run_quiet", lit(r2.clusteredToVersion.isEmpty))
+      },
+      Some("""SELECT count(*) AS n,
+             |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+             |  TRUE AS degraded_before, TRUE AS trigger_fired,
+             |  TRUE AS healthy_after, TRUE AS second_run_quiet
+             |FROM orders""".stripMargin)),
+
     // NDV sketch sidecars (round-14): per-file mergeable HLLs — Iceberg's
     // puffin NDV sketches in miniature. One build job over the sidecar-
     // less files, then "how many distinct customers" answers from

@@ -4121,7 +4121,8 @@ object Snapshots {
       deletesFolded: Boolean,
       compactedToVersion: Option[Long],
       expiredVersions: Seq[Long],
-      vacuumedPaths: Int)
+      vacuumedPaths: Int,
+      clusteredToVersion: Option[Long] = None)
 
   /**
    * One-verb scheduled maintenance — the nightly job every lakehouse
@@ -4149,7 +4150,9 @@ object Snapshots {
                keepSnapshots: Int = 5,
                maxDeleteFiles: Int = 1,
                txnTtlMs: Long = 60L * 60 * 1000,
-               statsKey: Option[String] = None): MaintenanceReport = {
+               statsKey: Option[String] = None,
+               clusterBy: Option[Seq[String]] = None,
+               maxClusterDepth: Double = 2.0): MaintenanceReport = {
     val vs = versions(spark, base)
     require(vs.nonEmpty, s"no snapshots under $base")
     requireNoSchemaOps(manifestLines(spark, base, vs.last), "maintain")
@@ -4160,15 +4163,28 @@ object Snapshots {
       } else false
     val stillPending = dels.nonEmpty && !folded
     val vBefore = versions(spark, base).last
+    // health-triggered re-cluster: measure layout depth from metadata and
+    // rewrite only past the threshold (an unmeasurable column — no stats
+    // — never triggers: don't guess a full rewrite). A cluster rewrite
+    // subsumes bin-packing, so compaction is skipped when it fires.
+    val clustered =
+      if (stillPending) None
+      else clusterBy.flatMap { cols =>
+        clusteringDepth(spark, base, cols.head) match {
+          case Some(depth) if depth > maxClusterDepth =>
+            Some(rewriteSorted(spark, base, cols, targetBytes))
+          case _ => None
+        }
+      }
     val compacted =
-      if (stillPending) None // compact would refuse; wait for the fold
+      if (stillPending || clustered.nonEmpty) None
       else {
         val vAfter = compact(spark, base, smallBytes, targetBytes)
         if (vAfter != vBefore) Some(vAfter) else None
       }
     val expired = expire(spark, base, keepSnapshots)
     val vacuumed = vacuum(spark, base, txnTtlMs)
-    MaintenanceReport(folded, compacted, expired, vacuumed.size)
+    MaintenanceReport(folded, compacted, expired, vacuumed.size, clustered)
   }
 
   /** A write-audit-publish audit rejected the staged data; nothing was
@@ -4689,6 +4705,47 @@ object Snapshots {
     val mn = st.map(_._2).reduce((a, b) => if (statLeq(tag, a, b)) a else b)
     val mx = st.map(_._3).reduce((a, b) => if (statLeq(tag, a, b)) b else a)
     Some((mn, mx))
+  }
+
+  /**
+   * Clustering depth of `colName` from metadata alone: the expected
+   * number of data files a uniform random point probe over the column's
+   * global range admits — 1.0 is perfectly clustered (pairwise-disjoint
+   * per-file ranges), ≈file-count is arrival order (every file spans the
+   * whole range). Computed as Σ per-file range length / global span:
+   * O(files), zero data IO, the same per-file bounds the scan planner
+   * prunes with (manifest key stats or stats sidecars, rename-translated).
+   * This is [[maintain]]'s re-cluster trigger — measure layout health
+   * instead of rewriting on a blind schedule.
+   *
+   * None = "can't measure, don't guess": a file without stats on the
+   * column, mixed stat tags, a non-numeric column (strings have no
+   * uniform measure), or pending MoR deletes. A zero global span (every
+   * file pinned to one value) reports the file count — a point probe at
+   * that value admits them all.
+   */
+  def clusteringDepth(spark: SparkSession, base: String, colName: String,
+                      version: Option[Long] = None): Option[Double] = {
+    val vs = versions(spark, base)
+    require(vs.nonEmpty, s"no snapshots under $base")
+    val v = version.getOrElse(vs.last)
+    require(vs.contains(v), s"version $v not in $vs")
+    val lines = manifestLines(spark, base, v)
+    val (data, dels) = splitEntries(lines)
+    if (dels.nonEmpty || data.isEmpty) return None
+    val statsOf = entryStatsLookup(spark, base, data, Set(colName),
+      schemaOps(lines))
+    val per = data.map(e => statsOf(e)(colName))
+    if (per.exists(_.isEmpty)) return None
+    val st = per.flatten
+    val tags = st.map(_._1).distinct
+    if (tags.size != 1 || (tags.head != "L" && tags.head != "D")) return None
+    val ranges = st.map(s => (s._2.toDouble, s._3.toDouble))
+    val gmin = ranges.map(_._1).min
+    val gmax = ranges.map(_._2).max
+    val span = gmax - gmin
+    if (span <= 0.0) Some(ranges.size.toDouble)
+    else Some(math.max(1.0, ranges.map(r => r._2 - r._1).sum / span))
   }
 
   /**

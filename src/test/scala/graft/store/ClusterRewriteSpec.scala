@@ -111,6 +111,41 @@ class ClusterRewriteSpec extends AnyFunSuite {
     }, s"ranges must be disjoint: $ranges")
   }
 
+  test("clusteringDepth: arrival order reads ~file-count, clustered reads ~1, unmeasurable reads None") {
+    val base = java.nio.file.Files.createTempDirectory("graft-clus6").toString + "/t"
+    Snapshots.write((1L to 1000L).map(i => (i, s"v$i")).toDF("id", "s")
+      .repartition(4), base, statsKey = Some("id"))
+    val d0 = Snapshots.clusteringDepth(spark, base, "id").get
+    assert(d0 > 3.0, s"round-robin files all span the range: depth $d0")
+    // string column: no uniform measure → None; statless column → None
+    assert(Snapshots.clusteringDepth(spark, base, "s").isEmpty)
+    Snapshots.rewriteSorted(spark, base, Seq("id"), targetBytes = 4L * 1024)
+    val d1 = Snapshots.clusteringDepth(spark, base, "id").get
+    assert(d1 <= 1.2, s"disjoint ranges must read ~1: depth $d1")
+    // pending MoR delete → None (bounds may overstate live rows)
+    Snapshots.deleteWhereMoR(spark, base, col("id") === 5L)
+    assert(Snapshots.clusteringDepth(spark, base, "id").isEmpty)
+  }
+
+  test("maintain(clusterBy): fires when degraded, quiet when healthy, never on unmeasurable") {
+    val base = java.nio.file.Files.createTempDirectory("graft-clus7").toString + "/t"
+    Snapshots.write((1L to 1000L).map(i => (i, s"v$i", i * 1.0))
+      .toDF("id", "s", "x").repartition(4), base, statsKey = Some("id"))
+    val r1 = Snapshots.maintain(spark, base, targetBytes = 4L * 1024,
+      clusterBy = Some(Seq("id")), maxClusterDepth = 2.0)
+    assert(r1.clusteredToVersion.isDefined, "degraded layout must trigger")
+    assert(r1.compactedToVersion.isEmpty, "cluster rewrite subsumes bin-packing")
+    val r2 = Snapshots.maintain(spark, base,
+      smallBytes = 1L, // don't let compaction rewrite the layout we measure
+      clusterBy = Some(Seq("id")), maxClusterDepth = 2.0)
+    assert(r2.clusteredToVersion.isEmpty, "healthy layout must stay quiet")
+    // unmeasurable column (no stats anywhere): never triggers a rewrite
+    val r3 = Snapshots.maintain(spark, base, smallBytes = 1L,
+      clusterBy = Some(Seq("s")), maxClusterDepth = 2.0)
+    assert(r3.clusteredToVersion.isEmpty, "unmeasurable must not guess")
+    assert(Snapshots.read(spark, base).count() == 1000L)
+  }
+
   test("guards: pending rename and pending MoR deletes refuse") {
     val base = java.nio.file.Files.createTempDirectory("graft-clus5").toString + "/t"
     Snapshots.write((1L to 50L).map(i => (i, i * 1.0)).toDF("id", "x"), base)
