@@ -15,5 +15,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     GraftFunctions.descriptions.foreach(ext.injectFunction)
     // opt-in ANN top-k rewrite (spark.graft.ann.enabled=true)
     ext.injectOptimizerRule(session => graft.plans.AnnRewrite(session))
+    // opt-in manifest file pruning for plain reads
+    // (spark.graft.snapshots.prune.enabled=true)
+    ext.injectOptimizerRule(session => graft.plans.SnapshotPruneRewrite(session))
   }
 }

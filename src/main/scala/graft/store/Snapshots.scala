@@ -1347,14 +1347,26 @@ object Snapshots {
     require(vs.nonEmpty, s"no snapshots under $base")
     val v = version.getOrElse(vs.last)
     require(vs.contains(v), s"version $v not in $vs")
+    val frame = read(spark, base, Some(v))
+    val cond = condOf(frame, predicate)
+    scanPlanExpr(spark, base, v, cond,
+      c => frame.schema.find(_.name == c).map(_.dataType))
+  }
+
+  /** [[scanPlan]]'s core over an already-optimized Catalyst expression —
+    * the entry point for the opt-in optimizer rule
+    * ([[graft.plans.SnapshotPruneRewrite]]), which holds the filter's
+    * expression directly and must not round-trip it through a Column. */
+  private[graft] def scanPlanExpr(spark: SparkSession, base: String, v: Long,
+      cond: Option[org.apache.spark.sql.catalyst.expressions.Expression],
+      dtOf: String => Option[org.apache.spark.sql.types.DataType])
+      : (Seq[ManifestEntry], Seq[ManifestEntry]) = {
     // positional-delete entries are metadata, never scan candidates; the
     // read-side verbs re-apply them over whatever files survive pruning
     val lines = manifestLines(spark, base, v)
     val (entries, _) = splitEntries(lines)
     val ops = schemaOps(lines)
     val pairs = renamePairs(ops)
-    val frame = read(spark, base, Some(v))
-    val cond = condOf(frame, predicate)
     val bounds = cond.map(predicateBounds(_, pairs)).getOrElse(Map.empty)
     val eqSets = cond.map(eqSetsOf(_, pairs)).getOrElse(Nil)
     val nullCols = cond.map(mustBeNullOf(_, pairs)).getOrElse(Nil)
@@ -1367,14 +1379,41 @@ object Snapshots {
     // free.
     val statsOf = entryStatsLookup(spark, base, entries,
       bounds.keySet ++ eqSets.map(_._1) ++ nullCols, ops)
-    val eqAdmits = eqSetPruner(spark, base, eqSets, statsOf, ops,
-      c => frame.schema.find(_.name == c).map(_.dataType))
+    val eqAdmits = eqSetPruner(spark, base, eqSets, statsOf, ops, dtOf)
     val nullAdmits = nullPruner(statsOf, nullCols)
-    val bucketAdmits = bucketPruner(lines, ops, cond,
-      c => frame.schema.find(_.name == c).map(_.dataType))
+    val bucketAdmits = bucketPruner(lines, ops, cond, dtOf)
     entries.partition(e =>
       mayMatchBoundsMulti(statsOf(e), bounds) && eqAdmits(e) &&
         nullAdmits(e) && bucketAdmits(e))
+  }
+
+  /** The optimizer rule's back end: given the exact data-file set a scan
+    * reads (base-relative `v=N/...` names), find the committed version it
+    * came from and return the PRUNED file list for `cond`, or None when
+    * the rule must decline — unknown file set (not a committed version's
+    * full read — incl. a set the rule already pruned, which terminates
+    * the fixpoint), pending MoR deletes, or pending schema ops. The
+    * conservative contract mirrors every planner verb: decline means the
+    * scan proceeds untouched, never that rows are lost. */
+  private[graft] def plannerPruneFiles(spark: SparkSession, base: String,
+      files: Set[String],
+      cond: org.apache.spark.sql.catalyst.expressions.Expression,
+      dtOf: String => Option[org.apache.spark.sql.types.DataType])
+      : Option[Seq[String]] = {
+    val vs = scala.util.Try(versions(spark, base)).getOrElse(Seq.empty)
+    val vOpt = vs.reverse.find { v =>
+      scala.util.Try {
+        val lines = manifestLines(spark, base, v)
+        val (data, dels) = splitEntries(lines)
+        dels.isEmpty && schemaOps(lines).isEmpty &&
+          data.map(_.path).toSet == files
+      }.getOrElse(false)
+    }
+    vOpt.flatMap { v =>
+      val (cand, pruned) = scanPlanExpr(spark, base, v, Some(cond), dtOf)
+      if (pruned.isEmpty) None
+      else Some(cand.map(e => s"$base/${e.path}"))
+    }
   }
 
   /** Per-entry column-stats lookup: the manifest's own key first, then
