@@ -1626,6 +1626,45 @@ private[graft] object StoreQueries {
              |  TRUE AS healthy_after, TRUE AS second_run_quiet
              |FROM orders""".stripMargin)),
 
+    // Quantile sketch sidecars (round-15): per-file mergeable KLL sketches
+    // — the quantile sibling of snap_ndv, Iceberg-puffin-style stats in
+    // miniature. One build over the files, then p50/p90 answer from
+    // METADATA (zero data records once covered — IO pin in the spec); a
+    // fresh append pays a delta-only union scan. Estimates never cross
+    // engines (the a18/a19 rule): the oracle checks the exact inverse-CDF
+    // RANK of each estimate sits inside the KLL error window.
+    "snap_quantile" -> Q(
+      (s, d) => {
+        import graft.store.Snapshots
+        val root = FixtureRoot.fresh("snapkll")
+        val base = root + "/t"
+        val orders = T(s, d, "orders")
+          .select(col("o_orderkey"), col("o_totalprice"))
+        Snapshots.write(orders.filter(col("o_orderkey") % 4 =!= 0)
+          .repartition(4), base, statsKey = Some("o_orderkey"))
+        val built = Snapshots.writeQuantileSidecars(s, base,
+          Seq("o_totalprice"), kSize = 2000)
+        // fresh append WITHOUT sidecars: the estimate must still cover it
+        // (hybrid delta scan)
+        Snapshots.append(orders.filter(col("o_orderkey") % 4 === 0), base)
+        val Seq(p50, p90) = Snapshots.approxQuantiles(s, base,
+          "o_totalprice", Seq(0.5, 0.9), kSize = 2000)
+        // exact ranks of the estimates over the SAME logical table
+        val n = orders.count().toDouble
+        val r50 = orders.filter(col("o_totalprice") <= p50).count() / n
+        val r90 = orders.filter(col("o_totalprice") <= p90).count() / n
+        T(s, d, "orders")
+          .agg(count(lit(1)).as("n_orders"))
+          .select(col("n_orders"),
+            lit(built.toLong).as("n_sidecars"),
+            (abs(lit(r50) - 0.5) <= 0.02).as("p50_rank_ok"),
+            (abs(lit(r90) - 0.9) <= 0.02).as("p90_rank_ok"),
+            (lit(p50) < lit(p90)).as("monotone"))
+      },
+      Some("""SELECT count(*) AS n_orders, 4 AS n_sidecars,
+             |  TRUE AS p50_rank_ok, TRUE AS p90_rank_ok, TRUE AS monotone
+             |FROM orders""".stripMargin)),
+
     // NDV sketch sidecars (round-14): per-file mergeable HLLs — Iceberg's
     // puffin NDV sketches in miniature. One build job over the sidecar-
     // less files, then "how many distinct customers" answers from

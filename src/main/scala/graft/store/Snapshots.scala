@@ -1910,12 +1910,14 @@ object Snapshots {
   private[store] val BloomSuffix = ".bloom"
   private[store] val StatsSuffix = ".stats"
   private[store] val NdvSuffix = ".ndv"
+  private[store] val KllSuffix = ".kll"
   private val BloomMagic = "GRAFTBLOOM1"
   /** Canon-v2 bloom sections: built with the statExtract canon (round-14's
     * epoch-micros/epoch-days for timestamps/dates). v1 sections predate it
     * and are only probe-safe on types whose canon never changed. */
   private val BloomMagicV2 = "GRAFTBLOOM2"
   private val NdvMagic = "GRAFTNDV1"
+  private val KllMagic = "GRAFTKLL1"
 
   /**
    * Equality-SET conjuncts implied by the predicate: each entry is a
@@ -2293,6 +2295,153 @@ object Snapshots {
       }
   }
 
+  /** The numeric canon quantile sketches aggregate over: plain double
+    * cast for numerics, epoch micros/days for timestamps/dates (the
+    * statExtract canon, so the estimate and a predicate literal live in
+    * one number space). Strings have no quantile measure here. */
+  private def kllValue(c: org.apache.spark.sql.Column,
+                       dt: org.apache.spark.sql.types.DataType)
+      : org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.types.{DateType, TimestampType}
+    dt match {
+      case TimestampType | DateType => statExtract(c, dt).cast("double")
+      case _ => c.cast("double")
+    }
+  }
+
+  /**
+   * Build `<file>.kll` sidecars: one mergeable KLL quantile sketch
+   * (Datasketches, Spark's `kll_sketch_agg_double`) per data file per
+   * column — the quantile sibling of [[writeNdvSidecars]] and the
+   * miniature of Iceberg's puffin stats files. ONE aggregation job over
+   * the sidecar-less files (incremental per column), executor-side
+   * atomic writes, k=`kSize` controls the ~1/k rank error. Numeric and
+   * timestamp/date columns only (strings have no quantile measure);
+   * unsupported or absent columns are skipped, not errors. Returns
+   * sidecars written.
+   */
+  def writeQuantileSidecars(spark: SparkSession, base: String,
+                            cols: Seq[String], version: Option[Long] = None,
+                            kSize: Int = 1000): Int = {
+    import org.apache.spark.sql.functions.{col, expr, input_file_name}
+    val vs = versions(spark, base)
+    require(vs.nonEmpty, s"no snapshots under $base")
+    val v = version.getOrElse(vs.last)
+    require(vs.contains(v), s"version $v not in $vs")
+    requireNoSchemaOps(manifestLines(spark, base, v), "writeQuantileSidecars")
+    val schema = read(spark, base, Some(v)).schema
+    val usable = cols.filter(c0 => schema.fieldNames.contains(c0) &&
+      !c0.exists(ch => ch == '\t' || ch == '\n') &&
+      statTag(schema(c0).dataType) != "S" &&
+      statTag(schema(c0).dataType).nonEmpty)
+    if (usable.isEmpty) return 0
+    val missing = splitEntries(manifestLines(spark, base, v))._1.map(_.path)
+      .filterNot { rel =>
+        val have = loadSections(spark, base, rel, KllSuffix, KllMagic).keySet
+        usable.forall(have)
+      }
+    if (missing.isEmpty) return 0
+    val aggs = usable.map(c0 => expr(
+      s"kll_sketch_agg_double(`__kll_$c0`, $kSize)").as(s"__sk_$c0"))
+    val grouped = spark.read.schema(schema)
+      .parquet(missing.map(rel => s"$base/$rel"): _*)
+      .select(input_file_name().as("__f") +:
+        usable.map(c0 => kllValue(col(c0), schema(c0).dataType)
+          .as(s"__kll_$c0")): _*)
+      .groupBy(col("__f")).agg(aggs.head, aggs.tail: _*)
+    val written = spark.sparkContext.longAccumulator("kll_sidecars_written")
+    val confW = new SerializableHadoopConf(spark.sparkContext.hadoopConfiguration)
+    val usableL = usable
+    grouped.foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
+      if (rows.hasNext) {
+        val fx = new Path(base).getFileSystem(confW.value)
+        rows.foreach { r =>
+          val p = new Path(r.getString(0))
+          val rel = s"${p.getParent.getName}/${p.getName}"
+          val existing = loadSectionsFs(fx, base, rel, KllSuffix, KllMagic)
+            .view.filterKeys(!usableL.contains(_)).toSeq
+          val fresh = usableL.flatMap { c0 =>
+            val i = r.fieldIndex(s"__sk_$c0")
+            if (r.isNullAt(i)) None else Some(c0 -> r.getAs[Array[Byte]](i))
+          }
+          if (fresh.nonEmpty &&
+              writeSidecarAtomic(fx, new Path(s"$base/$rel$KllSuffix"),
+                sectionBytes(KllMagic, existing ++ fresh)))
+            written.add(1L)
+        }
+      }
+    }
+    written.value.toInt
+  }
+
+  /**
+   * Approximate quantiles from METADATA: merge the per-file KLL sidecars
+   * ([[writeQuantileSidecars]]) and read each requested quantile off the
+   * merged sketch — zero data records once covered. The same
+   * delete-coverage honesty as [[approxDistinct]]: files a pending MoR
+   * delete covers (and files with no sidecar yet — fresh appends) re-scan
+   * through the delete-applying read path and union into the merge, so
+   * the estimate is over LIVE rows only and a one-file delete costs a
+   * one-file re-scan. Values are in the sketch canon ([[kllValue]]):
+   * doubles for numerics, epoch micros/days for timestamps/dates. Empty
+   * table / all-NULL column → empty result.
+   */
+  def approxQuantiles(spark: SparkSession, base: String, colName: String,
+                      qs: Seq[Double], version: Option[Long] = None,
+                      kSize: Int = 1000): Seq[Double] = {
+    import org.apache.spark.sql.functions.{col, expr}
+    import spark.implicits._
+    require(qs.nonEmpty && qs.forall(q => q >= 0.0 && q <= 1.0),
+      s"quantiles must be in [0,1]: $qs")
+    val vs = versions(spark, base)
+    require(vs.nonEmpty, s"no snapshots under $base")
+    val v = version.getOrElse(vs.last)
+    require(vs.contains(v), s"version $v not in $vs")
+    val lines = manifestLines(spark, base, v)
+    val (data, dels) = splitEntries(lines)
+    val schema = read(spark, base, Some(v)).schema
+    require(schema.fieldNames.contains(colName), s"no column '$colName' in $base")
+    val ops = schemaOps(lines)
+    val toLogical = physToLogical(ops) _
+    val deleteCovered: Set[String] =
+      if (dels.isEmpty) Set.empty
+      else {
+        val (eqDels, posDels) = dels.partition(_.eqMeta.isDefined)
+        val posCovered: Set[String] =
+          if (posDels.isEmpty) Set.empty
+          else spark.read.parquet(posDels.map(e => s"$base/${e.path}"): _*)
+            .select(col("file")).distinct()
+            .collect().map(_.getString(0)).toSet
+        val eqCovered: Set[String] = eqDels.flatMap(_.eqMeta).map(_._1)
+          .distinct.flatMap(cv =>
+            splitEntries(manifestLines(spark, base, cv))._1.map(_.path)).toSet
+        posCovered ++ eqCovered
+      }
+    val sketches: Map[String, Array[Byte]] = data.flatMap { e =>
+      loadSections(spark, base, e.path, KllSuffix, KllMagic)
+        .flatMap { case (k, bs) => toLogical(k).map(_ -> bs) }
+        .get(colName).map(e.path -> _)
+    }.toMap
+    val (clean, rescan) = data.partition(e =>
+      sketches.contains(e.path) && !deleteCovered(e.path))
+    if (clean.isEmpty && rescan.isEmpty) return Seq.empty
+    val sketchDf = clean.flatMap(e => sketches.get(e.path)).toDF("sketch")
+    val union =
+      if (rescan.isEmpty) sketchDf
+      else sketchDf.unionByName(
+        readSubset(spark, base, lines, rescan)
+          .select(kllValue(col(colName), schema(colName).dataType).as("__k"))
+          .agg(expr(s"kll_sketch_agg_double(__k, $kSize)").as("sketch")))
+    val extracts = qs.zipWithIndex.map { case (q, i) =>
+      expr(s"kll_sketch_get_quantile_double(__m, ${q}d)").as(s"__q$i")
+    }
+    val merged = union.filter(col("sketch").isNotNull)
+      .agg(expr("kll_merge_agg_double(sketch)").as("__m"))
+    val r = merged.select(extracts: _*).head()
+    if (r.isNullAt(0)) Seq.empty
+    else qs.indices.map(r.getDouble)
+  }
+
   /**
    * Per-entry admission for the predicate's equality-set conjuncts,
    * composing BOTH evidence kinds per file — stats bounds (keep only
@@ -2355,7 +2504,8 @@ object Snapshots {
     referenced(rel) ||
       (rel.endsWith(BloomSuffix) && referenced(rel.stripSuffix(BloomSuffix))) ||
       (rel.endsWith(StatsSuffix) && referenced(rel.stripSuffix(StatsSuffix))) ||
-      (rel.endsWith(NdvSuffix) && referenced(rel.stripSuffix(NdvSuffix)))
+      (rel.endsWith(NdvSuffix) && referenced(rel.stripSuffix(NdvSuffix))) ||
+      (rel.endsWith(KllSuffix) && referenced(rel.stripSuffix(KllSuffix)))
 
   /** Per-file bloom aggregator. Keys are canonicalized to their string
     * form — the same canon the manifest min/max stats use — so the build
