@@ -1665,6 +1665,32 @@ private[graft] object StoreQueries {
              |  TRUE AS p50_rank_ok, TRUE AS p90_rank_ok, TRUE AS monotone
              |FROM orders""".stripMargin)),
 
+    // Filtered metadata top-k (round-15): ORDER BY ... WHERE ... LIMIT k
+    // planned from file bounds — the WHERE prunes the candidate pool
+    // through the unified planner BEFORE bound ranking, so the query
+    // reads the predicate range's best files, never the global top, and
+    // the residual conjunct (key % 3 = 0, invisible to bounds) filters
+    // rows without poisoning the k-th threshold. The counting-FS pin
+    // lives in Round15StoreSpec.
+    "snap_topk_where" -> Q(
+      (s, d) => {
+        import graft.store.Snapshots
+        val root = FixtureRoot.fresh("snaptkw")
+        val base = root + "/t"
+        val orders = T(s, d, "orders")
+          .select(col("o_orderkey"), col("o_totalprice"))
+        Snapshots.write(orders.repartitionByRange(6, col("o_orderkey")),
+          base, statsKey = Some("o_orderkey"))
+        Snapshots.topK(s, base, "o_orderkey", 15,
+            where = Some(col("o_orderkey") <= 30000L &&
+              col("o_orderkey") % 3 === 0))
+          .select(col("o_orderkey"),
+            col("o_totalprice").cast("double").as("price"))
+      },
+      Some("""SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS price
+             |FROM orders WHERE o_orderkey <= 30000 AND o_orderkey % 3 = 0
+             |ORDER BY o_orderkey DESC LIMIT 15""".stripMargin)),
+
     // NDV sketch sidecars (round-14): per-file mergeable HLLs — Iceberg's
     // puffin NDV sketches in miniature. One build job over the sidecar-
     // less files, then "how many distinct customers" answers from

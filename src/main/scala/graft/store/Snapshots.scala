@@ -4762,7 +4762,8 @@ object Snapshots {
    */
   def topK(spark: SparkSession, base: String, key: String, k: Int,
            tieBreak: Seq[String] = Nil, ascending: Boolean = false,
-           version: Option[Long] = None): DataFrame = {
+           version: Option[Long] = None,
+           where: Option[org.apache.spark.sql.Column] = None): DataFrame = {
     import org.apache.spark.sql.functions.{col => c}
     require(k >= 1, s"k must be >= 1, got $k")
     val vs = versions(spark, base)
@@ -4770,11 +4771,26 @@ object Snapshots {
     val v = version.getOrElse(vs.last)
     require(vs.contains(v), s"version $v not in $vs")
     val lines = manifestLines(spark, base, v)
-    val (data, dels) = splitEntries(lines)
+    val (data0, dels) = splitEntries(lines)
     val ops = schemaOps(lines)
     val schema = read(spark, base, Some(v)).schema
     require(schema.fieldNames.contains(key), s"no column '$key' in $base")
     val dt = schema(key).dataType
+    // WHERE composes TWICE: files provably disjoint from the predicate
+    // leave the candidate pool before any bound ranking (the full unified
+    // planner — bounds, sidecars, IN/bloom, bucket ids), and the residual
+    // filter applies to every read so non-matching rows can't occupy
+    // top-k slots or poison the k-th threshold. ORDER BY + WHERE + LIMIT
+    // over a clustered table then reads the WHERE range's best files
+    // only, never the global top.
+    val data = where match {
+      case None => data0
+      case Some(w) =>
+        val cond = condOf(read(spark, base, Some(v)), w)
+        scanPlanExpr(spark, base, v, cond,
+          c0 => schema.find(_.name == c0).map(_.dataType))._1
+    }
+    def filtered(df: DataFrame) = where.map(df.filter).getOrElse(df)
     val order =
       (if (ascending) c(key).asc else c(key).desc) +: tieBreak.map(c(_).asc)
     // derive the union physical schema ONCE — from manifest metadata
@@ -4783,8 +4799,8 @@ object Snapshots {
       if (data.isEmpty) schema
       else unionSchemaOf(spark, base, lines, data)
     def frameOf(es: Seq[ManifestEntry]) =
-      readSubset(spark, base, lines, es, Some(rawSchema))
-    if (data.isEmpty) return read(spark, base, Some(v)).limit(0)
+      filtered(readSubset(spark, base, lines, es, Some(rawSchema)))
+    if (data.isEmpty) return filtered(read(spark, base, Some(v))).limit(0)
     val statsOf = entryStatsLookup(spark, base, data, Set(key), ops)
     // bound(e): the best key value the file could hold — None = unknown,
     // always admitted (and never usable as an exclusion threshold)

@@ -29,6 +29,39 @@ class Round15StoreSpec extends AnyFunSuite {
     recs.get()
   }
 
+  test("filtered topK: WHERE prunes candidates, residual filters rows, parity with full scan") {
+    spark.sparkContext.hadoopConfiguration
+      .set("fs.cntfs.impl", classOf[CountingLocalFs].getName)
+    val root = java.nio.file.Files.createTempDirectory("graft-tkw")
+    val base = s"cntfs:$root/t"
+    // 8 range files over [1..800]
+    val df = (1L to 800L).map(i => (i, s"v$i")).toDF("id", "s")
+      .repartitionByRange(8, col("id"))
+    Snapshots.write(df, base, statsKey = Some("id"))
+    CountingLocalFs.reset()
+    val top = Snapshots.topK(spark, base, "id", 5,
+      where = Some(col("id") <= 300L && col("id") % 2 === 0L))
+      .select("id").as[Long].collect().toSeq
+    assert(top == Seq(300L, 298L, 296L, 294L, 292L))
+    // the WHERE range covers files 1-3; the global-top files (id > 300)
+    // must never be OPENED even though they hold the best bounds
+    val highFiles = Snapshots.scanPlan(spark, base, col("id") > 300L)._1
+      .filter(_.stats.exists { case (_, _, mn, _) => mn.toLong > 300L })
+    val strays = CountingLocalFs.openedParquet
+      .filter(p => highFiles.exists(e => p.endsWith(e.path)))
+    assert(strays.isEmpty,
+      s"filtered topK opened out-of-range files: ${strays.mkString(", ")}")
+    // ascending + fewer-than-k + all-filtered edges
+    val asc = Snapshots.topK(spark, base, "id", 3, ascending = true,
+      where = Some(col("id") > 795L)).select("id").as[Long].collect().toSeq
+    assert(asc == Seq(796L, 797L, 798L))
+    assert(Snapshots.topK(spark, base, "id", 3,
+      where = Some(col("id") > 9999L)).count() == 0L)
+    // parity with the plain path when no predicate is given
+    assert(Snapshots.topK(spark, base, "id", 2).select("id")
+      .as[Long].collect().toSeq == Seq(800L, 799L))
+  }
+
   test("metaBoundsOf: min/max of a NON-key column from sidecars, zero records read") {
     val base = java.nio.file.Files.createTempDirectory("graft-mbof").toString + "/t"
     val df = (1L to 300L).map(i => (i, i * 2 + 1, s"v$i")).toDF("id", "score", "s")
