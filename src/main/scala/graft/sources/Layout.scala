@@ -57,12 +57,28 @@ object Layout {
    * DuckDB oracle recomputes the identical key.
    */
   def zorderKey2(x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column,
+                 bitsPerCol: Int = 16): org.apache.spark.sql.Column =
+    zorderKeyN(Seq(x, y), bitsPerCol)
+
+  /**
+   * N-column Morton key: bit `i` of column `j` lands at position
+   * `i * N + j` (round-robin interleave; for N=2 this is exactly
+   * [[zorderKey2]]'s layout, bit-identical). `bitsPerCol * N` must fit a
+   * long's non-sign bits, so more dimensions trade per-dimension
+   * resolution — the standard z-order dial (Delta's ZORDER BY accepts
+   * the same multi-column list with the same caveat that locality
+   * dilutes as dimensions grow).
+   */
+  def zorderKeyN(cols: Seq[org.apache.spark.sql.Column],
                  bitsPerCol: Int = 16): org.apache.spark.sql.Column = {
-    require(bitsPerCol >= 1 && bitsPerCol <= 31, "bitsPerCol must be in [1, 31]")
+    val n = cols.size
+    require(n >= 2, s"z-order interleaves at least two columns, got $n")
+    require(bitsPerCol >= 1 && bitsPerCol * n <= 63,
+      s"bitsPerCol * cols must fit a long: $bitsPerCol * $n")
     val terms = (0 until bitsPerCol).flatMap { i =>
-      Seq(
-        shiftleft(shiftrightunsigned(x.cast("long"), i).bitwiseAND(1), 2 * i),
-        shiftleft(shiftrightunsigned(y.cast("long"), i).bitwiseAND(1), 2 * i + 1))
+      cols.zipWithIndex.map { case (c, j) =>
+        shiftleft(shiftrightunsigned(c.cast("long"), i).bitwiseAND(1), i * n + j)
+      }
     }
     terms.reduce((a, b) => a.bitwiseOR(b))
   }

@@ -4060,8 +4060,8 @@ object Snapshots {
                     zorder: Boolean = false, zBits: Int = 16): Long = {
     import org.apache.spark.sql.functions.col
     require(cols.nonEmpty, "rewriteSorted needs at least one cluster column")
-    require(!zorder || cols.size == 2,
-      "z-order clustering interleaves exactly two columns")
+    require(!zorder || (cols.size >= 2 && cols.size * zBits <= 63),
+      s"z-order needs >= 2 columns with cols*zBits <= 63: ${cols.size} * $zBits")
     val vs = versions(spark, base)
     require(vs.nonEmpty, s"no snapshots under $base")
     val priorLines0 = manifestLines(spark, base, vs.last)
@@ -4087,8 +4087,8 @@ object Snapshots {
         val in = read(spark, base)
         val shaped =
           if (zorder)
-            in.withColumn("__z", graft.sources.Layout.zorderKey2(
-                col(cols.head), col(cols(1)), zBits))
+            in.withColumn("__z", graft.sources.Layout.zorderKeyN(
+                cols.map(col), zBits))
               .repartitionByRange(nOut, col("__z"))
               .sortWithinPartitions(col("__z"))
               .drop("__z")

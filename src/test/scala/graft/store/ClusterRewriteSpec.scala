@@ -72,6 +72,29 @@ class ClusterRewriteSpec extends AnyFunSuite {
     assert(ca.nonEmpty && cb.nonEmpty)
   }
 
+  test("z-order over THREE columns: every dimension's scan prunes files") {
+    val base = java.nio.file.Files.createTempDirectory("graft-clus2b").toString + "/t"
+    val rows = (0L until 4096L).map { i =>
+      (i, (i * 2654435761L) % 512L, (i * 40503L) % 512L, (i * 69069L) % 512L)
+    }
+    Snapshots.write(rows.toDF("id", "a", "b", "c").repartition(4), base,
+      statsKey = Some("a"))
+    Snapshots.rewriteSorted(spark, base, Seq("a", "b", "c"),
+      targetBytes = 4L * 1024, zorder = true, zBits = 9)
+    Snapshots.writeStatsSidecars(spark, base, Seq("a", "b", "c"))
+    for (dim <- Seq("a", "b", "c")) {
+      val (_, pruned) = Snapshots.scanPlan(spark, base, col(dim) < 32L)
+      assert(pruned.nonEmpty, s"3-dim z-order must prune on $dim")
+      assert(Snapshots.countWhere(spark, base, col(dim) < 32L) ==
+        rows.count(r => Seq(r._2, r._3, r._4)(Seq("a", "b", "c").indexOf(dim)) < 32L))
+    }
+    // guard: too many interleave bits refuses
+    intercept[IllegalArgumentException] {
+      Snapshots.rewriteSorted(spark, base, Seq("a", "b", "c"),
+        zorder = true, zBits = 22)
+    }
+  }
+
   test("metadata lineage: constraints ride along, bucket spec is dropped, ADD default physicalizes") {
     val base = java.nio.file.Files.createTempDirectory("graft-clus3").toString + "/t"
     Snapshots.writeBucketed(
