@@ -435,4 +435,83 @@ class PropertySpec extends AnyFunSuite {
       }
     }
   }
+
+  test("property: filtered topK equals filter+order+limit on random layouts and predicates") {
+    import org.apache.spark.sql.functions.col
+    val vals = samples(Gen.frequency(
+      8 -> Gen.choose(-1000L, 1000L).map(Option(_)),
+      1 -> Gen.const(Option.empty[Long]),
+      1 -> Gen.const(Option(7L))), 1200)
+    val df = vals.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("id", "v")
+    val preds = samples(for {
+      a <- Gen.choose(-1100L, 1100L); b <- Gen.choose(-1100L, 1100L)
+      kind <- Gen.choose(0, 3)
+    } yield (kind, math.min(a, b), math.max(a, b)), 12).map {
+      case (0, lo, _) => col("v") <= lo
+      case (1, _, hi) => col("v") >= hi
+      case (2, lo, hi) => col("v") > lo && col("v") <= hi
+      // a bounds-invisible residual rides along
+      case (_, lo, hi) => col("v") >= lo && col("v") <= hi && col("id") % 3 === 0L
+    }
+    for ((parts, clustered) <- Seq((5, true), (7, false))) {
+      val base = java.nio.file.Files.createTempDirectory("graft-topkw-prop").toString + "/t"
+      val laid = if (clustered) df.repartitionByRange(parts, col("v"))
+                 else df.repartition(parts)
+      graft.store.Snapshots.write(laid, base, statsKey = Some("v"))
+      val frame = graft.store.Snapshots.read(spark, base)
+      for (p <- preds; k <- Seq(1, 17); asc <- Seq(false, true)) {
+        val order = (if (asc) col("v").asc else col("v").desc) :: col("id").asc :: Nil
+        val expected = frame.filter(p).orderBy(order: _*).limit(k)
+          .select("id").collect().map(_.getLong(0)).toSeq
+        val got = graft.store.Snapshots.topK(spark, base, "v", k,
+            tieBreak = Seq("id"), ascending = asc, where = Some(p))
+          .select("id").collect().map(_.getLong(0)).toSeq
+        assert(got == expected,
+          s"parts=$parts clustered=$clustered k=$k asc=$asc pred=$p: " +
+            s"got ${got.take(8)} vs ${expected.take(8)}")
+      }
+    }
+  }
+
+  test("property: changes/diff replay random churn exactly (state-based CDC)") {
+    import org.apache.spark.sql.functions.col
+    val base = java.nio.file.Files.createTempDirectory("graft-cdc-prop").toString + "/t"
+    val n = 600L
+    graft.store.Snapshots.write(
+      (1L to n).map(i => (i, i * 10.0)).toDF("id", "v")
+        .repartitionByRange(5, col("id")),
+      base, statsKey = Some("id"))
+    // random churn across three commits: CoW update, CoW delete, append
+    val updLo = 37L; val updHi = 180L
+    graft.store.Snapshots.updateWhere(spark, base,
+      col("id").between(updLo, updHi), Seq("v" -> (col("v") + 1.0)))
+    graft.store.Snapshots.deleteWhere(spark, base,
+      col("id") % 7 === 0L && col("id") <= 300L)
+    graft.store.Snapshots.append(
+      (1L to 40L).map(i => (n + i, 0.5)).toDF("id", "v"), base)
+    val last = graft.store.Snapshots.versions(spark, base).last
+    val got = graft.store.Snapshots.changes(spark, base, 1L, last, "id")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getString(2))).toSet
+    // independent replay from the definitions
+    val v1 = (1L to n).map(i => i -> (i * 10.0)).toMap
+    val v4 = (v1.view.filterKeys(k => !(k % 7 == 0 && k <= 300)).toMap
+      .map { case (k, v) => k -> (if (k >= updLo && k <= updHi) v + 1.0 else v) }) ++
+      (1L to 40L).map(i => (n + i) -> 0.5).toMap
+    val expected =
+      v4.view.filterKeys(!v1.contains(_)).map { case (k, v) => (k, v, "insert") }.toSet ++
+      v1.view.filterKeys(!v4.contains(_)).map { case (k, v) => (k, v, "delete") }.toSet ++
+      v1.keySet.intersect(v4.keySet).filter(k => v1(k) != v4(k)).flatMap(k =>
+        Seq((k, v1(k), "update_preimage"), (k, v4(k), "update_postimage"))).toSet
+    assert(got == expected,
+      s"CDC mismatch: extra=${(got -- expected).take(5)} missing=${(expected -- got).take(5)}")
+    // diff is the summary projection of the same transition
+    val d = graft.store.Snapshots.diff(spark, base, 1L, last, "id")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val expectedDiff = expected.map {
+      case (k, _, "update_preimage") => (k, "update")
+      case (k, _, "update_postimage") => (k, "update")
+      case (k, _, ct) => (k, ct)
+    }
+    assert(d == expectedDiff)
+  }
 }
