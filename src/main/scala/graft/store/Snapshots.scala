@@ -1395,19 +1395,60 @@ object Snapshots {
     * the fixpoint), pending MoR deletes, or pending schema ops. The
     * conservative contract mirrors every planner verb: decline means the
     * scan proceeds untouched, never that rows are lost. */
+  /** Memo for [[plannerPruneFiles]]'s version search: (base, version) →
+    * fingerprint of the version's data-file set (None = ineligible:
+    * pending MoR deletes or schema ops). Committed manifests are
+    * immutable, so entries never go stale for a live table; a hit is
+    * still VERIFIED against the manifest before pruning (one read), which
+    * also catches a table dropped and re-created at the same path — on
+    * mismatch the base's entries are evicted and the search reruns cold.
+    * Caps the rule's driver-side cost at O(1) manifest reads per
+    * optimizer application after warm-up instead of O(versions), which
+    * the repeated applications of later optimizer batches used to pay. */
+  private val plannerFsCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Long), Option[(Int, Long)]]()
+
+  /** Order-independent (size, hash) fingerprint — tiny vs caching 100k
+    * path strings per version; collisions are caught by verification. */
+  private def fileSetFingerprint(s: Set[String]): (Int, Long) = {
+    var h = 0L
+    s.foreach { p =>
+      h ^= scala.util.hashing.MurmurHash3.stringHash(p).toLong *
+        0x9E3779B97F4A7C15L
+    }
+    (s.size, h)
+  }
+
   private[graft] def plannerPruneFiles(spark: SparkSession, base: String,
       files: Set[String],
       cond: org.apache.spark.sql.catalyst.expressions.Expression,
       dtOf: String => Option[org.apache.spark.sql.types.DataType])
       : Option[Seq[String]] = {
-    val vs = scala.util.Try(versions(spark, base)).getOrElse(Seq.empty)
-    val vOpt = vs.reverse.find { v =>
-      scala.util.Try {
-        val lines = manifestLines(spark, base, v)
-        val (data, dels) = splitEntries(lines)
-        dels.isEmpty && schemaOps(lines).isEmpty &&
-          data.map(_.path).toSet == files
-      }.getOrElse(false)
+    val want = fileSetFingerprint(files)
+    def verify(v: Long): Boolean = scala.util.Try {
+      val lines = manifestLines(spark, base, v)
+      val (data, dels) = splitEntries(lines)
+      dels.isEmpty && schemaOps(lines).isEmpty &&
+        data.map(_.path).toSet == files
+    }.getOrElse(false)
+    def search(): Option[Long] = {
+      val vs = scala.util.Try(versions(spark, base)).getOrElse(Seq.empty)
+      vs.reverse.find { v =>
+        plannerFsCache.computeIfAbsent((base, v), _ => scala.util.Try {
+          val lines = manifestLines(spark, base, v)
+          val (data, dels) = splitEntries(lines)
+          if (dels.isEmpty && schemaOps(lines).isEmpty)
+            Some(fileSetFingerprint(data.map(_.path).toSet))
+          else None
+        }.getOrElse(None)).contains(want)
+      }
+    }
+    val vOpt: Option[Long] = search() match {
+      case Some(v) if verify(v) => Some(v)
+      case Some(_) => // stale memo (recreated table) or fingerprint collision
+        plannerFsCache.keySet.removeIf(k => k._1 == base)
+        search().filter(verify)
+      case None => None
     }
     vOpt.flatMap { v =>
       val (cand, pruned) = scanPlanExpr(spark, base, v, Some(cond), dtOf)
@@ -2224,6 +2265,31 @@ object Snapshots {
     written.value.toInt
   }
 
+  /** The data files a set of merge-on-read deletes COVERS — the only
+    * files whose rows a delete can change without touching them.
+    * Positional deletes name their files outright (the `file` column of
+    * the KiB-sized delete parquet); equality deletes cover the data files
+    * of their recorded sequence version (`eqMeta._1`). Bounded by delete
+    * count, never table size — the delta-scoping core shared by
+    * [[approxDistinct]], [[approxQuantiles]] and [[changes]]. */
+  private[store] def deleteCoveredFiles(spark: SparkSession, base: String,
+      dels: Seq[ManifestEntry]): Set[String] = {
+    import org.apache.spark.sql.functions.col
+    if (dels.isEmpty) Set.empty
+    else {
+      val (eqDels, posDels) = dels.partition(_.eqMeta.isDefined)
+      val posCovered: Set[String] =
+        if (posDels.isEmpty) Set.empty
+        else spark.read.parquet(posDels.map(e => s"$base/${e.path}"): _*)
+          .select(col("file")).distinct()
+          .collect().map(_.getString(0)).toSet
+      val eqCovered: Set[String] = eqDels.flatMap(_.eqMeta).map(_._1)
+        .distinct.flatMap(cv =>
+          splitEntries(manifestLines(spark, base, cv))._1.map(_.path)).toSet
+      posCovered ++ eqCovered
+    }
+  }
+
   /**
    * Approximate distinct count from METADATA: union the per-file HLL
    * sketches of every data file that has one, scan ONLY the files that
@@ -2258,20 +2324,7 @@ object Snapshots {
     // coverage keep their sketches; covered files re-scan with the deletes
     // applied — so a one-file MoR delete costs a one-file re-scan, not the
     // round-14 FULL re-scan (the delta-scoping the verdict asked for).
-    val deleteCovered: Set[String] =
-      if (dels.isEmpty) Set.empty
-      else {
-        val (eqDels, posDels) = dels.partition(_.eqMeta.isDefined)
-        val posCovered: Set[String] =
-          if (posDels.isEmpty) Set.empty
-          else spark.read.parquet(posDels.map(e => s"$base/${e.path}"): _*)
-            .select(col("file")).distinct()
-            .collect().map(_.getString(0)).toSet
-        val eqCovered: Set[String] = eqDels.flatMap(_.eqMeta).map(_._1)
-          .distinct.flatMap(cv =>
-            splitEntries(manifestLines(spark, base, cv))._1.map(_.path)).toSet
-        posCovered ++ eqCovered
-      }
+    val deleteCovered = deleteCoveredFiles(spark, base, dels)
     val sketches: Map[String, Array[Byte]] = data.flatMap { e =>
       loadSections(spark, base, e.path, NdvSuffix, NdvMagic)
         .flatMap { case (k, bs) => toLogical(k).map(_ -> bs) }
@@ -2403,20 +2456,7 @@ object Snapshots {
     require(schema.fieldNames.contains(colName), s"no column '$colName' in $base")
     val ops = schemaOps(lines)
     val toLogical = physToLogical(ops) _
-    val deleteCovered: Set[String] =
-      if (dels.isEmpty) Set.empty
-      else {
-        val (eqDels, posDels) = dels.partition(_.eqMeta.isDefined)
-        val posCovered: Set[String] =
-          if (posDels.isEmpty) Set.empty
-          else spark.read.parquet(posDels.map(e => s"$base/${e.path}"): _*)
-            .select(col("file")).distinct()
-            .collect().map(_.getString(0)).toSet
-        val eqCovered: Set[String] = eqDels.flatMap(_.eqMeta).map(_._1)
-          .distinct.flatMap(cv =>
-            splitEntries(manifestLines(spark, base, cv))._1.map(_.path)).toSet
-        posCovered ++ eqCovered
-      }
+    val deleteCovered = deleteCoveredFiles(spark, base, dels)
     val sketches: Map[String, Array[Byte]] = data.flatMap { e =>
       loadSections(spark, base, e.path, KllSuffix, KllMagic)
         .flatMap { case (k, bs) => toLogical(k).map(_ -> bs) }
@@ -4035,7 +4075,8 @@ object Snapshots {
    * OPTIMIZE/cluster verb (Delta `OPTIMIZE ... ZORDER BY` / Iceberg
    * rewrite-with-sort-order): one full-table copy-on-write rewrite that
    * lays rows out range-clustered on `cols` — linear sort, or a z-order
-   * interleave over exactly two columns — so every metadata evidence
+   * interleave over two or more columns ([[graft.sources.Layout.zorderKeyN]],
+   * `cols.size * zBits <= 63`) — so every metadata evidence
    * source this store prunes with (manifest key bounds, multi-column
    * stats sidecars, [[topK]]'s bound admission, [[countWhere]]'s coverage
    * proofs) becomes maximally selective: after clustering, per-file
@@ -5054,21 +5095,56 @@ object Snapshots {
 
   /** The two delta-scoped sides of a version transition: each side reads
     * only its version's non-shared data files (shared files are
-    * byte-identical under copy-on-write), widening to every file when the
-    * pending MoR delete sets differ (a delete file changes covered rows
-    * it never touches). The shared scoping core of [[changes]] and
-    * [[incrementalAggDelta]]. */
+    * byte-identical under copy-on-write). Two things can change a SHARED
+    * file's read image without rewriting it, and each gets its own scoped
+    * widening rather than a table scan:
+    *
+    *  - Pending MoR delete sets that differ between the versions: a delete
+    *    file changes rows of data files it COVERS without touching them —
+    *    so both sides additionally read the shared files covered by a
+    *    delete in the symmetric difference ([[deleteCoveredFiles]], the
+    *    same scoping [[approxDistinct]] uses). One one-file delete between
+    *    100k-file versions costs a one-file read per side, not the table.
+    *    Rows the new delete leaves alone appear on both sides and cancel
+    *    (hash-equal in [[changes]]/[[diff]], sign-cancelled in
+    *    [[incrementalAggDelta]]).
+    *  - Schema ops that differ AND change the read image of existing
+    *    rows — rename/drop/widen, or ADD COLUMN with a non-null DEFAULT
+    *    (pre-add rows read the default, so a shared file's rows genuinely
+    *    change between the versions). No per-file scoping is sound there
+    *    (every pre-op file is affected), so the scope honestly widens to
+    *    all files — run [[materializeSchema]] to land the op physically
+    *    and return to the delta path. A default-less ADD stays
+    *    delta-scoped: shared rows read NULL on both sides and cancel.
+    */
   private def changedFileSides(spark: SparkSession, base: String,
       fromV: Long, toV: Long): (DataFrame, DataFrame) = {
     val linesFrom = manifestLines(spark, base, fromV)
     val linesTo = manifestLines(spark, base, toV)
     val (dataF, delsF) = splitEntries(linesFrom)
     val (dataT, delsT) = splitEntries(linesTo)
-    val deltaScope = delsF.map(_.line).toSet == delsT.map(_.line).toSet
+    // schema-op lines that rewrite the read image of PRE-EXISTING rows:
+    // rename/drop/widen always; ADD only when it carries a default
+    def imageOps(ls: Seq[String]): Seq[String] = ls.filter(l =>
+      l.startsWith("R:") || l.startsWith("X:") || l.startsWith("W:") ||
+        (l.startsWith("A:") && l.drop(2).split('\t').length == 3))
+    val sameImage = imageOps(linesFrom) == imageOps(linesTo)
+    val delLinesF = delsF.map(_.line).toSet
+    val delLinesT = delsT.map(_.line).toSet
     val pathsF = dataF.map(_.path).toSet
     val pathsT = dataT.map(_.path).toSet
-    val subF = if (deltaScope) dataF.filterNot(e => pathsT.contains(e.path)) else dataF
-    val subT = if (deltaScope) dataT.filterNot(e => pathsF.contains(e.path)) else dataT
+    val (subF, subT) =
+      if (!sameImage) (dataF, dataT)
+      else if (delLinesF == delLinesT)
+        (dataF.filterNot(e => pathsT.contains(e.path)),
+          dataT.filterNot(e => pathsF.contains(e.path)))
+      else {
+        val deltaDels = (delsF ++ delsT).filterNot(e =>
+          delLinesF.contains(e.line) && delLinesT.contains(e.line))
+        val covered = deleteCoveredFiles(spark, base, deltaDels)
+        (dataF.filter(e => !pathsT.contains(e.path) || covered(e.path)),
+          dataT.filter(e => !pathsF.contains(e.path) || covered(e.path)))
+      }
     (readSubset(spark, base, linesFrom, subF),
       readSubset(spark, base, linesTo, subT))
   }
@@ -5105,14 +5181,17 @@ object Snapshots {
    * REMOVED between them (copy-on-write rewrites both sides of every
    * touched file; inherited files are byte-identical), so each side reads
    * ONLY its version's non-shared files. Ten changed files out of 100k
-   * means ten files read per side, never the table. The one exception is
-   * honesty about merge-on-read: a delete FILE added between the versions
-   * changes rows of data files it covers without touching them, so when
-   * the pending-delete sets differ the scope widens to every file (the
-   * same fallback [[approxDistinct]] takes) — run [[materializeDeletes]]
-   * first to stay on the delta path. Schema evolution is fine: each side
-   * reads through its own version's schema ops, and columns added by
-   * `toV` null-fill the pre-images.
+   * means ten files read per side, never the table. Merge-on-read stays
+   * delta-scoped too: a delete FILE added between the versions changes
+   * rows of data files it covers without touching them, so each side
+   * additionally reads the shared files COVERED by the differing deletes
+   * ([[deleteCoveredFiles]]) — a one-file delete costs a one-file extra
+   * read, and rows the delete leaves alone hash equal and drop out.
+   * Schema evolution is fine: each side reads through its own version's
+   * schema ops, and columns added by `toV` null-fill the pre-images; an
+   * op that rewrites the read image of pre-existing rows (rename/drop/
+   * widen, ADD with a non-null default) honestly widens to a full read
+   * of both sides, since every pre-op file is affected.
    */
   def changes(spark: SparkSession, base: String, fromV: Long, toV: Long,
               key: String): DataFrame = {

@@ -103,6 +103,52 @@ class CdcChangesSpec extends AnyFunSuite {
     assert(got((7L, "delete")) == (("n7", 7.0)))
   }
 
+  test("MoR delta scope: only delete-COVERED shared files are opened") {
+    spark.sparkContext.hadoopConfiguration
+      .set("fs.cntfs.impl", classOf[CountingLocalFs].getName)
+    val root = java.nio.file.Files.createTempDirectory("graft-cdc6")
+    val base = s"cntfs:$root/t"
+    Snapshots.write(
+      (1L to 400L).map(i => (i, s"n$i", i * 1.0)).toDF("id", "name", "score")
+        .repartitionByRange(4, col("id")), base, statsKey = Some("id"))
+    // MoR delete touching ONLY the lowest range file: data files unchanged,
+    // one positional delete lands
+    Snapshots.deleteWhereMoR(spark, base, col("id") <= 5L)
+    val (data2, dels2) =
+      Snapshots.splitEntries(Snapshots.manifestLines(spark, base, 2L))
+    val covered = Snapshots.deleteCoveredFiles(spark, base, dels2)
+    assert(covered.size == 1, s"fixture: one covered file, got $covered")
+    val uncovered = data2.map(_.path).toSet -- covered
+    assert(uncovered.size == 3)
+    CountingLocalFs.reset()
+    val got = collectChanges(base, 1L, 2L)
+    assert(got.keySet == (1L to 5L).map(i => (i, "delete")).toSet)
+    // files opened ≈ changed + covered: the 3 uncovered shared files stay shut
+    val strays = CountingLocalFs.openedParquet
+      .filter(p => uncovered.exists(u => p.endsWith(u)))
+    assert(strays.isEmpty,
+      s"pending one-file delete must not widen past its coverage: ${strays.mkString(", ")}")
+  }
+
+  test("ADD COLUMN with a non-null default between versions surfaces as updates") {
+    val base = java.nio.file.Files.createTempDirectory("graft-cdc7").toString + "/t"
+    Snapshots.write(Seq((1L, "a"), (2L, "b")).toDF("id", "name"), base)
+    // the read image of every pre-add row changes (NULL → 0.0), yet no data
+    // file is rewritten — delta scoping must fall back to a full read or the
+    // feed silently omits these rows
+    Snapshots.addColumn(spark, base, "score",
+      org.apache.spark.sql.types.DoubleType, default = Some("0.0"))
+    val rows = Snapshots.changes(spark, base, 1L,
+      Snapshots.versions(spark, base).last, "id").collect()
+    val byKey = rows.map(r => (r.getAs[Long]("id"),
+      r.getAs[String]("_change_type")) -> r.getAs[Any]("score")).toMap
+    assert(byKey.keySet == Set(
+      (1L, "update_preimage"), (1L, "update_postimage"),
+      (2L, "update_preimage"), (2L, "update_postimage")))
+    assert(byKey((1L, "update_preimage")) == null)
+    assert(byKey((1L, "update_postimage")) == 0.0)
+  }
+
   test("schema evolution: columns added after fromV null-fill the pre-images") {
     val base = java.nio.file.Files.createTempDirectory("graft-cdc5").toString + "/t"
     Snapshots.write(Seq((1L, "a"), (2L, "b")).toDF("id", "name"), base)

@@ -33,7 +33,7 @@ class ClusterRewriteSpec extends AnyFunSuite {
     assert(p1.isEmpty && c1.size == 4, "arrival order must admit every file")
     Snapshots.rewriteSorted(spark, base, Seq("id"), targetBytes = 8L * 1024)
     val (c2, p2) = Snapshots.scanPlan(spark, base, col("id") <= 50L)
-    assert(p2.nonEmpty && c2.size < c2.size + p2.size,
+    assert(p2.nonEmpty && c2.size < c1.size,
       s"clustered layout must prune: ${c2.size} cand / ${p2.size} pruned")
     // counting-FS: the scan opens ONLY admitted files
     CountingLocalFs.reset()
