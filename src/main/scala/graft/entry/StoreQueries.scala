@@ -2299,6 +2299,65 @@ private[graft] object StoreQueries {
              |  CAST(sum(CAST(score AS DECIMAL(18,2))) AS DOUBLE)
              |    AS sum_score,
              |  TRUE AS v1_absent
-             |FROM t GROUP BY 1 ORDER BY 1""".stripMargin))
+             |FROM t GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Table-as-stream source (round-16): the snapshot store as a
+    // Structured Streaming SOURCE (graft.store.SnapshotStreamSource, a
+    // DSv2 MicroBatchStream — offsets are version numbers, a micro-batch
+    // is the manifest delta's added files, O(delta) planned). Pins the
+    // full consumer lifecycle: three commits stream as three
+    // version-paced micro-batches (maxVersionsPerTrigger=1 admission
+    // control under Trigger.AvailableNow), a caught-up restart of the
+    // same checkpoint delivers NOTHING (exactly-once replay from the
+    // committed-manifest model), a commit made while the stream is down
+    // arrives as exactly one incremental batch on restart, and the
+    // streamed union equals the batch read of the final version — the
+    // oracle's full-table aggregate.
+    "snap_stream_source" -> Q(
+      (s, d) => {
+        import graft.store.Snapshots
+        import org.apache.spark.sql.streaming.Trigger
+        val root = FixtureRoot.fresh("snapstreamsrc")
+        val (base, sink) = (root + "/t", root + "/sink")
+        val docs = T(s, d, "documents")
+          .select(col("doc_id"), col("source"), col("n_chars"))
+        def slice(i: Int) = docs.filter(pmod(col("doc_id"), lit(4)) === i)
+        Snapshots.write(slice(0), base)
+        Snapshots.append(slice(1), base)
+        Snapshots.append(slice(2), base)
+        // one AvailableNow catch-up run; returns its micro-batch count
+        def drain(): Long = {
+          var batches = 0L
+          val q = s.readStream.format("graft-snapshots")
+            .option("maxVersionsPerTrigger", "1")
+            .load(base)
+            .writeStream
+            .option("checkpointLocation", root + "/ckpt")
+            .trigger(Trigger.AvailableNow())
+            .foreachBatch { (b: DataFrame, _: Long) =>
+              batches += 1
+              b.write.mode("append").parquet(sink)
+              ()
+            }
+            .start()
+          q.awaitTermination()
+          batches
+        }
+        val firstBatches = drain() // 3 commits → 3 paced micro-batches
+        val replayNoop = drain() == 0L // caught-up restart: no redelivery
+        Snapshots.append(slice(3), base) // committed while the stream is down
+        val incrBatches = drain() // resumes at the checkpointed version
+        s.read.parquet(sink)
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n"), dsum(col("n_chars")).as("sum_chars"))
+          .withColumn("first_batches", lit(firstBatches))
+          .withColumn("replay_noop", lit(replayNoop))
+          .withColumn("incr_batches", lit(incrBatches))
+          .orderBy(col("source"))
+      },
+      Some("""SELECT source, count(*) AS n,
+             |  CAST(sum(CAST(n_chars AS DECIMAL(18,2))) AS DOUBLE) AS sum_chars,
+             |  3 AS first_batches, TRUE AS replay_noop, 1 AS incr_batches
+             |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 }

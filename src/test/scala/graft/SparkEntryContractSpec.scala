@@ -18,6 +18,21 @@ class SparkEntryContractSpec extends AnyFunSuite {
     assert(missing.isEmpty, s"oracle without query: $missing")
   }
 
+  test("every bench key has a committed bar in tools/baseline.json (round-16: the twice-recurred hygiene lapse, made mechanical)") {
+    val text = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("tools/baseline.json")), "UTF-8")
+    val bars = """"([A-Za-z][A-Za-z0-9_]*)"\s*:""".r
+      .findAllMatchIn(text).map(_.group(1)).toSet // _-prefixed meta keys excluded
+    // Bench.scala's benchOnly extras (no DuckDB twin, bench-gated only)
+    val benchKeys = SparkEntry.queries.keySet + "dd_hashed_build_probe"
+    val unbarred = benchKeys -- bars
+    assert(unbarred.isEmpty,
+      s"bench keys without a tools/baseline.json bar (set one via the " +
+        s"BASELINE.md closing-battery protocol): $unbarred")
+    val orphans = bars -- benchKeys
+    assert(orphans.isEmpty, s"bars without a bench key: $orphans")
+  }
+
   test("README's advertised query count matches the battery (round-15: the front door can't go stale)") {
     val readme = new String(java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get("README.md")), "UTF-8")

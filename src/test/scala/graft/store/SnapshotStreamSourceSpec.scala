@@ -1,0 +1,201 @@
+package graft.store
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/**
+ * Table-as-stream source ([[SnapshotStreamSource]], DSv2 MicroBatchStream).
+ * Pins: micro-batch union == batch read of the final version, version-capped
+ * admission control, checkpointed crash-and-replay exactly-once,
+ * startingVersion=latest, the append-only contract's refusals
+ * (rewrite/MoR-delete/image-changing schema op) with ignoreChanges opt-out,
+ * and file splitting by filesMaxPartitionBytes.
+ */
+class SnapshotStreamSourceSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def freshDir(tag: String): String =
+    java.nio.file.Files.createTempDirectory(s"graft-ss-$tag").toString
+
+  /** Run an AvailableNow pass collecting (batchId, rows) per micro-batch. */
+  private def drain(base: String, checkpoint: String,
+                    options: Map[String, String] = Map.empty)
+      : Seq[(Long, Seq[(Long, String)])] = {
+    val batches = mutable.ArrayBuffer.empty[(Long, Seq[(Long, String)])]
+    val q = options.foldLeft(
+        spark.readStream.format("graft-snapshots")) {
+        case (r, (k, v)) => r.option(k, v)
+      }
+      .load(base)
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, bid: Long) =>
+        val rows = batch.select(col("id"), col("name")).collect()
+          .map(r => (r.getLong(0), r.getString(1))).toSeq
+        batches.synchronized { batches += ((bid, rows)) }
+        ()
+      }
+      .start()
+    q.awaitTermination()
+    batches.toSeq
+  }
+
+  test("micro-batch union == batch read; maxVersionsPerTrigger paces one commit per batch") {
+    val base = freshDir("basic") + "/t"
+    val ckpt = freshDir("basic-ckpt")
+    Snapshots.write((1L to 40L).map(i => (i, s"n$i")).toDF("id", "name"), base)
+    Snapshots.append((41L to 70L).map(i => (i, s"n$i")).toDF("id", "name"), base)
+    Snapshots.append((71L to 90L).map(i => (i, s"n$i")).toDF("id", "name"), base)
+    val batches = drain(base, ckpt, Map("maxVersionsPerTrigger" -> "1"))
+    val nonEmpty = batches.filter(_._2.nonEmpty)
+    assert(nonEmpty.size == 3, s"one commit per micro-batch: $batches")
+    // batch boundaries match commit boundaries
+    assert(nonEmpty.map(_._2.map(_._1).toSet) ==
+      Seq((1L to 40L).toSet, (41L to 70L).toSet, (71L to 90L).toSet))
+    val union = batches.flatMap(_._2)
+    assert(union.size == union.toSet.size, "no duplicate delivery")
+    val batchRead = Snapshots.read(spark, base)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(union.toSet == batchRead, "streamed union must equal the final batch read")
+  }
+
+  test("crash-and-replay: a restarted checkpoint delivers only new commits, exactly once") {
+    val base = freshDir("replay") + "/t"
+    val ckpt = freshDir("replay-ckpt")
+    Snapshots.write((1L to 20L).map(i => (i, s"n$i")).toDF("id", "name"), base)
+    val first = drain(base, ckpt)
+    assert(first.flatMap(_._2).map(_._1).toSet == (1L to 20L).toSet)
+    // "crash": the query is gone; new commits land while it is down
+    Snapshots.append((21L to 30L).map(i => (i, s"n$i")).toDF("id", "name"), base)
+    Snapshots.append((31L to 35L).map(i => (i, s"n$i")).toDF("id", "name"), base)
+    val second = drain(base, ckpt)
+    assert(second.flatMap(_._2).map(_._1).toSet == (21L to 35L).toSet,
+      s"replay must resume at the checkpointed version: $second")
+    // fully replayed again with nothing new: no batch, no duplicates
+    val third = drain(base, ckpt)
+    assert(third.flatMap(_._2).isEmpty, s"caught-up restart must deliver nothing: $third")
+  }
+
+  test("startingVersion=latest skips history; numeric startingVersion replays from it") {
+    val base = freshDir("latest") + "/t"
+    Snapshots.write((1L to 10L).map(i => (i, s"n$i")).toDF("id", "name"), base)
+    Snapshots.append((11L to 15L).map(i => (i, s"n$i")).toDF("id", "name"), base)
+    val ckptLatest = freshDir("latest-ckpt")
+    assert(drain(base, ckptLatest, Map("startingVersion" -> "latest"))
+      .flatMap(_._2).isEmpty, "latest must skip existing commits")
+    Snapshots.append((16L to 18L).map(i => (i, s"n$i")).toDF("id", "name"), base)
+    assert(drain(base, ckptLatest).flatMap(_._2).map(_._1).toSet ==
+      (16L to 18L).toSet)
+    val fromV2 = drain(base, freshDir("v2-ckpt"), Map("startingVersion" -> "2"))
+    assert(fromV2.flatMap(_._2).map(_._1).toSet == (11L to 18L).toSet)
+  }
+
+  private def msgChain(e: Throwable): String =
+    Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
+
+  test("append-only contract: rewrites, MoR deletes and image ops refuse; ignoreChanges overrides") {
+    val base = freshDir("strict") + "/t"
+    val ckpt = freshDir("strict-ckpt")
+    Snapshots.write((1L to 30L).map(i => (i, s"n$i")).toDF("id", "name")
+      .repartition(2), base)
+    drain(base, ckpt) // checkpoint at v1
+    // a CoW rewrite lands; the CHECKPOINTED stream's next range removes a
+    // file it already delivered → strict mode refuses
+    Snapshots.deleteWhere(spark, base, col("id") === 5L)
+    val e1 = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      drain(base, ckpt)
+    }
+    assert(msgChain(e1).contains("append-only"), msgChain(e1))
+    // relaxed mode re-delivers the REWRITTEN file only, never the table
+    val relaxed = drain(base, ckpt, Map("ignoreChanges" -> "true"))
+      .flatMap(_._2).map(_._1).toSet
+    assert(relaxed.nonEmpty && !relaxed.contains(5L) && relaxed.size < 29,
+      s"ignoreChanges must re-deliver just the rewritten file: $relaxed")
+    // a fresh stream over the rewritten table is fine (initial snapshot)
+    assert(drain(base, freshDir("strict-c2")).flatMap(_._2).map(_._1).toSet ==
+      (1L to 30L).toSet -- Set(5L))
+    // pending MoR delete refuses even a fresh stream
+    Snapshots.deleteWhereMoR(spark, base, col("id") === 7L)
+    val e2 = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      drain(base, freshDir("strict-c3"))
+    }
+    assert(msgChain(e2).contains("materializeDeletes"), msgChain(e2))
+    Snapshots.materializeDeletes(spark, base)
+    assert(drain(base, freshDir("strict-c4")).flatMap(_._2).map(_._1).toSet ==
+      (1L to 30L).toSet -- Set(5L, 7L))
+    // pending rename (image op) refuses until materializeSchema
+    Snapshots.renameColumn(spark, base, "name", "label")
+    val e3 = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      val q = spark.readStream.format("graft-snapshots").load(base)
+        .writeStream
+        .option("checkpointLocation", freshDir("strict-c5"))
+        .trigger(Trigger.AvailableNow())
+        .format("noop")
+        .start()
+      q.awaitTermination()
+    }
+    assert(msgChain(e3).contains("materializeSchema"), msgChain(e3))
+  }
+
+  test("default-less ADD COLUMN streams through; old stream keeps its start schema") {
+    val base = freshDir("addcol") + "/t"
+    val ckpt = freshDir("addcol-ckpt")
+    Snapshots.write((1L to 5L).map(i => (i, s"n$i")).toDF("id", "name"), base)
+    assert(drain(base, ckpt).flatMap(_._2).size == 5)
+    Snapshots.addColumn(spark, base, "score",
+      org.apache.spark.sql.types.DoubleType)
+    Snapshots.append(Seq((6L, "n6", 1.5)).toDF("id", "name", "score"), base)
+    // the checkpointed stream's schema predates the add: the new physical
+    // column projects away, the row still arrives
+    assert(drain(base, ckpt).flatMap(_._2) == Seq((6L, "n6")))
+    // a FRESH stream sees the evolved schema, with the old vintage null-filled
+    val fresh = spark.readStream.format("graft-snapshots").load(base)
+    assert(fresh.schema.fieldNames.contains("score"))
+    val got = mutable.ArrayBuffer.empty[(Long, Option[Double])]
+    val q = fresh.writeStream
+      .option("checkpointLocation", freshDir("addcol-ckpt2"))
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        val rows = b.select(col("id"), col("score")).collect()
+          .map(r => (r.getLong(0),
+            if (r.isNullAt(1)) None else Some(r.getDouble(1))))
+        got.synchronized { got ++= rows }
+        ()
+      }
+      .start()
+    q.awaitTermination()
+    assert(got.toMap == ((1L to 5L).map(_ -> None).toMap + (6L -> Some(1.5))))
+  }
+
+  test("a large file splits into filesMaxPartitionBytes-sized partitions") {
+    val base = freshDir("split") + "/t"
+    Snapshots.write((1L to 5000L).map(i => (i, s"name-padding-$i"))
+      .toDF("id", "name").coalesce(1), base)
+    val key = "spark.sql.files.maxPartitionBytes"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, "8192")
+    try {
+      var parts = 0
+      val q = spark.readStream.format("graft-snapshots").load(base)
+        .writeStream
+        .option("checkpointLocation", freshDir("split-ckpt"))
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          parts = math.max(parts, b.rdd.getNumPartitions)
+          assert(b.count() == 5000L)
+          ()
+        }
+        .start()
+      q.awaitTermination()
+      assert(parts > 1, s"a single large file must split, got $parts partition(s)")
+    } finally spark.conf.set(key, prev)
+  }
+}
