@@ -2358,6 +2358,60 @@ private[graft] object StoreQueries {
       Some("""SELECT source, count(*) AS n,
              |  CAST(sum(CAST(n_chars AS DECIMAL(18,2))) AS DOUBLE) AS sum_chars,
              |  3 AS first_batches, TRUE AS replay_noop, 1 AS incr_batches
-             |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin))
+             |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Metadata-answered aggregates (round-16): the opt-in Catalyst rule
+    // graft.plans.SnapshotAggRewrite — Iceberg aggregate-pushdown /
+    // Delta OptimizeMetadataOnlyDeltaQuery twin — rewrites a global
+    // COUNT/MIN/MAX over a recognized snapshot scan into the manifest
+    // folds countWhere/metaCount/metaBoundsOf and substitutes a one-row
+    // LocalRelation at plan time. Here through the SQL surface (temp
+    // view + spark.sql), attached via experimental.extraOptimizations;
+    // the metadata_answered pin asserts both statements actually planned
+    // as LocalTableScan (zero-IO proof lives in SnapshotAggRewriteSpec).
+    "snap_agg_pushdown" -> Q(
+      (s, d) => {
+        import graft.plans.SnapshotAggRewrite
+        import graft.store.Snapshots
+        val root = FixtureRoot.fresh("snapaggpd")
+        val base = root + "/t"
+        val docs = T(s, d, "documents")
+          .select(col("doc_id"), col("source"), col("n_chars"))
+        Snapshots.write(docs.repartitionByRange(4, col("doc_id")), base,
+          statsKey = Some("doc_id"))
+        Snapshots.writeStatsSidecars(s, base, Seq("n_chars"))
+        if (!s.experimental.extraOptimizations
+            .exists(_.isInstanceOf[SnapshotAggRewrite]))
+          s.experimental.extraOptimizations =
+            s.experimental.extraOptimizations :+ SnapshotAggRewrite(s)
+        Snapshots.read(s, base).createOrReplaceTempView("snap_agg_pd_v")
+        def metadataAnswered(q: DataFrame): Boolean =
+          q.queryExecution.executedPlan.collectFirst {
+            case l: org.apache.spark.sql.execution.LocalTableScanExec => l
+          }.nonEmpty
+        s.conf.set(SnapshotAggRewrite.EnabledKey, "true")
+        try {
+          val q1 = s.sql(
+            "SELECT count(*) AS n FROM snap_agg_pd_v WHERE doc_id < 300")
+          val q2 = s.sql(
+            """SELECT min(doc_id) AS mn, max(doc_id) AS mx,
+              |  min(n_chars) AS min_chars, max(n_chars) AS max_chars,
+              |  count(*) AS n_all FROM snap_agg_pd_v""".stripMargin)
+          val answered = metadataAnswered(q1) && metadataAnswered(q2)
+          val nLow = q1.collect().head.getLong(0)
+          val r = q2.collect().head
+          import s.implicits._
+          Seq((nLow, r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+            r.getLong(4), answered))
+            .toDF("n_low", "mn", "mx", "min_chars", "max_chars", "n_all",
+              "metadata_answered")
+        } finally s.conf.set(SnapshotAggRewrite.EnabledKey, "false")
+      },
+      Some("""SELECT
+             |  (SELECT count(*) FROM documents WHERE doc_id < 300) AS n_low,
+             |  min(doc_id) AS mn, max(doc_id) AS mx,
+             |  min(n_chars) AS min_chars, max(n_chars) AS max_chars,
+             |  count(*) AS n_all, TRUE AS metadata_answered
+             |FROM documents""".stripMargin))
   )
 }

@@ -15,6 +15,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     GraftFunctions.descriptions.foreach(ext.injectFunction)
     // opt-in ANN top-k rewrite (spark.graft.ann.enabled=true)
     ext.injectOptimizerRule(session => graft.plans.AnnRewrite(session))
+    // opt-in metadata-answered aggregates — MUST precede the prune rule:
+    // a pruned file index no longer matches a committed version
+    // (spark.graft.snapshots.agg.enabled=true)
+    ext.injectOptimizerRule(session => graft.plans.SnapshotAggRewrite(session))
     // opt-in manifest file pruning for plain reads
     // (spark.graft.snapshots.prune.enabled=true)
     ext.injectOptimizerRule(session => graft.plans.SnapshotPruneRewrite(session))

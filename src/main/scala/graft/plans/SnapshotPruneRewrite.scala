@@ -46,25 +46,10 @@ case class SnapshotPruneRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
   private def pruneScan(f: Filter, cond: Expression,
                         l: LogicalRelation): Option[Filter] = try {
     if (SubqueryExpression.hasSubquery(cond)) return None
-    val fsr = l.relation match {
-      case h: HadoopFsRelation if h.partitionSchema.isEmpty &&
-        h.fileFormat.toString.toLowerCase.contains("parquet") => h
-      case _ => return None
-    }
-    val roots = fsr.location.rootPaths
-    if (roots.isEmpty) return None
-    // every root must be <base>/v=N/<file> with one common base
-    val parsed: Seq[(Path, String)] = roots.map { p =>
-      val vdir = p.getParent
-      if (vdir == null || vdir.getParent == null ||
-          !vdir.getName.matches("v=\\d+")) return None
-      (vdir.getParent, s"${vdir.getName}/${p.getName}")
-    }
-    val base = parsed.head._1
-    if (parsed.exists(_._1.toString != base.toString)) return None
+    val (base, files, fsr) =
+      SnapshotPruneRewrite.recognizeScan(l).getOrElse(return None)
     val dtOf = (c: String) => l.schema.find(_.name == c).map(_.dataType)
-    Snapshots.plannerPruneFiles(spark, base.toString,
-        parsed.map(_._2).toSet, cond, dtOf)
+    Snapshots.plannerPruneFiles(spark, base, files, cond, dtOf)
       .map { kept =>
         val idx = new InMemoryFileIndex(spark, kept.map(new Path(_)),
           Map.empty[String, String], Some(fsr.dataSchema))
@@ -80,4 +65,30 @@ case class SnapshotPruneRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
 
 object SnapshotPruneRewrite {
   val EnabledKey = "spark.graft.snapshots.prune.enabled"
+
+  /** Recognize a parquet [[LogicalRelation]] whose file listing COULD be a
+    * committed snapshot version's data files: unpartitioned parquet, every
+    * root `<base>/v=N/<file>` under one common base. Returns the base, the
+    * base-relative file names, and the relation — shared by the prune rule
+    * and [[SnapshotAggRewrite]]; whether the set IS a committed version is
+    * the (memoized, verified) [[Snapshots.plannerResolveVersion]] step. */
+  private[plans] def recognizeScan(l: LogicalRelation)
+      : Option[(String, Set[String], HadoopFsRelation)] = {
+    val fsr = l.relation match {
+      case h: HadoopFsRelation if h.partitionSchema.isEmpty &&
+        h.fileFormat.toString.toLowerCase.contains("parquet") => h
+      case _ => return None
+    }
+    val roots = fsr.location.rootPaths
+    if (roots.isEmpty) return None
+    val parsed: Seq[(Path, String)] = roots.map { p =>
+      val vdir = p.getParent
+      if (vdir == null || vdir.getParent == null ||
+          !vdir.getName.matches("v=\\d+")) return None
+      (vdir.getParent, s"${vdir.getName}/${p.getName}")
+    }
+    val base = parsed.head._1
+    if (parsed.exists(_._1.toString != base.toString)) return None
+    Some((base.toString, parsed.map(_._2).toSet, fsr))
+  }
 }

@@ -1419,11 +1419,12 @@ object Snapshots {
     (s.size, h)
   }
 
-  private[graft] def plannerPruneFiles(spark: SparkSession, base: String,
-      files: Set[String],
-      cond: org.apache.spark.sql.catalyst.expressions.Expression,
-      dtOf: String => Option[org.apache.spark.sql.types.DataType])
-      : Option[Seq[String]] = {
+  /** Resolve a scan's exact data-file set to the committed version it
+    * reads, or None when no clean version matches (pending MoR deletes or
+    * schema ops also disqualify — the planner verbs need an unencumbered
+    * snapshot). Memoized via [[plannerFsCache]], verified on hit. */
+  private[graft] def plannerResolveVersion(spark: SparkSession, base: String,
+      files: Set[String]): Option[Long] = {
     val want = fileSetFingerprint(files)
     def verify(v: Long): Boolean = scala.util.Try {
       val lines = manifestLines(spark, base, v)
@@ -1443,14 +1444,21 @@ object Snapshots {
         }.getOrElse(None)).contains(want)
       }
     }
-    val vOpt: Option[Long] = search() match {
+    search() match {
       case Some(v) if verify(v) => Some(v)
       case Some(_) => // stale memo (recreated table) or fingerprint collision
         plannerFsCache.keySet.removeIf(k => k._1 == base)
         search().filter(verify)
       case None => None
     }
-    vOpt.flatMap { v =>
+  }
+
+  private[graft] def plannerPruneFiles(spark: SparkSession, base: String,
+      files: Set[String],
+      cond: org.apache.spark.sql.catalyst.expressions.Expression,
+      dtOf: String => Option[org.apache.spark.sql.types.DataType])
+      : Option[Seq[String]] = {
+    plannerResolveVersion(spark, base, files).flatMap { v =>
       val (cand, pruned) = scanPlanExpr(spark, base, v, Some(cond), dtOf)
       if (pruned.isEmpty) None
       else Some(cand.map(e => s"$base/${e.path}"))

@@ -1,0 +1,159 @@
+package graft.plans
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.execution.LocalTableScanExec
+import org.apache.spark.sql.functions.{avg, col, count, lit, max, min}
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.store.{CountingLocalFs, Snapshots}
+
+/** The opt-in metadata-answered aggregate rule: plan surgery, zero data
+  * IO on the provable path, bit-identical results, conservative declines. */
+class SnapshotAggRewriteSpec extends AnyFunSuite {
+
+  private def withExtSession[T](f: SparkSession => T): T = {
+    val prev = TestSpark.spark
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      val s = SparkSession.builder().master("local[2]")
+        .withExtensions(new graft.functions.GraftExtensions())
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+      f(s)
+    } finally {
+      SparkSession.setDefaultSession(prev)
+      SparkSession.setActiveSession(prev)
+    }
+  }
+
+  private def isMetadataAnswered(df: DataFrame): Boolean =
+    df.queryExecution.executedPlan.collectFirst {
+      case l: LocalTableScanExec => l
+    }.nonEmpty
+
+  test("count/min/max answer from metadata: LocalTableScan, zero data files opened, bit-identical") {
+    withExtSession { s =>
+      import s.implicits._
+      s.sparkContext.hadoopConfiguration
+        .set("fs.cntfs.impl", classOf[CountingLocalFs].getName)
+      val root = java.nio.file.Files.createTempDirectory("graft-aggr1")
+      val base = s"cntfs:$root/t"
+      Snapshots.write(
+        (1L to 900L).map(i =>
+          (i, s"v$i", i * 0.5, if (i % 3 == 0) null else s"u$i"))
+          .toDF("id", "s", "x", "maybe")
+          .repartitionByRange(6, col("id")),
+        base, statsKey = Some("id"))
+      Snapshots.writeStatsSidecars(s, base, Seq("x", "s"))
+      val t = Snapshots.read(s, base)
+      // reference values with the rule OFF
+      s.conf.set(SnapshotAggRewrite.EnabledKey, "false")
+      val refFiltered = t.filter(col("id") <= 300L)
+        .agg(count(lit(1)).as("n")).collect().toSeq
+      val refGlobal = t.agg(count(lit(1)).as("n"),
+        min(col("id")).as("mn"), max(col("id")).as("mx"),
+        min(col("x")).as("xmn"), max(col("s")).as("smx")).collect().toSeq
+      val refNotNull = t.agg(count(col("maybe")).as("nm")).collect().toSeq
+      assert(!isMetadataAnswered(t.agg(count(lit(1)))))
+      s.conf.set(SnapshotAggRewrite.EnabledKey, "true")
+      CountingLocalFs.reset()
+      val qf = Snapshots.read(s, base).filter(col("id") <= 300L)
+        .agg(count(lit(1)).as("n"))
+      assert(isMetadataAnswered(qf), "filtered count must rewrite")
+      assert(qf.collect().toSeq == refFiltered)
+      val qg = Snapshots.read(s, base)
+        .agg(count(lit(1)).as("n"),
+          min(col("id")).as("mn"), max(col("id")).as("mx"),
+          min(col("x")).as("xmn"), max(col("s")).as("smx"))
+      assert(isMetadataAnswered(qg), "global count/min/max must rewrite")
+      assert(qg.collect().toSeq == refGlobal)
+      // the whole provable battery above opened ZERO data files
+      assert(CountingLocalFs.openedParquet.isEmpty,
+        s"metadata-answered aggregates opened: ${CountingLocalFs.openedParquet}")
+      // count(col) on a column with no null-count metadata is the HYBRID
+      // path: still rewritten, still exact — it scans what it must
+      val qn = Snapshots.read(s, base).agg(count(col("maybe")).as("nm"))
+      assert(isMetadataAnswered(qn))
+      assert(qn.collect().toSeq == refNotNull)
+      s.conf.set(SnapshotAggRewrite.EnabledKey, "false")
+    }
+  }
+
+  test("boundary predicates stay exact: unprovable files scan, result still bit-identical") {
+    withExtSession { s =>
+      import s.implicits._
+      val base = java.nio.file.Files.createTempDirectory("graft-aggr2").toString + "/t"
+      Snapshots.write(
+        (1L to 400L).map(i => (i, s"v$i")).toDF("id", "s")
+          .repartitionByRange(4, col("id")),
+        base, statsKey = Some("id"))
+      s.conf.set(SnapshotAggRewrite.EnabledKey, "true")
+      // 137 cuts through a file: metadata proves the interior, scans the
+      // boundary file — exactness over purity
+      val q = Snapshots.read(s, base).filter(col("id") <= 137L)
+        .agg(count(lit(1)).as("n"))
+      assert(isMetadataAnswered(q))
+      assert(q.collect().head.getLong(0) == 137L)
+      // residual non-stats conjunct: countWhere scans boundary files for it
+      val q2 = Snapshots.read(s, base)
+        .filter(col("id") <= 110L && col("s").endsWith("7"))
+        .agg(count(lit(1)).as("n"))
+      assert(isMetadataAnswered(q2))
+      assert(q2.collect().head.getLong(0) == 11L) // 7,17,...,107
+      s.conf.set(SnapshotAggRewrite.EnabledKey, "false")
+    }
+  }
+
+  test("SQL surface: a temp view's COUNT(*) WHERE answers from metadata") {
+    withExtSession { s =>
+      import s.implicits._
+      val base = java.nio.file.Files.createTempDirectory("graft-aggr3").toString + "/t"
+      Snapshots.write(
+        (1L to 500L).map(i => (i, i * 2.0)).toDF("id", "x")
+          .repartitionByRange(5, col("id")),
+        base, statsKey = Some("id"))
+      Snapshots.read(s, base).createOrReplaceTempView("agg_rewrite_v")
+      s.conf.set(SnapshotAggRewrite.EnabledKey, "true")
+      val q = s.sql("SELECT count(*) AS n FROM agg_rewrite_v WHERE id > 400")
+      assert(isMetadataAnswered(q), "SQL count must rewrite")
+      assert(q.collect().head.getLong(0) == 100L)
+      s.conf.set(SnapshotAggRewrite.EnabledKey, "false")
+    }
+  }
+
+  test("declines: grouped aggs, avg, filtered min, distinct, MoR deletes, foreign parquet") {
+    withExtSession { s =>
+      import s.implicits._
+      val base = java.nio.file.Files.createTempDirectory("graft-aggr4").toString + "/t"
+      Snapshots.write(
+        (1L to 200L).map(i => (i, i % 5, i * 1.0)).toDF("id", "g", "x")
+          .repartitionByRange(2, col("id")),
+        base, statsKey = Some("id"))
+      s.conf.set(SnapshotAggRewrite.EnabledKey, "true")
+      val t = Snapshots.read(s, base)
+      assert(!isMetadataAnswered(t.groupBy(col("g")).agg(count(lit(1)))),
+        "grouped agg must decline")
+      assert(!isMetadataAnswered(t.agg(count(lit(1)), avg(col("x")))),
+        "an unanswerable function declines the WHOLE node")
+      assert(!isMetadataAnswered(
+        t.filter(col("g") === 1).agg(min(col("id")))),
+        "filtered min must decline (global bounds don't restrict)")
+      assert(!isMetadataAnswered(t.agg(
+        org.apache.spark.sql.functions.countDistinct(col("g")))),
+        "distinct must decline")
+      // foreign parquet (not a snapshot layout)
+      val foreign = java.nio.file.Files.createTempDirectory("graft-aggr4f").toString + "/p"
+      (1L to 50L).map(i => (i, i * 1.0)).toDF("id", "x")
+        .write.parquet(foreign)
+      assert(!isMetadataAnswered(s.read.parquet(foreign).agg(count(lit(1)))))
+      // pending MoR deletes disqualify the version: results must include them
+      Snapshots.deleteWhereMoR(s, base, col("id") <= 10L)
+      val q = Snapshots.read(s, base).agg(count(lit(1)).as("n"))
+      assert(!isMetadataAnswered(q), "MoR deletes must decline")
+      assert(q.collect().head.getLong(0) == 190L)
+      s.conf.set(SnapshotAggRewrite.EnabledKey, "false")
+    }
+  }
+}
