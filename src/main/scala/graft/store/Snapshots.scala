@@ -4360,7 +4360,8 @@ object Snapshots {
       compactedToVersion: Option[Long],
       expiredVersions: Seq[Long],
       vacuumedPaths: Int,
-      clusteredToVersion: Option[Long] = None)
+      clusteredToVersion: Option[Long] = None,
+      sidecarsBuilt: Int = 0)
 
   /**
    * One-verb scheduled maintenance — the nightly job every lakehouse
@@ -4371,16 +4372,23 @@ object Snapshots {
    *     ([[materializeDeletes]]) — read amplification control, and the
    *     precondition for compaction (a file rewrite under pending deletes
    *     would resurrect rows, which [[compact]] refuses);
-   *  2. bin-pack small files ([[compact]]) — skipped while deletes are
+   *  2. health-triggered re-cluster ([[rewriteSorted]] when `clusterBy`'s
+   *     measured [[clusteringDepth]] exceeds `maxClusterDepth`) or
+   *     bin-pack small files ([[compact]]) — skipped while deletes are
    *     still pending below threshold;
-   *  3. expire old snapshots ([[expire]], tag-pinned versions survive);
-   *  4. [[vacuum]] — AFTER expiry, because expiry is what makes files
+   *  3. refresh the declared sidecar families (`statsCols` / `ndvCols` /
+   *     `quantileCols` / `bloomKeys`) so files the rewrite steps produced
+   *     regain their pruning evidence — each builder is per-file
+   *     incremental, scanning only files still missing its section, so a
+   *     quiet cycle pays metadata probes and zero data IO;
+   *  4. expire old snapshots ([[expire]], tag-pinned versions survive);
+   *  5. [[vacuum]] — AFTER expiry, because expiry is what makes files
    *     unreferenced and reclaimable; also sweeps stale txn debris.
    *
    * Every step is independently a no-op below its threshold, so running
    * maintain on a quiet table commits nothing. Statistics sidecars and
    * key stats survive where their files are inherited; rewritten files
-   * re-stat via `statsKey`.
+   * re-stat via `statsKey` and re-sidecar via the declared columns.
    */
   def maintain(spark: SparkSession, base: String,
                smallBytes: Long = 32L * 1024 * 1024,
@@ -4390,7 +4398,11 @@ object Snapshots {
                txnTtlMs: Long = 60L * 60 * 1000,
                statsKey: Option[String] = None,
                clusterBy: Option[Seq[String]] = None,
-               maxClusterDepth: Double = 2.0): MaintenanceReport = {
+               maxClusterDepth: Double = 2.0,
+               statsCols: Seq[String] = Nil,
+               ndvCols: Seq[String] = Nil,
+               quantileCols: Seq[String] = Nil,
+               bloomKeys: Seq[String] = Nil): MaintenanceReport = {
     val vs = versions(spark, base)
     require(vs.nonEmpty, s"no snapshots under $base")
     requireNoSchemaOps(manifestLines(spark, base, vs.last), "maintain")
@@ -4420,9 +4432,24 @@ object Snapshots {
         val vAfter = compact(spark, base, smallBytes, targetBytes)
         if (vAfter != vBefore) Some(vAfter) else None
       }
+    // sidecar refresh (round-16): every file the fold/cluster/compact
+    // steps rewrote lost its pruning evidence — rebuild the declared
+    // sidecar families so the cycle leaves coverage COMPLETE, not stale.
+    // The builders are per-file incremental (each scans only files still
+    // missing its section), so a no-rewrite cycle pays metadata probes
+    // only; the rewritten-delta scan is executor-side like the rewrites
+    // themselves. Declared columns, not inference — discovering "what was
+    // covered before" would cost an O(table-files) sidecar sweep, the
+    // exact shape the per-file-schema work killed.
+    val sidecars =
+      (if (statsCols.nonEmpty) writeStatsSidecars(spark, base, statsCols) else 0) +
+        (if (ndvCols.nonEmpty) writeNdvSidecars(spark, base, ndvCols) else 0) +
+        (if (quantileCols.nonEmpty) writeQuantileSidecars(spark, base, quantileCols) else 0) +
+        bloomKeys.map(k => writeBloomSidecars(spark, base, k)).sum
     val expired = expire(spark, base, keepSnapshots)
     val vacuumed = vacuum(spark, base, txnTtlMs)
-    MaintenanceReport(folded, compacted, expired, vacuumed.size, clustered)
+    MaintenanceReport(folded, compacted, expired, vacuumed.size, clustered,
+      sidecars)
   }
 
   /** A write-audit-publish audit rejected the staged data; nothing was
@@ -4972,11 +4999,19 @@ object Snapshots {
    * This is [[maintain]]'s re-cluster trigger — measure layout health
    * instead of rewriting on a blind schedule.
    *
+   * Strings measure too (round-16): per-file bounds map to their RANKS
+   * among all distinct bound strings (sorted in the unsigned-byte order
+   * pruning compares in) and the same Σ range / span formula applies —
+   * distribution-free, immune to constant prefixes and digit-string byte
+   * skew — so string-keyed tables (workflow ids, URL hosts) get
+   * health-triggered maintenance instead of never qualifying. Interleaved
+   * string layouts read ≈ half the file count (bounds pile at the rank
+   * extremes); clustered ones still read ~1.
+   *
    * None = "can't measure, don't guess": a file without stats on the
-   * column, mixed stat tags, a non-numeric column (strings have no
-   * uniform measure), or pending MoR deletes. A zero global span (every
-   * file pinned to one value) reports the file count — a point probe at
-   * that value admits them all.
+   * column, mixed stat tags, an unsupported type, or pending MoR
+   * deletes. A zero global span (every file pinned to one value) reports
+   * the file count — a point probe at that value admits them all.
    */
   def clusteringDepth(spark: SparkSession, base: String, colName: String,
                       version: Option[Long] = None): Option[Double] = {
@@ -4993,8 +5028,27 @@ object Snapshots {
     if (per.exists(_.isEmpty)) return None
     val st = per.flatten
     val tags = st.map(_._1).distinct
-    if (tags.size != 1 || (tags.head != "L" && tags.head != "D")) return None
-    val ranges = st.map(s => (s._2.toDouble, s._3.toDouble))
+    if (tags.size != 1) return None
+    val ranges: Seq[(Double, Double)] = tags.head match {
+      case "L" | "D" => st.map(s => (s._2.toDouble, s._3.toDouble))
+      case "S" =>
+        // Strings get a RANK measure (round-16): every distinct bound
+        // string, sorted in statLeq's unsigned-byte order (the order
+        // pruning compares in), and each per-file [min,max] maps to its
+        // rank pair. Distribution-free by construction — a byte-fraction
+        // embedding would let one high-order byte transition ("0999" →
+        // "1000", or a constant key prefix) dominate the span and read a
+        // fully-interleaved layout as ≈1. In rank space a clustered
+        // layout's ranges are disjoint (depth → 1) and an interleaved
+        // layout's each span ≈ the whole rank range (depth ≈ half the
+        // file count — bounds pile up at the extremes, halving the
+        // multiplier; the trigger cares about ≫1, not the exact factor).
+        val uniq = st.flatMap(s => Seq(s._2, s._3)).distinct
+          .sortWith((a, b) => a != b && statLeq("S", a, b))
+        val rank = uniq.zipWithIndex.toMap
+        st.map(s => (rank(s._2).toDouble, rank(s._3).toDouble))
+      case _ => return None
+    }
     val gmin = ranges.map(_._1).min
     val gmax = ranges.map(_._2).max
     val span = gmax - gmin

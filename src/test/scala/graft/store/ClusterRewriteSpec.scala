@@ -140,7 +140,7 @@ class ClusterRewriteSpec extends AnyFunSuite {
       .repartition(4), base, statsKey = Some("id"))
     val d0 = Snapshots.clusteringDepth(spark, base, "id").get
     assert(d0 > 3.0, s"round-robin files all span the range: depth $d0")
-    // string column: no uniform measure → None; statless column → None
+    // statless column → None (no stats key, no sidecar — don't guess)
     assert(Snapshots.clusteringDepth(spark, base, "s").isEmpty)
     Snapshots.rewriteSorted(spark, base, Seq("id"), targetBytes = 4L * 1024)
     val d1 = Snapshots.clusteringDepth(spark, base, "id").get
@@ -167,6 +167,64 @@ class ClusterRewriteSpec extends AnyFunSuite {
       clusterBy = Some(Seq("s")), maxClusterDepth = 2.0)
     assert(r3.clusteredToVersion.isEmpty, "unmeasurable must not guess")
     assert(Snapshots.read(spark, base).count() == 1000L)
+  }
+
+  test("maintain refreshes declared sidecars: a cluster cycle leaves depth AND coverage green") {
+    val base = java.nio.file.Files.createTempDirectory("graft-clus8").toString + "/t"
+    Snapshots.write((1L to 1000L).map(i => (i, s"v$i", i * 1.0))
+      .toDF("id", "s", "x").repartition(4), base, statsKey = Some("id"))
+    Snapshots.writeStatsSidecars(spark, base, Seq("x"))
+    Snapshots.writeNdvSidecars(spark, base, Seq("x"))
+    assert(Snapshots.metaBoundsOf(spark, base, "x").isDefined)
+    val r1 = Snapshots.maintain(spark, base, targetBytes = 4L * 1024,
+      clusterBy = Some(Seq("id")), maxClusterDepth = 2.0,
+      statsCols = Seq("x"), ndvCols = Seq("x"))
+    assert(r1.clusteredToVersion.isDefined)
+    // every clustered file regained its evidence inside the same cycle:
+    // depth healthy AND the non-key column still answers from metadata
+    assert(Snapshots.clusteringDepth(spark, base, "id").exists(_ <= 2.0))
+    assert(r1.sidecarsBuilt > 0, "rewritten files must re-sidecar")
+    assert(Snapshots.metaBoundsOf(spark, base, "x").isDefined,
+      "coverage must be complete after the cycle, not stale")
+    assert(Snapshots.approxDistinct(spark, base, "x") > 900L)
+    // quiet cycle: nothing rewritten, nothing rebuilt
+    val r2 = Snapshots.maintain(spark, base, smallBytes = 1L,
+      clusterBy = Some(Seq("id")), maxClusterDepth = 2.0,
+      statsCols = Seq("x"), ndvCols = Seq("x"))
+    assert(r2.clusteredToVersion.isEmpty && r2.compactedToVersion.isEmpty &&
+      r2.sidecarsBuilt == 0, s"quiet table must build nothing: $r2")
+  }
+
+  test("string clusteringDepth: bound-rank measure drives maintain on a string key") {
+    val base = java.nio.file.Files.createTempDirectory("graft-clus9").toString + "/t"
+    // workflow_id-shaped keys: constant prefix, ordering lives in the
+    // tail; range-partition on n % 8 so each of 8 files holds one residue
+    // class and provably spans the whole keyspace
+    Snapshots.write(
+      (1L to 1000L).map(i => (f"wf-$i%06d", i)).toDF("wf_id", "n")
+        .repartitionByRange(8, org.apache.spark.sql.functions.pmod(col("n"),
+          org.apache.spark.sql.functions.lit(8))),
+      base, statsKey = Some("wf_id"))
+    // rank measure on 8 interleaved files: each [min,max] spans ~all 16
+    // bound ranks → depth ≈ 64/15 ≈ 4 (≈ half the file count, see
+    // clusteringDepth's scaladoc) — far past the 2.0 default trigger
+    val d0 = Snapshots.clusteringDepth(spark, base, "wf_id").get
+    assert(d0 > 2.5, s"interleaved string files must read as degraded: depth $d0")
+    // the health trigger now FIRES on a string key (r15 gap: strings could
+    // never qualify) and the cycle lands a clustered layout
+    val r = Snapshots.maintain(spark, base, targetBytes = 4L * 1024,
+      clusterBy = Some(Seq("wf_id")), maxClusterDepth = 2.0)
+    assert(r.clusteredToVersion.isDefined, "string depth must trigger maintain")
+    val d1 = Snapshots.clusteringDepth(spark, base, "wf_id").get
+    assert(d1 <= 1.3, s"disjoint string ranges must read ~1: depth $d1")
+    // and the clustered layout actually prunes a string range scan
+    val (cand, pruned) = Snapshots.scanPlan(spark, base,
+      col("wf_id") <= "wf-000050")
+    assert(pruned.nonEmpty && cand.size <= 2,
+      s"a 50-key range over a clustered layout must admit boundary files " +
+        s"only: ${cand.size} cand / ${pruned.size} pruned")
+    assert(Snapshots.scanWhere(spark, base, col("wf_id") <= "wf-000050")
+      .count() == 50L)
   }
 
   test("guards: pending rename and pending MoR deletes refuse") {
