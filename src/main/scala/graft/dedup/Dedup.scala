@@ -1128,6 +1128,58 @@ object Dedup {
       .select(col("id").as("id_a"), col("__b").as("id_b"), col("shared_fps"))
   }
 
+  /**
+   * EXACT substring-level contamination pairs (round-16): every pair of
+   * documents sharing at least `minShared` exact substrings of length
+   * `minLen`, joined on the SUBSTRING ITSELF — no hashes anywhere in the
+   * match, so a reported pair provably shares the returned witness text
+   * verbatim. This is the reference-free decontamination shape (the
+   * "13-gram overlap" filter eval-suite hygiene needs): [[contamination]]
+   * probes a KNOWN benchmark list, [[winnowCandidatePairs]] trades recall
+   * below w+k-1 for a ~2/(w+1) index — this verb is the exact tier, the
+   * distributed equivalent of bucketing a suffix array by its first
+   * `minLen` characters (each gram IS a suffix's length-`minLen` prefix;
+   * suffixes sharing it collide in one bucket; any shared substring of
+   * length ≥ minLen IS some shared gram, so recall at minLen is total).
+   *
+   * Scale: emission is O(total chars) distinct-per-doc gram rows — the
+   * price of exactness; dial `minLen` up or step down to the winnow tier
+   * when the index must shrink. The join is banded on the gram (never
+   * all-pairs); `maxDf` drops grams present in more than that many
+   * documents BEFORE the self-join, the boilerplate guard every banded
+   * path here uses (a license header shared by a million docs would
+   * otherwise make one quadratic bucket). Row-local array arithmetic up
+   * to the explode, whole-stage codegen, two shuffles (df-cap window +
+   * pair groupBy).
+   *
+   * Output: (id_a, id_b, shared_grams, witness), id_a < id_b, witness =
+   * the lexicographically-least shared gram.
+   */
+  def exactSubstringPairs(df: DataFrame, idCol: String, textCol: String,
+                          minLen: Int = 20, minShared: Int = 1,
+                          maxDf: Int = 50): DataFrame = {
+    require(minLen >= 2 && minShared >= 1 && maxDf >= 2,
+      s"need minLen >= 2, minShared >= 1, maxDf >= 2: $minLen/$minShared/$maxDf")
+    import org.apache.spark.sql.expressions.Window
+    val grams = df.filter(length(col(textCol)) >= minLen)
+      .select(col(idCol).as("id"),
+        explode(array_distinct(transform(
+          sequence(lit(1), length(col(textCol)) - minLen + 1),
+          i => substring(col(textCol), i, lit(minLen))))).as("gram"))
+    // grams are distinct per doc, so the partition row count IS the
+    // document frequency
+    val bounded = grams
+      .withColumn("__df", count(lit(1)).over(Window.partitionBy(col("gram"))))
+      .filter(col("__df") <= maxDf).drop("__df")
+    bounded.join(bounded.select(col("gram"), col("id").as("__b")), Seq("gram"))
+      .filter(col("id") < col("__b"))
+      .groupBy(col("id"), col("__b"))
+      .agg(count(lit(1)).as("shared_grams"), min(col("gram")).as("witness"))
+      .filter(col("shared_grams") >= minShared)
+      .select(col("id").as("id_a"), col("__b").as("id_b"),
+        col("shared_grams"), col("witness"))
+  }
+
   // ── semantic dedup (SemDeDup-style centroid-bucketed cosine pruning) ─────
   /**
    * Semantic near-dup pruning in the SemDeDup shape (Abbas et al., 2023):

@@ -257,6 +257,31 @@ private[graft] object DedupQueries {
              |WHERE i <= greatest(ng - 4 + 1, 1)
              |ORDER BY doc_id, fingerprint""".stripMargin)),
 
+    // EXACT substring contamination pairs (round-16): suffix-prefix
+    // bucketing joined on the substring ITSELF — no hashes in the match,
+    // the witness column is the shared text verbatim. The reference-free
+    // decontamination tier above the winnow path (which trades recall
+    // below w+k-1 for index size). minLen=30/minShared=2 is
+    // discriminative on this corpus: 28 of 125k possible pairs at
+    // sf0.01, 727 of 12.5M at sf0.1.
+    "dd_substring_exact" -> Q(
+      (s, d) => Dedup.exactSubstringPairs(T(s, d, "documents"),
+          "doc_id", "text", minLen = 30, minShared = 2, maxDf = 50)
+        .orderBy(col("id_a"), col("id_b")),
+      Some("""WITH g AS (
+             |  SELECT DISTINCT doc_id, substr(text, CAST(i AS INT), 30) AS gram
+             |  FROM (SELECT doc_id, text,
+             |          unnest(range(1, greatest(length(text) - 30, 0) + 2)) AS i
+             |        FROM documents) t
+             |  WHERE i <= length(text) - 30 + 1),
+             |b AS (SELECT gram FROM g GROUP BY gram HAVING count(*) <= 50),
+             |gg AS (SELECT g.* FROM g JOIN b USING (gram))
+             |SELECT a.doc_id AS id_a, c.doc_id AS id_b,
+             |  count(*) AS shared_grams, min(a.gram) AS witness
+             |FROM gg a JOIN gg c ON a.gram = c.gram AND a.doc_id < c.doc_id
+             |GROUP BY 1, 2 HAVING count(*) >= 2
+             |ORDER BY id_a, id_b""".stripMargin)),
+
     // winnow fingerprints → candidate PAIRS (the detection half of the
     // winnow path, structurally the LSH-pairs shape): join only on the
     // selected fingerprint, maxDf caps boilerplate buckets, ≥ minShared

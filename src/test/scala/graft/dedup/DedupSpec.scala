@@ -684,4 +684,34 @@ class DedupSpec extends AnyFunSuite {
     // the anchors stay put under training
     assert(trained(1L) == 0 && trained(2L) == 0 && trained(5L) == 1)
   }
+
+  test("exactSubstringPairs: verbatim witness, total recall at minLen, df cap") {
+    val corpus = Seq(
+      (1L, "aaaa SHARED-SEGMENT-ONE zzzz tail-one"),
+      (2L, "bbbb SHARED-SEGMENT-ONE yyyy tail-two"),        // shares 1's segment
+      (3L, "cccc totally unrelated body of text here"),
+      (4L, "dddd SHARED-SEGMENT-ONE xxxx SHARED-SEGMENT-ONE") // shares it twice (same gram set)
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.exactSubstringPairs(corpus, "doc_id", "text",
+      minLen = 18, minShared = 1, maxDf = 50)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getString(3)))).toMap
+    assert(pairs.keySet == Set((1L, 2L), (1L, 4L), (2L, 4L)),
+      s"sharing exactly the segment-bearing grams: ${pairs.keySet}")
+    // the witness is the shared text VERBATIM — exactness, not a hash claim
+    pairs.values.foreach { case (n, w) =>
+      assert(n >= 1L && w.length == 18 && w.contains("SHARED"), s"($n, $w)")
+    }
+    // minShared filters single-gram coincidences
+    assert(Dedup.exactSubstringPairs(corpus, "doc_id", "text",
+      minLen = 18, minShared = 100).count() == 0L)
+    // a gram present in MORE than maxDf docs never forms pairs (boilerplate
+    // guard): with maxDf=2 the 3-doc shared segment is dropped entirely
+    assert(Dedup.exactSubstringPairs(corpus, "doc_id", "text",
+      minLen = 18, minShared = 1, maxDf = 2).count() == 0L)
+    // docs shorter than minLen produce no grams and no failures
+    val short = Seq((9L, "tiny")).toDF("doc_id", "text")
+    assert(Dedup.exactSubstringPairs(corpus.unionByName(short),
+      "doc_id", "text", minLen = 18).count() == 3L)
+  }
 }
