@@ -180,6 +180,18 @@ object SnapSlopes {
       record("approx_ndv", n, median3 {
         Snapshots.approxDistinct(spark, base, "source"); ()
       })
+      // round-16: a maintenance cycle's sidecar refresh must be O(delta):
+      // each iteration rewrites ~1 file (the corpus-flat point merge,
+      // measured above) and maintain(ndvCols) rebuilds ONLY the sections
+      // the rewrite dropped — the per-file incremental "missing" scan plus
+      // a one-file sketch build, however large the corpus. smallBytes=1
+      // disables bin-packing so nothing else rewrites inside the timing.
+      record("maintain_sidecars", n, median3 {
+        val upd = syntheticDocs(spark, mergeN, n / 3, seed = 19)
+        Snapshots.mergeInto(spark, base, upd, "doc_id")
+        Snapshots.maintain(spark, base, smallBytes = 1L,
+          keepSnapshots = 100, ndvCols = Seq("source")); ()
+      })
       val corpusBuckets = spark.read.parquet(bucketDir)
       def deltaBuckets() = {
         val delta = syntheticDocs(spark, deltaN, 20000000L, seed = 17)
