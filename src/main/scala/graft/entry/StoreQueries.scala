@@ -2360,6 +2360,76 @@ private[graft] object StoreQueries {
              |  3 AS first_batches, TRUE AS replay_noop, 1 AS incr_batches
              |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // Change-data-feed streaming (round-16, Delta CDF streaming twin):
+    // option("readChangeFeed", true) turns the table-as-stream source
+    // into a CDC subscription — each micro-batch is the O(delta)
+    // Snapshots.changes feed over its version range (insert / delete /
+    // update pre+post pairs + _commit_version), the initial snapshot
+    // arrives as inserts, and the append-only contract does not apply
+    // (rewrites are exactly what the feed describes). The oracle replays
+    // the full four-commit lifecycle relationally: initial inserts, a
+    // CoW update's pairs, a delete carrying the post-update image, and
+    // an appended slice's inserts.
+    "snap_stream_cdf" -> Q(
+      (s, d) => {
+        import graft.store.Snapshots
+        import org.apache.spark.sql.streaming.Trigger
+        val root = FixtureRoot.fresh("snapstreamcdf")
+        val (base, sink) = (root + "/t", root + "/sink")
+        val docs = T(s, d, "documents").select(col("doc_id"), col("n_chars"))
+        Snapshots.write(docs.filter(col("doc_id") % 3 === 0), base)
+        Snapshots.updateWhere(s, base, col("doc_id") % 15 === 0,
+          Seq("n_chars" -> (col("n_chars") + 1000L)))
+        Snapshots.deleteWhere(s, base, col("doc_id") % 21 === 0)
+        Snapshots.append(docs.filter(col("doc_id") % 3 === 1), base)
+        def drain(): Long = {
+          var batches = 0L
+          val q = s.readStream.format("graft-snapshots")
+            .option("readChangeFeed", "true")
+            .option("changeKey", "doc_id")
+            .option("maxVersionsPerTrigger", "1")
+            .load(base)
+            .writeStream
+            .option("checkpointLocation", root + "/ckpt")
+            .trigger(Trigger.AvailableNow())
+            .foreachBatch { (b: DataFrame, _: Long) =>
+              batches += 1
+              b.write.mode("append").parquet(sink)
+              ()
+            }
+            .start()
+          q.awaitTermination()
+          batches
+        }
+        val nBatches = drain() // 4 commits → 4 paced CDC micro-batches
+        val replayNoop = drain() == 0L
+        s.read.parquet(sink)
+          .groupBy(col("_change_type").as("change_type"))
+          .agg(count(lit(1)).as("n"), dsum(col("n_chars")).as("sum_chars"))
+          .withColumn("n_batches", lit(nBatches))
+          .withColumn("replay_noop", lit(replayNoop))
+          .orderBy(col("change_type"))
+      },
+      Some("""WITH base3 AS (
+             |  SELECT doc_id, n_chars FROM documents WHERE doc_id % 3 = 0),
+             |feed AS (
+             |  SELECT 'insert' AS ct, n_chars AS x FROM base3
+             |  UNION ALL
+             |  SELECT 'update_preimage', n_chars FROM base3 WHERE doc_id % 15 = 0
+             |  UNION ALL
+             |  SELECT 'update_postimage', n_chars + 1000 FROM base3
+             |  WHERE doc_id % 15 = 0
+             |  UNION ALL
+             |  SELECT 'delete',
+             |    CASE WHEN doc_id % 15 = 0 THEN n_chars + 1000 ELSE n_chars END
+             |  FROM base3 WHERE doc_id % 21 = 0
+             |  UNION ALL
+             |  SELECT 'insert', n_chars FROM documents WHERE doc_id % 3 = 1)
+             |SELECT ct AS change_type, count(*) AS n,
+             |  CAST(sum(CAST(x AS DECIMAL(18,2))) AS DOUBLE) AS sum_chars,
+             |  4 AS n_batches, TRUE AS replay_noop
+             |FROM feed GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // Metadata-answered aggregates (round-16): the opt-in Catalyst rule
     // graft.plans.SnapshotAggRewrite — Iceberg aggregate-pushdown /
     // Delta OptimizeMetadataOnlyDeltaQuery twin — rewrites a global

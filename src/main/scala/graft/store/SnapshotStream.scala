@@ -81,7 +81,14 @@ class SnapshotStreamSource extends TableProvider with DataSourceRegister {
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     val base = SnapshotStreamSource.basePath(options)
-    Snapshots.read(SparkSession.active, base).schema
+    val t = Snapshots.read(SparkSession.active, base).schema
+    if (SnapshotStreamSource.isChangeFeed(options))
+      StructType(t.fields.toSeq :+
+        org.apache.spark.sql.types.StructField("_change_type",
+          org.apache.spark.sql.types.StringType) :+
+        org.apache.spark.sql.types.StructField("_commit_version",
+          org.apache.spark.sql.types.LongType))
+    else t
   }
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
@@ -97,6 +104,9 @@ object SnapshotStreamSource {
       "graft-snapshots needs the table base path: .load(<base>)")
     p
   }
+
+  private[store] def isChangeFeed(options: CaseInsensitiveStringMap): Boolean =
+    Option(options.get("readChangeFeed")).exists(_.toBoolean)
 }
 
 private[store] class SnapshotStreamTable(tableSchema: StructType,
@@ -116,7 +126,8 @@ private[store] class SnapshotStreamTable(tableSchema: StructType,
       override def build(): Scan = new Scan {
         override def readSchema(): StructType = tableSchema
         override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-          new SnapshotMicroBatchStream(SparkSession.active, tableSchema, merged)
+          new SnapshotMicroBatchStream(SparkSession.active, tableSchema,
+            merged, checkpointLocation)
       }
     }
   }
@@ -128,11 +139,31 @@ private[store] case class SnapshotVersionOffset(v: Long) extends Offset {
 }
 
 private[store] class SnapshotMicroBatchStream(spark: SparkSession,
-    tableSchema: StructType, options: CaseInsensitiveStringMap)
+    tableSchema: StructType, options: CaseInsensitiveStringMap,
+    checkpointLocation: String = "")
     extends MicroBatchStream with SupportsAdmissionControl
     with SupportsTriggerAvailableNow {
 
   private val base = SnapshotStreamSource.basePath(options)
+  /** Change-data-feed mode (Delta CDF streaming twin): each micro-batch
+    * is [[Snapshots.changes]] over its version range — insert / delete /
+    * update pre+post PAIRS with `_change_type` and `_commit_version`
+    * columns — instead of the added files' rows, and the append-only
+    * contract does not apply (rewrites are exactly what the feed
+    * describes). The first batch of a fresh stream is the initial
+    * snapshot as inserts, Delta's convention. Requires
+    * `option("changeKey", <unique key column>)` — the CDC contract. The
+    * batch's rows are materialized under the stream's own checkpoint
+    * directory (the join output has to live somewhere; the write is a
+    * distributed job and replays deterministically from the immutable
+    * manifests) and swept once the batch commits. */
+  private val changeFeed = SnapshotStreamSource.isChangeFeed(options)
+  private val changeKey: String = {
+    val k = Option(options.get("changeKey")).getOrElse("")
+    require(!changeFeed || k.nonEmpty,
+      "readChangeFeed needs option(\"changeKey\", <unique key column>)")
+    k
+  }
   private val ignoreChanges =
     Option(options.get("ignoreChanges")).exists(_.toBoolean)
   private val maxVersionsPerTrigger: Option[Long] =
@@ -181,8 +212,71 @@ private[store] class SnapshotMicroBatchStream(spark: SparkSession,
   override def deserializeOffset(json: String): Offset =
     SnapshotVersionOffset(json.toLong)
 
-  override def commit(end: Offset): Unit = ()
+  override def commit(end: Offset): Unit = if (changeFeed) {
+    // sweep materialized CDF batches the checkpoint no longer needs
+    // (end version ≤ the committed one); best-effort — a leftover dir is
+    // re-overwritten on replay, never re-served
+    val ev = end.asInstanceOf[SnapshotVersionOffset].v
+    try {
+      val dir = new Path(cdcRoot)
+      val f = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (f.exists(dir)) f.listStatus(dir).foreach { st =>
+        st.getPath.getName.split('_') match {
+          case Array("b", _, e) if scala.util.Try(e.toLong).toOption.exists(_ <= ev) =>
+            f.delete(st.getPath, true); ()
+          case _ => ()
+        }
+      }
+    } catch { case scala.util.control.NonFatal(_) => () }
+  }
   override def stop(): Unit = ()
+
+  private def cdcRoot = s"$checkpointLocation/__graft_cdc"
+
+  /** Materialize the CDF batch under the checkpoint dir and return its
+    * parquet files as the batch's input partitions. */
+  private def planChangeFeed(sv: Long, ev: Long): Array[InputPartition] = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val vs = currentVersions
+    val body =
+      if (sv < vs.head) // fresh stream: initial snapshot as inserts
+        Snapshots.read(spark, base, Some(ev))
+          .withColumn("_change_type", lit("insert"))
+      else Snapshots.changes(spark, base, sv, ev, changeKey)
+    val feed = body.withColumn("_commit_version", lit(ev))
+    // align to the stream's declared schema (null-fill a column the
+    // range's versions don't carry yet; drop post-start additions)
+    val present = feed.columns.toSet
+    val aligned = feed.select(tableSchema.fields.toSeq.map { f =>
+      if (present(f.name)) col(f.name).cast(f.dataType).as(f.name)
+      else lit(null).cast(f.dataType).as(f.name)
+    }: _*)
+    // idempotent materialization: planInputPartitions can run more than
+    // once per batch (every action on the batch frame re-plans), so the
+    // dir is written ONCE via tmp + atomic rename and reused afterwards —
+    // a second writer deleting files a first plan still references would
+    // be a mid-read FileNotFound. Content is deterministic (changes()
+    // replans identically from immutable manifests), so any COMPLETE dir
+    // is valid; losers of the rename race discard their tmp.
+    val p = new Path(s"$cdcRoot/b_${sv}_$ev")
+    val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!f.exists(p)) {
+      val tmp = new Path(
+        s"$cdcRoot/.tmp_b_${sv}_${ev}_${java.util.UUID.randomUUID}")
+      aligned.write.mode("overwrite").parquet(tmp.toString)
+      if (!f.rename(tmp, p)) { f.delete(tmp, true); () }
+    }
+    val maxSplit = spark.sessionState.conf.filesMaxPartitionBytes
+    f.listStatus(p).filter(_.getPath.getName.endsWith(".parquet"))
+      .flatMap { st =>
+        val len = st.getLen
+        (0L until math.max(len, 1L) by maxSplit).map { off =>
+          SnapshotInputPartition(PartitionedFile(
+            InternalRow.empty, SparkPath.fromPath(st.getPath), off,
+            math.min(maxSplit, len - off), Array.empty, 0L, len, Map.empty))
+        }
+      }
+  }
 
   /** `(data entries, delete entries, image-changing op lines)` at `v`;
     * all empty for the before-first-commit sentinel. */
@@ -211,6 +305,7 @@ private[store] class SnapshotMicroBatchStream(spark: SparkSession,
     val sv = start.asInstanceOf[SnapshotVersionOffset].v
     val ev = end.asInstanceOf[SnapshotVersionOffset].v
     if (ev <= sv) return Array.empty
+    if (changeFeed) return planChangeFeed(sv, ev)
     val (dataS, delsS, _) = stateAt(sv)
     val (dataT, delsT, imageOpsT) = stateAt(ev)
     if (!ignoreChanges) {

@@ -514,4 +514,33 @@ class PropertySpec extends AnyFunSuite {
     }
     assert(d == expectedDiff)
   }
+
+  test("property: exactSubstringPairs equals the brute-force gram-set intersection") {
+    val minLen = 6
+    val charGen = Gen.oneOf('a' to 'e')
+    def textGen: Gen[String] =
+      Gen.choose(0, 40).flatMap(n => Gen.listOfN(n, charGen)).map(_.mkString)
+    val corpus = samples(textGen, 60).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }
+    // brute force: distinct gram sets per doc, pairwise intersection
+    def gramsOf(t: String): Set[String] =
+      if (t.length < minLen) Set.empty
+      else (0 to t.length - minLen).map(i => t.substring(i, i + minLen)).toSet
+    val gsets = corpus.map { case (id, t) => id -> gramsOf(t) }.toMap
+    // small alphabet → grams repeat across many docs; df-cap high so the
+    // property checks the MATCH itself, not the cap
+    val expected = (for {
+      (a, ga) <- gsets.toSeq; (b, gb) <- gsets.toSeq if a < b
+      shared = (ga & gb).size if shared >= 1
+    } yield (a, b) -> ((shared.toLong, (ga & gb).min))).toMap
+    val got = graft.dedup.Dedup.exactSubstringPairs(
+        corpus.toDF("doc_id", "text"), "doc_id", "text",
+        minLen = minLen, minShared = 1, maxDf = 1000)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getString(3))))
+      .toMap
+    assert(got == expected,
+      s"pairs mismatch: extra=${got.keySet -- expected.keySet} " +
+        s"missing=${expected.keySet -- got.keySet}")
+  }
 }

@@ -175,6 +175,59 @@ class SnapshotStreamSourceSpec extends AnyFunSuite {
     assert(got.toMap == ((1L to 5L).map(_ -> None).toMap + (6L -> Some(1.5))))
   }
 
+  test("change feed: updates/deletes/appends stream as CDC micro-batches, exactly once") {
+    val base = freshDir("cdf") + "/t"
+    val ckpt = freshDir("cdf-ckpt")
+    def drainCdf(): Seq[(Long, Long, String, Long)] = {
+      val got = mutable.ArrayBuffer.empty[(Long, Long, String, Long)]
+      val q = spark.readStream.format("graft-snapshots")
+        .option("readChangeFeed", "true")
+        .option("changeKey", "id")
+        .option("maxVersionsPerTrigger", "1")
+        .load(base)
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, bid: Long) =>
+          val rows = b.select(col("id"), col("_change_type"),
+            col("_commit_version")).collect()
+            .map(r => (bid, r.getLong(0), r.getString(1), r.getLong(2)))
+          got.synchronized { got ++= rows }
+          ()
+        }
+        .start()
+      q.awaitTermination()
+      got.toSeq
+    }
+    Snapshots.write((1L to 20L).map(i => (i, s"n$i")).toDF("id", "name")
+      .repartition(2), base)
+    // fresh stream: the initial snapshot arrives as inserts
+    val first = drainCdf()
+    assert(first.map(r => (r._2, r._3)).toSet ==
+      (1L to 20L).map(i => (i, "insert")).toSet)
+    assert(first.forall(_._4 == 1L), "initial snapshot tags _commit_version 1")
+    // CoW update, CoW delete, append — each paced as its own CDC batch;
+    // the append-only contract does NOT apply to the feed
+    Snapshots.updateWhere(spark, base, col("id") === 5L,
+      Seq("name" -> org.apache.spark.sql.functions.lit("renamed")))
+    Snapshots.deleteWhere(spark, base, col("id") === 7L)
+    Snapshots.append(Seq((21L, "n21")).toDF("id", "name"), base)
+    val second = drainCdf()
+    val byVersion = second.groupBy(_._4).view
+      .mapValues(_.map(r => (r._2, r._3)).toSet).toMap
+    assert(byVersion(2L) ==
+      Set((5L, "update_preimage"), (5L, "update_postimage")))
+    assert(byVersion(3L) == Set((7L, "delete")))
+    assert(byVersion(4L) == Set((21L, "insert")))
+    assert(second.map(_._1).distinct.size == 3, "one commit per micro-batch")
+    // caught-up replay delivers nothing; materialized batches are swept
+    assert(drainCdf().isEmpty)
+    val cdcDir = new org.apache.hadoop.fs.Path(s"$ckpt/__graft_cdc")
+    val f = cdcDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!f.exists(cdcDir) || f.listStatus(cdcDir).isEmpty,
+      "committed CDF batches must be swept from the checkpoint dir")
+  }
+
   test("a large file splits into filesMaxPartitionBytes-sized partitions") {
     val base = freshDir("split") + "/t"
     Snapshots.write((1L to 5000L).map(i => (i, s"name-padding-$i"))
