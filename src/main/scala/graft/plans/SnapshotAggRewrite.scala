@@ -68,7 +68,8 @@ case class SnapshotAggRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     case l: LogicalRelation => Some((cond, l))
     case Project(ps, ch) if ps.forall(_.isInstanceOf[AttributeReference]) =>
       unwrap(ch, cond)
-    case Filter(c, ch) if cond.isEmpty && !SubqueryExpression.hasSubquery(c) =>
+    case Filter(c, ch) if cond.isEmpty && c.deterministic &&
+        !SubqueryExpression.hasSubquery(c) => // a rand() filter must run as written
       unwrap(ch, Some(c))
     case _ => None
   }

@@ -143,6 +143,11 @@ class SnapshotAggRewriteSpec extends AnyFunSuite {
       assert(!isMetadataAnswered(t.agg(
         org.apache.spark.sql.functions.countDistinct(col("g")))),
         "distinct must decline")
+      // a non-deterministic filter must run as written, never re-evaluate
+      assert(!isMetadataAnswered(
+        t.filter(org.apache.spark.sql.functions.rand(7) < 0.5)
+          .agg(count(lit(1)))),
+        "non-deterministic filter must decline")
       // foreign parquet (not a snapshot layout)
       val foreign = java.nio.file.Files.createTempDirectory("graft-aggr4f").toString + "/p"
       (1L to 50L).map(i => (i, i * 1.0)).toDF("id", "x")
