@@ -2360,6 +2360,60 @@ private[graft] object StoreQueries {
              |  3 AS first_batches, TRUE AS replay_noop, 1 AS incr_batches
              |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // Branch streaming (round-16): the stream source scoped to a BRANCH's
+    // commit chain (option("branch") — Iceberg's branch reads, streamed):
+    // the WAP shape where an audit subscriber follows a staging branch
+    // while main evolves independently. The oracle replays the branch
+    // lineage relationally: forked slice + branch appends, with the
+    // main-only slice provably absent from the feed.
+    "snap_stream_branch" -> Q(
+      (s, d) => {
+        import graft.store.Snapshots
+        import org.apache.spark.sql.streaming.Trigger
+        val root = FixtureRoot.fresh("snapstreambr")
+        val (base, sink) = (root + "/t", root + "/sink")
+        val docs = T(s, d, "documents").select(col("doc_id"), col("n_chars"))
+        Snapshots.write(docs.filter(col("doc_id") % 4 === 0), base)
+        Snapshots.createBranch(s, base, "staging", 1L)
+        Snapshots.appendBranch(docs.filter(col("doc_id") % 4 === 1),
+          base, "staging")
+        // main moves on independently — this slice must NOT reach the feed
+        Snapshots.append(docs.filter(col("doc_id") % 4 === 2), base)
+        Snapshots.appendBranch(docs.filter(col("doc_id") % 4 === 3),
+          base, "staging")
+        def drain(): Long = {
+          var batches = 0L
+          val q = s.readStream.format("graft-snapshots")
+            .option("branch", "staging")
+            .option("maxVersionsPerTrigger", "1")
+            .load(base)
+            .writeStream
+            .option("checkpointLocation", root + "/ckpt")
+            .trigger(Trigger.AvailableNow())
+            .foreachBatch { (b: DataFrame, _: Long) =>
+              batches += 1
+              b.write.mode("append").parquet(sink)
+              ()
+            }
+            .start()
+          q.awaitTermination()
+          batches
+        }
+        val nBatches = drain() // fork + 2 branch appends = 3 paced batches
+        val replayNoop = drain() == 0L
+        s.read.parquet(sink)
+          .groupBy((col("doc_id") % 4).as("residue"))
+          .agg(count(lit(1)).as("n"), dsum(col("n_chars")).as("sum_chars"))
+          .withColumn("n_batches", lit(nBatches))
+          .withColumn("replay_noop", lit(replayNoop))
+          .orderBy(col("residue"))
+      },
+      Some("""SELECT doc_id % 4 AS residue, count(*) AS n,
+             |  CAST(sum(CAST(n_chars AS DECIMAL(18,2))) AS DOUBLE) AS sum_chars,
+             |  3 AS n_batches, TRUE AS replay_noop
+             |FROM documents WHERE doc_id % 4 <> 2
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // Change-data-feed streaming (round-16, Delta CDF streaming twin):
     // option("readChangeFeed", true) turns the table-as-stream source
     // into a CDC subscription — each micro-batch is the O(delta)

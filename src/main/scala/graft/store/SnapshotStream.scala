@@ -30,6 +30,9 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
  *   spark.readStream.format("graft-snapshots")
  *     .option("startingVersion", "1")      // or "latest"; default: first
  *     .option("maxVersionsPerTrigger", 1)  // admission control, optional
+ *     .option("branch", "staging")         // stream a branch's commits
+ *     // CDC mode (Delta CDF twin): batches become the changes() feed
+ *     .option("readChangeFeed", true).option("changeKey", "id")
  *     .load(base)
  * }}}
  *
@@ -81,7 +84,10 @@ class SnapshotStreamSource extends TableProvider with DataSourceRegister {
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     val base = SnapshotStreamSource.basePath(options)
-    val t = Snapshots.read(SparkSession.active, base).schema
+    val t = Option(options.get("branch")) match {
+      case Some(b) => Snapshots.readBranch(SparkSession.active, base, b).schema
+      case None => Snapshots.read(SparkSession.active, base).schema
+    }
     if (SnapshotStreamSource.isChangeFeed(options))
       StructType(t.fields.toSeq :+
         org.apache.spark.sql.types.StructField("_change_type",
@@ -164,6 +170,15 @@ private[store] class SnapshotMicroBatchStream(spark: SparkSession,
       "readChangeFeed needs option(\"changeKey\", <unique key column>)")
     k
   }
+  /** Stream a BRANCH's commit chain instead of main (Iceberg's
+    * branch-scoped reads): offsets walk `branchVersions`, batches read
+    * the branch manifests' deltas — the WAP shape where an audit job
+    * subscribes to a staging branch before fast-forward publishes it.
+    * The change feed stays main-only (the CDC verbs key on main
+    * versions). */
+  private val branchOpt: Option[String] = Option(options.get("branch"))
+  require(!changeFeed || branchOpt.isEmpty,
+    "readChangeFeed streams main versions; drop option(\"branch\")")
   private val ignoreChanges =
     Option(options.get("ignoreChanges")).exists(_.toBoolean)
   private val maxVersionsPerTrigger: Option[Long] =
@@ -173,7 +188,13 @@ private[store] class SnapshotMicroBatchStream(spark: SparkSession,
       n
     }
 
-  private def currentVersions: Seq[Long] = Snapshots.versions(spark, base)
+  private def currentVersions: Seq[Long] = branchOpt match {
+    case Some(b) =>
+      val vs = Snapshots.branchVersions(spark, base, b)
+      require(vs.nonEmpty, s"no branch '$b' under $base")
+      vs
+    case None => Snapshots.versions(spark, base)
+  }
 
   override def initialOffset(): Offset = {
     val vs = currentVersions
@@ -287,7 +308,10 @@ private[store] class SnapshotMicroBatchStream(spark: SparkSession,
     else {
       require(vs.contains(v),
         s"offset version $v no longer committed under $base (expired?)")
-      val lines = Snapshots.manifestLines(spark, base, v)
+      val lines = branchOpt match {
+        case Some(b) => Snapshots.branchManifestLines(spark, base, b, v)
+        case None => Snapshots.manifestLines(spark, base, v)
+      }
       val (data, dels) = Snapshots.splitEntries(lines)
       // ops that change the read image of PRE-EXISTING rows: rename and
       // widen always (old files carry the old physical name / narrow

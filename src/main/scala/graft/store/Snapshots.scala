@@ -2833,8 +2833,8 @@ object Snapshots {
     readLinesOf(fs(spark, base),
       new Path(s"$base/${branchDir(Some(name), v)}/_manifest"))
 
-  private def branchManifestLines(spark: SparkSession, base: String,
-                                  name: String, v: Long): Seq[String] = {
+  private[store] def branchManifestLines(spark: SparkSession, base: String,
+                                         name: String, v: Long): Seq[String] = {
     val f = fs(spark, base)
     expandLines(f, base, rawBranchManifestLines(spark, base, name, v))
   }

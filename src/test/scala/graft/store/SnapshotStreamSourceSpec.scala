@@ -228,6 +228,51 @@ class SnapshotStreamSourceSpec extends AnyFunSuite {
       "committed CDF batches must be swept from the checkpoint dir")
   }
 
+  test("branch streaming: a staging branch's commits stream; main stays independent") {
+    val base = freshDir("branch") + "/t"
+    Snapshots.write((1L to 10L).map(i => (i, s"n$i")).toDF("id", "name"), base)
+    Snapshots.createBranch(spark, base, "staging", 1L)
+    Snapshots.appendBranch(
+      (11L to 15L).map(i => (i, s"n$i")).toDF("id", "name"), base, "staging")
+    // fresh branch stream: forked state + branch appends
+    val ckpt = freshDir("branch-ckpt")
+    def drainBranch(): Seq[(Long, Seq[(Long, String)])] = {
+      val batches = mutable.ArrayBuffer.empty[(Long, Seq[(Long, String)])]
+      val q = spark.readStream.format("graft-snapshots")
+        .option("branch", "staging")
+        .load(base)
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, bid: Long) =>
+          val rows = b.select(col("id"), col("name")).collect()
+            .map(r => (r.getLong(0), r.getString(1))).toSeq
+          batches.synchronized { batches += ((bid, rows)) }
+          ()
+        }
+        .start()
+      q.awaitTermination()
+      batches.toSeq
+    }
+    assert(drainBranch().flatMap(_._2).map(_._1).toSet == (1L to 15L).toSet)
+    // a MAIN commit is invisible to the branch stream; a branch commit isn't
+    Snapshots.append(Seq((99L, "main-only")).toDF("id", "name"), base)
+    Snapshots.appendBranch(Seq((16L, "n16")).toDF("id", "name"), base, "staging")
+    assert(drainBranch().flatMap(_._2).map(_._1).toSet == Set(16L),
+      "the branch stream must deliver branch deltas only")
+    // change feed + branch is refused loudly
+    val e = intercept[Exception] {
+      spark.readStream.format("graft-snapshots")
+        .option("branch", "staging")
+        .option("readChangeFeed", "true").option("changeKey", "id")
+        .load(base)
+        .writeStream.option("checkpointLocation", freshDir("branch-c2"))
+        .trigger(Trigger.AvailableNow()).format("noop").start()
+        .awaitTermination()
+    }
+    assert(msgChain(e).contains("main versions"), msgChain(e))
+  }
+
   test("a large file splits into filesMaxPartitionBytes-sized partitions") {
     val base = freshDir("split") + "/t"
     Snapshots.write((1L to 5000L).map(i => (i, s"name-padding-$i"))
