@@ -282,6 +282,49 @@ private[graft] object DedupQueries {
              |GROUP BY 1, 2 HAVING count(*) >= 2
              |ORDER BY id_a, id_b""".stripMargin)),
 
+    // exact substring pairs → components → SURVIVORS: the substring
+    // family's full reduction, mirroring dd_winnow_survivors /
+    // dd_cluster_survivors — exact gram-bucketed pairs, min-label
+    // components, longest-text winner per cluster (ties to min id).
+    // Composition of proven pieces: exactSubstringPairs (gram join,
+    // maxDf cap), connectedComponents (lineage-truncated min-label),
+    // dedupByCluster — no all-pairs term anywhere.
+    "dd_substring_survivors" -> Q(
+      (s, d) => {
+        val docs = T(s, d, "documents")
+        val pairs = Dedup.exactSubstringPairs(docs, "doc_id", "text",
+          minLen = 30, minShared = 2, maxDf = 50)
+        val labels = Dedup.connectedComponents(
+          pairs, docs.select(col("doc_id")), "doc_id")
+        Dedup.dedupByCluster(docs, labels, "doc_id", length(col("text")))
+          .select(col("doc_id"), col("cluster"),
+            length(col("text")).as("text_len"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH RECURSIVE g AS (
+             |  SELECT DISTINCT doc_id, substr(text, CAST(i AS INT), 30) AS gram
+             |  FROM (SELECT doc_id, text,
+             |          unnest(range(1, greatest(length(text) - 30, 0) + 2)) AS i
+             |        FROM documents) t
+             |  WHERE i <= length(text) - 30 + 1),
+             |b AS (SELECT gram FROM g GROUP BY gram HAVING count(*) <= 50),
+             |gg AS (SELECT g.* FROM g JOIN b USING (gram)),
+             |pairs AS (SELECT a.doc_id AS id_a, c.doc_id AS id_b
+             |  FROM gg a JOIN gg c ON a.gram = c.gram AND a.doc_id < c.doc_id
+             |  GROUP BY 1, 2 HAVING count(*) >= 2),
+             |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+             |          UNION SELECT id_b, id_a FROM pairs),
+             |r AS (SELECT doc_id AS id, doc_id AS m FROM documents
+             |      UNION
+             |      SELECT e.src, r.m FROM edges e JOIN r ON e.dst = r.id),
+             |lbl AS (SELECT id AS doc_id, min(m) AS cluster FROM r GROUP BY id),
+             |ranked AS (SELECT d.doc_id, l.cluster, length(d.text) AS text_len,
+             |    row_number() OVER (PARTITION BY l.cluster
+             |                       ORDER BY length(d.text) DESC, d.doc_id) AS rn
+             |  FROM documents d JOIN lbl l ON d.doc_id = l.doc_id)
+             |SELECT doc_id, cluster, CAST(text_len AS INT) AS text_len
+             |FROM ranked WHERE rn = 1 ORDER BY doc_id""".stripMargin)),
+
     // winnow fingerprints → candidate PAIRS (the detection half of the
     // winnow path, structurally the LSH-pairs shape): join only on the
     // selected fingerprint, maxDf caps boilerplate buckets, ≥ minShared
