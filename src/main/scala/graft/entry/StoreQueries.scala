@@ -2414,6 +2414,51 @@ private[graft] object StoreQueries {
              |FROM documents WHERE doc_id % 4 <> 2
              |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // SUM/AVG aggregate pushdown (round-16 continuation): exact per-file
+    // `.sums` sidecars (Σ value + non-null count in decimal(38,scale) —
+    // exact and associative) let SnapshotAggRewrite fold SUM and AVG
+    // from metadata, with the non-negativity proof (metadata min ≥ 0 ⇒
+    // monotone partials ⇒ no overflow/throw in any eval mode) checked
+    // before rewriting. The metadata_answered pin asserts the statement
+    // planned as LocalTableScan; zero-IO and hybrid/decline matrices
+    // live in SnapshotAggRewriteSpec.
+    "snap_sum_pushdown" -> Q(
+      (s, d) => {
+        import graft.plans.SnapshotAggRewrite
+        import graft.store.Snapshots
+        val root = FixtureRoot.fresh("snapsumpd")
+        val base = root + "/t"
+        val docs = T(s, d, "documents").select(col("doc_id"), col("n_chars"))
+        Snapshots.write(docs.repartitionByRange(4, col("doc_id")), base,
+          statsKey = Some("doc_id"))
+        Snapshots.writeSumSidecars(s, base, Seq("n_chars"))
+        Snapshots.writeStatsSidecars(s, base, Seq("n_chars"))
+        if (!s.experimental.extraOptimizations
+            .exists(_.isInstanceOf[SnapshotAggRewrite]))
+          s.experimental.extraOptimizations =
+            s.experimental.extraOptimizations :+ SnapshotAggRewrite(s)
+        Snapshots.read(s, base).createOrReplaceTempView("snap_sum_pd_v")
+        s.conf.set(SnapshotAggRewrite.EnabledKey, "true")
+        try {
+          val q = s.sql(
+            """SELECT sum(n_chars) AS sum_chars, avg(n_chars) AS avg_raw,
+              |  count(*) AS n FROM snap_sum_pd_v""".stripMargin)
+          val answered = q.queryExecution.executedPlan.collectFirst {
+            case l: org.apache.spark.sql.execution.LocalTableScanExec => l
+          }.nonEmpty
+          val r = q.collect().head
+          val avg6 = BigDecimal(r.getDouble(1))
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+          import s.implicits._
+          Seq((r.getLong(0), avg6, r.getLong(2), answered))
+            .toDF("sum_chars", "avg_chars", "n", "metadata_answered")
+        } finally s.conf.set(SnapshotAggRewrite.EnabledKey, "false")
+      },
+      Some("""SELECT CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+             |  round(avg(n_chars), 6) AS avg_chars, count(*) AS n,
+             |  TRUE AS metadata_answered
+             |FROM documents""".stripMargin)),
+
     // Change-data-feed streaming (round-16, Delta CDF streaming twin):
     // option("readChangeFeed", true) turns the table-as-stream source
     // into a CDC subscription — each micro-batch is the O(delta)

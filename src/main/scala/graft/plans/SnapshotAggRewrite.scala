@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
 import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, Expression, Literal, SubqueryExpression}
-import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count, Max, Min}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Average, Count, Max, Min, Sum}
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LocalRelation, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.LogicalRelation
@@ -28,6 +28,11 @@ import graft.store.Snapshots
  *    manifest's per-file null counts make whole files provable).
  *  - un-filtered `MIN(col)` / `MAX(col)` → [[Snapshots.metaBoundsOf]]
  *    (manifest key stats or stats sidecars), zero records read.
+ *  - un-filtered `SUM(col)` / `AVG(col)` over integral/decimal columns →
+ *    [[Snapshots.metaSumOf]] (exact per-file `.sums` sidecars folded in
+ *    decimal, hybrid-scanning uncovered files) — with the overflow and
+ *    FP-exactness side conditions proven before rewriting (see the
+ *    match arms), because this rule never trades exactness.
  *
  * The match is `Aggregate` with NO grouping, over at most one `Filter`,
  * over attribute-only `Project`s, over a parquet scan whose file set is
@@ -101,6 +106,11 @@ case class SnapshotAggRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
         case Some(c) => Some(Snapshots.countWhere(spark, base, toColumn(c), Some(v)))
       }
     }
+    lazy val sums = scala.collection.mutable.Map
+      .empty[String, Option[(java.math.BigDecimal, Long)]]
+    def sumOf(a: AttributeReference): Option[(java.math.BigDecimal, Long)] =
+      sums.getOrElseUpdate(a.name,
+        Snapshots.metaSumOf(spark, base, a.name, Some(v)))
     val values: Seq[Any] = agg.aggregateExpressions.map {
       case Alias(AggregateExpression(fn, _, false, None, _), _) => fn match {
         case Count(Seq(l: Literal)) if l.value != null =>
@@ -113,6 +123,38 @@ case class SnapshotAggRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
           boundsOf(a).getOrElse(return None)._1
         case Max(a: AttributeReference) if cond.isEmpty =>
           boundsOf(a).getOrElse(return None)._2
+        // SUM from the exact sidecar fold — with an exactness proof that
+        // holds in EVERY eval mode: the column must be provably
+        // non-negative (metadata min ≥ 0), making partial sums monotone
+        // and bounded by the total, so if the total fits the output type
+        // no partial can overflow — LEGACY can't wrap, ANSI can't throw,
+        // TRY can't null, and any regrouping reproduces the total.
+        case s @ Sum(a: AttributeReference, _) if cond.isEmpty =>
+          val (total, n) = sumOf(a).getOrElse(return None)
+          if (n == 0L) null
+          else if (!provenNonNegative(boundsOf(a))) return None
+          else s.dataType match {
+            case LongType =>
+              scala.util.Try(total.longValueExact()).getOrElse(return None)
+            case d: DecimalType =>
+              val dec = Decimal(total)
+              if (dec.changePrecision(d.precision, d.scale)) dec
+              else return None
+            case _ => return None
+          }
+        // AVG over integrals: Spark accumulates the sum in DOUBLE, which
+        // is exact only while no partial sum can leave ±2^53 — the same
+        // non-negativity proof bounds partials by the total, which must
+        // itself fit 2^53. Otherwise decline rather than differ in the
+        // last bits.
+        case av @ Average(a: AttributeReference, _) if cond.isEmpty &&
+            av.dataType == DoubleType =>
+          val (total, n) = sumOf(a).getOrElse(return None)
+          if (n == 0L) null
+          else if (!provenNonNegative(boundsOf(a)) ||
+              total.compareTo(java.math.BigDecimal.valueOf(1L << 53)) > 0)
+            return None
+          else total.doubleValue() / n
         case _ => return None
       }
       case _ => return None
@@ -138,6 +180,17 @@ object SnapshotAggRewrite {
   private val inRewrite = new ThreadLocal[java.lang.Boolean] {
     override def initialValue(): java.lang.Boolean = false
   }
+
+  /** Does the metadata min-bound prove the column non-negative? */
+  private[plans] def provenNonNegative(bounds: Option[(Any, Any)]): Boolean =
+    bounds.exists {
+      case (lo: Long, _) => lo >= 0L
+      case (lo: Int, _) => lo >= 0
+      case (lo: Short, _) => lo >= 0
+      case (lo: Byte, _) => lo >= 0
+      case (lo: Decimal, _) => lo.toBigDecimal.signum >= 0
+      case _ => false
+    }
 
   /** Parse a stats-canon bound string back into the column's CATALYST
     * value (the inverse of statExtract's canon: plain string for

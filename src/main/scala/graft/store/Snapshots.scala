@@ -1967,6 +1967,8 @@ object Snapshots {
   private val BloomMagicV2 = "GRAFTBLOOM2"
   private val NdvMagic = "GRAFTNDV1"
   private val KllMagic = "GRAFTKLL1"
+  private[store] val SumSuffix = ".sums"
+  private val SumMagic = "GRAFTSUM1"
 
   /**
    * Equality-SET conjuncts implied by the predicate: each entry is a
@@ -2604,6 +2606,150 @@ object Snapshots {
    * filter with `expectedItems` ≈ rows per file; 1M keys at fpp 0.01 is
    * ~1.2 MB per section.
    */
+  /** The exact-sum decimal scale for a column eligible for sum sidecars:
+    * scale 0 for integrals, the declared scale for decimals, None for
+    * everything else (a double sum is order-dependent — recording one
+    * would trade exactness, which no metadata verb here does). */
+  private def sumScaleOf(dt: org.apache.spark.sql.types.DataType): Option[Int] = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case ByteType | ShortType | IntegerType | LongType => Some(0)
+      case d: DecimalType => Some(d.scale)
+      case _ => None
+    }
+  }
+
+  /**
+   * Build `<file>.sums` sidecars: the EXACT per-file (Σ value, non-null
+   * count) of integral/decimal columns, summed in decimal(38, scale) —
+   * exact and associative, so any regrouping of files reproduces the
+   * same total bit-for-bit. The per-file sum is the one aggregate
+   * sketches can't give you exactly (HLL approximates, KLL ranks) and
+   * the one SUM/AVG dashboards need; with these in place [[metaSumOf]]
+   * answers a 100 TB SUM from KiB-sized metadata. Same build shape as
+   * every sidecar family: one job over exactly the files still owing a
+   * requested column's section, written executor-side (foreachPartition,
+   * tmp + atomic rename), swept with their data file. A file whose
+   * decimal(38) sum overflows records NO section (it degrades to
+   * must-scan — never a wrong total); double columns are refused by
+   * type.
+   */
+  def writeSumSidecars(spark: SparkSession, base: String,
+                       cols: Seq[String], version: Option[Long] = None): Int = {
+    import org.apache.spark.sql.functions.{col, count, input_file_name, sum}
+    val vs = versions(spark, base)
+    require(vs.nonEmpty, s"no snapshots under $base")
+    val v = version.getOrElse(vs.last)
+    require(vs.contains(v), s"version $v not in $vs")
+    requireNoSchemaOps(manifestLines(spark, base, v), "writeSumSidecars")
+    val schema = read(spark, base, Some(v)).schema
+    val usable = cols.filter(c0 => schema.fieldNames.contains(c0) &&
+      !c0.exists(ch => ch == '\t' || ch == '\n') &&
+      sumScaleOf(schema(c0).dataType).isDefined)
+    if (usable.isEmpty) return 0
+    val missing = splitEntries(manifestLines(spark, base, v))._1.map(_.path)
+      .filterNot { rel =>
+        val have = loadSections(spark, base, rel, SumSuffix, SumMagic).keySet
+        usable.forall(have)
+      }
+    if (missing.isEmpty) return 0
+    val aggs = usable.flatMap { c0 =>
+      val sc = sumScaleOf(schema(c0).dataType).get
+      Seq(sum(col(c0).cast(org.apache.spark.sql.types.DecimalType(38, sc)))
+          .as(s"__sum_$c0"),
+        count(col(c0)).as(s"__n_$c0"))
+    }
+    val grouped = spark.read.schema(schema)
+      .parquet(missing.map(rel => s"$base/$rel"): _*)
+      .groupBy(input_file_name().as("__f"))
+      .agg(aggs.head, aggs.tail: _*)
+    val written = spark.sparkContext.longAccumulator("sum_sidecars_written")
+    val confW = new SerializableHadoopConf(spark.sparkContext.hadoopConfiguration)
+    val usableL = usable
+    grouped.foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
+      if (rows.hasNext) {
+        val fx = new Path(base).getFileSystem(confW.value)
+        rows.foreach { r =>
+          val p = new Path(r.getString(0))
+          val rel = s"${p.getParent.getName}/${p.getName}"
+          val existing = loadSectionsFs(fx, base, rel, SumSuffix, SumMagic)
+            .view.filterKeys(!usableL.contains(_)).toSeq
+          val fresh = usableL.flatMap { c0 =>
+            val (sI, nI) = (r.fieldIndex(s"__sum_$c0"), r.fieldIndex(s"__n_$c0"))
+            val n = r.getLong(nI)
+            if (n == 0L) Some(c0 -> s"0\t0".getBytes("UTF-8"))
+            else if (r.isNullAt(sI)) None // decimal(38) overflow: must-scan
+            else Some(c0 ->
+              s"${r.getDecimal(sI).toPlainString}\t$n".getBytes("UTF-8"))
+          }
+          if (fresh.nonEmpty &&
+              writeSidecarAtomic(fx, new Path(s"$base/$rel$SumSuffix"),
+                sectionBytes(SumMagic, existing ++ fresh)))
+            written.add(1L)
+        }
+      }
+    }
+    written.value.toInt
+  }
+
+  /**
+   * EXACT metadata SUM: (Σ non-null values, non-null count) of an
+   * integral/decimal column — per-file sidecar sums folded on the
+   * driver, files without coverage scanned in one hybrid pass (the
+   * countWhere shape), delete-COVERED files rescanned (a recorded sum
+   * cannot subtract rows a pending MoR delete removed — the same honesty
+   * rule as NDV/quantiles, delta-scoped the same way). Decimal addition
+   * is exact and associative, so the answer is bit-identical to a full
+   * aggregation scan however files are grouped. None = unsupported
+   * column type, or a (pathological) decimal-38 overflow in the hybrid
+   * scan — never a wrong number.
+   */
+  def metaSumOf(spark: SparkSession, base: String, colName: String,
+                version: Option[Long] = None)
+      : Option[(java.math.BigDecimal, Long)] = {
+    import org.apache.spark.sql.functions.{col, count, sum}
+    val vs = versions(spark, base)
+    require(vs.nonEmpty, s"no snapshots under $base")
+    val v = version.getOrElse(vs.last)
+    require(vs.contains(v), s"version $v not in $vs")
+    val lines = manifestLines(spark, base, v)
+    val (data, dels) = splitEntries(lines)
+    val schema = read(spark, base, Some(v)).schema
+    require(schema.fieldNames.contains(colName), s"no column '$colName' in $base")
+    val sc = sumScaleOf(schema(colName).dataType).getOrElse(return None)
+    val ops = schemaOps(lines)
+    val toLogical = physToLogical(ops) _
+    val deleteCovered = deleteCoveredFiles(spark, base, dels)
+    val sums: Map[String, (java.math.BigDecimal, Long)] = data.flatMap { e =>
+      loadSections(spark, base, e.path, SumSuffix, SumMagic)
+        .flatMap { case (k, bs) => toLogical(k).map(_ -> bs) }
+        .get(colName).flatMap { bs =>
+          val p = new String(bs, "UTF-8").split('\t')
+          scala.util.Try(
+            (new java.math.BigDecimal(p(0)), p(1).toLong)).toOption
+        }.map(e.path -> _)
+    }.toMap
+    val (clean, rescan) = data.partition(e =>
+      sums.contains(e.path) && !deleteCovered(e.path))
+    val scanned: (java.math.BigDecimal, Long) =
+      if (rescan.isEmpty) (java.math.BigDecimal.ZERO, 0L)
+      else {
+        val r = readSubset(spark, base, lines, rescan)
+          .agg(sum(col(colName)
+              .cast(org.apache.spark.sql.types.DecimalType(38, sc))).as("s"),
+            count(col(colName)).as("n"))
+          .head
+        if (r.isNullAt(0) && r.getLong(1) > 0L) return None // overflow
+        (if (r.isNullAt(0)) java.math.BigDecimal.ZERO else r.getDecimal(0),
+          r.getLong(1))
+      }
+    val metaPart = clean.map(e => sums(e.path))
+      .foldLeft((java.math.BigDecimal.ZERO, 0L)) {
+        case ((accS, accN), (s0, n0)) => (accS.add(s0), accN + n0)
+      }
+    Some((metaPart._1.add(scanned._1), metaPart._2 + scanned._2))
+  }
+
   def writeBloomSidecars(spark: SparkSession, base: String, key: String,
                          version: Option[Long] = None,
                          expectedItems: Long = 1000000L,
@@ -4377,7 +4523,7 @@ object Snapshots {
    *     bin-pack small files ([[compact]]) — skipped while deletes are
    *     still pending below threshold;
    *  3. refresh the declared sidecar families (`statsCols` / `ndvCols` /
-   *     `quantileCols` / `bloomKeys`) so files the rewrite steps produced
+   *     `quantileCols` / `bloomKeys` / `sumCols`) so files the rewrite steps produced
    *     regain their pruning evidence — each builder is per-file
    *     incremental, scanning only files still missing its section, so a
    *     quiet cycle pays metadata probes and zero data IO;
@@ -4402,7 +4548,8 @@ object Snapshots {
                statsCols: Seq[String] = Nil,
                ndvCols: Seq[String] = Nil,
                quantileCols: Seq[String] = Nil,
-               bloomKeys: Seq[String] = Nil): MaintenanceReport = {
+               bloomKeys: Seq[String] = Nil,
+               sumCols: Seq[String] = Nil): MaintenanceReport = {
     val vs = versions(spark, base)
     require(vs.nonEmpty, s"no snapshots under $base")
     requireNoSchemaOps(manifestLines(spark, base, vs.last), "maintain")
@@ -4445,6 +4592,7 @@ object Snapshots {
       (if (statsCols.nonEmpty) writeStatsSidecars(spark, base, statsCols) else 0) +
         (if (ndvCols.nonEmpty) writeNdvSidecars(spark, base, ndvCols) else 0) +
         (if (quantileCols.nonEmpty) writeQuantileSidecars(spark, base, quantileCols) else 0) +
+        (if (sumCols.nonEmpty) writeSumSidecars(spark, base, sumCols) else 0) +
         bloomKeys.map(k => writeBloomSidecars(spark, base, k)).sum
     val expired = expire(spark, base, keepSnapshots)
     val vacuumed = vacuum(spark, base, txnTtlMs)

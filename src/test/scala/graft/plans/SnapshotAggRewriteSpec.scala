@@ -123,6 +123,74 @@ class SnapshotAggRewriteSpec extends AnyFunSuite {
     }
   }
 
+  test("SUM/AVG answer from sum sidecars: zero data IO when covered, exact hybrid otherwise") {
+    withExtSession { s =>
+      import s.implicits._
+      s.sparkContext.hadoopConfiguration
+        .set("fs.cntfs.impl", classOf[CountingLocalFs].getName)
+      val root = java.nio.file.Files.createTempDirectory("graft-aggr5")
+      val base = s"cntfs:$root/t"
+      Snapshots.write(
+        (1L to 600L).map(i =>
+          (i, i * 3L, BigDecimal(i).setScale(2) * 0.25,
+            if (i % 4 == 0) null else java.lang.Long.valueOf(i)))
+          .toDF("id", "v", "dec", "maybe")
+          .repartitionByRange(4, col("id")),
+        base, statsKey = Some("id"))
+      Snapshots.writeSumSidecars(s, base, Seq("v", "dec", "maybe"))
+      // min ≥ 0 proofs: SUM/AVG only rewrite on provably-non-negative
+      // columns (partials monotone → no overflow in ANY eval mode)
+      Snapshots.writeStatsSidecars(s, base, Seq("v", "dec", "maybe"))
+      val t = Snapshots.read(s, base)
+      s.conf.set(SnapshotAggRewrite.EnabledKey, "false")
+      val ref = t.agg(
+        org.apache.spark.sql.functions.sum(col("v")).as("sv"),
+        org.apache.spark.sql.functions.sum(col("dec")).as("sd"),
+        org.apache.spark.sql.functions.sum(col("maybe")).as("sm"),
+        org.apache.spark.sql.functions.avg(col("v")).as("av")).collect().toSeq
+      s.conf.set(SnapshotAggRewrite.EnabledKey, "true")
+      CountingLocalFs.reset()
+      val q = Snapshots.read(s, base).agg(
+        org.apache.spark.sql.functions.sum(col("v")).as("sv"),
+        org.apache.spark.sql.functions.sum(col("dec")).as("sd"),
+        org.apache.spark.sql.functions.sum(col("maybe")).as("sm"),
+        org.apache.spark.sql.functions.avg(col("v")).as("av"))
+      assert(isMetadataAnswered(q), "covered SUM/AVG must rewrite")
+      assert(q.collect().toSeq == ref, "bit-identical to the aggregation scan")
+      assert(CountingLocalFs.openedParquet.isEmpty,
+        s"covered sums opened: ${CountingLocalFs.openedParquet}")
+      // append with bounds coverage but WITHOUT a sum sidecar: the proof
+      // (min ≥ 0 everywhere) holds, so the hybrid path scans only the new
+      // file for its sum contribution — no decline and no full scan.
+      // Without bounds on the new file the rewrite correctly DECLINES
+      // (global non-negativity can't be proven for rows it can't see).
+      Snapshots.append(Seq((601L, 1803L, BigDecimal(150.25),
+        java.lang.Long.valueOf(601L))).toDF("id", "v", "dec", "maybe"), base)
+      assert(!isMetadataAnswered(Snapshots.read(s, base)
+        .agg(org.apache.spark.sql.functions.sum(col("v")))),
+        "unproven non-negativity must decline")
+      Snapshots.writeStatsSidecars(s, base, Seq("v"))
+      val q2 = Snapshots.read(s, base)
+        .agg(org.apache.spark.sql.functions.sum(col("v")).as("sv"))
+      assert(isMetadataAnswered(q2))
+      assert(q2.collect().head.getLong(0) ==
+        (1L to 600L).map(_ * 3L).sum + 1803L)
+      // AVG without a non-negativity proof declines (FP-order exactness
+      // cannot be established)
+      val neg = java.nio.file.Files.createTempDirectory("graft-aggr5n").toString + "/t"
+      Snapshots.write((1L to 50L).map(i => (i, i - 25L)).toDF("id", "w"), neg)
+      Snapshots.writeSumSidecars(s, neg, Seq("w"))
+      val q3 = Snapshots.read(s, neg)
+        .agg(org.apache.spark.sql.functions.avg(col("w")))
+      assert(!isMetadataAnswered(q3), "AVG without min>=0 proof must decline")
+      // SUM over double always declines (order-dependent)
+      val q4 = Snapshots.read(s, neg)
+        .agg(org.apache.spark.sql.functions.sum(col("w").cast("double")))
+      assert(!isMetadataAnswered(q4), "double sum must decline")
+      s.conf.set(SnapshotAggRewrite.EnabledKey, "false")
+    }
+  }
+
   test("declines: grouped aggs, avg, filtered min, distinct, MoR deletes, foreign parquet") {
     withExtSession { s =>
       import s.implicits._
