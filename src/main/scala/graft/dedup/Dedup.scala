@@ -20,6 +20,15 @@ import graft.functions.GraftFunctions
  */
 object Dedup {
 
+  /** All unordered element pairs of `ids` as an array of `(a, b)` structs
+    * with `a < b` — the pair-generation step the df-capped banded paths
+    * run INSIDE a ≤ maxDf-sized bucket array, never as a self-join
+    * ([[exactSubstringPairs]], [[winnowCandidatePairs]],
+    * [[sharedSpanPairs]]). Row-local, ≤ maxDf²/2 structs per bucket. */
+  private def allPairs(ids: Column): Column =
+    flatten(transform(ids, a =>
+      transform(filter(ids, b => a < b), b => struct(a.as("a"), b.as("b")))))
+
   // ── exact ────────────────────────────────────────────────────────────────
   /**
    * Exact dedup: one survivor (min id) per identical key. A hash groupBy —
@@ -969,26 +978,33 @@ object Dedup {
                       maxDf: Int = 50): DataFrame = {
     require(w >= 2 && stride >= 1 && stride <= w,
       s"need w >= 2 and 1 <= stride <= w, got w=$w stride=$stride")
-    import org.apache.spark.sql.expressions.Window
     val toks = graft.text.TextAnalysis.tokens(col(textCol))
     // docs shorter than w tokens have no w-token span BY DEFINITION — without
     // this filter two identical short docs would report a vacuous "shared
-    // w-token span" from the single sub-w window
-    val fps = df.select(col(idCol).as("__id"), toks.as("__toks"))
+    // w-token span" from the single sub-w window. Spread an undersplit
+    // scan first: tokenize+md5 is the CPU bulk ([[removeSharedSpans]]'s
+    // rationale).
+    val spread = graft.text.TextAnalysis.spreadIfUndersplit(df, col(idCol))
+    val fps = spread.select(col(idCol).as("__id"), toks.as("__toks"))
       .filter(size(col("__toks")) >= w)
       .select(col("__id"),
         explode(transform(
           sequence(lit(0), size(col("__toks")) - w, lit(stride)),
           s => md5(concat_ws(" ", slice(col("__toks"), s + 1, lit(w)))))).as("fp"))
       .distinct()
-    val bounded = fps
-      .withColumn("__df", count(lit(1)).over(Window.partitionBy(col("fp"))))
-      .filter(col("__df") <= maxDf).drop("__df")
-    bounded.join(bounded.select(col("fp"), col("__id").as("__b")), Seq("fp"))
-      .filter(col("__id") < col("__b"))
-      .groupBy(col("__id"), col("__b"))
+    // one-pass skew-safe df cap (round-17, see [[exactSubstringPairs]]):
+    // capped collect per fingerprint — map-side partial aggregation
+    // collapses a hot boilerplate fingerprint into bounded buffers, a
+    // group over the cap nulls out from its exact count — then pairs
+    // explode from the ≤ maxDf bucket arrays. Fingerprints are distinct
+    // per doc, so the group's value count IS the document frequency.
+    val buckets = fps.groupBy(col("fp"))
+      .agg(graft.expr.CappedCollectList(col("__id"), maxDf).as("ids"))
+      .filter(col("ids").isNotNull && size(col("ids")) >= 2)
+    buckets.select(explode(allPairs(col("ids"))).as("p"))
+      .groupBy(col("p.a"), col("p.b"))
       .agg(count(lit(1)).as("shared_windows"))
-      .select(col("__id").as("id_a"), col("__b").as("id_b"),
+      .select(col("a").as("id_a"), col("b").as("id_b"),
         col("shared_windows"))
   }
 
@@ -1114,18 +1130,23 @@ object Dedup {
                            maxDf: Int = 50): DataFrame = {
     require(minShared >= 1 && maxDf >= 2,
       s"need minShared >= 1 and maxDf >= 2, got minShared=$minShared maxDf=$maxDf")
-    import org.apache.spark.sql.expressions.Window
-    val fps = winnowFingerprints(df, idCol, textCol, k, w)
-    val bounded = fps
-      .withColumn("__df", count(lit(1)).over(Window.partitionBy(col("fingerprint"))))
-      .filter(col("__df") <= maxDf).drop("__df")
-    bounded.join(bounded.select(col("fingerprint"), col("id").as("__b")),
-        Seq("fingerprint"))
-      .filter(col("id") < col("__b"))
-      .groupBy(col("id"), col("__b"))
+    // spread an undersplit scan first: gram hashing + window minima are
+    // the CPU bulk and must parallelize even from one small file
+    val fps = winnowFingerprints(
+      graft.text.TextAnalysis.spreadIfUndersplit(df, col(idCol)),
+      idCol, textCol, k, w)
+    // one-pass skew-safe df cap — capped collect per fingerprint + pairs
+    // from the bucket array, never a window count and never a self-join
+    // (see [[exactSubstringPairs]]: the hot boilerplate fingerprint must
+    // collapse map-side, never colocate in one unsplittable window task)
+    val buckets = fps.groupBy(col("fingerprint"))
+      .agg(graft.expr.CappedCollectList(col("id"), maxDf).as("ids"))
+      .filter(col("ids").isNotNull && size(col("ids")) >= 2)
+    buckets.select(explode(allPairs(col("ids"))).as("p"))
+      .groupBy(col("p.a"), col("p.b"))
       .agg(count(lit(1)).as("shared_fps"))
       .filter(col("shared_fps") >= minShared)
-      .select(col("id").as("id_a"), col("__b").as("id_b"), col("shared_fps"))
+      .select(col("a").as("id_a"), col("b").as("id_b"), col("shared_fps"))
   }
 
   /**
@@ -1149,8 +1170,11 @@ object Dedup {
    * documents BEFORE the self-join, the boilerplate guard every banded
    * path here uses (a license header shared by a million docs would
    * otherwise make one quadratic bucket). Row-local array arithmetic up
-   * to the explode, whole-stage codegen, two shuffles (df-cap window +
-   * pair groupBy).
+   * to the explode, whole-stage codegen; the df cap and the banding are
+   * ONE skew-safe aggregation ([[graft.expr.CappedCollectList]] — never a
+   * window, never a self-join: the cap must not itself be the skew
+   * bottleneck it exists to prevent), pairs exploding from ≤ maxDf bucket
+   * arrays.
    *
    * Output: (id_a, id_b, shared_grams, witness), id_a < id_b, witness =
    * the lexicographically-least shared gram.
@@ -1160,23 +1184,34 @@ object Dedup {
                           maxDf: Int = 50): DataFrame = {
     require(minLen >= 2 && minShared >= 1 && maxDf >= 2,
       s"need minLen >= 2, minShared >= 1, maxDf >= 2: $minLen/$minShared/$maxDf")
-    import org.apache.spark.sql.expressions.Window
-    val grams = df.filter(length(col(textCol)) >= minLen)
+    // spread an undersplit scan BEFORE the explode: gram emission plus
+    // the capped-collect partial aggregation are the CPU bulk, and a
+    // small single-file corpus would otherwise run both on one task
+    val spread = graft.text.TextAnalysis.spreadIfUndersplit(df, col(idCol))
+    val grams = spread.filter(length(col(textCol)) >= minLen)
       .select(col(idCol).as("id"),
         explode(array_distinct(transform(
           sequence(lit(1), length(col(textCol)) - minLen + 1),
           i => substring(col(textCol), i, lit(minLen))))).as("gram"))
-    // grams are distinct per doc, so the partition row count IS the
-    // document frequency
-    val bounded = grams
-      .withColumn("__df", count(lit(1)).over(Window.partitionBy(col("gram"))))
-      .filter(col("__df") <= maxDf).drop("__df")
-    bounded.join(bounded.select(col("gram"), col("id").as("__b")), Seq("gram"))
-      .filter(col("id") < col("__b"))
-      .groupBy(col("id"), col("__b"))
+    // grams are distinct per doc, so the group's value count IS the
+    // document frequency. ONE pass (round-17): a skew-safe capped collect
+    // per gram ([[graft.expr.CappedCollectList]] — map-side partial
+    // aggregation collapses a hot boilerplate gram into bounded
+    // (count, ≤maxDf ids) buffers; groups over the cap evaluate to NULL
+    // from the exact count) and pairs explode from the ≤maxDf-sized
+    // bucket arrays. No self-join, no second evaluation of the gram
+    // explode, and — critically — no Window.partitionBy(gram) df count,
+    // which would drag every occurrence of exactly the gram this cap
+    // exists to discard (a license header shared by 30% of the corpus)
+    // into one semantically-unsplittable straggler task.
+    val buckets = grams.groupBy(col("gram"))
+      .agg(graft.expr.CappedCollectList(col("id"), maxDf).as("ids"))
+      .filter(col("ids").isNotNull && size(col("ids")) >= 2)
+    buckets.select(col("gram"), explode(allPairs(col("ids"))).as("p"))
+      .groupBy(col("p.a"), col("p.b"))
       .agg(count(lit(1)).as("shared_grams"), min(col("gram")).as("witness"))
       .filter(col("shared_grams") >= minShared)
-      .select(col("id").as("id_a"), col("__b").as("id_b"),
+      .select(col("a").as("id_a"), col("b").as("id_b"),
         col("shared_grams"), col("witness"))
   }
 

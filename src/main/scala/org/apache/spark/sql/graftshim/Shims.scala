@@ -14,4 +14,7 @@ import org.apache.spark.sql.classic.ExpressionUtils
  */
 object Shims {
   def column(e: Expression): Column = ExpressionUtils.column(e)
+  /** The inverse accessor, for expressions that take Column arguments
+    * outside the FunctionRegistry path ([[graft.expr.CappedCollectList]]). */
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
 }

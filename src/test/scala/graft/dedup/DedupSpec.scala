@@ -714,4 +714,34 @@ class DedupSpec extends AnyFunSuite {
     assert(Dedup.exactSubstringPairs(corpus.unionByName(short),
       "doc_id", "text", minLen = 18).count() == 3L)
   }
+
+  test("df caps run as capped-collect buckets, never a window — 30%-boilerplate fixture") {
+    // 30% of the corpus shares one license-header gram (the adversarial
+    // shape the cap exists for); results must match a per-doc brute-force
+    // and the plan must carry NO Window node — a Window.partitionBy(gram)
+    // df count would colocate every boilerplate occurrence in one
+    // semantically-unsplittable task (AQE cannot split a window partition)
+    val header = "SPDX-License-Identifier: Apache-2.0 WITH extra-terms"
+    val docs = (1L to 30L).map { i =>
+      val body = s"unique body $i " + (s"token$i " * 5) + s"end $i"
+      (i, if (i <= 9) s"$header $body" else body)
+    } ++ Seq((31L, "aaaa COMMON-RARE-SEGMENT-1 zz one"),
+      (32L, "bbbb COMMON-RARE-SEGMENT-1 zz two"))
+    val corpus = docs.toDF("doc_id", "text")
+    val pairs = Dedup.exactSubstringPairs(corpus, "doc_id", "text",
+      minLen = 20, minShared = 1, maxDf = 5)
+    assert(!pairs.queryExecution.optimizedPlan.toString.contains("Window"),
+      "df cap must not plan a Window")
+    val got = pairs.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // the 9 header docs pair only through header grams (df=9 > maxDf=5):
+    // dropped; the 2-doc rare segment survives
+    assert(got == Set((31L, 32L)), s"boilerplate must be capped out: $got")
+    // winnow + span paths share the shape and the no-window pin
+    val wp = Dedup.winnowCandidatePairs(corpus, "doc_id", "text",
+      k = 8, w = 4, minShared = 1, maxDf = 5)
+    assert(!wp.queryExecution.optimizedPlan.toString.contains("Window"))
+    val sp = Dedup.sharedSpanPairs(corpus, "doc_id", "text",
+      w = 3, stride = 1, maxDf = 5)
+    assert(!sp.queryExecution.optimizedPlan.toString.contains("Window"))
+  }
 }
