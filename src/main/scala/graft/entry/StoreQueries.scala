@@ -2529,6 +2529,71 @@ private[graft] object StoreQueries {
              |  4 AS n_batches, TRUE AS replay_noop
              |FROM feed GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // Change-data-feed from a BRANCH (round-17): option("branch") +
+    // option("readChangeFeed") compose — the CDC feed walks the branch's
+    // own commit chain (branch-aware Snapshots.changes), the WAP audit
+    // subscriber's row-level view of staging. The fork snapshot arrives
+    // as inserts stamped with the branch's first version, each branch
+    // append as its own per-commit batch, and main's independent commit
+    // never reaches the feed. Crash-replay pinned by the second drain
+    // delivering nothing.
+    "snap_stream_cdf_branch" -> Q(
+      (s, d) => {
+        import graft.store.Snapshots
+        import org.apache.spark.sql.streaming.Trigger
+        val root = FixtureRoot.fresh("snapstreamcdfbr")
+        val (base, sink) = (root + "/t", root + "/sink")
+        val docs = T(s, d, "documents").select(col("doc_id"), col("n_chars"))
+        Snapshots.write(docs.filter(col("doc_id") % 4 === 0), base)
+        Snapshots.createBranch(s, base, "staging", 1L)
+        Snapshots.appendBranch(docs.filter(col("doc_id") % 4 === 1),
+          base, "staging")
+        // main moves on independently — must NOT reach the branch feed
+        Snapshots.append(docs.filter(col("doc_id") % 4 === 2), base)
+        Snapshots.appendBranch(docs.filter(col("doc_id") % 4 === 3),
+          base, "staging")
+        def drain(): Long = {
+          var batches = 0L
+          val q = s.readStream.format("graft-snapshots")
+            .option("branch", "staging")
+            .option("readChangeFeed", "true")
+            .option("changeKey", "doc_id")
+            .option("maxVersionsPerTrigger", "1")
+            .load(base)
+            .writeStream
+            .option("checkpointLocation", root + "/ckpt")
+            .trigger(Trigger.AvailableNow())
+            .foreachBatch { (b: DataFrame, _: Long) =>
+              batches += 1
+              b.write.mode("append").parquet(sink)
+              ()
+            }
+            .start()
+          q.awaitTermination()
+          batches
+        }
+        val nBatches = drain() // fork snapshot + 2 branch appends = 3 batches
+        val replayNoop = drain() == 0L
+        s.read.parquet(sink)
+          .groupBy(col("_commit_version").as("commit_version"))
+          .agg(count(lit(1)).as("n"), dsum(col("n_chars")).as("sum_chars"),
+            min(col("_change_type")).as("change_type"))
+          .withColumn("n_batches", lit(nBatches))
+          .withColumn("replay_noop", lit(replayNoop))
+          .orderBy(col("commit_version"))
+      },
+      Some("""WITH feed AS (
+             |  SELECT 1 AS commit_version, n_chars FROM documents
+             |  WHERE doc_id % 4 = 0
+             |  UNION ALL
+             |  SELECT 2, n_chars FROM documents WHERE doc_id % 4 = 1
+             |  UNION ALL
+             |  SELECT 3, n_chars FROM documents WHERE doc_id % 4 = 3)
+             |SELECT commit_version, count(*) AS n,
+             |  CAST(sum(CAST(n_chars AS DECIMAL(18,2))) AS DOUBLE) AS sum_chars,
+             |  'insert' AS change_type, 3 AS n_batches, TRUE AS replay_noop
+             |FROM feed GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // Metadata-answered aggregates (round-16): the opt-in Catalyst rule
     // graft.plans.SnapshotAggRewrite — Iceberg aggregate-pushdown /
     // Delta OptimizeMetadataOnlyDeltaQuery twin — rewrites a global

@@ -1,109 +1,137 @@
 package graft.store
 
-import java.util
-
 import scala.jdk.CollectionConverters._
 
 import org.apache.hadoop.fs.Path
-import org.apache.spark.paths.SparkPath
-import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
-import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl, SupportsTriggerAvailableNow}
-import org.apache.spark.sql.execution.datasources.PartitionedFile
-import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
-import org.apache.spark.sql.sources.DataSourceRegister
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.{DataFrame, SQLContext, SparkSession}
+import org.apache.spark.sql.connector.read.streaming.{ReadLimit, SupportsAdmissionControl, SupportsTriggerAvailableNow, Offset => OffsetV2}
+import org.apache.spark.sql.execution.streaming.{Offset => OffsetV1, Source}
+import org.apache.spark.sql.sources.{DataSourceRegister, StreamSourceProvider}
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
 /**
  * Table-as-stream-source: the snapshot store as a Structured Streaming
- * SOURCE (DataSource V2 [[MicroBatchStream]]) — the Delta/Iceberg
- * `spark.readStream.table(...)` twin, and the read-side complement of
- * [[Snapshots.appendStream]]/[[graft.store.MatView]] (which only let the
- * store be a stream SINK). Consumers subscribe to a table and receive
- * every committed append as a micro-batch:
+ * SOURCE — the Delta/Iceberg `spark.readStream.table(...)` twin, and the
+ * read-side complement of [[Snapshots.appendStream]]/[[MatView]] (which
+ * only let the store be a stream SINK). Consumers subscribe to a table
+ * and receive every committed append as a micro-batch:
  *
  * {{{
  *   spark.readStream.format("graft-snapshots")
  *     .option("startingVersion", "1")      // or "latest"; default: first
  *     .option("maxVersionsPerTrigger", 1)  // admission control, optional
+ *     .option("maxBytesPerTrigger", 10000000) // byte pacing, optional
  *     .option("branch", "staging")         // stream a branch's commits
  *     // CDC mode (Delta CDF twin): batches become the changes() feed
  *     .option("readChangeFeed", true).option("changeKey", "id")
  *     .load(base)
  * }}}
  *
+ * This is the V1 [[Source]] surface (`StreamSourceProvider`), NOT a DSv2
+ * `MicroBatchStream` — deliberately, and for the same reason Delta and
+ * Spark's own FileStreamSource sit on it: `getBatch` returns a real
+ * DataFrame that is SPLICED INTO each micro-batch's plan, so Catalyst
+ * prunes columns, pushes filters into the parquet scan, and keeps the
+ * vectorized reader — a streaming consumer doing
+ * `.selectExpr("id").where("v > 0")` reads exactly one column through
+ * columnar IO with `PushedFilters` at the scan. A DSv2 MicroBatchStream
+ * CANNOT deliver any of that in this Spark: the engine builds its Scan
+ * once at stream start with no pushdown pass (`MicroBatchExecution`
+ * calls `newScanBuilder(options).build()` directly, and
+ * `V2ScanRelationPushDown` matches only batch relations), so a V2
+ * reader factory is locked to full-width row-based IO before the
+ * query's projections are even known — the round-16 implementation paid
+ * exactly that on every appended file. The streaming-engine integration
+ * ([[SupportsAdmissionControl]], [[SupportsTriggerAvailableNow]],
+ * checkpointed offsets) is surface-independent and unchanged.
+ *
  * The design falls out of the committed-manifest model:
  *
- *  - OFFSETS ARE VERSION NUMBERS. Offset `v` means "every commit ≤ v has
- *    been delivered"; `latestOffset` is the newest committed version
- *    ([[Snapshots.versions]] — one directory listing, no file IO).
- *    Offsets serialize as the version number, so a checkpoint survives
- *    restarts and replays deterministically: manifests are immutable, so
- *    `planInputPartitions(start, end)` always re-derives the same file
- *    list — exactly-once delivery under crash-and-replay is inherited
- *    from the store's commit protocol, not re-implemented here.
+ *  - OFFSETS ARE VERSION POSITIONS. Offset `v` means "every commit ≤ v
+ *    has been delivered" and serializes as the bare number (checkpoint
+ *    compatible across rounds); under byte pacing an offset may land
+ *    MID-VERSION as `v#k` — "all of ≤ v, plus the first k added files
+ *    of the next commit" (added-file order is manifest order, immutable,
+ *    so replay is deterministic). `latestOffset` is one directory
+ *    listing ([[Snapshots.versions]]), no file IO.
  *  - A MICRO-BATCH IS THE MANIFEST DELTA. The batch for `(start, end]`
  *    reads the data files present in `end`'s manifest and absent from
- *    `start`'s — the same non-shared-file scoping the CDC feed
- *    ([[Snapshots.changes]]) uses, O(delta) by construction: ten appended
- *    files out of 100k mean ten files planned, never a table scan, and
- *    the planning itself is two manifest reads.
+ *    `start`'s — O(delta) by construction: ten appended files out of
+ *    100k mean ten files planned, never a table scan, and the planning
+ *    itself is two manifest reads (O(versions-in-range) reads only when
+ *    byte pacing slices inside commits).
  *  - APPEND-ONLY CONTRACT, enforced not assumed (Delta's default
  *    streaming semantics): a version range that REMOVES data files
  *    (compact/delete/update rewrites), carries pending MoR delete files,
  *    or pends a schema op that changes the read image of existing rows
- *    (rename/widen, ADD COLUMN with a non-null default) makes
- *    `planInputPartitions` throw with the maintenance verb that restores
- *    streamability ([[Snapshots.materializeDeletes]] /
- *    [[Snapshots.materializeSchema]]). `option("ignoreChanges", true)`
- *    opts into Delta's relaxed mode: added files stream anyway, which
- *    re-delivers rows of rewritten files — the consumer owns dedup, same
- *    caveat Delta documents. A default-less ADD COLUMN streams without
- *    fuss (old files clip-read as NULL, the batch semantics).
- *  - PARTITIONS ARE FILE SPLITS. Each planned file becomes
- *    `filesMaxPartitionBytes`-sized [[PartitionedFile]] splits (parquet
- *    is row-group splittable), read on executors through Spark's own
- *    parquet reader ([[ParquetFileFormat.buildReaderWithPartitionValues]]
- *    — the engine FileScanRDD itself runs on), so a 10 GB append spreads
- *    across the cluster instead of pinning one task per file.
+ *    (rename/widen, ADD COLUMN with a non-null default) makes `getBatch`
+ *    throw with the maintenance verb that restores streamability
+ *    ([[Snapshots.materializeDeletes]] / [[Snapshots.materializeSchema]]).
+ *    `option("ignoreChanges", true)` opts into Delta's relaxed mode:
+ *    added files stream anyway, which re-delivers rows of rewritten
+ *    files — the consumer owns dedup, same caveat Delta documents. A
+ *    default-less ADD COLUMN streams without fuss (old files clip-read
+ *    as NULL through the stream's declared schema).
+ *  - ADMISSION CONTROL: `maxVersionsPerTrigger` paces whole commits;
+ *    `maxBytesPerTrigger` (round-17) paces by ADDED BYTES read from the
+ *    manifest's `#b=` length field (zero extra IO; entries from before
+ *    the field cost one delta-scoped getFileStatus each) — a soft cap at
+ *    file granularity, always admitting at least one file per trigger,
+ *    so one 10 GB commit splits across triggers instead of blowing one.
+ *    Both compose; `Trigger.AvailableNow` pins the catch-up target at
+ *    query start so the run terminates while writers keep committing.
  *
- * 100 TB: every driver-side step is O(delta in versions + files touched);
- * nothing lists the table, nothing reads a shared file, and row IO is
- * executor-side and split-parallel. Reference streaming semantics:
- * consumer-side event delivery per redpanda_activity.py; the
- * table-as-stream shape itself is the lakehouse capability (SURVEY
- * §2.10) the reference's broker fills with Kafka.
+ * CHANGE-DATA-FEED mode (Delta CDF streaming twin,
+ * `option("readChangeFeed", true)` + `option("changeKey", <unique key>)`):
+ * each micro-batch is the [[Snapshots.changes]] feed — insert / delete /
+ * update pre+post PAIRS with `_change_type` and `_commit_version` — and
+ * the append-only contract does not apply (rewrites are exactly what the
+ * feed describes). Batches spanning several commits are planned ONE
+ * VERSION AT A TIME and unioned, so `_commit_version` is per-commit
+ * exact (the Delta convention) even under `ReadLimit.allAvailable`; the
+ * first batch of a fresh stream is the initial snapshot as inserts,
+ * stamped with its version. With `option("branch", ...)` the feed walks
+ * the branch's own chain (round-17) — the WAP audit subscriber's
+ * row-level view of staging. CDF byte pacing stays version-granular (a
+ * change feed has no per-file decomposition).
+ *
+ * 100 TB: every driver-side step is O(delta in versions + files
+ * touched); nothing lists the table, nothing reads a shared file, and
+ * row IO is executor-side through Spark's own pruned, filtered,
+ * vectorized parquet scan.
+ *
+ * Reference streaming semantics: consumer-side event delivery per
+ * redpanda_activity.py; the table-as-stream shape itself is the
+ * lakehouse capability (SURVEY §2.10) the reference's broker fills with
+ * Kafka.
  */
-class SnapshotStreamSource extends TableProvider with DataSourceRegister {
+class SnapshotStreamSource extends StreamSourceProvider with DataSourceRegister {
   override def shortName(): String = "graft-snapshots"
-  override def supportsExternalMetadata(): Boolean = true
 
-  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
-    val base = SnapshotStreamSource.basePath(options)
-    val t = Option(options.get("branch")) match {
-      case Some(b) => Snapshots.readBranch(SparkSession.active, base, b).schema
-      case None => Snapshots.read(SparkSession.active, base).schema
-    }
-    if (SnapshotStreamSource.isChangeFeed(options))
-      StructType(t.fields.toSeq :+
-        org.apache.spark.sql.types.StructField("_change_type",
-          org.apache.spark.sql.types.StringType) :+
-        org.apache.spark.sql.types.StructField("_commit_version",
-          org.apache.spark.sql.types.LongType))
-    else t
+  override def sourceSchema(sqlContext: SQLContext,
+      schema: Option[StructType], providerName: String,
+      parameters: Map[String, String]): (String, StructType) = {
+    val opts = SnapshotStreamSource.optionsOf(parameters)
+    (s"graft-snapshots:${SnapshotStreamSource.basePath(opts)}",
+      schema.getOrElse(SnapshotStreamSource.inferSchema(
+        sqlContext.sparkSession, opts)))
   }
 
-  override def getTable(schema: StructType, partitioning: Array[Transform],
-                        properties: util.Map[String, String]): Table =
-    new SnapshotStreamTable(schema,
-      new CaseInsensitiveStringMap(properties))
+  override def createSource(sqlContext: SQLContext, metadataPath: String,
+      schema: Option[StructType], providerName: String,
+      parameters: Map[String, String]): Source = {
+    val opts = SnapshotStreamSource.optionsOf(parameters)
+    new SnapshotSource(sqlContext.sparkSession,
+      schema.getOrElse(SnapshotStreamSource.inferSchema(
+        sqlContext.sparkSession, opts)), opts, metadataPath)
+  }
 }
 
 object SnapshotStreamSource {
+  private[store] def optionsOf(parameters: Map[String, String]): CaseInsensitiveStringMap =
+    new CaseInsensitiveStringMap(parameters.asJava)
+
   private[store] def basePath(options: CaseInsensitiveStringMap): String = {
     val p = options.get("path")
     require(p != null && p.nonEmpty,
@@ -113,56 +141,67 @@ object SnapshotStreamSource {
 
   private[store] def isChangeFeed(options: CaseInsensitiveStringMap): Boolean =
     Option(options.get("readChangeFeed")).exists(_.toBoolean)
-}
 
-private[store] class SnapshotStreamTable(tableSchema: StructType,
-    options: CaseInsensitiveStringMap) extends Table with SupportsRead {
-  override def name(): String =
-    s"graft-snapshots:${SnapshotStreamSource.basePath(options)}"
-  override def schema(): StructType = tableSchema
-  override def capabilities(): util.Set[TableCapability] =
-    Set(TableCapability.MICRO_BATCH_READ).asJava
+  /** Memo for [[inferSchema]], keyed on the chain HEAD version: the V1
+    * provider protocol resolves the schema once for analysis
+    * (`sourceSchema`) and once at `createSource`, and every stream
+    * (re)start repeats both — each a manifest-metadata union-schema
+    * derivation. Committed manifests are immutable, so a (base, branch,
+    * head-version) key can never serve a stale schema; bounded by a
+    * crude full-clear (streams against thousands of distinct tables in
+    * one driver are not a leak vector worth an LRU). */
+  private val schemaMemo = new java.util.concurrent.ConcurrentHashMap[
+    (String, Option[String], Boolean, Long), StructType]()
 
-  override def newScanBuilder(scanOptions: CaseInsensitiveStringMap): ScanBuilder = {
-    // .load(path) registers options at getTable time; merge both maps so
-    // either surface works
-    val merged = new CaseInsensitiveStringMap(
-      (options.asScala ++ scanOptions.asScala).asJava)
-    new ScanBuilder {
-      override def build(): Scan = new Scan {
-        override def readSchema(): StructType = tableSchema
-        override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-          new SnapshotMicroBatchStream(SparkSession.active, tableSchema,
-            merged, checkpointLocation)
-      }
-    }
+  /** Declared stream schema: the table's (or branch's) current read
+    * schema, plus the CDC columns in change-feed mode. */
+  private[store] def inferSchema(spark: SparkSession,
+      options: CaseInsensitiveStringMap): StructType = {
+    val base = basePath(options)
+    val branch = Option(options.get("branch"))
+    val head = branch.fold(Snapshots.versions(spark, base))(b =>
+      Snapshots.branchVersions(spark, base, b)).lastOption.getOrElse(-1L)
+    if (schemaMemo.size > 1024) schemaMemo.clear()
+    schemaMemo.computeIfAbsent((base, branch, isChangeFeed(options), head),
+      _ => {
+        val t = branch match {
+          case Some(b) => Snapshots.readBranch(spark, base, b).schema
+          case None => Snapshots.read(spark, base).schema
+        }
+        if (isChangeFeed(options))
+          StructType(t.fields.toSeq :+
+            StructField("_change_type", StringType) :+
+            StructField("_commit_version", LongType))
+        else t
+      })
   }
 }
 
-/** Version-number offset; serializes as the bare number. */
-private[store] case class SnapshotVersionOffset(v: Long) extends Offset {
-  override def json(): String = v.toString
+/** Stream position: every commit ≤ `v` delivered, plus the first
+  * `fileIdx` added files of the chain's NEXT commit (byte pacing may cut
+  * inside a commit). Serializes as the bare version number when aligned
+  * to a commit boundary — the round-16 checkpoint format — and as
+  * `v#fileIdx` mid-commit. */
+private[store] case class SnapshotVersionOffset(v: Long, fileIdx: Int = 0)
+    extends OffsetV1 {
+  override def json(): String = if (fileIdx == 0) v.toString else s"$v#$fileIdx"
 }
 
-private[store] class SnapshotMicroBatchStream(spark: SparkSession,
+private[store] object SnapshotVersionOffset {
+  def parse(json: String): SnapshotVersionOffset = json.split('#') match {
+    case Array(v) => SnapshotVersionOffset(v.toLong)
+    case Array(v, i) => SnapshotVersionOffset(v.toLong, i.toInt)
+    case _ => throw new IllegalArgumentException(s"bad snapshot offset: $json")
+  }
+}
+
+private[store] class SnapshotSource(spark: SparkSession,
     tableSchema: StructType, options: CaseInsensitiveStringMap,
-    checkpointLocation: String = "")
-    extends MicroBatchStream with SupportsAdmissionControl
+    metadataPath: String = "")
+    extends Source with SupportsAdmissionControl
     with SupportsTriggerAvailableNow {
 
   private val base = SnapshotStreamSource.basePath(options)
-  /** Change-data-feed mode (Delta CDF streaming twin): each micro-batch
-    * is [[Snapshots.changes]] over its version range — insert / delete /
-    * update pre+post PAIRS with `_change_type` and `_commit_version`
-    * columns — instead of the added files' rows, and the append-only
-    * contract does not apply (rewrites are exactly what the feed
-    * describes). The first batch of a fresh stream is the initial
-    * snapshot as inserts, Delta's convention. Requires
-    * `option("changeKey", <unique key column>)` — the CDC contract. The
-    * batch's rows are materialized under the stream's own checkpoint
-    * directory (the join output has to live somewhere; the write is a
-    * distributed job and replays deterministically from the immutable
-    * manifests) and swept once the batch commits. */
   private val changeFeed = SnapshotStreamSource.isChangeFeed(options)
   private val changeKey: String = {
     val k = Option(options.get("changeKey")).getOrElse("")
@@ -174,17 +213,21 @@ private[store] class SnapshotMicroBatchStream(spark: SparkSession,
     * branch-scoped reads): offsets walk `branchVersions`, batches read
     * the branch manifests' deltas — the WAP shape where an audit job
     * subscribes to a staging branch before fast-forward publishes it.
-    * The change feed stays main-only (the CDC verbs key on main
-    * versions). */
+    * Composes with the change feed (round-17): CDC batches replay
+    * [[Snapshots.changes]] over the branch chain. */
   private val branchOpt: Option[String] = Option(options.get("branch"))
-  require(!changeFeed || branchOpt.isEmpty,
-    "readChangeFeed streams main versions; drop option(\"branch\")")
   private val ignoreChanges =
     Option(options.get("ignoreChanges")).exists(_.toBoolean)
   private val maxVersionsPerTrigger: Option[Long] =
     Option(options.get("maxVersionsPerTrigger")).map { s =>
       val n = s.toLong
       require(n > 0, s"maxVersionsPerTrigger must be > 0, got $n")
+      n
+    }
+  private val maxBytesPerTrigger: Option[Long] =
+    Option(options.get("maxBytesPerTrigger")).map { s =>
+      val n = s.toLong
+      require(n > 0, s"maxBytesPerTrigger must be > 0, got $n")
       n
     }
 
@@ -196,10 +239,13 @@ private[store] class SnapshotMicroBatchStream(spark: SparkSession,
     case None => Snapshots.versions(spark, base)
   }
 
-  override def initialOffset(): Offset = {
+  override def schema: StructType = tableSchema
+
+  /** The before-first-delivery sentinel from `startingVersion`. */
+  private def startSentinel: Long = {
     val vs = currentVersions
     require(vs.nonEmpty, s"no snapshots under $base")
-    val start = Option(options.get("startingVersion")) match {
+    Option(options.get("startingVersion")) match {
       case None => vs.head - 1 // stream the whole table from its first commit
       case Some("latest") => vs.last // only commits after stream start
       case Some(s) =>
@@ -208,96 +254,111 @@ private[store] class SnapshotMicroBatchStream(spark: SparkSession,
           s"startingVersion $v outside committed range $vs")
         v - 1
     }
-    SnapshotVersionOffset(start)
   }
 
-  override def latestOffset(): Offset =
-    SnapshotVersionOffset(currentVersions.last)
+  override def initialOffset(): OffsetV2 = SnapshotVersionOffset(startSentinel)
+
+  /** The engine drives admission-controlled sources through
+    * `latestOffset(start, limit)`; the legacy polling surface must not
+    * be consulted (FileStreamSource's contract). */
+  override def getOffset: Option[OffsetV1] =
+    throw new UnsupportedOperationException(
+      "latestOffset(Offset, ReadLimit) is called instead (SupportsAdmissionControl)")
+
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
 
   /** Trigger.AvailableNow pins the catch-up target at query start so the
     * run terminates even while writers keep committing; batches still
-    * pace at maxVersionsPerTrigger until the target is reached. */
+    * pace at the trigger limits until the target is reached. */
   @volatile private var availableNowTarget: Option[Long] = None
   override def prepareForTriggerAvailableNow(): Unit =
     availableNowTarget = Some(currentVersions.last)
 
-  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
-    val s = start.asInstanceOf[SnapshotVersionOffset].v
-    val last = availableNowTarget.getOrElse(currentVersions.last)
-    SnapshotVersionOffset(
-      maxVersionsPerTrigger.fold(last)(m => math.min(last, s + m)))
+  private def offsetOf(o: OffsetV2): SnapshotVersionOffset = o match {
+    case s: SnapshotVersionOffset => s
+    case other => SnapshotVersionOffset.parse(other.json())
   }
 
-  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+  /** Next committed version in the chain strictly after `v` (chain
+    * numbering may in principle carry gaps; walk the committed list). */
+  private def chainNext(vs: Seq[Long], v: Long): Option[Long] =
+    vs.find(_ > v)
 
-  override def deserializeOffset(json: String): Offset =
-    SnapshotVersionOffset(json.toLong)
-
-  override def commit(end: Offset): Unit = if (changeFeed) {
-    // sweep materialized CDF batches the checkpoint no longer needs
-    // (end version ≤ the committed one); best-effort — a leftover dir is
-    // re-overwritten on replay, never re-served
-    val ev = end.asInstanceOf[SnapshotVersionOffset].v
-    try {
-      val dir = new Path(cdcRoot)
-      val f = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      if (f.exists(dir)) f.listStatus(dir).foreach { st =>
-        st.getPath.getName.split('_') match {
-          case Array("b", _, e) if scala.util.Try(e.toLong).toOption.exists(_ <= ev) =>
-            f.delete(st.getPath, true); ()
-          case _ => ()
-        }
-      }
-    } catch { case scala.util.control.NonFatal(_) => () }
-  }
-  override def stop(): Unit = ()
-
-  private def cdcRoot = s"$checkpointLocation/__graft_cdc"
-
-  /** Materialize the CDF batch under the checkpoint dir and return its
-    * parquet files as the batch's input partitions. */
-  private def planChangeFeed(sv: Long, ev: Long): Array[InputPartition] = {
-    import org.apache.spark.sql.functions.{col, lit}
-    val vs = currentVersions
-    val body =
-      if (sv < vs.head) // fresh stream: initial snapshot as inserts
-        Snapshots.read(spark, base, Some(ev))
-          .withColumn("_change_type", lit("insert"))
-      else Snapshots.changes(spark, base, sv, ev, changeKey)
-    val feed = body.withColumn("_commit_version", lit(ev))
-    // align to the stream's declared schema (null-fill a column the
-    // range's versions don't carry yet; drop post-start additions)
-    val present = feed.columns.toSet
-    val aligned = feed.select(tableSchema.fields.toSeq.map { f =>
-      if (present(f.name)) col(f.name).cast(f.dataType).as(f.name)
-      else lit(null).cast(f.dataType).as(f.name)
-    }: _*)
-    // idempotent materialization: planInputPartitions can run more than
-    // once per batch (every action on the batch frame re-plans), so the
-    // dir is written ONCE via tmp + atomic rename and reused afterwards —
-    // a second writer deleting files a first plan still references would
-    // be a mid-read FileNotFound. Content is deterministic (changes()
-    // replans identically from immutable manifests), so any COMPLETE dir
-    // is valid; losers of the rename race discard their tmp.
-    val p = new Path(s"$cdcRoot/b_${sv}_$ev")
-    val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!f.exists(p)) {
-      val tmp = new Path(
-        s"$cdcRoot/.tmp_b_${sv}_${ev}_${java.util.UUID.randomUUID}")
-      aligned.write.mode("overwrite").parquet(tmp.toString)
-      if (!f.rename(tmp, p)) { f.delete(tmp, true); () }
+  /** The files version `v` ADDED over its chain predecessor, in manifest
+    * order (immutable ⇒ per-file offsets replay deterministically). */
+  private def addedAt(vs: Seq[Long], v: Long): Seq[Snapshots.ManifestEntry] = {
+    val prevPaths = vs.takeWhile(_ < v).lastOption match {
+      case None => Set.empty[String]
+      case Some(p) => stateAt(p)._1.map(_.path).toSet
     }
-    val maxSplit = spark.sessionState.conf.filesMaxPartitionBytes
-    f.listStatus(p).filter(_.getPath.getName.endsWith(".parquet"))
-      .flatMap { st =>
-        val len = st.getLen
-        (0L until math.max(len, 1L) by maxSplit).map { off =>
-          SnapshotInputPartition(PartitionedFile(
-            InternalRow.empty, SparkPath.fromPath(st.getPath), off,
-            math.min(maxSplit, len - off), Array.empty, 0L, len, Map.empty))
-        }
-      }
+    stateAt(v)._1.filterNot(e => prevPaths.contains(e.path))
   }
+
+  /** Byte length of an added file: the manifest's `#b=` field, else one
+    * delta-scoped getFileStatus (pre-field vintages). */
+  private def lengthOf(e: Snapshots.ManifestEntry): Long =
+    e.bytes.getOrElse {
+      val p = new Path(s"$base/${e.path}")
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .getFileStatus(p).getLen
+    }
+
+  override def latestOffset(start: OffsetV2, limit: ReadLimit): OffsetV2 = {
+    // getStartOffset hands a V1 source NULL on the first trigger and the
+    // progress offset afterward
+    val s0 = Option(start).map(offsetOf)
+      .getOrElse(SnapshotVersionOffset(startSentinel))
+    val vs = currentVersions
+    val last = availableNowTarget.getOrElse(vs.last)
+    // version pacing (whole commits); an in-flight mid-version commit
+    // counts as the first of the cap
+    val vCap = maxVersionsPerTrigger.fold(last)(m => math.min(last, s0.v + m))
+    maxBytesPerTrigger match {
+      case Some(maxB) if !changeFeed =>
+        // file-granular soft cap: admit added files in chain order until
+        // the budget is spent, always at least one (progress guarantee);
+        // an offset may land mid-commit as (lastFullVersion, fileIdx)
+        var pos = s0
+        var budget = maxB
+        var admitted = 0
+        var done = false
+        while (!done) {
+          chainNext(vs, pos.v).filter(_ <= vCap) match {
+            case None => done = true
+            case Some(nv) =>
+              val files = addedAt(vs, nv)
+              var i = math.min(pos.fileIdx, files.length)
+              var cut = false
+              while (i < files.length && !cut) {
+                val len = lengthOf(files(i))
+                if (admitted > 0 && len > budget) cut = true
+                else { budget -= len; admitted += 1; i += 1 }
+              }
+              if (i >= files.length) pos = SnapshotVersionOffset(nv)
+              else { pos = SnapshotVersionOffset(pos.v, i); done = true }
+              if (budget <= 0L) done = true
+          }
+        }
+        pos
+      case _ =>
+        // version-granular pacing (also the CDF mode under byte pacing —
+        // a change feed has no per-file decomposition); a mid-version
+        // position left by a byte-paced run first completes its commit
+        val minEnd = if (s0.fileIdx > 0) chainNext(vs, s0.v).getOrElse(s0.v)
+                     else s0.v
+        val end = math.max(vCap, minEnd)
+        if (end <= s0.v) s0 else SnapshotVersionOffset(end)
+    }
+  }
+
+  override def deserializeOffset(json: String): OffsetV2 =
+    SnapshotVersionOffset.parse(json)
+
+  private def cdcRoot = s"$metadataPath/__graft_cdc"
+
+  override def commit(end: OffsetV1): Unit =
+    if (changeFeed) sweepCdc(offsetOf(end).v)
+  override def stop(): Unit = ()
 
   /** `(data entries, delete entries, image-changing op lines)` at `v`;
     * all empty for the before-first-commit sentinel. */
@@ -325,17 +386,50 @@ private[store] class SnapshotMicroBatchStream(spark: SparkSession,
     }
   }
 
-  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
-    val sv = start.asInstanceOf[SnapshotVersionOffset].v
-    val ev = end.asInstanceOf[SnapshotVersionOffset].v
-    if (ev <= sv) return Array.empty
-    if (changeFeed) return planChangeFeed(sv, ev)
-    val (dataS, delsS, _) = stateAt(sv)
-    val (dataT, delsT, imageOpsT) = stateAt(ev)
+  /** Align a batch frame to the stream's DECLARED schema: null-fill a
+    * column the range's versions don't carry yet, cast a widened one,
+    * drop post-start additions — the consumer sees one stable schema for
+    * the stream's lifetime. */
+  private def align(df: DataFrame, to: StructType): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val present = df.columns.toSet
+    df.select(to.fields.toSeq.map { f =>
+      if (present(f.name)) col(f.name).cast(f.dataType).as(f.name)
+      else lit(null).cast(f.dataType).as(f.name)
+    }: _*)
+  }
+
+  private def emptyBatch: DataFrame =
+    org.apache.spark.sql.graftshim.Shims.emptyStreamingFrame(spark, tableSchema)
+
+  override def getBatch(start: Option[OffsetV1], end: OffsetV1): DataFrame = {
+    val s0 = start.map(o => offsetOf(o))
+      .getOrElse(SnapshotVersionOffset(startSentinel))
+    val e0 = offsetOf(end)
+    if (changeFeed) changeFeedBatch(s0.v, e0.v)
+    else appendBatch(s0, e0)
+  }
+
+  /** Non-CDF batch: the added-file delta between the offsets, clip-read
+    * through the stream's declared schema as ONE file relation (missing
+    * columns null-fill, extra physical columns project away — the batch
+    * read's own vintage semantics) and flagged streaming. Catalyst then
+    * prunes columns, pushes the query's filters into the scan, and keeps
+    * the vectorized reader — the whole point of the V1 splice. */
+  private def appendBatch(s0: SnapshotVersionOffset,
+                          e0: SnapshotVersionOffset): DataFrame = {
+    if (e0.v < s0.v || (e0.v == s0.v && e0.fileIdx <= s0.fileIdx))
+      return emptyBatch
+    val vs = currentVersions
+    // contract checks run over the whole span (endpoint manifests)
+    val spanEnd = if (e0.fileIdx == 0) e0.v
+                  else chainNext(vs, e0.v).getOrElse(e0.v)
+    val (dataS, delsS, _) = stateAt(s0.v)
+    val (dataT, delsT, imageOpsT) = stateAt(spanEnd)
     if (!ignoreChanges) {
       val removed = dataS.map(_.path).toSet -- dataT.map(_.path).toSet
       require(removed.isEmpty,
-        s"version range ($sv, $ev] of $base rewrites/removes " +
+        s"version range (${s0.v}, $spanEnd] of $base rewrites/removes " +
           s"${removed.size} data file(s) — not an append-only stream. Set " +
           "option(\"ignoreChanges\", true) to stream added files anyway " +
           "(re-delivers rewritten rows), or start a fresh stream.")
@@ -348,61 +442,102 @@ private[store] class SnapshotMicroBatchStream(spark: SparkSession,
           "Snapshots.materializeSchema first (clip-reading old-vintage " +
           "files through the evolved schema would mis-read them)")
     }
-    val pathsS = dataS.map(_.path).toSet
-    val added = dataT.filterNot(e => pathsS.contains(e.path))
-    val f = new Path(base).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val maxSplit = spark.sessionState.conf.filesMaxPartitionBytes
-    added.flatMap { e =>
-      val p = new Path(s"$base/${e.path}")
-      val len = f.getFileStatus(p).getLen
-      (0L until math.max(len, 1L) by maxSplit).map { off =>
-        SnapshotInputPartition(PartitionedFile(
-          InternalRow.empty, SparkPath.fromPath(p), off,
-          math.min(maxSplit, len - off), Array.empty,
-          0L, len, Map.empty))
+    val entries: Seq[Snapshots.ManifestEntry] =
+      if (s0.fileIdx == 0 && e0.fileIdx == 0) {
+        // commit-aligned range: the endpoint manifest diff (two manifest
+        // reads however many versions the range spans)
+        val pathsS = dataS.map(_.path).toSet
+        dataT.filterNot(e => pathsS.contains(e.path))
+      } else {
+        // byte-paced range cutting inside commits: per-version added
+        // lists (manifest order, immutable), sliced at the offsets'
+        // file positions
+        val startPartial = chainNext(vs, s0.v).filter(_ => s0.fileIdx > 0)
+        val endPartial = chainNext(vs, e0.v).filter(_ => e0.fileIdx > 0)
+        vs.filter(v => v > s0.v && v <= spanEnd).flatMap { v =>
+          val files = addedAt(vs, v)
+          val lo = if (startPartial.contains(v)) s0.fileIdx else 0
+          val hi = if (endPartial.contains(v)) e0.fileIdx else files.length
+          files.slice(lo, hi)
+        }
       }
-    }.toArray
+    if (entries.isEmpty) return emptyBatch
+    org.apache.spark.sql.graftshim.Shims.streamingFrame(
+      spark.read.schema(tableSchema)
+        .parquet(entries.map(e => s"$base/${e.path}"): _*))
   }
 
-  override def createReaderFactory(): PartitionReaderFactory = {
-    // Row-based parquet path (vectorized readers hand back ColumnarBatch,
-    // which needs the columnar scan surface); the flag is flipped only
-    // around the driver-side reader BUILD — it's captured eagerly into
-    // the returned closure — then restored. The reader function is the
-    // serializable closure FileScanRDD itself ships to executors —
-    // missing columns clip-read as NULL (default-less ADD COLUMN), extra
-    // physical columns (pending DROP) project away.
-    val key = "spark.sql.parquet.enableVectorizedReader"
-    val prev = spark.conf.getOption(key)
-    spark.conf.set(key, "false")
-    val readFunc = try {
-      new ParquetFileFormat().buildReaderWithPartitionValues(
-        sparkSession = spark,
-        dataSchema = tableSchema,
-        partitionSchema = StructType(Nil),
-        requiredSchema = tableSchema,
-        filters = Nil,
-        options = Map.empty,
-        hadoopConf = spark.sessionState.newHadoopConfWithOptions(Map.empty))
-    } finally prev.fold(spark.conf.unset(key))(spark.conf.set(key, _))
-    new SnapshotPartitionReaderFactory(readFunc)
-  }
-}
-
-private[store] case class SnapshotInputPartition(file: PartitionedFile)
-  extends InputPartition
-
-private[store] class SnapshotPartitionReaderFactory(
-    readFunc: PartitionedFile => Iterator[InternalRow])
-    extends PartitionReaderFactory {
-  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
-    val it = readFunc(partition.asInstanceOf[SnapshotInputPartition].file)
-    new PartitionReader[InternalRow] {
-      private var cur: InternalRow = _
-      override def next(): Boolean =
-        if (it.hasNext) { cur = it.next(); true } else false
-      override def get(): InternalRow = cur
-      override def close(): Unit = ()
+  /** CDF batch: [[Snapshots.changes]] planned ONE COMMIT AT A TIME and
+    * unioned, each slice stamped with its own `_commit_version` (Delta's
+    * per-commit fidelity even when a batch spans commits under
+    * `ReadLimit.allAvailable`); a fresh stream's first slice is the
+    * initial snapshot as inserts at the chain's first in-range version.
+    * The feed is MATERIALIZED under the stream's own checkpoint
+    * directory and served back as one streaming-flagged parquet
+    * relation: the changes() join has to be executed somewhere (splicing
+    * its multi-relation plan in directly would read as a stream-stream
+    * join to the incremental planner), the write is a distributed job
+    * replaying deterministically from immutable manifests, and the
+    * DELIVERY scan — the side the consumer's projections hit — stays a
+    * prunable, filterable, vectorized file read. Idempotent via tmp +
+    * atomic rename (getBatch can run more than once per batch; losers
+    * discard their tmp), swept on commit(). */
+  /** Drop materialized CDF batch dirs (and crash-orphaned `.tmp_b_*`)
+    * whose END version is ≤ `upTo` — provably behind the stream. Runs on
+    * commit() AND when planning a new batch starting at `upTo` (the
+    * engine only commits source offsets lazily when the NEXT batch runs,
+    * so commit() alone would leave the final batch's dir behind on an
+    * AvailableNow run). Best-effort: a swept dir is re-materialized
+    * deterministically on any replay. */
+  private def sweepCdc(upTo: Long): Unit = try {
+    val dir = new Path(cdcRoot)
+    val f = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (f.exists(dir)) f.listStatus(dir).foreach { st =>
+      val done = st.getPath.getName.split('_') match {
+        case Array("b", _, e) =>
+          scala.util.Try(e.toLong).toOption.exists(_ <= upTo)
+        case Array(".tmp", "b", _, e, _) =>
+          scala.util.Try(e.toLong).toOption.exists(_ <= upTo)
+        case _ => false
+      }
+      if (done) { f.delete(st.getPath, true); () }
     }
+  } catch { case scala.util.control.NonFatal(_) => () }
+
+  private def changeFeedBatch(sv: Long, ev: Long): DataFrame = {
+    import org.apache.spark.sql.functions.lit
+    if (ev <= sv) return emptyBatch
+    sweepCdc(sv)
+    val vs = currentVersions
+    // data columns + _change_type; _commit_version is stamped per slice
+    val withCt = StructType(tableSchema.fields.dropRight(1))
+    def stamped(body: DataFrame, v: Long): DataFrame =
+      align(body, withCt).withColumn("_commit_version", lit(v))
+    val (snapshotPart, firstDone): (Seq[DataFrame], Long) =
+      if (sv < vs.head) {
+        val v0 = vs.filter(_ <= ev).head
+        val body = branchOpt match {
+          case Some(b) => Snapshots.readBranch(spark, base, b, Some(v0))
+          case None => Snapshots.read(spark, base, Some(v0))
+        }
+        (Seq(stamped(body.withColumn("_change_type", lit("insert")), v0)), v0)
+      } else (Seq.empty, sv)
+    val steps = vs.filter(v => v > firstDone && v <= ev)
+    val slices = snapshotPart ++ steps.zip(firstDone +: steps).map {
+      case (v, prev) =>
+        stamped(Snapshots.changes(spark, base, prev, v, changeKey, branchOpt), v)
+    }
+    if (slices.isEmpty) return emptyBatch
+    val feed = slices.reduce(_ unionByName _)
+    val p = new Path(s"$cdcRoot/b_${sv}_$ev")
+    val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!f.exists(p)) {
+      val tmp = new Path(
+        s"$cdcRoot/.tmp_b_${sv}_${ev}_${java.util.UUID.randomUUID}")
+      feed.write.mode("overwrite").parquet(tmp.toString)
+      if (!f.rename(tmp, p)) { f.delete(tmp, true); () }
+    }
+    org.apache.spark.sql.graftshim.Shims.streamingFrame(
+      spark.read.schema(tableSchema).parquet(p.toString))
   }
 }

@@ -135,7 +135,15 @@ object Snapshots {
         * the O(table-files) cost the round-14 verdict flagged). None on
         * entries written before the field existed (readers fall back to the
         * footer sweep for that version). */
-      schemaId: Option[Long] = None)
+      schemaId: Option[Long] = None,
+      /** file length in bytes (`#b=` field, round-17) — Iceberg's
+        * file_size_in_bytes in miniature: what lets byte-based stream
+        * admission control ([[graft.store.SnapshotSource]]'s
+        * maxBytesPerTrigger) pace batches from the manifest alone, zero
+        * file IO. None on entries written before the field existed
+        * (readers fall back to one getFileStatus per ADDED file —
+        * delta-scoped, never a table listing). */
+      bytes: Option[Long] = None)
 
   /** Schema-evolution manifest ops, applied to reads IN LINE ORDER
     * (chronological: inherited lines precede the version's own). */
@@ -376,7 +384,8 @@ object Snapshots {
     // path+stats): a 5-part STATS line whose max value happens to start
     // with "#r="/"#n=" must not be misparsed as a shorter line.
     val tagged = parts0.reverse.takeWhile(p =>
-      p.startsWith("#r=") || p.startsWith("#n=") || p.startsWith("#s="))
+      p.startsWith("#r=") || p.startsWith("#n=") || p.startsWith("#s=") ||
+        p.startsWith("#b="))
     val core = parts0.length - tagged.length
     val (parts, counters) =
       if ((core == 1 || core == 5) && tagged.nonEmpty)
@@ -387,18 +396,19 @@ object Snapshots {
     val rows = counters.getOrElse("#r=", None)
     val nulls = counters.getOrElse("#n=", None)
     val schemaId = counters.getOrElse("#s=", None)
+    val bytes = counters.getOrElse("#b=", None)
     if (parts.length == 5 && validStat(parts(2), parts(3), parts(4)))
       ManifestEntry(line, parts(0),
         Some((parts(1), parts(2), parts(3), parts(4))),
-        rows = rows, nulls = nulls, schemaId = schemaId)
+        rows = rows, nulls = nulls, schemaId = schemaId, bytes = bytes)
     else if (parts.length == 5)
       // 5-field line with an unusable stats triple (unknown tag, value
       // that doesn't parse, NaN bound): keep the file, drop the stats —
       // degrade to must-scan, never crash in statLeq or mis-prune
       ManifestEntry(line, parts(0), None, rows = rows, nulls = nulls,
-        schemaId = schemaId)
+        schemaId = schemaId, bytes = bytes)
     else ManifestEntry(line, parts(0), None, rows = rows, nulls = nulls,
-      schemaId = schemaId)
+      schemaId = schemaId, bytes = bytes)
   }
 
   /** (data entries, positional/equality-delete entries) of a manifest
@@ -850,9 +860,14 @@ object Snapshots {
         // to a count-less entry (readers fall back to scanning), never
         // fails the commit. Stats entries also record the key's per-file
         // NULL count (#n=) so [[countWhere]] can prove full inclusion —
-        // min/max alone cannot prove `IS NOT NULL`.
+        // min/max alone cannot prove `IS NOT NULL`. The `#b=` byte length
+        // (one getFileStatus on the staged file; rename preserves it)
+        // powers zero-IO byte-paced stream admission.
+        val bytesSuffix = scala.util.Try(
+          f.getFileStatus(new Path(txn, n)).getLen)
+          .toOption.map(b => s"\t#b=$b").getOrElse("")
         val rowsSuffix = footerRowCount(conf, new Path(txn, n))
-          .map(r => s"\t#r=$r").getOrElse("") + schemaSuffix
+          .map(r => s"\t#r=$r").getOrElse("") + bytesSuffix + schemaSuffix
         stats.get(n) match {
           case Some((mn, mx, nNull)) =>
             s"$vDir/$n\t${statsKey.get}\t$tag\t$mn\t$mx\t#n=$nNull$rowsSuffix"
@@ -1184,7 +1199,7 @@ object Snapshots {
     * null-filled), pending deletes applied, schema ops applied. The
     * shared read tail of every pruning verb ([[scanWhere]],
     * [[countWhere]]'s boundary scan, [[topK]]'s candidate loop). */
-  private def readSubset(spark: SparkSession, base: String,
+  private[store] def readSubset(spark: SparkSession, base: String,
       lines: Seq[String], subset: Seq[ManifestEntry],
       rawSchemaOpt: Option[org.apache.spark.sql.types.StructType] = None)
       : DataFrame = {
@@ -5328,9 +5343,13 @@ object Snapshots {
     *    delta-scoped: shared rows read NULL on both sides and cancel.
     */
   private def changedFileSides(spark: SparkSession, base: String,
-      fromV: Long, toV: Long): (DataFrame, DataFrame) = {
-    val linesFrom = manifestLines(spark, base, fromV)
-    val linesTo = manifestLines(spark, base, toV)
+      fromV: Long, toV: Long, branch: Option[String] = None): (DataFrame, DataFrame) = {
+    def linesAt(v: Long): Seq[String] = branch match {
+      case Some(b) => branchManifestLines(spark, base, b, v)
+      case None => manifestLines(spark, base, v)
+    }
+    val linesFrom = linesAt(fromV)
+    val linesTo = linesAt(toV)
     val (dataF, delsF) = splitEntries(linesFrom)
     val (dataT, delsT) = splitEntries(linesTo)
     // schema-op lines that rewrite the read image of PRE-EXISTING rows:
@@ -5402,11 +5421,16 @@ object Snapshots {
    * op that rewrites the read image of pre-existing rows (rename/drop/
    * widen, ADD with a non-null default) honestly widens to a full read
    * of both sides, since every pre-op file is affected.
+   *
+   * `branch` (round-17) scopes both versions to a BRANCH's commit chain
+   * (manifests from the vb-* namespace, same O(delta) scoping) — the WAP
+   * audit subscriber's change feed over staging, before fast-forward
+   * publishes it.
    */
   def changes(spark: SparkSession, base: String, fromV: Long, toV: Long,
-              key: String): DataFrame = {
+              key: String, branch: Option[String] = None): DataFrame = {
     import org.apache.spark.sql.functions._
-    val (fromDf, toDf) = changedFileSides(spark, base, fromV, toV)
+    val (fromDf, toDf) = changedFileSides(spark, base, fromV, toV, branch)
     require(fromDf.columns.contains(key) && toDf.columns.contains(key),
       s"changes key $key must exist in both versions' schemas")
     // unified output schema: fromV's columns first, then toV-only additions

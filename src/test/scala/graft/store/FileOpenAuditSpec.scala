@@ -16,16 +16,53 @@ class CountingLocalFs extends org.apache.hadoop.fs.RawLocalFileSystem {
   override def open(f: org.apache.hadoop.fs.Path, bufferSize: Int)
       : org.apache.hadoop.fs.FSDataInputStream = {
     CountingLocalFs.opened.add(f.toUri.getPath)
-    super.open(f, bufferSize)
+    val in = super.open(f, bufferSize)
+    if (f.toUri.getPath.endsWith(".parquet"))
+      new org.apache.hadoop.fs.FSDataInputStream(
+        new CountingLocalFs.CountingStream(in))
+    else in
   }
 }
 object CountingLocalFs {
   val opened: java.util.Set[String] =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
-  def reset(): Unit = opened.clear()
+  /** Bytes actually read from .parquet files — the observable for "did
+    * column pruning reach the IO layer" (a pruned scan reads only its
+    * columns' chunks; a full-width one reads every chunk). */
+  val bytesRead = new java.util.concurrent.atomic.AtomicLong()
+  def reset(): Unit = { opened.clear(); bytesRead.set(0L) }
   def openedParquet: Set[String] = {
     import scala.jdk.CollectionConverters._
     opened.asScala.toSet.filter(_.endsWith(".parquet"))
+  }
+
+  /** Delegating seekable stream that counts every byte handed out. */
+  final class CountingStream(in: org.apache.hadoop.fs.FSDataInputStream)
+      extends java.io.InputStream
+      with org.apache.hadoop.fs.Seekable
+      with org.apache.hadoop.fs.PositionedReadable {
+    override def read(): Int = {
+      val r = in.read(); if (r >= 0) bytesRead.incrementAndGet(); r
+    }
+    override def read(b: Array[Byte], off: Int, len: Int): Int = {
+      val r = in.read(b, off, len); if (r > 0) bytesRead.addAndGet(r.toLong); r
+    }
+    override def read(pos: Long, b: Array[Byte], off: Int, len: Int): Int = {
+      val r = in.read(pos, b, off, len)
+      if (r > 0) bytesRead.addAndGet(r.toLong)
+      r
+    }
+    override def readFully(pos: Long, b: Array[Byte], off: Int, len: Int): Unit = {
+      in.readFully(pos, b, off, len); bytesRead.addAndGet(len.toLong); ()
+    }
+    override def readFully(pos: Long, b: Array[Byte]): Unit = {
+      in.readFully(pos, b); bytesRead.addAndGet(b.length.toLong); ()
+    }
+    override def seek(pos: Long): Unit = in.seek(pos)
+    override def getPos: Long = in.getPos
+    override def seekToNewSource(targetPos: Long): Boolean =
+      in.seekToNewSource(targetPos)
+    override def close(): Unit = in.close()
   }
 }
 

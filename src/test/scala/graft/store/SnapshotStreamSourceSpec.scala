@@ -9,12 +9,15 @@ import org.scalatest.funsuite.AnyFunSuite
 import graft.TestSpark
 
 /**
- * Table-as-stream source ([[SnapshotStreamSource]], DSv2 MicroBatchStream).
- * Pins: micro-batch union == batch read of the final version, version-capped
- * admission control, checkpointed crash-and-replay exactly-once,
- * startingVersion=latest, the append-only contract's refusals
- * (rewrite/MoR-delete/image-changing schema op) with ignoreChanges opt-out,
- * and file splitting by filesMaxPartitionBytes.
+ * Table-as-stream source ([[SnapshotStreamSource]], V1 Source so each
+ * micro-batch splices a real file relation into the plan — pruned,
+ * filtered, vectorized). Pins: micro-batch union == batch read of the
+ * final version, version- and byte-capped admission control, checkpointed
+ * crash-and-replay exactly-once, startingVersion=latest, the append-only
+ * contract's refusals (rewrite/MoR-delete/image-changing schema op) with
+ * ignoreChanges opt-out, file splitting by filesMaxPartitionBytes, column
+ * pruning + filter pushdown reaching the scan (ReadSchema + bytes-read
+ * observables), and the CDF feed incl. branch scoping.
  */
 class SnapshotStreamSourceSpec extends AnyFunSuite {
   private val spark = TestSpark.spark
@@ -220,12 +223,20 @@ class SnapshotStreamSourceSpec extends AnyFunSuite {
     assert(byVersion(3L) == Set((7L, "delete")))
     assert(byVersion(4L) == Set((21L, "insert")))
     assert(second.map(_._1).distinct.size == 3, "one commit per micro-batch")
-    // caught-up replay delivers nothing; materialized batches are swept
+    // caught-up replay delivers nothing
     assert(drainCdf().isEmpty)
-    val cdcDir = new org.apache.hadoop.fs.Path(s"$ckpt/__graft_cdc")
+    // sweep: planning a new batch drops every older materialized dir
+    // (incl. a planted .tmp_b_* crash orphan); at most the FINAL batch's
+    // own dir remains (the engine commits source offsets lazily, so the
+    // last range's dir is swept by the NEXT batch)
+    val cdcDir = new org.apache.hadoop.fs.Path(s"$ckpt/sources/0/__graft_cdc")
     val f = cdcDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    assert(!f.exists(cdcDir) || f.listStatus(cdcDir).isEmpty,
-      "committed CDF batches must be swept from the checkpoint dir")
+    f.mkdirs(new org.apache.hadoop.fs.Path(cdcDir, ".tmp_b_0_1_deadbeef"))
+    Snapshots.append(Seq((22L, "n22")).toDF("id", "name"), base)
+    assert(drainCdf().map(r => (r._2, r._3)) == Seq((22L, "insert")))
+    val left = f.listStatus(cdcDir).map(_.getPath.getName).toSeq
+    assert(left.forall(_ == "b_4_5"),
+      s"older CDF batch dirs and tmp orphans must be swept, left: $left")
   }
 
   test("branch streaming: a staging branch's commits stream; main stays independent") {
@@ -260,17 +271,130 @@ class SnapshotStreamSourceSpec extends AnyFunSuite {
     Snapshots.appendBranch(Seq((16L, "n16")).toDF("id", "name"), base, "staging")
     assert(drainBranch().flatMap(_._2).map(_._1).toSet == Set(16L),
       "the branch stream must deliver branch deltas only")
-    // change feed + branch is refused loudly
-    val e = intercept[Exception] {
-      spark.readStream.format("graft-snapshots")
+  }
+
+  test("change feed from a BRANCH: row-level changes of staging, main invisible") {
+    val base = freshDir("brcdf") + "/t"
+    Snapshots.write((1L to 10L).map(i => (i, s"n$i")).toDF("id", "name"), base)
+    Snapshots.createBranch(spark, base, "staging", 1L)
+    // branch appends, one per commit; main moves independently
+    Snapshots.appendBranch(Seq((11L, "n11")).toDF("id", "name"), base, "staging")
+    Snapshots.appendBranch(Seq((12L, "n12")).toDF("id", "name"), base, "staging")
+    Snapshots.append(Seq((99L, "main-only")).toDF("id", "name"), base)
+    val ckpt = freshDir("brcdf-ckpt")
+    def drainCdf(): Seq[(Long, String, Long)] = {
+      val got = mutable.ArrayBuffer.empty[(Long, String, Long)]
+      val q = spark.readStream.format("graft-snapshots")
         .option("branch", "staging")
         .option("readChangeFeed", "true").option("changeKey", "id")
+        .option("maxVersionsPerTrigger", "1")
         .load(base)
-        .writeStream.option("checkpointLocation", freshDir("branch-c2"))
-        .trigger(Trigger.AvailableNow()).format("noop").start()
-        .awaitTermination()
+        .writeStream.option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          val rows = b.select(col("id"), col("_change_type"),
+            col("_commit_version")).collect()
+            .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+          got.synchronized { got ++= rows }
+          ()
+        }
+        .start()
+      q.awaitTermination()
+      got.toSeq
     }
-    assert(msgChain(e).contains("main versions"), msgChain(e))
+    val first = drainCdf()
+    // fork snapshot as inserts at branch v1, then per-commit branch changes
+    assert(first.filter(_._3 == 1L).map(r => (r._1, r._2)).toSet ==
+      (1L to 10L).map(i => (i, "insert")).toSet, s"$first")
+    assert(first.filter(_._3 == 2L).map(r => (r._1, r._2)).toSet ==
+      Set((11L, "insert")))
+    assert(first.filter(_._3 == 3L).map(r => (r._1, r._2)).toSet ==
+      Set((12L, "insert")))
+    assert(!first.exists(_._1 == 99L), "main-only rows must not reach the branch feed")
+    // crash-replay determinism: caught-up restart delivers nothing
+    assert(drainCdf().isEmpty)
+  }
+
+  test("column pruning + filter pushdown reach the streaming scan (ReadSchema + bytes)") {
+    spark.sparkContext.hadoopConfiguration
+      .set("fs.cntfs.impl", classOf[CountingLocalFs].getName)
+    val root = java.nio.file.Files.createTempDirectory("graft-ss-prune")
+    val base = s"cntfs:$root/t"
+    // a fat INCOMPRESSIBLE padding column dominates the file (a constant
+    // pad would dictionary-encode away and hide the pruning win); a
+    // pruned scan must not read it
+    val df = (1L to 2000L).map { i =>
+      val rnd = new scala.util.Random(i)
+      (i, s"n$i", Array.fill(2048)((rnd.nextInt(94) + 33).toChar).mkString)
+    }.toDF("id", "name", "pad")
+    Snapshots.write(df, base)
+    def run(projectAndFilter: Boolean): (Long, Seq[String], String) = {
+      CountingLocalFs.reset()
+      val src = spark.readStream.format("graft-snapshots").load(base)
+      val shaped = if (projectAndFilter) src.select(col("id")).where(col("id") > 1990L)
+                   else src
+      val q = shaped.writeStream
+        .option("checkpointLocation", freshDir(s"prune-ckpt-$projectAndFilter"))
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          b.collect(); ()
+        }
+        .start()
+      q.awaitTermination()
+      // the last micro-batch's executed plan carries the actual file scan
+      val exec = q.asInstanceOf[
+          org.apache.spark.sql.execution.streaming.runtime.StreamingQueryWrapper]
+        .streamingQuery.lastExecution.executedPlan
+      val scan = exec.collectFirst {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+      }
+      assert(scan.nonEmpty, s"micro-batch must plan a FileSourceScan:\n$exec")
+      (CountingLocalFs.bytesRead.get(),
+        scan.get.requiredSchema.fieldNames.toSeq, scan.get.toString)
+    }
+    val (fullBytes, fullSchema, _) = run(projectAndFilter = false)
+    assert(fullSchema == Seq("id", "name", "pad"), s"baseline reads full width: $fullSchema")
+    val (prunedBytes, prunedSchema, scan) = run(projectAndFilter = true)
+    // the 2-column... 1-column projection's ReadSchema carries exactly it
+    assert(prunedSchema == Seq("id"),
+      s"projection must prune the streaming scan to [id], got $prunedSchema")
+    assert(scan.contains("PushedFilters: [IsNotNull(id), GreaterThan(id,1990)]") ||
+      scan.contains("GreaterThan(id,1990)"),
+      s"the filter must push into the parquet scan: $scan")
+    assert(prunedBytes * 3 < fullBytes,
+      s"pruned scan must skip the fat column's bytes: $prunedBytes vs $fullBytes")
+  }
+
+  test("maxBytesPerTrigger splits one fat commit across triggers, replay-deterministic") {
+    val base = freshDir("bytes") + "/t"
+    val ckpt = freshDir("bytes-ckpt")
+    Snapshots.write((1L to 10L).map(i => (i, s"n$i")).toDF("id", "name")
+      .coalesce(1), base) // v1: one file
+    Snapshots.append((11L to 50L).map(i => (i, s"n$i")).toDF("id", "name")
+      .repartition(4), base) // v2: one FAT commit, four files
+    Snapshots.append((51L to 60L).map(i => (i, s"n$i")).toDF("id", "name")
+      .coalesce(1), base) // v3: one file
+    // a 1-byte budget admits exactly one file per trigger (progress
+    // guarantee) → the fat commit splits into four micro-batches
+    val batches = drain(base, ckpt, Map("maxBytesPerTrigger" -> "1"))
+      .filter(_._2.nonEmpty)
+    assert(batches.size == 6,
+      s"1+4+1 files should pace as six single-file batches: ${batches.map(_._2.size)}")
+    val union = batches.flatMap(_._2)
+    assert(union.size == union.toSet.size, "no duplicate delivery across splits")
+    assert(union.map(_._1).toSet == (1L to 60L).toSet)
+    // caught-up restart delivers nothing (mid-version offsets replay clean)
+    assert(drain(base, ckpt, Map("maxBytesPerTrigger" -> "1"))
+      .flatMap(_._2).isEmpty)
+    // a restart WITHOUT byte pacing from a mid-version checkpoint also works:
+    // fresh commits arrive whole
+    Snapshots.append(Seq((61L, "n61")).toDF("id", "name"), base)
+    assert(drain(base, ckpt).flatMap(_._2).map(_._1) == Seq(61L))
+    // a generous budget takes whole commits per trigger
+    val fat = drain(base, freshDir("bytes-c2"),
+      Map("maxBytesPerTrigger" -> (64L * 1024 * 1024).toString))
+      .filter(_._2.nonEmpty)
+    assert(fat.size == 1, s"a 64MB budget should drain all commits at once: ${fat.size}")
   }
 
   test("a large file splits into filesMaxPartitionBytes-sized partitions") {

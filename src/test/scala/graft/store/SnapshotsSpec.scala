@@ -262,15 +262,15 @@ class SnapshotsSpec extends AnyFunSuite {
       .repartitionByRange(8, col("id"))
     Snapshots.write(df, base, statsKey = Some("id"))
     // every file's manifest line carries (key, tag, min, max) + the
-    // #n= null-count, #r= row-count, and #s= schema-id fields (plus ONE
-    // interned S: schema-definition line for the whole commit)
+    // #n= null-count, #r= row-count, #b= byte-length, and #s= schema-id
+    // fields (plus ONE interned S: schema-definition line for the commit)
     val lines = Snapshots.manifestLines(spark, base, 1L)
     val (defs, entries) = lines.partition(_.startsWith("S:"))
     assert(defs.size == 1, lines.mkString("\n"))
     assert(entries.size == 8 && entries.forall { l =>
       val p = l.split('\t')
-      p.length == 8 && p(5).startsWith("#n=") && p(6).startsWith("#r=") &&
-        p(7).startsWith("#s=")
+      p.length == 9 && p(5).startsWith("#n=") && p(6).startsWith("#r=") &&
+        p(7).startsWith("#b=") && p(8).startsWith("#s=")
     }, lines.mkString("\n"))
     // count input records the merge actually reads
     val recs = recordsReadDuring {
@@ -283,12 +283,12 @@ class SnapshotsSpec extends AnyFunSuite {
     val rows = Snapshots.read(spark, base).as[(Long, String)].collect().toMap
     assert(rows.size == 1000 && rows(5L) == "X" && rows(999L) == "v999")
     // the new version's manifest still carries stats on every entry line
-    // (5 stats fields, plus the #n=/#r=/#s= counters where recorded)
+    // (5 stats fields, plus the #n=/#r=/#b=/#s= counters where recorded)
     assert(Snapshots.manifestLines(spark, base, 2L)
       .filterNot(_.startsWith("S:"))
       .forall(l => l.split('\t')
         .filterNot(x => x.startsWith("#r=") || x.startsWith("#n=") ||
-          x.startsWith("#s="))
+          x.startsWith("#s=") || x.startsWith("#b="))
         .length == 5))
     // an out-of-range insert-only merge prunes EVERY file (reads ~0 rows)
     val recs2 = recordsReadDuring {
@@ -1103,11 +1103,12 @@ class SnapshotsSpec extends AnyFunSuite {
       statsKey = Some("s"))
     val lines = Snapshots.manifestLines(spark, base, 1L)
     // no manifest ENTRY line may carry a value that survives trim/getLines
-    // altered (trailing #n=/#r=/#s= counter fields may follow either shape)
+    // altered (trailing #n=/#r=/#b=/#s= counter fields may follow either
+    // shape)
     assert(lines.filterNot(_.startsWith("S:")).forall { l =>
       val p = l.split('\t')
         .filterNot(x => x.startsWith("#r=") || x.startsWith("#n=") ||
-          x.startsWith("#s="))
+          x.startsWith("#s=") || x.startsWith("#b="))
       p.length == 1 || p.length == 5 &&
         Seq(p(3), p(4)).forall(v => !v.exists(_.isControl) && v == v.trim)
     }, lines.mkString("|"))
