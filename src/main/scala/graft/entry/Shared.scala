@@ -47,6 +47,24 @@ private[graft] object Shared {
       java.nio.file.Files.createTempDirectory(root, prefix).toString
   }
 
+  /** Serialized enable-run-disable window for queries that toggle the
+    * session-global [[graft.plans.SnapshotAggRewrite.EnabledKey]]: the
+    * Verify/Bench harnesses run query functions on a thread pool, and a
+    * concurrent toggler's `finally` would flip the rule off mid-flight
+    * for another (observed round-17 as a flaky `metadata_answered` =
+    * false). Also installs the rule once, idempotently. */
+  object AggRule {
+    def withEnabled[T](s: SparkSession)(f: => T): T = synchronized {
+      import graft.plans.SnapshotAggRewrite
+      if (!s.experimental.extraOptimizations
+          .exists(_.isInstanceOf[SnapshotAggRewrite]))
+        s.experimental.extraOptimizations =
+          s.experimental.extraOptimizations :+ SnapshotAggRewrite(s)
+      s.conf.set(SnapshotAggRewrite.EnabledKey, "true")
+      try f finally s.conf.set(SnapshotAggRewrite.EnabledKey, "false")
+    }
+  }
+
   /** Fetch the query vector (vec_id = 0) — driver-side scalar by design. */
   def queryVec(s: SparkSession, d: String): Array[Float] =
     TestData.embeddings(s, d).filter(col("vec_id") === 0)

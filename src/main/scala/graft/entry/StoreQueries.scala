@@ -2433,13 +2433,8 @@ private[graft] object StoreQueries {
           statsKey = Some("doc_id"))
         Snapshots.writeSumSidecars(s, base, Seq("n_chars"))
         Snapshots.writeStatsSidecars(s, base, Seq("n_chars"))
-        if (!s.experimental.extraOptimizations
-            .exists(_.isInstanceOf[SnapshotAggRewrite]))
-          s.experimental.extraOptimizations =
-            s.experimental.extraOptimizations :+ SnapshotAggRewrite(s)
         Snapshots.read(s, base).createOrReplaceTempView("snap_sum_pd_v")
-        s.conf.set(SnapshotAggRewrite.EnabledKey, "true")
-        try {
+        AggRule.withEnabled(s) {
           val q = s.sql(
             """SELECT sum(n_chars) AS sum_chars, avg(n_chars) AS avg_raw,
               |  count(*) AS n FROM snap_sum_pd_v""".stripMargin)
@@ -2452,7 +2447,7 @@ private[graft] object StoreQueries {
           import s.implicits._
           Seq((r.getLong(0), avg6, r.getLong(2), answered))
             .toDF("sum_chars", "avg_chars", "n", "metadata_answered")
-        } finally s.conf.set(SnapshotAggRewrite.EnabledKey, "false")
+        }
       },
       Some("""SELECT CAST(sum(n_chars) AS BIGINT) AS sum_chars,
              |  round(avg(n_chars), 6) AS avg_chars, count(*) AS n,
@@ -2528,6 +2523,47 @@ private[graft] object StoreQueries {
              |  CAST(sum(CAST(x AS DECIMAL(18,2))) AS DOUBLE) AS sum_chars,
              |  4 AS n_batches, TRUE AS replay_noop
              |FROM feed GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Filtered MIN/MAX pushdown (round-17): MIN/MAX under a WHERE via
+    // the Snapshots.metaBoundsWhere hybrid — predicate-pruned files
+    // contribute nothing, files PROVEN fully inside contribute their
+    // recorded bounds unopened, only boundary files scan with the
+    // residual. THE dashboard shape on a 100 TB events table:
+    // `SELECT max(ts) WHERE date = yesterday`. The metadata_answered
+    // pin asserts the statement planned as LocalTableScan; the
+    // only-boundary-files-open proof lives in SnapshotAggRewriteSpec.
+    "snap_minmax_where" -> Q(
+      (s, d) => {
+        import graft.plans.SnapshotAggRewrite
+        import graft.store.Snapshots
+        val root = FixtureRoot.fresh("snapminmaxw")
+        val base = root + "/t"
+        val docs = T(s, d, "documents").select(col("doc_id"), col("n_chars"))
+        Snapshots.write(docs.repartitionByRange(8, col("doc_id")), base,
+          statsKey = Some("doc_id"))
+        Snapshots.writeStatsSidecars(s, base, Seq("n_chars"))
+        Snapshots.read(s, base).createOrReplaceTempView("snap_mmw_v")
+        AggRule.withEnabled(s) {
+          val q = s.sql(
+            """SELECT min(doc_id) AS mn_id, max(doc_id) AS mx_id,
+              |  min(n_chars) AS mn_chars, max(n_chars) AS mx_chars
+              |FROM snap_mmw_v
+              |WHERE doc_id >= 100 AND doc_id <= 5000""".stripMargin)
+          val answered = q.queryExecution.executedPlan.collectFirst {
+            case l: org.apache.spark.sql.execution.LocalTableScanExec => l
+          }.nonEmpty
+          val r = q.collect().head
+          import s.implicits._
+          Seq((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+            answered))
+            .toDF("mn_id", "mx_id", "mn_chars", "mx_chars",
+              "metadata_answered")
+        }
+      },
+      Some("""SELECT min(doc_id) AS mn_id, max(doc_id) AS mx_id,
+             |  min(n_chars) AS mn_chars, max(n_chars) AS mx_chars,
+             |  TRUE AS metadata_answered
+             |FROM documents WHERE doc_id >= 100 AND doc_id <= 5000""".stripMargin)),
 
     // Change-data-feed from a BRANCH (round-17): option("branch") +
     // option("readChangeFeed") compose — the CDC feed walks the branch's
@@ -2614,17 +2650,12 @@ private[graft] object StoreQueries {
         Snapshots.write(docs.repartitionByRange(4, col("doc_id")), base,
           statsKey = Some("doc_id"))
         Snapshots.writeStatsSidecars(s, base, Seq("n_chars"))
-        if (!s.experimental.extraOptimizations
-            .exists(_.isInstanceOf[SnapshotAggRewrite]))
-          s.experimental.extraOptimizations =
-            s.experimental.extraOptimizations :+ SnapshotAggRewrite(s)
         Snapshots.read(s, base).createOrReplaceTempView("snap_agg_pd_v")
         def metadataAnswered(q: DataFrame): Boolean =
           q.queryExecution.executedPlan.collectFirst {
             case l: org.apache.spark.sql.execution.LocalTableScanExec => l
           }.nonEmpty
-        s.conf.set(SnapshotAggRewrite.EnabledKey, "true")
-        try {
+        AggRule.withEnabled(s) {
           val q1 = s.sql(
             "SELECT count(*) AS n FROM snap_agg_pd_v WHERE doc_id < 300")
           val q2 = s.sql(
@@ -2639,7 +2670,7 @@ private[graft] object StoreQueries {
             r.getLong(4), answered))
             .toDF("n_low", "mn", "mx", "min_chars", "max_chars", "n_all",
               "metadata_answered")
-        } finally s.conf.set(SnapshotAggRewrite.EnabledKey, "false")
+        }
       },
       Some("""SELECT
              |  (SELECT count(*) FROM documents WHERE doc_id < 300) AS n_low,

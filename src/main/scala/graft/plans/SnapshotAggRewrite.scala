@@ -28,6 +28,12 @@ import graft.store.Snapshots
  *    manifest's per-file null counts make whole files provable).
  *  - un-filtered `MIN(col)` / `MAX(col)` → [[Snapshots.metaBoundsOf]]
  *    (manifest key stats or stats sidecars), zero records read.
+ *  - `MIN(col)` / `MAX(col)` under a WHERE → the
+ *    [[Snapshots.metaBoundsWhere]] hybrid (round-17): files the
+ *    predicate provably excludes contribute nothing, files provably
+ *    fully inside contribute their recorded bounds unopened, boundary
+ *    files scan with the residual — `SELECT max(ts) WHERE date =
+ *    yesterday` on a clustered 100 TB table opens one or two files.
  *  - un-filtered `SUM(col)` / `AVG(col)` over integral/decimal columns →
  *    [[Snapshots.metaSumOf]] (exact per-file `.sums` sidecars folded in
  *    decimal, hybrid-scanning uncovered files) — with the overflow and
@@ -111,6 +117,26 @@ case class SnapshotAggRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     def sumOf(a: AttributeReference): Option[(java.math.BigDecimal, Long)] =
       sums.getOrElseUpdate(a.name,
         Snapshots.metaSumOf(spark, base, a.name, Some(v)))
+    // filtered MIN/MAX: the metaBoundsWhere hybrid (prove files fully
+    // inside the WHERE from stats, scan only boundary files). Outer None
+    // = decline; inner None = no matching rows (the aggregate is NULL).
+    lazy val wheres = scala.collection.mutable.Map
+      .empty[String, Option[Option[(Any, Any)]]]
+    def boundsWhereOf(a: AttributeReference): Option[Option[(Any, Any)]] =
+      wheres.getOrElseUpdate(a.name,
+        Snapshots.metaBoundsWhere(spark, base, a.name,
+            toColumn(cond.get), Some(v)) match {
+          case None => None
+          case Some(None) => Some(None)
+          case Some(Some((mn, mx))) =>
+            (for {
+              lo <- fromCanon(mn, a.dataType)
+              hi <- fromCanon(mx, a.dataType)
+            } yield (lo, hi)) match {
+              case Some(p) => Some(Some(p)) // parsed: answer exactly
+              case None => None // unparseable canon: decline, never guess
+            }
+        })
     val values: Seq[Any] = agg.aggregateExpressions.map {
       case Alias(AggregateExpression(fn, _, false, None, _), _) => fn match {
         case Count(Seq(l: Literal)) if l.value != null =>
@@ -119,10 +145,12 @@ case class SnapshotAggRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
           countOf(Some(
             org.apache.spark.sql.catalyst.expressions.IsNotNull(a)))
             .getOrElse(return None)
-        case Min(a: AttributeReference) if cond.isEmpty =>
-          boundsOf(a).getOrElse(return None)._1
-        case Max(a: AttributeReference) if cond.isEmpty =>
-          boundsOf(a).getOrElse(return None)._2
+        case Min(a: AttributeReference) =>
+          if (cond.isEmpty) boundsOf(a).getOrElse(return None)._1
+          else boundsWhereOf(a).getOrElse(return None).map(_._1).orNull
+        case Max(a: AttributeReference) =>
+          if (cond.isEmpty) boundsOf(a).getOrElse(return None)._2
+          else boundsWhereOf(a).getOrElse(return None).map(_._2).orNull
         // SUM from the exact sidecar fold — with an exactness proof that
         // holds in EVERY eval mode: the column must be provably
         // non-negative (metadata min ≥ 0), making partial sums monotone

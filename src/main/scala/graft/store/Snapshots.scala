@@ -645,10 +645,27 @@ object Snapshots {
     * a file that contains the key → silent duplicate rows on merge). */
   private def statLeq(tag: String, a: String, b: String): Boolean = tag match {
     case "L" => a.toLong <= b.toLong
-    case "D" => a.toDouble <= b.toDouble
+    // "D" covers doubles/floats AND decimals. Compare as exact
+    // BigDecimal whenever both sides parse (round-17): two
+    // decimal(38,18) bounds differing only beyond ~17 significant
+    // digits compare EQUAL as doubles, and while a tie is harmless for
+    // pruning (ties admit), the metaBoundsOf/minMaxWhere FOLD picks an
+    // extreme with this order — a tie there can return the wrong
+    // exact MIN/MAX. For genuine doubles the exact order agrees with
+    // double order (Double.toString round-trips), so nothing changes;
+    // only the non-finite renderings ("Infinity") fall back to the
+    // double compare, where they are exact anyway.
+    case "D" =>
+      (decOf(a), decOf(b)) match {
+        case (Some(x), Some(y)) => x.compareTo(y) <= 0
+        case _ => a.toDouble <= b.toDouble
+      }
     case _ => java.util.Arrays.compareUnsigned(
       a.getBytes("UTF-8"), b.getBytes("UTF-8")) <= 0
   }
+
+  private def decOf(s: String): Option[java.math.BigDecimal] =
+    scala.util.Try(new java.math.BigDecimal(s)).toOption
 
   /** Is a (tag, min, max) stats triple USABLE for pruning? The tag must
     * be known and both endpoints must parse under it — and for doubles
@@ -5149,6 +5166,82 @@ object Snapshots {
     val mn = st.map(_._2).reduce((a, b) => if (statLeq(tag, a, b)) a else b)
     val mx = st.map(_._3).reduce((a, b) => if (statLeq(tag, a, b)) b else a)
     Some((mn, mx))
+  }
+
+  /**
+   * Hybrid metadata + boundary-scan MIN/MAX WHERE (round-17) — the
+   * [[countWhere]] shape applied to bounds: files the predicate provably
+   * excludes contribute nothing, files provably FULLY INSIDE it (stats
+   * prove every row matches, [[provenByStats]]) contribute their
+   * recorded per-file bounds of `colName` without being opened (min/max
+   * ignore NULLs exactly as the recorded stats do), and only BOUNDARY
+   * files — those the predicate genuinely cuts through, plus admitted
+   * files lacking usable `colName` stats — are scanned with the
+   * residual filter. `SELECT max(ts) WHERE date = yesterday` over a
+   * range-clustered 100 TB events table then opens one or two files.
+   *
+   * Returns bounds in stats-canon form (the [[metaBoundsOf]] contract):
+   *  - `None`: cannot answer exactly — pending MoR deletes, no
+   *    analyzable filter, unsupported column type — caller falls back
+   *    to the aggregation scan, never gets an approximation;
+   *  - `Some(None)`: answerable, and no row matches (the aggregate is
+   *    NULL);
+   *  - `Some(Some((min, max)))`: the exact extremes of the matching
+   *    rows' non-null values.
+   */
+  def metaBoundsWhere(spark: SparkSession, base: String, colName: String,
+                      predicate: org.apache.spark.sql.Column,
+                      version: Option[Long] = None)
+      : Option[Option[(String, String)]] = {
+    import org.apache.spark.sql.functions.{col, max, min}
+    val vs = versions(spark, base)
+    require(vs.nonEmpty, s"no snapshots under $base")
+    val v = version.getOrElse(vs.last)
+    require(vs.contains(v), s"version $v not in $vs")
+    val lines = manifestLines(spark, base, v)
+    val (data, dels) = splitEntries(lines)
+    if (dels.nonEmpty) return None
+    if (data.isEmpty) return Some(None)
+    val frame = read(spark, base, Some(v))
+    val schema = frame.schema
+    if (!schema.fieldNames.contains(colName)) return None
+    val dt = schema(colName).dataType
+    val tag = statTag(dt)
+    if (tag.isEmpty) return None
+    val ops = schemaOps(lines)
+    val pairs = renamePairs(ops)
+    val cond = condOf(frame, predicate).getOrElse(return None)
+    val (candidates, _) = scanPlanExpr(spark, base, v, Some(cond),
+      c => schema.find(_.name == c).map(_.dataType))
+    if (candidates.isEmpty) return Some(None)
+    val bounds = predicateBounds(cond, pairs)
+    val statsOf = entryStatsLookup(spark, base, candidates,
+      bounds.keySet ++ eqSetsOf(cond, pairs).map(_._1) ++
+        mustBeNullOf(cond, pairs) + colName, ops)
+    // a proven file contributes from metadata ONLY with usable bounds of
+    // the target column in the expected tag; otherwise it scans
+    val (proven, boundary) = candidates.partition { e =>
+      provenByStats(statsOf(e), cond, pairs) &&
+        statsOf(e)(colName).exists { case (t, mn, mx, _) =>
+          t == tag && validStat(t, mn, mx) }
+    }
+    val metaPart = proven.flatMap(e => statsOf(e)(colName))
+      .map(s => (s._2, s._3))
+    val scannedPart: Option[(String, String)] =
+      if (boundary.isEmpty) None
+      else {
+        val r = readSubset(spark, base, lines, boundary)
+          .filter(predicate)
+          .agg(statExtract(min(col(colName)), dt).as("mn"),
+            statExtract(max(col(colName)), dt).as("mx"))
+          .head
+        if (r.isNullAt(0)) None else Some((r.getString(0), r.getString(1)))
+      }
+    val all = metaPart ++ scannedPart
+    if (all.isEmpty) Some(None)
+    else Some(Some((
+      all.map(_._1).reduce((a, b) => if (statLeq(tag, a, b)) a else b),
+      all.map(_._2).reduce((a, b) => if (statLeq(tag, a, b)) b else a))))
   }
 
   /**

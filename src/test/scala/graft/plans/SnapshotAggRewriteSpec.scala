@@ -191,7 +191,54 @@ class SnapshotAggRewriteSpec extends AnyFunSuite {
     }
   }
 
-  test("declines: grouped aggs, avg, filtered min, distinct, MoR deletes, foreign parquet") {
+  test("filtered MIN/MAX: proven files fold from stats, ONLY boundary files open") {
+    withExtSession { s =>
+      import s.implicits._
+      s.sparkContext.hadoopConfiguration
+        .set("fs.cntfs.impl", classOf[CountingLocalFs].getName)
+      val root = java.nio.file.Files.createTempDirectory("graft-aggrmw")
+      val base = s"cntfs:$root/t"
+      // 12 range-clustered files over id 1..1200; x rides along
+      Snapshots.write(
+        (1L to 1200L).map(i => (i, i * 3L)).toDF("id", "x")
+          .repartitionByRange(12, col("id")),
+        base, statsKey = Some("id"))
+      Snapshots.writeStatsSidecars(s, base, Seq("x"))
+      val t = Snapshots.read(s, base)
+      s.conf.set(SnapshotAggRewrite.EnabledKey, "false")
+      val ref = t.filter(col("id") >= 250L && col("id") <= 850L)
+        .agg(min(col("id")).as("mn"), max(col("id")).as("mx"),
+          min(col("x")).as("xmn"), max(col("x")).as("xmx"))
+        .collect().toSeq
+      s.conf.set(SnapshotAggRewrite.EnabledKey, "true")
+      CountingLocalFs.reset()
+      val q = t.filter(col("id") >= 250L && col("id") <= 850L)
+        .agg(min(col("id")).as("mn"), max(col("id")).as("mx"),
+          min(col("x")).as("xmn"), max(col("x")).as("xmx"))
+      assert(isMetadataAnswered(q), "hybrid must rewrite to a local relation")
+      assert(q.collect().toSeq == ref, "bit-identical to the unrewritten plan")
+      // [301,800] is proven by stats; only the two boundary files
+      // ([201,300], [801,900]) may be opened
+      val boundary = Snapshots.scanPlan(s, base,
+        col("id") >= 250L && col("id") <= 850L)._1
+        .filter(e => e.stats.exists { case (_, _, mn, mx) =>
+          mn.toLong < 250L || mx.toLong > 850L })
+      assert(boundary.size == 2)
+      val opened = CountingLocalFs.openedParquet
+      val stray = opened.filterNot(p => boundary.exists(e => p.endsWith(e.path)))
+      assert(stray.isEmpty,
+        s"filtered MIN/MAX opened files beyond its boundary set: $stray")
+      // empty-match predicate: answers NULL from metadata, zero opens
+      CountingLocalFs.reset()
+      val nullQ = t.filter(col("id") > 5000L).agg(min(col("x")).as("mn"))
+      assert(isMetadataAnswered(nullQ))
+      assert(nullQ.collect().head.isNullAt(0))
+      assert(CountingLocalFs.openedParquet.isEmpty)
+      s.conf.set(SnapshotAggRewrite.EnabledKey, "false")
+    }
+  }
+
+  test("declines: grouped aggs, avg, distinct, MoR deletes, foreign parquet; filtered min answers") {
     withExtSession { s =>
       import s.implicits._
       val base = java.nio.file.Files.createTempDirectory("graft-aggr4").toString + "/t"
@@ -205,9 +252,17 @@ class SnapshotAggRewriteSpec extends AnyFunSuite {
         "grouped agg must decline")
       assert(!isMetadataAnswered(t.agg(count(lit(1)), avg(col("x")))),
         "an unanswerable function declines the WHOLE node")
-      assert(!isMetadataAnswered(
-        t.filter(col("g") === 1).agg(min(col("id")))),
-        "filtered min must decline (global bounds don't restrict)")
+      // filtered MIN/MAX answers via the metaBoundsWhere hybrid
+      // (round-17) — here with no stats on g every file is boundary, so
+      // the rule's fold IS a scan, but the result stays bit-identical
+      s.conf.set(SnapshotAggRewrite.EnabledKey, "false")
+      val fmRef = t.filter(col("g") === 1)
+        .agg(min(col("id")).as("mn"), max(col("x")).as("mx")).collect().toSeq
+      s.conf.set(SnapshotAggRewrite.EnabledKey, "true")
+      val fm = t.filter(col("g") === 1)
+        .agg(min(col("id")).as("mn"), max(col("x")).as("mx"))
+      assert(isMetadataAnswered(fm), "filtered min/max answers via the hybrid")
+      assert(fm.collect().toSeq == fmRef)
       assert(!isMetadataAnswered(t.agg(
         org.apache.spark.sql.functions.countDistinct(col("g")))),
         "distinct must decline")

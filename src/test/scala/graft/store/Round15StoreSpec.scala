@@ -190,4 +190,34 @@ class Round15StoreSpec extends AnyFunSuite {
     assert(candId.size < 3, "v1 long sections remain usable")
     assert(Snapshots.countWhere(spark, base, col("id") === 42L) == 1L)
   }
+
+  test("metaBoundsOf folds decimal bounds EXACTLY beyond double precision") {
+    // two decimal(38,18) per-file bounds that compare EQUAL as doubles
+    // (they differ only in the 19th significant digit): the cross-file
+    // fold must still pick the true extreme — a double-space tie lets
+    // the fold return the wrong exact MIN/MAX (round-17 advisory).
+    // Commit order puts the HIGHER file first so a tie-as-equal fold
+    // would keep the wrong side for MIN.
+    val base = java.nio.file.Files.createTempDirectory("graft-decb").toString + "/t"
+    val hi = new java.math.BigDecimal("1.000000000000000002")
+    val lo = new java.math.BigDecimal("1.000000000000000001")
+    assert(hi.doubleValue() == lo.doubleValue(), "fixture: must tie as doubles")
+    val dec38 = org.apache.spark.sql.types.DecimalType(38, 18)
+    def frame(v: java.math.BigDecimal, ids: Range) = {
+      val rows = ids.map(i => org.apache.spark.sql.Row(i.toLong, v))
+      spark.createDataFrame(spark.sparkContext.parallelize(rows, 1),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("v", dec38))))
+    }
+    Snapshots.write(frame(hi, 1 to 5), base, statsKey = Some("v"))
+    Snapshots.append(frame(lo, 6 to 10), base, statsKey = Some("v"))
+    assert(Snapshots.metaBoundsOf(spark, base, "v") ==
+      Some((lo.toPlainString, hi.toPlainString)),
+      s"exact decimal fold, got ${Snapshots.metaBoundsOf(spark, base, "v")}")
+    // and the scan planner still prunes/admits soundly with exact compares
+    assert(Snapshots.countWhere(spark, base,
+      col("v") === lit(lo).cast(dec38)) == 5L)
+  }
 }
