@@ -2428,16 +2428,21 @@ private[graft] object StoreQueries {
         import graft.store.Snapshots
         val root = FixtureRoot.fresh("snapsumpd")
         val base = root + "/t"
-        val docs = T(s, d, "documents").select(col("doc_id"), col("n_chars"))
+        // a SIGNED column rides along (round-17): non-negativity cannot
+        // admit it; the metaAbsSumBound |partial-sum| proof does
+        val docs = T(s, d, "documents")
+          .select(col("doc_id"), col("n_chars"),
+            (col("n_chars") - lit(3000L)).as("delta"))
         Snapshots.write(docs.repartitionByRange(4, col("doc_id")), base,
           statsKey = Some("doc_id"))
-        Snapshots.writeSumSidecars(s, base, Seq("n_chars"))
-        Snapshots.writeStatsSidecars(s, base, Seq("n_chars"))
+        Snapshots.writeSumSidecars(s, base, Seq("n_chars", "delta"))
+        Snapshots.writeStatsSidecars(s, base, Seq("n_chars", "delta"))
         Snapshots.read(s, base).createOrReplaceTempView("snap_sum_pd_v")
         AggRule.withEnabled(s) {
           val q = s.sql(
             """SELECT sum(n_chars) AS sum_chars, avg(n_chars) AS avg_raw,
-              |  count(*) AS n FROM snap_sum_pd_v""".stripMargin)
+              |  sum(delta) AS sum_delta, count(*) AS n
+              |FROM snap_sum_pd_v""".stripMargin)
           val answered = q.queryExecution.executedPlan.collectFirst {
             case l: org.apache.spark.sql.execution.LocalTableScanExec => l
           }.nonEmpty
@@ -2445,13 +2450,15 @@ private[graft] object StoreQueries {
           val avg6 = BigDecimal(r.getDouble(1))
             .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
           import s.implicits._
-          Seq((r.getLong(0), avg6, r.getLong(2), answered))
-            .toDF("sum_chars", "avg_chars", "n", "metadata_answered")
+          Seq((r.getLong(0), avg6, r.getLong(2), r.getLong(3), answered))
+            .toDF("sum_chars", "avg_chars", "sum_delta", "n",
+              "metadata_answered")
         }
       },
       Some("""SELECT CAST(sum(n_chars) AS BIGINT) AS sum_chars,
-             |  round(avg(n_chars), 6) AS avg_chars, count(*) AS n,
-             |  TRUE AS metadata_answered
+             |  round(avg(n_chars), 6) AS avg_chars,
+             |  CAST(sum(n_chars - 3000) AS BIGINT) AS sum_delta,
+             |  count(*) AS n, TRUE AS metadata_answered
              |FROM documents""".stripMargin)),
 
     // Change-data-feed streaming (round-16, Delta CDF streaming twin):

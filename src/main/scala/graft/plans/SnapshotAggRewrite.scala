@@ -117,6 +117,13 @@ case class SnapshotAggRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     def sumOf(a: AttributeReference): Option[(java.math.BigDecimal, Long)] =
       sums.getOrElseUpdate(a.name,
         Snapshots.metaSumOf(spark, base, a.name, Some(v)))
+    // signed-sum admission: the metadata |partial-sum| bound (see the
+    // Sum arm); memoized per column like the other metadata lookups
+    lazy val absBounds = scala.collection.mutable.Map
+      .empty[String, Option[java.math.BigDecimal]]
+    def absBoundOf(a: AttributeReference): Option[java.math.BigDecimal] =
+      absBounds.getOrElseUpdate(a.name,
+        Snapshots.metaAbsSumBound(spark, base, a.name, Some(v)))
     // filtered MIN/MAX: the metaBoundsWhere hybrid (prove files fully
     // inside the WHERE from stats, scan only boundary files). Outer None
     // = decline; inner None = no matching rows (the aggregate is NULL).
@@ -152,37 +159,55 @@ case class SnapshotAggRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
           if (cond.isEmpty) boundsOf(a).getOrElse(return None)._2
           else boundsWhereOf(a).getOrElse(return None).map(_._2).orNull
         // SUM from the exact sidecar fold — with an exactness proof that
-        // holds in EVERY eval mode: the column must be provably
-        // non-negative (metadata min ≥ 0), making partial sums monotone
-        // and bounded by the total, so if the total fits the output type
-        // no partial can overflow — LEGACY can't wrap, ANSI can't throw,
-        // TRY can't null, and any regrouping reproduces the total.
+        // holds in EVERY eval mode, by either of two routes:
+        //  (a) non-negativity (metadata min ≥ 0): partial sums are
+        //      monotone and bounded by the total, so if the total fits
+        //      the output type no partial can overflow;
+        //  (b) the signed bound (round-17, [[Snapshots.metaAbsSumBound]]):
+        //      Σᵢ rowsᵢ·max(|loᵢ|,|hiᵢ|) bounds |any partial sum| under
+        //      any regrouping, so if THAT fits the accumulator type no
+        //      partial can overflow either — admitting columns that have
+        //      held negatives (account deltas, log-ratios).
+        // Either way: LEGACY can't wrap, ANSI can't throw, TRY can't
+        // null, and any regrouping reproduces the total.
         case s @ Sum(a: AttributeReference, _) if cond.isEmpty =>
           val (total, n) = sumOf(a).getOrElse(return None)
           if (n == 0L) null
-          else if (!provenNonNegative(boundsOf(a))) return None
           else s.dataType match {
             case LongType =>
+              val fits = (b: java.math.BigDecimal) =>
+                b.compareTo(java.math.BigDecimal.valueOf(Long.MaxValue)) <= 0
+              if (!provenNonNegative(boundsOf(a)) &&
+                  !absBoundOf(a).exists(fits)) return None
               scala.util.Try(total.longValueExact()).getOrElse(return None)
             case d: DecimalType =>
               val dec = Decimal(total)
-              if (dec.changePrecision(d.precision, d.scale)) dec
-              else return None
+              if (!dec.changePrecision(d.precision, d.scale)) return None
+              val fits = (b: java.math.BigDecimal) => {
+                val bd = Decimal(b); bd.changePrecision(d.precision, d.scale)
+              }
+              if (!provenNonNegative(boundsOf(a)) &&
+                  !absBoundOf(a).exists(fits)) return None
+              dec
             case _ => return None
           }
         // AVG over integrals: Spark accumulates the sum in DOUBLE, which
-        // is exact only while no partial sum can leave ±2^53 — the same
-        // non-negativity proof bounds partials by the total, which must
-        // itself fit 2^53. Otherwise decline rather than differ in the
+        // is exact only while no partial sum can leave ±2^53 — proven by
+        // non-negativity + total ≤ 2^53, or by the signed |partial|
+        // bound ≤ 2^53. Otherwise decline rather than differ in the
         // last bits.
         case av @ Average(a: AttributeReference, _) if cond.isEmpty &&
             av.dataType == DoubleType =>
           val (total, n) = sumOf(a).getOrElse(return None)
           if (n == 0L) null
-          else if (!provenNonNegative(boundsOf(a)) ||
-              total.compareTo(java.math.BigDecimal.valueOf(1L << 53)) > 0)
-            return None
-          else total.doubleValue() / n
+          else {
+            val lim = java.math.BigDecimal.valueOf(1L << 53)
+            val ok = (provenNonNegative(boundsOf(a)) &&
+                total.compareTo(lim) <= 0) ||
+              absBoundOf(a).exists(_.compareTo(lim) <= 0)
+            if (!ok) return None
+            total.doubleValue() / n
+          }
         case _ => return None
       }
       case _ => return None

@@ -2782,6 +2782,45 @@ object Snapshots {
     Some((metaPart._1.add(scanned._1), metaPart._2 + scanned._2))
   }
 
+  /**
+   * Metadata bound on ANY partial sum of `colName` (round-17): Σ over
+   * data files of rows_i × max(|lo_i|, |hi_i|), from per-file row counts
+   * and column bounds alone. Any partial sum over any subset of rows —
+   * under any regrouping the engine might choose — has absolute value at
+   * most this (each term's |value| is bounded by its file's max
+   * magnitude; NULLs contribute 0 and only shrink the sum; pending MoR
+   * deletes only remove terms). If the bound fits the accumulator type,
+   * NO partial can overflow — the signed generalization of the
+   * non-negativity proof [[graft.plans.SnapshotAggRewrite]] uses to
+   * admit SUM/AVG over columns that have held negatives (account deltas,
+   * temperatures, log-ratios). None = a file without a row count or
+   * usable parseable bounds for the column — the caller must decline.
+   */
+  def metaAbsSumBound(spark: SparkSession, base: String, colName: String,
+                      version: Option[Long] = None)
+      : Option[java.math.BigDecimal] = {
+    val vs = versions(spark, base)
+    require(vs.nonEmpty, s"no snapshots under $base")
+    val v = version.getOrElse(vs.last)
+    require(vs.contains(v), s"version $v not in $vs")
+    val lines = manifestLines(spark, base, v)
+    val (data, _) = splitEntries(lines)
+    val statsOf = entryStatsLookup(spark, base, data, Set(colName),
+      schemaOps(lines))
+    data.foldLeft(Option(java.math.BigDecimal.ZERO)) { (accOpt, e) =>
+      for {
+        acc <- accOpt
+        rows <- e.rows
+        st <- statsOf(e)(colName)
+        (tag, mn, mx, _) = st
+        if validStat(tag, mn, mx)
+        lo <- decOf(mn)
+        hi <- decOf(mx)
+      } yield acc.add(java.math.BigDecimal.valueOf(rows)
+        .multiply(lo.abs.max(hi.abs)))
+    }
+  }
+
   def writeBloomSidecars(spark: SparkSession, base: String, key: String,
                          version: Option[Long] = None,
                          expectedItems: Long = 1000000L,

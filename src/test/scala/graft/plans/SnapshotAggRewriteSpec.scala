@@ -191,6 +191,63 @@ class SnapshotAggRewriteSpec extends AnyFunSuite {
     }
   }
 
+  test("SIGNED SUM/AVG answer under the |partial-sum| bound; near-overflow declines") {
+    withExtSession { s =>
+      import s.implicits._
+      s.sparkContext.hadoopConfiguration
+        .set("fs.cntfs.impl", classOf[CountingLocalFs].getName)
+      val root = java.nio.file.Files.createTempDirectory("graft-aggr6")
+      val base = s"cntfs:$root/t"
+      // a SIGNED column (account-delta shape): non-negativity fails, the
+      // metaAbsSumBound proof (Σ rows·max|bounds| fits the accumulator)
+      // admits it
+      Snapshots.write(
+        (1L to 400L).map(i => (i, i - 200L)).toDF("id", "delta")
+          .repartitionByRange(4, col("id")),
+        base, statsKey = Some("id"))
+      Snapshots.writeSumSidecars(s, base, Seq("delta"))
+      Snapshots.writeStatsSidecars(s, base, Seq("delta"))
+      val t = Snapshots.read(s, base)
+      // ANSI-mode parity pin: the proof claims exactness in EVERY eval
+      // mode; run the reference under explicit ANSI
+      val ansiPrev = s.conf.get("spark.sql.ansi.enabled")
+      s.conf.set("spark.sql.ansi.enabled", "true")
+      s.conf.set(SnapshotAggRewrite.EnabledKey, "false")
+      val ref = t.agg(
+        org.apache.spark.sql.functions.sum(col("delta")).as("sd"),
+        org.apache.spark.sql.functions.avg(col("delta")).as("ad"))
+        .collect().toSeq
+      s.conf.set(SnapshotAggRewrite.EnabledKey, "true")
+      CountingLocalFs.reset()
+      val q = t.agg(
+        org.apache.spark.sql.functions.sum(col("delta")).as("sd"),
+        org.apache.spark.sql.functions.avg(col("delta")).as("ad"))
+      assert(isMetadataAnswered(q), "signed SUM/AVG must answer via the bound")
+      assert(q.collect().toSeq == ref, "bit-identical under ANSI")
+      assert(CountingLocalFs.openedParquet.isEmpty,
+        s"signed covered sums opened: ${CountingLocalFs.openedParquet}")
+      s.conf.set("spark.sql.ansi.enabled", ansiPrev)
+      // near-overflow: bounds so wide the |partial| bound exceeds Long —
+      // the rule cannot prove safety and must DECLINE (the unrewritten
+      // aggregate still runs; its actual partials happen to cancel)
+      val wide = java.nio.file.Files.createTempDirectory("graft-aggr6w")
+        .toString + "/t"
+      val x = Long.MaxValue / 4
+      Snapshots.write(
+        (1 to 8).map(i => (i.toLong, if (i % 2 == 0) x else -x))
+          .toDF("id", "w"),
+        wide)
+      Snapshots.writeSumSidecars(s, wide, Seq("w"))
+      Snapshots.writeStatsSidecars(s, wide, Seq("w"))
+      val qw = Snapshots.read(s, wide)
+        .agg(org.apache.spark.sql.functions.sum(col("w")).as("sw"))
+      assert(!isMetadataAnswered(qw),
+        "8 × Long.MaxValue/4 bound exceeds the accumulator: must decline")
+      assert(qw.collect().head.getLong(0) == 0L)
+      s.conf.set(SnapshotAggRewrite.EnabledKey, "false")
+    }
+  }
+
   test("filtered MIN/MAX: proven files fold from stats, ONLY boundary files open") {
     withExtSession { s =>
       import s.implicits._
