@@ -2531,6 +2531,56 @@ private[graft] object StoreQueries {
              |  4 AS n_batches, TRUE AS replay_noop
              |FROM feed GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // Grouped aggregate pushdown on the cluster key (round-17): when
+    // per-file bounds of the grouping column prove files SINGLE-GROUP
+    // (min == max, zero nulls), GROUP BY k -> COUNT/SUM/MIN/MAX folds
+    // from manifests + sidecars, scanning only files that straddle group
+    // borders — the ad-hoc per-source rollup a clustered 100 TB table
+    // answers almost for free (the MV answers the MAINTAINED rollup;
+    // this answers the one nobody pre-declared). The only-boundary-files
+    // proof lives in SnapshotAggRewriteSpec; here the pin is
+    // metadata_answered + exact parity with the oracle's rollup.
+    "snap_group_pushdown" -> Q(
+      (s, d) => {
+        import graft.store.Snapshots
+        val root = FixtureRoot.fresh("snapgrouppd")
+        val base = root + "/t"
+        val docs = T(s, d, "documents")
+          .select(col("doc_id"), col("source"), col("n_chars"))
+        // cluster on source: HASH repartition isolates each source in
+        // one file (the few hash-collision files scan as boundary), plus
+        // one deliberately mixed straddler commit
+        Snapshots.write(docs.filter(col("doc_id") % 5 =!= 0)
+            .repartition(24, col("source")), base,
+          statsKey = Some("source"))
+        Snapshots.append(docs.filter(col("doc_id") % 5 === 0).coalesce(1),
+          base, statsKey = Some("source"))
+        Snapshots.writeStatsSidecars(s, base, Seq("n_chars"))
+        Snapshots.writeSumSidecars(s, base, Seq("n_chars"))
+        Snapshots.read(s, base).createOrReplaceTempView("snap_group_pd_v")
+        AggRule.withEnabled(s) {
+          val q = s.sql(
+            """SELECT source, count(*) AS n, sum(n_chars) AS sum_chars,
+              |  min(n_chars) AS mn_chars, max(n_chars) AS mx_chars
+              |FROM snap_group_pd_v GROUP BY source""".stripMargin)
+          val answered = q.queryExecution.executedPlan.collectFirst {
+            case l: org.apache.spark.sql.execution.LocalTableScanExec => l
+          }.nonEmpty
+          import s.implicits._
+          q.collect().toSeq
+            .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+              r.getLong(3), r.getLong(4), answered))
+            .toDF("source", "n", "sum_chars", "mn_chars", "mx_chars",
+              "metadata_answered")
+            .orderBy(col("source"))
+        }
+      },
+      Some("""SELECT source, count(*) AS n,
+             |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+             |  min(n_chars) AS mn_chars, max(n_chars) AS mx_chars,
+             |  TRUE AS metadata_answered
+             |FROM documents GROUP BY source ORDER BY source""".stripMargin)),
+
     // Filtered MIN/MAX pushdown (round-17): MIN/MAX under a WHERE via
     // the Snapshots.metaBoundsWhere hybrid — predicate-pruned files
     // contribute nothing, files PROVEN fully inside contribute their

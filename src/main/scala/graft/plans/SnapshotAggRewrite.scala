@@ -40,9 +40,14 @@ import graft.store.Snapshots
  *    FP-exactness side conditions proven before rewriting (see the
  *    match arms), because this rule never trades exactness.
  *
- * The match is `Aggregate` with NO grouping, over at most one `Filter`,
- * over attribute-only `Project`s, over a parquet scan whose file set is
- * EXACTLY a committed version's data files
+ * A SINGLE-ATTRIBUTE `GROUP BY` gets the grouped twin (round-17,
+ * [[rewriteGrouped]]): per-file bounds with min == max prove a file
+ * single-group, so a rollup on the table's cluster key folds from
+ * metadata with one boundary scan — see [[Snapshots.metaGroupAgg]].
+ *
+ * The global match is `Aggregate` with NO grouping, over at most one
+ * `Filter`, over attribute-only `Project`s, over a parquet scan whose
+ * file set is EXACTLY a committed version's data files
  * ([[Snapshots.plannerResolveVersion]] — memoized, verified, and
  * declining whenever MoR deletes or schema ops pend). Every aggregate in
  * the list must be answerable or the whole node is left untouched —
@@ -69,6 +74,8 @@ case class SnapshotAggRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     plan.transformDown {
       case agg: Aggregate if agg.groupingExpressions.isEmpty =>
         rewrite(agg).getOrElse(agg)
+      case agg @ Aggregate(Seq(_: AttributeReference), _, _, _) =>
+        rewriteGrouped(agg).getOrElse(agg)
     }
   }
 
@@ -219,6 +226,117 @@ case class SnapshotAggRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     case scala.util.control.NonFatal(_) => None
   } finally inRewrite.set(false)
 
+  /** GROUP BY <single attribute> over an unfiltered snapshot scan →
+    * [[Snapshots.metaGroupAgg]] (round-17): per-file bounds with
+    * min == max and zero nulls prove a file single-group, so the rollup
+    * folds from manifests/sidecars with ONE boundary scan for the files
+    * straddling group borders — the ad-hoc per-day/per-source dashboard
+    * rollup a clustered table answers almost for free. Supported
+    * aggregates per group: the key itself, COUNT(*)/COUNT(lit),
+    * COUNT(col), SUM(col) (integral/decimal, under the same
+    * overflow-exactness proofs as the global arm — non-negativity or the
+    * |partial-sum| bound, which cover every subgroup), MIN/MAX(col).
+    * Anything else, a WHERE, or more than the `maxGroups` cap declines —
+    * the fold is driver-side and must stay dashboard-sized. */
+  private def rewriteGrouped(agg: Aggregate): Option[LogicalPlan] = try {
+    inRewrite.set(true)
+    val k = agg.groupingExpressions.head.asInstanceOf[AttributeReference]
+    val (cond, rel) = unwrap(agg.child, None).getOrElse(return None)
+    if (cond.nonEmpty) return None
+    val (base, files, _) =
+      SnapshotPruneRewrite.recognizeScan(rel).getOrElse(return None)
+    val v = Snapshots.plannerResolveVersion(spark, base, files)
+      .getOrElse(return None)
+    // classify every output expression; collect the evidence columns
+    sealed trait Out
+    case object KeyOut extends Out
+    case object RowsOut extends Out
+    final case class CntOut(c: String) extends Out
+    final case class SumOut(c: String, fn: Sum) extends Out
+    final case class MinOut(c: String, dt: DataType) extends Out
+    final case class MaxOut(c: String, dt: DataType) extends Out
+    val outs: Seq[Out] = agg.aggregateExpressions.map {
+      case a: AttributeReference if a.semanticEquals(k) => KeyOut
+      case Alias(a: AttributeReference, _) if a.semanticEquals(k) => KeyOut
+      case Alias(AggregateExpression(fn, _, false, None, _), _) => fn match {
+        case Count(Seq(l: Literal)) if l.value != null => RowsOut
+        case Count(Seq(a: AttributeReference)) => CntOut(a.name)
+        case s @ Sum(a: AttributeReference, _) => SumOut(a.name, s)
+        case Min(a: AttributeReference) => MinOut(a.name, a.dataType)
+        case Max(a: AttributeReference) => MaxOut(a.name, a.dataType)
+        case _ => return None
+      }
+      case _ => return None
+    }
+    val cntCols = outs.collect { case CntOut(c) => c }.distinct
+    val sumOuts = outs.collect { case s: SumOut => s }
+    val sumCols = sumOuts.map(_.c).distinct
+    val mmCols = outs.collect {
+      case MinOut(c, _) => c
+      case MaxOut(c, _) => c
+    }.distinct
+    val maxGroups = spark.conf.getOption(MaxGroupsKey)
+      .map(_.toInt).getOrElse(10000)
+    val groups = Snapshots.metaGroupAgg(spark, base, k.name, cntCols,
+      sumCols, mmCols, Some(v), maxGroups).getOrElse(return None)
+    // SUM overflow proofs hold group-wise: non-negativity bounds every
+    // group's partials by its own total (each checked on conversion),
+    // the signed |partial-sum| bound covers every subgroup outright
+    lazy val bounds = scala.collection.mutable.Map.empty[String, Option[(Any, Any)]]
+    def boundsOf(a: String, dt: DataType): Option[(Any, Any)] =
+      bounds.getOrElseUpdate(a,
+        Snapshots.metaBoundsOf(spark, base, a, Some(v)).flatMap {
+          case (mn, mx) => for {
+            lo <- fromCanon(mn, dt); hi <- fromCanon(mx, dt)
+          } yield (lo, hi)
+        })
+    lazy val absBounds = scala.collection.mutable.Map
+      .empty[String, Option[java.math.BigDecimal]]
+    def absBoundOf(a: String): Option[java.math.BigDecimal] =
+      absBounds.getOrElseUpdate(a,
+        Snapshots.metaAbsSumBound(spark, base, a, Some(v)))
+    def sumProven(s: SumOut): Boolean = s.fn.child.dataType match {
+      case dt if provenNonNegative(boundsOf(s.c, dt)) => true
+      case _ => s.fn.dataType match {
+        case LongType => absBoundOf(s.c).exists(
+          _.compareTo(java.math.BigDecimal.valueOf(Long.MaxValue)) <= 0)
+        case d: DecimalType => absBoundOf(s.c).exists { b =>
+          val bd = Decimal(b); bd.changePrecision(d.precision, d.scale)
+        }
+        case _ => false
+      }
+    }
+    if (sumOuts.nonEmpty && !sumOuts.forall(sumProven)) return None
+    val rows = groups.map { g =>
+      InternalRow.fromSeq(outs.map {
+        case KeyOut => g.key.flatMap(fromCanon(_, k.dataType)).orNull
+        case RowsOut => g.rows
+        case CntOut(c) => g.cnt(c)
+        case SumOut(c, fn) =>
+          val (total, n) = g.sum(c)
+          if (n == 0L) null
+          else fn.dataType match {
+            case LongType =>
+              scala.util.Try(total.longValueExact()).getOrElse(return None)
+            case d: DecimalType =>
+              val dec = Decimal(total)
+              if (dec.changePrecision(d.precision, d.scale)) dec
+              else return None
+            case _ => return None
+          }
+        case MinOut(c, dt) => g.mn.get(c).flatMap(fromCanon(_, dt)).orNull
+        case MaxOut(c, dt) => g.mx.get(c).flatMap(fromCanon(_, dt)).orNull
+      })
+    }
+    // a NULL key value that fromCanon could not parse back must decline,
+    // not silently null a real group key
+    if (groups.exists(g => g.key.isDefined &&
+        fromCanon(g.key.get, k.dataType).isEmpty)) return None
+    Some(LocalRelation(agg.output.map(_.asInstanceOf[Attribute]), rows))
+  } catch {
+    case scala.util.control.NonFatal(_) => None
+  } finally inRewrite.set(false)
+
   /** Resolved condition → Column usable against a fresh read: attributes
     * unresolve by name (the countWhere frame re-resolves them). */
   private def toColumn(cond: Expression): org.apache.spark.sql.Column =
@@ -229,6 +347,10 @@ case class SnapshotAggRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
 
 object SnapshotAggRewrite {
   val EnabledKey = "spark.graft.snapshots.agg.enabled"
+  /** Grouped-pushdown group cap: the per-group fold is driver-side, so a
+    * rollup may rewrite only while its group count stays dashboard-sized
+    * (a GROUP BY user_id with millions of groups runs as written). */
+  val MaxGroupsKey = "spark.graft.snapshots.agg.maxGroups"
 
   private val inRewrite = new ThreadLocal[java.lang.Boolean] {
     override def initialValue(): java.lang.Boolean = false

@@ -2808,7 +2808,8 @@ object Snapshots {
     val statsOf = entryStatsLookup(spark, base, data, Set(colName),
       schemaOps(lines))
     data.foldLeft(Option(java.math.BigDecimal.ZERO)) { (accOpt, e) =>
-      for {
+      if (e.rows.contains(0L)) accOpt // empty file: contributes zero
+      else for {
         acc <- accOpt
         rows <- e.rows
         st <- statsOf(e)(colName)
@@ -5036,6 +5037,189 @@ object Snapshots {
     metaPart + scanned
   }
 
+  /** One group of [[metaGroupAgg]]: `key` is the grouping column's
+    * stats-canon value (None = the NULL group), `rows` the group's row
+    * count, `cnt` per-column non-null counts, `sum` per-column
+    * (Σ, non-null count) in exact decimal, `mn`/`mx` per-column canon
+    * extremes (absent when the group holds no non-null value). */
+  final case class GroupAgg(key: Option[String], rows: Long,
+      cnt: Map[String, Long],
+      sum: Map[String, (java.math.BigDecimal, Long)],
+      mn: Map[String, String], mx: Map[String, String])
+
+  /**
+   * Grouped aggregate pushdown on a CLUSTER key (round-17) — the grouped
+   * twin of [[countWhere]]: when per-file bounds of the grouping column
+   * prove a file SINGLE-GROUP (min == max, zero nulls), that file's
+   * contribution to `GROUP BY k` folds from metadata — row count from
+   * the manifest, per-column non-null counts from stats, sums from the
+   * `.sums` sidecars, MIN/MAX from recorded bounds — without being
+   * opened. Files the proof can't cover (multi-group, null keys, missing
+   * evidence for any requested column) run in ONE grouped boundary scan
+   * whose per-group partials merge exactly (counts add, decimal sums
+   * add, bounds fold in stats order). A per-day/per-source rollup over a
+   * 100 TB table clustered on that key then opens only the handful of
+   * boundary files straddling group borders.
+   *
+   * Exactness: every per-group number is exact by construction (counts,
+   * decimal sums, canon bound folds — no estimates); the caller owns the
+   * accumulator-overflow proof for SUM conversions (the same
+   * non-negativity / |partial-sum| bound routes as the global rewrite).
+   * None = decline: pending MoR deletes, an unsupported key type, or
+   * more than `maxGroups` distinct keys (the fold is driver-side — a
+   * GROUP BY user_id with millions of groups must run as written).
+   */
+  def metaGroupAgg(spark: SparkSession, base: String, keyCol: String,
+                   cntCols: Seq[String], sumCols: Seq[String],
+                   mmCols: Seq[String], version: Option[Long] = None,
+                   maxGroups: Int = 10000): Option[Seq[GroupAgg]] = {
+    import org.apache.spark.sql.functions.{col, count, lit, max, min, sum}
+    val vs = versions(spark, base)
+    require(vs.nonEmpty, s"no snapshots under $base")
+    val v = version.getOrElse(vs.last)
+    require(vs.contains(v), s"version $v not in $vs")
+    val lines = manifestLines(spark, base, v)
+    val (data0, dels) = splitEntries(lines)
+    if (dels.nonEmpty) return None
+    // recorded-empty files contribute nothing to any group — skip them
+    // (they carry no stats and would otherwise force a pointless scan)
+    val data = data0.filterNot(_.rows.contains(0L))
+    if (data.isEmpty) return Some(Seq.empty)
+    val schema = read(spark, base, Some(v)).schema
+    val allCols = (keyCol +: (cntCols ++ sumCols ++ mmCols)).distinct
+    if (!allCols.forall(schema.fieldNames.contains)) return None
+    val dtK = schema(keyCol).dataType
+    val tagK = statTag(dtK)
+    if (tagK.isEmpty) return None
+    val mmTag = mmCols.map(c => c -> statTag(schema(c).dataType)).toMap
+    if (mmCols.exists(c => mmTag(c).isEmpty)) return None
+    val sumScale = sumCols.map(c => c -> sumScaleOf(schema(c).dataType)).toMap
+    if (sumCols.exists(c => sumScale(c).isEmpty)) return None
+    val ops = schemaOps(lines)
+    val toLogical = physToLogical(ops) _
+    val statsOf = entryStatsLookup(spark, base, data, allCols.toSet, ops)
+    def fileSums(e: ManifestEntry): Map[String, (java.math.BigDecimal, Long)] =
+      loadSections(spark, base, e.path, SumSuffix, SumMagic)
+        .flatMap { case (kk, bs) => toLogical(kk).map(_ -> bs) }
+        .flatMap { case (c, bs) =>
+          val p = new String(bs, "UTF-8").split('\t')
+          scala.util.Try((new java.math.BigDecimal(p(0)), p(1).toLong))
+            .toOption.map(c -> _)
+        }
+    // a file folds from metadata only when EVERY requested evidence
+    // source is present and usable for it; anything else scans
+    val provenParts = data.map { e =>
+      val res = for {
+        rows <- e.rows
+        ks <- statsOf(e)(keyCol)
+        (kt, kmn, kmx, knulls) = ks
+        if kt == tagK && validStat(kt, kmn, kmx) && kmn == kmx &&
+          knulls.contains(0L)
+        cnts <- scala.util.Try(cntCols.map { c =>
+          val (_, _, _, nn) = statsOf(e)(c).get
+          c -> (rows - nn.get)
+        }.toMap).toOption
+        sums0 = fileSums(e)
+        sums <- scala.util.Try(sumCols.map(c => c -> sums0(c)).toMap).toOption
+        mms <- scala.util.Try(mmCols.flatMap { c =>
+          statsOf(e)(c) match {
+            // no stats line for c = every value NULL in this file: it
+            // contributes nothing to MIN/MAX, which is representable —
+            // but only when the sidecar family exists at all for the
+            // file (otherwise "missing" is ambiguous); require presence
+            case Some((t, mn0, mx0, _)) if t == mmTag(c) &&
+                validStat(t, mn0, mx0) => Seq(c -> ((mn0, mx0)))
+            case _ => throw new NoSuchElementException(c)
+          }
+        }.toMap).toOption
+      } yield (kmn, rows, cnts, sums, mms)
+      e -> res
+    }
+    val boundary = provenParts.collect { case (e, None) => e }
+    // nothing proven = the key isn't clustered (or evidence is missing):
+    // an all-boundary fold would just collect a full rollup to the
+    // driver with zero metadata gain — run as written instead
+    if (provenParts.forall(_._2.isEmpty)) return None
+    // group-count guard BEFORE any scan: proven keys plus (unknown)
+    // boundary groups; the scan could only add more
+    val provenKeys = provenParts.flatMap(_._2.map(_._1)).distinct
+    if (provenKeys.size > maxGroups) return None
+    val groups = scala.collection.mutable.Map.empty[Option[String], GroupAgg]
+    def mergeInto(key: Option[String], rows: Long, cnt: Map[String, Long],
+        sm: Map[String, (java.math.BigDecimal, Long)],
+        mn: Map[String, String], mx: Map[String, String]): Unit = {
+      val prev = groups.getOrElse(key,
+        GroupAgg(key, 0L, cntCols.map(_ -> 0L).toMap,
+          sumCols.map(_ -> ((java.math.BigDecimal.ZERO, 0L))).toMap,
+          Map.empty, Map.empty))
+      groups(key) = GroupAgg(key, prev.rows + rows,
+        cntCols.map(c => c -> (prev.cnt(c) + cnt.getOrElse(c, 0L))).toMap,
+        sumCols.map { c =>
+          val (ps, pn) = prev.sum(c)
+          val (ds, dn) = sm.getOrElse(c, (java.math.BigDecimal.ZERO, 0L))
+          c -> ((ps.add(ds), pn + dn))
+        }.toMap,
+        mmCols.flatMap { c =>
+          (prev.mn.get(c), mn.get(c)) match {
+            case (Some(a), Some(b)) =>
+              Some(c -> (if (statLeq(mmTag(c), a, b)) a else b))
+            case (a, b) => a.orElse(b).map(c -> _)
+          }
+        }.toMap,
+        mmCols.flatMap { c =>
+          (prev.mx.get(c), mx.get(c)) match {
+            case (Some(a), Some(b)) =>
+              Some(c -> (if (statLeq(mmTag(c), a, b)) b else a))
+            case (a, b) => a.orElse(b).map(c -> _)
+          }
+        }.toMap)
+    }
+    provenParts.foreach {
+      case (_, Some((kc, rows, cnts, sums, mms))) =>
+        mergeInto(Some(kc), rows, cnts, sums,
+          mms.view.mapValues(_._1).toMap, mms.view.mapValues(_._2).toMap)
+      case _ => ()
+    }
+    if (boundary.nonEmpty) {
+      val aggs =
+        count(lit(1)).as("__rows") +:
+          (cntCols.map(c => count(col(c)).as(s"__c_$c")) ++
+            sumCols.flatMap(c => Seq(
+              sum(col(c).cast(org.apache.spark.sql.types
+                .DecimalType(38, sumScale(c).get))).as(s"__s_$c"),
+              count(col(c)).as(s"__sn_$c"))) ++
+            mmCols.flatMap(c => Seq(
+              statExtract(min(col(c)), schema(c).dataType).as(s"__mn_$c"),
+              statExtract(max(col(c)), schema(c).dataType).as(s"__mx_$c"))))
+      val scanned = readSubset(spark, base, lines, boundary)
+        .groupBy(statExtract(col(keyCol), dtK).as("__k"))
+        .agg(aggs.head, aggs.tail: _*)
+        .collect()
+      if (scanned.length + groups.size > maxGroups + 1) return None
+      scanned.foreach { r =>
+        val key = if (r.isNullAt(0)) None else Some(r.getString(0))
+        val sums = sumCols.flatMap { c =>
+          val si = r.fieldIndex(s"__s_$c")
+          val n = r.getLong(r.fieldIndex(s"__sn_$c"))
+          if (r.isNullAt(si) && n > 0L) return None // decimal-38 overflow
+          Some(c -> ((if (r.isNullAt(si)) java.math.BigDecimal.ZERO
+                      else r.getDecimal(si)), n))
+        }.toMap
+        def canonAt(name: String): Option[String] = {
+          val i = r.fieldIndex(name)
+          if (r.isNullAt(i)) None else Some(r.getString(i))
+        }
+        mergeInto(key, r.getLong(r.fieldIndex("__rows")),
+          cntCols.map(c => c -> r.getLong(r.fieldIndex(s"__c_$c"))).toMap,
+          sums,
+          mmCols.flatMap(c => canonAt(s"__mn_$c").map(c -> _)).toMap,
+          mmCols.flatMap(c => canonAt(s"__mx_$c").map(c -> _)).toMap)
+      }
+    }
+    if (groups.size > maxGroups) return None
+    Some(groups.values.toSeq)
+  }
+
   /**
    * Metadata-assisted TOP-K: `ORDER BY key DESC/ASC LIMIT k` planned from
    * per-file bounds — the "latest N events" query that a plain
@@ -5192,8 +5376,14 @@ object Snapshots {
     val v = version.getOrElse(vs.last)
     require(vs.contains(v), s"version $v not in $vs")
     val lines = manifestLines(spark, base, v)
-    val (data, dels) = splitEntries(lines)
-    if (dels.nonEmpty || data.isEmpty) return None
+    val (data0, dels) = splitEntries(lines)
+    if (dels.nonEmpty || data0.isEmpty) return None
+    // a file with a RECORDED zero row count contributes nothing to any
+    // extreme and carries no stats by construction (round-17: partition
+    // zero of a hash repartition writes an empty part file) — skip it
+    // instead of declining the whole table
+    val data = data0.filterNot(_.rows.contains(0L))
+    if (data.isEmpty) return None // all-empty: the fallback scan says NULL
     val statsOf = entryStatsLookup(spark, base, data, Set(colName),
       schemaOps(lines))
     val per = data.map(e => statsOf(e)(colName))

@@ -295,6 +295,63 @@ class SnapshotAggRewriteSpec extends AnyFunSuite {
     }
   }
 
+  test("grouped pushdown on the cluster key: proven files fold, only the straddler opens") {
+    withExtSession { s =>
+      import s.implicits._
+      s.sparkContext.hadoopConfiguration
+        .set("fs.cntfs.impl", classOf[CountingLocalFs].getName)
+      val root = java.nio.file.Files.createTempDirectory("graft-aggrg")
+      val base = s"cntfs:$root/t"
+      def slice(days: Range, parts: Int) =
+        days.flatMap(day => (1L to 100L).map { i =>
+          val id = day * 100L + i
+          (day.toLong, id, if (id % 10 == 0) null
+                           else java.lang.Long.valueOf(id * 2))
+        }).toDF("day", "id", "v")
+          .repartitionByRange(parts, col("day"))
+      // 8 single-day files + ONE file straddling days 9..12
+      Snapshots.write(slice(1 to 4, 4), base, statsKey = Some("day"))
+      Snapshots.append(slice(5 to 8, 4), base, statsKey = Some("day"))
+      Snapshots.append(slice(9 to 12, 4).coalesce(1), base,
+        statsKey = Some("day"))
+      Snapshots.writeStatsSidecars(s, base, Seq("v"))
+      Snapshots.writeSumSidecars(s, base, Seq("v"))
+      val t = Snapshots.read(s, base)
+      // no ORDER BY here: a global sort adds an exchange, AQE wraps the
+      // plan, and the LocalTableScan pin can't see inside the adaptive
+      // root — order the collected rows instead
+      def rollup() = t.groupBy(col("day")).agg(
+        count(lit(1)).as("n"), count(col("v")).as("nv"),
+        org.apache.spark.sql.functions.sum(col("v")).as("sv"),
+        min(col("v")).as("mnv"), max(col("v")).as("mxv"))
+      def ordered(rs: Seq[org.apache.spark.sql.Row]) = rs.sortBy(_.getLong(0))
+      s.conf.set(SnapshotAggRewrite.EnabledKey, "false")
+      val ref = ordered(rollup().collect().toSeq)
+      s.conf.set(SnapshotAggRewrite.EnabledKey, "true")
+      CountingLocalFs.reset()
+      val q = rollup()
+      assert(isMetadataAnswered(q), "clustered rollup must fold from metadata")
+      assert(ordered(q.collect().toSeq) == ref, "bit-identical to the grouped scan")
+      // only the one straddling file (days 9..12) may be opened
+      val opened = CountingLocalFs.openedParquet
+      val straddlers = Snapshots.scanPlan(s, base, col("day") >= 9L)._1
+        .filter(e => e.stats.exists { case (_, _, mn, mx) => mn != mx })
+      assert(straddlers.size == 1, s"fixture wants one straddler: $straddlers")
+      val stray = opened.filterNot(p =>
+        straddlers.exists(e => p.endsWith(e.path)))
+      assert(stray.isEmpty, s"grouped fold opened proven files: $stray")
+      // a group cap below the group count declines (driver-side fold must
+      // stay dashboard-sized); an unclustered key declines outright
+      s.conf.set(SnapshotAggRewrite.MaxGroupsKey, "3")
+      assert(!isMetadataAnswered(rollup()), "maxGroups cap must decline")
+      s.conf.unset(SnapshotAggRewrite.MaxGroupsKey)
+      assert(!isMetadataAnswered(
+        t.groupBy(col("id")).agg(count(lit(1)))),
+        "per-row key (never single-group) must decline")
+      s.conf.set(SnapshotAggRewrite.EnabledKey, "false")
+    }
+  }
+
   test("declines: grouped aggs, avg, distinct, MoR deletes, foreign parquet; filtered min answers") {
     withExtSession { s =>
       import s.implicits._
