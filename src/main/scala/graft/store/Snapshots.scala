@@ -1451,37 +1451,53 @@ object Snapshots {
     (s.size, h)
   }
 
+  /** Hard cap on [[plannerFsCache]] entries: a long-lived driver
+    * planning against many tables/versions must not leak (round-17
+    * advisory). Eviction is a full clear — entries are one manifest read
+    * each to recompute, and the cap is far above any dashboard-session
+    * working set. */
+  private val PlannerFsCacheMax = 8192
+
   /** Resolve a scan's exact data-file set to the committed version it
     * reads, or None when no clean version matches (pending MoR deletes or
     * schema ops also disqualify — the planner verbs need an unencumbered
-    * snapshot). Memoized via [[plannerFsCache]], verified on hit. */
+    * snapshot). Memoized via [[plannerFsCache]], verified on hit; a
+    * genuine fingerprint collision is SURVIVED (round-17 advisory): every
+    * fingerprint-matching version is verify-checked in turn, so the true
+    * match is found even when an earlier version collides. */
   private[graft] def plannerResolveVersion(spark: SparkSession, base: String,
       files: Set[String]): Option[Long] = {
     val want = fileSetFingerprint(files)
+    if (plannerFsCache.size > PlannerFsCacheMax) plannerFsCache.clear()
     def verify(v: Long): Boolean = scala.util.Try {
       val lines = manifestLines(spark, base, v)
       val (data, dels) = splitEntries(lines)
       dels.isEmpty && schemaOps(lines).isEmpty &&
         data.map(_.path).toSet == files
     }.getOrElse(false)
-    def search(): Option[Long] = {
+    def fpOf(v: Long): Option[(Int, Long)] =
+      plannerFsCache.computeIfAbsent((base, v), _ => scala.util.Try {
+        val lines = manifestLines(spark, base, v)
+        val (data, dels) = splitEntries(lines)
+        if (dels.isEmpty && schemaOps(lines).isEmpty)
+          Some(fileSetFingerprint(data.map(_.path).toSet))
+        else None
+      }.getOrElse(None))
+    // (first fingerprint-matching version that VERIFIES, any fp match?)
+    def search(): (Option[Long], Boolean) = {
       val vs = scala.util.Try(versions(spark, base)).getOrElse(Seq.empty)
-      vs.reverse.find { v =>
-        plannerFsCache.computeIfAbsent((base, v), _ => scala.util.Try {
-          val lines = manifestLines(spark, base, v)
-          val (data, dels) = splitEntries(lines)
-          if (dels.isEmpty && schemaOps(lines).isEmpty)
-            Some(fileSetFingerprint(data.map(_.path).toSet))
-          else None
-        }.getOrElse(None)).contains(want)
-      }
+      val cands = vs.reverse.filter(v => fpOf(v).contains(want))
+      (cands.find(verify), cands.nonEmpty)
     }
-    search() match {
-      case Some(v) if verify(v) => Some(v)
-      case Some(_) => // stale memo (recreated table) or fingerprint collision
+    val (hit, sawMatch) = search()
+    hit.orElse {
+      if (!sawMatch) None // plain miss: no eviction, no second pass
+      else {
+        // fp matches existed but none verified: stale memo (a table
+        // dropped and re-created at the same path) — recompute cold
         plannerFsCache.keySet.removeIf(k => k._1 == base)
-        search().filter(verify)
-      case None => None
+        search()._1
+      }
     }
   }
 
