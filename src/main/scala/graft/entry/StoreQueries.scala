@@ -2581,17 +2581,17 @@ private[graft] object StoreQueries {
              |  TRUE AS metadata_answered
              |FROM documents GROUP BY source ORDER BY source""".stripMargin)),
 
-    // Filtered MIN/MAX pushdown (round-17): MIN/MAX under a WHERE via
-    // the Snapshots.metaBoundsWhere hybrid — predicate-pruned files
-    // contribute nothing, files PROVEN fully inside contribute their
-    // recorded bounds unopened, only boundary files scan with the
-    // residual. THE dashboard shape on a 100 TB events table:
-    // `SELECT max(ts) WHERE date = yesterday`. The metadata_answered
-    // pin asserts the statement planned as LocalTableScan; the
-    // only-boundary-files-open proof lives in SnapshotAggRewriteSpec.
+    // Filtered aggregate pushdown (round-17): MIN/MAX/SUM/AVG under a
+    // WHERE via the Snapshots.metaBoundsWhere / metaSumWhere hybrids —
+    // predicate-pruned files contribute nothing, files PROVEN fully
+    // inside contribute their recorded bounds / sidecar sums unopened,
+    // only boundary files scan with the residual. THE dashboard shapes
+    // on a 100 TB events table: `SELECT max(ts), sum(amount) WHERE
+    // date = yesterday`. The metadata_answered pin asserts the statement
+    // planned as LocalTableScan; the only-boundary-files-open proof
+    // lives in SnapshotAggRewriteSpec.
     "snap_minmax_where" -> Q(
       (s, d) => {
-        import graft.plans.SnapshotAggRewrite
         import graft.store.Snapshots
         val root = FixtureRoot.fresh("snapminmaxw")
         val base = root + "/t"
@@ -2599,26 +2599,33 @@ private[graft] object StoreQueries {
         Snapshots.write(docs.repartitionByRange(8, col("doc_id")), base,
           statsKey = Some("doc_id"))
         Snapshots.writeStatsSidecars(s, base, Seq("n_chars"))
+        Snapshots.writeSumSidecars(s, base, Seq("n_chars"))
         Snapshots.read(s, base).createOrReplaceTempView("snap_mmw_v")
         AggRule.withEnabled(s) {
           val q = s.sql(
             """SELECT min(doc_id) AS mn_id, max(doc_id) AS mx_id,
-              |  min(n_chars) AS mn_chars, max(n_chars) AS mx_chars
+              |  min(n_chars) AS mn_chars, max(n_chars) AS mx_chars,
+              |  sum(n_chars) AS sum_chars, avg(n_chars) AS avg_raw,
+              |  count(*) AS n
               |FROM snap_mmw_v
               |WHERE doc_id >= 100 AND doc_id <= 5000""".stripMargin)
           val answered = q.queryExecution.executedPlan.collectFirst {
             case l: org.apache.spark.sql.execution.LocalTableScanExec => l
           }.nonEmpty
           val r = q.collect().head
+          val avg6 = BigDecimal(r.getDouble(5))
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
           import s.implicits._
           Seq((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
-            answered))
-            .toDF("mn_id", "mx_id", "mn_chars", "mx_chars",
-              "metadata_answered")
+            r.getLong(4), avg6, r.getLong(6), answered))
+            .toDF("mn_id", "mx_id", "mn_chars", "mx_chars", "sum_chars",
+              "avg_chars", "n", "metadata_answered")
         }
       },
       Some("""SELECT min(doc_id) AS mn_id, max(doc_id) AS mx_id,
              |  min(n_chars) AS mn_chars, max(n_chars) AS mx_chars,
+             |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+             |  round(avg(n_chars), 6) AS avg_chars, count(*) AS n,
              |  TRUE AS metadata_answered
              |FROM documents WHERE doc_id >= 100 AND doc_id <= 5000""".stripMargin)),
 

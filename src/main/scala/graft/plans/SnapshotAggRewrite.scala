@@ -34,11 +34,14 @@ import graft.store.Snapshots
  *    fully inside contribute their recorded bounds unopened, boundary
  *    files scan with the residual — `SELECT max(ts) WHERE date =
  *    yesterday` on a clustered 100 TB table opens one or two files.
- *  - un-filtered `SUM(col)` / `AVG(col)` over integral/decimal columns →
+ *  - `SUM(col)` / `AVG(col)` over integral/decimal columns →
  *    [[Snapshots.metaSumOf]] (exact per-file `.sums` sidecars folded in
- *    decimal, hybrid-scanning uncovered files) — with the overflow and
- *    FP-exactness side conditions proven before rewriting (see the
- *    match arms), because this rule never trades exactness.
+ *    decimal, hybrid-scanning uncovered files), and under a WHERE the
+ *    [[Snapshots.metaSumWhere]] hybrid (round-17: proven-inside files
+ *    contribute their sidecar sums unopened, boundary files scan with
+ *    the residual) — with the overflow and FP-exactness side conditions
+ *    proven before rewriting (see the match arms), because this rule
+ *    never trades exactness.
  *
  * A SINGLE-ATTRIBUTE `GROUP BY` gets the grouped twin (round-17,
  * [[rewriteGrouped]]): per-file bounds with min == max prove a file
@@ -119,11 +122,19 @@ case class SnapshotAggRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
         case Some(c) => Some(Snapshots.countWhere(spark, base, toColumn(c), Some(v)))
       }
     }
+    // un-filtered: the metaSumOf sidecar fold; under a WHERE: the
+    // metaSumWhere hybrid (round-17 — proven-inside files contribute
+    // their sidecar sums unopened, boundary files scan with the
+    // residual). The overflow proofs below cover both: the filtered
+    // total's partials are sums over SUBSETS of the same rows.
     lazy val sums = scala.collection.mutable.Map
       .empty[String, Option[(java.math.BigDecimal, Long)]]
     def sumOf(a: AttributeReference): Option[(java.math.BigDecimal, Long)] =
-      sums.getOrElseUpdate(a.name,
-        Snapshots.metaSumOf(spark, base, a.name, Some(v)))
+      sums.getOrElseUpdate(a.name, cond match {
+        case None => Snapshots.metaSumOf(spark, base, a.name, Some(v))
+        case Some(c) =>
+          Snapshots.metaSumWhere(spark, base, a.name, toColumn(c), Some(v))
+      })
     // signed-sum admission: the metadata |partial-sum| bound (see the
     // Sum arm); memoized per column like the other metadata lookups
     lazy val absBounds = scala.collection.mutable.Map
@@ -177,7 +188,7 @@ case class SnapshotAggRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
         //      held negatives (account deltas, log-ratios).
         // Either way: LEGACY can't wrap, ANSI can't throw, TRY can't
         // null, and any regrouping reproduces the total.
-        case s @ Sum(a: AttributeReference, _) if cond.isEmpty =>
+        case s @ Sum(a: AttributeReference, _) =>
           val (total, n) = sumOf(a).getOrElse(return None)
           if (n == 0L) null
           else s.dataType match {
@@ -203,8 +214,8 @@ case class SnapshotAggRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
         // non-negativity + total ≤ 2^53, or by the signed |partial|
         // bound ≤ 2^53. Otherwise decline rather than differ in the
         // last bits.
-        case av @ Average(a: AttributeReference, _) if cond.isEmpty &&
-            av.dataType == DoubleType =>
+        case av @ Average(a: AttributeReference, _)
+            if av.dataType == DoubleType =>
           val (total, n) = sumOf(a).getOrElse(return None)
           if (n == 0L) null
           else {

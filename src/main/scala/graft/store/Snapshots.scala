@@ -5053,6 +5053,83 @@ object Snapshots {
     metaPart + scanned
   }
 
+  /**
+   * Hybrid metadata + boundary-scan SUM WHERE (round-17) — the
+   * [[metaBoundsWhere]] shape applied to sums: files the predicate
+   * provably excludes contribute nothing, files provably FULLY INSIDE it
+   * contribute their `.sums` sidecar (Σ, non-null count) without being
+   * opened, boundary files scan with the residual filter. Decimal
+   * addition is exact and associative, so the answer is bit-identical to
+   * the filtered aggregation scan.
+   *
+   *  - `None`: cannot answer exactly (pending deletes, no analyzable
+   *    filter, unsupported type, a proven file without a sum sidecar, a
+   *    decimal-38 overflow in the boundary scan) — caller falls back;
+   *  - `Some((sum, n))`: exact Σ and non-null count of the matching
+   *    rows (`n == 0` ⇒ the SUM aggregate is NULL).
+   */
+  def metaSumWhere(spark: SparkSession, base: String, colName: String,
+                   predicate: org.apache.spark.sql.Column,
+                   version: Option[Long] = None)
+      : Option[(java.math.BigDecimal, Long)] = {
+    import org.apache.spark.sql.functions.{col, count, sum}
+    val vs = versions(spark, base)
+    require(vs.nonEmpty, s"no snapshots under $base")
+    val v = version.getOrElse(vs.last)
+    require(vs.contains(v), s"version $v not in $vs")
+    val lines = manifestLines(spark, base, v)
+    val (data, dels) = splitEntries(lines)
+    if (dels.nonEmpty) return None
+    if (data.isEmpty) return Some((java.math.BigDecimal.ZERO, 0L))
+    val frame = read(spark, base, Some(v))
+    val schema = frame.schema
+    if (!schema.fieldNames.contains(colName)) return None
+    val sc = sumScaleOf(schema(colName).dataType).getOrElse(return None)
+    val ops = schemaOps(lines)
+    val pairs = renamePairs(ops)
+    val toLogical = physToLogical(ops) _
+    val cond = condOf(frame, predicate).getOrElse(return None)
+    val (candidates0, _) = scanPlanExpr(spark, base, v, Some(cond),
+      c => schema.find(_.name == c).map(_.dataType))
+    val candidates = candidates0.filterNot(_.rows.contains(0L))
+    if (candidates.isEmpty) return Some((java.math.BigDecimal.ZERO, 0L))
+    val bounds = predicateBounds(cond, pairs)
+    val statsOf = entryStatsLookup(spark, base, candidates,
+      bounds.keySet ++ eqSetsOf(cond, pairs).map(_._1) ++
+        mustBeNullOf(cond, pairs), ops)
+    def sidecarSum(e: ManifestEntry): Option[(java.math.BigDecimal, Long)] =
+      loadSections(spark, base, e.path, SumSuffix, SumMagic)
+        .flatMap { case (k, bs) => toLogical(k).map(_ -> bs) }
+        .get(colName).flatMap { bs =>
+          val p = new String(bs, "UTF-8").split('\t')
+          scala.util.Try(
+            (new java.math.BigDecimal(p(0)), p(1).toLong)).toOption
+        }
+    val withProof = candidates.map { e =>
+      e -> (if (provenByStats(statsOf(e), cond, pairs)) sidecarSum(e)
+            else None)
+    }
+    val boundary = withProof.collect { case (e, None) => e }
+    val metaPart = withProof.flatMap(_._2)
+      .foldLeft((java.math.BigDecimal.ZERO, 0L)) {
+        case ((accS, accN), (s0, n0)) => (accS.add(s0), accN + n0)
+      }
+    val scanned: (java.math.BigDecimal, Long) =
+      if (boundary.isEmpty) (java.math.BigDecimal.ZERO, 0L)
+      else {
+        val r = readSubset(spark, base, lines, boundary)
+          .filter(predicate)
+          .agg(sum(col(colName)
+              .cast(org.apache.spark.sql.types.DecimalType(38, sc))).as("s"),
+            count(col(colName)).as("n"))
+          .head
+        if (r.isNullAt(0) && r.getLong(1) > 0L) return None // overflow
+        (if (r.isNullAt(0)) java.math.BigDecimal.ZERO else r.getDecimal(0),
+          r.getLong(1))
+      }
+    Some((metaPart._1.add(scanned._1), metaPart._2 + scanned._2))
+  }
+
   /** One group of [[metaGroupAgg]]: `key` is the grouping column's
     * stats-canon value (None = the NULL group), `rows` the group's row
     * count, `cnt` per-column non-null counts, `sum` per-column

@@ -285,6 +285,24 @@ class SnapshotAggRewriteSpec extends AnyFunSuite {
       val stray = opened.filterNot(p => boundary.exists(e => p.endsWith(e.path)))
       assert(stray.isEmpty,
         s"filtered MIN/MAX opened files beyond its boundary set: $stray")
+      // filtered SUM/AVG (round-17): sidecar sums for the proven files,
+      // boundary-only opens, bit-identical
+      Snapshots.writeSumSidecars(s, base, Seq("x"))
+      s.conf.set(SnapshotAggRewrite.EnabledKey, "false")
+      val sref = t.filter(col("id") >= 250L && col("id") <= 850L)
+        .agg(org.apache.spark.sql.functions.sum(col("x")).as("sx"),
+          avg(col("x")).as("ax")).collect().toSeq
+      s.conf.set(SnapshotAggRewrite.EnabledKey, "true")
+      CountingLocalFs.reset()
+      val sq = t.filter(col("id") >= 250L && col("id") <= 850L)
+        .agg(org.apache.spark.sql.functions.sum(col("x")).as("sx"),
+          avg(col("x")).as("ax"))
+      assert(isMetadataAnswered(sq), "filtered SUM/AVG answers via the hybrid")
+      assert(sq.collect().toSeq == sref)
+      val strayS = CountingLocalFs.openedParquet
+        .filterNot(p => boundary.exists(e => p.endsWith(e.path)))
+      assert(strayS.isEmpty,
+        s"filtered SUM opened files beyond its boundary set: $strayS")
       // empty-match predicate: answers NULL from metadata, zero opens
       CountingLocalFs.reset()
       val nullQ = t.filter(col("id") > 5000L).agg(min(col("x")).as("mn"))
