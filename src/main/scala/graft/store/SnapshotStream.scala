@@ -76,11 +76,12 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
  *  - ADMISSION CONTROL: `maxVersionsPerTrigger` paces whole commits;
  *    `maxBytesPerTrigger` (round-17) paces by ADDED BYTES read from the
  *    manifest's `#b=` length field (zero extra IO; entries from before
- *    the field cost one delta-scoped getFileStatus each) — a soft cap at
- *    file granularity, always admitting at least one file per trigger,
- *    so one 10 GB commit splits across triggers instead of blowing one.
- *    Both compose; `Trigger.AvailableNow` pins the catch-up target at
- *    query start so the run terminates while writers keep committing.
+ *    the field cost one delta-scoped getFileStatus each) and
+ *    `maxFilesPerTrigger` by added-file count — soft caps at file
+ *    granularity, always admitting at least one file per trigger, so
+ *    one 10 GB commit splits across triggers instead of blowing one.
+ *    All three compose; `Trigger.AvailableNow` pins the catch-up target
+ *    at query start so the run terminates while writers keep committing.
  *
  * CHANGE-DATA-FEED mode (Delta CDF streaming twin,
  * `option("readChangeFeed", true)` + `option("changeKey", <unique key>)`):
@@ -230,6 +231,12 @@ private[store] class SnapshotSource(spark: SparkSession,
       require(n > 0, s"maxBytesPerTrigger must be > 0, got $n")
       n
     }
+  private val maxFilesPerTrigger: Option[Int] =
+    Option(options.get("maxFilesPerTrigger")).map { s =>
+      val n = s.toInt
+      require(n > 0, s"maxFilesPerTrigger must be > 0, got $n")
+      n
+    }
 
   private def currentVersions: Seq[Long] = branchOpt match {
     case Some(b) =>
@@ -313,41 +320,45 @@ private[store] class SnapshotSource(spark: SparkSession,
     // version pacing (whole commits); an in-flight mid-version commit
     // counts as the first of the cap
     val vCap = maxVersionsPerTrigger.fold(last)(m => math.min(last, s0.v + m))
-    maxBytesPerTrigger match {
-      case Some(maxB) if !changeFeed =>
-        // file-granular soft cap: admit added files in chain order until
-        // the budget is spent, always at least one (progress guarantee);
-        // an offset may land mid-commit as (lastFullVersion, fileIdx)
-        var pos = s0
-        var budget = maxB
-        var admitted = 0
-        var done = false
-        while (!done) {
-          chainNext(vs, pos.v).filter(_ <= vCap) match {
-            case None => done = true
-            case Some(nv) =>
-              val files = addedAt(vs, nv)
-              var i = math.min(pos.fileIdx, files.length)
-              var cut = false
-              while (i < files.length && !cut) {
-                val len = lengthOf(files(i))
-                if (admitted > 0 && len > budget) cut = true
-                else { budget -= len; admitted += 1; i += 1 }
-              }
-              if (i >= files.length) pos = SnapshotVersionOffset(nv)
-              else { pos = SnapshotVersionOffset(pos.v, i); done = true }
-              if (budget <= 0L) done = true
-          }
+    if ((maxBytesPerTrigger.nonEmpty || maxFilesPerTrigger.nonEmpty) &&
+        !changeFeed) {
+      // file-granular soft caps (bytes and/or file count, composed):
+      // admit added files in chain order until either budget is spent,
+      // always at least one file (progress guarantee); an offset may
+      // land mid-commit as (lastFullVersion, fileIdx)
+      var pos = s0
+      var budget = maxBytesPerTrigger.getOrElse(Long.MaxValue)
+      val fileCap = maxFilesPerTrigger.getOrElse(Int.MaxValue)
+      var admitted = 0
+      var done = false
+      while (!done) {
+        chainNext(vs, pos.v).filter(_ <= vCap) match {
+          case None => done = true
+          case Some(nv) =>
+            val files = addedAt(vs, nv)
+            var i = math.min(pos.fileIdx, files.length)
+            var cut = false
+            while (i < files.length && !cut) {
+              val len = if (budget == Long.MaxValue) 0L else lengthOf(files(i))
+              if (admitted > 0 && (len > budget || admitted >= fileCap))
+                cut = true
+              else { budget -= len; admitted += 1; i += 1 }
+            }
+            if (i >= files.length) pos = SnapshotVersionOffset(nv)
+            else { pos = SnapshotVersionOffset(pos.v, i); done = true }
+            if (budget <= 0L || admitted >= fileCap) done = true
         }
-        pos
-      case _ =>
-        // version-granular pacing (also the CDF mode under byte pacing —
-        // a change feed has no per-file decomposition); a mid-version
-        // position left by a byte-paced run first completes its commit
-        val minEnd = if (s0.fileIdx > 0) chainNext(vs, s0.v).getOrElse(s0.v)
-                     else s0.v
-        val end = math.max(vCap, minEnd)
-        if (end <= s0.v) s0 else SnapshotVersionOffset(end)
+      }
+      pos
+    } else {
+      // version-granular pacing (also the CDF mode under byte/file
+      // pacing — a change feed has no per-file decomposition); a
+      // mid-version position left by a paced run first completes its
+      // commit
+      val minEnd = if (s0.fileIdx > 0) chainNext(vs, s0.v).getOrElse(s0.v)
+                   else s0.v
+      val end = math.max(vCap, minEnd)
+      if (end <= s0.v) s0 else SnapshotVersionOffset(end)
     }
   }
 

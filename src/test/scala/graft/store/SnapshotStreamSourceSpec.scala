@@ -395,6 +395,13 @@ class SnapshotStreamSourceSpec extends AnyFunSuite {
       Map("maxBytesPerTrigger" -> (64L * 1024 * 1024).toString))
       .filter(_._2.nonEmpty)
     assert(fat.size == 1, s"a 64MB budget should drain all commits at once: ${fat.size}")
+    // maxFilesPerTrigger composes at the same file granularity: 7 files
+    // at 3 per trigger = ceil(7/3) = 3 batches, no dupes, full union
+    val byFiles = drain(base, freshDir("files-ckpt"),
+      Map("maxFilesPerTrigger" -> "3")).filter(_._2.nonEmpty)
+    assert(byFiles.size == 3, s"7 files / 3 per trigger: ${byFiles.size}")
+    val fu = byFiles.flatMap(_._2)
+    assert(fu.size == fu.toSet.size && fu.map(_._1).toSet == (1L to 61L).toSet)
   }
 
   test("a large file splits into filesMaxPartitionBytes-sized partitions") {
