@@ -237,23 +237,24 @@ case class SnapshotAggRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     case scala.util.control.NonFatal(_) => None
   } finally inRewrite.set(false)
 
-  /** GROUP BY <single attribute> over an unfiltered snapshot scan →
-    * [[Snapshots.metaGroupAgg]] (round-17): per-file bounds with
-    * min == max and zero nulls prove a file single-group, so the rollup
-    * folds from manifests/sidecars with ONE boundary scan for the files
-    * straddling group borders — the ad-hoc per-day/per-source dashboard
-    * rollup a clustered table answers almost for free. Supported
-    * aggregates per group: the key itself, COUNT(*)/COUNT(lit),
-    * COUNT(col), SUM(col) (integral/decimal, under the same
-    * overflow-exactness proofs as the global arm — non-negativity or the
-    * |partial-sum| bound, which cover every subgroup), MIN/MAX(col).
-    * Anything else, a WHERE, or more than the `maxGroups` cap declines —
-    * the fold is driver-side and must stay dashboard-sized. */
+  /** GROUP BY <single attribute> over a snapshot scan, optionally under
+    * one WHERE → [[Snapshots.metaGroupAgg]] (round-17): per-file bounds
+    * with min == max and zero nulls prove a file single-group, so the
+    * rollup folds from manifests/sidecars with ONE boundary scan for the
+    * files straddling group borders (a WHERE additionally prunes files
+    * and demands full-inclusion proof before a file may fold) — the
+    * ad-hoc per-day/per-source dashboard rollup a clustered table
+    * answers almost for free. Supported aggregates per group: the key
+    * itself, COUNT(*)/COUNT(lit), COUNT(col), SUM(col)
+    * (integral/decimal, under the same overflow-exactness proofs as the
+    * global arm — non-negativity or the |partial-sum| bound, which cover
+    * every subgroup), MIN/MAX(col). Anything else, or more than the
+    * `maxGroups` cap, declines — the fold is driver-side and must stay
+    * dashboard-sized. */
   private def rewriteGrouped(agg: Aggregate): Option[LogicalPlan] = try {
     inRewrite.set(true)
     val k = agg.groupingExpressions.head.asInstanceOf[AttributeReference]
     val (cond, rel) = unwrap(agg.child, None).getOrElse(return None)
-    if (cond.nonEmpty) return None
     val (base, files, _) =
       SnapshotPruneRewrite.recognizeScan(rel).getOrElse(return None)
     val v = Snapshots.plannerResolveVersion(spark, base, files)
@@ -289,7 +290,8 @@ case class SnapshotAggRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     val maxGroups = spark.conf.getOption(MaxGroupsKey)
       .map(_.toInt).getOrElse(10000)
     val groups = Snapshots.metaGroupAgg(spark, base, k.name, cntCols,
-      sumCols, mmCols, Some(v), maxGroups).getOrElse(return None)
+      sumCols, mmCols, Some(v), maxGroups, cond.map(toColumn))
+      .getOrElse(return None)
     // SUM overflow proofs hold group-wise: non-negativity bounds every
     // group's partials by its own total (each checked on conversion),
     // the signed |partial-sum| bound covers every subgroup outright

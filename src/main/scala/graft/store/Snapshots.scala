@@ -5154,6 +5154,13 @@ object Snapshots {
    * 100 TB table clustered on that key then opens only the handful of
    * boundary files straddling group borders.
    *
+   * A `predicate` (round-17) composes the [[countWhere]] machinery in:
+   * files it provably excludes leave the pool, a metadata-folding file
+   * must ALSO be proven fully inside it, and the boundary scan carries
+   * the residual — `GROUP BY day ... WHERE day BETWEEN x AND y` on a
+   * day-clustered table folds the interior days from metadata and scans
+   * the two edge files.
+   *
    * Exactness: every per-group number is exact by construction (counts,
    * decimal sums, canon bound folds — no estimates); the caller owns the
    * accumulator-overflow proof for SUM conversions (the same
@@ -5165,20 +5172,35 @@ object Snapshots {
   def metaGroupAgg(spark: SparkSession, base: String, keyCol: String,
                    cntCols: Seq[String], sumCols: Seq[String],
                    mmCols: Seq[String], version: Option[Long] = None,
-                   maxGroups: Int = 10000): Option[Seq[GroupAgg]] = {
+                   maxGroups: Int = 10000,
+                   predicate: Option[org.apache.spark.sql.Column] = None)
+      : Option[Seq[GroupAgg]] = {
     import org.apache.spark.sql.functions.{col, count, lit, max, min, sum}
     val vs = versions(spark, base)
     require(vs.nonEmpty, s"no snapshots under $base")
     val v = version.getOrElse(vs.last)
     require(vs.contains(v), s"version $v not in $vs")
     val lines = manifestLines(spark, base, v)
-    val (data0, dels) = splitEntries(lines)
+    val (data1, dels) = splitEntries(lines)
     if (dels.nonEmpty) return None
+    val schema = read(spark, base, Some(v)).schema
+    // a WHERE (round-17) composes the countWhere machinery in: files the
+    // predicate provably excludes leave the pool, a metadata-folding
+    // file must ALSO be proven fully inside it, and the boundary scan
+    // carries the residual filter
+    val predCond = predicate.map { p =>
+      condOf(read(spark, base, Some(v)), p).getOrElse(return None)
+    }
+    val pairs = renamePairs(schemaOps(lines))
+    val data0 = predCond match {
+      case None => data1
+      case Some(c) => scanPlanExpr(spark, base, v, Some(c),
+        cn => schema.find(_.name == cn).map(_.dataType))._1
+    }
     // recorded-empty files contribute nothing to any group — skip them
     // (they carry no stats and would otherwise force a pointless scan)
     val data = data0.filterNot(_.rows.contains(0L))
     if (data.isEmpty) return Some(Seq.empty)
-    val schema = read(spark, base, Some(v)).schema
     val allCols = (keyCol +: (cntCols ++ sumCols ++ mmCols)).distinct
     if (!allCols.forall(schema.fieldNames.contains)) return None
     val dtK = schema(keyCol).dataType
@@ -5190,7 +5212,11 @@ object Snapshots {
     if (sumCols.exists(c => sumScale(c).isEmpty)) return None
     val ops = schemaOps(lines)
     val toLogical = physToLogical(ops) _
-    val statsOf = entryStatsLookup(spark, base, data, allCols.toSet, ops)
+    val predStatsCols: Set[String] = predCond.map(c =>
+      predicateBounds(c, pairs).keySet ++ eqSetsOf(c, pairs).map(_._1) ++
+        mustBeNullOf(c, pairs)).getOrElse(Set.empty)
+    val statsOf = entryStatsLookup(spark, base, data,
+      allCols.toSet ++ predStatsCols, ops)
     def fileSums(e: ManifestEntry): Map[String, (java.math.BigDecimal, Long)] =
       loadSections(spark, base, e.path, SumSuffix, SumMagic)
         .flatMap { case (kk, bs) => toLogical(kk).map(_ -> bs) }
@@ -5204,6 +5230,7 @@ object Snapshots {
     val provenParts = data.map { e =>
       val res = for {
         rows <- e.rows
+        if predCond.forall(c => provenByStats(statsOf(e), c, pairs))
         ks <- statsOf(e)(keyCol)
         (kt, kmn, kmx, knulls) = ks
         if kt == tagK && validStat(kt, kmn, kmx) && kmn == kmx &&
@@ -5284,7 +5311,8 @@ object Snapshots {
             mmCols.flatMap(c => Seq(
               statExtract(min(col(c)), schema(c).dataType).as(s"__mn_$c"),
               statExtract(max(col(c)), schema(c).dataType).as(s"__mx_$c"))))
-      val scanned = readSubset(spark, base, lines, boundary)
+      val bScan0 = readSubset(spark, base, lines, boundary)
+      val scanned = predicate.fold(bScan0)(bScan0.filter)
         .groupBy(statExtract(col(keyCol), dtK).as("__k"))
         .agg(aggs.head, aggs.tail: _*)
         .collect()

@@ -358,6 +358,21 @@ class SnapshotAggRewriteSpec extends AnyFunSuite {
       val stray = opened.filterNot(p =>
         straddlers.exists(e => p.endsWith(e.path)))
       assert(stray.isEmpty, s"grouped fold opened proven files: $stray")
+      // grouped rollup UNDER A WHERE (round-17): interior days fold from
+      // metadata, the straddler scans with the residual; bit-identical
+      def whereRollup() = t.filter(col("day") >= 2L && col("day") <= 10L)
+        .groupBy(col("day")).agg(count(lit(1)).as("n"),
+          org.apache.spark.sql.functions.sum(col("v")).as("sv"))
+      s.conf.set(SnapshotAggRewrite.EnabledKey, "false")
+      val wref = ordered(whereRollup().collect().toSeq)
+      s.conf.set(SnapshotAggRewrite.EnabledKey, "true")
+      CountingLocalFs.reset()
+      val wq = whereRollup()
+      assert(isMetadataAnswered(wq), "grouped WHERE rollup must fold")
+      assert(ordered(wq.collect().toSeq) == wref)
+      val strayW = CountingLocalFs.openedParquet
+        .filterNot(p => straddlers.exists(e => p.endsWith(e.path)))
+      assert(strayW.isEmpty, s"grouped WHERE fold opened proven files: $strayW")
       // a group cap below the group count declines (driver-side fold must
       // stay dashboard-sized); an unclustered key declines outright
       s.conf.set(SnapshotAggRewrite.MaxGroupsKey, "3")
