@@ -248,18 +248,37 @@ private[store] class SnapshotSource(spark: SparkSession,
 
   override def schema: StructType = tableSchema
 
-  /** The before-first-delivery sentinel from `startingVersion`. */
+  /** The before-first-delivery sentinel from `startingVersion` /
+    * `startingTimestamp` (Delta's pair — the timestamp form streams
+    * every commit whose manifest mtime is AT OR AFTER the cutoff, the
+    * same clock [[Snapshots.readAsOf]] and expiry key on; epoch millis
+    * or any `java.sql.Timestamp`-parseable string). */
   private def startSentinel: Long = {
     val vs = currentVersions
     require(vs.nonEmpty, s"no snapshots under $base")
-    Option(options.get("startingVersion")) match {
-      case None => vs.head - 1 // stream the whole table from its first commit
-      case Some("latest") => vs.last // only commits after stream start
-      case Some(s) =>
+    val byVersion = Option(options.get("startingVersion"))
+    val byTs = Option(options.get("startingTimestamp"))
+    require(byVersion.isEmpty || byTs.isEmpty,
+      "set startingVersion OR startingTimestamp, not both")
+    (byVersion, byTs) match {
+      case (None, None) => vs.head - 1 // the whole table from its first commit
+      case (Some("latest"), _) => vs.last // only commits after stream start
+      case (Some(s), _) =>
         val v = s.toLong
         require(v >= vs.head && v <= vs.last + 1,
           s"startingVersion $v outside committed range $vs")
         v - 1
+      case (_, Some(ts)) =>
+        val millis = scala.util.Try(ts.toLong).getOrElse(
+          java.sql.Timestamp.valueOf(ts.replace('T', ' ')).getTime)
+        val f = new Path(base)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        def mtime(v: Long): Long = f.getFileStatus(new Path(
+          s"$base/${if (branchOpt.isEmpty) s"v=$v" else s"vb-${branchOpt.get}=$v"}/_manifest"))
+          .getModificationTime
+        // first commit at-or-after the cutoff starts the stream; a
+        // future cutoff degrades to "latest" (only new commits)
+        vs.find(v => mtime(v) >= millis).map(_ - 1).getOrElse(vs.last)
     }
   }
 

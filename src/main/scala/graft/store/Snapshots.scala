@@ -5626,8 +5626,12 @@ object Snapshots {
     val v = version.getOrElse(vs.last)
     require(vs.contains(v), s"version $v not in $vs")
     val lines = manifestLines(spark, base, v)
-    val (data, dels) = splitEntries(lines)
-    if (dels.nonEmpty || data.isEmpty) return None
+    val (data0, dels) = splitEntries(lines)
+    if (dels.nonEmpty || data0.isEmpty) return None
+    // recorded-empty files span nothing — skip rather than refusing to
+    // measure the whole table (round-17, same rule as metaBoundsOf)
+    val data = data0.filterNot(_.rows.contains(0L))
+    if (data.isEmpty) return None
     val statsOf = entryStatsLookup(spark, base, data, Set(colName),
       schemaOps(lines))
     val per = data.map(e => statsOf(e)(colName))

@@ -104,6 +104,35 @@ class SnapshotStreamSourceSpec extends AnyFunSuite {
     Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
       .map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
 
+  test("startingTimestamp streams commits at-or-after the cutoff (readAsOf's clock)") {
+    val base = freshDir("ts") + "/t"
+    Snapshots.write((1L to 10L).map(i => (i, s"n$i")).toDF("id", "name"), base)
+    Snapshots.append((11L to 15L).map(i => (i, s"n$i")).toDF("id", "name"), base)
+    Snapshots.append((16L to 20L).map(i => (i, s"n$i")).toDF("id", "name"), base)
+    // push v1/v2 into the past (manifest mtime IS the commit clock)
+    val now = System.currentTimeMillis()
+    new java.io.File(s"$base/v=1/_manifest").setLastModified(now - 60000)
+    new java.io.File(s"$base/v=2/_manifest").setLastModified(now - 30000)
+    // cutoff between v2 and v3: stream v3 only
+    val got = drain(base, freshDir("ts-ckpt"),
+      Map("startingTimestamp" -> (now - 10000).toString))
+      .flatMap(_._2).map(_._1).toSet
+    assert(got == (16L to 20L).toSet, s"cutoff must admit v3 only: $got")
+    // cutoff before everything: the whole table; future cutoff: nothing
+    assert(drain(base, freshDir("ts-ckpt2"),
+      Map("startingTimestamp" -> (now - 90000).toString))
+      .flatMap(_._2).size == 20)
+    assert(drain(base, freshDir("ts-ckpt3"),
+      Map("startingTimestamp" -> (now + 3600000).toString))
+      .flatMap(_._2).isEmpty)
+    // both starting options together refuse
+    val e = intercept[Exception] {
+      drain(base, freshDir("ts-ckpt4"),
+        Map("startingTimestamp" -> now.toString, "startingVersion" -> "1"))
+    }
+    assert(msgChain(e).contains("not both"), msgChain(e))
+  }
+
   test("append-only contract: rewrites, MoR deletes and image ops refuse; ignoreChanges overrides") {
     val base = freshDir("strict") + "/t"
     val ckpt = freshDir("strict-ckpt")
