@@ -2581,6 +2581,47 @@ private[graft] object StoreQueries {
              |  TRUE AS metadata_answered
              |FROM documents GROUP BY source ORDER BY source""".stripMargin)),
 
+    // DISTINCT pushdown (round-17): SELECT DISTINCT k is the degenerate
+    // grouped fold (a grouped plan with no aggregates) and global
+    // COUNT(DISTINCT k) answers as the fold's exact cardinality —
+    // metaGroupAgg merges proven single-group files with the grouped
+    // boundary scan, so values co-occurring in a straddler never
+    // double-count, and the NULL group is excluded per SQL semantics.
+    // Composite keys fold too when every key column pins per file.
+    "snap_distinct_pushdown" -> Q(
+      (s, d) => {
+        import graft.store.Snapshots
+        val root = FixtureRoot.fresh("snapdistinct")
+        val base = root + "/t"
+        val docs = T(s, d, "documents").select(col("doc_id"), col("source"))
+        Snapshots.write(docs.filter(col("doc_id") % 7 =!= 0)
+            .repartition(24, col("source")), base,
+          statsKey = Some("source"))
+        Snapshots.append(docs.filter(col("doc_id") % 7 === 0).coalesce(1),
+          base, statsKey = Some("source"))
+        Snapshots.read(s, base).createOrReplaceTempView("snap_distinct_v")
+        AggRule.withEnabled(s) {
+          val dq = s.sql("SELECT DISTINCT source FROM snap_distinct_v")
+          val cq = s.sql(
+            "SELECT count(DISTINCT source) AS nd FROM snap_distinct_v")
+          def answered(q: DataFrame) =
+            q.queryExecution.executedPlan.collectFirst {
+              case l: org.apache.spark.sql.execution.LocalTableScanExec => l
+            }.nonEmpty
+          val both = answered(dq) && answered(cq)
+          val nd = cq.collect().head.getLong(0)
+          import s.implicits._
+          dq.collect().map(_.getString(0)).toSeq.sorted
+            .map(src => (src, nd, both))
+            .toDF("source", "n_distinct", "metadata_answered")
+            .orderBy(col("source"))
+        }
+      },
+      Some("""SELECT DISTINCT source,
+             |  (SELECT count(DISTINCT source) FROM documents) AS n_distinct,
+             |  TRUE AS metadata_answered
+             |FROM documents ORDER BY source""".stripMargin)),
+
     // Filtered aggregate pushdown (round-17): MIN/MAX/SUM/AVG under a
     // WHERE via the Snapshots.metaBoundsWhere / metaSumWhere hybrids —
     // predicate-pruned files contribute nothing, files PROVEN fully

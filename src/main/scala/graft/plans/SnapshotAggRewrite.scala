@@ -43,10 +43,13 @@ import graft.store.Snapshots
  *    proven before rewriting (see the match arms), because this rule
  *    never trades exactness.
  *
- * A SINGLE-ATTRIBUTE `GROUP BY` gets the grouped twin (round-17,
- * [[rewriteGrouped]]): per-file bounds with min == max prove a file
- * single-group, so a rollup on the table's cluster key folds from
- * metadata with one boundary scan — see [[Snapshots.metaGroupAgg]].
+ * An attribute-only `GROUP BY` (one or more columns) gets the grouped
+ * twin (round-17, [[rewriteGrouped]]): per-file bounds with min == max
+ * on EVERY key prove a file single-group, so a rollup on the table's
+ * cluster key(s) folds from metadata with one boundary scan — see
+ * [[Snapshots.metaGroupAgg]]. `SELECT DISTINCT k...` is the degenerate
+ * case (a grouped plan with no aggregates), and a global
+ * `COUNT(DISTINCT k)` answers as the fold's cardinality.
  *
  * The global match is `Aggregate` with NO grouping, over at most one
  * `Filter`, over attribute-only `Project`s, over a parquet scan whose
@@ -77,7 +80,8 @@ case class SnapshotAggRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     plan.transformDown {
       case agg: Aggregate if agg.groupingExpressions.isEmpty =>
         rewrite(agg).getOrElse(agg)
-      case agg @ Aggregate(Seq(_: AttributeReference), _, _, _) =>
+      case agg: Aggregate if agg.groupingExpressions
+          .forall(_.isInstanceOf[AttributeReference]) =>
         rewriteGrouped(agg).getOrElse(agg)
     }
   }
@@ -162,7 +166,24 @@ case class SnapshotAggRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
               case None => None // unparseable canon: decline, never guess
             }
         })
+    // COUNT(DISTINCT k): the group fold's cardinality (round-17) — exact
+    // because metaGroupAgg merges proven single-group files with the
+    // grouped boundary scan, so co-occurring values never double-count;
+    // the NULL group is excluded (COUNT DISTINCT ignores NULLs). Only
+    // answerable when the column is clustered enough for the fold.
+    lazy val dcounts = scala.collection.mutable.Map.empty[String, Option[Long]]
+    def distinctCountOf(a: AttributeReference): Option[Long] =
+      dcounts.getOrElseUpdate(a.name, {
+        val maxGroups = spark.conf.getOption(MaxGroupsKey)
+          .map(_.toInt).getOrElse(10000)
+        Snapshots.metaGroupAgg(spark, base, Seq(a.name), Nil, Nil, Nil,
+            Some(v), maxGroups, cond.map(toColumn))
+          .map(_.count(_.key.head.isDefined).toLong)
+      })
     val values: Seq[Any] = agg.aggregateExpressions.map {
+      case Alias(AggregateExpression(
+          Count(Seq(a: AttributeReference)), _, true, None, _), _) =>
+        distinctCountOf(a).getOrElse(return None)
       case Alias(AggregateExpression(fn, _, false, None, _), _) => fn match {
         case Count(Seq(l: Literal)) if l.value != null =>
           countOf(None).getOrElse(return None)
@@ -237,9 +258,9 @@ case class SnapshotAggRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     case scala.util.control.NonFatal(_) => None
   } finally inRewrite.set(false)
 
-  /** GROUP BY <single attribute> over a snapshot scan, optionally under
+  /** GROUP BY <attributes> over a snapshot scan, optionally under
     * one WHERE → [[Snapshots.metaGroupAgg]] (round-17): per-file bounds
-    * with min == max and zero nulls prove a file single-group, so the
+    * with min == max and zero nulls on EVERY key prove a file single-group, so the
     * rollup folds from manifests/sidecars with ONE boundary scan for the
     * files straddling group borders (a WHERE additionally prunes files
     * and demands full-inclusion proof before a file may fold) — the
@@ -253,7 +274,7 @@ case class SnapshotAggRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     * dashboard-sized. */
   private def rewriteGrouped(agg: Aggregate): Option[LogicalPlan] = try {
     inRewrite.set(true)
-    val k = agg.groupingExpressions.head.asInstanceOf[AttributeReference]
+    val keys = agg.groupingExpressions.map(_.asInstanceOf[AttributeReference])
     val (cond, rel) = unwrap(agg.child, None).getOrElse(return None)
     val (base, files, _) =
       SnapshotPruneRewrite.recognizeScan(rel).getOrElse(return None)
@@ -261,15 +282,19 @@ case class SnapshotAggRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
       .getOrElse(return None)
     // classify every output expression; collect the evidence columns
     sealed trait Out
-    case object KeyOut extends Out
+    final case class KeyOut(i: Int) extends Out
     case object RowsOut extends Out
     final case class CntOut(c: String) extends Out
     final case class SumOut(c: String, fn: Sum) extends Out
     final case class MinOut(c: String, dt: DataType) extends Out
     final case class MaxOut(c: String, dt: DataType) extends Out
+    def keyIdx(a: AttributeReference): Option[Int] = {
+      val i = keys.indexWhere(_.semanticEquals(a)); if (i >= 0) Some(i) else None
+    }
     val outs: Seq[Out] = agg.aggregateExpressions.map {
-      case a: AttributeReference if a.semanticEquals(k) => KeyOut
-      case Alias(a: AttributeReference, _) if a.semanticEquals(k) => KeyOut
+      case a: AttributeReference if keyIdx(a).isDefined => KeyOut(keyIdx(a).get)
+      case Alias(a: AttributeReference, _) if keyIdx(a).isDefined =>
+        KeyOut(keyIdx(a).get)
       case Alias(AggregateExpression(fn, _, false, None, _), _) => fn match {
         case Count(Seq(l: Literal)) if l.value != null => RowsOut
         case Count(Seq(a: AttributeReference)) => CntOut(a.name)
@@ -289,8 +314,8 @@ case class SnapshotAggRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     }.distinct
     val maxGroups = spark.conf.getOption(MaxGroupsKey)
       .map(_.toInt).getOrElse(10000)
-    val groups = Snapshots.metaGroupAgg(spark, base, k.name, cntCols,
-      sumCols, mmCols, Some(v), maxGroups, cond.map(toColumn))
+    val groups = Snapshots.metaGroupAgg(spark, base, keys.map(_.name),
+      cntCols, sumCols, mmCols, Some(v), maxGroups, cond.map(toColumn))
       .getOrElse(return None)
     // SUM overflow proofs hold group-wise: non-negativity bounds every
     // group's partials by its own total (each checked on conversion),
@@ -322,7 +347,7 @@ case class SnapshotAggRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     if (sumOuts.nonEmpty && !sumOuts.forall(sumProven)) return None
     val rows = groups.map { g =>
       InternalRow.fromSeq(outs.map {
-        case KeyOut => g.key.flatMap(fromCanon(_, k.dataType)).orNull
+        case KeyOut(i) => g.key(i).flatMap(fromCanon(_, keys(i).dataType)).orNull
         case RowsOut => g.rows
         case CntOut(c) => g.cnt(c)
         case SumOut(c, fn) =>
@@ -343,8 +368,8 @@ case class SnapshotAggRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     }
     // a NULL key value that fromCanon could not parse back must decline,
     // not silently null a real group key
-    if (groups.exists(g => g.key.isDefined &&
-        fromCanon(g.key.get, k.dataType).isEmpty)) return None
+    if (groups.exists(g => keys.indices.exists(i => g.key(i).isDefined &&
+        fromCanon(g.key(i).get, keys(i).dataType).isEmpty))) return None
     Some(LocalRelation(agg.output.map(_.asInstanceOf[Attribute]), rows))
   } catch {
     case scala.util.control.NonFatal(_) => None

@@ -5130,12 +5130,13 @@ object Snapshots {
     Some((metaPart._1.add(scanned._1), metaPart._2 + scanned._2))
   }
 
-  /** One group of [[metaGroupAgg]]: `key` is the grouping column's
-    * stats-canon value (None = the NULL group), `rows` the group's row
-    * count, `cnt` per-column non-null counts, `sum` per-column
-    * (Σ, non-null count) in exact decimal, `mn`/`mx` per-column canon
-    * extremes (absent when the group holds no non-null value). */
-  final case class GroupAgg(key: Option[String], rows: Long,
+  /** One group of [[metaGroupAgg]]: `key` holds the grouping columns'
+    * stats-canon values in declaration order (a None element = that key
+    * is NULL in this group), `rows` the group's row count, `cnt`
+    * per-column non-null counts, `sum` per-column (Σ, non-null count) in
+    * exact decimal, `mn`/`mx` per-column canon extremes (absent when the
+    * group holds no non-null value). */
+  final case class GroupAgg(key: Seq[Option[String]], rows: Long,
       cnt: Map[String, Long],
       sum: Map[String, (java.math.BigDecimal, Long)],
       mn: Map[String, String], mx: Map[String, String])
@@ -5169,12 +5170,13 @@ object Snapshots {
    * more than `maxGroups` distinct keys (the fold is driver-side — a
    * GROUP BY user_id with millions of groups must run as written).
    */
-  def metaGroupAgg(spark: SparkSession, base: String, keyCol: String,
+  def metaGroupAgg(spark: SparkSession, base: String, keyCols: Seq[String],
                    cntCols: Seq[String], sumCols: Seq[String],
                    mmCols: Seq[String], version: Option[Long] = None,
                    maxGroups: Int = 10000,
                    predicate: Option[org.apache.spark.sql.Column] = None)
       : Option[Seq[GroupAgg]] = {
+    require(keyCols.nonEmpty, "metaGroupAgg needs at least one key column")
     import org.apache.spark.sql.functions.{col, count, lit, max, min, sum}
     val vs = versions(spark, base)
     require(vs.nonEmpty, s"no snapshots under $base")
@@ -5201,11 +5203,11 @@ object Snapshots {
     // (they carry no stats and would otherwise force a pointless scan)
     val data = data0.filterNot(_.rows.contains(0L))
     if (data.isEmpty) return Some(Seq.empty)
-    val allCols = (keyCol +: (cntCols ++ sumCols ++ mmCols)).distinct
+    val allCols = (keyCols ++ cntCols ++ sumCols ++ mmCols).distinct
     if (!allCols.forall(schema.fieldNames.contains)) return None
-    val dtK = schema(keyCol).dataType
-    val tagK = statTag(dtK)
-    if (tagK.isEmpty) return None
+    val dtK = keyCols.map(c => c -> schema(c).dataType).toMap
+    val tagK = keyCols.map(c => c -> statTag(dtK(c))).toMap
+    if (keyCols.exists(c => tagK(c).isEmpty)) return None
     val mmTag = mmCols.map(c => c -> statTag(schema(c).dataType)).toMap
     if (mmCols.exists(c => mmTag(c).isEmpty)) return None
     val sumScale = sumCols.map(c => c -> sumScaleOf(schema(c).dataType)).toMap
@@ -5231,10 +5233,15 @@ object Snapshots {
       val res = for {
         rows <- e.rows
         if predCond.forall(c => provenByStats(statsOf(e), c, pairs))
-        ks <- statsOf(e)(keyCol)
-        (kt, kmn, kmx, knulls) = ks
-        if kt == tagK && validStat(kt, kmn, kmx) && kmn == kmx &&
-          knulls.contains(0L)
+        // EVERY key column must pin the file to one value, null-free
+        kcanon <- scala.util.Try(keyCols.map { kc =>
+          statsOf(e)(kc) match {
+            case Some((kt, kmn, kmx, knulls)) if kt == tagK(kc) &&
+                validStat(kt, kmn, kmx) && kmn == kmx &&
+                knulls.contains(0L) => kmn
+            case _ => throw new NoSuchElementException(kc)
+          }
+        }).toOption
         cnts <- scala.util.Try(cntCols.map { c =>
           val (_, _, _, nn) = statsOf(e)(c).get
           c -> (rows - nn.get)
@@ -5252,7 +5259,7 @@ object Snapshots {
             case _ => throw new NoSuchElementException(c)
           }
         }.toMap).toOption
-      } yield (kmn, rows, cnts, sums, mms)
+      } yield (kcanon, rows, cnts, sums, mms)
       e -> res
     }
     val boundary = provenParts.collect { case (e, None) => e }
@@ -5264,8 +5271,8 @@ object Snapshots {
     // boundary groups; the scan could only add more
     val provenKeys = provenParts.flatMap(_._2.map(_._1)).distinct
     if (provenKeys.size > maxGroups) return None
-    val groups = scala.collection.mutable.Map.empty[Option[String], GroupAgg]
-    def mergeInto(key: Option[String], rows: Long, cnt: Map[String, Long],
+    val groups = scala.collection.mutable.Map.empty[Seq[Option[String]], GroupAgg]
+    def mergeInto(key: Seq[Option[String]], rows: Long, cnt: Map[String, Long],
         sm: Map[String, (java.math.BigDecimal, Long)],
         mn: Map[String, String], mx: Map[String, String]): Unit = {
       val prev = groups.getOrElse(key,
@@ -5295,8 +5302,8 @@ object Snapshots {
         }.toMap)
     }
     provenParts.foreach {
-      case (_, Some((kc, rows, cnts, sums, mms))) =>
-        mergeInto(Some(kc), rows, cnts, sums,
+      case (_, Some((kcanon, rows, cnts, sums, mms))) =>
+        mergeInto(kcanon.map(Option(_)), rows, cnts, sums,
           mms.view.mapValues(_._1).toMap, mms.view.mapValues(_._2).toMap)
       case _ => ()
     }
@@ -5312,13 +5319,17 @@ object Snapshots {
               statExtract(min(col(c)), schema(c).dataType).as(s"__mn_$c"),
               statExtract(max(col(c)), schema(c).dataType).as(s"__mx_$c"))))
       val bScan0 = readSubset(spark, base, lines, boundary)
+      val keyExprs = keyCols.zipWithIndex.map { case (c, i) =>
+        statExtract(col(c), dtK(c)).as(s"__k_$i") }
       val scanned = predicate.fold(bScan0)(bScan0.filter)
-        .groupBy(statExtract(col(keyCol), dtK).as("__k"))
+        .groupBy(keyExprs: _*)
         .agg(aggs.head, aggs.tail: _*)
         .collect()
       if (scanned.length + groups.size > maxGroups + 1) return None
       scanned.foreach { r =>
-        val key = if (r.isNullAt(0)) None else Some(r.getString(0))
+        val key: Seq[Option[String]] = keyCols.indices.map { i =>
+          if (r.isNullAt(i)) None else Some(r.getString(i))
+        }
         val sums = sumCols.flatMap { c =>
           val si = r.fieldIndex(s"__s_$c")
           val n = r.getLong(r.fieldIndex(s"__sn_$c"))

@@ -373,6 +373,42 @@ class SnapshotAggRewriteSpec extends AnyFunSuite {
       val strayW = CountingLocalFs.openedParquet
         .filterNot(p => straddlers.exists(e => p.endsWith(e.path)))
       assert(strayW.isEmpty, s"grouped WHERE fold opened proven files: $strayW")
+      // COMPOSITE key (round-17): GROUP BY (day, parity) on a
+      // day-clustered table — parity is constant within each single-day
+      // file, so every key column pins and the rollup folds
+      val base2 = s"cntfs:$root/t2"
+      Snapshots.write(
+        (1 to 8).flatMap(day => (1L to 50L).map { i =>
+          (day.toLong, (day % 2).toLong, day * 1000L + i)
+        }).toDF("day", "parity", "v")
+          .repartitionByRange(8, col("day")),
+        base2, statsKey = Some("day"))
+      Snapshots.writeStatsSidecars(s, base2, Seq("parity", "v"))
+      Snapshots.writeSumSidecars(s, base2, Seq("v"))
+      val t2 = Snapshots.read(s, base2)
+      def comp() = t2.groupBy(col("day"), col("parity"))
+        .agg(count(lit(1)).as("n"),
+          org.apache.spark.sql.functions.sum(col("v")).as("sv"))
+      s.conf.set(SnapshotAggRewrite.EnabledKey, "false")
+      val cref = comp().collect().toSeq.sortBy(_.getLong(0))
+      s.conf.set(SnapshotAggRewrite.EnabledKey, "true")
+      val cq = comp()
+      assert(isMetadataAnswered(cq), "composite-key rollup must fold")
+      assert(cq.collect().toSeq.sortBy(_.getLong(0)) == cref)
+      // SELECT DISTINCT on the cluster key = the degenerate grouped plan
+      val dq = t2.select(col("day")).distinct()
+      assert(isMetadataAnswered(dq), "SELECT DISTINCT on the key must fold")
+      assert(dq.collect().map(_.getLong(0)).toSet == (1L to 8L).toSet)
+      // COUNT(DISTINCT key) = the fold's cardinality (global arm)
+      val cdq = t2.agg(org.apache.spark.sql.functions
+        .countDistinct(col("day")).as("nd"))
+      assert(isMetadataAnswered(cdq), "COUNT(DISTINCT key) must fold")
+      assert(cdq.collect().head.getLong(0) == 8L)
+      // ... and under a WHERE
+      val cdw = t2.filter(col("day") >= 3L)
+        .agg(org.apache.spark.sql.functions.countDistinct(col("day")).as("nd"))
+      assert(isMetadataAnswered(cdw))
+      assert(cdw.collect().head.getLong(0) == 6L)
       // a group cap below the group count declines (driver-side fold must
       // stay dashboard-sized); an unclustered key declines outright
       s.conf.set(SnapshotAggRewrite.MaxGroupsKey, "3")
