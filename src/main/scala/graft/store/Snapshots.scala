@@ -5572,8 +5572,9 @@ object Snapshots {
     val ops = schemaOps(lines)
     val pairs = renamePairs(ops)
     val cond = condOf(frame, predicate).getOrElse(return None)
-    val (candidates, _) = scanPlanExpr(spark, base, v, Some(cond),
+    val (candidates0, _) = scanPlanExpr(spark, base, v, Some(cond),
       c => schema.find(_.name == c).map(_.dataType))
+    val candidates = candidates0.filterNot(_.rows.contains(0L))
     if (candidates.isEmpty) return Some(None)
     val bounds = predicateBounds(cond, pairs)
     val statsOf = entryStatsLookup(spark, base, candidates,
