@@ -433,6 +433,40 @@ class SnapshotStreamSourceSpec extends AnyFunSuite {
     assert(fu.size == fu.toSet.size && fu.map(_._1).toSet == (1L to 61L).toSet)
   }
 
+  test("AvailableNow pins its target: commits landing mid-run arrive next drain, exactly once") {
+    val base = freshDir("concw") + "/t"
+    val ckpt = freshDir("concw-ckpt")
+    Snapshots.write((1L to 10L).map(i => (i, s"n$i")).toDF("id", "name"), base)
+    Snapshots.append((11L to 20L).map(i => (i, s"n$i")).toDF("id", "name"), base)
+    // a writer races the catch-up run: first foreachBatch commits v3
+    // while the paced stream is still mid-drain
+    val appended = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val got = mutable.ArrayBuffer.empty[Long]
+    val q = spark.readStream.format("graft-snapshots")
+      .option("maxVersionsPerTrigger", "1")
+      .load(base)
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        val ids = b.select(col("id")).collect().map(_.getLong(0))
+        got.synchronized { got ++= ids }
+        if (appended.compareAndSet(false, true))
+          Snapshots.append((21L to 25L).map(i => (i, s"n$i"))
+            .toDF("id", "name"), base)
+        ()
+      }
+      .start()
+    q.awaitTermination()
+    // the run terminated at the PINNED target (v2): the racing commit is
+    // not delivered mid-run...
+    assert(got.toSet == (1L to 20L).toSet,
+      s"AvailableNow must stop at its pinned target: ${got.sorted}")
+    // ...and arrives exactly once on the next drain
+    assert(drain(base, ckpt).flatMap(_._2).map(_._1).toSet == (21L to 25L).toSet)
+    assert(drain(base, ckpt).flatMap(_._2).isEmpty)
+  }
+
   test("a large file splits into filesMaxPartitionBytes-sized partitions") {
     val base = freshDir("split") + "/t"
     Snapshots.write((1L to 5000L).map(i => (i, s"name-padding-$i"))
