@@ -2598,12 +2598,16 @@ object Snapshots {
     * bloom/stats sidecar whose DATA file is referenced: sidecars are not
     * manifest-listed (they are derived indexes, not data), so they live
     * and die with their file across every expiry/vacuum path. */
+  /** Every sidecar family a data file may carry — each new family MUST
+    * be added here or vacuum deletes the live file's sidecar (round-17:
+    * `.sums` was missing and every maintenance cycle silently destroyed
+    * SUM-pushdown evidence; pinned in SnapshotsSpec). */
+  private val SidecarSuffixes =
+    Seq(BloomSuffix, StatsSuffix, NdvSuffix, KllSuffix, SumSuffix)
+
   private def protectedBy(referenced: Set[String])(rel: String): Boolean =
-    referenced(rel) ||
-      (rel.endsWith(BloomSuffix) && referenced(rel.stripSuffix(BloomSuffix))) ||
-      (rel.endsWith(StatsSuffix) && referenced(rel.stripSuffix(StatsSuffix))) ||
-      (rel.endsWith(NdvSuffix) && referenced(rel.stripSuffix(NdvSuffix))) ||
-      (rel.endsWith(KllSuffix) && referenced(rel.stripSuffix(KllSuffix)))
+    referenced(rel) || SidecarSuffixes.exists(sfx =>
+      rel.endsWith(sfx) && referenced(rel.stripSuffix(sfx)))
 
   /** Per-file bloom aggregator. Keys are canonicalized to their string
     * form — the same canon the manifest min/max stats use — so the build

@@ -255,6 +255,33 @@ class SnapshotsSpec extends AnyFunSuite {
     assert(Snapshots.read(spark, base).count() == 1L)
   }
 
+  test("vacuum spares EVERY sidecar family of live files (incl. .sums — the r17 regression)") {
+    val base = java.nio.file.Files.createTempDirectory("graft-snap-sidecarvac").toString + "/t"
+    Snapshots.write((1L to 200L).map(i => (i, i * 2L)).toDF("id", "v"), base,
+      statsKey = Some("id"))
+    val v2 = Snapshots.append(Seq((201L, 402L)).toDF("id", "v"), base)
+    Snapshots.writeStatsSidecars(spark, base, Seq("v"))
+    Snapshots.writeSumSidecars(spark, base, Seq("v"))
+    Snapshots.writeBloomSidecars(spark, base, "id")
+    Snapshots.writeNdvSidecars(spark, base, Seq("v"))
+    // expire v1: its data files stay live through v2's manifest, so their
+    // sidecars must survive vacuum too — a missing suffix in the
+    // protection rule silently destroys pushdown evidence every cycle
+    assert(Snapshots.expire(spark, base, keep = 1) == Seq(1L))
+    Snapshots.vacuum(spark, base)
+    val v1Dir = new java.io.File(s"$base/v=1")
+    val sidecars = Option(v1Dir.listFiles()).getOrElse(Array.empty)
+      .map(_.getName).filter(n => n.endsWith(".sums") || n.endsWith(".stats") ||
+        n.endsWith(".bloom") || n.endsWith(".ndv"))
+    assert(sidecars.exists(_.endsWith(".sums")),
+      s"live files' .sums sidecars must survive vacuum: ${sidecars.toSeq}")
+    assert(sidecars.exists(_.endsWith(".stats")) &&
+      sidecars.exists(_.endsWith(".bloom")) && sidecars.exists(_.endsWith(".ndv")))
+    // ...and the evidence still answers: exact SUM from metadata
+    assert(Snapshots.metaSumOf(spark, base, "v", Some(v2)).exists(
+      _._1 == new java.math.BigDecimal((1L to 201L).map(_ * 2L).sum)))
+  }
+
   test("manifest key stats prune merge discovery: point merge reads ~one file") {
     import org.apache.spark.sql.functions.col
     val base = java.nio.file.Files.createTempDirectory("graft-snap-prune").toString + "/t"
