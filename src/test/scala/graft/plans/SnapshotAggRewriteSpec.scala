@@ -421,6 +421,66 @@ class SnapshotAggRewriteSpec extends AnyFunSuite {
     }
   }
 
+  test("randomized parity sweep: rewrite-on == rewrite-off over adversarial fixtures") {
+    withExtSession { s =>
+      import s.implicits._
+      val rnd = new scala.util.Random(20260816L) // fixed seed: deterministic
+      (1 to 6).foreach { trial =>
+        val base = java.nio.file.Files
+          .createTempDirectory(s"graft-aggfuzz$trial").toString + "/t"
+        val nDays = 2 + rnd.nextInt(6)
+        val rows = (1 to (200 + rnd.nextInt(400))).map { _ =>
+          val day = 1L + rnd.nextInt(nDays)
+          val v = if (rnd.nextInt(10) == 0) null
+                  else java.lang.Long.valueOf(rnd.nextInt(2001) - 1000L) // signed
+          (day, rnd.nextLong(), v)
+        }
+        val df = rows.toDF("day", "id", "v")
+        // adversarial layouts: clustered, partially clustered, unclustered,
+        // plus an empty-partition commit and a straddler append
+        val layout = rnd.nextInt(3) match {
+          case 0 => df.repartitionByRange(nDays, col("day"))
+          case 1 => df.repartition(nDays + 4, col("day")) // empties likely
+          case 2 => df.repartition(3) // unclustered
+        }
+        Snapshots.write(layout, base, statsKey = Some("day"))
+        Snapshots.append(df.limit(30).coalesce(1), base) // mixed straddler
+        Snapshots.writeStatsSidecars(s, base, Seq("v"))
+        Snapshots.writeSumSidecars(s, base, Seq("v"))
+        val t = Snapshots.read(s, base)
+        val cut = 1L + rnd.nextInt(nDays)
+        def grid(): Seq[org.apache.spark.sql.DataFrame] = Seq(
+          t.agg(count(lit(1)).as("a"), min(col("v")).as("b"),
+            max(col("v")).as("c"),
+            org.apache.spark.sql.functions.sum(col("v")).as("d"),
+            avg(col("v")).as("e"), count(col("v")).as("f")),
+          t.filter(col("day") >= cut).agg(count(lit(1)).as("a"),
+            min(col("v")).as("b"), max(col("v")).as("c"),
+            org.apache.spark.sql.functions.sum(col("v")).as("d")),
+          t.groupBy(col("day")).agg(count(lit(1)).as("a"),
+            org.apache.spark.sql.functions.sum(col("v")).as("b"),
+            min(col("v")).as("c"), max(col("v")).as("d"),
+            count(col("v")).as("e")),
+          t.filter(col("day") <= cut).groupBy(col("day"))
+            .agg(count(lit(1)).as("a"),
+              org.apache.spark.sql.functions.sum(col("v")).as("b")),
+          t.select(col("day")).distinct(),
+          t.agg(org.apache.spark.sql.functions.countDistinct(col("day"))
+            .as("nd")))
+        def run(enabled: Boolean): Seq[Seq[String]] = {
+          s.conf.set(SnapshotAggRewrite.EnabledKey, enabled.toString)
+          grid().map(_.collect().map(_.toString).sorted.toSeq)
+        }
+        val off = run(enabled = false)
+        val on = run(enabled = true)
+        off.zip(on).zipWithIndex.foreach { case ((o, n), qi) =>
+          assert(o == n, s"trial $trial query $qi diverged:\noff=$o\non=$n")
+        }
+        s.conf.set(SnapshotAggRewrite.EnabledKey, "false")
+      }
+    }
+  }
+
   test("declines: grouped aggs, avg, distinct, MoR deletes, foreign parquet; filtered min answers") {
     withExtSession { s =>
       import s.implicits._
