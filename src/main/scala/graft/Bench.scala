@@ -338,13 +338,19 @@ object Bench {
     // item 3: its battery time has spread 8.8-27.3 s across sessions with
     // an UNCHANGED plan — the next high reading must say WHICH phase
     // moved). Runs once after the battery, full-battery mode only, with
-    // explicit materialization barriers between the three phases
-    // (tokenize-gate / LSH pairs / CC+survivors+mix), so the sum tracks
-    // the fused query's cost but each phase is separately attributable.
-    // PlanAuditSpec pins the fused plan's operator census alongside.
-    def neardupPhases(): Option[(Double, Double, Double)] =
+    // explicit materialization barriers between the FOUR phases
+    // (tokenize-gate / LSH pairs / CC+survivors / mix+split+assembly —
+    // round-18 extended the tail so the phases cover 100% of the
+    // pipeline, ending in the battery's own noop write), so the sum
+    // tracks the fused query's cost end to end and each phase is
+    // separately attributable. The emitted `sum` is this run's own total;
+    // a battery reading far above it (with an unchanged plan) is
+    // run-context — battery-order memory/page-cache pressure — not a
+    // hidden stage. PlanAuditSpec pins the fused plan's operator census
+    // alongside.
+    def neardupPhases(): Option[(Double, Double, Double, Double)] =
       try {
-        import org.apache.spark.sql.functions.{col, length, lit}
+        import org.apache.spark.sql.functions.{col, count, length, lit, sum}
         import graft.dedup.Dedup
         import graft.ops.Curation
         import graft.text.TextAnalysis
@@ -368,23 +374,32 @@ object Bench {
           Dedup.lshCandidatePairs(sig, "doc_id", numHashes = 4, bands = 2)
             .localCheckpoint()
         }
-        val (_, tCc) = timed {
+        val (surv, tCc) = timed {
           val labels = Dedup.connectedComponents(
             pairs, gated.select(col("doc_id")), "doc_id")
-          val surv = Dedup.dedupByCluster(gated, labels, "doc_id",
-            length(col("text"))).drop("cluster")
-          Curation.temperatureMix(surv, "doc_id", "source",
+          val sv = Dedup.dedupByCluster(gated, labels, "doc_id",
+            length(col("text"))).drop("cluster").localCheckpoint()
+          sv
+        }
+        val (_, tMix) = timed {
+          val mixed = Curation.temperatureMix(surv, "doc_id", "source",
               tau = 0.5, targetFrac = 0.5)
             .filter(col("__keep")).drop("__keep", "__keep_rate")
+          Curation.splitAssign(mixed, "doc_id",
+              Seq(("train", 0.9), ("val", 0.05), ("test", 0.05)))
+            .groupBy(col("split"), col("source"))
+            .agg(count(lit(1)).as("n_docs"),
+              sum(col("n_tokens")).cast("long").as("n_tokens"))
+            .orderBy(col("split"), col("source"))
             .write.mode("overwrite").format("noop").save()
         }
         gated.unpersist(false)
         flushState()
-        Some((tGate, tLsh, tCc))
+        Some((tGate, tLsh, tCc, tMix))
       } catch { case _: Throwable => flushState(); None }
     val phasesJson = (if (only.isEmpty) neardupPhases() else None)
-      .map { case (g, l, c) =>
-        s""","neardup_phases":{"gate":${r2(g)},"lsh":${r2(l)},"cc":${r2(c)}}"""
+      .map { case (g, l, c, m) =>
+        s""","neardup_phases":{"gate":${r2(g)},"lsh":${r2(l)},"cc":${r2(c)},"mix":${r2(m)},"sum":${r2(g + l + c + m)}}"""
       }.getOrElse("")
 
     // full per-query detail goes to a FILE — the driver only captures the

@@ -281,13 +281,48 @@ object Dedup {
                           textCol: String,
                           expectedItems: Long = 1L << 20,
                           fpp: Double = 0.01): DataFrame = {
-    graft.functions.GraftFunctions.register(batch.sparkSession)
     // empty corpus (first batch): everything is novel — and Spark's
     // bloom_filter_agg returns null over zero rows, which stat.bloomFilter
     // NPEs on, so the guard is required, not just a fast path
     if (corpus.isEmpty) return batch
-    val bf = corpus.select(xxhash64(col(textCol)).as("__h"))
+    bloomExactAdmissionWith(batch, corpus, textCol,
+      contentBloom(corpus, textCol, expectedItems, fpp))
+  }
+
+  /** Build the corpus content-hash Bloom filter — the driver-side
+    * admission artifact the scaladoc above describes. A continuous
+    * pipeline builds this ONCE (or on restart) and then OR-merges each
+    * admitted batch's hashes via [[mergeContentHashes]] instead of
+    * re-scanning the corpus every batch — the O(delta) maintenance that
+    * makes admission corpus-flat at 100 TB. */
+  def contentBloom(corpus: DataFrame, textCol: String,
+                   expectedItems: Long = 1L << 20,
+                   fpp: Double = 0.01): org.apache.spark.util.sketch.BloomFilter =
+    corpus.select(xxhash64(col(textCol)).as("__h"))
       .stat.bloomFilter("__h", expectedItems, fpp)
+
+  /** OR-merge a just-admitted batch's content hashes into the maintained
+    * filter, driver-side. The batch is the stream's delta — collecting
+    * its hashes is O(batch), never O(corpus); callers localCheckpoint the
+    * admitted frame so this reuses the materialization the store append
+    * already paid for. Soundness: the filter must stay a SUPERSET of the
+    * corpus keys (a missing key admits a duplicate); merging after every
+    * committed append preserves that, and a crash between append and
+    * merge is healed by the restart path rebuilding from the corpus. */
+  def mergeContentHashes(bf: org.apache.spark.util.sketch.BloomFilter,
+                         batch: DataFrame, textCol: String): Unit =
+    batch.select(xxhash64(col(textCol)).as("__h")).na.drop("all")
+      .collect().foreach(r => if (!r.isNullAt(0)) bf.putLong(r.getLong(0)))
+
+  /** [[bloomExactAdmission]] with a caller-MAINTAINED filter: probe the
+    * given bloom, exact-confirm only the positives against the corpus.
+    * The corpus frame is touched ONLY by the confirm join's candidate
+    * probe — a mostly-novel batch reads nothing from it. */
+  def bloomExactAdmissionWith(batch: DataFrame, corpus: DataFrame,
+                              textCol: String,
+                              bf: org.apache.spark.util.sketch.BloomFilter)
+      : DataFrame = {
+    graft.functions.GraftFunctions.register(batch.sparkSession)
     val bytes = { // serialized once on the driver, ships as a literal
       val out = new java.io.ByteArrayOutputStream()
       bf.writeTo(out)

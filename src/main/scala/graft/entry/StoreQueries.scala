@@ -2782,6 +2782,161 @@ private[graft] object StoreQueries {
              |  min(doc_id) AS mn, max(doc_id) AS mx,
              |  min(n_chars) AS min_chars, max(n_chars) AS max_chars,
              |  count(*) AS n_all, TRUE AS metadata_answered
-             |FROM documents""".stripMargin))
+             |FROM documents""".stripMargin)),
+
+    // CAPSTONE (round-18): the COMPOSED streaming-ingest loop the
+    // individually-keyed pieces add up to — the 100 TB continuous-curation
+    // path end to end, exactly-once:
+    //
+    //   V1 stream source, BYTE-PACED (one file per trigger — offsets land
+    //   mid-commit as v#k) → quality gate (ta_quality_gate's composite)
+    //   → exact-dedup admission (intra-batch min-id + bloom-vs-corpus
+    //   probe, dd_incremental_exact_bloom's shape) → exactly-once
+    //   appendStream into a curated snapshot table → incremental MatView
+    //   refresh per batch (snap_mv_stream's anchor catch-up)
+    //
+    // run as Trigger.AvailableNow over 3 commits, then a replay drain
+    // (exactly-once across restart: 0 batches), then a 4th commit landing
+    // while the stream is down and an incremental drain that admits only
+    // novel texts against the corpus built so far. The fixture UNIONS a
+    // deterministic duplicate slice (doc_id+10000001 shifts pmod-4 so
+    // copies land one COMMIT later than their originals) so cross-commit
+    // admission provably drops rows at every SF. The corpus bloom is
+    // MAINTAINED, not rebuilt: built once (and on restart — the
+    // incremental drain exercises that path), then OR-merged with each
+    // admitted batch's hashes driver-side — admission stays O(batch)
+    // while the corpus grows, the property that makes the loop
+    // corpus-flat at 100 TB. The result reads the MATERIALIZED VIEW (not
+    // the corpus) — per-band doc counts and token sums — so oracle-green
+    // proves gate ∘ dedup ∘ exactly-once-append ∘ MV-refresh composed
+    // correctly; `mv_consistent` additionally pins view == direct
+    // aggregation of the curated table. All aggregates are functions of
+    // the TEXT (band = n_tokens/10), so the result is invariant to WHICH
+    // duplicate copy survives arrival-order races — the property that
+    // makes a deterministic oracle possible under byte pacing. Batch
+    // counts pin the pacing itself: 2-file commits at one file per
+    // trigger give exactly 6 + 2 batches.
+    "pipeline_stream_curation" -> Q(
+      (s, d) => {
+        import graft.store.{MatView, Snapshots}
+        import graft.text.TextAnalysis
+        import org.apache.spark.sql.expressions.Window
+        import org.apache.spark.sql.streaming.Trigger
+        val root = FixtureRoot.fresh("streamcur")
+        val (raw, corpus, mv) = (root + "/raw", root + "/corpus", root + "/mv")
+        val appId = "pipeline_stream_curation"
+        val docs = T(s, d, "documents").select(col("doc_id"), col("text"))
+        val withDups = docs.unionByName(
+          docs.filter(col("doc_id") % 7 === 3)
+            .withColumn("doc_id", col("doc_id") + 10000001L))
+        def slice(i: Int) =
+          withDups.filter(pmod(col("doc_id"), lit(4)) === i).repartition(2)
+        Snapshots.write(slice(0), raw)
+        Snapshots.append(slice(1), raw)
+        Snapshots.append(slice(2), raw)
+        var corpusInit = false
+        var mvInit = false
+        var bloom: Option[org.apache.spark.util.sketch.BloomFilter] = None
+        def ingest(batch: DataFrame, bid: Long): Unit = {
+          val gated = TextAnalysis.qualityGate(batch, "text")
+            .filter(col("keep"))
+            .select(col("doc_id"), col("text"), col("n_tokens"))
+          // intra-batch: keep the smallest id per text; cross-batch: the
+          // MAINTAINED bloom (rebuilt from the corpus only on restart)
+          // gates an exact confirm join — O(batch) per batch
+          val intra = gated
+            .withColumn("__rn", row_number().over(
+              Window.partitionBy(col("text")).orderBy(col("doc_id"))))
+            .filter(col("__rn") === 1).drop("__rn")
+          if (bloom.isEmpty && corpusInit)
+            bloom = Some(Dedup.contentBloom(
+              Snapshots.read(s, corpus), "text", 1 << 12, 0.01))
+          val admitted0 = bloom match {
+            case Some(bf) => Dedup.bloomExactAdmissionWith(intra,
+              Snapshots.read(s, corpus).select(col("text")), "text", bf)
+            case None => intra // empty corpus: everything is novel
+          }
+          val admitted = admitted0
+            .withColumn("band", floor(col("n_tokens") / lit(10)).cast("long"))
+            .localCheckpoint() // one materialization: append + hash merge
+          Snapshots.appendStream(admitted, corpus, appId, bid)
+          corpusInit = true
+          val bf = bloom.getOrElse(
+            org.apache.spark.util.sketch.BloomFilter.create(1 << 12, 0.01))
+          Dedup.mergeContentHashes(bf, admitted, "text")
+          bloom = Some(bf)
+          if (!mvInit) {
+            MatView.create(s, corpus, mv, Seq("band"), "n_tokens"); mvInit = true
+          } else MatView.refresh(s, corpus, mv, Seq("band"), "n_tokens")
+          ()
+        }
+        def drain(): Long = {
+          var batches = 0L
+          val q = s.readStream.format("graft-snapshots")
+            .option("maxBytesPerTrigger", "1") // one file per trigger
+            .load(raw)
+            .writeStream
+            .option("checkpointLocation", root + "/ckpt")
+            .trigger(Trigger.AvailableNow())
+            .foreachBatch { (b: DataFrame, bid: Long) =>
+              ingest(b, bid)
+              batches += 1
+              ()
+            }
+            .start()
+          q.awaitTermination()
+          batches
+        }
+        val firstBatches = drain() // 3 commits × 2 files, one per trigger
+        val replayNoop = drain() == 0L // caught-up restart: exactly-once
+        Snapshots.append(slice(3), raw) // lands while the stream is down
+        val incrBatches = drain() // only novel texts admitted vs the corpus
+        val view = MatView.read(s, mv)
+        val direct = Snapshots.read(s, corpus).groupBy(col("band"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("n_tokens").cast("decimal(18,2)"))
+              .cast("decimal(28,2)").as("total"))
+        val consistent =
+          view.select(col("band"), col("n"), col("total")).except(direct).isEmpty &&
+            direct.except(view.select(col("band"), col("n"), col("total"))).isEmpty
+        view
+          .select(col("band"), col("n"), col("total").cast("double").as("total"))
+          .withColumn("first_batches", lit(firstBatches))
+          .withColumn("replay_noop", lit(replayNoop))
+          .withColumn("incr_batches", lit(incrBatches))
+          .withColumn("mv_consistent", lit(consistent))
+          .orderBy(col("band"))
+      },
+      Some("""WITH raw AS (
+             |  SELECT doc_id, text FROM documents
+             |  UNION ALL
+             |  SELECT doc_id + 10000001, text FROM documents WHERE doc_id % 7 = 3),
+             |t AS (SELECT doc_id, text,
+             |    list_filter(regexp_split_to_array(text, '\s+'),
+             |                x -> length(x) > 0) AS toks,
+             |    list_filter(regexp_split_to_array(lower(text), '\s+'),
+             |                x -> length(x) > 0) AS ltoks
+             |  FROM raw),
+             |m AS (SELECT doc_id, text, len(toks) AS n,
+             |    CASE WHEN len(toks) > 0
+             |         THEN len(list_distinct(toks)) * 1.0 / len(toks) END AS ttr,
+             |    CASE WHEN len(toks) > 0
+             |         THEN list_sum(list_transform(toks, x -> length(x))) * 1.0
+             |              / len(toks) END AS awl,
+             |    CASE WHEN len(ltoks) > 0
+             |         THEN len(list_filter(ltoks,
+             |                x -> x IN ('the', 'a', 'of', 'and'))) * 1.0
+             |              / len(ltoks) END AS sw
+             |  FROM t),
+             |g AS (SELECT text, CAST(n AS BIGINT) AS n FROM m
+             |      WHERE (n BETWEEN 20 AND 90) AND (awl BETWEEN 3.8 AND 5.2)
+             |        AND ttr >= 0.45 AND sw >= 0.02),
+             |surv AS (SELECT text, min(n) AS n_tokens FROM g GROUP BY text)
+             |SELECT CAST(floor(n_tokens / 10) AS BIGINT) AS band,
+             |  count(*) AS n,
+             |  CAST(sum(CAST(n_tokens AS DECIMAL(18,2))) AS DOUBLE) AS total,
+             |  6 AS first_batches, TRUE AS replay_noop, 2 AS incr_batches,
+             |  TRUE AS mv_consistent
+             |FROM surv GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 }

@@ -95,7 +95,12 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
  * stamped with its version. With `option("branch", ...)` the feed walks
  * the branch's own chain (round-17) — the WAP audit subscriber's
  * row-level view of staging. CDF byte pacing stays version-granular (a
- * change feed has no per-file decomposition).
+ * change feed has no per-file decomposition). A provably PURE-APPEND
+ * commit (no removed files, no MoR deletes, no image-op delta) streams
+ * its slice as a direct clip-read of the added files tagged `insert`
+ * (round-18) — the append-only 100 TB steady state pays plain-scan cost,
+ * never the per-row-hash full_outer diff, which only rewriting commits
+ * need.
  *
  * 100 TB: every driver-side step is O(delta in versions + files
  * touched); nothing lists the table, nothing reads a shared file, and
@@ -182,17 +187,34 @@ object SnapshotStreamSource {
   * `fileIdx` added files of the chain's NEXT commit (byte pacing may cut
   * inside a commit). Serializes as the bare version number when aligned
   * to a commit boundary — the round-16 checkpoint format — and as
-  * `v#fileIdx` mid-commit. */
-private[store] case class SnapshotVersionOffset(v: Long, fileIdx: Int = 0)
+  * `v#fileIdx` mid-commit.
+  *
+  * `initial` marks the BEFORE-FIRST-DELIVERY sentinel (round-18,
+  * serialized `~v`): "nothing delivered yet, start after v". Without the
+  * marker a sentinel is indistinguishable from a real delivered-through-v
+  * position once retention expires version v's manifest — both then sit
+  * below the surviving chain's head, and treating a stale delivered
+  * offset as a sentinel would silently RE-DELIVER the whole current
+  * snapshot (duplicates) instead of refusing. [[SnapshotSource.stateAt]]
+  * refuses non-initial offsets below the retained head for exactly this
+  * reason. */
+private[store] case class SnapshotVersionOffset(v: Long, fileIdx: Int = 0,
+    initial: Boolean = false)
     extends OffsetV1 {
-  override def json(): String = if (fileIdx == 0) v.toString else s"$v#$fileIdx"
+  override def json(): String = {
+    val tail = if (fileIdx == 0) v.toString else s"$v#$fileIdx"
+    if (initial) s"~$tail" else tail
+  }
 }
 
 private[store] object SnapshotVersionOffset {
-  def parse(json: String): SnapshotVersionOffset = json.split('#') match {
-    case Array(v) => SnapshotVersionOffset(v.toLong)
-    case Array(v, i) => SnapshotVersionOffset(v.toLong, i.toInt)
-    case _ => throw new IllegalArgumentException(s"bad snapshot offset: $json")
+  def parse(json: String): SnapshotVersionOffset = {
+    val init = json.startsWith("~")
+    (if (init) json.drop(1) else json).split('#') match {
+      case Array(v) => SnapshotVersionOffset(v.toLong, 0, init)
+      case Array(v, i) => SnapshotVersionOffset(v.toLong, i.toInt, init)
+      case _ => throw new IllegalArgumentException(s"bad snapshot offset: $json")
+    }
   }
 }
 
@@ -282,7 +304,8 @@ private[store] class SnapshotSource(spark: SparkSession,
     }
   }
 
-  override def initialOffset(): OffsetV2 = SnapshotVersionOffset(startSentinel)
+  override def initialOffset(): OffsetV2 =
+    SnapshotVersionOffset(startSentinel, 0, initial = true)
 
   /** The engine drives admission-controlled sources through
     * `latestOffset(start, limit)`; the legacy polling surface must not
@@ -333,7 +356,7 @@ private[store] class SnapshotSource(spark: SparkSession,
     // getStartOffset hands a V1 source NULL on the first trigger and the
     // progress offset afterward
     val s0 = Option(start).map(offsetOf)
-      .getOrElse(SnapshotVersionOffset(startSentinel))
+      .getOrElse(SnapshotVersionOffset(startSentinel, 0, initial = true))
     val vs = currentVersions
     val last = availableNowTarget.getOrElse(vs.last)
     // version pacing (whole commits); an in-flight mid-version commit
@@ -364,7 +387,15 @@ private[store] class SnapshotSource(spark: SparkSession,
               else { budget -= len; admitted += 1; i += 1 }
             }
             if (i >= files.length) pos = SnapshotVersionOffset(nv)
-            else { pos = SnapshotVersionOffset(pos.v, i); done = true }
+            else {
+              // a mid-commit cut keeps the base version AND its initial
+              // flag: pacing inside the stream's FIRST commit anchors to
+              // the before-first sentinel (~v#k) — without the flag the
+              // retention guard would read `sentinel#k` as an expired
+              // checkpoint (round-18)
+              pos = SnapshotVersionOffset(pos.v, i, pos.initial)
+              done = true
+            }
             if (budget <= 0L || admitted >= fileCap) done = true
         }
       }
@@ -384,6 +415,20 @@ private[store] class SnapshotSource(spark: SparkSession,
   override def deserializeOffset(json: String): OffsetV2 =
     SnapshotVersionOffset.parse(json)
 
+  /** The retention-vs-checkpoint refusal (round-18): actionable, in the
+    * maintenance-verb-naming pattern of the append-only refusals. */
+  private def expiredOffsetMessage(v: Long): String =
+    s"stream offset version $v is no longer committed under $base — the " +
+      "checkpoint outlived snapshot retention (Snapshots.expire / " +
+      "expireOlderThan removed the version this stream last delivered " +
+      "from, so the next batch's added-file diff base is gone). Keep " +
+      "enough versions to cover the stream's longest pause: raise " +
+      "expire's `keep` / expireOlderThan's cutoff, or pin the stream's " +
+      "floor with a tag (Snapshots.snapshots(spark, base) lists what " +
+      "survives). To resume NOW, restart from a FRESH " +
+      "checkpointLocation — the stream re-delivers from the current " +
+      "snapshot, and the consumer owns dedup of rows it already saw."
+
   private def cdcRoot = s"$metadataPath/__graft_cdc"
 
   override def commit(end: OffsetV1): Unit =
@@ -391,14 +436,21 @@ private[store] class SnapshotSource(spark: SparkSession,
   override def stop(): Unit = ()
 
   /** `(data entries, delete entries, image-changing op lines)` at `v`;
-    * all empty for the before-first-commit sentinel. */
-  private def stateAt(v: Long): (Seq[Snapshots.ManifestEntry],
+    * all empty for the before-first-commit sentinel. `isInitial` asserts
+    * the offset is the before-first sentinel (round-18): a NON-initial
+    * offset below the retained head can only be a checkpoint whose
+    * delivered-through version was expired — its added-file diff base is
+    * gone, so the stream refuses rather than silently re-delivering the
+    * whole current snapshot as if fresh. */
+  private def stateAt(v: Long, isInitial: Boolean = false)
+      : (Seq[Snapshots.ManifestEntry],
       Seq[Snapshots.ManifestEntry], Seq[String]) = {
     val vs = currentVersions
-    if (v < vs.head) (Seq.empty, Seq.empty, Seq.empty)
-    else {
-      require(vs.contains(v),
-        s"offset version $v no longer committed under $base (expired?)")
+    if (v < vs.head) {
+      require(isInitial, expiredOffsetMessage(v))
+      (Seq.empty, Seq.empty, Seq.empty)
+    } else {
+      require(vs.contains(v), expiredOffsetMessage(v))
       val lines = branchOpt match {
         case Some(b) => Snapshots.branchManifestLines(spark, base, b, v)
         case None => Snapshots.manifestLines(spark, base, v)
@@ -434,10 +486,22 @@ private[store] class SnapshotSource(spark: SparkSession,
 
   override def getBatch(start: Option[OffsetV1], end: OffsetV1): DataFrame = {
     val s0 = start.map(o => offsetOf(o))
-      .getOrElse(SnapshotVersionOffset(startSentinel))
+      .getOrElse(SnapshotVersionOffset(startSentinel, 0, initial = true))
     val e0 = offsetOf(end)
-    if (changeFeed) changeFeedBatch(s0.v, e0.v)
-    else appendBatch(s0, e0)
+    if (changeFeed) {
+      // a mid-commit offset (v#fileIdx) can only have been written by a
+      // byte/file-paced APPEND stream; a commit's change set has no
+      // per-file decomposition, so silently dropping the fileIdx would
+      // re-deliver the partially-delivered commit's rows as changes —
+      // refuse the incompatible option change instead (round-18)
+      require(s0.fileIdx == 0,
+        s"checkpoint offset ${s0.json()} of $base was written mid-commit " +
+          "by a byte/file-paced append stream and cannot be resumed with " +
+          "readChangeFeed=true (a commit's change feed has no per-file " +
+          "decomposition). Either finish the stream without readChangeFeed, " +
+          "or start the change-feed stream from a fresh checkpointLocation.")
+      changeFeedBatch(s0.v, e0.v, s0.initial)
+    } else appendBatch(s0, e0)
   }
 
   /** Non-CDF batch: the added-file delta between the offsets, clip-read
@@ -454,7 +518,7 @@ private[store] class SnapshotSource(spark: SparkSession,
     // contract checks run over the whole span (endpoint manifests)
     val spanEnd = if (e0.fileIdx == 0) e0.v
                   else chainNext(vs, e0.v).getOrElse(e0.v)
-    val (dataS, delsS, _) = stateAt(s0.v)
+    val (dataS, delsS, _) = stateAt(s0.v, s0.initial)
     val (dataT, delsT, imageOpsT) = stateAt(spanEnd)
     if (!ignoreChanges) {
       val removed = dataS.map(_.path).toSet -- dataT.map(_.path).toSet
@@ -534,11 +598,16 @@ private[store] class SnapshotSource(spark: SparkSession,
     }
   } catch { case scala.util.control.NonFatal(_) => () }
 
-  private def changeFeedBatch(sv: Long, ev: Long): DataFrame = {
+  private def changeFeedBatch(sv: Long, ev: Long,
+                              svInitial: Boolean): DataFrame = {
     import org.apache.spark.sql.functions.lit
     if (ev <= sv) return emptyBatch
     sweepCdc(sv)
     val vs = currentVersions
+    // a non-initial offset below the retained head is an expired
+    // checkpoint, not a fresh stream — re-running the initial-snapshot
+    // path would re-deliver every row as an insert (round-18)
+    require(sv >= vs.head || svInitial, expiredOffsetMessage(sv))
     // data columns + _change_type; _commit_version is stamped per slice
     val withCt = StructType(tableSchema.fields.dropRight(1))
     def stamped(body: DataFrame, v: Long): DataFrame =
@@ -555,7 +624,30 @@ private[store] class SnapshotSource(spark: SparkSession,
     val steps = vs.filter(v => v > firstDone && v <= ev)
     val slices = snapshotPart ++ steps.zip(firstDone +: steps).map {
       case (v, prev) =>
-        stamped(Snapshots.changes(spark, base, prev, v, changeKey, branchOpt), v)
+        // PURE-APPEND fast path (round-18): a commit that only ADDS data
+        // files (no removals, no MoR deletes either side, no image-op
+        // delta) has a change feed of exactly "added files as inserts" —
+        // skip changes()'s per-row xxhash64 + full_outer machinery and
+        // clip-read the delta directly (files added at v are v-vintage:
+        // any op recorded at both endpoints landed ≤ prev, so they carry
+        // the current physical names/widths). At 100 TB this is the
+        // steady state: append-only ingest streams CDF at plain-scan
+        // cost; only genuinely rewriting commits pay the diff join.
+        // align()+stamped() normalize both routes to one schema, and the
+        // oracle key's hash pins route equivalence on the append slice.
+        val (dataP, delsP, opsP) = stateAt(prev)
+        val (dataV, delsV, opsV) = stateAt(v)
+        val prevPaths = dataP.map(_.path).toSet
+        val removed = prevPaths -- dataV.map(_.path).toSet
+        val added = dataV.filterNot(e => prevPaths.contains(e.path))
+        if (removed.isEmpty && delsP.isEmpty && delsV.isEmpty &&
+            opsP == opsV && added.nonEmpty) {
+          val dataSchema = StructType(withCt.fields.dropRight(1))
+          stamped(spark.read.schema(dataSchema)
+            .parquet(added.map(e => s"$base/${e.path}"): _*)
+            .withColumn("_change_type", lit("insert")), v)
+        } else
+          stamped(Snapshots.changes(spark, base, prev, v, changeKey, branchOpt), v)
     }
     if (slices.isEmpty) return emptyBatch
     val feed = slices.reduce(_ unionByName _)

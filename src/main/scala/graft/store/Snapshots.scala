@@ -667,6 +667,27 @@ object Snapshots {
   private def decOf(s: String): Option[java.math.BigDecimal] =
     scala.util.Try(new java.math.BigDecimal(s)).toOption
 
+  /** MIN/MAX fold steps over stats-canon strings, NaN-aware for tag "D"
+    * (round-18). Recorded FILE stats never hold NaN ([[validStat]] /
+    * [[stagedStats]]), but the hybrid verbs' boundary SCANS canonicalize
+    * `min(col)`/`max(col)` of the raw data, and a float/double file with
+    * NaN rows yields the canon "NaN" there — on which every [[statLeq]]
+    * comparison is false, so a naive `reduce(if (statLeq) ...)` could
+    * return NaN as the MIN (wrong unless EVERY value is NaN) or drop it
+    * from the MAX (wrong always: Spark orders NaN above every value, so
+    * `max()` returns NaN whenever one is present). These folds encode
+    * that ordering: the max fold keeps NaN if either side is NaN, the min
+    * fold discards it unless both sides are. Decimals also carry tag "D"
+    * but can never render "NaN", so the special case is inert for them. */
+  private def statMinFold(tag: String, a: String, b: String): String =
+    if (tag == "D" && a == "NaN") b
+    else if (tag == "D" && b == "NaN") a
+    else if (statLeq(tag, a, b)) a else b
+
+  private def statMaxFold(tag: String, a: String, b: String): String =
+    if (tag == "D" && (a == "NaN" || b == "NaN")) "NaN"
+    else if (statLeq(tag, a, b)) b else a
+
   /** Is a (tag, min, max) stats triple USABLE for pruning? The tag must
     * be known and both endpoints must parse under it — and for doubles
     * neither may be NaN: Spark's max() returns NaN when any value is NaN
@@ -5212,6 +5233,13 @@ object Snapshots {
     val dtK = keyCols.map(c => c -> schema(c).dataType).toMap
     val tagK = keyCols.map(c => c -> statTag(dtK(c))).toMap
     if (keyCols.exists(c => tagK(c).isEmpty)) return None
+    // float/double grouping keys decline (round-18): Spark's GROUP BY
+    // normalizes -0.0 == 0.0 (NormalizeFloatingNumbers) while stats-canon
+    // strings keep "-0.0" and "0.0" distinct — a float-keyed rollup could
+    // emit one group more than the unrewritten plan. Grouping on floats
+    // is pathological anyway; decline rather than normalize.
+    if (keyCols.exists(c => dtK(c) == org.apache.spark.sql.types.DoubleType ||
+        dtK(c) == org.apache.spark.sql.types.FloatType)) return None
     val mmTag = mmCols.map(c => c -> statTag(schema(c).dataType)).toMap
     if (mmCols.exists(c => mmTag(c).isEmpty)) return None
     val sumScale = sumCols.map(c => c -> sumScaleOf(schema(c).dataType)).toMap
@@ -5290,17 +5318,18 @@ object Snapshots {
           val (ds, dn) = sm.getOrElse(c, (java.math.BigDecimal.ZERO, 0L))
           c -> ((ps.add(ds), pn + dn))
         }.toMap,
+        // NaN-aware folds (round-18): the boundary scan's canon can be
+        // "NaN" for a float/double mm column (recorded stats never are) —
+        // a plain statLeq pick would mis-merge it (see statMinFold)
         mmCols.flatMap { c =>
           (prev.mn.get(c), mn.get(c)) match {
-            case (Some(a), Some(b)) =>
-              Some(c -> (if (statLeq(mmTag(c), a, b)) a else b))
+            case (Some(a), Some(b)) => Some(c -> statMinFold(mmTag(c), a, b))
             case (a, b) => a.orElse(b).map(c -> _)
           }
         }.toMap,
         mmCols.flatMap { c =>
           (prev.mx.get(c), mx.get(c)) match {
-            case (Some(a), Some(b)) =>
-              Some(c -> (if (statLeq(mmTag(c), a, b)) b else a))
+            case (Some(a), Some(b)) => Some(c -> statMaxFold(mmTag(c), a, b))
             case (a, b) => a.orElse(b).map(c -> _)
           }
         }.toMap)
@@ -5325,9 +5354,17 @@ object Snapshots {
       val bScan0 = readSubset(spark, base, lines, boundary)
       val keyExprs = keyCols.zipWithIndex.map { case (c, i) =>
         statExtract(col(c), dtK(c)).as(s"__k_$i") }
+      // bound the scan BEFORE collecting (round-18): the grouped
+      // boundary frame's cardinality is unknown until executed, and one
+      // straddler file holding a high-NDV key (GROUP BY user_id where a
+      // single small file happens to pin) must not pull an unbounded
+      // rollup into driver memory inside the optimizer. Reaching the
+      // limit already implies the decline below fires — driver memory
+      // never depends on data shape.
       val scanned = predicate.fold(bScan0)(bScan0.filter)
         .groupBy(keyExprs: _*)
         .agg(aggs.head, aggs.tail: _*)
+        .limit(maxGroups + 2 - groups.size)
         .collect()
       if (scanned.length + groups.size > maxGroups + 1) return None
       scanned.foreach { r =>
@@ -5606,8 +5643,11 @@ object Snapshots {
     val all = metaPart ++ scannedPart
     if (all.isEmpty) Some(None)
     else Some(Some((
-      all.map(_._1).reduce((a, b) => if (statLeq(tag, a, b)) a else b),
-      all.map(_._2).reduce((a, b) => if (statLeq(tag, a, b)) b else a))))
+      // NaN-aware folds (round-18): the boundary scan's canon can be
+      // "NaN" for a float/double column even though recorded stats never
+      // are — a plain statLeq reduce would mis-fold it (see statMinFold)
+      all.map(_._1).reduce(statMinFold(tag, _, _)),
+      all.map(_._2).reduce(statMaxFold(tag, _, _)))))
   }
 
   /**

@@ -425,7 +425,7 @@ class SnapshotAggRewriteSpec extends AnyFunSuite {
     withExtSession { s =>
       import s.implicits._
       val rnd = new scala.util.Random(20260816L) // fixed seed: deterministic
-      (1 to 6).foreach { trial =>
+      (1 to 8).foreach { trial =>
         val base = java.nio.file.Files
           .createTempDirectory(s"graft-aggfuzz$trial").toString + "/t"
         val nDays = 2 + rnd.nextInt(6)
@@ -433,7 +433,7 @@ class SnapshotAggRewriteSpec extends AnyFunSuite {
           val day = 1L + rnd.nextInt(nDays)
           val v = if (rnd.nextInt(10) == 0) null
                   else java.lang.Long.valueOf(rnd.nextInt(2001) - 1000L) // signed
-          (day, rnd.nextLong(), v)
+          (day, rnd.nextInt(), v)
         }
         val df = rows.toDF("day", "id", "v")
         // adversarial layouts: clustered, partially clustered, unclustered,
@@ -447,7 +447,30 @@ class SnapshotAggRewriteSpec extends AnyFunSuite {
         Snapshots.append(df.limit(30).coalesce(1), base) // mixed straddler
         Snapshots.writeStatsSidecars(s, base, Seq("v"))
         Snapshots.writeSumSidecars(s, base, Seq("v"))
+        // round-18: cycle the adversarial MANIFEST STATES through the
+        // randomized grid alongside the plain layouts — pending MoR
+        // deletes (the rewrite must DECLINE: metadata counts would ignore
+        // deleted rows) and pending schema ops (rename/widen of a column
+        // the grid never touches: the metadata verbs are rename-/widen-
+        // aware — stats lookups translate names and tag L spans the
+        // widening — so the rule may still ANSWER, and parity is the
+        // contract that proves it answers RIGHT)
+        val mutation = (trial - 1) % 4
+        mutation match {
+          case 1 => Snapshots.deleteWhereMoR(s, base, col("id") % 5 === 0)
+          case 2 => Snapshots.renameColumn(s, base, "id", "rid")
+          case 3 => Snapshots.widenColumn(s, base, "id",
+            org.apache.spark.sql.types.LongType)
+          case _ => ()
+        }
         val t = Snapshots.read(s, base)
+        if (mutation == 1) {
+          s.conf.set(SnapshotAggRewrite.EnabledKey, "true")
+          assert(!isMetadataAnswered(
+            t.agg(count(lit(1)).as("a"), min(col("v")).as("b"))),
+            s"trial $trial: pending MoR deletes must decline the rewrite")
+          s.conf.set(SnapshotAggRewrite.EnabledKey, "false")
+        }
         val cut = 1L + rnd.nextInt(nDays)
         def grid(): Seq[org.apache.spark.sql.DataFrame] = Seq(
           t.agg(count(lit(1)).as("a"), min(col("v")).as("b"),
@@ -478,6 +501,83 @@ class SnapshotAggRewriteSpec extends AnyFunSuite {
         }
         s.conf.set(SnapshotAggRewrite.EnabledKey, "false")
       }
+    }
+  }
+
+  test("NaN canon from a boundary scan folds in Spark's order: max keeps NaN, min discards it; float group keys decline") {
+    withExtSession { s =>
+      import s.implicits._
+      val base = java.nio.file.Files.createTempDirectory("graft-aggnan").toString + "/t"
+      // clustered table: days 1..3 finite; an appended straddler pins
+      // day 2 but holds NaN in x — stagedStats refuses to RECORD NaN
+      // stats, so that file can only contribute through the boundary
+      // SCAN, whose statExtract canon is the string "NaN"
+      Snapshots.write(
+        (1L to 300L).map(i => (1L + (i - 1) / 100, i, (i % 50) * 1.5))
+          .toDF("day", "id", "x")
+          .repartition(8, col("day")),
+        base, statsKey = Some("day"))
+      Snapshots.append(
+        Seq((2L, 1001L, Double.NaN), (2L, 1002L, 7.25)).toDF("day", "id", "x")
+          .coalesce(1), base)
+      Snapshots.writeStatsSidecars(s, base, Seq("x"))
+      val t = Snapshots.read(s, base)
+      def strs(df: DataFrame) = df.collect().map(_.toString).sorted.toSeq
+      // filtered MIN/MAX (metaBoundsWhere): Spark's max() is NaN when any
+      // value is; min() ignores NaN — the fold must reproduce both
+      s.conf.set(SnapshotAggRewrite.EnabledKey, "false")
+      val fRef = strs(t.filter(col("day") >= 2L)
+        .agg(min(col("x")).as("mn"), max(col("x")).as("mx")))
+      val gRef = strs(t.groupBy(col("day"))
+        .agg(min(col("x")).as("mn"), max(col("x")).as("mx"), count(lit(1)).as("n")))
+      s.conf.set(SnapshotAggRewrite.EnabledKey, "true")
+      val fq = t.filter(col("day") >= 2L)
+        .agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+      assert(isMetadataAnswered(fq), "filtered min/max must still rewrite")
+      assert(strs(fq) == fRef, s"NaN mis-fold: ${strs(fq)} vs $fRef")
+      // grouped twin (metaGroupAgg's mergeInto): day 2 merges a proven
+      // finite file with the NaN straddler's scanned canon
+      val gq = t.groupBy(col("day"))
+        .agg(min(col("x")).as("mn"), max(col("x")).as("mx"), count(lit(1)).as("n"))
+      assert(isMetadataAnswered(gq), "grouped rollup must still rewrite")
+      assert(strs(gq) == gRef, s"grouped NaN mis-fold: ${strs(gq)} vs $gRef")
+      // float/double GROUPING keys decline outright: GROUP BY normalizes
+      // -0.0 == 0.0 while canon strings keep them distinct
+      assert(!isMetadataAnswered(t.groupBy(col("x")).agg(count(lit(1)).as("n"))),
+        "double grouping key must decline")
+      assert(!isMetadataAnswered(
+        t.agg(org.apache.spark.sql.functions.countDistinct(col("x")).as("nd"))),
+        "COUNT(DISTINCT double) must decline")
+      s.conf.set(SnapshotAggRewrite.EnabledKey, "false")
+    }
+  }
+
+  test("a high-NDV straddler declines via a BOUNDED boundary collect — driver memory never depends on data shape") {
+    withExtSession { s =>
+      import s.implicits._
+      val base = java.nio.file.Files.createTempDirectory("graft-aggndv").toString + "/t"
+      // one proven single-group file (day 1)...
+      Snapshots.write(
+        (1L to 50L).map(i => (1L, i)).toDF("day", "id").coalesce(1),
+        base, statsKey = Some("day"))
+      // ...plus a straddler whose key has far more distinct values than
+      // the group cap — the grouped boundary scan must be LIMITed before
+      // collecting, and reaching the limit declines the rewrite
+      Snapshots.append(
+        (1L to 500L).map(i => (100L + i, i)).toDF("day", "id").coalesce(1),
+        base)
+      s.conf.set(SnapshotAggRewrite.EnabledKey, "true")
+      s.conf.set(SnapshotAggRewrite.MaxGroupsKey, "5")
+      val t = Snapshots.read(s, base)
+      val q = t.groupBy(col("day")).agg(count(lit(1)).as("n"))
+      assert(!isMetadataAnswered(q),
+        "over-cap straddler must decline the grouped rewrite")
+      // and the unrewritten plan still answers correctly
+      assert(q.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+        .get(1L).contains(50L))
+      assert(q.count() == 501L)
+      s.conf.unset(SnapshotAggRewrite.MaxGroupsKey)
+      s.conf.set(SnapshotAggRewrite.EnabledKey, "false")
     }
   }
 

@@ -467,6 +467,77 @@ class SnapshotStreamSourceSpec extends AnyFunSuite {
     assert(drain(base, ckpt).flatMap(_._2).isEmpty)
   }
 
+  test("a checkpoint that outlived retention REFUSES with the retention message — never silent re-delivery") {
+    val base = freshDir("expired") + "/t"
+    val ckpt = freshDir("expired-ckpt")
+    Snapshots.write((1L to 10L).map(i => (i, s"n$i")).toDF("id", "name"), base)
+    Snapshots.append((11L to 20L).map(i => (i, s"n$i")).toDF("id", "name"), base)
+    assert(drain(base, ckpt).flatMap(_._2).map(_._1).toSet == (1L to 20L).toSet)
+    // the stream pauses; two more commits land and retention expires the
+    // delivered-through version's manifest
+    Snapshots.append((21L to 25L).map(i => (i, s"n$i")).toDF("id", "name"), base)
+    Snapshots.append((26L to 30L).map(i => (i, s"n$i")).toDF("id", "name"), base)
+    Snapshots.expire(spark, base, keep = 1)
+    // the checkpointed offset (delivered through v2) now sits BELOW the
+    // retained head; its added-file diff base is gone. Pre-round-18 this
+    // fell into the before-first sentinel path and re-delivered the WHOLE
+    // snapshot as if fresh (silent duplicates); it must refuse, naming
+    // the retention verbs and the recovery path.
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      drain(base, ckpt)
+    }
+    assert(msgChain(e).contains("no longer committed"), msgChain(e))
+    assert(msgChain(e).contains("expire"), msgChain(e))
+    assert(msgChain(e).contains("checkpointLocation"), msgChain(e))
+    // the documented recovery: a fresh checkpoint re-delivers the current
+    // snapshot (initial sentinel — legitimately below head, not refused)
+    assert(drain(base, freshDir("expired-c2")).flatMap(_._2).map(_._1).toSet ==
+      (1L to 30L).toSet)
+    // same refusal in CDF mode: the initial-snapshot path must not re-run
+    // for an expired non-initial offset
+    val src = new SnapshotSource(spark,
+      SnapshotStreamSource.inferSchema(spark, SnapshotStreamSource.optionsOf(
+        Map("path" -> base, "readChangeFeed" -> "true", "changeKey" -> "id"))),
+      SnapshotStreamSource.optionsOf(
+        Map("path" -> base, "readChangeFeed" -> "true", "changeKey" -> "id")),
+      freshDir("expired-cdc-meta"))
+    val vs = Snapshots.versions(spark, base)
+    val eCdf = intercept[IllegalArgumentException] {
+      src.getBatch(Some(SnapshotVersionOffset(vs.head - 2)),
+        SnapshotVersionOffset(vs.last))
+    }
+    assert(eCdf.getMessage.contains("no longer committed"), eCdf.getMessage)
+  }
+
+  test("sentinel offsets serialize distinctly (~v) and round-trip; mid-commit offsets refuse CDF resume") {
+    // the before-first sentinel must stay distinguishable from a real
+    // delivered-through-v position across checkpoint round-trips — the
+    // expired-offset refusal above depends on it
+    assert(SnapshotVersionOffset(4, 0, initial = true).json() == "~4")
+    assert(SnapshotVersionOffset.parse("~4") ==
+      SnapshotVersionOffset(4, 0, initial = true))
+    assert(SnapshotVersionOffset.parse("4") == SnapshotVersionOffset(4))
+    assert(SnapshotVersionOffset.parse("4#2") == SnapshotVersionOffset(4, 2))
+    // a v#k offset written by a byte-paced APPEND stream cannot resume
+    // with readChangeFeed=true: a commit's change set has no per-file
+    // decomposition, so dropping the fileIdx would re-deliver the
+    // partially-delivered commit's rows as changes
+    val base = freshDir("midcdf") + "/t"
+    Snapshots.write((1L to 10L).map(i => (i, s"n$i")).toDF("id", "name"), base)
+    Snapshots.append((11L to 20L).map(i => (i, s"n$i")).toDF("id", "name")
+      .repartition(3), base)
+    val opts = SnapshotStreamSource.optionsOf(
+      Map("path" -> base, "readChangeFeed" -> "true", "changeKey" -> "id"))
+    val src = new SnapshotSource(spark,
+      SnapshotStreamSource.inferSchema(spark, opts), opts,
+      freshDir("midcdf-meta"))
+    val e = intercept[IllegalArgumentException] {
+      src.getBatch(Some(SnapshotVersionOffset(1, 2)), SnapshotVersionOffset(2))
+    }
+    assert(e.getMessage.contains("mid-commit"), e.getMessage)
+    assert(e.getMessage.contains("checkpointLocation"), e.getMessage)
+  }
+
   test("a large file splits into filesMaxPartitionBytes-sized partitions") {
     val base = freshDir("split") + "/t"
     Snapshots.write((1L to 5000L).map(i => (i, s"name-padding-$i"))
