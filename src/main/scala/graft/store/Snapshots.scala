@@ -5480,8 +5480,17 @@ object Snapshots {
         .limit(k)
         .select(statExtract(c(key), dt).as("__c"))
         .collect()
+      // a NaN k-th value is NOT a sound ASCENDING threshold (round-18):
+      // NaN rows live only in stats-less files (writers refuse NaN
+      // stats), sort GREATEST in Spark's order, and every finite value
+      // in an excluded file would displace them — but statLeq's NaN
+      // comparisons are all false, so beats() would admit nothing.
+      // Disable the threshold like a NULL k-th and keep admitting.
+      // (Descending is sound as-is: a NaN k-th means the top-k are all
+      // NaN, and no STATTED file can hold one to displace them.)
       val kth = if (kthRow.length < k) None
                 else Option(kthRow.last.getString(0))
+                  .filterNot(t => ascending && statTag(dt) == "D" && t == "NaN")
       kth match {
         case None =>
           // fewer than k rows (or a NULL k-th key): no sound threshold —

@@ -62,6 +62,37 @@ class Round15StoreSpec extends AnyFunSuite {
       .as[Long].collect().toSeq == Seq(800L, 799L))
   }
 
+  test("topK over a double key with NaN rows: NaN k-th disables the ASC threshold; parity both directions") {
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-tknan").toString + "/t"
+    // statted finite files (clustered on x) + an appended file holding
+    // NaN rows — writers refuse NaN stats, so it rides stats-less and is
+    // always admitted; the hazard is the THRESHOLD: with k exceeding the
+    // admitted finite rows, the ascending k-th canon is "NaN", on which
+    // every statLeq test is false — pre-round-18 that admitted nothing
+    // more and returned NaN rows in place of finite ones still excluded
+    val df = (1L to 80L).map(i => (i, i * 1.0)).toDF("id", "x")
+      .repartitionByRange(4, col("x"))
+    Snapshots.write(df, base, statsKey = Some("x"))
+    Snapshots.append(
+      Seq((900L, Double.NaN), (901L, Double.NaN), (902L, 500.0))
+        .toDF("id", "x").coalesce(1), base)
+    def ref(k: Int, asc: Boolean) = {
+      val o = if (asc) col("x").asc else col("x").desc
+      Snapshots.read(spark, base).orderBy(o, col("id").asc).limit(k)
+        .select("id").as[Long].collect().toSeq
+    }
+    def tk(k: Int, asc: Boolean) =
+      Snapshots.topK(spark, base, "x", k, tieBreak = Seq("id"),
+        ascending = asc).select("id").as[Long].collect().toSeq
+    // ascending, k large enough that the first-admitted candidate set
+    // runs out of finite rows and the k-th lands on NaN
+    for (k <- Seq(3, 22, 45, 83)) {
+      assert(tk(k, asc = true) == ref(k, asc = true), s"asc k=$k")
+      assert(tk(k, asc = false) == ref(k, asc = false), s"desc k=$k")
+    }
+  }
+
   test("metaBoundsOf: min/max of a NON-key column from sidecars, zero records read") {
     val base = java.nio.file.Files.createTempDirectory("graft-mbof").toString + "/t"
     val df = (1L to 300L).map(i => (i, i * 2 + 1, s"v$i")).toDF("id", "score", "s")
