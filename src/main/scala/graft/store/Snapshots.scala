@@ -678,7 +678,12 @@ object Snapshots {
     * `max()` returns NaN whenever one is present). These folds encode
     * that ordering: the max fold keeps NaN if either side is NaN, the min
     * fold discards it unless both sides are. Decimals also carry tag "D"
-    * but can never render "NaN", so the special case is inert for them. */
+    * but can never render "NaN", so the special case is inert for them.
+    * A "-0.0"/"0.0" tie compares EQUAL (BigDecimal) and the fold keeps
+    * one side arbitrarily — same as Spark's own min/max, whose returned
+    * zero sign is order-dependent (NormalizeFloatingNumbers covers keys,
+    * not agg inputs); both routes return an ==-equal value. GROUPING on
+    * float/double declines outright instead (see metaGroupAgg). */
   private def statMinFold(tag: String, a: String, b: String): String =
     if (tag == "D" && a == "NaN") b
     else if (tag == "D" && b == "NaN") a
