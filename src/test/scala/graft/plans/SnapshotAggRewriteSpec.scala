@@ -433,9 +433,22 @@ class SnapshotAggRewriteSpec extends AnyFunSuite {
           val day = 1L + rnd.nextInt(nDays)
           val v = if (rnd.nextInt(10) == 0) null
                   else java.lang.Long.valueOf(rnd.nextInt(2001) - 1000L) // signed
-          (day, rnd.nextInt(), v)
+          // double column (round-18): injects the non-finite states the
+          // NaN-aware folds exist for — NaN (greatest in Spark's order),
+          // ±Infinity (statLeq falls to double compare), NULL. Finite
+          // values are k·0.5 so every canon round-trips exactly. NO -0.0:
+          // a -0.0/0.0 min/max tie is order-dependent in Spark itself
+          // (see statMinFold's scaladoc), so parity on it is undefined.
+          val x: java.lang.Double = rnd.nextInt(20) match {
+            case 0 => Double.NaN
+            case 1 => Double.PositiveInfinity
+            case 2 => Double.NegativeInfinity
+            case 3 | 4 => null
+            case _ => (rnd.nextInt(4001) - 2000) * 0.5
+          }
+          (day, rnd.nextInt(), v, x)
         }
-        val df = rows.toDF("day", "id", "v")
+        val df = rows.toDF("day", "id", "v", "x")
         // adversarial layouts: clustered, partially clustered, unclustered,
         // plus an empty-partition commit and a straddler append
         val layout = rnd.nextInt(3) match {
@@ -445,7 +458,7 @@ class SnapshotAggRewriteSpec extends AnyFunSuite {
         }
         Snapshots.write(layout, base, statsKey = Some("day"))
         Snapshots.append(df.limit(30).coalesce(1), base) // mixed straddler
-        Snapshots.writeStatsSidecars(s, base, Seq("v"))
+        Snapshots.writeStatsSidecars(s, base, Seq("v", "x"))
         Snapshots.writeSumSidecars(s, base, Seq("v"))
         // round-18: cycle the adversarial MANIFEST STATES through the
         // randomized grid alongside the plain layouts — pending MoR
@@ -476,17 +489,21 @@ class SnapshotAggRewriteSpec extends AnyFunSuite {
           t.agg(count(lit(1)).as("a"), min(col("v")).as("b"),
             max(col("v")).as("c"),
             org.apache.spark.sql.functions.sum(col("v")).as("d"),
-            avg(col("v")).as("e"), count(col("v")).as("f")),
+            avg(col("v")).as("e"), count(col("v")).as("f"),
+            min(col("x")).as("g"), max(col("x")).as("h")),
           t.filter(col("day") >= cut).agg(count(lit(1)).as("a"),
             min(col("v")).as("b"), max(col("v")).as("c"),
-            org.apache.spark.sql.functions.sum(col("v")).as("d")),
+            org.apache.spark.sql.functions.sum(col("v")).as("d"),
+            min(col("x")).as("e"), max(col("x")).as("f")),
           t.groupBy(col("day")).agg(count(lit(1)).as("a"),
             org.apache.spark.sql.functions.sum(col("v")).as("b"),
             min(col("v")).as("c"), max(col("v")).as("d"),
-            count(col("v")).as("e")),
+            count(col("v")).as("e"),
+            min(col("x")).as("f"), max(col("x")).as("g")),
           t.filter(col("day") <= cut).groupBy(col("day"))
             .agg(count(lit(1)).as("a"),
-              org.apache.spark.sql.functions.sum(col("v")).as("b")),
+              org.apache.spark.sql.functions.sum(col("v")).as("b"),
+              max(col("x")).as("c")),
           t.select(col("day")).distinct(),
           t.agg(org.apache.spark.sql.functions.countDistinct(col("day"))
             .as("nd")))
