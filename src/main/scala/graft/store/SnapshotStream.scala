@@ -94,13 +94,16 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
  * first batch of a fresh stream is the initial snapshot as inserts,
  * stamped with its version. With `option("branch", ...)` the feed walks
  * the branch's own chain (round-17) — the WAP audit subscriber's
- * row-level view of staging. CDF byte pacing stays version-granular (a
- * change feed has no per-file decomposition). A provably PURE-APPEND
- * commit (no removed files, no MoR deletes, no image-op delta) streams
- * its slice as a direct clip-read of the added files tagged `insert`
- * (round-18) — the append-only 100 TB steady state pays plain-scan cost,
- * never the per-row-hash full_outer diff, which only rewriting commits
- * need.
+ * row-level view of staging. A provably PURE-APPEND commit (no removed
+ * files, no MoR deletes, no image-op delta) streams its slice as a
+ * direct clip-read of the added files tagged `insert` (round-18) — the
+ * append-only 100 TB steady state pays plain-scan cost, never the
+ * per-row-hash full_outer diff, which only rewriting commits need. The
+ * same decomposition lets `maxBytesPerTrigger`/`maxFilesPerTrigger`
+ * pace the FEED at file granularity (round-18): cuts land inside
+ * pure-append commits as `v#k` offsets, while a rewriting commit admits
+ * atomically as one trigger's unit — a 10 GB append commit streams its
+ * CDF in paced batches instead of one giant one.
  *
  * 100 TB: every driver-side step is O(delta in versions + files
  * touched); nothing lists the table, nothing reads a shared file, and
@@ -362,12 +365,17 @@ private[store] class SnapshotSource(spark: SparkSession,
     // version pacing (whole commits); an in-flight mid-version commit
     // counts as the first of the cap
     val vCap = maxVersionsPerTrigger.fold(last)(m => math.min(last, s0.v + m))
-    if ((maxBytesPerTrigger.nonEmpty || maxFilesPerTrigger.nonEmpty) &&
-        !changeFeed) {
+    if (maxBytesPerTrigger.nonEmpty || maxFilesPerTrigger.nonEmpty) {
       // file-granular soft caps (bytes and/or file count, composed):
       // admit added files in chain order until either budget is spent,
       // always at least one file (progress guarantee); an offset may
-      // land mid-commit as (lastFullVersion, fileIdx)
+      // land mid-commit as (lastFullVersion, fileIdx). In CHANGE-FEED
+      // mode (round-18) a cut may land inside a PURE-APPEND commit only
+      // — its change set is exactly its added-file list, so file
+      // positions decompose it; a rewriting commit (removed files, MoR
+      // deletes, image-op delta) admits ATOMICALLY as one
+      // version-per-trigger unit, since a diff join's row set has no
+      // per-file decomposition.
       var pos = s0
       var budget = maxBytesPerTrigger.getOrElse(Long.MaxValue)
       val fileCap = maxFilesPerTrigger.getOrElse(Int.MaxValue)
@@ -376,6 +384,11 @@ private[store] class SnapshotSource(spark: SparkSession,
       while (!done) {
         chainNext(vs, pos.v).filter(_ <= vCap) match {
           case None => done = true
+          case Some(nv) if changeFeed && !deltaOf(vs, nv)._3 =>
+            // non-decomposable commit: one whole version, alone in its
+            // trigger when anything was already admitted
+            if (admitted == 0) pos = SnapshotVersionOffset(nv)
+            done = true
           case Some(nv) =>
             val files = addedAt(vs, nv)
             var i = math.min(pos.fileIdx, files.length)
@@ -401,8 +414,7 @@ private[store] class SnapshotSource(spark: SparkSession,
       }
       pos
     } else {
-      // version-granular pacing (also the CDF mode under byte/file
-      // pacing — a change feed has no per-file decomposition); a
+      // version-granular pacing (maxVersionsPerTrigger, or no caps); a
       // mid-version position left by a paced run first completes its
       // commit
       val minEnd = if (s0.fileIdx > 0) chainNext(vs, s0.v).getOrElse(s0.v)
@@ -432,7 +444,7 @@ private[store] class SnapshotSource(spark: SparkSession,
   private def cdcRoot = s"$metadataPath/__graft_cdc"
 
   override def commit(end: OffsetV1): Unit =
-    if (changeFeed) sweepCdc(offsetOf(end).v)
+    if (changeFeed) sweepCdc(offsetOf(end))
   override def stop(): Unit = ()
 
   /** `(data entries, delete entries, image-changing op lines)` at `v`;
@@ -488,20 +500,15 @@ private[store] class SnapshotSource(spark: SparkSession,
     val s0 = start.map(o => offsetOf(o))
       .getOrElse(SnapshotVersionOffset(startSentinel, 0, initial = true))
     val e0 = offsetOf(end)
-    if (changeFeed) {
-      // a mid-commit offset (v#fileIdx) can only have been written by a
-      // byte/file-paced APPEND stream; a commit's change set has no
-      // per-file decomposition, so silently dropping the fileIdx would
-      // re-deliver the partially-delivered commit's rows as changes —
-      // refuse the incompatible option change instead (round-18)
-      require(s0.fileIdx == 0,
-        s"checkpoint offset ${s0.json()} of $base was written mid-commit " +
-          "by a byte/file-paced append stream and cannot be resumed with " +
-          "readChangeFeed=true (a commit's change feed has no per-file " +
-          "decomposition). Either finish the stream without readChangeFeed, " +
-          "or start the change-feed stream from a fresh checkpointLocation.")
-      changeFeedBatch(s0.v, e0.v, s0.initial)
-    } else appendBatch(s0, e0)
+    // a mid-commit offset (v#k) resumes in change-feed mode too
+    // (round-18): a pure-append commit's change set IS its added-file
+    // list, so the slice picks up at file k — whether the checkpoint was
+    // written by this CDF stream's own byte pacing or by a paced append
+    // stream being switched over (the already-delivered files are not
+    // re-delivered). A cut inside a NON-append commit is refused inside
+    // changeFeedBatch with the commit named.
+    if (changeFeed) changeFeedBatch(s0, e0)
+    else appendBatch(s0, e0)
   }
 
   /** Non-CDF batch: the added-file delta between the offsets, clip-read
@@ -583,79 +590,134 @@ private[store] class SnapshotSource(spark: SparkSession,
     * so commit() alone would leave the final batch's dir behind on an
     * AvailableNow run). Best-effort: a swept dir is re-materialized
     * deterministically on any replay. */
-  private def sweepCdc(upTo: Long): Unit = try {
+  private def sweepCdc(upTo: SnapshotVersionOffset): Unit = try {
     val dir = new Path(cdcRoot)
     val f = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // behind = the dir's END offset ≤ the stream's position, compared
+    // (version, fileIdx) lexicographically (byte-paced CDF ends can land
+    // mid-commit since round-18)
+    def behind(ev: String, ei: String): Boolean =
+      (scala.util.Try(ev.toLong).toOption, scala.util.Try(ei.toInt).toOption)
+        match {
+        case (Some(v), Some(i)) =>
+          v < upTo.v || (v == upTo.v && i <= upTo.fileIdx)
+        case _ => false
+      }
     if (f.exists(dir)) f.listStatus(dir).foreach { st =>
       val done = st.getPath.getName.split('_') match {
-        case Array("b", _, e) =>
-          scala.util.Try(e.toLong).toOption.exists(_ <= upTo)
-        case Array(".tmp", "b", _, e, _) =>
-          scala.util.Try(e.toLong).toOption.exists(_ <= upTo)
+        // round-18 four-field names (b_sv_si_ev_ei) and their tmps
+        case Array("b", _, _, e, i) => behind(e, i)
+        case Array(".tmp", "b", _, _, e, i, _) => behind(e, i)
+        // pre-18 two-field names (b_sv_ev) from an upgraded checkpoint
+        case Array("b", _, e) => behind(e, "0")
+        case Array(".tmp", "b", _, e, _) => behind(e, "0")
         case _ => false
       }
       if (done) { f.delete(st.getPath, true); () }
     }
   } catch { case scala.util.control.NonFatal(_) => () }
 
-  private def changeFeedBatch(sv: Long, ev: Long,
-                              svInitial: Boolean): DataFrame = {
+  /** Chain-predecessor delta of version `v`: (removed paths, added
+    * entries, pure-append?). "Pure append" = no removed files, no MoR
+    * deletes at either endpoint, no image-op delta — the condition under
+    * which v's change slice is exactly "added files as inserts" and is
+    * therefore FILE-DECOMPOSABLE (the fast path, and since round-18 the
+    * unit byte/file pacing may cut inside). The chain's first version
+    * diffs against the empty state, so its "added" is the full snapshot
+    * and pure requires v itself to carry no dels/ops. */
+  private def deltaOf(vs: Seq[Long], v: Long)
+      : (Set[String], Seq[Snapshots.ManifestEntry], Boolean) = {
+    val prevOpt = vs.takeWhile(_ < v).lastOption
+    val (dataP, delsP, opsP) = prevOpt.map(p => stateAt(p))
+      .getOrElse((Seq.empty[Snapshots.ManifestEntry],
+        Seq.empty[Snapshots.ManifestEntry], Seq.empty[String]))
+    val (dataV, delsV, opsV) = stateAt(v)
+    val prevPaths = dataP.map(_.path).toSet
+    val removed = prevPaths -- dataV.map(_.path).toSet
+    val added = dataV.filterNot(e => prevPaths.contains(e.path))
+    val pure = removed.isEmpty && delsP.isEmpty && delsV.isEmpty &&
+      opsP == opsV
+    (removed, added, pure)
+  }
+
+  private def changeFeedBatch(s0: SnapshotVersionOffset,
+                              e0: SnapshotVersionOffset): DataFrame = {
     import org.apache.spark.sql.functions.lit
-    if (ev <= sv) return emptyBatch
-    sweepCdc(sv)
+    if (e0.v < s0.v || (e0.v == s0.v && e0.fileIdx <= s0.fileIdx))
+      return emptyBatch
+    sweepCdc(s0)
     val vs = currentVersions
     // a non-initial offset below the retained head is an expired
     // checkpoint, not a fresh stream — re-running the initial-snapshot
     // path would re-deliver every row as an insert (round-18)
-    require(sv >= vs.head || svInitial, expiredOffsetMessage(sv))
+    require(s0.v >= vs.head || s0.initial, expiredOffsetMessage(s0.v))
+    // ... and an in-range offset must BE a committed version (a pinned
+    // tag can leave expiry holes): a silent fallback to an older chain
+    // predecessor would re-deliver the gap
+    require(s0.v < vs.head || vs.contains(s0.v), expiredOffsetMessage(s0.v))
     // data columns + _change_type; _commit_version is stamped per slice
     val withCt = StructType(tableSchema.fields.dropRight(1))
+    val dataSchema = StructType(withCt.fields.dropRight(1))
     def stamped(body: DataFrame, v: Long): DataFrame =
       align(body, withCt).withColumn("_commit_version", lit(v))
-    val (snapshotPart, firstDone): (Seq[DataFrame], Long) =
-      if (sv < vs.head) {
-        val v0 = vs.filter(_ <= ev).head
+    def clipRead(es: Seq[Snapshots.ManifestEntry], v: Long): DataFrame =
+      stamped(spark.read.schema(dataSchema)
+        .parquet(es.map(e => s"$base/${e.path}"): _*)
+        .withColumn("_change_type", lit("insert")), v)
+    // byte/file pacing may cut INSIDE a pure-append commit (round-18):
+    // v#k offsets slice the commit's added-file list, which IS its
+    // change set; the planner only cuts decomposable commits, and a
+    // replayed (or foreign, e.g. ignoreChanges-paced append-stream)
+    // offset is re-verified here before any row is built
+    val startPartial = chainNext(vs, s0.v).filter(_ => s0.fileIdx > 0)
+    val endPartial = chainNext(vs, e0.v).filter(_ => e0.fileIdx > 0)
+    val spanEnd = endPartial.getOrElse(e0.v)
+    // One slice per version, each stamped with its own _commit_version:
+    //  - PURE-APPEND (the 100 TB steady state): clip-read of the added
+    //    files tagged insert — no per-row xxhash64, no full_outer diff;
+    //    the chain's FIRST version is the initial snapshot and rides the
+    //    same route when pure (added == the full file set).
+    //  - first version, NOT pure (dels/ops landed in it): the snapshot
+    //    read, which applies them.
+    //  - any other non-pure commit: [[Snapshots.changes]] — the
+    //    hash-compare diff join, the honest price of row-level change
+    //    semantics on a rewriting commit.
+    // align()+stamped() normalize every route to one schema, and the
+    // oracle keys pin route equivalence on the append slices.
+    val slices = vs.filter(v => v > s0.v && v <= spanEnd).flatMap { v =>
+      val (_, added, pure) = deltaOf(vs, v)
+      val lo = if (startPartial.contains(v)) s0.fileIdx else 0
+      val hi = if (endPartial.contains(v)) e0.fileIdx else added.length
+      if (lo > 0 || hi < added.length) {
+        require(pure,
+          s"change-feed offset cuts inside commit $v of $base, which is " +
+            "not a pure append (it rewrites/removes files, carries " +
+            "merge-on-read deletes, or lands schema ops) — a rewriting " +
+            "commit's change set has no per-file decomposition. Restart " +
+            "the stream from a fresh checkpointLocation, or pace with " +
+            "maxVersionsPerTrigger (commit-granular).")
+        val part = added.slice(lo, hi)
+        if (part.isEmpty) None else Some(clipRead(part, v))
+      } else if (pure && added.nonEmpty) Some(clipRead(added, v))
+      else if (vs.takeWhile(_ < v).isEmpty) {
         val body = branchOpt match {
-          case Some(b) => Snapshots.readBranch(spark, base, b, Some(v0))
-          case None => Snapshots.read(spark, base, Some(v0))
+          case Some(b) => Snapshots.readBranch(spark, base, b, Some(v))
+          case None => Snapshots.read(spark, base, Some(v))
         }
-        (Seq(stamped(body.withColumn("_change_type", lit("insert")), v0)), v0)
-      } else (Seq.empty, sv)
-    val steps = vs.filter(v => v > firstDone && v <= ev)
-    val slices = snapshotPart ++ steps.zip(firstDone +: steps).map {
-      case (v, prev) =>
-        // PURE-APPEND fast path (round-18): a commit that only ADDS data
-        // files (no removals, no MoR deletes either side, no image-op
-        // delta) has a change feed of exactly "added files as inserts" —
-        // skip changes()'s per-row xxhash64 + full_outer machinery and
-        // clip-read the delta directly (files added at v are v-vintage:
-        // any op recorded at both endpoints landed ≤ prev, so they carry
-        // the current physical names/widths). At 100 TB this is the
-        // steady state: append-only ingest streams CDF at plain-scan
-        // cost; only genuinely rewriting commits pay the diff join.
-        // align()+stamped() normalize both routes to one schema, and the
-        // oracle key's hash pins route equivalence on the append slice.
-        val (dataP, delsP, opsP) = stateAt(prev)
-        val (dataV, delsV, opsV) = stateAt(v)
-        val prevPaths = dataP.map(_.path).toSet
-        val removed = prevPaths -- dataV.map(_.path).toSet
-        val added = dataV.filterNot(e => prevPaths.contains(e.path))
-        if (removed.isEmpty && delsP.isEmpty && delsV.isEmpty &&
-            opsP == opsV && added.nonEmpty) {
-          val dataSchema = StructType(withCt.fields.dropRight(1))
-          stamped(spark.read.schema(dataSchema)
-            .parquet(added.map(e => s"$base/${e.path}"): _*)
-            .withColumn("_change_type", lit("insert")), v)
-        } else
-          stamped(Snapshots.changes(spark, base, prev, v, changeKey, branchOpt), v)
+        Some(stamped(body.withColumn("_change_type", lit("insert")), v))
+      } else Some(stamped(
+        Snapshots.changes(spark, base, vs.takeWhile(_ < v).last, v,
+          changeKey, branchOpt), v))
     }
     if (slices.isEmpty) return emptyBatch
     val feed = slices.reduce(_ unionByName _)
-    val p = new Path(s"$cdcRoot/b_${sv}_$ev")
+    val p = new Path(
+      s"$cdcRoot/b_${s0.v}_${s0.fileIdx}_${e0.v}_${e0.fileIdx}")
     val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!f.exists(p)) {
       val tmp = new Path(
-        s"$cdcRoot/.tmp_b_${sv}_${ev}_${java.util.UUID.randomUUID}")
+        s"$cdcRoot/.tmp_b_${s0.v}_${s0.fileIdx}_${e0.v}_${e0.fileIdx}_" +
+          java.util.UUID.randomUUID)
       feed.write.mode("overwrite").parquet(tmp.toString)
       if (!f.rename(tmp, p)) { f.delete(tmp, true); () }
     }

@@ -264,7 +264,7 @@ class SnapshotStreamSourceSpec extends AnyFunSuite {
     Snapshots.append(Seq((22L, "n22")).toDF("id", "name"), base)
     assert(drainCdf().map(r => (r._2, r._3)) == Seq((22L, "insert")))
     val left = f.listStatus(cdcDir).map(_.getPath.getName).toSeq
-    assert(left.forall(_ == "b_4_5"),
+    assert(left.forall(_ == "b_4_0_5_0"),
       s"older CDF batch dirs and tmp orphans must be swept, left: $left")
   }
 
@@ -509,33 +509,105 @@ class SnapshotStreamSourceSpec extends AnyFunSuite {
     assert(eCdf.getMessage.contains("no longer committed"), eCdf.getMessage)
   }
 
-  test("sentinel offsets serialize distinctly (~v) and round-trip; mid-commit offsets refuse CDF resume") {
+  test("sentinel offsets serialize distinctly (~v) and round-trip; mid-commit CDF resumes appends, refuses rewrites") {
     // the before-first sentinel must stay distinguishable from a real
     // delivered-through-v position across checkpoint round-trips — the
     // expired-offset refusal above depends on it
     assert(SnapshotVersionOffset(4, 0, initial = true).json() == "~4")
     assert(SnapshotVersionOffset.parse("~4") ==
       SnapshotVersionOffset(4, 0, initial = true))
+    assert(SnapshotVersionOffset.parse("~4#2") ==
+      SnapshotVersionOffset(4, 2, initial = true))
     assert(SnapshotVersionOffset.parse("4") == SnapshotVersionOffset(4))
     assert(SnapshotVersionOffset.parse("4#2") == SnapshotVersionOffset(4, 2))
-    // a v#k offset written by a byte-paced APPEND stream cannot resume
-    // with readChangeFeed=true: a commit's change set has no per-file
-    // decomposition, so dropping the fileIdx would re-deliver the
-    // partially-delivered commit's rows as changes
+    // a v#k offset inside a PURE-APPEND commit resumes in change-feed
+    // mode (round-18): the commit's change set IS its added-file list,
+    // so the slice picks up at file k — already-delivered files are not
+    // re-delivered. The materialized feed dirs under the source's own
+    // metadata path make the delivered rows directly observable.
     val base = freshDir("midcdf") + "/t"
+    val meta = freshDir("midcdf-meta")
     Snapshots.write((1L to 10L).map(i => (i, s"n$i")).toDF("id", "name"), base)
     Snapshots.append((11L to 20L).map(i => (i, s"n$i")).toDF("id", "name")
       .repartition(3), base)
     val opts = SnapshotStreamSource.optionsOf(
       Map("path" -> base, "readChangeFeed" -> "true", "changeKey" -> "id"))
     val src = new SnapshotSource(spark,
-      SnapshotStreamSource.inferSchema(spark, opts), opts,
-      freshDir("midcdf-meta"))
+      SnapshotStreamSource.inferSchema(spark, opts), opts, meta)
+    def feedIds(dir: String): Set[Long] =
+      spark.read.parquet(s"$meta/__graft_cdc/$dir")
+        .select(col("id")).collect().map(_.getLong(0)).toSet
+    src.getBatch(Some(SnapshotVersionOffset(1)), SnapshotVersionOffset(1, 2))
+    val firstTwo = feedIds("b_1_0_1_2") // read before the next plan sweeps it
+    src.getBatch(Some(SnapshotVersionOffset(1, 2)), SnapshotVersionOffset(2))
+    val lastOne = feedIds("b_1_2_2_0")
+    assert(firstTwo.intersect(lastOne).isEmpty, "no re-delivery across the cut")
+    assert(firstTwo.union(lastOne) == (11L to 20L).toSet,
+      s"the two paced slices must cover commit 2 exactly: $firstTwo / $lastOne")
+    // ...but a cut inside a REWRITING commit refuses with the commit
+    // named: a diff join's row set has no per-file decomposition
+    Snapshots.deleteWhere(spark, base, col("id") === 5L)
     val e = intercept[IllegalArgumentException] {
-      src.getBatch(Some(SnapshotVersionOffset(1, 2)), SnapshotVersionOffset(2))
+      src.getBatch(Some(SnapshotVersionOffset(2, 1)), SnapshotVersionOffset(3))
     }
-    assert(e.getMessage.contains("mid-commit"), e.getMessage)
-    assert(e.getMessage.contains("checkpointLocation"), e.getMessage)
+    assert(e.getMessage.contains("not a pure append"), e.getMessage)
+    assert(e.getMessage.contains("maxVersionsPerTrigger"), e.getMessage)
+  }
+
+  test("byte-paced CDF: cuts inside append commits, rewriting commits admit atomically, exactly once") {
+    val base = freshDir("cdfpaced") + "/t"
+    val ckpt = freshDir("cdfpaced-ckpt")
+    def drainCdf(): Seq[(Long, Seq[(Long, String, Long)])] = {
+      val got = mutable.ArrayBuffer.empty[(Long, Seq[(Long, String, Long)])]
+      val q = spark.readStream.format("graft-snapshots")
+        .option("readChangeFeed", "true")
+        .option("changeKey", "id")
+        .option("maxBytesPerTrigger", "1") // one file per trigger
+        .load(base)
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, bid: Long) =>
+          val rows = b.select(col("id"), col("_change_type"),
+            col("_commit_version")).collect()
+            .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+          got.synchronized { got += ((bid, rows)) }
+          ()
+        }
+        .start()
+      q.awaitTermination()
+      got.toSeq
+    }
+    Snapshots.write((1L to 20L).map(i => (i, s"n$i")).toDF("id", "name")
+      .repartition(2), base) // v1: 2 files — the initial snapshot paces too
+    Snapshots.append((21L to 30L).map(i => (i, s"n$i")).toDF("id", "name")
+      .repartition(2), base) // v2: 2 files
+    val first = drainCdf()
+    assert(first.size == 4, s"2+2 files at one per trigger: ${first.map(_._2.size)}")
+    assert(first.flatMap(_._2).map(_._1).toSet == (1L to 30L).toSet)
+    assert(first.flatMap(_._2).forall(_._2 == "insert"))
+    assert(first.flatMap(_._2).map(r => (r._1, r._3)).toMap
+      .forall { case (id, cv) => cv == (if (id <= 20) 1L else 2L) },
+      "per-commit stamps survive the mid-commit cuts")
+    assert(first.flatMap(_._2).size == 30, "exactly once across paced batches")
+    assert(drainCdf().isEmpty, "caught-up replay is a no-op")
+    // a rewriting commit lands between appends: it must arrive ATOMICALLY
+    // as one whole-version batch of update pairs, with the appends around
+    // it still paced file-by-file
+    Snapshots.updateWhere(spark, base, col("id") === 7L,
+      Seq("name" -> org.apache.spark.sql.functions.lit("renamed"))) // v3
+    Snapshots.append((31L to 36L).map(i => (i, s"n$i")).toDF("id", "name")
+      .repartition(2), base) // v4: 2 files
+    val second = drainCdf()
+    assert(second.size == 3, s"rewrite alone + 2 paced files: ${second.map(_._2)}")
+    val rewriteBatch = second.find(_._2.exists(_._2 != "insert")).get._2
+    assert(rewriteBatch.map(r => (r._1, r._2)).toSet ==
+      Set((7L, "update_preimage"), (7L, "update_postimage")))
+    assert(rewriteBatch.forall(_._3 == 3L))
+    val appended = second.filterNot(_._2.exists(_._2 != "insert"))
+    assert(appended.flatMap(_._2).map(_._1).toSet == (31L to 36L).toSet)
+    assert(appended.flatMap(_._2).forall(_._3 == 4L))
+    assert(drainCdf().isEmpty)
   }
 
   test("a large file splits into filesMaxPartitionBytes-sized partitions") {
