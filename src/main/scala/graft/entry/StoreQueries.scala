@@ -2937,6 +2937,78 @@ private[graft] object StoreQueries {
              |  CAST(sum(CAST(n_tokens AS DECIMAL(18,2))) AS DOUBLE) AS total,
              |  6 AS first_batches, TRUE AS replay_noop, 2 AS incr_batches,
              |  TRUE AS mv_consistent
-             |FROM surv GROUP BY 1 ORDER BY 1""".stripMargin))
+             |FROM surv GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Byte-paced CHANGE FEED (round-18): the pure-append decomposition
+    // lets maxBytesPerTrigger cut a CDF stream INSIDE append commits
+    // (v#k offsets over the added-file list, per-commit _commit_version
+    // stamps intact) while a rewriting commit admits atomically as one
+    // trigger's unit. Lifecycle: two 2-file append commits pace as four
+    // single-file insert batches (the initial snapshot itself paces);
+    // after a restart a CoW delete arrives alone as one whole-version
+    // batch of deletes and a final 2-file append paces again (3 more) —
+    // 4 + 3 batches exactly, pinned, with the replay drain a no-op.
+    // Oracle replays the feed
+    // relationally; per-commit stamps surviving the mid-commit cuts are
+    // what the hash proves.
+    "snap_stream_cdf_paced" -> Q(
+      (s, d) => {
+        import graft.store.Snapshots
+        import org.apache.spark.sql.streaming.Trigger
+        val root = FixtureRoot.fresh("snapcdfpaced")
+        val (base, sink) = (root + "/t", root + "/sink")
+        val docs = T(s, d, "documents").select(col("doc_id"), col("n_chars"))
+        Snapshots.write(
+          docs.filter(col("doc_id") % 4 === 0).repartition(2), base)
+        Snapshots.append(
+          docs.filter(col("doc_id") % 4 === 1).repartition(2), base)
+        def drain(): Long = {
+          var batches = 0L
+          val q = s.readStream.format("graft-snapshots")
+            .option("readChangeFeed", "true")
+            .option("changeKey", "doc_id")
+            .option("maxBytesPerTrigger", "1") // one file per trigger
+            .load(base)
+            .writeStream
+            .option("checkpointLocation", root + "/ckpt")
+            .trigger(Trigger.AvailableNow())
+            .foreachBatch { (b: DataFrame, _: Long) =>
+              batches += 1
+              b.write.mode("append").parquet(sink)
+              ()
+            }
+            .start()
+          q.awaitTermination()
+          batches
+        }
+        val pacedBatches = drain() // 2+2 files, one per trigger
+        // a CoW rewrite and a fresh append land while the stream is down
+        Snapshots.deleteWhere(s, base, col("doc_id") % 8 === 1)
+        Snapshots.append(
+          docs.filter(col("doc_id") % 4 === 2).repartition(2), base)
+        val mixedBatches = drain() // rewrite alone + 2 paced files
+        val replayNoop = drain() == 0L
+        s.read.parquet(sink)
+          .groupBy(col("_commit_version").as("commit_version"),
+            col("_change_type").as("change_type"))
+          .agg(count(lit(1)).as("n"), dsum(col("n_chars")).as("sum_chars"))
+          .withColumn("paced_batches", lit(pacedBatches))
+          .withColumn("mixed_batches", lit(mixedBatches))
+          .withColumn("replay_noop", lit(replayNoop))
+          .orderBy(col("commit_version"), col("change_type"))
+      },
+      Some("""WITH feed AS (
+             |  SELECT 1 AS cv, 'insert' AS ct, n_chars FROM documents
+             |  WHERE doc_id % 4 = 0
+             |  UNION ALL
+             |  SELECT 2, 'insert', n_chars FROM documents WHERE doc_id % 4 = 1
+             |  UNION ALL
+             |  SELECT 3, 'delete', n_chars FROM documents WHERE doc_id % 8 = 1
+             |  UNION ALL
+             |  SELECT 4, 'insert', n_chars FROM documents WHERE doc_id % 4 = 2)
+             |SELECT cv AS commit_version, ct AS change_type, count(*) AS n,
+             |  CAST(sum(CAST(n_chars AS DECIMAL(18,2))) AS DOUBLE) AS sum_chars,
+             |  4 AS paced_batches, 3 AS mixed_batches, TRUE AS replay_noop
+             |FROM feed GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
   )
 }
