@@ -610,6 +610,43 @@ class SnapshotStreamSourceSpec extends AnyFunSuite {
     assert(drainCdf().isEmpty)
   }
 
+  test("byte-paced CDF composes with branch streaming: the staging chain paces file-by-file, main stays invisible") {
+    val base = freshDir("cdfpacedbr") + "/t"
+    Snapshots.write((1L to 10L).map(i => (i, s"n$i")).toDF("id", "name")
+      .repartition(2), base) // fork point: 2 files
+    Snapshots.createBranch(spark, base, "staging", 1L)
+    Snapshots.appendBranch((11L to 16L).map(i => (i, s"n$i")).toDF("id", "name")
+      .repartition(2), base, "staging") // branch commit: 2 files
+    // main moves on independently — must never reach the branch feed
+    Snapshots.append((91L to 95L).map(i => (i, s"n$i")).toDF("id", "name"), base)
+    val got = mutable.ArrayBuffer.empty[(Long, Long, Long)]
+    var batches = 0
+    val q = spark.readStream.format("graft-snapshots")
+      .option("branch", "staging")
+      .option("readChangeFeed", "true")
+      .option("changeKey", "id")
+      .option("maxBytesPerTrigger", "1")
+      .load(base)
+      .writeStream
+      .option("checkpointLocation", freshDir("cdfpacedbr-ckpt"))
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        batches += 1
+        val rows = b.select(col("id"), col("_commit_version")).collect()
+          .map(r => (r.getLong(0), r.getLong(1), 0L))
+        got.synchronized { got ++= rows }
+        ()
+      }
+      .start()
+    q.awaitTermination()
+    assert(batches == 4, s"2+2 branch files at one per trigger, got $batches")
+    assert(got.map(_._1).toSet == ((1L to 10L) ++ (11L to 16L)).toSet,
+      s"fork snapshot + branch append only — main's 91-95 invisible: ${got.map(_._1).sorted}")
+    assert(got.map(r => (r._1, r._2)).toMap.forall {
+      case (id, cv) => cv == (if (id <= 10) 1L else 2L) },
+      "per-commit stamps through the paced branch cuts")
+  }
+
   test("a large file splits into filesMaxPartitionBytes-sized partitions") {
     val base = freshDir("split") + "/t"
     Snapshots.write((1L to 5000L).map(i => (i, s"name-padding-$i"))
