@@ -350,7 +350,7 @@ private[store] class SnapshotSource(spark: SparkSession,
     * delta-scoped getFileStatus (pre-field vintages). */
   private def lengthOf(e: Snapshots.ManifestEntry): Long =
     e.bytes.getOrElse {
-      val p = new Path(s"$base/${e.path}")
+      val p = new Path(Snapshots.resolve(base, e.path))
       p.getFileSystem(spark.sparkContext.hadoopConfiguration)
         .getFileStatus(p).getLen
     }
@@ -565,7 +565,7 @@ private[store] class SnapshotSource(spark: SparkSession,
     if (entries.isEmpty) return emptyBatch
     org.apache.spark.sql.graftshim.Shims.streamingFrame(
       spark.read.schema(tableSchema)
-        .parquet(entries.map(e => s"$base/${e.path}"): _*))
+        .parquet(entries.map(e => Snapshots.resolve(base, e.path)): _*))
   }
 
   /** CDF batch: [[Snapshots.changes]] planned ONE COMMIT AT A TIME and
@@ -662,7 +662,7 @@ private[store] class SnapshotSource(spark: SparkSession,
       align(body, withCt).withColumn("_commit_version", lit(v))
     def clipRead(es: Seq[Snapshots.ManifestEntry], v: Long): DataFrame =
       stamped(spark.read.schema(dataSchema)
-        .parquet(es.map(e => s"$base/${e.path}"): _*)
+        .parquet(es.map(e => Snapshots.resolve(base, e.path)): _*)
         .withColumn("_change_type", lit("insert")), v)
     // byte/file pacing may cut INSIDE a pure-append commit (round-18):
     // v#k offsets slice the commit's added-file list, which IS its

@@ -78,6 +78,68 @@ object Snapshots {
 
   private def manifestPath(base: String, v: Long) = new Path(s"$base/v=$v/_manifest")
 
+  // ── External manifest entries (shallow clones, round-18) ────────────────
+  //
+  // A manifest entry path is normally BASE-RELATIVE (`v=3/part-…`). A
+  // [[shallowClone]]d table's v1 instead references its source's data
+  // files by ABSOLUTE path (`/src/base/v=3/part-…` or a scheme URI) — the
+  // zero-copy cross-table fork. Everything that JOINS base and entry path
+  // goes through [[resolve]]; everything that compares entry paths against
+  // a physical-path column derived with `substring_index(file_path,'/',-2)`
+  // goes through [[pathSuffix]] (for a native entry the two are the same
+  // string, so non-clone tables pay nothing and change nothing).
+  //
+  // GC safety is STRUCTURAL on the clone side: every delete the clone's
+  // expiry/vacuum/dropBranch paths perform is scoped to directories under
+  // the clone's own base (`v=*`, `vb-*`, `.txn-*`, `.debris-*`), so an
+  // external file cannot be touched by clone-side maintenance even in the
+  // presence of bugs in reference accounting. Source-side safety is the
+  // `_clones/` registry: [[shallowClone]] registers the clone with its
+  // source BEFORE the clone's first manifest exists, and every source-side
+  // protection set ([[dropVersions]], [[vacuum]], [[dropBranch]]) unions
+  // [[cloneReferencedFiles]] — what Delta leaves as a documented
+  // vacuum-breaks-shallow-clones caveat is a hard protection here.
+
+  /** Is this manifest path absolute (external — a shallow clone's
+    * reference into its source table)? Covers plain absolute paths and
+    * scheme URIs (`file:/…`, `s3a://…`). */
+  private[store] def isExternalPath(p: String): Boolean =
+    p.startsWith("/") || SchemeRe.pattern.matcher(p).find()
+  private val SchemeRe = "^[A-Za-z][A-Za-z0-9+.-]*:/".r
+
+  /** Physical location of a manifest entry path: external paths stand
+    * alone, native ones join the table base. */
+  private[store] def resolve(base: String, p: String): String =
+    if (isExternalPath(p)) p else s"$base/$p"
+
+  /** The last-two-components suffix of a path — the key space every
+    * physical-path column in this file lives in
+    * (`substring_index(_metadata.file_path, '/', -2)`): positional-delete
+    * payloads, vintage classification, covered-set membership. For a
+    * native entry this IS the entry path; for an external one it recovers
+    * the source-relative `v=N/part-…` form. */
+  private[store] def pathSuffix(p: String): String = {
+    val i = p.lastIndexOf('/')
+    if (i <= 0) p
+    else {
+      val j = p.lastIndexOf('/', i - 1)
+      p.substring(j + 1)
+    }
+  }
+
+  /** Loud ambiguity guard for suffix-space joins on a version that mixes
+    * external and native entries: two entries whose paths collide in
+    * suffix space would make positional-delete / vintage matching
+    * ambiguous. Part-file names carry write UUIDs, so this never fires in
+    * practice — but suffix-space soundness must not depend on data shape. */
+  private def requireSuffixUnique(data: Seq[ManifestEntry], verb: String): Unit =
+    if (data.exists(e => isExternalPath(e.path))) {
+      val sufs = data.map(e => pathSuffix(e.path))
+      require(sufs.distinct.size == sufs.size,
+        s"$verb: entry paths collide in last-two-components space " +
+          s"(external + native mix) - deepenClone the table first")
+    }
+
   /**
    * All committed versions, ascending. "Committed" = `_manifest` exists:
    * the manifest is renamed into place only after every data file is fully
@@ -265,9 +327,11 @@ object Snapshots {
     withDefault.foldLeft(frame) { case (f, (c, to, d)) =>
       if (!f.columns.contains(c)) f // applySchemaOps's absent-case fills it
       else {
+        // VintageCol is suffix-space (substring_index(file_path,'/',-2)) —
+        // map entry paths through the same canon (exact for clone refs)
         val preAdd = entries.filter(e =>
           !e.schemaId.flatMap(defs.get).exists(_.fieldNames.contains(c)))
-          .map(_.path)
+          .map(e => pathSuffix(e.path))
         if (preAdd.isEmpty) f
         else f.withColumn(c,
           when(col(VintageCol).isin(preAdd: _*),
@@ -361,7 +425,7 @@ object Snapshots {
       }
   }
 
-  private def parseEntry(line: String): ManifestEntry = {
+  private[store] def parseEntry(line: String): ManifestEntry = {
     if (line.startsWith("R:") || line.startsWith("X:") ||
         line.startsWith("W:") || line.startsWith("A:") ||
         line.startsWith("S:") ||
@@ -555,7 +619,7 @@ object Snapshots {
       : org.apache.spark.sql.types.StructType =
     manifestUnionSchema(lines).getOrElse(
       spark.read.option("mergeSchema", true)
-        .parquet(data.map(e => s"$base/${e.path}"): _*).schema)
+        .parquet(data.map(e => resolve(base, e.path)): _*).schema)
 
   // ─── Manifest segments (round-15): O(delta) commit metadata ─────────────
   //
@@ -1221,8 +1285,9 @@ object Snapshots {
     val lines = manifestLines(spark, base, v)
     val (data, dels) = splitEntries(lines)
     val frame0 = spark.read.schema(unionSchemaOf(spark, base, lines, data))
-      .parquet(data.map(e => s"$base/${e.path}"): _*)
+      .parquet(data.map(e => resolve(base, e.path)): _*)
     val fill = needsDefaultFill(lines, data)
+    if (dels.nonEmpty || fill) requireSuffixUnique(data, "read")
     val frame = if (!fill) frame0
       else frame0.withColumn(VintageCol, org.apache.spark.sql.functions
           .expr("substring_index(_metadata.file_path, '/', -2)"))
@@ -1256,14 +1321,15 @@ object Snapshots {
     if (subset.isEmpty)
       return applySchemaOps(
         spark.read.schema(rawSchema)
-          .parquet(allData.headOption.map(e => s"$base/${e.path}").toSeq: _*)
+          .parquet(allData.headOption.map(e => resolve(base, e.path)).toSeq: _*)
           .limit(0),
         ops)
     val frame0 = spark.read.schema(rawSchema)
-      .parquet(subset.map(e => s"$base/${e.path}"): _*)
+      .parquet(subset.map(e => resolve(base, e.path)): _*)
     // per-vintage ADD-COLUMN defaults: fill sets need only THIS subset's
     // pre-add files (rows can come from nowhere else)
     val fill = needsDefaultFill(lines, subset)
+    if (dels.nonEmpty || fill) requireSuffixUnique(subset, "readSubset")
     val frame = if (!fill) frame0
       else frame0.withColumn(VintageCol, org.apache.spark.sql.functions
           .expr("substring_index(_metadata.file_path, '/', -2)"))
@@ -1307,7 +1373,7 @@ object Snapshots {
         if (frame.columns.contains(VintagePosCol)) col(VintagePosCol)
         else col("_metadata.row_index"))
     if (pos.nonEmpty) {
-      val delDf = spark.read.parquet(pos.map(e => s"$base/${e.path}"): _*)
+      val delDf = spark.read.parquet(pos.map(e => resolve(base, e.path)): _*)
         .select(col("file").as("__delf"), col("pos").as("__delp"))
       out = out.join(delDf, Seq("__delf", "__delp"), "left_anti")
     }
@@ -1333,11 +1399,13 @@ object Snapshots {
     val eqGroups = eqs.groupBy(_.eqMeta.get).toSeq
       .sortBy { case ((v, cols), _) => (v, cols.mkString(",")) }
     eqGroups.foreach { case ((coveredV, keyCols), es) =>
+      // __delf is suffix-space (see above) — canonicalize the covered
+      // set the same way so clone-external covered files still match
       val covered = splitEntries(manifestLines(spark, base, coveredV))._1
-        .map(_.path)
+        .map(e => pathSuffix(e.path))
       import spark.implicits._
       val keys = spark.read
-        .parquet(es.map(e => s"$base/${e.path}"): _*).distinct()
+        .parquet(es.map(e => resolve(base, e.path)): _*).distinct()
       val renamed = keys.columns.foldLeft(keys)((d, c) => d.withColumnRenamed(c, s"__eqk_$c"))
       val tagged = out.join(
         broadcast(covered.toDF("__delf").withColumn("__cov", lit(true))),
@@ -1535,7 +1603,7 @@ object Snapshots {
     plannerResolveVersion(spark, base, files).flatMap { v =>
       val (cand, pruned) = scanPlanExpr(spark, base, v, Some(cond), dtOf)
       if (pruned.isEmpty) None
-      else Some(cand.map(e => s"$base/${e.path}"))
+      else Some(cand.map(e => resolve(base, e.path)))
     }
   }
 
@@ -2006,7 +2074,7 @@ object Snapshots {
     val target = fillAddDefaultsByFile(
       (if (candidates.isEmpty) read(spark, base).limit(0)
        else spark.read.schema(unionSchemaOf(spark, base, priorLines0, prior))
-         .parquet(candidates.map(e => s"$base/${e.path}"): _*))
+         .parquet(candidates.map(e => resolve(base, e.path)): _*))
         .withColumn("__file", input_file_name()),
       "__file", priorLines0, candidates)
     val touched: Set[String] = target.filter(predicate)
@@ -2140,7 +2208,7 @@ object Snapshots {
                            rel: String)
       : Map[String, (org.apache.spark.util.sketch.BloomFilter, Boolean)] =
     scala.util.Try {
-      val p = new Path(s"$base/$rel$BloomSuffix")
+      val p = new Path(s"${resolve(base, rel)}$BloomSuffix")
       if (!f.exists(p))
         Map.empty[String, (org.apache.spark.util.sketch.BloomFilter, Boolean)]
       else {
@@ -2205,7 +2273,7 @@ object Snapshots {
   private def loadSectionsFs(f: org.apache.hadoop.fs.FileSystem, base: String,
       rel: String, suffix: String, magic: String): Map[String, Array[Byte]] =
     scala.util.Try {
-      val p = new Path(s"$base/$rel$suffix")
+      val p = new Path(s"${resolve(base, rel)}$suffix")
       if (!f.exists(p)) Map.empty[String, Array[Byte]]
       else {
         val in = f.open(p)
@@ -2311,6 +2379,7 @@ object Snapshots {
       !c0.exists(ch => ch == '\t' || ch == '\n'))
     if (usable.isEmpty) return 0
     val missing = splitEntries(manifestLines(spark, base, v))._1.map(_.path)
+      .filterNot(isExternalPath) // clone refs: sidecars are built in (and shared from) the SOURCE
       .filterNot { rel =>
         val have = loadSections(spark, base, rel, NdvSuffix, NdvMagic).keySet
         usable.forall(have)
@@ -2364,12 +2433,17 @@ object Snapshots {
       val (eqDels, posDels) = dels.partition(_.eqMeta.isDefined)
       val posCovered: Set[String] =
         if (posDels.isEmpty) Set.empty
-        else spark.read.parquet(posDels.map(e => s"$base/${e.path}"): _*)
+        else spark.read.parquet(posDels.map(e => resolve(base, e.path)): _*)
           .select(col("file")).distinct()
           .collect().map(_.getString(0)).toSet
+      // positional payloads name files in SUFFIX space (the
+      // `substring_index(file_path,'/',-2)` canon) — canonicalize the
+      // equality side to match, so callers compare pathSuffix(e.path)
+      // uniformly (identical for native entries; exact for clone refs)
       val eqCovered: Set[String] = eqDels.flatMap(_.eqMeta).map(_._1)
         .distinct.flatMap(cv =>
-          splitEntries(manifestLines(spark, base, cv))._1.map(_.path)).toSet
+          splitEntries(manifestLines(spark, base, cv))._1
+            .map(e => pathSuffix(e.path))).toSet
       posCovered ++ eqCovered
     }
   }
@@ -2415,7 +2489,7 @@ object Snapshots {
         .get(colName).map(e.path -> _)
     }.toMap
     val (clean, rescan) = data.partition(e =>
-      sketches.contains(e.path) && !deleteCovered(e.path))
+      sketches.contains(e.path) && !deleteCovered(pathSuffix(e.path)))
     if (clean.isEmpty && rescan.isEmpty) return 0L
     val sketchDf = clean.flatMap(e => sketches.get(e.path)).toDF("sketch")
     val union =
@@ -2473,6 +2547,7 @@ object Snapshots {
       statTag(schema(c0).dataType).nonEmpty)
     if (usable.isEmpty) return 0
     val missing = splitEntries(manifestLines(spark, base, v))._1.map(_.path)
+      .filterNot(isExternalPath) // clone refs: sidecars are built in (and shared from) the SOURCE
       .filterNot { rel =>
         val have = loadSections(spark, base, rel, KllSuffix, KllMagic).keySet
         usable.forall(have)
@@ -2547,7 +2622,7 @@ object Snapshots {
         .get(colName).map(e.path -> _)
     }.toMap
     val (clean, rescan) = data.partition(e =>
-      sketches.contains(e.path) && !deleteCovered(e.path))
+      sketches.contains(e.path) && !deleteCovered(pathSuffix(e.path)))
     if (clean.isEmpty && rescan.isEmpty) return Seq.empty
     val sketchDf = clean.flatMap(e => sketches.get(e.path)).toDF("sketch")
     val union =
@@ -2726,6 +2801,7 @@ object Snapshots {
       sumScaleOf(schema(c0).dataType).isDefined)
     if (usable.isEmpty) return 0
     val missing = splitEntries(manifestLines(spark, base, v))._1.map(_.path)
+      .filterNot(isExternalPath) // clone refs: sidecars are built in (and shared from) the SOURCE
       .filterNot { rel =>
         val have = loadSections(spark, base, rel, SumSuffix, SumMagic).keySet
         usable.forall(have)
@@ -2808,7 +2884,7 @@ object Snapshots {
         }.map(e.path -> _)
     }.toMap
     val (clean, rescan) = data.partition(e =>
-      sums.contains(e.path) && !deleteCovered(e.path))
+      sums.contains(e.path) && !deleteCovered(pathSuffix(e.path)))
     val scanned: (java.math.BigDecimal, Long) =
       if (rescan.isEmpty) (java.math.BigDecimal.ZERO, 0L)
       else {
@@ -2889,6 +2965,7 @@ object Snapshots {
     // blooms on several point-lookup keys (id + request_id + user_id)
     // and each build only scans the files it still owes
     val missing = splitEntries(manifestLines(spark, base, v))._1.map(_.path)
+      .filterNot(isExternalPath) // clone refs: sidecars are built in (and shared from) the SOURCE
       .filterNot(rel => f.exists(new Path(s"$base/$rel$BloomSuffix")) &&
         loadBlooms(spark, base, rel).contains(key))
     if (missing.isEmpty) return 0
@@ -2993,7 +3070,7 @@ object Snapshots {
     }
     if (added.isEmpty) read(spark, base).limit(0)
     else spark.read.option("mergeSchema", true)
-      .parquet(added.map(rel => s"$base/$rel"): _*)
+      .parquet(added.map(resolve(base, _)): _*)
   }
 
   /** expire_snapshots: keep the newest `keep` versions; drop the rest.
@@ -3163,9 +3240,10 @@ object Snapshots {
     require(bvs.contains(v), s"branch version $v not in $bvs")
     val lines = branchManifestLines(spark, base, name, v)
     val (data, dels) = splitEntries(lines)
+    if (dels.nonEmpty) requireSuffixUnique(data, "readBranch")
     applyDeletes(spark, base,
       spark.read.schema(unionSchemaOf(spark, base, lines, data))
-        .parquet(data.map(e => s"$base/${e.path}"): _*), dels,
+        .parquet(data.map(e => resolve(base, e.path)): _*), dels,
       f => applySchemaOps(f, schemaOps(lines)))
   }
 
@@ -3198,7 +3276,8 @@ object Snapshots {
     val referenced =
       versions(spark, base).flatMap(manifestFiles(spark, base, _)).toSet ++
         mainSegmentRefs(spark, base, versions(spark, base)) ++
-        branchReferencedFiles(spark, base)
+        branchReferencedFiles(spark, base) ++
+      cloneReferencedFiles(spark, base) // registered shallow clones (round-18)
     bvs.foreach { v =>
       val dirName = branchDir(Some(name), v)
       val dir = new Path(s"$base/$dirName")
@@ -3215,6 +3294,258 @@ object Snapshots {
       if (f.exists(p)) f.delete(p, false)
     }
     bvs
+  }
+
+  // ── Shallow clones (Delta CLONE, round-18) ────────────────────────────
+  //
+  // `shallowClone(src, dest)` creates a NEW TABLE at `dest` whose v1
+  // manifest references the source snapshot's data files by ABSOLUTE path
+  // — a zero-copy cross-table fork (Delta's SHALLOW CLONE; the
+  // dev/test-against-prod-data shape). The clone then lives a full
+  // independent life: append/merge/delete/compact/branch/stream all work;
+  // rewrite verbs localize whatever they touch, so the clone gradually
+  // sheds its source refs as it diverges ([[deepenClone]] does it in one
+  // verb). The GC hazard that makes naive shallow clones dangerous —
+  // Delta documents "vacuum on the source may break clones" as a caveat —
+  // is closed structurally on both sides:
+  //
+  //  * CLONE-side: every maintenance delete (expire/vacuum/dropBranch) is
+  //    scoped to directories under the clone's own base AND explicitly
+  //    skips external entries, so clone GC cannot touch source bytes.
+  //  * SOURCE-side: the clone registers itself under `$src/_clones/`
+  //    BEFORE its first manifest commits, and every source protection set
+  //    unions [[cloneReferencedFiles]] — a source file (and its sidecars)
+  //    survives expiry and vacuum until the last registered clone stops
+  //    referencing it. [[detachClone]] lifts the protection only when no
+  //    clone manifest still holds an external ref.
+  //
+  // Source sidecars are SHARED reads for the clone (resolve() finds them
+  // beside the source file), so pruning/NDV/sum evidence carries over for
+  // free; clone-side sidecar BUILDS skip external files rather than write
+  // into the source's directories. Chained shallow clones refuse —
+  // a clone-of-a-clone would reference the ORIGINAL source without being
+  // in its registry, silently escaping protection (deepen first).
+
+  private def clonesDir(base: String) = new Path(s"$base/_clones")
+
+  /** Two base strings name the same table location (qualified-path
+    * equality — tolerates scheme/spelling differences). */
+  private def sameTablePath(spark: SparkSession, a: String, b: String): Boolean =
+    fs(spark, a).makeQualified(new Path(a)).toString ==
+      fs(spark, b).makeQualified(new Path(b)).toString
+
+  /** Registered clones of this table: registry token → clone base path.
+    * A registration protects whatever source files that clone's manifests
+    * still reference; a clone table deleted from disk without
+    * [[detachClone]] protects nothing but keeps its (harmless) token. */
+  def registeredClones(spark: SparkSession, base: String): Map[String, String] = {
+    val f = fs(spark, base)
+    val dir = clonesDir(base)
+    if (!f.exists(dir)) Map.empty
+    else f.listStatus(dir).toSeq.flatMap { st =>
+      readLinesOf(f, st.getPath).headOption.map(st.getPath.getName -> _)
+    }.toMap
+  }
+
+  /**
+   * Zero-copy cross-table fork (Delta `CREATE TABLE dest SHALLOW CLONE
+   * src [VERSION AS OF v]`): commit `dest`'s v1 with the source
+   * snapshot's manifest lines, data paths rewritten absolute. Pure
+   * metadata — no data bytes move; manifest stats, row/byte/schema
+   * fields, bucket specs and CHECK constraints all carry over, so the
+   * clone prunes and folds exactly like the source did. Registration in
+   * the source's `_clones/` registry happens BEFORE the commit, so the
+   * source's expiry/vacuum protect the referenced files from the moment
+   * the clone becomes readable. Refuses: a source snapshot with pending
+   * merge-on-read deletes (their covered-version scoping resolves against
+   * the SOURCE's version chain, which the clone does not carry — run
+   * materializeDeletes on the source first), a source that is itself a
+   * shallow clone with live external refs (the transitive source would
+   * not know about this clone — deepenClone it first), and a destination
+   * that already holds a table.
+   */
+  def shallowClone(spark: SparkSession, srcBase: String, destBase: String,
+                   version: Option[Long] = None): Long = {
+    val src = srcBase.stripSuffix("/")
+    val dest = destBase.stripSuffix("/")
+    require(!sameTablePath(spark, src, dest),
+      s"shallowClone: source and destination are the same table ($src)")
+    val vs = versions(spark, src)
+    require(vs.nonEmpty, s"no snapshots under $src")
+    val v = version.getOrElse(vs.last)
+    require(vs.contains(v), s"version $v not in $vs")
+    require(versions(spark, dest).isEmpty,
+      s"shallowClone destination $dest already holds a table")
+    val lines = manifestLines(spark, src, v)
+    val (data, dels) = splitEntries(lines)
+    require(dels.isEmpty,
+      s"shallowClone of $src@$v: version carries pending merge-on-read " +
+        "deletes, whose covered-version scoping resolves against the " +
+        "source's own chain - run materializeDeletes on the source, or " +
+        "clone a version without pending deletes")
+    require(!data.exists(e => isExternalPath(e.path)),
+      s"shallowClone of $src@$v: source is itself a shallow clone with " +
+        "live external references - a chained clone would escape the " +
+        "original source's protection registry; deepenClone the source first")
+    // register FIRST: from the instant dest's v1 manifest appears, source
+    // maintenance must already be protecting the referenced files. A
+    // failed commit leaves a registration protecting nothing (harmless;
+    // detachClone cleans it). Idempotent for a retry against the same dest.
+    val f = fs(spark, src)
+    f.mkdirs(clonesDir(src))
+    val qDest = fs(spark, dest).makeQualified(new Path(dest)).toString
+    val token = "clone-" + java.security.MessageDigest.getInstance("MD5")
+      .digest(qDest.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(16)
+    val regPath = new Path(clonesDir(src), token)
+    if (f.exists(regPath)) {
+      val prior = readLinesOf(f, regPath).headOption.getOrElse("")
+      require(prior == dest || sameTablePath(spark, prior, dest),
+        s"clone registry token collision under $src: $token already " +
+          s"maps to $prior")
+    } else {
+      val out = f.create(regPath, false)
+      try out.write(dest.getBytes("UTF-8")) finally out.close()
+    }
+    val cloneLines = lines.map { l =>
+      val e = parseEntry(l)
+      if (e.isSchemaOp) l
+      else s"$src/${e.path}" + l.drop(e.path.length)
+    }
+    commitStaged(spark, dest, 1L, cloneLines, _ => ())
+  }
+
+  /** External (absolute-path) data/delete entries across EVERY manifest of
+    * a table — main versions and branches. What [[detachClone]] must see
+    * empty and [[deepenClone]] rewrites (head only). */
+  private def externalRefsOf(spark: SparkSession, base: String): Seq[String] = {
+    val f = fs(spark, base)
+    if (!f.exists(new Path(base))) return Seq.empty
+    val mains = versions(spark, base)
+      .flatMap(v => manifestLines(spark, base, v))
+    val branches = f.globStatus(new Path(new Path(base), "vb-*/_manifest"))
+      .toSeq.flatMap(st => expandLines(f, base, readLinesOf(f, st.getPath)))
+    (mains ++ branches).map(parseEntry).filterNot(_.isSchemaOp)
+      .map(_.path).filter(isExternalPath).distinct
+  }
+
+  /** Source files still referenced by registered clones, in SOURCE-
+    * relative path space — unioned into every source-side protection set
+    * (expiry, vacuum, dropBranch). A ref that does not prefix-match this
+    * base (a spelling/scheme difference) degrades to its last-two-
+    * components suffix, which over-protects but never under-protects. */
+  private def cloneReferencedFiles(spark: SparkSession, base: String): Set[String] = {
+    val f = fs(spark, base)
+    val dir = clonesDir(base)
+    if (!f.exists(dir)) return Set.empty
+    val plain = base.stripSuffix("/")
+    val qBase = f.makeQualified(new Path(base)).toString
+    registeredClones(spark, base).values.toSeq.flatMap { dest =>
+      scala.util.Try(externalRefsOf(spark, dest)).getOrElse(Seq.empty)
+        .map { p =>
+          if (p.startsWith(plain + "/")) p.stripPrefix(plain + "/")
+          else if (p.startsWith(qBase + "/")) p.stripPrefix(qBase + "/")
+          else pathSuffix(p)
+        }
+    }.toSet
+  }
+
+  /**
+   * Unregister a clone from its source's protection registry. Refuses
+   * while ANY of the clone's manifests (any main version, any branch)
+   * still references a source file — detaching then would expose those
+   * refs to source GC, the exact dangling-clone failure the registry
+   * exists to prevent. A clone whose table directory no longer exists
+   * detaches unconditionally. Returns true when a registration was
+   * removed, false when none matched `destBase`.
+   */
+  def detachClone(spark: SparkSession, srcBase: String, destBase: String): Boolean = {
+    val src = srcBase.stripSuffix("/")
+    val dest = destBase.stripSuffix("/")
+    val f = fs(spark, src)
+    registeredClones(spark, src).find { case (_, d) =>
+      d == dest || sameTablePath(spark, d, dest)
+    } match {
+      case None => false
+      case Some((token, registered)) =>
+        val destFs = fs(spark, registered)
+        if (destFs.exists(new Path(registered))) {
+          val live = externalRefsOf(spark, registered)
+          require(live.isEmpty,
+            s"detachClone: $registered still references ${live.size} " +
+              s"external file(s) (e.g. ${live.head}) - deepenClone it, " +
+              "expire/drop the referencing snapshots and branches, or " +
+              "delete the clone table first")
+        }
+        f.delete(new Path(clonesDir(src), token), false)
+    }
+  }
+
+  /**
+   * Localize a shallow clone (Delta's clone "deep"-ening / `CONVERT` of a
+   * shallow clone): copy every external file the HEAD references into the
+   * clone's own namespace — raw byte copy, never a re-encode, so parquet
+   * footers, recorded stats, row/byte counts and schema ids stay exact —
+   * and commit a version whose manifest carries the localized paths with
+   * every stats/counter field preserved. Existing source-side sidecars
+   * (stats/bloom/NDV/KLL/sums) are copied alongside, so pruning evidence
+   * survives localization. Copies run as a distributed job (one task per
+   * file), never through the driver. Older versions and branches keep
+   * their external refs (time travel must not be rewritten) — expire or
+   * drop them before [[detachClone]]. Refuses while merge-on-read deletes
+   * are pending: positional payloads name files by path suffix, which
+   * localization changes. No external refs at head → no-op.
+   */
+  def deepenClone(spark: SparkSession, base: String): Long = {
+    val vs = versions(spark, base)
+    require(vs.nonEmpty, s"no snapshots under $base")
+    val lines = manifestLines(spark, base, vs.last)
+    val (data, dels) = splitEntries(lines)
+    require(dels.isEmpty,
+      s"deepenClone of $base: pending merge-on-read deletes name files " +
+        "by path suffix, which localization changes - run " +
+        "materializeDeletes first")
+    val external = data.filter(e => isExternalPath(e.path))
+    if (external.isEmpty) return vs.last
+    val next = vs.last + 1
+    val vDir = branchDir(None, next)
+    // deep-<i>- prefix: unique per copied file, never parses as a Spark
+    // part file (commitStaged must not re-line it) or a bucketed name
+    val renames: Seq[(String, String)] = external.zipWithIndex.map {
+      case (e, i) =>
+        val name = e.path.substring(e.path.lastIndexOf('/') + 1)
+        e.path -> s"deep-$i-$name"
+    }
+    val renameOf = renames.toMap
+    val newLines = lines.map { l =>
+      val e = parseEntry(l)
+      renameOf.get(e.path) match {
+        case Some(nm) if !e.isSchemaOp =>
+          s"$vDir/$nm" + l.drop(e.path.length)
+        case _ => l
+      }
+    }
+    val confW = new SerializableHadoopConf(spark.sparkContext.hadoopConfiguration)
+    val suffixes = SidecarSuffixes
+    commitStaged(spark, base, next, newLines, txn => {
+      val pairs = renames.map { case (abs, nm) => (abs, s"$txn/$nm") }
+      spark.sparkContext
+        .parallelize(pairs, math.min(pairs.size, 32).max(1))
+        .foreach { case (srcAbs, dst) =>
+          val sp = new Path(srcAbs)
+          val sfs = sp.getFileSystem(confW.value)
+          val dp = new Path(dst)
+          val dfs = dp.getFileSystem(confW.value)
+          require(org.apache.hadoop.fs.FileUtil.copy(
+            sfs, sp, dfs, dp, false, confW.value),
+            s"deepenClone copy failed: $srcAbs -> $dst")
+          suffixes.foreach { sfx =>
+            val ssc = new Path(srcAbs + sfx)
+            if (sfs.exists(ssc))
+              org.apache.hadoop.fs.FileUtil.copy(
+                sfs, ssc, dfs, new Path(dst + sfx), false, confW.value)
+          }
+        }
+    })
   }
 
   /**
@@ -3268,7 +3599,8 @@ object Snapshots {
     // manifest-line segment lives until the last manifest including it goes
     val referenced = kept.flatMap(manifestFiles(spark, base, _)).toSet ++
       mainSegmentRefs(spark, base, kept) ++
-      branchReferencedFiles(spark, base)
+      branchReferencedFiles(spark, base) ++
+      cloneReferencedFiles(spark, base) // registered shallow clones (round-18)
     val touchedDirs = scala.collection.mutable.LinkedHashSet[String]()
     drop.foreach { v =>
       f.delete(manifestPath(base, v), false)
@@ -3277,7 +3609,10 @@ object Snapshots {
         if (f.exists(dir))
           f.listStatus(dir).toSeq.map(st => s"v=$v/${st.getPath.getName}")
         else Seq.empty
-      (own ++ droppedEntries(v)).distinct
+      // external entries (shallow-clone refs into the SOURCE table) are
+      // never deletable by this table's maintenance — structural skip,
+      // independent of any reference accounting
+      (own ++ droppedEntries(v)).distinct.filterNot(isExternalPath)
         .filterNot(protectedBy(referenced)).foreach { rel =>
         val p = new Path(s"$base/$rel")
         if (f.exists(p)) f.delete(p, true)
@@ -3405,7 +3740,7 @@ object Snapshots {
       if (candidates.isEmpty) Set.empty
       else {
         val cand = spark.read.schema(priorSchema)
-          .parquet(candidates.map(e => s"$base/${e.path}"): _*)
+          .parquet(candidates.map(e => resolve(base, e.path)): _*)
           .withColumn("__file", input_file_name())
         // which files hold a matched key? (bounded: ≤ #files rows)
         cand.join(source.select(col(key)), Seq(key), "left_semi")
@@ -3431,7 +3766,7 @@ object Snapshots {
           val anyCond = nmbsConds.map(c => coalesce(c, lit(false))).reduce(_ || _)
           fillAddDefaultsByFile(
               spark.read.schema(priorSchema)
-                .parquet(nmbsCand.map(e => s"$base/${e.path}"): _*)
+                .parquet(nmbsCand.map(e => resolve(base, e.path)): _*)
                 .withColumn("__file", input_file_name()),
               "__file", priorLines0, nmbsCand)
             .join(source.select(col(key)), Seq(key), "left_anti")
@@ -3451,7 +3786,7 @@ object Snapshots {
       if (rewrite.isEmpty) source.limit(0)
       else fillAddDefaultsByFile(
           spark.read.schema(priorSchema)
-            .parquet(rewrite.map(e => s"$base/${e.path}"): _*)
+            .parquet(rewrite.map(e => resolve(base, e.path)): _*)
             .withColumn("__file", input_file_name()),
           "__file", priorLines0, rewrite)
         .drop("__file")
@@ -3660,7 +3995,7 @@ object Snapshots {
     val target = fillAddDefaultsByFile(
       (if (candidates.isEmpty) read(spark, base).limit(0)
        else spark.read.schema(unionSchemaOf(spark, base, priorLines0, prior))
-         .parquet(candidates.map(e => s"$base/${e.path}"): _*))
+         .parquet(candidates.map(e => resolve(base, e.path)): _*))
         .withColumn("__file", input_file_name()),
       "__file", priorLines0, candidates)
     val touched: Set[String] = target.filter(predicate)
@@ -3731,7 +4066,7 @@ object Snapshots {
     val target = fillAddDefaultsByFile(
       (if (candidates.isEmpty) read(spark, base).limit(0)
        else spark.read.schema(unionSchemaOf(spark, base, priorLines0, prior))
-         .parquet(candidates.map(e => s"$base/${e.path}"): _*))
+         .parquet(candidates.map(e => resolve(base, e.path)): _*))
         .withColumn("__file", input_file_name()),
       "__file", priorLines0, candidates)
     val touched: Set[String] = target.filter(predicate)
@@ -3795,6 +4130,7 @@ object Snapshots {
     val priorLines = manifestLines(spark, base, vs.last)
     requireNoSchemaOps(priorLines, "deleteWhereMoR")
     val (data, dels) = splitEntries(priorLines)
+    requireSuffixUnique(data, "deleteWhereMoR") // positions key on suffixes
     val bounds = boundsOf(read(spark, base), predicate)
     val cand = data.filter(mayMatchBounds(_, bounds))
     if (cand.isEmpty) return vs.last
@@ -3802,7 +4138,7 @@ object Snapshots {
     // emptiness/shard decision and the write (the former isEmpty + write
     // pair read every candidate file twice)
     val positions = spark.read.schema(read(spark, base).schema)
-      .parquet(cand.map(e => s"$base/${e.path}"): _*)
+      .parquet(cand.map(e => resolve(base, e.path)): _*)
       .withColumn("file", expr("substring_index(_metadata.file_path, '/', -2)"))
       .withColumn("pos", col("_metadata.row_index"))
       .filter(coalesce(predicate, lit(false)))
@@ -3935,11 +4271,12 @@ object Snapshots {
       l.startsWith("A:") || l.startsWith("B:") || l.startsWith("C:"))
     val (data, dels) = splitEntries(priorLines)
     if (dels.isEmpty) return vs.last
+    requireSuffixUnique(data, "materializeDeletes")
     import org.apache.spark.sql.functions.{col, expr}
     val (eqDels, posDels) = dels.partition(_.eqMeta.isDefined)
     val touchedPos: Set[String] =
       if (posDels.isEmpty) Set.empty
-      else spark.read.parquet(posDels.map(e => s"$base/${e.path}"): _*)
+      else spark.read.parquet(posDels.map(e => resolve(base, e.path)): _*)
         .select(col("file")).distinct()
         .collect().map(_.getString(0)).toSet
     val touchedEq: Set[String] = eqDels.groupBy(_.eqMeta.get).toSeq
@@ -3954,20 +4291,20 @@ object Snapshots {
         // applyDeletes) — a sharded 10⁸-key purge still costs one
         // semi-join here, not one per shard file
         val keys = spark.read
-          .parquet(es.map(e => s"$base/${e.path}"): _*).distinct()
+          .parquet(es.map(e => resolve(base, e.path)): _*).distinct()
         val renamed = keys.columns.foldLeft(keys)((d, c) =>
           d.withColumnRenamed(c, s"__eqk_$c"))
         val cond = keyCols.map(k => col(k) <=> col(s"__eqk_$k")).reduce(_ && _)
         spark.read.schema(read(spark, base).schema)
-          .parquet(live.map(p => s"$base/$p"): _*)
+          .parquet(live.map(resolve(base, _)): _*)
           .withColumn("__file", expr("substring_index(_metadata.file_path, '/', -2)"))
           .join(renamed, cond, "left_semi")
           .select(col("__file")).distinct()
           .collect().map(_.getString(0)).toSeq
       }
     }.toSet
-    val touched = touchedPos ++ touchedEq
-    val (rewrite, inherit) = data.partition(e => touched(e.path))
+    val touched = touchedPos ++ touchedEq // suffix-space (file_path canon)
+    val (rewrite, inherit) = data.partition(e => touched(pathSuffix(e.path)))
     // a pending delete can touch NOTHING (an equality delete whose keys
     // never landed): fold it away with a pure-metadata commit — the same
     // empty-part-file guard as the DML verbs
@@ -3977,7 +4314,7 @@ object Snapshots {
     // per-vintage ADD-COLUMN defaults fill before the rewrite lands, so
     // folding deletes physicalizes defaults instead of burying nulls
     val rewriteFrame0 = spark.read.schema(read(spark, base).schema)
-      .parquet(rewrite.map(e => s"$base/${e.path}"): _*)
+      .parquet(rewrite.map(e => resolve(base, e.path)): _*)
     val fill = needsDefaultFill(priorLines, rewrite)
     val rewriteFrame = if (!fill) rewriteFrame0
       else rewriteFrame0
@@ -4249,7 +4586,7 @@ object Snapshots {
           st.fields.map(f => f.name -> asNullable(f.dataType)).toMap == logicalMap
         case None =>
           !widening &&
-            footerFields(conf, new Path(s"$base/${e.path}"))
+            footerFields(conf, new Path(resolve(base, e.path)))
               .contains(logicalMap.keySet)
       }
     }
@@ -4310,7 +4647,7 @@ object Snapshots {
       s"pending merge-on-read deletes on $base - run materializeDeletes " +
         "first (a file-level rewrite would resurrect MoR-deleted rows)")
     val f = fs(spark, base)
-    val sized = prior.map(e => e -> f.getFileStatus(new Path(s"$base/${e.path}")).getLen)
+    val sized = prior.map(e => e -> f.getFileStatus(new Path(resolve(base, e.path))).getLen)
     val (small, big) = sized.partition(_._2 < smallBytes)
     if (small.size <= 1) return vs.last
     val next = vs.last + 1
@@ -4327,7 +4664,7 @@ object Snapshots {
         val in = fillAddDefaultsByFile(
           spark.read
             .schema(unionSchemaOf(spark, base, priorLines0, prior))
-            .parquet(small.map { case (e, _) => s"$base/${e.path}" }: _*)
+            .parquet(small.map { case (e, _) => resolve(base, e.path) }: _*)
             .withColumn("__file", org.apache.spark.sql.functions.input_file_name()),
           "__file", priorLines0, small.map(_._1)).drop("__file")
         val shaped = zorderBy match {
@@ -4390,7 +4727,7 @@ object Snapshots {
         "first (a file-level rewrite would resurrect MoR-deleted rows)")
     val f = fs(spark, base)
     val totalBytes = prior.map(e =>
-      f.getFileStatus(new Path(s"$base/${e.path}")).getLen).sum
+      f.getFileStatus(new Path(resolve(base, e.path))).getLen).sum
     val nOut = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
     val next = vs.last + 1
     commitStaged(spark, base, next, metaLines,
@@ -4461,7 +4798,8 @@ object Snapshots {
     val committed = versions(spark, base).toSet
     val referenced = committed.toSeq.flatMap(manifestFiles(spark, base, _)).toSet ++
       mainSegmentRefs(spark, base, committed.toSeq) ++
-      branchReferencedFiles(spark, base)
+      branchReferencedFiles(spark, base) ++
+      cloneReferencedFiles(spark, base) // registered shallow clones (round-18)
     val fromVersionDirs = f.globStatus(new Path(p, "v=*")).toSeq
       .filter(_.isDirectory)
       .map(_.getPath)
@@ -4785,7 +5123,7 @@ object Snapshots {
       val entries = manifestFiles(spark, base, v)
       val (own, inh) = entries.partition(_.startsWith(s"v=$v/"))
       val bytes = entries.map(rel =>
-        scala.util.Try(f.getFileStatus(new Path(s"$base/$rel")).getLen).getOrElse(0L)).sum
+        scala.util.Try(f.getFileStatus(new Path(resolve(base, rel))).getLen).getOrElse(0L)).sum
       (v, entries.size.toLong, own.size.toLong, inh.size.toLong, bytes)
     }
     import spark.implicits._
@@ -4811,8 +5149,8 @@ object Snapshots {
     val rows = manifestLines(spark, base, v).map(parseEntry)
       .filterNot(_.isSchemaOp).map { e =>
       val bytes = scala.util.Try(
-        f.getFileStatus(new Path(s"$base/${e.path}")).getLen).getOrElse(-1L)
-      val hasBloom = f.exists(new Path(s"$base/${e.path}$BloomSuffix"))
+        f.getFileStatus(new Path(resolve(base, e.path))).getLen).getOrElse(-1L)
+      val hasBloom = f.exists(new Path(s"${resolve(base, e.path)}$BloomSuffix"))
       (e.path,
         if (e.eqMeta.isDefined) "equality-delete"
         else if (e.isDelete) "positional-delete"
@@ -4854,7 +5192,7 @@ object Snapshots {
     val total = data.flatMap(_.rows).sum
     val posDeleted =
       if (dels.isEmpty) 0L
-      else spark.read.parquet(dels.map(e => s"$base/${e.path}"): _*)
+      else spark.read.parquet(dels.map(e => resolve(base, e.path)): _*)
         .select("file", "pos").distinct().count()
     Some(total - posDeleted)
   }
@@ -4883,6 +5221,7 @@ object Snapshots {
     require(vs.contains(v), s"version $v not in $vs")
     requireNoSchemaOps(manifestLines(spark, base, v), "writeStatsSidecars")
     val missing = splitEntries(manifestLines(spark, base, v))._1.map(_.path)
+      .filterNot(isExternalPath) // clone refs: sidecars are built in (and shared from) the SOURCE
       .filterNot(rel => f.exists(new Path(s"$base/$rel$StatsSuffix")))
     if (missing.isEmpty) return 0
     val schema = read(spark, base, Some(v)).schema
@@ -4937,7 +5276,7 @@ object Snapshots {
                               rel: String): Map[String, (String, String, String, Option[Long])] =
     scala.util.Try {
       val f = fs(spark, base)
-      val p = new Path(s"$base/$rel$StatsSuffix")
+      val p = new Path(s"${resolve(base, rel)}$StatsSuffix")
       if (!f.exists(p)) Map.empty[String, (String, String, String, Option[Long])]
       else {
         val in = f.open(p)
@@ -5888,8 +6227,8 @@ object Snapshots {
         val deltaDels = (delsF ++ delsT).filterNot(e =>
           delLinesF.contains(e.line) && delLinesT.contains(e.line))
         val covered = deleteCoveredFiles(spark, base, deltaDels)
-        (dataF.filter(e => !pathsT.contains(e.path) || covered(e.path)),
-          dataT.filter(e => !pathsF.contains(e.path) || covered(e.path)))
+        (dataF.filter(e => !pathsT.contains(e.path) || covered(pathSuffix(e.path))),
+          dataT.filter(e => !pathsF.contains(e.path) || covered(pathSuffix(e.path))))
       }
     (readSubset(spark, base, linesFrom, subF),
       readSubset(spark, base, linesTo, subT))

@@ -1,0 +1,260 @@
+package graft.store
+
+import org.apache.spark.sql.functions.{col, lit}
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/**
+ * Shallow clones: zero-copy cross-table forks with structural GC safety
+ * on both sides (clone maintenance never deletes source bytes; source
+ * maintenance protects clone-referenced files via the `_clones/`
+ * registry until detach).
+ */
+class SnapshotCloneSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def freshRoot(tag: String): String =
+    java.nio.file.Files.createTempDirectory(s"graft-clone-$tag").toString
+
+  /** All regular files under a directory (recursive), relative paths. */
+  private def filesUnder(dir: String): Set[String] = {
+    val root = java.nio.file.Paths.get(dir)
+    if (!java.nio.file.Files.exists(root)) Set.empty
+    else {
+      val out = scala.collection.mutable.Set.empty[String]
+      java.nio.file.Files.walk(root).forEach { p =>
+        if (java.nio.file.Files.isRegularFile(p))
+          out += root.relativize(p).toString
+      }
+      out.toSet
+    }
+  }
+
+  test("fork is zero-copy and fully isolated in both directions") {
+    val root = freshRoot("fork")
+    val src = s"$root/src"
+    val dst = s"$root/dst"
+    Snapshots.write((1L to 40L).map(i => (i, s"s$i")).toDF("id", "s")
+      .repartition(3), src, statsKey = Some("id"))
+    Snapshots.append(Seq((41L, "s41")).toDF("id", "s"), src,
+      statsKey = Some("id"))
+    val srcFilesBefore = filesUnder(src)
+
+    val v = Snapshots.shallowClone(spark, src, dst)
+    assert(v == 1L)
+    // zero data bytes moved: the clone dir holds only its v1 manifest
+    val dstFiles = filesUnder(dst)
+    assert(dstFiles.forall(f => f.contains("_manifest")), // + local-FS .crc twin
+      s"clone must be metadata-only, found $dstFiles")
+    assert(filesUnder(src) -- srcFilesBefore ==
+      filesUnder(src).filter(_.startsWith("_clones/")),
+      "source gains only the registry entry")
+    assert(Snapshots.registeredClones(spark, src).values.toSet == Set(dst))
+
+    // same rows; then each side diverges without the other noticing
+    assert(Snapshots.read(spark, dst).as[(Long, String)].collect().toSet ==
+      Snapshots.read(spark, src).as[(Long, String)].collect().toSet)
+    Snapshots.append(Seq((100L, "clone-only")).toDF("id", "s"), dst)
+    Snapshots.append(Seq((200L, "src-only")).toDF("id", "s"), src)
+    val dstRows = Snapshots.read(spark, dst).as[(Long, String)].collect().toSet
+    val srcRows = Snapshots.read(spark, src).as[(Long, String)].collect().toSet
+    assert(dstRows.contains((100L, "clone-only")) && !dstRows.contains((200L, "src-only")))
+    assert(srcRows.contains((200L, "src-only")) && !srcRows.contains((100L, "clone-only")))
+    // clone time travel sees the fork image
+    assert(Snapshots.read(spark, dst, Some(1L)).count() == 41L)
+
+    // manifest key stats carried over: a pruned scan on the CLONE skips
+    // files from the source-written bounds
+    val (cand, pruned) = Snapshots.scanPlan(spark, dst, col("id") === 41L)
+    assert(pruned.nonEmpty, "clone must inherit pruning evidence")
+    assert(Snapshots.scanWhere(spark, dst, col("id") === 41L).count() == 1L)
+  }
+
+  test("source expiry + vacuum protect clone-referenced files until detach") {
+    val root = freshRoot("gc")
+    val src = s"$root/src"
+    val dst = s"$root/dst"
+    Snapshots.write((1L to 30L).map(i => (i, i * 10L)).toDF("id", "x")
+      .repartition(2), src, statsKey = Some("id"))
+    Snapshots.shallowClone(spark, src, dst)
+
+    // source moves on and expires the cloned snapshot
+    Snapshots.write(Seq((99L, 990L)).toDF("id", "x"), src) // full replace
+    val dropped = Snapshots.expire(spark, src, keep = 1)
+    assert(dropped == Seq(1L))
+    Snapshots.vacuum(spark, src, txnTtlMs = 0L)
+    // the clone still reads every forked row — its files survived both
+    assert(Snapshots.read(spark, dst).as[(Long, Long)].collect().toSet ==
+      (1L to 30L).map(i => (i, i * 10L)).toSet)
+
+    // detach refuses while refs live
+    val ex = intercept[IllegalArgumentException] {
+      Snapshots.detachClone(spark, src, dst)
+    }
+    assert(ex.getMessage.contains("deepenClone"))
+
+    // localize, retire the ref-holding snapshot, then detach
+    Snapshots.deepenClone(spark, dst)
+    Snapshots.expire(spark, dst, keep = 1)
+    assert(Snapshots.detachClone(spark, src, dst))
+    assert(Snapshots.registeredClones(spark, src).isEmpty)
+    // clone unaffected by the source's GC from here on
+    Snapshots.vacuum(spark, src, txnTtlMs = 0L)
+    assert(Snapshots.read(spark, dst).count() == 30L)
+    // and the formerly-protected source debris is now collectible
+    assert(!filesUnder(src).exists(_.startsWith("v=1/part-")),
+      "after detach, vacuum collects the expired version's files")
+    assert(Snapshots.detachClone(spark, src, dst) === false, "second detach no-ops")
+  }
+
+  test("clone-side maintenance never deletes source bytes (structural)") {
+    val root = freshRoot("cgc")
+    val src = s"$root/src"
+    val dst = s"$root/dst"
+    Snapshots.write((1L to 20L).map(i => (i, s"v$i")).toDF("id", "s")
+      .repartition(2), src)
+    Snapshots.shallowClone(spark, src, dst)
+    val srcBefore = filesUnder(src)
+    // full replace on the clone: v1's external refs become unreferenced,
+    // then expire + vacuum the clone — the sweep sees the absolute paths
+    // in v1's manifest and must skip them
+    Snapshots.write(Seq((7L, "w")).toDF("id", "s"), dst)
+    assert(Snapshots.expire(spark, dst, keep = 1) == Seq(1L))
+    Snapshots.vacuum(spark, dst, txnTtlMs = 0L)
+    assert(filesUnder(src) == srcBefore,
+      "clone expiry/vacuum must not touch the source")
+    assert(Snapshots.read(spark, src).count() == 20L)
+    // no external refs remain → detach succeeds with the table live
+    assert(Snapshots.detachClone(spark, src, dst))
+  }
+
+  test("merge-on-read deletes on a clone hit source-inherited files exactly") {
+    val root = freshRoot("mor")
+    val src = s"$root/src"
+    val dst = s"$root/dst"
+    Snapshots.write((1L to 25L).map(i => (i, i % 5L)).toDF("id", "k")
+      .repartition(2), src, statsKey = Some("id"))
+    Snapshots.shallowClone(spark, src, dst)
+
+    // equality delete: covered set includes the external files
+    Snapshots.deleteByKey(spark, dst, Seq(3L, 17L).toDF("id"))
+    assert(Snapshots.read(spark, dst).as[(Long, Long)].collect().map(_._1).toSet ==
+      ((1L to 25L).toSet -- Set(3L, 17L)))
+    // positional delete over external files
+    Snapshots.deleteWhereMoR(spark, dst, col("id") === 9L)
+    assert(Snapshots.read(spark, dst).count() == 22L)
+    // sequence-number scoping survives cloning: re-inserted key lives
+    Snapshots.append(Seq((3L, 3L)).toDF("id", "k"), dst)
+    assert(Snapshots.read(spark, dst).filter(col("id") === 3L).count() == 1L)
+
+    // folding the deletes localizes only the touched files
+    Snapshots.materializeDeletes(spark, dst)
+    val rows = Snapshots.read(spark, dst).as[(Long, Long)].collect().map(_._1).toSet
+    assert(rows == (1L to 25L).toSet -- Set(17L, 9L) ,
+      s"after materialize: $rows")
+    // source rows never changed
+    assert(Snapshots.read(spark, src).count() == 25L)
+  }
+
+  test("deepenClone copies bytes + sidecars exactly and is a no-op when local") {
+    val root = freshRoot("deep")
+    val src = s"$root/src"
+    val dst = s"$root/dst"
+    Snapshots.write((1L to 50L).map(i => (i, i * 2L)).toDF("id", "x")
+      .repartition(2), src, statsKey = Some("id"))
+    Snapshots.writeStatsSidecars(spark, src, Seq("x"))
+    Snapshots.shallowClone(spark, src, dst)
+
+    val beforeLines = Snapshots.manifestLines(spark, dst, 1L)
+    val v2 = Snapshots.deepenClone(spark, dst)
+    assert(v2 == 2L)
+    val afterLines = Snapshots.manifestLines(spark, dst, v2)
+    // every stats/counter field survives the path rewrite verbatim
+    def tails(lines: Seq[String]) = lines.filterNot(_.contains(":"))
+      .map(l => l.substring(l.indexOf('\t').max(0))).sorted
+    assert(tails(afterLines) == tails(beforeLines),
+      "manifest stats/counters must be preserved by localization")
+    assert(!afterLines.map(l => Snapshots.parseEntry(l))
+      .exists(e => !e.isSchemaOp && Snapshots.isExternalPath(e.path)),
+      "head must hold no external refs after deepen")
+    // byte-exact copies, sidecars included
+    val deepFiles = filesUnder(dst).filter(f =>
+      f.startsWith("v=2/deep-") && !f.endsWith(".stats"))
+    assert(deepFiles.size == 2)
+    assert(filesUnder(dst).count(f =>
+      f.startsWith("v=2/deep-") && f.endsWith(".stats")) == 2,
+      "source-side stats sidecars ride along")
+    assert(Snapshots.read(spark, dst).as[(Long, Long)].collect().toSet ==
+      (1L to 50L).map(i => (i, i * 2L)).toSet)
+    // pruning still works off the preserved stats
+    val (_, pruned) = Snapshots.scanPlan(spark, dst, col("id") === 1L)
+    assert(pruned.nonEmpty)
+    // second deepen: nothing external left → no-op
+    assert(Snapshots.deepenClone(spark, dst) == v2)
+  }
+
+  test("refusals: pending MoR on source, chained clone, occupied destination") {
+    val root = freshRoot("refuse")
+    val src = s"$root/src"
+    Snapshots.write((1L to 10L).map(i => (i, s"s$i")).toDF("id", "s"), src)
+
+    // occupied destination
+    val occupied = s"$root/occupied"
+    Snapshots.write(Seq((1L, "x")).toDF("id", "s"), occupied)
+    assert(intercept[IllegalArgumentException] {
+      Snapshots.shallowClone(spark, src, occupied)
+    }.getMessage.contains("already holds a table"))
+
+    // same path
+    assert(intercept[IllegalArgumentException] {
+      Snapshots.shallowClone(spark, src, src)
+    }.getMessage.contains("same table"))
+
+    // pending MoR deletes on the source snapshot
+    Snapshots.deleteByKey(spark, src, Seq(4L).toDF("id"))
+    assert(intercept[IllegalArgumentException] {
+      Snapshots.shallowClone(spark, src, s"$root/dst0")
+    }.getMessage.contains("materializeDeletes"))
+    // but a pre-delete version clones fine
+    val dst1 = s"$root/dst1"
+    Snapshots.shallowClone(spark, src, dst1, version = Some(1L))
+    assert(Snapshots.read(spark, dst1).count() == 10L)
+
+    // chained shallow clone refuses while refs live
+    assert(intercept[IllegalArgumentException] {
+      Snapshots.shallowClone(spark, dst1, s"$root/dst2")
+    }.getMessage.contains("deepenClone"))
+    // …and works once localized
+    Snapshots.deepenClone(spark, dst1)
+    Snapshots.expire(spark, dst1, keep = 1)
+    Snapshots.shallowClone(spark, dst1, s"$root/dst2")
+    assert(Snapshots.read(spark, s"$root/dst2").count() == 10L)
+
+    // deepen refuses while clone-side MoR deletes are pending
+    val dst3 = s"$root/dst3"
+    Snapshots.shallowClone(spark, src, dst3, version = Some(1L))
+    Snapshots.deleteByKey(spark, dst3, Seq(5L).toDF("id"))
+    assert(intercept[IllegalArgumentException] {
+      Snapshots.deepenClone(spark, dst3)
+    }.getMessage.contains("materializeDeletes"))
+  }
+
+  test("ADD-COLUMN defaults fill source-vintage files through a clone") {
+    val root = freshRoot("adddef")
+    val src = s"$root/src"
+    val dst = s"$root/dst"
+    Snapshots.write((1L to 6L).map(i => (i, s"s$i")).toDF("id", "s"), src)
+    Snapshots.addColumn(spark, src, "score",
+      org.apache.spark.sql.types.LongType, default = Some("7"))
+    Snapshots.shallowClone(spark, src, dst)
+    // pre-add external files take the declared default on the clone read
+    assert(Snapshots.read(spark, dst).select("score").as[Long]
+      .collect().toSeq == Seq.fill(6)(7L))
+    // a clone-side append that carries the column stays a carrier
+    Snapshots.append(Seq((9L, "s9", 1L)).toDF("id", "s", "score"), dst)
+    assert(Snapshots.read(spark, dst).filter(col("id") === 9L)
+      .select("score").as[Long].head() == 1L)
+  }
+}
