@@ -3009,6 +3009,81 @@ private[graft] object StoreQueries {
              |SELECT cv AS commit_version, ct AS change_type, count(*) AS n,
              |  CAST(sum(CAST(n_chars AS DECIMAL(18,2))) AS DOUBLE) AS sum_chars,
              |  4 AS paced_batches, 3 AS mixed_batches, TRUE AS replay_noop
-             |FROM feed GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
+             |FROM feed GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // Shallow CLONE lifecycle (round-18): Delta's `CREATE TABLE dst
+    // SHALLOW CLONE src` — a zero-copy cross-table fork whose v1
+    // references the source's files by absolute path — followed by the
+    // full divergence-and-release arc: the source full-replaces and
+    // EXPIRES the cloned snapshot (the `_clones/` registry protects the
+    // referenced files from its vacuum — the hazard Delta documents as
+    // "vacuum may break shallow clones" is a hard guarantee here); the
+    // clone MoR-deletes rows living in source-owned files, appends its
+    // own, folds the deletes, deepenClone localizes the remaining refs
+    // byte-exactly, and detachClone lifts the protection — after which
+    // the source's vacuum reclaims the debris. Booleans pin each phase:
+    // zero_copy (pre-divergence clone dir holds only its manifest),
+    // gc_protected (source v1 data survives expire+vacuum while
+    // referenced), detached, collected (same files reclaimed after).
+    // The oracle recomputes the clone's final content relationally —
+    // fork image minus the MoR delete plus the clone-only rows.
+    "snap_shallow_clone" -> Q(
+      (s, d) => {
+        import graft.store.Snapshots
+        val root = FixtureRoot.fresh("snapclone")
+        val (src, dst) = (root + "/src", root + "/dst")
+        val docs = T(s, d, "documents").select(col("doc_id"), col("n_chars"))
+        Snapshots.write(docs.filter(col("doc_id") % 3 =!= 0).repartition(8),
+          src, statsKey = Some("doc_id"))
+        Snapshots.shallowClone(s, src, dst)
+        def hasV1Parts: Boolean = {
+          val v1 = new java.io.File(src, "v=1")
+          v1.isDirectory &&
+            v1.listFiles().exists(_.getName.startsWith("part-"))
+        }
+        val zeroCopy = {
+          val names = scala.collection.mutable.Buffer.empty[String]
+          java.nio.file.Files.walk(java.nio.file.Paths.get(dst)).forEach(p =>
+            if (java.nio.file.Files.isRegularFile(p))
+              names += p.getFileName.toString)
+          names.nonEmpty && names.forall(_.contains("_manifest"))
+        }
+        // source diverges: full replace, then expire + vacuum the cloned
+        // snapshot — its files must survive on the registry's protection
+        Snapshots.write(docs.filter(col("doc_id") % 3 === 0), src)
+        Snapshots.expire(s, src, keep = 1)
+        Snapshots.vacuum(s, src, txnTtlMs = 0L)
+        val gcProtected = hasV1Parts
+        // clone diverges: positional deletes over source-owned files,
+        // then clone-only rows (negated n_chars marks provenance)
+        Snapshots.deleteWhereMoR(s, dst, col("doc_id") % 7 === 2)
+        Snapshots.append(docs.filter(col("doc_id") % 3 === 0)
+          .withColumn("n_chars", -col("n_chars")), dst)
+        // release: fold deletes, localize, retire ref-holders, detach
+        Snapshots.materializeDeletes(s, dst)
+        Snapshots.deepenClone(s, dst)
+        Snapshots.expire(s, dst, keep = 1)
+        val detached = Snapshots.detachClone(s, src, dst)
+        Snapshots.vacuum(s, src, txnTtlMs = 0L)
+        val collected = !hasV1Parts
+        Snapshots.read(s, dst)
+          .groupBy((col("doc_id") % 10).as("bucket"))
+          .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("sum_chars"))
+          .withColumn("zero_copy", lit(zeroCopy))
+          .withColumn("gc_protected", lit(gcProtected))
+          .withColumn("detached", lit(detached))
+          .withColumn("collected", lit(collected))
+          .orderBy(col("bucket"))
+      },
+      Some("""WITH cl AS (
+             |  SELECT doc_id, n_chars FROM documents
+             |  WHERE doc_id % 3 <> 0 AND doc_id % 7 <> 2
+             |  UNION ALL
+             |  SELECT doc_id, -n_chars FROM documents WHERE doc_id % 3 = 0)
+             |SELECT doc_id % 10 AS bucket, count(*) AS n,
+             |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+             |  TRUE AS zero_copy, TRUE AS gc_protected, TRUE AS detached,
+             |  TRUE AS collected
+             |FROM cl GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 }
