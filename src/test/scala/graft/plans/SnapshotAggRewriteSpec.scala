@@ -644,4 +644,50 @@ class SnapshotAggRewriteSpec extends AnyFunSuite {
       s.conf.set(SnapshotAggRewrite.EnabledKey, "false")
     }
   }
+
+  test("shallow clones: fresh clone answers via the source's metadata; divergence declines; deepen + sidecar refresh restores") {
+    withExtSession { s =>
+      import s.implicits._
+      val root = java.nio.file.Files.createTempDirectory("graft-aggclone")
+      val src = s"$root/src"
+      val dst = s"$root/dst"
+      Snapshots.write((1L to 600L).map(i => (i, i * 2L)).toDF("id", "x")
+          .repartitionByRange(4, col("id")), src, statsKey = Some("id"))
+      Snapshots.writeStatsSidecars(s, src, Seq("x"))
+      Snapshots.shallowClone(s, src, dst)
+      def q(df: DataFrame) = df.agg(count(lit(1)).as("n"),
+        min(col("id")).as("mn"), max(col("x")).as("mx"))
+      s.conf.set(SnapshotAggRewrite.EnabledKey, "false")
+      val ref = q(Snapshots.read(s, dst)).collect().toSeq
+      s.conf.set(SnapshotAggRewrite.EnabledKey, "true")
+      // a fresh clone's scan IS the source snapshot's file set, so the
+      // rule resolves it against the SOURCE's manifests and folds the
+      // source's recorded stats + sidecars — shared metadata for free
+      val fresh = q(Snapshots.read(s, dst))
+      assert(isMetadataAnswered(fresh),
+        "fresh clone must answer via the source's metadata")
+      assert(fresh.collect().toSeq == ref)
+      // divergence mixes source-owned and clone-owned directories: no
+      // single base matches a committed version → conservative decline
+      Snapshots.append(Seq((601L, 9999L)).toDF("id", "x"), dst,
+        statsKey = Some("id"))
+      val diverged = q(Snapshots.read(s, dst))
+      assert(!isMetadataAnswered(diverged), "diverged clone must decline")
+      s.conf.set(SnapshotAggRewrite.EnabledKey, "false")
+      val ref2 = q(Snapshots.read(s, dst)).collect().toSeq
+      s.conf.set(SnapshotAggRewrite.EnabledKey, "true")
+      assert(q(Snapshots.read(s, dst)).collect().toSeq == ref2)
+      // localize: deep copies carry the source sidecars byte-exactly and
+      // the refresh builds only the appended file's — the clone's own
+      // manifests answer from here on
+      Snapshots.deepenClone(s, dst)
+      assert(Snapshots.writeStatsSidecars(s, dst, Seq("x")) == 1,
+        "refresh owes exactly the clone-appended file")
+      val deep = q(Snapshots.read(s, dst))
+      assert(isMetadataAnswered(deep),
+        "deepened clone must answer from its own metadata")
+      assert(deep.collect().toSeq == ref2)
+      s.conf.set(SnapshotAggRewrite.EnabledKey, "false")
+    }
+  }
 }

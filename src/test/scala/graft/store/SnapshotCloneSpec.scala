@@ -241,6 +241,56 @@ class SnapshotCloneSpec extends AnyFunSuite {
     }.getMessage.contains("materializeDeletes"))
   }
 
+  test("streaming and change feed read a clone across the fork boundary") {
+    val root = freshRoot("stream")
+    val src = s"$root/src"
+    val dst = s"$root/dst"
+    Snapshots.write((1L to 12L).map(i => (i, s"n$i")).toDF("id", "name"), src)
+    Snapshots.append((13L to 16L).map(i => (i, s"n$i")).toDF("id", "name"), src)
+    Snapshots.shallowClone(spark, src, dst)
+    Snapshots.append(Seq((99L, "clone-only")).toDF("id", "name"), dst)
+
+    def drain(ck: String, cdf: Boolean): Seq[org.apache.spark.sql.Row] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.Row]
+      val reader = spark.readStream.format("graft-snapshots")
+      val q = (if (cdf) reader.option("readChangeFeed", "true")
+                 .option("changeKey", "id")
+               else reader)
+        .load(dst)
+        .writeStream
+        .option("checkpointLocation", ck)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          val rows = b.collect()
+          out.synchronized { out ++= rows }
+          ()
+        }
+        .start()
+      q.awaitTermination()
+      out.toSeq
+    }
+
+    // append stream: micro-batches clip-read the external fork files
+    // directly (resolve() in the splice path), then the clone commit
+    val rows = drain(s"$root/ck1", cdf = false)
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(rows.toSet ==
+      ((1L to 16L).map(i => (i, s"n$i")).toSet + ((99L, "clone-only"))))
+    // incremental: a post-checkpoint clone append arrives alone
+    Snapshots.append(Seq((100L, "late")).toDF("id", "name"), dst)
+    assert(drain(s"$root/ck1", cdf = false)
+      .map(r => (r.getLong(0), r.getString(1))) == Seq((100L, "late")))
+
+    // change feed: the fork image is the clone's OWN v1 (inserts), each
+    // clone commit stamps its own version — source history is invisible
+    val ch = drain(s"$root/ck2", cdf = true)
+    assert(ch.forall(_.getAs[String]("_change_type") == "insert"))
+    val byVersion = ch.groupBy(_.getAs[Long]("_commit_version"))
+      .view.mapValues(_.map(_.getAs[Long]("id")).toSet).toMap
+    assert(byVersion == Map(
+      1L -> (1L to 16L).toSet, 2L -> Set(99L), 3L -> Set(100L)))
+  }
+
   test("ADD-COLUMN defaults fill source-vintage files through a clone") {
     val root = freshRoot("adddef")
     val src = s"$root/src"
