@@ -3084,6 +3084,47 @@ private[graft] object StoreQueries {
              |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
              |  TRUE AS zero_copy, TRUE AS gc_protected, TRUE AS detached,
              |  TRUE AS collected
-             |FROM cl GROUP BY 1 ORDER BY 1""".stripMargin))
+             |FROM cl GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Clone refresh (round-18): the in-place twin of Delta's `CREATE OR
+    // REPLACE … SHALLOW CLONE` — re-sync an undiverged dev mirror to the
+    // source's current head as one zero-copy metadata commit, clone
+    // history preserved. The mirror is a snapshot, not a live view:
+    // later source commits stay invisible until the next refresh, a
+    // caught-up refresh no-ops, and the source expiring+vacuuming every
+    // mirrored vintage leaves the mirror (and its time-travelable fork
+    // image) whole — the `_clones/` registry protects every referenced
+    // vintage, not just the newest. Oracle: after the refresh the mirror
+    // is exactly the full documents table.
+    "snap_clone_refresh" -> Q(
+      (s, d) => {
+        import graft.store.Snapshots
+        val root = FixtureRoot.fresh("snapclonerefresh")
+        val (src, dst) = (root + "/src", root + "/dst")
+        val docs = T(s, d, "documents").select(col("doc_id"), col("n_chars"))
+        Snapshots.write(docs.filter(col("doc_id") % 2 === 0).repartition(4),
+          src, statsKey = Some("doc_id"))
+        Snapshots.shallowClone(s, src, dst)
+        Snapshots.append(docs.filter(col("doc_id") % 2 === 1), src,
+          statsKey = Some("doc_id"))
+        val v2 = Snapshots.refreshClone(s, src, dst)
+        val refreshedNoop = Snapshots.refreshClone(s, src, dst) == v2
+        Snapshots.write(docs.limit(1), src) // post-refresh source commit
+        Snapshots.expire(s, src, keep = 1)
+        Snapshots.vacuum(s, src, txnTtlMs = 0L)
+        val forkPreserved =
+          Snapshots.read(s, dst, Some(1L)).count() ==
+            docs.filter(col("doc_id") % 2 === 0).count()
+        Snapshots.read(s, dst)
+          .groupBy((col("doc_id") % 10).as("bucket"))
+          .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("sum_chars"))
+          .withColumn("refreshed_noop", lit(refreshedNoop))
+          .withColumn("fork_preserved", lit(forkPreserved))
+          .orderBy(col("bucket"))
+      },
+      Some("""SELECT doc_id % 10 AS bucket, count(*) AS n,
+             |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+             |  TRUE AS refreshed_noop, TRUE AS fork_preserved
+             |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 }

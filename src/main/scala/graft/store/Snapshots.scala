@@ -3370,27 +3370,51 @@ object Snapshots {
     val dest = destBase.stripSuffix("/")
     require(!sameTablePath(spark, src, dest),
       s"shallowClone: source and destination are the same table ($src)")
-    val vs = versions(spark, src)
-    require(vs.nonEmpty, s"no snapshots under $src")
-    val v = version.getOrElse(vs.last)
-    require(vs.contains(v), s"version $v not in $vs")
     require(versions(spark, dest).isEmpty,
       s"shallowClone destination $dest already holds a table")
-    val lines = manifestLines(spark, src, v)
-    val (data, dels) = splitEntries(lines)
-    require(dels.isEmpty,
-      s"shallowClone of $src@$v: version carries pending merge-on-read " +
-        "deletes, whose covered-version scoping resolves against the " +
-        "source's own chain - run materializeDeletes on the source, or " +
-        "clone a version without pending deletes")
-    require(!data.exists(e => isExternalPath(e.path)),
-      s"shallowClone of $src@$v: source is itself a shallow clone with " +
-        "live external references - a chained clone would escape the " +
-        "original source's protection registry; deepenClone the source first")
+    val (_, cloneLines) = cloneLinesOf(spark, src, version, "shallowClone")
     // register FIRST: from the instant dest's v1 manifest appears, source
     // maintenance must already be protecting the referenced files. A
     // failed commit leaves a registration protecting nothing (harmless;
     // detachClone cleans it). Idempotent for a retry against the same dest.
+    registerClone(spark, src, dest)
+    commitStaged(spark, dest, 1L, cloneLines, _ => ())
+  }
+
+  /** Validate a source snapshot for cloning and return (version, its
+    * manifest lines with data paths rewritten absolute). The refusals
+    * shared by [[shallowClone]] and [[refreshClone]]: pending
+    * merge-on-read deletes (their covered-version scoping resolves
+    * against the source's own chain) and a source that is itself a
+    * shallow clone with live external refs (a chained reference would
+    * escape the original source's protection registry). */
+  private def cloneLinesOf(spark: SparkSession, src: String,
+      version: Option[Long], verb: String): (Long, Seq[String]) = {
+    val vs = versions(spark, src)
+    require(vs.nonEmpty, s"no snapshots under $src")
+    val v = version.getOrElse(vs.last)
+    require(vs.contains(v), s"version $v not in $vs")
+    val lines = manifestLines(spark, src, v)
+    val (data, dels) = splitEntries(lines)
+    require(dels.isEmpty,
+      s"$verb of $src@$v: version carries pending merge-on-read " +
+        "deletes, whose covered-version scoping resolves against the " +
+        "source's own chain - run materializeDeletes on the source, or " +
+        "clone a version without pending deletes")
+    require(!data.exists(e => isExternalPath(e.path)),
+      s"$verb of $src@$v: source is itself a shallow clone with " +
+        "live external references - a chained clone would escape the " +
+        "original source's protection registry; deepenClone the source first")
+    (v, lines.map { l =>
+      val e = parseEntry(l)
+      if (e.isSchemaOp) l
+      else s"$src/${e.path}" + l.drop(e.path.length)
+    })
+  }
+
+  /** Idempotently register `dest` in `src`'s `_clones/` protection
+    * registry (token = hash of the qualified dest path). */
+  private def registerClone(spark: SparkSession, src: String, dest: String): Unit = {
     val f = fs(spark, src)
     f.mkdirs(clonesDir(src))
     val qDest = fs(spark, dest).makeQualified(new Path(dest)).toString
@@ -3406,12 +3430,50 @@ object Snapshots {
       val out = f.create(regPath, false)
       try out.write(dest.getBytes("UTF-8")) finally out.close()
     }
-    val cloneLines = lines.map { l =>
-      val e = parseEntry(l)
-      if (e.isSchemaOp) l
-      else s"$src/${e.path}" + l.drop(e.path.length)
-    }
-    commitStaged(spark, dest, 1L, cloneLines, _ => ())
+  }
+
+  /**
+   * Re-sync an UNDIVERGED shallow clone to its source's current head
+   * (the in-place twin of Delta's `CREATE OR REPLACE … SHALLOW CLONE`
+   * refresh — the keep-a-dev-mirror-current shape): commit a new clone
+   * version holding the source snapshot's manifest, paths rewritten
+   * absolute. Zero-copy, clone history preserved (older fork images stay
+   * time-travelable and their refs stay registry-protected), and a no-op
+   * — returning the current head — when the clone already sits at the
+   * requested source snapshot. Refuses when the clone has DIVERGED:
+   * clone-local or foreign data files at head, pending clone-side
+   * merge-on-read deletes, or clone-applied schema ops the source does
+   * not carry — a refresh would silently discard that divergence
+   * (deepenClone + detachClone and keep the fork, or drop it and
+   * re-fork). Source-side refusals match [[shallowClone]].
+   */
+  def refreshClone(spark: SparkSession, srcBase: String, destBase: String,
+                   version: Option[Long] = None): Long = {
+    val src = srcBase.stripSuffix("/")
+    val dest = destBase.stripSuffix("/")
+    val dvs = versions(spark, dest)
+    require(dvs.nonEmpty,
+      s"refreshClone: $dest holds no table - use shallowClone to fork")
+    require(registeredClones(spark, src).values.exists(d =>
+        d == dest || sameTablePath(spark, d, dest)),
+      s"refreshClone: $dest is not a registered clone of $src")
+    val headLines = manifestLines(spark, dest, dvs.last)
+    val (headData, headDels) = splitEntries(headLines)
+    val prefix = src + "/"
+    val qSrc = fs(spark, src).makeQualified(new Path(src)).toString + "/"
+    require(headDels.isEmpty && headData.forall(e =>
+        e.path.startsWith(prefix) || e.path.startsWith(qSrc)),
+      s"refreshClone: $dest has diverged from $src (clone-local files " +
+        "or pending deletes at head) - a refresh would discard that " +
+        "divergence; deepenClone + detachClone to keep the fork, or " +
+        "drop the table and shallowClone again")
+    val (_, cloneLines) = cloneLinesOf(spark, src, version, "refreshClone")
+    val srcOps = cloneLines.filter(l => parseEntry(l).isSchemaOp).toSet
+    require(headLines.filter(l => parseEntry(l).isSchemaOp).forall(srcOps),
+      s"refreshClone: $dest carries schema ops the source does not - a " +
+        "refresh would discard them; keep the fork instead")
+    if (cloneLines.toSet == headLines.toSet) return dvs.last
+    commitStaged(spark, dest, dvs.last + 1, cloneLines, _ => ())
   }
 
   /** External (absolute-path) data/delete entries across EVERY manifest of

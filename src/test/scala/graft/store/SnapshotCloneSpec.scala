@@ -241,6 +241,50 @@ class SnapshotCloneSpec extends AnyFunSuite {
     }.getMessage.contains("materializeDeletes"))
   }
 
+  test("refreshClone re-syncs an undiverged fork; divergence refuses") {
+    val root = freshRoot("refresh")
+    val src = s"$root/src"
+    val dst = s"$root/dst"
+    Snapshots.write((1L to 20L).map(i => (i, s"s$i")).toDF("id", "s"), src)
+    Snapshots.shallowClone(spark, src, dst)
+    Snapshots.append((21L to 25L).map(i => (i, s"s$i")).toDF("id", "s"), src)
+    // post-fork source schema evolution rides the refresh
+    Snapshots.addColumn(spark, src, "score",
+      org.apache.spark.sql.types.LongType, default = Some("3"))
+    val v2 = Snapshots.refreshClone(spark, src, dst)
+    assert(v2 == 2L)
+    assert(Snapshots.read(spark, dst).count() == 25L)
+    assert(Snapshots.read(spark, dst).filter(col("id") === 3L)
+      .select("score").as[Long].head() == 3L)
+    // fork image stays time-travelable; second refresh no-ops
+    assert(Snapshots.read(spark, dst, Some(1L)).count() == 20L)
+    assert(Snapshots.refreshClone(spark, src, dst) == v2)
+    // all referenced vintages stay protected through source expiry
+    Snapshots.write(Seq((99L, "w", 9L)).toDF("id", "s", "score"), src)
+    Snapshots.expire(spark, src, keep = 1)
+    Snapshots.vacuum(spark, src, txnTtlMs = 0L)
+    assert(Snapshots.read(spark, dst).count() == 25L)
+    assert(Snapshots.read(spark, dst, Some(1L)).count() == 20L)
+
+    // any clone-side divergence refuses the refresh
+    val dst2 = s"$root/dst2"
+    Snapshots.shallowClone(spark, src, dst2)
+    Snapshots.append(Seq((100L, "local", 1L)).toDF("id", "s", "score"), dst2)
+    assert(intercept[IllegalArgumentException] {
+      Snapshots.refreshClone(spark, src, dst2)
+    }.getMessage.contains("diverged"))
+    val dst3 = s"$root/dst3"
+    Snapshots.shallowClone(spark, src, dst3)
+    Snapshots.deleteByKey(spark, dst3, Seq(99L).toDF("id"))
+    assert(intercept[IllegalArgumentException] {
+      Snapshots.refreshClone(spark, src, dst3)
+    }.getMessage.contains("diverged"))
+    // and an unregistered table is not refreshable
+    assert(intercept[IllegalArgumentException] {
+      Snapshots.refreshClone(spark, dst, dst2)
+    }.getMessage.contains("not a registered clone"))
+  }
+
   test("streaming and change feed read a clone across the fork boundary") {
     val root = freshRoot("stream")
     val src = s"$root/src"
