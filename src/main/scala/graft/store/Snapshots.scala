@@ -3353,7 +3353,12 @@ object Snapshots {
    * snapshot's manifest lines, data paths rewritten absolute. Pure
    * metadata — no data bytes move; manifest stats, row/byte/schema
    * fields, bucket specs and CHECK constraints all carry over, so the
-   * clone prunes and folds exactly like the source did. Registration in
+   * clone prunes and folds exactly like the source did. With `branch`,
+   * the fork takes a BRANCH snapshot instead — promoting a WAP staging
+   * branch into a standalone table without publishing it to the
+   * source's main (the audit-fork shape); branch-namespace files are
+   * protected by the same registry, so `dropBranch` on the source
+   * cannot strand the clone. Registration in
    * the source's `_clones/` registry happens BEFORE the commit, so the
    * source's expiry/vacuum protect the referenced files from the moment
    * the clone becomes readable. Refuses: a source snapshot with pending
@@ -3365,14 +3370,16 @@ object Snapshots {
    * that already holds a table.
    */
   def shallowClone(spark: SparkSession, srcBase: String, destBase: String,
-                   version: Option[Long] = None): Long = {
+                   version: Option[Long] = None,
+                   branch: Option[String] = None): Long = {
     val src = srcBase.stripSuffix("/")
     val dest = destBase.stripSuffix("/")
     require(!sameTablePath(spark, src, dest),
       s"shallowClone: source and destination are the same table ($src)")
     require(versions(spark, dest).isEmpty,
       s"shallowClone destination $dest already holds a table")
-    val (_, cloneLines) = cloneLinesOf(spark, src, version, "shallowClone")
+    val (_, cloneLines) =
+      cloneLinesOf(spark, src, version, "shallowClone", branch)
     // register FIRST: from the instant dest's v1 manifest appears, source
     // maintenance must already be protecting the referenced files. A
     // failed commit leaves a registration protecting nothing (harmless;
@@ -3389,12 +3396,16 @@ object Snapshots {
     * shallow clone with live external refs (a chained reference would
     * escape the original source's protection registry). */
   private def cloneLinesOf(spark: SparkSession, src: String,
-      version: Option[Long], verb: String): (Long, Seq[String]) = {
-    val vs = versions(spark, src)
-    require(vs.nonEmpty, s"no snapshots under $src")
+      version: Option[Long], verb: String,
+      branch: Option[String] = None): (Long, Seq[String]) = {
+    val vs = branch.fold(versions(spark, src))(b =>
+      branchVersions(spark, src, b))
+    require(vs.nonEmpty, branch.fold(s"no snapshots under $src")(b =>
+      s"no branch '$b' under $src"))
     val v = version.getOrElse(vs.last)
     require(vs.contains(v), s"version $v not in $vs")
-    val lines = manifestLines(spark, src, v)
+    val lines = branch.fold(manifestLines(spark, src, v))(b =>
+      branchManifestLines(spark, src, b, v))
     val (data, dels) = splitEntries(lines)
     require(dels.isEmpty,
       s"$verb of $src@$v: version carries pending merge-on-read " +
@@ -3448,7 +3459,8 @@ object Snapshots {
    * re-fork). Source-side refusals match [[shallowClone]].
    */
   def refreshClone(spark: SparkSession, srcBase: String, destBase: String,
-                   version: Option[Long] = None): Long = {
+                   version: Option[Long] = None,
+                   branch: Option[String] = None): Long = {
     val src = srcBase.stripSuffix("/")
     val dest = destBase.stripSuffix("/")
     val dvs = versions(spark, dest)
@@ -3467,7 +3479,8 @@ object Snapshots {
         "or pending deletes at head) - a refresh would discard that " +
         "divergence; deepenClone + detachClone to keep the fork, or " +
         "drop the table and shallowClone again")
-    val (_, cloneLines) = cloneLinesOf(spark, src, version, "refreshClone")
+    val (_, cloneLines) =
+      cloneLinesOf(spark, src, version, "refreshClone", branch)
     val srcOps = cloneLines.filter(l => parseEntry(l).isSchemaOp).toSet
     require(headLines.filter(l => parseEntry(l).isSchemaOp).forall(srcOps),
       s"refreshClone: $dest carries schema ops the source does not - a " +

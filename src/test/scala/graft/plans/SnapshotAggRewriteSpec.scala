@@ -425,7 +425,7 @@ class SnapshotAggRewriteSpec extends AnyFunSuite {
     withExtSession { s =>
       import s.implicits._
       val rnd = new scala.util.Random(20260816L) // fixed seed: deterministic
-      (1 to 8).foreach { trial =>
+      (1 to 10).foreach { trial =>
         val base = java.nio.file.Files
           .createTempDirectory(s"graft-aggfuzz$trial").toString + "/t"
         val nDays = 2 + rnd.nextInt(6)
@@ -468,7 +468,7 @@ class SnapshotAggRewriteSpec extends AnyFunSuite {
         // aware — stats lookups translate names and tag L spans the
         // widening — so the rule may still ANSWER, and parity is the
         // contract that proves it answers RIGHT)
-        val mutation = (trial - 1) % 4
+        val mutation = (trial - 1) % 5
         mutation match {
           case 1 => Snapshots.deleteWhereMoR(s, base, col("id") % 5 === 0)
           case 2 => Snapshots.renameColumn(s, base, "id", "rid")
@@ -476,7 +476,18 @@ class SnapshotAggRewriteSpec extends AnyFunSuite {
             org.apache.spark.sql.types.LongType)
           case _ => ()
         }
-        val t = Snapshots.read(s, base)
+        // mutation 4 — shallow clone (round-18): the grid runs over a
+        // fresh CLONE of the fixture. Its scan is the source's exact file
+        // set, so the rule resolves it against the SOURCE's manifests and
+        // folds the shared stats/sidecars; parity proves the cross-table
+        // answering is bit-exact over every adversarial layout.
+        val t =
+          if (mutation == 4) {
+            val cb = java.nio.file.Files
+              .createTempDirectory(s"graft-aggfuzz${trial}c").toString + "/t"
+            Snapshots.shallowClone(s, base, cb)
+            Snapshots.read(s, cb)
+          } else Snapshots.read(s, base)
         if (mutation == 1) {
           s.conf.set(SnapshotAggRewrite.EnabledKey, "true")
           assert(!isMetadataAnswered(

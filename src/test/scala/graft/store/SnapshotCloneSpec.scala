@@ -285,6 +285,49 @@ class SnapshotCloneSpec extends AnyFunSuite {
     }.getMessage.contains("not a registered clone"))
   }
 
+  test("a WAP staging branch promotes to a standalone table by clone, surviving dropBranch") {
+    val root = freshRoot("branch")
+    val src = s"$root/src"
+    val dst = s"$root/dst"
+    Snapshots.write((1L to 10L).map(i => (i, s"m$i")).toDF("id", "s"), src)
+    Snapshots.createBranch(spark, src, "staging", 1L)
+    Snapshots.appendBranch((11L to 14L).map(i => (i, s"b$i")).toDF("id", "s"),
+      src, "staging")
+    Snapshots.appendBranch(Seq((15L, "b15")).toDF("id", "s"), src, "staging")
+    // main moves on; the branch fork must not see it
+    Snapshots.append(Seq((99L, "main-only")).toDF("id", "s"), src)
+
+    Snapshots.shallowClone(spark, src, dst, branch = Some("staging"))
+    val expected = (1L to 15L).map(i =>
+      (i, if (i <= 10) s"m$i" else s"b$i")).toSet
+    assert(Snapshots.read(spark, dst).as[(Long, String)].collect().toSet ==
+      expected, "clone is the branch head, not main")
+
+    // dropping the branch on the source must not strand the clone: its
+    // branch-namespace files are registry-protected through the drop
+    Snapshots.dropBranch(spark, src, "staging")
+    assert(Snapshots.read(spark, dst).as[(Long, String)].collect().toSet ==
+      expected, "clone survives dropBranch on the source")
+
+    // refresh against MAIN re-points the promoted table at main's head
+    val v2 = Snapshots.refreshClone(spark, src, dst)
+    assert(Snapshots.read(spark, dst).as[(Long, String)].collect().toSet ==
+      ((1L to 10L).map(i => (i, s"m$i")).toSet + ((99L, "main-only"))))
+    assert(Snapshots.read(spark, dst, Some(1L)).count() == 15L,
+      "the branch fork image stays time-travelable")
+
+    // release: localize, retire the ref-holders, detach, and the
+    // dropped branch's debris becomes collectible on the source
+    Snapshots.deepenClone(spark, dst)
+    Snapshots.expire(spark, dst, keep = 1)
+    assert(Snapshots.detachClone(spark, src, dst))
+    Snapshots.vacuum(spark, src, txnTtlMs = 0L)
+    assert(!filesUnder(src).exists(_.startsWith("vb-staging")),
+      "after detach, the dropped branch's protected files are reclaimed")
+    assert(Snapshots.read(spark, dst).count() == 11L)
+    assert(v2 == 2L)
+  }
+
   test("streaming and change feed read a clone across the fork boundary") {
     val root = freshRoot("stream")
     val src = s"$root/src"
