@@ -161,7 +161,7 @@ class SnapshotModelFuzzSpec extends AnyFunSuite {
       }
 
       // epilogue: fork the final state and prove clone isolation through
-      // one more destructive round on the source
+      // one more destructive round on the source (epilogue-1)
       if (!head.pending) {
         val dst = s"$root/clone"
         Snapshots.shallowClone(spark, base, dst)
@@ -176,4 +176,167 @@ class SnapshotModelFuzzSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("randomized branch interleavings: fork, append, publish, drop under main expiry") {
+    val rnd = new scala.util.Random(77180L) // fixed seed: deterministic
+    (1 to 3).foreach { trial =>
+      val base = java.nio.file.Files
+        .createTempDirectory(s"graft-branchfuzz$trial").toString + "/t"
+      var nextId = 1L
+      def freshRows(n: Int): Seq[(Long, Long)] = (0 until n).map { _ =>
+        val id = nextId; nextId += 1
+        id -> rnd.nextLong(100000)
+      }
+      def df(rows: Seq[(Long, Long)]) =
+        rows.toDF("id", "x").repartition(1 + rnd.nextInt(3))
+      def contentOf(frame: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+        frame.select(col("id"), col("x")).as[(Long, Long)].collect().toMap
+
+      var mainC: Map[Long, Long] = Map.empty
+      var branchC: Option[Map[Long, Long]] = None
+      var headV = 0L
+      val init = freshRows(10 + rnd.nextInt(10))
+      headV = Snapshots.write(df(init), base)
+      mainC = init.toMap
+
+      (1 to 14).foreach { step =>
+        rnd.nextInt(9) match {
+          case 0 | 1 => // main append
+            val rows = freshRows(3 + rnd.nextInt(8))
+            headV = Snapshots.append(df(rows), base)
+            mainC = mainC ++ rows
+          case 2 if branchC.isEmpty => // fork from the main head
+            Snapshots.createBranch(spark, base, "dev", headV)
+            branchC = Some(mainC)
+          case 3 | 4 if branchC.nonEmpty => // branch append
+            val rows = freshRows(2 + rnd.nextInt(6))
+            Snapshots.appendBranch(df(rows), base, "dev")
+            branchC = branchC.map(_ ++ rows)
+          case 5 if branchC.nonEmpty => // publish: main fast-forwards
+            headV = Snapshots.fastForward(spark, base, "dev")
+            mainC = branchC.get
+          case 6 if branchC.nonEmpty => // abandon the audit branch
+            Snapshots.dropBranch(spark, base, "dev")
+            branchC = None
+          case 7 => // retention on main must never strand the branch
+            Snapshots.expire(spark, base, keep = 1 + rnd.nextInt(2))
+            Snapshots.vacuum(spark, base, txnTtlMs = 0L)
+          case 8 => // compact main (content-invariant)
+            headV = Snapshots.compact(spark, base, smallBytes = 1L << 20)
+          case _ => () // precondition unsatisfied: skip the draw
+        }
+        val m = contentOf(Snapshots.read(spark, base))
+        assert(m == mainC, s"trial $trial step $step: main diverged")
+        branchC.foreach { bc =>
+          val b = contentOf(Snapshots.readBranch(spark, base, "dev"))
+          assert(b == bc, s"trial $trial step $step: branch diverged")
+        }
+      }
+    }
+  }
+
+  test("randomized stream pacing: paced unions and CDF replays reconstruct the table") {
+    import org.apache.spark.sql.streaming.Trigger
+    val rnd = new scala.util.Random(90180L) // fixed seed: deterministic
+    (1 to 3).foreach { trial =>
+      val root = java.nio.file.Files
+        .createTempDirectory(s"graft-streamfuzz$trial").toString
+      var nextId = 1L
+      def freshRows(n: Int): Seq[(Long, Long)] = (0 until n).map { _ =>
+        val id = nextId; nextId += 1
+        id -> rnd.nextLong(100000)
+      }
+      def df(rows: Seq[(Long, Long)]) =
+        rows.toDF("id", "x").repartition(1 + rnd.nextInt(3))
+
+      def drain(base: String, ck: String, opts: Map[String, String])
+          : Seq[org.apache.spark.sql.Row] = {
+        val out = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.Row]
+        val q = opts.foldLeft(spark.readStream.format("graft-snapshots")) {
+            case (r, (k, v)) => r.option(k, v)
+          }
+          .load(base)
+          .writeStream
+          .option("checkpointLocation", ck)
+          .trigger(Trigger.AvailableNow())
+          .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+            val rows = b.collect()
+            out.synchronized { out ++= rows }
+            ()
+          }
+          .start()
+        q.awaitTermination()
+        out.toSeq
+      }
+
+      // append-only table, randomly paced plain stream: the batch union
+      // must be the table, a caught-up re-drain a no-op, and a
+      // post-checkpoint commit must arrive alone
+      val base = s"$root/t"
+      var expected = Map.empty[Long, Long]
+      val nCommits = 3 + rnd.nextInt(3)
+      (1 to nCommits).foreach { i =>
+        val rows = freshRows(5 + rnd.nextInt(10))
+        if (i == 1) Snapshots.write(df(rows), base)
+        else Snapshots.append(df(rows), base)
+        expected ++= rows
+      }
+      val opts = rnd.nextInt(3) match {
+        case 0 => Map("maxBytesPerTrigger" -> "1") // one file per trigger
+        case 1 => Map("maxFilesPerTrigger" -> "1")
+        case 2 => Map("maxBytesPerTrigger" ->
+          (500 + rnd.nextInt(3000)).toString) // mid-commit cuts
+      }
+      val got = drain(base, s"$root/ck", opts)
+        .map(r => r.getAs[Long]("id") -> r.getAs[Long]("x"))
+      assert(got.size == expected.size && got.toMap == expected,
+        s"trial $trial opts=$opts: paced union diverged")
+      assert(drain(base, s"$root/ck", opts).isEmpty,
+        s"trial $trial: caught-up re-drain delivered rows")
+      val late = freshRows(4)
+      Snapshots.append(df(late), base)
+      val inc = drain(base, s"$root/ck", opts)
+        .map(r => r.getAs[Long]("id") -> r.getAs[Long]("x"))
+      assert(inc.toMap == late.toMap,
+        s"trial $trial: incremental drain was not exactly the new commit")
+
+      // CDF over appends + CoW deletes, randomly paced: replaying the
+      // feed in commit order must reconstruct the final table
+      val base2 = s"$root/t2"
+      var model = Map.empty[Long, Long]
+      Snapshots.write(df(freshRows(8)), base2)
+      model = contentOfTable(base2)
+      (1 to 3 + rnd.nextInt(3)).foreach { _ =>
+        if (rnd.nextInt(3) == 0 && model.nonEmpty) {
+          val m = 2 + rnd.nextInt(3); val r = rnd.nextInt(m)
+          Snapshots.deleteWhere(spark, base2, col("id") % m === r)
+          model = model.filter(_._1 % m != r)
+        } else {
+          val rows = freshRows(3 + rnd.nextInt(8))
+          Snapshots.append(df(rows), base2)
+          model ++= rows
+        }
+      }
+      val cdfOpts = Map("readChangeFeed" -> "true", "changeKey" -> "id") ++
+        (if (rnd.nextBoolean()) Map("maxBytesPerTrigger" -> "1") else Map.empty)
+      val feed = drain(base2, s"$root/ck2", cdfOpts)
+      val replay = scala.collection.mutable.Map.empty[Long, Long]
+      feed.sortBy(r => (r.getAs[Long]("_commit_version"),
+          r.getAs[String]("_change_type"))).foreach { r =>
+        r.getAs[String]("_change_type") match {
+          case "insert" => replay(r.getAs[Long]("id")) = r.getAs[Long]("x")
+          case "delete" => replay.remove(r.getAs[Long]("id"))
+          case other => fail(s"unexpected change type $other")
+        }
+      }
+      assert(replay.toMap == model,
+        s"trial $trial: CDF replay did not reconstruct the table")
+      assert(drain(base2, s"$root/ck2", cdfOpts).isEmpty,
+        s"trial $trial: caught-up CDF re-drain delivered rows")
+    }
+  }
+
+  private def contentOfTable(base: String): Map[Long, Long] =
+    Snapshots.read(spark, base).select(col("id"), col("x"))
+      .as[(Long, Long)].collect().toMap
 }
