@@ -339,4 +339,86 @@ class SnapshotModelFuzzSpec extends AnyFunSuite {
   private def contentOfTable(base: String): Map[Long, Long] =
     Snapshots.read(spark, base).select(col("id"), col("x"))
       .as[(Long, Long)].collect().toMap
+
+  test("randomized clone lifecycles: source and fork evolve independently under GC on both sides") {
+    val rnd = new scala.util.Random(31180L) // fixed seed: deterministic
+    (1 to 3).foreach { trial =>
+      val root = java.nio.file.Files
+        .createTempDirectory(s"graft-clonefuzz$trial").toString
+      val src = s"$root/src"
+      val dst = s"$root/dst"
+      var nextId = 1L
+      def freshRows(n: Int): Seq[(Long, Long)] = (0 until n).map { _ =>
+        val id = nextId; nextId += 1
+        id -> rnd.nextLong(100000)
+      }
+      def df(rows: Seq[(Long, Long)]) =
+        rows.toDF("id", "x").repartition(1 + rnd.nextInt(3))
+
+      var srcC: Map[Long, Long] = Map.empty
+      var dstC: Map[Long, Long] = Map.empty
+      var dstPending = false
+      var diverged = false // content differs from the source's head
+      var localized = false // deepened: head no longer all-external
+      val init = freshRows(12 + rnd.nextInt(10))
+      Snapshots.write(df(init), src)
+      srcC = init.toMap
+      Snapshots.shallowClone(spark, src, dst)
+      dstC = srcC
+
+      (1 to 14).foreach { step =>
+        rnd.nextInt(10) match {
+          case 0 => // source append
+            val rows = freshRows(3 + rnd.nextInt(8))
+            Snapshots.append(df(rows), src); srcC ++= rows
+          case 1 => // source CoW delete
+            val m = 2 + rnd.nextInt(4); val r = rnd.nextInt(m)
+            Snapshots.deleteWhere(spark, src, col("id") % m === r)
+            srcC = srcC.filter(_._1 % m != r)
+          case 2 => // source retention: clone-referenced files must survive
+            Snapshots.expire(spark, src, keep = 1 + rnd.nextInt(2))
+            Snapshots.vacuum(spark, src, txnTtlMs = 0L)
+          case 3 | 4 => // clone append (diverges)
+            val rows = freshRows(3 + rnd.nextInt(8))
+            Snapshots.append(df(rows), dst)
+            dstC ++= rows; diverged = true
+          case 5 => // clone MoR delete over source-owned + local files
+            val m = 3 + rnd.nextInt(3); val r = rnd.nextInt(m)
+            val before = dstC
+            Snapshots.deleteWhereMoR(spark, dst, col("id") % m === r)
+            dstC = dstC.filter(_._1 % m != r)
+            if (dstC != before) { dstPending = true; diverged = true }
+          case 6 if dstPending => // fold the clone's deletes
+            Snapshots.materializeDeletes(spark, dst)
+            dstPending = false
+          case 7 if !dstPending => // localize whatever the head references
+            Snapshots.deepenClone(spark, dst); localized = true
+          // refresh needs an all-external head: deepening localizes it,
+          // so a localized mirror refuses refresh even when contents match
+          case 8 if !diverged && !localized && !dstPending => // re-sync the mirror
+            Snapshots.refreshClone(spark, src, dst)
+            dstC = srcC
+          case 9 if !dstPending => // clone-side compact: rewrites small
+            // external files into local merged ones — localizing, like
+            // deepen, for the refresh gate
+            Snapshots.compact(spark, dst, smallBytes = 1L << 20)
+            localized = true
+          case _ => () // precondition unsatisfied: skip the draw
+        }
+        assert(contentOfTable(src) == srcC,
+          s"trial $trial step $step: source diverged from the model")
+        assert(contentOfTable(dst) == dstC,
+          s"trial $trial step $step: clone diverged from the model")
+      }
+      // wind-down: localize, retire ref-holders, detach, and the source's
+      // next vacuum proceeds as if the fork never happened
+      if (dstPending) Snapshots.materializeDeletes(spark, dst)
+      Snapshots.deepenClone(spark, dst)
+      Snapshots.expire(spark, dst, keep = 1)
+      assert(Snapshots.detachClone(spark, src, dst))
+      Snapshots.vacuum(spark, src, txnTtlMs = 0L)
+      assert(contentOfTable(dst) == dstC, s"trial $trial: detach broke the clone")
+      assert(contentOfTable(src) == srcC, s"trial $trial: detach broke the source")
+    }
+  }
 }
