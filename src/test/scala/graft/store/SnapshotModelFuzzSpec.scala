@@ -421,4 +421,120 @@ class SnapshotModelFuzzSpec extends AnyFunSuite {
       assert(contentOfTable(src) == srcC, s"trial $trial: detach broke the source")
     }
   }
+
+  test("randomized schema evolution: adds, renames, drops, physicalize interleaved with DML vs the model") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val rnd = new scala.util.Random(55180L) // fixed seed: deterministic
+    (1 to 3).foreach { trial =>
+      val base = java.nio.file.Files
+        .createTempDirectory(s"graft-schemafuzz$trial").toString + "/t"
+      var nextId = 1L
+      var nextCol = 1
+      case class E(rows: Map[Long, Map[String, Long]], cols: Vector[String],
+                   pending: Boolean)
+      var entries = Map.empty[Long, E]
+      var headV = 0L
+      def head: E = entries(headV)
+      // columns added since the last materializeSchema keep a pending
+      // AddOp for some vintages — rename/drop only touch settled columns
+      var addPending = Set.empty[String]
+
+      def freshRows(n: Int, cols: Vector[String])
+          : Seq[(Long, Map[String, Long])] = (0 until n).map { _ =>
+        val id = nextId; nextId += 1
+        id -> cols.map(c => c -> rnd.nextLong(100000)).toMap
+      }
+      def df(rows: Seq[(Long, Map[String, Long])], cols: Vector[String]) = {
+        val schema = StructType(StructField("id", LongType, nullable = false) +:
+          cols.map(c => StructField(c, LongType, nullable = true)))
+        spark.createDataFrame(
+          spark.sparkContext.parallelize(rows.map { case (id, m) =>
+            Row.fromSeq(id +: cols.map(m(_))) }, 1 + rnd.nextInt(3)),
+          schema)
+      }
+      def record(v: Long, e: E): Unit =
+        if (v != headV) { entries += v -> e; headV = v }
+      def checkAgainst(frame: org.apache.spark.sql.DataFrame, e: E,
+                       tag: String): Unit = {
+        assert(frame.columns.toSet == (e.cols :+ "id").toSet,
+          s"trial $trial $tag: schema=${frame.columns.toSeq} model=${e.cols}")
+        val got = frame.collect().map { r =>
+          r.getAs[Long]("id") -> e.cols.map(c => c -> r.getAs[Long](c)).toMap
+        }
+        assert(got.length == e.rows.size && got.toMap == e.rows,
+          s"trial $trial $tag: content diverged")
+      }
+
+      val init = freshRows(10 + rnd.nextInt(10), Vector("c0"))
+      Snapshots.write(df(init, Vector("c0")), base)
+      record(1L, E(init.toMap, Vector("c0"), pending = false))
+
+      (1 to 14).foreach { step =>
+        rnd.nextInt(9) match {
+          case 0 | 1 => // append in the CURRENT logical shape
+            val rows = freshRows(3 + rnd.nextInt(8), head.cols)
+            val v = Snapshots.append(df(rows, head.cols), base)
+            record(v, head.copy(rows = head.rows ++ rows))
+          case 2 => // ADD COLUMN with a declared default: every pre-add
+            // vintage must read the default from here on
+            val c = s"c$nextCol"; nextCol += 1
+            val d = rnd.nextLong(1000)
+            val v = Snapshots.addColumn(spark, base, c, LongType,
+              default = Some(d.toString))
+            addPending += c
+            record(v, head.copy(
+              rows = head.rows.view.mapValues(_ + (c -> d)).toMap,
+              cols = head.cols :+ c))
+          case 3 if head.cols.exists(!addPending(_)) => // RENAME a settled column
+            val from = {
+              val settled = head.cols.filter(!addPending(_))
+              settled(rnd.nextInt(settled.size))
+            }
+            val to = s"r$nextCol"; nextCol += 1
+            val v = Snapshots.renameColumn(spark, base, from, to)
+            record(v, E(
+              head.rows.view.mapValues(m => (m - from) + (to -> m(from))).toMap,
+              head.cols.map(c => if (c == from) to else c),
+              pending = true))
+          case 4 if head.cols.size >= 2 &&
+              head.cols.exists(!addPending(_)) => // DROP a settled column
+            val settled = head.cols.filter(!addPending(_))
+            val c = settled(rnd.nextInt(settled.size))
+            val v = Snapshots.dropColumn(spark, base, c)
+            record(v, E(head.rows.view.mapValues(_ - c).toMap,
+              head.cols.filterNot(_ == c), pending = true))
+          case 5 => // physicalize: rewrite mixed-vintage files, clear ops
+            val prior = headV
+            val v = Snapshots.materializeSchema(spark, base)
+            addPending = Set.empty
+            if (v != prior) record(v, head.copy(pending = false))
+          case 6 if !head.pending => // CoW delete under the evolved schema
+            val m = 2 + rnd.nextInt(4); val r = rnd.nextInt(m)
+            val v = Snapshots.deleteWhere(spark, base, col("id") % m === r)
+            record(v, head.copy(rows = head.rows.filter(_._1 % m != r)))
+          case 7 => // retention (no eq-deletes here: always safe)
+            val keep = 1 + rnd.nextInt(2)
+            val retained = entries.keys.toSeq.sorted
+            if (retained.size > keep) {
+              val droppedV = Snapshots.expire(spark, base, keep)
+              entries --= droppedV
+              Snapshots.vacuum(spark, base, txnTtlMs = 0L)
+            }
+          case 8 if !head.pending => // compact mixed-vintage files
+            val prior = headV
+            val v = Snapshots.compact(spark, base, smallBytes = 1L << 20)
+            if (v != prior) record(v, head)
+          case _ => () // precondition unsatisfied: skip the draw
+        }
+        checkAgainst(Snapshots.read(spark, base), head, s"step$step")
+        if (step % 4 == 0) { // time travel shows THAT version's schema
+          val vs = entries.keys.toSeq.sorted
+          val v = vs(rnd.nextInt(vs.size))
+          checkAgainst(Snapshots.read(spark, base, Some(v)), entries(v),
+            s"timetravel-v$v")
+        }
+      }
+    }
+  }
 }
