@@ -597,4 +597,62 @@ class SnapshotModelFuzzSpec extends AnyFunSuite {
     assert(Snapshots.read(spark, base).as[(Long, String)]
       .collect().toMap == expected)
   }
+
+  test("randomized MatView maintenance: the view equals a direct recompute after every refresh") {
+    val rnd = new scala.util.Random(66180L) // fixed seed: deterministic
+    (1 to 3).foreach { trial =>
+      val root = java.nio.file.Files
+        .createTempDirectory(s"graft-mvfuzz$trial").toString
+      val src = s"$root/src"
+      val mv = s"$root/mv"
+      var nextId = 1L
+      def freshRows(n: Int): Seq[(Long, Long, Long)] = (0 until n).map { _ =>
+        val id = nextId; nextId += 1
+        (id, rnd.nextInt(5).toLong, rnd.nextInt(1000).toLong)
+      }
+      def df(rows: Seq[(Long, Long, Long)]) =
+        rows.toDF("id", "g", "v").repartition(1 + rnd.nextInt(3))
+
+      Snapshots.write(df(freshRows(15 + rnd.nextInt(10))), src)
+      MatView.create(spark, src, mv, Seq("g"), "v")
+
+      def checkView(tag: String): Unit = {
+        val view = MatView.read(spark, mv)
+          .select(col("g"), col("n"), col("total"))
+        val direct = Snapshots.read(spark, src).groupBy(col("g"))
+          .agg(org.apache.spark.sql.functions.count(lit(1)).as("n"),
+            org.apache.spark.sql.functions.sum(col("v").cast("decimal(18,2)"))
+              .cast("decimal(28,2)").as("total"))
+        assert(view.except(direct).isEmpty && direct.except(view).isEmpty,
+          s"trial $trial $tag: view != direct recompute")
+      }
+      checkView("create")
+
+      (1 to 10).foreach { step =>
+        rnd.nextInt(6) match {
+          case 0 | 1 => // append-only delta: the O(delta) refresh path
+            Snapshots.append(df(freshRows(3 + rnd.nextInt(8))), src)
+          case 2 => // CoW delete: forces the cdcKey rewrite-chain fallback
+            val m = 2 + rnd.nextInt(4); val r = rnd.nextInt(m)
+            Snapshots.deleteWhere(spark, src, col("id") % m === r)
+          case 3 => // CoW update: group totals move, counts stay
+            val m = 2 + rnd.nextInt(4); val r = rnd.nextInt(m)
+            Snapshots.updateWhere(spark, src, col("id") % m === r,
+              Seq("v" -> (col("v") + lit(7L))))
+          case 4 => // layout churn between anchor and head
+            Snapshots.compact(spark, src, smallBytes = 1L << 20)
+          case 5 => // source retention: the view's PINNED anchor survives
+            Snapshots.expire(spark, src, keep = 1 + rnd.nextInt(2))
+            Snapshots.vacuum(spark, src, txnTtlMs = 0L)
+          case _ => ()
+        }
+        if (rnd.nextInt(3) != 0) { // refresh on most steps, not all
+          MatView.refresh(spark, src, mv, Seq("g"), "v", cdcKey = Some("id"))
+          checkView(s"step$step")
+        }
+      }
+      MatView.refresh(spark, src, mv, Seq("g"), "v", cdcKey = Some("id"))
+      checkView("final")
+    }
+  }
 }
