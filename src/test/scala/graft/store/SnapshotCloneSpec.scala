@@ -378,6 +378,31 @@ class SnapshotCloneSpec extends AnyFunSuite {
       1L -> (1L to 16L).toSet, 2L -> Set(99L), 3L -> Set(100L)))
   }
 
+  test("vintage defaults + MoR deletes + external paths compose on one read") {
+    val root = freshRoot("mixcanon")
+    val src = s"$root/src"
+    val dst = s"$root/dst"
+    Snapshots.write((1L to 12L).map(i => (i, s"s$i")).toDF("id", "s")
+      .repartition(2), src)
+    Snapshots.addColumn(spark, src, "score",
+      org.apache.spark.sql.types.LongType, default = Some("5"))
+    Snapshots.shallowClone(spark, src, dst)
+    // clone-local carrier file + MoR deletes hitting BOTH vintages: the
+    // read must thread the suffix canon through the vintage-default fill
+    // AND the positional-delete anti-join in the same plan
+    Snapshots.append(Seq((20L, "n20", 9L)).toDF("id", "s", "score"), dst)
+    Snapshots.deleteWhereMoR(spark, dst, col("id").isin(3L, 20L))
+    val rows = Snapshots.read(spark, dst)
+      .select(col("id"), col("score")).as[(Long, Long)].collect().toMap
+    assert(rows == ((1L to 12L).filter(_ != 3L).map(_ -> 5L)).toMap,
+      s"got $rows")
+    // folding localizes only the touched files; defaults physicalize
+    Snapshots.materializeDeletes(spark, dst)
+    assert(Snapshots.read(spark, dst)
+      .select(col("id"), col("score")).as[(Long, Long)].collect().toMap ==
+      ((1L to 12L).filter(_ != 3L).map(_ -> 5L)).toMap)
+  }
+
   test("ADD-COLUMN defaults fill source-vintage files through a clone") {
     val root = freshRoot("adddef")
     val src = s"$root/src"
