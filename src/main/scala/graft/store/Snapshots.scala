@@ -854,6 +854,104 @@ object Snapshots {
       try r.getRecordCount finally r.close()
     }.toOption
 
+  /** Key-column stats of one staged file, derived from its parquet FOOTER
+    * (round-18 optimization): what [[stagedStats]]'s delta scan computes,
+    * read from block metadata instead. Only attempted for INTEGRAL/date
+    * keys, whose parquet statistics are exact value comparisons with no
+    * truncation, no NaN semantics and no canonicalization gap: INT32/INT64
+    * min/max/null_count per row group fold to exactly the numbers the scan's
+    * `min(col)/max(col)/count(when(isNull))` produce, and the manifest canon
+    * (statExtract → plain integer string; epoch days for dates) matches the
+    * raw physical value. Strings stay on the scan path (parquet binary stats
+    * may be truncated), floats/decimals too (NaN/−0.0 footer semantics are
+    * writer-dependent — the scan's explicit NaN rejection stays the source
+    * of truth). */
+  private sealed trait FooterKeyStats
+  private case object FooterStatsUnusable extends FooterKeyStats
+  private case object FooterStatsNoEntry extends FooterKeyStats
+  private final case class FooterStatsOk(mn: String, mx: String, nulls: Long)
+    extends FooterKeyStats
+
+  /** Everything [[commitStaged]] needs from one staged file, in ONE footer
+    * open: record count (`#r=`), the writer-embedded Spark schema JSON
+    * (`org.apache.spark.sql.parquet.row.metadata` — the same source
+    * `spark.read.parquet` schema inference prefers, so the fast path and
+    * the legacy mergeSchema read agree byte-for-byte on Spark-written
+    * files), and optionally the stats key's per-file min/max/null-count. */
+  private final case class StagedFooterMeta(rows: Option[Long],
+      schemaJson: Option[String], keyStats: FooterKeyStats)
+
+  private val SparkSchemaMetaKey = "org.apache.spark.sql.parquet.row.metadata"
+
+  /** May `key`'s staged stats come from footer metadata? Exact only for
+    * integral physical types (see [[FooterKeyStats]] scaladoc). */
+  private def footerStatsEligible(dt: org.apache.spark.sql.types.DataType)
+      : Boolean = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case ByteType | ShortType | IntegerType | LongType | DateType => true
+      case _ => false
+    }
+  }
+
+  private def readStagedFooter(conf: org.apache.hadoop.conf.Configuration,
+      p: Path, statsCol: Option[String]): StagedFooterMeta =
+    scala.util.Try {
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, conf))
+      try {
+        val rows = r.getRecordCount
+        val fm = r.getFooter.getFileMetaData
+        val json = Option(fm.getKeyValueMetaData.get(SparkSchemaMetaKey))
+          .filter(_.nonEmpty)
+        val ks: FooterKeyStats = statsCol match {
+          case None => FooterStatsNoEntry
+          case Some(key) =>
+            import scala.jdk.CollectionConverters._
+            val blocks = r.getFooter.getBlocks.asScala.toSeq
+            var nulls = 0L
+            var mn = Long.MaxValue
+            var mx = Long.MinValue
+            var nonNullSeen = false
+            var usable = true
+            blocks.foreach { b =>
+              if (usable) b.getColumns.asScala
+                .find(_.getPath.toDotString == key) match {
+                case None => usable = false // column absent from this block
+                case Some(cc) =>
+                  val st = cc.getStatistics
+                  if (st == null || !st.isNumNullsSet) usable = false
+                  else {
+                    nulls += st.getNumNulls
+                    if (st.hasNonNullValue) {
+                      val (lo, hi) = (st.genericGetMin, st.genericGetMax) match {
+                        case (a: java.lang.Long, b: java.lang.Long) =>
+                          (a.longValue, b.longValue)
+                        case (a: java.lang.Integer, b: java.lang.Integer) =>
+                          (a.longValue, b.longValue)
+                        case _ => usable = false; (0L, 0L)
+                      }
+                      if (usable) {
+                        nonNullSeen = true
+                        if (lo < mn) mn = lo
+                        if (hi > mx) mx = hi
+                      }
+                    } else if (st.getNumNulls < b.getRowCount) {
+                      // non-null values exist but the writer recorded no
+                      // bounds — cannot reconstruct the scan's answer
+                      usable = false
+                    }
+                  }
+              }
+            }
+            if (!usable) FooterStatsUnusable
+            else if (!nonNullSeen) FooterStatsNoEntry // empty or all-null file
+            else FooterStatsOk(mn.toString, mx.toString, nulls)
+        }
+        StagedFooterMeta(Some(rows), json, ks)
+      } finally r.close()
+    }.getOrElse(StagedFooterMeta(None, None, FooterStatsUnusable))
+
   /**
    * The optimistic commit: stage data + manifest in a private hidden
    * `.txn-<uuid>` directory, then claim `v=next` with ONE atomic directory
@@ -927,10 +1025,46 @@ object Snapshots {
           }
         }
       }
-      val (tag, stats) = statsKey.filter(_ => names.nonEmpty)
-        .map(stagedStats(spark, txn, _))
-        .getOrElse(("", Map.empty[String, (String, String, Long)]))
       val conf = spark.sparkContext.hadoopConfiguration
+      // ONE footer open per staged file (round-18 optimization): the
+      // record count, the writer-embedded Spark schema, and (integral
+      // keys) the per-file key stats previously cost a driver footer
+      // sweep PLUS a mergeSchema inference job PLUS a full delta scan —
+      // three reads of the same freshly-written files. Anything the
+      // footer cannot prove falls back to the original path for that
+      // piece; values are identical either way (pinned in SnapshotsSpec).
+      val stagedFooters: Seq[(String, StagedFooterMeta)] =
+        names.map(n => n -> readStagedFooter(conf, new Path(txn, n), statsKey))
+      val stagedFooterMap = stagedFooters.toMap
+      // the staged delta's schema, when every footer carries the SAME
+      // embedded definition (single-DataFrame commits — the overwhelming
+      // case); mixed-vintage stagings (None) take the mergeSchema read
+      val uniformSchema: Option[org.apache.spark.sql.types.StructType] = {
+        val js = stagedFooters.map(_._2.schemaJson)
+        js.headOption.flatten.filter(j => js.forall(_.contains(j)))
+          .flatMap(j => scala.util.Try(
+            org.apache.spark.sql.types.DataType.fromJson(j)
+              .asInstanceOf[org.apache.spark.sql.types.StructType]).toOption)
+      }
+      val (tag, stats) =
+        statsKey.filter(_ => names.nonEmpty)
+          .map { key =>
+            val fast: Option[(String, Map[String, (String, String, Long)])] =
+              uniformSchema.flatMap { st =>
+                st.fields.find(_.name == key) match {
+                  case None => Some(("", Map.empty[String, (String, String, Long)]))
+                  case Some(f) if footerStatsEligible(f.dataType) &&
+                      stagedFooters.forall(_._2.keyStats != FooterStatsUnusable) =>
+                    Some((statTag(f.dataType), stagedFooters.collect {
+                      case (n, StagedFooterMeta(_, _, FooterStatsOk(mn, mx, nu))) =>
+                        n -> (mn, mx, nu)
+                    }.toMap))
+                  case _ => None
+                }
+              }
+            fast.getOrElse(stagedStats(spark, txn, key))
+          }
+          .getOrElse(("", Map.empty[String, (String, String, Long)]))
       // inherited lines may be RAW (append family — segment includes kept
       // as-is, the O(delta) commit path) or EXPANDED (rewrite verbs, which
       // filter per entry); every metadata computation below needs the
@@ -946,11 +1080,16 @@ object Snapshots {
       val priorDefs = schemaDefLines(inheritedView)
       val (schemaIdOpt, newDefLine): (Option[Long], Option[String]) =
         (if (names.isEmpty) None
-         else scala.util.Try(asNullable(
-           spark.read.option("mergeSchema", true)
-             .parquet(names.map(n => s"$txn/$n"): _*).schema)
-           .asInstanceOf[org.apache.spark.sql.types.StructType].json)
-           .toOption) match {
+         // fast path: the footer-embedded Spark schema (the same source
+         // spark.read's inference prefers for Spark-written files) — the
+         // mergeSchema read below only runs for mixed-vintage stagings
+         else uniformSchema.flatMap(st => scala.util.Try(asNullable(st)
+             .asInstanceOf[org.apache.spark.sql.types.StructType].json).toOption)
+           .orElse(scala.util.Try(asNullable(
+             spark.read.option("mergeSchema", true)
+               .parquet(names.map(n => s"$txn/$n"): _*).schema)
+             .asInstanceOf[org.apache.spark.sql.types.StructType].json)
+             .toOption)) match {
           case Some(json) if !json.exists(c => c.isControl) =>
             priorDefs.collectFirst { case (id, j) if j == json => id } match {
               case Some(id) => (Some(id), None)
@@ -973,7 +1112,7 @@ object Snapshots {
         val bytesSuffix = scala.util.Try(
           f.getFileStatus(new Path(txn, n)).getLen)
           .toOption.map(b => s"\t#b=$b").getOrElse("")
-        val rowsSuffix = footerRowCount(conf, new Path(txn, n))
+        val rowsSuffix = stagedFooterMap.get(n).flatMap(_.rows)
           .map(r => s"\t#r=$r").getOrElse("") + bytesSuffix + schemaSuffix
         stats.get(n) match {
           case Some((mn, mx, nNull)) =>

@@ -1919,6 +1919,52 @@ class SnapshotsSpec extends AnyFunSuite {
     assert(Snapshots.read(spark, base).select("id")
       .collect().map(_.getLong(0)).toSet == expected)
   }
+
+  test("footer-derived key stats equal the delta scan's (round-18 fast path)") {
+    import org.apache.spark.sql.functions.{count, input_file_name, max, min, when}
+    // integral key WITH nulls, multiple files, negative values — the fast
+    // path must reproduce the scan's per-file (min, max, null-count) and
+    // the #r= record counts exactly
+    val base = java.nio.file.Files.createTempDirectory("graft-fstats").toString + "/t"
+    val df = (1L to 500L).map(i =>
+        (if (i % 11 == 0) None else Some(i - 250L), s"v$i"))
+      .toDF("id", "s").repartition(4)
+    Snapshots.write(df, base, statsKey = Some("id"))
+    val entries = Snapshots.manifestLines(spark, base, 1L).map(Snapshots.parseEntry)
+      .filterNot(_.isSchemaOp)
+    assert(entries.nonEmpty && entries.forall(e => e.stats.isDefined && e.rows.isDefined))
+    // per-file truth from an explicit scan of the committed files
+    val truth = spark.read.parquet(base + "/v=1")
+      .groupBy(input_file_name().as("f"))
+      .agg(min(col("id")).cast("string").as("mn"),
+        max(col("id")).cast("string").as("mx"),
+        count(when(col("id").isNull, 1)).as("nn"),
+        count(lit(1)).as("r"))
+      .collect()
+      .map(r => new org.apache.hadoop.fs.Path(r.getString(0)).getName ->
+        (r.getString(1), r.getString(2), r.getLong(3), r.getLong(4))).toMap
+    entries.foreach { e =>
+      val n = new org.apache.hadoop.fs.Path(e.path).getName
+      val (mn, mx, nn, r) = truth(n)
+      val Some((key, tag, emn, emx)) = e.stats
+      assert(key == "id" && tag == "L" && emn == mn && emx == mx,
+        s"stats mismatch for $n: manifest=($emn,$emx) scan=($mn,$mx)")
+      assert(e.nulls.contains(nn) && e.rows.contains(r),
+        s"null/row count mismatch for $n")
+    }
+    // a DOUBLE key stays on the scan path: NaN-poisoned files record no
+    // stats (the fast path must not claim finite footer bounds for them)
+    val base2 = java.nio.file.Files.createTempDirectory("graft-fstats").toString + "/t"
+    val dd = (1L to 100L).map(i =>
+        (i, if (i <= 50) i.toDouble else Double.NaN))
+      .toDF("id", "d").repartitionByRange(2, col("id")) // NaN rows isolated
+    Snapshots.write(dd, base2, statsKey = Some("d"))
+    val e2 = Snapshots.manifestLines(spark, base2, 1L).map(Snapshots.parseEntry)
+      .filterNot(_.isSchemaOp)
+    val withStats = e2.filter(_.stats.isDefined)
+    assert(withStats.size == 1 && withStats.head.stats.get._2 == "D",
+      s"expected exactly the NaN-free file to carry stats:\n${e2.map(_.line).mkString("\n")}")
+  }
 }
 
 /**
