@@ -1133,8 +1133,11 @@ object Dedup {
                          k: Int = 8, w: Int = 4): DataFrame = {
     require(k >= 2 && w >= 1, s"need k >= 2 and w >= 1, got k=$k w=$w")
     val nGrams = length(col(textCol)) - k + 1
-    val hashes = transform(sequence(lit(1), nGrams),
-      i => md5(substring(col(textCol), i, lit(k))))
+    // gram emission via the one-pass CharGrams expression (round-18): the
+    // transform(sequence, i -> substring(text, i, k)) shape re-scans the
+    // string from byte 0 per window to find code point i — O(len²) byte
+    // work per doc on the hottest loop of this family
+    val hashes = transform(graft.expr.CharGrams(col(textCol), k), g => md5(g))
     // bind the gram-hash array to a LAMBDA VARIABLE (single-element
     // transform) so it is evaluated once per row — naming it through a
     // projection alias lets CollapseProject inline it into the window
@@ -1225,9 +1228,9 @@ object Dedup {
     val spread = graft.text.TextAnalysis.spreadIfUndersplit(df, col(idCol))
     val grams = spread.filter(length(col(textCol)) >= minLen)
       .select(col(idCol).as("id"),
-        explode(array_distinct(transform(
-          sequence(lit(1), length(col(textCol)) - minLen + 1),
-          i => substring(col(textCol), i, lit(minLen))))).as("gram"))
+        // one-pass gram emission (round-18) — see [[winnowFingerprints]]
+        explode(array_distinct(
+          graft.expr.CharGrams(col(textCol), minLen))).as("gram"))
     // grams are distinct per doc, so the group's value count IS the
     // document frequency. ONE pass (round-17): a skew-safe capped collect
     // per gram ([[graft.expr.CappedCollectList]] — map-side partial
