@@ -130,14 +130,16 @@ object Graph {
     val ew = e.join(outDeg.withColumnRenamed("node", "__src"), "__src")
       .select(col("__src"), col("__dst"), col("outdeg"))
       .repartition(e.sparkSession.sparkContext.defaultParallelism, col("__src")).cache()
-    // Every round's rank frame is EAGERLY localCheckpoint'd (lineage
-    // truncated, node-sized blocks) before its predecessor is unpersisted
-    // — so the unpersist can never strand a successor whose cached blocks
+    // Every round's rank frame is localCheckpoint'd (lineage truncated,
+    // node-sized blocks) and MATERIALIZED by the round's own scalars
+    // aggregate -- a full pass -- before its predecessor is unpersisted,
+    // so the unpersist can never strand a successor whose cached blocks
     // would need the dropped frame to recompute (round-11 advisor item;
-    // same discipline as labelPropagation). Spark still logs a cosmetic
-    // "cannot be recomputed after unpersisting" WARN on each unpersist —
+    // lazy variant round-18 -- one job per round instead of two, the
+    // connectedComponents pattern). Spark still logs a cosmetic
+    // "cannot be recomputed after unpersisting" WARN on each unpersist --
     // safe here precisely because nothing downstream references the frame.
-    var ranks = nodeBase.withColumn("rank", lit(1.0 / n)).localCheckpoint(true)
+    var ranks = nodeBase.withColumn("rank", lit(1.0 / n)).localCheckpoint(false)
     // One tiny scalar job per iteration over the freshly checkpointed
     // blocks reads the dangling mass — and, when `earlyExitTol` is set,
     // the L1 rank delta in the SAME aggregate. (Measured note: folding the
@@ -187,7 +189,12 @@ object Graph {
         Seq(col("node"), col("__sink"),
           roundPerIter.fold(rawRank)(dp => round(rawRank, dp)).as("rank")) ++
           (if (trackDelta) Seq(col("__prev")) else Seq.empty): _*)
-      val next = next0.localCheckpoint(true)
+      // LAZY checkpoint (round-18, the connectedComponents pattern): the
+      // scalars aggregate below is a FULL pass over the frame, so it
+      // materializes the checkpointed blocks itself -- one job per round
+      // instead of an eager-materialize job plus the scalar job. The
+      // predecessor is still only unpersisted AFTER that materialization.
+      val next = next0.localCheckpoint(false)
       val (dang, delta) = scalarsOf(next, withDelta = trackDelta)
       dangling = dang
       ranks.unpersist(false)
@@ -265,10 +272,10 @@ object Graph {
     val ew = e.join(outDeg.withColumnRenamed("node", "__src"), "__src")
       .select(col("__src"), col("__dst"), col("outdeg"))
       .repartition(e.sparkSession.sparkContext.defaultParallelism, col("__src")).cache()
-    // eager per-round localCheckpoint before unpersisting the predecessor —
-    // the round-11 advisor fix; see [[pageRank]]'s note
+    // per-round localCheckpoint, lazily materialized by the round's own
+    // scalars pass before the predecessor unpersists — see [[pageRank]]
     var ranks = tn.select(col("node"), col("tele"), col("__sink"),
-      col("tele").as("rank")).localCheckpoint(true)
+      col("tele").as("rank")).localCheckpoint(false)
     def scalarsOf(r: DataFrame, withDelta: Boolean): (Double, Double) = {
       val aggs = sum(when(col("__sink"), col("rank"))).as("__dang") +:
         (if (withDelta) Seq(sum(abs(col("rank") - col("__prev"))).as("__delta"))
@@ -305,7 +312,8 @@ object Graph {
         Seq(col("node"), col("tele"), col("__sink"),
           roundPerIter.fold(rawRank)(dp => round(rawRank, dp)).as("rank")) ++
           (if (trackDelta) Seq(col("__prev")) else Seq.empty): _*)
-      val next = next0.localCheckpoint(true)
+      // lazy checkpoint materialized by the scalars pass — see [[pageRank]]
+      val next = next0.localCheckpoint(false)
       val (dang, delta) = scalarsOf(next, withDelta = trackDelta)
       dangling = dang
       ranks.unpersist(false)
