@@ -54,9 +54,12 @@ object Dedup {
     // sf0.1. Heavy whole-corpus gram paths (boilerplate, span removal) do
     // spread; see TextAnalysis.spreadIfUndersplit.
     df.select(col(idCol),
-        explode(transform(
-          sequence(lit(0), greatest(length(col(textCol)) - n, lit(0))),
-          i => col(textCol).substr(i + 1, lit(n)))).as("shingle"))
+        // one-pass gram emission (round-18, [[graft.expr.CharGrams]]); the
+        // transform(sequence, substr) shape re-scanned the string per
+        // window — O(len²) byte work. Shorter-than-n texts keep the legacy
+        // boundary semantics: the whole text is its own single shingle.
+        explode(when(length(col(textCol)) < n, array(col(textCol)))
+          .otherwise(graft.expr.CharGrams(col(textCol), n))).as("shingle"))
       .select(col(idCol), col("shingle"))
       .distinct()
 
